@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.dsp.{Signal, Kernels}
+import graft.dsp.Signal.{PadSpec, FastPad}
+
+/** The per-segment spectral operators: each is a narrow `DataFrame =>
+  * DataFrame` map over SegmentFrame rows (no shuffle), with the FFT math in
+  * graft.dsp. These are the only Scala UDFs in the engine's hot path — Spark
+  * has no FFT primitive (SURVEY.md §7 "built-in vs custom"); everything
+  * around them (amplitude, phase, joins, aggregations) stays in Catalyst
+  * expressions so codegen and pushdown keep working.
+  */
+object DspOperators {
+
+  /** Resample every segment to `newFreq` (per-row rate-aware).
+    * Ref semantics: /root/reference/src/process_nwb/resample.py:105-153. */
+  def resample(segments: DataFrame, newFreq: Double, npad: PadSpec = FastPad): DataFrame = {
+    val f = udf { (values: Array[Double], rate: Double) =>
+      Signal.resample(values, newFreq, rate, npad)
+    }
+    segments
+      .withColumn("values", f(col("values"), col("rate")))
+      .withColumn("rate", lit(newFreq))
+  }
+
+  /** Notch out `noiseHz` and harmonics from every segment.
+    * Ref: /root/reference/src/process_nwb/linenoise_notch.py:55-92. */
+  def applyLinenoiseNotch(segments: DataFrame, noiseHz: Double = 60.0,
+                          npad: PadSpec = FastPad): DataFrame = {
+    val f = udf { (values: Array[Double], rate: Double) =>
+      Signal.notch(values, rate, noiseHz, npad)
+    }
+    segments.withColumn("values", f(col("values"), col("rate")))
+  }
+
+  /** One wavelet output band: complex trace as parallel re/im arrays so
+    * amplitude/phase stay pure-SQL (`zip_with` + `hypot`/`atan2`). */
+  final case class BandTrace(band: Int, re: Array[Double], im: Array[Double])
+
+  // Executor-local filterbank cache: kernels depend on the PADDED length and
+  // rate; computing all bands for a channel inside one task is the
+  // reference's per-channel spectrum memoization (wavelet_transform.py:198-207)
+  // by construction.
+  private val fbCache = new ConcurrentHashMap[(String, Int, Double, Boolean), Kernels.Filterbank]()
+  private[operators] def cachedFilterbank(filters: String, paddedLen: Int, rate: Double,
+                                          hgOnly: Boolean): Kernels.Filterbank =
+    fbCache.computeIfAbsent((filters, paddedLen, rate, hgOnly),
+      _ => Kernels.filterbank(filters, paddedLen, rate, hgOnly))
+
+  /** Wavelet transform: explodes each channel segment into one row per band
+    * with complex (re, im) trace columns. Narrow except the explode (which is
+    * also narrow); partition count grows by nBands via downstream
+    * repartition if desired.
+    * Ref: /root/reference/src/process_nwb/wavelet_transform.py:238-322. */
+  def waveletTransform(segments: DataFrame, filters: String = "rat",
+                       hgOnly: Boolean = true, npad: PadSpec = FastPad): DataFrame = {
+    val f = udf { (values: Array[Double], rate: Double) =>
+      val plan = Signal.padPlan(values.length, npad)
+      val fb = cachedFilterbank(filters, values.length + plan.padTotal, rate, hgOnly)
+      val bands = Signal.waveletBands(values, fb.kernels, npad)
+      bands.indices.map { b =>
+        val z = bands(b)
+        val n = z.length / 2
+        val re = new Array[Double](n)
+        val im = new Array[Double](n)
+        var i = 0
+        while (i < n) { re(i) = z(2 * i); im(i) = z(2 * i + 1); i += 1 }
+        BandTrace(b, re, im)
+      }
+    }
+    segments
+      .withColumn("bt", explode(f(col("values"), col("rate"))))
+      .select(col("series"), col("channel"), col("bt.band").as("band"),
+        col("rate"), col("startingTime"), col("bt.re").as("re"), col("bt.im").as("im"))
+  }
+
+  /** Amplitude of a complex (re, im) wavelet frame — pure SQL, codegen'd. */
+  def amplitude(wavelet: DataFrame): DataFrame =
+    wavelet.withColumn("values", zip_with(col("re"), col("im"), (r, i) => hypot(r, i)))
+      .drop("re", "im")
+
+  /** Phase of a complex (re, im) wavelet frame — pure SQL, codegen'd. */
+  def phase(wavelet: DataFrame): DataFrame =
+    wavelet.withColumn("values", zip_with(col("re"), col("im"), (r, i) => atan2(i, r)))
+      .drop("re", "im")
+
+  /** Band metadata for a named filterbank at declared rate (no kernels
+    * built): the band dimension to join on `band` (SURVEY.md J3). */
+  def bandMetadata(spark: org.apache.spark.sql.SparkSession, filters: String,
+                   hgOnly: Boolean): DataFrame = {
+    import spark.implicits._
+    val cfs = Kernels.centerFrequencies(filters, hgOnly)
+    val sds = filters match {
+      case "changlab" => Kernels.changSds(cfs)
+      case _          => Kernels.constQSds(cfs)
+    }
+    cfs.indices.map(i => (i, cfs(i), sds(i))).toDF("band", "cf", "sd")
+  }
+
+  /** Z-score each segment against its leading baseline window — narrow
+    * per-row map, no shuffle (the segment already holds the whole trace).
+    * Population std, like np.std in the tutorial
+    * (examples/plot_ECoG_preprocessing_tutorial.py:164-166).
+    *
+    * A one-pass UDF rather than `transform`/`aggregate` higher-order
+    * expressions: HOFs are interpreted (no codegen) and Catalyst's project
+    * collapse inlines the baseline aggregate into every downstream element
+    * evaluation — measured 100x slower than this loop when followed by a
+    * posexplode. */
+  def zscoreSegments(segments: DataFrame, baselineSamples: Int = 125): DataFrame = {
+    val f = udf { (values: Array[Double]) =>
+      val n = math.min(baselineSamples, values.length)
+      var s = 0.0
+      var s2 = 0.0
+      var i = 0
+      while (i < n) { s += values(i); s2 += values(i) * values(i); i += 1 }
+      val mu = s / n
+      val sd = math.sqrt(s2 / n - mu * mu)
+      values.map(v => (v - mu) / sd)
+    }
+    segments.withColumn("values", f(col("values")))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsp.Signal.{PadSpec, FastPad}
+import graft.model.Frames
+
+/** The end-to-end preprocessing pipeline — the engine's equivalent of
+  * `preprocess_block` (/root/reference/src/process_nwb/pipelines.py:15-111):
+  * resample -> 60 Hz notch -> CAR subtraction -> wavelet amplitude ->
+  * optional amplitude post-resample.
+  *
+  * The reference's `all_steps=False` "fused in-memory path"
+  * (pipelines.py:83-98) is simply Catalyst's lazy DAG here: nothing
+  * materializes until a sink runs. Its `all_steps=True` materializing path is
+  * `Store.*` writing each intermediate. Its chunked deferred execution
+  * (SURVEY.md §3.3) is Spark's native partition-parallel execution over
+  * channel rows.
+  */
+object Pipeline {
+
+  final case class Config(
+    initialRate: Double = 3200.0,      // pipelines.py:17
+    finalRate: Option[Double] = Some(400.0), // pipelines.py:18
+    filters: String = "rat",           // pipelines.py:19
+    hgOnly: Boolean = true,            // pipelines.py:20
+    meanFrac: Double = 0.95,
+    noiseHz: Double = 60.0,
+    npad: PadSpec = FastPad,
+    scaling: Double = 1e6)             // V -> µV at ingest, resample.py:11
+
+  /** Full pipeline over a SegmentFrame of raw acquisition data. Returns the
+    * wavelet-amplitude SegmentFrame (one row per channel × band). */
+  def preprocessBlock(raw: DataFrame, nChannels: Int,
+                      config: Config = Config()): DataFrame = {
+    val scaled =
+      if (config.scaling == 1.0) raw
+      else raw.withColumn("values", transform(col("values"), v => v * config.scaling))
+    val downsampled = DspOperators.resample(scaled, config.initialRate, config.npad)
+    val notched = DspOperators.applyLinenoiseNotch(downsampled, config.noiseHz, config.npad)
+    val referenced = CommonReferencing.subtractCarSegments(notched, nChannels, config.meanFrac)
+    val wavelet = DspOperators.waveletTransform(referenced, config.filters, config.hgOnly, config.npad)
+    val amp = DspOperators.amplitude(wavelet)
+    config.finalRate match {
+      case Some(fr) => DspOperators.resample(amp, fr, config.npad)
+      case None     => amp
+    }
+  }
+
+  /** Tutorial tail (examples/plot_ECoG_preprocessing_tutorial.py:164-167):
+    * z-score each (channel, band) against its leading baseline window, then
+    * average across bands -> one high-gamma trace per channel. */
+  def highGammaTrace(waveletAmp: DataFrame, baselineSamples: Int = 125): DataFrame = {
+    val z = DspOperators.zscoreSegments(waveletAmp, baselineSamples)
+    // elementwise mean across band rows of a channel: explode -> avg -> re-segment
+    val long = Frames.toLong(z)
+    val averaged = long.groupBy("series", "channel", "rate", "startingTime", "t_idx")
+      .agg(avg(col("value")).as("value"))
+      .withColumn("band", lit(null).cast("int"))
+    Frames.toSegments(averaged)
+  }
+}
+
+/** Parquet sink with the reference's derived-series naming convention
+  * (`downsampled_`, `CAR_ln_`, `wvlt_amp_`, `wvlt_phase_` prefixes —
+  * SURVEY.md S3): each store writes one table under
+  * `<root>/preprocessing/<prefix><series>` and returns the frame for further
+  * chaining, mirroring the `store_*` functions' transform+write+return shape.
+  */
+object Store {
+
+  def write(df: DataFrame, root: String, name: String,
+            partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$root/preprocessing/$name")
+    df
+  }
+
+  def storeResample(raw: DataFrame, root: String, series: String, newFreq: Double): DataFrame =
+    write(DspOperators.resample(raw, newFreq), root, s"downsampled_$series")
+
+  def storeLinenoiseNotchCar(segments: DataFrame, root: String, series: String,
+                             nChannels: Int, meanFrac: Double = 0.95): DataFrame = {
+    val notched = DspOperators.applyLinenoiseNotch(segments)
+    val referenced = CommonReferencing.subtractCarSegments(notched, nChannels, meanFrac)
+    write(referenced, root, s"CAR_ln_downsampled_$series")
+  }
+
+  def storeWaveletAmplitude(segments: DataFrame, root: String, series: String,
+                            filters: String = "rat", hgOnly: Boolean = true,
+                            postResampleRate: Option[Double] = None): DataFrame = {
+    val amp = DspOperators.amplitude(
+      DspOperators.waveletTransform(segments, filters, hgOnly))
+    val out = postResampleRate.fold(amp)(fr => DspOperators.resample(amp, fr))
+    write(out, root, s"wvlt_amp_$series")
+  }
+}

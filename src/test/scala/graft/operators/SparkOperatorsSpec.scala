@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Frames, Synthetic}
+import graft.dsp.Signal
+
+/** Spark-layer ports of the reference's pipeline/equivalence tests
+  * (tests/test_pipeline.py, tests/test_utils.py) plus SQL-vs-Scala parity
+  * for the CAR aggregate. */
+class SparkOperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("operators-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    // harness events.parquet carries TIMESTAMP(NANOS); read as long nanos
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private def collectTraces(df: DataFrame): Map[(Int, Option[Int]), Array[Double]] =
+    df.select(col("channel"), col("band"), col("values")).collect().map { r =>
+      val band = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      (r.getInt(0), band) -> r.getSeq[Double](2).toArray
+    }.toMap
+
+  // --- tests/test_utils.py:6-23 --------------------------------------------
+  test("synthetic generator: shape and flag/seed sensitivity") {
+    val base = Synthetic.segments(spark, 2.0, 4, 400.0)
+    val traces = collectTraces(base)
+    assert(traces.size == 4)
+    assert(traces.values.forall(_.length == 800))
+    def first(df: DataFrame) = collectTraces(df)((0, None))
+    val noHg = first(Synthetic.segments(spark, 2.0, 4, 400.0, highGamma = false))
+    val noLn = first(Synthetic.segments(spark, 2.0, 4, 400.0, linenoise = false))
+    val seed1 = first(Synthetic.segments(spark, 2.0, 4, 400.0, seed = 1))
+    val ref = traces((0, None))
+    assert(!(noHg sameElements ref), "high_gamma flag has no effect")
+    assert(!(noLn sameElements ref), "linenoise flag has no effect")
+    assert(!(seed1 sameElements ref), "seed has no effect")
+    // deterministic: same args -> same data
+    val again = first(Synthetic.segments(spark, 2.0, 4, 400.0))
+    assert(again sameElements ref, "generator is not deterministic")
+  }
+
+  // --- SQL trimmed mean == Scala oracle ------------------------------------
+  test("SQL CAR trimmed mean matches Signal.trimmedMean exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val nCh = 100
+    val rows = for (t <- 0 until 20; ch <- 0 until nCh)
+      yield ("s", t.toLong, ch, rnd.nextDouble() * 200 - 100)
+    val long = rows.toDF("series", "t_idx", "channel", "value")
+    val got = CommonReferencing.car(long, nCh, 0.95)
+      .orderBy("t_idx").collect().map(_.getDouble(2))
+    val byT = rows.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, rs) => Signal.trimmedMean(rs.map(_._4).toArray, 0.95) }
+    got.zip(byT).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // ramp fixture: 3 time points x 100 channels, CAR = 49.5 with outliers
+    val ramp = (for (t <- 0 until 3; ch <- 0 until 100) yield {
+      val v = if (ch == 0) -100.0 else if (ch == 99) 111.0 else ch.toDouble
+      ("r", t.toLong, ch, v)
+    }).toDF("series", "t_idx", "channel", "value")
+    val cars = CommonReferencing.car(ramp, 100, 0.95).collect().map(_.getDouble(2))
+    assert(cars.forall(_ == 49.5))
+  }
+
+  // --- tests/test_pipeline.py:102-154 analog: partitioning invariance ------
+  test("pipeline result is invariant to partitioning (chunked == unchunked analog)") {
+    val raw = Synthetic.segments(spark, 1.0, 8, 2000.0, seed = 3)
+    val cfg = Pipeline.Config(initialRate = 1000.0, finalRate = Some(250.0),
+      filters = "human", hgOnly = true, scaling = 1.0)
+    val one = Pipeline.preprocessBlock(raw.coalesce(1), 8, cfg)
+    val many = Pipeline.preprocessBlock(raw.repartition(8), 8, cfg)
+    val a = collectTraces(one)
+    val b = collectTraces(many)
+    assert(a.keySet == b.keySet)
+    assert(a.keySet.size == 8 * 8, s"expected 8ch x 8 human-hg bands, got ${a.keySet.size}")
+    for (k <- a.keySet) {
+      val (x, y) = (a(k), b(k))
+      assert(x.length == y.length)
+      val worst = x.zip(y).map { case (u, v) => math.abs(u - v) / math.max(1e-12, math.abs(v)) }.max
+      assert(worst < 1e-9, s"segment $k diverges: $worst")
+    }
+  }
+
+  // --- end-to-end physics: the minimum slice of SURVEY.md §7 ---------------
+  test("flagship slice: notch removes 60 Hz, wavelet tracks high gamma, zscore normalizes") {
+    val rate = 1000.0
+    val raw = Synthetic.segments(spark, 4.0, 8, rate, seed = 5)
+    // notch: 60 Hz power before vs after on channel 0
+    def power60(values: Array[Double], r: Double): Double = {
+      val re = values.indices.map(i => values(i) * math.cos(2 * math.Pi * 60 * i / r)).sum
+      val im = values.indices.map(i => values(i) * math.sin(2 * math.Pi * 60 * i / r)).sum
+      math.hypot(re, im) / values.length
+    }
+    val before = collectTraces(raw)((0, None))
+    val notched = collectTraces(DspOperators.applyLinenoiseNotch(raw))((0, None))
+    assert(power60(before, rate) / power60(notched, rate) > 100.0, "60 Hz not removed")
+
+    val amp = Pipeline.preprocessBlock(raw, 8,
+      Pipeline.Config(initialRate = 1000.0, finalRate = None, filters = "human",
+        hgOnly = true, scaling = 1.0))
+    val hg = Pipeline.highGammaTrace(amp, baselineSamples = 125)
+    val traces = collectTraces(hg)
+    assert(traces.size == 8)
+    // z-scored and band-averaged: roughly zero-mean over the baseline
+    for ((_, t) <- traces) {
+      val baseMean = t.take(125).sum / 125
+      assert(math.abs(baseMean) < 1.0, s"baseline mean $baseMean not ~0")
+    }
+  }
+
+  // --- events adapter ------------------------------------------------------
+  test("eventsToLong is deterministic and rectangular after trim") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val long = Frames.rectangularize(Frames.eventsToLong(events, 8, 200.0))
+    val counts = long.groupBy("channel").count().collect().map(_.getLong(1)).distinct
+    assert(counts.length == 1, s"not rectangular: ${counts.toSeq}")
+    val a = long.orderBy("channel", "t_idx").collect()
+    val b = Frames.rectangularize(Frames.eventsToLong(events, 8, 200.0))
+      .orderBy("channel", "t_idx").collect()
+    assert(a sameElements b)
+    // round-trip long -> segments -> long preserves values
+    val seg = Frames.toSegments(long)
+    assert(seg.count() == 8)
+    val back = Frames.toLong(seg)
+    assert(back.count() == long.count())
+  }
+}
