@@ -1,13 +1,44 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{Relational, DspRelational, Spectral, Llm, QueryDef}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (SURVEY.md §2 coverage):
+  *  - q01-q11  relational core: aggregation, multi-way/semi/anti joins,
+  *             window ranking, distinct aggs, time bucketing, sessions
+  *  - q20-q26  the reference's cross-channel operator surface (CAR trimmed
+  *             mean, boxcar, z-score, trim/scale, amp/phase, dim joins,
+  *             band averaging) — all with exact DuckDB oracles
+  *  - q30-q34  the spectral FFT operators (resample/notch/wavelet/pipeline/
+  *             synthetic source) — not SQL-expressible; numeric correctness
+  *             is pinned by numpy golden vectors + reference-test ports in
+  *             src/test/scala/graft/dsp
+  *  - q40-q52  training-data pipeline extras: dedup (exact, n-gram Jaccard,
+  *             MinHash+LSH, SimHash), similarity search (brute-force cosine,
+  *             hyperplane LSH, IVF), text analysis (lang-id, quality,
+  *             tokens, fingerprint), multimodal binary plumbing
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val all: Seq[QueryDef] =
+    Relational.defs ++ DspRelational.defs ++ Spectral.defs ++ Llm.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full preprocess pipeline (resample -> notch -> CAR -> wavelet ->
+    * z-scored high-gamma) over the events table channelized 8-wide. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all.find(_.name == "q33_pipeline_high_gamma").get
+      .build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (driver
+    * records a rows-only check). */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

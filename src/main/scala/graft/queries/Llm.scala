@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef.table
+import graft.text.{TextOps, TextAnalysis, Similarity}
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline operators over `documents`/`embeddings`
+  * (BASELINE.json north-star): dedup, similarity search, text analysis,
+  * multimodal plumbing. SQL-expressible ones carry DuckDB oracles; the
+  * hash-seeded ones (MinHash/SimHash/LSH — JVM hash functions have no DuckDB
+  * twin) are rows-only here and correctness-tested with planted duplicates
+  * in the test suite.
+  */
+object Llm {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q40_dedup_exact", "exact dedup via content-hash groupBy",
+      (s, dir) => TextOps.exactDupGroups(table(s, dir, "documents"))
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n_copies,
+             |  min(doc_id) AS keeper
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q41_ngram_jaccard", "exact n-gram Jaccard near-dup pairs",
+      (s, dir) => TextOps.ngramJaccardPairs(table(s, dir, "documents"), minJaccard = 0.02)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(100),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(string_split(text, ' ')) - 1),
+             |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS shingle
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+             |), cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jaccard
+             |FROM pairs
+             |JOIN cnt ca ON doc_a = ca.doc_id
+             |JOIN cnt cb ON doc_b = cb.doc_id
+             |WHERE round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) >= 0.02
+             |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)),
+
+    QueryDef("q42_minhash_lsh", "MinHash+LSH near-dup candidates (shingle->minhash->band->bucket-join)",
+      (s, dir) => {
+        val sigs = TextOps.minhashSignatures(table(s, dir, "documents"))
+        TextOps.minhashCandidates(sigs, threshold = 0.2)
+          .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    QueryDef("q43_simhash", "SimHash near-dup candidates (banded hamming join)",
+      (s, dir) => {
+        val sigs = TextOps.simhashSignatures(table(s, dir, "documents"))
+        TextOps.simhashCandidates(sigs, maxHamming = 3)
+          .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    QueryDef("q44_embedding_stats", "vector norms + per-label aggregation",
+      (s, dir) => {
+        val normUdf = udf { (v: Seq[Float]) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+          math.sqrt(acc)
+        }
+        table(s, dir, "embeddings")
+          .select(col("label"), normUdf(col("embedding")).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("nrm"), 4).as("avg_norm"),
+            round(min("nrm"), 4).as("min_norm"),
+            round(max("nrm"), 4).as("max_norm"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*) AS n,
+             |  round(avg(nrm), 4) AS avg_norm,
+             |  round(min(nrm), 4) AS min_norm,
+             |  round(max(nrm), 4) AS max_norm
+             |FROM (SELECT label, sqrt(list_dot_product(
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |      FROM embeddings) t
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
+    QueryDef("q45_cosine_topk", "brute-force cosine top-k neighbors of vec 0",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0).toArray
+        Similarity.bruteForceTopK(emb, query, k = 10, excludeId = 0L)
+          .select(col("vec_id"), col("sim"))
+      },
+      Some("""SELECT e.vec_id, round(list_cosine_similarity(
+             |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |    list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+             |FROM embeddings e
+             |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |WHERE e.vec_id <> 0
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    QueryDef("q46_token_count", "token counting (whitespace tokenization)",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val words = split(col("text"), " ")
+        d.select(col("doc_id"),
+            size(words).cast("long").as("n_tokens"),
+            size(array_distinct(words)).cast("long").as("n_distinct"),
+            length(col("text")).cast("long").as("n_chars_actual"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  length(text) AS n_chars_actual
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q47_language_id", "n-gram-heuristic language identification",
+      (s, dir) => {
+        TextAnalysis.withLanguageId(table(s, dir, "documents"))
+          .select(col("doc_id"),
+            col("score_en"), col("score_es"), col("score_fr"),
+            col("score_de"), col("score_zh"),
+            col("predicted_lang"), col("lang").as("labeled_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def cnt(w: String) =
+          s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+        val scores = TextAnalysis.Stopwords.map { case (lang, words) =>
+          s"(${words.map(cnt).mkString(" + ")}) AS score_$lang"
+        }.mkString(",\n  ")
+        val best = "greatest(score_en, score_es, score_fr, score_de, score_zh)"
+        val langs = TextAnalysis.Stopwords.map(_._1)
+        val predicted = langs.reverse.foldLeft("'und'") { case (acc, l) =>
+          s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang, $scores
+           |  FROM documents
+           |), withbest AS (SELECT *, $best AS best FROM scored)
+           |SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
+           |  $predicted AS predicted_lang, lang AS labeled_lang
+           |FROM withbest ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("q48_quality_score", "quality scoring (length/diversity ratios)",
+      (s, dir) => {
+        TextAnalysis.withQuality(table(s, dir, "documents"))
+          .select("doc_id", "n_tokens", "n_distinct_tokens", "text_chars",
+            "mean_token_len", "distinct_ratio", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+             |  length(text) AS text_chars,
+             |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |        / len(string_split(text, ' ')), 4) AS mean_token_len,
+             |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |        / len(string_split(text, ' ')), 4) AS distinct_ratio,
+             |  round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 64)
+             |        * round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |                / len(string_split(text, ' ')), 4), 4) AS quality_score
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q49_fingerprint", "document fingerprinting (normalized-content hash)",
+      (s, dir) => TextAnalysis.withFingerprint(table(s, dir, "documents"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q50_multimodal_features", "binary media columns + stubbed decode/feature-extract",
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(media, dim = 8)
+          .select(col("media_id"), col("meta.byte_len").as("byte_len"),
+            col("meta.magic").as("magic"),
+            round(element_at(col("features"), 1), 4).as("f0"),
+            round(element_at(col("features"), 2), 4).as("f1"))
+          .orderBy("media_id")
+      },
+      None),
+
+    QueryDef("q51_cosine_lsh_pairs", "random-hyperplane LSH near-neighbor pairs",
+      (s, dir) => Similarity.cosineLshPairs(table(s, dir, "embeddings"),
+          planes = 10, minSim = 0.0)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(200),
+      None),
+
+    QueryDef("q52_ivf_topk", "IVF-bucketed approximate nearest neighbors",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0).toArray
+        val assigned = Similarity.ivfAssign(emb, sampleEvery = 50)
+        Similarity.ivfTopK(assigned, query, k = 10, nprobe = 3, excludeId = 0L)
+      },
+      None))
+}

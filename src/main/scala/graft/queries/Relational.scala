@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDef.table
+
+/** General relational coverage over the harness star schema: aggregation,
+  * multi-way joins (broadcast dims), semi/anti joins, window ranking,
+  * distinct aggregates, time bucketing, sessionization. All pure Catalyst —
+  * filters/projections push to the parquet scan, small dimensions broadcast,
+  * AQE handles the rest at scale.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_pricing_summary", "A6/A-family aggregations; scan pushdown",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg("l_quantity"), 6).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 6) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q03_top_revenue_orders", "join lineitem-orders-customer; top-k",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy("l_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    QueryDef("q05_nation_revenue", "6-table join with broadcast dims (J2-style)",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val su = table(s, dir, "supplier")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+                    col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    QueryDef("q07_semi_anti_customers", "left_semi / left_anti joins",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+        val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+        withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+            coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH w AS (
+             |  SELECT c_nationkey, count(*) AS with_orders FROM customer
+             |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |  GROUP BY c_nationkey
+             |), wo AS (
+             |  SELECT c_nationkey, count(*) AS without_orders FROM customer
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |  GROUP BY c_nationkey
+             |)
+             |SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+             |  coalesce(with_orders, 0) AS with_orders,
+             |  coalesce(without_orders, 0) AS without_orders
+             |FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    QueryDef("q08_top_orders_per_customer", "window ranking (row_number)",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"), col("rk"))
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+             |FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (
+             |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+             |  FROM orders) t
+             |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+
+    QueryDef("q09_distinct_parts", "distinct aggregates",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.groupBy("l_returnflag").agg(
+            countDistinct(col("l_partkey")).as("distinct_parts"),
+            countDistinct(col("l_suppkey")).as("distinct_supps"),
+            count(lit(1)).as("rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+             |  count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("q10_events_minute_agg", "event-time bucketing aggregation (ST/W analog)",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        // ts is long nanos in Spark; DuckDB sees micros — minute floor agrees
+        e.withColumn("minute_epoch", (floor(col("ts") / 60000000000L) * 60).cast("long"))
+          .groupBy("minute_epoch", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("minute_epoch", "event_type")
+      },
+      Some("""SELECT CAST(floor(epoch_ns(ts) / 60000000000) * 60 AS BIGINT) AS minute_epoch,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q11_user_sessions", "lag window + gap sessionization",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // session break: > 30 min gap (nanos)
+        e.withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("brk", when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > 1800000000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum("brk").cast("long").as("sessions"), count(lit(1)).as("events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(sum(brk) AS BIGINT) AS sessions, count(*) AS events
+             |FROM (
+             |  SELECT user_id,
+             |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM (SELECT user_id, ts, event_id,
+             |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events) t1) t2
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef.table
+import graft.model.{Frames, Synthetic}
+import graft.operators.{DspOperators, Pipeline}
+
+/** The spectral (FFT-backed) operator surface — resample, notch, wavelet,
+  * full pipeline, synthetic source (SURVEY.md §2: F5-F11, S5, ST1-ST2).
+  * Not SQL-expressible, so no DuckDB oracle: the driver records rows-only
+  * checks here, and numeric correctness is enforced by the golden-vector and
+  * semantics specs (src/test/scala/graft/dsp) which pin these operators to
+  * numpy/reference behavior.
+  *
+  * Output traces are exploded to long form with rounded values so results
+  * are stable, schema-simple parquet.
+  */
+object Spectral {
+
+  private def segments(s: SparkSession, dir: String): DataFrame =
+    Frames.toSegments(
+      Frames.rectangularize(
+        Frames.eventsToLong(table(s, dir, "events"), 8, 1000.0)))
+
+  private def toLongRounded(seg: DataFrame): DataFrame =
+    Frames.toLong(seg)
+      .select(col("channel"), col("band"), col("t_idx"), round(col("value"), 6).as("value"))
+      .orderBy("channel", "band", "t_idx")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q30_resample", "F5/F6 FFT rational resampling (1000->250 Hz)",
+      (s, dir) => toLongRounded(DspOperators.resample(segments(s, dir), 250.0)),
+      None),
+
+    QueryDef("q31_notch", "F7 60 Hz line-noise notch",
+      (s, dir) => toLongRounded(DspOperators.applyLinenoiseNotch(segments(s, dir))),
+      None),
+
+    QueryDef("q32_wavelet_amplitude", "F8-F11 wavelet filterbank amplitude (human, hg-only)",
+      (s, dir) => toLongRounded(DspOperators.amplitude(
+        DspOperators.waveletTransform(segments(s, dir), "human", hgOnly = true))),
+      None),
+
+    QueryDef("q33_pipeline_high_gamma", "S1-S3/ST1-ST2 full preprocess_block + tutorial tail",
+      (s, dir) => {
+        val amp = Pipeline.preprocessBlock(segments(s, dir), 8,
+          Pipeline.Config(initialRate = 1000.0, finalRate = Some(250.0),
+            filters = "human", hgOnly = true, scaling = 1.0))
+        toLongRounded(Pipeline.highGammaTrace(amp, baselineSamples = 50))
+      },
+      None),
+
+    QueryDef("q34_synthetic_source", "S5 deterministic synthetic ECoG source",
+      (s, dir) => toLongRounded(
+        Synthetic.segments(s, duration = 2.0, nChannels = 8, rate = 400.0, seed = 42)),
+      None))
+}

@@ -1,0 +1,171 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Training-data pipeline operators over document tables: deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard), text analysis (language
+  * ID, quality scoring, token counting, fingerprinting).
+  *
+  * Scale shape: signatures are narrow per-row maps (one UDF pass per doc);
+  * the only shuffles are the LSH band-bucket joins, which is the point of
+  * LSH — candidate generation without the O(n²) pairwise compare. Exact-dup
+  * and fingerprint are single hash-groupBys.
+  */
+object TextOps {
+
+  // --- deterministic 64-bit string hash (seeded) ---------------------------
+  private def hash64(s: String, seed: Int): Long = {
+    val h1 = MurmurHash3.stringHash(s, seed)
+    val h2 = MurmurHash3.stringHash(s, seed * 0x9E3779B9 + 1)
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
+
+  /** Distinct word n-gram shingles of a text. */
+  def shingleArray(text: String, n: Int): Array[String] = {
+    val words = text.split(" ")
+    if (words.length < n) Array.empty
+    else (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" ")).distinct.toArray
+  }
+
+  // --- exact dedup ---------------------------------------------------------
+
+  /** Exact dedup groups by content hash: (content_hash, n_copies, keeper). */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** Keep one row per distinct content (min id wins). */
+  def dedupExact(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // --- MinHash + LSH near-dedup -------------------------------------------
+
+  /** Per-doc MinHash signature over word n-gram shingles: one narrow pass. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numHashes: Int = 32,
+                        shingleN: Int = 2): DataFrame = {
+    val sigUdf = udf { (text: String) =>
+      val shingles = shingleArray(text, shingleN)
+      Array.tabulate(numHashes) { i =>
+        if (shingles.isEmpty) Long.MaxValue
+        else shingles.map(sh => hash64(sh, i)).min
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("signature"))
+  }
+
+  /** LSH candidate pairs from signatures: `bands` bands of `numHashes/bands`
+    * rows; docs sharing any band bucket become candidates; estimated Jaccard
+    * = fraction of matching signature slots. Only candidates cross the
+    * shuffle — never the full pairwise cross product. */
+  def minhashCandidates(signatures: DataFrame, numHashes: Int = 32,
+                        bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+        (b, MurmurHash3.orderedHash(slice, b).toLong)
+      }
+    }
+    val buckets = signatures
+      .select(col("doc_id"), col("signature"), explode(bandUdf(col("signature"))).as("band"))
+      .select(col("doc_id"), col("signature"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val est = udf { (s1: Seq[Long], s2: Seq[Long]) =>
+      s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
+    }
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+             col("a.bucket") === col("b.bucket") &&
+             col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard", round(est(col("sig_a"), col("sig_b")), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // --- SimHash near-dedup --------------------------------------------------
+
+  /** 64-bit SimHash over words: per-bit majority vote of word hashes. */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val shUdf = udf { (text: String) =>
+      val words = text.split(" ")
+      val votes = new Array[Int](64)
+      for (w <- words) {
+        val h = hash64(w, 0)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    docs.select(col(idCol).as("doc_id"), shUdf(col(textCol)).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance <= maxHamming, found by banding the
+    * 64-bit simhash into 4 16-bit chunks (pigeonhole: any pair within
+    * hamming 3 shares at least one chunk). */
+  def simhashCandidates(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only up to hamming 3")
+    val chunks = signatures.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk_idx"),
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    val hamming = udf { (x: Long, y: Long) => java.lang.Long.bitCount(x ^ y) }
+    a.join(b, col("a.chunk_idx") === col("b.chunk_idx") &&
+             col("a.chunk") === col("b.chunk") &&
+             col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // --- n-gram Jaccard (exact, for verification / small candidate sets) -----
+
+  /** Exact pairwise word-bigram Jaccard via a shingle self-join — the
+    * O(candidates) ground truth that MinHash approximates. Pure Catalyst so
+    * a DuckDB oracle can replicate it exactly. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val sh = docs
+      .filter(size(words) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(words) - 1),
+          i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))).as("shingle"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}
