@@ -32,6 +32,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    // untimed warmup: pay JVM/codegen/parquet-footer costs once, not inside
+    // the first measured query
+    try {
+      qs("q01_pricing_summary")(spark, sfDir).count()
+      qs("q46_token_count")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       val n = try qs(name)(spark, sfDir).count() catch {

@@ -1,0 +1,151 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup/similarity/text-analysis operators against planted ground truth. */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("text-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def mutate(s: String, i: Int): String = {
+    val w = s.split(" ")
+    w(i % w.length) = "mutated" + i
+    w.mkString(" ")
+  }
+
+  /** 100 distinct docs + 3 planted near-dup clusters + 2 exact dups. */
+  private lazy val docs = {
+    val rnd = new scala.util.Random(11)
+    // vocab large enough that random docs are NOT bag-of-words-similar
+    // (simhash legitimately flags tiny-vocab docs as near-dups)
+    val vocab = Array.tabulate(100)(i => "tok" + i)
+    val distinct = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val nearDups = Seq(
+      (200L, base), (201L, mutate(base, 3)),          // hamming-close pair
+      (210L, base + " extra tail words here"), (211L, base + " extra tail words there"),
+      (220L, distinct(5)._2), (221L, mutate(distinct(5)._2, 7)))
+    val exactDups = Seq((300L, distinct(0)._2), (301L, distinct(1)._2))
+    (distinct ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds planted exact duplicates and keeps min id") {
+    // planted: 300==doc0, 301==doc1, 220==doc5 (the near-dup cluster seed)
+    val groups = TextOps.exactDupGroups(docs)
+    assert(groups.filter($"n_copies" > 1).count() == 3)
+    val kept = TextOps.dedupExact(docs)
+    assert(kept.count() == docs.count() - 3)
+    assert(kept.filter($"doc_id".isin(220L, 300L, 301L)).count() == 0, "min-id should win")
+  }
+
+  test("minhash LSH surfaces all planted near-dup pairs") {
+    val sigs = TextOps.minhashSignatures(docs)
+    val cands = TextOps.minhashCandidates(sigs, threshold = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    for (pair <- Seq((200L, 201L), (210L, 211L), (220L, 221L)))
+      assert(cands.contains(pair), s"missing planted pair $pair")
+    // exact dups are trivially candidates with est 1.0
+    val est = TextOps.minhashCandidates(sigs, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(est.exists { case (a, b, j) => j == 1.0 })
+  }
+
+  test("minhash estimate approximates exact jaccard on planted pairs") {
+    val sigs = TextOps.minhashSignatures(docs, numHashes = 128, shingleN = 2)
+    val cands = TextOps.minhashCandidates(sigs, numHashes = 128, bands = 32, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = TextOps.ngramJaccardPairs(docs, minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val common = cands.keySet intersect exact.keySet
+    assert(common.nonEmpty)
+    for (k <- common)
+      assert(math.abs(cands(k) - exact(k)) < 0.25,
+        s"pair $k: est ${cands(k)} vs exact ${exact(k)}")
+  }
+
+  test("simhash finds hamming-close near-dups, not unrelated docs") {
+    // simhash is stable for LONG docs: one word changed out of 120 moves few
+    // bit majorities; short docs (like the 13-word `base`) flip many
+    val longDoc = (0 until 120).map(i => "word" + (i % 60)).mkString(" ")
+    val longMut = mutate(longDoc, 17)
+    val withLong = docs.union(Seq((400L, longDoc), (401L, longMut)).toDF("doc_id", "text"))
+    val sigs = TextOps.simhashSignatures(withLong)
+    val pairs = TextOps.simhashCandidates(sigs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((400L, 401L)), s"planted long near-dup not found in $pairs")
+    // unrelated random docs should not collide within hamming 3 (often)
+    val falsePairs = pairs.filter { case (a, b) => a < 100 && b < 100 }
+    assert(falsePairs.size <= 4, s"too many random collisions: $falsePairs")
+  }
+
+  test("language id picks the language whose stopwords dominate") {
+    val samples = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "el gato y la casa que tiene el perro la madre", "es"),
+      (3L, "le chat et les chiens des maisons le matin", "fr"),
+      (4L, "der hund und das haus der katze und das auto", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.withLanguageId(samples)
+      .select("doc_id", "predicted_lang", "lang").as[(Long, String, String)].collect()
+    for ((id, pred, actual) <- out) assert(pred == actual, s"doc $id: $pred != $actual")
+  }
+
+  test("quality + fingerprint are deterministic and sane") {
+    val q = TextAnalysis.withQuality(docs)
+    val row = q.filter($"doc_id" === 200L)
+      .select("n_tokens", "distinct_ratio", "quality_score").head()
+    assert(row.getLong(0) == base.split(" ").length)
+    assert(row.getDouble(1) > 0 && row.getDouble(1) <= 1.0)
+    val fp = TextAnalysis.withFingerprint(docs)
+    // identical content -> identical fingerprint
+    val fps = fp.filter($"doc_id".isin(0L, 300L)).select("fingerprint")
+      .as[String].collect()
+    assert(fps.toSet.size == 1)
+  }
+
+  test("cosine similarity: brute force and IVF agree on planted neighbors") {
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) }
+    val q = vec(1)
+    val rows = (0 until 200).map(i => (i.toLong, vec(i + 10))) ++
+      Seq((500L, jitter(q, 0.01f)), (501L, jitter(q, 0.05f)), (0L, q))
+    val emb = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(emb, q, k = 2, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(bf == Set(500L, 501L), s"brute force got $bf")
+    val assigned = Similarity.ivfAssign(emb, sampleEvery = 20)
+    val ivf = Similarity.ivfTopK(assigned, q, k = 2, nprobe = 3, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.contains(500L), s"IVF lost the closest planted neighbor: $ivf")
+  }
+
+  test("multimodal plumbing: schema, stub features deterministic, frame sampling") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload", "meta"))
+    val f1 = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(7), dim = 4)
+      .orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Float](3)).toSeq == f2.map(_.getSeq[Float](3)).toSeq,
+      "features not partition-invariant")
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+      .select(size(col("frames"))).head().getInt(0)
+    assert(frames == 4)
+  }
+}
