@@ -1,0 +1,89 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** The engine's "file" abstraction: what an NWBFile is to the reference
+  * (a hierarchical container of acquisition + derived series,
+  * /root/reference/src/process_nwb/pipelines.py:55-109), a Parquet
+  * directory-namespace is here:
+  *
+  *   <root>/acquisition/<series>/        raw series (SegmentFrame rows)
+  *   <root>/preprocessing/<series>/      derived series
+  *   <root>/electrodes/                  the electrodes dimension
+  *
+  * Naming prefixes (`downsampled_`, `CAR_ln_`, `wvlt_amp_`, ...) are
+  * preserved as table names, so a reference user's mental model maps 1:1.
+  * Compression is zstd (the gzip+shuffle+fletcher32 analog — checksums are
+  * intrinsic to Parquet).
+  */
+final class NwbStore(val root: String, spark: SparkSession) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dir(kind: String, name: String) = s"$root/$kind/$name"
+
+  def writeAcquisition(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").option("compression", "zstd")
+      .parquet(dir("acquisition", name))
+
+  def writeProcessing(name: String, df: DataFrame, partitionByChannel: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    (if (partitionByChannel) w.partitionBy("channel") else w)
+      .parquet(dir("preprocessing", name))
+  }
+
+  def writeElectrodes(df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$root/electrodes")
+
+  /** Acquisition lookup with the reference's legacy-layout fallback
+    * (pipelines.py:61-65: `acquisition[name]` else `acquisition['Raw'][name]`). */
+  def readAcquisition(name: String): DataFrame = {
+    val primary = new Path(dir("acquisition", name))
+    val legacy = new Path(dir("acquisition/Raw", name))
+    val p =
+      if (fs.exists(primary)) primary
+      else if (fs.exists(legacy)) legacy
+      else throw new IllegalArgumentException(
+        s"acquisition series '$name' not found under $root (tried $primary, $legacy)")
+    spark.read.parquet(p.toString)
+  }
+
+  def readProcessing(name: String): DataFrame =
+    spark.read.parquet(dir("preprocessing", name))
+
+  def electrodes: DataFrame = spark.read.parquet(s"$root/electrodes")
+
+  def listAcquisition(): Seq[String] = list("acquisition")
+  def listProcessing(): Seq[String] = list("preprocessing")
+
+  private def list(kind: String): Seq[String] = {
+    val p = new Path(s"$root/$kind")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** The `copy_strip` utility (scripts/copy_strip): drop every derived
+    * series, keeping acquisition + electrodes. */
+  def stripProcessing(): Unit = {
+    val p = new Path(s"$root/preprocessing")
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+object NwbStore {
+
+  /** Precision cast at the storage boundary — the reference's
+    * `precision='single'` mode (utils.py:9-31): compute in double, store
+    * float32. */
+  def withPrecision(df: DataFrame, precision: String): DataFrame = precision match {
+    case "double" => df
+    case "single" =>
+      if (df.columns.contains("values"))
+        df.withColumn("values", col("values").cast("array<float>"))
+      else df.withColumn("value", col("value").cast("float"))
+    case other => throw new IllegalArgumentException(
+      s"`precision` should be either `single` or `double`. Got $other.")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.store
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import graft.model.Synthetic
+import graft.tools.PreprocessFolder
+import graft.streaming.StreamingOps
+
+/** Store layout (S1-S3, S8), folder driver (S7), precision cast (F1),
+  * store==functional equivalence, and the streaming surface (ST3). */
+class StoreAndStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("store-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("store round-trip, legacy fallback, strip, precision") {
+    val root = Files.createTempDirectory("nwbstore").toString
+    val store = new NwbStore(root, spark)
+    val raw = Synthetic.segments(spark, 1.0, 4, 400.0, seed = 9)
+    store.writeAcquisition("ECoG", raw)
+    store.writeElectrodes(graft.model.Frames.electrodes(spark, 4))
+    assert(store.readAcquisition("ECoG").count() == 4)
+    assert(store.listAcquisition() == Seq("ECoG"))
+    // legacy layout fallback: acquisition/Raw/<name>
+    val legacyRoot = Files.createTempDirectory("nwblegacy").toString
+    raw.write.parquet(s"$legacyRoot/acquisition/Raw/Old")
+    assert(new NwbStore(legacyRoot, spark).readAcquisition("Old").count() == 4)
+    intercept[IllegalArgumentException](store.readAcquisition("Nope"))
+    // precision cast at the boundary
+    val single = NwbStore.withPrecision(raw, "single")
+    assert(single.schema("values").dataType.simpleString == "array<float>")
+    intercept[IllegalArgumentException](NwbStore.withPrecision(raw, "half"))
+    // strip == copy_strip
+    store.writeProcessing("derived", raw)
+    assert(store.listProcessing() == Seq("derived"))
+    store.stripProcessing()
+    assert(store.listProcessing().isEmpty)
+    assert(store.readAcquisition("ECoG").count() == 4)
+  }
+
+  test("folder driver: store path == functional path (test_pipeline.py analog)") {
+    val root = Files.createTempDirectory("sessions").toString
+    val raw = Synthetic.segments(spark, 1.0, 4, 2000.0, seed = 13)
+    val store = new NwbStore(s"$root/sess0", spark)
+    store.writeAcquisition("ECoG", raw)
+    val args = PreprocessFolder.parse(Array(s"$root", "--initial-rate", "1000",
+      "--final-rate", "250", "--filters", "human", "--all-steps", "--precision", "double"))
+    PreprocessFolder.preprocessStore(store, args)
+    assert(store.listProcessing().toSet ==
+      Set("CAR_ln_downsampled_ECoG", "downsampled_ECoG", "wvlt_amp_ECoG"))
+
+    // functional path, same params
+    import graft.operators.{DspOperators, CommonReferencing}
+    val func = DspOperators.amplitude(DspOperators.waveletTransform(
+      CommonReferencing.subtractCarSegments(
+        DspOperators.applyLinenoiseNotch(
+          DspOperators.resample(raw, 1000.0)), 4), "human", hgOnly = true))
+    val funcFinal = DspOperators.resample(func, 250.0)
+
+    def traces(df: org.apache.spark.sql.DataFrame) =
+      df.select("channel", "band", "values").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val stored = traces(store.readProcessing("wvlt_amp_ECoG"))
+    val functional = traces(funcFinal)
+    assert(stored.keySet == functional.keySet && stored.nonEmpty)
+    for (k <- stored.keySet) {
+      val worst = stored(k).zip(functional(k))
+        .map { case (a, b) => math.abs(a - b) }.max
+      assert(worst < 1e-12, s"store path diverges from functional at $k: $worst")
+    }
+  }
+
+  test("streaming: windowed event agg matches batch over the same files") {
+    // file-stream source wants a directory; stage the single parquet file
+    val dir = Files.createTempDirectory("events_stream").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val streamed = StreamingOps.runToMemory(spark, dir, "win_agg",
+      df => StreamingOps.windowedEventAgg(df),
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val batch = StreamingOps.windowedEventAgg(spark.read.parquet(dir))
+    // append mode emits only closed windows; every emitted row must match batch
+    val b = batch.select($"window.start", $"event_type", $"n", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map { case (w, t, n, s) => (w, t) -> ((n, math.round(s * 100))) }.toMap
+    val got = streamed.select($"window.start", $"event_type", $"n", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    assert(got.nonEmpty, "no closed windows emitted")
+    for ((w, t, n, s) <- got)
+      assert(b((w, t)) == ((n, math.round(s * 100))), s"window $w/$t diverges")
+  }
+
+  test("streaming: stateful running channel stats converge to batch stats") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(pmod($"user_id", lit(4)).cast("int").as("channel"),
+        $"value".cast("double").as("value"))
+      .as[StreamingOps.ChannelEvent]
+    // batch Welford via the same code path (static Dataset works too)
+    val stats = StreamingOps.runningChannelStats(events)
+    val rows = stats.collect()
+    assert(rows.length == 4)
+    val expected = events.groupBy("channel")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"), stddev_pop("value").as("std"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for (s <- rows) {
+      val (n, mean, std) = expected(s.channel)
+      assert(s.n == n)
+      assert(math.abs(s.mean - mean) < 1e-9)
+      assert(math.abs(s.std - std) < 1e-9)
+    }
+  }
+}
