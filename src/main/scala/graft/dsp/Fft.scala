@@ -23,14 +23,29 @@ object Fft {
   private def plan(n: Int): DoubleFFT_1D =
     plans.computeIfAbsent(n, (k: Int) => new DoubleFFT_1D(k))
 
-  /** Full complex FFT of a real signal: returns 2n interleaved doubles. */
+  /** Full complex FFT of a real signal: returns 2n interleaved doubles.
+    * Computed as a packed real transform + Hermitian mirror (half the
+    * compute of a complex transform). */
   def fftReal(x: Array[Double]): Array[Double] = {
     val n = x.length
-    val a = new Array[Double](2 * n)
-    var i = 0
-    while (i < n) { a(2 * i) = x(i); i += 1 }
-    plan(n).complexForward(a)
-    a
+    val spec = rfft(x) // m = n/2+1 interleaved bins
+    val full = new Array[Double](2 * n)
+    val m = n / 2 + 1
+    full(0) = spec(0)
+    full(1) = spec(1)
+    var k = 1
+    while (k < m) {
+      val re = spec(2 * k)
+      val im = spec(2 * k + 1)
+      full(2 * k) = re
+      full(2 * k + 1) = im
+      if (k != n - k) {
+        full(2 * (n - k)) = re
+        full(2 * (n - k) + 1) = -im
+      }
+      k += 1
+    }
+    full
   }
 
   /** In-place complex inverse FFT (scaled by 1/n, numpy convention).
@@ -40,39 +55,55 @@ object Fft {
     a
   }
 
-  /** numpy rfft of a real signal: n/2+1 interleaved complex bins. */
+  /** numpy rfft of a real signal: n/2+1 interleaved complex bins. Uses
+    * JTransforms' packed `realForward` (half the work of a complex FFT) and
+    * unpacks to the interleaved layout:
+    * even n: a[0]=Re0, a[1]=Re[n/2], a[2k]=Re[k], a[2k+1]=Im[k];
+    * odd n:  a[0]=Re0, a[1]=Im[(n-1)/2], a[2k]=Re[k], a[2k+1]=Im[k]. */
   def rfft(x: Array[Double]): Array[Double] = {
     val n = x.length
-    val full = fftReal(x)
-    java.util.Arrays.copyOf(full, 2 * (n / 2 + 1))
+    val a = java.util.Arrays.copyOf(x, n)
+    plan(n).realForward(a)
+    val m = n / 2 + 1
+    val out = new Array[Double](2 * m)
+    out(0) = a(0) // DC, Im = 0
+    var k = 1
+    while (2 * k + 1 < n) { // full (Re, Im) slots
+      out(2 * k) = a(2 * k)
+      out(2 * k + 1) = a(2 * k + 1)
+      k += 1
+    }
+    if (n % 2 == 0) {
+      if (n >= 2) out(2 * (n / 2)) = a(1) // Nyquist bin, Im = 0
+    } else if (n > 1) { // odd n: last bin k=(n-1)/2 packs Re at a[n-1], Im at a[1]
+      out(2 * k) = a(2 * k)
+      out(2 * k + 1) = a(1)
+    }
+    out
   }
 
   /** numpy `irfft(spec, n)`: truncates / zero-pads the one-sided spectrum to
-    * n/2+1 bins, extends Hermitian-symmetrically, and returns the length-n
-    * real inverse. Imaginary parts of the DC and (even-n) Nyquist bins are
+    * n/2+1 bins and returns the length-n real inverse via the packed
+    * `realInverse`. Imaginary parts of the DC and (even-n) Nyquist bins are
     * ignored, matching pocketfft's c2r transform. */
   def irfft(spec: Array[Double], n: Int): Array[Double] = {
-    val m = n / 2 + 1
-    val full = new Array[Double](2 * n)
-    val mm = math.min(m, spec.length / 2)
-    full(0) = spec(0) // DC: imag ignored
+    val a = new Array[Double](n)
+    val mm = math.min(n / 2 + 1, spec.length / 2)
+    a(0) = spec(0) // DC imag dropped
     var k = 1
-    while (k < mm) {
-      val re = spec(2 * k)
-      val im = if (2 * k == n) 0.0 else spec(2 * k + 1) // Nyquist: imag ignored
-      full(2 * k) = re
-      full(2 * k + 1) = im
-      if (k != n - k) {
-        full(2 * (n - k)) = re
-        full(2 * (n - k) + 1) = -im
-      }
+    while (2 * k + 1 < n && k < mm) { // full (Re, Im) slots
+      a(2 * k) = spec(2 * k)
+      a(2 * k + 1) = spec(2 * k + 1)
       k += 1
     }
-    ifftComplexInPlace(full)
-    val y = new Array[Double](n)
-    var i = 0
-    while (i < n) { y(i) = full(2 * i); i += 1 }
-    y
+    if (n % 2 == 0) {
+      if (n >= 2 && n / 2 < mm) a(1) = spec(2 * (n / 2)) // Nyquist imag dropped
+    } else if (n > 1 && k < mm) { // odd n: last bin packs Re at a[n-1], Im at a[1]
+      a(2 * k) = spec(2 * k)
+      a(1) = spec(2 * k + 1)
+    }
+    plan(n).realInverse(a, true)
+    a
   }
 
   /** Smallest 5-smooth (2^a·3^b·5^c) integer >= target — scipy's

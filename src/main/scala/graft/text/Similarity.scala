@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float vectors, accumulated in double. */
-  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+  def cosine(aIn: Seq[Float], bIn: Seq[Float]): Double = {
+    // Seq can arrive as a List: indexed loops need O(1) access
+    val a = aIn match { case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq }
+    val b = bIn match { case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

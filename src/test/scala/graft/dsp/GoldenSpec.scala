@@ -42,6 +42,20 @@ class GoldenSpec extends AnyFunSuite {
     assert(worst <= tol, s"$label worst rel err $worst at index $at")
   }
 
+  test("rfft/irfft round-trip for odd and even lengths (packed layout)") {
+    for (n <- Seq(1, 2, 3, 4, 5, 16, 17, 100, 101, 999, 1000)) {
+      val x = sig(n, 9)
+      val y = Fft.irfft(Fft.rfft(x), n)
+      assertClose(y, x, 1e-12, s"roundtrip n=$n")
+      // and resampling to an ODD target length exercises odd-n irfft
+      if (n >= 10) {
+        val odd = Signal.resampleTo(x, n / 2 * 2 + 1)
+        assert(odd.length == n / 2 * 2 + 1)
+        assert(odd.forall(v => !v.isNaN && !v.isInfinite))
+      }
+    }
+  }
+
   test("nextFastLen matches") {
     for (n <- Seq(100, 101, 999, 1000, 1024)) {
       assert(Fft.nextFastLen(n) == golden(s"nextFastLen_$n").asInstanceOf[Number].intValue())

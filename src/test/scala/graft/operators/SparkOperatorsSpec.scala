@@ -69,6 +69,21 @@ class SparkOperatorsSpec extends AnyFunSuite {
     assert(cars.forall(_ == 49.5))
   }
 
+  test("blocked segment CAR == long-form SQL CAR (small blockSize forces multi-block)") {
+    val raw = Synthetic.segments(spark, 1.0, 8, 400.0, seed = 21)
+    val blocked = CommonReferencing.subtractCarSegments(raw, 8, 0.95, blockSize = 64)
+    val longForm = Frames.toSegments(
+      CommonReferencing.subtractCar(Frames.toLong(raw), 8, 0.95))
+    val a = collectTraces(blocked)
+    val b = collectTraces(longForm)
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    for (k <- a.keySet) {
+      assert(a(k).length == b(k).length)
+      val worst = a(k).zip(b(k)).map { case (x, y) => math.abs(x - y) }.max
+      assert(worst == 0.0, s"blocked CAR diverges at $k by $worst")
+    }
+  }
+
   // --- tests/test_pipeline.py:102-154 analog: partitioning invariance ------
   test("pipeline result is invariant to partitioning (chunked == unchunked analog)") {
     val raw = Synthetic.segments(spark, 1.0, 8, 2000.0, seed = 3)
