@@ -78,14 +78,18 @@ object DspOperators {
         col("rate"), col("startingTime"), col("bt.re").as("re"), col("bt.im").as("im"))
   }
 
-  /** Amplitude of a complex (re, im) wavelet frame — pure SQL, codegen'd. */
+  /** Amplitude of a complex (re, im) wavelet frame — native Catalyst
+    * expression with whole-stage codegen (graft.functions.ComplexAmplitude;
+    * `zip_with`+`hypot` is equivalent but runs interpreted). */
   def amplitude(wavelet: DataFrame): DataFrame =
-    wavelet.withColumn("values", zip_with(col("re"), col("im"), (r, i) => hypot(r, i)))
+    wavelet.withColumn("values",
+        graft.functions.ComplexArrayFunctions.complexAmplitude(wavelet, col("re"), col("im")))
       .drop("re", "im")
 
-  /** Phase of a complex (re, im) wavelet frame — pure SQL, codegen'd. */
+  /** Phase of a complex (re, im) wavelet frame — native Catalyst expression. */
   def phase(wavelet: DataFrame): DataFrame =
-    wavelet.withColumn("values", zip_with(col("re"), col("im"), (r, i) => atan2(i, r)))
+    wavelet.withColumn("values",
+        graft.functions.ComplexArrayFunctions.complexPhase(wavelet, col("re"), col("im")))
       .drop("re", "im")
 
   /** Band metadata for a named filterbank at declared rate (no kernels

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Native expression correctness (eval == codegen == built-in composition)
+  * and physical-plan discipline: pruned scans, broadcast dims, codegen'd
+  * amplitude path. */
+class ExpressionsAndPlansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("expr-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("complex_amplitude/phase match zip_with composition and survive codegen") {
+    val df = Seq(
+      (Array(3.0, 0.0, -1.5), Array(4.0, 2.0, 1.5)),
+      (Array.empty[Double], Array.empty[Double]),
+      (Array(1e300, 1e-300), Array(1e300, 1e-300))).toDF("re", "im")
+    val got = df.select(
+      ComplexArrayFunctions.complexAmplitude(df, $"re", $"im").as("amp"),
+      ComplexArrayFunctions.complexPhase(df, $"re", $"im").as("ph")).collect()
+    val want = df.select(
+      zip_with($"re", $"im", (r, i) => hypot(r, i)).as("amp"),
+      zip_with($"re", $"im", (r, i) => atan2(i, r)).as("ph")).collect()
+    for ((g, w) <- got.zip(want)) {
+      assert(g.getSeq[Double](0) == w.getSeq[Double](0))
+      assert(g.getSeq[Double](1) == w.getSeq[Double](1))
+    }
+    // SQL registration path
+    ComplexArrayFunctions.register(spark)
+    df.createOrReplaceTempView("cplx")
+    val viaSql = spark.sql("SELECT complex_amplitude(re, im) AS a FROM cplx")
+      .collect().head.getSeq[Double](0)
+    assert(viaSql == Seq(5.0, 2.0, math.hypot(-1.5, 1.5)))
+    // type error is an analysis error, not a runtime one
+    val err = intercept[Exception](
+      spark.sql("SELECT complex_amplitude(1, 2)").collect())
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 parquet scan is column-pruned") {
+    val q = graft.SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("l_quantity") && scan.contains("l_returnflag"))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_partkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q05 joins its dimensions by broadcast") {
+    val q = graft.SparkEntry.queries("q05_nation_revenue")(spark, "/root/testdata/sf0.001")
+    val plan = physical(q)
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join at this scale")
+  }
+
+  test("amplitude path stays inside whole-stage codegen") {
+    // non-foldable source (a literal Seq constant-folds to LocalTableScan)
+    val df = spark.range(4)
+      .select(array($"id".cast("double"), ($"id" + 1).cast("double")).as("re"),
+        array(($"id" + 2).cast("double"), ($"id" + 3).cast("double")).as("im"))
+    val amp = df.select(ComplexArrayFunctions.complexAmplitude(df, $"re", $"im").as("v"))
+    val plan = physical(amp)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan rendering
+    assert(plan.contains("*(1) Project") && plan.contains("complex_amplitude"),
+      s"no codegen span in:\n$plan")
+    assert(amp.collect().head.getSeq[Double](0) == Seq(math.hypot(0, 2), math.hypot(1, 3)))
+  }
+
+  test("wavelet explode does not shuffle (narrow pipeline)") {
+    val seg = graft.model.Synthetic.segments(spark, 0.5, 2, 400.0)
+    val wav = graft.operators.DspOperators.waveletTransform(seg, "human", hgOnly = true)
+    val plan = physical(wav)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"wavelet should be narrow, found shuffle in:\n$plan")
+  }
+}
