@@ -55,5 +55,10 @@ object Spectral {
     QueryDef("q34_synthetic_source", "S5 deterministic synthetic ECoG source",
       (s, dir) => toLongRounded(
         Synthetic.segments(s, duration = 2.0, nChannels = 8, rate = 400.0, seed = 42)),
+      None),
+
+    QueryDef("q35_wavelet_phase", "F12 wavelet phase (the reference's abs_only=False path)",
+      (s, dir) => toLongRounded(DspOperators.phase(
+        DspOperators.waveletTransform(segments(s, dir), "human", hgOnly = true))),
       None))
 }
