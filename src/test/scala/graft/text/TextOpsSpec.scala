@@ -135,6 +135,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ivf.contains(500L), s"IVF lost the closest planted neighbor: $ivf")
   }
 
+  test("IVF with full probing equals brute force exactly (recall invariant)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter($"vec_id" === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val k = 10
+    val bf = Similarity.bruteForceTopK(emb, query, k, excludeId = 1L)
+      .select("vec_id").as[Long].collect().toSeq
+    val assigned = Similarity.ivfAssign(emb, sampleEvery = 25).cache()
+    val nCells = assigned.select("cell").distinct().count().toInt
+    val full = Similarity.ivfTopK(assigned, query, k, nprobe = nCells, excludeId = 1L)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == bf, "IVF probing all cells must equal brute force")
+    val partial = Similarity.ivfTopK(assigned, query, k, nprobe = 3, excludeId = 1L)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = partial.intersect(bf.toSet).size.toDouble / k
+    assert(recall >= 0.2, s"nprobe=3 recall $recall suspiciously low")
+  }
+
   test("multimodal plumbing: schema, stub features deterministic, frame sampling") {
     import graft.multimodal.Multimodal
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
