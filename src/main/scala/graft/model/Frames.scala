@@ -40,29 +40,70 @@ object Frames {
       .agg(transform(array_sort(collect_list(struct(col("t_idx"), col("value")))),
         s => s.getField("value")).as("values"))
 
+  /** Dense 0-based index per key, ordered by `orderCols`, WITHOUT a
+    * single-window-per-key sort: rows are bucketed by a coarse prefix of the
+    * ordering (`bucketCol`, e.g. an hour of event time), ranked inside each
+    * (key, bucket) — parallelism = keys × buckets, so it grows with data
+    * span instead of funnelling each key through one task — and offset by
+    * the running count of earlier buckets (a window over the tiny
+    * per-bucket-count aggregate, broadcast-joined back). Bucket boundaries
+    * must respect the ordering (bucketCol is derived from its leading
+    * column), so concatenating bucket-local ranks reproduces the global
+    * per-key rank exactly. */
+  def denseIndexByKey(df: DataFrame, keyCols: Seq[String], bucketCol: Column,
+                      orderCols: Seq[Column], as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("_bucket", bucketCol)
+    val key = keyCols.map(col)
+    val counts = keyed.groupBy((key :+ col("_bucket")): _*).count()
+    val runningW = Window.partitionBy(key: _*).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_offset", coalesce(sum(col("count")).over(runningW), lit(0L)))
+      .drop("count")
+    val inBucketW = Window.partitionBy((key :+ col("_bucket")): _*).orderBy(orderCols: _*)
+    keyed
+      .join(broadcast(offsets), keyCols :+ "_bucket")
+      .withColumn(as, (col("_offset") + row_number().over(inBucketW) - 1).cast("long"))
+      .drop("_bucket", "_offset")
+  }
+
   /** Adapt the harness `events` table (event_id, ts, user_id, event_type,
     * value, props) into a LongFrame: user buckets become channels, per-channel
     * row order becomes t_idx (deterministic: ordered by ts then event_id).
     * `rate` is a declared nominal rate — the reference's model is "uniform
-    * sampling declared by metadata", see SURVEY.md §1.1. */
+    * sampling declared by metadata", see SURVEY.md §1.1.
+    *
+    * t_idx is assigned via denseIndexByKey bucketed by event hour: no
+    * whole-channel window, so the sort parallelism scales with recording
+    * span (nChannels × hours tasks) instead of pinning each channel's entire
+    * history to one task. `ts` arrives as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong). */
   def eventsToLong(events: DataFrame, nChannels: Int, rate: Double,
                    series: String = "events"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("channel")).orderBy(col("ts"), col("event_id"))
-    events
-      .withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
-      .withColumn("t_idx", (row_number().over(w) - 1).cast("long"))
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    denseIndexByKey(
+      events.withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int")),
+      keyCols = Seq("channel"),
+      bucketCol = (col("ts").cast("long") / hourNanos).cast("long"),
+      orderCols = Seq(col("ts"), col("event_id")),
+      as = "t_idx")
       .select(lit(series).as("series"), col("channel"), lit(null).cast("int").as("band"),
         lit(rate).as("rate"), lit(0.0).as("startingTime"), col("t_idx"),
         col("value").cast("double").as("value"))
   }
 
   /** Per-channel trace count must be equal for a rectangular (n_time, n_ch)
-    * matrix; trims every channel to the global minimum length. */
+    * matrix; trims every channel to its series' minimum length. Fully lazy:
+    * the min-length is a one-row-per-series aggregate broadcast back into the
+    * filter, not an eager driver action (an eager `.first()` here would run a
+    * full scan job at every plan construction). */
   def rectangularize(long: DataFrame): DataFrame = {
     val minLen = long.groupBy("series", "channel").count()
-      .agg(min("count")).first().getLong(0)
-    long.filter(col("t_idx") < minLen)
+      .groupBy("series").agg(min("count").as("_minlen"))
+    long.join(broadcast(minLen), Seq("series"))
+      .filter(col("t_idx") < col("_minlen"))
+      .drop("_minlen")
   }
 
   /** The electrodes dimension (FIXTURES.md §4): id, x, y, z, imp, location,

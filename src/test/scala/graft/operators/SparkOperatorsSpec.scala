@@ -131,6 +131,30 @@ class SparkOperatorsSpec extends AnyFunSuite {
   }
 
   // --- events adapter ------------------------------------------------------
+  test("bucketed dense index equals single-window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("channel", pmod(col("user_id"), lit(8)).cast("int"))
+    val w = Window.partitionBy(col("channel")).orderBy(col("ts"), col("event_id"))
+    val expect = events.withColumn("t_idx", (row_number().over(w) - 1).cast("long"))
+      .select("channel", "event_id", "t_idx")
+    val got = Frames.denseIndexByKey(events, Seq("channel"),
+        (col("ts").cast("long") / (3600L * 1000 * 1000 * 1000)).cast("long"),
+        Seq(col("ts"), col("event_id")), "t_idx")
+      .select("channel", "event_id", "t_idx")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "bucketed dense index diverges from global row_number")
+    // and the plan has no whole-channel window: every window partitioning
+    // includes the bucket column
+    val windows = got.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }
+    assert(windows.nonEmpty)
+    val bigDataWindow = windows.filter(_.output.exists(_.name == "t_idx"))
+    assert(bigDataWindow.forall(_.partitionSpec.length >= 2),
+      "per-row rank window must be partitioned by (key, bucket), not key alone")
+  }
+
   test("eventsToLong is deterministic and rectangular after trim") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val long = Frames.rectangularize(Frames.eventsToLong(events, 8, 200.0))
