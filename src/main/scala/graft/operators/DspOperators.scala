@@ -16,11 +16,15 @@ import graft.dsp.Signal.{PadSpec, FastPad}
   */
 object DspOperators {
 
-  /** Resample every segment to `newFreq` (per-row rate-aware).
+  /** Resample every segment to `newFreq` (per-row rate-aware). `preScale`
+    * folds a unit conversion (e.g. V -> µV ×1e6) into the same UDF pass so
+    * the pipeline needs no separate interpreted `transform` HOF.
     * Ref semantics: /root/reference/src/process_nwb/resample.py:105-153. */
-  def resample(segments: DataFrame, newFreq: Double, npad: PadSpec = FastPad): DataFrame = {
+  def resample(segments: DataFrame, newFreq: Double, npad: PadSpec = FastPad,
+               preScale: Double = 1.0): DataFrame = {
     val f = udf { (values: Array[Double], rate: Double) =>
-      Signal.resample(values, newFreq, rate, npad)
+      val in = if (preScale == 1.0) values else values.map(_ * preScale)
+      Signal.resample(in, newFreq, rate, npad)
     }
     segments
       .withColumn("values", f(col("values"), col("rate")))

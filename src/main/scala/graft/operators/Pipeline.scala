@@ -34,10 +34,10 @@ object Pipeline {
     * wavelet-amplitude SegmentFrame (one row per channel × band). */
   def preprocessBlock(raw: DataFrame, nChannels: Int,
                       config: Config = Config()): DataFrame = {
-    val scaled =
-      if (config.scaling == 1.0) raw
-      else raw.withColumn("values", transform(col("values"), v => v * config.scaling))
-    val downsampled = DspOperators.resample(scaled, config.initialRate, config.npad)
+    // unit scaling (V -> µV) rides inside the resample UDF's array pass —
+    // a separate `transform` HOF would run interpreted (NOTES.md sharp edge)
+    val downsampled =
+      DspOperators.resample(raw, config.initialRate, config.npad, preScale = config.scaling)
     val notched = DspOperators.applyLinenoiseNotch(downsampled, config.noiseHz, config.npad)
     val referenced = CommonReferencing.subtractCarSegments(notched, nChannels, config.meanFrac)
     val wavelet = DspOperators.waveletTransform(referenced, config.filters, config.hgOnly, config.npad)
