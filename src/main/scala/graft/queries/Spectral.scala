@@ -8,10 +8,11 @@ import graft.operators.{DspOperators, Pipeline}
 
 /** The spectral (FFT-backed) operator surface — resample, notch, wavelet,
   * full pipeline, synthetic source (SURVEY.md §2: F5-F11, S5, ST1-ST2).
-  * Not SQL-expressible, so no DuckDB oracle: the driver records rows-only
-  * checks here, and numeric correctness is enforced by the golden-vector and
-  * semantics specs (src/test/scala/graft/dsp) which pin these operators to
-  * numpy/reference behavior.
+  * Each (except the synthetic source, whose 64-bit counter-hash RNG is not
+  * SQL-expressible) carries an exact direct-DFT DuckDB oracle from
+  * SpectralOracles — at verify scale an O(n²) DFT in SQL is cheap — on top
+  * of the golden-vector and semantics specs (src/test/scala/graft/dsp)
+  * which pin these operators to numpy/reference behavior.
   *
   * Output traces are exploded to long form with rounded values so results
   * are stable, schema-simple parquet.
@@ -32,16 +33,16 @@ object Spectral {
 
     QueryDef("q30_resample", "F5/F6 FFT rational resampling (1000->250 Hz)",
       (s, dir) => toLongRounded(DspOperators.resample(segments(s, dir), 250.0)),
-      None),
+      Some(SpectralOracles.q30())),
 
     QueryDef("q31_notch", "F7 60 Hz line-noise notch",
       (s, dir) => toLongRounded(DspOperators.applyLinenoiseNotch(segments(s, dir))),
-      None),
+      Some(SpectralOracles.q31())),
 
     QueryDef("q32_wavelet_amplitude", "F8-F11 wavelet filterbank amplitude (human, hg-only)",
       (s, dir) => toLongRounded(DspOperators.amplitude(
         DspOperators.waveletTransform(segments(s, dir), "human", hgOnly = true))),
-      None),
+      Some(SpectralOracles.q32())),
 
     QueryDef("q33_pipeline_high_gamma", "S1-S3/ST1-ST2 full preprocess_block + tutorial tail",
       (s, dir) => {
@@ -50,7 +51,7 @@ object Spectral {
             filters = "human", hgOnly = true, scaling = 1.0))
         toLongRounded(Pipeline.highGammaTrace(amp, baselineSamples = 50))
       },
-      None),
+      Some(SpectralOracles.q33())),
 
     QueryDef("q34_synthetic_source", "S5 deterministic synthetic ECoG source",
       (s, dir) => toLongRounded(
@@ -60,5 +61,5 @@ object Spectral {
     QueryDef("q35_wavelet_phase", "F12 wavelet phase (the reference's abs_only=False path)",
       (s, dir) => toLongRounded(DspOperators.phase(
         DspOperators.waveletTransform(segments(s, dir), "human", hgOnly = true))),
-      None))
+      Some(SpectralOracles.q35())))
 }
