@@ -8,10 +8,12 @@ import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators over `documents`/`embeddings`
   * (BASELINE.json north-star): dedup, similarity search, text analysis,
-  * multimodal plumbing. SQL-expressible ones carry DuckDB oracles; the
-  * hash-seeded ones (MinHash/SimHash/LSH — JVM hash functions have no DuckDB
-  * twin) are rows-only here and correctness-tested with planted duplicates
-  * in the test suite.
+  * multimodal plumbing. Nearly all carry exact DuckDB oracles — MinHash and
+  * SimHash hashing is md5-derived (TextOps.hash60) precisely so DuckDB can
+  * replicate signatures bit-for-bit. The remaining rows-only entries are
+  * genuinely engine-bound: q50 (binary decode), q51 (JVM-seeded random
+  * hyperplanes), q52 (k-means centroid state). All are correctness-tested
+  * with planted fixtures in the test suite.
   */
 object Llm {
 
@@ -53,7 +55,42 @@ object Llm {
         TextOps.minhashCandidates(sigs, threshold = 0.2)
           .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       },
-      None),
+      // hash60(s, i) == ('0x' || substr(md5(i || ':' || s), 1, 15))::UBIGINT;
+      // 32 hashes, 8 bands of 4, bucket = md5(band || ':' || csv(slice))
+      Some("""WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS shingle
+             |  FROM words WHERE len(w) >= 2
+             |), hs AS (
+             |  SELECT s.doc_id, g.i,
+             |         min(('0x' || substr(md5(g.i || ':' || s.shingle), 1, 15))::UBIGINT) AS h
+             |  FROM sh s CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
+             |  GROUP BY s.doc_id, g.i
+             |), sig AS (
+             |  SELECT d.doc_id, g.i, COALESCE(hs.h, 9223372036854775807::UBIGINT) AS h
+             |  FROM documents d
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
+             |  LEFT JOIN hs ON hs.doc_id = d.doc_id AND hs.i = g.i
+             |), bucket AS (
+             |  SELECT doc_id, i // 4 AS band_idx,
+             |         md5((i // 4) || ':' || string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
+             |  FROM sig GROUP BY doc_id, i // 4
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bucket a
+             |  JOIN bucket b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             |              AND a.doc_id < b.doc_id
+             |)
+             |SELECT c.doc_a, c.doc_b,
+             |       round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
+             |FROM cand c
+             |JOIN sig sa ON sa.doc_id = c.doc_a
+             |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+             |GROUP BY c.doc_a, c.doc_b
+             |HAVING round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2
+             |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)),
 
     QueryDef("q43_simhash", "SimHash near-dup candidates (banded hamming join)",
       (s, dir) => {
@@ -61,7 +98,35 @@ object Llm {
         TextOps.simhashCandidates(sigs, maxHamming = 3)
           .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       },
-      None),
+      Some("""WITH wh AS (
+             |  SELECT doc_id, ('0x' || substr(md5('0:' || w), 1, 15))::UBIGINT AS h
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+             |), votes AS (
+             |  SELECT doc_id, j.j,
+             |         sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+             |  GROUP BY doc_id, j.j
+             |), sh AS (
+             |  SELECT doc_id,
+             |         CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id
+             |), chunks AS (
+             |  SELECT doc_id, simhash, i.i AS chunk_idx,
+             |         (simhash >> (i.i * 16)) & 65535 AS chunk
+             |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM chunks a
+             |  JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+             |              AND a.doc_id < b.doc_id
+             |)
+             |SELECT c.doc_a, c.doc_b,
+             |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+             |FROM cand c
+             |JOIN sh sa ON sa.doc_id = c.doc_a
+             |JOIN sh sb ON sb.doc_id = c.doc_b
+             |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+             |ORDER BY hamming, doc_a, doc_b""".stripMargin)),
 
     QueryDef("q44_embedding_stats", "vector norms + per-label aggregation",
       (s, dir) => {
@@ -202,8 +267,9 @@ object Llm {
         val emb = table(s, dir, "embeddings")
         val query = emb.filter(col("vec_id") === 0)
           .select("embedding").first().getSeq[Float](0).toArray
-        val assigned = Similarity.ivfAssign(emb, sampleEvery = 50)
-        Similarity.ivfTopK(assigned, query, k = 10, nprobe = 3, excludeId = 0L)
+        val centroids = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+        val assigned = Similarity.ivfAssign(emb, centroids)
+        Similarity.ivfTopK(assigned, centroids, query, k = 10, nprobe = 3, excludeId = 0L)
       },
       None))
 }

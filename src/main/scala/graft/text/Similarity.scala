@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * - Brute-force cosine top-k: the exact baseline — one broadcast of the
   *   query vector, one narrow map, one top-k (TakeOrdered, no full sort).
-  * - IVF (inverted-file) variant: the scale path — k-means-style coarse
-  *   cells from sampled centroids; each vector is assigned to its nearest
-  *   centroid once (narrow, broadcast centroids); a query probes only the
-  *   `nprobe` nearest cells, turning a 100 TB scan into a partition-pruned
-  *   fraction. Cell assignment is a partition column on write.
+  * - IVF (inverted-file) variant: the scale path — a FIXED-k k-means coarse
+  *   quantizer (driver state bounded at k×dim at any corpus size); each
+  *   vector is assigned to its nearest centroid once (narrow, broadcast
+  *   centroids); a query ranks cells locally on the broadcast table and
+  *   probes only the `nprobe` nearest, turning a 100 TB scan into a
+  *   partition-pruned fraction (ivfWrite partitions by `cell`).
   */
 object Similarity {
 
@@ -50,45 +51,95 @@ object Similarity {
       .limit(k)
   }
 
-  /** Assign each vector to its nearest sampled centroid (IVF coarse
-    * quantizer). Centroids are taken deterministically (every `sampleEvery`th
-    * id) so tests are stable; a production build would k-means them. */
-  def ivfAssign(embeddings: DataFrame, sampleEvery: Int = 50,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
-    val centroids = embeddings
-      .filter(pmod(col(idCol), lit(sampleEvery)) === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      var best = -1L
-      var bestSim = Double.NegativeInfinity
-      for ((cid, c) <- cs) {
-        val s = cosine(v, c.toSeq)
-        if (s > bestSim || (s == bestSim && cid < best)) { best = cid; bestSim = s }
-      }
-      best
+  private def cosineArr(a: Array[Double], b: Seq[Float]): Double = {
+    val bv = b match { case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq }
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, bv.length)
+    while (i < n) {
+      val x = a(i); val y = bv(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
     }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Index of the most-cosine-similar centroid (lowest index wins ties). */
+  private def nearestCell(centroids: Array[Array[Double]], v: Seq[Float]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosineArr(centroids(c), v)
+      if (s > bestSim) { best = c; bestSim = s }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF coarse quantizer: a FIXED-k centroid table from distributed Lloyd
+    * iterations. Everything that touches the driver is bounded at k×dim
+    * doubles no matter the corpus size:
+    *  - init: the k vectors with smallest xxhash64(id) — a TakeOrdered
+    *    top-k, not a sort, not a data-dependent sample;
+    *  - each iteration: broadcast-assign (narrow), then a (cell, dim)
+    *    sum/count aggregate — k×dim groups, map-side partially combined, so
+    *    the shuffle is tiny at any scale.
+    * Empty cells keep their previous centroid. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    var centroids: Array[Array[Double]] = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignU = udf((v: Seq[Float]) => nearestCell(bc.value, v))
+      val moments = embeddings
+        .select(assignU(col(vecCol)).as("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      moments.foreach { r =>
+        val cell = r.getInt(0); val d = r.getInt(1)
+        next(cell)(d) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid cell (IVF coarse quantizer):
+    * one narrow pass with the bounded centroid table broadcast. At rest,
+    * write with `cell` as a partition column (see ivfWrite) so probes become
+    * partition-pruned scans. */
+  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]],
+                vecCol: String = "embedding"): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCell(bc.value, v))
     embeddings.withColumn("cell", assignUdf(col(vecCol)))
   }
 
+  /** Persist an IVF-assigned corpus with `cell` as the partition column:
+    * ivfTopK's cell filter then prunes at the file listing, so a probe reads
+    * nprobe/k of the data instead of scanning everything. */
+  def ivfWrite(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** IVF search: probe the `nprobe` cells whose centroids are most similar
-    * to the query, then exact top-k within the probed fraction. */
-  def ivfTopK(assigned: DataFrame, query: Array[Float], k: Int, nprobe: Int = 3,
-              excludeId: Long = -1L,
+    * to the query (ranked locally on the bounded broadcast table — no jobs,
+    * no collects), then exact top-k within the probed fraction. Over an
+    * ivfWrite'd table the cell filter is a partition-pruning predicate. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              query: Array[Float], k: Int, nprobe: Int = 3, excludeId: Long = -1L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroidSims = assigned.select(col("cell")).distinct().collect().map(_.getLong(0))
-    // rank cells by centroid similarity: centroid id == a member vec id
-    val centroidVecs = assigned
-      .filter(col(idCol).isin(centroidSims: _*))
-      .select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val probeCells = centroidVecs
-      .map { case (cid, v) => (cid, cosine(v, query.toSeq)) }
-      .sortBy { case (cid, s) => (-s, cid) }
+    val probeCells = centroids.indices
+      .map(c => (c, cosineArr(centroids(c), query.toSeq)))
+      .sortBy { case (c, s) => (-s, c) }
       .take(nprobe).map(_._1)
     bruteForceTopK(assigned.filter(col("cell").isin(probeCells: _*)),
       query, k, excludeId, idCol, vecCol)

@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** Training-data pipeline operators over document tables: deduplication
   * (exact, MinHash+LSH, SimHash, n-gram Jaccard), text analysis (language
@@ -12,14 +11,47 @@ import scala.util.hashing.MurmurHash3
   * the only shuffles are the LSH band-bucket joins, which is the point of
   * LSH — candidate generation without the O(n²) pairwise compare. Exact-dup
   * and fingerprint are single hash-groupBys.
+  *
+  * All hashing is md5-derived so a DuckDB oracle reproduces signatures
+  * bit-for-bit: `hash60(s, seed)` is the first 15 hex chars of
+  * md5("<seed>:<s>") as an unsigned number, i.e. DuckDB's
+  * `('0x' || substr(md5(seed || ':' || s), 1, 15))::UBIGINT` (60 bits keeps
+  * it positive in a signed Long, so min/compare agree across engines).
   */
 object TextOps {
 
-  // --- deterministic 64-bit string hash (seeded) ---------------------------
-  private def hash64(s: String, seed: Int): Long = {
-    val h1 = MurmurHash3.stringHash(s, seed)
-    val h2 = MurmurHash3.stringHash(s, seed * 0x9E3779B9 + 1)
-    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  // --- deterministic md5-derived string hashes (seeded) ---------------------
+  private val md5Inst = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Bytes(s: String): Array[Byte] = {
+    val d = md5Inst.get()
+    d.reset()
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private[text] def md5Hex(s: String): String = {
+    val b = md5Bytes(s)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((b(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(b(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 15 hex chars (60 bits) of md5("<seed>:<s>") — always >= 0. */
+  private[text] def hash60(s: String, seed: Int): Long = {
+    val b = md5Bytes(seed + ":" + s)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (b(i) & 0xFFL); i += 1 }
+    (h << 4) | ((b(7) & 0xF0L) >>> 4)
   }
 
   /** Distinct word n-gram shingles of a text. */
@@ -55,7 +87,7 @@ object TextOps {
       val shingles = shingleArray(text, shingleN)
       Array.tabulate(numHashes) { i =>
         if (shingles.isEmpty) Long.MaxValue
-        else shingles.map(sh => hash64(sh, i)).min
+        else shingles.map(sh => hash60(sh, i)).min
       }
     }
     docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("signature"))
@@ -63,31 +95,34 @@ object TextOps {
 
   /** LSH candidate pairs from signatures: `bands` bands of `numHashes/bands`
     * rows; docs sharing any band bucket become candidates; estimated Jaccard
-    * = fraction of matching signature slots. Only candidates cross the
-    * shuffle — never the full pairwise cross product. */
+    * = fraction of matching signature slots. Only candidate ID PAIRS cross
+    * the dedup shuffle (two longs per row — never the signatures, never the
+    * full pairwise cross product); signatures are attached once afterwards. */
   def minhashCandidates(signatures: DataFrame, numHashes: Int = 32,
                         bands: Int = 8, threshold: Double = 0.2): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandUdf = udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
         val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        (b, MurmurHash3.orderedHash(slice, b).toLong)
+        (b, md5Hex(b + ":" + slice.mkString(",")))
       }
     }
     val buckets = signatures
-      .select(col("doc_id"), col("signature"), explode(bandUdf(col("signature"))).as("band"))
-      .select(col("doc_id"), col("signature"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
+      .select(col("doc_id"), explode(bandUdf(col("signature"))).as("band"))
+      .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val est = udf { (s1: Seq[Long], s2: Seq[Long]) =>
       s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
     }
-    a.join(b, col("a.band_idx") === col("b.band_idx") &&
-             col("a.bucket") === col("b.bucket") &&
-             col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
-      .distinct()
+    candidates
+      .join(signatures.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
+      .join(signatures.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", round(est(col("sig_a"), col("sig_b")), 6))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
@@ -95,14 +130,15 @@ object TextOps {
 
   // --- SimHash near-dedup --------------------------------------------------
 
-  /** 64-bit SimHash over words: per-bit majority vote of word hashes. */
+  /** SimHash over words (60 effective bits from hash60): per-bit majority
+    * vote of word hashes. */
   def simhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val shUdf = udf { (text: String) =>
       val words = text.split(" ")
       val votes = new Array[Int](64)
       for (w <- words) {
-        val h = hash64(w, 0)
+        val h = hash60(w, 0)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

@@ -129,8 +129,9 @@ class TextOpsSpec extends AnyFunSuite {
     val bf = Similarity.bruteForceTopK(emb, q, k = 2, excludeId = 0L)
       .select("vec_id").as[Long].collect().toSet
     assert(bf == Set(500L, 501L), s"brute force got $bf")
-    val assigned = Similarity.ivfAssign(emb, sampleEvery = 20)
-    val ivf = Similarity.ivfTopK(assigned, q, k = 2, nprobe = 3, excludeId = 0L)
+    val centroids = Similarity.kmeansCentroids(emb, k = 10, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    val ivf = Similarity.ivfTopK(assigned, centroids, q, k = 2, nprobe = 3, excludeId = 0L)
       .select("vec_id").as[Long].collect().toSet
     assert(ivf.contains(500L), s"IVF lost the closest planted neighbor: $ivf")
   }
@@ -142,15 +143,32 @@ class TextOpsSpec extends AnyFunSuite {
     val k = 10
     val bf = Similarity.bruteForceTopK(emb, query, k, excludeId = 1L)
       .select("vec_id").as[Long].collect().toSeq
-    val assigned = Similarity.ivfAssign(emb, sampleEvery = 25).cache()
-    val nCells = assigned.select("cell").distinct().count().toInt
-    val full = Similarity.ivfTopK(assigned, query, k, nprobe = nCells, excludeId = 1L)
+    val centroids = Similarity.kmeansCentroids(emb, k = 12, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, centroids).cache()
+    val full = Similarity.ivfTopK(assigned, centroids, query, k,
+        nprobe = centroids.length, excludeId = 1L)
       .select("vec_id").as[Long].collect().toSeq
     assert(full == bf, "IVF probing all cells must equal brute force")
-    val partial = Similarity.ivfTopK(assigned, query, k, nprobe = 3, excludeId = 1L)
+    val partial = Similarity.ivfTopK(assigned, centroids, query, k, nprobe = 3, excludeId = 1L)
       .select("vec_id").as[Long].collect().toSet
     val recall = partial.intersect(bf.toSet).size.toDouble / k
     assert(recall >= 0.2, s"nprobe=3 recall $recall suspiciously low")
+  }
+
+  test("IVF at rest: cell partition column prunes the probe scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rest").toString
+    Similarity.ivfWrite(Similarity.ivfAssign(emb, centroids), dir)
+    val atRest = spark.read.parquet(dir)
+    val probed = atRest.filter($"cell".isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"probe scan is not partition-pruned:\n$scan")
+    // pruning must not change results: probed rows == rows assigned to 0/1
+    val expected = Similarity.ivfAssign(emb, centroids)
+      .filter($"cell".isin(0, 1)).count()
+    assert(probed.count() == expected)
   }
 
   test("multimodal plumbing: schema, stub features deterministic, frame sampling") {
