@@ -21,27 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object CommonReferencing {
 
-  /** Trimmed-mean aggregation column over a grouped `value`. */
-  def trimmedMeanAgg(nChannels: Int, meanFrac: Double = 0.95): Column = {
-    if (meanFrac == 1.0) avg(col("value"))
-    else {
-      val nExclude = math.ceil(nChannels * (1.0 - meanFrac) / 2.0).toInt
+  /** Trimmed-mean aggregation column over a grouped `value`, with the
+    * reference's NaN semantics (common_referencing.py:34-41): sort with
+    * NaN/null LAST (so missing samples land in the tail trim window, not
+    * silently dropped before the sort), trim nExclude from each end, then
+    * nanmean the kept middle. Nulls are normalized to NaN first —
+    * collect_list would otherwise drop them pre-sort and shift the window.
+    * `roundFunc` is the reference's round_func (common_referencing.py:11,37):
+    * how `nChannels*(1-meanFrac)/2` rounds to a channel count — math.ceil
+    * (default), math.floor, or math.rint for np.round parity. */
+  def trimmedMeanAgg(nChannels: Int, meanFrac: Double = 0.95,
+                     roundFunc: Double => Double = math.ceil): Column = {
+    val nanSafe = coalesce(col("value"), lit(Double.NaN))
+    if (meanFrac == 1.0) {
+      // np.nanmean: skip NaN (Spark avg skips null but propagates NaN)
+      avg(when(isnan(nanSafe), lit(null)).otherwise(nanSafe))
+    } else {
+      val nExclude = roundFunc(nChannels * (1.0 - meanFrac) / 2.0).toInt
       require(2 * nExclude < nChannels,
         s"meanFrac=$meanFrac excludes all $nChannels channels")
-      val kept = slice(sort_array(collect_list(col("value"))),
-        nExclude + 1, nChannels - 2 * nExclude)
+      // sort_array orders NaN greater than any double, like np.sort
+      val kept = filter(
+        slice(sort_array(collect_list(nanSafe)), nExclude + 1, nChannels - 2 * nExclude),
+        x => !isnan(x))
       aggregate(kept, lit(0.0), (a, x) => a + x) / size(kept)
     }
   }
 
   /** Per-(series, t_idx) CAR frame: columns (series, t_idx, car). */
-  def car(long: DataFrame, nChannels: Int, meanFrac: Double = 0.95): DataFrame =
+  def car(long: DataFrame, nChannels: Int, meanFrac: Double = 0.95,
+          roundFunc: Double => Double = math.ceil): DataFrame =
     long.groupBy("series", "t_idx")
-      .agg(trimmedMeanAgg(nChannels, meanFrac).as("car"))
+      .agg(trimmedMeanAgg(nChannels, meanFrac, roundFunc).as("car"))
 
   /** Subtract the CAR from every channel sample of a LongFrame. */
-  def subtractCar(long: DataFrame, nChannels: Int, meanFrac: Double = 0.95): DataFrame =
-    long.join(car(long, nChannels, meanFrac), Seq("series", "t_idx"))
+  def subtractCar(long: DataFrame, nChannels: Int, meanFrac: Double = 0.95,
+                  roundFunc: Double => Double = math.ceil): DataFrame =
+    long.join(car(long, nChannels, meanFrac, roundFunc), Seq("series", "t_idx"))
       .withColumn("value", col("value") - col("car"))
       .drop("car")
 
@@ -55,10 +71,11 @@ object CommonReferencing {
     * faster at 64ch x 1M samples. Cross-channel math costs exactly these
     * two shuffles; everything else in the pipeline stays narrow. */
   def subtractCarSegments(segments: DataFrame, nChannels: Int,
-                          meanFrac: Double = 0.95, blockSize: Int = 8192): DataFrame = {
+                          meanFrac: Double = 0.95, blockSize: Int = 8192,
+                          roundFunc: Double => Double = math.ceil): DataFrame = {
     val nExclude =
       if (meanFrac == 1.0) 0
-      else math.ceil(nChannels * (1.0 - meanFrac) / 2.0).toInt
+      else roundFunc(nChannels * (1.0 - meanFrac) / 2.0).toInt
     require(2 * nExclude < nChannels,
       s"meanFrac=$meanFrac excludes all $nChannels channels")
 

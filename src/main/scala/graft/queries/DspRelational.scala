@@ -36,19 +36,31 @@ object DspRelational {
 
     QueryDef("q21_car_trimmed_mean", "A1/A2 trimmed-mean CAR + subtraction (flagship aggregate)",
       (s, dir) => {
+        // plant missing samples (channel 3, every 97th t) to exercise the
+        // reference's NaN path: sort-NaN-last, trim, nanmean the kept middle
         val long = rectLong(s, dir).withColumn("series", lit("events"))
+          .withColumn("value",
+            when(col("channel") === 3 && pmod(col("t_idx"), lit(97)) === 0, lit(null))
+              .otherwise(col("value")))
         CommonReferencing.subtractCar(long, nChannels = 8, meanFrac = 0.95)
           .select(col("t_idx"), col("channel"), round(col("value"), 6).as("referenced"))
           .orderBy("t_idx", "channel")
       },
-      // nExclude = ceil(8*(1-.95)/2) = 1: drop one from each sorted end, mean middle 6
-      Some(s"""$EventsRectSql, car AS (
+      // nExclude = ceil(8*(1-.95)/2) = 1: drop one from each NULLS-LAST-sorted
+      // end, mean of the non-null kept middle (np.nanmean semantics)
+      Some(s"""$EventsRectSql, holed AS (
+              |  SELECT channel, t_idx,
+              |    CASE WHEN channel = 3 AND t_idx % 97 = 0 THEN NULL ELSE value END AS value
+              |  FROM rect
+              |), car AS (
               |  SELECT t_idx,
-              |    list_aggregate(list_slice(list_sort(list(value)), 2, 7), 'sum') / 6 AS car
-              |  FROM rect GROUP BY t_idx
+              |    list_aggregate(list_slice(list_sort(list(value), 'ASC', 'NULLS LAST'), 2, 7), 'sum')
+              |      / len(list_filter(list_slice(list_sort(list(value), 'ASC', 'NULLS LAST'), 2, 7),
+              |                        x -> x IS NOT NULL)) AS car
+              |  FROM holed GROUP BY t_idx
               |)
               |SELECT r.t_idx, r.channel, round(r.value - c.car, 6) AS referenced
-              |FROM rect r JOIN car c ON r.t_idx = c.t_idx
+              |FROM holed r JOIN car c ON r.t_idx = c.t_idx
               |ORDER BY r.t_idx, r.channel""".stripMargin)),
 
     QueryDef("q22_zscore_baseline", "A3/F13 baseline z-score",

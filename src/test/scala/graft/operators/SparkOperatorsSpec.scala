@@ -69,6 +69,26 @@ class SparkOperatorsSpec extends AnyFunSuite {
     assert(cars.forall(_ == 49.5))
   }
 
+  test("long-form CAR null/NaN semantics match np.nanmean (sort-last, trim, skip)") {
+    import spark.implicits._
+    // common_referencing.py:34-41: sort puts NaN last, trim 1 from each end,
+    // nanmean skips any NaN still inside the kept window
+    val oneNull = Seq[(String, Long, Int, java.lang.Double)](
+      ("s", 0L, 0, 10.0), ("s", 0L, 1, 2.0), ("s", 0L, 2, 5.0), ("s", 0L, 3, null),
+      ("s", 0L, 4, 7.0), ("s", 0L, 5, 1.0), ("s", 0L, 6, 9.0), ("s", 0L, 7, 4.0))
+      .toDF("series", "t_idx", "channel", "value")
+    // sorted [1,2,4,5,7,9,10,NaN] -> kept [2,4,5,7,9,10] -> 37/6
+    assert(CommonReferencing.car(oneNull, 8, 0.95).head().getDouble(2) == 37.0 / 6)
+    val twoNull = Seq[(String, Long, Int, java.lang.Double)](
+      ("s", 0L, 0, 10.0), ("s", 0L, 1, 2.0), ("s", 0L, 2, null), ("s", 0L, 3, null),
+      ("s", 0L, 4, 7.0), ("s", 0L, 5, 1.0), ("s", 0L, 6, 9.0), ("s", 0L, 7, 4.0))
+      .toDF("series", "t_idx", "channel", "value")
+    // sorted [1,2,4,7,9,10,NaN,NaN] -> kept [2,4,7,9,10,NaN] -> nanmean 32/5
+    assert(CommonReferencing.car(twoNull, 8, 0.95).head().getDouble(2) == 32.0 / 5)
+    // meanFrac=1.0 degenerates to nanmean over all channels
+    assert(CommonReferencing.car(oneNull, 8, 1.0).head().getDouble(2) == 38.0 / 7)
+  }
+
   test("blocked segment CAR == long-form SQL CAR (small blockSize forces multi-block)") {
     val raw = Synthetic.segments(spark, 1.0, 8, 400.0, seed = 21)
     val blocked = CommonReferencing.subtractCarSegments(raw, 8, 0.95, blockSize = 64)
