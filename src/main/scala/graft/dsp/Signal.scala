@@ -192,7 +192,9 @@ object Signal {
     * The analytic spectrum is computed once and shared across bands — the
     * reference's per-channel memoization (wavelet_transform.py:198-207,
     * 292-300) becomes simple locality here. Kernels must be built at the
-    * PADDED length. Ref: `wavelet_transform` wavelet_transform.py:238-322. */
+    * PADDED length; a `null` kernel yields the raw analytic signal (the
+    * reference's `f is None` band, wavelet_transform.py:316-318).
+    * Ref: `wavelet_transform` wavelet_transform.py:238-322. */
   def waveletBands(x: Array[Double], kernels: Array[Array[Double]],
                    npad: PadSpec = FastPad): Array[Array[Double]] = {
     val plan = padPlan(x.length, npad)
@@ -201,14 +203,19 @@ object Signal {
     val sh = analyticSpectrum(padded)
     val kPos = (n + 1) / 2
     kernels.map { kern =>
-      require(kern.length == n, s"kernel length ${kern.length} != padded length $n")
-      val b = new Array[Double](2 * n)
-      var i = 1
-      while (i < kPos) {
-        b(2 * i) = sh(2 * i) * kern(i)
-        b(2 * i + 1) = sh(2 * i + 1) * kern(i)
-        i += 1
-      }
+      val b =
+        if (kern == null) sh.clone()
+        else {
+          require(kern.length == n, s"kernel length ${kern.length} != padded length $n")
+          val arr = new Array[Double](2 * n)
+          var i = 1
+          while (i < kPos) {
+            arr(2 * i) = sh(2 * i) * kern(i)
+            arr(2 * i + 1) = sh(2 * i + 1) * kern(i)
+            i += 1
+          }
+          arr
+        }
       Fft.ifftComplexInPlace(b)
       trimComplex(b, plan.removeLeft, plan.removeRight)
     }

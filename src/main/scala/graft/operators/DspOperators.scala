@@ -55,6 +55,24 @@ object DspOperators {
     fbCache.computeIfAbsent((filters, paddedLen, rate, hgOnly),
       _ => Kernels.filterbank(filters, paddedLen, rate, hgOnly))
 
+  private def packBands(bands: Array[Array[Double]]): Seq[BandTrace] =
+    bands.indices.map { b =>
+      val z = bands(b)
+      val n = z.length / 2
+      val re = new Array[Double](n)
+      val im = new Array[Double](n)
+      var i = 0
+      while (i < n) { re(i) = z(2 * i); im(i) = z(2 * i + 1); i += 1 }
+      BandTrace(b, re, im)
+    }
+
+  private def explodeBands(segments: DataFrame,
+                           f: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    segments
+      .withColumn("bt", explode(f(col("values"), col("rate"))))
+      .select(col("series"), col("channel"), col("bt.band").as("band"),
+        col("rate"), col("startingTime"), col("bt.re").as("re"), col("bt.im").as("im"))
+
   /** Wavelet transform: explodes each channel segment into one row per band
     * with complex (re, im) trace columns. Narrow except the explode (which is
     * also narrow); partition count grows by nBands via downstream
@@ -65,21 +83,33 @@ object DspOperators {
     val f = udf { (values: Array[Double], rate: Double) =>
       val plan = Signal.padPlan(values.length, npad)
       val fb = cachedFilterbank(filters, values.length + plan.padTotal, rate, hgOnly)
-      val bands = Signal.waveletBands(values, fb.kernels, npad)
-      bands.indices.map { b =>
-        val z = bands(b)
-        val n = z.length / 2
-        val re = new Array[Double](n)
-        val im = new Array[Double](n)
-        var i = 0
-        while (i < n) { re(i) = z(2 * i); im(i) = z(2 * i + 1); i += 1 }
-        BandTrace(b, re, im)
-      }
+      packBands(Signal.waveletBands(values, fb.kernels, npad))
     }
-    segments
-      .withColumn("bt", explode(f(col("values"), col("rate"))))
-      .select(col("series"), col("channel"), col("bt.band").as("band"),
-        col("rate"), col("startingTime"), col("bt.re").as("re"), col("bt.im").as("im"))
+    explodeBands(segments, f)
+  }
+
+  /** Wavelet transform against a USER-SUPPLIED kernel list — the reference's
+    * `get_filterbank` list passthrough (wavelet_transform.py:104-105): band
+    * order follows the list; a `None` entry yields the raw analytic signal
+    * (`f is None`, :316-318). Because kernels must match the PADDED length,
+    * which varies with each segment's own length, entries are builders
+    * `(paddedLen, rate) => kernel` rather than prebuilt arrays; each built
+    * kernel is L2-normalized like the reference's `f / norm(f)` (:320).
+    * Kernel construction is O(nBands·paddedLen) per segment — same order as
+    * one band's FFT — so no cross-row cache is needed. */
+  def waveletTransform(segments: DataFrame,
+                       kernels: Seq[Option[(Int, Double) => Array[Double]]],
+                       npad: PadSpec): DataFrame = {
+    val f = udf { (values: Array[Double], rate: Double) =>
+      val plan = Signal.padPlan(values.length, npad)
+      val n = values.length + plan.padTotal
+      val built = kernels.map {
+        case Some(build) => Kernels.l2Normalize(build(n, rate))
+        case None        => null
+      }.toArray
+      packBands(Signal.waveletBands(values, built, npad))
+    }
+    explodeBands(segments, f)
   }
 
   /** Amplitude of a complex (re, im) wavelet frame — native Catalyst

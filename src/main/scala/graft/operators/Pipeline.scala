@@ -90,10 +90,35 @@ object Store {
 
   def storeWaveletAmplitude(segments: DataFrame, root: String, series: String,
                             filters: String = "rat", hgOnly: Boolean = true,
+                            postResampleRate: Option[Double] = None): DataFrame =
+    storeWaveletTransform(segments, root, series, filters, hgOnly,
+      absOnly = true, postResampleRate)
+
+  /** `store_wavelet_transform` parity (wavelet_transform.py:383-446): writes
+    * `wvlt_amp_<series>`; with `absOnly=false` also `wvlt_phase_<series>`
+    * (metric='phase', :424-441). Phase + post-resample is rejected exactly
+    * like the reference's ValueError (:424-426). When both series are
+    * stored, the complex wavelet frame is persisted DISK_ONLY for the two
+    * writes — one FFT pass, bounded memory — then unpersisted. Returns the
+    * (possibly post-resampled) amplitude frame for chaining. */
+  def storeWaveletTransform(segments: DataFrame, root: String, series: String,
+                            filters: String = "rat", hgOnly: Boolean = true,
+                            absOnly: Boolean = true,
                             postResampleRate: Option[Double] = None): DataFrame = {
-    val amp = DspOperators.amplitude(
-      DspOperators.waveletTransform(segments, filters, hgOnly))
-    val out = postResampleRate.fold(amp)(fr => DspOperators.resample(amp, fr))
-    write(out, root, s"wvlt_amp_$series")
+    require(absOnly || postResampleRate.isEmpty,
+      "Wavelet phase should not be resampled.")
+    val wvlt = DspOperators.waveletTransform(segments, filters, hgOnly)
+    if (absOnly) {
+      val amp = DspOperators.amplitude(wvlt)
+      write(postResampleRate.fold(amp)(fr => DspOperators.resample(amp, fr)),
+        root, s"wvlt_amp_$series")
+    } else {
+      val cached = wvlt.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val amp = write(DspOperators.amplitude(cached), root, s"wvlt_amp_$series")
+        write(DspOperators.phase(cached), root, s"wvlt_phase_$series")
+        amp
+      } finally cached.unpersist()
+    }
   }
 }

@@ -89,6 +89,36 @@ class SparkOperatorsSpec extends AnyFunSuite {
     assert(CommonReferencing.car(oneNull, 8, 1.0).head().getDouble(2) == 38.0 / 7)
   }
 
+  test("user-supplied kernel list: gaussian builders == named filterbank; None == analytic signal") {
+    import graft.dsp.Kernels
+    val raw = Synthetic.segments(spark, 1.0, 2, 400.0, seed = 31)
+    // builders replicating the named 'human' hg-only bank must reproduce it
+    val cfs = Kernels.centerFrequencies("human", hgOnly = true)
+    val sds = Kernels.constQSds(cfs)
+    val builders: Seq[Option[(Int, Double) => Array[Double]]] =
+      cfs.indices.map(i => Some((n: Int, rate: Double) =>
+        Kernels.gaussian(n, rate, cfs(i), sds(i))))
+    val named = collectTraces(DspOperators.amplitude(
+      DspOperators.waveletTransform(raw, "human", hgOnly = true)))
+    val custom = collectTraces(DspOperators.amplitude(
+      DspOperators.waveletTransform(raw, builders, Signal.FastPad)))
+    assert(named.keySet == custom.keySet && named.nonEmpty)
+    for (k <- named.keySet) {
+      val worst = named(k).zip(custom(k)).map { case (a, b) => math.abs(a - b) }.max
+      assert(worst < 1e-12, s"custom kernel list diverges from named bank at $k: $worst")
+    }
+    // a None entry is the raw analytic signal (wavelet_transform.py:316-318):
+    // its amplitude envelope of a pure cosine is the constant cosine amplitude
+    import spark.implicits._
+    val t = (0 until 1024).map(i => 3.0 * math.cos(2 * math.Pi * 32 * i / 1024.0))
+    val one = Seq(("s", 0, 1024.0, 0.0, t.toArray))
+      .toDF("series", "channel", "rate", "startingTime", "values")
+    val env = collectTraces(DspOperators.amplitude(DspOperators.waveletTransform(
+      one, Seq(None), Signal.ExactPad(0))))((0, Some(0)))
+    assert(env.forall(v => math.abs(v - 3.0) < 1e-9),
+      s"analytic envelope of pure cosine != amplitude: ${env.take(5).mkString(",")}")
+  }
+
   test("blocked segment CAR == long-form SQL CAR (small blockSize forces multi-block)") {
     val raw = Synthetic.segments(spark, 1.0, 8, 400.0, seed = 21)
     val blocked = CommonReferencing.subtractCarSegments(raw, 8, 0.95, blockSize = 64)

@@ -80,6 +80,30 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("store abs_only=False: wvlt_phase_ series matches functional phase; resample+phase rejected") {
+    import graft.operators.{Store, DspOperators}
+    val root = Files.createTempDirectory("wvltphase").toString
+    val raw = Synthetic.segments(spark, 1.0, 2, 1000.0, seed = 17)
+    Store.storeWaveletTransform(raw, root, "ECoG", "human", hgOnly = true, absOnly = false)
+    val storedPhase = spark.read.parquet(s"$root/preprocessing/wvlt_phase_ECoG")
+    val storedAmp = spark.read.parquet(s"$root/preprocessing/wvlt_amp_ECoG")
+    def traces(df: org.apache.spark.sql.DataFrame) =
+      df.select("channel", "band", "values").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val wvlt = DspOperators.waveletTransform(raw, "human", hgOnly = true)
+    val funcPhase = traces(DspOperators.phase(wvlt))
+    val gotPhase = traces(storedPhase)
+    assert(gotPhase.keySet == funcPhase.keySet && gotPhase.nonEmpty)
+    for (k <- gotPhase.keySet) {
+      val worst = gotPhase(k).zip(funcPhase(k)).map { case (a, b) => math.abs(a - b) }.max
+      assert(worst < 1e-12, s"stored phase diverges from functional at $k: $worst")
+    }
+    assert(traces(storedAmp).keySet == funcPhase.keySet)
+    // reference raises ValueError for phase + post-resample (wavelet_transform.py:424-426)
+    intercept[IllegalArgumentException](Store.storeWaveletTransform(
+      raw, root, "ECoG", absOnly = false, postResampleRate = Some(250.0)))
+  }
+
   test("streaming: windowed event agg matches batch over the same files") {
     // file-stream source wants a directory; stage the single parquet file
     val dir = Files.createTempDirectory("events_stream").toString
