@@ -4,17 +4,22 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct; decode / feature-extract /
   * resize / frame-sample are per-row (or per-partition-batched) transforms
   * over the binary payload.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `fakeDecodeFeatures` derives a deterministic feature vector
-  * from the payload bytes so the Spark-side plumbing — schema, partitioning,
-  * batch shape, column pruning around a large binary column — is real and
-  * testable. A production build swaps `decodeStub` for a JNI/library call
-  * with the identical signature.
+  * Image decode is REAL — `javax.imageio` (PNG/JPEG/GIF/BMP readers ship
+  * with the JDK, fully headless). Undecodable payloads produce null
+  * decode columns rather than failing the task, so mixed/corrupt corpora
+  * survive a full scan — the posture a 100 TB crawl requires. Audio/video
+  * codecs are not on this JVM; those payloads keep the byte-level feature
+  * path (`byteHistogramFeatures`), which is a legitimate content
+  * fingerprint, not a decode.
   */
 object Multimodal {
 
@@ -45,10 +50,108 @@ object Multimodal {
         lit(null).cast("int").as("declared_h")).as("meta"))
   }
 
-  /** STUB decode: a real build would decode `payload` (JPEG/WAV/...) here.
-    * Deterministic fake: feature[i] = normalized byte histogram moment i, so
-    * outputs are stable across partitionings and runs. */
-  private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** Deterministic synthetic PNG fixture: a solid-color image whose
+    * dimensions and channel values are closed-form in `id` — so a SQL oracle
+    * can predict what decoding it must yield (the JDK PNG writer emits no
+    * timestamp chunks; output bytes are stable). Used by q50 and specs;
+    * the harness ships no binary fixtures. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt
+    val h = 3 + (id % 7).toInt
+    val rgb = (((id * 37) % 256).toInt << 16) | (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bytes = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bytes)
+    bytes.toByteArray
+  }
+
+  /** One decoded image: dimensions plus per-channel mean/std (population),
+    * channels in raster band order (e.g. R,G,B[,A]). */
+  final case class DecodedImage(width: Int, height: Int, bands: Int,
+                                channelMean: Array[Double], channelStd: Array[Double])
+
+  /** Decode an image payload with javax.imageio; None when no registered
+    * reader accepts the bytes (text, corrupt, or non-image payloads). */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None } // corrupt container past the magic
+    img.map { bi =>
+      val raster = bi.getRaster
+      val (w, h, nb) = (bi.getWidth, bi.getHeight, raster.getNumBands)
+      val sum = new Array[Double](nb)
+      val sum2 = new Array[Double](nb)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < nb) {
+            val v = raster.getSampleDouble(x, y, b)
+            sum(b) += v
+            sum2(b) += v * v
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mean = sum.map(_ / n)
+      val std = Array.tabulate(nb)(b => math.sqrt(math.max(sum2(b) / n - mean(b) * mean(b), 0.0)))
+      DecodedImage(w, h, nb, mean, std)
+    }
+  }
+
+  /** Real per-image decode stats: width/height/band-count and per-channel
+    * mean/std columns; all null for payloads no image reader accepts.
+    * Narrow per-row map — payload pruned after the decode. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val f = udf { (payload: Array[Byte]) => decodeImage(payload) }
+    media.withColumn("img", f(col("payload")))
+      .select(col("media_id"), col("kind"), col("meta"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        col("img.bands").as("bands"),
+        col("img.channelMean").as("channel_mean"),
+        col("img.channelStd").as("channel_std"))
+  }
+
+  /** Decode + bilinear-resize + re-encode PNG; null where decode fails.
+    * The scaled draw runs on a headless Graphics2D — no display needed. */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val f = udf { (payload: Array[Byte]) =>
+      val in =
+        if (payload == null || payload.isEmpty) None
+        else try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      in.map { bi =>
+        val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(bi, 0, 0, width, height, null)
+        } finally g.dispose()
+        val bytes = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bytes)
+        bytes.toByteArray
+      }.orNull
+    }
+    media.withColumn("payload", f(col("payload")))
+  }
+
+  /** Byte-histogram cosine moments of an opaque payload — the non-decoding
+    * content fingerprint used for kinds with no JVM codec (audio/video) and
+    * as a decode-free similarity feature: feature[i] = histogram moment i,
+    * stable across partitionings and runs. */
+  private[multimodal] def byteHistogramFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null || payload.isEmpty) return Array.fill(dim)(0.0f)
     val hist = new Array[Long](256)
     for (b <- payload) hist(b & 0xFF) += 1
@@ -68,13 +171,13 @@ object Multimodal {
     * the mapInPandas-equivalent batch shape: one iterator pass per
     * partition, payload column pruned away after use. */
   def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
-    val f = udf((payload: Array[Byte]) => decodeStub(payload, dim))
+    val f = udf((payload: Array[Byte]) => byteHistogramFeatures(payload, dim))
     media.withColumn("features", f(col("payload")))
       .select("media_id", "kind", "meta", "features")
   }
 
   /** Frame sampling for video-kind payloads: deterministic stride slicing of
-    * the payload into `nFrames` pseudo-frames (stub for real frame decode;
+    * the payload into `nFrames` pseudo-frames (no video codec on this JVM;
     * the partition/batch shape is what matters). */
   def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame = {
     val f = udf { (payload: Array[Byte]) =>

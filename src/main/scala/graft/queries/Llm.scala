@@ -243,17 +243,36 @@ object Llm {
       Some("""SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    QueryDef("q50_multimodal_features", "binary media columns + stubbed decode/feature-extract",
+    QueryDef("q50_multimodal_features", "binary media columns + real javax.imageio decode",
       (s, dir) => {
-        val media = Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
-        Multimodal.extractFeatures(media, dim = 8)
-          .select(col("media_id"), col("meta.byte_len").as("byte_len"),
-            col("meta.magic").as("magic"),
-            round(element_at(col("features"), 1), 4).as("f0"),
-            round(element_at(col("features"), 2), 4).as("f1"))
-          .orderBy("media_id")
+        // deterministic PNG payloads (solid color, dims closed-form in doc_id;
+        // every 50th doc carries a non-image payload to exercise the
+        // null-on-undecodable path) -> REAL decode -> stats the oracle can
+        // predict arithmetically
+        val png = udf { (id: Long) => Multimodal.syntheticPng(id) }
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("media_id"), lit("image").as("kind"),
+            when(pmod(col("doc_id"), lit(50)) === 0,
+              concat(lit("not an image "), col("doc_id")).cast("binary"))
+              .otherwise(png(col("doc_id").cast("long"))).as("payload"),
+            lit(null).cast(Multimodal.MediaSchema("meta").dataType).as("meta"))
+        Multimodal.imageStats(media)
+          .select(col("media_id").as("doc_id"), col("width"), col("height"), col("bands"),
+            element_at(col("channel_mean"), 1).as("mean_r"),
+            element_at(col("channel_mean"), 2).as("mean_g"),
+            element_at(col("channel_mean"), 3).as("mean_b"),
+            element_at(col("channel_std"), 1).as("std_r"))
+          .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST(4 + doc_id % 13 AS INT) END AS width,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST(3 + doc_id % 7 AS INT) END AS height,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 3 END AS bands,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST((doc_id * 37) % 256 AS DOUBLE) END AS mean_r,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST((doc_id * 59) % 256 AS DOUBLE) END AS mean_g,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST((doc_id * 83) % 256 AS DOUBLE) END AS mean_b,
+             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 0.0 END AS std_r
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q51_cosine_lsh_pairs", "random-hyperplane LSH near-neighbor pairs",
       (s, dir) => Similarity.cosineLshPairs(table(s, dir, "embeddings"),

@@ -184,4 +184,38 @@ class TextOpsSpec extends AnyFunSuite {
       .select(size(col("frames"))).head().getInt(0)
     assert(frames == 4)
   }
+
+  test("real image decode: generated PNG stats exact, corrupt payload null, resize round-trip") {
+    import graft.multimodal.Multimodal
+    // direct decode of a deterministic PNG: planted dims + solid color back exactly
+    val id = 7L
+    val decoded = Multimodal.decodeImage(Multimodal.syntheticPng(id)).get
+    assert(decoded.width == 4 + (id % 13).toInt && decoded.height == 3 + (id % 7).toInt)
+    assert(decoded.bands == 3)
+    assert(decoded.channelMean.toSeq == Seq((id * 37 % 256).toDouble,
+      (id * 59 % 256).toDouble, (id * 83 % 256).toDouble))
+    assert(decoded.channelStd.forall(_ == 0.0))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // DataFrame operator: decode succeeds per row, nulls for the corrupt row
+    val rows = (1L to 20L).map(i => (i, "image",
+      if (i == 13) "garbage".getBytes else Multimodal.syntheticPng(i), null: String))
+      .toDF("media_id", "kind", "payload", "meta")
+    val stats = Multimodal.imageStats(rows).orderBy("media_id").collect()
+    assert(stats.length == 20)
+    for (r <- stats) {
+      val i = r.getLong(0)
+      if (i == 13) assert(r.isNullAt(3), "corrupt payload should decode to null")
+      else {
+        assert(r.getInt(3) == 4 + (i % 13).toInt)
+        assert(r.getSeq[Double](6).head == (i * 37 % 256).toDouble)
+      }
+    }
+    // resize: re-decoded output has the target dims and (bilinear over a
+    // solid color) the same channel means
+    val resized = Multimodal.resizeImages(rows.where($"media_id" === 2), 5, 4)
+    val rd = Multimodal.decodeImage(resized.select("payload").head().getAs[Array[Byte]](0)).get
+    assert(rd.width == 5 && rd.height == 4)
+    assert(rd.channelMean.toSeq == Seq((2L * 37 % 256).toDouble,
+      (2L * 59 % 256).toDouble, (2L * 83 % 256).toDouble))
+  }
 }
