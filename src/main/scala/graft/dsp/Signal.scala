@@ -131,9 +131,17 @@ object Signal {
   /** Notch filter at `noiseHz` and all harmonics below Nyquist: attenuate
     * rFFT bins within ±1 Hz of each harmonic by (1 - hamming window). One
     * forward/inverse FFT total. Mirrors `apply_linenoise_notch` +
-    * `_apply_notches` FFT path (linenoise_notch.py:8-92). */
+    * `_apply_notches` FFT path (linenoise_notch.py:8-92).
+    *
+    * `continuousProfile`: the reference samples its hamming over however
+    * many FFT bins fall inside ±delta — so the attenuation profile depends
+    * on the FFT length (2 shallow taps at n≈1k vs 8 deep ones at n≈4k).
+    * True evaluates the hamming as a continuous function of bin frequency
+    * instead: resolution-invariant, required when a recording is processed
+    * in overlap-add windows (graft.operators.Windowing) and the result must
+    * not depend on the window size. Default false = exact reference parity. */
   def notch(x: Array[Double], rate: Double, noiseHz: Double = 60.0,
-            npad: PadSpec = FastPad): Array[Double] = {
+            npad: PadSpec = FastPad, continuousProfile: Boolean = false): Array[Double] = {
     val nyquist = rate / 2.0
     if (nyquist < noiseHz) return x
     val delta = 1.0
@@ -153,13 +161,24 @@ object Signal {
       while (hi < m && hi * freqStep < notchF + delta) hi += 1
       val size = hi - lo
       if (size > 0) {
-        val win = Kernels.hammingWindow(size)
         var i = 0
-        while (i < size) {
-          val g = 1.0 - win(i)
-          spec(2 * (lo + i)) *= g
-          spec(2 * (lo + i) + 1) *= g
-          i += 1
+        if (continuousProfile) {
+          while (i < size) {
+            val f = (lo + i) * freqStep
+            val h = 0.54 - 0.46 * math.cos(math.Pi * (f - (notchF - delta)) / delta)
+            val g = 1.0 - h
+            spec(2 * (lo + i)) *= g
+            spec(2 * (lo + i) + 1) *= g
+            i += 1
+          }
+        } else {
+          val win = Kernels.hammingWindow(size)
+          while (i < size) {
+            val g = 1.0 - win(i)
+            spec(2 * (lo + i)) *= g
+            spec(2 * (lo + i) + 1) *= g
+            i += 1
+          }
         }
       }
       h += 1

@@ -32,11 +32,14 @@ object DspOperators {
   }
 
   /** Notch out `noiseHz` and harmonics from every segment.
+    * `continuousProfile`: resolution-invariant notch shape for windowed
+    * processing (see Signal.notch scaladoc); false = reference parity.
     * Ref: /root/reference/src/process_nwb/linenoise_notch.py:55-92. */
   def applyLinenoiseNotch(segments: DataFrame, noiseHz: Double = 60.0,
-                          npad: PadSpec = FastPad): DataFrame = {
+                          npad: PadSpec = FastPad,
+                          continuousProfile: Boolean = false): DataFrame = {
     val f = udf { (values: Array[Double], rate: Double) =>
-      Signal.notch(values, rate, noiseHz, npad)
+      Signal.notch(values, rate, noiseHz, npad, continuousProfile)
     }
     segments.withColumn("values", f(col("values"), col("rate")))
   }
@@ -55,14 +58,14 @@ object DspOperators {
     fbCache.computeIfAbsent((filters, paddedLen, rate, hgOnly),
       _ => Kernels.filterbank(filters, paddedLen, rate, hgOnly))
 
-  private def packBands(bands: Array[Array[Double]]): Seq[BandTrace] =
+  private def packBands(bands: Array[Array[Double]], scale: Double = 1.0): Seq[BandTrace] =
     bands.indices.map { b =>
       val z = bands(b)
       val n = z.length / 2
       val re = new Array[Double](n)
       val im = new Array[Double](n)
       var i = 0
-      while (i < n) { re(i) = z(2 * i); im(i) = z(2 * i + 1); i += 1 }
+      while (i < n) { re(i) = z(2 * i) * scale; im(i) = z(2 * i + 1) * scale; i += 1 }
       BandTrace(b, re, im)
     }
 
@@ -77,13 +80,25 @@ object DspOperators {
     * with complex (re, im) trace columns. Narrow except the explode (which is
     * also narrow); partition count grows by nBands via downstream
     * repartition if desired.
+    *
+    * `fftNormLength`: the reference L2-normalizes each kernel over its OWN
+    * FFT grid (wavelet_transform.py:320), which makes absolute band amplitude
+    * scale with √Δf — i.e. depend on the trace length. Leave None for exact
+    * reference parity on whole traces; set it to a declared reference length
+    * to pin the normalization resolution, making amplitudes invariant to how
+    * a recording is windowed (each band is rescaled by √(paddedLen/normLen)
+    * — required for overlap-add windowed processing, graft.operators
+    * .Windowing, to agree with the whole-trace result).
     * Ref: /root/reference/src/process_nwb/wavelet_transform.py:238-322. */
   def waveletTransform(segments: DataFrame, filters: String = "rat",
-                       hgOnly: Boolean = true, npad: PadSpec = FastPad): DataFrame = {
+                       hgOnly: Boolean = true, npad: PadSpec = FastPad,
+                       fftNormLength: Option[Int] = None): DataFrame = {
     val f = udf { (values: Array[Double], rate: Double) =>
       val plan = Signal.padPlan(values.length, npad)
-      val fb = cachedFilterbank(filters, values.length + plan.padTotal, rate, hgOnly)
-      packBands(Signal.waveletBands(values, fb.kernels, npad))
+      val padded = values.length + plan.padTotal
+      val fb = cachedFilterbank(filters, padded, rate, hgOnly)
+      val scale = fftNormLength.fold(1.0)(ref => math.sqrt(padded.toDouble / ref))
+      packBands(Signal.waveletBands(values, fb.kernels, npad), scale)
     }
     explodeBands(segments, f)
   }
@@ -99,7 +114,14 @@ object DspOperators {
     * one band's FFT — so no cross-row cache is needed. */
   def waveletTransform(segments: DataFrame,
                        kernels: Seq[Option[(Int, Double) => Array[Double]]],
-                       npad: PadSpec): DataFrame = {
+                       npad: PadSpec): DataFrame =
+    waveletTransform(segments, kernels, npad, fftNormLength = None)
+
+  /** Kernel-list variant with the windowing-invariant normalization pin
+    * (see the named-filterbank overload's scaladoc). */
+  def waveletTransform(segments: DataFrame,
+                       kernels: Seq[Option[(Int, Double) => Array[Double]]],
+                       npad: PadSpec, fftNormLength: Option[Int]): DataFrame = {
     val f = udf { (values: Array[Double], rate: Double) =>
       val plan = Signal.padPlan(values.length, npad)
       val n = values.length + plan.padTotal
@@ -107,7 +129,8 @@ object DspOperators {
         case Some(build) => Kernels.l2Normalize(build(n, rate))
         case None        => null
       }.toArray
-      packBands(Signal.waveletBands(values, built, npad))
+      val scale = fftNormLength.fold(1.0)(ref => math.sqrt(n.toDouble / ref))
+      packBands(Signal.waveletBands(values, built, npad), scale)
     }
     explodeBands(segments, f)
   }

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Overlap-add windowing for unbounded recordings (SURVEY.md §7 hard-part 5).
+  *
+  * A SegmentFrame row holds one channel's whole trace — fine for bench-scale
+  * recordings, unbounded at 100 TB. These operators bound every row instead:
+  * the trace is split into `stride`-sample core windows, each extended by
+  * `context` samples of real signal on both sides; spectral operators run
+  * per window exactly as on whole traces (window id rides inside the
+  * `series` name — the "#w<i>" suffix — so every existing operator,
+  * including the cross-channel blocked CAR, threads it through untouched);
+  * `stitch` then crossfades the overlap regions back into bounded output
+  * blocks. Per-time-point ops (CAR, scaling) are exact under windowing;
+  * FFT ops (notch, wavelet) differ from the whole-trace result only by
+  * boundary leakage, bounded by the crossfade — the same rtol-level
+  * equivalence the reference accepts for its chunked iterator
+  * (tests/test_pipeline.py:102-154).
+  *
+  * Scale shape: `windowSegments` is a narrow explode (no shuffle);
+  * `windowLong` builds bounded windows straight from a LongFrame with ONE
+  * shuffle on (channel, window) — replacing the unbounded whole-trace
+  * `Frames.toSegments` as the scale ingest; `stitch` costs one shuffle on
+  * (channel, block) with ≤3 contributor rows per group.
+  */
+object Windowing {
+
+  private val WinToken = "#w"
+
+  /** Crossfade weight of window `win` at global sample `t`: linear ramps of
+    * width 2·context centered on the core boundaries; adjacent windows' ramps
+    * sum to exactly 1. Trace edges (where only one window covers `t`) are
+    * handled by weight normalization in `stitch`, not special-cased here. */
+  private def weight(win: Long, t: Long, stride: Int, context: Int): Double =
+    if (context == 0) 1.0
+    else {
+      val upEnd = win * stride + context
+      val downStart = (win + 1) * stride - context
+      if (t < upEnd) (t - (win * stride - context)).toDouble / (2 * context)
+      else if (t >= downStart) ((win + 1) * stride + context - t).toDouble / (2 * context)
+      else 1.0
+    }
+
+  final case class Win(win: Long, values: Array[Double])
+
+  /** Whole-trace SegmentFrame -> windowed SegmentFrame. Narrow (explode
+    * only): row (series, ch, values[N]) becomes ceil(N/stride) rows
+    * (series#w<i>, ch, values[<= stride+2*context]) where each window's array
+    * carries `context` samples of real neighbor signal on each side
+    * (clamped at trace edges). */
+  def windowSegments(segments: DataFrame, stride: Int, context: Int): DataFrame = {
+    require(context >= 0 && stride >= 2 * context,
+      s"need stride >= 2*context for disjoint crossfade ramps (got $stride < 2*$context)")
+    val f = udf { (values: Array[Double]) =>
+      val n = values.length
+      val nw = math.max(1L, ((n + stride - 1) / stride).toLong)
+      (0L until nw).map { w =>
+        val a = math.max(w * stride - context, 0L).toInt
+        val b = math.min((w + 1) * stride + context, n.toLong).toInt
+        Win(w, java.util.Arrays.copyOfRange(values, a, b))
+      }
+    }
+    segments
+      .withColumn("_w", explode(f(col("values"))))
+      .select(concat(col("series"), lit(WinToken), col("_w.win")).as("series"),
+        col("channel"), col("band"), col("rate"), col("startingTime"),
+        col("_w.values").as("values"))
+  }
+
+  /** LongFrame -> windowed SegmentFrame with bounded rows — the 100 TB
+    * ingest path: each sample routes to its core window plus (inside the
+    * context margins) the adjacent one, then ONE shuffle on
+    * (series, channel, window) assembles arrays of <= stride+2*context
+    * samples. Trace lengths come from a one-row-per-(series,channel)
+    * aggregate broadcast back in (lazy, like Frames.rectangularize), so no
+    * stub windows appear past the trace end. */
+  def windowLong(long: DataFrame, stride: Int, context: Int): DataFrame = {
+    require(context >= 0 && stride >= 2 * context,
+      s"need stride >= 2*context for disjoint crossfade ramps (got $stride < 2*$context)")
+    val core = floor(col("t_idx") / stride).cast("long")
+    val nWins = long.groupBy("series", "channel")
+      .agg((floor(max(col("t_idx")) / stride) + 1).cast("long").as("_nw"))
+    val wins = long
+      .join(broadcast(nWins), Seq("series", "channel"))
+      .withColumn("_w", explode(array_compact(array(
+        core,
+        when(pmod(col("t_idx"), lit(stride)) < context && col("t_idx") >= stride,
+          core - 1),
+        when(pmod(col("t_idx"), lit(stride)) >= stride - context && core + 1 < col("_nw"),
+          core + 1)))))
+    wins
+      .groupBy("series", "channel", "band", "rate", "startingTime", "_w")
+      .agg(transform(array_sort(collect_list(struct(col("t_idx"), col("value")))),
+        s => s.getField("value")).as("values"))
+      .select(concat(col("series"), lit(WinToken), col("_w")).as("series"),
+        col("channel"), col("band"), col("rate"), col("startingTime"), col("values"))
+  }
+
+  final case class Contrib(blk: Long, off: Int,
+                           vals: Array[Double], wts: Array[Double])
+
+  /** Windowed SegmentFrame (after per-window ops) -> bounded output blocks:
+    * one row per (channel, band, block) with `values` of <= stride samples,
+    * `win_idx` = block index, base `series` restored. Each window emits its
+    * crossfade-weighted pieces to the <= 3 blocks it covers; one shuffle
+    * groups the <= 3 contributors per block and normalizes by the weight sum
+    * (which is 1 in the interior and self-corrects at trace edges). */
+  def stitch(windowed: DataFrame, stride: Int, context: Int): DataFrame = {
+    require(context >= 0 && stride >= 2 * context)
+    val contribs = udf { (win: Long, values: Array[Double]) =>
+      val a = math.max(win * stride - context, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Contrib]
+      var blk = a / stride
+      val end = a + values.length
+      while (blk * stride < end) {
+        val t0 = math.max(blk * stride, a)
+        val t1 = math.min((blk + 1) * stride, end)
+        if (t1 > t0) {
+          val vals = new Array[Double]((t1 - t0).toInt)
+          val wts = new Array[Double]((t1 - t0).toInt)
+          var i = 0
+          while (i < vals.length) {
+            val t = t0 + i
+            val w = weight(win, t, stride, context)
+            vals(i) = values((t - a).toInt) * w
+            wts(i) = w
+            i += 1
+          }
+          out += Contrib(blk, (t0 - blk * stride).toInt, vals, wts)
+        }
+        blk += 1
+      }
+      out.toSeq
+    }
+    val combine = udf { (rows: Seq[Row]) =>
+      val parts = rows.map(r =>
+        (r.getInt(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+      val len = parts.map { case (off, v, _) => off + v.length }.max
+      val acc = new Array[Double](len)
+      val wacc = new Array[Double](len)
+      for ((off, v, w) <- parts) {
+        var i = 0
+        while (i < v.length) { acc(off + i) += v(i); wacc(off + i) += w(i); i += 1 }
+      }
+      var i = 0
+      while (i < len) { acc(i) = if (wacc(i) > 0) acc(i) / wacc(i) else 0.0; i += 1 }
+      acc
+    }
+    val parsed = windowed
+      .withColumn("_base", substring_index(col("series"), WinToken, 1))
+      .withColumn("_win", substring_index(col("series"), WinToken, -1).cast("long"))
+      .withColumn("_c", explode(contribs(col("_win"), col("values"))))
+    parsed
+      .groupBy(col("_base"), col("channel"), col("band"), col("rate"),
+        col("startingTime"), col("_c.blk").as("win_idx"))
+      .agg(collect_list(struct(col("_c.off"), col("_c.vals"), col("_c.wts"))).as("parts"))
+      .select(col("_base").as("series"), col("channel"), col("band"), col("rate"),
+        col("startingTime"), col("win_idx"), combine(col("parts")).as("values"))
+  }
+
+  /** Stitched blocks -> LongFrame with the global t_idx restored. Narrow. */
+  def stitchedToLong(stitched: DataFrame, stride: Int): DataFrame =
+    stitched
+      .select(col("series"), col("channel"), col("band"), col("rate"),
+        col("startingTime"), col("win_idx"),
+        posexplode(col("values")).as(Seq("_pos", "value")))
+      .withColumn("t_idx", col("win_idx") * stride + col("_pos"))
+      .drop("win_idx", "_pos")
+}
