@@ -55,18 +55,29 @@ object Llm {
         TextOps.minhashCandidates(sigs, threshold = 0.2)
           .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       },
-      // hash60(s, i) == ('0x' || substr(md5(i || ':' || s), 1, 15))::UBIGINT;
-      // 32 hashes, 8 bands of 4, bucket = md5(band || ':' || csv(slice))
+      // slot i = xor-multiply mix ((x xor c_i) * M) mod 2^64 >> 4 over
+      // x = md5(shingle) hex 1-15, c_i = md5(i) hex 1-15 (one digest per
+      // shingle in both engines; JVM long wrap == HUGEINT % 2^64);
+      // 32 hashes, 8 bands of 4, bucket = md5(band || ':' || csv(slice));
+      // buckets larger than 64 docs are dropped (skew cap, see
+      // TextOps.minhashCandidates)
       Some("""WITH words AS (
              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
              |), sh AS (
              |  SELECT doc_id, unnest(list_distinct(list_transform(
              |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS shingle
              |  FROM words WHERE len(w) >= 2
+             |), shh AS (
+             |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::UBIGINT AS x
+             |  FROM sh
+             |), mix AS (
+             |  SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 15))::UBIGINT AS c
+             |  FROM (SELECT unnest(generate_series(0, 31)) AS i)
              |), hs AS (
              |  SELECT s.doc_id, g.i,
-             |         min(('0x' || substr(md5(g.i || ':' || s.shingle), 1, 15))::UBIGINT) AS h
-             |  FROM sh s CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
+             |         min((((xor(s.x, g.c)::HUGEINT * 2685821657736338717)
+             |               % 18446744073709551616)::UBIGINT >> 4)) AS h
+             |  FROM shh s CROSS JOIN mix g
              |  GROUP BY s.doc_id, g.i
              |), sig AS (
              |  SELECT d.doc_id, g.i, COALESCE(hs.h, 9223372036854775807::UBIGINT) AS h
@@ -77,11 +88,15 @@ object Llm {
              |  SELECT doc_id, i // 4 AS band_idx,
              |         md5((i // 4) || ':' || string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
              |  FROM sig GROUP BY doc_id, i // 4
+             |), bsz AS (
+             |  SELECT band_idx, bucket, count(*) AS c FROM bucket GROUP BY 1, 2
              |), cand AS (
              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM bucket a
              |  JOIN bucket b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
              |              AND a.doc_id < b.doc_id
+             |  JOIN bsz ON bsz.band_idx = a.band_idx AND bsz.bucket = a.bucket
+             |          AND bsz.c <= 64
              |)
              |SELECT c.doc_a, c.doc_b,
              |       round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard

@@ -79,27 +79,71 @@ object TextOps {
 
   // --- MinHash + LSH near-dedup -------------------------------------------
 
-  /** Per-doc MinHash signature over word n-gram shingles: one narrow pass. */
+  /** Odd multiplier < 2^62 so the DuckDB HUGEINT product of two such values
+    * stays inside signed 128 bits; order-scrambling mod 2^64. */
+  private val MixM = 0x2545F4914F6CDD1DL
+
+  /** Per-hash xor constants: 60 bits of md5(i), same derivation as the
+    * shingle base value so a SQL oracle rebuilds them. */
+  private[text] def mixConstant(i: Int): Long = {
+    val b = md5Bytes(i.toString)
+    var c = 0L
+    var k = 0
+    while (k < 7) { c = (c << 8) | (b(k) & 0xFFL); k += 1 }
+    (c << 4) | ((b(7) & 0xF0L) >>> 4)
+  }
+
+  /** Per-doc MinHash signature over word n-gram shingles: one narrow pass,
+    * ONE md5 per shingle. The hash family must scramble the ORDER of
+    * shingles independently per slot (anything linear in the slot index —
+    * e.g. Kirsch-Mitzenmacher h1+i*h2 — keeps the same argmin across slots
+    * and wrecks the Jaccard estimate), so slot i is the xor-multiply mix
+    * h_i(x) = ((x xor c_i) * M) mod 2^64 >> 4 over the 60-bit base value
+    * x = md5(shingle) hex 1-15, with c_i = md5(i) hex 1-15. Multiplication
+    * wraps mod 2^64 identically in JVM longs and DuckDB HUGEINT % 2^64, so
+    * the oracle reproduces signatures bit-for-bit. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 32,
                         shingleN: Int = 2): DataFrame = {
+    val cs = Array.tabulate(numHashes)(mixConstant)
     val sigUdf = udf { (text: String) =>
       val shingles = shingleArray(text, shingleN)
-      Array.tabulate(numHashes) { i =>
-        if (shingles.isEmpty) Long.MaxValue
-        else shingles.map(sh => hash60(sh, i)).min
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      var k = 0
+      while (k < shingles.length) {
+        val b = md5Bytes(shingles(k))
+        var x = 0L
+        var i = 0
+        while (i < 7) { x = (x << 8) | (b(i) & 0xFFL); i += 1 }
+        x = (x << 4) | ((b(7) & 0xF0L) >>> 4)
+        i = 0
+        while (i < numHashes) {
+          val h = ((x ^ cs(i)) * MixM) >>> 4
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+        k += 1
       }
+      out
     }
     docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("signature"))
   }
 
   /** LSH candidate pairs from signatures: `bands` bands of `numHashes/bands`
     * rows; docs sharing any band bucket become candidates; estimated Jaccard
-    * = fraction of matching signature slots. Only candidate ID PAIRS cross
-    * the dedup shuffle (two longs per row — never the signatures, never the
-    * full pairwise cross product); signatures are attached once afterwards. */
+    * = fraction of matching signature slots.
+    *
+    * Scale shape: ONE shuffle groups doc ids per (band, bucket); pairs are
+    * generated inside each bucket row, so only candidate ID PAIRS exist
+    * downstream (never a signature self-join, never a pairwise cross
+    * product). `maxBucketSize` caps skew — a bucket holding thousands of
+    * boilerplate near-identical docs would otherwise emit O(size²) pairs in
+    * one hot task; such floods are exact-dedup's job (q40), so oversized
+    * buckets are dropped, trading bounded recall loss for a bounded worst
+    * task. Signatures are attached once afterwards for the estimate. */
   def minhashCandidates(signatures: DataFrame, numHashes: Int = 32,
-                        bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+                        bands: Int = 8, threshold: Double = 0.2,
+                        maxBucketSize: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandUdf = udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
@@ -108,14 +152,20 @@ object TextOps {
       }
     }
     val buckets = signatures
-      .select(col("doc_id"), explode(bandUdf(col("signature"))).as("band"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(bandUdf(col("signature"))).as("band"))
       .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairsUdf = udf { (ids: Seq[Long]) =>
+      val sorted = ids.toArray.sorted
+      for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))
+    }
+    val candidates = buckets
+      .groupBy("band_idx", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
     val est = udf { (s1: Seq[Long], s2: Seq[Long]) =>
       s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length

@@ -61,6 +61,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(est.exists { case (a, b, j) => j == 1.0 })
   }
 
+  test("minhash bucket cap bounds a boilerplate flood without losing normal pairs") {
+    // 200 identical boilerplate docs: every band funnels them into one
+    // bucket -> 19900 pairs x 8 bands in one task without the cap
+    val flood = (1000L until 1200L).map(i => (i, "identical boilerplate text repeated verbatim"))
+    val mixed = docs.union(flood.toDF("doc_id", "text"))
+    val sigs = TextOps.minhashSignatures(mixed)
+    val capped = TextOps.minhashCandidates(sigs, threshold = 0.2, maxBucketSize = 64)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the flood bucket (200 > 64) is dropped entirely...
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "flood pairs should be capped away")
+    // ...while planted near-dup pairs in normal-size buckets survive
+    for (pair <- Seq((200L, 201L), (210L, 211L), (220L, 221L)))
+      assert(capped.contains(pair), s"cap lost planted pair $pair")
+  }
+
   test("minhash estimate approximates exact jaccard on planted pairs") {
     val sigs = TextOps.minhashSignatures(docs, numHashes = 128, shingleN = 2)
     val cands = TextOps.minhashCandidates(sigs, numHashes = 128, bands = 32, threshold = 0.1)
