@@ -54,12 +54,37 @@ object CommonReferencing {
     long.groupBy("series", "t_idx")
       .agg(trimmedMeanAgg(nChannels, meanFrac, roundFunc).as("car"))
 
-  /** Subtract the CAR from every channel sample of a LongFrame. */
+  /** Subtract the CAR from every channel sample of a LongFrame — the
+    * reference-shaped join form: groupBy(t_idx) aggregate + add-back join,
+    * which relies on AQE broadcasting the n_time-row CAR side. Fine at
+    * modest n_time; for unbounded recordings use `subtractCarLongBlocked`,
+    * whose shuffle widths are bounded by its stride. */
   def subtractCar(long: DataFrame, nChannels: Int, meanFrac: Double = 0.95,
                   roundFunc: Double => Double = math.ceil): DataFrame =
     long.join(car(long, nChannels, meanFrac, roundFunc), Seq("series", "t_idx"))
       .withColumn("value", col("value") - col("car"))
       .drop("car")
+
+  /** Long-form CAR at scale: pack the long frame into bounded disjoint
+    * windows (Windowing.windowLong, context 0 — the trimmed mean is
+    * per-time-point, so window boundaries change nothing), run the blocked
+    * segment CAR inside each window, unpack back to the long layout. One
+    * bounded per-sample shuffle plus two segment-level ones; no per-sample
+    * aggregate join, no unbounded rows, regardless of recording length.
+    * Nulls are normalized to NaN up front (missing samples then follow the
+    * reference's sort-last/nanmean path, common_referencing.py:34-41), so
+    * missing inputs yield NaN outputs where the join form yields null —
+    * equivalent under np.isnan-style comparison. */
+  def subtractCarLongBlocked(long: DataFrame, nChannels: Int,
+                             meanFrac: Double = 0.95,
+                             roundFunc: Double => Double = math.ceil,
+                             stride: Int = 8192): DataFrame = {
+    val nanSafe = long.withColumn("value",
+      coalesce(col("value").cast("double"), lit(Double.NaN)))
+    val windowed = Windowing.windowLong(nanSafe, stride, context = 0)
+    val referenced = subtractCarSegments(windowed, nChannels, meanFrac, stride, roundFunc)
+    Windowing.windowedToLong(referenced, stride)
+  }
 
   /** Subtract CAR on a SegmentFrame via fixed-size time blocks instead of
     * per-sample rows: segments split into `blockSize`-sample blocks

@@ -160,6 +160,19 @@ object Windowing {
         col("startingTime"), col("win_idx"), combine(col("parts")).as("values"))
   }
 
+  /** Context-0 inverse of windowLong: windowed SegmentFrame -> LongFrame
+    * with the global t_idx restored, no crossfade needed (disjoint windows).
+    * Narrow. */
+  def windowedToLong(windowed: DataFrame, stride: Int): DataFrame =
+    windowed
+      .withColumn("win_idx", substring_index(col("series"), WinToken, -1).cast("long"))
+      .withColumn("series", substring_index(col("series"), WinToken, 1))
+      .select(col("series"), col("channel"), col("band"), col("rate"),
+        col("startingTime"), col("win_idx"),
+        posexplode(col("values")).as(Seq("_pos", "value")))
+      .withColumn("t_idx", col("win_idx") * stride + col("_pos"))
+      .drop("win_idx", "_pos")
+
   /** Stitched blocks -> LongFrame with the global t_idx restored. Narrow. */
   def stitchedToLong(stitched: DataFrame, stride: Int): DataFrame =
     stitched

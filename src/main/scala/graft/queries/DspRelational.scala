@@ -42,7 +42,9 @@ object DspRelational {
           .withColumn("value",
             when(col("channel") === 3 && pmod(col("t_idx"), lit(97)) === 0, lit(null))
               .otherwise(col("value")))
-        CommonReferencing.subtractCar(long, nChannels = 8, meanFrac = 0.95)
+        // the scale path: bounded windows + blocked CAR (hash-equivalent to
+        // the join form; missing samples come back NaN instead of null)
+        CommonReferencing.subtractCarLongBlocked(long, nChannels = 8, meanFrac = 0.95)
           .select(col("t_idx"), col("channel"), round(col("value"), 6).as("referenced"))
           .orderBy("t_idx", "channel")
       },

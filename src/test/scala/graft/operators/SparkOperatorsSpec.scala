@@ -119,6 +119,28 @@ class SparkOperatorsSpec extends AnyFunSuite {
       s"analytic envelope of pure cosine != amplitude: ${env.take(5).mkString(",")}")
   }
 
+  test("subtractCarLongBlocked == join-form subtractCar incl. planted nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = for (t <- 0L until 700L; ch <- 0 until 8) yield
+      ("s", ch, null: Integer, 400.0, 0.0, t,
+        if (ch == 3 && t % 97 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextDouble() * 100 - 50))
+    val long = rows.toDF("series", "channel", "band", "rate", "startingTime", "t_idx", "value")
+    def collectVals(df: org.apache.spark.sql.DataFrame) =
+      df.select("t_idx", "channel", "value").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val joinForm = collectVals(CommonReferencing.subtractCar(long, 8))
+    // stride 256 forces multiple windows over the 700-sample trace
+    val blocked = collectVals(CommonReferencing.subtractCarLongBlocked(long, 8, stride = 256))
+    assert(joinForm.keySet == blocked.keySet && joinForm.size == 700 * 8)
+    for (k <- joinForm.keySet) {
+      val (a, b) = (joinForm(k), blocked(k))
+      assert((a.isNaN && b.isNaN) || math.abs(a - b) < 1e-12, s"diverges at $k: $a vs $b")
+    }
+  }
+
   test("blocked segment CAR == long-form SQL CAR (small blockSize forces multi-block)") {
     val raw = Synthetic.segments(spark, 1.0, 8, 400.0, seed = 21)
     val blocked = CommonReferencing.subtractCarSegments(raw, 8, 0.95, blockSize = 64)
