@@ -294,7 +294,37 @@ object Llm {
           planes = 10, minSim = 0.0)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(200),
-      None),
+      // plane(p,i) = md5("7:p:i") hex 1-12 as unsigned - 2^47 (exact integer
+      // doubles, see Similarity.planeComponent); bucket = sign pattern of the
+      // 10 plane dots
+      Some("""WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+             |planes AS (
+             |  SELECT p, list_transform(generate_series(1, d.dim), i ->
+             |    ('0x' || substr(md5('7:' || p || ':' || (i - 1)), 1, 12))::UBIGINT::DOUBLE
+             |      - 140737488355328.0) AS plane
+             |  FROM (SELECT unnest(generate_series(0, 9)) AS p) CROSS JOIN d
+             |), sig AS (
+             |  SELECT e.vec_id AS id,
+             |         sum(CASE WHEN list_dot_product(
+             |               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |               p.plane) >= 0
+             |             THEN (1 << p.p) ELSE 0 END)::INT AS bucket
+             |  FROM embeddings e CROSS JOIN planes p
+             |  GROUP BY e.vec_id
+             |), cand AS (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+             |)
+             |SELECT c.id_a, c.id_b, round(list_cosine_similarity(
+             |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+             |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+             |FROM cand c
+             |JOIN embeddings ea ON ea.vec_id = c.id_a
+             |JOIN embeddings eb ON eb.vec_id = c.id_b
+             |WHERE round(list_cosine_similarity(
+             |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+             |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.0
+             |ORDER BY sim DESC, id_a, id_b LIMIT 200""".stripMargin)),
 
     QueryDef("q52_ivf_topk", "IVF-bucketed approximate nearest neighbors",
       (s, dir) => {

@@ -145,6 +145,16 @@ object Similarity {
       query, k, excludeId, idCol, vecCol)
   }
 
+  /** Hyperplane component (p, i): a signed 48-bit integer from md5 hex
+    * chars 1-12 of "<seed>:<p>:<i>", centered by 2^47. Integer-valued and
+    * < 2^53, so the value is EXACT in a double in any engine — a SQL oracle
+    * rebuilds the planes bit-for-bit (sign-LSH only needs a distribution
+    * symmetric about zero, not Gaussian). */
+  private[text] def planeComponent(seed: Int, p: Int, i: Int): Double = {
+    val hex = TextOps.md5Hex(s"$seed:$p:$i")
+    java.lang.Long.parseLong(hex.substring(0, 12), 16).toDouble - (1L << 47).toDouble
+  }
+
   /** All-pairs near-neighbor candidates by random-hyperplane LSH: vectors
     * sharing a sign-pattern bucket are compared exactly. Narrow signature
     * pass + bucket-join, like MinHash for text. */
@@ -152,11 +162,11 @@ object Similarity {
                      seed: Int = 7,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyper = Array.tabulate(planes, dim)((p, i) => planeComponent(seed, p, i))
     val spark = embeddings.sparkSession
     val bc = spark.sparkContext.broadcast(hyper)
-    val sigUdf = udf { (v: Seq[Float]) =>
+    val sigUdf = udf { (vIn: Seq[Float]) =>
+      val v = vIn.toArray // Seq can arrive as a List: need O(1) indexing
       val hs = bc.value
       var sig = 0
       for (p <- hs.indices) {
