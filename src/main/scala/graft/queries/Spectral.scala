@@ -8,9 +8,9 @@ import graft.operators.{DspOperators, Pipeline}
 
 /** The spectral (FFT-backed) operator surface — resample, notch, wavelet,
   * full pipeline, synthetic source (SURVEY.md §2: F5-F11, S5, ST1-ST2).
-  * Each (except the synthetic source, whose 64-bit counter-hash RNG is not
-  * SQL-expressible) carries an exact direct-DFT DuckDB oracle from
-  * SpectralOracles — at verify scale an O(n²) DFT in SQL is cheap — on top
+  * Each carries an exact DuckDB oracle from SpectralOracles (direct DFT for
+  * the FFT operators; a bit-exact HUGEINT splitmix64 replica for the
+  * synthetic source) — at verify scale an O(n²) DFT in SQL is cheap — on top
   * of the golden-vector and semantics specs (src/test/scala/graft/dsp)
   * which pin these operators to numpy/reference behavior.
   *
@@ -56,7 +56,7 @@ object Spectral {
     QueryDef("q34_synthetic_source", "S5 deterministic synthetic ECoG source",
       (s, dir) => toLongRounded(
         Synthetic.segments(s, duration = 2.0, nChannels = 8, rate = 400.0, seed = 42)),
-      None),
+      Some(SpectralOracles.q34())),
 
     QueryDef("q35_wavelet_phase", "F12 wavelet phase (the reference's abs_only=False path)",
       (s, dir) => toLongRounded(DspOperators.phase(

@@ -280,6 +280,100 @@ FROM ztrace ORDER BY channel, band, t_idx"""
 
   def q35(rate: Double = 1000.0): String = q32(rate, "atan2(zim, zre)")
 
+  /** q34: bit-exact replica of the synthetic generator (graft.model
+    * .Synthetic): splitmix64 counter RNG via HUGEINT mod-2^64 arithmetic
+    * (64x64 multiplies split into 32-bit halves to stay inside INT128),
+    * Box-Muller gauss draws, boxcar(50) smoothing as a window sum, global
+    * population std, modulated 100 Hz carrier and the closed-form 60 Hz
+    * harmonic sum. NOTE: DuckDB identifiers are case-insensitive — harmonic
+    * trig columns are c6/s6 because cH would collide with ch. */
+  def q34(): String =
+    """|WITH chans AS (SELECT unnest(generate_series(0, 7)) AS ch),
+             |ks AS (SELECT unnest(generate_series(0, 799)) AS k),
+             |ctr AS (
+             |  SELECT c.ch, s.k, w.which,
+             |    ((42::HUGEINT * 7146057691288625177 + c.ch::HUGEINT * 11400714819323198485
+             |      + 2 * s.k + w.which) % 18446744073709551616)::UBIGINT AS x0
+             |  FROM chans c CROSS JOIN ks s
+             |  CROSS JOIN (SELECT unnest([0, 1]) AS which) w
+             |),
+             |m1 AS (SELECT ch, k, which,
+             |  ((x0::HUGEINT + 11400714819323198485) % 18446744073709551616)::UBIGINT AS x FROM ctr),
+             |m2 AS (SELECT ch, k, which,
+             |  ((((xor(x, x >> 30)) % 4294967296)::HUGEINT * 13787848793156543929 + (((((xor(x, x >> 30)) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM m1),
+             |m3 AS (SELECT ch, k, which,
+             |  ((((xor(x, x >> 27)) % 4294967296)::HUGEINT * 10723151780598845931 + (((((xor(x, x >> 27)) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM m2),
+             |m4 AS (SELECT ch, k, which, xor(x, x >> 31) AS x FROM m3),
+             |us AS (SELECT ch, k, which, ((x >> 11)::DOUBLE + 0.5) / 9007199254740992.0 AS u FROM m4),
+             |noise AS (
+             |  SELECT ch, k,
+             |    sqrt(-2.0 * ln(max(CASE WHEN which = 0 THEN u END)))
+             |      * cos(2.0 * pi() * max(CASE WHEN which = 1 THEN u END)) / 100.0 AS v
+             |  FROM us GROUP BY ch, k
+             |),
+             |smoothed AS (
+             |  SELECT ch, k,
+             |    sum(v) OVER (PARTITION BY ch ORDER BY k ROWS BETWEEN 25 PRECEDING AND 24 FOLLOWING)
+             |      / 50.0 AS v
+             |  FROM noise
+             |),
+             |stats AS (
+             |  SELECT sum(v) / count(*) AS mu,
+             |         sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) ** 2) AS sd
+             |  FROM smoothed
+             |),
+             |phctr AS (
+             |  SELECT c.ch, s.stream_kind,
+             |    CASE WHEN s.stream_kind < 2 THEN
+             |      ((42::HUGEINT * 11400714819323198485
+             |        + (1000 * (s.stream_kind + 1) + c.ch)::HUGEINT * 15111065706836454659
+             |        + 0 + 10140184033053478359) % 18446744073709551616)::UBIGINT
+             |    ELSE
+             |      ((((42::HUGEINT * 7146057691288625177
+             |          + (3000 + c.ch)::HUGEINT * 11400714819323198485) % 18446744073709551616)
+             |        + (s.stream_kind - 2) + 11400714819323198485) % 18446744073709551616)::UBIGINT
+             |    END AS x
+             |  FROM chans c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS stream_kind) s
+             |),
+             |ph1 AS (SELECT ch, stream_kind,
+             |  ((((xor(x, x >> 30)) % 4294967296)::HUGEINT * 13787848793156543929 + (((((xor(x, x >> 30)) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM phctr),
+             |ph2 AS (SELECT ch, stream_kind,
+             |  ((((xor(x, x >> 27)) % 4294967296)::HUGEINT * 10723151780598845931 + (((((xor(x, x >> 27)) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM ph1),
+             |ph3 AS (SELECT ch, stream_kind, xor(x, x >> 31) AS x FROM ph2),
+             |phu AS (SELECT ch, stream_kind, ((x >> 11)::DOUBLE + 0.5) / 9007199254740992.0 AS u FROM ph3),
+             |chparams AS (
+             |  SELECT ch,
+             |    2.0 * pi() * max(CASE WHEN stream_kind = 0 THEN u END) AS phc,
+             |    2.0 * pi() * max(CASE WHEN stream_kind = 1 THEN u END) AS phm,
+             |    sqrt(-2.0 * ln(max(CASE WHEN stream_kind = 2 THEN u END)))
+             |      * cos(2.0 * pi() * max(CASE WHEN stream_kind = 3 THEN u END)) AS weight
+             |  FROM phu GROUP BY ch
+             |),
+             |terms AS (
+             |  SELECT s.ch, s.k, s.v / (st.sd * 2.0) AS base,
+             |    2.0 * s.k / 799.0 AS t, p.phc, p.phm, p.weight
+             |  FROM smoothed s CROSS JOIN stats st JOIN chparams p ON p.ch = s.ch
+             |),
+             |ln0 AS (
+             |  SELECT ch, k, base, phc, phm, weight, t,
+             |    cos(2.0 * pi() * 60.0 * t) AS c, sin(2.0 * pi() * 60.0 * t) AS sn,
+             |    cos(6.0 * 2.0 * pi() * 60.0 * t) AS c6, sin(6.0 * 2.0 * pi() * 60.0 * t) AS s6
+             |  FROM terms
+             |),
+             |ln1 AS (
+             |  SELECT ch, k, base, phc, phm, weight, t, c, sn,
+             |    1.0 - 0.015625 * c6 AS ar, -0.015625 * s6 AS ai,
+             |    1.0 - 0.5 * c AS dr, -0.5 * sn AS di
+             |  FROM ln0
+             |)
+             |SELECT ch AS channel, CAST(NULL AS INTEGER) AS band, k AS t_idx,
+             |  round(base
+             |    + sin(2.0 * pi() * t * 100.0 + phc) * (sin(2.0 * pi() * t * 1.0 + phm) ** 2 + 0.2)
+             |    + weight * ((0.5 * (c * ai + sn * ar)) * dr - (0.5 * (c * ar - sn * ai)) * di)
+             |      / (dr * dr + di * di), 6) AS value
+             |FROM ln1
+             |ORDER BY channel, t_idx""".stripMargin
+
   /** q33: full preprocess_block + tutorial tail. The identity resample
     * (1000 -> 1000, ratio 1) is NOT a numeric no-op: the even-np Nyquist bin
     * is halved (resample.py:86-88), i.e. y1 = x - X_nyq/(2·np)·(-1)^(t+pl). */
