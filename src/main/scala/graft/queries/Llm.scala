@@ -10,10 +10,10 @@ import graft.multimodal.Multimodal
   * (BASELINE.json north-star): dedup, similarity search, text analysis,
   * multimodal plumbing. Nearly all carry exact DuckDB oracles — MinHash and
   * SimHash hashing is md5-derived (TextOps.hash60) precisely so DuckDB can
-  * replicate signatures bit-for-bit. The remaining rows-only entries are
-  * genuinely engine-bound: q50 (binary decode), q51 (JVM-seeded random
-  * hyperplanes), q52 (k-means centroid state). All are correctness-tested
-  * with planted fixtures in the test suite.
+  * replicate signatures bit-for-bit; q50's decode stats are predicted
+  * arithmetically from generated PNGs; q51's hyperplanes and q52's k-means
+  * seeding are md5-derived so even those are hash-checked — every query in
+  * this module carries an exact oracle.
   */
 object Llm {
 
@@ -335,5 +335,78 @@ object Llm {
         val assigned = Similarity.ivfAssign(emb, centroids)
         Similarity.ivfTopK(assigned, centroids, query, k = 10, nprobe = 3, excludeId = 0L)
       },
-      None))
+      // full Lloyd replica in SQL: md5-prefix seeding, two
+      // assign(argmax-cosine, ties lowest cell)/update(per-dim avg)
+      // rounds, then the 3-cell probe and exact top-10 — mirrors
+      // Similarity.kmeansCentroids/ivfAssign/ivfTopK step for step
+      Some("""|WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |),
+             |c0 AS (
+             |  SELECT cell, v FROM (
+             |    SELECT row_number() OVER (ORDER BY substr(md5(vec_id::VARCHAR), 1, 15), vec_id) - 1 AS cell, v
+             |    FROM emb
+             |  ) WHERE cell < 16
+             |),
+             |-- Lloyd iteration 1: assign to argmax-cosine centroid (ties -> lowest cell)
+             |a1 AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c0 c
+             |  ) WHERE rn = 1
+             |),
+             |u1 AS (
+             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  FROM a1 a JOIN emb e USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
+             |  GROUP BY a.cell, d.i
+             |),
+             |c1 AS (
+             |  SELECT c0.cell, COALESCE(n.v, c0.v) AS v
+             |  FROM c0 LEFT JOIN (
+             |    SELECT cell, list(x ORDER BY i) AS v FROM u1 GROUP BY cell
+             |  ) n USING (cell)
+             |),
+             |-- Lloyd iteration 2
+             |a2 AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c1 c
+             |  ) WHERE rn = 1
+             |),
+             |u2 AS (
+             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  FROM a2 a JOIN emb e USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
+             |  GROUP BY a.cell, d.i
+             |),
+             |c2 AS (
+             |  SELECT c1.cell, COALESCE(n.v, c1.v) AS v
+             |  FROM c1 LEFT JOIN (
+             |    SELECT cell, list(x ORDER BY i) AS v FROM u2 GROUP BY cell
+             |  ) n USING (cell)
+             |),
+             |q AS (SELECT v FROM emb WHERE vec_id = 0),
+             |-- final assignment (ivfAssign with the post-iteration centroids)
+             |af AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c2 c
+             |  ) WHERE rn = 1
+             |),
+             |probe AS (
+             |  SELECT c.cell FROM c2 c CROSS JOIN q
+             |  ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.cell LIMIT 3
+             |)
+             |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS sim
+             |FROM emb e JOIN af USING (vec_id) CROSS JOIN q
+             |WHERE af.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)))
 }

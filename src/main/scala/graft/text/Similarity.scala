@@ -79,8 +79,9 @@ object Similarity {
   /** IVF coarse quantizer: a FIXED-k centroid table from distributed Lloyd
     * iterations. Everything that touches the driver is bounded at k×dim
     * doubles no matter the corpus size:
-    *  - init: the k vectors with smallest xxhash64(id) — a TakeOrdered
-    *    top-k, not a sort, not a data-dependent sample;
+    *  - init: the k vectors with smallest md5(id) prefix — a TakeOrdered
+    *    top-k, not a sort, not a data-dependent sample (md5 rather than
+    *    xxhash64 so a SQL oracle reproduces the seeding);
     *  - each iteration: broadcast-assign (narrow), then a (cell, dim)
     *    sum/count aggregate — k×dim groups, map-side partially combined, so
     *    the shuffle is tiny at any scale.
@@ -89,7 +90,7 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     var centroids: Array[Array[Double]] = embeddings
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(substring(md5(col(idCol).cast("string")), 1, 15), col(idCol))
       .limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
