@@ -80,16 +80,23 @@ object Windowing {
     require(context >= 0 && stride >= 2 * context,
       s"need stride >= 2*context for disjoint crossfade ramps (got $stride < 2*$context)")
     val core = floor(col("t_idx") / stride).cast("long")
-    val nWins = long.groupBy("series", "channel")
-      .agg((floor(max(col("t_idx")) / stride) + 1).cast("long").as("_nw"))
-    val wins = long
-      .join(broadcast(nWins), Seq("series", "channel"))
-      .withColumn("_w", explode(array_compact(array(
-        core,
-        when(pmod(col("t_idx"), lit(stride)) < context && col("t_idx") >= stride,
-          core - 1),
-        when(pmod(col("t_idx"), lit(stride)) >= stride - context && core + 1 < col("_nw"),
-          core + 1)))))
+    // context=0: every sample belongs to exactly its core window — no
+    // neighbor membership, no stub windows, so the per-trace max-t pass
+    // (and its extra scan of the input lineage) is unnecessary
+    val wins =
+      if (context == 0) long.withColumn("_w", core)
+      else {
+        val nWins = long.groupBy("series", "channel")
+          .agg((floor(max(col("t_idx")) / stride) + 1).cast("long").as("_nw"))
+        long
+          .join(broadcast(nWins), Seq("series", "channel"))
+          .withColumn("_w", explode(array_compact(array(
+            core,
+            when(pmod(col("t_idx"), lit(stride)) < context && col("t_idx") >= stride,
+              core - 1),
+            when(pmod(col("t_idx"), lit(stride)) >= stride - context && core + 1 < col("_nw"),
+              core + 1)))))
+      }
     wins
       .groupBy("series", "channel", "band", "rate", "startingTime", "_w")
       .agg(transform(array_sort(collect_list(struct(col("t_idx"), col("value")))),
