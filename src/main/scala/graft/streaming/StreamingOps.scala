@@ -49,6 +49,38 @@ object StreamingOps {
       }
   }
 
+  /** Streaming windowed DSP ingest: events stream -> bounded SegmentFrame
+    * rows, one per (channel, event-time window). The watermark + append mode
+    * emit a window's row only once it is complete, so each emitted row is a
+    * finished bounded segment — exactly the unit the batch spectral
+    * operators consume. Downstream, `DspOperators.resample/applyLinenoiseNotch/
+    * waveletTransform` apply UNCHANGED to the streaming DataFrame (they are
+    * narrow per-row UDFs), making the full preprocessing pipeline a
+    * continuous query: readStream -> windowed segments -> notch -> wavelet
+    * -> writeStream. This is the streaming twin of `operators.Windowing`
+    * (context-0 form; crossfaded context would arrive with a second
+    * overlapping window spec).
+    *
+    * Samples are ordered by event time inside each window; `rate` is the
+    * declared uniform rate (SURVEY.md §1.1 data model). startingTime is the
+    * window start in epoch seconds. */
+  def windowedSegmentsStream(events: DataFrame, nChannels: Int, rate: Double,
+                             windowDur: String = "1 minute",
+                             watermark: String = "2 minutes",
+                             series: String = "events"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), windowDur),
+        col("channel"))
+      .agg(transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+        s => s.getField("value").cast("double")).as("values"))
+      .select(lit(series).as("series"), col("channel"),
+        lit(null).cast("int").as("band"), lit(rate).as("rate"),
+        (unix_timestamp(col("window.start"))).cast("double").as("startingTime"),
+        col("values"))
+
   /** Drive a streaming query from a static events directory to a memory
     * sink (availableNow semantics) and return the result table. */
   def runToMemory(spark: SparkSession, eventsDir: String, queryName: String,

@@ -124,6 +124,33 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       assert(b((w, t)) == ((n, math.round(s * 100))), s"window $w/$t diverges")
   }
 
+  test("streaming windowed DSP: notch over streamed segment windows == batch") {
+    import graft.operators.DspOperators
+    val dir = Files.createTempDirectory("events_dsp_stream").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      DspOperators.applyLinenoiseNotch(
+        StreamingOps.windowedSegmentsStream(df, nChannels = 4, rate = 1000.0))
+    val streamed = StreamingOps.runToMemory(spark, dir, "win_dsp", pipeline,
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val batch = pipeline(spark.read.parquet(dir))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("channel", "startingTime", "values").collect()
+        .map(r => (r.getInt(0), r.getDouble(1)) -> r.getSeq[Double](2).toArray).toMap
+    val got = rows(streamed)
+    val want = rows(batch)
+    // append emits only watermark-closed windows; each emitted segment must
+    // match the batch computation of the same window exactly
+    assert(got.nonEmpty, "no closed windows emitted")
+    for ((k, v) <- got) {
+      assert(want.contains(k), s"streamed window $k absent from batch")
+      val worst = v.zip(want(k)).map { case (a, b) => math.abs(a - b) }.max
+      assert(v.length == want(k).length && worst < 1e-12,
+        s"streamed notch diverges from batch at $k: $worst")
+    }
+  }
+
   test("streaming: stateful running channel stats converge to batch stats") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(pmod($"user_id", lit(4)).cast("int").as("channel"),
