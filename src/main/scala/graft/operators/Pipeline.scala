@@ -50,15 +50,34 @@ object Pipeline {
 
   /** Tutorial tail (examples/plot_ECoG_preprocessing_tutorial.py:164-167):
     * z-score each (channel, band) against its leading baseline window, then
-    * average across bands -> one high-gamma trace per channel. */
+    * average across bands -> one high-gamma trace per channel.
+    *
+    * The cross-band mean is a SEGMENT-level aggregation: nBands array rows
+    * meet per channel in one shuffle and a tight loop averages them
+    * elementwise (bands summed in band order — deterministic). The explode
+    * -> per-sample groupBy -> re-segment alternative shuffles every sample
+    * twice; this shuffles each trace once. */
   def highGammaTrace(waveletAmp: DataFrame, baselineSamples: Int = 125): DataFrame = {
     val z = DspOperators.zscoreSegments(waveletAmp, baselineSamples)
-    // elementwise mean across band rows of a channel: explode -> avg -> re-segment
-    val long = Frames.toLong(z)
-    val averaged = long.groupBy("series", "channel", "rate", "startingTime", "t_idx")
-      .agg(avg(col("value")).as("value"))
-      .withColumn("band", lit(null).cast("int"))
-    Frames.toSegments(averaged)
+    val avgBands = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
+      val byBand = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val n = byBand.map(_._2.length).min
+      val out = new Array[Double](n)
+      var b = 0
+      while (b < byBand.length) {
+        val v = byBand(b)._2
+        var i = 0
+        while (i < n) { out(i) += v(i); i += 1 }
+        b += 1
+      }
+      var i = 0
+      while (i < n) { out(i) /= byBand.length; i += 1 }
+      out
+    }
+    z.groupBy("series", "channel", "rate", "startingTime")
+      .agg(collect_list(struct(col("band"), col("values"))).as("bv"))
+      .select(col("series"), col("channel"), lit(null).cast("int").as("band"),
+        col("rate"), col("startingTime"), avgBands(col("bv")).as("values"))
   }
 }
 

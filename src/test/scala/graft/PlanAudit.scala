@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q05_nation_revenue", "q21_car_trimmed_mean", "q33_pipeline_high_gamma")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      val smj = "SortMergeJoin".r.findAllIn(plan).length
+      println(s"== $name: exchanges=$exchanges broadcastJoins=$bhj sortMergeJoins=$smj")
+      plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Scan parquet"))
+        .take(25).foreach(l => println("   " + l.trim.take(150)))
+    }
+    spark.stop()
+  }
+}
