@@ -186,19 +186,26 @@ object Llm {
              |WHERE e.vec_id <> 0
              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
-    QueryDef("q46_token_count", "token counting (whitespace tokenization)",
+    QueryDef("q46_token_count", "token counting (whitespace + BPE-ish regex pretokenizer)",
       (s, dir) => {
         val d = table(s, dir, "documents")
         val words = split(col("text"), " ")
+        // GPT-2-style pretokenizer classes (letter runs / digit runs /
+        // punctuation runs with leading-space merge), minus the lookahead
+        // so Java regex and RE2 (DuckDB) count identically
+        val bpeish = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
         d.select(col("doc_id"),
             size(words).cast("long").as("n_tokens"),
             size(array_distinct(words)).cast("long").as("n_distinct"),
+            regexp_count(col("text"), lit(bpeish)).cast("long").as("n_bpe_tokens"),
             length(col("text")).cast("long").as("n_chars_actual"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  len(string_split(text, ' ')) AS n_tokens,
              |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             |    AS n_bpe_tokens,
              |  length(text) AS n_chars_actual
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
