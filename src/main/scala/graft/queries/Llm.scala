@@ -303,7 +303,8 @@ object Llm {
         .limit(200),
       // plane(p,i) = md5("7:p:i") hex 1-12 as unsigned - 2^47 (exact integer
       // doubles, see Similarity.planeComponent); bucket = sign pattern of the
-      // 10 plane dots
+      // 10 plane dots; buckets larger than 256 ids are dropped (skew cap,
+      // see Similarity.cosineLshPairs)
       Some("""WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
              |planes AS (
              |  SELECT p, list_transform(generate_series(1, d.dim), i ->
@@ -318,9 +319,12 @@ object Llm {
              |             THEN (1 << p.p) ELSE 0 END)::INT AS bucket
              |  FROM embeddings e CROSS JOIN planes p
              |  GROUP BY e.vec_id
+             |), bsz AS (
+             |  SELECT bucket, count(*) AS c FROM sig GROUP BY 1
              |), cand AS (
              |  SELECT a.id AS id_a, b.id AS id_b
              |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+             |  JOIN bsz ON bsz.bucket = a.bucket AND bsz.c <= 256
              |)
              |SELECT c.id_a, c.id_b, round(list_cosine_similarity(
              |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),

@@ -157,10 +157,21 @@ object Similarity {
   }
 
   /** All-pairs near-neighbor candidates by random-hyperplane LSH: vectors
-    * sharing a sign-pattern bucket are compared exactly. Narrow signature
-    * pass + bucket-join, like MinHash for text. */
+    * sharing a sign-pattern bucket are compared exactly — MinHash's candidate
+    * shape applied to embeddings.
+    *
+    * Scale shape: ONE narrow signature pass computes (id, bucket) — the full
+    * vector never enters the bucket shuffle; ONE group-shuffle collects ids
+    * per bucket; id PAIRS are generated inside the bucket row (never a
+    * signature self-join, which would shuffle every embedding twice and
+    * recompute the sign-pattern UDF on both sides); vectors are attached
+    * once, to the candidate pairs only. `maxBucketSize` caps skew — a hot
+    * sign-pattern bucket (a dense cluster, or the all-zeros pattern from
+    * degenerate vectors) would otherwise emit O(size²) pairs in one task, so
+    * oversized buckets are dropped for a bounded worst task (bounded recall
+    * loss; dense-cluster recovery is IVF's job). */
   def cosineLshPairs(embeddings: DataFrame, planes: Int = 12, minSim: Double = 0.8,
-                     seed: Int = 7,
+                     seed: Int = 7, maxBucketSize: Int = 256,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
     val hyper = Array.tabulate(planes, dim)((p, i) => planeComponent(seed, p, i))
@@ -178,12 +189,24 @@ object Similarity {
       }
       sig
     }
-    val sigs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sigUdf(col(vecCol)).as("bucket"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosineUdf(col("a.vec"), col("b.vec")), 4).as("sim"))
+    val pairsUdf = udf { (ids: Seq[Long]) =>
+      val sorted = ids.toArray.sorted
+      for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))
+    }
+    val candidates = embeddings
+      .select(col(idCol).cast("long").as("id"), sigUdf(col(vecCol)).as("bucket"))
+      .groupBy("bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosineUdf(col("vec_a"), col("vec_b")), 4).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

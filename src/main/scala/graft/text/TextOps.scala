@@ -133,14 +133,19 @@ object TextOps {
     * rows; docs sharing any band bucket become candidates; estimated Jaccard
     * = fraction of matching signature slots.
     *
-    * Scale shape: ONE shuffle groups doc ids per (band, bucket); pairs are
-    * generated inside each bucket row, so only candidate ID PAIRS exist
-    * downstream (never a signature self-join, never a pairwise cross
-    * product). `maxBucketSize` caps skew — a bucket holding thousands of
-    * boilerplate near-identical docs would otherwise emit O(size²) pairs in
-    * one hot task; such floods are exact-dedup's job (q40), so oversized
+    * Scale shape: the signature frame is scanned ONCE (the signature UDF is
+    * the dominant cost — one md5 per shingle — so it must not be in more
+    * than one subtree of the plan). Each doc's signature rides through the
+    * single (band, bucket) group-shuffle alongside its id (bands copies of
+    * numHashes longs per doc — bounded, ~2 KB at the defaults), pairs AND
+    * their slot-match estimate are produced inside the bucket row, and only
+    * (id, id, estimate) triples exist downstream — never a signature
+    * self-join, never an attach join back to the corpus, never a pairwise
+    * cross product. `maxBucketSize` caps skew — a bucket holding thousands
+    * of boilerplate near-identical docs would otherwise emit O(size²) pairs
+    * in one hot task; such floods are exact-dedup's job (q40), so oversized
     * buckets are dropped, trading bounded recall loss for a bounded worst
-    * task. Signatures are attached once afterwards for the estimate. */
+    * task. */
   def minhashCandidates(signatures: DataFrame, numHashes: Int = 32,
                         bands: Int = 8, threshold: Double = 0.2,
                         maxBucketSize: Int = 64): DataFrame = {
@@ -152,30 +157,32 @@ object TextOps {
       }
     }
     val buckets = signatures
-      .select(col("doc_id").cast("long").as("doc_id"),
+      .select(col("doc_id").cast("long").as("doc_id"), col("signature"),
         explode(bandUdf(col("signature"))).as("band"))
-      .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
-    val pairsUdf = udf { (ids: Seq[Long]) =>
-      val sorted = ids.toArray.sorted
-      for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length)
-        yield (sorted(i), sorted(j))
+      .select(col("doc_id"), col("signature"),
+        col("band._1").as("band_idx"), col("band._2").as("bucket"))
+    // pairs + slot-match estimate in one pass over the bucket's members
+    val pairsUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = members.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toArray
+      for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length) yield {
+        val (ia, sa) = sorted(i)
+        val (ib, sb) = sorted(j)
+        var eq = 0
+        var k = 0
+        while (k < sa.length) { if (sa(k) == sb(k)) eq += 1; k += 1 }
+        (ia, ib, eq.toDouble / sa.length)
+      }
     }
-    val candidates = buckets
+    buckets
       .groupBy("band_idx", "bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(pairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
-      .distinct()
-    val est = udf { (s1: Seq[Long], s2: Seq[Long]) =>
-      s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
-    }
-    candidates
-      .join(signatures.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
-      .join(signatures.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard", round(est(col("sig_a"), col("sig_b")), 6))
+      .agg(collect_list(struct(col("doc_id"), col("signature"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(pairsUdf(col("members"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        round(col("p._3"), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .distinct()
   }
 
   // --- SimHash near-dedup --------------------------------------------------

@@ -171,6 +171,44 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"nprobe=3 recall $recall suspiciously low")
   }
 
+  test("cosine LSH pairs: planted neighbors found, flood capped, no vectors in the bucket shuffle") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) }
+    val q = vec(1)
+    val rows = (0 until 100).map(i => (i.toLong, vec(i + 10))) ++
+      Seq((500L, q), (501L, jitter(q, 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineLshPairs(emb, planes = 8, minSim = 0.9)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((500L, 501L)), s"planted near-identical pair not found in $got")
+    // scale-shape audit: the aggregate that buckets ids must see only
+    // (id, bucket) — a float-array column in its input means embeddings are
+    // riding the shuffle (the round-2 self-join bug)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggs = pairs.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.exists(_.toString.contains("bucket")) => a
+    }
+    assert(aggs.nonEmpty, "expected a bucket groupBy in the plan")
+    for (a <- aggs; att <- a.child.output)
+      assert(!att.dataType.toString.contains("ArrayType(FloatType"),
+        s"embedding column ${att.name} entered the bucket shuffle")
+    // skew cap: 300 copies of one vector share a sign-pattern bucket ->
+    // O(size^2) pairs in one task without the cap; the flood bucket is
+    // dropped while the planted pair (in a normal bucket) survives
+    val flood = (1000L until 1300L).map(i => (i, vec(999)))
+    val mixed = emb.union(flood.toDF("vec_id", "embedding"))
+    val capped = Similarity.cosineLshPairs(mixed, planes = 8, minSim = 0.9, maxBucketSize = 256)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "flood pairs should be capped away")
+    assert(capped.contains((500L, 501L)), "cap lost the planted pair")
+  }
+
   test("IVF at rest: cell partition column prunes the probe scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 1)
