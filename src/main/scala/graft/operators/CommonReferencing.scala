@@ -86,6 +86,61 @@ object CommonReferencing {
     Windowing.windowedToLong(referenced, stride)
   }
 
+  private def nExcludeFor(nChannels: Int, meanFrac: Double,
+                          roundFunc: Double => Double): Int = {
+    val nExclude =
+      if (meanFrac == 1.0) 0
+      else roundFunc(nChannels * (1.0 - meanFrac) / 2.0).toInt
+    require(2 * nExclude < nChannels,
+      s"meanFrac=$meanFrac excludes all $nChannels channels")
+    nExclude
+  }
+
+  /** Per-time-point trimmed nanmean across a block of channel arrays: sort
+    * channel values (NaN last, like np.sort), trim nExclude from each end,
+    * nanmean the kept middle. */
+  private def carOfBlock(byCh: Array[(Int, Array[Double])], nExclude: Int): Array[Double] = {
+    val m = byCh.length // channels present in this block (nChannels if rectangular)
+    val len = byCh.map(_._2.length).min
+    val sorted = new Array[Double](m)
+    val car = new Array[Double](len)
+    var t = 0
+    while (t < len) {
+      var i = 0
+      while (i < byCh.length) { sorted(i) = byCh(i)._2(t); i += 1 }
+      java.util.Arrays.sort(sorted) // NaN sorts last, like np.sort
+      var s = 0.0
+      var cnt = 0
+      var k = nExclude
+      while (k < m - nExclude) {
+        val v = sorted(k)
+        if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept middle
+        k += 1
+      }
+      car(t) = s / cnt
+      t += 1
+    }
+    car
+  }
+
+  /** Split segments into blockSize-sample blocks (narrow). */
+  private def blocked(segments: DataFrame, blockSize: Int): DataFrame = {
+    val toBlocks = udf { (values: Array[Double]) =>
+      values.grouped(blockSize).toArray
+    }
+    segments.select(
+      col("series"), col("channel"), col("band"), col("rate"), col("startingTime"),
+      posexplode(toBlocks(col("values"))).as(Seq("block_idx", "block")))
+  }
+
+  /** Reassemble per-key segments from blocks in block order. */
+  private def reassemble(blocks: DataFrame, keys: Seq[String]): DataFrame =
+    blocks
+      .groupBy(keys.head, keys.tail: _*)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("block_idx"), col("block")))),
+        s => s.getField("block"))).as("values"))
+
   /** Subtract CAR on a SegmentFrame via fixed-size time blocks instead of
     * per-sample rows: segments split into `blockSize`-sample blocks
     * (narrow), blocks of all channels for the same time range meet in one
@@ -98,50 +153,20 @@ object CommonReferencing {
   def subtractCarSegments(segments: DataFrame, nChannels: Int,
                           meanFrac: Double = 0.95, blockSize: Int = 8192,
                           roundFunc: Double => Double = math.ceil): DataFrame = {
-    val nExclude =
-      if (meanFrac == 1.0) 0
-      else roundFunc(nChannels * (1.0 - meanFrac) / 2.0).toInt
-    require(2 * nExclude < nChannels,
-      s"meanFrac=$meanFrac excludes all $nChannels channels")
-
-    val toBlocks = udf { (values: Array[Double]) =>
-      values.grouped(blockSize).toArray
-    }
-    val blocks = segments.select(
-        col("series"), col("channel"), col("band"), col("rate"), col("startingTime"),
-        posexplode(toBlocks(col("values"))).as(Seq("block_idx", "block")))
+    val nExclude = nExcludeFor(nChannels, meanFrac, roundFunc)
 
     // one row per (series, block_idx): all channels' blocks
     val subtractUdf = udf { (chBlocks: Seq[Row]) =>
       val byCh = chBlocks.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toArray
-      val m = byCh.length // channels present in this block (nChannels if rectangular)
-      val len = byCh.map(_._2.length).min
-      val sorted = new Array[Double](m)
-      val car = new Array[Double](len)
-      var t = 0
-      while (t < len) {
-        var i = 0
-        while (i < byCh.length) { sorted(i) = byCh(i)._2(t); i += 1 }
-        java.util.Arrays.sort(sorted) // NaN sorts last, like np.sort
-        var s = 0.0
-        var cnt = 0
-        var k = nExclude
-        while (k < m - nExclude) {
-          val v = sorted(k)
-          if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept middle
-          k += 1
-        }
-        car(t) = s / cnt
-        t += 1
-      }
+      val car = carOfBlock(byCh, nExclude)
       byCh.map { case (ch, b) =>
-        val out = new Array[Double](len)
+        val out = new Array[Double](car.length)
         var i = 0
-        while (i < len) { out(i) = b(i) - car(i); i += 1 }
+        while (i < car.length) { out(i) = b(i) - car(i); i += 1 }
         (ch, out)
       }
     }
-    val referenced = blocks
+    val referenced = blocked(segments, blockSize)
       .groupBy("series", "band", "rate", "startingTime", "block_idx")
       .agg(collect_list(struct(col("channel"), col("block"))).as("chBlocks"))
       .select(col("series"), col("band"), col("rate"), col("startingTime"), col("block_idx"),
@@ -149,11 +174,31 @@ object CommonReferencing {
       .select(col("series"), col("cb._1").as("channel"), col("band"),
         col("rate"), col("startingTime"), col("block_idx"), col("cb._2").as("block"))
 
-    // reassemble per-channel segments in block order
-    referenced
-      .groupBy("series", "channel", "band", "rate", "startingTime")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("block_idx"), col("block")))),
-        s => s.getField("block"))).as("values"))
+    reassemble(referenced, Seq("series", "channel", "band", "rate", "startingTime"))
+  }
+
+  /** The CAR trace itself as a channel-less SegmentFrame (channel = null) —
+    * the series the reference materializes alongside the referenced data:
+    * `CAR_of_<name>` in store_linenoise_notch_CAR (pipelines.py:159-170) and
+    * the literal `CAR` series in store_subtract_CAR
+    * (common_referencing.py:116-128). Same blocked two-shuffle shape as
+    * subtractCarSegments, but the cross-channel aggregate emits ONE array
+    * per block, so the reassembly side is nBlocks rows per series — tiny. */
+  def carSegments(segments: DataFrame, nChannels: Int,
+                  meanFrac: Double = 0.95, blockSize: Int = 8192,
+                  roundFunc: Double => Double = math.ceil): DataFrame = {
+    val nExclude = nExcludeFor(nChannels, meanFrac, roundFunc)
+    val carUdf = udf { (chBlocks: Seq[Row]) =>
+      carOfBlock(chBlocks.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toArray,
+        nExclude)
+    }
+    val carBlocks = blocked(segments, blockSize)
+      .groupBy("series", "band", "rate", "startingTime", "block_idx")
+      .agg(collect_list(struct(col("channel"), col("block"))).as("chBlocks"))
+      .select(col("series"), col("band"), col("rate"), col("startingTime"),
+        col("block_idx"), carUdf(col("chBlocks")).as("block"))
+    reassemble(carBlocks, Seq("series", "band", "rate", "startingTime"))
+      .select(col("series"), lit(null).cast("int").as("channel"), col("band"),
+        col("rate"), col("startingTime"), col("values"))
   }
 }

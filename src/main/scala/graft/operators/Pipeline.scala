@@ -100,11 +100,54 @@ object Store {
   def storeResample(raw: DataFrame, root: String, series: String, newFreq: Double): DataFrame =
     write(DspOperators.resample(raw, newFreq), root, s"downsampled_$series")
 
+  /** `store_subtract_CAR` parity (common_referencing.py:71-129): writes the
+    * referenced data as `CAR_<series>` and the average itself as the
+    * reference's literal `CAR` series name. The input frame is persisted
+    * DISK_ONLY for the two derived writes — upstream (often an FFT chain)
+    * runs once — then unpersisted. Returns the referenced frame. */
+  def storeSubtractCar(segments: DataFrame, root: String, series: String,
+                       nChannels: Int, meanFrac: Double = 0.95,
+                       roundFunc: Double => Double = math.ceil): DataFrame = {
+    val cached = segments.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      write(CommonReferencing.carSegments(cached, nChannels, meanFrac, roundFunc = roundFunc),
+        root, "CAR")
+      write(CommonReferencing.subtractCarSegments(cached, nChannels, meanFrac, roundFunc = roundFunc),
+        root, s"CAR_$series")
+    } finally cached.unpersist()
+  }
+
+  /** `store_linenoise_notch_CAR` parity (pipelines.py:114-173): notch, then
+    * write the referenced data as `CAR_ln_<series>` AND the computed average
+    * as `CAR_of_<series>` (:159-170). The notched frame (an FFT pass) is
+    * persisted DISK_ONLY so both writes share one notch computation. */
   def storeLinenoiseNotchCar(segments: DataFrame, root: String, series: String,
-                             nChannels: Int, meanFrac: Double = 0.95): DataFrame = {
+                             nChannels: Int, meanFrac: Double = 0.95,
+                             roundFunc: Double => Double = math.ceil): DataFrame = {
     val notched = DspOperators.applyLinenoiseNotch(segments)
-    val referenced = CommonReferencing.subtractCarSegments(notched, nChannels, meanFrac)
-    write(referenced, root, s"CAR_ln_downsampled_$series")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      write(CommonReferencing.carSegments(notched, nChannels, meanFrac, roundFunc = roundFunc),
+        root, s"CAR_of_$series")
+      write(CommonReferencing.subtractCarSegments(notched, nChannels, meanFrac, roundFunc = roundFunc),
+        root, s"CAR_ln_$series")
+    } finally notched.unpersist()
+  }
+
+  /** `preprocess_block(all_steps=True)` parity (pipelines.py:70-110): chain
+    * store_resample -> store_linenoise_notch_CAR -> store_wavelet_transform,
+    * materializing the reference's table names for series S — each store
+    * prefixes the name of the series it consumed, so the chain accretes:
+    * `downsampled_S`, `CAR_ln_downsampled_S`, `CAR_of_downsampled_S`,
+    * `wvlt_amp_CAR_ln_downsampled_S`. Returns the amplitude frame. */
+  def storePreprocessBlock(raw: DataFrame, root: String, series: String, nChannels: Int,
+                           config: Pipeline.Config = Pipeline.Config()): DataFrame = {
+    val ds = storeResample(raw, root, series, config.initialRate)
+    val referenced = storeLinenoiseNotchCar(ds, root, s"downsampled_$series",
+      nChannels, config.meanFrac)
+    storeWaveletTransform(referenced, root, s"CAR_ln_downsampled_$series",
+      config.filters, config.hgOnly, absOnly = true,
+      postResampleRate = config.finalRate)
   }
 
   def storeWaveletAmplitude(segments: DataFrame, root: String, series: String,

@@ -56,9 +56,15 @@ object PreprocessFolder {
 
     if (a.allSteps) {
       store.writeProcessing(s"downsampled_${a.acqName}", cast(down))
+      // reference's store_linenoise_notch_CAR writes the referenced data AND
+      // the CAR average itself (pipelines.py:148-170)
       store.writeProcessing(s"CAR_ln_downsampled_${a.acqName}", cast(referenced))
+      store.writeProcessing(s"CAR_of_downsampled_${a.acqName}",
+        cast(CommonReferencing.carSegments(notched, nCh)))
     }
-    store.writeProcessing(s"wvlt_amp_${a.acqName}", cast(ampResampled),
+    // reference naming accretes the consumed series name:
+    // wvlt_amp_ + CAR_ln_downsampled_<acq> (wavelet_transform.py:389,410)
+    store.writeProcessing(s"wvlt_amp_CAR_ln_downsampled_${a.acqName}", cast(ampResampled),
       partitionByChannel = true)
   }
 

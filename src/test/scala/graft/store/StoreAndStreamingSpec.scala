@@ -56,8 +56,12 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     val args = PreprocessFolder.parse(Array(s"$root", "--initial-rate", "1000",
       "--final-rate", "250", "--filters", "human", "--all-steps", "--precision", "double"))
     PreprocessFolder.preprocessStore(store, args)
+    // all_steps=True writes the reference's four tables (pipelines.py:70-110:
+    // store_resample + store_linenoise_notch_CAR's two series + the wavelet
+    // series named after the CAR series it consumed)
     assert(store.listProcessing().toSet ==
-      Set("CAR_ln_downsampled_ECoG", "downsampled_ECoG", "wvlt_amp_ECoG"))
+      Set("downsampled_ECoG", "CAR_ln_downsampled_ECoG", "CAR_of_downsampled_ECoG",
+        "wvlt_amp_CAR_ln_downsampled_ECoG"))
 
     // functional path, same params
     import graft.operators.{DspOperators, CommonReferencing}
@@ -70,7 +74,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     def traces(df: org.apache.spark.sql.DataFrame) =
       df.select("channel", "band", "values").collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
-    val stored = traces(store.readProcessing("wvlt_amp_ECoG"))
+    val stored = traces(store.readProcessing("wvlt_amp_CAR_ln_downsampled_ECoG"))
     val functional = traces(funcFinal)
     assert(stored.keySet == functional.keySet && stored.nonEmpty)
     for (k <- stored.keySet) {
@@ -78,6 +82,40 @@ class StoreAndStreamingSpec extends AnyFunSuite {
         .map { case (a, b) => math.abs(a - b) }.max
       assert(worst < 1e-12, s"store path diverges from functional at $k: $worst")
     }
+  }
+
+  test("storeSubtractCar: CAR_<s> + literal CAR tables; CAR trace reconstructs the subtraction") {
+    import graft.operators.{Store, CommonReferencing}
+    val root = Files.createTempDirectory("subcar").toString
+    val raw = Synthetic.segments(spark, 0.5, 6, 1000.0, seed = 21)
+    Store.storeSubtractCar(raw, root, "ECoG", nChannels = 6)
+    // reference table names (common_referencing.py:104,117): CAR_<name> for
+    // the referenced data, the literal name CAR for the average series
+    val referenced = spark.read.parquet(s"$root/preprocessing/CAR_ECoG")
+    val carTab = spark.read.parquet(s"$root/preprocessing/CAR")
+    assert(referenced.select("channel").distinct().count() == 6)
+    assert(carTab.count() == 1, "CAR series is one channel-less trace per series")
+    assert(carTab.select("channel").head().isNullAt(0))
+    // raw - CAR == referenced, elementwise (the stored avg is THE avg used)
+    val car = carTab.select("values").head().getSeq[Double](0).toArray
+    val rawCh0 = raw.filter($"channel" === 0).select("values").head().getSeq[Double](0).toArray
+    val refCh0 = referenced.filter($"channel" === 0).select("values").head().getSeq[Double](0).toArray
+    val worst = rawCh0.indices.map(i => math.abs(rawCh0(i) - car(i) - refCh0(i))).max
+    assert(worst < 1e-12, s"stored CAR does not reconstruct the subtraction: $worst")
+    // and the trace equals carSegments directly
+    val direct = CommonReferencing.carSegments(raw, 6).select("values").head().getSeq[Double](0)
+    assert(direct.toArray.sameElements(car))
+  }
+
+  test("storePreprocessBlock writes the reference's four all-steps tables") {
+    import graft.operators.{Store, Pipeline}
+    val root = Files.createTempDirectory("allsteps").toString
+    val raw = Synthetic.segments(spark, 0.5, 4, 2000.0, seed = 5)
+    Store.storePreprocessBlock(raw, root, "ECoG", nChannels = 4,
+      Pipeline.Config(initialRate = 1000.0, finalRate = Some(250.0), filters = "human"))
+    val tables = new java.io.File(s"$root/preprocessing").listFiles().map(_.getName).toSet
+    assert(tables == Set("downsampled_ECoG", "CAR_ln_downsampled_ECoG",
+      "CAR_of_downsampled_ECoG", "wvlt_amp_CAR_ln_downsampled_ECoG"))
   }
 
   test("store abs_only=False: wvlt_phase_ series matches functional phase; resample+phase rejected") {
