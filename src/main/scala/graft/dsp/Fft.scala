@@ -1,6 +1,6 @@
 package graft.dsp
 
-import org.jtransforms.fft.DoubleFFT_1D
+import org.jtransforms.fft.{DoubleFFT_1D, FloatFFT_1D}
 import java.util.concurrent.ConcurrentHashMap
 
 /** FFT layer over JTransforms (already on the Spark classpath at
@@ -103,6 +103,88 @@ object Fft {
       a(1) = spec(2 * k + 1)
     }
     plan(n).realInverse(a, true)
+    a
+  }
+
+  // --- float32 transforms (the reference's precision='single' compute mode:
+  // scipy.fft on a float32 array runs a single-precision transform and
+  // returns complex64; FloatFFT_1D is JTransforms' equivalent). Same packed
+  // layouts as the double path above.
+
+  private val plans32 = new ConcurrentHashMap[Int, FloatFFT_1D]()
+  private def plan32(n: Int): FloatFFT_1D =
+    plans32.computeIfAbsent(n, (k: Int) => new FloatFFT_1D(k))
+
+  /** Full complex FFT of a real float signal: 2n interleaved floats. */
+  def fftReal32(x: Array[Float]): Array[Float] = {
+    val n = x.length
+    val spec = rfft32(x)
+    val full = new Array[Float](2 * n)
+    val m = n / 2 + 1
+    full(0) = spec(0)
+    full(1) = spec(1)
+    var k = 1
+    while (k < m) {
+      val re = spec(2 * k)
+      val im = spec(2 * k + 1)
+      full(2 * k) = re
+      full(2 * k + 1) = im
+      if (k != n - k) {
+        full(2 * (n - k)) = re
+        full(2 * (n - k) + 1) = -im
+      }
+      k += 1
+    }
+    full
+  }
+
+  /** In-place float32 complex inverse FFT (scaled by 1/n). */
+  def ifftComplexInPlace32(a: Array[Float]): Array[Float] = {
+    plan32(a.length / 2).complexInverse(a, true)
+    a
+  }
+
+  /** numpy rfft of a float32 signal: n/2+1 interleaved complex64 bins. */
+  def rfft32(x: Array[Float]): Array[Float] = {
+    val n = x.length
+    val a = java.util.Arrays.copyOf(x, n)
+    plan32(n).realForward(a)
+    val m = n / 2 + 1
+    val out = new Array[Float](2 * m)
+    out(0) = a(0) // DC, Im = 0
+    var k = 1
+    while (2 * k + 1 < n) {
+      out(2 * k) = a(2 * k)
+      out(2 * k + 1) = a(2 * k + 1)
+      k += 1
+    }
+    if (n % 2 == 0) {
+      if (n >= 2) out(2 * (n / 2)) = a(1) // Nyquist bin, Im = 0
+    } else if (n > 1) { // odd n: last bin packs Re at a[n-1], Im at a[1]
+      out(2 * k) = a(2 * k)
+      out(2 * k + 1) = a(1)
+    }
+    out
+  }
+
+  /** numpy `irfft(spec, n)` at float32. */
+  def irfft32(spec: Array[Float], n: Int): Array[Float] = {
+    val a = new Array[Float](n)
+    val mm = math.min(n / 2 + 1, spec.length / 2)
+    a(0) = spec(0) // DC imag dropped
+    var k = 1
+    while (2 * k + 1 < n && k < mm) {
+      a(2 * k) = spec(2 * k)
+      a(2 * k + 1) = spec(2 * k + 1)
+      k += 1
+    }
+    if (n % 2 == 0) {
+      if (n >= 2 && n / 2 < mm) a(1) = spec(2 * (n / 2)) // Nyquist imag dropped
+    } else if (n > 1 && k < mm) { // odd n: last bin packs Re at a[n-1], Im at a[1]
+      a(2 * k) = spec(2 * k)
+      a(1) = spec(2 * k + 1)
+    }
+    plan32(n).realInverse(a, true)
     a
   }
 

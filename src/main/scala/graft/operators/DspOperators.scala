@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import java.util.concurrent.ConcurrentHashMap
 
-import graft.dsp.{Signal, Kernels}
+import graft.dsp.{Signal, Signal32, Kernels}
 import graft.dsp.Signal.{PadSpec, FastPad}
 
 /** The per-segment spectral operators: each is a narrow `DataFrame =>
@@ -16,16 +16,45 @@ import graft.dsp.Signal.{PadSpec, FastPad}
   */
 object DspOperators {
 
+  private def requirePrecision(precision: String): Unit =
+    require(precision == "single" || precision == "double",
+      s"`precision` should be either `single` or `double`. Got $precision.")
+
+  /** Cast a trace to float32 with an optional pre-scale — the reference's
+    * `X.astype(dtype(X, precision))` entry cast (utils.py:9-31). */
+  private def toF32(values: Array[Double], preScale: Double): Array[Float] = {
+    val out = new Array[Float](values.length)
+    var i = 0
+    while (i < values.length) { out(i) = (values(i) * preScale).toFloat; i += 1 }
+    out
+  }
+
+  private def toF64(values: Array[Float]): Array[Double] = {
+    val out = new Array[Double](values.length)
+    var i = 0
+    while (i < values.length) { out(i) = values(i); i += 1 }
+    out
+  }
+
   /** Resample every segment to `newFreq` (per-row rate-aware). `preScale`
     * folds a unit conversion (e.g. V -> µV ×1e6) into the same UDF pass so
     * the pipeline needs no separate interpreted `transform` HOF.
+    * `precision="single"` computes in float32 end to end (the reference's
+    * default mode, utils.py:9-31) — values in the returned array<double>
+    * column are exactly float32-representable; cast at the storage boundary
+    * (NwbStore.withPrecision) for a bit-width match.
     * Ref semantics: /root/reference/src/process_nwb/resample.py:105-153. */
   def resample(segments: DataFrame, newFreq: Double, npad: PadSpec = FastPad,
-               preScale: Double = 1.0): DataFrame = {
-    val f = udf { (values: Array[Double], rate: Double) =>
-      val in = if (preScale == 1.0) values else values.map(_ * preScale)
-      Signal.resample(in, newFreq, rate, npad)
-    }
+               preScale: Double = 1.0, precision: String = "double"): DataFrame = {
+    requirePrecision(precision)
+    val f =
+      if (precision == "single") udf { (values: Array[Double], rate: Double) =>
+        toF64(Signal32.resample(toF32(values, preScale), newFreq, rate, npad))
+      }
+      else udf { (values: Array[Double], rate: Double) =>
+        val in = if (preScale == 1.0) values else values.map(_ * preScale)
+        Signal.resample(in, newFreq, rate, npad)
+      }
     segments
       .withColumn("values", f(col("values"), col("rate")))
       .withColumn("rate", lit(newFreq))
@@ -34,13 +63,20 @@ object DspOperators {
   /** Notch out `noiseHz` and harmonics from every segment.
     * `continuousProfile`: resolution-invariant notch shape for windowed
     * processing (see Signal.notch scaladoc); false = reference parity.
+    * `precision="single"`: float32 compute (see resample).
     * Ref: /root/reference/src/process_nwb/linenoise_notch.py:55-92. */
   def applyLinenoiseNotch(segments: DataFrame, noiseHz: Double = 60.0,
                           npad: PadSpec = FastPad,
-                          continuousProfile: Boolean = false): DataFrame = {
-    val f = udf { (values: Array[Double], rate: Double) =>
-      Signal.notch(values, rate, noiseHz, npad, continuousProfile)
-    }
+                          continuousProfile: Boolean = false,
+                          precision: String = "double"): DataFrame = {
+    requirePrecision(precision)
+    val f =
+      if (precision == "single") udf { (values: Array[Double], rate: Double) =>
+        toF64(Signal32.notch(toF32(values, 1.0), rate, noiseHz, npad, continuousProfile))
+      }
+      else udf { (values: Array[Double], rate: Double) =>
+        Signal.notch(values, rate, noiseHz, npad, continuousProfile)
+      }
     segments.withColumn("values", f(col("values"), col("rate")))
   }
 
@@ -69,6 +105,21 @@ object DspOperators {
       BandTrace(b, re, im)
     }
 
+  private def packBands32(bands: Array[Array[Float]], scale: Double): Seq[BandTrace] =
+    bands.indices.map { b =>
+      val z = bands(b)
+      val n = z.length / 2
+      val re = new Array[Double](n)
+      val im = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        re(i) = (z(2 * i) * scale).toFloat.toDouble
+        im(i) = (z(2 * i + 1) * scale).toFloat.toDouble
+        i += 1
+      }
+      BandTrace(b, re, im)
+    }
+
   private def explodeBands(segments: DataFrame,
                            f: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
     segments
@@ -92,14 +143,24 @@ object DspOperators {
     * Ref: /root/reference/src/process_nwb/wavelet_transform.py:238-322. */
   def waveletTransform(segments: DataFrame, filters: String = "rat",
                        hgOnly: Boolean = true, npad: PadSpec = FastPad,
-                       fftNormLength: Option[Int] = None): DataFrame = {
-    val f = udf { (values: Array[Double], rate: Double) =>
-      val plan = Signal.padPlan(values.length, npad)
-      val padded = values.length + plan.padTotal
-      val fb = cachedFilterbank(filters, padded, rate, hgOnly)
-      val scale = fftNormLength.fold(1.0)(ref => math.sqrt(padded.toDouble / ref))
-      packBands(Signal.waveletBands(values, fb.kernels, npad), scale)
-    }
+                       fftNormLength: Option[Int] = None,
+                       precision: String = "double"): DataFrame = {
+    requirePrecision(precision)
+    val f =
+      if (precision == "single") udf { (values: Array[Double], rate: Double) =>
+        val plan = Signal.padPlan(values.length, npad)
+        val padded = values.length + plan.padTotal
+        val fb = cachedFilterbank(filters, padded, rate, hgOnly)
+        val scale = fftNormLength.fold(1.0)(ref => math.sqrt(padded.toDouble / ref))
+        packBands32(Signal32.waveletBands(toF32(values, 1.0), fb.kernels, npad), scale)
+      }
+      else udf { (values: Array[Double], rate: Double) =>
+        val plan = Signal.padPlan(values.length, npad)
+        val padded = values.length + plan.padTotal
+        val fb = cachedFilterbank(filters, padded, rate, hgOnly)
+        val scale = fftNormLength.fold(1.0)(ref => math.sqrt(padded.toDouble / ref))
+        packBands(Signal.waveletBands(values, fb.kernels, npad), scale)
+      }
     explodeBands(segments, f)
   }
 

@@ -28,7 +28,12 @@ object Pipeline {
     meanFrac: Double = 0.95,
     noiseHz: Double = 60.0,
     npad: PadSpec = FastPad,
-    scaling: Double = 1e6)             // V -> µV at ingest, resample.py:11
+    scaling: Double = 1e6,             // V -> µV at ingest, resample.py:11
+    precision: String = "double")      // "single" = float32 compute end to
+                                       // end (the reference's own default,
+                                       // utils.py:9-31); "double" kept as
+                                       // OUR default so results stay exactly
+                                       // reproducible against float64 oracles
 
   /** Full pipeline over a SegmentFrame of raw acquisition data. Returns the
     * wavelet-amplitude SegmentFrame (one row per channel × band). */
@@ -37,13 +42,17 @@ object Pipeline {
     // unit scaling (V -> µV) rides inside the resample UDF's array pass —
     // a separate `transform` HOF would run interpreted (NOTES.md sharp edge)
     val downsampled =
-      DspOperators.resample(raw, config.initialRate, config.npad, preScale = config.scaling)
-    val notched = DspOperators.applyLinenoiseNotch(downsampled, config.noiseHz, config.npad)
+      DspOperators.resample(raw, config.initialRate, config.npad,
+        preScale = config.scaling, precision = config.precision)
+    val notched = DspOperators.applyLinenoiseNotch(downsampled, config.noiseHz, config.npad,
+      precision = config.precision)
     val referenced = CommonReferencing.subtractCarSegments(notched, nChannels, config.meanFrac)
-    val wavelet = DspOperators.waveletTransform(referenced, config.filters, config.hgOnly, config.npad)
+    val wavelet = DspOperators.waveletTransform(referenced, config.filters, config.hgOnly,
+      config.npad, precision = config.precision)
     val amp = DspOperators.amplitude(wavelet)
     config.finalRate match {
-      case Some(fr) => DspOperators.resample(amp, fr, config.npad)
+      case Some(fr) => DspOperators.resample(amp, fr, config.npad,
+        precision = config.precision)
       case None     => amp
     }
   }

@@ -47,12 +47,15 @@ object PreprocessFolder {
     val nCh = raw.select("channel").distinct().count().toInt
     val cast = (df: org.apache.spark.sql.DataFrame) => NwbStore.withPrecision(df, a.precision)
 
-    val down = DspOperators.resample(raw, a.initialRate)
-    val notched = DspOperators.applyLinenoiseNotch(down)
+    // --precision single runs the reference's float32 COMPUTE mode through
+    // the spectral ops (utils.py:9-31), not just the storage cast
+    val down = DspOperators.resample(raw, a.initialRate, precision = a.precision)
+    val notched = DspOperators.applyLinenoiseNotch(down, precision = a.precision)
     val referenced = CommonReferencing.subtractCarSegments(notched, nCh)
     val amp = DspOperators.amplitude(
-      DspOperators.waveletTransform(referenced, a.filters, hgOnly = true))
-    val ampResampled = DspOperators.resample(amp, a.finalRate)
+      DspOperators.waveletTransform(referenced, a.filters, hgOnly = true,
+        precision = a.precision))
+    val ampResampled = DspOperators.resample(amp, a.finalRate, precision = a.precision)
 
     if (a.allSteps) {
       store.writeProcessing(s"downsampled_${a.acqName}", cast(down))

@@ -100,6 +100,34 @@ class GoldenSpec extends AnyFunSuite {
                 arr(golden("gaussian_1024_400_75")), 1e-12, "gaussian")
   }
 
+  test("float32 compute path matches the float64 goldens at single-precision tolerance") {
+    // the reference's precision='single' mode computes in float32 end to end;
+    // its own tests accept atol=1e-3-class deviations (tests/test_resample.py:29)
+    def f32(x: Array[Double]): Array[Float] = x.map(_.toFloat)
+    for ((n, nf, of) <- Seq((999, 100.0, 200.0), (1000, 300.0, 200.0), (5077, 211.0, 400.0))) {
+      val got = Signal32.resample(f32(sig(n, 4)), nf, of).map(_.toDouble)
+      assertClose(got, arr(golden(s"resample_${n}_${nf}_${of}")), 1e-3, s"resample32 $n $nf/$of")
+    }
+    for ((n, rate) <- Seq((2000, 400.0), (1999, 1000.0))) {
+      val got = Signal32.notch(f32(sig(n, 5)), rate).map(_.toDouble)
+      assertClose(got, arr(golden(s"notch_${n}_$rate")), 1e-3, s"notch32 $n@$rate")
+    }
+    val x = sig(1500, 6)
+    val plan = Signal.padPlan(x.length, Signal.FastPad)
+    val n = x.length + plan.padTotal
+    val kernels = Array(Kernels.gaussian(n, 400.0, 75.0, 9.375),
+                        Kernels.gaussian(n, 400.0, 120.0, 15.0))
+    val got = Signal32.waveletBands(f32(x), kernels)
+    val want = golden("wavelet_1500_400").asInstanceOf[java.util.List[Any]].asScala
+    for (b <- got.indices) {
+      val w = want(b).asInstanceOf[java.util.Map[String, Any]].asScala
+      val re = Array.tabulate(got(b).length / 2)(i => got(b)(2 * i).toDouble)
+      val im = Array.tabulate(got(b).length / 2)(i => got(b)(2 * i + 1).toDouble)
+      assertClose(re, arr(w("re")), 1e-3, s"band $b re (f32)")
+      assertClose(im, arr(w("im")), 1e-3, s"band $b im (f32)")
+    }
+  }
+
   test("wavelet bands match numpy within 1e-9") {
     val x = sig(1500, 6)
     val plan = Signal.padPlan(x.length, Signal.FastPad)

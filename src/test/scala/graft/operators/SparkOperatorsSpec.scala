@@ -203,6 +203,37 @@ class SparkOperatorsSpec extends AnyFunSuite {
   }
 
   // --- events adapter ------------------------------------------------------
+  test("precision='single': float32 compute end to end, within single tolerance of double") {
+    val raw = Synthetic.segments(spark, 1.0, 4, 2000.0, seed = 31)
+    def isF32(x: Array[Double]): Boolean = x.forall(v => v == v.toFloat.toDouble)
+    // each operator's single-precision output must be exactly
+    // float32-representable (proof the compute ran in float32, not a cast
+    // at the end) and within the reference's own single-vs-double tolerance
+    val dsS = DspOperators.resample(raw, 1000.0, precision = "single")
+    val dsD = DspOperators.resample(raw, 1000.0)
+    val ntS = DspOperators.applyLinenoiseNotch(dsS, precision = "single")
+    val ntD = DspOperators.applyLinenoiseNotch(dsD)
+    val wvS = DspOperators.amplitude(DspOperators.waveletTransform(
+      ntS, "human", hgOnly = true, precision = "single"))
+    val wvD = DspOperators.amplitude(DspOperators.waveletTransform(ntD, "human", hgOnly = true))
+    def bands(df: DataFrame) = df.select(col("channel"), col("band"), col("values"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    for ((df, label) <- Seq(dsS -> "resample", ntS -> "notch")) {
+      val ts = collectTraces(df)
+      assert(ts.values.forall(isF32), s"$label single output not float32-valued")
+    }
+    val sMap = bands(wvS)
+    val dMap = bands(wvD)
+    assert(sMap.keySet == dMap.keySet && sMap.nonEmpty)
+    for (k <- sMap.keySet) {
+      val rms = math.sqrt(dMap(k).map(v => v * v).sum / dMap(k).length)
+      val worst = sMap(k).zip(dMap(k)).map { case (a, b) => math.abs(a - b) }.max
+      assert(worst < 1e-3 * math.max(rms, 1.0),
+        s"single diverges from double at $k: $worst (band rms $rms)")
+    }
+    intercept[IllegalArgumentException](DspOperators.resample(raw, 1000.0, precision = "half"))
+  }
+
   test("bucketed dense index equals single-window row_number") {
     import org.apache.spark.sql.expressions.Window
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
