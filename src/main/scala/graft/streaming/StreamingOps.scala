@@ -49,6 +49,21 @@ object StreamingOps {
       }
   }
 
+  /** Duration string ("10 seconds", "1 minute") -> microseconds. */
+  private[streaming] def durMicros(s: String): Long = {
+    val parts = s.trim.split("\\s+")
+    require(parts.length == 2, s"duration '$s' must be '<n> <unit>'")
+    val unit = parts(1).toLowerCase.stripSuffix("s") match {
+      case "microsecond" => 1L
+      case "millisecond" => 1000L
+      case "second"      => 1000000L
+      case "minute"      => 60000000L
+      case "hour"        => 3600000000L
+      case u => throw new IllegalArgumentException(s"unsupported duration unit '$u'")
+    }
+    parts(0).toLong * unit
+  }
+
   /** Streaming windowed DSP ingest: events stream -> bounded SegmentFrame
     * rows, one per (channel, event-time window). The watermark + append mode
     * emit a window's row only once it is complete, so each emitted row is a
@@ -57,32 +72,116 @@ object StreamingOps {
     * waveletTransform` apply UNCHANGED to the streaming DataFrame (they are
     * narrow per-row UDFs), making the full preprocessing pipeline a
     * continuous query: readStream -> windowed segments -> notch -> wavelet
-    * -> writeStream. This is the streaming twin of `operators.Windowing`
-    * (context-0 form; crossfaded context would arrive with a second
-    * overlapping window spec).
+    * -> writeStream. This is the streaming twin of `operators.Windowing`.
     *
-    * Samples are ordered by event time inside each window; `rate` is the
-    * declared uniform rate (SURVEY.md §1.1 data model). startingTime is the
-    * window start in epoch seconds. */
+    * `contextDur > 0` adds crossfade margins, the streaming form of
+    * `Windowing.windowSegments`' context: an event within `contextDur` of a
+    * window boundary ALSO joins the adjacent window (a narrow membership
+    * explode; its event time is shifted by ±window so the built-in tumbling
+    * window + watermark machinery assembles and closes the overlapping
+    * windows — no hand-rolled flatMapGroupsWithState state to mismanage).
+    * Each emitted row is then [left context | core | right context] samples
+    * sorted by event time, its `series` suffixed `#w<epoch window index>`,
+    * with a `sample_ts` column carrying per-sample nanos for the downstream
+    * crossfade (`stitchTimeWindows`). Rows holding only borrowed context
+    * (stream edges) are stubs and are dropped. `rate` is the declared
+    * uniform rate (SURVEY.md §1.1); startingTime is the core window start in
+    * epoch seconds. */
   def windowedSegmentsStream(events: DataFrame, nChannels: Int, rate: Double,
                              windowDur: String = "1 minute",
                              watermark: String = "2 minutes",
-                             series: String = "events"): DataFrame =
-    events
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+                             series: String = "events",
+                             contextDur: String = "0 seconds"): DataFrame = {
+    val winU = durMicros(windowDur)
+    val ctxU = durMicros(contextDur)
+    require(ctxU >= 0 && 2 * ctxU <= winU,
+      s"need windowDur >= 2*contextDur for disjoint crossfade ramps ($windowDur < 2*$contextDur)")
+    val base = events
       .withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
-      .withWatermark("event_time", watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), windowDur),
+      .withColumn("_tu", (col("ts") / 1000).cast("long"))
+    val membered =
+      if (ctxU == 0) base.withColumn("member_time", timestamp_micros(col("_tu")))
+      else base
+        .withColumn("_off", explode(array_compact(array(
+          lit(0L),
+          when(pmod(col("_tu"), lit(winU)) < ctxU, lit(-winU)),
+          when(pmod(col("_tu"), lit(winU)) >= winU - ctxU, lit(winU))))))
+        .withColumn("member_time", timestamp_micros(col("_tu") + col("_off")))
+    membered
+      .withWatermark("member_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("member_time"), windowDur),
         col("channel"))
-      .agg(transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
-        s => s.getField("value").cast("double")).as("values"))
-      .select(lit(series).as("series"), col("channel"),
-        lit(null).cast("int").as("band"), lit(rate).as("rate"),
-        (unix_timestamp(col("window.start"))).cast("double").as("startingTime"),
-        col("values"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("_samples"))
+      .withColumn("_startU", unix_micros(col("window.start")))
+      // a row whose samples are ALL borrowed context (stream edge) is a stub
+      .filter(exists(col("_samples"), s =>
+        (s.getField("ts") / 1000).cast("long")
+          .between(col("_startU"), col("_startU") + winU - 1)))
+      .select(
+        concat(lit(series), lit("#w"), (col("_startU") / winU).cast("long")).as("series"),
+        col("channel"), lit(null).cast("int").as("band"), lit(rate).as("rate"),
+        (col("_startU").cast("double") / 1e6).as("startingTime"),
+        transform(col("_samples"), s => s.getField("value").cast("double")).as("values"),
+        transform(col("_samples"), s => s.getField("ts")).as("sample_ts"))
+  }
+
+  /** Crossfade-stitch for time-windowed DSP output — the batch complement of
+    * `windowedSegmentsStream(contextDur > 0)`, run over the append sink it
+    * feeds (each micro-batch appends finished windows; the sink is stitched
+    * on read, so no second stateful aggregation sits in the streaming
+    * query). Every sample in a window row is weighted by that window's
+    * linear ramp at the sample's timestamp (adjacent windows' ramps sum to
+    * 1 across the 2·context overlap), contributions regroup by the sample's
+    * CORE window — ONE shuffle of (ts, weighted value, weight) triples —
+    * and are weight-normalized, which also self-corrects stream edges where
+    * only one window covers a sample (same normalization trick as
+    * `Windowing.stitch`). Identity pipelines round-trip exactly; spectral
+    * ops differ from unwindowed results only by the boundary leakage the
+    * crossfade bounds. */
+  def stitchTimeWindows(windowed: DataFrame, windowDur: String,
+                        contextDur: String): DataFrame = {
+    val winU = durMicros(windowDur)
+    val ctxU = durMicros(contextDur)
+    require(ctxU >= 0 && 2 * ctxU <= winU)
+    val contrib = udf { (winIdx: Long, values: Seq[Double], ts: Seq[Long]) =>
+      val start = winIdx * winU
+      val end = start + winU
+      values.indices.map { i =>
+        val tu = ts(i) / 1000
+        val w =
+          if (ctxU == 0) 1.0
+          else if (tu < start + ctxU) (tu - (start - ctxU)).toDouble / (2 * ctxU)
+          else if (tu >= end - ctxU) (end + ctxU - tu).toDouble / (2 * ctxU)
+          else 1.0
+        (ts(i), values(i) * w, w)
+      }
+    }
+    val combine = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, contribs) =>
+          val vw = contribs.map(_._2).sum
+          val w = contribs.map(_._3).sum
+          if (w > 0) vw / w else 0.0
+        }.toArray
+    }
+    windowed
+      .withColumn("_base", substring_index(col("series"), "#w", 1))
+      .withColumn("_win", substring_index(col("series"), "#w", -1).cast("long"))
+      .select(col("_base"), col("channel"), col("band"), col("rate"),
+        explode(contrib(col("_win"), col("values"), col("sample_ts"))).as("c"))
+      .groupBy(col("_base"), col("channel"), col("band"), col("rate"),
+        floor(col("c._1") / 1000 / winU).cast("long").as("win_idx"))
+      .agg(collect_list(struct(col("c._1"), col("c._2"), col("c._3"))).as("parts"))
+      .select(col("_base").as("series"), col("channel"), col("band"), col("rate"),
+        (col("win_idx") * winU).cast("double").divide(1e6).as("startingTime"),
+        col("win_idx"), combine(col("parts")).as("values"))
+  }
 
   /** Drive a streaming query from a static events directory to a memory
-    * sink (availableNow semantics) and return the result table. */
+    * sink under Trigger.AvailableNow (process everything, then stop) and
+    * return the result table. */
   def runToMemory(spark: SparkSession, eventsDir: String, queryName: String,
                   transform: DataFrame => DataFrame,
                   outputMode: OutputMode = OutputMode.Append): DataFrame = {
@@ -91,11 +190,11 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
     val q = transform(stream).writeStream
       .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination()
     spark.table(queryName)
   }
 }

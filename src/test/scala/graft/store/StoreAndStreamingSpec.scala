@@ -189,6 +189,62 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed DSP with context: crossfaded windows == batch; identity stitch exact") {
+    import graft.operators.DspOperators
+    val dir = Files.createTempDirectory("events_ctx_stream").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val (winDur, ctxDur) = ("1 minute", "10 seconds")
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      DspOperators.applyLinenoiseNotch(
+        StreamingOps.windowedSegmentsStream(df, nChannels = 4, rate = 1000.0,
+          windowDur = winDur, watermark = "2 minutes", contextDur = ctxDur))
+    val streamed = StreamingOps.runToMemory(spark, dir, "win_ctx_dsp", pipeline,
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val batch = pipeline(spark.read.parquet(dir))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("series", "channel", "values").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val got = rows(streamed)
+    val want = rows(batch)
+    assert(got.nonEmpty, "no closed windows emitted")
+    for ((k, v) <- got) {
+      assert(want.contains(k), s"streamed window $k absent from batch")
+      assert(v.length == want(k).length, s"length differs at $k")
+      val worst = v.zip(want(k)).map { case (a, b) => math.abs(a - b) }.max
+      assert(worst < 1e-12, s"streamed crossfade-windowed notch diverges at $k: $worst")
+    }
+    // the emitted windows really carry borrowed context margins
+    val winU = 60L * 1000000L // "1 minute" in micros
+    val margins = streamed.select($"startingTime", $"sample_ts").collect().map { r =>
+      val startU = (r.getDouble(0) * 1e6).toLong
+      r.getSeq[Long](1).count(ts => ts / 1000 < startU || ts / 1000 >= startU + winU)
+    }
+    assert(margins.exists(_ > 0), "no window carries context samples")
+    // identity pipeline: crossfade-stitching unmodified overlapping windows
+    // reproduces every original sample exactly (WindowingSpec's invariant,
+    // streaming form)
+    val windows = StreamingOps.windowedSegmentsStream(spark.read.parquet(dir),
+      nChannels = 4, rate = 1000.0, windowDur = winDur, contextDur = ctxDur)
+    val stitched = StreamingOps.stitchTimeWindows(windows, winDur, ctxDur)
+      .select($"channel", $"win_idx", $"values")
+      .collect().groupBy(_.getInt(0)).map { case (ch, rs) =>
+        ch -> rs.sortBy(_.getLong(1)).flatMap(_.getSeq[Double](2)).toArray
+      }
+    val orig = spark.read.parquet(dir)
+      .withColumn("channel", pmod($"user_id", lit(4)).cast("int"))
+      .groupBy("channel")
+      .agg(transform(array_sort(collect_list(struct($"ts", $"event_id", $"value"))),
+        s => s.getField("value").cast("double")).as("values"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(stitched.keySet == orig.keySet)
+    for ((ch, v) <- stitched) {
+      assert(v.length == orig(ch).length, s"channel $ch sample count differs")
+      val worst = v.zip(orig(ch)).map { case (a, b) => math.abs(a - b) }.max
+      assert(worst < 1e-12, s"identity stitch not exact on channel $ch: $worst")
+    }
+  }
+
   test("streaming: stateful running channel stats converge to batch stats") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(pmod($"user_id", lit(4)).cast("int").as("channel"),
