@@ -93,6 +93,39 @@ object Frames {
         col("value").cast("double").as("value"))
   }
 
+  /** Events -> SegmentFrame directly — the fused form of
+    * `toSegments(rectangularize(eventsToLong(...)))` for consumers that only
+    * need segments (the spectral queries): result-identical (spec-pinned),
+    * but the per-sample data crosses ONE shuffle instead of three. Samples
+    * group and sort per (channel, hour bucket) — bounded tasks, parallelism
+    * = channels × hours like denseIndexByKey — then a per-channel combine
+    * concatenates the few bucket arrays in bucket order (tiny rows: one
+    * array per bucket). The rectangular trim length comes from a
+    * count-only aggregate over the raw events (column-pruned scan, map-side
+    * combined, no arrays, no sort) broadcast into a `slice`. The long-form
+    * dense index is never materialized. */
+  def eventsToSegments(events: DataFrame, nChannels: Int, rate: Double,
+                       series: String = "events"): DataFrame = {
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val chan = events.withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
+    val bucketed = chan
+      .withColumn("_bucket", (col("ts").cast("long") / hourNanos).cast("long"))
+      .groupBy("channel", "_bucket")
+      .agg(transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+        s => s.getField("value").cast("double")).as("_vals"))
+    val combine = udf { (parts: Seq[org.apache.spark.sql.Row]) =>
+      parts.sortBy(_.getLong(0)).flatMap(_.getSeq[Double](1)).toArray
+    }
+    val minLen = chan.groupBy("channel").count().agg(min("count").as("_minlen"))
+    bucketed
+      .groupBy("channel")
+      .agg(combine(collect_list(struct(col("_bucket"), col("_vals")))).as("_all"))
+      .join(broadcast(minLen))
+      .select(lit(series).as("series"), col("channel"), lit(null).cast("int").as("band"),
+        lit(rate).as("rate"), lit(0.0).as("startingTime"),
+        slice(col("_all"), lit(1), col("_minlen").cast("int")).as("values"))
+  }
+
   /** Per-channel trace count must be equal for a rectangular (n_time, n_ch)
     * matrix; trims every channel to its series' minimum length. Fully lazy:
     * the min-length is a one-row-per-series aggregate broadcast back into the

@@ -15,8 +15,10 @@ import graft.operators.CommonReferencing
   */
 object DspRelational {
 
+  // fused adapter (one sample-level shuffle) + narrow posexplode — identical
+  // rows to rectangularize(eventsToLong(...)), spec-pinned
   private def rectLong(s: SparkSession, dir: String): DataFrame =
-    Frames.rectangularize(Frames.eventsToLong(table(s, dir, "events"), 8, 200.0))
+    Frames.toLong(Frames.eventsToSegments(table(s, dir, "events"), 8, 200.0))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -36,15 +38,29 @@ object DspRelational {
 
     QueryDef("q21_car_trimmed_mean", "A1/A2 trimmed-mean CAR + subtraction (flagship aggregate)",
       (s, dir) => {
+        import graft.operators.Windowing
         // plant missing samples (channel 3, every 97th t) to exercise the
         // reference's NaN path: sort-NaN-last, trim, nanmean the kept middle
-        val long = rectLong(s, dir).withColumn("series", lit("events"))
-          .withColumn("value",
-            when(col("channel") === 3 && pmod(col("t_idx"), lit(97)) === 0, lit(null))
-              .otherwise(col("value")))
-        // the scale path: bounded windows + blocked CAR (hash-equivalent to
-        // the join form; missing samples come back NaN instead of null)
-        CommonReferencing.subtractCarLongBlocked(long, nChannels = 8, meanFrac = 0.95)
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 200.0)
+        val plant = udf { (ch: Int, values: Array[Double]) =>
+          if (ch != 3) values
+          else {
+            val out = values.clone()
+            var i = 0
+            while (i < out.length) { out(i) = Double.NaN; i += 97 }
+            out
+          }
+        }
+        val planted = seg.withColumn("values", plant(col("channel"), col("values")))
+        // the scale path, segment-native: the same bounded-window blocked CAR
+        // that subtractCarLongBlocked runs, entered via the NARROW
+        // windowSegments explode — the input is already assembled segments,
+        // so re-deriving a long frame just to re-shuffle it back into
+        // windows (round 2's plan) would pay a second sample-level shuffle
+        val referenced = CommonReferencing.subtractCarSegments(
+          Windowing.windowSegments(planted, stride = 8192, context = 0),
+          nChannels = 8, meanFrac = 0.95, blockSize = 8192)
+        Windowing.windowedToLong(referenced, stride = 8192)
           .select(col("t_idx"), col("channel"), round(col("value"), 6).as("referenced"))
           .orderBy("t_idx", "channel")
       },

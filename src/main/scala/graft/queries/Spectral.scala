@@ -19,10 +19,11 @@ import graft.operators.{DspOperators, Pipeline}
   */
 object Spectral {
 
+  // fused adapter: identical result to
+  // toSegments(rectangularize(eventsToLong(...))) — SparkOperatorsSpec pins
+  // the equivalence — with one sample-level shuffle instead of three
   private def segments(s: SparkSession, dir: String): DataFrame =
-    Frames.toSegments(
-      Frames.rectangularize(
-        Frames.eventsToLong(table(s, dir, "events"), 8, 1000.0)))
+    Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
 
   private def toLongRounded(seg: DataFrame): DataFrame =
     Frames.toLong(seg)

@@ -258,6 +258,20 @@ class SparkOperatorsSpec extends AnyFunSuite {
       "per-row rank window must be partitioned by (key, bucket), not key alone")
   }
 
+  test("eventsToSegments == toSegments(rectangularize(eventsToLong)) exactly") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val fused = Frames.eventsToSegments(events, 8, 1000.0)
+    val staged = Frames.toSegments(Frames.rectangularize(
+      Frames.eventsToLong(events, 8, 1000.0)))
+    val f = collectTraces(fused)
+    val s = collectTraces(staged)
+    assert(f.keySet == s.keySet && f.size == 8)
+    for (k <- f.keySet) {
+      assert(f(k).length == s(k).length, s"length differs at $k")
+      assert(f(k) sameElements s(k), s"fused adapter diverges at $k")
+    }
+  }
+
   test("eventsToLong is deterministic and rectangular after trim") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val long = Frames.rectangularize(Frames.eventsToLong(events, 8, 200.0))
