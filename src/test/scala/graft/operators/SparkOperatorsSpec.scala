@@ -89,6 +89,37 @@ class SparkOperatorsSpec extends AnyFunSuite {
     assert(CommonReferencing.car(oneNull, 8, 1.0).head().getDouble(2) == 38.0 / 7)
   }
 
+  test("native TypedImperativeAggregate trimmed mean == pure-SQL form, nulls included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val nCh = 16
+    val rows = for (t <- 0 until 50; ch <- 0 until nCh) yield {
+      val v: java.lang.Double =
+        if ((t * nCh + ch) % 13 == 0) null else rnd.nextDouble() * 50 - 25
+      ("s", t.toLong, ch, v)
+    }
+    val long = rows.toDF("series", "t_idx", "channel", "value")
+    for (mf <- Seq(0.95, 0.8, 1.0)) {
+      val sql = long.groupBy("series", "t_idx")
+        .agg(CommonReferencing.trimmedMeanAgg(nCh, mf).as("car"))
+        .orderBy("t_idx").collect().map(_.getDouble(2))
+      val native = long.groupBy("series", "t_idx")
+        .agg(CommonReferencing.trimmedMeanAggNative(spark, nCh, mf).as("car"))
+        .orderBy("t_idx").collect().map(_.getDouble(2))
+      sql.zip(native).zipWithIndex.foreach { case ((a, b), i) =>
+        if (mf < 1.0)
+          // both forms sum the kept middle in sorted order -> bit-equal
+          assert(a == b || (a.isNaN && b.isNaN), s"meanFrac=$mf t=$i: sql $a != native $b")
+        else
+          // meanFrac=1: SQL avg accumulates in partial-agg order, native in
+          // sorted order — FP addition order differs at the ulp level (numpy
+          // nanmean itself sums unsorted here; no order is canonical)
+          assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)),
+            s"meanFrac=$mf t=$i: sql $a !~ native $b")
+      }
+    }
+  }
+
   test("user-supplied kernel list: gaussian builders == named filterbank; None == analytic signal") {
     import graft.dsp.Kernels
     val raw = Synthetic.segments(spark, 1.0, 2, 400.0, seed = 31)
