@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ComplexAmplitude, ComplexPhase, TrimmedMeanNan}
+
+/** Library integration point for `spark.sql.extensions=graft.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`):
+  * injects the engine's native Catalyst functions into the session's
+  * function registry at build time, so pure-SQL users get them without the
+  * per-DataFrame registration the Column API performs lazily
+  * (ComplexArrayFunctions.register / TrimmedMeanFunctions.register).
+  *
+  *  - `complex_amplitude(re, im)` / `complex_phase(re, im)` — codegen
+  *    elementwise |z| / arg(z) over parallel double arrays
+  *  - `trimmed_mean_nan(value, nExclude)` — one-pass trimmed nanmean
+  *    aggregate (the CAR aggregate)
+  *
+  * No optimizer rules or strategies are injected — the engine's plans are
+  * built from stock Catalyst operators on purpose (SURVEY.md §7: "no custom
+  * SparkStrategy warranted anywhere"). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("complex_amplitude"),
+      new ExpressionInfo(classOf[ComplexAmplitude].getName, "complex_amplitude"),
+      (exprs: Seq[Expression]) => ComplexAmplitude(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("complex_phase"),
+      new ExpressionInfo(classOf[ComplexPhase].getName, "complex_phase"),
+      (exprs: Seq[Expression]) => ComplexPhase(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("trimmed_mean_nan"),
+      new ExpressionInfo(classOf[TrimmedMeanNan].getName, "trimmed_mean_nan"),
+      (exprs: Seq[Expression]) => TrimmedMeanNan(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

@@ -182,17 +182,35 @@ object DspOperators {
     * (see the named-filterbank overload's scaladoc). */
   def waveletTransform(segments: DataFrame,
                        kernels: Seq[Option[(Int, Double) => Array[Double]]],
-                       npad: PadSpec, fftNormLength: Option[Int]): DataFrame = {
-    val f = udf { (values: Array[Double], rate: Double) =>
-      val plan = Signal.padPlan(values.length, npad)
-      val n = values.length + plan.padTotal
-      val built = kernels.map {
-        case Some(build) => Kernels.l2Normalize(build(n, rate))
-        case None        => null
-      }.toArray
-      val scale = fftNormLength.fold(1.0)(ref => math.sqrt(n.toDouble / ref))
-      packBands(Signal.waveletBands(values, built, npad), scale)
-    }
+                       npad: PadSpec, fftNormLength: Option[Int]): DataFrame =
+    waveletTransform(segments, kernels, npad, fftNormLength, "double")
+
+  /** Kernel-list variant with the precision option (no default args here —
+    * Scala allows them on only one overload per name, the named-filterbank
+    * one). Kernels are built in float64 either way; `"single"` runs the
+    * float32 transform (see the named overload). */
+  def waveletTransform(segments: DataFrame,
+                       kernels: Seq[Option[(Int, Double) => Array[Double]]],
+                       npad: PadSpec, fftNormLength: Option[Int],
+                       precision: String): DataFrame = {
+    requirePrecision(precision)
+    def built(n: Int, rate: Double): Array[Array[Double]] = kernels.map {
+      case Some(build) => Kernels.l2Normalize(build(n, rate))
+      case None        => null
+    }.toArray
+    val f =
+      if (precision == "single") udf { (values: Array[Double], rate: Double) =>
+        val plan = Signal.padPlan(values.length, npad)
+        val n = values.length + plan.padTotal
+        val scale = fftNormLength.fold(1.0)(ref => math.sqrt(n.toDouble / ref))
+        packBands32(Signal32.waveletBands(toF32(values, 1.0), built(n, rate), npad), scale)
+      }
+      else udf { (values: Array[Double], rate: Double) =>
+        val plan = Signal.padPlan(values.length, npad)
+        val n = values.length + plan.padTotal
+        val scale = fftNormLength.fold(1.0)(ref => math.sqrt(n.toDouble / ref))
+        packBands(Signal.waveletBands(values, built(n, rate), npad), scale)
+      }
     explodeBands(segments, f)
   }
 

@@ -50,6 +50,35 @@ class ExpressionsAndPlansSpec extends AnyFunSuite {
   private def physical(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("GraftExtensions injects the native functions at session build time") {
+    spark // materialize the suite session (and its SparkContext) first
+    val orig = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new session over the same SparkContext, extensions applied at build
+      val ext = SparkSession.builder().master("local[4]").appName("ext-spec")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val amp = ext.sql("SELECT complex_amplitude(array(3.0d), array(4.0d)) AS a")
+        .collect().head.getSeq[Double](0)
+      assert(amp == Seq(5.0))
+      // trimmed_mean_nan(v, 1): sorted [1,2,3,100] -> kept [2,3] -> 2.5
+      val tm = ext.sql(
+        "SELECT trimmed_mean_nan(v, 1) FROM VALUES (1.0d),(2.0d),(3.0d),(100.0d) AS t(v)")
+        .collect().head.getDouble(0)
+      assert(tm == 2.5)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      orig.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
+
   test("q01 parquet scan is column-pruned") {
     val q = graft.SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
     val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
