@@ -17,6 +17,59 @@ import graft.multimodal.Multimodal
   */
 object Llm {
 
+  /** The q42 MinHash pipeline as DuckDB CTEs (words -> shingle hashes ->
+    * xor-multiply signatures -> banded buckets -> skew-capped candidates),
+    * shared by q42 and the q53 cluster-resolution oracle. */
+  private val MinhashCtes: String =
+    """words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS shingle
+      |  FROM words WHERE len(w) >= 2
+      |), shh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::UBIGINT AS x
+      |  FROM sh
+      |), mix AS (
+      |  SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 15))::UBIGINT AS c
+      |  FROM (SELECT unnest(generate_series(0, 31)) AS i)
+      |), hs AS (
+      |  SELECT s.doc_id, g.i,
+      |         min((((xor(s.x, g.c)::HUGEINT * 2685821657736338717)
+      |               % 18446744073709551616)::UBIGINT >> 4)) AS h
+      |  FROM shh s CROSS JOIN mix g
+      |  GROUP BY s.doc_id, g.i
+      |), sig AS (
+      |  SELECT d.doc_id, g.i, COALESCE(hs.h, 9223372036854775807::UBIGINT) AS h
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
+      |  LEFT JOIN hs ON hs.doc_id = d.doc_id AND hs.i = g.i
+      |), bucket AS (
+      |  SELECT doc_id, i // 4 AS band_idx,
+      |         md5((i // 4) || ':' || string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
+      |  FROM sig GROUP BY doc_id, i // 4
+      |), bsz AS (
+      |  SELECT band_idx, bucket, count(*) AS c FROM bucket GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bucket a
+      |  JOIN bucket b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+      |              AND a.doc_id < b.doc_id
+      |  JOIN bsz ON bsz.band_idx = a.band_idx AND bsz.bucket = a.bucket
+      |          AND bsz.c <= 64
+      |)""".stripMargin
+
+  /** Candidate pairs with their slot-match estimate, threshold 0.2 —
+    * q42's result body (no ORDER BY so q53 can wrap it as a CTE). */
+  private val MinhashPairsSelect: String =
+    """SELECT c.doc_a, c.doc_b,
+      |       round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
+      |FROM cand c
+      |JOIN sig sa ON sa.doc_id = c.doc_a
+      |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      |GROUP BY c.doc_a, c.doc_b
+      |HAVING round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q40_dedup_exact", "exact dedup via content-hash groupBy",
@@ -61,51 +114,38 @@ object Llm {
       // 32 hashes, 8 bands of 4, bucket = md5(band || ':' || csv(slice));
       // buckets larger than 64 docs are dropped (skew cap, see
       // TextOps.minhashCandidates)
-      Some("""WITH words AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-             |), sh AS (
-             |  SELECT doc_id, unnest(list_distinct(list_transform(
-             |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS shingle
-             |  FROM words WHERE len(w) >= 2
-             |), shh AS (
-             |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::UBIGINT AS x
-             |  FROM sh
-             |), mix AS (
-             |  SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 15))::UBIGINT AS c
-             |  FROM (SELECT unnest(generate_series(0, 31)) AS i)
-             |), hs AS (
-             |  SELECT s.doc_id, g.i,
-             |         min((((xor(s.x, g.c)::HUGEINT * 2685821657736338717)
-             |               % 18446744073709551616)::UBIGINT >> 4)) AS h
-             |  FROM shh s CROSS JOIN mix g
-             |  GROUP BY s.doc_id, g.i
-             |), sig AS (
-             |  SELECT d.doc_id, g.i, COALESCE(hs.h, 9223372036854775807::UBIGINT) AS h
-             |  FROM documents d
-             |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
-             |  LEFT JOIN hs ON hs.doc_id = d.doc_id AND hs.i = g.i
-             |), bucket AS (
-             |  SELECT doc_id, i // 4 AS band_idx,
-             |         md5((i // 4) || ':' || string_agg(h::VARCHAR, ',' ORDER BY i)) AS bucket
-             |  FROM sig GROUP BY doc_id, i // 4
-             |), bsz AS (
-             |  SELECT band_idx, bucket, count(*) AS c FROM bucket GROUP BY 1, 2
-             |), cand AS (
-             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM bucket a
-             |  JOIN bucket b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-             |              AND a.doc_id < b.doc_id
-             |  JOIN bsz ON bsz.band_idx = a.band_idx AND bsz.bucket = a.bucket
-             |          AND bsz.c <= 64
-             |)
-             |SELECT c.doc_a, c.doc_b,
-             |       round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
-             |FROM cand c
-             |JOIN sig sa ON sa.doc_id = c.doc_a
-             |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-             |GROUP BY c.doc_a, c.doc_b
-             |HAVING round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2
-             |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)),
+      Some(s"""WITH $MinhashCtes
+              |$MinhashPairsSelect
+              |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q53_dup_clusters",
+      "near-dup cluster resolution: connected components over LSH candidate pairs",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = TextOps.minhashCandidates(TextOps.minhashSignatures(docs), threshold = 0.2)
+        TextOps.dupClusters(docs, pairs).orderBy("doc_id")
+      },
+      // same MinHash pipeline, then min-label transitive closure as a
+      // recursive CTE (label l reaches node n iff l is in n's component;
+      // min per node = component representative); docs in no pair are
+      // their own singleton cluster
+      Some(s"""WITH RECURSIVE $MinhashCtes, pairs AS (
+              |$MinhashPairsSelect
+              |), edgesym AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+              |), nodes AS (SELECT DISTINCT src AS node FROM edgesym),
+              |cc(node, label) AS (
+              |  SELECT node, node AS label FROM nodes
+              |  UNION
+              |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
+              |), comp AS (
+              |  SELECT node, min(label) AS component FROM cc GROUP BY node
+              |)
+              |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+              |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
 
     QueryDef("q43_simhash", "SimHash near-dup candidates (banded hamming join)",
       (s, dir) => {

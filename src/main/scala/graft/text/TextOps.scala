@@ -185,6 +185,66 @@ object TextOps {
       .distinct()
   }
 
+  /** Connected components over an undirected candidate-pair edge list by
+    * iterative min-label propagation — the transitive-closure step of
+    * near-dedup: LSH emits PAIRS, but keeping one doc per near-dup CLUSTER
+    * needs components (a~b, b~c => {a,b,c} even if (a,c) never collided).
+    *
+    * Each round every node adopts the minimum label among itself and its
+    * neighbors; converges in O(component diameter) rounds (near-dup
+    * clusters are dense, so typically 2-3). Scale shape: one
+    * aggregate-shuffle per round over the edge list; each round's label
+    * frame is persisted and the previous unpersisted, so lineage stays
+    * bounded no matter the iteration count (the classic Spark iterative
+    * pattern). Returns (node, component) with component = min node id in
+    * the component. Throws if maxIter rounds don't converge. */
+  def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      updated.count() // materialize before dropping the parent
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.node") === col("l.node"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Near-dup cluster assignment for every document: component id (min
+    * doc_id) of the candidate-pair graph; docs in no pair are their own
+    * singleton cluster. `edges` is any near-dup pair frame (minhash,
+    * simhash, cosine LSH). */
+  def dupClusters(docs: DataFrame, edges: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(edges)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+  }
+
   // --- SimHash near-dedup --------------------------------------------------
 
   /** SimHash over words (60 effective bits from hash60): per-bit majority

@@ -77,6 +77,24 @@ class TextOpsSpec extends AnyFunSuite {
       assert(capped.contains(pair), s"cap lost planted pair $pair")
   }
 
+  test("connected components resolve near-dup clusters transitively; singletons stay put") {
+    // chain 1-2-3 (no direct 1-3 edge: the transitive case LSH pairs miss),
+    // pair 10-11, triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val cc = TextOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, s"chain not closed: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L && cc(22L) == 20L)
+    val docsAll = (1L to 25L).map(i => (i, "doc " + i)).toDF("doc_id", "text")
+    val clusters = TextOps.dupClusters(docsAll, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(3L) == 1L && clusters(22L) == 20L)
+    assert(clusters(5L) == 5L, "doc in no pair must be its own cluster")
+    assert(clusters.size == 25)
+  }
+
   test("minhash estimate approximates exact jaccard on planted pairs") {
     val sigs = TextOps.minhashSignatures(docs, numHashes = 128, shingleN = 2)
     val cands = TextOps.minhashCandidates(sigs, numHashes = 128, bands = 32, threshold = 0.1)
