@@ -121,11 +121,17 @@ object DspOperators {
     }
 
   private def explodeBands(segments: DataFrame,
-                           f: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+                           f: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+    // streaming crossfade windows carry per-sample timestamps; the wavelet
+    // preserves sample count, so the column stays aligned and rides through
+    // for StreamingOps.stitchTimeWindows
+    val extras = segments.columns.filter(_ == "sample_ts").map(col).toSeq
     segments
       .withColumn("bt", explode(f(col("values"), col("rate"))))
-      .select(col("series"), col("channel"), col("bt.band").as("band"),
+      .select(Seq(col("series"), col("channel"), col("bt.band").as("band"),
         col("rate"), col("startingTime"), col("bt.re").as("re"), col("bt.im").as("im"))
+        ++ extras: _*)
+  }
 
   /** Wavelet transform: explodes each channel segment into one row per band
     * with complex (re, im) trace columns. Narrow except the explode (which is

@@ -243,6 +243,18 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       val worst = v.zip(orig(ch)).map { case (a, b) => math.abs(a - b) }.max
       assert(worst < 1e-12, s"identity stitch not exact on channel $ch: $worst")
     }
+    // wavelet output keeps sample_ts aligned (sample-count-preserving), so
+    // per-band crossfade stitching works on the spectral stream too
+    val wvltAmp = DspOperators.amplitude(
+      DspOperators.waveletTransform(windows, "human", hgOnly = true))
+    assert(wvltAmp.columns.contains("sample_ts"), "sample_ts dropped by wavelet explode")
+    val stitchedWv = StreamingOps.stitchTimeWindows(wvltAmp, winDur, ctxDur)
+      .select($"channel", $"band", $"values").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rs) => k -> rs.map(_.getSeq[Double](2).length).sum }
+    assert(stitchedWv.nonEmpty)
+    for (((ch, _), n) <- stitchedWv)
+      assert(n == orig(ch).length, s"stitched wavelet sample count differs on channel $ch")
   }
 
   test("streaming: stateful running channel stats converge to batch stats") {
