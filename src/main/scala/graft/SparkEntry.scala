@@ -11,14 +11,16 @@ import graft.queries.{Relational, DspRelational, Spectral, Llm, QueryDef}
   *  - q20-q26  the reference's cross-channel operator surface (CAR trimmed
   *             mean, boxcar, z-score, trim/scale, amp/phase, dim joins,
   *             band averaging) — all with exact DuckDB oracles
-  *  - q30-q34  the spectral FFT operators (resample/notch/wavelet/pipeline/
-  *             synthetic source) — not SQL-expressible; numeric correctness
-  *             is pinned by numpy golden vectors + reference-test ports in
-  *             src/test/scala/graft/dsp
-  *  - q40-q52  training-data pipeline extras: dedup (exact, n-gram Jaccard,
-  *             MinHash+LSH, SimHash), similarity search (brute-force cosine,
+  *  - q30-q35  the spectral FFT operators (resample/notch/wavelet amp+phase/
+  *             pipeline/synthetic source) — exact direct-DFT DuckDB oracles
+  *             (SpectralOracles) on top of numpy golden vectors +
+  *             reference-test ports in src/test/scala/graft/dsp
+  *  - q40-q53  training-data pipeline extras: dedup (exact, n-gram Jaccard,
+  *             MinHash+LSH, SimHash, connected-component cluster
+  *             resolution), similarity search (brute-force cosine,
   *             hyperplane LSH, IVF), text analysis (lang-id, quality,
-  *             tokens, fingerprint), multimodal binary plumbing
+  *             tokens, fingerprint), multimodal binary columns with real
+  *             image decode
   */
 object SparkEntry {
 

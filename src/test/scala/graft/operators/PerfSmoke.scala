@@ -13,6 +13,7 @@ object PerfSmoke {
     val nCh = if (args.length > 0) args(0).toInt else 64
     val secs = if (args.length > 1) args(1).toDouble else 100.0
     val rate = if (args.length > 2) args(2).toDouble else 10000.0
+    val prec = if (args.length > 3) args(3) else "double"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
@@ -30,17 +31,18 @@ object PerfSmoke {
     }
     val raw = Synthetic.segments(spark, secs, nCh, rate, seed = 1).cache()
     time("generate+cache")(raw.count())
-    val down = DspOperators.resample(raw, rate / 4)
+    val down = DspOperators.resample(raw, rate / 4, precision = prec)
     time("resample /4")(down.foreach(_ => ()))
-    val notched = DspOperators.applyLinenoiseNotch(down).cache()
+    val notched = DspOperators.applyLinenoiseNotch(down, precision = prec).cache()
     time("notch(+resample)")(notched.count())
     val car = CommonReferencing.subtractCarSegments(notched, nCh)
     time("CAR segments")(car.foreach(_ => ()))
     val wav = DspOperators.amplitude(
-      DspOperators.waveletTransform(notched, "rat", hgOnly = true))
+      DspOperators.waveletTransform(notched, "rat", hgOnly = true, precision = prec))
     time("wavelet amp x6 bands")(wav.foreach(_ => ()))
     val full = Pipeline.preprocessBlock(raw, nCh,
-      Pipeline.Config(initialRate = rate / 4, finalRate = Some(400.0), scaling = 1.0))
+      Pipeline.Config(initialRate = rate / 4, finalRate = Some(400.0), scaling = 1.0,
+        precision = prec))
     time("full pipeline")(full.foreach(_ => ()))
     spark.stop()
   }
