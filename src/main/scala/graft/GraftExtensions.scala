@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("trimmed_mean_nan"),
       new ExpressionInfo(classOf[TrimmedMeanNan].getName, "trimmed_mean_nan"),
       (exprs: Seq[Expression]) => TrimmedMeanNan(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1)))
   }
 }

@@ -28,11 +28,19 @@ final class DoubleBuf(var arr: Array[Double], var n: Int) {
   * Semantics are the reference's CAR aggregate
   * (common_referencing.py:34-41) with np.nanmean null handling: null
   * inputs become NaN, the sort puts NaN last (so missing samples land in
-  * the tail trim window), `nExclude` values are trimmed from each end, and
-  * the kept middle is nanmean'd. `nExclude` is precomputed driver-side
-  * from (nChannels, meanFrac, roundFunc), which keeps the expression free
-  * of function-valued parameters. */
-case class TrimmedMeanNan(child: Expression, nExclude: Int,
+  * the tail trim window), the kept window is nanmean'd, and a group whose
+  * kept window holds no finite value evaluates to null (matching both the
+  * SQL form's null-on-0/0 division and `avg` over all-nulls).
+  *
+  * The kept window is [nExclude, nExclude + nKeep) of the sorted values:
+  * `nKeep = nChannels - 2*nExclude` reproduces the SQL form's
+  * `slice(sorted, nExclude+1, nChannels - 2*nExclude)` bit-for-bit on ANY
+  * group size, including ragged groups shorter than nChannels (where a
+  * plain trim-both-ends would differ); `nKeep = -1` means "trim nExclude
+  * from BOTH ends of the actual group" — the intuitive generic semantics
+  * for ad-hoc SQL use. Both are precomputed driver-side, which keeps the
+  * expression free of function-valued parameters. */
+case class TrimmedMeanNan(child: Expression, nExclude: Int, nKeep: Int = -1,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DoubleBuf] with UnaryLike[Expression] {
@@ -64,18 +72,19 @@ case class TrimmedMeanNan(child: Expression, nExclude: Int,
 
   override def eval(buf: DoubleBuf): Any = {
     val n = buf.n
-    if (n == 0 || 2 * nExclude >= n) return null
+    if (n == 0) return null
     val vals = java.util.Arrays.copyOf(buf.arr, n)
     java.util.Arrays.sort(vals) // NaN sorts last, like np.sort
+    val hi = if (nKeep < 0) n - nExclude else math.min(n, nExclude + nKeep)
     var s = 0.0
     var cnt = 0
     var k = nExclude
-    while (k < n - nExclude) {
+    while (k < hi) {
       val v = vals(k)
-      if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept middle
+      if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept window
       k += 1
     }
-    if (cnt == 0) Double.NaN else s / cnt
+    if (cnt == 0) null else s / cnt
   }
 
   override def serialize(buf: DoubleBuf): Array[Byte] = {
@@ -115,13 +124,15 @@ object TrimmedMeanFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "trimmed_mean_nan",
         exprs => TrimmedMeanNan(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue()),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1),
         "built-in")
     }
 
+  /** `nKeep = -1`: trim nExclude from both ends of the actual group. */
   def trimmedMeanNan(spark: org.apache.spark.sql.SparkSession,
-                     value: Column, nExclude: Int): Column = {
+                     value: Column, nExclude: Int, nKeep: Int = -1): Column = {
     register(spark)
-    call_function("trimmed_mean_nan", value, lit(nExclude))
+    call_function("trimmed_mean_nan", value, lit(nExclude), lit(nKeep))
   }
 }

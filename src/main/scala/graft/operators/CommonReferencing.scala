@@ -51,19 +51,18 @@ object CommonReferencing {
   /** Native one-pass form of `trimmedMeanAgg`: a TypedImperativeAggregate
     * (graft.functions.TrimmedMeanNan) holding a primitive double buffer per
     * group — no collect_list array materialization, no interpreted
-    * higher-order functions. Bit-identical results (the kept-middle sum
-    * runs in the same sorted order). Needs a session for function
-    * registration, hence the extra parameter; `trimmedMeanAgg` remains the
-    * registration-free pure-SQL expression of the same semantics. */
+    * higher-order functions. Bit-identical results on every group size:
+    * `nKeep = nChannels - 2*nExclude` reproduces the SQL form's slice
+    * window even for ragged groups shorter than nChannels, and the
+    * kept-window sum runs in the same sorted order. Needs a session for
+    * function registration, hence the extra parameter; `trimmedMeanAgg`
+    * remains the registration-free pure-SQL expression. */
   def trimmedMeanAggNative(spark: org.apache.spark.sql.SparkSession,
                            nChannels: Int, meanFrac: Double = 0.95,
                            roundFunc: Double => Double = math.ceil): Column = {
-    val nExclude =
-      if (meanFrac == 1.0) 0
-      else roundFunc(nChannels * (1.0 - meanFrac) / 2.0).toInt
-    require(2 * nExclude < nChannels,
-      s"meanFrac=$meanFrac excludes all $nChannels channels")
-    graft.functions.TrimmedMeanFunctions.trimmedMeanNan(spark, col("value"), nExclude)
+    val nExclude = nExcludeFor(nChannels, meanFrac, roundFunc)
+    graft.functions.TrimmedMeanFunctions.trimmedMeanNan(spark, col("value"),
+      nExclude, nChannels - 2 * nExclude)
   }
 
   /** Per-(series, t_idx) CAR frame: columns (series, t_idx, car). */

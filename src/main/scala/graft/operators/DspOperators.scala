@@ -55,7 +55,11 @@ object DspOperators {
         val in = if (preScale == 1.0) values else values.map(_ * preScale)
         Signal.resample(in, newFreq, rate, npad)
       }
-    segments
+    // resampling changes the sample count, so a per-sample timestamp column
+    // from streaming crossfade windows no longer aligns — drop it so a
+    // downstream stitchTimeWindows fails fast on the missing column instead
+    // of silently mis-weighting (length-preserving ops keep it)
+    segments.drop("sample_ts")
       .withColumn("values", f(col("values"), col("rate")))
       .withColumn("rate", lit(newFreq))
   }

@@ -106,14 +106,27 @@ object Store {
     df
   }
 
-  def storeResample(raw: DataFrame, root: String, series: String, newFreq: Double): DataFrame =
-    write(DspOperators.resample(raw, newFreq), root, s"downsampled_$series")
+  /** Write, then return the STORED table (a parquet scan) rather than the
+    * input's lazy lineage: chained consumers re-read the materialized
+    * bytes instead of re-running the upstream FFT chain — which also makes
+    * it safe to unpersist any cache that fed the write. */
+  private def writeRead(df: DataFrame, root: String, name: String): DataFrame = {
+    write(df, root, name)
+    df.sparkSession.read.parquet(s"$root/preprocessing/$name")
+  }
+
+  def storeResample(raw: DataFrame, root: String, series: String, newFreq: Double,
+                    npad: PadSpec = FastPad, preScale: Double = 1.0,
+                    precision: String = "double"): DataFrame =
+    write(DspOperators.resample(raw, newFreq, npad, preScale, precision),
+      root, s"downsampled_$series")
 
   /** `store_subtract_CAR` parity (common_referencing.py:71-129): writes the
     * referenced data as `CAR_<series>` and the average itself as the
     * reference's literal `CAR` series name. The input frame is persisted
     * DISK_ONLY for the two derived writes — upstream (often an FFT chain)
-    * runs once — then unpersisted. Returns the referenced frame. */
+    * runs once — then unpersisted; the RETURNED frame reads the stored
+    * table, so chaining after the unpersist does not recompute lineage. */
   def storeSubtractCar(segments: DataFrame, root: String, series: String,
                        nChannels: Int, meanFrac: Double = 0.95,
                        roundFunc: Double => Double = math.ceil): DataFrame = {
@@ -121,7 +134,7 @@ object Store {
     try {
       write(CommonReferencing.carSegments(cached, nChannels, meanFrac, roundFunc = roundFunc),
         root, "CAR")
-      write(CommonReferencing.subtractCarSegments(cached, nChannels, meanFrac, roundFunc = roundFunc),
+      writeRead(CommonReferencing.subtractCarSegments(cached, nChannels, meanFrac, roundFunc = roundFunc),
         root, s"CAR_$series")
     } finally cached.unpersist()
   }
@@ -129,16 +142,19 @@ object Store {
   /** `store_linenoise_notch_CAR` parity (pipelines.py:114-173): notch, then
     * write the referenced data as `CAR_ln_<series>` AND the computed average
     * as `CAR_of_<series>` (:159-170). The notched frame (an FFT pass) is
-    * persisted DISK_ONLY so both writes share one notch computation. */
+    * persisted DISK_ONLY so both writes share one notch computation; the
+    * returned frame reads the stored table (see writeRead). */
   def storeLinenoiseNotchCar(segments: DataFrame, root: String, series: String,
                              nChannels: Int, meanFrac: Double = 0.95,
-                             roundFunc: Double => Double = math.ceil): DataFrame = {
-    val notched = DspOperators.applyLinenoiseNotch(segments)
+                             roundFunc: Double => Double = math.ceil,
+                             noiseHz: Double = 60.0, npad: PadSpec = FastPad,
+                             precision: String = "double"): DataFrame = {
+    val notched = DspOperators.applyLinenoiseNotch(segments, noiseHz, npad, precision = precision)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       write(CommonReferencing.carSegments(notched, nChannels, meanFrac, roundFunc = roundFunc),
         root, s"CAR_of_$series")
-      write(CommonReferencing.subtractCarSegments(notched, nChannels, meanFrac, roundFunc = roundFunc),
+      writeRead(CommonReferencing.subtractCarSegments(notched, nChannels, meanFrac, roundFunc = roundFunc),
         root, s"CAR_ln_$series")
     } finally notched.unpersist()
   }
@@ -148,15 +164,22 @@ object Store {
     * materializing the reference's table names for series S — each store
     * prefixes the name of the series it consumed, so the chain accretes:
     * `downsampled_S`, `CAR_ln_downsampled_S`, `CAR_of_downsampled_S`,
-    * `wvlt_amp_CAR_ln_downsampled_S`. Returns the amplitude frame. */
+    * `wvlt_amp_CAR_ln_downsampled_S`. Every Config field the in-memory
+    * `Pipeline.preprocessBlock` honors (rates, filters, meanFrac, noiseHz,
+    * npad, scaling, precision) is threaded through the stores, so the
+    * stored tables equal the functional path's intermediates. Returns the
+    * amplitude frame (read from its stored table). */
   def storePreprocessBlock(raw: DataFrame, root: String, series: String, nChannels: Int,
                            config: Pipeline.Config = Pipeline.Config()): DataFrame = {
-    val ds = storeResample(raw, root, series, config.initialRate)
+    val ds = storeResample(raw, root, series, config.initialRate,
+      config.npad, preScale = config.scaling, precision = config.precision)
     val referenced = storeLinenoiseNotchCar(ds, root, s"downsampled_$series",
-      nChannels, config.meanFrac)
+      nChannels, config.meanFrac, noiseHz = config.noiseHz, npad = config.npad,
+      precision = config.precision)
     storeWaveletTransform(referenced, root, s"CAR_ln_downsampled_$series",
       config.filters, config.hgOnly, absOnly = true,
-      postResampleRate = config.finalRate)
+      postResampleRate = config.finalRate, npad = config.npad,
+      precision = config.precision)
   }
 
   def storeWaveletAmplitude(segments: DataFrame, root: String, series: String,
@@ -171,22 +194,26 @@ object Store {
     * like the reference's ValueError (:424-426). When both series are
     * stored, the complex wavelet frame is persisted DISK_ONLY for the two
     * writes — one FFT pass, bounded memory — then unpersisted. Returns the
-    * (possibly post-resampled) amplitude frame for chaining. */
+    * (possibly post-resampled) amplitude frame read from its stored table. */
   def storeWaveletTransform(segments: DataFrame, root: String, series: String,
                             filters: String = "rat", hgOnly: Boolean = true,
                             absOnly: Boolean = true,
-                            postResampleRate: Option[Double] = None): DataFrame = {
+                            postResampleRate: Option[Double] = None,
+                            npad: PadSpec = FastPad,
+                            precision: String = "double"): DataFrame = {
     require(absOnly || postResampleRate.isEmpty,
       "Wavelet phase should not be resampled.")
-    val wvlt = DspOperators.waveletTransform(segments, filters, hgOnly)
+    val wvlt = DspOperators.waveletTransform(segments, filters, hgOnly, npad,
+      precision = precision)
     if (absOnly) {
       val amp = DspOperators.amplitude(wvlt)
-      write(postResampleRate.fold(amp)(fr => DspOperators.resample(amp, fr)),
+      writeRead(postResampleRate.fold(amp)(fr =>
+          DspOperators.resample(amp, fr, npad, precision = precision)),
         root, s"wvlt_amp_$series")
     } else {
       val cached = wvlt.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
-        val amp = write(DspOperators.amplitude(cached), root, s"wvlt_amp_$series")
+        val amp = writeRead(DspOperators.amplitude(cached), root, s"wvlt_amp_$series")
         write(DspOperators.phase(cached), root, s"wvlt_phase_$series")
         amp
       } finally cached.unpersist()

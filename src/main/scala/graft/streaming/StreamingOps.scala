@@ -96,6 +96,14 @@ object StreamingOps {
     val ctxU = durMicros(contextDur)
     require(ctxU >= 0 && 2 * ctxU <= winU,
       s"need windowDur >= 2*contextDur for disjoint crossfade ramps ($windowDur < 2*$contextDur)")
+    // right-margin copies are time-shifted FORWARD by one window, so they
+    // advance the watermark one window ahead of real event time: the
+    // effective out-of-order tolerance is (watermark - windowDur), not
+    // watermark. Guard against configs whose real tolerance is <= 0 —
+    // those silently drop slightly-late core samples and diverge from batch
+    require(ctxU == 0 || durMicros(watermark) > winU,
+      s"with contextDur > 0 the effective lateness tolerance is watermark - windowDur; " +
+        s"need watermark ('$watermark') > windowDur ('$windowDur')")
     val base = events
       .withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
       .withColumn("_tu", (col("ts") / 1000).cast("long"))
@@ -138,7 +146,14 @@ object StreamingOps {
     * only one window covers a sample (same normalization trick as
     * `Windowing.stitch`). Identity pipelines round-trip exactly; spectral
     * ops differ from unwindowed results only by the boundary leakage the
-    * crossfade bounds. */
+    * crossfade bounds.
+    *
+    * Precondition: per-sample timestamps must be unique within a channel —
+    * the timestamp is the only cross-window sample key, so two samples
+    * sharing (channel, ts) would be merged into one weight-averaged value
+    * here (the window side keeps both, ordered by event_id). Applies only
+    * to length-preserving pipelines: `resample` drops `sample_ts` (counts
+    * change), making this fail fast on the missing column. */
   def stitchTimeWindows(windowed: DataFrame, windowDur: String,
                         contextDur: String): DataFrame = {
     val winU = durMicros(windowDur)

@@ -230,7 +230,14 @@ object TextOps {
     }
     sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("node"), col("label").as("component"))
+    // hand back a lineage-truncated copy and release the loop's cache: a
+    // plain return of `labels` would pin one persisted frame per call for
+    // the session's lifetime (or, unpersisted, re-run every iteration's
+    // join chain on each downstream action)
+    val result = labels.select(col("node"), col("label").as("component"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** Near-dup cluster assignment for every document: component id (min

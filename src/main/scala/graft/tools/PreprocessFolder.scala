@@ -57,18 +57,27 @@ object PreprocessFolder {
         precision = a.precision))
     val ampResampled = DspOperators.resample(amp, a.finalRate, precision = a.precision)
 
+    def writeWavelet(): Unit =
+      // reference naming accretes the consumed series name:
+      // wvlt_amp_ + CAR_ln_downsampled_<acq> (wavelet_transform.py:389,410)
+      store.writeProcessing(s"wvlt_amp_CAR_ln_downsampled_${a.acqName}", cast(ampResampled),
+        partitionByChannel = true)
+
     if (a.allSteps) {
-      store.writeProcessing(s"downsampled_${a.acqName}", cast(down))
-      // reference's store_linenoise_notch_CAR writes the referenced data AND
-      // the CAR average itself (pipelines.py:148-170)
-      store.writeProcessing(s"CAR_ln_downsampled_${a.acqName}", cast(referenced))
-      store.writeProcessing(s"CAR_of_downsampled_${a.acqName}",
-        cast(CommonReferencing.carSegments(notched, nCh)))
-    }
-    // reference naming accretes the consumed series name:
-    // wvlt_amp_ + CAR_ln_downsampled_<acq> (wavelet_transform.py:389,410)
-    store.writeProcessing(s"wvlt_amp_CAR_ln_downsampled_${a.acqName}", cast(ampResampled),
-      partitionByChannel = true)
+      // three consumers share the resample+notch lineage (CAR_ln write,
+      // CAR_of write, wavelet chain): persist it for the duration so the
+      // most expensive FFT pass runs once, like Store.storeLinenoiseNotchCar
+      val cached = notched.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        store.writeProcessing(s"downsampled_${a.acqName}", cast(down))
+        // reference's store_linenoise_notch_CAR writes the referenced data
+        // AND the CAR average itself (pipelines.py:148-170)
+        store.writeProcessing(s"CAR_ln_downsampled_${a.acqName}", cast(referenced))
+        store.writeProcessing(s"CAR_of_downsampled_${a.acqName}",
+          cast(CommonReferencing.carSegments(cached, nCh)))
+        writeWavelet()
+      } finally cached.unpersist()
+    } else writeWavelet()
   }
 
   def main(argv: Array[String]): Unit = {

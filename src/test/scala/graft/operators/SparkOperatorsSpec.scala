@@ -93,10 +93,15 @@ class SparkOperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
     val nCh = 16
-    val rows = for (t <- 0 until 50; ch <- 0 until nCh) yield {
+    val rows = (for (t <- 0 until 50; ch <- 0 until nCh) yield {
       val v: java.lang.Double =
         if ((t * nCh + ch) % 13 == 0) null else rnd.nextDouble() * 50 - 25
       ("s", t.toLong, ch, v)
+    }).filter { case (_, t, ch, _) =>
+      // ragged groups: whole channel rows ABSENT (not null) for some t —
+      // the SQL slice keeps [nExclude, nExclude+nKeep) of however many rows
+      // exist; the native form must window identically, not trim both ends
+      !(t % 7 == 0 && ch >= nCh - 1 - (t % 3).toInt)
     }
     val long = rows.toDF("series", "t_idx", "channel", "value")
     for (mf <- Seq(0.95, 0.8, 1.0)) {
