@@ -204,9 +204,11 @@ object TextOps {
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
+    var cached = sym.select(col("src").as("node")).distinct()
+      .withColumn("_old", col("node"))
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached.select("node", "label")
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -214,17 +216,18 @@ object TextOps {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nlabel"))
-      val updated = labels
+      // carry the previous label through the step so the convergence check
+      // is a filter over the SAME cached frame — one action per round, no
+      // extra join against the old labels
+      val stepped = labels
         .join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("_old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      updated.count() // materialize before dropping the parent
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.node") === col("l.node"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels.unpersist()
-      labels = updated
+      val changed = stepped.filter(col("label") =!= col("_old")).count() // materializes
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select("node", "label")
       converged = changed == 0
       it += 1
     }
@@ -236,7 +239,7 @@ object TextOps {
     // join chain on each downstream action)
     val result = labels.select(col("node"), col("label").as("component"))
       .localCheckpoint(true)
-    labels.unpersist()
+    cached.unpersist()
     result
   }
 
