@@ -153,6 +153,8 @@ object Llm {
         TextOps.simhashCandidates(sigs, maxHamming = 3)
           .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       },
+      // chunk buckets larger than 256 docs are dropped (skew cap, see
+      // TextOps.simhashCandidates) — the bsz CTE mirrors it
       Some("""WITH wh AS (
              |  SELECT doc_id, ('0x' || substr(md5('0:' || w), 1, 15))::UBIGINT AS h
              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -169,11 +171,15 @@ object Llm {
              |  SELECT doc_id, simhash, i.i AS chunk_idx,
              |         (simhash >> (i.i * 16)) & 65535 AS chunk
              |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+             |), bsz AS (
+             |  SELECT chunk_idx, chunk, count(*) AS c FROM chunks GROUP BY 1, 2
              |), cand AS (
              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM chunks a
              |  JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
              |              AND a.doc_id < b.doc_id
+             |  JOIN bsz ON bsz.chunk_idx = a.chunk_idx AND bsz.chunk = a.chunk
+             |          AND bsz.c <= 256
              |)
              |SELECT c.doc_a, c.doc_b,
              |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming

@@ -169,12 +169,18 @@ object Similarity {
     * sign-pattern bucket (a dense cluster, or the all-zeros pattern from
     * degenerate vectors) would otherwise emit O(size²) pairs in one task, so
     * oversized buckets are dropped for a bounded worst task (bounded recall
-    * loss; dense-cluster recovery is IVF's job). */
+    * loss; dense-cluster recovery is IVF's job).
+    *
+    * Pass `dim` when known: the fallback probe (`size(vec)` of one row) is
+    * bounded but fires a Spark job at operator CONSTRUCTION time, which
+    * composes badly inside loops or a streaming foreachBatch. */
   def cosineLshPairs(embeddings: DataFrame, planes: Int = 12, minSim: Double = 0.8,
                      seed: Int = 7, maxBucketSize: Int = 256,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
-    val hyper = Array.tabulate(planes, dim)((p, i) => planeComponent(seed, p, i))
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+            else embeddings.select(size(col(vecCol))).first().getInt(0)
+    val hyper = Array.tabulate(planes, d)((p, i) => planeComponent(seed, p, i))
     val spark = embeddings.sparkSession
     val bc = spark.sparkContext.broadcast(hyper)
     val sigUdf = udf { (vIn: Seq[Float]) =>

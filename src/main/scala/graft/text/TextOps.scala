@@ -282,27 +282,45 @@ object TextOps {
 
   /** Near-dup pairs with Hamming distance <= maxHamming, found by banding the
     * 64-bit simhash into 4 16-bit chunks (pigeonhole: any pair within
-    * hamming 3 shares at least one chunk). */
-  def simhashCandidates(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * hamming 3 shares at least one chunk).
+    *
+    * Scale shape (same as `minhashCandidates`): ONE (chunk_idx, chunk)
+    * group-shuffle; each doc's 8-byte simhash rides through it alongside the
+    * id, pairs and their Hamming distance are produced inside the bucket
+    * row, and only (id, id, hamming) triples exist downstream — never a
+    * chunk self-join. `maxBucketSize` caps skew: a hot chunk (boilerplate
+    * headers, or the all-zeros chunk that every short doc lands in) would
+    * otherwise emit O(size²) pairs in one task. Oversized buckets are
+    * dropped — floods of identical content are exact-dedup's job (q40) — so
+    * the worst task stays bounded at cap²/2 comparisons. */
+  def simhashCandidates(signatures: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = 256): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only up to hamming 3")
-    val chunks = signatures.select(col("doc_id"), col("simhash"),
+    val chunks = signatures.select(
+      col("doc_id").cast("long").as("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_idx"),
           shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("simhash"),
         col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-    val a = chunks.as("a")
-    val b = chunks.as("b")
-    val hamming = udf { (x: Long, y: Long) => java.lang.Long.bitCount(x ^ y) }
-    a.join(b, col("a.chunk_idx") === col("b.chunk_idx") &&
-             col("a.chunk") === col("b.chunk") &&
-             col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+    // pairs + hamming in one pass over the bucket's members
+    val pairsUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = members.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toArray
+      for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length) yield {
+        val (ia, ha) = sorted(i)
+        val (ib, hb) = sorted(j)
+        (ia, ib, java.lang.Long.bitCount(ha ^ hb))
+      }
+    }
+    chunks
+      .groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(pairsUdf(col("members"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        col("p._3").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   // --- n-gram Jaccard (exact, for verification / small candidate sets) -----

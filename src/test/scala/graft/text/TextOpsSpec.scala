@@ -123,6 +123,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(falsePairs.size <= 4, s"too many random collisions: $falsePairs")
   }
 
+  test("simhash bucket cap bounds a boilerplate flood without losing normal pairs") {
+    // 300 identical boilerplate docs: all four chunks funnel them into the
+    // same buckets -> ~45k pairs x 4 chunks in one task without the cap
+    val longDoc = (0 until 120).map(i => "word" + (i % 60)).mkString(" ")
+    val longMut = mutate(longDoc, 17)
+    val flood = (1000L until 1300L).map(i => (i, "identical boilerplate text repeated verbatim"))
+    val mixed = docs.union(Seq((400L, longDoc), (401L, longMut)).toDF("doc_id", "text"))
+      .union(flood.toDF("doc_id", "text"))
+    val sigs = TextOps.simhashSignatures(mixed)
+    val capped = TextOps.simhashCandidates(sigs, maxHamming = 3, maxBucketSize = 256)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the flood buckets (300 > 256) are dropped entirely...
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "flood pairs should be capped away")
+    // ...while the planted near-dup pair in normal-size buckets survives
+    assert(capped.contains((400L, 401L)), "cap lost planted pair (400, 401)")
+  }
+
   test("language id picks the language whose stopwords dominate") {
     val samples = Seq(
       (1L, "the cat and the dog of the house", "en"),
@@ -225,6 +243,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
       "flood pairs should be capped away")
     assert(capped.contains((500L, 501L)), "cap lost the planted pair")
+    // passing dim skips the probe: construction must fire NO Spark job
+    // (the probe fallback runs one), and results must be identical
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val withDim = Similarity.cosineLshPairs(emb, planes = 8, minSim = 0.9, dim = dim)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore, "cosineLshPairs(dim=) ran a job at construction")
+    assert(withDim.select("id_a", "id_b").as[(Long, Long)].collect().toSet == got,
+      "dim-passed path must match the probe path")
   }
 
   test("IVF at rest: cell partition column prunes the probe scan") {
