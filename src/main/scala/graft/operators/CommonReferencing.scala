@@ -59,17 +59,20 @@ object CommonReferencing {
     * remains the registration-free pure-SQL expression. */
   def trimmedMeanAggNative(spark: org.apache.spark.sql.SparkSession,
                            nChannels: Int, meanFrac: Double = 0.95,
-                           roundFunc: Double => Double = math.ceil): Column = {
+                           roundFunc: Double => Double = math.ceil,
+                           precision: String = "double"): Column = {
     val nExclude = nExcludeFor(nChannels, meanFrac, roundFunc)
     graft.functions.TrimmedMeanFunctions.trimmedMeanNan(spark, col("value"),
-      nExclude, nChannels - 2 * nExclude)
+      nExclude, nChannels - 2 * nExclude, single = isSingle(precision))
   }
 
   /** Per-(series, t_idx) CAR frame: columns (series, t_idx, car). */
   def car(long: DataFrame, nChannels: Int, meanFrac: Double = 0.95,
-          roundFunc: Double => Double = math.ceil): DataFrame =
+          roundFunc: Double => Double = math.ceil,
+          precision: String = "double"): DataFrame =
     long.groupBy("series", "t_idx")
-      .agg(trimmedMeanAggNative(long.sparkSession, nChannels, meanFrac, roundFunc).as("car"))
+      .agg(trimmedMeanAggNative(long.sparkSession, nChannels, meanFrac, roundFunc,
+        precision).as("car"))
 
   /** Subtract the CAR from every channel sample of a LongFrame — the
     * reference-shaped join form: groupBy(t_idx) aggregate + add-back join,
@@ -77,10 +80,29 @@ object CommonReferencing {
     * modest n_time; for unbounded recordings use `subtractCarLongBlocked`,
     * whose shuffle widths are bounded by its stride. */
   def subtractCar(long: DataFrame, nChannels: Int, meanFrac: Double = 0.95,
-                  roundFunc: Double => Double = math.ceil): DataFrame =
-    long.join(car(long, nChannels, meanFrac, roundFunc), Seq("series", "t_idx"))
-      .withColumn("value", col("value") - col("car"))
+                  roundFunc: Double => Double = math.ceil,
+                  precision: String = "double"): DataFrame = {
+    val diff =
+      if (isSingle(precision)) // float32 subtract, like X.astype(f32) - avg
+        (col("value").cast("float") - col("car").cast("float")).cast("double")
+      else col("value") - col("car")
+    long.join(car(long, nChannels, meanFrac, roundFunc, precision), Seq("series", "t_idx"))
+      .withColumn("value", diff)
       .drop("car")
+  }
+
+  /** `precision` knob shared by every CAR form — the reference threads
+    * `precision` through CAR itself (common_referencing.py:11-23 via
+    * utils.py:9-31): 'single' casts inputs to float32 and ACCUMULATES the
+    * trimmed nanmean in float32; 'double' (our default) keeps float64 so
+    * results stay exactly reproducible against float64 oracles. */
+  private[graft] def isSingle(precision: String): Boolean =
+    precision.toLowerCase match {
+      case "single" => true
+      case "double" => false
+      case other => throw new IllegalArgumentException(
+        s"`precision` should be either `single` or `double`. Got $other.")
+    }
 
   /** Long-form CAR at scale: pack the long frame into bounded disjoint
     * windows (Windowing.windowLong, context 0 — the trimmed mean is
@@ -95,11 +117,13 @@ object CommonReferencing {
   def subtractCarLongBlocked(long: DataFrame, nChannels: Int,
                              meanFrac: Double = 0.95,
                              roundFunc: Double => Double = math.ceil,
-                             stride: Int = 8192): DataFrame = {
+                             stride: Int = 8192,
+                             precision: String = "double"): DataFrame = {
     val nanSafe = long.withColumn("value",
       coalesce(col("value").cast("double"), lit(Double.NaN)))
     val windowed = Windowing.windowLong(nanSafe, stride, context = 0)
-    val referenced = subtractCarSegments(windowed, nChannels, meanFrac, stride, roundFunc)
+    val referenced = subtractCarSegments(windowed, nChannels, meanFrac, stride,
+      roundFunc, precision)
     Windowing.windowedToLong(referenced, stride)
   }
 
