@@ -39,8 +39,16 @@ final class DoubleBuf(var arr: Array[Double], var n: Int) {
   * plain trim-both-ends would differ); `nKeep = -1` means "trim nExclude
   * from BOTH ends of the actual group" — the intuitive generic semantics
   * for ad-hoc SQL use. Both are precomputed driver-side, which keeps the
-  * expression free of function-valued parameters. */
+  * expression free of function-valued parameters.
+  *
+  * `single = true` is the reference's `precision='single'` compute mode
+  * (common_referencing.py:11-23 via utils.py:9-31): inputs are cast to
+  * float32 and the kept-window nanmean ACCUMULATES in float32, matching
+  * np.nanmean over a float32 array. The buffer stays double (inputs are
+  * already float32-rounded upstream so the cast is lossless and ordering
+  * is unchanged); only the eval arithmetic narrows. */
 case class TrimmedMeanNan(child: Expression, nExclude: Int, nKeep: Int = -1,
+                          single: Boolean = false,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DoubleBuf] with UnaryLike[Expression] {
@@ -73,18 +81,35 @@ case class TrimmedMeanNan(child: Expression, nExclude: Int, nKeep: Int = -1,
   override def eval(buf: DoubleBuf): Any = {
     val n = buf.n
     if (n == 0) return null
-    val vals = java.util.Arrays.copyOf(buf.arr, n)
-    java.util.Arrays.sort(vals) // NaN sorts last, like np.sort
     val hi = if (nKeep < 0) n - nExclude else math.min(n, nExclude + nKeep)
-    var s = 0.0
-    var cnt = 0
-    var k = nExclude
-    while (k < hi) {
-      val v = vals(k)
-      if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept window
-      k += 1
+    if (single) {
+      // float32 accumulate: cast, sort (NaN still last), sum in Float
+      val vals = new Array[Float](n)
+      var i = 0
+      while (i < n) { vals(i) = buf.arr(i).toFloat; i += 1 }
+      java.util.Arrays.sort(vals)
+      var s = 0.0f
+      var cnt = 0
+      var k = nExclude
+      while (k < hi) {
+        val v = vals(k)
+        if (!v.isNaN) { s += v; cnt += 1 }
+        k += 1
+      }
+      if (cnt == 0) null else (s / cnt).toDouble
+    } else {
+      val vals = java.util.Arrays.copyOf(buf.arr, n)
+      java.util.Arrays.sort(vals) // NaN sorts last, like np.sort
+      var s = 0.0
+      var cnt = 0
+      var k = nExclude
+      while (k < hi) {
+        val v = vals(k)
+        if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept window
+        k += 1
+      }
+      if (cnt == 0) null else s / cnt
     }
-    if (cnt == 0) null else s / cnt
   }
 
   override def serialize(buf: DoubleBuf): Array[Byte] = {
@@ -125,14 +150,17 @@ object TrimmedMeanFunctions {
         "trimmed_mean_nan",
         exprs => TrimmedMeanNan(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
-          if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1),
+          if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1,
+          if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false),
         "built-in")
     }
 
-  /** `nKeep = -1`: trim nExclude from both ends of the actual group. */
+  /** `nKeep = -1`: trim nExclude from both ends of the actual group.
+    * `single = true`: float32 accumulate (reference precision='single'). */
   def trimmedMeanNan(spark: org.apache.spark.sql.SparkSession,
-                     value: Column, nExclude: Int, nKeep: Int = -1): Column = {
+                     value: Column, nExclude: Int, nKeep: Int = -1,
+                     single: Boolean = false): Column = {
     register(spark)
-    call_function("trimmed_mean_nan", value, lit(nExclude), lit(nKeep))
+    call_function("trimmed_mean_nan", value, lit(nExclude), lit(nKeep), lit(single))
   }
 }

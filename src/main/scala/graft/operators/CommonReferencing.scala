@@ -139,27 +139,51 @@ object CommonReferencing {
 
   /** Per-time-point trimmed nanmean across a block of channel arrays: sort
     * channel values (NaN last, like np.sort), trim nExclude from each end,
-    * nanmean the kept middle. */
-  private def carOfBlock(byCh: Array[(Int, Array[Double])], nExclude: Int): Array[Double] = {
+    * nanmean the kept middle. `single = true` casts to float32 and
+    * accumulates the nanmean in float32 — the reference's
+    * precision='single' compute mode (common_referencing.py:11-23 via
+    * utils.py:9-31). */
+  private def carOfBlock(byCh: Array[(Int, Array[Double])], nExclude: Int,
+                         single: Boolean = false): Array[Double] = {
     val m = byCh.length // channels present in this block (nChannels if rectangular)
     val len = byCh.map(_._2.length).min
-    val sorted = new Array[Double](m)
     val car = new Array[Double](len)
-    var t = 0
-    while (t < len) {
-      var i = 0
-      while (i < byCh.length) { sorted(i) = byCh(i)._2(t); i += 1 }
-      java.util.Arrays.sort(sorted) // NaN sorts last, like np.sort
-      var s = 0.0
-      var cnt = 0
-      var k = nExclude
-      while (k < m - nExclude) {
-        val v = sorted(k)
-        if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept middle
-        k += 1
+    if (single) {
+      val sorted = new Array[Float](m)
+      var t = 0
+      while (t < len) {
+        var i = 0
+        while (i < byCh.length) { sorted(i) = byCh(i)._2(t).toFloat; i += 1 }
+        java.util.Arrays.sort(sorted) // NaN sorts last, like np.sort
+        var s = 0.0f
+        var cnt = 0
+        var k = nExclude
+        while (k < m - nExclude) {
+          val v = sorted(k)
+          if (!v.isNaN) { s += v; cnt += 1 } // float32 nanmean of the middle
+          k += 1
+        }
+        car(t) = (s / cnt).toDouble
+        t += 1
       }
-      car(t) = s / cnt
-      t += 1
+    } else {
+      val sorted = new Array[Double](m)
+      var t = 0
+      while (t < len) {
+        var i = 0
+        while (i < byCh.length) { sorted(i) = byCh(i)._2(t); i += 1 }
+        java.util.Arrays.sort(sorted) // NaN sorts last, like np.sort
+        var s = 0.0
+        var cnt = 0
+        var k = nExclude
+        while (k < m - nExclude) {
+          val v = sorted(k)
+          if (!v.isNaN) { s += v; cnt += 1 } // nanmean of the kept middle
+          k += 1
+        }
+        car(t) = s / cnt
+        t += 1
+      }
     }
     car
   }
@@ -193,17 +217,22 @@ object CommonReferencing {
     * two shuffles; everything else in the pipeline stays narrow. */
   def subtractCarSegments(segments: DataFrame, nChannels: Int,
                           meanFrac: Double = 0.95, blockSize: Int = 8192,
-                          roundFunc: Double => Double = math.ceil): DataFrame = {
+                          roundFunc: Double => Double = math.ceil,
+                          precision: String = "double"): DataFrame = {
     val nExclude = nExcludeFor(nChannels, meanFrac, roundFunc)
+    val single = isSingle(precision)
 
     // one row per (series, block_idx): all channels' blocks
     val subtractUdf = udf { (chBlocks: Seq[Row]) =>
       val byCh = chBlocks.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toArray
-      val car = carOfBlock(byCh, nExclude)
+      val car = carOfBlock(byCh, nExclude, single)
       byCh.map { case (ch, b) =>
         val out = new Array[Double](car.length)
         var i = 0
-        while (i < car.length) { out(i) = b(i) - car(i); i += 1 }
+        if (single) // float32 subtract, like X.astype(f32) - avg
+          while (i < car.length) { out(i) = (b(i).toFloat - car(i).toFloat).toDouble; i += 1 }
+        else
+          while (i < car.length) { out(i) = b(i) - car(i); i += 1 }
         (ch, out)
       }
     }
@@ -227,11 +256,13 @@ object CommonReferencing {
     * per block, so the reassembly side is nBlocks rows per series — tiny. */
   def carSegments(segments: DataFrame, nChannels: Int,
                   meanFrac: Double = 0.95, blockSize: Int = 8192,
-                  roundFunc: Double => Double = math.ceil): DataFrame = {
+                  roundFunc: Double => Double = math.ceil,
+                  precision: String = "double"): DataFrame = {
     val nExclude = nExcludeFor(nChannels, meanFrac, roundFunc)
+    val single = isSingle(precision)
     val carUdf = udf { (chBlocks: Seq[Row]) =>
       carOfBlock(chBlocks.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toArray,
-        nExclude)
+        nExclude, single)
     }
     val carBlocks = blocked(segments, blockSize)
       .groupBy("series", "band", "rate", "startingTime", "block_idx")

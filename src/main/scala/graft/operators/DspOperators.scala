@@ -261,17 +261,36 @@ object DspOperators {
     * collapse inlines the baseline aggregate into every downstream element
     * evaluation — measured 100x slower than this loop when followed by a
     * posexplode. */
-  def zscoreSegments(segments: DataFrame, baselineSamples: Int = 125): DataFrame = {
-    val f = udf { (values: Array[Double]) =>
-      val n = math.min(baselineSamples, values.length)
-      var s = 0.0
-      var s2 = 0.0
-      var i = 0
-      while (i < n) { s += values(i); s2 += values(i) * values(i); i += 1 }
-      val mu = s / n
-      val sd = math.sqrt(s2 / n - mu * mu)
-      values.map(v => (v - mu) / sd)
-    }
+  def zscoreSegments(segments: DataFrame, baselineSamples: Int = 125,
+                     precision: String = "double"): DataFrame = {
+    val f =
+      if (graft.operators.CommonReferencing.isSingle(precision))
+        // float32 compute (reference precision='single', utils.py:9-31):
+        // two-pass mean/std like np.mean/np.std over a float32 array —
+        // the one-pass s2/n - mu^2 form cancels catastrophically in f32
+        udf { (values: Array[Double]) =>
+          val n = math.min(baselineSamples, values.length)
+          var s = 0.0f
+          var i = 0
+          while (i < n) { s += values(i).toFloat; i += 1 }
+          val mu = s / n
+          var s2 = 0.0f
+          i = 0
+          while (i < n) { val d = values(i).toFloat - mu; s2 += d * d; i += 1 }
+          val sd = math.sqrt((s2 / n).toDouble).toFloat
+          values.map(v => ((v.toFloat - mu) / sd).toDouble)
+        }
+      else
+        udf { (values: Array[Double]) =>
+          val n = math.min(baselineSamples, values.length)
+          var s = 0.0
+          var s2 = 0.0
+          var i = 0
+          while (i < n) { s += values(i); s2 += values(i) * values(i); i += 1 }
+          val mu = s / n
+          val sd = math.sqrt(s2 / n - mu * mu)
+          values.map(v => (v - mu) / sd)
+        }
     segments.withColumn("values", f(col("values")))
   }
 }

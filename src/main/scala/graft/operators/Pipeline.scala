@@ -46,7 +46,8 @@ object Pipeline {
         preScale = config.scaling, precision = config.precision)
     val notched = DspOperators.applyLinenoiseNotch(downsampled, config.noiseHz, config.npad,
       precision = config.precision)
-    val referenced = CommonReferencing.subtractCarSegments(notched, nChannels, config.meanFrac)
+    val referenced = CommonReferencing.subtractCarSegments(notched, nChannels, config.meanFrac,
+      precision = config.precision)
     val wavelet = DspOperators.waveletTransform(referenced, config.filters, config.hgOnly,
       config.npad, precision = config.precision)
     val amp = DspOperators.amplitude(wavelet)
@@ -66,8 +67,9 @@ object Pipeline {
     * elementwise (bands summed in band order — deterministic). The explode
     * -> per-sample groupBy -> re-segment alternative shuffles every sample
     * twice; this shuffles each trace once. */
-  def highGammaTrace(waveletAmp: DataFrame, baselineSamples: Int = 125): DataFrame = {
-    val z = DspOperators.zscoreSegments(waveletAmp, baselineSamples)
+  def highGammaTrace(waveletAmp: DataFrame, baselineSamples: Int = 125,
+                     precision: String = "double"): DataFrame = {
+    val z = DspOperators.zscoreSegments(waveletAmp, baselineSamples, precision)
     val avgBands = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
       val byBand = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
       val n = byBand.map(_._2.length).min
@@ -129,13 +131,14 @@ object Store {
     * table, so chaining after the unpersist does not recompute lineage. */
   def storeSubtractCar(segments: DataFrame, root: String, series: String,
                        nChannels: Int, meanFrac: Double = 0.95,
-                       roundFunc: Double => Double = math.ceil): DataFrame = {
+                       roundFunc: Double => Double = math.ceil,
+                       precision: String = "double"): DataFrame = {
     val cached = segments.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      write(CommonReferencing.carSegments(cached, nChannels, meanFrac, roundFunc = roundFunc),
-        root, "CAR")
-      writeRead(CommonReferencing.subtractCarSegments(cached, nChannels, meanFrac, roundFunc = roundFunc),
-        root, s"CAR_$series")
+      write(CommonReferencing.carSegments(cached, nChannels, meanFrac, roundFunc = roundFunc,
+        precision = precision), root, "CAR")
+      writeRead(CommonReferencing.subtractCarSegments(cached, nChannels, meanFrac,
+        roundFunc = roundFunc, precision = precision), root, s"CAR_$series")
     } finally cached.unpersist()
   }
 
@@ -152,10 +155,10 @@ object Store {
     val notched = DspOperators.applyLinenoiseNotch(segments, noiseHz, npad, precision = precision)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      write(CommonReferencing.carSegments(notched, nChannels, meanFrac, roundFunc = roundFunc),
-        root, s"CAR_of_$series")
-      writeRead(CommonReferencing.subtractCarSegments(notched, nChannels, meanFrac, roundFunc = roundFunc),
-        root, s"CAR_ln_$series")
+      write(CommonReferencing.carSegments(notched, nChannels, meanFrac, roundFunc = roundFunc,
+        precision = precision), root, s"CAR_of_$series")
+      writeRead(CommonReferencing.subtractCarSegments(notched, nChannels, meanFrac,
+        roundFunc = roundFunc, precision = precision), root, s"CAR_ln_$series")
     } finally notched.unpersist()
   }
 

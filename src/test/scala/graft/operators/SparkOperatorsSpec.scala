@@ -270,6 +270,49 @@ class SparkOperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DspOperators.resample(raw, 1000.0, precision = "half"))
   }
 
+  test("precision='single': CAR and z-score accumulate in float32 (last parity gap)") {
+    // reference threads precision through CAR itself (common_referencing.py:11-23
+    // via utils.py:9-31) and the tutorial z-score runs on float32 arrays; the
+    // single path must produce exactly-float32-representable values (proof the
+    // COMPUTE narrowed, not a trailing cast) within single tolerance of double
+    val raw = Synthetic.segments(spark, 1.0, 8, 400.0, seed = 37)
+      // float32-round inputs first, like the reference's astype at ingest
+      .withColumn("values", expr("transform(values, v -> cast(cast(v as float) as double))"))
+    def isF32(x: Array[Double]): Boolean = x.forall(v => v.isNaN || v == v.toFloat.toDouble)
+    def close(s: Map[(Int, Option[Int]), Array[Double]],
+              d: Map[(Int, Option[Int]), Array[Double]], label: String): Unit = {
+      assert(s.keySet == d.keySet && s.nonEmpty)
+      for (k <- s.keySet) {
+        val rms = math.sqrt(d(k).map(v => v * v).sum / d(k).length)
+        val worst = s(k).zip(d(k)).map { case (a, b) => math.abs(a - b) }.max
+        assert(worst < 1e-3 * math.max(rms, 1.0), s"$label single vs double at $k: $worst")
+      }
+    }
+    val carS = CommonReferencing.subtractCarSegments(raw, 8, precision = "single")
+    val carD = CommonReferencing.subtractCarSegments(raw, 8)
+    val (cs, cd) = (collectTraces(carS), collectTraces(carD))
+    assert(cs.values.forall(isF32), "single blocked CAR output not float32-valued")
+    close(cs, cd, "blocked CAR")
+    // the CAR trace itself (CAR_of_ series)
+    val trS = CommonReferencing.carSegments(raw, 8, precision = "single")
+    assert(trS.select("values").collect()
+      .forall(r => isF32(r.getSeq[Double](0).toArray)), "single CAR trace not f32-valued")
+    // join-form CAR via the native trimmed-mean aggregate's single flag
+    val longF = Frames.toLong(raw)
+    val joinS = Frames.toSegments(CommonReferencing.subtractCar(longF, 8, precision = "single"))
+    val joinD = Frames.toSegments(CommonReferencing.subtractCar(longF, 8))
+    val (js, jd) = (collectTraces(joinS), collectTraces(joinD))
+    assert(js.values.forall(isF32), "single join-form CAR output not float32-valued")
+    close(js, jd, "join-form CAR")
+    // z-score in float32
+    val zS = collectTraces(DspOperators.zscoreSegments(carS, 125, precision = "single"))
+    val zD = collectTraces(DspOperators.zscoreSegments(carD, 125))
+    assert(zS.values.forall(isF32), "single z-score output not float32-valued")
+    close(zS, zD, "z-score")
+    intercept[IllegalArgumentException](
+      CommonReferencing.subtractCarSegments(raw, 8, precision = "half"))
+  }
+
   test("bucketed dense index equals single-window row_number") {
     import org.apache.spark.sql.expressions.Window
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
