@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, DspRelational, Spectral, Llm, QueryDef}
+import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm, QueryDef}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,9 @@ import graft.queries.{Relational, DspRelational, Spectral, Llm, QueryDef}
   *             pipeline/synthetic source) — exact direct-DFT DuckDB oracles
   *             (SpectralOracles) on top of numpy golden vectors +
   *             reference-test ports in src/test/scala/graft/dsp
+  *  - q36      a REAL Structured Streaming query (ST3): readStream ->
+  *             watermarked event-time windows -> wavelet amplitude ->
+  *             append memory sink, with a per-window direct-DFT oracle
   *  - q40-q53  training-data pipeline extras: dedup (exact, n-gram Jaccard,
   *             MinHash+LSH, SimHash, connected-component cluster
   *             resolution), similarity search (brute-force cosine,
@@ -25,7 +28,8 @@ import graft.queries.{Relational, DspRelational, Spectral, Llm, QueryDef}
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    Relational.defs ++ DspRelational.defs ++ Spectral.defs ++ Llm.defs
+    Relational.defs ++ DspRelational.defs ++ Spectral.defs ++
+      StreamingQueries.defs ++ Llm.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full preprocess pipeline (resample -> notch -> CAR -> wavelet ->

@@ -1,0 +1,180 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DspOperators
+import graft.streaming.StreamingOps
+
+/** Driver-visible Structured Streaming surface (SURVEY.md ST3): q36 runs a
+  * REAL streaming query — file-source readStream -> event-time windowed
+  * segment assembly (watermark + append) -> wavelet filterbank amplitude ->
+  * memory sink under Trigger.AvailableNow — and checks it against a DuckDB
+  * oracle that replicates the windowed spectral math per (channel, window)
+  * group with a direct DFT (per-group padded lengths, unlike the global-plan
+  * oracles in SpectralOracles).
+  *
+  * Watermark boundary semantics (ms-truncated watermark, <= vs < eviction)
+  * are deliberately kept OUT of the oracle: both sides post-filter to the
+  * conservative window set `(win + 2) * winU <= maxTs - delay` — one full
+  * window earlier than anything the watermark could still hold open — so the
+  * comparison never straddles an emission boundary. Emitted-but-filtered
+  * windows are discarded; a window in the conservative set that the stream
+  * FAILED to emit shows up as a missing row and fails the hash.
+  */
+object StreamingQueries {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** 48 h tumbling windows over ~30 days of events; 1 h watermark delay. */
+  private val WinU = 48L * 3600L * 1000000L
+  private val DelayU = 3600L * 1000000L
+  private val MinN = 8 // drop windows too short for a meaningful filterbank
+  private val Rate = 1000.0
+  private val NCh = 8
+
+  private def q36Build(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source wants a directory; stage the single parquet file
+    val stage = java.nio.file.Files.createTempDirectory("q36_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val streamed = StreamingOps.runToMemory(s, stage.toString,
+      s"q36_sink_${sinkId.incrementAndGet()}",
+      df => DspOperators.amplitude(DspOperators.waveletTransform(
+        StreamingOps.windowedSegmentsStream(df, NCh, Rate,
+          windowDur = "48 hours", watermark = "1 hour")
+          .filter(size(col("values")) >= MinN),
+        "human", hgOnly = true)))
+    // conservative closed-window set: identical arithmetic to the oracle
+    val maxTu = s.read.parquet(s"$dir/events.parquet")
+      .agg(max((col("ts") / 1000).cast("long"))).head().getLong(0)
+    val maxKeep = (maxTu - DelayU) / WinU - 2
+    streamed
+      .withColumn("win", substring_index(col("series"), "#w", -1).cast("long"))
+      .filter(col("win") <= maxKeep)
+      .select(col("channel"), col("win"), col("band"),
+        posexplode(col("values")).as(Seq("t_idx", "v")))
+      .select(col("channel"), col("win"), col("band"),
+        col("t_idx").cast("long").as("t_idx"), round(col("v"), 6).as("value"))
+      .orderBy("channel", "win", "band", "t_idx")
+  }
+
+  /** Per-(channel, window) direct-DFT wavelet oracle. Each window group has
+    * its OWN sample count n, 5-smooth padded length np, pad split (pl, pr)
+    * and kernel frequency grid rate/np — the per-group generalization of
+    * SpectralOracles.q32's single global plan. The rfft norm weight is 1
+    * only at DC and (even np) Nyquist; odd per-group np doubles k = np//2
+    * like any other positive frequency. `tu` reproduces Spark's
+    * (ts/1000).cast(long) — long->double->divide->truncate — bit-for-bit
+    * (IEEE determinism), so window membership agrees even when the double
+    * rounding lands a microsecond off the true quotient. */
+  private def q36Oracle: String = {
+    val tu = "CAST(trunc(epoch_ns(ts)::DOUBLE / 1000.0) AS BIGINT)"
+    s"""WITH seq AS (
+  SELECT CAST(user_id % $NCh AS INT) AS channel,
+         $tu // $WinU AS win,
+         CAST(value AS DOUBLE) AS value,
+         CAST(row_number() OVER (
+              PARTITION BY user_id % $NCh, $tu // $WinU
+              ORDER BY ts, event_id) - 1 AS BIGINT) AS t_idx
+  FROM events
+), maxtu AS (
+  SELECT max($tu) AS m FROM events
+), kept AS (
+  SELECT s.channel, s.win, count(*) AS n
+  FROM seq s, maxtu mx
+  GROUP BY s.channel, s.win, mx.m
+  HAVING count(*) >= $MinN AND s.win + 2 <= (mx.m - $DelayU) // $WinU
+), plan2 AS (
+  SELECT channel, win, n, np, (np - n) // 2 AS pl, np - n - (np - n) // 2 AS pr
+  FROM (
+    SELECT k.channel, k.win, k.n, min(CAST(s.l AS BIGINT)) AS np
+    FROM kept k JOIN (
+      SELECT power(2, a.g) * power(3, b.g) * power(5, c.g) AS l
+      FROM (SELECT unnest(generate_series(0, 31)) AS g) a,
+           (SELECT unnest(generate_series(0, 20)) AS g) b,
+           (SELECT unnest(generate_series(0, 14)) AS g) c) s
+      ON s.l >= k.n AND s.l <= 2 * k.n
+    GROUP BY k.channel, k.win, k.n) t
+), edges AS (
+  SELECT s.channel, s.win,
+         max(CASE WHEN s.t_idx = 0 THEN s.value END) AS x0,
+         max(CASE WHEN s.t_idx = p.n - 1 THEN s.value END) AS xl
+  FROM seq s JOIN plan2 p ON p.channel = s.channel AND p.win = s.win
+  GROUP BY s.channel, s.win
+), idx AS (
+  SELECT channel, win, n, np, pl, pr, unnest(generate_series(0, np - 1)) AS i
+  FROM plan2
+), padded AS (
+  SELECT x.channel, x.win, x.np, x.i,
+    CASE WHEN x.i >= x.pl AND x.i < x.pl + x.n THEN rv.value
+         WHEN x.i < x.pl AND (x.pl - x.i) <= x.n - 1 THEN 2.0 * e.x0 - rv.value
+         WHEN x.i >= x.pl + x.n AND (x.i - x.pl - x.n) < LEAST(x.pr, x.n - 1)
+           THEN 2.0 * e.xl - rv.value
+         ELSE 0.0 END AS p
+  FROM idx x
+  JOIN edges e ON e.channel = x.channel AND e.win = x.win
+  LEFT JOIN seq rv ON rv.channel = x.channel AND rv.win = x.win AND rv.t_idx =
+    CASE WHEN x.i >= x.pl AND x.i < x.pl + x.n THEN x.i - x.pl
+         WHEN x.i < x.pl THEN x.pl - x.i
+         ELSE 2 * x.n - 2 - (x.i - x.pl) END
+), bands AS (
+  SELECT CAST(row_number() OVER (ORDER BY cf) - 1 AS INT) AS band, cf, cf / 8.0 AS sd
+  FROM (SELECT power(10, log10(4.0749286538265)
+                        + g * (log10(200.0) - log10(4.0749286538265)) / 39) AS cf
+        FROM (SELECT unnest(generate_series(0, 39)) AS g) t0) t1
+  WHERE cf >= 70.0 AND cf <= 150.0
+), ks AS (
+  SELECT channel, win, np, unnest(generate_series(0, np // 2)) AS k FROM plan2
+), gk AS (
+  SELECT ks.channel, ks.win, ks.np, b.band, ks.k,
+         exp(-pow(ks.k * ($Rate / ks.np) - b.cf, 2) / (2 * b.sd * b.sd)) AS g
+  FROM ks CROSS JOIN bands b
+), gnorm AS (
+  SELECT channel, win, band,
+         sqrt(sum((CASE WHEN k = 0 OR (np % 2 = 0 AND k = np // 2)
+                        THEN 1 ELSE 2 END) * g * g)) AS nrm
+  FROM gk GROUP BY channel, win, band
+), xbins AS (
+  SELECT p.channel, p.win, k.k,
+         sum(p.p * cos(2 * pi() * k.k * p.i / p.np)) AS re,
+         -sum(p.p * sin(2 * pi() * k.k * p.i / p.np)) AS im
+  FROM padded p
+  JOIN (SELECT channel, win, unnest(generate_series(1, (np + 1) // 2 - 1)) AS k
+        FROM plan2) k
+    ON k.channel = p.channel AND k.win = p.win
+  GROUP BY p.channel, p.win, k.k
+), zbins AS (
+  SELECT x.channel, x.win, gk.band, x.k,
+         2.0 * x.re * gk.g / gn.nrm AS re,
+         2.0 * x.im * gk.g / gn.nrm AS im
+  FROM xbins x
+  JOIN gk ON gk.channel = x.channel AND gk.win = x.win AND gk.k = x.k
+  JOIN gnorm gn ON gn.channel = x.channel AND gn.win = x.win AND gn.band = gk.band
+), tpts AS (
+  SELECT channel, win, np, pl, unnest(generate_series(pl, pl + n - 1)) AS t
+  FROM plan2
+), ztrace AS (
+  SELECT z.channel, z.win, z.band, t.t - t.pl AS t_idx,
+         sum(z.re * cos(2 * pi() * z.k * t.t / t.np)
+             - z.im * sin(2 * pi() * z.k * t.t / t.np)) / t.np AS zre,
+         sum(z.re * sin(2 * pi() * z.k * t.t / t.np)
+             + z.im * cos(2 * pi() * z.k * t.t / t.np)) / t.np AS zim
+  FROM zbins z
+  JOIN tpts t ON t.channel = z.channel AND t.win = z.win
+  GROUP BY z.channel, z.win, z.band, t.t, t.np, t.pl
+)
+SELECT channel, win, band, t_idx, round(sqrt(zre * zre + zim * zim), 6) AS value
+FROM ztrace ORDER BY channel, win, band, t_idx"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_streaming_windowed_wavelet",
+      "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
+        "windows -> wavelet amplitude -> append sink (AvailableNow)",
+      q36Build, Some(q36Oracle)))
+}
