@@ -16,7 +16,7 @@ object Bench {
     "q07_semi_anti_customers", "q08_top_orders_per_customer", "q10_events_minute_agg",
     "q20_boxcar_smooth", "q21_car_trimmed_mean", "q22_zscore_baseline",
     "q30_resample", "q31_notch", "q32_wavelet_amplitude", "q33_pipeline_high_gamma",
-    "q35_wavelet_phase",
+    "q35_wavelet_phase", "q36_streaming_windowed_wavelet",
     "q40_dedup_exact", "q42_minhash_lsh", "q43_simhash",
     "q44_embedding_stats", "q45_cosine_topk", "q46_token_count", "q47_language_id",
     "q48_quality_score", "q49_fingerprint")

@@ -97,23 +97,55 @@ object Windowing {
             when(pmod(col("t_idx"), lit(stride)) >= stride - context && core + 1 < col("_nw"),
               core + 1)))))
       }
+    // Assembly by OFFSET PLACEMENT, not array_sort(collect_list(struct)):
+    // sorting a 67k-element struct array runs Catalyst's interpreted
+    // comparator per element pair — measured 967 s for 640M samples at the
+    // soak scale, 50x the blocked CAR on the same data. Dense t_idx windows
+    // place each sample at (t_idx - min) in one O(n) pass; gappy traces
+    // fall back to the sort (same semantics as before).
+    val assemble = udf { (rows: Seq[Row]) =>
+      var minT = Long.MaxValue
+      var maxT = Long.MinValue
+      val it0 = rows.iterator
+      while (it0.hasNext) {
+        val t = it0.next().getLong(0)
+        if (t < minT) minT = t
+        if (t > maxT) maxT = t
+      }
+      val n = rows.length
+      if (maxT - minT + 1 == n) {
+        val out = new Array[Double](n)
+        val it = rows.iterator
+        while (it.hasNext) {
+          val r = it.next()
+          out((r.getLong(0) - minT).toInt) = r.getDouble(1)
+        }
+        out
+      } else rows.sortBy(_.getLong(0)).map(_.getDouble(1)).toArray
+    }
     wins
       .groupBy("series", "channel", "band", "rate", "startingTime", "_w")
-      .agg(transform(array_sort(collect_list(struct(col("t_idx"), col("value")))),
-        s => s.getField("value")).as("values"))
+      .agg(collect_list(struct(col("t_idx").cast("long").as("t_idx"),
+        col("value"))).as("_tv"))
       .select(concat(col("series"), lit(WinToken), col("_w")).as("series"),
-        col("channel"), col("band"), col("rate"), col("startingTime"), col("values"))
+        col("channel"), col("band"), col("rate"), col("startingTime"),
+        assemble(col("_tv")).as("values"))
   }
 
-  final case class Contrib(blk: Long, off: Int,
-                           vals: Array[Double], wts: Array[Double])
+  final case class Contrib(win: Long, blk: Long, off: Int, vals: Array[Double])
 
   /** Windowed SegmentFrame (after per-window ops) -> bounded output blocks:
     * one row per (channel, band, block) with `values` of <= stride samples,
     * `win_idx` = block index, base `series` restored. Each window emits its
     * crossfade-weighted pieces to the <= 3 blocks it covers; one shuffle
     * groups the <= 3 contributors per block and normalizes by the weight sum
-    * (which is 1 in the interior and self-corrects at trace edges). */
+    * (which is 1 in the interior and self-corrects at trace edges).
+    *
+    * Only the weighted VALUES cross the shuffle: the weight of window `win`
+    * at sample `t` is a pure function of (win, t, stride, context), so the
+    * combine side recomputes it from the contributor's window id instead of
+    * shipping a second full-width array — halves stitch shuffle volume
+    * (measured 66 GB of spill at the 640M-point soak before this). */
   def stitch(windowed: DataFrame, stride: Int, context: Int): DataFrame = {
     require(context >= 0 && stride >= 2 * context)
     val contribs = udf { (win: Long, values: Array[Double]) =>
@@ -126,16 +158,13 @@ object Windowing {
         val t1 = math.min((blk + 1) * stride, end)
         if (t1 > t0) {
           val vals = new Array[Double]((t1 - t0).toInt)
-          val wts = new Array[Double]((t1 - t0).toInt)
           var i = 0
           while (i < vals.length) {
             val t = t0 + i
-            val w = weight(win, t, stride, context)
-            vals(i) = values((t - a).toInt) * w
-            wts(i) = w
+            vals(i) = values((t - a).toInt) * weight(win, t, stride, context)
             i += 1
           }
-          out += Contrib(blk, (t0 - blk * stride).toInt, vals, wts)
+          out += Contrib(win, blk, (t0 - blk * stride).toInt, vals)
         }
         blk += 1
       }
@@ -143,13 +172,17 @@ object Windowing {
     }
     val combine = udf { (rows: Seq[Row]) =>
       val parts = rows.map(r =>
-        (r.getInt(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
-      val len = parts.map { case (off, v, _) => off + v.length }.max
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Double](3).toArray))
+      val len = parts.map { case (_, _, off, v) => off + v.length }.max
       val acc = new Array[Double](len)
       val wacc = new Array[Double](len)
-      for ((off, v, w) <- parts) {
+      for ((win, blk, off, v) <- parts) {
         var i = 0
-        while (i < v.length) { acc(off + i) += v(i); wacc(off + i) += w(i); i += 1 }
+        while (i < v.length) {
+          acc(off + i) += v(i)
+          wacc(off + i) += weight(win, blk * stride + off + i, stride, context)
+          i += 1
+        }
       }
       var i = 0
       while (i < len) { acc(i) = if (wacc(i) > 0) acc(i) / wacc(i) else 0.0; i += 1 }
@@ -162,7 +195,8 @@ object Windowing {
     parsed
       .groupBy(col("_base"), col("channel"), col("band"), col("rate"),
         col("startingTime"), col("_c.blk").as("win_idx"))
-      .agg(collect_list(struct(col("_c.off"), col("_c.vals"), col("_c.wts"))).as("parts"))
+      .agg(collect_list(struct(col("_c.win"), col("_c.blk"), col("_c.off"),
+        col("_c.vals"))).as("parts"))
       .select(col("_base").as("series"), col("channel"), col("band"), col("rate"),
         col("startingTime"), col("win_idx"), combine(col("parts")).as("values"))
   }

@@ -35,14 +35,24 @@ object StreamingQueries {
   private val Rate = 1000.0
   private val NCh = 8
 
-  private def q36Build(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the single events parquet into a directory (file-stream sources
+    * want a directory) and return Spark's exact per-row micro truncation of
+    * the max event timestamp — the quantity both conservative-window
+    * filters are anchored to. */
+  private def stageAndMaxTu(s: SparkSession, dir: String): (String, Long) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file-stream source wants a directory; stage the single parquet file
-    val stage = java.nio.file.Files.createTempDirectory("q36_events")
+    val stage = java.nio.file.Files.createTempDirectory("stream_events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val streamed = StreamingOps.runToMemory(s, stage.toString,
+    val maxTu = s.read.parquet(s"$dir/events.parquet")
+      .agg(max((col("ts") / 1000).cast("long"))).head().getLong(0)
+    (stage.toString, maxTu)
+  }
+
+  private def q36Build(s: SparkSession, dir: String): DataFrame = {
+    val (stage, maxTu) = stageAndMaxTu(s, dir)
+    val streamed = StreamingOps.runToMemory(s, stage,
       s"q36_sink_${sinkId.incrementAndGet()}",
       df => DspOperators.amplitude(DspOperators.waveletTransform(
         StreamingOps.windowedSegmentsStream(df, NCh, Rate,
@@ -50,8 +60,6 @@ object StreamingQueries {
           .filter(size(col("values")) >= MinN),
         "human", hgOnly = true)))
     // conservative closed-window set: identical arithmetic to the oracle
-    val maxTu = s.read.parquet(s"$dir/events.parquet")
-      .agg(max((col("ts") / 1000).cast("long"))).head().getLong(0)
     val maxKeep = (maxTu - DelayU) / WinU - 2
     streamed
       .withColumn("win", substring_index(col("series"), "#w", -1).cast("long"))
@@ -172,9 +180,56 @@ SELECT channel, win, band, t_idx, round(sqrt(zre * zre + zim * zim), 6) AS value
 FROM ztrace ORDER BY channel, win, band, t_idx"""
   }
 
+  /** q37: the crossfade machinery end to end as an IDENTITY round-trip —
+    * streaming windowed assembly with 4 h context margins, then
+    * `stitchTimeWindows` crossfades the overlapping windows back together.
+    * Ramps of adjacent windows sum to 1 and edge blocks are
+    * weight-normalized, so every original sample comes back exactly (to fp
+    * rounding, absorbed by round 6): the oracle is simply the channelized
+    * event sequence. Blocks are trimmed to win <= maxKeep - 1 because block
+    * w needs windows w-1..w+1 emitted; samples' (channel, ts) pairs are
+    * unique in the events table at every sf (stitch's documented
+    * precondition). */
+  private val CtxU = 4L * 3600L * 1000000L
+  private val DelayU37 = 72L * 3600L * 1000000L // watermark > windowDur with context
+
+  private def q37Build(s: SparkSession, dir: String): DataFrame = {
+    val (stage, maxTu) = stageAndMaxTu(s, dir)
+    val streamed = StreamingOps.runToMemory(s, stage,
+      s"q37_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.windowedSegmentsStream(df, NCh, Rate,
+        windowDur = "48 hours", watermark = "72 hours", contextDur = "4 hours"))
+    val maxKeep = (maxTu - DelayU37) / WinU - 2
+    StreamingOps.stitchTimeWindows(streamed, "48 hours", "4 hours")
+      .filter(col("win_idx") <= maxKeep - 1)
+      .select(col("channel"), col("win_idx").as("win"),
+        posexplode(col("values")).as(Seq("t_idx", "v")))
+      .select(col("channel"), col("win"), col("t_idx").cast("long").as("t_idx"),
+        round(col("v"), 6).as("value"))
+      .orderBy("channel", "win", "t_idx")
+  }
+
+  private def q37Oracle: String = {
+    val tu = "CAST(trunc(epoch_ns(ts)::DOUBLE / 1000.0) AS BIGINT)"
+    s"""WITH mx AS (SELECT max($tu) AS m FROM events)
+SELECT CAST(user_id % $NCh AS INT) AS channel,
+       $tu // $WinU AS win,
+       CAST(row_number() OVER (
+            PARTITION BY user_id % $NCh, $tu // $WinU
+            ORDER BY ts, event_id) - 1 AS BIGINT) AS t_idx,
+       round(CAST(value AS DOUBLE), 6) AS value
+FROM events, mx
+WHERE $tu // $WinU + 3 <= (mx.m - $DelayU37) // $WinU
+ORDER BY channel, win, t_idx"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
         "windows -> wavelet amplitude -> append sink (AvailableNow)",
-      q36Build, Some(q36Oracle)))
+      q36Build, Some(q36Oracle)),
+    QueryDef("q37_streaming_crossfade_stitch",
+      "ST3/ST4 crossfade context + stitch: streaming windows with 4 h " +
+        "margins crossfade-stitched back to the exact original samples",
+      q37Build, Some(q37Oracle)))
 }

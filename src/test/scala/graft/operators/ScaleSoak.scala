@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak (dev main, not a test): drives the 100 TB ingest shape —
+  * LongFrame -> windowLong (bounded windows, ONE sample shuffle) -> blocked
+  * CAR -> notch -> wavelet amplitude -> crossfade stitch — at 64 ch x 10 M
+  * samples (640 M points), an order of magnitude past PerfSmoke, and
+  * measures what the plan-level scale arguments only reason about:
+  * per-stage wall time, the max single task duration (stragglers/skew), max
+  * task result size (driver materialization guard), and shuffle volume.
+  *
+  * Run: SPARK_DRIVER_MEM=64g sbt "Test/runMain graft.operators.ScaleSoak
+  *   [nChannels] [nSamples] [stride] [context]"
+  */
+object ScaleSoak {
+
+  final class Profile extends SparkListener {
+    val maxTaskMs = new AtomicLong(0)
+    val maxResultBytes = new AtomicLong(0)
+    val shuffleWrite = new LongAdder
+    val shuffleRead = new LongAdder
+    val spill = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        maxTaskMs.getAndAccumulate(m.executorRunTime, math.max)
+        maxResultBytes.getAndAccumulate(m.resultSize, math.max)
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def report(): Unit = {
+      println(f"[soak] max task: ${maxTaskMs.get / 1000.0}%.1f s; " +
+        f"max task result -> driver: ${maxResultBytes.get / 1024.0}%.0f KiB; " +
+        f"shuffle write ${shuffleWrite.sum / 1e9}%.2f GB / read ${shuffleRead.sum / 1e9}%.2f GB; " +
+        f"spill ${spill.sum / 1e9}%.2f GB")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCh = if (args.length > 0) args(0).toInt else 64
+    val nSamples = if (args.length > 1) args(1).toLong else 10000000L
+    val stride = if (args.length > 2) args(2).toInt else 65536
+    val context = if (args.length > 3) args(3).toInt else 1024
+    val rate = 10000.0
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val prof = new Profile
+    spark.sparkContext.addSparkListener(prof)
+    println(s"[soak] $nCh ch x $nSamples samples = ${nCh * nSamples / 1e6}%s M points, " +
+      s"stride=$stride context=$context")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[soak] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // deterministic distributed LongFrame, pure codegen (no UDF, no driver
+    // data): value = band-limited-ish mix of sines + hash noise
+    val long = spark.range(nCh * nSamples)
+      .select(
+        lit("soak").as("series"),
+        (col("id") % nCh).cast("int").as("channel"),
+        lit(null).cast("int").as("band"),
+        lit(rate).as("rate"),
+        lit(0.0).as("startingTime"),
+        (col("id") / nCh).cast("long").as("t_idx"),
+        (sin(col("id") / nCh / 100.0) + sin(col("id") / nCh / 7.0) * 0.3 +
+          (pmod(xxhash64(col("id")), lit(10000)) / 10000.0 - 0.5) * 0.1).as("value"))
+
+    // the 100 TB ingest: bounded windows straight from the long layout
+    val windowed = time("windowLong (1 sample shuffle)") {
+      val w = Windowing.windowLong(long, stride, context)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = w.count()
+      println(s"[soak]   -> $n window rows")
+      w
+    }
+    time("blocked CAR over windows") {
+      CommonReferencing.subtractCarSegments(windowed, nCh).foreach(_ => ())
+    }
+    val notched = DspOperators.applyLinenoiseNotch(windowed)
+    val amp = DspOperators.amplitude(
+      DspOperators.waveletTransform(notched, "rat", hgOnly = true))
+    time("notch -> wavelet amp (narrow)") { amp.foreach(_ => ()) }
+    val stitched = Windowing.stitch(amp, stride, context)
+    val total = time("stitch -> bounded blocks") {
+      stitched.select(sum(size(col("values")))).head().getLong(0)
+    }
+    println(s"[soak] stitched samples: $total (expect ~ ${nCh * 6 * nSamples})")
+    prof.report()
+    assert(prof.maxResultBytes.get < 64L * 1024 * 1024,
+      "a task shipped >64 MiB to the driver — driver materialization leak")
+    spark.stop()
+  }
+}
