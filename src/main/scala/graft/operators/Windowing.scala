@@ -97,39 +97,18 @@ object Windowing {
             when(pmod(col("t_idx"), lit(stride)) >= stride - context && core + 1 < col("_nw"),
               core + 1)))))
       }
-    // Assembly by OFFSET PLACEMENT, not array_sort(collect_list(struct)):
-    // sorting a 67k-element struct array runs Catalyst's interpreted
-    // comparator per element pair — measured 967 s for 640M samples at the
-    // soak scale, 50x the blocked CAR on the same data. Dense t_idx windows
-    // place each sample at (t_idx - min) in one O(n) pass; gappy traces
-    // fall back to the sort (same semantics as before).
-    val assemble = udf { (rows: Seq[Row]) =>
-      var minT = Long.MaxValue
-      var maxT = Long.MinValue
-      val it0 = rows.iterator
-      while (it0.hasNext) {
-        val t = it0.next().getLong(0)
-        if (t < minT) minT = t
-        if (t > maxT) maxT = t
-      }
-      val n = rows.length
-      if (maxT - minT + 1 == n) {
-        val out = new Array[Double](n)
-        val it = rows.iterator
-        while (it.hasNext) {
-          val r = it.next()
-          out((r.getLong(0) - minT).toInt) = r.getDouble(1)
-        }
-        out
-      } else rows.sortBy(_.getLong(0)).map(_.getDouble(1)).toArray
-    }
+    // Assembly by OFFSET PLACEMENT (Frames.assembleByIndex), not
+    // array_sort(collect_list(struct)): sorting a 67k-element struct array
+    // runs Catalyst's interpreted comparator per element pair — measured
+    // 967 s for 640M samples at the soak scale, 50x the blocked CAR on the
+    // same data.
     wins
       .groupBy("series", "channel", "band", "rate", "startingTime", "_w")
       .agg(collect_list(struct(col("t_idx").cast("long").as("t_idx"),
         col("value"))).as("_tv"))
       .select(concat(col("series"), lit(WinToken), col("_w")).as("series"),
         col("channel"), col("band"), col("rate"), col("startingTime"),
-        assemble(col("_tv")).as("values"))
+        graft.model.Frames.assembleByIndex(col("_tv")).as("values"))
   }
 
   final case class Contrib(win: Long, blk: Long, off: Int, vals: Array[Double])
