@@ -62,5 +62,44 @@ object Spectral {
     QueryDef("q35_wavelet_phase", "F12 wavelet phase (the reference's abs_only=False path)",
       (s, dir) => toLongRounded(DspOperators.phase(
         DspOperators.waveletTransform(segments(s, dir), "human", hgOnly = true))),
-      Some(SpectralOracles.q35())))
+      Some(SpectralOracles.q35())),
+
+    // J3 band-metadata dimension as a first-class checked table: every
+    // filterbank x hg-pruning combination with its (band, cf, sd) rows —
+    // the dim the pipeline joins onto wavelet output. Oracle replicates
+    // numpy-logspace cfs (exact 10^hi endpoint), const-Q sd = cf/8, and the
+    // changlab sd = 10^(log10(0.39) + 0.5 log10(cf)) * sqrt(2)
+    // (utils.py:34-73).
+    QueryDef("q38_band_metadata", "J3/F10 filterbank band metadata dimension",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        Seq("rat", "human", "changlab").map { f =>
+          Seq(false, true).map { hg =>
+            DspOperators.bandMetadata(s, f, hg)
+              .select(lit(f).as("filters"), lit(hg).as("hg_only"), col("band"),
+                round(col("cf"), 6).as("cf"), round(col("sd"), 6).as("sd"))
+          }.reduce(_ unionAll _)
+        }.reduce(_ unionAll _).orderBy("filters", "hg_only", "band")
+      },
+      Some("""WITH raw AS (
+  SELECT f.filters, g.g,
+         CASE WHEN g.g = f.n - 1 THEN power(10, log10(f.fmax))
+              ELSE power(10, log10(f.fmin) + g.g * (log10(f.fmax) - log10(f.fmin)) / (f.n - 1))
+         END AS cf
+  FROM (VALUES ('rat', 2.6308, 1200.0, 54),
+               ('human', 4.0749286538265, 200.0, 40),
+               ('changlab', 4.0749286538265, 200.0, 40)) f(filters, fmin, fmax, n)
+  CROSS JOIN (SELECT unnest(generate_series(0, 53)) AS g) g
+  WHERE g.g < f.n
+), pruned AS (
+  SELECT r.filters, h.hg_only, r.cf,
+         CASE WHEN r.filters = 'changlab'
+              THEN power(10, log10(0.39) + 0.5 * log10(r.cf)) * sqrt(2.0)
+              ELSE r.cf / 8.0 END AS sd,
+         CAST(row_number() OVER (PARTITION BY r.filters, h.hg_only ORDER BY r.g) - 1 AS INT) AS band
+  FROM raw r CROSS JOIN (SELECT unnest([false, true]) AS hg_only) h
+  WHERE NOT h.hg_only OR (r.cf >= 70.0 AND r.cf <= 150.0)
+)
+SELECT filters, hg_only, band, round(cf, 6) AS cf, round(sd, 6) AS sd
+FROM pruned ORDER BY filters, hg_only, band""")))
 }
