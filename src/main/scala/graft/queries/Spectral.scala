@@ -101,5 +101,39 @@ object Spectral {
   WHERE NOT h.hg_only OR (r.cf >= 70.0 AND r.cf <= 150.0)
 )
 SELECT filters, hg_only, band, round(cf, 6) AS cf, round(sd, 6) AS sd
-FROM pruned ORDER BY filters, hg_only, band""")))
+FROM pruned ORDER BY filters, hg_only, band""")),
+
+    // F9 band-limited Hamming kernel (wavelet_transform.py:40-71): the
+    // declared-API kernel, emitted as its full two-sided 1000-bin grid at
+    // rate 1000 Hz for the 60-120 Hz band. The oracle rebuilds numpy
+    // fftfreq ordering, per-side hamming windows (m=1 special case kept),
+    // and the L2 norm over the whole grid. Kernels are tiny driver-built
+    // dims by design (broadcast at scale), so a 1000-row local Dataset is
+    // the honest shape.
+    QueryDef("q39_hamming_kernel", "F9 band-limited two-sided Hamming kernel",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        graft.dsp.Kernels.hammingKernel(1000, 1000.0, 60.0, 120.0)
+          .zipWithIndex.map { case (v, k) => (k, v) }.toSeq
+          .toDF("k", "value")
+          .select(col("k").cast("long").as("k"), round(col("value"), 9).as("value"))
+          .orderBy("k")
+      },
+      Some("""WITH idx AS (SELECT unnest(generate_series(0, 999)) AS k),
+freqs AS (SELECT k, CASE WHEN k < 500 THEN k ELSE k - 1000 END * 1.0 AS f FROM idx),
+pos AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS i, count(*) OVER () AS m
+        FROM freqs WHERE f >= 60.0 AND f <= 120.0),
+neg AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS i, count(*) OVER () AS m
+        FROM freqs WHERE f <= -60.0 AND f >= -120.0),
+win AS (
+  SELECT k, CASE WHEN m = 1 THEN 1.0
+                 ELSE 0.54 - 0.46 * cos(2 * pi() * i / (m - 1)) END AS w FROM pos
+  UNION ALL
+  SELECT k, CASE WHEN m = 1 THEN 1.0
+                 ELSE 0.54 - 0.46 * cos(2 * pi() * i / (m - 1)) END AS w FROM neg
+), nrm AS (SELECT sqrt(sum(w * w)) AS n FROM win)
+SELECT i.k AS k, round(coalesce(w.w / nrm.n, 0.0), 9) AS value
+FROM idx i LEFT JOIN win w ON w.k = i.k CROSS JOIN nrm
+ORDER BY i.k""")))
 }
