@@ -11,7 +11,7 @@ import graft.streaming.StreamingOps
 /** Driver-visible Structured Streaming surface (SURVEY.md ST3): q36 runs a
   * REAL streaming query — file-source readStream -> event-time windowed
   * segment assembly (watermark + append) -> wavelet filterbank amplitude ->
-  * memory sink under Trigger.AvailableNow — and checks it against a DuckDB
+  * parquet file sink under Trigger.AvailableNow — and checks it against a DuckDB
   * oracle that replicates the windowed spectral math per (channel, window)
   * group with a direct DFT (per-group padded lengths, unlike the global-plan
   * oracles in SpectralOracles).
@@ -52,7 +52,7 @@ object StreamingQueries {
 
   private def q36Build(s: SparkSession, dir: String): DataFrame = {
     val (stage, maxTu) = stageAndMaxTu(s, dir)
-    val streamed = StreamingOps.runToMemory(s, stage,
+    val streamed = StreamingOps.runToParquet(s, stage,
       s"q36_sink_${sinkId.incrementAndGet()}",
       df => DspOperators.amplitude(DspOperators.waveletTransform(
         StreamingOps.windowedSegmentsStream(df, NCh, Rate,
@@ -195,7 +195,7 @@ FROM ztrace ORDER BY channel, win, band, t_idx"""
 
   private def q37Build(s: SparkSession, dir: String): DataFrame = {
     val (stage, maxTu) = stageAndMaxTu(s, dir)
-    val streamed = StreamingOps.runToMemory(s, stage,
+    val streamed = StreamingOps.runToParquet(s, stage,
       s"q37_sink_${sinkId.incrementAndGet()}",
       df => StreamingOps.windowedSegmentsStream(df, NCh, Rate,
         windowDur = "48 hours", watermark = "72 hours", contextDur = "4 hours"))

@@ -196,7 +196,10 @@ object StreamingOps {
 
   /** Drive a streaming query from a static events directory to a memory
     * sink under Trigger.AvailableNow (process everything, then stop) and
-    * return the result table. */
+    * return the result table. Memory sinks collect every output row to the
+    * driver — fine for Update/Complete-mode specs on test data; for
+    * append-mode production shapes use `runToParquet`, which keeps the
+    * output distributed. */
   def runToMemory(spark: SparkSession, eventsDir: String, queryName: String,
                   transform: DataFrame => DataFrame,
                   outputMode: OutputMode = OutputMode.Append): DataFrame = {
@@ -211,5 +214,30 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Drive an append-mode streaming query from a static events directory to
+    * a parquet file sink under Trigger.AvailableNow and return a lazy
+    * read-back of the sink directory. Unlike the memory sink this never
+    * materializes output on the driver and downstream plans scan parquet
+    * instead of re-serializing a driver-local relation into every task —
+    * the shape that survives unbounded output (a memory sink is
+    * driver-bounded by definition). */
+  def runToParquet(spark: SparkSession, eventsDir: String, queryName: String,
+                   transform: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val out = java.nio.file.Files.createTempDirectory(s"stream_sink_$queryName")
+    val dataDir = out.resolve("data").toString
+    val q = transform(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", dataDir)
+      .option("checkpointLocation", out.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(dataDir)
   }
 }
