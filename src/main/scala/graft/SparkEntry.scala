@@ -15,15 +15,17 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             pipeline/synthetic source) — exact direct-DFT DuckDB oracles
   *             (SpectralOracles) on top of numpy golden vectors +
   *             reference-test ports in src/test/scala/graft/dsp
-  *  - q36      a REAL Structured Streaming query (ST3): readStream ->
+  *  - q36-q37  REAL Structured Streaming queries (ST3): readStream ->
   *             watermarked event-time windows -> wavelet amplitude ->
-  *             append memory sink, with a per-window direct-DFT oracle
-  *  - q40-q53  training-data pipeline extras: dedup (exact, n-gram Jaccard,
+  *             append parquet sink (q36, per-window direct-DFT oracle);
+  *             crossfade-context windows stitched back to the exact
+  *             original samples (q37)
+  *  - q40-q54  training-data pipeline extras: dedup (exact, n-gram Jaccard,
   *             MinHash+LSH, SimHash, connected-component cluster
-  *             resolution), similarity search (brute-force cosine,
-  *             hyperplane LSH, IVF), text analysis (lang-id, quality,
-  *             tokens, fingerprint), multimodal binary columns with real
-  *             image decode
+  *             resolution, embedding-cosine near-dup), similarity search
+  *             (brute-force cosine, hyperplane LSH, IVF), text analysis
+  *             (lang-id, quality, tokens, fingerprint), multimodal binary
+  *             columns with real image decode
   */
 object SparkEntry {
 

@@ -59,6 +59,47 @@ object Llm {
       |          AND bsz.c <= 64
       |)""".stripMargin
 
+  /** The q51 hyperplane-LSH pipeline as DuckDB CTEs (md5-derived planes ->
+    * sign-pattern buckets -> skew-capped candidate pairs), shared by q51 and
+    * the q54 embedding-dedup oracle. Mirrors
+    * `Similarity.cosineLshPairs(planes = 10, seed = 7, maxBucketSize = 256)`. */
+  private val CosineLshCtes: String =
+    """d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+      |planes AS (
+      |  SELECT p, list_transform(generate_series(1, d.dim), i ->
+      |    ('0x' || substr(md5('7:' || p || ':' || (i - 1)), 1, 12))::UBIGINT::DOUBLE
+      |      - 140737488355328.0) AS plane
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS p) CROSS JOIN d
+      |), sig AS (
+      |  SELECT e.vec_id AS id,
+      |         sum(CASE WHEN list_dot_product(
+      |               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+      |               p.plane) >= 0
+      |             THEN (1 << p.p) ELSE 0 END)::INT AS bucket
+      |  FROM embeddings e CROSS JOIN planes p
+      |  GROUP BY e.vec_id
+      |), bsz AS (
+      |  SELECT bucket, count(*) AS c FROM sig GROUP BY 1
+      |), cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+      |  JOIN bsz ON bsz.bucket = a.bucket AND bsz.c <= 256
+      |)""".stripMargin
+
+  /** Candidate pairs with exact cosine, thresholded on the ROUNDED value
+    * (matching `cosineLshPairs`' filter-after-round) — q51's result body,
+    * no ORDER BY so q54 can wrap it as a CTE. */
+  private def cosinePairsSelect(minSim: Double): String =
+    s"""SELECT c.id_a, c.id_b, round(list_cosine_similarity(
+       |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+       |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.id_a
+       |JOIN embeddings eb ON eb.vec_id = c.id_b
+       |WHERE round(list_cosine_similarity(
+       |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+       |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) >= $minSim""".stripMargin
+
   /** Candidate pairs with their slot-match estimate, threshold 0.2 —
     * q42's result body (no ORDER BY so q53 can wrap it as a CTE). */
   private val MinhashPairsSelect: String =
@@ -351,37 +392,42 @@ object Llm {
       // doubles, see Similarity.planeComponent); bucket = sign pattern of the
       // 10 plane dots; buckets larger than 256 ids are dropped (skew cap,
       // see Similarity.cosineLshPairs)
-      Some("""WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
-             |planes AS (
-             |  SELECT p, list_transform(generate_series(1, d.dim), i ->
-             |    ('0x' || substr(md5('7:' || p || ':' || (i - 1)), 1, 12))::UBIGINT::DOUBLE
-             |      - 140737488355328.0) AS plane
-             |  FROM (SELECT unnest(generate_series(0, 9)) AS p) CROSS JOIN d
-             |), sig AS (
-             |  SELECT e.vec_id AS id,
-             |         sum(CASE WHEN list_dot_product(
-             |               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-             |               p.plane) >= 0
-             |             THEN (1 << p.p) ELSE 0 END)::INT AS bucket
-             |  FROM embeddings e CROSS JOIN planes p
-             |  GROUP BY e.vec_id
-             |), bsz AS (
-             |  SELECT bucket, count(*) AS c FROM sig GROUP BY 1
-             |), cand AS (
-             |  SELECT a.id AS id_a, b.id AS id_b
-             |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
-             |  JOIN bsz ON bsz.bucket = a.bucket AND bsz.c <= 256
-             |)
-             |SELECT c.id_a, c.id_b, round(list_cosine_similarity(
-             |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
-             |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
-             |FROM cand c
-             |JOIN embeddings ea ON ea.vec_id = c.id_a
-             |JOIN embeddings eb ON eb.vec_id = c.id_b
-             |WHERE round(list_cosine_similarity(
-             |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
-             |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.0
-             |ORDER BY sim DESC, id_a, id_b LIMIT 200""".stripMargin)),
+      Some(s"""WITH $CosineLshCtes
+              |${cosinePairsSelect(0.0)}
+              |ORDER BY sim DESC, id_a, id_b LIMIT 200""".stripMargin)),
+
+    QueryDef("q54_embedding_dedup",
+      "embedding-cosine near-dup dedup: LSH pairs -> sim threshold -> " +
+        "connected-component clusters with a keeper per cluster",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val pairs = Similarity.cosineLshPairs(emb, planes = 10, minSim = 0.25)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        TextOps.dupClusters(emb, pairs, idCol = "vec_id")
+          .select(col("doc_id").as("vec_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("is_keeper"))
+          .orderBy("vec_id")
+      },
+      // q51's LSH candidate CTEs + sim >= 0.25, then q53's recursive-CTE
+      // min-label transitive closure; keeper = min vec_id of the component
+      Some(s"""WITH RECURSIVE $CosineLshCtes, pairs AS (
+              |${cosinePairsSelect(0.25)}
+              |), edgesym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT id_b AS src, id_a AS dst FROM pairs
+              |), nodes AS (SELECT DISTINCT src AS node FROM edgesym),
+              |cc(node, label) AS (
+              |  SELECT node, node AS label FROM nodes
+              |  UNION
+              |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
+              |), comp AS (
+              |  SELECT node, min(label) AS component FROM cc GROUP BY node
+              |)
+              |SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster,
+              |       e.vec_id = COALESCE(c.component, e.vec_id) AS is_keeper
+              |FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+              |ORDER BY e.vec_id""".stripMargin)),
 
     QueryDef("q52_ivf_topk", "IVF-bucketed approximate nearest neighbors",
       (s, dir) => {
