@@ -33,42 +33,16 @@ object Frames {
       col("series"), col("channel"), col("band"), col("rate"), col("startingTime"),
       posexplode(col("values")).as(Seq("t_idx", "value")))
 
-  /** Order (t_idx, value) pairs by t_idx without `array_sort`'s interpreted
-    * struct comparator (measured 50x slower than the blocked CAR on the same
-    * data at the 640M-point soak): dense indices place each value at
-    * (t_idx - min) in one O(n) pass; non-dense inputs fall back to a JVM
-    * sort (same semantics). Shared by toSegments and Windowing.windowLong. */
-  private[graft] val assembleByIndex =
-    udf { (rows: Seq[org.apache.spark.sql.Row]) =>
-      var minT = Long.MaxValue
-      var maxT = Long.MinValue
-      val it0 = rows.iterator
-      while (it0.hasNext) {
-        val t = it0.next().getLong(0)
-        if (t < minT) minT = t
-        if (t > maxT) maxT = t
-      }
-      val n = rows.length
-      if (maxT - minT + 1 == n) {
-        val out = new Array[Double](n)
-        val it = rows.iterator
-        while (it.hasNext) {
-          val r = it.next()
-          out((r.getLong(0) - minT).toInt) = r.getDouble(1)
-        }
-        out
-      } else rows.sortBy(_.getLong(0)).map(_.getDouble(1)).toArray
-    }
-
   /** LongFrame -> SegmentFrame. One shuffle on the segment key; values are
     * re-ordered by t_idx inside the aggregation (O(n) placement for the
-    * dense case), so input order is free. */
+    * dense case), so input order is free. Assembly is the native
+    * `assemble_series` aggregate: packed primitive buffers instead of
+    * per-sample struct rows (see SeriesAssembleAggregate). */
   def toSegments(long: DataFrame): DataFrame =
     long.groupBy("series", "channel", "band", "rate", "startingTime")
-      .agg(collect_list(struct(col("t_idx").cast("long").as("t_idx"),
-        col("value"))).as("_tv"))
-      .select(col("series"), col("channel"), col("band"), col("rate"),
-        col("startingTime"), assembleByIndex(col("_tv")).as("values"))
+      .agg(graft.functions.SeriesAssembleFunctions.assembleSeries(
+        long.sparkSession, col("t_idx").cast("long"), col("value").cast("double"))
+        .as("values"))
 
   /** Dense 0-based index per key, ordered by `orderCols`, WITHOUT a
     * single-window-per-key sort: rows are bucketed by a coarse prefix of the

@@ -97,18 +97,20 @@ object Windowing {
             when(pmod(col("t_idx"), lit(stride)) >= stride - context && core + 1 < col("_nw"),
               core + 1)))))
       }
-    // Assembly by OFFSET PLACEMENT (Frames.assembleByIndex), not
-    // array_sort(collect_list(struct)): sorting a 67k-element struct array
-    // runs Catalyst's interpreted comparator per element pair — measured
-    // 967 s for 640M samples at the soak scale, 50x the blocked CAR on the
-    // same data.
+    // Assembly by OFFSET PLACEMENT via the native assemble_series aggregate
+    // (packed primitive buffers), not array_sort(collect_list(struct)):
+    // sorting a 67k-element struct array runs Catalyst's interpreted
+    // comparator per element pair — measured 967 s for 640M samples at the
+    // soak scale, 50x the blocked CAR on the same data — and collect_list
+    // boxes every sample into an InternalRow copy besides.
     wins
       .groupBy("series", "channel", "band", "rate", "startingTime", "_w")
-      .agg(collect_list(struct(col("t_idx").cast("long").as("t_idx"),
-        col("value"))).as("_tv"))
+      .agg(graft.functions.SeriesAssembleFunctions.assembleSeries(
+        long.sparkSession, col("t_idx").cast("long"), col("value").cast("double"))
+        .as("values"))
       .select(concat(col("series"), lit(WinToken), col("_w")).as("series"),
         col("channel"), col("band"), col("rate"), col("startingTime"),
-        graft.model.Frames.assembleByIndex(col("_tv")).as("values"))
+        col("values"))
   }
 
   final case class Contrib(win: Long, blk: Long, off: Int, vals: Array[Double])

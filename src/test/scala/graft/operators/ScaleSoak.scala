@@ -53,6 +53,11 @@ object ScaleSoak {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the ingest/stitch aggregates hold ~150 window groups per partition
+      // at this scale; the default 128-key threshold silently downgrades
+      // ObjectHashAggregate to sort-based aggregation (sorting every sample
+      // row, then spilling). A deployment sizes this with its partitions.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val prof = new Profile
