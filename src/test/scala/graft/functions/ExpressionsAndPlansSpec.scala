@@ -114,4 +114,42 @@ class ExpressionsAndPlansSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"wavelet should be narrow, found shuffle in:\n$plan")
   }
+
+  test("assemble_series places dense pairs and sorts gappy ones, across merges") {
+    // dense 0..999 shuffled across 7 partitions: placement path + partial
+    // merge; values encode the index so misplacement is detectable
+    val dense = spark.range(1000)
+      .select((($"id" * 613) % 1000).as("t"), ((($"id" * 613) % 1000) * 0.5).as("v"))
+      .repartition(7)
+    val got = dense.groupBy(lit(1))
+      .agg(SeriesAssembleFunctions.assembleSeries(spark, $"t", $"v").as("values"))
+      .head().getSeq[Double](1)
+    assert(got == (0 until 1000).map(_ * 0.5))
+
+    // gaps (odd t only) force the sort fallback; non-zero min exercises the
+    // offset shift
+    val gappy = spark.range(500)
+      .select(($"id" * 2 + 101).as("t"), ($"id".cast("double") + 7).as("v"))
+      .repartition(5)
+    val got2 = gappy.groupBy(lit(1))
+      .agg(SeriesAssembleFunctions.assembleSeries(spark, $"t", $"v").as("values"))
+      .head().getSeq[Double](1)
+    assert(got2 == (0 until 500).map(_ + 7.0))
+  }
+
+  test("assemble_series is callable from SQL and aggregates per group") {
+    SeriesAssembleFunctions.register(spark)
+    spark.range(60)
+      .select(($"id" % 3).as("g"), floor($"id" / 3).as("t"),
+        ($"id" % 3 * 100 + floor($"id" / 3)).cast("double").as("v"))
+      .createOrReplaceTempView("assemble_in")
+    val rows = spark.sql(
+      "SELECT g, assemble_series(t, v) AS values FROM assemble_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val g = r.getLong(0)
+      assert(r.getSeq[Double](1) == (0 until 20).map(g * 100 + _.toDouble))
+    }
+  }
 }
