@@ -133,6 +133,136 @@ case class AssembleSeries(tIdx: Expression, value: Expression,
     copy(tIdx = newLeft, value = newRight)
 }
 
+/** Growable parallel primitive buffers for (ts, event_id, value) triples. */
+final class TripleBuf(var ts: Array[Long], var ids: Array[Long],
+                      var vs: Array[Double], var n: Int) {
+  def add(t: Long, id: Long, v: Double): Unit = {
+    if (n == ts.length) {
+      val cap = math.max(16, ts.length * 2)
+      ts = java.util.Arrays.copyOf(ts, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      vs = java.util.Arrays.copyOf(vs, cap)
+    }
+    ts(n) = t
+    ids(n) = id
+    vs(n) = v
+    n += 1
+  }
+}
+
+/** Native timed assembly: collects (ts, event_id, value) triples into packed
+  * primitive buffers and emits `struct(values, ts)` ordered by
+  * (ts, event_id, value) — the replacement for
+  * `array_sort(collect_list(struct(ts, event_id, value)))`, whose struct
+  * comparator runs INTERPRETED per element pair (measured 50x the blocked
+  * CAR on the same data at the 640M-point soak for the t_idx variant), on
+  * the event-time paths that need the per-sample timestamps kept alongside
+  * (streaming crossfade windows) or a total order over raw event triples
+  * (the events->segments adapter). Same tie-breaking as array_sort's
+  * lexicographic struct order. */
+case class AssembleTimed(tsExpr: Expression, idExpr: Expression, valueExpr: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TripleBuf]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  override def first: Expression = tsExpr
+  override def second: Expression = idExpr
+  override def third: Expression = valueExpr
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("values",
+      ArrayType(DoubleType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("ts",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "assemble_timed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tsExpr.dataType == LongType && idExpr.dataType == LongType &&
+        valueExpr.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint, bigint, double), got " +
+        s"(${tsExpr.dataType.simpleString}, ${idExpr.dataType.simpleString}, " +
+        s"${valueExpr.dataType.simpleString})")
+
+  override def createAggregationBuffer(): TripleBuf =
+    new TripleBuf(new Array[Long](16), new Array[Long](16), new Array[Double](16), 0)
+
+  override def update(buf: TripleBuf, input: InternalRow): TripleBuf = {
+    val t = tsExpr.eval(input)
+    val id = idExpr.eval(input)
+    val v = valueExpr.eval(input)
+    if (t != null && id != null && v != null)
+      buf.add(t.asInstanceOf[Long], id.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: TripleBuf, b: TripleBuf): TripleBuf = {
+    var i = 0
+    while (i < b.n) { a.add(b.ts(i), b.ids(i), b.vs(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TripleBuf): Any = {
+    val n = buf.n
+    if (n == 0) return null
+    val order = new Array[Integer](n)
+    var i = 0
+    while (i < n) { order(i) = i; i += 1 }
+    java.util.Arrays.sort(order, (x: Integer, y: Integer) => {
+      val c1 = java.lang.Long.compare(buf.ts(x), buf.ts(y))
+      if (c1 != 0) c1
+      else {
+        val c2 = java.lang.Long.compare(buf.ids(x), buf.ids(y))
+        if (c2 != 0) c2 else java.lang.Double.compare(buf.vs(x), buf.vs(y))
+      }
+    })
+    val vs = new Array[Double](n)
+    val ts = new Array[Long](n)
+    i = 0
+    while (i < n) { vs(i) = buf.vs(order(i)); ts(i) = buf.ts(order(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UnsafeArrayData.fromPrimitiveArray(vs),
+        UnsafeArrayData.fromPrimitiveArray(ts)))
+  }
+
+  override def serialize(buf: TripleBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 24 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.ts(i)); i += 1 }
+    i = 0
+    while (i < buf.n) { bb.putLong(buf.ids(i)); i += 1 }
+    i = 0
+    while (i < buf.n) { bb.putDouble(buf.vs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TripleBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val ts = new Array[Long](math.max(n, 16))
+    val ids = new Array[Long](math.max(n, 16))
+    val vs = new Array[Double](math.max(n, 16))
+    var i = 0
+    while (i < n) { ts(i) = bb.getLong; i += 1 }
+    i = 0
+    while (i < n) { ids(i) = bb.getLong; i += 1 }
+    i = 0
+    while (i < n) { vs(i) = bb.getDouble; i += 1 }
+    new TripleBuf(ts, ids, vs, n)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): AssembleTimed =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): AssembleTimed =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): AssembleTimed =
+    copy(tsExpr = newFirst, idExpr = newSecond, valueExpr = newThird)
+}
+
 /** Column API + SQL registration, same pattern as TrimmedMeanFunctions. */
 object SeriesAssembleFunctions {
 
@@ -146,6 +276,10 @@ object SeriesAssembleFunctions {
         "assemble_series",
         exprs => AssembleSeries(exprs(0), exprs(1)),
         "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "assemble_timed",
+        exprs => AssembleTimed(exprs(0), exprs(1), exprs(2)),
+        "built-in")
     }
 
   /** values ordered by tIdx (O(n) placement when tIdx is dense). */
@@ -153,5 +287,12 @@ object SeriesAssembleFunctions {
                      tIdx: Column, value: Column): Column = {
     register(spark)
     call_function("assemble_series", tIdx, value)
+  }
+
+  /** struct(values, ts) ordered by (ts, eventId, value). */
+  def assembleTimed(spark: org.apache.spark.sql.SparkSession,
+                    ts: Column, eventId: Column, value: Column): Column = {
+    register(spark)
+    call_function("assemble_timed", ts, eventId, value)
   }
 }

@@ -112,11 +112,15 @@ object Frames {
                        series: String = "events"): DataFrame = {
     val hourNanos = 3600L * 1000 * 1000 * 1000
     val chan = events.withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
+    // native sort-assembly (packed buffers, JVM comparator) instead of
+    // array_sort(collect_list(struct(...))), whose struct comparator runs
+    // interpreted per element pair — same (ts, event_id, value) order
     val bucketed = chan
       .withColumn("_bucket", (col("ts").cast("long") / hourNanos).cast("long"))
       .groupBy("channel", "_bucket")
-      .agg(transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
-        s => s.getField("value").cast("double")).as("_vals"))
+      .agg(graft.functions.SeriesAssembleFunctions.assembleTimed(events.sparkSession,
+        col("ts").cast("long"), col("event_id").cast("long"), col("value").cast("double"))
+        .getField("values").as("_vals"))
     val combine = udf { (parts: Seq[org.apache.spark.sql.Row]) =>
       parts.sortBy(_.getLong(0)).flatMap(_.getSeq[Double](1)).toArray
     }

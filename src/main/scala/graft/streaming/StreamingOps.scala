@@ -119,19 +119,24 @@ object StreamingOps {
       .withWatermark("member_time", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("member_time"), windowDur),
         col("channel"))
-      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
-        .as("_samples"))
+      // native sort-assembly (packed buffers) instead of
+      // array_sort(collect_list(struct)) with its interpreted comparator;
+      // same (ts, event_id, value) order, and it emits the sample_ts array
+      // the downstream crossfade needs without a second transform
+      .agg(graft.functions.SeriesAssembleFunctions.assembleTimed(events.sparkSession,
+        col("ts").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double")).as("_a"))
       .withColumn("_startU", unix_micros(col("window.start")))
       // a row whose samples are ALL borrowed context (stream edge) is a stub
-      .filter(exists(col("_samples"), s =>
-        (s.getField("ts") / 1000).cast("long")
+      .filter(exists(col("_a.ts"), t =>
+        (t / 1000).cast("long")
           .between(col("_startU"), col("_startU") + winU - 1)))
       .select(
         concat(lit(series), lit("#w"), (col("_startU") / winU).cast("long")).as("series"),
         col("channel"), lit(null).cast("int").as("band"), lit(rate).as("rate"),
         (col("_startU").cast("double") / 1e6).as("startingTime"),
-        transform(col("_samples"), s => s.getField("value").cast("double")).as("values"),
-        transform(col("_samples"), s => s.getField("ts")).as("sample_ts"))
+        col("_a.values").as("values"),
+        col("_a.ts").as("sample_ts"))
   }
 
   /** Crossfade-stitch for time-windowed DSP output — the batch complement of
