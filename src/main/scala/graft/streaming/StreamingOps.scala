@@ -164,36 +164,72 @@ object StreamingOps {
     val winU = durMicros(windowDur)
     val ctxU = durMicros(contextDur)
     require(ctxU >= 0 && 2 * ctxU <= winU)
-    val contrib = udf { (winIdx: Long, values: Seq[Double], ts: Seq[Long]) =>
-      val start = winIdx * winU
+    // crossfade ramp of window `win` at event-time micros `tu`
+    def rampWeight(win: Long, tu: Long): Double = {
+      val start = win * winU
       val end = start + winU
-      values.indices.map { i =>
-        val tu = ts(i) / 1000
-        val w =
-          if (ctxU == 0) 1.0
-          else if (tu < start + ctxU) (tu - (start - ctxU)).toDouble / (2 * ctxU)
-          else if (tu >= end - ctxU) (end + ctxU - tu).toDouble / (2 * ctxU)
-          else 1.0
-        (ts(i), values(i) * w, w)
-      }
+      if (ctxU == 0) 1.0
+      else if (tu < start + ctxU) (tu - (start - ctxU)).toDouble / (2 * ctxU)
+      else if (tu >= end - ctxU) (end + ctxU - tu).toDouble / (2 * ctxU)
+      else 1.0
     }
+    // Array-level contributions, like the batch Windowing.stitch: each
+    // window row's samples are sorted by ts, so the samples landing in one
+    // target block are a contiguous slice — emit <= 3 (block, ts slice,
+    // weighted-value slice) rows instead of one row PER SAMPLE (the
+    // row-granular explode ships ~3x the bytes and boxes every sample
+    // through the shuffle). Weights are recomputed from (win, ts) at
+    // combine, so only weighted values cross the wire.
+    val contrib = udf { (winIdx: Long, values: Seq[Double], tsIn: Seq[Long]) =>
+      val vs = values.toArray
+      val ts = tsIn.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Array[Double])]
+      var i = 0
+      while (i < vs.length) {
+        val blk = (ts(i) / 1000) / winU
+        var j = i
+        while (j < vs.length && (ts(j) / 1000) / winU == blk) j += 1
+        val sliceTs = java.util.Arrays.copyOfRange(ts, i, j)
+        val sliceVw = new Array[Double](j - i)
+        var k = i
+        while (k < j) {
+          sliceVw(k - i) = vs(k) * rampWeight(winIdx, ts(k) / 1000)
+          k += 1
+        }
+        out += ((blk, sliceTs, sliceVw))
+        i = j
+      }
+      out.toSeq
+    }
+    // merge the <= 3 contributors' sorted (ts, vw) slices: per-ts weighted
+    // sum normalized by the recomputed weight sum (same normalization as
+    // Windowing.stitch; self-corrects stream edges)
     val combine = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
-      rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (_, contribs) =>
-          val vw = contribs.map(_._2).sum
-          val w = contribs.map(_._3).sum
-          if (w > 0) vw / w else 0.0
-        }.toArray
+      val acc = scala.collection.mutable.LongMap.empty[(Double, Double)]
+      for (r <- rows) {
+        val win = r.getLong(0)
+        val ts = r.getSeq[Long](1)
+        val vw = r.getSeq[Double](2)
+        var i = 0
+        while (i < ts.length) {
+          val t = ts(i)
+          val w = rampWeight(win, t / 1000)
+          val prev = acc.getOrElse(t, (0.0, 0.0))
+          acc(t) = (prev._1 + vw(i), prev._2 + w)
+          i += 1
+        }
+      }
+      acc.toSeq.sortBy(_._1)
+        .map { case (_, (vw, w)) => if (w > 0) vw / w else 0.0 }.toArray
     }
     windowed
       .withColumn("_base", substring_index(col("series"), "#w", 1))
       .withColumn("_win", substring_index(col("series"), "#w", -1).cast("long"))
-      .select(col("_base"), col("channel"), col("band"), col("rate"),
+      .select(col("_base"), col("channel"), col("band"), col("rate"), col("_win"),
         explode(contrib(col("_win"), col("values"), col("sample_ts"))).as("c"))
       .groupBy(col("_base"), col("channel"), col("band"), col("rate"),
-        floor(col("c._1") / 1000 / winU).cast("long").as("win_idx"))
-      .agg(collect_list(struct(col("c._1"), col("c._2"), col("c._3"))).as("parts"))
+        col("c._1").as("win_idx"))
+      .agg(collect_list(struct(col("_win"), col("c._2"), col("c._3"))).as("parts"))
       .select(col("_base").as("series"), col("channel"), col("band"), col("rate"),
         (col("win_idx") * winU).cast("double").divide(1e6).as("startingTime"),
         col("win_idx"), combine(col("parts")).as("values"))
