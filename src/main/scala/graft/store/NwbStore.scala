@@ -34,6 +34,29 @@ final class NwbStore(val root: String, spark: SparkSession) {
       .parquet(dir("preprocessing", name))
   }
 
+  /** Bucketed variant of the processing sink: co-locates rows by channel at
+    * WRITE time (`bucketBy` + in-bucket sort), so every downstream
+    * channel-keyed join — CAR join-form, electrode attach, aligning two
+    * derived series — reads both sides pre-partitioned and skips the
+    * shuffle entirely (plan-asserted in StoreAndStreamingSpec). The 100 TB
+    * shape: pay the partitioning once at the sink, reuse it across every
+    * query that touches the series. Bucketed tables need a catalog entry
+    * (`saveAsTable` with an external path), so the table is registered as
+    * `<prefix>_<name>` alongside the same parquet namespace layout. */
+  def writeProcessingBucketed(name: String, df: DataFrame, nBuckets: Int = 32,
+                              tablePrefix: String = "nwb"): Unit =
+    df.write.mode("overwrite").option("compression", "zstd")
+      .option("path", dir("preprocessing", name))
+      .bucketBy(nBuckets, "channel")
+      .sortBy("channel")
+      .format("parquet")
+      .saveAsTable(s"${tablePrefix}_$name")
+
+  /** Catalog read-back of a bucketed series: `spark.read.parquet` on the
+    * path would drop the bucketing metadata; the table read keeps it. */
+  def readProcessingBucketed(name: String, tablePrefix: String = "nwb"): DataFrame =
+    spark.table(s"${tablePrefix}_$name")
+
   def writeElectrodes(df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(s"$root/electrodes")
 

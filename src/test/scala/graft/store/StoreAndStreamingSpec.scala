@@ -48,6 +48,28 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     assert(store.readAcquisition("ECoG").count() == 4)
   }
 
+  test("bucketed processing sink: channel joins read pre-partitioned, no shuffle") {
+    val root = Files.createTempDirectory("nwbbucketed").toString
+    val store = new NwbStore(root, spark)
+    val a = Synthetic.segments(spark, 1.0, 4, 400.0, seed = 21)
+    val b = Synthetic.segments(spark, 1.0, 4, 400.0, seed = 22)
+      .withColumnRenamed("values", "values_b")
+    store.writeProcessingBucketed("ser_a", a, nBuckets = 4, tablePrefix = "bkt")
+    store.writeProcessingBucketed("ser_b", b, nBuckets = 4, tablePrefix = "bkt")
+    val ja = store.readProcessingBucketed("ser_a", "bkt")
+    val jb = store.readProcessingBucketed("ser_b", "bkt")
+      .select("channel", "values_b")
+    val joined = ja.join(jb, "channel")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 4)
+    // read-back preserves data, not just metadata
+    val row = joined.filter($"channel" === 1)
+      .select(size($"values"), size($"values_b")).head()
+    assert(row.getInt(0) == 400 && row.getInt(1) == 400)
+  }
+
   test("folder driver: store path == functional path (test_pipeline.py analog)") {
     val root = Files.createTempDirectory("sessions").toString
     val raw = Synthetic.segments(spark, 1.0, 4, 2000.0, seed = 13)
