@@ -15,11 +15,13 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             pipeline/synthetic source) — exact direct-DFT DuckDB oracles
   *             (SpectralOracles) on top of numpy golden vectors +
   *             reference-test ports in src/test/scala/graft/dsp
-  *  - q36-q37  REAL Structured Streaming queries (ST3): readStream ->
-  *             watermarked event-time windows -> wavelet amplitude ->
-  *             append parquet sink (q36, per-window direct-DFT oracle);
-  *             crossfade-context windows stitched back to the exact
-  *             original samples (q37)
+  *  - q36-q37, q55-q56  REAL Structured Streaming queries (ST3):
+  *             readStream -> watermarked event-time windows -> wavelet
+  *             amplitude -> append parquet sink (q36, per-window
+  *             direct-DFT oracle); crossfade-context windows stitched
+  *             back to the exact original samples (q37); plain windowed
+  *             event aggregation (q55); custom per-key state via
+  *             mapGroupsWithState Welford stats (q56)
   *  - q40-q54  training-data pipeline extras: dedup (exact, n-gram Jaccard,
   *             MinHash+LSH, SimHash, connected-component cluster
   *             resolution, embedding-cosine near-dup), similarity search

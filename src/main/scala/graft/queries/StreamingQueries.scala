@@ -223,6 +223,82 @@ WHERE $tu // $WinU + 3 <= (mx.m - $DelayU37) // $WinU
 ORDER BY channel, win, t_idx"""
   }
 
+  /** q55: the plain watermarked event-time windowed aggregation
+    * (`StreamingOps.windowedEventAgg`) as a driver query. 6 h tumbling
+    * windows, 12 h watermark; same conservative closed-window filter as
+    * q36 (both sides keep windows >= 1 full window before maxTs - delay)
+    * so emission boundaries never straddle the compare. */
+  private val WinU55 = 6L * 3600L * 1000000L
+  private val DelayU55 = 12L * 3600L * 1000000L
+
+  private def q55Build(s: SparkSession, dir: String): DataFrame = {
+    val (stage, maxTu) = stageAndMaxTu(s, dir)
+    val streamed = StreamingOps.runToParquet(s, stage,
+      s"q55_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.windowedEventAgg(df, window = "6 hours",
+        watermark = "12 hours"))
+    val maxKeep = (maxTu - DelayU55) / WinU55 - 2
+    streamed
+      .withColumn("win", (unix_micros(col("window.start")) / WinU55).cast("long"))
+      .filter(col("win") <= maxKeep)
+      .select(col("win"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("win", "event_type")
+  }
+
+  private def q55Oracle: String = {
+    val tu = "CAST(trunc(epoch_ns(ts)::DOUBLE / 1000.0) AS BIGINT)"
+    s"""WITH mx AS (SELECT max($tu) AS m FROM events)
+SELECT $tu // $WinU55 AS win, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events, mx
+WHERE $tu // $WinU55 + 2 <= (mx.m - $DelayU55) // $WinU55
+GROUP BY 1, 2 ORDER BY win, event_type"""
+  }
+
+  /** q56: custom streaming state (`runningChannelStats`,
+    * mapGroupsWithState) as a driver query. Under AvailableNow the staged
+    * single file is one micro-batch, so each channel's LAST emitted update
+    * (max n) is the full-data Welford stats — checked against a plain
+    * per-channel aggregate. The max-n reduction makes the query robust to
+    * the engine splitting the input into several batches. */
+  private def q56Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val (stage, _) = stageAndMaxTu(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(schema).parquet(stage)
+    import s.implicits._
+    val stats = StreamingOps.runningChannelStats(
+      stream.select(pmod(col("user_id"), lit(NCh)).cast("int").as("channel"),
+        col("value").cast("double").as("value")).as[StreamingOps.ChannelEvent])
+    val name = s"q56_sink_${sinkId.incrementAndGet()}"
+    val q = stats.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.awaitTermination()
+    // keep each channel's last update; bounded output (<= NCh x batches)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("channel").orderBy(col("n").desc)
+    s.table(name)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("channel"), col("n"),
+        round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"))
+      .orderBy("channel")
+  }
+
+  private def q56Oracle: String =
+    s"""SELECT CAST(user_id % $NCh AS INT) AS channel, count(*) AS n,
+       round(avg(value), 6) AS mean,
+       round(sqrt(sum((value - sub.m) * (value - sub.m)) / count(*)), 6) AS std
+FROM events JOIN (
+  SELECT CAST(user_id % $NCh AS INT) AS ch, avg(value) AS m
+  FROM events GROUP BY 1) sub ON sub.ch = CAST(user_id % $NCh AS INT)
+GROUP BY 1 ORDER BY channel"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -231,5 +307,13 @@ ORDER BY channel, win, t_idx"""
     QueryDef("q37_streaming_crossfade_stitch",
       "ST3/ST4 crossfade context + stitch: streaming windows with 4 h " +
         "margins crossfade-stitched back to the exact original samples",
-      q37Build, Some(q37Oracle)))
+      q37Build, Some(q37Oracle)),
+    QueryDef("q55_streaming_event_agg",
+      "ST3 watermarked event-time windowed aggregation: readStream -> " +
+        "6 h tumbling windows -> per-type counts/sums -> append sink",
+      q55Build, Some(q55Oracle)),
+    QueryDef("q56_streaming_running_stats",
+      "ST3 custom streaming state: per-channel Welford mean/std via " +
+        "mapGroupsWithState, last update per channel == batch aggregate",
+      q56Build, Some(q56Oracle)))
 }
