@@ -31,6 +31,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep the assembly aggregates hash-based: the default 128-key
+      // threshold silently downgrades ObjectHashAggregate to sort-based
+      // aggregation once a partition holds >128 groups (e.g. the
+      // channel x hour-bucket assembly at sf0.1), sorting every sample row
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
