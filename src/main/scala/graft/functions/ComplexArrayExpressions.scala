@@ -87,21 +87,18 @@ case class ComplexPhase(left: Expression, right: Expression) extends ComplexArra
   override def prettyName: String = "complex_phase"
 }
 
-/** Column API + SQL registration. Registration is idempotent and tracked
-  * per session so operator code can call these without setup. */
+/** Column API + SQL registration, so operator code can call these without
+  * setup. Registration is unguarded: createOrReplaceTempFunction is
+  * idempotent and per-session, so "already registered" bookkeeping buys
+  * nothing. */
 object ComplexArrayFunctions {
 
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark).toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "complex_amplitude", exprs => ComplexAmplitude(exprs(0), exprs(1)), "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "complex_phase", exprs => ComplexPhase(exprs(0), exprs(1)), "built-in")
-    }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "complex_amplitude", exprs => ComplexAmplitude(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "complex_phase", exprs => ComplexPhase(exprs(0), exprs(1)), "built-in")
+  }
 
   def complexAmplitude(df: org.apache.spark.sql.DataFrame, re: Column, im: Column): Column = {
     register(df.sparkSession)

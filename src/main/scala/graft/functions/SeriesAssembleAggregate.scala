@@ -91,10 +91,20 @@ case class AssembleSeries(tIdx: Expression, value: Expression,
       i += 1
     }
     val out = new Array[Double](n)
-    if (maxT - minT + 1 == n) {
+    var placed = maxT - minT + 1 == n
+    if (placed) {
+      // guard against duplicate t_idx masquerading as dense (range == n but
+      // a slot written twice): detected -> sort fallback, like any gap
+      val seen = new Array[Boolean](n)
       i = 0
-      while (i < n) { out((buf.ts(i) - minT).toInt) = buf.vs(i); i += 1 }
-    } else {
+      while (placed && i < n) {
+        val idx = (buf.ts(i) - minT).toInt
+        if (seen(idx)) placed = false
+        else { seen(idx) = true; out(idx) = buf.vs(i) }
+        i += 1
+      }
+    }
+    if (!placed) {
       val order = Array.range(0, n).sortBy(buf.ts(_))
       i = 0
       while (i < n) { out(i) = buf.vs(order(i)); i += 1 }
@@ -263,24 +273,22 @@ case class AssembleTimed(tsExpr: Expression, idExpr: Expression, valueExpr: Expr
     copy(tsExpr = newFirst, idExpr = newSecond, valueExpr = newThird)
 }
 
-/** Column API + SQL registration, same pattern as TrimmedMeanFunctions. */
+/** Column API + SQL registration, same pattern as TrimmedMeanFunctions.
+  * Registration is unguarded: createOrReplaceTempFunction is idempotent and
+  * per-session, so "already registered" bookkeeping (which would need a
+  * session identity key) buys nothing. */
 object SeriesAssembleFunctions {
 
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark).toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "assemble_series",
-        exprs => AssembleSeries(exprs(0), exprs(1)),
-        "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "assemble_timed",
-        exprs => AssembleTimed(exprs(0), exprs(1), exprs(2)),
-        "built-in")
-    }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "assemble_series",
+      exprs => AssembleSeries(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "assemble_timed",
+      exprs => AssembleTimed(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+  }
 
   /** values ordered by tIdx (O(n) placement when tIdx is dense). */
   def assembleSeries(spark: org.apache.spark.sql.SparkSession,

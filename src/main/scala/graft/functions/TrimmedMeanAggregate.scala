@@ -137,23 +137,19 @@ case class TrimmedMeanNan(child: Expression, nExclude: Int, nKeep: Int = -1,
     copy(child = newChild)
 }
 
-/** Column API + SQL registration, same pattern as ComplexArrayFunctions. */
+/** Column API + SQL registration, same pattern as ComplexArrayFunctions.
+  * Registration is unguarded: createOrReplaceTempFunction is idempotent and
+  * per-session, so "already registered" bookkeeping buys nothing. */
 object TrimmedMeanFunctions {
 
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark).toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "trimmed_mean_nan",
-        exprs => TrimmedMeanNan(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1,
-          if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false),
-        "built-in")
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trimmed_mean_nan",
+      exprs => TrimmedMeanNan(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false),
+      "built-in")
 
   /** `nKeep = -1`: trim nExclude from both ends of the actual group.
     * `single = true`: float32 accumulate (reference precision='single'). */

@@ -42,6 +42,7 @@ object StreamingQueries {
   private def stageAndMaxTu(s: SparkSession, dir: String): (String, Long) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Files.createTempDirectory("stream_events")
+    StreamingOps.deleteOnExit(stage)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
@@ -265,24 +266,18 @@ GROUP BY 1, 2 ORDER BY win, event_type"""
   private def q56Build(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val (stage, _) = stageAndMaxTu(s, dir)
-    val schema = s.read.parquet(stage).schema
-    val stream = s.readStream.schema(schema).parquet(stage)
     import s.implicits._
-    val stats = StreamingOps.runningChannelStats(
-      stream.select(pmod(col("user_id"), lit(NCh)).cast("int").as("channel"),
-        col("value").cast("double").as("value")).as[StreamingOps.ChannelEvent])
-    val name = s"q56_sink_${sinkId.incrementAndGet()}"
-    val q = stats.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.awaitTermination()
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q56_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.runningChannelStats(
+        df.select(pmod(col("user_id"), lit(NCh)).cast("int").as("channel"),
+          col("value").cast("double").as("value")).as[StreamingOps.ChannelEvent])
+        .toDF(),
+      outputMode = OutputMode.Update)
     // keep each channel's last update; bounded output (<= NCh x batches)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("channel").orderBy(col("n").desc)
-    s.table(name)
+    updates
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .select(col("channel"), col("n"),

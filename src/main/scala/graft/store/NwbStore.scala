@@ -42,20 +42,30 @@ final class NwbStore(val root: String, spark: SparkSession) {
     * shape: pay the partitioning once at the sink, reuse it across every
     * query that touches the series. Bucketed tables need a catalog entry
     * (`saveAsTable` with an external path), so the table is registered as
-    * `<prefix>_<name>` alongside the same parquet namespace layout. */
+    * `<prefix>_<name>` alongside the same parquet namespace layout; the
+    * default prefix includes a hash of the store root so two stores never
+    * cross-talk through the shared session catalog. Catalog entries live
+    * as long as the catalog (the session, for the default in-memory one):
+    * a NEW session re-registers by writing, or re-reads the parquet path
+    * directly and repartitions — the bucket files themselves persist. */
   def writeProcessingBucketed(name: String, df: DataFrame, nBuckets: Int = 32,
-                              tablePrefix: String = "nwb"): Unit =
+                              tablePrefix: String = ""): Unit =
     df.write.mode("overwrite").option("compression", "zstd")
       .option("path", dir("preprocessing", name))
       .bucketBy(nBuckets, "channel")
       .sortBy("channel")
       .format("parquet")
-      .saveAsTable(s"${tablePrefix}_$name")
+      .saveAsTable(s"${prefixFor(tablePrefix)}_$name")
 
   /** Catalog read-back of a bucketed series: `spark.read.parquet` on the
     * path would drop the bucketing metadata; the table read keeps it. */
-  def readProcessingBucketed(name: String, tablePrefix: String = "nwb"): DataFrame =
-    spark.table(s"${tablePrefix}_$name")
+  def readProcessingBucketed(name: String, tablePrefix: String = ""): DataFrame =
+    spark.table(s"${prefixFor(tablePrefix)}_$name")
+
+  private def prefixFor(explicit: String): String =
+    if (explicit.nonEmpty) explicit
+    else "nwb_" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(root) & 0x7fffffff)
 
   def writeElectrodes(df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(s"$root/electrodes")

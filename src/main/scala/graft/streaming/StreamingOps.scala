@@ -270,8 +270,10 @@ object StreamingOps {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
     val out = java.nio.file.Files.createTempDirectory(s"stream_sink_$queryName")
+    deleteOnExit(out)
     val dataDir = out.resolve("data").toString
-    val q = transform(stream).writeStream
+    val transformed = transform(stream)
+    val q = transformed.writeStream
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("parquet")
@@ -279,6 +281,34 @@ object StreamingOps {
       .option("checkpointLocation", out.resolve("ckpt").toString)
       .start()
     q.awaitTermination()
-    spark.read.parquet(dataDir)
+    // a query that closed no windows writes only _spark_metadata — return
+    // an empty frame of the right schema instead of failing parquet schema
+    // inference (the memory sink this replaced returned an empty table)
+    val hasData = {
+      val d = new java.io.File(dataDir)
+      d.exists && d.listFiles != null &&
+        d.listFiles.exists(f => f.getName.endsWith(".parquet"))
+    }
+    if (hasData) spark.read.parquet(dataDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      transformed.schema)
+  }
+
+  /** Temp sink/stage dirs would otherwise accumulate across bench/verify
+    * iterations: delete them recursively when the JVM exits. */
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val cleanupHook: Unit =
+    sys.addShutdownHook {
+      tmpDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }
+    }
+  private[graft] def deleteOnExit(p: java.nio.file.Path): Unit = {
+    cleanupHook
+    tmpDirs.add(p)
   }
 }

@@ -135,6 +135,15 @@ class ExpressionsAndPlansSpec extends AnyFunSuite {
       .agg(SeriesAssembleFunctions.assembleSeries(spark, $"t", $"v").as("values"))
       .head().getSeq[Double](1)
     assert(got2 == (0 until 500).map(_ + 7.0))
+
+    // duplicate t masquerading as dense (range == n): (0,0,2) must NOT take
+    // the placement path (which would drop a value and fabricate slot 1);
+    // the duplicate guard falls back to the sort, keeping all three
+    val dup = Seq((0L, 1.0), (0L, 2.0), (2L, 3.0)).toDF("t", "v")
+    val got3 = dup.groupBy(lit(1))
+      .agg(SeriesAssembleFunctions.assembleSeries(spark, $"t", $"v").as("values"))
+      .head().getSeq[Double](1)
+    assert(got3.length == 3 && got3.toSet == Set(1.0, 2.0, 3.0) && got3(2) == 3.0)
   }
 
   test("assemble_series is callable from SQL and aggregates per group") {
