@@ -47,7 +47,7 @@ object TextOps {
 
   /** First 15 hex chars (60 bits) of md5("<seed>:<s>") — always >= 0. */
   private[text] def hash60(s: String, seed: Int): Long = {
-    val b = md5Bytes(seed + ":" + s)
+    val b = md5Bytes(s"$seed:$s")
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (b(i) & 0xFFL); i += 1 }
@@ -153,7 +153,7 @@ object TextOps {
     val bandUdf = udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
         val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        (b, md5Hex(b + ":" + slice.mkString(",")))
+        (b, md5Hex(s"$b:${slice.mkString(",")}"))
       }
     }
     val buckets = signatures
