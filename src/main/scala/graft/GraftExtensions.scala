@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ComplexAmplitude, ComplexPhase, TrimmedMeanNan}
+import graft.functions.{AssembleSeries, AssembleTimed, ComplexAmplitude, ComplexPhase, TrimmedMeanNan}
 
 /** Library integration point for `spark.sql.extensions=graft.GraftExtensions`
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`):
@@ -15,8 +15,12 @@ import graft.functions.{ComplexAmplitude, ComplexPhase, TrimmedMeanNan}
   *
   *  - `complex_amplitude(re, im)` / `complex_phase(re, im)` — codegen
   *    elementwise |z| / arg(z) over parallel double arrays
-  *  - `trimmed_mean_nan(value, nExclude)` — one-pass trimmed nanmean
-  *    aggregate (the CAR aggregate)
+  *  - `trimmed_mean_nan(value, nExclude[, nKeep[, single]])` — one-pass
+  *    trimmed nanmean aggregate (the CAR aggregate)
+  *  - `assemble_series(t_idx, value)` — packed-buffer series assembly
+  *    ordered by t_idx (O(n) placement for dense indices)
+  *  - `assemble_timed(ts, event_id, value)` — packed-buffer assembly
+  *    ordered by (ts, event_id), emitting struct(values, ts)
   *
   * No optimizer rules or strategies are injected — the engine's plans are
   * built from stock Catalyst operators on purpose (SURVEY.md §7: "no custom
@@ -37,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TrimmedMeanNan].getName, "trimmed_mean_nan"),
       (exprs: Seq[Expression]) => TrimmedMeanNan(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
-        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1)))
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else -1,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false)))
+    ext.injectFunction((
+      FunctionIdentifier("assemble_series"),
+      new ExpressionInfo(classOf[AssembleSeries].getName, "assemble_series"),
+      (exprs: Seq[Expression]) => AssembleSeries(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("assemble_timed"),
+      new ExpressionInfo(classOf[AssembleTimed].getName, "assemble_timed"),
+      (exprs: Seq[Expression]) => AssembleTimed(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -69,6 +69,15 @@ class ExpressionsAndPlansSpec extends AnyFunSuite {
         "SELECT trimmed_mean_nan(v, 1) FROM VALUES (1.0d),(2.0d),(3.0d),(100.0d) AS t(v)")
         .collect().head.getDouble(0)
       assert(tm == 2.5)
+      val asm = ext.sql(
+        "SELECT assemble_series(t, v) FROM VALUES (2L, 30.0d),(0L, 10.0d),(1L, 20.0d) AS t(t, v)")
+        .collect().head.getSeq[Double](0)
+      assert(asm == Seq(10.0, 20.0, 30.0))
+      val timed = ext.sql(
+        "SELECT assemble_timed(ts, id, v).values FROM " +
+          "VALUES (5L, 1L, 3.0d),(1L, 2L, 1.0d),(1L, 1L, 0.5d) AS t(ts, id, v)")
+        .collect().head.getSeq[Double](0)
+      assert(timed == Seq(0.5, 1.0, 3.0))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
