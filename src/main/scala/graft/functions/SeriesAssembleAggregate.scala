@@ -65,10 +65,13 @@ case class AssembleSeries(tIdx: Expression, value: Expression,
   override def update(buf: PairBuf, input: InternalRow): PairBuf = {
     val t = tIdx.eval(input)
     val v = value.eval(input)
-    // null in either slot = no sample at that slot (does not occur in the
-    // frame layouts, which declare both columns non-null)
-    if (t != null && v != null)
-      buf.add(t.asInstanceOf[Long], v.asInstanceOf[Double])
+    // null t_idx = no slot: skip. null VALUE at a real slot = missing
+    // sample: keep the position as NaN (dropping it would silently shift
+    // every later sample; the join-form CAR legitimately yields nulls for
+    // absent channels, and NaN is the reference's missing-sample encoding)
+    if (t != null)
+      buf.add(t.asInstanceOf[Long],
+        if (v == null) Double.NaN else v.asInstanceOf[Double])
     buf
   }
 
@@ -203,8 +206,11 @@ case class AssembleTimed(tsExpr: Expression, idExpr: Expression, valueExpr: Expr
     val t = tsExpr.eval(input)
     val id = idExpr.eval(input)
     val v = valueExpr.eval(input)
-    if (t != null && id != null && v != null)
-      buf.add(t.asInstanceOf[Long], id.asInstanceOf[Long], v.asInstanceOf[Double])
+    // null key = no slot: skip; null VALUE at a real slot stays as NaN so
+    // later samples keep their positions (same policy as assemble_series)
+    if (t != null && id != null)
+      buf.add(t.asInstanceOf[Long], id.asInstanceOf[Long],
+        if (v == null) Double.NaN else v.asInstanceOf[Double])
     buf
   }
 

@@ -70,20 +70,38 @@ object Pipeline {
   def highGammaTrace(waveletAmp: DataFrame, baselineSamples: Int = 125,
                      precision: String = "double"): DataFrame = {
     val z = DspOperators.zscoreSegments(waveletAmp, baselineSamples, precision)
+    val single = precision == "single"
     val avgBands = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
       val byBand = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
       val n = byBand.map(_._2.length).min
-      val out = new Array[Double](n)
-      var b = 0
-      while (b < byBand.length) {
-        val v = byBand(b)._2
+      if (single) {
+        // float32 accumulate + divide, matching the np.mean-over-float32
+        // semantics every other single-mode stage already honors
+        val acc = new Array[Float](n)
+        var b = 0
+        while (b < byBand.length) {
+          val v = byBand(b)._2
+          var i = 0
+          while (i < n) { acc(i) += v(i).toFloat; i += 1 }
+          b += 1
+        }
+        val out = new Array[Double](n)
         var i = 0
-        while (i < n) { out(i) += v(i); i += 1 }
-        b += 1
+        while (i < n) { out(i) = (acc(i) / byBand.length).toDouble; i += 1 }
+        out
+      } else {
+        val out = new Array[Double](n)
+        var b = 0
+        while (b < byBand.length) {
+          val v = byBand(b)._2
+          var i = 0
+          while (i < n) { out(i) += v(i); i += 1 }
+          b += 1
+        }
+        var i = 0
+        while (i < n) { out(i) /= byBand.length; i += 1 }
+        out
       }
-      var i = 0
-      while (i < n) { out(i) /= byBand.length; i += 1 }
-      out
     }
     z.groupBy("series", "channel", "rate", "startingTime")
       .agg(collect_list(struct(col("band"), col("values"))).as("bv"))

@@ -153,6 +153,15 @@ class ExpressionsAndPlansSpec extends AnyFunSuite {
       .agg(SeriesAssembleFunctions.assembleSeries(spark, $"t", $"v").as("values"))
       .head().getSeq[Double](1)
     assert(got3.length == 3 && got3.toSet == Set(1.0, 2.0, 3.0) && got3(2) == 3.0)
+
+    // a null VALUE at a real slot becomes NaN in place (dropping it would
+    // shift every later sample); a null t_idx contributes nothing
+    val withNull = Seq((Some(0L), Some(1.0)), (Some(1L), None),
+      (Some(2L), Some(3.0)), (None, Some(9.0))).toDF("t", "v")
+    val got4 = withNull.groupBy(lit(1))
+      .agg(SeriesAssembleFunctions.assembleSeries(spark, $"t", $"v").as("values"))
+      .head().getSeq[Double](1)
+    assert(got4.length == 3 && got4(0) == 1.0 && got4(1).isNaN && got4(2) == 3.0)
   }
 
   test("assemble_series is callable from SQL and aggregates per group") {

@@ -62,7 +62,7 @@ object ScaleSoak {
     spark.sparkContext.setLogLevel("ERROR")
     val prof = new Profile
     spark.sparkContext.addSparkListener(prof)
-    println(s"[soak] $nCh ch x $nSamples samples = ${nCh * nSamples / 1e6}%s M points, " +
+    println(f"[soak] $nCh ch x $nSamples samples = ${nCh * nSamples / 1e6}%.1f M points, " +
       s"stride=$stride context=$context")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()

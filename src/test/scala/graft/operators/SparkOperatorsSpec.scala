@@ -309,6 +309,14 @@ class SparkOperatorsSpec extends AnyFunSuite {
     val zD = collectTraces(DspOperators.zscoreSegments(carD, 125))
     assert(zS.values.forall(isF32), "single z-score output not float32-valued")
     close(zS, zD, "z-score")
+    // the cross-band average at the pipeline tail narrows too: the high-gamma
+    // trace is the last stage a float32 pipeline flows through
+    val ampBands = DspOperators.amplitude(DspOperators.waveletTransform(
+      raw, "human", hgOnly = true, precision = "single"))
+    val hgS = collectTraces(Pipeline.highGammaTrace(ampBands, 125, precision = "single"))
+    val hgD = collectTraces(Pipeline.highGammaTrace(ampBands, 125))
+    assert(hgS.values.forall(isF32), "single high-gamma trace not float32-valued")
+    close(hgS, hgD, "high-gamma band average")
     intercept[IllegalArgumentException](
       CommonReferencing.subtractCarSegments(raw, 8, precision = "half"))
   }
