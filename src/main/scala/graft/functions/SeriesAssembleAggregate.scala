@@ -223,17 +223,14 @@ case class AssembleTimed(tsExpr: Expression, idExpr: Expression, valueExpr: Expr
   override def eval(buf: TripleBuf): Any = {
     val n = buf.n
     if (n == 0) return null
-    val order = new Array[Integer](n)
+    // primitive index sort (no Array[Integer], no comparator object): this
+    // runs per group EVAL on the streaming state path of every windowed
+    // query, where a group is a whole (channel, window) — boxing n Integers
+    // per eval was measurable there
+    val order = new Array[Int](n)
     var i = 0
     while (i < n) { order(i) = i; i += 1 }
-    java.util.Arrays.sort(order, (x: Integer, y: Integer) => {
-      val c1 = java.lang.Long.compare(buf.ts(x), buf.ts(y))
-      if (c1 != 0) c1
-      else {
-        val c2 = java.lang.Long.compare(buf.ids(x), buf.ids(y))
-        if (c2 != 0) c2 else java.lang.Double.compare(buf.vs(x), buf.vs(y))
-      }
-    })
+    AssembleTimed.sortIndices(buf, order, 0, n - 1)
     val vs = new Array[Double](n)
     val ts = new Array[Long](n)
     i = 0
@@ -279,6 +276,366 @@ case class AssembleTimed(tsExpr: Expression, idExpr: Expression, valueExpr: Expr
     copy(tsExpr = newFirst, idExpr = newSecond, valueExpr = newThird)
 }
 
+object AssembleTimed {
+
+  /** (ts, id, value) lexicographic — array_sort's struct order on
+    * (ts, event_id, value). Streaming ts are epoch NANOS (~2^61), so the
+    * pack-into-one-long trick is off the table; an index quicksort with the
+    * comparison inlined sorts primitives end to end instead. */
+  private def cmp(buf: TripleBuf, a: Int, b: Int): Int = {
+    val c1 = java.lang.Long.compare(buf.ts(a), buf.ts(b))
+    if (c1 != 0) c1
+    else {
+      val c2 = java.lang.Long.compare(buf.ids(a), buf.ids(b))
+      if (c2 != 0) c2 else java.lang.Double.compare(buf.vs(a), buf.vs(b))
+    }
+  }
+
+  /** Median-of-3 quicksort over the index array `idx(lo..hi)`, insertion
+    * sort below 32 elements, smaller partition recursed / larger looped so
+    * stack depth stays O(log n) even on adversarial input. Sorting indices
+    * (not the buffers) keeps the eval-side copy-out a single ordered pass. */
+  private[functions] def sortIndices(buf: TripleBuf, idx: Array[Int],
+                                     lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (hi - lo >= 32) {
+      // median-of-3 pivot from lo/mid/hi values
+      val mid = lo + (hi - lo) / 2
+      if (cmp(buf, idx(mid), idx(lo)) < 0) swap(idx, mid, lo)
+      if (cmp(buf, idx(hi), idx(lo)) < 0) swap(idx, hi, lo)
+      if (cmp(buf, idx(hi), idx(mid)) < 0) swap(idx, hi, mid)
+      val pivot = idx(mid)
+      // Hoare partition
+      var i = lo - 1
+      var j = hi + 1
+      var done = false
+      var split = lo
+      while (!done) {
+        do i += 1 while (cmp(buf, idx(i), pivot) < 0)
+        do j -= 1 while (cmp(buf, idx(j), pivot) > 0)
+        if (i >= j) { split = j; done = true }
+        else swap(idx, i, j)
+      }
+      if (split - lo < hi - split) {
+        sortIndices(buf, idx, lo, split)
+        lo = split + 1
+      } else {
+        sortIndices(buf, idx, split + 1, hi)
+        hi = split
+      }
+    }
+    // insertion sort for the base case
+    var i = lo + 1
+    while (i <= hi) {
+      val v = idx(i)
+      var j = i - 1
+      while (j >= lo && cmp(buf, idx(j), v) > 0) { idx(j + 1) = idx(j); j -= 1 }
+      idx(j + 1) = v
+      i += 1
+    }
+  }
+
+  @inline private def swap(a: Array[Int], i: Int, j: Int): Unit = {
+    val t = a(i); a(i) = a(j); a(j) = t
+  }
+}
+
+/** Growable parallel buffers for (block_idx, block-array) pairs. */
+final class BlockBuf(var idx: Array[Long], var blocks: Array[Array[Double]],
+                     var n: Int) {
+  def add(i: Long, b: Array[Double]): Unit = {
+    if (n == idx.length) {
+      val cap = math.max(16, idx.length * 2)
+      idx = java.util.Arrays.copyOf(idx, cap)
+      blocks = java.util.Arrays.copyOf(blocks, cap)
+    }
+    idx(n) = i
+    blocks(n) = b
+    n += 1
+  }
+}
+
+object BlockBuf {
+  /** Packed wire format shared by the array-payload aggregates:
+    * n, then n x (idx: Long, len: Int, len doubles). */
+  def write(buf: BlockBuf): Array[Byte] = {
+    var bytes = 4 + 12 * buf.n
+    var i = 0
+    while (i < buf.n) { bytes += 8 * buf.blocks(i).length; i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(buf.n)
+    i = 0
+    while (i < buf.n) {
+      bb.putLong(buf.idx(i))
+      val b = buf.blocks(i)
+      bb.putInt(b.length)
+      var k = 0
+      while (k < b.length) { bb.putDouble(b(k)); k += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): BlockBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val idx = new Array[Long](math.max(n, 16))
+    val blocks = new Array[Array[Double]](math.max(n, 16))
+    var i = 0
+    while (i < n) {
+      idx(i) = bb.getLong
+      val len = bb.getInt
+      val b = new Array[Double](len)
+      var k = 0
+      while (k < len) { b(k) = bb.getDouble; k += 1 }
+      blocks(i) = b
+      i += 1
+    }
+    new BlockBuf(idx, blocks, n)
+  }
+}
+
+/** Native block reassembly: collects (block_idx, values-array) pairs and
+  * emits the arrays CONCATENATED in block_idx order — the array-payload
+  * sibling of `assemble_series`, replacing the last
+  * `flatten(transform(array_sort(collect_list(struct(block_idx, block)))))`
+  * site (blocked-CAR segment reassembly). Groups there are small (nBlocks
+  * rows per segment), but array_sort runs Catalyst's INTERPRETED struct
+  * comparator per element pair and collect_list copies every block into an
+  * InternalRow first; this buffer keeps the block arrays primitive and
+  * places them by index in O(n) (block_idx is dense by construction —
+  * posexplode of a grouped() split). Gappy/duplicate indices (not produced
+  * by any caller, but contract-checked) fall back to a sort by
+  * (block_idx, insertion order). */
+case class AssembleBlocks(blockIdx: Expression, block: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BlockBuf] with BinaryLike[Expression] {
+
+  override def left: Expression = blockIdx
+  override def right: Expression = block
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "assemble_blocks"
+
+  override def checkInputDataTypes(): TypeCheckResult = block.dataType match {
+    case ArrayType(DoubleType, _) if blockIdx.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint, array<double>), got " +
+        s"(${blockIdx.dataType.simpleString}, ${block.dataType.simpleString})")
+  }
+
+  override def createAggregationBuffer(): BlockBuf =
+    new BlockBuf(new Array[Long](16), new Array[Array[Double]](16), 0)
+
+  override def update(buf: BlockBuf, input: InternalRow): BlockBuf = {
+    val i = blockIdx.eval(input)
+    val b = block.eval(input)
+    // null idx or null block = no slot (collect_list drops nulls likewise);
+    // null ELEMENTS inside a block become NaN — the missing-sample encoding
+    if (i != null && b != null) {
+      val arr = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val out = new Array[Double](arr.numElements())
+      var k = 0
+      while (k < out.length) {
+        out(k) = if (arr.isNullAt(k)) Double.NaN else arr.getDouble(k)
+        k += 1
+      }
+      buf.add(i.asInstanceOf[Long], out)
+    }
+    buf
+  }
+
+  override def merge(a: BlockBuf, b: BlockBuf): BlockBuf = {
+    var i = 0
+    while (i < b.n) { a.add(b.idx(i), b.blocks(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: BlockBuf): Any = {
+    val n = buf.n
+    if (n == 0) return null
+    var minI = Long.MaxValue
+    var maxI = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val v = buf.idx(i)
+      if (v < minI) minI = v
+      if (v > maxI) maxI = v
+      i += 1
+    }
+    var order: Array[Int] = null
+    if (maxI - minI + 1 == n) {
+      // dense indices: O(n) placement, duplicate detection like AssembleSeries
+      val slotOf = new Array[Int](n)
+      val seen = new Array[Boolean](n)
+      var dense = true
+      i = 0
+      while (dense && i < n) {
+        val s = (buf.idx(i) - minI).toInt
+        if (seen(s)) dense = false
+        else { seen(s) = true; slotOf(s) = i }
+        i += 1
+      }
+      if (dense) order = slotOf
+    }
+    if (order == null) {
+      // gappy or duplicated block_idx: cold contract-violation path; sort by
+      // (block_idx, insertion order) — boxed, but never taken by our callers
+      order = Array.range(0, n).sortBy(i => (buf.idx(i), i))
+    }
+    var total = 0
+    i = 0
+    while (i < n) { total += buf.blocks(i).length; i += 1 }
+    val out = new Array[Double](total)
+    var off = 0
+    i = 0
+    while (i < n) {
+      val b = buf.blocks(order(i))
+      System.arraycopy(b, 0, out, off, b.length)
+      off += b.length
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def serialize(buf: BlockBuf): Array[Byte] = BlockBuf.write(buf)
+  override def deserialize(bytes: Array[Byte]): BlockBuf = BlockBuf.read(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): AssembleBlocks =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): AssembleBlocks =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AssembleBlocks =
+    copy(blockIdx = newLeft, block = newRight)
+}
+
+/** Native fragment assembly — the reduce side of the two-level chunked
+  * ingest (`Windowing.windowLong`): inputs are (sample offset, packed
+  * value-run) pairs where each run covers offsets [off, off+len); eval
+  * emits the samples ordered by offset. Exactly `assemble_series`'
+  * semantics lifted from single samples to runs: a perfectly dense offset
+  * set (every slot in [minOff, maxEnd) written exactly once) places each
+  * run in O(len); gaps, overlaps, or duplicates fall back to a sort of the
+  * runs by (offset, insertion order) — for disjoint runs that is the same
+  * samples-sorted-by-t compaction assemble_series produces. */
+case class AssembleFragments(off: Expression, vals: Expression,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BlockBuf] with BinaryLike[Expression] {
+
+  override def left: Expression = off
+  override def right: Expression = vals
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "assemble_fragments"
+
+  override def checkInputDataTypes(): TypeCheckResult = vals.dataType match {
+    case ArrayType(DoubleType, _) if off.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint, array<double>), got " +
+        s"(${off.dataType.simpleString}, ${vals.dataType.simpleString})")
+  }
+
+  override def createAggregationBuffer(): BlockBuf =
+    new BlockBuf(new Array[Long](16), new Array[Array[Double]](16), 0)
+
+  override def update(buf: BlockBuf, input: InternalRow): BlockBuf = {
+    val o = off.eval(input)
+    val v = vals.eval(input)
+    // null offset or null run = no slot; null ELEMENTS become NaN (the
+    // missing-sample encoding, same policy as assemble_series)
+    if (o != null && v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val run = new Array[Double](arr.numElements())
+      var k = 0
+      while (k < run.length) {
+        run(k) = if (arr.isNullAt(k)) Double.NaN else arr.getDouble(k)
+        k += 1
+      }
+      buf.add(o.asInstanceOf[Long], run)
+    }
+    buf
+  }
+
+  override def merge(a: BlockBuf, b: BlockBuf): BlockBuf = {
+    var i = 0
+    while (i < b.n) { a.add(b.idx(i), b.blocks(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: BlockBuf): Any = {
+    val n = buf.n
+    if (n == 0) return null
+    var minOff = Long.MaxValue
+    var maxEnd = Long.MinValue
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val o = buf.idx(i)
+      val e = o + buf.blocks(i).length
+      if (o < minOff) minOff = o
+      if (e > maxEnd) maxEnd = e
+      total += buf.blocks(i).length
+      i += 1
+    }
+    if (total == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Double](0))
+    var out: Array[Double] = null
+    if (total == maxEnd - minOff && total <= Int.MaxValue) {
+      // dense candidate: sum(len) == covered range rules out gap-free
+      // overlap, but an overlap balanced by an equal-size gap still passes —
+      // the per-slot seen bitmap catches that and demotes to the fallback
+      val len = total.toInt
+      val placed = new Array[Double](len)
+      val seen = new Array[Boolean](len)
+      var ok = true
+      i = 0
+      while (ok && i < n) {
+        val base = (buf.idx(i) - minOff).toInt
+        val run = buf.blocks(i)
+        var k = 0
+        while (ok && k < run.length) {
+          val s = base + k
+          if (seen(s)) ok = false
+          else { seen(s) = true; placed(s) = run(k) }
+          k += 1
+        }
+        i += 1
+      }
+      if (ok) out = placed
+    }
+    if (out == null) {
+      // gappy/overlapping runs: cold path, sort runs by (offset, insertion)
+      val order = Array.range(0, n).sortBy(i => (buf.idx(i), i))
+      out = new Array[Double](total.toInt)
+      var p = 0
+      i = 0
+      while (i < n) {
+        val run = buf.blocks(order(i))
+        System.arraycopy(run, 0, out, p, run.length)
+        p += run.length
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def serialize(buf: BlockBuf): Array[Byte] = BlockBuf.write(buf)
+  override def deserialize(bytes: Array[Byte]): BlockBuf = BlockBuf.read(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): AssembleFragments =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): AssembleFragments =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AssembleFragments =
+    copy(off = newLeft, vals = newRight)
+}
+
 /** Column API + SQL registration, same pattern as TrimmedMeanFunctions.
   * Registration is unguarded: createOrReplaceTempFunction is idempotent and
   * per-session, so "already registered" bookkeeping (which would need a
@@ -294,6 +651,14 @@ object SeriesAssembleFunctions {
       "assemble_timed",
       exprs => AssembleTimed(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "assemble_blocks",
+      exprs => AssembleBlocks(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "assemble_fragments",
+      exprs => AssembleFragments(exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** values ordered by tIdx (O(n) placement when tIdx is dense). */
@@ -308,5 +673,20 @@ object SeriesAssembleFunctions {
                     ts: Column, eventId: Column, value: Column): Column = {
     register(spark)
     call_function("assemble_timed", ts, eventId, value)
+  }
+
+  /** block arrays concatenated in blockIdx order (O(n) placement when
+    * blockIdx is dense). */
+  def assembleBlocks(spark: org.apache.spark.sql.SparkSession,
+                     blockIdx: Column, block: Column): Column = {
+    register(spark)
+    call_function("assemble_blocks", blockIdx, block)
+  }
+
+  /** value-runs placed by sample offset (O(n) when offsets tile densely). */
+  def assembleFragments(spark: org.apache.spark.sql.SparkSession,
+                        off: Column, vals: Column): Column = {
+    register(spark)
+    call_function("assemble_fragments", off, vals)
   }
 }

@@ -198,13 +198,17 @@ object CommonReferencing {
       posexplode(toBlocks(col("values"))).as(Seq("block_idx", "block")))
   }
 
-  /** Reassemble per-key segments from blocks in block order. */
+  /** Reassemble per-key segments from blocks in block order — native
+    * assemble_blocks (packed buffers, O(n) dense placement), not
+    * array_sort(collect_list(struct)) with its interpreted per-pair struct
+    * comparator. Groups here are small (nBlocks rows), but this sits on the
+    * reassembly path of every blocked-CAR query. */
   private def reassemble(blocks: DataFrame, keys: Seq[String]): DataFrame =
     blocks
       .groupBy(keys.head, keys.tail: _*)
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("block_idx"), col("block")))),
-        s => s.getField("block"))).as("values"))
+      .agg(graft.functions.SeriesAssembleFunctions.assembleBlocks(
+        blocks.sparkSession, col("block_idx").cast("long"), col("block"))
+        .as("values"))
 
   /** Subtract CAR on a SegmentFrame via fixed-size time blocks instead of
     * per-sample rows: segments split into `blockSize`-sample blocks

@@ -69,45 +69,135 @@ object Windowing {
         col("_w.values").as("values"))
   }
 
+  /** One packed run of consecutive samples for one trace, bounded by the
+    * window-membership region around t0 (all its samples share the same
+    * window memberships) and by [[FragCap]]. */
+  final case class Frag(series: String, channel: Option[Int], band: Option[Int],
+                        rate: Option[Double], startingTime: Option[Double],
+                        t0: Long, vals: Array[Double])
+
+  /** Fragment size cap: bounds the per-trace open buffer held map-side
+    * (FragCap doubles) and the single-row payload on the shuffle wire. */
+  private val FragCap = 8192
+
+  /** Open fragment state for one trace inside one input partition. */
+  private final class FragState(val band: Option[Int], val rate: Option[Double],
+                                val startingTime: Option[Double]) {
+    var t0: Long = 0L
+    var cut: Long = 0L // exclusive end: next membership boundary or cap
+    var last: Long = 0L
+    var buf: Array[Double] = new Array[Double](64)
+    var n: Int = 0
+    def add(v: Double): Unit = {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(n) = v
+      n += 1
+    }
+    def take(): Array[Double] = {
+      val out = java.util.Arrays.copyOf(buf, n)
+      n = 0
+      out
+    }
+  }
+
+  /** First membership boundary strictly after t: window membership changes
+    * only where t mod stride crosses {0, context, stride-context}, so a run
+    * cut at these points has ONE membership set for all its samples. */
+  private def nextBoundary(t: Long, stride: Int, context: Int): Long = {
+    val r = java.lang.Math.floorMod(t, stride.toLong)
+    val base = t - r
+    if (context == 0 || r >= stride - context) base + stride
+    else if (r < context) base + context
+    else base + (stride - context)
+  }
+
+  /** The narrow map-side level of the two-level ingest: pack consecutive
+    * samples into membership-uniform runs (<= FragCap) per trace, one open
+    * buffer per trace per partition. Package-visible so IngestProbe can
+    * time this stage in isolation. */
+  private[operators] def fragments(long: DataFrame, stride: Int,
+                                   context: Int): org.apache.spark.sql.Dataset[Frag] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val typed = long.select(
+        col("series").cast("string"), col("channel").cast("int"),
+        col("band").cast("int"), col("rate").cast("double"),
+        col("startingTime").cast("double"), col("t_idx").cast("long"),
+        col("value").cast("double"))
+      .as[(String, Option[Int], Option[Int], Option[Double], Option[Double],
+           Option[Long], Option[Double])]
+    typed.mapPartitions { rows =>
+      val open = scala.collection.mutable.HashMap.empty[(String, Option[Int]), FragState]
+      def flush(key: (String, Option[Int]), s: FragState): Frag =
+        Frag(key._1, key._2, s.band, s.rate, s.startingTime, s.t0, s.take())
+      val emitted = rows.flatMap { case (series, channel, band, rate, st, tOpt, vOpt) =>
+        tOpt match {
+          case None => Iterator.empty // null t_idx = no slot, like assemble_series
+          case Some(t) =>
+            val v = vOpt.getOrElse(Double.NaN) // null value = missing sample
+            val key = (series, channel)
+            open.get(key) match {
+              case Some(s) if t == s.last + 1 && t < s.cut && s.n < FragCap &&
+                  s.band == band && s.rate == rate && s.startingTime == st =>
+                s.add(v)
+                s.last = t
+                Iterator.empty
+              case prev =>
+                val s = new FragState(band, rate, st)
+                s.t0 = t
+                s.cut = math.min(nextBoundary(t, stride, context), t + FragCap)
+                s.last = t
+                s.add(v)
+                open.put(key, s)
+                prev.filter(_.n > 0).map(p => flush(key, p)).iterator
+            }
+        }
+      }
+      emitted ++ open.iterator.filter(_._2.n > 0).map { case (k, s) => flush(k, s) }
+    }
+  }
+
   /** LongFrame -> windowed SegmentFrame with bounded rows — the 100 TB
-    * ingest path: each sample routes to its core window plus (inside the
-    * context margins) the adjacent one, then ONE shuffle on
-    * (series, channel, window) assembles arrays of <= stride+2*context
-    * samples. Trace lengths come from a one-row-per-(series,channel)
-    * aggregate broadcast back in (lazy, like Frames.rectangularize), so no
-    * stub windows appear past the trace end. */
+    * ingest path, two-level: a NARROW per-partition pass packs consecutive
+    * samples into membership-uniform runs of <= FragCap (packed
+    * Array[Double] rows — per-partition imperative logic, the one place the
+    * mapPartitions escape hatch earns its keep: an aggregate would pay a
+    * per-SAMPLE group-key hash + interpreted eval, measured as the dominant
+    * ingest cost at the 640M-point soak), then ONE shuffle of fragment rows
+    * on (series, channel, window) and an O(len) offset placement per window
+    * (assemble_fragments). Scattered layouts degrade gracefully: a run
+    * breaks wherever t_idx is non-consecutive within a partition, worst
+    * case one-sample runs = the old per-sample shape. Trace lengths come
+    * from a one-row-per-(series,channel) aggregate over the FRAGMENT frame
+    * (1/FragCap the rows of the input) broadcast back in, so no stub
+    * windows appear past the trace end. */
   def windowLong(long: DataFrame, stride: Int, context: Int): DataFrame = {
     require(context >= 0 && stride >= 2 * context,
       s"need stride >= 2*context for disjoint crossfade ramps (got $stride < 2*$context)")
-    val core = floor(col("t_idx") / stride).cast("long")
-    // context=0: every sample belongs to exactly its core window — no
-    // neighbor membership, no stub windows, so the per-trace max-t pass
-    // (and its extra scan of the input lineage) is unnecessary
+    val spark = long.sparkSession
+    val frags = fragments(long, stride, context)
+    val core = floor(col("t0") / stride).cast("long")
     val wins =
-      if (context == 0) long.withColumn("_w", core)
+      if (context == 0) frags.toDF().withColumn("_w", core)
       else {
+        // trace lengths from the RAW long frame (codegen'd max over 2
+        // primitive group keys — cheap), not from `frags`: the fragment
+        // builder is the expensive stage and must not run twice just to
+        // size the broadcast side
         val nWins = long.groupBy("series", "channel")
           .agg((floor(max(col("t_idx")) / stride) + 1).cast("long").as("_nw"))
-        long
+        val r = pmod(col("t0"), lit(stride))
+        frags.toDF()
           .join(broadcast(nWins), Seq("series", "channel"))
           .withColumn("_w", explode(array_compact(array(
             core,
-            when(pmod(col("t_idx"), lit(stride)) < context && col("t_idx") >= stride,
-              core - 1),
-            when(pmod(col("t_idx"), lit(stride)) >= stride - context && core + 1 < col("_nw"),
-              core + 1)))))
+            when(r < context && col("t0") >= stride, core - 1),
+            when(r >= stride - context && core + 1 < col("_nw"), core + 1)))))
       }
-    // Assembly by OFFSET PLACEMENT via the native assemble_series aggregate
-    // (packed primitive buffers), not array_sort(collect_list(struct)):
-    // sorting a 67k-element struct array runs Catalyst's interpreted
-    // comparator per element pair — measured 967 s for 640M samples at the
-    // soak scale, 50x the blocked CAR on the same data — and collect_list
-    // boxes every sample into an InternalRow copy besides.
     wins
       .groupBy("series", "channel", "band", "rate", "startingTime", "_w")
-      .agg(graft.functions.SeriesAssembleFunctions.assembleSeries(
-        long.sparkSession, col("t_idx").cast("long"), col("value").cast("double"))
-        .as("values"))
+      .agg(graft.functions.SeriesAssembleFunctions.assembleFragments(
+        spark, col("t0"), col("vals")).as("values"))
       .select(concat(col("series"), lit(WinToken), col("_w")).as("series"),
         col("channel"), col("band"), col("rate"), col("startingTime"),
         col("values"))

@@ -434,9 +434,10 @@ object Llm {
         val emb = table(s, dir, "embeddings")
         val query = emb.filter(col("vec_id") === 0)
           .select("embedding").first().getSeq[Float](0).toArray
-        val centroids = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
-        val assigned = Similarity.ivfAssign(emb, centroids)
-        Similarity.ivfTopK(assigned, centroids, query, k = 10, nprobe = 3, excludeId = 0L)
+        // sf-test-scale params the oracle replicates; a deployment sizes
+        // nCells ~ sqrt(corpus) — see Similarity.IvfParams
+        Similarity.ivfSearch(emb, query, k = 10,
+          Similarity.IvfParams(nCells = 16, iters = 2, nprobe = 3), excludeId = 0L)
       },
       // full Lloyd replica in SQL: md5-prefix seeding, two
       // assign(argmax-cosine, ties lowest cell)/update(per-dim avg)

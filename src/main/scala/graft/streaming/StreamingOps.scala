@@ -203,24 +203,56 @@ object StreamingOps {
     }
     // merge the <= 3 contributors' sorted (ts, vw) slices: per-ts weighted
     // sum normalized by the recomputed weight sum (same normalization as
-    // Windowing.stitch; self-corrects stream edges)
+    // Windowing.stitch; self-corrects stream edges). Each slice is already
+    // ts-sorted (assemble_timed's (ts, id, value) order survives the narrow
+    // contrib split), so a k-way merge of the <= 3 heads replaces the
+    // per-sample LongMap + final sortBy — one linear pass, no tuple boxing,
+    // and no uniform-rate assumption: equal ts (within or across slices)
+    // coalesce into one weight-normalized sample exactly as the map did.
     val combine = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
-      val acc = scala.collection.mutable.LongMap.empty[(Double, Double)]
-      for (r <- rows) {
-        val win = r.getLong(0)
-        val ts = r.getSeq[Long](1)
-        val vw = r.getSeq[Double](2)
-        var i = 0
-        while (i < ts.length) {
-          val t = ts(i)
-          val w = rampWeight(win, t / 1000)
-          val prev = acc.getOrElse(t, (0.0, 0.0))
-          acc(t) = (prev._1 + vw(i), prev._2 + w)
-          i += 1
+      val k = rows.length
+      val wins = new Array[Long](k)
+      val tss = new Array[Array[Long]](k)
+      val vws = new Array[Array[Double]](k)
+      var total = 0
+      var r = 0
+      while (r < k) {
+        val row = rows(r)
+        wins(r) = row.getLong(0)
+        tss(r) = row.getSeq[Long](1).toArray
+        vws(r) = row.getSeq[Double](2).toArray
+        total += tss(r).length
+        r += 1
+      }
+      val pos = new Array[Int](k)
+      val out = new Array[Double](total)
+      var m = 0
+      var done = false
+      while (!done) {
+        var minTs = Long.MaxValue
+        r = 0
+        while (r < k) {
+          if (pos(r) < tss(r).length && tss(r)(pos(r)) < minTs) minTs = tss(r)(pos(r))
+          r += 1
+        }
+        if (minTs == Long.MaxValue) done = true
+        else {
+          var sv = 0.0
+          var sw = 0.0
+          r = 0
+          while (r < k) {
+            while (pos(r) < tss(r).length && tss(r)(pos(r)) == minTs) {
+              sv += vws(r)(pos(r))
+              sw += rampWeight(wins(r), minTs / 1000)
+              pos(r) += 1
+            }
+            r += 1
+          }
+          out(m) = if (sw > 0) sv / sw else 0.0
+          m += 1
         }
       }
-      acc.toSeq.sortBy(_._1)
-        .map { case (_, (vw, w)) => if (w > 0) vw / w else 0.0 }.toArray
+      if (m == total) out else java.util.Arrays.copyOf(out, m)
     }
     windowed
       .withColumn("_base", substring_index(col("series"), "#w", 1))

@@ -131,6 +131,40 @@ object Similarity {
   def ivfWrite(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** IVF tuning knobs, surfaced at the query layer so a deployment sizes
+    * them to its corpus instead of inheriting test-scale defaults:
+    *
+    *  - `nCells`: coarse-quantizer cell count. Scale it ~ sqrt(corpus
+    *    vectors) so per-cell scan size and centroid-table size balance
+    *    (probe cost ~ nprobe * n/nCells rows; driver + broadcast state ~
+    *    nCells * dim doubles): 60k vectors -> ~256 cells, 1M -> ~1k,
+    *    1B -> ~32k. The defaults here (16 cells, 2 iterations, 3 probes)
+    *    are the sf-test-scale setting the q52 oracle replicates.
+    *  - `iters`: Lloyd refinement rounds; each costs one narrow
+    *    assign pass plus a tiny (cell, dim) aggregate. 2 is enough for a
+    *    coarse quantizer — more rounds sharpen cells but don't change the
+    *    probe shape.
+    *  - `nprobe`: probed cells per query, the recall/latency dial.
+    *    nprobe == nCells degenerates to exact brute force (and is asserted
+    *    equal to it in the spec). */
+  final case class IvfParams(nCells: Int = 16, iters: Int = 2, nprobe: Int = 3) {
+    require(nCells > 0 && iters >= 0 && nprobe > 0 && nprobe <= nCells,
+      s"need 0 < nprobe <= nCells and iters >= 0 (got $this)")
+  }
+
+  /** End-to-end IVF ANN query: train the coarse quantizer, assign, probe.
+    * For a standing corpus, train/assign once, `ivfWrite` the assignment,
+    * and serve queries with `ivfTopK` over the partition-pruned table —
+    * this convenience re-trains per call and is the ad-hoc/test-scale
+    * surface. */
+  def ivfSearch(embeddings: DataFrame, query: Array[Float], k: Int,
+                params: IvfParams = IvfParams(), excludeId: Long = -1L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, params.nCells, params.iters, idCol, vecCol)
+    val assigned = ivfAssign(embeddings, centroids, vecCol)
+    ivfTopK(assigned, centroids, query, k, params.nprobe, excludeId, idCol, vecCol)
+  }
+
   /** IVF search: probe the `nprobe` cells whose centroids are most similar
     * to the query (ranked locally on the bounded broadcast table — no jobs,
     * no collects), then exact top-k within the probed fraction. Over an

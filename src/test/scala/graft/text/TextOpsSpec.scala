@@ -207,6 +207,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"nprobe=3 recall $recall suspiciously low")
   }
 
+  test("ivfSearch honors IvfParams at a non-default cell count (probe-all == brute force)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter($"vec_id" === 2).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val k = 8
+    val bf = Similarity.bruteForceTopK(emb, query, k, excludeId = 2L)
+      .select("vec_id").as[Long].collect().toSeq
+    val full = Similarity.ivfSearch(emb, query, k,
+        Similarity.IvfParams(nCells = 7, iters = 1, nprobe = 7), excludeId = 2L)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == bf, "ivfSearch probing all 7 cells must equal brute force")
+    assertThrows[IllegalArgumentException](Similarity.IvfParams(nCells = 4, nprobe = 5))
+  }
+
   test("cosine LSH pairs: planted neighbors found, flood capped, no vectors in the bucket shuffle") {
     val dim = 16
     def vec(seed: Int): Array[Float] = {
