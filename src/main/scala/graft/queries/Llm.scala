@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef.table
-import graft.text.{TextOps, TextAnalysis, Similarity}
+import graft.text.{TextOps, TextAnalysis, Similarity, Curation}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -512,5 +512,94 @@ object Llm {
              |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS sim
              |FROM emb e JOIN af USING (vec_id) CROSS JOIN q
              |WHERE af.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
-             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)))
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    QueryDef("q57_decontamination",
+      "benchmark decontamination: trigram overlap of training docs vs an eval slice",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val isEval = col("doc_id") % 23 === 0
+        Curation.decontaminationReport(
+            docs.filter(!isEval), docs.filter(isEval), n = 3)
+          .orderBy("doc_id")
+      },
+      // eval slice = doc_id % 23 == 0; distinct word trigrams per doc,
+      // broadcast-joined against the distinct eval trigram set
+      Some("""WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), tri AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+             |  FROM words WHERE len(w) >= 3
+             |), evalg AS (
+             |  SELECT DISTINCT shingle FROM tri WHERE doc_id % 23 = 0
+             |)
+             |SELECT t.doc_id, count(*) AS n_ngrams, count(e.shingle) AS n_shared,
+             |  round(CAST(count(e.shingle) AS DOUBLE) / count(*), 6) AS contamination
+             |FROM (SELECT * FROM tri WHERE doc_id % 23 <> 0) t
+             |LEFT JOIN evalg e ON t.shingle = e.shingle
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q58_repetition_metrics",
+      "Gopher-style repetition quality rules (top-word / dup-word / dup-2gram fractions)",
+      (s, dir) => Curation.withRepetitionMetrics(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("top_word_count"),
+          col("top_word_frac"), col("dup_word_frac"), col("dup_2gram_frac"),
+          col("repetitive"))
+        .orderBy("doc_id"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), base AS (
+             |  SELECT doc_id, len(w) AS n_words,
+             |    len(list_distinct(w)) AS n_distinct_words,
+             |    CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_2grams,
+             |    CASE WHEN len(w) >= 2 THEN len(list_distinct(list_transform(
+             |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+             |      ELSE 0 END AS n_distinct_2grams
+             |  FROM words
+             |), wc AS (SELECT doc_id, unnest(w) AS word FROM words),
+             |topw AS (
+             |  SELECT doc_id, max(c) AS top_word_count
+             |  FROM (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2)
+             |  GROUP BY doc_id
+             |), m AS (
+             |  SELECT b.doc_id, b.n_words, t.top_word_count,
+             |    round(CAST(t.top_word_count AS DOUBLE) / b.n_words, 6) AS top_word_frac,
+             |    round(1 - CAST(b.n_distinct_words AS DOUBLE) / b.n_words, 6) AS dup_word_frac,
+             |    round(CASE WHEN b.n_2grams > 0
+             |      THEN 1 - CAST(b.n_distinct_2grams AS DOUBLE) / b.n_2grams
+             |      ELSE 0 END, 6) AS dup_2gram_frac
+             |  FROM base b JOIN topw t USING (doc_id)
+             |)
+             |SELECT doc_id, n_words, top_word_count, top_word_frac, dup_word_frac,
+             |  dup_2gram_frac,
+             |  CAST(top_word_frac >= 0.12 OR dup_2gram_frac >= 0.05 AS INT) AS repetitive
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q59_mixture_sample",
+      "deterministic per-language mixture sampling (md5-uniform vs integer rate threshold)",
+      (s, dir) => Curation.mixtureSample(table(s, dir, "documents"),
+          rates = Map("en" -> 0.3, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("source"),
+          Curation.sampleHash(col("doc_id")).as("sample_hash"))
+        .orderBy("doc_id"),
+      // thresholds are floor(rate * 2^60) baked as integer literals — the
+      // keep decision compares integers, never floats
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, lang, source,
+              |    CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS UBIGINT)
+              |      AS sample_hash
+              |  FROM documents
+              |)
+              |SELECT doc_id, lang, source, CAST(sample_hash AS BIGINT) AS sample_hash
+              |FROM h
+              |WHERE sample_hash < CASE lang
+              |  WHEN 'en' THEN ${Curation.rateThreshold(0.3)}
+              |  WHEN 'de' THEN ${Curation.rateThreshold(0.8)}
+              |  WHEN 'es' THEN ${Curation.rateThreshold(0.8)}
+              |  WHEN 'fr' THEN ${Curation.rateThreshold(0.8)}
+              |  WHEN 'zh' THEN ${Curation.rateThreshold(0.5)}
+              |  ELSE 0 END
+              |ORDER BY doc_id""".stripMargin)))
 }
