@@ -19,7 +19,9 @@ object Bench {
     "q35_wavelet_phase", "q36_streaming_windowed_wavelet",
     "q40_dedup_exact", "q42_minhash_lsh", "q43_simhash",
     "q44_embedding_stats", "q45_cosine_topk", "q46_token_count", "q47_language_id",
-    "q48_quality_score", "q49_fingerprint")
+    "q48_quality_score", "q49_fingerprint",
+    "q57_decontamination", "q58_repetition_metrics", "q59_mixture_sample",
+    "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -601,5 +601,90 @@ object Llm {
               |  WHEN 'fr' THEN ${Curation.rateThreshold(0.8)}
               |  WHEN 'zh' THEN ${Curation.rateThreshold(0.5)}
               |  ELSE 0 END
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q60_sequence_pack",
+      "fixed-token-budget sequence packing via two-level distributed prefix sum",
+      // shardSize=64 exercises the real multi-shard path at sf0.01+ (the
+      // oracle below is the shard-free global window — results are
+      // shardSize-invariant by construction, spec-verified)
+      (s, dir) => Curation.packSequences(table(s, dir, "documents"),
+          seqTokens = 2048, shardSize = 64)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |  FROM t
+             |)
+             |SELECT doc_id, source, n_tokens,
+             |  CAST(cum - n_tokens AS BIGINT) AS begin_offset,
+             |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+             |  CAST((cum - 1) // 2048 > (cum - n_tokens) // 2048 AS INT) AS straddles
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q61_vocabulary",
+      "top-k corpus vocabulary by document frequency with smoothed IDF",
+      (s, dir) => Curation.vocabulary(table(s, dir, "documents"), topK = 100),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+             |), n AS (SELECT count(*) AS n_docs FROM documents),
+             |g AS (
+             |  SELECT word, count(*) AS term_count,
+             |    count(DISTINCT doc_id) AS doc_freq
+             |  FROM w GROUP BY word
+             |)
+             |SELECT word, term_count, doc_freq,
+             |  round(ln((n.n_docs + 1.0) / (doc_freq + 1.0)), 6) AS idf
+             |FROM g CROSS JOIN n
+             |ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin)),
+
+    QueryDef("q62_curation_pipeline",
+      "composed keep/drop curation decision (dedup + length + lang + repetition + quality)",
+      (s, dir) => Curation.curate(table(s, dir, "documents")).orderBy("doc_id"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+             |), base AS (
+             |  SELECT doc_id, lang, text, len(w) AS n_tokens,
+             |    len(list_distinct(w)) AS n_distinct_words,
+             |    CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_2grams,
+             |    CASE WHEN len(w) >= 2 THEN len(list_distinct(list_transform(
+             |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+             |      ELSE 0 END AS n_distinct_2grams
+             |  FROM words
+             |), wc AS (SELECT doc_id, unnest(w) AS word FROM words),
+             |topw AS (
+             |  SELECT doc_id, max(c) AS top_word_count
+             |  FROM (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2)
+             |  GROUP BY doc_id
+             |), m AS (
+             |  SELECT b.doc_id, b.lang, b.n_tokens,
+             |    round(least(1.0, b.n_tokens / 64.0) *
+             |      round(CAST(b.n_distinct_words AS DOUBLE) / b.n_tokens, 4), 4)
+             |      AS quality_score,
+             |    round(CAST(t.top_word_count AS DOUBLE) / b.n_tokens, 6)
+             |      AS top_word_frac,
+             |    round(CASE WHEN b.n_2grams > 0
+             |      THEN 1 - CAST(b.n_distinct_2grams AS DOUBLE) / b.n_2grams
+             |      ELSE 0 END, 6) AS dup_2gram_frac,
+             |    CAST(row_number() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) > 1
+             |      AS INT) AS is_dup
+             |  FROM base b JOIN topw t USING (doc_id)
+             |), r AS (
+             |  SELECT *, CASE
+             |    WHEN is_dup = 1 THEN 'exact_dup'
+             |    WHEN n_tokens < 30 THEN 'too_short'
+             |    WHEN n_tokens > 88 THEN 'too_long'
+             |    WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang_filtered'
+             |    WHEN top_word_frac >= 0.12 OR dup_2gram_frac >= 0.05 THEN 'repetitive'
+             |    WHEN quality_score < 0.25 THEN 'low_quality'
+             |    ELSE 'kept' END AS drop_reason
+             |  FROM m
+             |)
+             |SELECT doc_id, lang, n_tokens, quality_score, top_word_frac,
+             |  dup_2gram_frac, is_dup,
+             |  CAST(drop_reason = 'kept' AS INT) AS keep, drop_reason
+             |FROM r ORDER BY doc_id""".stripMargin)))
 }

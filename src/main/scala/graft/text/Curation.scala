@@ -142,4 +142,122 @@ object Curation {
     }
     docs.filter(sampleHash(col(idCol)) < threshold)
   }
+
+  // --- sequence packing -----------------------------------------------------
+
+  /** Assign each document to a fixed-token-budget training sequence by laying
+    * documents end to end in id order within each stream (the document
+    * concatenation LM trainers run before batching).
+    *
+    * Output per doc: (idCol, streamCol, n_tokens, begin_offset, seq_id,
+    * straddles) where `begin_offset` is the doc's first token's offset in its
+    * stream, `seq_id = begin_offset div seqTokens`, and `straddles` flags docs
+    * crossing a sequence boundary (split at training time).
+    *
+    * The global running sum is computed as a TWO-LEVEL distributed prefix
+    * sum — the 100 TB shape for cumulative offsets:
+    *  1. per-(stream, shard) token totals (a tiny aggregate: one row per
+    *     shard, map-side partials — the only pass over the corpus so far is
+    *     narrow);
+    *  2. exclusive prefix sum over those shard totals (shard-count rows,
+    *     broadcastable) gives each shard's base offset;
+    *  3. one partition-local window per (stream, shard) adds in-shard
+    *     running sums to the broadcast base.
+    * A single global `Window.partitionBy(stream).orderBy(id)` would funnel
+    * each stream through ONE task; here parallelism is the shard count and
+    * results are bit-identical for any shardSize (spec-verified).
+    */
+  def packSequences(docs: DataFrame, seqTokens: Long = 2048,
+                    shardSize: Long = 1L << 16,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    streamCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol), col(streamCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      expr(s"$idCol div $shardSize").as("_shard"))
+    val perShard = t.groupBy(col(streamCol), col("_shard"))
+      .agg(sum("n_tokens").as("_shard_tokens"))
+    val wBase = Window.partitionBy(streamCol).orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = perShard
+      .withColumn("_base", coalesce(sum("_shard_tokens").over(wBase), lit(0L)))
+      .select(col(streamCol), col("_shard"), col("_base"))
+    val wLocal = Window.partitionBy(col(streamCol), col("_shard")).orderBy(col(idCol))
+    t.join(broadcast(bases), Seq(streamCol, "_shard"))
+      .withColumn("_cum", col("_base") + sum("n_tokens").over(wLocal))
+      .withColumn("begin_offset", col("_cum") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"begin_offset div $seqTokens"))
+      .withColumn("straddles",
+        (expr(s"(_cum - 1) div $seqTokens") > col("seq_id")).cast("int"))
+      .select(col(idCol), col(streamCol), col("n_tokens"), col("begin_offset"),
+        col("seq_id"), col("straddles"))
+  }
+
+  // --- corpus vocabulary / document frequency -------------------------------
+
+  /** Top-k corpus vocabulary by document frequency with smoothed IDF
+    * (`ln((N+1)/(df+1))`). One explode → one word-keyed aggregation with
+    * map-side partials (term_count partial-aggregates; doc_freq's distinct
+    * is per-word partial too); the corpus-size scalar rides a broadcast
+    * cross join so the whole plan is one job. */
+  def vocabulary(docs: DataFrame, topK: Int = 100,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+    val n = docs.agg(count(lit(1)).as("_n_docs"))
+    words.groupBy("word")
+      .agg(count(lit(1)).as("term_count"), countDistinct(col(idCol)).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        round(log((col("_n_docs") + lit(1.0)) / (col("doc_freq") + lit(1.0))), 6))
+      .drop("_n_docs")
+      .orderBy(col("doc_freq").desc, col("word"))
+      .limit(topK)
+  }
+
+  // --- composed curation pipeline -------------------------------------------
+
+  /** One composed keep/drop decision per document: exact-dup keeper,
+    * length bounds, language allowlist, repetition rules, quality floor —
+    * with a deterministic first-failing `drop_reason`
+    * (exact_dup > too_short > too_long > lang_filtered > repetitive >
+    * low_quality > kept).
+    *
+    * Scale shape: every metric is computed in the narrow scan pass, the
+    * content hash is taken map-side, and the TEXT COLUMN IS DROPPED before
+    * anything shuffles — the whole pipeline is ONE corpus scan plus ONE
+    * shuffle of ~60-byte metric rows (the dedup keeper window on the content
+    * hash), never document bodies. (A keeper-aggregate + join formulation
+    * shuffles the same narrow rows but scans the corpus twice.)
+    */
+  def curate(docs: DataFrame,
+             minTokens: Long = 30, maxTokens: Long = 88,
+             qualityMin: Double = 0.25,
+             allowedLangs: Seq[String] = Seq("en", "de", "es", "fr"),
+             topWordFracMax: Double = 0.12, dup2gramFracMax: Double = 0.05,
+             textCol: String = "text", idCol: String = "doc_id",
+             langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val metrics = TextAnalysis.withQuality(
+        withRepetitionMetrics(docs, topWordFracMax, dup2gramFracMax, textCol), textCol)
+      .withColumn("_h", md5(col(textCol)))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("quality_score"),
+        col("top_word_frac"), col("dup_2gram_frac"), col("_h"))
+    val reason = when(col("is_dup") === 1, "exact_dup")
+      .when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(!col(langCol).isin(allowedLangs: _*), "lang_filtered")
+      .when(col("top_word_frac") >= topWordFracMax ||
+        col("dup_2gram_frac") >= dup2gramFracMax, "repetitive")
+      .when(col("quality_score") < qualityMin, "low_quality")
+      .otherwise("kept")
+    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    metrics
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("int"))
+      .withColumn("drop_reason", reason)
+      .withColumn("keep", (col("drop_reason") === "kept").cast("int"))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("quality_score"),
+        col("top_word_frac"), col("dup_2gram_frac"), col("is_dup"),
+        col("keep"), col("drop_reason"))
+  }
 }

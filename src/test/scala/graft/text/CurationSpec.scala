@@ -113,4 +113,78 @@ class CurationSpec extends AnyFunSuite {
     val frac = a.size / 10000.0
     assert(math.abs(frac - 0.5) < 0.02, s"kept frac $frac")
   }
+
+  test("packSequences lays docs end to end and is shardSize-invariant") {
+    val docs = Seq(
+      // stream A: 3+4+2 tokens -> offsets 0,3,7
+      (10L, "a b c", "A"), (11L, "d e f g", "A"), (12L, "h i", "A"),
+      // stream B: 5+1 tokens -> offsets 0,5
+      (20L, "p q r s t", "B"), (21L, "u", "B")
+    ).toDF("doc_id", "text", "source")
+
+    val out = Curation.packSequences(docs, seqTokens = 4, shardSize = 1L << 16)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(out === Array(
+      (10L, "A", 3L, 0L, 0L, 0),   // [0,3) inside seq 0
+      (11L, "A", 4L, 3L, 0L, 1),   // [3,7) straddles the 4-token boundary
+      (12L, "A", 2L, 7L, 1L, 1),   // [7,9) straddles 8
+      (20L, "B", 5L, 0L, 0L, 1),   // [0,5) straddles 4
+      (21L, "B", 1L, 5L, 1L, 0)))
+
+    // the two-level prefix sum is exact for ANY shard size: force many
+    // shards (shardSize=1 -> one shard per doc) and a mid split
+    for (ss <- Seq(1L, 2L)) {
+      val sharded = Curation.packSequences(docs, seqTokens = 4, shardSize = ss)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5)))
+      assert(sharded === out, s"shardSize=$ss diverged")
+    }
+  }
+
+  test("vocabulary ranks by document frequency with smoothed idf") {
+    val docs = Seq(
+      (1L, "cat dog cat"),   // cat tf2 df1, dog tf1 df1
+      (2L, "cat fish"),
+      (3L, "fish fish fish")
+    ).toDF("doc_id", "text")
+    val out = Curation.vocabulary(docs, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // df: cat 2, fish 2, dog 1 -> top2 = (cat, fish) tie broken by word
+    assert(out === Array(
+      ("cat", 3L, 2L, math.rint(math.log(4.0 / 3.0) * 1e6) / 1e6),
+      ("fish", 4L, 2L, math.rint(math.log(4.0 / 3.0) * 1e6) / 1e6)))
+  }
+
+  test("curate flags each rule and resolves reasons by priority") {
+    val long90 = (1 to 90).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long90, "en"),                                  // kept (90 > 88 -> too_long!)
+      (2L, (1 to 60).map(i => s"v$i").mkString(" "), "en"), // kept
+      (3L, (1 to 60).map(i => s"v$i").mkString(" "), "en"), // exact dup of 2 -> exact_dup
+      (4L, "tiny doc here", "en"),                          // 3 tokens -> too_short
+      (5L, (1 to 60).map(i => s"x$i").mkString(" "), "zh"), // lang_filtered
+      (6L, (("rep rep rep rep " * 15).trim), "en")          // 60 tokens all 'rep' -> repetitive
+    ).toDF("doc_id", "text", "lang")
+
+    val out = Curation.curate(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(6), r.getInt(7), r.getString(8)))
+    assert(out === Array(
+      (1L, 0, 0, "too_long"),
+      (2L, 0, 1, "kept"),
+      (3L, 1, 0, "exact_dup"),
+      (4L, 0, 0, "too_short"),
+      (5L, 0, 0, "lang_filtered"),
+      (6L, 0, 0, "repetitive")))
+
+    // priority: a doc that is both a dup and too short reports exact_dup
+    val both = Seq((1L, "a b", "en"), (2L, "a b", "en")).toDF("doc_id", "text", "lang")
+    val r2 = Curation.curate(both).orderBy("doc_id").collect()
+    assert(r2(0).getString(8) === "too_short")
+    assert(r2(1).getString(8) === "exact_dup")
+  }
 }
