@@ -21,7 +21,8 @@ object Bench {
     "q44_embedding_stats", "q45_cosine_topk", "q46_token_count", "q47_language_id",
     "q48_quality_score", "q49_fingerprint",
     "q57_decontamination", "q58_repetition_metrics", "q59_mixture_sample",
-    "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline")
+    "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline",
+    "q63_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

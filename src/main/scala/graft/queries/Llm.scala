@@ -686,5 +686,25 @@ object Llm {
              |SELECT doc_id, lang, n_tokens, quality_score, top_word_frac,
              |  dup_2gram_frac, is_dup,
              |  CAST(drop_reason = 'kept' AS INT) AS keep, drop_reason
-             |FROM r ORDER BY doc_id""".stripMargin)))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q63_stratified_sample",
+      "exact per-language sample: rank by md5-uniform inside each group, keep first 50",
+      (s, dir) => Curation.stratifiedSample(table(s, dir, "documents"), perGroup = 50)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang, source,
+             |    CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS UBIGINT)
+             |      AS sh
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, lang, source,
+             |    row_number() OVER (PARTITION BY lang ORDER BY sh, doc_id)
+             |      AS sample_rank
+             |  FROM h
+             |)
+             |SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+             |FROM r WHERE sample_rank <= 50 ORDER BY doc_id""".stripMargin)))
 }

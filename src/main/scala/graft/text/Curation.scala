@@ -143,6 +143,27 @@ object Curation {
     docs.filter(sampleHash(col(idCol)) < threshold)
   }
 
+  // --- stratified exact sampling --------------------------------------------
+
+  /** Exactly `perGroup` documents per group, chosen uniformly and
+    * deterministically: rank within each group by the md5-derived uniform
+    * (id tie-break) and keep the first `perGroup`. The balanced-eval-subset
+    * op ("100 docs per language").
+    *
+    * Scale: the rank filter compiles to Spark's WindowGroupLimit, which
+    * keeps a per-group top-`perGroup` heap MAP-SIDE before the group
+    * shuffle — the shuffle carries at most perGroup rows per group per
+    * input partition, not the corpus. */
+  def stratifiedSample(docs: DataFrame, perGroup: Int,
+                       groupCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sampleHash(col(idCol)).asc, col(idCol).asc)
+    docs.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perGroup)
+  }
+
   // --- sequence packing -----------------------------------------------------
 
   /** Assign each document to a fixed-token-budget training sequence by laying

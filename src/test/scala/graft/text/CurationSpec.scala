@@ -114,6 +114,24 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(frac - 0.5) < 0.02, s"kept frac $frac")
   }
 
+  test("stratifiedSample takes exactly perGroup docs, deterministically") {
+    val docs = spark.range(1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 3 === 0, "en").otherwise("de").as("lang"))
+    val a = Curation.stratifiedSample(docs, perGroup = 40)
+    assert(a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("en" -> 40L, "de" -> 40L))
+    // layout-independent: same sample under a different partitioning
+    val b = Curation.stratifiedSample(docs.repartition(7), perGroup = 40)
+    assert(a.select("doc_id").as[Long].collect().sorted.toSeq ===
+      b.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a smaller sample is a prefix of a larger one (rank stability)
+    val small = Curation.stratifiedSample(docs, perGroup = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val large = a.select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
   test("packSequences lays docs end to end and is shardSize-invariant") {
     val docs = Seq(
       // stream A: 3+4+2 tokens -> offsets 0,3,7
