@@ -22,7 +22,7 @@ object Bench {
     "q48_quality_score", "q49_fingerprint",
     "q57_decontamination", "q58_repetition_metrics", "q59_mixture_sample",
     "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline",
-    "q63_stratified_sample")
+    "q63_stratified_sample", "q64_streaming_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -294,6 +294,39 @@ FROM events JOIN (
   FROM events GROUP BY 1) sub ON sub.ch = CAST(user_id % $NCh AS INT)
 GROUP BY 1 ORDER BY channel"""
 
+  /** q64: streaming exact-dedup — documents as a file stream, per-content-
+    * hash running (count, min-id keeper) state via mapGroupsWithState.
+    * Each hash's last update (max n_copies) equals the batch aggregate
+    * regardless of micro-batch slicing, so the oracle is the plain batch
+    * dedup SQL. */
+  private def q64Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("stream_docs")
+    StreamingOps.deleteOnExit(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    import s.implicits._
+    val updates = StreamingOps.runToMemory(s, stage.toString,
+      s"q64_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.runningDedup(
+        df.select(md5(col("text")).as("content_hash"), col("doc_id"))
+          .as[StreamingOps.DocHashEvent]).toDF(),
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col("n_copies").desc)
+    updates
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("content_hash"), col("n_copies"), col("keeper"))
+      .orderBy("content_hash")
+  }
+
+  private def q64Oracle: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+      |  min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -310,5 +343,9 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q56_streaming_running_stats",
       "ST3 custom streaming state: per-channel Welford mean/std via " +
         "mapGroupsWithState, last update per channel == batch aggregate",
-      q56Build, Some(q56Oracle)))
+      q56Build, Some(q56Oracle)),
+    QueryDef("q64_streaming_dedup",
+      "streaming exact-dedup: per-content-hash running (count, keeper) " +
+        "state via mapGroupsWithState == batch dedup aggregate",
+      q64Build, Some(q64Oracle)))
 }

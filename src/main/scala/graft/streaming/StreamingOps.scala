@@ -49,6 +49,31 @@ object StreamingOps {
       }
   }
 
+  final case class DocHashEvent(content_hash: String, doc_id: Long)
+  final case class DedupState(n_copies: Long, keeper: Long)
+  final case class DedupUpdate(content_hash: String, n_copies: Long, keeper: Long)
+
+  /** Streaming exact-dedup state: per content hash, a running copy count and
+    * min-id keeper via mapGroupsWithState — dedup against an ever-growing
+    * corpus without re-scanning it (the streaming twin of
+    * `TextOps.exactDupGroups`). count/min are commutative-associative, so
+    * each hash's LAST emitted update equals the batch aggregate no matter
+    * how the engine slices micro-batches; state is ~24 bytes per distinct
+    * document and shards with state-store partitions at cluster scale. */
+  def runningDedup(docs: Dataset[DocHashEvent]): Dataset[DedupUpdate] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .mapGroupsWithState[DedupState, DedupUpdate](GroupStateTimeout.NoTimeout) {
+        (hash, rows, state: GroupState[DedupState]) =>
+          var s = state.getOption.getOrElse(DedupState(0L, Long.MaxValue))
+          for (r <- rows) {
+            s = DedupState(s.n_copies + 1, math.min(s.keeper, r.doc_id))
+          }
+          state.update(s)
+          DedupUpdate(hash, s.n_copies, s.keeper)
+      }
+  }
+
   /** Duration string ("10 seconds", "1 minute") -> microseconds. */
   private[streaming] def durMicros(s: String): Long = {
     val parts = s.trim.split("\\s+")

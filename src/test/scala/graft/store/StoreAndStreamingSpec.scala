@@ -298,4 +298,27 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       assert(math.abs(s.std - std) < 1e-9)
     }
   }
+
+  test("streaming: stateful exact-dedup matches batch dedup groups") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(md5($"text").as("content_hash"), $"doc_id")
+      .as[StreamingOps.DocHashEvent]
+    val updates = StreamingOps.runningDedup(docs).collect()
+    val expected = docs.groupBy("content_hash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(updates.length == expected.size)
+    for (u <- updates) {
+      val (n, keeper) = expected(u.content_hash)
+      assert(u.n_copies == n && u.keeper == keeper, u.content_hash)
+    }
+    // order-independence: min-id keeper survives adversarial arrival order
+    val shuffled = Seq(
+      StreamingOps.DocHashEvent("h1", 9L), StreamingOps.DocHashEvent("h1", 3L),
+      StreamingOps.DocHashEvent("h1", 7L), StreamingOps.DocHashEvent("h2", 5L))
+      .toDS()
+    val out = StreamingOps.runningDedup(shuffled).collect()
+      .map(u => u.content_hash -> ((u.n_copies, u.keeper))).toMap
+    assert(out === Map("h1" -> ((3L, 3L)), "h2" -> ((1L, 5L))))
+  }
 }

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleSoak
+
+/** Curation-family scale soak (dev main, not a test): drives the text
+  * pipeline's 100 TB shapes on a generated corpus an order of magnitude past
+  * the sf0.1 bench — deterministic distributed word-soup docs (pure codegen,
+  * no driver data), ~10% planted exact-dup groups, 5 languages — and
+  * measures what the plan arguments only reason about: per-stage wall time,
+  * max single task (skew), max task result (driver-materialization guard),
+  * shuffle volume, and spill.
+  *
+  * Stages: curate (one scan + one narrow metric shuffle), packSequences
+  * (two-level prefix sum), decontaminationReport (broadcast eval side),
+  * stratifiedSample (WindowGroupLimit), vocabulary (word-keyed agg),
+  * MinHash signatures->candidates (bounded bucket shuffle) on a 1/4 slice
+  * (the signature UDF's md5-per-shingle dominates; the slice keeps the soak
+  * minutes-scale while exercising the identical plan).
+  *
+  * Run: sbt "Test/runMain graft.text.CurationSoak [nDocs] [wordsPerDoc]"
+  */
+object CurationSoak {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 1000000L
+    val wordsPerDoc = if (args.length > 1) args(1).toInt else 60
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val prof = new ScaleSoak.Profile
+    spark.sparkContext.addSparkListener(prof)
+    println(s"[soak] $nDocs docs x $wordsPerDoc words")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[soak] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // ids with id%10==0 share a text seed in blocks of 100 -> exact-dup
+    // groups of 10; vocab of 500 words keeps realistic repetition levels
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      expr(s"""array_join(transform(sequence(1, $wordsPerDoc),
+        i -> concat('w', pmod(xxhash64(
+          CASE WHEN id % 10 = 0 THEN id - pmod(id, 100) ELSE id END, i), 500))),
+        ' ')""").as("text"),
+      expr("element_at(array('en','en','en','de','es','fr','zh'), " +
+        "cast(pmod(id, 7) + 1 as int))").as("lang"),
+      expr("concat('src', pmod(id, 4))").as("source"))
+
+    time("curate (1 scan + 1 narrow shuffle)") {
+      val byReason = Curation.curate(docs, minTokens = 10, maxTokens = 10000)
+        .groupBy("drop_reason").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[soak]   -> $byReason")
+    }
+    time("packSequences (two-level prefix sum)") {
+      val r = Curation.packSequences(docs, seqTokens = 2048, shardSize = 1 << 14)
+        .agg(max("seq_id"), sum("n_tokens"), count(lit(1))).head()
+      println(s"[soak]   -> maxSeq=${r.getLong(0)} tokens=${r.getLong(1)} docs=${r.getLong(2)}")
+    }
+    time("decontamination (broadcast eval side, 1% slice, 5-grams)") {
+      val isEval = col("doc_id") % 101 === 0
+      val n = Curation.decontaminationReport(
+          docs.filter(!isEval), docs.filter(isEval), n = 5)
+        .filter(col("contamination") > 0).count()
+      println(s"[soak]   -> $n contaminated train docs")
+    }
+    time("stratifiedSample (WindowGroupLimit)") {
+      val n = Curation.stratifiedSample(docs, perGroup = 10000).count()
+      println(s"[soak]   -> $n sampled")
+    }
+    time("vocabulary (word-keyed agg)") {
+      val n = Curation.vocabulary(docs, topK = 100).count()
+      println(s"[soak]   -> $n vocab rows")
+    }
+    time("minhash signatures -> LSH candidates (1/4 slice)") {
+      val slice = docs.filter(col("doc_id") % 4 === 0)
+      val sigs = TextOps.minhashSignatures(slice)
+      val n = TextOps.minhashCandidates(sigs).count()
+      println(s"[soak]   -> $n candidate pairs")
+    }
+    prof.report()
+    assert(prof.maxResultBytes.get < 64L * 1024 * 1024,
+      "a task shipped >64 MiB to the driver — driver materialization leak")
+    spark.stop()
+  }
+}
