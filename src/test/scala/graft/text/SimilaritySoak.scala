@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleSoak
+
+/** Embedding-similarity scale soak (dev main, not a test): drives the
+  * similarity family's 100 TB shapes on a generated corpus — 1 M
+  * deterministic pseudo-random vectors (pure codegen, no driver data) with
+  * ~10% planted near-duplicate pairs (shared seed + 1e-3 perturbation) —
+  * and measures per-stage wall time, max task, max task result, shuffle
+  * volume, and spill.
+  *
+  * Stages: hyperplane-LSH candidate pairs (bucketed id-pair shape),
+  * k-means centroids + IVF assign (broadcast quantizer, tiny moment
+  * aggregate), IVF probe vs brute-force top-k, corpus norm stats.
+  *
+  * Run: sbt "Test/runMain graft.text.SimilaritySoak [nVecs] [dim]"
+  */
+object SimilaritySoak {
+  def main(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 0) args(0).toLong else 1000000L
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val prof = new ScaleSoak.Profile
+    spark.sparkContext.addSparkListener(prof)
+    println(s"[soak] $nVecs vectors x dim $dim")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[soak] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // ids with id%10<2 come in planted near-dup pairs (2k, 2k+1 share the
+    // seed row, then a 1e-3-scale independent perturbation)
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(1, $dim), i -> CAST(
+          (pmod(xxhash64(CASE WHEN id % 10 < 2 THEN id - pmod(id, 2) ELSE id END, i), 2000) / 1000.0 - 1.0)
+          + (CASE WHEN id % 10 < 2 THEN pmod(xxhash64(id, i + 7919), 2000) / 1000000.0 ELSE 0.0 END)
+        AS FLOAT))""").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    time("materialize corpus") {
+      println(s"[soak]   -> ${vecs.count()} vectors")
+    }
+    time("hyperplane LSH candidate pairs (bucketed id-pair shape)") {
+      val pairs = Similarity.cosineLshPairs(vecs, planes = 16, minSim = 0.99,
+        dim = dim, maxBucketSize = 4096)
+      val n = pairs.count()
+      println(s"[soak]   -> $n pairs >= 0.99 (planted ${nVecs / 10})")
+    }
+    val centroids = time("kmeans centroids (k=32, 2 iters, tiny moment agg)") {
+      Similarity.kmeansCentroids(vecs, k = 32, iters = 2)
+    }
+    val assigned = time("ivf assign (broadcast quantizer, narrow)") {
+      val a = Similarity.ivfAssign(vecs, centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = a.groupBy("cell").count().count()
+      println(s"[soak]   -> $cells non-empty cells")
+      a
+    }
+    val query = vecs.filter(col("vec_id") === 12345L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = time("brute-force top-10 (full corpus)") {
+      Similarity.bruteForceTopK(vecs, query, 10, excludeId = 12345L)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    time("ivf top-10 (nprobe=4 of 32 cells)") {
+      val got = Similarity.ivfTopK(assigned, centroids, query, 10,
+        nprobe = 4, excludeId = 12345L).collect().map(_.getLong(0)).toSeq
+      val recall = got.count(exact.contains) / 10.0
+      println(s"[soak]   -> recall@10 vs exact: $recall")
+    }
+    time("corpus norm stats") {
+      val r = vecs.select(
+        avg(sqrt(aggregate(transform(col("embedding"), x => x * x),
+          lit(0.0), (acc, x) => acc + x))).as("mean_norm")).head()
+      println(f"[soak]   -> mean norm ${r.getDouble(0)}%.4f")
+    }
+    prof.report()
+    assert(prof.maxResultBytes.get < 64L * 1024 * 1024,
+      "a task shipped >64 MiB to the driver — driver materialization leak")
+    spark.stop()
+  }
+}
