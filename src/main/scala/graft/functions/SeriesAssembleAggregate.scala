@@ -610,6 +610,8 @@ case class AssembleFragments(off: Expression, vals: Expression,
     }
     if (out == null) {
       // gappy/overlapping runs: cold path, sort runs by (offset, insertion)
+      if (total > Int.MaxValue) throw new IllegalArgumentException(
+        s"assemble_fragments group holds $total samples; arrays cap at ${Int.MaxValue}")
       val order = Array.range(0, n).sortBy(i => (buf.idx(i), i))
       out = new Array[Double](total.toInt)
       var p = 0

@@ -127,18 +127,23 @@ object Windowing {
       .as[(String, Option[Int], Option[Int], Option[Double], Option[Double],
            Option[Long], Option[Double])]
     typed.mapPartitions { rows =>
-      val open = scala.collection.mutable.HashMap.empty[(String, Option[Int]), FragState]
-      def flush(key: (String, Option[Int]), s: FragState): Frag =
+      // keyed by (series, channel, band) — the full trace identity. Keying
+      // by (series, channel) alone would thrash on band-interleaved multi-
+      // band frames: every row fails the continuation guard, flushing
+      // one-sample runs = worse than the per-sample path it replaced
+      val open = scala.collection.mutable.HashMap
+        .empty[(String, Option[Int], Option[Int]), FragState]
+      def flush(key: (String, Option[Int], Option[Int]), s: FragState): Frag =
         Frag(key._1, key._2, s.band, s.rate, s.startingTime, s.t0, s.take())
       val emitted = rows.flatMap { case (series, channel, band, rate, st, tOpt, vOpt) =>
         tOpt match {
           case None => Iterator.empty // null t_idx = no slot, like assemble_series
           case Some(t) =>
             val v = vOpt.getOrElse(Double.NaN) // null value = missing sample
-            val key = (series, channel)
+            val key = (series, channel, band)
             open.get(key) match {
               case Some(s) if t == s.last + 1 && t < s.cut && s.n < FragCap &&
-                  s.band == band && s.rate == rate && s.startingTime == st =>
+                  s.rate == rate && s.startingTime == st =>
                 s.add(v)
                 s.last = t
                 Iterator.empty

@@ -694,9 +694,10 @@ object Llm {
         .select(col("doc_id"), col("lang"), col("source"),
           col("sample_rank").cast("long").as("sample_rank"))
         .orderBy("doc_id"),
+      // 'strat:' salt, independent of q59's 'mix:' draw — see Curation.sampleHash
       Some("""WITH h AS (
              |  SELECT doc_id, lang, source,
-             |    CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS UBIGINT)
+             |    CAST(('0x' || substr(md5('strat:' || doc_id), 1, 15)) AS UBIGINT)
              |      AS sh
              |  FROM documents
              |), r AS (

@@ -62,7 +62,11 @@ object Curation {
   // --- repetition metrics (Gopher-style quality rules) ---------------------
 
   private val repetitionCountsUdf = udf { (text: String) =>
-    val words = if (text == null || text.isEmpty) Array.empty[String] else text.split(" ")
+    // split limit -1 keeps trailing empty tokens — the same tokenization as
+    // Spark's split()/DuckDB's string_split used by withQuality and the
+    // oracles (Java's default split drops trailing empties, which would put
+    // n_words and withQuality's n_tokens on different counts for dirty text)
+    val words = if (text == null) Array.empty[String] else text.split(" ", -1)
     val nWords = words.length.toLong
     val wc = new java.util.HashMap[String, Long]()
     var i = 0
@@ -113,12 +117,17 @@ object Curation {
   // --- deterministic mixture sampling --------------------------------------
 
   /** 60-bit md5-derived uniform for a document id: first 15 hex chars of
-    * md5("mix:<id>") as an integer — the TextOps.hash60 derivation, built
+    * md5("<salt>:<id>") as an integer — the TextOps.hash60 derivation, built
     * from codegen'd Catalyst string functions so a DuckDB oracle reproduces
     * it bit-for-bit (`('0x' || substr(md5('mix:' || doc_id), 1, 15))::UBIGINT`).
-    */
-  def sampleHash(idCol: Column): Column =
-    conv(substring(md5(concat(lit("mix:"), idCol.cast("string"))), 1, 15), 16, 10)
+    *
+    * Every sampling operator gets its OWN salt: if the stratified sampler
+    * ranked on the same uniform the mixture sampler thresholds on, a
+    * stratified eval subset would sit entirely inside any mixture keep-set
+    * (both prefer small hashes) — maximal train/eval contamination by
+    * construction. Distinct salts make the operators' draws independent. */
+  def sampleHash(idCol: Column, salt: String = "mix"): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
   /** Threshold for rate r: keep iff sampleHash < floor(r * 2^60). Selection
@@ -153,13 +162,17 @@ object Curation {
     * Scale: the rank filter compiles to Spark's WindowGroupLimit, which
     * keeps a per-group top-`perGroup` heap MAP-SIDE before the group
     * shuffle — the shuffle carries at most perGroup rows per group per
-    * input partition, not the corpus. */
+    * input partition, not the corpus.
+    *
+    * Ranks on the "strat"-salted uniform, NOT mixtureSample's "mix" salt —
+    * see sampleHash on why sharing the salt would maximally contaminate a
+    * stratified eval subset with any mixture-sampled training set. */
   def stratifiedSample(docs: DataFrame, perGroup: Int,
                        groupCol: String = "lang",
                        idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(sampleHash(col(idCol)).asc, col(idCol).asc)
+      .orderBy(sampleHash(col(idCol), "strat").asc, col(idCol).asc)
     docs.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= perGroup)
   }
@@ -223,18 +236,23 @@ object Curation {
     * aggregate keys on every (word, doc) PAIR, a corpus-sized hash that
     * spills (soak-measured ~10 GB at 60 M tokens). Instead the distinct-ing
     * happens per document (`array_distinct`, bounded by doc length,
-    * map-side) and both aggregations are plain counts whose partials
-    * collapse to vocabulary size per partition — zero spill at any corpus
-    * size. The corpus-size scalar rides a broadcast cross join. */
+    * map-side): ONE scan emits each doc's raw words tagged 0 plus its
+    * distinct words tagged 1 through a single generator, and one word-keyed
+    * count/sum aggregation (partials collapse to vocabulary size per
+    * partition — zero spill at any corpus size) yields term_count =
+    * untagged rows and doc_freq = tag sum. The corpus-size scalar rides a
+    * broadcast cross join. */
   def vocabulary(docs: DataFrame, topK: Int = 100,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = split(col(textCol), " ")
-    val tf = docs.select(explode(words).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("term_count"))
-    val df = docs.select(explode(array_distinct(words)).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("doc_freq"))
+    val pairs = docs.select(explode(concat(
+        transform(words, w => struct(w.as("word"), lit(0L).as("df"))),
+        transform(array_distinct(words),
+          w => struct(w.as("word"), lit(1L).as("df"))))).as("p"))
+      .select(col("p.word").as("word"), col("p.df").as("df"))
     val n = docs.agg(count(lit(1)).as("_n_docs"))
-    tf.join(df, "word")
+    pairs.groupBy("word")
+      .agg((count(lit(1)) - sum("df")).as("term_count"), sum("df").as("doc_freq"))
       .crossJoin(broadcast(n))
       .withColumn("idf",
         round(log((col("_n_docs") + lit(1.0)) / (col("doc_freq") + lit(1.0))), 6))

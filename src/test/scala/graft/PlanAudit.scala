@@ -12,7 +12,11 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- (if (sys.env.contains("PLAN_AUDIT_QUERIES")) sys.env("PLAN_AUDIT_QUERIES").split(",").toSeq else Seq("q05_nation_revenue", "q21_car_trimmed_mean", "q33_pipeline_high_gamma"))) {
+    val names = sys.env.get("PLAN_AUDIT_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(Seq("q05_nation_revenue", "q21_car_trimmed_mean", "q33_pipeline_high_gamma"))
+    for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length

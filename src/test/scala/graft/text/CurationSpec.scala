@@ -130,6 +130,14 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     val large = a.select("doc_id").as[Long].collect().toSet
     assert(small.subsetOf(large))
+    // independent of the mixture draw: with a SHARED salt every stratified
+    // doc (smallest hashes) would sit inside a rate-0.5 mixture keep-set
+    // (overlap 1.0 = maximal train/eval contamination); distinct salts put
+    // the overlap near the 0.5 an independent draw gives
+    val mixKept = Curation.mixtureSample(docs, Map("en" -> 0.5, "de" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = large.count(mixKept) / 80.0
+    assert(overlap > 0.2 && overlap < 0.8, s"sampler correlation: overlap $overlap")
   }
 
   test("packSequences lays docs end to end and is shardSize-invariant") {
