@@ -236,23 +236,22 @@ object Curation {
     * aggregate keys on every (word, doc) PAIR, a corpus-sized hash that
     * spills (soak-measured ~10 GB at 60 M tokens). Instead the distinct-ing
     * happens per document (`array_distinct`, bounded by doc length,
-    * map-side): ONE scan emits each doc's raw words tagged 0 plus its
-    * distinct words tagged 1 through a single generator, and one word-keyed
-    * count/sum aggregation (partials collapse to vocabulary size per
-    * partition — zero spill at any corpus size) yields term_count =
-    * untagged rows and doc_freq = tag sum. The corpus-size scalar rides a
-    * broadcast cross join. */
+    * map-side) and both aggregations are plain counts whose partials
+    * collapse to vocabulary size per partition — zero spill at any corpus
+    * size. Two scans on purpose: a one-scan variant (raw + distinct words
+    * tagged through a single struct generator) was soak-measured 2.5×
+    * SLOWER — it doubles the exploded row count and widens each row, and
+    * the explode dominates vocabulary's cost, not the scan. The corpus-size
+    * scalar rides a broadcast cross join. */
   def vocabulary(docs: DataFrame, topK: Int = 100,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = split(col(textCol), " ")
-    val pairs = docs.select(explode(concat(
-        transform(words, w => struct(w.as("word"), lit(0L).as("df"))),
-        transform(array_distinct(words),
-          w => struct(w.as("word"), lit(1L).as("df"))))).as("p"))
-      .select(col("p.word").as("word"), col("p.df").as("df"))
+    val tf = docs.select(explode(words).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("term_count"))
+    val df = docs.select(explode(array_distinct(words)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("doc_freq"))
     val n = docs.agg(count(lit(1)).as("_n_docs"))
-    pairs.groupBy("word")
-      .agg((count(lit(1)) - sum("df")).as("term_count"), sum("df").as("doc_freq"))
+    tf.join(df, "word")
       .crossJoin(broadcast(n))
       .withColumn("idf",
         round(log((col("_n_docs") + lit(1.0)) / (col("doc_freq") + lit(1.0))), 6))
