@@ -707,5 +707,29 @@ object Llm {
              |  FROM h
              |)
              |SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
-             |FROM r WHERE sample_rank <= 50 ORDER BY doc_id""".stripMargin)))
+             |FROM r WHERE sample_rank <= 50 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q65_substring_dedup",
+      "exact 8-token substring overlap pairs (rolling-window substring dedup)",
+      (s, dir) => TextOps.substringOverlapPairs(table(s, dir, "documents"), k = 8)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), win AS (
+             |  SELECT DISTINCT doc_id,
+             |    md5(list_aggr(t[i:i+7], 'string_agg', ' ')) AS h
+             |  FROM w, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+             |  WHERE len(t) >= 8
+             |), b AS (
+             |  SELECT h, list_sort(list(doc_id)) AS ids
+             |  FROM win GROUP BY h HAVING count(*) BETWEEN 2 AND 64
+             |), p AS (
+             |  SELECT ids[i] AS doc_a, ids[j] AS doc_b
+             |  FROM b,
+             |    LATERAL unnest(generate_series(1, len(ids))) AS ui(i),
+             |    LATERAL unnest(generate_series(1, len(ids))) AS uj(j)
+             |  WHERE i < j
+             |)
+             |SELECT doc_a, doc_b, count(*) AS n_shared
+             |FROM p GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)))
 }

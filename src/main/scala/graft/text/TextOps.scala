@@ -349,4 +349,50 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  // --- exact k-token substring overlap -------------------------------------
+
+  /** Substring-dedup candidates, the rolling-window form of suffix-based
+    * exact-substring deduplication (cf. "Deduplicating Training Data Makes
+    * Language Models Better"): pairs of documents sharing at least
+    * `minShared` exact k-token windows, with the shared-window count as
+    * evidence. Unlike MinHash (whole-doc similarity) this catches a long
+    * verbatim span embedded in otherwise-different documents.
+    *
+    * Scale shape — the MinHash bucket idiom applied to window hashes: one
+    * narrow pass hashes each doc's distinct k-token windows (md5, pure
+    * Catalyst); ONE group-shuffle of (hash, id) rows collects ids per
+    * window; id PAIRS are generated inside the bucket row (capped at
+    * `maxBucketSize` — a boilerplate window shared by thousands of docs is
+    * exact-dedup's job, not a pair flood); the final (a, b) count
+    * aggregation partial-combines map-side, so only bounded id-pair rows
+    * ever cross the wire. */
+  def substringOverlapPairs(docs: DataFrame, k: Int = 8, minShared: Long = 1,
+                            maxBucketSize: Int = 64,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val hashes = array_distinct(transform(sequence(lit(1), size(words) - (k - 1)),
+      i => md5(array_join(slice(words, i, lit(k)), " "))))
+    val win = docs
+      .filter(size(words) >= k)
+      .select(col(idCol).cast("long").as("doc_id"), explode(hashes).as("h"))
+    val pairsUdf = udf { (ids: Seq[Long]) =>
+      val s = ids.toArray.sorted
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    win.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -61,6 +61,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(est.exists { case (a, b, j) => j == 1.0 })
   }
 
+  test("substring overlap pairs count shared k-token windows exactly") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token verbatim span
+    val d = Seq(
+      (1L, s"alpha beta $span gamma delta"),   // span at offset 2
+      (2L, s"$span x1 x2 x3 x4 x5 x6 x7 x8"),  // same span at offset 0
+      (3L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"), // no overlap
+      (4L, "short doc")                         // < k tokens -> no windows
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringOverlapPairs(d, k = 8)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect()
+    // a 10-token shared span yields 10-8+1 = 3 shared 8-token windows
+    assert(out === Array((1L, 2L, 3L)))
+    // minShared filters pairs below the evidence threshold
+    assert(TextOps.substringOverlapPairs(d, k = 8, minShared = 4).count() == 0)
+    // different docs embedding the span = "long verbatim quote" detection
+    // that whole-doc MinHash similarity would score low
+  }
+
   test("minhash bucket cap bounds a boilerplate flood without losing normal pairs") {
     // 200 identical boilerplate docs: every band funnels them into one
     // bucket -> 19900 pairs x 8 bands in one task without the cap
