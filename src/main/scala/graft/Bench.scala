@@ -23,7 +23,8 @@ object Bench {
     "q51_cosine_lsh_pairs", "q52_ivf_topk",
     "q57_decontamination", "q58_repetition_metrics", "q59_mixture_sample",
     "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline",
-    "q63_stratified_sample", "q64_streaming_dedup", "q65_substring_dedup")
+    "q63_stratified_sample", "q64_streaming_dedup", "q65_substring_dedup",
+    "q66_minhash_decontamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -731,5 +731,36 @@ object Llm {
              |  WHERE i < j
              |)
              |SELECT doc_a, doc_b, count(*) AS n_shared
-             |FROM p GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)))
+             |FROM p GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q66_minhash_decontamination",
+      "approximate decontamination: bipartite MinHash band-join train vs eval slice",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val isEval = col("doc_id") % 23 === 0
+        TextOps.minhashDecontamination(docs.filter(!isEval), docs.filter(isEval))
+          .orderBy("doc_id")
+      },
+      // same signature/bucket CTEs as q42 (signatures depend only on the
+      // doc text, so computing them corpus-wide == per-side); candidates
+      // are the BIPARTITE train x eval bucket join under the same
+      // total-bucket-size cap, estimates the same slot-match fraction
+      Some(s"""WITH $MinhashCtes, cte AS (
+              |  SELECT DISTINCT t.doc_id AS t_id, e.doc_id AS e_id
+              |  FROM bucket t
+              |  JOIN bucket e ON t.band_idx = e.band_idx AND t.bucket = e.bucket
+              |  JOIN bsz ON bsz.band_idx = t.band_idx AND bsz.bucket = t.bucket
+              |          AND bsz.c <= 64
+              |  WHERE t.doc_id % 23 <> 0 AND e.doc_id % 23 = 0
+              |), este AS (
+              |  SELECT c.t_id, c.e_id,
+              |    round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) AS est
+              |  FROM cte c
+              |  JOIN sig sa ON sa.doc_id = c.t_id
+              |  JOIN sig sb ON sb.doc_id = c.e_id AND sb.i = sa.i
+              |  GROUP BY c.t_id, c.e_id
+              |  HAVING round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2
+              |)
+              |SELECT t_id AS doc_id, count(*) AS n_eval_matches, max(est) AS max_est
+              |FROM este GROUP BY 1 ORDER BY doc_id""".stripMargin)))
 }

@@ -350,6 +350,59 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Approximate decontamination via a bipartite MinHash band-join — the
+    * scale path when the eval/benchmark side is TOO BIG TO BROADCAST
+    * (`Curation.decontaminationReport` broadcasts the eval n-gram set;
+    * this variant never broadcasts either corpus). Both sides get
+    * signatures in one narrow pass each; train and eval bucket rows meet
+    * in ONE (band, bucket) group-shuffle; (train, eval) pairs and their
+    * slot-match estimates are produced inside the bucket row — never a
+    * signature self-join, with the same total-bucket-size skew cap as
+    * `minhashCandidates`. Output: per contaminated train doc, the eval
+    * near-match count and the max estimate. */
+  def minhashDecontamination(train: DataFrame, eval: DataFrame,
+                             numHashes: Int = 32, bands: Int = 8,
+                             threshold: Double = 0.2, maxBucketSize: Int = 64,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+        (b, md5Hex(s"$b:${slice.mkString(",")}"))
+      }
+    }
+    def buckets(docs: DataFrame, side: Int) =
+      minhashSignatures(docs, textCol, idCol, numHashes)
+        .select(col("doc_id").cast("long").as("doc_id"), col("signature"),
+          lit(side).as("side"), explode(bandUdf(col("signature"))).as("band"))
+        .select(col("doc_id"), col("signature"), col("side"),
+          col("band._1").as("band_idx"), col("band._2").as("bucket"))
+    val pairsUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+      val (t, e) = members
+        .map(r => (r.getInt(2), r.getLong(0), r.getSeq[Long](1).toArray))
+        .partition(_._1 == 0)
+      for ((_, ia, sa) <- t; (_, ib, sb) <- e) yield {
+        var eq = 0
+        var k = 0
+        while (k < sa.length) { if (sa(k) == sb(k)) eq += 1; k += 1 }
+        (ia, ib, eq.toDouble / sa.length)
+      }
+    }
+    buckets(train, 0).unionByName(buckets(eval, 1))
+      .groupBy("band_idx", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("signature"), col("side")))
+        .as("members"))
+      .filter(size(col("members")) <= maxBucketSize)
+      .select(explode(pairsUdf(col("members"))).as("p"))
+      .select(col("p._1").as("doc_id"), col("p._2").as("eval_id"),
+        round(col("p._3"), 6).as("est"))
+      .filter(col("est") >= threshold)
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("est")).as("max_est"))
+  }
+
   // --- exact k-token substring overlap -------------------------------------
 
   /** Substring-dedup candidates, the rolling-window form of suffix-based

