@@ -762,5 +762,57 @@ object Llm {
               |  HAVING round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2
               |)
               |SELECT t_id AS doc_id, count(*) AS n_eval_matches, max(est) AS max_est
-              |FROM este GROUP BY 1 ORDER BY doc_id""".stripMargin)))
+              |FROM este GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q67_curation_report",
+      "curation yield report: per-(source, reason) doc/token/quality rollup",
+      (s, dir) => Curation.curationReport(table(s, dir, "documents"))
+        .orderBy("source", "drop_reason"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS w
+             |  FROM documents
+             |), base AS (
+             |  SELECT doc_id, lang, source, text, len(w) AS n_tokens,
+             |    len(list_distinct(w)) AS n_distinct_words,
+             |    CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_2grams,
+             |    CASE WHEN len(w) >= 2 THEN len(list_distinct(list_transform(
+             |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+             |      ELSE 0 END AS n_distinct_2grams
+             |  FROM words
+             |), wc AS (SELECT doc_id, unnest(w) AS word FROM words),
+             |topw AS (
+             |  SELECT doc_id, max(c) AS top_word_count
+             |  FROM (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2)
+             |  GROUP BY doc_id
+             |), m AS (
+             |  SELECT b.doc_id, b.lang, b.source, b.n_tokens,
+             |    round(least(1.0, b.n_tokens / 64.0) *
+             |      round(CAST(b.n_distinct_words AS DOUBLE) / b.n_tokens, 4), 4)
+             |      AS quality_score,
+             |    round(CAST(t.top_word_count AS DOUBLE) / b.n_tokens, 6)
+             |      AS top_word_frac,
+             |    round(CASE WHEN b.n_2grams > 0
+             |      THEN 1 - CAST(b.n_distinct_2grams AS DOUBLE) / b.n_2grams
+             |      ELSE 0 END, 6) AS dup_2gram_frac,
+             |    CAST(row_number() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) > 1
+             |      AS INT) AS is_dup
+             |  FROM base b JOIN topw t USING (doc_id)
+             |), r AS (
+             |  SELECT *, CASE
+             |    WHEN is_dup = 1 THEN 'exact_dup'
+             |    WHEN n_tokens < 30 THEN 'too_short'
+             |    WHEN n_tokens > 88 THEN 'too_long'
+             |    WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang_filtered'
+             |    WHEN top_word_frac >= 0.12 OR dup_2gram_frac >= 0.05 THEN 'repetitive'
+             |    WHEN quality_score < 0.25 THEN 'low_quality'
+             |    ELSE 'kept' END AS drop_reason
+             |  FROM m
+             |)
+             |SELECT COALESCE(source, 'ALL') AS source,
+             |  COALESCE(drop_reason, 'ALL') AS drop_reason,
+             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+             |    / (count(*) * 10000.0), 6) AS avg_quality
+             |FROM r GROUP BY ROLLUP (source, drop_reason)
+             |ORDER BY source, drop_reason""".stripMargin)))
 }

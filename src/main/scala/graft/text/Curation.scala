@@ -281,13 +281,16 @@ object Curation {
              allowedLangs: Seq[String] = Seq("en", "de", "es", "fr"),
              topWordFracMax: Double = 0.12, dup2gramFracMax: Double = 0.05,
              textCol: String = "text", idCol: String = "doc_id",
-             langCol: String = "lang"): DataFrame = {
+             langCol: String = "lang",
+             keepCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val passthrough = keepCols.map(col)
     val metrics = TextAnalysis.withQuality(
         withRepetitionMetrics(docs, topWordFracMax, dup2gramFracMax, textCol), textCol)
       .withColumn("_h", md5(col(textCol)))
-      .select(col(idCol), col(langCol), col("n_tokens"), col("quality_score"),
-        col("top_word_frac"), col("dup_2gram_frac"), col("_h"))
+      .select(col(idCol) +: col(langCol) +: passthrough :+ col("n_tokens") :+
+        col("quality_score") :+ col("top_word_frac") :+ col("dup_2gram_frac") :+
+        col("_h"): _*)
     val reason = when(col("is_dup") === 1, "exact_dup")
       .when(col("n_tokens") < minTokens, "too_short")
       .when(col("n_tokens") > maxTokens, "too_long")
@@ -301,8 +304,29 @@ object Curation {
       .withColumn("is_dup", (row_number().over(w) > 1).cast("int"))
       .withColumn("drop_reason", reason)
       .withColumn("keep", (col("drop_reason") === "kept").cast("int"))
-      .select(col(idCol), col(langCol), col("n_tokens"), col("quality_score"),
-        col("top_word_frac"), col("dup_2gram_frac"), col("is_dup"),
-        col("keep"), col("drop_reason"))
+      .select(col(idCol) +: col(langCol) +: passthrough :+ col("n_tokens") :+
+        col("quality_score") :+ col("top_word_frac") :+ col("dup_2gram_frac") :+
+        col("is_dup") :+ col("keep") :+ col("drop_reason"): _*)
   }
+
+  /** Curation yield report: doc/token/quality totals per (group, reason)
+    * with ROLLUP subtotals (per-group and grand totals) — the "what did the
+    * pipeline drop and why, per source" dashboard query. Null grouping
+    * slots from the rollup are labeled 'ALL' so the output is null-free and
+    * deterministic. One extra tiny shuffle on top of curate(): the rollup
+    * aggregate's partials collapse to (groups × reasons) per partition. */
+  def curationReport(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    curate(docs, keepCols = Seq(groupCol))
+      .rollup(col(groupCol), col("drop_reason"))
+      // mean via an exact integer sum (quality is 4-decimal quantized), not
+      // avg(): double summation order differs between engines and flips the
+      // 6th rounded decimal at .5 boundaries — integer sums are
+      // order-independent, so the single final division is bit-stable
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum(round(col("quality_score") * 10000).cast("long")).as("_q4"))
+      .select(coalesce(col(groupCol), lit("ALL")).as(groupCol),
+        coalesce(col("drop_reason"), lit("ALL")).as("drop_reason"),
+        col("n_docs"), col("n_tokens"),
+        round(col("_q4").cast("double") / (col("n_docs") * 10000.0), 6)
+          .as("avg_quality"))
 }

@@ -140,6 +140,27 @@ class CurationSpec extends AnyFunSuite {
     assert(overlap > 0.2 && overlap < 0.8, s"sampler correlation: overlap $overlap")
   }
 
+  test("curationReport rollup rows are consistent with their subtotals") {
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"v$i").mkString(" "), "en", "web"),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "), "en", "web"),
+      (3L, "tiny doc here", "en", "books"),
+      (4L, (1 to 60).map(i => s"x$i").mkString(" "), "zh", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = Curation.curationReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(("ALL", "ALL"))._1 == 4)
+    assert(rows(("web", "ALL"))._1 == 2)
+    assert(rows(("books", "too_short"))._1 == 1)
+    assert(rows(("books", "lang_filtered"))._1 == 1)
+    // token subtotals add up: group rows sum to their ALL row
+    val webTokens = rows(("web", "kept"))._2
+    assert(rows(("web", "ALL"))._2 == webTokens)
+    assert(rows(("ALL", "ALL"))._2 ==
+      rows(("web", "ALL"))._2 + rows(("books", "ALL"))._2)
+  }
+
   test("packSequences lays docs end to end and is shardSize-invariant") {
     val docs = Seq(
       // stream A: 3+4+2 tokens -> offsets 0,3,7
