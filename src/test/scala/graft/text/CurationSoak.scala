@@ -85,6 +85,11 @@ object CurationSoak {
       val n = TextOps.minhashCandidates(sigs).count()
       println(s"[soak]   -> $n candidate pairs")
     }
+    time("substring overlap pairs k=8 (1/4 slice)") {
+      val slice = docs.filter(col("doc_id") % 4 === 0)
+      val n = TextOps.substringOverlapPairs(slice, k = 8).count()
+      println(s"[soak]   -> $n substring pairs")
+    }
     prof.report()
     assert(prof.maxResultBytes.get < 64L * 1024 * 1024,
       "a task shipped >64 MiB to the driver — driver materialization leak")
