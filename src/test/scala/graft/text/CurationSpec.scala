@@ -76,6 +76,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r3.getDouble(5) === 0.0)
   }
 
+  test("repetition metrics tokenize dirty text like Spark split") {
+    // trailing space, double space, empty string: the UDF must count the
+    // same tokens as Spark's split() (which keeps empty tokens) so n_words
+    // always equals withQuality's n_tokens inside curate()
+    val docs = Seq(
+      (1L, "a b "),   // trailing space -> 3 tokens (a, b, "")
+      (2L, "a  b"),   // double space -> 3 tokens (a, "", b)
+      (3L, "")        // empty -> 1 empty token
+    ).toDF("doc_id", "text")
+    val out = Curation.withRepetitionMetrics(docs)
+      .select(col("doc_id"), col("n_words"),
+        size(split(col("text"), " ")).cast("long").as("n_spark"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((id, nWords, nSpark) <- out)
+      assert(nWords == nSpark, s"doc $id: UDF $nWords != Spark split $nSpark")
+  }
+
   test("repetition flag respects custom thresholds") {
     val docs = Seq((1L, "u v w x y")).toDF("doc_id", "text")
     val strict = Curation.withRepetitionMetrics(docs, topWordFracMax = 0.5)
