@@ -24,7 +24,8 @@ object Bench {
     "q57_decontamination", "q58_repetition_metrics", "q59_mixture_sample",
     "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline",
     "q63_stratified_sample", "q64_streaming_dedup", "q65_substring_dedup",
-    "q66_minhash_decontamination", "q67_curation_report")
+    "q66_minhash_decontamination", "q67_curation_report",
+    "q68_audio_stats", "q69_frame_fingerprints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

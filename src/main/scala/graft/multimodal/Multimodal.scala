@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem}
 
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct; decode / feature-extract /
@@ -14,12 +15,14 @@ import javax.imageio.ImageIO
   * over the binary payload.
   *
   * Image decode is REAL — `javax.imageio` (PNG/JPEG/GIF/BMP readers ship
-  * with the JDK, fully headless). Undecodable payloads produce null
-  * decode columns rather than failing the task, so mixed/corrupt corpora
-  * survive a full scan — the posture a 100 TB crawl requires. Audio/video
-  * codecs are not on this JVM; those payloads keep the byte-level feature
-  * path (`byteHistogramFeatures`), which is a legitimate content
-  * fingerprint, not a decode.
+  * with the JDK, fully headless). Audio decode is REAL for WAV/PCM —
+  * `javax.sound.sampled` parses RIFF containers with no audio device
+  * (only playback needs one). Undecodable payloads produce null decode
+  * columns rather than failing the task, so mixed/corrupt corpora
+  * survive a full scan — the posture a 100 TB crawl requires. Compressed
+  * audio/video codecs are not on this JVM; those payloads keep the
+  * byte-level feature path (`byteHistogramFeatures`) and the stride
+  * frame sampler (`sampleFrames`), content fingerprints, not decodes.
   */
 object Multimodal {
 
@@ -174,6 +177,107 @@ object Multimodal {
     val f = udf((payload: Array[Byte]) => byteHistogramFeatures(payload, dim))
     media.withColumn("features", f(col("payload")))
       .select("media_id", "kind", "meta", "features")
+  }
+
+  /** Deterministic synthetic WAV fixture (RIFF/WAVE, PCM16 mono little-
+    * endian): sample count, rate, and every sample value are closed-form in
+    * `id`, so a SQL oracle can predict what decoding must yield —
+    *   n    = 1024 + id % 257
+    *   rate = 8000 + (id % 3) * 4000
+    *   s(t) = ((id * 40503 + t * 2654435761) mod 65536) - 32768
+    * (all exact in 64-bit integers at any plausible id). The container is
+    * hand-rolled here; the PRODUCT path decodes it with the JDK's real
+    * `javax.sound.sampled` reader, so the round trip proves the decoder,
+    * not this writer. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (1024 + id % 257).toInt
+    val rate = (8000 + (id % 3) * 4000).toInt
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putLE(off: Int, v: Int, nBytes: Int): Unit = {
+      var i = 0
+      while (i < nBytes) { out(off + i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    }
+    def putTag(off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+    putTag(0, "RIFF"); putLE(4, 36 + dataLen, 4); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLE(16, 16, 4)
+    putLE(20, 1, 2)            // PCM
+    putLE(22, 1, 2)            // mono
+    putLE(24, rate, 4)
+    putLE(28, rate * 2, 4)     // byte rate
+    putLE(32, 2, 2)            // block align
+    putLE(34, 16, 2)           // bits per sample
+    putTag(36, "data"); putLE(40, dataLen, 4)
+    var t = 0
+    while (t < n) {
+      val v = ((id * 40503L + t * 2654435761L) % 65536L).toInt - 32768
+      putLE(44 + 2 * t, v & 0xFFFF, 2)
+      t += 1
+    }
+    out
+  }
+
+  /** One decoded PCM16 clip: rate, channel count, and the channel-
+    * interleaved 16-bit samples. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** Decode an audio payload with the JDK's javax.sound.sampled reader;
+    * None when no installed reader accepts the bytes or the stream is not
+    * 16-bit signed PCM (the only encoding this JVM ships a parser for). */
+  def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            samples(i) =
+              if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
+              else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+            i += 1
+          }
+          Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, samples))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None } // unsupported container / truncated
+  }
+
+  /** Real per-clip decode stats, all integer-exact so a SQL oracle can
+    * hash-match them bit-for-bit (no float summation-order hazard):
+    * frame count, peak = max |s|, energy = sum of s^2 (fits a long:
+    * n * 32768^2), and strict sign-change zero crossings
+    * (s(t-1) * s(t) < 0). Narrow per-row map; payload pruned after decode;
+    * all null where no reader accepts the payload. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val f = udf { (payload: Array[Byte]) =>
+      decodeAudio(payload).map { a =>
+        var peak = 0
+        var sumSq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val v = a.samples(i)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v.toLong * v
+          if (i > 0 && a.samples(i - 1).toLong * v < 0) zc += 1
+          i += 1
+        }
+        (a.sampleRate, a.channels, a.samples.length.toLong / a.channels, peak, sumSq, zc)
+      }
+    }
+    media.withColumn("au", f(col("payload")))
+      .select(col("media_id"), col("kind"), col("meta"),
+        col("au._1").as("sample_rate"), col("au._2").as("channels"),
+        col("au._3").as("n_samples"), col("au._4").as("peak"),
+        col("au._5").as("sum_sq"), col("au._6").as("zero_crossings"))
   }
 
   /** Frame sampling for video-kind payloads: deterministic stride slicing of

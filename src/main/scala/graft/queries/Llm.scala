@@ -814,5 +814,92 @@ object Llm {
              |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
              |    / (count(*) * 10000.0), 6) AS avg_quality
              |FROM r GROUP BY ROLLUP (source, drop_reason)
-             |ORDER BY source, drop_reason""".stripMargin)))
+             |ORDER BY source, drop_reason""".stripMargin)),
+
+    QueryDef("q68_audio_stats",
+      "real javax.sound WAV/PCM decode: integer-exact per-clip audio stats",
+      (s, dir) => {
+        // deterministic PCM16 WAV payloads (rate, length, every sample value
+        // closed-form in doc_id; every 50th doc carries a non-audio payload
+        // to exercise the null-on-undecodable path) -> REAL decode via
+        // javax.sound.sampled -> stats the oracle replays arithmetically.
+        // Stats are integers (peak/energy/sign-change counts), so there is
+        // no float summation-order hazard between engines.
+        val wav = udf { (id: Long) => Multimodal.syntheticWav(id) }
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("media_id"), lit("audio").as("kind"),
+            when(pmod(col("doc_id"), lit(50)) === 0,
+              concat(lit("not audio "), col("doc_id")).cast("binary"))
+              .otherwise(wav(col("doc_id").cast("long"))).as("payload"),
+            lit(null).cast(Multimodal.MediaSchema("meta").dataType).as("meta"))
+        Multimodal.audioStats(media)
+          .select(col("media_id").as("doc_id"),
+            col("sample_rate"), col("channels"), col("n_samples"),
+            col("peak"), col("sum_sq"), col("zero_crossings"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, 1024 + doc_id % 257 AS n,
+             |         8000 + (doc_id % 3) * 4000 AS rate
+             |  FROM documents
+             |), v AS (
+             |  SELECT doc_id, n, rate, i,
+             |    ((doc_id * 40503 + i * 2654435761) % 65536) - 32768 AS v
+             |  FROM (SELECT doc_id, n, rate,
+             |          unnest(generate_series(0, n - 1)) AS i FROM p)
+             |), lagged AS (
+             |  SELECT doc_id, n, rate, v,
+             |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |  FROM v
+             |), agg AS (
+             |  SELECT doc_id, any_value(rate) AS rate, count(*) AS n_samples,
+             |    max(abs(v)) AS peak, sum(v * v) AS sum_sq,
+             |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+             |  FROM lagged GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE CAST(a.rate AS INT) END AS sample_rate,
+             |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 1 END AS channels,
+             |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+             |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE CAST(a.peak AS INT) END AS peak,
+             |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE CAST(a.sum_sq AS BIGINT) END AS sum_sq,
+             |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE CAST(a.zc AS BIGINT) END AS zero_crossings
+             |FROM documents d JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q69_frame_fingerprints",
+      "video-kind frame sampling: stride slices with exact md5 fingerprints",
+      (s, dir) => {
+        // opaque "video" payloads (deterministic ASCII bytes, length varying
+        // by doc_id; every 50th doc gets a NULL payload -> zero frames) ->
+        // the real stride frame sampler -> per-frame length + md5, which the
+        // oracle reproduces byte-for-byte with string slicing (the payload
+        // is ASCII, so char slicing == byte slicing).
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("media_id"), lit("video").as("kind"),
+            when(pmod(col("doc_id"), lit(50)) === 0, lit(null).cast("binary"))
+              .otherwise(expr(
+                "cast(repeat(md5(cast(doc_id as string)), cast(3 + doc_id % 4 as int)) as binary)"))
+              .as("payload"),
+            lit(null).cast(Multimodal.MediaSchema("meta").dataType).as("meta"))
+        Multimodal.sampleFrames(media, nFrames = 4)
+          .select(col("media_id").as("doc_id"), posexplode(col("frames")))
+          .select(col("doc_id"), col("pos").as("frame_idx"),
+            length(col("col")).cast("long").as("frame_len"),
+            md5(col("col")).as("frame_md5"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    repeat(md5(CAST(doc_id AS VARCHAR)), CAST(3 + doc_id % 4 AS INT)) AS payload
+             |  FROM documents WHERE doc_id % 50 <> 0
+             |), f AS (
+             |  SELECT doc_id, payload, length(payload) // 4 AS stride,
+             |    unnest(generate_series(0, 3)) AS frame_idx
+             |  FROM p
+             |)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(stride AS BIGINT) AS frame_len,
+             |  md5(substr(payload, frame_idx * stride + 1, stride)) AS frame_md5
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)))
 }

@@ -367,4 +367,60 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rd.channelMean.toSeq == Seq((2L * 37 % 256).toDouble,
       (2L * 59 % 256).toDouble, (2L * 83 % 256).toDouble))
   }
+
+  test("real audio decode: WAV fixture round-trips through javax.sound, stats exact") {
+    import graft.multimodal.Multimodal
+    def sample(id: Long, t: Int): Int =
+      (((id * 40503L + t * 2654435761L) % 65536L) - 32768L).toInt
+    for (id <- Seq(1L, 7L, 50L, 256L)) {
+      val a = Multimodal.decodeAudio(Multimodal.syntheticWav(id)).get
+      assert(a.sampleRate == 8000 + (id % 3).toInt * 4000)
+      assert(a.channels == 1)
+      assert(a.samples.length == 1024 + (id % 257).toInt)
+      assert(a.samples.indices.forall(t => a.samples(t) == sample(id, t)),
+        s"decoded samples diverge from the closed form at id=$id")
+    }
+    // independent container check: the JDK's own WAV writer fed the same
+    // samples must decode to the identical stream (validates the hand-rolled
+    // RIFF fixture against a second implementation)
+    val id = 7L
+    val n = 1024 + (id % 257).toInt
+    val raw = new Array[Byte](n * 2)
+    for (t <- 0 until n) {
+      val v = sample(id, t)
+      raw(2 * t) = (v & 0xFF).toByte
+      raw(2 * t + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 1, true, false)
+    val jdkBytes = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, jdkBytes)
+    val viaJdk = Multimodal.decodeAudio(jdkBytes.toByteArray).get
+    val viaOurs = Multimodal.decodeAudio(Multimodal.syntheticWav(id)).get
+    assert(viaJdk.samples.toSeq == viaOurs.samples.toSeq)
+    assert(viaJdk.sampleRate == viaOurs.sampleRate)
+    // undecodable payloads: None direct, null columns in the operator
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    val rows = (1L to 10L).map(i => (i, "audio",
+      if (i == 4) "garbage".getBytes else Multimodal.syntheticWav(i), null: String))
+      .toDF("media_id", "kind", "payload", "meta")
+    val stats = Multimodal.audioStats(rows).orderBy("media_id").collect()
+    assert(stats.length == 10)
+    for (r <- stats) {
+      val i = r.getLong(0)
+      if (i == 4) assert(r.isNullAt(3), "corrupt payload should decode to null")
+      else {
+        val samples = (0 until 1024 + (i % 257).toInt).map(t => sample(i, t))
+        assert(r.getInt(3) == 8000 + (i % 3).toInt * 4000)       // sample_rate
+        assert(r.getLong(5) == samples.length.toLong)            // n_samples
+        assert(r.getInt(6) == samples.map(math.abs).max)         // peak
+        assert(r.getLong(7) == samples.map(v => v.toLong * v).sum) // sum_sq
+        assert(r.getLong(8) ==                                    // zero_crossings
+          samples.sliding(2).count(p => p.head.toLong * p.last < 0))
+      }
+    }
+  }
 }
