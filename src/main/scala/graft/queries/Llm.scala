@@ -901,5 +901,112 @@ object Llm {
              |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
              |  CAST(stride AS BIGINT) AS frame_len,
              |  md5(substr(payload, frame_idx * stride + 1, stride)) AS frame_md5
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)))
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    QueryDef("q70_pii_redaction",
+      "PII scrub: regex detect + redact emails/IPs/phones, one codegen'd scan",
+      (s, dir) => {
+        // deterministic PII injected into the (digit-free) corpus text so
+        // every match is closed-form in doc_id; the operator itself is the
+        // product surface — engine-portable regexes, ordered replace chain,
+        // counts via regexp_extract_all. Oracle rebuilds the same text and
+        // runs the same patterns under RE2.
+        val id = col("doc_id").cast("string")
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(
+              substring(col("text"), 1, 80),
+              when(pmod(col("doc_id"), lit(3)) === 0,
+                concat(lit(" mail user"), id, lit("@ex"),
+                  pmod(col("doc_id"), lit(7)).cast("string"), lit(".org")))
+                .otherwise(lit("")),
+              when(pmod(col("doc_id"), lit(5)) === 0,
+                concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+                  lit("."), pmod(col("doc_id") * 13, lit(256)).cast("string"), lit(".9")))
+                .otherwise(lit("")),
+              when(pmod(col("doc_id"), lit(4)) === 0,
+                concat(lit(" call +1 555-"),
+                  lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199")))
+                .otherwise(lit(""))).as("text"))
+        TextAnalysis.withPiiRedacted(docs)
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            length(col("redacted")).cast("long").as("redacted_len"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 80)
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+             |         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+             |         || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || '.9' ELSE '' END
+             |    || CASE WHEN doc_id % 4 = 0 THEN ' call +1 555-'
+             |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+             |    AS text
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+             |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q71_domain_rollup",
+      "URL/domain extraction + per-domain doc/ref rollup (blocklist shape)",
+      (s, dir) => {
+        // deterministic URLs injected into the corpus text (every %6==0 doc
+        // repeats its domain so n_refs > n_docs exercises both counts); the
+        // product surface is extractDomains + the rollup — the domain-
+        // blocklist / per-domain-mixing shape: one scan, one aggregation.
+        val site = pmod(col("doc_id"), lit(10)).cast("string")
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(
+              substring(col("text"), 1, 60),
+              when(pmod(col("doc_id"), lit(2)) === 0,
+                concat(lit(" see https://www.site"), site, lit(".com/p/"),
+                  col("doc_id").cast("string"))).otherwise(lit("")),
+              when(pmod(col("doc_id"), lit(6)) === 0,
+                concat(lit(" and https://www.site"), site, lit(".com/q")))
+                .otherwise(lit("")),
+              when(pmod(col("doc_id"), lit(7)) === 0,
+                concat(lit(" ref http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+                  lit(".example.net/x"))).otherwise(lit(""))).as("text"))
+        TextAnalysis.extractDomains(docs)
+          .groupBy("domain")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_refs"))
+          .orderBy("domain")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 60)
+             |    || CASE WHEN doc_id % 2 = 0 THEN ' see https://www.site'
+             |         || CAST(doc_id % 10 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR)
+             |         ELSE '' END
+             |    || CASE WHEN doc_id % 6 = 0 THEN ' and https://www.site'
+             |         || CAST(doc_id % 10 AS VARCHAR) || '.com/q' ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' ref http://cdn'
+             |         || CAST(doc_id % 5 AS VARCHAR) || '.example.net/x' ELSE '' END
+             |    AS text
+             |  FROM documents
+             |), d AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+             |  FROM p
+             |)
+             |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_refs
+             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)))
 }

@@ -67,4 +67,41 @@ object TextAnalysis {
     * whitespace-normalized lowercase text. */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", substring(md5(lower(col(textCol))), 1, 16))
+
+  /** PII detection/redaction patterns. Deliberately restricted to syntax
+    * with identical semantics in Java regex (Spark codegen) and RE2
+    * (DuckDB oracle): character classes, bounded repetition, `\b`/`\d` —
+    * no backreferences or lookaround, and `\d` is ASCII in both engines.
+    * Redaction applies in this exact order so overlapping matches resolve
+    * identically everywhere. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>",
+    """\+\d{1,2} \d{3}-\d{3}-\d{4}""" -> "<PHONE>")
+
+  /** PII scrub: per-doc match counts for each pattern class plus the
+    * redacted text, all in codegen'd Catalyst string expressions (counts
+    * via `regexp_extract_all`, scrubbing via an ordered `regexp_replace`
+    * chain). A narrow map over the corpus — the 100 TB shape is one scan,
+    * no shuffle. */
+  def withPiiRedacted(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val Seq(email, ip, phone) = PiiPatterns.map(_._1)
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (pat, tag)) => regexp_replace(acc, lit(pat), lit(tag))
+    }
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(col(textCol), lit(ip), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(phone), lit(0))).cast("long"))
+      .withColumn("redacted", redacted)
+  }
+
+  /** URL extraction for domain-level curation (blocklists, per-domain
+    * mixing): explodes every `http(s)://host` reference into its bare
+    * domain. One scan + one aggregation by domain downstream; the regex is
+    * engine-portable like [[PiiPatterns]]. */
+  def extractDomains(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol),
+          lit("""https?://([A-Za-z0-9.-]+)"""), lit(1))).as("domain"))
 }

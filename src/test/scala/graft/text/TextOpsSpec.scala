@@ -202,6 +202,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps.toSet.size == 1)
   }
 
+  test("pii redaction: counts and the ordered replace chain match hand semantics") {
+    val samples = Seq(
+      (1L, "plain text with no pii at all"),
+      (2L, "reach me at a.b-c_d@mail.example.org or x@y.io today"),
+      (3L, "server 192.168.0.1 then 10.0.0.255 and not 1234.5.6.7"),
+      (4L, "call +1 555-867-5309 please"),
+      (5L, "mix bob@corp.net at 10.1.2.3 call +44 207-946-0958")).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiRedacted(samples).orderBy("doc_id")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 0L, 0L, 0L, "plain text with no pii at all")))
+    assert(out(1)._2 == 2L && !out(1)._5.contains("@"), "both emails redacted")
+    assert(out(1)._5 == "reach me at <EMAIL> or <EMAIL> today")
+    // \b guard: a 4-digit leading octet is not an IP (no digit boundary)
+    assert(out(2)._3 == 2L && out(2)._5.endsWith("and not 1234.5.6.7"))
+    assert(out(3)._4 == 1L && out(3)._5 == "call <PHONE> please")
+    assert((out(4)._2, out(4)._3, out(4)._4) == ((1L, 1L, 1L)))
+    assert(out(4)._5 == "mix <EMAIL> at <IP> call <PHONE>")
+  }
+
+  test("domain extraction explodes every url reference, repeats included") {
+    val s2 = Seq(
+      (1L, "go https://a.example.com/x and http://b.org/y then https://a.example.com/z"),
+      (2L, "no urls here at all")).toDF("doc_id", "text")
+    val doms = TextAnalysis.extractDomains(s2).as[(Long, String)].collect()
+    assert(doms.map(_._2).sorted.toSeq == Seq("a.example.com", "a.example.com", "b.org"))
+    assert(doms.forall(_._1 == 1L))
+  }
+
   test("cosine similarity: brute force and IVF agree on planted neighbors") {
     val rnd = new scala.util.Random(3)
     val dim = 16
