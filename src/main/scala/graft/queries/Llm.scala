@@ -1008,5 +1008,35 @@ object Llm {
              |)
              |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |  CAST(count(*) AS BIGINT) AS n_refs
-             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)))
+             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    QueryDef("q72_embedding_quantize",
+      "per-vector int8 min-max quantization (4x embedding compression)",
+      (s, dir) => {
+        // floor-based quantization has no half-way case, so the oracle's
+        // identical left-associated IEEE-double expression reproduces every
+        // quantized value bit-for-bit; q_md5 pins the full 64-value stream,
+        // not just the moments. One narrow pass, no shuffle.
+        Similarity.quantizeInt8(table(s, dir, "embeddings"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT vec_id, embedding,
+             |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT vec_id, len(embedding) AS n_dims,
+             |    CAST(floor((vmax - vmin) / 255.0 * 1e9) AS BIGINT) AS scale_e9,
+             |    list_transform(embedding,
+             |      v -> CASE WHEN vmax = vmin THEN 0
+             |           ELSE least(255, CAST(floor((CAST(v AS DOUBLE) - vmin) * 255.0
+             |                                       / (vmax - vmin)) AS BIGINT)) END) AS qv
+             |  FROM p
+             |)
+             |SELECT vec_id, CAST(n_dims AS INT) AS n_dims, scale_e9,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max,
+             |  md5(array_to_string(qv, ',')) AS q_md5
+             |FROM q ORDER BY vec_id""".stripMargin)))
 }

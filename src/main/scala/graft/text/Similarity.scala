@@ -254,4 +254,60 @@ object Similarity {
         round(cosineUdf(col("vec_a"), col("vec_b")), 4).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Per-vector int8 min-max quantization — the 4× embedding-storage
+    * compression a 100 TB vector corpus wants. One narrow pass, no shuffle.
+    *
+    * Deliberately floor-based (q = min(255, ⌊(v − min)·255/range⌋)), not
+    * round-based: floor has no half-way case, so as long as an oracle
+    * evaluates the SAME left-associated IEEE-double expression it
+    * reproduces every quantized value bit-for-bit — `round`'s half-up vs
+    * floor(x+0.5) semantics differ across engines at representability
+    * edges. min/max are computed in FLOAT (exact, order-independent) then
+    * widened, matching `list_min`/`list_max` on a FLOAT[] column.
+    *
+    * Output per vector: dims, scale ×1e9 floored to a long (again exact),
+    * the quantized sum/min/max, and the full quantized stream as csv for
+    * fingerprinting. Constant vectors (range 0) quantize to all-zeros. */
+  def quantizeInt8(embeddings: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val quantUdf = udf { (vec: Seq[Float]) =>
+      val arr = vec match {
+        case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq
+      }
+      if (arr.isEmpty) (0, 0L, 0L, 0, 0, "")
+      else {
+      var mnF = Float.MaxValue
+      var mxF = Float.MinValue
+      var i = 0
+      while (i < arr.length) {
+        val v = arr(i); if (v < mnF) mnF = v; if (v > mxF) mxF = v; i += 1
+      }
+      val vmin = mnF.toDouble
+      val range = mxF.toDouble - vmin
+      val scaleE9 = math.floor(range / 255.0 * 1e9).toLong
+      val sb = new java.lang.StringBuilder(arr.length * 4)
+      var qsum = 0L
+      var qmin = Int.MaxValue
+      var qmax = Int.MinValue
+      i = 0
+      while (i < arr.length) {
+        val q = if (range == 0) 0
+          else math.min(255L, math.floor((arr(i).toDouble - vmin) * 255.0 / range).toLong).toInt
+        qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        if (i > 0) sb.append(',')
+        sb.append(q)
+        i += 1
+      }
+      (arr.length, scaleE9, qsum, qmin, qmax, sb.toString)
+      }
+    }
+    embeddings
+      .withColumn("q", quantUdf(col(vecCol)))
+      .select(col(idCol), col("q._1").as("n_dims"), col("q._2").as("scale_e9"),
+        col("q._3").as("q_sum"), col("q._4").as("q_min"), col("q._5").as("q_max"),
+        md5(col("q._6")).as("q_md5"))
+  }
 }

@@ -231,6 +231,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(doms.forall(_._1 == 1L))
   }
 
+  test("int8 quantization: exact endpoints, constant vectors, error bound") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 2.0f, 4.0f)),      // min->0, max capped to 255
+      (2L, Array(3.5f, 3.5f, 3.5f)),            // constant -> all zeros, scale 0
+      (3L, Array(-2.0f, 0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).orderBy("vec_id")
+      .select("vec_id", "n_dims", "scale_e9", "q_sum", "q_min", "q_max")
+      .as[(Long, Int, Long, Long, Int, Int)].collect()
+    // v=(0,1,2,4): range 4, q = floor(v*255/4) = (0, 63, 127, 255 capped)
+    assert(out(0) == ((1L, 4, (4.0 / 255.0 * 1e9).toLong, 0L + 63 + 127 + 255, 0, 255)))
+    assert(out(1) == ((2L, 3, 0L, 0L, 0, 0)))
+    assert(out(2)._5 == 0 && out(2)._6 == 255) // endpoints always hit 0 and 255
+    // dequantization error bound: |v - (q*scale + min)| <= scale for every dim
+    val v = Array(-1.75f, 0.33f, 0.9f, 2.125f, -0.5f)
+    val mn = v.min.toDouble
+    val range = v.max.toDouble - mn
+    val scale = range / 255.0
+    for (x <- v) {
+      val q = math.min(255L, math.floor((x.toDouble - mn) * 255.0 / range).toLong)
+      assert(math.abs(x.toDouble - (q * scale + mn)) <= scale + 1e-12)
+    }
+  }
+
   test("cosine similarity: brute force and IVF agree on planted neighbors") {
     val rnd = new scala.util.Random(3)
     val dim = 16
