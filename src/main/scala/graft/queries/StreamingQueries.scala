@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.DspOperators
 import graft.streaming.StreamingOps
+import graft.text.TextAnalysis
 
 /** Driver-visible Structured Streaming surface (SURVEY.md ST3): q36 runs a
   * REAL streaming query — file-source readStream -> event-time windowed
@@ -327,6 +328,84 @@ GROUP BY 1 ORDER BY channel"""
       |  min(doc_id) AS keeper
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  /** Streaming PII scrub: q70's detect-and-redact pipeline applied verbatim
+    * to a file STREAM — the curation ops are stateless codegen'd Catalyst
+    * expressions, so they drop into Structured Streaming with zero changes
+    * (append mode, no watermark, no state store). Per-doc redacted rows go
+    * through the parquet file sink (the unbounded-output shape, not the
+    * driver-bounded memory sink); the driver-visible result is a per-source
+    * rollup whose checksum pins every redacted byte stream. */
+  private def q73Build(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("stream_docs")
+    StreamingOps.deleteOnExit(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val scrubbed = StreamingOps.runToParquet(s, stage.toString,
+      s"q73_sink_${sinkId.incrementAndGet()}",
+      df => {
+        val id = col("doc_id").cast("string")
+        val withPii = df.select(col("doc_id"), col("source"),
+          concat(
+            substring(col("text"), 1, 80),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" mail user"), id, lit("@ex"),
+                pmod(col("doc_id"), lit(7)).cast("string"), lit(".org")))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+                lit("."), pmod(col("doc_id") * 13, lit(256)).cast("string"), lit(".9")))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(lit(" call +1 555-"),
+                lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199")))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.withPiiRedacted(withPii)
+          .select(col("doc_id"), col("source"), col("n_emails"), col("n_ips"),
+            col("n_phones"), col("redacted"))
+      })
+    scrubbed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_emails").as("n_emails"), sum("n_ips").as("n_ips"),
+        sum("n_phones").as("n_phones"),
+        sum(conv(substring(md5(col("redacted")), 1, 8), 16, 10).cast("long"))
+          .as("redacted_checksum"))
+      .orderBy("source")
+  }
+
+  private def q73Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    substr(text, 1, 80)
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+      |         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |         || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || '.9' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' call +1 555-'
+      |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+      |    AS text
+      |  FROM documents
+      |), r AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+      |    len(regexp_extract_all(text,
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+      |    len(regexp_extract_all(text,
+      |      '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS ph,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+      |  FROM p
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(i) AS BIGINT) AS n_ips,
+      |  CAST(sum(ph) AS BIGINT) AS n_phones,
+      |  CAST(sum(('0x' || substr(md5(redacted), 1, 8))::UBIGINT) AS BIGINT)
+      |    AS redacted_checksum
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -347,5 +426,9 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q64_streaming_dedup",
       "streaming exact-dedup: per-content-hash running (count, keeper) " +
         "state via mapGroupsWithState == batch dedup aggregate",
-      q64Build, Some(q64Oracle)))
+      q64Build, Some(q64Oracle)),
+    QueryDef("q73_streaming_pii_scrub",
+      "streaming PII scrub: the q70 stateless redaction chain on a file " +
+        "stream -> parquet sink; per-source rollup checksums every byte",
+      q73Build, Some(q73Oracle)))
 }

@@ -321,4 +321,26 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       .map(u => u.content_hash -> ((u.n_copies, u.keeper))).toMap
     assert(out === Map("h1" -> ((3L, 3L)), "h2" -> ((1L, 5L))))
   }
+
+  test("streaming: stateless pii scrub through the parquet sink == batch") {
+    import graft.text.TextAnalysis
+    val stage = java.nio.file.Files.createTempDirectory("pii_docs")
+    StreamingOps.deleteOnExit(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.withPiiRedacted(
+        df.select($"doc_id",
+          concat($"text", lit(" mail a@b.io at 10.0.0."),
+            pmod($"doc_id", lit(256)).cast("string")).as("text")))
+        .select($"doc_id", $"n_emails", $"n_ips", $"redacted")
+    val streamed = StreamingOps.runToParquet(spark, stage.toString,
+      "pii_scrub_spec", scrub)
+    val batch = scrub(spark.read.parquet(stage.toString))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming scrub must equal the batch scrub row-for-row")
+    assert(streamed.filter($"n_emails" =!= 1 || $"n_ips" =!= 1).isEmpty)
+  }
 }
