@@ -1038,5 +1038,62 @@ object Llm {
              |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
              |  CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max,
              |  md5(array_to_string(qv, ',')) AS q_md5
-             |FROM q ORDER BY vec_id""".stripMargin)))
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("q74_domain_quality",
+      "per-domain quality rollup: domains + quality composed in ONE scan",
+      (s, dir) => {
+        // the "is this domain worth crawling" shape: doc quality (computed on
+        // the original text) and the doc's domain references (from injected
+        // deterministic URLs) come out of a single scan — no self-join. The
+        // (domain, doc) distinct collapses repeated refs before the rollup;
+        // the mean is the q67 order-independent integer-sum idiom.
+        val docs = table(s, dir, "documents").withColumn("url_text",
+          concat(
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit(" see https://www.site"), pmod(col("doc_id"), lit(10)).cast("string"),
+                lit(".com/p/"), col("doc_id").cast("string"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6)) === 0,
+              concat(lit(" and https://www.site"), pmod(col("doc_id"), lit(10)).cast("string"),
+                lit(".com/q"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(lit(" ref http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+                lit(".example.net/x"))).otherwise(lit(""))))
+        TextAnalysis.withQuality(docs)
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+            explode(regexp_extract_all(col("url_text"),
+              lit("""https?://([A-Za-z0-9.-]+)"""), lit(1))).as("domain"))
+          .distinct()
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            round(sum(round(col("quality_score") * 10000).cast("long")).cast("double")
+              / (count(lit(1)) * 10000.0), 6).as("avg_quality"))
+          .orderBy("domain")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN ' see https://www.site'
+             |      || CAST(doc_id % 10 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR)
+             |      ELSE '' END
+             |    || CASE WHEN doc_id % 6 = 0 THEN ' and https://www.site'
+             |      || CAST(doc_id % 10 AS VARCHAR) || '.com/q' ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' ref http://cdn'
+             |      || CAST(doc_id % 5 AS VARCHAR) || '.example.net/x' ELSE '' END
+             |    AS url_text,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 64)
+             |      * round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |              / len(string_split(text, ' ')), 4), 4) AS quality_score
+             |  FROM documents
+             |), d0 AS (
+             |  SELECT doc_id, n_tokens, quality_score,
+             |    unnest(regexp_extract_all(url_text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+             |  FROM u
+             |), d AS (SELECT DISTINCT * FROM d0)
+             |SELECT domain, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+             |    / (count(*) * 10000.0), 6) AS avg_quality
+             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)))
 }
