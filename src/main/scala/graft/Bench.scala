@@ -27,7 +27,8 @@ object Bench {
     "q66_minhash_decontamination", "q67_curation_report",
     "q68_audio_stats", "q69_frame_fingerprints",
     "q70_pii_redaction", "q71_domain_rollup", "q72_embedding_quantize",
-    "q73_streaming_pii_scrub", "q74_domain_quality")
+    "q73_streaming_pii_scrub", "q74_domain_quality",
+    "q75_cluster_quality_keeper")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1095,5 +1095,55 @@ object Llm {
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              |  round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
              |    / (count(*) * 10000.0), 6) AS avg_quality
-             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)))
+             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    QueryDef("q75_cluster_quality_keeper",
+      "quality-arbitrated dedup: per near-dup cluster keep the BEST doc",
+      (s, dir) => {
+        // q53's connected components + q48's quality score, arbitrated:
+        // min-id keepers throw away the best copy when near-dups differ
+        // (truncation, boilerplate variants). Ties (identical texts, equal
+        // quality) fall back to doc_id ascending, so exact-dup clusters
+        // still resolve to the min id.
+        val docs = table(s, dir, "documents")
+        val pairs = TextOps.minhashCandidates(TextOps.minhashSignatures(docs), threshold = 0.2)
+        val clusters = TextOps.dupClusters(docs, pairs)
+        val quality = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality_score"))
+        TextOps.qualityKeeper(clusters, quality)
+          .select("doc_id", "cluster", "quality_score", "keeper", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $MinhashCtes, pairs AS (
+              |$MinhashPairsSelect
+              |), edgesym AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+              |), nodes AS (SELECT DISTINCT src AS node FROM edgesym),
+              |cc(node, label) AS (
+              |  SELECT node, node AS label FROM nodes
+              |  UNION
+              |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
+              |), comp AS (
+              |  SELECT node, min(label) AS component FROM cc GROUP BY node
+              |), clus AS (
+              |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+              |), qual AS (
+              |  SELECT doc_id,
+              |    round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 64)
+              |      * round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |              / len(string_split(text, ' ')), 4), 4) AS quality_score
+              |  FROM documents
+              |), j AS (
+              |  SELECT c.doc_id, c.cluster, q.quality_score
+              |  FROM clus c JOIN qual q USING (doc_id)
+              |)
+              |SELECT doc_id, cluster, quality_score,
+              |  first_value(doc_id) OVER
+              |    (PARTITION BY cluster ORDER BY quality_score DESC, doc_id) AS keeper,
+              |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER
+              |    (PARTITION BY cluster ORDER BY quality_score DESC, doc_id)
+              |    THEN 1 ELSE 0 END AS INT) AS kept
+              |FROM j ORDER BY doc_id""".stripMargin)))
 }

@@ -255,6 +255,21 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
   }
 
+  /** Quality-arbitrated dedup keeper: per near-dup cluster keep the
+    * HIGHEST-quality doc (doc_id ascending on ties), not the min-id one —
+    * when near-dups differ (truncation, boilerplate variants), min-id
+    * throws away the best copy. `clusters` is [[dupClusters]] output;
+    * `quality` carries (doc_id, quality_score). One cluster-keyed shuffle;
+    * groups are near-dup clusters, bounded in practice by the upstream
+    * LSH bucket caps. */
+  def qualityKeeper(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("keeper", first(col("doc_id")).over(w))
+      .withColumn("kept", (col("doc_id") === col("keeper")).cast("int"))
+  }
+
   // --- SimHash near-dedup --------------------------------------------------
 
   /** SimHash over words (60 effective bits from hash60): per-bit majority

@@ -231,6 +231,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(doms.forall(_._1 == 1L))
   }
 
+  test("quality keeper: best doc wins the cluster, ties fall to min id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // one 3-doc cluster
+      (4L, 4L), (5L, 4L),             // a 2-doc cluster with a quality tie
+      (6L, 6L)                        // singleton
+    ).toDF("doc_id", "cluster")
+    val quality = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (4L, 0.7), (5L, 0.7),
+      (6L, 0.1)).toDF("doc_id", "quality_score")
+    val out = TextOps.qualityKeeper(clusters, quality).orderBy("doc_id")
+      .select("doc_id", "keeper", "kept").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0), (2L, 2L, 1), (3L, 2L, 0),  // doc 2 (q=0.9) beats min-id 1
+      (4L, 4L, 1), (5L, 4L, 0),               // tie -> min id keeps
+      (6L, 6L, 1)))
+  }
+
   test("int8 quantization: exact endpoints, constant vectors, error bound") {
     val vecs = Seq(
       (1L, Array(0.0f, 1.0f, 2.0f, 4.0f)),      // min->0, max capped to 255
