@@ -19,8 +19,8 @@ object Bench {
     "q35_wavelet_phase", "q36_streaming_windowed_wavelet",
     "q40_dedup_exact", "q42_minhash_lsh", "q43_simhash",
     "q44_embedding_stats", "q45_cosine_topk", "q46_token_count", "q47_language_id",
-    "q48_quality_score", "q49_fingerprint",
-    "q51_cosine_lsh_pairs", "q52_ivf_topk",
+    "q48_quality_score", "q49_fingerprint", "q50_multimodal_features",
+    "q51_cosine_lsh_pairs", "q52_ivf_topk", "q53_dup_clusters",
     "q57_decontamination", "q58_repetition_metrics", "q59_mixture_sample",
     "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline",
     "q63_stratified_sample", "q64_streaming_dedup", "q65_substring_dedup",

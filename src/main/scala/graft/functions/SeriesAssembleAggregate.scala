@@ -609,7 +609,12 @@ case class AssembleFragments(off: Expression, vals: Expression,
       if (ok) out = placed
     }
     if (out == null) {
-      // gappy/overlapping runs: cold path, sort runs by (offset, insertion)
+      // gappy/overlapping runs: cold path, sort runs by (offset, insertion).
+      // CONTRACT: overlap input (duplicate t_idx upstream) is malformed; the
+      // fallback orders at RUN granularity only — whole runs concatenate in
+      // (offset, arrival) order, samples are not re-sorted individually (a
+      // per-sample sort would legitimize duplicate slots a dense series
+      // cannot have). Gap-only input still assembles in exact t order.
       if (total > Int.MaxValue) throw new IllegalArgumentException(
         s"assemble_fragments group holds $total samples; arrays cap at ${Int.MaxValue}")
       val order = Array.range(0, n).sortBy(i => (buf.idx(i), i))

@@ -254,7 +254,10 @@ object Multimodal {
     * hash-match them bit-for-bit (no float summation-order hazard):
     * frame count, peak = max |s|, energy = sum of s^2 (fits a long:
     * n * 32768^2), and strict sign-change zero crossings
-    * (s(t-1) * s(t) < 0). Narrow per-row map; payload pruned after decode;
+    * (s(t-1) * s(t) < 0), counted PER CHANNEL over the interleaved stream
+    * (stride = channels) and summed — a flip between the last sample of one
+    * channel and the first of the next is not a crossing. Identical to the
+    * flat count for mono. Narrow per-row map; payload pruned after decode;
     * all null where no reader accepts the payload. */
   def audioStats(media: DataFrame): DataFrame = {
     val f = udf { (payload: Array[Byte]) =>
@@ -262,12 +265,13 @@ object Multimodal {
         var peak = 0
         var sumSq = 0L
         var zc = 0L
+        val nCh = math.max(a.channels, 1)
         var i = 0
         while (i < a.samples.length) {
           val v = a.samples(i)
           if (math.abs(v) > peak) peak = math.abs(v)
           sumSq += v.toLong * v
-          if (i > 0 && a.samples(i - 1).toLong * v < 0) zc += 1
+          if (i >= nCh && a.samples(i - nCh).toLong * v < 0) zc += 1
           i += 1
         }
         (a.sampleRate, a.channels, a.samples.length.toLong / a.channels, peak, sumSq, zc)

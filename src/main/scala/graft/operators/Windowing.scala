@@ -119,6 +119,12 @@ object Windowing {
                                    context: Int): org.apache.spark.sql.Dataset[Frag] = {
     val spark = long.sparkSession
     import spark.implicits._
+    // CONTRACT: this cast canonicalizes the LongFrame metadata column types —
+    // channel/band int, rate/startingTime double — so the emitted SegmentFrame
+    // always carries these types regardless of how the input parquet was
+    // written (e.g. a long channel column). Callers needing the original
+    // numeric types must re-cast on output; every graft source already
+    // produces the canonical types.
     val typed = long.select(
         col("series").cast("string"), col("channel").cast("int"),
         col("band").cast("int"), col("rate").cast("double"),

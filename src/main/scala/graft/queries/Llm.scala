@@ -17,6 +17,11 @@ import graft.multimodal.Multimodal
   */
 object Llm {
 
+  /** Embedding dimensionality of the driver-generated `embeddings` table
+    * (all SFs). Passed explicitly to LSH operators so no query fires a
+    * probe job at plan-construction time. */
+  private val EmbeddingDim = 64
+
   /** The q42 MinHash pipeline as DuckDB CTEs (words -> shingle hashes ->
     * xor-multiply signatures -> banded buckets -> skew-capped candidates),
     * shared by q42 and the q53 cluster-resolution oracle. */
@@ -385,7 +390,7 @@ object Llm {
 
     QueryDef("q51_cosine_lsh_pairs", "random-hyperplane LSH near-neighbor pairs",
       (s, dir) => Similarity.cosineLshPairs(table(s, dir, "embeddings"),
-          planes = 10, minSim = 0.0)
+          planes = 10, minSim = 0.0, dim = EmbeddingDim)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(200),
       // plane(p,i) = md5("7:p:i") hex 1-12 as unsigned - 2^47 (exact integer
@@ -401,7 +406,8 @@ object Llm {
         "connected-component clusters with a keeper per cluster",
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
-        val pairs = Similarity.cosineLshPairs(emb, planes = 10, minSim = 0.25)
+        val pairs = Similarity.cosineLshPairs(emb, planes = 10, minSim = 0.25,
+          dim = EmbeddingDim)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         TextOps.dupClusters(emb, pairs, idCol = "vec_id")
           .select(col("doc_id").as("vec_id"), col("cluster"),
@@ -984,9 +990,14 @@ object Llm {
               when(pmod(col("doc_id"), lit(7)) === 0,
                 concat(lit(" ref http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
                   lit(".example.net/x"))).otherwise(lit(""))).as("text"))
+        // family idiom (q74 / vocabulary()): no countDistinct expand — a
+        // two-level aggregation partial-aggregates (domain, doc_id) map-side
+        // (rows shrink before the only shuffle), then rolls up per domain
         TextAnalysis.extractDomains(docs)
+          .groupBy("domain", "doc_id")
+          .agg(count(lit(1)).as("refs"))
           .groupBy("domain")
-          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_refs"))
+          .agg(count(lit(1)).as("n_docs"), sum("refs").as("n_refs"))
           .orderBy("domain")
       },
       Some("""WITH p AS (
@@ -1005,10 +1016,12 @@ object Llm {
              |  SELECT doc_id,
              |    unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
              |  FROM p
+             |), r AS (
+             |  SELECT domain, doc_id, count(*) AS refs FROM d GROUP BY domain, doc_id
              |)
-             |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  CAST(count(*) AS BIGINT) AS n_refs
-             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)),
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(refs) AS BIGINT) AS n_refs
+             |FROM r GROUP BY domain ORDER BY domain""".stripMargin)),
 
     QueryDef("q72_embedding_quantize",
       "per-vector int8 min-max quantization (4x embedding compression)",
@@ -1024,7 +1037,7 @@ object Llm {
              |  SELECT vec_id, embedding,
              |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
              |    CAST(list_max(embedding) AS DOUBLE) AS vmax
-             |  FROM embeddings
+             |  FROM embeddings WHERE len(embedding) > 0
              |), q AS (
              |  SELECT vec_id, len(embedding) AS n_dims,
              |    CAST(floor((vmax - vmin) / 255.0 * 1e9) AS BIGINT) AS scale_e9,

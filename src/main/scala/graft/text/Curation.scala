@@ -46,7 +46,10 @@ object Curation {
   def decontaminationReport(train: DataFrame, eval: DataFrame, n: Int,
                             textCol: String = "text",
                             idCol: String = "doc_id"): DataFrame = {
-    val shingles = udf((t: String) => TextOps.shingleArray(t, n))
+    // null-tolerant like repetitionCountsUdf: a null text doc in either
+    // corpus contributes no shingles instead of NPE-ing the whole job
+    val shingles = udf((t: String) =>
+      if (t == null) Array.empty[String] else TextOps.shingleArray(t, n))
     val trainG = train.select(col(idCol), explode(shingles(col(textCol))).as("_shingle"))
     val evalG = eval.select(explode(shingles(col(textCol))).as("_shingle"))
       .distinct()

@@ -268,7 +268,10 @@ object Similarity {
     *
     * Output per vector: dims, scale ×1e9 floored to a long (again exact),
     * the quantized sum/min/max, and the full quantized stream as csv for
-    * fingerprinting. Constant vectors (range 0) quantize to all-zeros. */
+    * fingerprinting. Constant vectors (range 0) quantize to all-zeros.
+    * Empty/null vectors are FILTERED (a SQL oracle's list_sum/list_min over
+    * an empty list yields NULL, not a zero row — filtering on both sides is
+    * the only bit-stable contract). */
   def quantizeInt8(embeddings: DataFrame,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val quantUdf = udf { (vec: Seq[Float]) =>
@@ -305,6 +308,7 @@ object Similarity {
       }
     }
     embeddings
+      .filter(size(col(vecCol)) > 0) // null vec ⇒ size null ⇒ filtered too
       .withColumn("q", quantUdf(col(vecCol)))
       .select(col(idCol), col("q._1").as("n_dims"), col("q._2").as("scale_e9"),
         col("q._3").as("q_sum"), col("q._4").as("q_min"), col("q._5").as("q_max"),
