@@ -28,7 +28,7 @@ object Bench {
     "q68_audio_stats", "q69_frame_fingerprints",
     "q70_pii_redaction", "q71_domain_rollup", "q72_embedding_quantize",
     "q73_streaming_pii_scrub", "q74_domain_quality",
-    "q75_cluster_quality_keeper")
+    "q75_cluster_quality_keeper", "q76_bpe_tokenize", "q77_bpe_sequence_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

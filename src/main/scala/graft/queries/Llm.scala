@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef.table
-import graft.text.{TextOps, TextAnalysis, Similarity, Curation}
+import graft.text.{TextOps, TextAnalysis, Similarity, Curation, Bpe}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -21,6 +21,55 @@ object Llm {
     * (all SFs). Passed explicitly to LSH operators so no query fires a
     * probe job at plan-construction time. */
   private val EmbeddingDim = 64
+
+  /** The BPE merge-rank lookup as a generated SQL CASE over adjacent tokens
+    * of list `toks` — one WHEN per entry of `Bpe.Merges`, in rank order, so
+    * the oracle's priority function is BY CONSTRUCTION the product's. */
+  private def bpeRankCase: String =
+    Bpe.Merges.zipWithIndex.map { case ((l, r), k) =>
+      s"WHEN toks[i] = '$l' AND toks[i+1] = '$r' THEN $k"
+    }.mkString("CASE ", " ", " END")
+
+  /** q76/q77 shared CTE block (use under WITH RECURSIVE): words with in-doc
+    * index, DISTINCT words, the recursive one-merge-per-step BPE replay
+    * (merge the leftmost occurrence of the lowest-rank adjacent pair until
+    * none applies — exactly `Bpe.encodeWord`'s loop), terminal token lists,
+    * and the per-doc rollup (count + md5 of the full token stream). */
+  private val BpeCtes: String = {
+    val rk = bpeRankCase
+    s"""wsplit AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), words AS (
+       |  SELECT doc_id, unnest(w) AS word,
+       |         unnest(generate_series(1, len(w))) AS wi
+       |  FROM wsplit
+       |), dw AS (SELECT DISTINCT word FROM words),
+       |bpe AS (
+       |  SELECT word,
+       |    list_transform(generate_series(1, length(word)), i -> word[i]) AS toks
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT word,
+       |    toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:len(toks)]
+       |  FROM (
+       |    SELECT word, toks,
+       |      CASE WHEN len(list_filter(rks, x -> x IS NOT NULL)) = 0 THEN NULL
+       |           ELSE list_position(rks,
+       |                  list_min(list_filter(rks, x -> x IS NOT NULL))) END AS bi
+       |    FROM (SELECT word, toks,
+       |      list_transform(generate_series(1, len(toks) - 1), i -> $rk) AS rks
+       |      FROM bpe)
+       |  ) WHERE bi IS NOT NULL
+       |), fin AS (
+       |  SELECT word, toks FROM bpe
+       |  WHERE len(list_filter(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> $rk), x -> x IS NOT NULL)) = 0
+       |), doctok AS (
+       |  SELECT w.doc_id, sum(len(f.toks)) AS n_bpe_tokens,
+       |    md5(string_agg(array_to_string(f.toks, ' '), ' | ' ORDER BY w.wi)) AS bpe_md5
+       |  FROM words w JOIN fin f USING (word) GROUP BY w.doc_id
+       |)""".stripMargin
+  }
 
   /** The q42 MinHash pipeline as DuckDB CTEs (words -> shingle hashes ->
     * xor-multiply signatures -> banded buckets -> skew-capped candidates),
@@ -1158,5 +1207,48 @@ object Llm {
               |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER
               |    (PARTITION BY cluster ORDER BY quality_score DESC, doc_id)
               |    THEN 1 ELSE 0 END AS INT) AS kept
-              |FROM j ORDER BY doc_id""".stripMargin)))
+              |FROM j ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q76_bpe_tokenize",
+      "tokenizer-aware token counting: deterministic fixed-merge-table BPE",
+      (s, dir) => {
+        // one narrow pass, no shuffle; bpe_md5 pins the FULL tokenization
+        // (tokens + word boundaries), not just the count — the oracle
+        // replays every merge step in a recursive CTE over DISTINCT words
+        val tok = Bpe.tokenizeUdf
+        table(s, dir, "documents")
+          .withColumn("b", tok(col("text")))
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            col("b._1").as("n_bpe_tokens"),
+            md5(col("b._2")).as("bpe_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $BpeCtes
+              |SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_words,
+              |  CAST(d.n_bpe_tokens AS BIGINT) AS n_bpe_tokens, d.bpe_md5
+              |FROM wsplit ws JOIN doctok d USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q77_bpe_sequence_pack",
+      "sequence packing under a BPE token budget (tokenizer-aware q60)",
+      // real pipelines budget sequences in tokenizer tokens, not whitespace
+      // words; same two-level distributed prefix sum as q60, cost column
+      // swapped for the BPE count
+      (s, dir) => Curation.packSequencesBy(table(s, dir, "documents"),
+          Bpe.tokenCount(col("text")), seqTokens = 4096, shardSize = 64,
+          idCol = "doc_id", streamCol = "source")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $BpeCtes, t AS (
+              |  SELECT d.doc_id, d.source, CAST(k.n_bpe_tokens AS BIGINT) AS n_tokens
+              |  FROM documents d JOIN doctok k USING (doc_id)
+              |), c AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+              |  FROM t
+              |)
+              |SELECT doc_id, source, n_tokens,
+              |  CAST(cum - n_tokens AS BIGINT) AS begin_offset,
+              |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS seq_id,
+              |  CAST((cum - 1) // 4096 > (cum - n_tokens) // 4096 AS INT) AS straddles
+              |FROM c ORDER BY doc_id""".stripMargin)))
 }

@@ -207,10 +207,20 @@ object Curation {
   def packSequences(docs: DataFrame, seqTokens: Long = 2048,
                     shardSize: Long = 1L << 16,
                     textCol: String = "text", idCol: String = "doc_id",
-                    streamCol: String = "source"): DataFrame = {
+                    streamCol: String = "source"): DataFrame =
+    packSequencesBy(docs, size(split(col(textCol), " ")).cast("long"),
+      seqTokens, shardSize, idCol, streamCol)
+
+  /** packSequences with a caller-supplied token-count expression — the
+    * tokenizer-aware variant (BPE budgets via `Bpe.tokenCount`, or any
+    * other per-doc cost column). Same two-level prefix-sum plan; no
+    * default args here (Scala allows defaults on one overload only). */
+  def packSequencesBy(docs: DataFrame, tokens: Column, seqTokens: Long,
+                      shardSize: Long, idCol: String,
+                      streamCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col(idCol), col(streamCol),
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      tokens.as("n_tokens"),
       expr(s"$idCol div $shardSize").as("_shard"))
     val perShard = t.groupBy(col(streamCol), col("_shard"))
       .agg(sum("n_tokens").as("_shard_tokens"))
