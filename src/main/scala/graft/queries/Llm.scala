@@ -73,8 +73,9 @@ object Llm {
 
   /** The q42 MinHash pipeline as DuckDB CTEs (words -> shingle hashes ->
     * xor-multiply signatures -> banded buckets -> skew-capped candidates),
-    * shared by q42 and the q53 cluster-resolution oracle. */
-  private val MinhashCtes: String =
+    * shared by q42, the q53 cluster-resolution oracle, and the q78
+    * streaming-near-dup oracle in StreamingQueries. */
+  private[queries] val MinhashCtes: String =
     """words AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), sh AS (

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.DspOperators
 import graft.streaming.StreamingOps
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, TextOps}
 
 /** Driver-visible Structured Streaming surface (SURVEY.md ST3): q36 runs a
   * REAL streaming query — file-source readStream -> event-time windowed
@@ -406,6 +406,71 @@ GROUP BY 1 ORDER BY channel"""
       |    AS redacted_checksum
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** q78: streaming MinHash near-dup — band buckets as running
+    * (count, min-id) state; post-stream batch composition flags each doc
+    * against the FINAL bucket table (the q37 "rollup over the sink" idiom:
+    * the stream keeps exactly one stateful operator). A doc is a candidate
+    * near-dup iff any of its 8 band buckets holds >= 2 docs; its `dup_ref`
+    * is the smallest doc id across those shared buckets (self when none).
+    * Unlike pair generation this needs NO skew cap: per-doc flags come from
+    * a constant-size bucket state, so a 10k-doc boilerplate bucket costs
+    * one state row, not 10k^2 pairs. */
+  private def q78Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("stream_docs")
+    StreamingOps.deleteOnExit(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    import s.implicits._
+    val updates = StreamingOps.runToMemory(s, stage.toString,
+      s"q78_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.runningBandBuckets(
+        TextOps.bandBuckets(TextOps.minhashSignatures(df))
+          .as[StreamingOps.BandBucketEvent]).toDF(),
+      outputMode = OutputMode.Update)
+    // last update per bucket == final state == batch aggregate (count/min
+    // are commutative, so this holds for ANY micro-batch slicing)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "bucket").orderBy(col("n_docs").desc)
+    val finalBuckets = updates
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("band_idx"), col("bucket"), col("n_docs"), col("min_doc"))
+    // batch composition over the final state: recompute each doc's buckets
+    // (stateless, deterministic) and flag collisions
+    val docBuckets = TextOps.bandBuckets(TextOps.minhashSignatures(
+      s.read.parquet(s"$dir/documents.parquet")))
+    docBuckets.join(finalBuckets, Seq("band_idx", "bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_colliding_bands"),
+        min(when(col("n_docs") >= 2, col("min_doc"))).as("_ref"))
+      .select(col("doc_id"),
+        col("n_colliding_bands").cast("long").as("n_colliding_bands"),
+        when(col("n_colliding_bands") > 0, 1).otherwise(0).cast("int")
+          .as("is_candidate_dup"),
+        coalesce(col("_ref"), col("doc_id")).cast("long").as("dup_ref"))
+      .orderBy("doc_id")
+  }
+
+  private def q78Oracle: String =
+    s"""WITH ${Llm.MinhashCtes}, bstat AS (
+       |  SELECT band_idx, bucket, count(*) AS n_docs, min(doc_id) AS min_doc
+       |  FROM bucket GROUP BY 1, 2
+       |), perdoc AS (
+       |  SELECT b.doc_id,
+       |    sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS n_colliding_bands,
+       |    min(CASE WHEN s.n_docs >= 2 THEN s.min_doc END) AS ref0
+       |  FROM bucket b JOIN bstat s USING (band_idx, bucket)
+       |  GROUP BY b.doc_id
+       |)
+       |SELECT doc_id, CAST(n_colliding_bands AS BIGINT) AS n_colliding_bands,
+       |  CAST(CASE WHEN n_colliding_bands > 0 THEN 1 ELSE 0 END AS INT)
+       |    AS is_candidate_dup,
+       |  CAST(COALESCE(ref0, doc_id) AS BIGINT) AS dup_ref
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -430,5 +495,10 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q73_streaming_pii_scrub",
       "streaming PII scrub: the q70 stateless redaction chain on a file " +
         "stream -> parquet sink; per-source rollup checksums every byte",
-      q73Build, Some(q73Oracle)))
+      q73Build, Some(q73Oracle)),
+    QueryDef("q78_streaming_minhash_dedup",
+      "streaming MinHash near-dup: LSH band buckets as running " +
+        "(count, min-id) state == batch bucket aggregate; per-doc " +
+        "collision flags from the final state",
+      q78Build, Some(q78Oracle)))
 }

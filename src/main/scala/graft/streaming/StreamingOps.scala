@@ -74,6 +74,32 @@ object StreamingOps {
       }
   }
 
+  final case class BandBucketEvent(band_idx: Int, bucket: String, doc_id: Long)
+  final case class BucketState(n_docs: Long, min_doc: Long)
+  final case class BucketUpdate(band_idx: Int, bucket: String, n_docs: Long, min_doc: Long)
+
+  /** Streaming MinHash near-dup state: per LSH (band, bucket), a running
+    * member count and min-id representative via mapGroupsWithState — the
+    * stateful twin of `TextOps.minhashCandidates`' bucket aggregation,
+    * deduplicating a stream against every document EVER seen without
+    * re-scanning the corpus. count/min are commutative-associative, so each
+    * bucket's LAST emitted update equals the batch aggregate for any
+    * micro-batch slicing. State is ~28 bytes per distinct (band, bucket) —
+    * bounded by corpus band-bucket cardinality, sharded by state-store
+    * partitions; a hot bucket (boilerplate cluster) costs the SAME state as
+    * a cold one because only (count, min) is kept, never member lists. */
+  def runningBandBuckets(events: Dataset[BandBucketEvent]): Dataset[BucketUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.band_idx, e.bucket))
+      .mapGroupsWithState[BucketState, BucketUpdate](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(0L, Long.MaxValue))
+          for (r <- rows) s = BucketState(s.n_docs + 1, math.min(s.min_doc, r.doc_id))
+          state.update(s)
+          BucketUpdate(key._1, key._2, s.n_docs, s.min_doc)
+      }
+  }
+
   /** Duration string ("10 seconds", "1 minute") -> microseconds. */
   private[streaming] def durMicros(s: String): Long = {
     val parts = s.trim.split("\\s+")

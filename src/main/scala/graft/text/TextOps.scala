@@ -146,6 +146,27 @@ object TextOps {
     * in one hot task; such floods are exact-dedup's job (q40), so oversized
     * buckets are dropped, trading bounded recall loss for a bounded worst
     * task. */
+  /** Stateless (doc_id, band_idx, bucket) band-bucket rows from signatures —
+    * the LSH bucketing stage ALONE, without pair generation: shared by the
+    * streaming running-bucket state (q78), where per-doc collision flags
+    * need bucket membership but never pairs (so no skew cap is needed —
+    * state per bucket is a constant-size (count, min) regardless of how hot
+    * the bucket is). */
+  def bandBuckets(signatures: DataFrame, numHashes: Int = 32,
+                  bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+        (b, md5Hex(s"$b:${slice.mkString(",")}"))
+      }
+    }
+    signatures
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(bandUdf(col("signature"))).as("band"))
+      .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
+  }
+
   def minhashCandidates(signatures: DataFrame, numHashes: Int = 32,
                         bands: Int = 8, threshold: Double = 0.2,
                         maxBucketSize: Int = 64): DataFrame = {

@@ -25,6 +25,25 @@ object ScaleSoak {
     val shuffleWrite = new LongAdder
     val shuffleRead = new LongAdder
     val spill = new LongAdder
+    // per-(phase, stage) task-duration distributions: the skew-vs-host-noise
+    // discriminator a single global max can't provide. Stats keyed by BOTH
+    // the driver-labelled phase and the Spark stageId — a phase mixes map
+    // and reduce stages whose task costs legitimately differ by orders of
+    // magnitude, so only WITHIN-stage max/median measures skew. The driver
+    // labels the phase before each action; listener delivery is async, so a
+    // handful of boundary tasks can land in the next label — fine for a dev
+    // soak reading medians and maxima.
+    private val phase = new java.util.concurrent.atomic.AtomicReference[String]("init")
+    // per task: (runtime ms, bytes processed = shuffle read+write + input) —
+    // the bytes column separates DATA skew (slow task moved more bytes)
+    // from host noise (slow task moved the same bytes, just slower)
+    private val perStage = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+    private val phaseOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def setPhase(p: String): Unit = {
+      if (!phaseOrder.contains(p)) phaseOrder.add(p)
+      phase.set(p)
+    }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -33,6 +52,11 @@ object ScaleSoak {
         shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
         shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
         spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+        val bytes = m.shuffleWriteMetrics.bytesWritten +
+          m.shuffleReadMetrics.totalBytesRead + m.inputMetrics.bytesRead
+        perStage.computeIfAbsent((phase.get, t.stageId),
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]())
+          .add((m.executorRunTime, bytes))
       }
     }
     def report(): Unit = {
@@ -40,6 +64,24 @@ object ScaleSoak {
         f"max task result -> driver: ${maxResultBytes.get / 1024.0}%.0f KiB; " +
         f"shuffle write ${shuffleWrite.sum / 1e9}%.2f GB / read ${shuffleRead.sum / 1e9}%.2f GB; " +
         f"spill ${spill.sum / 1e9}%.2f GB")
+      import scala.jdk.CollectionConverters._
+      phaseOrder.asScala.foreach { p =>
+        perStage.asScala.toSeq
+          .collect { case ((`p`, sid), q) if !q.isEmpty => (sid, q) }
+          .sortBy(_._1)
+          .foreach { case (sid, q) =>
+            val all = q.asScala.toArray
+            val ts = all.map(_._1).sorted
+            val med = ts(ts.length / 2)
+            val p95 = ts(math.min((ts.length * 95) / 100, ts.length - 1))
+            val slowest = all.maxBy(_._1)
+            val medBytes = all.map(_._2).sorted.apply(all.length / 2)
+            println(f"[soak] $p%-14s stage $sid%3d  ${ts.length}%5d tasks  " +
+              f"median ${med / 1000.0}%7.1f s  p95 ${p95 / 1000.0}%7.1f s  " +
+              f"max ${ts.last / 1000.0}%7.1f s  max/median ${ts.last.toDouble / math.max(med, 1)}%5.1f x  " +
+              f"slowest-task bytes ${slowest._2 / 1e6}%8.0f MB vs median ${medBytes / 1e6}%8.0f MB")
+          }
+      }
     }
   }
 
@@ -84,6 +126,7 @@ object ScaleSoak {
           (pmod(xxhash64(col("id")), lit(10000)) / 10000.0 - 0.5) * 0.1).as("value"))
 
     // the 100 TB ingest: bounded windows straight from the long layout
+    prof.setPhase("windowLong")
     val windowed = time("windowLong (1 sample shuffle)") {
       val w = Windowing.windowLong(long, stride, context)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -91,14 +134,17 @@ object ScaleSoak {
       println(s"[soak]   -> $n window rows")
       w
     }
+    prof.setPhase("blockedCAR")
     time("blocked CAR over windows") {
       CommonReferencing.subtractCarSegments(windowed, nCh).foreach(_ => ())
     }
     val notched = DspOperators.applyLinenoiseNotch(windowed)
     val amp = DspOperators.amplitude(
       DspOperators.waveletTransform(notched, "rat", hgOnly = true))
+    prof.setPhase("notchWavelet")
     time("notch -> wavelet amp (narrow)") { amp.foreach(_ => ()) }
     val stitched = Windowing.stitch(amp, stride, context)
+    prof.setPhase("stitch")
     val total = time("stitch -> bounded blocks") {
       stitched.select(sum(size(col("values")))).head().getLong(0)
     }

@@ -61,6 +61,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(est.exists { case (a, b, j) => j == 1.0 })
   }
 
+  test("bandBuckets: 8 deterministic buckets per doc; dup docs share all 8") {
+    val sigs = TextOps.minhashSignatures(docs)
+    val bb = TextOps.bandBuckets(sigs)
+    val n = docs.count()
+    assert(bb.count() == n * 8)
+    assert(bb.groupBy("doc_id").count().filter($"count" =!= 8).count() == 0)
+    // exact dups (300==doc0) have identical signatures -> identical buckets
+    val b0 = bb.filter($"doc_id" === 0L).select("band_idx", "bucket")
+      .as[(Int, String)].collect().toSet
+    val b300 = bb.filter($"doc_id" === 300L).select("band_idx", "bucket")
+      .as[(Int, String)].collect().toSet
+    assert(b0 == b300)
+    // buckets match minhashCandidates' internal bucketing: every planted
+    // near-dup pair shares at least one (band, bucket)
+    val byDoc = bb.as[(Long, Int, String)].collect().groupBy(_._1)
+    for ((a, b) <- Seq((200L, 201L), (210L, 211L), (220L, 221L)))
+      assert(byDoc(a).map(r => (r._2, r._3)).toSet
+        .intersect(byDoc(b).map(r => (r._2, r._3)).toSet).nonEmpty)
+  }
+
   test("bipartite minhash decontamination flags train docs near eval docs") {
     // near-dup cluster seeds live in docs (200,201),(210,211),(220,221);
     // split each pair across train/eval and expect the train half flagged
