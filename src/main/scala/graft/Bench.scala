@@ -28,7 +28,8 @@ object Bench {
     "q68_audio_stats", "q69_frame_fingerprints",
     "q70_pii_redaction", "q71_domain_rollup", "q72_embedding_quantize",
     "q73_streaming_pii_scrub", "q74_domain_quality",
-    "q75_cluster_quality_keeper", "q76_bpe_tokenize", "q77_bpe_sequence_pack")
+    "q75_cluster_quality_keeper", "q76_bpe_tokenize", "q77_bpe_sequence_pack",
+    "q78_streaming_minhash_dedup", "q79_zipf_spectrum", "q80_int8_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

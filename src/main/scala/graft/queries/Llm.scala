@@ -1251,5 +1251,71 @@ object Llm {
               |  CAST(cum - n_tokens AS BIGINT) AS begin_offset,
               |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS seq_id,
               |  CAST((cum - 1) // 4096 > (cum - n_tokens) // 4096 AS INT) AS straddles
-              |FROM c ORDER BY doc_id""".stripMargin)))
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q79_zipf_spectrum",
+      "per-source Zipf fit: ln(freq) ~ ln(rank) regression over top-100 words",
+      // integer-grid regression sums (floor(ln*1e6)) -> order-independent,
+      // engine-exact; slope/intercept from the exact integers in ONE double
+      // step each. rank<=k over the window compiles to WindowGroupLimit
+      // (map-side top-k per source), so no source's vocab funnels into one
+      // task.
+      (s, dir) => Curation.zipfSpectrum(table(s, dir, "documents"), topK = 100)
+        .orderBy("source"),
+      Some("""WITH w AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+             |), f AS (
+             |  SELECT source, word, count(*) AS freq FROM w GROUP BY 1, 2
+             |), r AS (
+             |  SELECT source, freq,
+             |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, word) AS rank
+             |  FROM f
+             |), g AS (
+             |  SELECT source,
+             |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xi,
+             |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS yi
+             |  FROM r WHERE rank <= 100
+             |), s AS (
+             |  SELECT source, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+             |    sum(xi * yi) AS sxy, sum(xi * xi) AS sxx
+             |  FROM g GROUP BY source
+             |)
+             |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             |  round(((CAST(sy AS DOUBLE) / 1e6)
+             |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |         / CAST(n * sxx - sx * sx AS DOUBLE))
+             |        * (CAST(sx AS DOUBLE) / 1e6)) / n, 6) AS intercept
+             |FROM s ORDER BY source""".stripMargin)),
+
+    QueryDef("q80_int8_topk",
+      "brute-force cosine top-k over int8-quantized embeddings (recall vs q45)",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0).toArray
+        Similarity.int8TopK(emb, query, k = 10, excludeId = 0L)
+          .select(col("vec_id"), col("sim"))
+      },
+      // quantize -> dequantize replayed with q72's exact expressions, then
+      // the q45 cosine shape on the reconstructed doubles
+      Some("""WITH p AS (
+             |  SELECT vec_id, embedding,
+             |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+             |  FROM embeddings
+             |), dq AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, v -> vmin +
+             |      (CASE WHEN vmax = vmin THEN 0
+             |            ELSE least(255, CAST(floor((CAST(v AS DOUBLE) - vmin) * 255.0
+             |                                        / (vmax - vmin)) AS BIGINT)) END)
+             |      * ((vmax - vmin) / 255.0)) AS dv
+             |  FROM p
+             |)
+             |SELECT e.vec_id, round(list_cosine_similarity(e.dv, q.dv), 4) AS sim
+             |FROM dq e CROSS JOIN (SELECT dv FROM dq WHERE vec_id = 0) q
+             |WHERE e.vec_id <> 0
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)))
 }

@@ -273,6 +273,53 @@ object Curation {
       .limit(topK)
   }
 
+  /** Per-stream Zipf spectrum: least-squares slope/intercept of ln(freq)
+    * vs ln(rank) over each stream's top-`topK` words — the "does this
+    * source look like natural language" fingerprint (natural text slopes
+    * ≈ −1; templated/spammy sources flatten or cliff).
+    *
+    * Determinism contract: ranks tie-break on (freq desc, word asc); the
+    * regression sums run on an integer grid (floor(ln·1e6) per term) so
+    * they are order-independent and engine-exact, and the final slope /
+    * intercept are computed in double FROM those exact integers — the
+    * q67 integer-sum idiom applied to a regression.
+    *
+    * Scale shape: one explode → (stream, word) count with map-side
+    * partials (the only corpus-sized shuffle), then `rank <= topK` over a
+    * window — which Spark compiles to WindowGroupLimit (map-side partial
+    * top-k per stream, the q63 plan), so no stream's full vocabulary
+    * funnels through one task. The regression aggregate sees topK rows
+    * per stream. */
+  def zipfSpectrum(docs: DataFrame, topK: Int = 100,
+                   textCol: String = "text",
+                   streamCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(col(streamCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col(streamCol), col("word")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(streamCol).orderBy(col("freq").desc, col("word"))
+    val g = freq
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(streamCol),
+        floor(log(col("rank").cast("double")) * 1e6).cast("long").as("xi"),
+        floor(log(col("freq").cast("double")) * 1e6).cast("long").as("yi"))
+    val s = g.groupBy(col(streamCol))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum("xi").as("sx"), sum("yi").as("sy"),
+        sum(col("xi") * col("yi")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"))
+    // exact integer numerator/denominator, then ONE double division
+    val num = (col("n_ranks") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n_ranks") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slopeD = num / den
+    val interceptD =
+      ((col("sy").cast("double") / 1e6) - slopeD * (col("sx").cast("double") / 1e6)) /
+        col("n_ranks")
+    s.select(col(streamCol), col("n_ranks"),
+      round(slopeD, 6).as("slope"), round(interceptD, 6).as("intercept"))
+  }
+
   // --- composed curation pipeline -------------------------------------------
 
   /** One composed keep/drop decision per document: exact-dup keeper,

@@ -255,6 +255,62 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** quantizeInt8's mapping applied and inverted: float vector → int8
+    * codes → reconstructed doubles (vmin + q·range/255). Shared by
+    * `int8TopK` and any recall measurement against the float baseline.
+    * All arithmetic is the exact left-associated double expression the
+    * q72/q80 oracles replay. */
+  private[text] def dequantize(vIn: Seq[Float]): Array[Double] = {
+    val arr = vIn match {
+      case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq
+    }
+    if (arr.isEmpty) return Array.empty
+    var mnF = Float.MaxValue
+    var mxF = Float.MinValue
+    var i = 0
+    while (i < arr.length) {
+      val v = arr(i); if (v < mnF) mnF = v; if (v > mxF) mxF = v; i += 1
+    }
+    val vmin = mnF.toDouble
+    val range = mxF.toDouble - vmin
+    val out = new Array[Double](arr.length)
+    i = 0
+    while (i < arr.length) {
+      val q = if (range == 0) 0L
+        else math.min(255L, math.floor((arr(i).toDouble - vmin) * 255.0 / range).toLong)
+      out(i) = vmin + q * (range / 255.0)
+      i += 1
+    }
+    out
+  }
+
+  /** Brute-force cosine top-k over int8-QUANTIZED embeddings — the
+    * recall-vs-compression check a 4×-compressed vector store needs (run
+    * beside `bruteForceTopK` on the float originals and compare).
+    * Quantize→dequantize is per-row arithmetic; one narrow pass, no
+    * shuffle before the bounded TakeOrdered top-k. */
+  def int8TopK(embeddings: DataFrame, query: Array[Float], k: Int,
+               excludeId: Long = -1L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qDq = dequantize(query.toSeq)
+    val simUdf = udf { (v: Seq[Float]) =>
+      val dv = dequantize(v)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(dv.length, qDq.length)
+      while (i < n) {
+        dot += dv(i) * qDq(i); na += dv(i) * dv(i); nb += qDq(i) * qDq(i)
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    embeddings
+      .filter(col(idCol) =!= excludeId)
+      .select(col(idCol), round(simUdf(col(vecCol)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-vector int8 min-max quantization — the 4× embedding-storage
     * compression a 100 TB vector corpus wants. One narrow pass, no shuffle.
     *

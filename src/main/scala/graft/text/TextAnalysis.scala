@@ -31,14 +31,48 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "das"),
     "zh" -> Seq("的", "了", "是"))
 
-  /** Language scores + argmax prediction (deterministic first-wins
-    * tie-break in Stopwords order). */
-  def withLanguageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = lower(col(textCol))
-    val scored = Stopwords.foldLeft(docs) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang",
-        words.map(w => substrCount(concat(lit(" "), t, lit(" ")), s" $w ")).reduce(_ + _))
+  /** All 5 language scores in ONE tokenize pass (single split + hash
+    * lookup per token) instead of 15 whole-string replace-counts. The
+    * padded non-overlapping " w " replace-count semantics — which the q47
+    * oracle replays in SQL — is reproduced EXACTLY: within a run of L
+    * consecutive occurrences of the same stopword, adjacent matches share
+    * their separating space so only every other one counts (ceil(L/2)),
+    * emulated by the prevCounted flag. Null text scores 0 (the old
+    * expression chain propagated null — the corpus has no null text, and
+    * 0 matches the module's dirty-corpus posture). */
+  private val langScoresUdf = {
+    val slots: Map[String, Int] = Stopwords.zipWithIndex.flatMap {
+      case (((_, words)), li) => words.map(_ -> li)
+    }.toMap
+    val nLangs = Stopwords.length
+    udf { (text: String) =>
+      val scores = new Array[Long](nLangs)
+      if (text != null) {
+        val toks = text.toLowerCase.split(" ", -1)
+        var prevCounted = false
+        var i = 0
+        while (i < toks.length) {
+          val slot = slots.getOrElse(toks(i), -1)
+          if (slot >= 0 && !(prevCounted && i > 0 && toks(i) == toks(i - 1))) {
+            scores(slot) += 1L
+            prevCounted = true
+          } else prevCounted = false
+          i += 1
+        }
+      }
+      scores
     }
+  }
+
+  /** Language scores + argmax prediction (deterministic first-wins
+    * tie-break in Stopwords order). One narrow pass; the score-array UDF
+    * is deterministic so whole-stage codegen's subexpression elimination
+    * evaluates it once per row across the 5 projections. */
+  def withLanguageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = Stopwords.zipWithIndex.foldLeft(
+        docs.withColumn("_ls", langScoresUdf(col(textCol)))) {
+      case (df, ((lang, _), i)) => df.withColumn(s"score_$lang", col("_ls")(i))
+    }.drop("_ls")
     val langs = Stopwords.map(_._1)
     val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
     val predicted = langs.reverse.foldLeft(lit("und")) { case (acc, l) =>

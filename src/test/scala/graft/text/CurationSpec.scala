@@ -252,4 +252,34 @@ class CurationSpec extends AnyFunSuite {
     assert(r2(0).getString(8) === "too_short")
     assert(r2(1).getString(8) === "exact_dup")
   }
+
+  test("zipfSpectrum matches the integer-grid regression computed by hand") {
+    // one stream: freqs a=8 b=4 c=2 d=1 (plus tie pair x=y=3 to pin the
+    // alphabetical tie-break) -> ranks: a1 x2 y3 b4... wait: freq desc =
+    // 8, 4, 3, 3, 2, 1 -> a, b, x, y, c, d
+    val words =
+      Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("x") ++
+        Seq.fill(3)("y") ++ Seq.fill(2)("c") ++ Seq("d")
+    val docs = Seq((1L, words.mkString(" "), "s1")).toDF("doc_id", "text", "source")
+    val out = Curation.zipfSpectrum(docs, topK = 100)
+      .select("source", "n_ranks", "slope", "intercept").collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getLong(1) == 6L)
+    // expected via the same integer-grid formula
+    val freqs = Seq(8L, 4L, 3L, 3L, 2L, 1L)
+    val pts = freqs.zipWithIndex.map { case (f, i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6).toLong,
+        math.floor(math.log(f.toDouble) * 1e6).toLong)
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val intercept = ((sy.toDouble / 1e6) - slope * (sx.toDouble / 1e6)) / n
+    assert(row.getDouble(2) == math.rint(slope * 1e6) / 1e6 ||
+      math.abs(row.getDouble(2) - slope) < 1e-6)
+    assert(math.abs(row.getDouble(3) - intercept) < 1e-6)
+    assert(row.getDouble(2) < 0, "zipf slope must be negative")
+  }
 }

@@ -209,6 +209,28 @@ class TextOpsSpec extends AnyFunSuite {
     for ((id, pred, actual) <- out) assert(pred == actual, s"doc $id: $pred != $actual")
   }
 
+  test("language scores reproduce padded replace-count run semantics (ceil(L/2))") {
+    // non-overlapping " the " matches in " the the the ": positions 0-5 and
+    // 8-13 share no space -> 2, not 3. The one-pass scorer must agree with
+    // the q47 oracle's replace-count for adjacent stopword runs.
+    val samples = Seq(
+      (1L, "the the the"),        // run of 3 -> 2
+      (2L, "the the"),            // run of 2 -> 1
+      (3L, "the x the"),          // separated -> 2
+      (4L, "the  the"),           // double space = empty token between -> 2
+      (5L, "them theory"),        // substrings never match -> 0
+      (6L, "THE The tHe")         // case-folded run of 3 -> 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLanguageId(samples)
+      .select("doc_id", "score_en").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 2L)
+    assert(out(2L) === 1L)
+    assert(out(3L) === 2L)
+    assert(out(4L) === 2L)
+    assert(out(5L) === 0L)
+    assert(out(6L) === 2L)
+  }
+
   test("quality + fingerprint are deterministic and sane") {
     val q = TextAnalysis.withQuality(docs)
     val row = q.filter($"doc_id" === 200L)
@@ -313,6 +335,29 @@ class TextOpsSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(assigned, centroids, q, k = 2, nprobe = 3, excludeId = 0L)
       .select("vec_id").as[Long].collect().toSet
     assert(ivf.contains(500L), s"IVF lost the closest planted neighbor: $ivf")
+  }
+
+  test("int8 top-k finds the planted neighbors despite quantization") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) }
+    val q = vec(1)
+    val rows = (0 until 200).map(i => (i.toLong, vec(i + 10))) ++
+      Seq((500L, jitter(q, 0.01f)), (501L, jitter(q, 0.05f)), (0L, q))
+    val emb = rows.toDF("vec_id", "embedding")
+    val i8 = Similarity.int8TopK(emb, q, k = 2, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(i8 == Set(500L, 501L), s"int8 lost planted neighbors: $i8")
+    // quantization moves sims by < the ~1/255 per-dim resolution
+    val bf = Similarity.bruteForceTopK(emb, q, k = 2, excludeId = 0L)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val i8s = Similarity.int8TopK(emb, q, k = 2, excludeId = 0L)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    for ((id, s) <- i8s) assert(math.abs(s - bf(id)) < 0.01, s"vec $id: $s vs ${bf(id)}")
   }
 
   test("IVF with full probing equals brute force exactly (recall invariant)") {
