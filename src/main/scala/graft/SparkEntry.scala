@@ -28,13 +28,15 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (brute-force cosine, hyperplane LSH, IVF), text analysis
   *             (lang-id, quality, tokens, fingerprint), multimodal binary
   *             columns with real image decode
-  *  - q57-q77  corpus curation: decontamination (broadcast + MinHash
-  *             band-join), Gopher repetition rules, mixture/stratified
-  *             sampling, sequence packing (whitespace q60 + BPE q77),
-  *             vocabulary/IDF, composed curate + yield report, substring
-  *             dedup, streaming dedup + PII scrub, audio/video decode
-  *             stats, PII redaction, domain rollups, int8 quantization,
-  *             quality-arbitrated keepers, fixed-merge-table BPE (q76)
+  *  - q57-q81  corpus curation: decontamination (broadcast q57, MinHash
+  *             band-join q66, Bloom bitset q81), Gopher repetition rules,
+  *             mixture/stratified sampling, sequence packing (whitespace
+  *             q60 + BPE q77), vocabulary/IDF, composed curate + yield
+  *             report, substring dedup, streaming dedup (exact q64 +
+  *             MinHash q78) + PII scrub, audio/video decode stats, PII
+  *             redaction, domain rollups, int8 quantization + quantized
+  *             top-k (q80), quality-arbitrated keepers, fixed-merge-table
+  *             BPE (q76), per-source Zipf spectrum (q79)
   */
 object SparkEntry {
 

@@ -1317,5 +1317,51 @@ object Llm {
              |SELECT e.vec_id, round(list_cosine_similarity(e.dv, q.dv), 4) AS sim
              |FROM dq e CROSS JOIN (SELECT dv FROM dq WHERE vec_id = 0) q
              |WHERE e.vec_id <> 0
-             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)))
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    QueryDef("q81_bloom_decontamination",
+      "Bloom-filter decontamination: broadcast bitset probe, sound upper bound on q57",
+      // m = 2^18 with ~3x 50k eval trigrams loaded on purpose: a visible
+      // false-positive rate demonstrates (and the oracle hash-pins) the
+      // upper-bound semantics; the spec separately proves flags are a
+      // superset of q57's exact hits
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val isEval = col("doc_id") % 23 === 0
+        Curation.bloomDecontaminationReport(
+            docs.filter(!isEval), docs.filter(isEval), n = 3,
+            mBits = 1 << 18, kHashes = 3)
+          .orderBy("doc_id")
+      },
+      // bit j of shingle s = md5("j:s") hex 1-15 as uint mod 2^18 — the
+      // exact hash60 mapping, replayed position by position
+      Some("""WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), tri AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+             |  FROM words WHERE len(w) >= 3
+             |), evalpos AS (
+             |  SELECT DISTINCT
+             |    ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 15))::UBIGINT
+             |      % 262144 AS pos
+             |  FROM (SELECT DISTINCT shingle FROM tri WHERE doc_id % 23 = 0)
+             |  CROSS JOIN generate_series(0, 2) t(j)
+             |), probe AS (
+             |  SELECT doc_id, shingle,
+             |    ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 15))::UBIGINT
+             |      % 262144 AS pos
+             |  FROM (SELECT doc_id, shingle FROM tri WHERE doc_id % 23 <> 0)
+             |  CROSS JOIN generate_series(0, 2) t(j)
+             |), hit AS (
+             |  SELECT p.doc_id, p.shingle,
+             |    min(CASE WHEN e.pos IS NULL THEN 0 ELSE 1 END) AS is_hit
+             |  FROM probe p LEFT JOIN evalpos e ON p.pos = e.pos
+             |  GROUP BY p.doc_id, p.shingle
+             |)
+             |SELECT doc_id, count(*) AS n_ngrams,
+             |  CAST(sum(is_hit) AS BIGINT) AS n_flagged,
+             |  round(CAST(sum(is_hit) AS DOUBLE) / count(*), 6) AS contamination_ub
+             |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -62,6 +62,73 @@ object Curation {
         round(col("n_shared").cast("double") / col("n_ngrams"), 6))
   }
 
+  /** Bloom-filter decontamination — the scale tier between q57's exact
+    * broadcast set and q66's MinHash band-join: when the eval side's
+    * distinct n-gram STRINGS are too big to broadcast (100 M 13-grams
+    * ≈ 5 GB) but a bitset is not (10 bits/element ≈ 125 MB), probe a
+    * broadcast Bloom filter instead. No false negatives — every truly
+    * shared n-gram is flagged — so `contamination_ub` is a sound UPPER
+    * bound on q57's exact `contamination` (conservative for dropping);
+    * false positives inflate it by ~(1-e^(-kn/m))^k.
+    *
+    * Determinism contract: bit j of shingle s sits at hash60(s, j) mod
+    * mBits — md5-derived, so DuckDB replays every position and the q81
+    * oracle hash-matches the flag counts exactly (the filter itself is a
+    * pure function of the eval set, not of partitioning or arrival order).
+    *
+    * Scale shape: the eval side is one explode → distinct → position
+    * explode → distinct, whose COLLECT is bounded by mBits (at most one
+    * row per filter bit), never by eval size; the bitset broadcasts once
+    * (mBits/8 bytes). The train side is ONE narrow scan with a per-doc
+    * probe UDF — zero shuffle, no explode, no join. Output rows are one
+    * per train doc with >= n words, matching q57's row universe. */
+  def bloomDecontaminationReport(train: DataFrame, eval: DataFrame, n: Int,
+                                 mBits: Int = 1 << 20, kHashes: Int = 3,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id"): DataFrame = {
+    require(mBits > 0 && kHashes > 0, s"need mBits>0, kHashes>0; got $mBits, $kHashes")
+    val spark = train.sparkSession
+    val shingles = udf((t: String) =>
+      if (t == null) Array.empty[String] else TextOps.shingleArray(t, n))
+    val posUdf = udf((s: String) =>
+      Array.tabulate(kHashes)(j => (TextOps.hash60(s, j) % mBits).toInt))
+    // distinct positions <= mBits: the driver fetch is bounded by the
+    // FILTER size (128 KiB of ints at 2^20 bits), not by the eval corpus
+    val positions = eval
+      .select(explode(shingles(col(textCol))).as("_sh")).distinct()
+      .select(explode(posUdf(col("_sh"))).as("pos")).distinct()
+      .collect()
+    val bitWords = new Array[Long]((mBits + 63) >>> 6)
+    positions.foreach { r =>
+      val p = r.getInt(0); bitWords(p >>> 6) |= 1L << (p & 63)
+    }
+    val bits = spark.sparkContext.broadcast(bitWords)
+    val probe = udf { (t: String) =>
+      val sh = if (t == null) Array.empty[String] else TextOps.shingleArray(t, n)
+      val w = bits.value
+      var flagged = 0L
+      var i = 0
+      while (i < sh.length) {
+        var hit = true
+        var j = 0
+        while (hit && j < kHashes) {
+          val p = (TextOps.hash60(sh(i), j) % mBits).toInt
+          if ((w(p >>> 6) & (1L << (p & 63))) == 0L) hit = false
+          j += 1
+        }
+        if (hit) flagged += 1
+        i += 1
+      }
+      (sh.length.toLong, flagged)
+    }
+    train
+      .select(col(idCol), probe(col(textCol)).as("_p"))
+      .select(col(idCol), col("_p._1").as("n_ngrams"), col("_p._2").as("n_flagged"))
+      .filter(col("n_ngrams") > 0)
+      .withColumn("contamination_ub",
+        round(col("n_flagged").cast("double") / col("n_ngrams"), 6))
+  }
+
   // --- repetition metrics (Gopher-style quality rules) ---------------------
 
   private val repetitionCountsUdf = udf { (text: String) =>

@@ -253,6 +253,38 @@ class CurationSpec extends AnyFunSuite {
     assert(r2(1).getString(8) === "exact_dup")
   }
 
+  test("bloom decontamination never misses a true hit, and is exact at large m") {
+    val train = Seq(
+      (1L, "a b c d e"),        // shares abc bcd with eval
+      (2L, "x y z w"),          // shares none
+      (3L, "a b c a b c d"),    // shares abc bcd
+      (4L, "p q"),              // < 3 words -> excluded
+      (5L, null.asInstanceOf[String]) // null text -> excluded, no NPE
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d q r s")).toDF("doc_id", "text")
+
+    val exact = Curation.decontaminationReport(train, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // large m, tiny corpus: P(any false positive) ~ 0 -> bloom == exact
+    val big = Curation.bloomDecontaminationReport(train, eval, n = 3,
+        mBits = 1 << 22, kHashes = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(big.keySet === Set(1L, 2L, 3L))
+    assert(big(1L) === ((3L, 2L)))
+    assert(big(2L) === ((2L, 0L)))
+    assert(big(3L) === ((4L, 2L)))
+    // ANY m: no false negatives — flagged >= exact shared, per doc
+    for (m <- Seq(64, 1 << 10)) {
+      val out = Curation.bloomDecontaminationReport(train, eval, n = 3,
+          mBits = m, kHashes = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      for ((id, n, flagged) <- out) {
+        assert(flagged >= exact(id), s"m=$m doc $id lost a true hit")
+        assert(flagged <= n)
+      }
+    }
+  }
+
   test("zipfSpectrum matches the integer-grid regression computed by hand") {
     // one stream: freqs a=8 b=4 c=2 d=1 (plus tie pair x=y=3 to pin the
     // alphabetical tie-break) -> ranks: a1 x2 y3 b4... wait: freq desc =
