@@ -28,7 +28,7 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (brute-force cosine, hyperplane LSH, IVF), text analysis
   *             (lang-id, quality, tokens, fingerprint), multimodal binary
   *             columns with real image decode
-  *  - q57-q81  corpus curation: decontamination (broadcast q57, MinHash
+  *  - q57-q82  corpus curation: decontamination (broadcast q57, MinHash
   *             band-join q66, Bloom bitset q81), Gopher repetition rules,
   *             mixture/stratified sampling, sequence packing (whitespace
   *             q60 + BPE q77), vocabulary/IDF, composed curate + yield

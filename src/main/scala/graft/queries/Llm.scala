@@ -1363,5 +1363,90 @@ object Llm {
              |SELECT doc_id, count(*) AS n_ngrams,
              |  CAST(sum(is_hit) AS BIGINT) AS n_flagged,
              |  round(CAST(sum(is_hit) AS DOUBLE) / count(*), 6) AS contamination_ub
-             |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q82_token_budget_mixture",
+      "water-filling token-budget mixture: solve per-lang keep rates for a 15k-token budget",
+      // budget 15k of ~27k sf0.01 tokens at weights 1:4:2:2:1 -> de+fr
+      // saturate (keep all), es/zh/en keep t*·parts/tokens — both the
+      // solver math and the sampled rollup are replayed exactly in SQL
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val solved = Curation.solveTokenBudget(docs,
+          weights = Map("en" -> 1L, "de" -> 4L, "es" -> 2L, "fr" -> 2L, "zh" -> 1L),
+          budgetTokens = 15000L)
+        val kept = Curation.mixtureSample(docs,
+            solved.map(r => r.group -> r.rate).toMap, groupCol = "lang")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(size(split(col("text"), " ")).cast("long")).as("tokens_kept"))
+        import s.implicits._
+        val rates = solved
+          .map(r => (r.group, r.tokens, r.parts, if (r.saturated) 1 else 0, r.rate))
+          .toDF("lang", "tokens_total", "weight_parts", "saturated", "rate")
+        rates.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("tokens_total"), col("weight_parts"),
+            col("saturated"), round(col("rate"), 6).as("rate"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy("lang")
+      },
+      // the full water-filling solve in SQL: integer saturation test on the
+      // sorted prefix (HUGEINT = the solver's BigInt), one double rate
+      // expression, then q59's integer-threshold keep decision
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents
+             |), wt AS (
+             |  SELECT * FROM (VALUES ('de', 4), ('en', 1), ('es', 2),
+             |                        ('fr', 2), ('zh', 1)) w(lang, parts)
+             |), tot AS (
+             |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tokens
+             |  FROM tok GROUP BY lang
+             |), j AS (
+             |  SELECT t.lang, t.tokens, CAST(w.parts AS BIGINT) AS parts
+             |  FROM tot t JOIN wt w USING (lang)
+             |), ord AS (
+             |  SELECT lang, tokens, parts,
+             |    sum(tokens) OVER (ORDER BY CAST(tokens AS DOUBLE) / parts, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens
+             |      AS cumtok_excl,
+             |    sum(parts) OVER (ORDER BY CAST(tokens AS DOUBLE) / parts, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - parts
+             |      AS cumw_excl,
+             |    sum(parts) OVER () AS w_all
+             |  FROM j
+             |), sat AS (
+             |  SELECT *, CASE WHEN tokens * (w_all - cumw_excl)
+             |                      <= parts * (15000 - cumtok_excl)
+             |                 THEN 1 ELSE 0 END AS saturated
+             |  FROM ord
+             |), aggr AS (
+             |  SELECT sum(CASE WHEN saturated = 1 THEN tokens ELSE 0 END) AS tok_sat,
+             |         sum(CASE WHEN saturated = 1 THEN parts ELSE 0 END) AS w_sat,
+             |         any_value(w_all) AS w_all
+             |  FROM sat
+             |), rates AS (
+             |  SELECT s.lang, s.tokens, s.parts, s.saturated,
+             |    CASE WHEN s.saturated = 1 OR a.w_sat = a.w_all
+             |         THEN CAST(1.0 AS DOUBLE)
+             |         ELSE least(CAST(1.0 AS DOUBLE),
+             |           CAST(15000 - a.tok_sat AS DOUBLE)
+             |             / CAST(a.w_all - a.w_sat AS DOUBLE)
+             |             * s.parts / s.tokens) END AS rate
+             |  FROM sat s CROSS JOIN aggr a
+             |), kept AS (
+             |  SELECT t.lang, count(*) AS n_kept,
+             |    CAST(sum(t.n_tokens) AS BIGINT) AS tokens_kept
+             |  FROM tok t JOIN rates r USING (lang)
+             |  WHERE CAST(('0x' || substr(md5('mix:' || t.doc_id), 1, 15)) AS UBIGINT)
+             |        < CAST(floor(r.rate * 1152921504606846976.0) AS UBIGINT)
+             |  GROUP BY t.lang
+             |)
+             |SELECT r.lang, r.tokens AS tokens_total, r.parts AS weight_parts,
+             |  r.saturated, round(r.rate, 6) AS rate,
+             |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+             |FROM rates r LEFT JOIN kept k USING (lang)
+             |ORDER BY r.lang""".stripMargin)))
 }

@@ -247,6 +247,89 @@ object Curation {
       .filter(col("sample_rank") <= perGroup)
   }
 
+  // --- token-budget mixture solver ------------------------------------------
+
+  /** One solved group of [[solveTokenBudget]]: `saturated` groups keep all
+    * their tokens (their fair share exceeds what they have); the rest keep
+    * `rate` of their docs in expectation. */
+  case class MixtureBudgetRate(group: String, tokens: Long, parts: Long,
+                               saturated: Boolean, rate: Double)
+
+  /** Solve per-group keep rates that hit a global TOKEN budget at target
+    * mixture weights — the "mix 50:30:20 into a 1 T-token training set"
+    * op. Closed-form water-filling: sort groups by tokens/parts ascending;
+    * a group is saturated iff its supply runs out below the fair-share
+    * water line, in which case it keeps everything and its budget share is
+    * redistributed to the rest BY WEIGHT; unsaturated groups keep
+    * rate = t*·parts/tokens where t* = remaining budget / remaining parts.
+    * Expected kept tokens = Σ min(tokens_g, t*·parts_g) = budget (when the
+    * budget is feasible).
+    *
+    * Determinism contract (the q82 oracle replays all of it in SQL): the
+    * saturation test is EXACT integer arithmetic — tokens·(W−cumw) ≤
+    * parts·(B−cumtok), evaluated in BigInt to match the oracle's HUGEINT —
+    * never a float comparison; the per-row test is self-consistent with
+    * the iterative algorithm because removing a below-water-line group
+    * only raises the line and removing an above-line group only lowers
+    * it (so the sorted prefix test identifies exactly the saturated set
+    * in one pass). `rate` is then the one double expression
+    * (B−tokSat)/(W−wSat)·parts/tokens both engines evaluate identically,
+    * and selection happens on [[rateThreshold]]'s integer grid.
+    *
+    * Scale shape: ONE map-side-partial agg over the corpus (groups =
+    * mixture components, a handful), a driver solve over that bounded
+    * group table (the IVF-centroid precedent), then [[mixtureSample]]'s
+    * zero-shuffle codegen filter. Groups absent from `weights` are
+    * dropped (rate 0); weights must be positive. */
+  def solveTokenBudget(docs: DataFrame, weights: Map[String, Long],
+                       budgetTokens: Long,
+                       textCol: String = "text",
+                       groupCol: String = "lang"): Seq[MixtureBudgetRate] = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
+    val totals = docs
+      .filter(col(groupCol).isInCollection(weights.keys.toSeq))
+      .groupBy(col(groupCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("tokens"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    waterFill(totals.toSeq, weights, budgetTokens)
+  }
+
+  /** The pure closed-form solve over (group, tokens) totals — separated so
+    * it can be property-tested against the iterative algorithm without a
+    * Spark job. */
+  private[text] def waterFill(totals: Seq[(String, Long)],
+                              weights: Map[String, Long],
+                              budgetTokens: Long): Seq[MixtureBudgetRate] = {
+    // sort by water line tokens/parts ascending, group tie-break — the
+    // same ORDER BY the oracle uses
+    val rows = totals
+      .map { case (g, tok) => (g, tok, weights(g)) }
+      .sortBy { case (g, tok, parts) => (tok.toDouble / parts.toDouble, g) }
+    val wAll = BigInt(rows.map(_._3).sum)
+    val budget = BigInt(budgetTokens)
+    var cumTok = BigInt(0)
+    var cumW = BigInt(0)
+    val saturated = rows.map { case (_, tok, parts) =>
+      val s = BigInt(tok) * (wAll - cumW) <= BigInt(parts) * (budget - cumTok)
+      cumTok += tok
+      cumW += parts
+      s
+    }
+    val tokSat = BigInt(rows.zip(saturated).collect { case ((_, t, _), true) => t }.sum)
+    val wSat = BigInt(rows.zip(saturated).collect { case ((_, _, p), true) => p }.sum)
+    rows.zip(saturated).map { case ((g, tok, parts), isSat) =>
+      val rate =
+        if (isSat || wSat == wAll) 1.0
+        else math.min(1.0,
+          (budget - tokSat).toDouble / (wAll - wSat).toDouble
+            * parts.toDouble / tok.toDouble)
+      MixtureBudgetRate(g, tok, parts, isSat, rate)
+    }.sortBy(_.group)
+  }
+
   // --- sequence packing -----------------------------------------------------
 
   /** Assign each document to a fixed-token-budget training sequence by laying

@@ -285,6 +285,74 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("waterFill matches the iterative redistribution algorithm on random cases") {
+    // reference implementation: repeatedly saturate any group whose supply
+    // sits under the current fair-share line, redistribute, until stable
+    def iterative(totals: Seq[(String, Long)], weights: Map[String, Long],
+                  budget: Long): Map[String, (Boolean, Double)] = {
+      var active = totals.toMap
+      var b = BigInt(budget)
+      var sat = Set.empty[String]
+      var changed = true
+      while (changed && active.nonEmpty) {
+        changed = false
+        val w = BigInt(active.keysIterator.map(weights).sum)
+        for ((g, tok) <- active.toSeq.sortBy(_._1)
+             if !changed && BigInt(tok) * w <= BigInt(weights(g)) * b) {
+          sat += g; b -= tok; active -= g; changed = true
+        }
+      }
+      val w = BigInt(active.keysIterator.map(weights).sum)
+      totals.map { case (g, tok) =>
+        g -> (if (sat(g)) (true, 1.0)
+              else (false, math.min(1.0,
+                b.toDouble / w.toDouble * weights(g).toDouble / tok.toDouble)))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val n = 2 + rnd.nextInt(7)
+      val totals = (0 until n).map(i => s"g$i" -> (rnd.nextInt(10000).toLong))
+      val weights = (0 until n).map(i => s"g$i" -> (1L + rnd.nextInt(9))).toMap
+      val total = totals.map(_._2).sum
+      val budget = (rnd.nextDouble() * 1.2 * total).toLong
+      val got = Curation.waterFill(totals, weights, budget)
+        .map(r => r.group -> ((r.saturated, r.rate))).toMap
+      val want = iterative(totals, weights, budget)
+      assert(got.keySet === want.keySet)
+      for (g <- got.keySet) {
+        assert(got(g)._1 === want(g)._1,
+          s"saturation mismatch at $g: totals=$totals weights=$weights budget=$budget")
+        assert(math.abs(got(g)._2 - want(g)._2) < 1e-9,
+          s"rate mismatch at $g: ${got(g)._2} vs ${want(g)._2}")
+      }
+      // feasible budget is hit exactly in expectation: sum min(tok, rate*tok)
+      if (budget <= total && got.nonEmpty) {
+        val expected = totals.map { case (g, tok) => got(g)._2 * tok }.sum
+        assert(math.abs(expected - budget) < 1e-6 * math.max(1.0, budget.toDouble),
+          s"expected tokens $expected != budget $budget")
+      }
+    }
+  }
+
+  test("solveTokenBudget end to end: saturated groups keep everything, budget is met") {
+    val docs = Seq(
+      (1L, "a a a a a a a a a a", "en"),   // en: 30 tokens over 3 docs
+      (2L, "b b b b b b b b b b", "en"),
+      (3L, "c c c c c c c c c c", "en"),
+      (4L, "d d d d d", "de"),             // de: 5 tokens
+      (5L, "e e e e e", "fr")              // fr: 5 tokens, no weight -> dropped
+    ).toDF("doc_id", "text", "lang")
+    val solved = Curation.solveTokenBudget(docs,
+      weights = Map("en" -> 1L, "de" -> 1L), budgetTokens = 15L)
+    val byG = solved.map(r => r.group -> r).toMap
+    assert(byG.keySet === Set("en", "de"))
+    // fair share at W=2: de's line 5/1 < en's 30/1; de saturates (5 <= 7.5),
+    // en keeps (15-5)/1 * 1/30 = 1/3
+    assert(byG("de").saturated && byG("de").rate === 1.0)
+    assert(!byG("en").saturated && math.abs(byG("en").rate - 10.0 / 30.0) < 1e-12)
+  }
+
   test("zipfSpectrum matches the integer-grid regression computed by hand") {
     // one stream: freqs a=8 b=4 c=2 d=1 (plus tie pair x=y=3 to pin the
     // alphabetical tie-break) -> ranks: a1 x2 y3 b4... wait: freq desc =
