@@ -28,7 +28,7 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (brute-force cosine, hyperplane LSH, IVF), text analysis
   *             (lang-id, quality, tokens, fingerprint), multimodal binary
   *             columns with real image decode
-  *  - q57-q82  corpus curation: decontamination (broadcast q57, MinHash
+  *  - q57-q83  corpus curation: decontamination (broadcast q57, MinHash
   *             band-join q66, Bloom bitset q81), Gopher repetition rules,
   *             mixture/stratified sampling, sequence packing (whitespace
   *             q60 + BPE q77), vocabulary/IDF, composed curate + yield
@@ -36,7 +36,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             MinHash q78) + PII scrub, audio/video decode stats, PII
   *             redaction, domain rollups, int8 quantization + quantized
   *             top-k (q80), quality-arbitrated keepers, fixed-merge-table
-  *             BPE (q76), per-source Zipf spectrum (q79)
+  *             BPE (q76), per-source Zipf spectrum (q79), count-min
+  *             heavy hitters (q83)
   */
 object SparkEntry {
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef.table
-import graft.text.{TextOps, TextAnalysis, Similarity, Curation, Bpe}
+import graft.text.{TextOps, TextAnalysis, Similarity, Curation, Bpe, Sketches}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -1448,5 +1448,50 @@ object Llm {
              |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
              |  CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
              |FROM rates r LEFT JOIN kept k USING (lang)
-             |ORDER BY r.lang""".stripMargin)))
+             |ORDER BY r.lang""".stripMargin)),
+
+    QueryDef("q83_count_min_heavy_hitters",
+      "count-min sketch estimates vs exact counts for the top-20 words",
+      // d=3 x m=4096 cells: the fixed-size-shuffle alternative to q61's
+      // vocabulary-sized agg; estimates are one-sided (>= exact), pinned
+      // cell by cell by the oracle
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val words = docs.select(explode(split(col("text"), " ")).as("word"))
+        val top = words.groupBy("word").agg(count(lit(1)).as("exact_count"))
+          .orderBy(col("exact_count").desc, col("word")).limit(20)
+        val cells = Sketches.countMinCells(docs, d = 3, mCols = 4096)
+        val est = Sketches.countMinEstimate(cells, top.select("word"),
+          d = 3, mCols = 4096)
+        top.join(est, Seq("word"))
+          .select(col("word"), col("exact_count"), col("cms_estimate"),
+            (col("cms_estimate") - col("exact_count")).as("overcount"))
+          .orderBy("word")
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+             |), exact AS (
+             |  SELECT word, count(*) AS exact_count FROM w GROUP BY word
+             |), top AS (
+             |  SELECT word, exact_count FROM exact
+             |  ORDER BY exact_count DESC, word LIMIT 20
+             |), cells AS (
+             |  SELECT j,
+             |    ('0x' || substr(md5(j::VARCHAR || ':' || word), 1, 15))::UBIGINT
+             |      % 4096 AS pos,
+             |    count(*) AS cnt
+             |  FROM w CROSS JOIN generate_series(0, 2) t(j)
+             |  GROUP BY 1, 2
+             |), est AS (
+             |  SELECT t.word, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+             |  FROM top t CROSS JOIN generate_series(0, 2) g(j)
+             |  LEFT JOIN cells c ON c.j = g.j
+             |    AND c.pos = ('0x' || substr(md5(g.j::VARCHAR || ':' || t.word), 1, 15))::UBIGINT
+             |                % 4096
+             |  GROUP BY t.word
+             |)
+             |SELECT t.word, t.exact_count, e.cms_estimate,
+             |  CAST(e.cms_estimate - t.exact_count AS BIGINT) AS overcount
+             |FROM top t JOIN est e USING (word)
+             |ORDER BY t.word""".stripMargin)))
 }

@@ -337,6 +337,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ivf.contains(500L), s"IVF lost the closest planted neighbor: $ivf")
   }
 
+  test("count-min estimates are one-sided and exact when collision-free") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d d d d"),
+      (3L, "e e a c c c")
+    ).toDF("doc_id", "text")
+    val exact = Map("a" -> 5L, "b" -> 3L, "c" -> 4L, "d" -> 4L, "e" -> 2L)
+    val words = exact.keys.toSeq.toDF("word")
+    // tiny m forces collisions -> still never underestimates
+    for (m <- Seq(4, 16)) {
+      val cells = Sketches.countMinCells(docs, d = 3, mCols = m)
+      val est = Sketches.countMinEstimate(cells, words, d = 3, mCols = m)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((w, c) <- exact)
+        assert(est(w) >= c, s"m=$m underestimated $w: ${est(w)} < $c")
+    }
+    // large m, d=1: 5 words can't collide in 2^20 cells (verified by the
+    // estimates coming back exact)
+    val cells = Sketches.countMinCells(docs, d = 1, mCols = 1 << 20)
+    assert(cells.agg(sum("cnt")).head().getLong(0) === 18L) // total occurrences
+    val est = Sketches.countMinEstimate(cells, words, d = 1, mCols = 1 << 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === exact)
+    // a word the sketch never saw estimates 0, not min-of-present-cells
+    val unseen = Sketches.countMinEstimate(cells, Seq("zzz").toDF("word"),
+      d = 1, mCols = 1 << 20).collect().head.getLong(1)
+    assert(unseen === 0L)
+  }
+
   test("int8 top-k finds the planted neighbors despite quantization") {
     val dim = 16
     def vec(seed: Int): Array[Float] = {
