@@ -1461,9 +1461,7 @@ object Llm {
         val top = words.groupBy("word").agg(count(lit(1)).as("exact_count"))
           .orderBy(col("exact_count").desc, col("word")).limit(20)
         val cells = Sketches.countMinCells(docs, d = 3, mCols = 4096)
-        val est = Sketches.countMinEstimate(cells, top.select("word"),
-          d = 3, mCols = 4096)
-        top.join(est, Seq("word"))
+        Sketches.countMinEstimate(cells, top, d = 3, mCols = 4096)
           .select(col("word"), col("exact_count"), col("cms_estimate"),
             (col("cms_estimate") - col("exact_count")).as("overcount"))
           .orderBy("word")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.DspOperators
 import graft.streaming.StreamingOps
-import graft.text.{TextAnalysis, TextOps}
+import graft.text.{TextAnalysis, TextOps, Sketches}
 
 /** Driver-visible Structured Streaming surface (SURVEY.md ST3): q36 runs a
   * REAL streaming query — file-source readStream -> event-time windowed
@@ -471,6 +471,63 @@ GROUP BY 1 ORDER BY channel"""
        |  CAST(COALESCE(ref0, doc_id) AS BIGINT) AS dup_ref
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** Streaming count-min: q83's cell table built as a STREAMING
+    * aggregation — the frequency-monitor shape whose state is bounded at
+    * d×m cells no matter how long the stream runs (vs unbounded per-word
+    * state for exact streaming counts). Cell counts only grow, so each
+    * cell's LAST update (max cnt) equals the batch cell value under any
+    * micro-batch slicing; probing the final cells therefore reproduces the
+    * q83 batch oracle exactly. */
+  private def q84Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("stream_docs")
+    StreamingOps.deleteOnExit(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val updates = StreamingOps.runToMemory(s, stage.toString,
+      s"q84_sink_${sinkId.incrementAndGet()}",
+      df => Sketches.countMinCells(df, d = 3, mCols = 4096),
+      outputMode = OutputMode.Update)
+    val cells = updates.groupBy("j", "pos").agg(max("cnt").as("cnt"))
+    val top = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("word")).limit(20)
+    Sketches.countMinEstimate(cells, top, d = 3, mCols = 4096)
+      .select(col("word"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+      .orderBy("word")
+  }
+
+  private def q84Oracle: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |), exact AS (
+      |  SELECT word, count(*) AS exact_count FROM w GROUP BY word
+      |), top AS (
+      |  SELECT word, exact_count FROM exact
+      |  ORDER BY exact_count DESC, word LIMIT 20
+      |), cells AS (
+      |  SELECT j,
+      |    ('0x' || substr(md5(j::VARCHAR || ':' || word), 1, 15))::UBIGINT
+      |      % 4096 AS pos,
+      |    count(*) AS cnt
+      |  FROM w CROSS JOIN generate_series(0, 2) t(j)
+      |  GROUP BY 1, 2
+      |), est AS (
+      |  SELECT t.word, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+      |  FROM top t CROSS JOIN generate_series(0, 2) g(j)
+      |  LEFT JOIN cells c ON c.j = g.j
+      |    AND c.pos = ('0x' || substr(md5(g.j::VARCHAR || ':' || t.word), 1, 15))::UBIGINT
+      |                % 4096
+      |  GROUP BY t.word
+      |)
+      |SELECT t.word, t.exact_count, e.cms_estimate,
+      |  CAST(e.cms_estimate - t.exact_count AS BIGINT) AS overcount
+      |FROM top t JOIN est e USING (word)
+      |ORDER BY t.word""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -500,5 +557,9 @@ GROUP BY 1 ORDER BY channel"""
       "streaming MinHash near-dup: LSH band buckets as running " +
         "(count, min-id) state == batch bucket aggregate; per-doc " +
         "collision flags from the final state",
-      q78Build, Some(q78Oracle)))
+      q78Build, Some(q78Oracle)),
+    QueryDef("q84_streaming_count_min",
+      "streaming count-min sketch: d*m-bounded cell state, last update " +
+        "per cell == batch cell value; estimates == q83's batch oracle",
+      q84Build, Some(q84Oracle)))
 }

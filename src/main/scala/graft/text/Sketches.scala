@@ -41,21 +41,24 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Count-min estimates for `words` (one column `wordCol`, small —
-    * candidate heavy hitters): min over the d cells each word hashes to.
-    * The cell table is bounded at d×m rows, so it BROADCASTS — the probe
-    * is a map-side join however large the corpus that built it was.
-    * Missing cells count 0 (a word the sketch never saw estimates 0, not
-    * the min of its present cells). */
+  /** Count-min estimates for `words` (small — candidate heavy hitters):
+    * min over the d cells each `wordCol` value hashes to. Every other
+    * column of `words` passes through (so callers join nothing back —
+    * a single reference to an expensive candidate aggregate; `words` must
+    * not already have j/pos/cnt columns). The cell table is bounded at
+    * d×m rows, so it BROADCASTS — the probe is a map-side join however
+    * large the corpus that built it was. Missing cells count 0 (a word
+    * the sketch never saw estimates 0, not the min of its present cells). */
   def countMinEstimate(cells: DataFrame, words: DataFrame,
                        d: Int = 3, mCols: Int = 1 << 12,
                        wordCol: String = "word"): DataFrame = {
     require(d > 0 && mCols > 0, s"need d>0, mCols>0; got $d, $mCols")
+    val keep = words.columns.toSeq.map(col)
     words
-      .select(col(wordCol), posexplode(array((0 until d).map(j =>
-        cellPos(col(wordCol), j, mCols)): _*)).as(Seq("j", "pos")))
+      .select(keep :+ posexplode(array((0 until d).map(j =>
+        cellPos(col(wordCol), j, mCols)): _*)).as(Seq("j", "pos")): _*)
       .join(broadcast(cells), Seq("j", "pos"), "left")
-      .groupBy(col(wordCol))
+      .groupBy(keep: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 }

@@ -322,6 +322,31 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     assert(out === Map("h1" -> ((3L, 3L)), "h2" -> ((1L, 5L))))
   }
 
+  test("streaming count-min: final cells == batch cells under forced multi-batch slicing") {
+    import graft.text.Sketches
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("cms_docs")
+    StreamingOps.deleteOnExit(stage)
+    docs.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = Sketches.countMinCells(stream, d = 2, mCols = 256).writeStream
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+      .format("memory").queryName("cms_multi_batch").start()
+    q.awaitTermination()
+    val sink = spark.table("cms_multi_batch")
+    val finalCells = sink.groupBy("j", "pos").agg(max("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.countMinCells(docs, d = 2, mCols = 256)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(finalCells === batch)
+    // the equivalence actually exercised >1 micro-batch: recurring cells
+    // emitted multiple updates
+    assert(sink.groupBy("j", "pos").count().filter($"count" > 1).count() > 0,
+      "stream collapsed to a single micro-batch — slicing not exercised")
+  }
+
   test("streaming: stateless pii scrub through the parquet sink == batch") {
     import graft.text.TextAnalysis
     val stage = java.nio.file.Files.createTempDirectory("pii_docs")
