@@ -1491,5 +1491,49 @@ object Llm {
              |SELECT t.word, t.exact_count, e.cms_estimate,
              |  CAST(e.cms_estimate - t.exact_count AS BIGINT) AS overcount
              |FROM top t JOIN est e USING (word)
-             |ORDER BY t.word""".stripMargin)))
+             |ORDER BY t.word""".stripMargin)),
+
+    QueryDef("q85_kmv_distinct_trigrams",
+      "KMV bottom-k cardinality sketch over word trigrams vs the exact distinct count",
+      // ~16k distinct trigrams at sf0.01 >> k=1024, so the order-statistic
+      // estimator path (not the exact small-universe path) is exercised
+      // and hash-pinned; per-partition state is a bounded k-TreeSet
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val shingles = udf((t: String) =>
+          if (t == null) Array.empty[String] else TextOps.shingleArray(t, 3))
+        val tri = docs.select(explode(shingles(col("text"))).as("item"))
+        val est = Sketches.kmvDistinctEstimate(tri, k = 1024)
+        // the exact side is the baseline the sketch replaces at scale —
+        // distinct-before-agg (the q74/vocabulary idiom), test-scale only
+        val exact = tri.distinct().agg(count(lit(1)).as("n_distinct_exact"))
+        exact.crossJoin(est)
+          .select(col("n_distinct_exact"), col("n_kept"), col("h_k"),
+            round(col("estimate"), 6).as("estimate"))
+      },
+      // same 60-bit "99:" hash grid; bottom-1024 of the distinct hash set,
+      // estimate (k-1)*2^60/h_k in the identical double expression
+      Some("""WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), tri AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
+             |  FROM words WHERE len(w) >= 3
+             |), h AS (
+             |  SELECT DISTINCT
+             |    ('0x' || substr(md5('99:' || item), 1, 15))::UBIGINT AS hv
+             |  FROM tri
+             |), bk AS (
+             |  SELECT hv FROM h ORDER BY hv LIMIT 1024
+             |), s AS (
+             |  SELECT count(*) AS n_kept, CAST(max(hv) AS BIGINT) AS h_k FROM bk
+             |), ex AS (
+             |  SELECT count(DISTINCT item) AS n_distinct_exact FROM tri
+             |)
+             |SELECT ex.n_distinct_exact, s.n_kept, s.h_k,
+             |  round(CASE WHEN s.n_kept < 1024 THEN CAST(s.n_kept AS DOUBLE)
+             |    ELSE CAST(1023 AS DOUBLE) * 1152921504606846976.0
+             |         / CAST(s.h_k AS DOUBLE) END, 6) AS estimate
+             |FROM ex CROSS JOIN s""".stripMargin)))
 }

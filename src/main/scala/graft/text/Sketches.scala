@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, Column, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Deterministic frequency sketches for corpus-scale counting.
@@ -61,4 +61,55 @@ object Sketches {
       .groupBy(keep: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  /** KMV seed: kept distinct from every other hash-family salt in the repo
+    * (MinHash word hash is "0:", planes "7:", sampling "mix:"/"strat:"). */
+  private val KmvSeed = 99
+
+  /** The k smallest DISTINCT md5-grid hashes of a string column (words,
+    * n-grams, URLs, user ids …) — the k-minimum-values (bottom-k)
+    * cardinality sketch (Bar-Yossef et al. 2002). The 100 TB shape: a
+    * bounded TreeSet of k values per PARTITION (classic per-partition
+    * imperative state — the mapPartitions case), so at most k rows leave
+    * each partition and the global merge re-selects bottom-k over k·P
+    * rows; no universe-sized shuffle anywhere, unlike exact distinct
+    * counting. Mergeable: the union of bottom-k sets re-bottomed is the
+    * bottom-k of the union. */
+  def kmvBottomK(items: DataFrame, k: Int,
+                 itemCol: String = "item"): DataFrame = {
+    require(k > 1, s"need k>1: $k")
+    val hashes = items
+      .select(conv(substring(md5(concat(lit(s"$KmvSeed:"), col(itemCol))),
+        1, 15), 16, 10).cast("long").as("value"))
+      .as[Long](Encoders.scalaLong)
+    val perPartition = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      while (it.hasNext) {
+        val h = it.next()
+        if (set.size < k) set.add(h)
+        else if (h < set.last && !set.contains(h)) {
+          set.add(h); set.remove(set.last)
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator).asScala
+        .map(Long.unbox)
+    }(Encoders.scalaLong)
+    perPartition.toDF("h").distinct().orderBy(col("h").asc).limit(k)
+  }
+
+  /** One-row distinct-count estimate from the bottom-k sketch:
+    * n̂ = (k-1)·2^60 / h_k (h_k = the k-th smallest distinct hash, a
+    * uniform order statistic on the 60-bit grid). If the universe has
+    * fewer than k distinct hashes the sketch IS the distinct set and the
+    * estimate is exact. One double expression from exact integers — the
+    * q85 oracle replays it bit for bit. */
+  def kmvDistinctEstimate(items: DataFrame, k: Int,
+                          itemCol: String = "item"): DataFrame =
+    kmvBottomK(items, k, itemCol)
+      .agg(count(lit(1)).as("n_kept"), max("h").as("h_k"))
+      .select(col("n_kept"), col("h_k"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+            / col("h_k").cast("double"))
+          .as("estimate"))
 }

@@ -366,6 +366,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(unseen === 0L)
   }
 
+  test("KMV bottom-k is partition-invariant, exact under k, and close over k") {
+    import graft.text.Sketches
+    val items = (0 until 5000).map(i => s"item_$i").toDF("item")
+    // universe < k: the sketch IS the distinct set
+    val small = (0 until 100).map(i => s"s_$i").toDF("item")
+    val se = Sketches.kmvDistinctEstimate(small, k = 256).collect().head
+    assert(se.getLong(0) === 100L && se.getDouble(2) === 100.0)
+    // bottom-k set does not depend on partitioning (merge correctness)
+    val a = Sketches.kmvBottomK(items.repartition(1), k = 256)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sketches.kmvBottomK(items.repartition(7), k = 256)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b && a.length === 256 && a === a.sorted && a.distinct === a)
+    // duplicates don't shift the sketch (distinct semantics)
+    val dup = (items.union(items)).repartition(5)
+    val c = Sketches.kmvBottomK(dup, k = 256).collect().map(_.getLong(0)).toSeq
+    assert(c === a)
+    // estimator lands near the truth on this fixed universe (deterministic
+    // given the md5 grid — this is the actual value, not a flaky bound)
+    val est = Sketches.kmvDistinctEstimate(items, k = 256).collect().head
+    assert(est.getLong(0) === 256L)
+    assert(math.abs(est.getDouble(2) - 5000.0) / 5000.0 < 0.15,
+      s"KMV estimate ${est.getDouble(2)} too far from 5000")
+  }
+
   test("int8 top-k finds the planted neighbors despite quantization") {
     val dim = 16
     def vec(seed: Int): Array[Float] = {
