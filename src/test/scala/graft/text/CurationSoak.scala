@@ -74,6 +74,16 @@ object CurationSoak {
         .filter(col("contamination") > 0).count()
       println(s"[soak]   -> $n contaminated train docs")
     }
+    prof.setPhase("bloomDecontamination")
+    time("bloom decontamination (broadcast bitset, same eval slice)") {
+      // the scale tier for the stage above: the eval side collapses to a
+      // 2^24-bit bitset (2 MiB) instead of a multi-GB broadcast string set
+      val isEval = col("doc_id") % 101 === 0
+      val n = Curation.bloomDecontaminationReport(
+          docs.filter(!isEval), docs.filter(isEval), n = 5, mBits = 1 << 24)
+        .filter(col("n_flagged") > 0).count()
+      println(s"[soak]   -> $n bloom-flagged train docs (ub)")
+    }
     prof.setPhase("stratifiedSample")
     time("stratifiedSample (WindowGroupLimit)") {
       val n = Curation.stratifiedSample(docs, perGroup = 10000).count()
