@@ -1535,5 +1535,36 @@ object Llm {
              |  round(CASE WHEN s.n_kept < 1024 THEN CAST(s.n_kept AS DOUBLE)
              |    ELSE CAST(1023 AS DOUBLE) * 1152921504606846976.0
              |         / CAST(s.h_k AS DOUBLE) END, 6) AS estimate
-             |FROM ex CROSS JOIN s""".stripMargin)))
+             |FROM ex CROSS JOIN s""".stripMargin)),
+
+    QueryDef("q86_tfidf_keywords",
+      "per-document top-5 TF-IDF terms against the corpus vocabulary's smoothed IDF",
+      (s, dir) => Curation.tfidfTopTerms(table(s, dir, "documents"),
+          vocabTopK = 1000, perDoc = 5)
+        .orderBy("doc_id", "term_rank"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+             |), n AS (SELECT count(*) AS n_docs FROM documents),
+             |g AS (
+             |  SELECT word, count(*) AS term_count,
+             |    count(DISTINCT doc_id) AS doc_freq
+             |  FROM w GROUP BY word
+             |), vocab AS (
+             |  SELECT word, round(ln((n.n_docs + 1.0) / (doc_freq + 1.0)), 6) AS idf
+             |  FROM g CROSS JOIN n ORDER BY doc_freq DESC, word LIMIT 1000
+             |), tf AS (
+             |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT t.doc_id, t.word, t.tf,
+             |    round(CAST(t.tf AS DOUBLE) * v.idf, 6) AS score
+             |  FROM tf t JOIN vocab v USING (word)
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, word) AS term_rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, score,
+             |  CAST(term_rank AS INT) AS term_rank
+             |FROM r WHERE term_rank <= 5
+             |ORDER BY doc_id, term_rank""".stripMargin)))
 }

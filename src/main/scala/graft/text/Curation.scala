@@ -423,6 +423,35 @@ object Curation {
       .limit(topK)
   }
 
+  /** Per-document top-`perDoc` TF-IDF terms — keyword extraction against
+    * the corpus [[vocabulary]]'s smoothed IDF. Terms outside the
+    * top-`vocabTopK` vocabulary are out-of-vocabulary and dropped (the
+    * broadcast contract: the IDF table is bounded by vocabTopK however
+    * large the corpus).
+    *
+    * Scale shape: the (doc, word) term-frequency agg is the one
+    * corpus-sized shuffle (map-side partials, ~the q61 cost); the IDF
+    * side BROADCASTS; per-doc ranking compiles to WindowGroupLimit
+    * (map-side top-k per doc). Ties rank deterministically on
+    * (score desc, word asc); `score` is rounded to the 1e-6 grid BEFORE
+    * ranking so both engines rank the same column they emit. */
+  def tfidfTopTerms(docs: DataFrame, vocabTopK: Int = 1000, perDoc: Int = 5,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idf = vocabulary(docs, vocabTopK, textCol, idCol).select("word", "idf")
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(idf), "word")
+      .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= perDoc)
+      .select(col(idCol), col("word"), col("tf"), col("score"), col("term_rank"))
+  }
+
   /** Per-stream Zipf spectrum: least-squares slope/intercept of ln(freq)
     * vs ln(rank) over each stream's top-`topK` words — the "does this
     * source look like natural language" fingerprint (natural text slopes

@@ -20,12 +20,14 @@ import graft.operators.ScaleSoak
   * (the signature UDF's md5-per-shingle dominates; the slice keeps the soak
   * minutes-scale while exercising the identical plan).
   *
-  * Run: sbt "Test/runMain graft.text.CurationSoak [nDocs] [wordsPerDoc]"
+  * Run: sbt "Test/runMain graft.text.CurationSoak [nDocs] [wordsPerDoc] [stages]"
+  * (stages = comma list of phase names to run, default all)
   */
 object CurationSoak {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 1000000L
     val wordsPerDoc = if (args.length > 1) args(1).toInt else 60
+    val only: Set[String] = if (args.length > 2) args(2).split(",").toSet else Set.empty
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -41,6 +43,8 @@ object CurationSoak {
       println(f"[soak] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    def stage(name: String)(f: => Unit): Unit =
+      if (only.isEmpty || only(name)) { prof.setPhase(name); f }
     // ids with id%10==0 share a text seed in blocks of 100 -> exact-dup
     // groups of 10; vocab of 500 words keeps realistic repetition levels
     val docs = spark.range(nDocs).select(
@@ -53,29 +57,25 @@ object CurationSoak {
         "cast(pmod(id, 7) + 1 as int))").as("lang"),
       expr("concat('src', pmod(id, 4))").as("source"))
 
-    prof.setPhase("curate")
-    time("curate (1 scan + 1 narrow shuffle)") {
+    stage("curate") { time("curate (1 scan + 1 narrow shuffle)") {
       val byReason = Curation.curate(docs, minTokens = 10, maxTokens = 10000)
         .groupBy("drop_reason").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[soak]   -> $byReason")
-    }
-    prof.setPhase("packSequences")
-    time("packSequences (two-level prefix sum)") {
+    } }
+    stage("packSequences") { time("packSequences (two-level prefix sum)") {
       val r = Curation.packSequences(docs, seqTokens = 2048, shardSize = 1 << 14)
         .agg(max("seq_id"), sum("n_tokens"), count(lit(1))).head()
       println(s"[soak]   -> maxSeq=${r.getLong(0)} tokens=${r.getLong(1)} docs=${r.getLong(2)}")
-    }
-    prof.setPhase("decontamination")
-    time("decontamination (broadcast eval side, 1% slice, 5-grams)") {
+    } }
+    stage("decontamination") { time("decontamination (broadcast eval side, 1% slice, 5-grams)") {
       val isEval = col("doc_id") % 101 === 0
       val n = Curation.decontaminationReport(
           docs.filter(!isEval), docs.filter(isEval), n = 5)
         .filter(col("contamination") > 0).count()
       println(s"[soak]   -> $n contaminated train docs")
-    }
-    prof.setPhase("bloomDecontamination")
-    time("bloom decontamination (broadcast bitset, same eval slice)") {
+    } }
+    stage("bloomDecontamination") { time("bloom decontamination (broadcast bitset, same eval slice)") {
       // the scale tier for the stage above: the eval side collapses to a
       // 2^24-bit bitset (2 MiB) instead of a multi-GB broadcast string set
       val isEval = col("doc_id") % 101 === 0
@@ -83,45 +83,49 @@ object CurationSoak {
           docs.filter(!isEval), docs.filter(isEval), n = 5, mBits = 1 << 24)
         .filter(col("n_flagged") > 0).count()
       println(s"[soak]   -> $n bloom-flagged train docs (ub)")
-    }
-    prof.setPhase("stratifiedSample")
-    time("stratifiedSample (WindowGroupLimit)") {
+    } }
+    stage("stratifiedSample") { time("stratifiedSample (WindowGroupLimit)") {
       val n = Curation.stratifiedSample(docs, perGroup = 10000).count()
       println(s"[soak]   -> $n sampled")
-    }
-    prof.setPhase("vocabulary")
-    time("vocabulary (word-keyed agg)") {
+    } }
+    stage("vocabulary") { time("vocabulary (word-keyed agg)") {
       val n = Curation.vocabulary(docs, topK = 100).count()
       println(s"[soak]   -> $n vocab rows")
-    }
-    prof.setPhase("minhashLsh")
-    val cands = time("minhash signatures -> LSH candidates (1/4 slice)") {
-      val slice = docs.filter(col("doc_id") % 4 === 0)
-      val sigs = TextOps.minhashSignatures(slice)
-      val c = TextOps.minhashCandidates(sigs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = c.count()
-      println(s"[soak]   -> $n candidate pairs")
-      c
-    }
-    // q75's shape: iterative connected components over the candidate edges
-    // (per-round persist/unpersist, one action per round) — the distinct
-    // cost profile VERDICT r7 flagged (CC rounds x edge-list shuffles)
-    prof.setPhase("dupClusters")
-    time("dupClusters (iterative CC over candidates, 1/4 slice)") {
-      val slice = docs.filter(col("doc_id") % 4 === 0)
-      val clusters = TextOps.dupClusters(slice,
-        cands.select(col("doc_a"), col("doc_b")))
-      val n = clusters.filter(col("cluster") =!= col("doc_id")).count()
-      println(s"[soak]   -> $n docs folded into clusters")
+    } }
+    // minhash + dupClusters: dupClusters consumes minhash's candidates, so
+    // requesting either stage runs the candidate generation (timed under
+    // its own phase)
+    if (only.isEmpty || only("minhashLsh") || only("dupClusters")) {
+      prof.setPhase("minhashLsh")
+      val cands = time("minhash signatures -> LSH candidates (1/4 slice)") {
+        val slice = docs.filter(col("doc_id") % 4 === 0)
+        val sigs = TextOps.minhashSignatures(slice)
+        val c = TextOps.minhashCandidates(sigs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = c.count()
+        println(s"[soak]   -> $n candidate pairs")
+        c
+      }
+      // q75's shape: iterative connected components over the candidate edges
+      // (per-round persist/unpersist, one action per round) — the distinct
+      // cost profile VERDICT r7 flagged (CC rounds x edge-list shuffles)
+      if (only.isEmpty || only("dupClusters")) {
+        prof.setPhase("dupClusters")
+        time("dupClusters (iterative CC over candidates, 1/4 slice)") {
+          val slice = docs.filter(col("doc_id") % 4 === 0)
+          val clusters = TextOps.dupClusters(slice,
+            cands.select(col("doc_a"), col("doc_b")))
+          val n = clusters.filter(col("cluster") =!= col("doc_id")).count()
+          println(s"[soak]   -> $n docs folded into clusters")
+        }
+      }
       cands.unpersist()
     }
-    prof.setPhase("substringDedup")
-    time("substring overlap pairs k=8 (1/4 slice)") {
+    stage("substringDedup") { time("substring overlap pairs k=8 (1/4 slice)") {
       val slice = docs.filter(col("doc_id") % 4 === 0)
       val n = TextOps.substringOverlapPairs(slice, k = 8).count()
       println(s"[soak]   -> $n substring pairs")
-    }
+    } }
     prof.report()
     assert(prof.maxResultBytes.get < 64L * 1024 * 1024,
       "a task shipped >64 MiB to the driver — driver materialization leak")

@@ -285,6 +285,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidfTopTerms ranks hand-computed scores with deterministic ties") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "cherry common")
+    ).toDF("doc_id", "text")
+    // n=3: idf(apple)=idf(cherry)=ln(4/2), idf(banana)=ln(4/3), idf(common)=0
+    val out = Curation.tfidfTopTerms(docs, vocabTopK = 10, perDoc = 2)
+      .orderBy("doc_id", "term_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val lnHalf = r6(math.log(2.0))      // 0.693147
+    val ln43 = r6(math.log(4.0 / 3.0))  // 0.287682
+    assert(out === Array(
+      (1L, "apple", 2L, r6(2 * lnHalf)),
+      (1L, "banana", 1L, ln43),
+      (2L, "banana", 1L, ln43),
+      (2L, "common", 2L, 0.0),
+      (3L, "cherry", 1L, lnHalf),
+      (3L, "common", 1L, 0.0)))
+  }
+
   test("waterFill matches the iterative redistribution algorithm on random cases") {
     // reference implementation: repeatedly saturate any group whose supply
     // sits under the current fair-share line, redistribute, until stable
