@@ -76,12 +76,16 @@ object Curation {
     * oracle hash-matches the flag counts exactly (the filter itself is a
     * pure function of the eval set, not of partitioning or arrival order).
     *
-    * Scale shape: the eval side is one explode → distinct → position
-    * explode → distinct, whose COLLECT is bounded by mBits (at most one
-    * row per filter bit), never by eval size; the bitset broadcasts once
-    * (mBits/8 bytes). The train side is ONE narrow scan with a per-doc
-    * probe UDF — zero shuffle, no explode, no join. Output rows are one
-    * per train doc with >= n words, matching q57's row universe. */
+    * Scale shape: the eval side is one explode → distinct → per-partition
+    * bitset OR → treeReduce OR, so what moves is mBits/8-byte ARRAYS
+    * (32 MiB at 2^28), never a position list — bounded by the filter
+    * size at every hop including the driver; the bitset then broadcasts
+    * once. The train side is ONE narrow scan with a per-doc probe UDF —
+    * zero shuffle, no explode, no join. Output rows are one per train
+    * doc with >= n words, matching q57's row universe. Size m at ~10
+    * bits per expected distinct eval n-gram: an overloaded filter
+    * degrades toward flagging everything (soak-measured at 4 bits/elem:
+    * fp ≈ 0.94). */
   def bloomDecontaminationReport(train: DataFrame, eval: DataFrame, n: Int,
                                  mBits: Int = 1 << 20, kHashes: Int = 3,
                                  textCol: String = "text",
@@ -92,16 +96,29 @@ object Curation {
       if (t == null) Array.empty[String] else TextOps.shingleArray(t, n))
     val posUdf = udf((s: String) =>
       Array.tabulate(kHashes)(j => (TextOps.hash60(s, j) % mBits).toInt))
-    // distinct positions <= mBits: the driver fetch is bounded by the
-    // FILTER size (128 KiB of ints at 2^20 bits), not by the eval corpus
-    val positions = eval
+    // distributed bitset build: each partition ORs its positions into a
+    // local mBits-bit array, treeReduce ORs the partials off-driver — the
+    // driver receives ~depth-many mBits/8-byte arrays (32 MiB at 2^28),
+    // never a position list (a row collect at 10-bits/element capacity
+    // would be tens of millions of driver-side Rows)
+    val nWords = (mBits + 63) >>> 6
+    val posPartials = eval
       .select(explode(shingles(col(textCol))).as("_sh")).distinct()
-      .select(explode(posUdf(col("_sh"))).as("pos")).distinct()
-      .collect()
-    val bitWords = new Array[Long]((mBits + 63) >>> 6)
-    positions.foreach { r =>
-      val p = r.getInt(0); bitWords(p >>> 6) |= 1L << (p & 63)
-    }
+      .select(explode(posUdf(col("_sh"))).as("pos"))
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt)
+      .rdd
+      .mapPartitions { it =>
+        val w = new Array[Long](nWords)
+        while (it.hasNext) { val p = it.next(); w(p >>> 6) |= 1L << (p & 63) }
+        Iterator.single(w)
+      }
+    val bitWords =
+      if (posPartials.getNumPartitions == 0) new Array[Long](nWords)
+      else posPartials.treeReduce({ (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }, depth = 2)
     val bits = spark.sparkContext.broadcast(bitWords)
     val probe = udf { (t: String) =>
       val sh = if (t == null) Array.empty[String] else TextOps.shingleArray(t, n)

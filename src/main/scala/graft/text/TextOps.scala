@@ -455,7 +455,15 @@ object TextOps {
     * `maxBucketSize` — a boilerplate window shared by thousands of docs is
     * exact-dedup's job, not a pair flood); the final (a, b) count
     * aggregation partial-combines map-side, so only bounded id-pair rows
-    * ever cross the wire. */
+    * ever cross the wire.
+    *
+    * Ordering contract: run AFTER exact dedup (`curate()` already orders
+    * it so). A window hash repeated by millions of surviving exact-dup
+    * docs funnels its rows to one partition for the count-window before
+    * the cap filter drops it — soak-measured at an adversarial 10%
+    * single-text flood: completes correctly (caps hold, flooded bucket
+    * excluded) but pays ~8 GB spill / 163 s max task that exact-dedup
+    * would have removed upstream. */
   def substringOverlapPairs(docs: DataFrame, k: Int = 8, minShared: Long = 1,
                             maxBucketSize: Int = 64,
                             textCol: String = "text",
