@@ -41,9 +41,11 @@ object TextAnalysis {
     * expression chain propagated null — the corpus has no null text, and
     * 0 matches the module's dirty-corpus posture). */
   private val langScoresUdf = {
-    val slots: Map[String, Int] = Stopwords.zipWithIndex.flatMap {
-      case (((_, words)), li) => words.map(_ -> li)
-    }.toMap
+    // a word may sit in SEVERAL languages' lists (each list replace-counts
+    // independently) — map to every slot, not first-wins
+    val slots: Map[String, Array[Int]] = Stopwords.zipWithIndex
+      .flatMap { case ((_, words), li) => words.map(_ -> li) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).toArray }
     val nLangs = Stopwords.length
     udf { (text: String) =>
       val scores = new Array[Long](nLangs)
@@ -52,9 +54,10 @@ object TextAnalysis {
         var prevCounted = false
         var i = 0
         while (i < toks.length) {
-          val slot = slots.getOrElse(toks(i), -1)
-          if (slot >= 0 && !(prevCounted && i > 0 && toks(i) == toks(i - 1))) {
-            scores(slot) += 1L
+          val ss = slots.getOrElse(toks(i), null)
+          if (ss != null && !(prevCounted && i > 0 && toks(i) == toks(i - 1))) {
+            var j = 0
+            while (j < ss.length) { scores(ss(j)) += 1L; j += 1 }
             prevCounted = true
           } else prevCounted = false
           i += 1
