@@ -179,5 +179,43 @@ object Relational {
              |  FROM (SELECT user_id, ts, event_id,
              |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |        FROM events) t1) t2
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q87_asof_view_click",
+      "as-of join: each click matched to the user's most recent prior view",
+      // the operator Spark lacks, composed as graft.operators.AsOf: one
+      // union + one per-user carry-forward window — no join operator, both
+      // sides shuffle exactly once. Certified against DuckDB's NATIVE
+      // ASOF JOIN. All ts emitted at micro precision (ts div 1000): the
+      // parquet carries TIMESTAMP(NANOS) that Spark reads as nano longs
+      // while DuckDB truncates to micros; (user, micro) collisions are
+      // verified absent at every sf, so ordering agrees across engines.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOf.asOfJoin(clicks, views,
+            keys = Seq("user_id"), ordCol = "ts", tieCol = "event_id",
+            rightPayload = Seq("event_id", "ts"))
+          .select(col("event_id").as("click_id"), col("user_id"),
+            expr("ts div 1000").as("click_us"),
+            col("asof_event_id").as("view_id"),
+            expr("asof_ts div 1000").as("view_us"),
+            expr("(ts div 1000) - (asof_ts div 1000)").as("lag_us"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+             |), v AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+             |)
+             |SELECT c.event_id AS click_id, c.user_id,
+             |  epoch_us(c.ts) AS click_us, v.event_id AS view_id,
+             |  epoch_us(v.ts) AS view_us,
+             |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+             |FROM c ASOF LEFT JOIN v
+             |  ON c.user_id = v.user_id AND v.ts <= c.ts
+             |ORDER BY click_id""".stripMargin)))
 }
