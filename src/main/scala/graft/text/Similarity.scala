@@ -212,11 +212,20 @@ object Similarity {
     *
     * Pass `dim` when known: the fallback probe (`size(vec)` of one row) is
     * bounded but fires a Spark job at operator CONSTRUCTION time, which
-    * composes badly inside loops or a streaming foreachBatch. */
+    * composes badly inside loops or a streaming foreachBatch.
+    *
+    * SIZE `planes` WITH n — planes ≈ log2(n / targetBucketSize) (target
+    * 8-16): candidate pairs grow with Σ C(bucket, 2) ≈ n·avgBucket/2, so
+    * an under-planed sketch floods the cosine join quadratically.
+    * Soak-measured at 4 M vectors: planes=16 (avg bucket ~61) ⇒ ~122 M
+    * pairs, 122 GB of join spill; planes=19 (avg bucket ~8) holds the
+    * pair list near the true-neighbor count. The same n-scaling rule as
+    * IvfParams' √n note. */
   def cosineLshPairs(embeddings: DataFrame, planes: Int = 12, minSim: Double = 0.8,
                      seed: Int = 7, maxBucketSize: Int = 256,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      dim: Int = -1): DataFrame = {
+    require(planes >= 1 && planes <= 30, s"planes must be in [1, 30]: $planes")
     val d = if (dim > 0) dim
             else embeddings.select(size(col(vecCol))).first().getInt(0)
     val hyper = Array.tabulate(planes, d)((p, i) => planeComponent(seed, p, i))

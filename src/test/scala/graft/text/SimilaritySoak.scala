@@ -51,10 +51,16 @@ object SimilaritySoak {
       println(s"[soak]   -> ${vecs.count()} vectors")
     }
     time("hyperplane LSH candidate pairs (bucketed id-pair shape)") {
-      val pairs = Similarity.cosineLshPairs(vecs, planes = 16, minSim = 0.99,
+      // planes sized with n (log2(n/8), the rule on cosineLshPairs):
+      // under-planing floods the cosine join quadratically — measured at
+      // 4 M with planes=16: ~122 M pairs, 122 GB join spill; log2(n/8)
+      // keeps the pair list near the planted-neighbor count
+      val planes = math.max(12,
+        math.ceil(math.log(nVecs / 8.0) / math.log(2.0)).toInt)
+      val pairs = Similarity.cosineLshPairs(vecs, planes = planes, minSim = 0.99,
         dim = dim, maxBucketSize = 4096)
       val n = pairs.count()
-      println(s"[soak]   -> $n pairs >= 0.99 (planted ${nVecs / 10})")
+      println(s"[soak]   -> $n pairs >= 0.99 (planted ${nVecs / 10}, planes $planes)")
     }
     val centroids = time("kmeans centroids (k=32, 2 iters, tiny moment agg)") {
       Similarity.kmeansCentroids(vecs, k = 32, iters = 2)
