@@ -217,5 +217,40 @@ object Relational {
              |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
              |FROM c ASOF LEFT JOIN v
              |  ON c.user_id = v.user_id AND v.ts <= c.ts
-             |ORDER BY click_id""".stripMargin)))
+             |ORDER BY click_id""".stripMargin)),
+
+    QueryDef("q88_range_join_error_clicks",
+      "range join: clicks in the 2 hours strictly before each error, per user",
+      // graft.operators.RangeJoin: ord-binned equi-join (2 bins per left
+      // row, exact predicate inside the hash join) — never a nested-loop
+      // range scan. Micro-precision ords on both engines (ts div 1000 ==
+      // epoch_us), strictly-before window [-2h, -1us].
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+        graft.operators.RangeJoin.rangeJoin(errors, clicks,
+            keys = Seq("user_id"), ordCol = "us",
+            lower = -7200000000L, upper = -1L,
+            rightPayload = Seq("event_id", "us"))
+          .select(col("event_id").as("error_id"), col("user_id"),
+            col("us").as("error_us"), col("r_event_id").as("click_id"),
+            col("r_us").as("click_us"))
+          .orderBy("error_id", "click_id")
+      },
+      Some("""WITH ee AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type = 'error'
+             |), cc AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type = 'click'
+             |)
+             |SELECT ee.event_id AS error_id, ee.user_id, ee.us AS error_us,
+             |  cc.event_id AS click_id, cc.us AS click_us
+             |FROM ee JOIN cc
+             |  ON ee.user_id = cc.user_id
+             | AND cc.us BETWEEN ee.us - 7200000000 AND ee.us - 1
+             |ORDER BY error_id, click_id""".stripMargin)))
 }
