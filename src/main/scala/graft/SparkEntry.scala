@@ -37,7 +37,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             redaction, domain rollups, int8 quantization + quantized
   *             top-k (q80), quality-arbitrated keepers, fixed-merge-table
   *             BPE (q76), per-source Zipf spectrum (q79), count-min
-  *             heavy hitters (q83, streaming q84), KMV distinct sketch (q85), TF-IDF keywords (q86), as-of join (q87), range join (q88)
+  *             heavy hitters (q83, streaming q84), KMV distinct sketch
+  *             (q85), TF-IDF keywords (q86), as-of join (q87), range join
+  *             (q88), sliding-window chunking (q89), bigram-LM coverage
+  *             scoring (q90)
   */
 object SparkEntry {
 

@@ -1566,5 +1566,56 @@ object Llm {
              |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, score,
              |  CAST(term_rank AS INT) AS term_rank
              |FROM r WHERE term_rank <= 5
-             |ORDER BY doc_id, term_rank""".stripMargin)))
+             |ORDER BY doc_id, term_rank""".stripMargin)),
+
+    QueryDef("q89_doc_chunking",
+      "sliding context-window chunking (32-token chunks, stride 16) for LM training",
+      (s, dir) => Curation.chunkDocuments(table(s, dir, "documents"),
+          chunkTokens = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(0, len(toks) - 1, 16)) AS start_tok
+             |  FROM t
+             |)
+             |SELECT doc_id,
+             |  CAST(start_tok // 16 AS INT) AS chunk_idx,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(len(toks[start_tok + 1 : start_tok + 32]) AS INT)
+             |    AS n_chunk_tokens,
+             |  md5(array_to_string(toks[start_tok + 1 : start_tok + 32], ' '))
+             |    AS chunk_hash
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    QueryDef("q90_bigram_coverage",
+      "bigram-LM coverage quality score against the corpus top-2000 bigram model",
+      (s, dir) => TextAnalysis.bigramModelCoverage(table(s, dir, "documents"),
+          modelTopK = 2000)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), ix AS (
+             |  SELECT doc_id, w, unnest(generate_series(2, len(w))) AS i FROM t
+             |), big AS (
+             |  SELECT doc_id, w[i - 1] || ' ' || w[i] AS bg FROM ix
+             |), model AS (
+             |  SELECT bg FROM (
+             |    SELECT bg, count(*) AS c FROM big GROUP BY bg
+             |    ORDER BY c DESC, bg LIMIT 2000)
+             |), per AS (
+             |  SELECT b.doc_id, count(*) AS n_bigrams,
+             |    sum(CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END) AS n_in_model
+             |  FROM big b LEFT JOIN model m USING (bg) GROUP BY b.doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(coalesce(p.n_in_model, 0) AS BIGINT) AS n_in_model,
+             |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+             |    THEN round(CAST(p.n_in_model AS DOUBLE) / p.n_bigrams, 6)
+             |  END AS coverage
+             |FROM documents d LEFT JOIN per p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -407,6 +407,42 @@ object Curation {
         col("seq_id"), col("straddles"))
   }
 
+  // --- document chunking ----------------------------------------------------
+
+  /** Split each document into fixed-token-budget context windows with a
+    * stride (stride < chunkTokens overlaps consecutive chunks — the sliding
+    * context-window preparation LM trainers run on long documents; stride ==
+    * chunkTokens is disjoint chunking). One chunk starts at every multiple
+    * of `stride` below the token count, so the final chunk may be short —
+    * the standard contract (a trainer pads or drops it downstream).
+    *
+    * Output per chunk: (idCol, chunk_idx, start_tok, n_chunk_tokens,
+    * chunk_hash). The chunk TEXT is never materialized past the map side:
+    * the projection keeps only the md5 of the joined tokens, so the
+    * operator is a single narrow scan (no shuffle) whose output rows are
+    * ~50 bytes regardless of document size — explode fan-out multiplies
+    * row count, not bytes of text. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 16,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"need chunkTokens>0, stride>0; got $chunkTokens, $stride")
+    // split limit -1 keeps trailing empties = DuckDB string_split; a null
+    // text chunks like the empty string (one chunk of one empty token)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    docs
+      .select(col(idCol), toks.as("_t"))
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0), size(col("_t")) - 1, lit(stride)))
+          .as("start_tok"))
+      .select(col(idCol),
+        expr(s"CAST(start_tok div $stride AS INT)").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("_t"), col("start_tok") + 1, lit(chunkTokens)).as("_c"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("_c")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("_c"))).as("chunk_hash"))
+  }
+
   // --- corpus vocabulary / document frequency -------------------------------
 
   /** Top-k corpus vocabulary by document frequency with smoothed IDF

@@ -141,4 +141,58 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         explode(regexp_extract_all(col(textCol),
           lit("""https?://([A-Za-z0-9.-]+)"""), lit(1))).as("domain"))
+
+  /** Bigram language-model coverage — the CCNet/KenLM-style LM quality
+    * filter reduced to model-set coverage so both engines compute exact
+    * integer counts: the model is the corpus's top-`modelTopK` bigrams by
+    * frequency (ties broken by bigram string), and each document scores
+    * `n_in_model / n_bigrams` — a document whose word transitions rarely
+    * appear in the corpus model reads as noise/boilerplate, the same signal
+    * perplexity filters threshold on.
+    *
+    * 100 TB shape: the model build is the only shuffle (bigram counts with
+    * map-side partials collapsing to distinct-bigram cardinality, then a
+    * bounded top-K sort-limit); the K model rows are collected (bounded,
+    * like the IVF centroid fetch) and broadcast as a hash set, and the
+    * corpus side is ONE narrow scan probing the set in a single UDF pass —
+    * no explode of the scored corpus, no per-doc shuffle. Output rows carry
+    * counts only, never text. Zero-bigram docs (under two tokens) score
+    * null, guarded explicitly so the contract holds under ANSI mode. */
+  def bigramModelCoverage(docs: DataFrame, modelTopK: Int = 2000,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(modelTopK > 0, s"need modelTopK>0; got $modelTopK")
+    val spark = docs.sparkSession
+    // split limit -1 keeps trailing empties = DuckDB string_split (same
+    // tokenization contract as Curation.repetitionCountsUdf)
+    val bigramsUdf = udf { (t: String) =>
+      val w = if (t == null) Array.empty[String] else t.split(" ", -1)
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    }
+    val modelBigrams = docs
+      .select(explode(bigramsUdf(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg"))
+      .limit(modelTopK)
+      .select("bg").collect().map(_.getString(0)).toSet
+    val model = spark.sparkContext.broadcast(modelBigrams)
+    val probe = udf { (t: String) =>
+      val w = if (t == null) Array.empty[String] else t.split(" ", -1)
+      val m = model.value
+      var inModel = 0L
+      var i = 0
+      while (i < w.length - 1) {
+        if (m.contains(w(i) + " " + w(i + 1))) inModel += 1
+        i += 1
+      }
+      (math.max(0, w.length - 1).toLong, inModel)
+    }
+    docs.select(col(idCol), probe(col(textCol)).as("_p"))
+      .select(col(idCol), col("_p._1").as("n_bigrams"),
+        col("_p._2").as("n_in_model"))
+      .withColumn("coverage",
+        when(col("n_bigrams") > 0,
+          round(col("n_in_model").cast("double") / col("n_bigrams"), 6)))
+  }
 }

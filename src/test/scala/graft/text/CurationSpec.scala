@@ -404,4 +404,24 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - intercept) < 1e-6)
     assert(row.getDouble(2) < 0, "zipf slope must be negative")
   }
+
+  test("chunkDocuments emits stride-spaced windows with a short tail") {
+    // 7 tokens, chunk 4, stride 2 -> starts 0,2,4,6; lengths 4,4,3,1
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, chunkTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getString(4)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((0, 0L, 4), (1, 2L, 4), (2, 4L, 3), (3, 6L, 1)))
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(d1(0)._5 === h("a b c d"))
+    assert(d1(2)._5 === h("e f g"))
+    // single-token and null docs each produce exactly one chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0L, 1, h("x"))))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0, 0L, 1, h(""))))
+  }
 }

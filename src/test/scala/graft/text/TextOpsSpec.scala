@@ -612,4 +612,23 @@ class TextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bigram coverage: hand-computed model cut, coverage fractions, null doc") {
+    // corpus bigram counts: "a b" x3, "b a" x2, "b c" x1 -> top-2 model
+    // {"a b", "b a"}; the cut between count-2 "b a" and count-1 "b c" is
+    // count-ordered, and equal counts break ties by bigram string
+    val corpus = Seq(
+      (1L, "a b a b a"), (2L, "a b c"), (3L, "c"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramModelCoverage(corpus, modelTopK = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_in_model", "coverage")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out(0) === ((1L, 4L, 4L, Some(1.0))))
+    assert(out(1) === ((2L, 2L, 1L, Some(0.5))))
+    assert(out(2) === ((3L, 0L, 0L, None)), "zero-bigram doc scores null")
+    assert(out(3) === ((4L, 0L, 0L, None)), "null doc scores null")
+  }
 }
