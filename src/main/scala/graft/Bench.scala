@@ -33,7 +33,8 @@ object Bench {
     "q81_bloom_decontamination", "q82_token_budget_mixture",
     "q83_count_min_heavy_hitters", "q84_streaming_count_min",
     "q85_kmv_distinct_trigrams", "q86_tfidf_keywords", "q87_asof_view_click",
-    "q88_range_join_error_clicks", "q89_doc_chunking", "q90_bigram_coverage")
+    "q88_range_join_error_clicks", "q89_doc_chunking", "q90_bigram_coverage",
+    "q91_value_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

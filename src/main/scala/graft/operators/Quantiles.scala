@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+/** Exact distributed quantiles by global rank selection.
+  *
+  * Spark's built-in exact `percentile` aggregate collects every value of a
+  * group into one aggregation buffer — a single task holds a whole group,
+  * which is exactly the shape that breaks first at scale (a 100 TB corpus
+  * with a handful of event types puts terabytes through one buffer). This
+  * operator computes the same linear-interpolation quantiles
+  * (`rank = p * (n-1)`; `v_lo + (v_hi - v_lo) * frac`) with the classic
+  * distributed-selection plan instead:
+  *
+  *  1. ONE range shuffle on (group, value) — afterwards partition i holds a
+  *     contiguous, sorted slice of each group's value range, so parallelism
+  *     is the partition count, never the group count;
+  *  2. a per-partition (group, count) pass — the collected state is bounded
+  *     by partitions × groups-touching-each-partition (a range partition
+  *     touches at most all groups, and the rows are counts, not values);
+  *  3. an exclusive prefix sum over those counts gives each partition its
+  *     per-group starting global rank (driver-side, tiny) — the same
+  *     two-level pattern as `Curation.packSequences`;
+  *  4. a second pass over the SAME shuffled data (Spark reuses the shuffle
+  *     files; the re-executed work is the narrow count/filter above them)
+  *     emits only the rows whose global rank is a needed order statistic —
+  *     at most 2 × |ps| rows per group cross back to the driver.
+  *
+  * The interpolation arithmetic is evaluated in the exact IEEE shape the
+  * DuckDB oracle uses (`p*(n-1)` in double, `floor`, `v_lo+(v_hi-v_lo)*frac`),
+  * so results hash-match without rounding. Ties in `value` are harmless:
+  * ranks among equal values are arbitrary but the value AT a rank is not.
+  */
+object Quantiles {
+
+  /** Per-group exact quantiles. `ps` maps output column name -> p in [0,1];
+    * output is one row per group: (groupCol, ps.map(_._1)*), group rendered
+    * as string. Null values are excluded (SQL aggregate semantics); groups
+    * with no non-null values don't appear. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"quantile ps must be in [0,1]; got $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[(String, Double)]
+      .rdd
+
+    // pass 1: per-partition per-group counts, in partition order (the range
+    // partitioner emits key ranges in partition-index order, so a group's
+    // slices across partitions are rank-ordered by pid)
+    val partCounts: Array[(Int, Array[(String, Long)])] = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _) => counts.update(g, counts.getOrElse(g, 0L) + 1L) }
+        Iterator.single(pid -> counts.toArray)
+      }
+      .collect()
+      .sortBy(_._1)
+
+    val totals = scala.collection.mutable.HashMap.empty[String, Long]
+    val starts = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    partCounts.foreach { case (pid, counts) =>
+      counts.foreach { case (g, c) =>
+        starts.update((pid, g), totals.getOrElse(g, 0L))
+        totals.update(g, totals.getOrElse(g, 0L) + c)
+      }
+    }
+    if (totals.isEmpty) {
+      val schema = StructType(StructField(groupCol, StringType) +:
+        ps.map { case (name, _) => StructField(name, DoubleType) })
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+
+    // needed order statistics per group: floor and ceil rank for each p
+    val needed: Map[String, Array[Long]] = totals.iterator.map { case (g, n) =>
+      val ranks = ps.flatMap { case (_, p) =>
+        val rank = p * (n - 1).toDouble
+        val lo = math.floor(rank).toLong
+        Seq(lo, math.min(lo + 1, n - 1))
+      }
+      g -> ranks.distinct.sorted.toArray
+    }.toMap
+
+    val neededB = spark.sparkContext.broadcast(needed)
+    val startsB = spark.sparkContext.broadcast(starts.toMap)
+
+    // pass 2: walk the sorted partitions again (shuffle reused), keep only
+    // the rows sitting at a needed global rank
+    val selected: Map[(String, Long), Double] = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        var curG: String = null
+        var idx = 0L
+        var start = 0L
+        var want: Array[Long] = Array.emptyLongArray
+        it.flatMap { case (g, v) =>
+          if (g != curG) {
+            curG = g
+            idx = 0L
+            start = startsB.value.getOrElse((pid, g), 0L)
+            want = neededB.value.getOrElse(g, Array.emptyLongArray)
+          }
+          val rank = start + idx
+          idx += 1L
+          if (java.util.Arrays.binarySearch(want, rank) >= 0) Iterator.single((g, rank, v))
+          else Iterator.empty
+        }
+      }
+      .collect()
+      .map { case (g, rank, v) => (g, rank) -> v }
+      .toMap
+
+    val rows = totals.keys.toSeq.sorted.map { g =>
+      val n = totals(g)
+      val qs = ps.map { case (_, p) =>
+        val rank = p * (n - 1).toDouble
+        val lo = math.floor(rank).toLong
+        val hi = math.min(lo + 1, n - 1)
+        val frac = rank - lo.toDouble
+        val vLo = selected((g, lo))
+        val vHi = selected((g, hi))
+        vLo + (vHi - vLo) * frac
+      }
+      Row.fromSeq(g +: qs)
+    }
+    val schema = StructType(StructField(groupCol, StringType) +:
+      ps.map { case (name, _) => StructField(name, DoubleType) })
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

@@ -252,5 +252,45 @@ object Relational {
              |FROM ee JOIN cc
              |  ON ee.user_id = cc.user_id
              | AND cc.us BETWEEN ee.us - 7200000000 AND ee.us - 1
-             |ORDER BY error_id, click_id""".stripMargin)))
+             |ORDER BY error_id, click_id""".stripMargin)),
+
+    QueryDef("q91_value_quantiles",
+      "exact distributed quantiles (p50/p95/p99) by global rank selection",
+      // graft.operators.Quantiles: one range shuffle + two-level rank
+      // offsets — never a whole group through one percentile buffer. The
+      // oracle replays the identical interpolation (p*(n-1), floor,
+      // v_lo+(v_hi-v_lo)*frac) over row_number order statistics, so the
+      // doubles hash-match with no rounding.
+      (s, dir) => graft.operators.Quantiles.exactQuantiles(
+          table(s, dir, "events"), "event_type", "value",
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+        .orderBy("event_type"),
+      Some("""WITH v AS (
+             |  SELECT event_type AS g, value AS v FROM events
+             |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+             |), r AS (
+             |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM v
+             |), sel AS (
+             |  SELECT g, n,
+             |    max(CASE WHEN rk = CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo50,
+             |    max(CASE WHEN rk = least(CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi50,
+             |    max(CASE WHEN rk = CAST(floor(0.95::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo95,
+             |    max(CASE WHEN rk = least(CAST(floor(0.95::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi95,
+             |    max(CASE WHEN rk = CAST(floor(0.99::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo99,
+             |    max(CASE WHEN rk = least(CAST(floor(0.99::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi99
+             |  FROM r GROUP BY g, n
+             |)
+             |SELECT g AS event_type,
+             |  lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
+             |  lo95 + (hi95 - lo95) * (0.95::DOUBLE * (n - 1) - floor(0.95::DOUBLE * (n - 1))) AS p95,
+             |  lo99 + (hi99 - lo99) * (0.99::DOUBLE * (n - 1) - floor(0.99::DOUBLE * (n - 1))) AS p99
+             |FROM sel ORDER BY event_type""".stripMargin)))
 }
