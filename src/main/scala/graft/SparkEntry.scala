@@ -40,7 +40,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             heavy hitters (q83, streaming q84), KMV distinct sketch
   *             (q85), TF-IDF keywords (q86), as-of join (q87), range join
   *             (q88), sliding-window chunking (q89), bigram-LM coverage
-  *             scoring (q90), exact distributed quantiles (q91)
+  *             scoring (q90), exact distributed quantiles (q91), CUBE
+  *             grouping sets (q92), skew-salted join (q93)
   */
 object SparkEntry {
 

@@ -1617,5 +1617,36 @@ object Llm {
              |    THEN round(CAST(p.n_in_model AS DOUBLE) / p.n_bigrams, 6)
              |  END AS coverage
              |FROM documents d LEFT JOIN per p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q93_salted_source_join",
+      "skew-salted shuffle join: per-source stats attached to every doc",
+      // `source` has a handful of values — the maximal-skew join shape. The
+      // salted operator splits each hot source across 8 (source, salt)
+      // buckets (forceShuffle pins the merge-join path so the salted plan
+      // is the one that runs); the oracle is the PLAIN join, certifying the
+      // salt changes distribution only, never the result.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val stats = docs.groupBy("source")
+          .agg(count(lit(1)).as("source_docs"),
+            avg("n_chars").as("_avg_chars"))
+        graft.operators.SkewJoin.saltedInnerJoin(
+            docs.select("doc_id", "source", "n_chars"), stats,
+            keys = Seq("source"), saltSrc = col("doc_id"), saltFactor = 8,
+            forceShuffle = true)
+          .select(col("doc_id"), col("source"), col("source_docs"),
+            round(col("_avg_chars"), 6).as("avg_chars"),
+            round(col("n_chars") / col("_avg_chars"), 6).as("rel_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT source, count(*) AS source_docs, avg(n_chars) AS avg_chars
+             |  FROM documents GROUP BY source
+             |)
+             |SELECT d.doc_id, d.source, s.source_docs,
+             |  round(s.avg_chars, 6) AS avg_chars,
+             |  round(d.n_chars / s.avg_chars, 6) AS rel_len
+             |FROM documents d JOIN s USING (source)
              |ORDER BY doc_id""".stripMargin)))
 }

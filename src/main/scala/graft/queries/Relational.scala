@@ -292,5 +292,32 @@ object Relational {
              |  lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
              |  lo95 + (hi95 - lo95) * (0.95::DOUBLE * (n - 1) - floor(0.95::DOUBLE * (n - 1))) AS p95,
              |  lo99 + (hi99 - lo99) * (0.99::DOUBLE * (n - 1) - floor(0.99::DOUBLE * (n - 1))) AS p99
-             |FROM sel ORDER BY event_type""".stripMargin)))
+             |FROM sel ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q92_cube_pricing",
+      "multidimensional CUBE aggregation with grouping_id over lineitem",
+      // all four grouping sets ((flag,status),(flag),(status),()) in one
+      // pass — Catalyst expands the cube before the single hash aggregate,
+      // partials combine map-side like any groupBy. Rollup coordinates are
+      // coalesced to a sentinel so neither engine's null ORDER BY policy
+      // (Spark nulls-first, DuckDB nulls-last) touches the comparison.
+      (s, dir) => table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+             |  coalesce(l_linestatus, '(all)') AS linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  count(*) AS n_rows,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)))
 }
