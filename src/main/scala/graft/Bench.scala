@@ -34,7 +34,8 @@ object Bench {
     "q83_count_min_heavy_hitters", "q84_streaming_count_min",
     "q85_kmv_distinct_trigrams", "q86_tfidf_keywords", "q87_asof_view_click",
     "q88_range_join_error_clicks", "q89_doc_chunking", "q90_bigram_coverage",
-    "q91_value_quantiles", "q92_cube_pricing", "q93_salted_source_join")
+    "q91_value_quantiles", "q92_cube_pricing", "q93_salted_source_join",
+    "q94_weighted_sample", "q95_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1648,5 +1648,55 @@ object Llm {
              |  round(s.avg_chars, 6) AS avg_chars,
              |  round(d.n_chars / s.avg_chars, 6) AS rel_len
              |FROM documents d JOIN s USING (source)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q94_weighted_sample",
+      "deterministic weighted sampling: perGroup docs per lang, integer priority u60 div weight",
+      (s, dir) => Curation.weightedSample(table(s, dir, "documents"),
+          perGroup = 20, weightCol = "n_chars")
+        .select("doc_id", "lang", "n_chars", "priority", "sample_rank")
+        .orderBy("lang", "sample_rank"),
+      Some("""WITH pri AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(CAST(('0x' || substr(md5('wsamp:' || doc_id), 1, 15))
+             |      AS UBIGINT) // n_chars AS BIGINT) AS priority
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY lang
+             |    ORDER BY priority, doc_id) AS sample_rank FROM pri
+             |)
+             |SELECT doc_id, lang, n_chars, priority,
+             |  CAST(sample_rank AS INT) AS sample_rank
+             |FROM r WHERE sample_rank <= 20
+             |ORDER BY lang, sample_rank""".stripMargin)),
+
+    QueryDef("q95_pmi_collocations",
+      "top-50 PMI collocations: bigram lift over exact integer counts, rounded-lift ranking",
+      (s, dir) => TextAnalysis.pmiCollocations(table(s, dir, "documents"),
+        minCount = 3, topK = 50),
+      Some("""WITH toks AS (
+             |  SELECT string_split(coalesce(text, ''), ' ') AS w FROM documents
+             |), words AS (
+             |  SELECT unnest(w) AS word FROM toks
+             |), uni AS (SELECT word, count(*) AS cw FROM words GROUP BY word),
+             |n1t AS (SELECT count(*) AS n1 FROM words),
+             |big0 AS (
+             |  SELECT w[i - 1] || ' ' || w[i] AS bg
+             |  FROM (SELECT w, unnest(generate_series(2, len(w))) AS i FROM toks)
+             |), n2t AS (SELECT count(*) AS n2 FROM big0),
+             |big AS (
+             |  SELECT bg, count(*) AS c FROM big0 GROUP BY bg
+             |  HAVING count(*) >= 3
+             |), sc AS (
+             |  SELECT b.bg, b.c, u1.cw AS c1, u2.cw AS c2,
+             |    (CAST(b.c AS DOUBLE) * t1.n1 * t1.n1)
+             |      / (CAST(t2.n2 AS DOUBLE) * u1.cw * u2.cw) AS lift0
+             |  FROM big b
+             |  CROSS JOIN n1t t1 CROSS JOIN n2t t2
+             |  JOIN uni u1 ON u1.word = string_split(b.bg, ' ')[1]
+             |  JOIN uni u2 ON u2.word = string_split(b.bg, ' ')[2]
+             |)
+             |SELECT bg, c, c1, c2, round(lift0, 6) AS lift,
+             |  round(ln(lift0), 6) AS pmi
+             |FROM sc ORDER BY round(lift0, 6) DESC, bg LIMIT 50""".stripMargin)))
 }

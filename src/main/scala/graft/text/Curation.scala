@@ -264,6 +264,39 @@ object Curation {
       .filter(col("sample_rank") <= perGroup)
   }
 
+  // --- deterministic weighted sampling --------------------------------------
+
+  /** Exactly `perGroup` docs per group, drawn with inclusion probability
+    * increasing in `weightCol` (weighted priority sampling): each doc gets an
+    * integer priority u60 div weight — the Efraimidis-Spirakis weighted-key
+    * scheme with the exponential key replaced by the integer ratio, which
+    * keeps P(priority < t) proportional to weight for small t — and the
+    * `perGroup` SMALLEST priorities per group win. All arithmetic is exact
+    * 64-bit integer (60-bit md5 uniform, `div`), so any engine replays the
+    * identical sample: no float pow/log in the key, no boundary straddle.
+    *
+    * Scale: identical to [[stratifiedSample]] — the rank filter compiles to
+    * WindowGroupLimit, so the group shuffle carries at most perGroup rows
+    * per group per input partition. Docs with null/non-positive weight are
+    * excluded. Salted "wsamp" — independent of the mixture ("mix") and
+    * stratified ("strat") draws (see [[sampleHash]]).
+    */
+  def weightedSample(docs: DataFrame, perGroup: Int, weightCol: String,
+                     groupCol: String = "lang",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perGroup > 0, s"need perGroup>0; got $perGroup")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").asc, col(idCol).asc)
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol).cast("long") > 0)
+      .withColumn("_u", sampleHash(col(idCol), "wsamp"))
+      .withColumn("priority", expr(s"_u div CAST(`$weightCol` AS BIGINT)"))
+      .drop("_u")
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perGroup)
+  }
+
   // --- token-budget mixture solver ------------------------------------------
 
   /** One solved group of [[solveTokenBudget]]: `saturated` groups keep all

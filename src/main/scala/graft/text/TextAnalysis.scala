@@ -158,18 +158,19 @@ object TextAnalysis {
     * no explode of the scored corpus, no per-doc shuffle. Output rows carry
     * counts only, never text. Zero-bigram docs (under two tokens) score
     * null, guarded explicitly so the contract holds under ANSI mode. */
+  // split limit -1 keeps trailing empties = DuckDB string_split (same
+  // tokenization contract as Curation.repetitionCountsUdf)
+  private val bigramsUdf = udf { (t: String) =>
+    val w = if (t == null) Array.empty[String] else t.split(" ", -1)
+    if (w.length < 2) Array.empty[String]
+    else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+  }
+
   def bigramModelCoverage(docs: DataFrame, modelTopK: Int = 2000,
                           textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     require(modelTopK > 0, s"need modelTopK>0; got $modelTopK")
     val spark = docs.sparkSession
-    // split limit -1 keeps trailing empties = DuckDB string_split (same
-    // tokenization contract as Curation.repetitionCountsUdf)
-    val bigramsUdf = udf { (t: String) =>
-      val w = if (t == null) Array.empty[String] else t.split(" ", -1)
-      if (w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-    }
     val modelBigrams = docs
       .select(explode(bigramsUdf(col(textCol))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c"))
@@ -194,5 +195,50 @@ object TextAnalysis {
       .withColumn("coverage",
         when(col("n_bigrams") > 0,
           round(col("n_in_model").cast("double") / col("n_bigrams"), 6)))
+  }
+
+  /** Corpus collocations by pointwise mutual information: the `topK` word
+    * bigrams (count >= `minCount`) whose observed frequency most exceeds
+    * the independence expectation. `lift` = p(xy) / (p(x)·p(y)) computed as
+    * ONE double expression over exact integer counts —
+    * (c_xy·N1·N1) / (N2·c_x·c_y) with fixed left-to-right association so
+    * both engines evaluate the identical IEEE sequence; `pmi` = ln(lift).
+    * Ranking uses the ROUNDED lift (bigram tie-break), so the selected set
+    * can't straddle a float boundary across engines.
+    *
+    * 100 TB shape: two count aggregations (unigram, bigram) whose map-side
+    * partials collapse to vocab/bigram-vocab cardinality; the `minCount`
+    * filter drops the hapax-bigram long tail BEFORE the two word-count
+    * joins (post-filter survivors are collocation candidates, a tiny
+    * fraction of bigram vocab); final selection is a sort-limit (map-side
+    * top-K, the TakeOrdered shape) — never a single-partition window. The
+    * corpus text itself crosses no shuffle; only (gram, count) rows do. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 3, topK: Int = 50,
+                      textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"need topK>0; got $topK")
+    require(minCount >= 1, s"need minCount>=1; got $minCount")
+    val words = docs.select(
+      explode(split(coalesce(col(textCol), lit("")), " ", -1)).as("word"))
+    val uni = words.groupBy("word").agg(count(lit(1)).as("cw"))
+    val bigAll = docs.select(explode(bigramsUdf(col(textCol))).as("bg"))
+    val totals = broadcast(
+      words.agg(count(lit(1)).as("n1"))
+        .crossJoin(bigAll.agg(count(lit(1)).as("n2"))))
+    val big = bigAll.groupBy("bg").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .withColumn("w1", split(col("bg"), " ", -1).getItem(0))
+      .withColumn("w2", split(col("bg"), " ", -1).getItem(1))
+    big
+      .join(uni.select(col("word").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(totals)
+      .withColumn("_lift",
+        (col("c").cast("double") * col("n1") * col("n1"))
+          / (col("n2").cast("double") * col("c1") * col("c2")))
+      .select(col("bg"), col("c"), col("c1"), col("c2"),
+        round(col("_lift"), 6).as("lift"),
+        round(log(col("_lift")), 6).as("pmi"))
+      .orderBy(col("lift").desc, col("bg"))
+      .limit(topK)
   }
 }

@@ -158,6 +158,27 @@ class CurationSpec extends AnyFunSuite {
     assert(overlap > 0.2 && overlap < 0.8, s"sampler correlation: overlap $overlap")
   }
 
+  test("weightedSample prefers heavy docs, is exact-count and layout-independent") {
+    val docs = spark.range(1000)
+      .select(col("id").as("doc_id"), lit("en").as("lang"),
+        // half the docs carry 100x the weight of the other half
+        when(col("id") < 500, 100L).otherwise(1L).as("wt"))
+    val a = Curation.weightedSample(docs, perGroup = 50, weightCol = "wt")
+    val ids = a.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids.size === 50)
+    // a 100:1 weight ratio makes a light doc's win probability ~1e-3; out
+    // of 50 winners expect ~0 light docs (allow a couple)
+    assert(ids.count(_ >= 500) <= 3, s"light docs won: ${ids.count(_ >= 500)}")
+    // deterministic under any partitioning
+    val b = Curation.weightedSample(docs.repartition(7), perGroup = 50, weightCol = "wt")
+    assert(b.select("doc_id").as[Long].collect().sorted.toSeq === ids)
+    // null / non-positive weights are excluded entirely
+    val dirty = spark.range(10)
+      .select(col("id").as("doc_id"), lit("en").as("lang"),
+        when(col("id") < 5, -1L).as("wt"))   // 5 negative, 5 null
+    assert(Curation.weightedSample(dirty, perGroup = 10, weightCol = "wt").count() === 0)
+  }
+
   test("curationReport rollup rows are consistent with their subtotals") {
     val docs = Seq(
       (1L, (1 to 60).map(i => s"v$i").mkString(" "), "en", "web"),

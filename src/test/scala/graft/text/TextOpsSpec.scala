@@ -631,4 +631,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 0L, 0L, None)), "zero-bigram doc scores null")
     assert(out(3) === ((4L, 0L, 0L, None)), "null doc scores null")
   }
+
+  test("PMI collocations: hand-computed lift, minCount cut, ranking") {
+    // "alpha beta" always adjacent (x3); every other bigram is a hapax.
+    // N1 = 9 words, N2 = 6 bigrams; c(alpha)=c(beta)=3, c(alpha beta)=3
+    // lift = (3*9*9)/(6*3*3) = 4.5; pmi = ln(4.5)
+    val corpus = Seq(
+      (1L, "alpha beta x"), (2L, "alpha beta y"), (3L, "alpha beta z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(corpus, minCount = 3, topK = 10)
+      .collect()
+    assert(out.length === 1, "hapax bigrams fall below minCount")
+    val r = out.head
+    assert(r.getAs[String]("bg") === "alpha beta")
+    assert(r.getAs[Long]("c") === 3L && r.getAs[Long]("c1") === 3L
+      && r.getAs[Long]("c2") === 3L)
+    assert(r.getAs[Double]("lift") === 4.5)
+    assert(r.getAs[Double]("pmi") === math.rint(math.log(4.5) * 1e6) / 1e6)
+
+    // ranking: a tighter collocation outranks a looser one, topK truncates
+    val corpus2 = Seq(
+      (1L, "p q p q p q"),         // "p q" x3 + "q p" x2 (interleaved)
+      (2L, "u v w u v w u v w"))   // "u v" x3, "v w" x3, "w u" x2
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.pmiCollocations(corpus2, minCount = 3, topK = 2)
+      .select("bg").collect().map(_.getString(0)).toSeq
+    assert(top.length === 2)
+    // all survivors have c=3 with same-count words; order falls to the
+    // deterministic (lift desc, bg asc) tie-break
+    val full = TextAnalysis.pmiCollocations(corpus2, minCount = 3, topK = 10)
+      .select("bg").collect().map(_.getString(0)).toSeq
+    assert(top === full.take(2), "topK is a prefix of the full ranking")
+  }
 }
