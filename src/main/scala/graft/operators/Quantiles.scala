@@ -135,4 +135,44 @@ object Quantiles {
       ps.map { case (name, _) => StructField(name, DoubleType) })
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Robust per-group outlier detection by median/MAD — the heavy-tail-safe
+    * alternative to mean/stddev z-scores (one wild value shifts a mean;
+    * the median absolute deviation ignores it). Output per group:
+    * (groupCol, n, med, mad, n_outliers, outlier_frac) where a row is an
+    * outlier iff |v - med| > k·mad, strict.
+    *
+    * Determinism: both medians come from [[exactQuantiles]], whose
+    * interpolation is the exact IEEE sequence the oracle replays, so `med`
+    * and `mad` are BIT-IDENTICAL across engines — |v-med|, k·mad, and the
+    * strict compare then evaluate identically everywhere, and the flag
+    * can't straddle a float boundary without any rounding.
+    *
+    * Scale: two range-shuffle quantile passes (value, then absolute
+    * deviation — MAD is inherently two-round) + one map-side-partial count
+    * aggregation; the med/mad tables are group-count-sized and broadcast.
+    * Never a whole group through one percentile buffer. */
+  def robustOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
+                         k: Double = 3.0): DataFrame = {
+    require(k > 0, s"need k>0; got $k")
+    val base = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+    val med = exactQuantiles(base, "g", "v", Seq("med" -> 0.5))
+    val dev = base.join(broadcast(med), "g")
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = exactQuantiles(dev, "g", "ad", Seq("mad" -> 0.5))
+    dev.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("g").as(groupCol), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6)
+          .as("outlier_frac"))
+  }
 }

@@ -319,5 +319,62 @@ object Relational {
              |  count(*) AS n_rows,
              |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-             |ORDER BY returnflag, linestatus""".stripMargin)))
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    QueryDef("q96_robust_outliers",
+      "median/MAD robust outlier stats per group (two exact-quantile passes)",
+      // Quantiles.robustOutlierStats composes two exactQuantiles range
+      // shuffles; med and mad are bit-identical across engines (the q91
+      // interpolation contract), so the strict |v-med| > 3*mad flag needs
+      // no rounding. The oracle replays both medians via the q91
+      // row_number order-statistic idiom.
+      (s, dir) => graft.operators.Quantiles.robustOutlierStats(
+          table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          k = 3.0)
+        .orderBy("l_returnflag"),
+      Some("""WITH base AS (
+             |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+             |    CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+             |), r AS (
+             |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk,
+             |    count(*) OVER (PARTITION BY g) AS n FROM base
+             |), medsel AS (
+             |  SELECT g, n,
+             |    max(CASE WHEN rk = CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo,
+             |    max(CASE WHEN rk = least(CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi
+             |  FROM r GROUP BY g, n
+             |), med AS (
+             |  SELECT g, lo + (hi - lo) *
+             |    (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS med
+             |  FROM medsel
+             |), dev AS (
+             |  SELECT b.g, b.v, m.med, abs(b.v - m.med) AS ad
+             |  FROM base b JOIN med m USING (g)
+             |), r2 AS (
+             |  SELECT g, ad, row_number() OVER (PARTITION BY g ORDER BY ad) - 1 AS rk,
+             |    count(*) OVER (PARTITION BY g) AS n FROM dev
+             |), madsel AS (
+             |  SELECT g, n,
+             |    max(CASE WHEN rk = CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN ad END) AS lo,
+             |    max(CASE WHEN rk = least(CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN ad END) AS hi
+             |  FROM r2 GROUP BY g, n
+             |), mad AS (
+             |  SELECT g, lo + (hi - lo) *
+             |    (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS mad
+             |  FROM madsel
+             |)
+             |SELECT d.g AS l_returnflag, count(*) AS n,
+             |  max(d.med) AS med, max(ma.mad) AS mad,
+             |  CAST(sum(CASE WHEN d.ad > 3.0 * ma.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
+             |  round(CAST(sum(CASE WHEN d.ad > 3.0 * ma.mad THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) AS outlier_frac
+             |FROM dev d JOIN mad ma USING (g)
+             |GROUP BY d.g ORDER BY l_returnflag""".stripMargin)))
 }

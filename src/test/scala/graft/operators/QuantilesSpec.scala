@@ -72,4 +72,27 @@ class QuantilesSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("g", "p50", "p95", "p99"))
     assert(out.count() === 0)
   }
+
+  test("robust outlier stats: hand-computed median/MAD, odd and even groups") {
+    val df = (
+      // odd group: med 3, ads {2,1,0,1,97} -> sorted {0,1,1,2,97}, mad 1,
+      // outliers = |v-3| > 3: only 100
+      Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 4.0, "a" -> 100.0) ++
+      // even group: med 2.5, ads {1.5,.5,.5,7.5} -> mad (.5+1.5)/2 = 1,
+      // outliers = ad > 3: only 10
+      Seq("b" -> 1.0, "b" -> 2.0, "b" -> 3.0, "b" -> 10.0)
+    ).toDF("g", "v")
+    val out = Quantiles.robustOutlierStats(df, "g", "v", k = 3.0)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(out === Array(
+      ("a", 5L, 3.0, 1.0, 1L, 0.2),
+      ("b", 4L, 2.5, 1.0, 1L, 0.25)))
+    // a MAD of zero (over half the values identical) flags every
+    // non-median value — the degenerate-contract sanity check
+    val const = Seq("c" -> 5.0, "c" -> 5.0, "c" -> 5.0, "c" -> 9.0).toDF("g", "v")
+    val r = Quantiles.robustOutlierStats(const, "g", "v").collect().head
+    assert(r.getDouble(3) === 0.0 && r.getLong(4) === 1L)
+  }
 }
