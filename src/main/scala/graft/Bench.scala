@@ -74,12 +74,19 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      name -> runs.minBy(_._1)
+      // a failed run's latency is analysis-error time, not work: never let
+      // it masquerade as a timing. Only successful runs compete for best-of.
+      val ok = runs.filter(_._2 >= 0)
+      name -> (if (ok.isEmpty) None else Some(ok.minBy(_._1)._1))
     }
-    val qJson = results.map { case (k, (sec, _)) => s""""$k":$sec""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val qJson = results.map {
+      case (k, Some(sec)) => s""""$k":$sec"""
+      case (k, None) => s""""$k":null"""
+    }.mkString("{", ",", "}")
+    val errJson = results.collect { case (k, None) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,26 @@ object Frames {
 
   val SegmentCols = Seq("series", "channel", "band", "rate", "startingTime", "values")
 
+  /** Normalize an events frame's `ts` column to long NANOS regardless of the
+    * physical parquet type the harness wrote. Two generations exist:
+    * TIMESTAMP(NANOS), which Spark 4 only reads under
+    * `spark.sql.legacy.parquet.nanosAsLong` (arrives here as LongType nanos —
+    * pass through), and TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ
+    * (or LTZ) and is converted via `unix_micros * 1000`. The NTZ->LTZ cast
+    * is wall-clock-in-session-TZ; the session is pinned to UTC so the epoch
+    * value is preserved exactly — the same interpretation DuckDB's
+    * `epoch_ns`/`epoch_us` give the naive timestamp, keeping every oracle
+    * comparison aligned. Narrow projection: no shuffle, streaming-safe. */
+  def normalizeTsNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
+
   /** SegmentFrame -> LongFrame. Narrow (no shuffle): posexplode. */
   def toLong(segments: DataFrame): DataFrame =
     segments.select(
@@ -81,10 +101,11 @@ object Frames {
     * t_idx is assigned via denseIndexByKey bucketed by event hour: no
     * whole-channel window, so the sort parallelism scales with recording
     * span (nChannels × hours tasks) instead of pinning each channel's entire
-    * history to one task. `ts` arrives as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong). */
-  def eventsToLong(events: DataFrame, nChannels: Int, rate: Double,
+    * history to one task. `ts` is normalized to long nanos at entry
+    * ([[normalizeTsNanos]]) whatever the parquet physical type. */
+  def eventsToLong(eventsRaw: DataFrame, nChannels: Int, rate: Double,
                    series: String = "events"): DataFrame = {
+    val events = normalizeTsNanos(eventsRaw)
     val hourNanos = 3600L * 1000 * 1000 * 1000
     denseIndexByKey(
       events.withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int")),
@@ -108,8 +129,9 @@ object Frames {
     * count-only aggregate over the raw events (column-pruned scan, map-side
     * combined, no arrays, no sort) broadcast into a `slice`. The long-form
     * dense index is never materialized. */
-  def eventsToSegments(events: DataFrame, nChannels: Int, rate: Double,
+  def eventsToSegments(eventsRaw: DataFrame, nChannels: Int, rate: Double,
                        series: String = "events"): DataFrame = {
+    val events = normalizeTsNanos(eventsRaw)
     val hourNanos = 3600L * 1000 * 1000 * 1000
     val chan = events.withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
     // native sort-assembly (packed buffers, JVM comparator) instead of

@@ -15,13 +15,17 @@ final case class QueryDef(
   oracle: Option[String])
 
 object QueryDef {
-  /** Read one harness table; events timestamps (TIMESTAMP NANOS parquet) are
-    * read as long nanos — Spark 4 rejects them natively, and DuckDB reads the
-    * same column truncated to micros, so oracle queries only use ts at
-    * granularities where both agree. */
+  /** Read one harness table, normalizing any `ts` column to long nanos —
+    * the single batch-ingestion choke point. The harness has shipped events
+    * timestamps both as TIMESTAMP(NANOS) (readable only under
+    * `spark.sql.legacy.parquet.nanosAsLong`, arriving as long nanos) and as
+    * TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ);
+    * [[graft.model.Frames.normalizeTsNanos]] absorbs both so every
+    * downstream plan sees one contract. DuckDB oracles read the same column
+    * natively (`epoch_ns`/`epoch_us`), which agrees with either generation. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.model.Frames.normalizeTsNanos(s.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Shared events->channelized-LongFrame SQL for DuckDB oracles; mirrors

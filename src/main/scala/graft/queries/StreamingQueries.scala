@@ -47,7 +47,7 @@ object StreamingQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val maxTu = s.read.parquet(s"$dir/events.parquet")
+    val maxTu = QueryDef.table(s, dir, "events")
       .agg(max((col("ts") / 1000).cast("long"))).head().getLong(0)
     (stage.toString, maxTu)
   }

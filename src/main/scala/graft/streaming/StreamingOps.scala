@@ -16,7 +16,7 @@ object StreamingOps {
     * event_type) counts and sums. `tsNanos` is the long-nanos ts column. */
   def windowedEventAgg(events: DataFrame, window: String = "5 minutes",
                        watermark: String = "10 minutes"): DataFrame =
-    events
+    graft.model.Frames.normalizeTsNanos(events)
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
       .withWatermark("event_time", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window),
@@ -155,7 +155,7 @@ object StreamingOps {
     require(ctxU == 0 || durMicros(watermark) > winU,
       s"with contextDur > 0 the effective lateness tolerance is watermark - windowDur; " +
         s"need watermark ('$watermark') > windowDur ('$windowDur')")
-    val base = events
+    val base = graft.model.Frames.normalizeTsNanos(events)
       .withColumn("channel", pmod(col("user_id"), lit(nChannels)).cast("int"))
       .withColumn("_tu", (col("ts") / 1000).cast("long"))
     val membered =
@@ -329,7 +329,8 @@ object StreamingOps {
                   outputMode: OutputMode = OutputMode.Append): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val stream = graft.model.Frames.normalizeTsNanos(
+      spark.readStream.schema(schema).parquet(eventsDir))
     val q = transform(stream).writeStream
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -351,7 +352,8 @@ object StreamingOps {
                    transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val stream = graft.model.Frames.normalizeTsNanos(
+      spark.readStream.schema(schema).parquet(eventsDir))
     val out = java.nio.file.Files.createTempDirectory(s"stream_sink_$queryName")
     deleteOnExit(out)
     val dataDir = out.resolve("data").toString

@@ -323,7 +323,8 @@ class SparkOperatorsSpec extends AnyFunSuite {
 
   test("bucketed dense index equals single-window row_number") {
     import org.apache.spark.sql.expressions.Window
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = Frames.normalizeTsNanos(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .withColumn("channel", pmod(col("user_id"), lit(8)).cast("int"))
     val w = Window.partitionBy(col("channel")).orderBy(col("ts"), col("event_id"))
     val expect = events.withColumn("t_idx", (row_number().over(w) - 1).cast("long"))
