@@ -160,11 +160,15 @@ object TextAnalysis {
     * null, guarded explicitly so the contract holds under ANSI mode. */
   // split limit -1 keeps trailing empties = DuckDB string_split (same
   // tokenization contract as Curation.repetitionCountsUdf)
-  private val bigramsUdf = udf { (t: String) =>
-    val w = if (t == null) Array.empty[String] else t.split(" ", -1)
-    if (w.length < 2) Array.empty[String]
-    else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-  }
+  private def splitWords(textCol: Column): Column =
+    split(coalesce(textCol, lit("")), " ", -1)
+
+  /** Adjacent word bigrams ("w1 w2") over a pre-split token array, as a pure
+    * higher-order-function expression (codegen'd `transform`, no UDF):
+    * element i of the size-1 prefix slice pairs with its successor. */
+  private def bigramsOf(words: Column): Column =
+    transform(slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      (x, i) => concat(x, lit(" "), element_at(words, i + 2)))
 
   def bigramModelCoverage(docs: DataFrame, modelTopK: Int = 2000,
                           textCol: String = "text",
@@ -172,7 +176,7 @@ object TextAnalysis {
     require(modelTopK > 0, s"need modelTopK>0; got $modelTopK")
     val spark = docs.sparkSession
     val modelBigrams = docs
-      .select(explode(bigramsUdf(col(textCol))).as("bg"))
+      .select(explode(bigramsOf(splitWords(col(textCol)))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("bg"))
       .limit(modelTopK)
@@ -206,8 +210,12 @@ object TextAnalysis {
     * Ranking uses the ROUNDED lift (bigram tie-break), so the selected set
     * can't straddle a float boundary across engines.
     *
-    * 100 TB shape: two count aggregations (unigram, bigram) whose map-side
-    * partials collapse to vocab/bigram-vocab cardinality; the `minCount`
+    * 100 TB shape: ONE tokenize pass and ONE count aggregation — a unigram
+    * token can never contain the space delimiter, so unigram and bigram
+    * grams share a single (gram, count) table (map-side partials collapse
+    * to vocab + bigram-vocab cardinality) and every downstream consumer
+    * (unigram side of the joins, bigram candidates, corpus totals) hangs
+    * off the same shuffle, which ReuseExchange runs once; the `minCount`
     * filter drops the hapax-bigram long tail BEFORE the two word-count
     * joins (post-filter survivors are collocation candidates, a tiny
     * fraction of bigram vocab); final selection is a sort-limit (map-side
@@ -217,17 +225,34 @@ object TextAnalysis {
                       textCol: String = "text"): DataFrame = {
     require(topK > 0, s"need topK>0; got $topK")
     require(minCount >= 1, s"need minCount>=1; got $minCount")
-    val words = docs.select(
-      explode(split(coalesce(col(textCol), lit("")), " ", -1)).as("word"))
-    val uni = words.groupBy("word").agg(count(lit(1)).as("cw"))
-    val bigAll = docs.select(explode(bigramsUdf(col(textCol))).as("bg"))
-    val totals = broadcast(
-      words.agg(count(lit(1)).as("n1"))
-        .crossJoin(bigAll.agg(count(lit(1)).as("n2"))))
-    val big = bigAll.groupBy("bg").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-      .withColumn("w1", split(col("bg"), " ", -1).getItem(0))
-      .withColumn("w2", split(col("bg"), " ", -1).getItem(1))
+    val toks = docs.select(splitWords(col(textCol)).as("_w"))
+    // _isBg / w1 / w2 ride the aggregation (max of a per-group constant)
+    // instead of being derived from the key afterwards: key-derived columns'
+    // filters (and the joins' inferred isnotnull predicates) would be pushed
+    // BELOW the aggregate, specializing each consumer's subtree — as
+    // aggregate outputs they stay above the exchange, so all four consumers
+    // (both unigram lookups, bigram candidates, corpus totals) canonicalize
+    // to the SAME exchange and the scan+shuffle runs once
+    val counts = toks
+      .select(explode(concat(col("_w"), bigramsOf(col("_w")))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"),
+        max(col("gram").contains(" ")).as("_isBg"),
+        max(get(split(col("gram"), " ", -1), lit(0))).as("_w1"),
+        max(get(split(col("gram"), " ", -1), lit(1))).as("_w2"))
+    // every consumer references ALL the aggregate's outputs (the _w2-null
+    // tests are equivalent to the _isBg ones: `get` is null only past the
+    // array end, i.e. exactly for unigrams) — otherwise column pruning
+    // re-specializes the pruned branches' aggregates and splits the exchange
+    val uni = counts
+      .filter(!col("_isBg") && col("_w1").isNotNull && col("_w2").isNull)
+      .select(col("gram").as("word"), col("c").as("cw"))
+    val totals = broadcast(counts.agg(
+      coalesce(sum(when(!col("_isBg") && col("_w2").isNull, col("c"))), lit(0L)).as("n1"),
+      coalesce(sum(when(col("_isBg") && col("_w2").isNotNull && col("_w1").isNotNull,
+        col("c"))), lit(0L)).as("n2")))
+    val big = counts.filter(col("_isBg") && col("c") >= minCount)
+      .select(col("gram").as("bg"), col("c"),
+        col("_w1").as("w1"), col("_w2").as("w2"))
     big
       .join(uni.select(col("word").as("w1"), col("cw").as("c1")), "w1")
       .join(uni.select(col("word").as("w2"), col("cw").as("c2")), "w2")
