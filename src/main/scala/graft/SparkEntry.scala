@@ -41,7 +41,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q85), TF-IDF keywords (q86), as-of join (q87), range join
   *             (q88), sliding-window chunking (q89), bigram-LM coverage
   *             scoring (q90), exact distributed quantiles (q91), CUBE
-  *             grouping sets (q92), skew-salted join (q93)
+  *             grouping sets (q92), skew-salted join (q93), deterministic
+  *             weighted sampling (q94), PMI collocations (q95),
+  *             median/MAD robust outliers (q96), trailing RANGE-window
+  *             rolling features (q97), ordered funnel conversion (q98)
   */
 object SparkEntry {
 

@@ -376,5 +376,86 @@ object Relational {
              |  round(CAST(sum(CASE WHEN d.ad > 3.0 * ma.mad THEN 1 ELSE 0 END)
              |    AS DOUBLE) / count(*), 6) AS outlier_frac
              |FROM dev d JOIN mad ma USING (g)
-             |GROUP BY d.g ORDER BY l_returnflag""".stripMargin)))
+             |GROUP BY d.g ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("q97_rolling_features",
+      "event-time rolling features: trailing 1 h RANGE window per user",
+      // the feature-engineering shape a training pipeline stamps onto every
+      // event: per-user trailing-hour activity counts/extrema via a RANGE
+      // frame (peers included by VALUE, so ties are deterministic in both
+      // engines). Order-independent aggregates only: count, max, and an
+      // integer milli-sum — a double running sum's association order
+      // differs between engines, an integer sum cannot. One shuffle
+      // (user_id), per-user sort; frame state is bounded by the hour span,
+      // never the user's whole history.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("us"),
+            round(col("value") * 1000).cast("long").as("vmilli"),
+            col("value"))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3600000000L, 0L)
+        e.select(col("event_id"), col("user_id"), col("us"),
+            count(lit(1)).over(w).as("n_1h"),
+            max("value").over(w).as("vmax_1h"),
+            sum("vmilli").over(w).as("vmilli_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, us,
+             |  count(*) OVER w AS n_1h,
+             |  max(value) OVER w AS vmax_1h,
+             |  sum(vmilli) OVER w AS vmilli_1h
+             |FROM (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us,
+             |    CAST(round(value * 1000) AS BIGINT) AS vmilli, value
+             |  FROM events WHERE value IS NOT NULL
+             |) t
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q98_funnel_conversion",
+      "ordered funnel: view -> click -> purchase per user, strict event order",
+      // each stage is min-after-previous-stage: three user-keyed
+      // aggregations chained by joins, all hash-partitioned on the SAME key
+      // so the exchanges line up (no re-shuffle between stages), then a
+      // single global count — integer mins end-to-end, nothing to round.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+        val tv = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("tv"))
+        val tc = e.filter(col("event_type") === "click").join(tv, "user_id")
+          .filter(col("us") > col("tv"))
+          .groupBy("user_id").agg(min("us").as("tc"))
+        val tp = e.filter(col("event_type") === "purchase").join(tc, "user_id")
+          .filter(col("us") > col("tc"))
+          .groupBy("user_id").agg(min("us").as("tp"))
+        val users = e.agg(countDistinct("user_id").as("n_users"))
+        users.crossJoin(
+          tv.join(tc, Seq("user_id"), "left").join(tp, Seq("user_id"), "left")
+            .agg(count(lit(1)).as("n_view"),
+              count(col("tc")).as("n_view_click"),
+              count(col("tp")).as("n_full_funnel")))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             |), tv AS (
+             |  SELECT user_id, min(us) AS tv FROM e
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |), tc AS (
+             |  SELECT e.user_id, min(us) AS tc FROM e JOIN tv USING (user_id)
+             |  WHERE event_type = 'click' AND us > tv GROUP BY e.user_id
+             |), tp AS (
+             |  SELECT e.user_id, min(us) AS tp FROM e JOIN tc USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > tc GROUP BY e.user_id
+             |)
+             |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+             |  count(*) AS n_view,
+             |  count(tc.tc) AS n_view_click,
+             |  count(tp.tp) AS n_full_funnel
+             |FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)"""
+        .stripMargin)))
 }

@@ -57,13 +57,16 @@ object StreamSoak {
     println(s"[ssoak] $nCh ch x $nSamples samples = ${nCh * nSamples / 1e6} M points")
 
     // synthetic events: channel-interleaved, strictly increasing per-channel
-    // event time at 1 kHz; value encodes (channel, t) for the round-trip sum
+    // event time at 1 kHz; value encodes (channel, t) for the round-trip sum.
+    // ts is written as a real TIMESTAMP(MICROS) column — the harness's
+    // current physical type — so the soak exercises the normalizeTsNanos
+    // ingestion path, not the legacy long-nanos one
     val dir = java.nio.file.Files.createTempDirectory("stream_soak").toString
     time("generate events parquet") {
       spark.range(nCh * nSamples)
         .select(
           col("id").as("event_id"),
-          ((col("id") / nCh).cast("long") * 1000000L).as("ts"),
+          timestamp_micros((col("id") / nCh).cast("long") * 1000L).as("ts"),
           (col("id") % nCh).as("user_id"),
           (sin(col("id") / nCh / 100.0) +
             (pmod(xxhash64(col("id")), lit(1000)) / 1000.0 - 0.5) * 0.1).as("value"))
