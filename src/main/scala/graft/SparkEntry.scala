@@ -44,7 +44,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             grouping sets (q92), skew-salted join (q93), deterministic
   *             weighted sampling (q94), PMI collocations (q95),
   *             median/MAD robust outliers (q96), trailing RANGE-window
-  *             rolling features (q97), ordered funnel conversion (q98)
+  *             rolling features (q97), ordered funnel conversion (q98),
+  *             JSON props extraction (q99)
   */
 object SparkEntry {
 

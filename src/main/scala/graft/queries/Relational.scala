@@ -457,5 +457,34 @@ object Relational {
              |  count(tc.tc) AS n_view_click,
              |  count(tp.tp) AS n_full_funnel
              |FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)"""
-        .stripMargin)))
+        .stripMargin)),
+
+    QueryDef("q99_json_props_extract",
+      "JSON metadata extraction: parse event props, roll up by value decile",
+      // semi-structured metadata is a first-class pipeline input: extract
+      // $.k with the codegen'd JSON-path expression (no UDF, column-pruned
+      // scan reads only props/user_id/value), bucket, and roll up. The
+      // single-column global-distinct expands to the standard two-level
+      // (decile, user) partial — pair space bounded by deciles x users.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        e.select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("user_id"),
+            round(col("value") * 1000).cast("long").as("vmilli"))
+          .filter(col("k").isNotNull)
+          .select(expr("k div 10").as("k_decile"), col("user_id"), col("vmilli"))
+          .groupBy("k_decile")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"),
+            sum("vmilli").as("vmilli_sum"))
+          .orderBy("k_decile")
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+             |    AS k_decile,
+             |  count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli_sum
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
