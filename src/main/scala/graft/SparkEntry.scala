@@ -45,7 +45,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             weighted sampling (q94), PMI collocations (q95),
   *             median/MAD robust outliers (q96), trailing RANGE-window
   *             rolling features (q97), ordered funnel conversion (q98),
-  *             JSON props extraction (q99)
+  *             JSON props extraction (q99), exact Jaccard-threshold join
+  *             via prefix filtering (q100)
   */
 object SparkEntry {
 

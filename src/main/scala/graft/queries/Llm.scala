@@ -1698,5 +1698,37 @@ object Llm {
              |)
              |SELECT bg, c, c1, c2, round(lift0, 6) AS lift,
              |  round(ln(lift0), 6) AS pmi
-             |FROM sc ORDER BY round(lift0, 6) DESC, bg LIMIT 50""".stripMargin)))
+             |FROM sc ORDER BY round(lift0, 6) DESC, bg LIMIT 50""".stripMargin)),
+
+    QueryDef("q100_jaccard_prefix_join",
+      "exact Jaccard-threshold join via prefix filtering (lossless candidate pruning)",
+      // TextOps.jaccardPrefixJoin: only each doc's globally-rarest shingles
+      // generate candidates (All-Pairs/PPJoin prefix bound) — provably the
+      // same result set as the q41 brute-force shingle self-join, so the
+      // oracle IS the brute-force SQL: the clever plan must equal the
+      // naive one (the q93 certification pattern). t=0.8 is the near-dup
+      // dedup regime the prefix bound is FOR (prefix length (1-t)*c+1:
+      // at t=0.8 each doc exposes its rarest fifth; a low threshold keeps
+      // almost the whole doc and the bound buys nothing — q41 covers that
+      // exhaustive-sweep tier).
+      (s, dir) => TextOps.jaccardPrefixJoin(table(s, dir, "documents"), minJaccard = 0.8)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(string_split(text, ' ')) - 1),
+             |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS shingle
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+             |), cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jaccard
+             |FROM pairs
+             |JOIN cnt ca ON doc_a = ca.doc_id
+             |JOIN cnt cb ON doc_b = cb.doc_id
+             |WHERE round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) >= 0.8
+             |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin)))
 }

@@ -386,6 +386,66 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact Jaccard-threshold similarity join via PREFIX FILTERING — the
+    * scalable exact path (Bayardo et al. "Scaling Up All Pairs Similarity
+    * Search", Vernica et al. MapReduce SSJoin; public algorithms, no code
+    * reuse). Same result set as `ngramJaccardPairs` (the brute-force
+    * shingle self-join q41 runs), but only each document's globally
+    * RAREST shingles generate candidates:
+    *
+    * With every doc's shingle set sorted by one global order (document
+    * frequency ascending, shingle as tie-break), any pair with
+    * J(A,B) >= t must share a token inside both prefixes of length
+    * |x| - ceil(t*|x|) + 1 — if A's whole prefix misses B, the overlap
+    * fits inside A's suffix: |A n B| <= ceil(t*|A|) - 1 < t*|A| <= |A n B|
+    * required by J >= t. So joining on prefix tokens only is LOSSLESS,
+    * while the candidate space shrinks from df^2 over every shingle
+    * (q41's shape — hot shingles dominate) to df^2 over tokens that are
+    * the rarest within their documents.
+    *
+    * Shape at 100 TB: shingle-df is one vocab-keyed count; rank-within-doc
+    * is a doc-keyed window (bounded by doc length); the candidate join
+    * shuffles only prefix tokens; verification joins candidate pairs back
+    * to per-doc sorted shingle arrays (rows bounded by doc length) and
+    * intersects per row — the corpus never crosses a shuffle as pairs.
+    * Exactness forbids a bucket-size cap here; the skew envelope is that
+    * a token appears in a prefix only when ~(1-t) of some doc's shingles
+    * are rarer than it, which is precisely what hot shingles fail. */
+  def jaccardPrefixJoin(docs: DataFrame, minJaccard: Double,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, s"need 0 < t <= 1; got $minJaccard")
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col(textCol), " ")
+    val sh = docs
+      .filter(size(words) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(words) - 1),
+          i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    val wCnt = Window.partitionBy("doc_id")
+    val prefix = sh.join(dfreq, "shingle")
+      .select(col("doc_id"), col("shingle"), col("df"),
+        row_number().over(wDoc).as("rn"),
+        count(lit(1)).over(wCnt).as("c"))
+      .filter(col("rn") <= col("c") - ceil(lit(minJaccard) * col("c")).cast("long") + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("shs"), count(lit(1)).as("c"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("c").as("ca")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("c").as("cb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Approximate decontamination via a bipartite MinHash band-join — the
     * scale path when the eval/benchmark side is TOO BIG TO BROADCAST
     * (`Curation.decontaminationReport` broadcasts the eval n-gram set;

@@ -96,6 +96,23 @@ class ExpressionsAndPlansSpec extends AnyFunSuite {
       "scan reads columns the query never uses")
   }
 
+  test("q95 PMI runs on ONE text scan (shared gram exchange)") {
+    // the single (gram, count) aggregation feeds four consumers; if filter
+    // pushdown or column pruning re-specializes any branch the scan count
+    // regresses (this pinned 4 -> 1 in round 10). AQE off: static
+    // ReuseExchange is what makes the sharing visible in the plan string
+    // (at runtime AQE's stage cache reuses the same canonicalized stages)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.SparkEntry.queries("q95_pmi_collocations")(spark, "/root/testdata/sf0.001")
+      val plan = physical(q)
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"expected 1 documents scan, found $scans in:\n$plan")
+      assert("ReusedExchange".r.findAllIn(plan).length >= 3,
+        "the gram aggregation exchange should be reused by all consumers")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q05 joins its dimensions by broadcast") {
     val q = graft.SparkEntry.queries("q05_nation_revenue")(spark, "/root/testdata/sf0.001")
     val plan = physical(q)

@@ -165,6 +165,21 @@ class TextOpsSpec extends AnyFunSuite {
         s"pair $k: est ${cands(k)} vs exact ${exact(k)}")
   }
 
+  test("prefix-filter jaccard join equals the brute-force self-join exactly") {
+    // losslessness: the prefix bound may only prune pairs BELOW threshold,
+    // so at every threshold the result must equal ngramJaccardPairs
+    for (t <- Seq(0.1, 0.3, 0.6)) {
+      val fast = TextOps.jaccardPrefixJoin(docs, minJaccard = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = TextOps.ngramJaccardPairs(docs, minJaccard = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute, s"prefix join diverges from brute force at t=$t: " +
+        s"missing=${brute -- fast} extra=${fast -- brute}")
+    }
+    assert(TextOps.jaccardPrefixJoin(docs, minJaccard = 0.1).count() > 0,
+      "planted near-dups should surface")
+  }
+
   test("simhash finds hamming-close near-dups, not unrelated docs") {
     // simhash is stable for LONG docs: one word changed out of 120 moves few
     // bit majorities; short docs (like the 13-word `base`) flip many
