@@ -46,7 +46,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             median/MAD robust outliers (q96), trailing RANGE-window
   *             rolling features (q97), ordered funnel conversion (q98),
   *             JSON props extraction (q99), exact Jaccard-threshold join
-  *             via prefix filtering (q100)
+  *             via prefix filtering (q100), bounded-state histogram
+  *             quantiles (q101)
   */
 object SparkEntry {
 

@@ -175,4 +175,63 @@ object Quantiles {
         round(col("n_outliers").cast("double") / col("n"), 6)
           .as("outlier_frac"))
   }
+
+  /** Histogram-sketch quantiles — the BOUNDED-STATE tier below
+    * [[exactQuantiles]]: where the exact path range-shuffles every row by
+    * value, this pass shuffles only (group, bin, count) rows — at most
+    * groups × nBins after map-side combine, whatever the corpus size. The
+    * price is resolution: the estimate interpolates uniformly inside the
+    * winning equi-width bin, so it sits within one bin width
+    * (range / nBins) of the true order statistic v_(ceil(p·n)) — the
+    * classic accuracy/state trade, chosen
+    * DETERMINISTICALLY (fixed equi-width grid from the group's exact
+    * min/max, rank ceil(p·n) lower-bound selection) so a SQL oracle
+    * replays it bit-for-bit: no t-digest randomness, no engine-specific
+    * sketch.
+    *
+    * Plan: one map-side-collapsed (min, max, n) aggregate, broadcast back
+    * (group-count-sized, same pattern as [[robustOutlierStats]]); one
+    * narrow binning pass; one bounded (group, bin) count shuffle; a
+    * groups×nBins window cumsum; per-p conditional selection. Two scans of
+    * the input, both narrow. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         ps: Seq[(String, Double)], nBins: Int = 256): DataFrame = {
+    require(nBins >= 1, s"need nBins>=1; got $nBins")
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
+      s"histogram quantile ps must be in (0,1]; got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+    val stats = base.groupBy("g")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+    // constant groups (mx == mn) pin to bin 0 — the ratio would be NaN and
+    // the interpolation term multiplies by (mx - mn) = 0 anyway
+    val binned = base.join(broadcast(stats), "g")
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("mn")) / (col("mx") - col("mn")) * nBins).cast("long"),
+            lit(nBins - 1L))))
+    val counts = binned.groupBy("g", "bin")
+      .agg(count(lit(1)).as("c"),
+        max("mn").as("mn"), max("mx").as("mx"), max("n").as("n"))
+    val wCum = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cumBefore", col("cum") - col("c"))
+    val aggs = ps.map { case (name, p) =>
+      val tr = greatest(ceil(lit(p) * col("n")).cast("long"), lit(1L))
+      max(when(col("cumBefore") < tr && col("cum") >= tr,
+        col("mn") + (col("mx") - col("mn")) / nBins.toDouble *
+          (col("bin").cast("double") +
+            (tr - col("cumBefore")).cast("double") / col("c").cast("double"))))
+        .as(name)
+    }
+    cum.groupBy("g")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("g").as(groupCol) +: ps.map(p => col(p._1)): _*)
+  }
 }

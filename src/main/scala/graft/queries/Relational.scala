@@ -486,5 +486,58 @@ object Relational {
              |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli_sum
              |FROM events
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q101_histogram_quantiles",
+      "bounded-state histogram-sketch quantiles (deterministic equi-width grid)",
+      // Quantiles.histogramQuantiles: the state-bounded tier below q91 —
+      // only (group, bin, count) rows shuffle (<= groups x 256 after
+      // map-side combine) vs q91's every-row range shuffle; error bounded
+      // by one bin width. The grid, rank rule (ceil(p*n) lower bound) and
+      // in-bin interpolation are deterministic, so the oracle replays the
+      // sketch exactly — no t-digest randomness.
+      (s, dir) => graft.operators.Quantiles.histogramQuantiles(
+          table(s, dir, "events"), "event_type", "value",
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99), nBins = 256)
+        .orderBy("event_type"),
+      Some("""WITH base AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+             |), stats AS (
+             |  SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n
+             |  FROM base GROUP BY g
+             |), binned AS (
+             |  SELECT b.g,
+             |    CASE WHEN s.mx = s.mn THEN 0
+             |      ELSE least(CAST(floor((b.v - s.mn) / (s.mx - s.mn) * 256)
+             |        AS BIGINT), 255) END AS bin,
+             |    s.mn, s.mx, s.n
+             |  FROM base b JOIN stats s USING (g)
+             |), counts AS (
+             |  SELECT g, bin, count(*) AS c, max(mn) AS mn, max(mx) AS mx,
+             |    max(n) AS n
+             |  FROM binned GROUP BY g, bin
+             |), cum AS (
+             |  SELECT g, bin, c, mn, mx, n,
+             |    sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+             |    sum(c) OVER (PARTITION BY g ORDER BY bin) - c AS cumb
+             |  FROM counts
+             |)
+             |SELECT g AS event_type,
+             |  max(CASE WHEN cumb < greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+             |    AND cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+             |    THEN mn + (mx - mn) / 256.0 * (CAST(bin AS DOUBLE)
+             |      + CAST(greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) - cumb AS DOUBLE)
+             |        / CAST(c AS DOUBLE)) END) AS p50,
+             |  max(CASE WHEN cumb < greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+             |    AND cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+             |    THEN mn + (mx - mn) / 256.0 * (CAST(bin AS DOUBLE)
+             |      + CAST(greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) - cumb AS DOUBLE)
+             |        / CAST(c AS DOUBLE)) END) AS p95,
+             |  max(CASE WHEN cumb < greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+             |    AND cum >= greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+             |    THEN mn + (mx - mn) / 256.0 * (CAST(bin AS DOUBLE)
+             |      + CAST(greatest(CAST(ceil(0.99 * n) AS BIGINT), 1) - cumb AS DOUBLE)
+             |        / CAST(c AS DOUBLE)) END) AS p99
+             |FROM cum GROUP BY g ORDER BY event_type""".stripMargin)))
 }

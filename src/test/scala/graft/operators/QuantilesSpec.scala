@@ -95,4 +95,44 @@ class QuantilesSpec extends AnyFunSuite {
     val r = Quantiles.robustOutlierStats(const, "g", "v").collect().head
     assert(r.getDouble(3) === 0.0 && r.getLong(4) === 1L)
   }
+
+  test("histogram quantiles land within one bin width of the order statistic") {
+    // the sketch's rank rule is the lower-bound order statistic
+    // v_(ceil(p*n)); its value estimate may only be off by the in-bin
+    // interpolation, i.e. one equi-width bin — assert that bound per group,
+    // percentile, and resolution (NOT vs the p*(n-1)-interpolated exact
+    // quantile, whose rank rule differs by an inter-value gap on tiny n)
+    val rnd = new scala.util.Random(11)
+    val data = (
+      (1 to 4000).map(_ => "g1" -> rnd.nextGaussian() * 10) ++
+      (1 to 3000).map(_ => "g2" -> rnd.nextDouble() * 500) ++
+      (1 to 7).map(i => "tiny" -> i.toDouble) ++
+      Seq("const" -> 42.0, "const" -> 42.0, "const" -> 42.0)
+    ).toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+    val sortedVals = data.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, a) => g -> a.map(_._2).sorted }
+    def orderStat(g: String, p: Double): Double = {
+      val vs = sortedVals(g)
+      vs(math.max(math.ceil(p * vs.length).toInt, 1) - 1)
+    }
+    for (nBins <- Seq(16, 256, 4096)) {
+      val hist = Quantiles.histogramQuantiles(data, "g", "v", ps, nBins)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(hist.keySet == sortedVals.keySet)
+      for (g <- hist.keySet) {
+        val w = (sortedVals(g).last - sortedVals(g).head) / nBins
+        val pairs = Seq(hist(g)._1 -> orderStat(g, 0.5),
+          hist(g)._2 -> orderStat(g, 0.95), hist(g)._3 -> orderStat(g, 0.99))
+        for ((h, e) <- pairs)
+          assert(math.abs(h - e) <= w + 1e-9,
+            s"group $g nBins=$nBins: hist $h vs order stat $e exceeds bin width $w")
+      }
+    }
+    // constant group: every percentile is the constant itself
+    val ch = Quantiles.histogramQuantiles(data.filter($"g" === "const"), "g", "v", ps)
+      .collect().head
+    assert(ch.getDouble(1) === 42.0 && ch.getDouble(3) === 42.0)
+  }
 }
