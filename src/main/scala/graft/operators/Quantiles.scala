@@ -234,4 +234,58 @@ object Quantiles {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("g").as(groupCol) +: ps.map(p => col(p._1)): _*)
   }
+
+  /** FIXED-grid histogram cells — [[histogramQuantiles]]'s grid declared up
+    * front ([lo, hi), out-of-range values clamped into the edge bins)
+    * instead of derived from per-group min/max. Fixing the grid removes
+    * the two-pass dependence, which makes the aggregation STREAMING-legal:
+    * under `readStream` + Update mode this is a running (group, bin) count
+    * whose state is bounded at groups × nBins forever, and since cell
+    * counts only grow, each cell's last update equals the batch cell under
+    * any micro-batch slicing (the q84 count-min argument). */
+  def fixedGridCells(df: DataFrame, groupCol: String, valueCol: String,
+                     lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(hi > lo, s"need hi > lo; got [$lo, $hi)")
+    require(nBins >= 1, s"need nBins>=1; got $nBins")
+    df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .withColumn("bin",
+        least(greatest(floor((col("v") - lo) / (hi - lo) * nBins), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("long"))
+      .groupBy("g", "bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile selection over a fixed-grid cell table (`g`, `bin`, `cnt`) —
+    * the read side of [[fixedGridCells]]: cumulative counts per group, the
+    * ceil(p·n) lower-bound rank rule, uniform in-bin interpolation on the
+    * declared grid. The cell table is groups × nBins rows, so the windows
+    * here are over bounded data by construction. */
+  def quantilesFromCells(cells: DataFrame, groupCol: String,
+                         lo: Double, hi: Double, nBins: Int,
+                         ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
+      s"histogram quantile ps must be in (0,1]; got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = cells
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("cumBefore", col("cum") - col("cnt"))
+    val aggs = ps.map { case (name, p) =>
+      val tr = greatest(ceil(lit(p) * col("n")).cast("long"), lit(1L))
+      max(when(col("cumBefore") < tr && col("cum") >= tr,
+        lit(lo) + lit(hi - lo) / nBins.toDouble *
+          (col("bin").cast("double") +
+            (tr - col("cumBefore")).cast("double") / col("cnt").cast("double"))))
+        .as(name)
+    }
+    cum.groupBy("g")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("g").as(groupCol) +: ps.map(p => col(p._1)): _*)
+  }
 }

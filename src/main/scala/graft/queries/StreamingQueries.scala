@@ -528,6 +528,68 @@ GROUP BY 1 ORDER BY channel"""
       |FROM top t JOIN est e USING (word)
       |ORDER BY t.word""".stripMargin
 
+  /** Streaming histogram quantiles: q101's sketch with the grid DECLARED
+    * up front ([0, 1000) × 200 bins — fixing the grid removes the min/max
+    * pre-pass, which is what makes the aggregation streaming-legal). The
+    * running (group, bin) count state is bounded at groups × nBins for any
+    * stream length; counts only grow, so each cell's last Update-mode
+    * emission equals the batch cell under any micro-batch slicing (the
+    * q84 count-min argument), and quantile selection over the final cells
+    * reproduces the batch sketch exactly. */
+  private def q102Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("stream_hist")
+    StreamingOps.deleteOnExit(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val updates = StreamingOps.runToMemory(s, stage.toString,
+      s"q102_sink_${sinkId.incrementAndGet()}",
+      df => graft.operators.Quantiles.fixedGridCells(
+        df, "event_type", "value", lo = 0.0, hi = 1000.0, nBins = 200),
+      outputMode = OutputMode.Update)
+    val cells = updates.groupBy("g", "bin").agg(max("cnt").as("cnt"))
+    graft.operators.Quantiles.quantilesFromCells(cells, "event_type",
+        lo = 0.0, hi = 1000.0, nBins = 200,
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+      .orderBy("event_type")
+  }
+
+  private def q102Oracle: String =
+    """WITH base AS (
+      |  SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |), cells AS (
+      |  SELECT g,
+      |    CAST(least(greatest(floor((v - 0.0) / (1000.0 - 0.0) * 200),
+      |      0.0), 199.0) AS BIGINT) AS bin,
+      |    count(*) AS c
+      |  FROM base GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT g, bin, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+      |    sum(c) OVER (PARTITION BY g ORDER BY bin) - c AS cumb,
+      |    sum(c) OVER (PARTITION BY g) AS n
+      |  FROM cells
+      |)
+      |SELECT g AS event_type,
+      |  max(CASE WHEN cumb < greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+      |    AND cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+      |    THEN 0.0 + 1000.0 / 200.0 * (CAST(bin AS DOUBLE)
+      |      + CAST(greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) - cumb AS DOUBLE)
+      |        / CAST(c AS DOUBLE)) END) AS p50,
+      |  max(CASE WHEN cumb < greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+      |    AND cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+      |    THEN 0.0 + 1000.0 / 200.0 * (CAST(bin AS DOUBLE)
+      |      + CAST(greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) - cumb AS DOUBLE)
+      |        / CAST(c AS DOUBLE)) END) AS p95,
+      |  max(CASE WHEN cumb < greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+      |    AND cum >= greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+      |    THEN 0.0 + 1000.0 / 200.0 * (CAST(bin AS DOUBLE)
+      |      + CAST(greatest(CAST(ceil(0.99 * n) AS BIGINT), 1) - cumb AS DOUBLE)
+      |        / CAST(c AS DOUBLE)) END) AS p99
+      |FROM cum GROUP BY g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -561,5 +623,10 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q84_streaming_count_min",
       "streaming count-min sketch: d*m-bounded cell state, last update " +
         "per cell == batch cell value; estimates == q83's batch oracle",
-      q84Build, Some(q84Oracle)))
+      q84Build, Some(q84Oracle)),
+    QueryDef("q102_streaming_histogram_quantiles",
+      "streaming histogram quantiles: fixed-grid (group, bin) running " +
+        "count state bounded at groups*nBins; last cell update == batch " +
+        "cell; selection over final cells == the batch sketch",
+      q102Build, Some(q102Oracle)))
 }

@@ -347,6 +347,41 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       "stream collapsed to a single micro-batch — slicing not exercised")
   }
 
+  test("streaming histogram cells: final cells == batch under forced multi-batch slicing") {
+    import graft.operators.Quantiles
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("hist_events")
+    StreamingOps.deleteOnExit(stage)
+    events.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val stream = graft.model.Frames.normalizeTsNanos(
+      spark.readStream.schema(spark.read.parquet(stage.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+    val q = Quantiles.fixedGridCells(stream, "event_type", "value", 0.0, 1000.0, 200)
+      .writeStream
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+      .format("memory").queryName("hist_multi_batch").start()
+    q.awaitTermination()
+    val sink = spark.table("hist_multi_batch")
+    val finalCells = sink.groupBy("g", "bin").agg(max("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Quantiles.fixedGridCells(events, "event_type", "value", 0.0, 1000.0, 200)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(finalCells === batch)
+    assert(sink.groupBy("g", "bin").count().filter($"count" > 1).count() > 0,
+      "stream collapsed to a single micro-batch — slicing not exercised")
+    // and the read side over streamed cells equals the batch sketch
+    val cellsDf = sink.groupBy("g", "bin").agg(max("cnt").as("cnt"))
+    val fromStream = Quantiles.quantilesFromCells(cellsDf, "event_type",
+        0.0, 1000.0, 200, Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val cellsBatch = Quantiles.fixedGridCells(events, "event_type", "value", 0.0, 1000.0, 200)
+    val fromBatch = Quantiles.quantilesFromCells(cellsBatch, "event_type",
+        0.0, 1000.0, 200, Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(fromStream === fromBatch)
+  }
+
   test("streaming: stateless pii scrub through the parquet sink == batch") {
     import graft.text.TextAnalysis
     val stage = java.nio.file.Files.createTempDirectory("pii_docs")
