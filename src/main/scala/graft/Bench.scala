@@ -40,7 +40,8 @@ object Bench {
     "q91_value_quantiles", "q92_cube_pricing", "q93_salted_source_join",
     "q94_weighted_sample", "q95_pmi_collocations", "q96_robust_outliers",
     "q97_rolling_features", "q98_funnel_conversion", "q99_json_props_extract",
-    "q101_histogram_quantiles", "q102_streaming_histogram_quantiles")
+    "q101_histogram_quantiles", "q102_streaming_histogram_quantiles",
+    "q103_streaming_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -47,7 +47,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             rolling features (q97), ordered funnel conversion (q98),
   *             JSON props extraction (q99), exact Jaccard-threshold join
   *             via prefix filtering (q100), bounded-state histogram
-  *             quantiles (q101, streaming q102)
+  *             quantiles (q101, streaming q102), streaming session
+  *             windows (q103)
   */
 object SparkEntry {
 

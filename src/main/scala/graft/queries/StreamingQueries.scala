@@ -590,6 +590,66 @@ GROUP BY 1 ORDER BY channel"""
       |        / CAST(c AS DOUBLE)) END) AS p99
       |FROM cum GROUP BY g ORDER BY event_type""".stripMargin
 
+  /** Streaming sessionization via the native `session_window` aggregate
+    * (dynamic-gap event-time windows — the one stateful-streaming primitive
+    * the engine didn't yet demonstrate): per-user sessions close when
+    * 30 min pass without an event; append mode emits a session only once
+    * the watermark passes its end. Exact-integer aggregates (count +
+    * milli-sum) and exact micro timestamps (`ts div 1000`, integer
+    * division — no double-rounding contract needed, unlike q36's legacy
+    * truncation replay). Both engines post-filter to the conservative
+    * closed set (end <= maxTu - delay - gap, a full gap clear of any
+    * watermark boundary semantics, the q36 pattern): an emitted-but-open
+    * session is discarded on both sides, a conservative session the stream
+    * FAILED to emit is a missing row and fails the hash. */
+  private val GapU103 = 1800000000L   // 30 min session gap, micros
+  private val DelayU103 = 3600000000L // 1 h watermark delay, micros
+
+  private def q103Build(s: SparkSession, dir: String): DataFrame = {
+    val (stage, _) = stageAndMaxTu(s, dir)
+    val maxTu = QueryDef.table(s, dir, "events")
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    val streamed = StreamingOps.runToParquet(s, stage,
+      s"q103_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("vmilli", round(col("value") * 1000).cast("long"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum("vmilli").as("vmilli")))
+    streamed
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n"), col("vmilli"))
+      .filter(col("session_end_us") <= maxTu - DelayU103 - GapU103)
+      .orderBy("user_id", "session_start_us")
+  }
+
+  private def q103Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    CAST(round(value * 1000) AS BIGINT) AS vmilli
+       |  FROM events
+       |), marked AS (
+       |  SELECT user_id, us, vmilli,
+       |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+       |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= $GapU103
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM e
+       |), ses AS (
+       |  SELECT user_id, us, vmilli,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+       |  FROM marked
+       |)
+       |SELECT user_id, min(us) AS session_start_us,
+       |  max(us) + $GapU103 AS session_end_us,
+       |  count(*) AS n, sum(vmilli) AS vmilli
+       |FROM ses GROUP BY user_id, sid
+       |HAVING max(us) + $GapU103 <=
+       |  (SELECT max(epoch_us(ts)) FROM events) - $DelayU103 - $GapU103
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -628,5 +688,9 @@ GROUP BY 1 ORDER BY channel"""
       "streaming histogram quantiles: fixed-grid (group, bin) running " +
         "count state bounded at groups*nBins; last cell update == batch " +
         "cell; selection over final cells == the batch sketch",
-      q102Build, Some(q102Oracle)))
+      q102Build, Some(q102Oracle)),
+    QueryDef("q103_streaming_sessions",
+      "streaming sessionization: native session_window (30 min gap) + " +
+        "watermarked append; conservative closed set == batch gap-merge",
+      q103Build, Some(q103Oracle)))
 }
