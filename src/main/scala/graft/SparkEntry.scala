@@ -48,7 +48,7 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             JSON props extraction (q99), exact Jaccard-threshold join
   *             via prefix filtering (q100), bounded-state histogram
   *             quantiles (q101, streaming q102), streaming session
-  *             windows (q103)
+  *             windows (q103), stream-stream interval join (q104)
   */
 object SparkEntry {
 

@@ -650,6 +650,57 @@ GROUP BY 1 ORDER BY channel"""
        |  (SELECT max(epoch_us(ts)) FROM events) - $DelayU103 - $GapU103
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Stream-STREAM interval join — the last major Structured Streaming
+    * capability surface (two watermarked streams, a range join condition,
+    * and state eviction driven by both watermarks): each error event joins
+    * the same user's clicks in the strictly-before 2 h window — q88's
+    * semantics with BOTH sides unbounded. The click side's watermark must
+    * cover the error side's lookback (2 h) plus the error delay (1 h) for
+    * Spark to accept the state-cleanup bound. Staged as AvailableNow file
+    * streams; inner joins with time bounds emit every in-window match, so
+    * the result equals the batch interval join — the DuckDB oracle is
+    * q88's brute-force SQL shape over exact micro ords. */
+  private def q104Build(s: SparkSession, dir: String): DataFrame = {
+    val (stage, _) = stageAndMaxTu(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src() = graft.model.Frames.normalizeTsNanos(
+      s.readStream.schema(schema).parquet(stage))
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        expr("ts div 1000").as("error_us"),
+        timestamp_micros(expr("ts div 1000")).as("et"))
+      .withWatermark("et", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("click_us"),
+        timestamp_micros(expr("ts div 1000")).as("ct"))
+      .withWatermark("ct", "4 hours")
+    val joined = errors.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("ct") >= col("et") - expr("INTERVAL 2 HOURS") &&
+        col("ct") < col("et"))
+    StreamingOps.runStreamToParquet(s, joined,
+        s"q104_sink_${sinkId.incrementAndGet()}")
+      .select(col("error_id"), col("user_id"), col("error_us"),
+        col("click_id"), col("click_us"))
+      .orderBy("error_id", "click_id")
+  }
+
+  private def q104Oracle: String =
+    """WITH ee AS (
+      |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS error_us
+      |  FROM events WHERE event_type = 'error'
+      |), cc AS (
+      |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT ee.error_id, ee.user_id, ee.error_us, cc.click_id, cc.click_us
+      |FROM ee JOIN cc
+      |  ON ee.user_id = cc.user_id
+      | AND cc.click_us >= ee.error_us - 7200000000
+      | AND cc.click_us < ee.error_us
+      |ORDER BY error_id, click_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -692,5 +743,9 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q103_streaming_sessions",
       "streaming sessionization: native session_window (30 min gap) + " +
         "watermarked append; conservative closed set == batch gap-merge",
-      q103Build, Some(q103Oracle)))
+      q103Build, Some(q103Oracle)),
+    QueryDef("q104_streaming_interval_join",
+      "stream-stream interval join: two watermarked streams, range " +
+        "condition, state eviction; result == batch interval join",
+      q104Build, Some(q104Oracle)))
 }

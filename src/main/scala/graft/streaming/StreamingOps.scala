@@ -354,10 +354,18 @@ object StreamingOps {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = graft.model.Frames.normalizeTsNanos(
       spark.readStream.schema(schema).parquet(eventsDir))
+    runStreamToParquet(spark, transform(stream), queryName)
+  }
+
+  /** Drive an ALREADY-BUILT streaming DataFrame (e.g. a stream-stream join
+    * over two sources, where the single-source `runToParquet` shape doesn't
+    * fit) to a parquet sink under Trigger.AvailableNow; same sink/read-back
+    * contract as [[runToParquet]]. */
+  def runStreamToParquet(spark: SparkSession, transformed: DataFrame,
+                         queryName: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory(s"stream_sink_$queryName")
     deleteOnExit(out)
     val dataDir = out.resolve("data").toString
-    val transformed = transform(stream)
     val q = transformed.writeStream
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -382,6 +382,60 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     assert(fromStream === fromBatch)
   }
 
+  test("stream-stream interval join: matches across micro-batch boundaries == batch") {
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.model.Frames.normalizeTsNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    // 4 time-ordered files with increasing mtimes: the file source processes
+    // oldest-modified first, so event time advances monotonically across
+    // micro-batches — nothing is late, and clicks buffered in early batches
+    // must survive in join state to match errors arriving in later ones
+    val stage = java.nio.file.Files.createTempDirectory("ssj_events")
+    StreamingOps.deleteOnExit(stage)
+    val quarted = events.withColumn("_q", ntile(4).over(Window.orderBy("ts")))
+    for (i <- 1 to 4) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ssj_part$i")
+      StreamingOps.deleteOnExit(tmp)
+      quarted.filter($"_q" === i).drop("_q")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = stage.resolve(f"part_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    def shape(df: org.apache.spark.sql.DataFrame, side: String) =
+      if (side == "e")
+        df.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("error_id"),
+            timestamp_micros(expr("ts div 1000")).as("et"))
+      else
+        df.filter($"event_type" === "click")
+          .select($"user_id".as("c_user_id"), $"event_id".as("click_id"),
+            timestamp_micros(expr("ts div 1000")).as("ct"))
+    val joined = shape(src(), "e").withWatermark("et", "1 hour")
+      .join(shape(src(), "c").withWatermark("ct", "4 hours"),
+        $"user_id" === $"c_user_id" &&
+          $"ct" >= $"et" - expr("INTERVAL 2 HOURS") && $"ct" < $"et")
+    val streamed = StreamingOps.runStreamToParquet(spark, joined, "ssj_spec")
+      .select($"error_id", $"click_id").as[(Long, Long)].collect().toSet
+    val batch = shape(events, "e").join(shape(events, "c"),
+        $"user_id" === $"c_user_id" &&
+          $"ct" >= $"et" - expr("INTERVAL 2 HOURS") && $"ct" < $"et")
+      .select($"error_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+    assert(batch.nonEmpty, "no matches — fixture too sparse to exercise the join")
+    // the equivalence must have exercised cross-batch state: at least one
+    // match's click and error sit in different time quartiles
+    val q = quarted.select($"event_id", $"_q").as[(Long, Int)].collect().toMap
+    assert(batch.exists { case (e, c) => q(e) != q(c) },
+      "every match fell inside one micro-batch — slicing not exercised")
+  }
+
   test("streaming: stateless pii scrub through the parquet sink == batch") {
     import graft.text.TextAnalysis
     val stage = java.nio.file.Files.createTempDirectory("pii_docs")
