@@ -40,16 +40,21 @@ object StreamingQueries {
     * want a directory) and return Spark's exact per-row micro truncation of
     * the max event timestamp — the quantity both conservative-window
     * filters are anchored to. */
-  private def stageAndMaxTu(s: SparkSession, dir: String): (String, Long) = {
+  private def stageEvents(s: SparkSession, dir: String): String = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Files.createTempDirectory("stream_events")
     StreamingOps.deleteOnExit(stage)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
+    stage.toString
+  }
+
+  private def stageAndMaxTu(s: SparkSession, dir: String): (String, Long) = {
+    val stage = stageEvents(s, dir)
     val maxTu = QueryDef.table(s, dir, "events")
       .agg(max((col("ts") / 1000).cast("long"))).head().getLong(0)
-    (stage.toString, maxTu)
+    (stage, maxTu)
   }
 
   private def q36Build(s: SparkSession, dir: String): DataFrame = {
@@ -661,7 +666,7 @@ GROUP BY 1 ORDER BY channel"""
     * the result equals the batch interval join — the DuckDB oracle is
     * q88's brute-force SQL shape over exact micro ords. */
   private def q104Build(s: SparkSession, dir: String): DataFrame = {
-    val (stage, _) = stageAndMaxTu(s, dir)
+    val stage = stageEvents(s, dir)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src() = graft.model.Frames.normalizeTsNanos(
       s.readStream.schema(schema).parquet(stage))

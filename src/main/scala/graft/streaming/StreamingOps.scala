@@ -318,6 +318,25 @@ object StreamingOps {
         col("win_idx"), combine(col("parts")).as("values"))
   }
 
+  /** State partition count for the staged bench/verify streams. A stateful
+    * streaming query commits every state-store partition each micro-batch
+    * (a stream-stream join commits FOUR stores per partition), so at
+    * test-data state volumes the commit fan-out dominates wall time —
+    * measured 3.3 s vs 9.0 s steady-state on the q104 join at 8 vs 32
+    * partitions over identical state. The count is pinned at query START
+    * (it lives in the checkpoint), so it scopes to the stream without
+    * touching the surrounding batch plan; a production deployment sizes it
+    * to state volume instead (results are partitioning-invariant). */
+  private def streamStateParts: String =
+    sys.props.getOrElse("spark.graft.stream.parts",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+
+  private def withStreamParts[T](spark: SparkSession)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Drive a streaming query from a static events directory to a memory
     * sink under Trigger.AvailableNow (process everything, then stop) and
     * return the result table. Memory sinks collect every output row to the
@@ -331,13 +350,15 @@ object StreamingOps {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = graft.model.Frames.normalizeTsNanos(
       spark.readStream.schema(schema).parquet(eventsDir))
-    val q = transform(stream).writeStream
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.awaitTermination()
+    withStreamParts(spark) {
+      val q = transform(stream).writeStream
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -366,14 +387,16 @@ object StreamingOps {
     val out = java.nio.file.Files.createTempDirectory(s"stream_sink_$queryName")
     deleteOnExit(out)
     val dataDir = out.resolve("data").toString
-    val q = transformed.writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet")
-      .option("path", dataDir)
-      .option("checkpointLocation", out.resolve("ckpt").toString)
-      .start()
-    q.awaitTermination()
+    withStreamParts(spark) {
+      val q = transformed.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", dataDir)
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .start()
+      q.awaitTermination()
+    }
     // a query that closed no windows writes only _spark_metadata — return
     // an empty frame of the right schema instead of failing parquet schema
     // inference (the memory sink this replaced returned an empty table)

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
 object StreamSoak {
 
   def main(args: Array[String]): Unit = {
+    // the soak shuffles tens of millions of samples through the windowed
+    // assembly: full parallelism matters more than state-commit fan-out
+    // (the opposite trade from the tiny staged bench streams)
+    sys.props("spark.graft.stream.parts") = "32"
     val nCh = if (args.length > 0) args(0).toInt else 8
     val nSamples = if (args.length > 1) args(1).toLong else 2000000L
     val rate = 1000.0 // 1 kHz -> 1 ms = 1e6 ns between samples
