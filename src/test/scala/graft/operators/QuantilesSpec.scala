@@ -135,4 +135,22 @@ class QuantilesSpec extends AnyFunSuite {
       .collect().head
     assert(ch.getDouble(1) === 42.0 && ch.getDouble(3) === 42.0)
   }
+
+  test("histogram quantiles degenerate inputs: empty, single value, out-of-grid clamp") {
+    val ps = Seq("p50" -> 0.5, "p99" -> 0.99)
+    // empty input -> empty frame, no error
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Quantiles.histogramQuantiles(empty, "g", "v", ps).count() === 0)
+    assert(Quantiles.fixedGridCells(empty, "g", "v", 0.0, 10.0, 4).count() === 0)
+    // single-value group: mx == mn path, every percentile = the value
+    val one = Seq("a" -> 7.5).toDF("g", "v")
+    val r = Quantiles.histogramQuantiles(one, "g", "v", ps).collect().head
+    assert(r.getDouble(1) === 7.5 && r.getDouble(2) === 7.5)
+    // fixed grid clamps out-of-range values into the edge bins
+    val wild = Seq("a" -> -100.0, "a" -> 5.0, "a" -> 999.0).toDF("g", "v")
+    val cells = Quantiles.fixedGridCells(wild, "g", "v", 0.0, 10.0, 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(cells === Map(0L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"clamp should pin -100 to bin 0 and 999 to bin 3: $cells")
+  }
 }

@@ -178,6 +178,14 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(TextOps.jaccardPrefixJoin(docs, minJaccard = 0.1).count() > 0,
       "planted near-dups should surface")
+    // degenerate inputs: empty corpus and single-word docs (no shingles)
+    // produce empty results, never errors
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.jaccardPrefixJoin(empty, minJaccard = 0.5).count() === 0)
+    val words = Seq((1L, "solo"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    assert(TextOps.jaccardPrefixJoin(words, minJaccard = 0.5).count() === 0)
+    assert(graft.text.TextAnalysis.pmiCollocations(empty).count() === 0,
+      "PMI over an empty corpus must be empty, not an error")
   }
 
   test("simhash finds hamming-close near-dups, not unrelated docs") {
