@@ -48,7 +48,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             JSON props extraction (q99), exact Jaccard-threshold join
   *             via prefix filtering (q100), bounded-state histogram
   *             quantiles (q101, streaming q102), streaming session
-  *             windows (q103), stream-stream interval join (q104)
+  *             windows (q103), stream-stream interval join (q104), rolling
+  *             z-score anomaly flags (q105), native watermark-bounded
+  *             streaming dedup (q106)
   */
 object SparkEntry {
 

@@ -488,6 +488,64 @@ object Relational {
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    QueryDef("q105_rolling_anomaly",
+      "trailing-window rolling z-score anomaly flags per user",
+      // q97's RANGE-window shape carrying SECOND moments: rolling mean and
+      // population variance from exact integer milli sums (sum and
+      // sum-of-squares are order-independent in integers; (1000v)^2 sums
+      // stay < 2^63 at any realistic window) — an event is anomalous when
+      // it sits more than 1.5 rolling stddevs from the trailing-week mean
+      // with >= 8 events of support (a week because the harness event rate
+      // is ~2 events/user/day; 1.5 sigma because its values are
+      // near-uniform and a uniform's max deviation is 1.73 sigma — a
+      // 3-sigma flag can never fire). The flag compares squared deviations
+      // — dev^2/sigma^2 = (n*vm - s)^2 / (n*q - s^2) — in EXACT integer
+      // arithmetic via DECIMAL(38,0) cross-multiplication, so the decision
+      // can't straddle a float boundary between engines.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("us"),
+            round(col("value") * 1000).cast("long").as("vm"))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-604800000000L, 0L)
+        e.select(col("event_id"), col("user_id"), col("us"), col("vm"),
+            count(lit(1)).over(w).as("n"),
+            sum("vm").over(w).as("s"),
+            sum(col("vm") * col("vm")).over(w).as("q"))
+          .withColumn("is_anomaly",
+            (col("n") >= 8) &&
+              (expr("4 * (CAST(n AS DECIMAL(38,0)) * vm - s) * (CAST(n AS DECIMAL(38,0)) * vm - s)") >
+                expr("9 * (CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)")))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("events"),
+            sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("anomalies"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm
+             |  FROM events WHERE value IS NOT NULL
+             |), roll AS (
+             |  SELECT user_id, vm,
+             |    count(*) OVER w AS n, sum(vm) OVER w AS s,
+             |    sum(vm * vm) OVER w AS q
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+             |), flagged AS (
+             |  SELECT user_id,
+             |    CASE WHEN n >= 8
+             |      AND 4 * (CAST(n AS HUGEINT) * vm - s) * (CAST(n AS HUGEINT) * vm - s)
+             |        > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+             |      THEN 1 ELSE 0 END AS a
+             |  FROM roll
+             |)
+             |SELECT user_id, count(*) AS events,
+             |  CAST(sum(a) AS BIGINT) AS anomalies
+             |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     QueryDef("q101_histogram_quantiles",
       "bounded-state histogram-sketch quantiles (deterministic equi-width grid)",
       // Quantiles.histogramQuantiles: the state-bounded tier below q91 —

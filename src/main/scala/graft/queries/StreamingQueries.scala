@@ -706,6 +706,38 @@ GROUP BY 1 ORDER BY channel"""
       | AND cc.click_us < ee.error_us
       |ORDER BY error_id, click_id""".stripMargin
 
+  /** Native watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`)
+    * — the OPERATOR counterpart of q64's hand-built mapGroupsWithState dedup:
+    * seen-key state is evicted once the watermark passes, so state is
+    * bounded by the duplicate-arrival window rather than the stream's
+    * lifetime key count. The stream is the staged events UNIONED with
+    * itself (every event arrives exactly twice, possibly within one
+    * micro-batch); if the operator deduplicates perfectly, a per-type
+    * rollup over the sink equals the plain rollup over the ORIGINAL table —
+    * which is the oracle. A failed dedup doubles every count and fails the
+    * hash. */
+  private def q106Build(s: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src() = graft.model.Frames.normalizeTsNanos(
+      s.readStream.schema(schema).parquet(stage))
+    val deduped = src().unionByName(src())
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    StreamingOps.runStreamToParquet(s, deduped,
+        s"q106_sink_${sinkId.incrementAndGet()}")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("long")).as("vmilli"))
+      .orderBy("event_type")
+  }
+
+  private def q106Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -752,5 +784,9 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q104_streaming_interval_join",
       "stream-stream interval join: two watermarked streams, range " +
         "condition, state eviction; result == batch interval join",
-      q104Build, Some(q104Oracle)))
+      q104Build, Some(q104Oracle)),
+    QueryDef("q106_streaming_native_dedup",
+      "native dropDuplicatesWithinWatermark over a self-unioned stream " +
+        "(every event twice): rollup == the original table's rollup",
+      q106Build, Some(q106Oracle)))
 }
