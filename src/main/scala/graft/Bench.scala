@@ -42,7 +42,8 @@ object Bench {
     "q97_rolling_features", "q98_funnel_conversion", "q99_json_props_extract",
     "q101_histogram_quantiles", "q102_streaming_histogram_quantiles",
     "q103_streaming_sessions", "q104_streaming_interval_join",
-    "q105_rolling_anomaly", "q106_streaming_native_dedup")
+    "q105_rolling_anomaly", "q106_streaming_native_dedup",
+    "q107_stream_static_enrich")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,7 +50,7 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             quantiles (q101, streaming q102), streaming session
   *             windows (q103), stream-stream interval join (q104), rolling
   *             z-score anomaly flags (q105), native watermark-bounded
-  *             streaming dedup (q106)
+  *             streaming dedup (q106), stream-static dim enrich (q107)
   */
 object SparkEntry {
 

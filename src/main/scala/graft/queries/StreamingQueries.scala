@@ -738,6 +738,41 @@ GROUP BY 1 ORDER BY channel"""
       |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Stream-STATIC join (the remaining streaming join mode after q104's
+    * stream-stream): the events stream enriched per micro-batch with the
+    * broadcast electrodes dimension (J2's dim attach running inside a
+    * streaming query — stateless on the join itself), then a running
+    * per-(channel, imp) aggregation in Update mode. Counts only grow, so
+    * the last update per key (max-n struct) equals the batch aggregate
+    * under any micro-batch slicing — the q84 argument — and the emitted
+    * `imp` values prove the dimension actually attached. */
+  private def q107Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q107_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .withColumn("channel", pmod(col("user_id"), lit(8)).cast("int"))
+        .join(broadcast(graft.model.Frames.electrodes(s, 8)),
+          col("channel") === col("id"))
+        .groupBy("channel", "imp")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000).cast("long")).as("vmilli")),
+      outputMode = OutputMode.Update)
+    updates.groupBy("channel", "imp")
+      .agg(max(struct(col("n"), col("vmilli"))).as("_last"))
+      .select(col("channel"), col("imp"),
+        col("_last.n").as("n"), col("_last.vmilli").as("vmilli"))
+      .orderBy("channel")
+  }
+
+  private def q107Oracle: String =
+    """SELECT CAST(user_id % 8 AS INT) AS channel,
+      |  CAST(-(user_id % 8) AS DOUBLE) AS imp,
+      |  count(*) AS n,
+      |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli
+      |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -788,5 +823,9 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q106_streaming_native_dedup",
       "native dropDuplicatesWithinWatermark over a self-unioned stream " +
         "(every event twice): rollup == the original table's rollup",
-      q106Build, Some(q106Oracle)))
+      q106Build, Some(q106Oracle)),
+    QueryDef("q107_stream_static_enrich",
+      "stream-static broadcast-dim join + running Update-mode rollup: " +
+        "last update per key == batch aggregate",
+      q107Build, Some(q107Oracle)))
 }

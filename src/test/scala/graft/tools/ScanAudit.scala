@@ -16,7 +16,7 @@ object ScanAudit {
       "q64_streaming_dedup", "q73_streaming_pii_scrub",
       "q78_streaming_minhash_dedup", "q84_streaming_count_min",
       "q102_streaming_histogram_quantiles", "q103_streaming_sessions",
-      "q104_streaming_interval_join", "q106_streaming_native_dedup")
+      "q104_streaming_interval_join", "q106_streaming_native_dedup", "q107_stream_static_enrich")
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
