@@ -195,7 +195,7 @@ object Llm {
              |FROM pairs
              |JOIN cnt ca ON doc_a = ca.doc_id
              |JOIN cnt cb ON doc_b = cb.doc_id
-             |WHERE round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) >= 0.02
+             |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.02
              |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)),
 
     QueryDef("q42_minhash_lsh", "MinHash+LSH near-dup candidates (shingle->minhash->band->bucket-join)",
@@ -1729,6 +1729,6 @@ object Llm {
              |FROM pairs
              |JOIN cnt ca ON doc_a = ca.doc_id
              |JOIN cnt cb ON doc_b = cb.doc_id
-             |WHERE round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) >= 0.8
+             |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.8
              |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin)))
 }

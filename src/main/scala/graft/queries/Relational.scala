@@ -468,11 +468,16 @@ object Relational {
       // (decile, user) partial — pair space bounded by deciles x users.
       (s, dir) => {
         val e = table(s, dir, "events")
-        e.select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        // integer-literal k only, pinned by regex BEFORE the cast: for a
+        // non-integer numeric string the engines' casts disagree (Spark
+        // nulls it out, DuckDB rounds it in), so the contract is decided
+        // by an explicit filter both sides share, not by cast semantics
+        e.select(get_json_object(col("props"), "$.k").as("k_str"),
             col("user_id"),
             round(col("value") * 1000).cast("long").as("vmilli"))
-          .filter(col("k").isNotNull)
-          .select(expr("k div 10").as("k_decile"), col("user_id"), col("vmilli"))
+          .filter(col("k_str").rlike("^-?\\d+$"))
+          .select(expr("CAST(k_str AS BIGINT) div 10").as("k_decile"),
+            col("user_id"), col("vmilli"))
           .groupBy("k_decile")
           .agg(count(lit(1)).as("n"),
             countDistinct("user_id").as("n_users"),
@@ -485,7 +490,7 @@ object Relational {
              |  count(DISTINCT user_id) AS n_users,
              |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli_sum
              |FROM events
-             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+             |WHERE regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef("q105_rolling_anomaly",

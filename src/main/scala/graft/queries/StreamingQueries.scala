@@ -271,7 +271,7 @@ GROUP BY 1, 2 ORDER BY win, event_type"""
     * the engine splitting the input into several batches. */
   private def q56Build(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
-    val (stage, _) = stageAndMaxTu(s, dir)
+    val stage = stageEvents(s, dir)
     import s.implicits._
     val updates = StreamingOps.runToMemory(s, stage,
       s"q56_sink_${sinkId.incrementAndGet()}",
@@ -543,12 +543,8 @@ GROUP BY 1 ORDER BY channel"""
     * reproduces the batch sketch exactly. */
   private def q102Build(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
-    val stage = java.nio.file.Files.createTempDirectory("stream_hist")
-    StreamingOps.deleteOnExit(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
-    val updates = StreamingOps.runToMemory(s, stage.toString,
+    val stage = stageEvents(s, dir)
+    val updates = StreamingOps.runToMemory(s, stage,
       s"q102_sink_${sinkId.incrementAndGet()}",
       df => graft.operators.Quantiles.fixedGridCells(
         df, "event_type", "value", lo = 0.0, hi = 1000.0, nBins = 200),
@@ -611,7 +607,7 @@ GROUP BY 1 ORDER BY channel"""
   private val DelayU103 = 3600000000L // 1 h watermark delay, micros
 
   private def q103Build(s: SparkSession, dir: String): DataFrame = {
-    val (stage, _) = stageAndMaxTu(s, dir)
+    val stage = stageEvents(s, dir)
     val maxTu = QueryDef.table(s, dir, "events")
       .agg(max(expr("ts div 1000"))).head().getLong(0)
     val streamed = StreamingOps.runToParquet(s, stage,
@@ -667,9 +663,7 @@ GROUP BY 1 ORDER BY channel"""
     * q88's brute-force SQL shape over exact micro ords. */
   private def q104Build(s: SparkSession, dir: String): DataFrame = {
     val stage = stageEvents(s, dir)
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def src() = graft.model.Frames.normalizeTsNanos(
-      s.readStream.schema(schema).parquet(stage))
+    def src() = StreamingOps.eventsStream(s, stage)
     val errors = src().filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"),
         expr("ts div 1000").as("error_us"),
@@ -718,9 +712,7 @@ GROUP BY 1 ORDER BY channel"""
     * hash. */
   private def q106Build(s: SparkSession, dir: String): DataFrame = {
     val stage = stageEvents(s, dir)
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def src() = graft.model.Frames.normalizeTsNanos(
-      s.readStream.schema(schema).parquet(stage))
+    def src() = StreamingOps.eventsStream(s, stage)
     val deduped = src().unionByName(src())
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")

@@ -337,6 +337,17 @@ object StreamingOps {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Build a ts-normalized file-stream source over an events directory —
+    * THE way to open a raw events stream: the normalizeTsNanos wrap is what
+    * absorbs the harness's timestamp-type generations, and a hand-rolled
+    * readStream that forgets it reintroduces the micros-ts regression. */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    graft.model.Frames.normalizeTsNanos(
+      spark.readStream.schema(schema).parquet(eventsDir))
+  }
+
   /** Drive a streaming query from a static events directory to a memory
     * sink under Trigger.AvailableNow (process everything, then stop) and
     * return the result table. Memory sinks collect every output row to the

@@ -380,10 +380,12 @@ object TextOps {
     pairs
       .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
       .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("ca") + col("cb") - col("inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+      // unrounded threshold (rounded output): the same contract as
+      // jaccardPrefixJoin, whose prefix bound is lossless only for TRUE
+      // J >= t — keeping both filters unrounded keeps them set-equal
+      .withColumn("_j", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("_j") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("_j"), 6).as("jaccard"))
   }
 
   /** Exact Jaccard-threshold similarity join via PREFIX FILTERING — the
@@ -440,10 +442,13 @@ object TextOps {
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("c").as("ca")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("c").as("cb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("ca") + col("cb") - col("inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+      // filter on the UNROUNDED ratio: the prefix bound is lossless only
+      // for true J >= t, so a rounded filter would admit pairs with true J
+      // in [t - 5e-7, t) that may have generated no candidate — the output
+      // column stays rounded for the cross-engine hash
+      .withColumn("_j", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("_j") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("_j"), 6).as("jaccard"))
   }
 
   /** Approximate decontamination via a bipartite MinHash band-join — the

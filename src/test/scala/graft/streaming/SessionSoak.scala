@@ -97,9 +97,7 @@ object SessionSoak {
       s"(streamed excludes the watermark-open tail)")
 
     // --- q104 shape: stream-stream interval join ---
-    val schema = spark.read.parquet(dir).schema
-    def src() = graft.model.Frames.normalizeTsNanos(
-      spark.readStream.schema(schema).parquet(dir))
+    def src() = StreamingOps.eventsStream(spark, dir)
     val errors = src().filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"),
         timestamp_micros(expr("ts div 1000")).as("et"))
