@@ -93,6 +93,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = results.collect { case (k, None) => s""""$k"""" }
       .mkString("[", ",", "]")
+    // the driver contract requires a numeric "value", so the total is the
+    // sum over SUCCESSFUL queries — which shrinks when a query breaks.
+    // Consumers comparing totals must check "errors" first: a non-empty
+    // errors array makes the totals incomparable, never an improvement.
     val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
