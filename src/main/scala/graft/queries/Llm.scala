@@ -1730,5 +1730,165 @@ object Llm {
              |JOIN cnt ca ON doc_a = ca.doc_id
              |JOIN cnt cb ON doc_b = cb.doc_id
              |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.8
-             |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin)))
+             |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q108_int8_ivf_topk",
+      "IVF ANN served from the int8-compressed store (train/assign/probe on dequantized codes)",
+      // Similarity.int8IvfSearch: the q72 quantize→dequantize reconstruction
+      // (narrowed to f32, the stored serving format) feeds the WHOLE q52
+      // IVF pipeline — the end-to-end recall check for a deployment keeping
+      // only the 4×-compressed codes. Oracle = the q52 Lloyd replica with
+      // its emb CTE swapped for the q80 dequantize CTE + a FLOAT round-trip.
+      (s, dir) => Similarity.int8IvfSearch(table(s, dir, "embeddings"),
+        queryId = 0L, k = 10,
+        Similarity.IvfParams(nCells = 16, iters = 2, nprobe = 3)),
+      Some("""|WITH p AS (
+             |  SELECT vec_id, embedding,
+             |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+             |  FROM embeddings
+             |),
+             |emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(vmin +
+             |      (CASE WHEN vmax = vmin THEN 0
+             |            ELSE least(255, CAST(floor((CAST(x AS DOUBLE) - vmin) * 255.0
+             |                                        / (vmax - vmin)) AS BIGINT)) END)
+             |      * ((vmax - vmin) / 255.0) AS FLOAT) AS DOUBLE)) AS v
+             |  FROM p
+             |),
+             |c0 AS (
+             |  SELECT cell, v FROM (
+             |    SELECT row_number() OVER (ORDER BY substr(md5(vec_id::VARCHAR), 1, 15), vec_id) - 1 AS cell, v
+             |    FROM emb
+             |  ) WHERE cell < 16
+             |),
+             |a1 AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c0 c
+             |  ) WHERE rn = 1
+             |),
+             |u1 AS (
+             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  FROM a1 a JOIN emb e USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
+             |  GROUP BY a.cell, d.i
+             |),
+             |c1 AS (
+             |  SELECT c0.cell, COALESCE(n.v, c0.v) AS v
+             |  FROM c0 LEFT JOIN (
+             |    SELECT cell, list(x ORDER BY i) AS v FROM u1 GROUP BY cell
+             |  ) n USING (cell)
+             |),
+             |a2 AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c1 c
+             |  ) WHERE rn = 1
+             |),
+             |u2 AS (
+             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  FROM a2 a JOIN emb e USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
+             |  GROUP BY a.cell, d.i
+             |),
+             |c2 AS (
+             |  SELECT c1.cell, COALESCE(n.v, c1.v) AS v
+             |  FROM c1 LEFT JOIN (
+             |    SELECT cell, list(x ORDER BY i) AS v FROM u2 GROUP BY cell
+             |  ) n USING (cell)
+             |),
+             |q AS (SELECT v FROM emb WHERE vec_id = 0),
+             |af AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c2 c
+             |  ) WHERE rn = 1
+             |),
+             |probe AS (
+             |  SELECT c.cell FROM c2 c CROSS JOIN q
+             |  ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.cell LIMIT 3
+             |)
+             |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS sim
+             |FROM emb e JOIN af USING (vec_id) CROSS JOIN q
+             |WHERE af.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
+             |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    QueryDef("q109_ngram_novelty",
+      "cross-corpus n-gram novelty scoring (shared-shingle fraction per doc)",
+      (s, dir) => Curation.ngramNovelty(table(s, dir, "documents"), n = 2),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(string_split(text, ' ')) - 1),
+             |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS shingle
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+             |), df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+             |SELECT s.doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  round(1.0 - CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |              / count(*), 6) AS novelty
+             |FROM sh s JOIN df USING (shingle)
+             |GROUP BY s.doc_id
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    QueryDef("q110_inverted_index",
+      "inverted-index postings build (df, total tf, top postings per term)",
+      (s, dir) => Curation.invertedIndex(table(s, dir, "documents"),
+        minDf = 5, topPostings = 3, topK = 100),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+             |), tf AS (
+             |  SELECT term, doc_id, count(*) AS tf FROM words WHERE term <> ''
+             |  GROUP BY 1, 2
+             |), ranked AS (
+             |  SELECT term, doc_id, tf,
+             |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+             |  FROM tf
+             |)
+             |SELECT term, CAST(count(*) AS BIGINT) AS df,
+             |  CAST(sum(tf) AS BIGINT) AS total_tf,
+             |  string_agg(CASE WHEN rn <= 3 THEN CAST(doc_id AS VARCHAR) END,
+             |             ',' ORDER BY rn) AS top_docs
+             |FROM ranked
+             |GROUP BY term HAVING count(*) >= 5
+             |ORDER BY df DESC, term LIMIT 100""".stripMargin)),
+
+    QueryDef("q111_embedding_gramian",
+      "exact-integer corpus Gramian (PCA/whitening moment accumulation, zero-shuffle treeAggregate)",
+      (s, dir) => Similarity.gramianE9(table(s, dir, "embeddings"),
+        dim = EmbeddingDim),
+      // every cell is floor(vi*vj*1e9) summed as exact longs — the float
+      // product widened to double is correctly rounded in any IEEE engine
+      // and floor has no half-way case, so both engines agree bit-for-bit
+      Some("""WITH emb AS (
+             |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE len(embedding) = 64
+             |), d AS (SELECT unnest(generate_series(1, 64)) AS i),
+             |pairs AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON a.i <= b.i)
+             |SELECT p.i - 1 AS i, p.j - 1 AS j, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(e.v[p.i] * e.v[p.j] * 1e9) AS BIGINT)) AS BIGINT) AS s_e9
+             |FROM emb e CROSS JOIN pairs p
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q112_pca_projection",
+      "top-k PCA projection of the embedding corpus (breeze eigSym over the exact moment sums)",
+      // eigen decomposition is not SQL-expressible — no oracle (driver
+      // records the rows-only check); the spec pins orthonormality,
+      // variance ordering, sign convention, and agreement between the
+      // projection and a driver-side replay
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val (comps, mean) = Similarity.pcaComponents(emb, dim = EmbeddingDim, k = 2)
+        Similarity.pcaProject(emb, comps, mean)
+          .select(col("vec_id"), round(col("pc")(0), 6).as("pc1"),
+            round(col("pc")(1), 6).as("pc2"))
+          .orderBy(col("vec_id"))
+      },
+      None))
 }

@@ -654,4 +654,80 @@ object Curation {
         col("n_docs"), col("n_tokens"),
         round(col("_q4").cast("double") / (col("n_docs") * 10000.0), 6)
           .as("avg_quality"))
+
+  /** Cross-corpus n-gram novelty: per doc, how much of its DISTINCT word
+    * n-gram shingle set also occurs in at least one OTHER document —
+    * `n_shared / n_shingles` shared, `1 − that` novel. The doc-level
+    * boilerplate/contamination signal curation pipelines threshold on
+    * (a doc whose shingles all appear elsewhere is template or copy).
+    *
+    * Scale shape: per-shingle document frequency is an explode →
+    * map-side-partial aggregate (its exchange carries one row per distinct
+    * shingle per partition); the df table then joins back to the shingle
+    * stream co-partitioned on the same key. The corpus is deliberately
+    * exploded twice (the df side prunes `doc_id`, so the exchanges are not
+    * reusable) — the `vocabulary` precedent: a fused single-scan variant
+    * doubles the exploded row width/count and soak-measured 2.5× slower,
+    * because the explode, not the scan, dominates. A `count OVER
+    * (PARTITION BY shingle)` window would be one exchange fewer but
+    * buffers every occurrence of a hot shingle in one task; the agg+join
+    * shape keeps partial aggregation and lets AQE split skewed join
+    * partitions — the 100 TB-safe choice. Docs with < n words have no
+    * shingles and are absent (both engines agree by construction). */
+  def ngramNovelty(docs: DataFrame, n: Int = 2, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val shinglesU = udf((t: String) =>
+      if (t == null) Array.empty[String] else TextOps.shingleArray(t, n))
+    val sh = docs.select(col(idCol), explode(shinglesU(col(textCol))).as("shingle"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        round(lit(1.0) - col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy(col(idCol))
+  }
+
+  /** Inverted-index construction: per term, document frequency, total term
+    * frequency, and the top-`topPostings` posting doc ids (by tf desc, then
+    * doc id) as a csv string — the retrieval-index build pass, restricted
+    * to terms with df ≥ `minDf` and reported as the top-`topK` terms by
+    * (df desc, term).
+    *
+    * Scale shape: explode → (term, doc) tf agg is the one corpus-sized
+    * shuffle (map-side partials). The tf frame then feeds BOTH the per-term
+    * stats agg and the posting ranking — identical child exchanges hashed
+    * on overlapping keys, so the scan+explode runs once (ReusedExchange).
+    * The posting rank filter compiles to WindowGroupLimit (map-side top-k
+    * per term — a stopword's millions of postings never funnel through one
+    * task before the limit). Postings are ordered INSIDE the row via
+    * array_sort on (rank, doc) structs, not agg order, so the csv is
+    * deterministic in any engine. Final TakeOrdered is bounded at topK. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 5, topPostings: Int = 3,
+                    topK: Int = 100, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("tf").desc, col(idCol))
+    val tops = tf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topPostings)
+      .groupBy("term")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col(idCol).as("d")))),
+        x => x.getField("d").cast("string")), ",").as("top_docs"))
+    stats.join(tops, Seq("term"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("total_tf"), col("top_docs"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+  }
 }

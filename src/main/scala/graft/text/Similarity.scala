@@ -320,6 +320,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** The corpus as a server reading the int8-compressed store would see it:
+    * every float vector replaced by its quantize→dequantize reconstruction,
+    * re-narrowed to float32 (the reconstruction is stored/served as f32; the
+    * narrowing is CAST-to-FLOAT in a SQL oracle). One narrow pass, no
+    * shuffle — downstream ANN plumbing is unchanged. */
+  def dequantizedStore(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val dqU = udf((v: Seq[Float]) => dequantize(v).map(_.toFloat))
+    embeddings.withColumn(vecCol, dqU(col(vecCol)))
+  }
+
+  /** IVF ANN served entirely from the int8-compressed store: coarse
+    * quantizer TRAINING, cell assignment, and the probe all run on the
+    * dequantized reconstructions — the end-to-end recall-vs-compression
+    * check for a deployment that keeps only the 4×-compressed codes (run
+    * beside `ivfSearch` on the float originals and diff). Same bounded
+    * driver state and partition-pruned probe shape as `ivfSearch`; the
+    * dequantize is a narrow per-row map fused into the first pass. */
+  def int8IvfSearch(embeddings: DataFrame, queryId: Long, k: Int,
+                    params: IvfParams = IvfParams(),
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dq = dequantizedStore(embeddings, vecCol)
+    val query = dq.filter(col(idCol) === queryId)
+      .select(vecCol).first().getSeq[Float](0).toArray
+    ivfSearch(dq, query, k, params, excludeId = queryId, idCol, vecCol)
+  }
+
   /** Per-vector int8 min-max quantization — the 4× embedding-storage
     * compression a 100 TB vector corpus wants. One narrow pass, no shuffle.
     *
@@ -379,4 +405,150 @@ object Similarity {
         col("q._3").as("q_sum"), col("q._4").as("q_min"), col("q._5").as("q_max"),
         md5(col("q._6")).as("q_md5"))
   }
+
+  // --- second moments / PCA prep ------------------------------------------
+
+  /** Raw Gramian + first-moment accumulation, every cell quantized to an
+    * exact long (floor(v·1e9)): returns (row count, per-dim first-moment
+    * sums, upper-triangle pair-product sums, both length-bounded by `dim`).
+    *
+    * The 100 TB shape: `treeAggregate` — each task folds its rows into ONE
+    * fixed d(d+1)/2-long array (~16 KB at d=64), and the tree combine ships
+    * only those arrays. Zero shuffle of row-level data, no explode, driver
+    * state independent of corpus size. This is the accumulation a
+    * distributed PCA/whitening pass needs, kept in exact integers so any
+    * engine reproduces it bit-for-bit (a float product widened to double is
+    * exact-input, correctly-rounded — deterministic in any IEEE engine;
+    * floor removes the half-way hazard; long sums are order-free).
+    *
+    * Overflow envelope: |cell per row| ≤ max|v|²·1e9 — at |v| ≤ 1 that is
+    * ≤ 1e9, safe in a long to ~9e9 rows; rescale the quantizer (or widen to
+    * BigInt in the seqOp) past that. Vectors whose length ≠ `dim` are
+    * filtered (fixed-dim contract, same as the LSH family). */
+  private[text] def momentsE9(embeddings: DataFrame, dim: Int,
+                              vecCol: String = "embedding"): (Long, Array[Long], Array[Long]) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nPairs = dim * (dim + 1) / 2
+    embeddings
+      .filter(size(col(vecCol)) === dim)
+      .select(col(vecCol)).as[Seq[Float]]
+      .rdd
+      .treeAggregate((0L, new Array[Long](dim), new Array[Long](nPairs)))(
+        seqOp = { case ((n, m1, m2), vec) =>
+          val v = vec match {
+            case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq
+          }
+          var i = 0
+          var p = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            m1(i) += math.floor(xi * 1e9).toLong
+            var j = i
+            while (j < dim) {
+              m2(p) += math.floor(xi * v(j).toDouble * 1e9).toLong
+              p += 1
+              j += 1
+            }
+            i += 1
+          }
+          (n + 1L, m1, m2)
+        },
+        combOp = { case ((na, a1, a2), (nb, b1, b2)) =>
+          var i = 0
+          while (i < a1.length) { a1(i) += b1(i); i += 1 }
+          i = 0
+          while (i < a2.length) { a2(i) += b2(i); i += 1 }
+          (na + nb, a1, a2)
+        })
+  }
+
+  /** Exact-integer Gramian table for PCA/covariance prep: one row per dim
+    * pair (i ≤ j) with the corpus row count and the exact long sum of
+    * floor(vᵢ·vⱼ·1e9) — see [[momentsE9]] for the aggregation shape and the
+    * determinism/overflow contract. Output is d(d+1)/2 rows (2080 at d=64):
+    * bounded, driver-built, broadcast-sized. */
+  def gramianE9(embeddings: DataFrame, dim: Int,
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (n, _, m2) = momentsE9(embeddings, dim, vecCol)
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield (i, j, n, m2(i * dim - i * (i - 1) / 2 + (j - i)))
+    rows.toDF("i", "j", "n", "s_e9")
+  }
+
+  /** Top-k principal components of the corpus (rows = components, unit
+    * norm), eigen-decomposed with breeze from the EXACT integer moment
+    * sums of [[momentsE9]] — covariance C = M₂/n − μμᵀ on the dequantized
+    * (÷1e9) sums, so the input matrix (and hence the decomposition) is a
+    * pure function of the data, independent of partitioning or combine
+    * order. Sign is fixed per component (largest-|coordinate| positive,
+    * lowest index on ties) — eigenvectors are otherwise sign-ambiguous. */
+  def pcaComponents(embeddings: DataFrame, dim: Int, k: Int,
+                    vecCol: String = "embedding"): (Array[Array[Double]], Array[Double]) = {
+    require(k > 0 && k <= dim, s"need 0 < k <= dim, got k=$k dim=$dim")
+    val (n, m1, m2) = momentsE9(embeddings, dim, vecCol)
+    require(n > 1, s"PCA needs at least 2 rows, got $n")
+    val mu = m1.map(_ / 1e9 / n)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    var p = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = m2(p) / 1e9 / n - mu(i) * mu(j)
+        cov(i, j) = c
+        cov(j, i) = c
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues; take the top-k columns reversed
+    val order = (dim - 1) to (dim - k) by -1
+    val comps = order.map { c =>
+      val vec = Array.tabulate(dim)(r => es.eigenvectors(r, c))
+      val pivot = vec.indices.maxBy(r => (math.abs(vec(r)), -r))
+      if (vec(pivot) < 0) vec.map(-_) else vec
+    }.toArray
+    (comps, mu)
+  }
+
+  /** Project each vector onto the top-k principal components (centered):
+    * one narrow pass with the bounded k×dim component table broadcast —
+    * the dimensionality-reduction front half of embedding visualization,
+    * coarse clustering, or whitening. Not SQL-expressible (eigen
+    * decomposition), so its QueryDef carries no oracle; the spec pins
+    * orthonormality, variance ordering, and reconstruction bounds. */
+  def pcaProject(embeddings: DataFrame, components: Array[Array[Double]],
+                 mean: Array[Double],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val bcC = spark.sparkContext.broadcast(components)
+    val bcMu = spark.sparkContext.broadcast(mean)
+    val dim = mean.length
+    val projU = udf { (v: Seq[Float]) =>
+      val comps = bcC.value
+      val mu = bcMu.value
+      val out = new Array[Double](comps.length)
+      var c = 0
+      while (c < comps.length) {
+        var s = 0.0
+        var i = 0
+        val comp = comps(c)
+        while (i < dim) { s += (v(i).toDouble - mu(i)) * comp(i); i += 1 }
+        out(c) = s
+        c += 1
+      }
+      out
+    }
+    embeddings
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol), projU(col(vecCol)).as("pc"))
+  }
+
 }

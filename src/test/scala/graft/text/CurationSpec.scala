@@ -445,4 +445,38 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0L, 1, h("x"))))
     assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0, 0L, 1, h(""))))
   }
+
+  test("ngramNovelty counts shingles shared with other docs") {
+    val docs = Seq(
+      (1L, "a b a b c"), // distinct bigrams: "a b","b a","b c"
+      (2L, "a b x"),     // "a b","b x"
+      (3L, "z z"),       // "z z"
+      (4L, "q")          // < 2 words -> absent
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramNovelty(docs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      (1L, 3L, 1L, 0.666667), // shares "a b" with doc 2
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 1.0)))
+  }
+
+  test("invertedIndex ranks postings by tf then doc, terms by df") {
+    val docs = Seq(
+      (1L, "w w w x"),
+      (2L, "w x x"),
+      (3L, "w y"),
+      (4L, "y")
+    ).toDF("doc_id", "text")
+    val out = Curation.invertedIndex(docs, minDf = 2, topPostings = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      ("w", 3L, 5L, "1,2"),  // tf 3 in doc 1; tf-1 tie between docs 2,3 -> doc 2
+      ("x", 2L, 3L, "2,1"),
+      ("y", 2L, 2L, "3,4")))
+    // minDf prunes singleton terms, topK truncates the df ranking
+    val top1 = Curation.invertedIndex(docs, minDf = 2, topPostings = 2, topK = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 === Seq("w"))
+  }
 }

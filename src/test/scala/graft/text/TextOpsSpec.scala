@@ -686,4 +686,89 @@ class TextOpsSpec extends AnyFunSuite {
       .select("bg").collect().map(_.getString(0)).toSeq
     assert(top === full.take(2), "topK is a prefix of the full ranking")
   }
+
+  test("int8 IVF search finds planted neighbors from the compressed store") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) }
+    val q = vec(1)
+    val rows = (1 until 200).map(i => (i.toLong, vec(i + 10))) ++
+      Seq((500L, jitter(q, 0.01f)), (501L, jitter(q, 0.05f)), (0L, q))
+    val emb = rows.toDF("vec_id", "embedding")
+    // probe-all from the compressed store == int8 brute force (recall
+    // invariant survives the quantize->dequantize round trip)
+    val all = Similarity.int8IvfSearch(emb, queryId = 0L, k = 2,
+        Similarity.IvfParams(nCells = 10, iters = 2, nprobe = 10))
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(500L, 501L), s"int8 IVF probe-all lost planted neighbors: $all")
+    val partial = Similarity.int8IvfSearch(emb, queryId = 0L, k = 2,
+        Similarity.IvfParams(nCells = 10, iters = 2, nprobe = 3))
+      .select("vec_id").as[Long].collect().toSet
+    assert(partial.contains(500L), s"int8 IVF lost the closest neighbor: $partial")
+  }
+
+  test("gramianE9 matches hand-computed exact integer moments") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(0.5f, -1.0f)),
+      (3L, Seq(1.0f, 2.0f, 3.0f)) // wrong dim -> filtered
+    ).toDF("vec_id", "embedding")
+    val g = Similarity.gramianE9(emb, dim = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // (0,0): 1e9 + floor(.25e9) ; (0,1): 2e9 + floor(-.5e9) ; (1,1): 4e9 + 1e9
+    assert(g((0, 0)) === (2L, 1250000000L))
+    assert(g((0, 1)) === (2L, 1500000000L))
+    assert(g((1, 1)) === (2L, 5000000000L))
+    // partition-invariant: exact longs don't care about combine order
+    val emb7 = emb.repartition(7)
+    val g7 = Similarity.gramianE9(emb7, dim = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(g7 === g)
+  }
+
+  test("PCA: orthonormal components, variance ordering, projection replay") {
+    val dim = 8
+    // anisotropic cloud: dim 0 has 10x the spread of the rest, so pc1 must
+    // align with axis 0 (positive by the sign convention)
+    val rows = (0 until 300).map { i =>
+      val r = new scala.util.Random(i + 42)
+      val v = Array.fill(dim)((r.nextGaussian() * 0.1).toFloat)
+      v(0) = (r.nextGaussian() * 1.0).toFloat
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val (comps, mean) = Similarity.pcaComponents(emb, dim, k = 3)
+    assert(comps.length === 3 && comps.forall(_.length === dim))
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = (0 until dim).map(i => comps(a)(i) * comps(b)(i)).sum
+      val expected = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expected) < 1e-9, s"comps $a,$b dot=$dot")
+    }
+    // sign convention: the largest-|coordinate| entry is positive
+    for (c <- comps) {
+      val p = c.indices.maxBy(i => (math.abs(c(i)), -i))
+      assert(c(p) > 0, s"sign convention violated: ${c.toSeq}")
+    }
+    assert(math.abs(comps(0)(0)) > 0.9, s"pc1 not aligned with the planted axis: ${comps(0).toSeq}")
+    val proj = Similarity.pcaProject(emb, comps, mean)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // projection == driver-side replay of (v - mu) . comp
+    for ((id, v) <- rows.take(20)) {
+      val expect = comps.map(c => (0 until dim).map(i => (v(i).toDouble - mean(i)) * c(i)).sum)
+      val got = proj(id)
+      for (c <- 0 until 3)
+        assert(math.abs(got(c) - expect(c)) < 1e-9, s"vec $id pc$c: ${got(c)} vs ${expect(c)}")
+    }
+    // variance ordering along the returned components
+    val vars = (0 until 3).map { c =>
+      val xs = proj.values.map(_(c))
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(vars(0) >= vars(1) && vars(1) >= vars(2), s"variances not ordered: $vars")
+  }
 }
