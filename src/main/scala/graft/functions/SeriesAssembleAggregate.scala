@@ -408,35 +408,35 @@ object BlockBuf {
   * posexplode of a grouped() split). Gappy/duplicate indices (not produced
   * by any caller, but contract-checked) fall back to a sort by
   * (block_idx, insertion order). */
-case class AssembleBlocks(blockIdx: Expression, block: Expression,
-                          mutableAggBufferOffset: Int = 0,
-                          inputAggBufferOffset: Int = 0)
+/** Shared machinery for the (bigint, array<double>) → array<double> buffer
+  * aggregates ([[AssembleBlocks]] / [[AssembleFragments]]): same input
+  * contract and type check, same null policy (null key or null array = no
+  * slot, like collect_list; null ELEMENTS become NaN — the missing-sample
+  * encoding), same BlockBuf accumulation and wire format. Subclasses differ
+  * ONLY in eval's placement semantics (index-ordered concat vs offset-run
+  * placement) plus the case-class copy plumbing Catalyst requires. */
+abstract class BlockPairAggregate
   extends TypedImperativeAggregate[BlockBuf] with BinaryLike[Expression] {
 
-  override def left: Expression = blockIdx
-  override def right: Expression = block
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "assemble_blocks"
 
-  override def checkInputDataTypes(): TypeCheckResult = block.dataType match {
-    case ArrayType(DoubleType, _) if blockIdx.dataType == LongType =>
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case ArrayType(DoubleType, _) if left.dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (bigint, array<double>), got " +
-        s"(${blockIdx.dataType.simpleString}, ${block.dataType.simpleString})")
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override def createAggregationBuffer(): BlockBuf =
     new BlockBuf(new Array[Long](16), new Array[Array[Double]](16), 0)
 
   override def update(buf: BlockBuf, input: InternalRow): BlockBuf = {
-    val i = blockIdx.eval(input)
-    val b = block.eval(input)
-    // null idx or null block = no slot (collect_list drops nulls likewise);
-    // null ELEMENTS inside a block become NaN — the missing-sample encoding
-    if (i != null && b != null) {
-      val arr = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val i = left.eval(input)
+    val v = right.eval(input)
+    if (i != null && v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val out = new Array[Double](arr.numElements())
       var k = 0
       while (k < out.length) {
@@ -453,6 +453,19 @@ case class AssembleBlocks(blockIdx: Expression, block: Expression,
     while (i < b.n) { a.add(b.idx(i), b.blocks(i)); i += 1 }
     a
   }
+
+  override def serialize(buf: BlockBuf): Array[Byte] = BlockBuf.write(buf)
+  override def deserialize(bytes: Array[Byte]): BlockBuf = BlockBuf.read(bytes)
+}
+
+case class AssembleBlocks(blockIdx: Expression, block: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends BlockPairAggregate {
+
+  override def left: Expression = blockIdx
+  override def right: Expression = block
+  override def prettyName: String = "assemble_blocks"
 
   override def eval(buf: BlockBuf): Any = {
     val n = buf.n
@@ -501,9 +514,6 @@ case class AssembleBlocks(blockIdx: Expression, block: Expression,
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  override def serialize(buf: BlockBuf): Array[Byte] = BlockBuf.write(buf)
-  override def deserialize(bytes: Array[Byte]): BlockBuf = BlockBuf.read(bytes)
-
   override def withNewMutableAggBufferOffset(offset: Int): AssembleBlocks =
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): AssembleBlocks =
@@ -525,48 +535,11 @@ case class AssembleBlocks(blockIdx: Expression, block: Expression,
 case class AssembleFragments(off: Expression, vals: Expression,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BlockBuf] with BinaryLike[Expression] {
+  extends BlockPairAggregate {
 
   override def left: Expression = off
   override def right: Expression = vals
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = true
   override def prettyName: String = "assemble_fragments"
-
-  override def checkInputDataTypes(): TypeCheckResult = vals.dataType match {
-    case ArrayType(DoubleType, _) if off.dataType == LongType =>
-      TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (bigint, array<double>), got " +
-        s"(${off.dataType.simpleString}, ${vals.dataType.simpleString})")
-  }
-
-  override def createAggregationBuffer(): BlockBuf =
-    new BlockBuf(new Array[Long](16), new Array[Array[Double]](16), 0)
-
-  override def update(buf: BlockBuf, input: InternalRow): BlockBuf = {
-    val o = off.eval(input)
-    val v = vals.eval(input)
-    // null offset or null run = no slot; null ELEMENTS become NaN (the
-    // missing-sample encoding, same policy as assemble_series)
-    if (o != null && v != null) {
-      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val run = new Array[Double](arr.numElements())
-      var k = 0
-      while (k < run.length) {
-        run(k) = if (arr.isNullAt(k)) Double.NaN else arr.getDouble(k)
-        k += 1
-      }
-      buf.add(o.asInstanceOf[Long], run)
-    }
-    buf
-  }
-
-  override def merge(a: BlockBuf, b: BlockBuf): BlockBuf = {
-    var i = 0
-    while (i < b.n) { a.add(b.idx(i), b.blocks(i)); i += 1 }
-    a
-  }
 
   override def eval(buf: BlockBuf): Any = {
     val n = buf.n
@@ -630,9 +603,6 @@ case class AssembleFragments(off: Expression, vals: Expression,
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
-
-  override def serialize(buf: BlockBuf): Array[Byte] = BlockBuf.write(buf)
-  override def deserialize(bytes: Array[Byte]): BlockBuf = BlockBuf.read(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): AssembleFragments =
     copy(mutableAggBufferOffset = offset)
