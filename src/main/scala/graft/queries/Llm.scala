@@ -118,7 +118,9 @@ object Llm {
     * sign-pattern buckets -> skew-capped candidate pairs), shared by q51 and
     * the q54 embedding-dedup oracle. Mirrors
     * `Similarity.cosineLshPairs(planes = 10, seed = 7, maxBucketSize = 256)`. */
-  private val CosineLshCtes: String =
+  /** The 10-plane sign-LSH signature CTEs alone (d, planes, sig) — shared
+    * by the q51/q54 candidate generator and q113's bucket rollup. */
+  private val CosineLshSigCtes: String =
     """d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
       |planes AS (
       |  SELECT p, list_transform(generate_series(1, d.dim), i ->
@@ -133,7 +135,10 @@ object Llm {
       |             THEN (1 << p.p) ELSE 0 END)::INT AS bucket
       |  FROM embeddings e CROSS JOIN planes p
       |  GROUP BY e.vec_id
-      |), bsz AS (
+      |)""".stripMargin
+
+  private val CosineLshCtes: String =
+    s"""$CosineLshSigCtes, bsz AS (
       |  SELECT bucket, count(*) AS c FROM sig GROUP BY 1
       |), cand AS (
       |  SELECT a.id AS id_a, b.id AS id_b
@@ -1890,5 +1895,35 @@ object Llm {
             round(col("pc")(1), 6).as("pc2"))
           .orderBy(col("vec_id"))
       },
-      None))
+      None),
+
+    QueryDef("q113_semantic_buckets",
+      "cross-modal semantic-neighborhood rollup (sign-LSH embedding buckets × document metadata)",
+      (s, dir) => Similarity.semanticBuckets(table(s, dir, "embeddings"),
+        table(s, dir, "documents"), planes = 10, dim = EmbeddingDim),
+      // q51's exact signature replay, then the bucket×lang composition
+      // rollup with the deterministic (count desc, lang asc) dominant pick
+      Some(s"""|WITH $CosineLshSigCtes,
+              |j AS (
+              |  SELECT s.bucket, COALESCE(d.lang, '') AS lang, d.n_chars
+              |  FROM sig s JOIN documents d ON d.doc_id = s.id
+              |),
+              |bl AS (
+              |  SELECT bucket, lang, count(*) AS n,
+              |         CAST(sum(n_chars) AS BIGINT) AS chars
+              |  FROM j GROUP BY 1, 2
+              |),
+              |top AS (
+              |  SELECT bucket, lang AS top_lang FROM (
+              |    SELECT bucket, lang,
+              |      row_number() OVER (PARTITION BY bucket ORDER BY n DESC, lang) AS rn
+              |    FROM bl
+              |  ) WHERE rn = 1
+              |)
+              |SELECT b.bucket, CAST(sum(b.n) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS BIGINT) AS n_langs,
+              |  CAST(sum(b.chars) AS BIGINT) AS total_chars, t.top_lang
+              |FROM bl b JOIN top t USING (bucket)
+              |GROUP BY b.bucket, t.top_lang
+              |ORDER BY b.bucket""".stripMargin)))
 }

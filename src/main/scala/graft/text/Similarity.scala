@@ -195,6 +195,71 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 12), 16).toDouble - (1L << 47).toDouble
   }
 
+  /** The sign-LSH bucket pass shared by [[cosineLshPairs]] and
+    * [[semanticBuckets]]: (id, bucket) where bucket is the `planes`-bit
+    * sign pattern of the md5-derived hyperplane dots ([[planeComponent]] —
+    * integer-exact doubles, so a SQL engine rebuilds every bucket
+    * bit-for-bit). ONE narrow pass, the plane table broadcast. */
+  def signatureBuckets(embeddings: DataFrame, planes: Int = 12, seed: Int = 7,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       dim: Int = -1): DataFrame = {
+    require(planes >= 1 && planes <= 30, s"planes must be in [1, 30]: $planes")
+    val d = if (dim > 0) dim
+            else embeddings.select(size(col(vecCol))).first().getInt(0)
+    val hyper = Array.tabulate(planes, d)((p, i) => planeComponent(seed, p, i))
+    val bc = embeddings.sparkSession.sparkContext.broadcast(hyper)
+    val sigUdf = udf { (vIn: Seq[Float]) =>
+      val v = vIn.toArray // Seq can arrive as a List: need O(1) indexing
+      val hs = bc.value
+      var sig = 0
+      for (p <- hs.indices) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length && i < hs(p).length) { dot += v(i) * hs(p)(i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+      }
+      sig
+    }
+    embeddings.select(col(idCol).cast("long").as("id"), sigUdf(col(vecCol)).as("bucket"))
+  }
+
+  /** Cross-modal semantic-neighborhood rollup: each embedding's sign-LSH
+    * bucket (a coarse "topic" cell — same md5 planes as the q51 candidate
+    * generator) joined to its document's metadata, then per-bucket
+    * composition stats: doc count, language count, dominant language
+    * (ties → lexicographically first), exact character totals. The "what
+    * lives in each semantic neighborhood, and is it monolingual" view a
+    * mixture designer reads before sampling.
+    *
+    * Scale shape: the signature is one narrow broadcast pass; the
+    * embedding↔document join shuffles both sides on id once (co-located if
+    * both tables are id-bucketed at rest); the (bucket, lang) aggregate's
+    * exchange is shared by the stats and dominant-language branches
+    * (ReusedExchange — everything below it, including the join, runs
+    * once); the dominant-language rank compiles to WindowGroupLimit. State
+    * above the (bucket, lang) exchange is ≤ 2^planes × |langs| rows. */
+  def semanticBuckets(embeddings: DataFrame, docs: DataFrame,
+                      planes: Int = 10, seed: Int = 7, dim: Int = -1,
+                      idCol: String = "vec_id", docIdCol: String = "doc_id",
+                      langCol: String = "lang", charsCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = signatureBuckets(embeddings, planes, seed, idCol, "embedding", dim)
+    val j = sig.join(
+      docs.select(col(docIdCol).cast("long").as("id"),
+        coalesce(col(langCol), lit("")).as("lang"), col(charsCol)), "id")
+    val bl = j.groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col(charsCol)).as("chars"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("n").desc, col("lang"))
+    val top = bl.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("lang").as("top_lang"))
+    val stats = bl.groupBy("bucket")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum("chars").as("total_chars"))
+    stats.join(top, Seq("bucket"))
+      .orderBy("bucket")
+  }
+
   /** All-pairs near-neighbor candidates by random-hyperplane LSH: vectors
     * sharing a sign-pattern bucket are compared exactly — MinHash's candidate
     * shape applied to embeddings.
@@ -226,30 +291,12 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      dim: Int = -1): DataFrame = {
     require(planes >= 1 && planes <= 30, s"planes must be in [1, 30]: $planes")
-    val d = if (dim > 0) dim
-            else embeddings.select(size(col(vecCol))).first().getInt(0)
-    val hyper = Array.tabulate(planes, d)((p, i) => planeComponent(seed, p, i))
-    val spark = embeddings.sparkSession
-    val bc = spark.sparkContext.broadcast(hyper)
-    val sigUdf = udf { (vIn: Seq[Float]) =>
-      val v = vIn.toArray // Seq can arrive as a List: need O(1) indexing
-      val hs = bc.value
-      var sig = 0
-      for (p <- hs.indices) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length && i < hs(p).length) { dot += v(i) * hs(p)(i); i += 1 }
-        if (dot >= 0) sig |= (1 << p)
-      }
-      sig
-    }
     val pairsUdf = udf { (ids: Seq[Long]) =>
       val sorted = ids.toArray.sorted
       for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length)
         yield (sorted(i), sorted(j))
     }
-    val candidates = embeddings
-      .select(col(idCol).cast("long").as("id"), sigUdf(col(vecCol)).as("bucket"))
+    val candidates = signatureBuckets(embeddings, planes, seed, idCol, vecCol, dim)
       .groupBy("bucket")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))

@@ -687,6 +687,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top === full.take(2), "topK is a prefix of the full ranking")
   }
 
+  test("semanticBuckets matches a driver-side replay over signatureBuckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Similarity.semanticBuckets(emb, docs, planes = 6, dim = 64)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val rows = Similarity.signatureBuckets(emb, planes = 6, seed = 7, dim = 64)
+      .join(docs.selectExpr("doc_id AS id", "lang", "CAST(n_chars AS LONG) AS n_chars"), "id")
+      .collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).map { case (bucket, rs) =>
+      val byLang = rs.groupBy(_._2)
+      val topLang = byLang.toSeq.map { case (l, xs) => (xs.size, l) }
+        .sortBy { case (n, l) => (-n, l) }.head._2
+      bucket -> ((rs.size.toLong, byLang.size.toLong, rs.map(_._3).sum, topLang))
+    }
+    assert(out === expect)
+    assert(out.nonEmpty && out.keys.forall(b => b >= 0 && b < 64))
+  }
+
   test("int8 IVF search finds planted neighbors from the compressed store") {
     val dim = 16
     def vec(seed: Int): Array[Float] = {
