@@ -50,7 +50,12 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             quantiles (q101, streaming q102), streaming session
   *             windows (q103), stream-stream interval join (q104), rolling
   *             z-score anomaly flags (q105), native watermark-bounded
-  *             streaming dedup (q106), stream-static dim enrich (q107)
+  *             streaming dedup (q106), stream-static dim enrich (q107),
+  *             int8-served IVF ANN (q108), n-gram novelty (q109),
+  *             inverted index (q110), exact-integer Gramian (q111), PCA
+  *             projection (q112), cross-modal semantic buckets (q113),
+  *             BM25 retrieval scoring (q114), write-time bucketed layout
+  *             with exchange-free co-located join (q115)
   */
 object SparkEntry {
 

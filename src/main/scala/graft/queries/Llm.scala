@@ -1925,5 +1925,56 @@ object Llm {
               |  CAST(sum(b.chars) AS BIGINT) AS total_chars, t.top_lang
               |FROM bl b JOIN top t USING (bucket)
               |GROUP BY b.bucket, t.top_lang
-              |ORDER BY b.bucket""".stripMargin)))
+              |ORDER BY b.bucket""".stripMargin)),
+
+    QueryDef("q114_bm25_rank",
+      "BM25 retrieval scoring against a fixed query-term set (zero-shuffle narrow scoring pass)",
+      // Curation.bm25Rank: per-term tf is an in-row array scan (no
+      // corpus explode), one 1-row stats reduction broadcasts back, the
+      // per-doc sum runs on a floor-1e6 integer grid so addition order
+      // and ranking are engine-exact. Oracle mirrors the identical IEEE
+      // double chain with idf pre-rounded to the 1e-6 grid.
+      (s, dir) => Curation.bm25Rank(table(s, dir, "documents"),
+        queryTerms = Seq("join", "hash", "vector"), k1 = 1.2, b = 0.75,
+        topK = 20),
+      Some("""|WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, len(ws) AS dl,
+             |    len(list_filter(ws, x -> x = 'join')) AS tf0,
+             |    len(list_filter(ws, x -> x = 'hash')) AS tf1,
+             |    len(list_filter(ws, x -> x = 'vector')) AS tf2
+             |  FROM w
+             |), s AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(dl) AS DOUBLE) AS total_dl,
+             |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM t
+             |), sc AS (
+             |  SELECT doc_id, dl,
+             |    (CASE WHEN tf0 > 0 THEN CAST(floor(
+             |       round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)), 6)
+             |       * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+             |       / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
+             |       * 1000000.0) AS BIGINT) ELSE 0 END
+             |   + CASE WHEN tf1 > 0 THEN CAST(floor(
+             |       round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)), 6)
+             |       * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+             |       / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
+             |       * 1000000.0) AS BIGINT) ELSE 0 END
+             |   + CASE WHEN tf2 > 0 THEN CAST(floor(
+             |       round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)), 6)
+             |       * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+             |       / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
+             |       * 1000000.0) AS BIGINT) ELSE 0 END) AS s_e6
+             |  FROM t CROSS JOIN s
+             |)
+             |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+             |  round(CAST(s_e6 AS DOUBLE) / 1000000.0, 6) AS score
+             |FROM sc WHERE s_e6 > 0
+             |ORDER BY s_e6 DESC, doc_id LIMIT 20""".stripMargin)))
 }

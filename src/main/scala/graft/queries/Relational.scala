@@ -602,5 +602,32 @@ object Relational {
              |    THEN mn + (mx - mn) / 256.0 * (CAST(bin AS DOUBLE)
              |      + CAST(greatest(CAST(ceil(0.99 * n) AS BIGINT), 1) - cumb AS DOUBLE)
              |        / CAST(c AS DOUBLE)) END) AS p99
-             |FROM cum GROUP BY g ORDER BY event_type""".stripMargin)))
+             |FROM cum GROUP BY g ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q115_bucketed_join",
+      "write-time bucketed layout + exchange-free co-located merge join",
+      // BucketedLayout: both fact tables are laid out bucketed(16) on the
+      // order key at write time, then the join reads co-located buckets —
+      // zero Exchange under the SortMergeJoin (spec-certified on the
+      // plan). The aggregate after the join is the certified output; its
+      // values are layout-independent, so the oracle is the plain join.
+      (s, dir) => {
+        import graft.operators.BucketedLayout
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val (lt, rt) = (s"graft_bl_lineitem$tag", s"graft_bl_orders$tag")
+        BucketedLayout.writeBucketed(table(s, dir, "lineitem"), lt,
+          s"/tmp/graft_bucketed$tag/lineitem", "l_orderkey", buckets = 16)
+        BucketedLayout.writeBucketed(table(s, dir, "orders"), rt,
+          s"/tmp/graft_bucketed$tag/orders", "o_orderkey", buckets = 16)
+        BucketedLayout.bucketedJoin(s, lt, rt, "l_orderkey", "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

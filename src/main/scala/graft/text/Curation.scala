@@ -730,4 +730,63 @@ object Curation {
       .orderBy(col("df").desc, col("term"))
       .limit(topK)
   }
+
+  /** BM25 retrieval scoring of every document against a fixed query-term
+    * set (Robertson/Spärck Jones probabilistic ranking — the retrieval
+    * scorer paired with the [[invertedIndex]] build). Output: the
+    * top-`topK` matching docs as (idCol, dl, score) ranked by
+    * (score desc, id).
+    *
+    * Determinism contract (the q67/q79 integer-grid idiom): each term's
+    * IDF is `round(ln(1 + (N − df + ½)/(df + ½)), 6)` — rounded BEFORE
+    * use so the engines' ln implementations can't disagree past the
+    * grid — and each term's contribution is floored to a 1e-6 integer
+    * grid; per-doc summation and ranking run on the exact long, so
+    * neither addition order nor double comparison can flip a rank.
+    * Every other step is a chain of single IEEE double ops written
+    * identically in both engines.
+    *
+    * Scale shape: scoring is a ZERO-SHUFFLE narrow pass — per-term tf is
+    * an in-row `filter(words, _ == term)` scan, not an explode+join (for
+    * a handful of query terms, q < 10 array scans per doc beat a
+    * corpus-sized explode shuffle by orders of magnitude). The only
+    * aggregates are one 1-row global stats reduction (N, Σdl, per-term
+    * df — map-side partials, broadcast back) and the final bounded
+    * TakeOrdered(topK). At 100 TB this is one scan + two tiny exchanges. */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    val words = filter(split(col(textCol), " "), w => length(w) > lit(0))
+    def tfCol(t: String): Column =
+      size(filter(col("_ws"), w => w === lit(t))).cast("long")
+    val base = docs.select(col(idCol), words.as("_ws"))
+      .select(col(idCol) +: size(col("_ws")).cast("long").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"_tf$i") }: _*)
+    val statAggs =
+      sum(col("dl")).cast("double").as("_total_dl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0L, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = base.agg(count(lit(1)).as("_n"), statAggs: _*)
+    val nD = col("_n").cast("double")
+    val avgdl = col("_total_dl") / nD
+    def contribE6(i: Int): Column = {
+      val tf = col(s"_tf$i").cast("double")
+      val df = col(s"_df$i").cast("double")
+      val idf = round(log(lit(1.0) + (nD - df + lit(0.5)) / (df + lit(0.5))), 6)
+      val norm = tf + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (col("dl").cast("double") / avgdl))
+      when(col(s"_tf$i") > 0L,
+        floor(idf * (tf * lit(k1 + 1.0)) / norm * lit(1e6)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    base.crossJoin(broadcast(stats))
+      .withColumn("_s_e6",
+        queryTerms.indices.map(contribE6).reduce(_ + _))
+      .filter(col("_s_e6") > 0L)
+      .orderBy(col("_s_e6").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("dl"),
+        round(col("_s_e6").cast("double") / lit(1e6), 6).as("score"))
+  }
 }

@@ -479,4 +479,35 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(top1 === Seq("w"))
   }
+
+  test("bm25Rank matches the hand-computed formula and ranks deterministically") {
+    // 4 docs, query = {cat}: df=2, N=4, avgdl = (3+2+4+1)/4 = 2.5
+    val docs = Seq(
+      (1L, "cat cat dog"),   // tf=2, dl=3
+      (2L, "cat fish"),      // tf=1, dl=2
+      (3L, "dog dog dog x"), // tf=0 -> excluded
+      (4L, "bird")           // tf=0 -> excluded
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25Rank(docs, Seq("cat"), k1 = 1.2, b = 0.75, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = 4.0; val df = 2.0; val avgdl = 10.0 / 4.0
+    val idf = math.rint(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+    def score(tf: Double, dl: Double): Double =
+      math.floor(idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) * 1e6) / 1e6
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // doc 1 outranks doc 2
+    assert(out(0)._2 === 3L && out(1)._2 === 2L)
+    assert(math.abs(out(0)._3 - score(2.0, 3.0)) < 1e-9)
+    assert(math.abs(out(1)._3 - score(1.0, 2.0)) < 1e-9)
+  }
+
+  test("bm25Rank scoring pass is shuffle-free: only the stats agg and final top-k exchange") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"w$i cat dog")).toDF("doc_id", "text")
+    val plan = Curation.bm25Rank(docs, Seq("cat", "dog"), topK = 5)
+      .queryExecution.executedPlan.toString
+    // no explode/join of the corpus: per-term tf stays an in-row filter
+    assert(!plan.contains("Generate"), s"corpus must not be exploded:\n$plan")
+    assert(plan.contains("TakeOrdered"), s"final top-k must be bounded:\n$plan")
+    // sum over terms happens on the exact integer grid (no double sum)
+    assert(!plan.contains("SortMergeJoin"), s"stats side must broadcast:\n$plan")
+  }
 }
