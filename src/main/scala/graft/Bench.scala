@@ -45,7 +45,8 @@ object Bench {
     "q105_rolling_anomaly", "q106_streaming_native_dedup",
     "q107_stream_static_enrich", "q108_int8_ivf_topk", "q109_ngram_novelty",
     "q110_inverted_index", "q111_embedding_gramian", "q112_pca_projection",
-    "q113_semantic_buckets", "q114_bm25_rank", "q115_bucketed_join")
+    "q113_semantic_buckets", "q114_bm25_rank", "q115_bucketed_join",
+    "q116_zorder_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -55,7 +55,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             inverted index (q110), exact-integer Gramian (q111), PCA
   *             projection (q112), cross-modal semantic buckets (q113),
   *             BM25 retrieval scoring (q114), write-time bucketed layout
-  *             with exchange-free co-located join (q115)
+  *             with exchange-free co-located join (q115), Z-order
+  *             multi-dim clustering (q116)
   */
 object SparkEntry {
 

@@ -629,5 +629,40 @@ object Relational {
       Some("""SELECT o_orderpriority, count(*) AS n_items,
              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q116_zorder_stats",
+      "Z-order (Morton) multi-dim clustering key + per-z-range bounding-box stats",
+      // ZOrder.zValue is a pure-codegen shift/and/or fold (exact integer
+      // math in any engine). The certified output is the per-z-range
+      // bounding box over BOTH source dims — the min/max file statistics a
+      // z-ordered write would give every file, i.e. the quantity that
+      // makes two-dimensional scan pruning work. Buckets = z >> 8 (256
+      // cells of the 16-bit curve), deterministic regardless of layout.
+      (s, dir) => {
+        import graft.operators.ZOrder
+        val e = table(s, dir, "events")
+          .select(col("user_id").as("x"),
+            least(lit(255L), floor(col("value") / 2.0).cast("long")).as("y"))
+        e.withColumn("z", ZOrder.zValue(col("x"), col("y"), bits = 8))
+          .groupBy(shiftright(col("z"), 8).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("x_min"), max("x").as("x_max"),
+            min("y").as("y_min"), max("y").as("y_max"))
+          .orderBy("bucket")
+      },
+      Some("""|WITH b AS (
+             |  SELECT user_id AS x,
+             |    least(255, CAST(floor(value / 2.0) AS BIGINT)) AS y
+             |  FROM events
+             |), z AS (
+             |  SELECT x, y, CAST(list_sum(list_transform(generate_series(0, 7),
+             |    i -> ((x >> i) & 1) * (1::BIGINT << (2 * i))
+             |       + ((y >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS zv
+             |  FROM b
+             |)
+             |SELECT zv >> 8 AS bucket, count(*) AS n,
+             |  min(x) AS x_min, max(x) AS x_max,
+             |  min(y) AS y_min, max(y) AS y_max
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
