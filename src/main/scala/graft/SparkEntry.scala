@@ -56,7 +56,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             projection (q112), cross-modal semantic buckets (q113),
   *             BM25 retrieval scoring (q114), write-time bucketed layout
   *             with exchange-free co-located join (q115), Z-order
-  *             multi-dim clustering (q116)
+  *             multi-dim clustering (q116), deterministic holdout split
+  *             (q117), dense time-grid gap fill + gap census (q118)
   */
 object SparkEntry {
 

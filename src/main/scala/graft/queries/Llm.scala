@@ -1976,5 +1976,31 @@ object Llm {
              |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
              |  round(CAST(s_e6 AS DOUBLE) / 1000000.0, 6) AS score
              |FROM sc WHERE s_e6 > 0
-             |ORDER BY s_e6 DESC, doc_id LIMIT 20""".stripMargin)))
+             |ORDER BY s_e6 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QueryDef("q117_holdout_split",
+      "deterministic train/val/test holdout split (salted md5-uniform vs cumulative integer thresholds)",
+      // Curation.splitAssign: a doc's split is a pure function of its id —
+      // stable under appends/re-partitioning, zero shuffle. Certified via
+      // the per-(source, split) census; thresholds are the same
+      // floor(cum * 2^60) doubles-to-integer chain in both engines.
+      (s, dir) => Curation.splitAssign(table(s, dir, "documents"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("source", "split"),
+      Some("""|WITH h AS (
+             |  SELECT source, n_chars,
+             |    CAST(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS UBIGINT) AS u
+             |  FROM documents
+             |), lab AS (
+             |  SELECT source, n_chars,
+             |    CASE WHEN u < CAST(floor(0.9 * 1152921504606846976.0) AS BIGINT) THEN 'train'
+             |         WHEN u < CAST(floor((0.9 + 0.05) * 1152921504606846976.0) AS BIGINT) THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM h
+             |)
+             |SELECT source, split, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

@@ -664,5 +664,42 @@ object Relational {
              |SELECT zv >> 8 AS bucket, count(*) AS n,
              |  min(x) AS x_min, max(x) AS x_max,
              |  min(y) AS y_min, max(y) AS y_max
-             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q118_gapfill_census",
+      "dense hourly time-grid gap fill + longest-gap census per user",
+      // GapFill: sequence-exploded per-user grid (bounded by span, not
+      // event count), zero-filled via co-partitioned left join, longest
+      // empty run by rownumber-difference grouping — exact integer math
+      // end to end (ts div, never a double division near 2^60 nanos).
+      (s, dir) => graft.operators.GapFill.gapCensus(table(s, dir, "events")),
+      Some("""|WITH h AS (
+             |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour FROM events
+             |), c AS (
+             |  SELECT user_id, hour, count(*) AS n FROM h GROUP BY 1, 2
+             |), span AS (
+             |  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY 1
+             |), grid AS (
+             |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM span
+             |), g AS (
+             |  SELECT grid.user_id, grid.hour, COALESCE(c.n, 0) AS n
+             |  FROM grid LEFT JOIN c USING (user_id, hour)
+             |), z AS (
+             |  SELECT user_id, hour,
+             |    hour - row_number() OVER (PARTITION BY user_id ORDER BY hour) AS grp
+             |  FROM g WHERE n = 0
+             |), runs AS (
+             |  SELECT user_id, grp, count(*) AS runlen FROM z GROUP BY 1, 2
+             |), mg AS (
+             |  SELECT user_id, max(runlen) AS max_gap FROM runs GROUP BY 1
+             |), census AS (
+             |  SELECT user_id, count(*) AS n_hours,
+             |    CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_hours,
+             |    CAST(sum(n) AS BIGINT) AS n_events
+             |  FROM g GROUP BY 1
+             |)
+             |SELECT census.user_id, n_hours, active_hours, n_events,
+             |  CAST(COALESCE(mg.max_gap, 0) AS BIGINT) AS max_gap
+             |FROM census LEFT JOIN mg USING (user_id)
+             |ORDER BY census.user_id""".stripMargin)))
 }

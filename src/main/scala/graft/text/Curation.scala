@@ -239,6 +239,38 @@ object Curation {
     docs.filter(sampleHash(col(idCol)) < threshold)
   }
 
+  /** Deterministic holdout split: label every doc `train`/`val`/`test`
+    * (any fraction list summing to 1) from its own "split"-salted
+    * md5-uniform vs cumulative integer thresholds — the train/eval split
+    * op every corpus pipeline needs before packing.
+    *
+    * Properties the hash idiom buys (same contract as [[mixtureSample]]):
+    * pure narrow codegen filter (zero shuffle at 100 TB), reproducible on
+    * any cluster layout, stable under re-runs/re-partitioning/appends (a
+    * doc's split never changes when other docs arrive), and independent
+    * of the other samplers' draws (distinct salt — see [[sampleHash]]).
+    * Thresholds compare INTEGERS on the u60 grid; the last split absorbs
+    * the remainder so fractions always partition exactly. */
+  def splitLabel(id: Column, fractions: Seq[(String, Double)],
+                 salt: String = "split"): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val u = sampleHash(id, salt)
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    fractions.init.zip(cums.init).reverse
+      .foldLeft(lit(fractions.last._1): Column) {
+        case (acc, ((name, _), cum)) =>
+          when(u < lit(rateThreshold(cum)), lit(name)).otherwise(acc)
+      }
+  }
+
+  /** [[splitLabel]] attached as a `split` column. */
+  def splitAssign(docs: DataFrame, fractions: Seq[(String, Double)],
+                  salt: String = "split",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("split", splitLabel(col(idCol), fractions, salt))
+
   // --- stratified exact sampling --------------------------------------------
 
   /** Exactly `perGroup` documents per group, chosen uniformly and

@@ -500,6 +500,32 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - score(1.0, 2.0)) < 1e-9)
   }
 
+  test("splitAssign is exhaustive, stable under appends, and rate-accurate") {
+    val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val docs = Seq.tabulate(2000)(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val labeled = Curation.splitAssign(docs, fracs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(labeled.size === 2000)
+    assert(labeled.values.toSet.subsetOf(Set("train", "val", "test")))
+    // rate accuracy at n=2000 (md5-uniform: ±4σ ≈ ±2.7% on train)
+    val n = labeled.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") - 1800) < 110, s"train count ${n("train")}")
+    assert(n("val") > 40 && n("val") < 180)
+    // a doc's split never changes when the corpus grows
+    val bigger = Seq.tabulate(4000)(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val relabeled = Curation.splitAssign(bigger, fracs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    labeled.foreach { case (id, s) => assert(relabeled(id) === s, s"doc $id") }
+    // single-split degenerate case
+    val one = Curation.splitAssign(docs, Seq("all" -> 1.0))
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(one === Seq("all"))
+    // malformed fractions rejected
+    intercept[IllegalArgumentException] {
+      Curation.splitLabel(col("doc_id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("bm25Rank scoring pass is shuffle-free: only the stats agg and final top-k exchange") {
     val docs = Seq.tabulate(50)(i => (i.toLong, s"w$i cat dog")).toDF("doc_id", "text")
     val plan = Curation.bm25Rank(docs, Seq("cat", "dog"), topK = 5)
