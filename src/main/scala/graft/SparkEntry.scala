@@ -57,7 +57,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             BM25 retrieval scoring (q114), write-time bucketed layout
   *             with exchange-free co-located join (q115), Z-order
   *             multi-dim clustering (q116), deterministic holdout split
-  *             (q117), dense time-grid gap fill + gap census (q118)
+  *             (q117), dense time-grid gap fill + gap census (q118),
+  *             HyperLogLog cardinality (q119), signed feature hashing
+  *             (q120)
   */
 object SparkEntry {
 

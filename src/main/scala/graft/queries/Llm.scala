@@ -2002,5 +2002,91 @@ object Llm {
              |)
              |SELECT source, split, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-             |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q119_hll_distinct_trigrams",
+      "HyperLogLog cardinality sketch (256 registers) over word trigrams vs KMV and exact",
+      // Sketches.hllRegisters/hllDistinctEstimate: bounded 256-row state
+      // (the smallest in the sketch family), rho decoded from the md5 hex
+      // string with exact string/int ops, harmonic sum on a DECIMAL(38,0)
+      // grid with ONE trailing double division. Same trigram source as
+      // q85, so the two cardinality sketches certify against the same
+      // exact universe.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val shingles = udf((t: String) =>
+          if (t == null) Array.empty[String] else TextOps.shingleArray(t, 3))
+        val tri = docs.select(explode(shingles(col("text"))).as("item"))
+        val exact = tri.distinct().agg(count(lit(1)).as("n_distinct_exact"))
+        Sketches.hllDistinctEstimate(tri).crossJoin(exact)
+      },
+      Some("""|WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), tri AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
+             |  FROM words WHERE len(w) >= 3
+             |), hx AS (
+             |  SELECT md5('hll:' || item) AS h FROM tri
+             |), r AS (
+             |  SELECT CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
+             |    ltrim(substr(h, 3, 15), '0') AS t
+             |  FROM hx
+             |), rho AS (
+             |  SELECT bucket, CASE WHEN t = '' THEN 61
+             |    ELSE 4 * (15 - len(t))
+             |      + (CASE WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 8 THEN 0
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 4 THEN 1
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 2 THEN 2
+             |              ELSE 3 END) + 1 END AS rho
+             |  FROM r
+             |), regs AS (
+             |  SELECT bucket, max(rho) AS reg FROM rho GROUP BY 1
+             |), agg AS (
+             |  SELECT count(*) AS present,
+             |    CAST(sum(CAST(pow(2.0, 61 - reg) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num_present
+             |  FROM regs
+             |), est AS (
+             |  SELECT CAST(256 - present AS BIGINT) AS zero_buckets,
+             |    (0.7213 / (1.0 + 1.079 / 256.0)) * (256.0 * 256.0) /
+             |      (CAST(num_present + CAST(256 - present AS DECIMAL(38,0))
+             |            * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+             |       / 2.305843009213693952e18) AS raw
+             |  FROM agg
+             |), ex AS (
+             |  SELECT count(*) AS n_distinct_exact
+             |  FROM (SELECT DISTINCT item FROM tri)
+             |)
+             |SELECT zero_buckets, round(raw, 4) AS raw_estimate,
+             |  round(CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
+             |    THEN 256.0 * ln(256.0 / CAST(zero_buckets AS DOUBLE))
+             |    ELSE raw END, 4) AS estimate,
+             |  n_distinct_exact
+             |FROM est CROSS JOIN ex""".stripMargin)),
+
+    QueryDef("q120_feature_hash_census",
+      "hashing-trick vectorizer census (signed feature hashing, dim-bounded shuffle)",
+      // Sketches.featureHashCensus: bucket/sign from the same md5 grid,
+      // per-term distinct-ing via the vocabulary idiom (no countDistinct
+      // pair spill), one dim-bounded final agg, bounded TakeOrdered.
+      (s, dir) => Sketches.featureHashCensus(table(s, dir, "documents"),
+        dim = 1024, topK = 50),
+      Some("""|WITH terms AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+             |), t AS (
+             |  SELECT term, md5('fh:' || term) AS h FROM terms WHERE len(term) > 0
+             |), k AS (
+             |  SELECT term,
+             |    CAST(CAST(('0x' || substr(h, 1, 15)) AS UBIGINT) % 1024 AS INTEGER) AS bucket,
+             |    CASE WHEN CAST(('0x' || substr(h, 16, 1)) AS INTEGER) % 2 = 0
+             |      THEN 1 ELSE -1 END AS sign
+             |  FROM t
+             |), pt AS (
+             |  SELECT bucket, term, sign, count(*) AS cnt FROM k GROUP BY 1, 2, 3
+             |)
+             |SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_terms,
+             |  CAST(count(*) AS BIGINT) AS n_distinct_terms,
+             |  CAST(sum(sign * cnt) AS BIGINT) AS signed_sum
+             |FROM pt GROUP BY 1 ORDER BY n_terms DESC, bucket LIMIT 50""".stripMargin)))
 }

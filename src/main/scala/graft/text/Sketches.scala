@@ -112,4 +112,94 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
             / col("h_k").cast("double"))
           .as("estimate"))
+
+  // --- HyperLogLog ----------------------------------------------------------
+
+  /** HyperLogLog registers over md5-hashed items: bucket = the hash's
+    * first 8 bits (m = 256), rho = 1 + leading zero bits of the next 60.
+    * The register table is the fixed-size state (≤ m rows after a
+    * map-side-partial max agg — the same bounded-shuffle contract as the
+    * count-min cells, at 256 rows the smallest in the family).
+    *
+    * rho is computed from the hex string itself (ltrim zeros + a 4-case
+    * nibble decode) — exact string/integer ops any engine replays, never
+    * floor(log2(w)) (w spans 60 bits; doubles lose ulps past 2^53). */
+  def hllRegisters(items: DataFrame, itemCol: String = "item"): DataFrame = {
+    val hx = md5(concat(lit("hll:"), col(itemCol)))
+    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int").as("bucket")
+    val wh = substring(hx, 3, 15)
+    val trimmed = ltrim(wh, "0")
+    val z = lit(15) - length(trimmed)
+    val d = conv(substring(trimmed, 1, 1), 16, 10).cast("int")
+    val lead = when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
+    val rho = when(length(trimmed) === 0, lit(61))
+      .otherwise(lit(4) * z + lead + lit(1))
+    items.select(bucket, rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+  }
+
+  /** One-row HLL cardinality estimate (m = 256, alpha_256 harmonic-mean
+    * form, linear-counting correction below 2.5m). The harmonic sum runs
+    * on an exact integer grid: each register contributes 2^(61-reg) and
+    * absent buckets 2^61, summed as DECIMAL(38,0) — addition order can't
+    * move an ulp — with ONE double division at the end. */
+  def hllDistinctEstimate(items: DataFrame,
+                          itemCol: String = "item"): DataFrame = {
+    val m = 256
+    val regs = hllRegisters(items, itemCol)
+    regs.agg(
+        count(lit(1)).as("present"),
+        sum(pow(lit(2.0), lit(61) - col("reg")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("num_present"))
+      .select(
+        (lit(m) - col("present")).cast("long").as("zero_buckets"),
+        (col("num_present") +
+          (lit(m) - col("present")).cast("decimal(38,0)") *
+            lit(2305843009213693952L).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("num"))
+      .select(col("zero_buckets"),
+        (lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(256.0 * 256.0) /
+          (col("num").cast("double") / lit(2.305843009213693952e18)))
+          .as("raw"))
+      .select(col("zero_buckets"),
+        round(col("raw"), 4).as("raw_estimate"),
+        round(when(col("zero_buckets") > 0L && col("raw") <= lit(2.5 * 256.0),
+          lit(256.0) * log(lit(256.0) / col("zero_buckets").cast("double")))
+          .otherwise(col("raw")), 4).as("estimate"))
+  }
+
+  // --- feature hashing -------------------------------------------------------
+
+  /** Hashing-trick vectorizer census: every term maps to a bucket in
+    * [0, dim) with a ±1 sign from the next hash bit (the signed variant
+    * that keeps E[collision noise] = 0). The certified output is the
+    * per-bucket census — term occurrences, distinct terms (collision
+    * load), signed sum — for the top-`topK` buckets by load.
+    *
+    * Scale: one explode → one dim-bounded shuffle (map-side partials
+    * collapse to ≤ dim rows per partition); the vectorizer itself is a
+    * pure narrow expression usable per doc at any corpus size. */
+  def featureHashCensus(docs: DataFrame, dim: Int = 1024, topK: Int = 50,
+                        textCol: String = "text"): DataFrame = {
+    require(dim > 0 && topK > 0, s"need dim>0, topK>0; got $dim, $topK")
+    val hx = md5(concat(lit("fh:"), col("term")))
+    val u = conv(substring(hx, 1, 15), 16, 10).cast("long")
+    val sign = when((conv(substring(hx, 16, 1), 16, 10).cast("int") % 2) === 0,
+      1L).otherwise(-1L)
+    // distinct-ing via the vocabulary idiom, not countDistinct: the per-term
+    // agg's partials collapse to vocabulary size map-side (a countDistinct
+    // partial would key on raw pairs and spill at corpus scale)
+    docs.select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("term"), (u % dim).cast("int").as("bucket"),
+        sign.as("sign"))
+      .groupBy("bucket", "term", "sign")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("bucket")
+      .agg(sum("cnt").as("n_terms"),
+        count(lit(1)).as("n_distinct_terms"),
+        sum(col("sign") * col("cnt")).as("signed_sum"))
+      .orderBy(col("n_terms").desc, col("bucket"))
+      .limit(topK)
+  }
 }

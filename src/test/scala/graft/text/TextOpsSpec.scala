@@ -389,6 +389,70 @@ class TextOpsSpec extends AnyFunSuite {
     assert(unseen === 0L)
   }
 
+  test("HLL registers match a driver-side replay and the estimate lands near truth") {
+    import graft.text.Sketches
+    // driver-side reference: same md5 bucket/rho derivation
+    def ref(item: String): (Int, Int) = {
+      val hx = org.apache.commons.codec.digest.DigestUtils.md5Hex("hll:" + item)
+      val bucket = Integer.parseInt(hx.substring(0, 2), 16)
+      val wh = hx.substring(2, 17)
+      val t = wh.dropWhile(_ == '0')
+      val rho =
+        if (t.isEmpty) 61
+        else {
+          val d = Integer.parseInt(t.take(1), 16)
+          val lead = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+          4 * (15 - t.length) + lead + 1
+        }
+      (bucket, rho)
+    }
+    val items = (0 until 5000).map(i => s"item_$i")
+    val expectRegs = items.map(ref).groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    val gotRegs = Sketches.hllRegisters(items.toDF("item"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(gotRegs === expectRegs)
+    // estimate: deterministic value near truth (HLL m=256 sigma ~6.5%)
+    val est = Sketches.hllDistinctEstimate(items.toDF("item")).collect().head
+    val e = est.getDouble(2)
+    assert(math.abs(e - 5000.0) / 5000.0 < 0.15, s"HLL estimate $e far from 5000")
+    // duplicates cannot move a max-register sketch
+    val dup = Sketches.hllDistinctEstimate(
+      (items ++ items).toDF("item").repartition(7)).collect().head
+    assert(dup.getDouble(2) === e)
+    // small universe triggers the linear-counting branch and is near-exact
+    val small = Sketches.hllDistinctEstimate(
+      (0 until 50).map(i => s"s_$i").toDF("item")).collect().head
+    assert(small.getLong(0) > 0L) // zero buckets present
+    assert(math.abs(small.getDouble(2) - 50.0) < 10.0,
+      s"linear-counting estimate ${small.getDouble(2)} far from 50")
+  }
+
+  test("featureHashCensus census matches a driver-side replay and is layout-invariant") {
+    import graft.text.Sketches
+    def bucketSign(term: String): (Int, Long) = {
+      val hx = org.apache.commons.codec.digest.DigestUtils.md5Hex("fh:" + term)
+      val u = java.lang.Long.parseLong(hx.substring(0, 15), 16)
+      val s = if (Integer.parseInt(hx.substring(15, 16), 16) % 2 == 0) 1L else -1L
+      ((u % 64).toInt, s)
+    }
+    val docs = Seq((1L, "a b a c"), (2L, "b b d"), (3L, "a  e")).toDF("doc_id", "text")
+    val terms = Seq("a", "b", "a", "c", "b", "b", "d", "a", "e")
+    val expect = terms.groupBy(bucketSign(_)._1).map { case (bkt, ts) =>
+      val perTerm = ts.groupBy(identity).view.mapValues(_.size).toMap
+      (bkt, (ts.size.toLong, perTerm.size.toLong,
+        perTerm.map { case (t, c) => bucketSign(t)._2 * c }.sum))
+    }
+    val got = Sketches.featureHashCensus(docs, dim = 64, topK = 64)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect)
+    val rep = Sketches.featureHashCensus(docs.repartition(5), dim = 64, topK = 64)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rep === expect)
+  }
+
   test("KMV bottom-k is partition-invariant, exact under k, and close over k") {
     import graft.text.Sketches
     val items = (0 until 5000).map(i => s"item_$i").toDF("item")
