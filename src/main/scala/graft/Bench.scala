@@ -47,7 +47,8 @@ object Bench {
     "q110_inverted_index", "q111_embedding_gramian", "q112_pca_projection",
     "q113_semantic_buckets", "q114_bm25_rank", "q115_bucketed_join",
     "q116_zorder_stats", "q117_holdout_split", "q118_gapfill_census",
-    "q119_hll_distinct_trigrams", "q120_feature_hash_census")
+    "q119_hll_distinct_trigrams", "q120_feature_hash_census",
+    "q121_chi2_independence", "q122_hll_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,7 +59,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             multi-dim clustering (q116), deterministic holdout split
   *             (q117), dense time-grid gap fill + gap census (q118),
   *             HyperLogLog cardinality (q119), signed feature hashing
-  *             (q120)
+  *             (q120), chi-square independence screen (q121), grouped
+  *             per-source HLL (q122)
   */
 object SparkEntry {
 

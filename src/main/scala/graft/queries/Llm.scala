@@ -2088,5 +2088,68 @@ object Llm {
              |SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_terms,
              |  CAST(count(*) AS BIGINT) AS n_distinct_terms,
              |  CAST(sum(sign * cnt) AS BIGINT) AS signed_sum
-             |FROM pt GROUP BY 1 ORDER BY n_terms DESC, bucket LIMIT 50""".stripMargin)))
+             |FROM pt GROUP BY 1 ORDER BY n_terms DESC, bucket LIMIT 50""".stripMargin)),
+
+    QueryDef("q122_hll_by_source",
+      "grouped HyperLogLog: per-source distinct-trigram estimates vs exact",
+      // Sketches.hllDistinctByGroup: the scale form of q119 — one agg
+      // keyed on groups x 256 registers (exact grouped distinct counting
+      // keys on groups x universe). Exact side joins per source for the
+      // error check.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val shingles = udf((t: String) =>
+          if (t == null) Array.empty[String] else TextOps.shingleArray(t, 3))
+        val tri = docs.select(col("source"),
+          explode(shingles(col("text"))).as("item"))
+        val est = Sketches.hllDistinctByGroup(tri, "source")
+        val exact = tri.select("source", "item").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_distinct_exact"))
+        est.join(exact, "source").orderBy("source")
+      },
+      Some("""|WITH words AS (
+             |  SELECT source, string_split(text, ' ') AS w FROM documents
+             |), tri AS (
+             |  SELECT source, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
+             |  FROM words WHERE len(w) >= 3
+             |), hx AS (
+             |  SELECT source, md5('hll:' || item) AS h FROM tri
+             |), r AS (
+             |  SELECT source, CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
+             |    ltrim(substr(h, 3, 15), '0') AS t
+             |  FROM hx
+             |), rho AS (
+             |  SELECT source, bucket, CASE WHEN t = '' THEN 61
+             |    ELSE 4 * (15 - len(t))
+             |      + (CASE WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 8 THEN 0
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 4 THEN 1
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 2 THEN 2
+             |              ELSE 3 END) + 1 END AS rho
+             |  FROM r
+             |), regs AS (
+             |  SELECT source, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2
+             |), agg AS (
+             |  SELECT source, count(*) AS present,
+             |    CAST(sum(CAST(pow(2.0, 61 - reg) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS np
+             |  FROM regs GROUP BY 1
+             |), est AS (
+             |  SELECT source, CAST(256 - present AS BIGINT) AS zero_buckets,
+             |    (0.7213 / (1.0 + 1.079 / 256.0)) * (256.0 * 256.0) /
+             |      (CAST(np + CAST(256 - present AS DECIMAL(38,0))
+             |            * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+             |       / 2.305843009213693952e18) AS raw
+             |  FROM agg
+             |), ex AS (
+             |  SELECT source, count(*) AS n_distinct_exact
+             |  FROM (SELECT DISTINCT source, item FROM tri) GROUP BY 1
+             |)
+             |SELECT est.source, zero_buckets,
+             |  round(CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
+             |    THEN 256.0 * ln(256.0 / CAST(zero_buckets AS DOUBLE))
+             |    ELSE raw END, 4) AS estimate,
+             |  n_distinct_exact
+             |FROM est JOIN ex USING (source)
+             |ORDER BY est.source""".stripMargin)))
 }

@@ -701,5 +701,50 @@ object Relational {
              |SELECT census.user_id, n_hours, active_hours, n_events,
              |  CAST(COALESCE(mg.max_gap, 0) AS BIGINT) AS max_gap
              |FROM census LEFT JOIN mg USING (user_id)
-             |ORDER BY census.user_id""".stripMargin)))
+             |ORDER BY census.user_id""".stripMargin)),
+
+    QueryDef("q121_chi2_independence",
+      "Pearson chi-square independence screen (event_type x props-k bucket)",
+      // Contingency.chiSquare: one data-sized cell agg, category-bounded
+      // marginals broadcast back, per-cell (o-e)^2/e floored to the 1e-6
+      // grid before the sum. k extraction regex-pinned like q99 so cast
+      // semantics can't diverge.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").as("k_str"))
+          .filter(col("k_str").rlike("^-?\\d+$"))
+          .select(col("event_type"),
+            expr("CAST(k_str AS BIGINT) div 10").as("k_bucket"))
+        graft.operators.Contingency.chiSquare(e, col("event_type"),
+          col("k_bucket"))
+      },
+      Some("""|WITH base AS (
+             |  SELECT event_type,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket
+             |  FROM events
+             |  WHERE regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
+             |), cells AS (
+             |  SELECT event_type AS a, k_bucket AS b, count(*) AS o
+             |  FROM base GROUP BY 1, 2
+             |), rt AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+             |ct AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |dims AS (
+             |  SELECT (SELECT count(*) FROM rt) AS n_rows,
+             |         (SELECT count(*) FROM ct) AS n_cols
+             |), s AS (
+             |  SELECT CAST(floor(
+             |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * 1000000.0) AS BIGINT) AS c_e6, n
+             |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+             |)
+             |SELECT max(n) AS n,
+             |  CAST(d.n_rows AS BIGINT) AS n_rows, CAST(d.n_cols AS BIGINT) AS n_cols,
+             |  CAST((d.n_rows - 1) * (d.n_cols - 1) AS BIGINT) AS dof,
+             |  round(CAST(sum(c_e6) AS DOUBLE) / 1000000.0, 6) AS chi2
+             |FROM s CROSS JOIN dims d
+             |GROUP BY d.n_rows, d.n_cols""".stripMargin)))
 }

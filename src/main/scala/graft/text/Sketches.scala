@@ -124,9 +124,11 @@ object Sketches {
     * rho is computed from the hex string itself (ltrim zeros + a 4-case
     * nibble decode) — exact string/integer ops any engine replays, never
     * floor(log2(w)) (w spans 60 bits; doubles lose ulps past 2^53). */
-  def hllRegisters(items: DataFrame, itemCol: String = "item"): DataFrame = {
+  /** (bucket, rho) expression pair for an item column — shared by the
+    * global and grouped register builders. */
+  private def hllBucketRho(itemCol: String): (Column, Column) = {
     val hx = md5(concat(lit("hll:"), col(itemCol)))
-    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int").as("bucket")
+    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int")
     val wh = substring(hx, 3, 15)
     val trimmed = ltrim(wh, "0")
     val z = lit(15) - length(trimmed)
@@ -134,7 +136,12 @@ object Sketches {
     val lead = when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
     val rho = when(length(trimmed) === 0, lit(61))
       .otherwise(lit(4) * z + lead + lit(1))
-    items.select(bucket, rho.as("rho"))
+    (bucket, rho)
+  }
+
+  def hllRegisters(items: DataFrame, itemCol: String = "item"): DataFrame = {
+    val (bucket, rho) = hllBucketRho(itemCol)
+    items.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max("rho").as("reg"))
   }
 
@@ -163,6 +170,38 @@ object Sketches {
           .as("raw"))
       .select(col("zero_buckets"),
         round(col("raw"), 4).as("raw_estimate"),
+        round(when(col("zero_buckets") > 0L && col("raw") <= lit(2.5 * 256.0),
+          lit(256.0) * log(lit(256.0) / col("zero_buckets").cast("double")))
+          .otherwise(col("raw")), 4).as("estimate"))
+  }
+
+  /** Per-group HLL distinct estimates — the form that matters at scale:
+    * ONE aggregate whose key space is groups × 256 (vs exact per-group
+    * distinct counting, whose pair space is groups × universe). Same
+    * register math and estimate chain as [[hllDistinctEstimate]], per
+    * group. */
+  def hllDistinctByGroup(items: DataFrame, groupCol: String,
+                         itemCol: String = "item"): DataFrame = {
+    val m = 256
+    val (bucket, rho) = hllBucketRho(itemCol)
+    val regs = items.select(col(groupCol).as("_g"), bucket.as("bucket"),
+        rho.as("rho"))
+      .groupBy("_g", "bucket").agg(max("rho").as("reg"))
+    regs.groupBy("_g")
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), lit(61) - col("reg")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("num_present"))
+      .select(col("_g"),
+        (lit(m) - col("present")).cast("long").as("zero_buckets"),
+        (col("num_present") +
+          (lit(m) - col("present")).cast("decimal(38,0)") *
+            lit(2305843009213693952L).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("num"))
+      .select(col("_g"), col("zero_buckets"),
+        (lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(256.0 * 256.0) /
+          (col("num").cast("double") / lit(2.305843009213693952e18)))
+          .as("raw"))
+      .select(col("_g").as(groupCol), col("zero_buckets"),
         round(when(col("zero_buckets") > 0L && col("raw") <= lit(2.5 * 256.0),
           lit(256.0) * log(lit(256.0) / col("zero_buckets").cast("double")))
           .otherwise(col("raw")), 4).as("estimate"))

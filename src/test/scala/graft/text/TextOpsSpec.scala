@@ -428,6 +428,20 @@ class TextOpsSpec extends AnyFunSuite {
       s"linear-counting estimate ${small.getDouble(2)} far from 50")
   }
 
+  test("hllDistinctByGroup equals the global sketch run on each group alone") {
+    import graft.text.Sketches
+    val items = (0 until 3000).map(i => (s"g${i % 3}", s"item_${i / 3}_${i % 3}"))
+      .toDF("g", "item")
+    val grouped = Sketches.hllDistinctByGroup(items, "g")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(grouped.keySet === Set("g0", "g1", "g2"))
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketches.hllDistinctEstimate(items.filter(col("g") === g))
+        .collect().head
+      assert(grouped(g) === ((solo.getLong(0), solo.getDouble(2))), s"group $g")
+    }
+  }
+
   test("featureHashCensus census matches a driver-side replay and is layout-invariant") {
     import graft.text.Sketches
     def bucketSign(term: String): (Int, Long) = {
