@@ -41,24 +41,32 @@ object GapFill {
   }
 
   /** Gap census over the filled grid: per key, grid length, active ticks,
-    * total events, and the longest run of empty ticks (the
-    * rownumber-difference run grouping — exact integers throughout). */
+    * total events, and the longest run of empty ticks.
+    *
+    * ONE pass over the grid: a running active-tick counter (`seg`) tags
+    * every empty tick with the active tick it follows, so a zero run is
+    * exactly a (key, seg) group — no second grid computation for the gap
+    * side (the naive filter-then-rank formulation plans the whole
+    * span+grid+join subtree twice; this shape plans it once, then one
+    * window sort and two category-bounded aggregates). Exact integers
+    * throughout. */
   def gapCensus(events: DataFrame, keyCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame = {
     val grid = hourlyGrid(events, keyCol, tsCol)
     val w = Window.partitionBy(keyCol).orderBy("hour")
-    val maxGap = grid.filter(col("n") === 0L)
-      .withColumn("_grp", col("hour") - row_number().over(w))
-      .groupBy(col(keyCol), col("_grp"))
-      .agg(count(lit(1)).as("_runlen"))
+    grid
+      .withColumn("_seg",
+        sum(when(col("n") > 0L, 1L).otherwise(0L)).over(w))
+      .groupBy(col(keyCol), col("_seg"))
+      .agg(count(lit(1)).as("_ticks"),
+        sum(when(col("n") > 0L, 1L).otherwise(0L)).as("_active"),
+        sum("n").as("_events"),
+        sum(when(col("n") === 0L, 1L).otherwise(0L)).as("_zeros"))
       .groupBy(keyCol)
-      .agg(max("_runlen").as("max_gap"))
-    grid.groupBy(keyCol)
-      .agg(count(lit(1)).as("n_hours"),
-        sum(when(col("n") > 0L, 1L).otherwise(0L)).as("active_hours"),
-        sum("n").as("n_events"))
-      .join(maxGap, Seq(keyCol), "left")
-      .withColumn("max_gap", coalesce(col("max_gap"), lit(0L)))
+      .agg(sum("_ticks").as("n_hours"),
+        sum("_active").as("active_hours"),
+        sum("_events").as("n_events"),
+        max("_zeros").as("max_gap"))
       .orderBy(keyCol)
   }
 }
