@@ -22,24 +22,32 @@ import org.apache.spark.sql.functions._
 object Contingency {
 
   /** One-row result: n, table dims, degrees of freedom, chi-square
-    * statistic (1e-6 grid). */
+    * statistic (1e-6 grid).
+    *
+    * The data is scanned ONCE (the cell agg); marginals, the grand total,
+    * and the table dims all come from windows over the cell frame itself —
+    * a lazy `cells` referenced from separate marginal subtrees would
+    * re-run the data-sized aggregate per reference (the NOTES multi-subtree
+    * trap: six scans in the naive formulation). The window stage is
+    * single-task by construction, which is exactly right for a frame
+    * bounded by |A|×|B|. */
   def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy()
     val cells = df.select(aCol.as("a"), bCol.as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("o"))
-    val rowTot = cells.groupBy("a").agg(sum("o").as("rt"))
-    val colTot = cells.groupBy("b").agg(sum("o").as("ct"))
-    val dims = rowTot.agg(count(lit(1)).as("n_rows"))
-      .crossJoin(colTot.agg(count(lit(1)).as("n_cols")))
-    val tot = cells.agg(sum("o").as("n"))
+      .withColumn("rt", sum("o").over(Window.partitionBy("a")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("b")))
+      .withColumn("n", sum("o").over(w0))
+      .withColumn("n_rows", size(collect_set("a").over(w0)).cast("long"))
+      .withColumn("n_cols", size(collect_set("b").over(w0)).cast("long"))
     val e = col("rt").cast("double") * col("ct").cast("double") /
       col("n").cast("double")
     val d = col("o").cast("double") - e
     val contribE6 = floor(d * d / e * lit(1e6)).cast("long")
-    cells.join(broadcast(rowTot), "a")
-      .join(broadcast(colTot), "b")
-      .crossJoin(broadcast(tot))
-      .agg(max("n").as("n"), sum(contribE6).as("chi2_e6"))
-      .crossJoin(broadcast(dims))
+    cells
+      .agg(max("n").as("n"), max("n_rows").as("n_rows"),
+        max("n_cols").as("n_cols"), sum(contribE6).as("chi2_e6"))
       .select(col("n"), col("n_rows"), col("n_cols"),
         ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
         round(col("chi2_e6").cast("double") / lit(1e6), 6).as("chi2"))
