@@ -60,7 +60,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q117), dense time-grid gap fill + gap census (q118),
   *             HyperLogLog cardinality (q119), signed feature hashing
   *             (q120), chi-square independence screen (q121), grouped
-  *             per-source HLL (q122)
+  *             per-source HLL (q122), CDC changelog compaction (q123),
+  *             behavioral sequence bigrams (q124), Bloom semi-join
+  *             reduction (q125)
   */
 object SparkEntry {
 

@@ -746,5 +746,89 @@ object Relational {
              |  CAST((d.n_rows - 1) * (d.n_cols - 1) AS BIGINT) AS dof,
              |  round(CAST(sum(c_e6) AS DOUBLE) / 1000000.0, 6) AS chi2
              |FROM s CROSS JOIN dims d
-             |GROUP BY d.n_rows, d.n_cols""".stripMargin)))
+             |GROUP BY d.n_rows, d.n_cols""".stripMargin)),
+
+    QueryDef("q123_cdc_compaction",
+      "changelog compaction to latest state per key with tombstone deletes",
+      // Compaction.compactLatest: one max(struct)-aggregate shuffle (keys
+      // on the wire, not versions — a window row_number would sort every
+      // hot key's update history in one task). events replayed as a
+      // change stream keyed by user: latest (ts, event_id) wins; a
+      // trailing 'error' event tombstones the key.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        graft.operators.Compaction.compactLatest(e,
+            keys = Seq("user_id"), version = Seq("ts", "event_id"),
+            payload = Seq("event_type", "value"),
+            tombstone = col("last.event_type") === "error")
+          .select(col("user_id"), col("last.ts").as("last_ts"),
+            col("last.event_type").as("last_event_type"),
+            col("last.value").as("last_value"), col("n_versions"))
+          .orderBy("user_id")
+      },
+      Some("""|WITH ranked AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_versions
+             |  FROM events
+             |)
+             |SELECT user_id, ts_ns AS last_ts, event_type AS last_event_type,
+             |  value AS last_value, CAST(n_versions AS BIGINT) AS n_versions
+             |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q124_behavior_bigrams",
+      "behavioral event-sequence bigrams (per-user lag window, global top transitions)",
+      // the sequence-mining primitive: per-user histories sort in
+      // parallel (the window partitions by user and carries only the type
+      // column), transition counts collapse through map-side partials to
+      // the |types|^2-bounded table, final TakeOrdered is bounded
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        e.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("prev_type"), col("event_type"))
+          .limit(20)
+      },
+      Some("""|WITH lagged AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events
+             |)
+             |SELECT prev_type, event_type, count(*) AS n
+             |FROM lagged WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2
+             |ORDER BY n DESC, prev_type, event_type LIMIT 20""".stripMargin)),
+
+    QueryDef("q125_bloom_pruned_join",
+      "Bloom semi-join reduction (broadcast bitset prunes the fact side pre-shuffle)",
+      // BloomJoin.bloomPrunedEquiJoin: the certified value is equality
+      // with the plain join — no false negatives by construction, false
+      // positives die in the join — so the oracle needs no bloom model.
+      // Small side: large parts only (p_size >= 40, ~22% of keys).
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val bigParts = table(s, dir, "part")
+          .filter(col("p_size") >= 40)
+          .select("p_partkey", "p_brand")
+        graft.operators.BloomJoin.bloomPrunedEquiJoin(li, bigParts,
+            "l_partkey", "p_partkey")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size >= 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -45,8 +45,9 @@ object TextOps {
     new String(out)
   }
 
-  /** First 15 hex chars (60 bits) of md5("<seed>:<s>") — always >= 0. */
-  private[text] def hash60(s: String, seed: Int): Long = {
+  /** First 15 hex chars (60 bits) of md5("<seed>:<s>") — always >= 0.
+    * Shared engine-wide (operators.BloomJoin probes the same grid). */
+  private[graft] def hash60(s: String, seed: Int): Long = {
     val b = md5Bytes(s"$seed:$s")
     var h = 0L
     var i = 0
