@@ -62,7 +62,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q120), chi-square independence screen (q121), grouped
   *             per-source HLL (q122), CDC changelog compaction (q123),
   *             behavioral sequence bigrams (q124), Bloom semi-join
-  *             reduction (q125)
+  *             reduction (q125), language-ID confusion matrix (q126),
+  *             KMV join-cardinality estimation (q127)
   */
 object SparkEntry {
 

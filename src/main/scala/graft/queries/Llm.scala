@@ -22,6 +22,30 @@ object Llm {
     * probe job at plan-construction time. */
   private val EmbeddingDim = 64
 
+  /** q47/q126 shared language-scoring SQL: `scored` (per-lang stopword-hit
+    * scores generated FROM TextAnalysis.Stopwords, so the oracle's score
+    * function is by construction the product's) and `withbest` (+ the
+    * greatest-score column). */
+  private val LangIdCtes: String = {
+    def cnt(w: String) =
+      s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+    val scores = TextAnalysis.Stopwords.map { case (lang, words) =>
+      s"(${words.map(cnt).mkString(" + ")}) AS score_$lang"
+    }.mkString(",\n  ")
+    val best = "greatest(score_en, score_es, score_fr, score_de, score_zh)"
+    s"""scored AS (
+       |  SELECT doc_id, lang, $scores
+       |  FROM documents
+       |), withbest AS (SELECT *, $best AS best FROM scored)""".stripMargin
+  }
+
+  /** Deterministic arg-max language pick over `withbest` (first lang in
+    * declaration order wins ties; 'und' when every score is zero). */
+  private val LangPredictedSql: String =
+    TextAnalysis.Stopwords.map(_._1).reverse.foldLeft("'und'") {
+      case (acc, l) => s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+
   /** The BPE merge-rank lookup as a generated SQL CASE over adjacent tokens
     * of list `toks` — one WHEN per entry of `Bpe.Merges`, in rank order, so
     * the oracle's priority function is BY CONSTRUCTION the product's. */
@@ -366,22 +390,9 @@ object Llm {
           .orderBy("doc_id")
       },
       Some {
-        def cnt(w: String) =
-          s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
-        val scores = TextAnalysis.Stopwords.map { case (lang, words) =>
-          s"(${words.map(cnt).mkString(" + ")}) AS score_$lang"
-        }.mkString(",\n  ")
-        val best = "greatest(score_en, score_es, score_fr, score_de, score_zh)"
-        val langs = TextAnalysis.Stopwords.map(_._1)
-        val predicted = langs.reverse.foldLeft("'und'") { case (acc, l) =>
-          s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $acc END"
-        }
-        s"""WITH scored AS (
-           |  SELECT doc_id, lang, $scores
-           |  FROM documents
-           |), withbest AS (SELECT *, $best AS best FROM scored)
+        s"""WITH $LangIdCtes
            |SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
-           |  $predicted AS predicted_lang, lang AS labeled_lang
+           |  $LangPredictedSql AS predicted_lang, lang AS labeled_lang
            |FROM withbest ORDER BY doc_id""".stripMargin
       }),
 
@@ -2151,5 +2162,89 @@ object Llm {
              |    ELSE raw END, 4) AS estimate,
              |  n_distinct_exact
              |FROM est JOIN ex USING (source)
-             |ORDER BY est.source""".stripMargin)))
+             |ORDER BY est.source""".stripMargin)),
+
+    QueryDef("q126_langid_confusion",
+      "classifier evaluation: language-ID confusion matrix with per-label fractions",
+      // the model-eval primitive over q47's predictor: cell counts
+      // collapse map-side to the |langs|^2-bounded matrix; per-label
+      // fractions via a window over that bounded frame (one scan of the
+      // corpus total). Shares the scored/predicted SQL with q47 so the
+      // two queries certify the same function.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        TextAnalysis.withLanguageId(table(s, dir, "documents"))
+          .groupBy(col("lang").as("labeled_lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac_of_label",
+            round(col("n").cast("double") /
+              sum("n").over(Window.partitionBy("labeled_lang")).cast("double"),
+              6))
+          .orderBy("labeled_lang", "predicted_lang")
+      },
+      Some {
+        s"""WITH $LangIdCtes,
+           |pred AS (
+           |  SELECT lang AS labeled_lang, $LangPredictedSql AS predicted_lang
+           |  FROM withbest
+           |)
+           |SELECT labeled_lang, predicted_lang, count(*) AS n,
+           |  round(CAST(count(*) AS DOUBLE) /
+           |    CAST(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6)
+           |    AS frac_of_label
+           |FROM pred GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
+    QueryDef("q127_kmv_join_estimate",
+      "join-cardinality estimation from two KMV sketches (no join of the data)",
+      // Sketches.kmvIntersectEstimate over lineitem part-keys vs the
+      // large-part key subset: |A∩B| estimated from two bounded bottom-k
+      // sketches, certified against the exact distinct-key join.
+      (s, dir) => {
+        val a = table(s, dir, "lineitem")
+          .select(col("l_partkey").cast("string").as("item"))
+        val b = table(s, dir, "part").filter(col("p_size") >= 40)
+          .select(col("p_partkey").cast("string").as("item"))
+        val est = Sketches.kmvIntersectEstimate(a, b, k = 256)
+        val exact = a.distinct().join(b.distinct(), "item")
+          .agg(count(lit(1)).as("n_inter_exact"))
+        est.crossJoin(exact)
+      },
+      Some("""|WITH a0 AS (
+             |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS item FROM lineitem
+             |), b0 AS (
+             |  SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS item
+             |  FROM part WHERE p_size >= 40
+             |), ah AS (
+             |  SELECT DISTINCT ('0x' || substr(md5('99:' || item), 1, 15))::UBIGINT AS h
+             |  FROM a0
+             |), bh AS (
+             |  SELECT DISTINCT ('0x' || substr(md5('99:' || item), 1, 15))::UBIGINT AS h
+             |  FROM b0
+             |), ask AS (SELECT h FROM ah ORDER BY h LIMIT 256),
+             |bsk AS (SELECT h FROM bh ORDER BY h LIMIT 256),
+             |tagged AS (
+             |  SELECT h, max(ina) AS ina, max(inb) AS inb FROM (
+             |    SELECT h, 1 AS ina, 0 AS inb FROM ask
+             |    UNION ALL SELECT h, 0 AS ina, 1 AS inb FROM bsk
+             |  ) GROUP BY h ORDER BY h LIMIT 256
+             |), stats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             |    CAST(max(h) AS BIGINT) AS h_k,
+             |    CAST(sum(ina * inb) AS BIGINT) AS n_common
+             |  FROM tagged
+             |), ex AS (
+             |  SELECT count(*) AS n_inter_exact FROM a0 JOIN b0 USING (item)
+             |)
+             |SELECT n_kept, h_k, n_common,
+             |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+             |    ELSE 255.0 * 1.152921504606846976e18 / CAST(h_k AS DOUBLE) END, 4)
+             |    AS union_est,
+             |  round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE) *
+             |    (CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+             |     ELSE 255.0 * 1.152921504606846976e18 / CAST(h_k AS DOUBLE) END), 4)
+             |    AS inter_est,
+             |  n_inter_exact
+             |FROM stats CROSS JOIN ex""".stripMargin)))
 }

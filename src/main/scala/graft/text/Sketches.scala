@@ -113,6 +113,42 @@ object Sketches {
             / col("h_k").cast("double"))
           .as("estimate"))
 
+  /** Join/overlap cardinality estimation from two KMV sketches — the
+    * optimizer-statistics primitive: estimate |A ∩ B| (and |A ∪ B|)
+    * WITHOUT joining the data, from two bounded bottom-k sketches built
+    * independently per side (at 100 TB: each side is one narrow scan +
+    * a k-row result; the estimator runs on ≤ 2k rows).
+    *
+    * Method (Bar-Yossef et al. / Beyer et al.): the bottom-k of the
+    * UNION's hash set is computable from the two sketches alone; with
+    * h_k its k-th value, |A∪B|^ = (k−1)·2⁶⁰/h_k, and the fraction of
+    * those k that appear in BOTH sketches estimates Jaccard, so
+    * |A∩B|^ = (common/k)·|A∪B|^. Exact when the union has < k distinct
+    * hashes (the sketches ARE the sets).
+    *
+    * Plan shape: each side's sketch is referenced ONCE — membership
+    * flags ride the union and a max-agg rebuilds them per hash (a
+    * merged-frame self-join would re-run both sketch passes). */
+  def kmvIntersectEstimate(aItems: DataFrame, bItems: DataFrame, k: Int,
+                           itemCol: String = "item"): DataFrame = {
+    val a = kmvBottomK(aItems, k, itemCol)
+    val b = kmvBottomK(bItems, k, itemCol)
+    val merged = a.select(col("h"), lit(1L).as("ina"), lit(0L).as("inb"))
+      .union(b.select(col("h"), lit(0L).as("ina"), lit(1L).as("inb")))
+      .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .orderBy(col("h").asc).limit(k)
+    val unionEst = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+        / col("h_k").cast("double"))
+    merged
+      .agg(count(lit(1)).as("n_kept"), max("h").as("h_k"),
+        sum(col("ina") * col("inb")).as("n_common"))
+      .select(col("n_kept"), col("h_k"), col("n_common"),
+        round(unionEst, 4).as("union_est"),
+        round(col("n_common").cast("double") / col("n_kept").cast("double")
+          * unionEst, 4).as("inter_est"))
+  }
+
   // --- HyperLogLog ----------------------------------------------------------
 
   /** HyperLogLog registers over md5-hashed items: bucket = the hash's

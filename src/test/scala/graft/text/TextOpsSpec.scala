@@ -389,6 +389,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(unseen === 0L)
   }
 
+  test("kmvIntersectEstimate: exact under k, near truth over k, layout-invariant") {
+    import graft.text.Sketches
+    // small universes: sketches are the sets -> exact intersection
+    val sa = (0 until 60).map(i => s"x_$i").toDF("item")
+    val sb = (40 until 100).map(i => s"x_$i").toDF("item")
+    val se = Sketches.kmvIntersectEstimate(sa, sb, k = 256).collect().head
+    assert(se.getLong(0) === 100L)        // n_kept = |union| < k
+    assert(se.getLong(2) === 20L)         // n_common exact
+    assert(se.getDouble(3) === 100.0 && se.getDouble(4) === 20.0)
+    // large universes: |A|=4000, |B|=3000, |A∩B|=2000, |A∪B|=5000
+    val la = (0 until 4000).map(i => s"k_$i").toDF("item")
+    val lb = (2000 until 5000).map(i => s"k_$i").toDF("item")
+    val le = Sketches.kmvIntersectEstimate(la, lb, k = 256).collect().head
+    assert(le.getLong(0) === 256L)
+    assert(math.abs(le.getDouble(3) - 5000.0) / 5000.0 < 0.2,
+      s"union est ${le.getDouble(3)}")
+    assert(math.abs(le.getDouble(4) - 2000.0) / 2000.0 < 0.3,
+      s"intersection est ${le.getDouble(4)}")
+    // layout invariance
+    val re = Sketches.kmvIntersectEstimate(la.repartition(7),
+      lb.repartition(3), k = 256).collect().head
+    assert(re.toSeq === le.toSeq)
+  }
+
   test("HLL registers match a driver-side replay and the estimate lands near truth") {
     import graft.text.Sketches
     // driver-side reference: same md5 bucket/rho derivation
