@@ -50,7 +50,8 @@ object Bench {
     "q119_hll_distinct_trigrams", "q120_feature_hash_census",
     "q121_chi2_independence", "q122_hll_by_source", "q123_cdc_compaction",
     "q124_behavior_bigrams", "q125_bloom_pruned_join",
-    "q126_langid_confusion", "q127_kmv_join_estimate")
+    "q126_langid_confusion", "q127_kmv_join_estimate", "q128_fk_audit",
+    "q129_table_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

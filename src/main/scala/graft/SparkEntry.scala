@@ -63,7 +63,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             per-source HLL (q122), CDC changelog compaction (q123),
   *             behavioral sequence bigrams (q124), Bloom semi-join
   *             reduction (q125), language-ID confusion matrix (q126),
-  *             KMV join-cardinality estimation (q127)
+  *             KMV join-cardinality estimation (q127), referential
+  *             integrity audit (q128), per-column table profile (q129)
   */
 object SparkEntry {
 

@@ -830,5 +830,108 @@ object Relational {
              |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE p_size >= 40
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q128_fk_audit",
+      "referential-integrity audit across the star schema (orphan counts per FK)",
+      // Profiler.fkAudit: one scan + one anti-null-count left join per
+      // relationship (dim parents broadcast; the lineitem->orders audit
+      // shuffles once on the key). events.user_id -> customer is the
+      // deliberately-broken relationship (synthetic user ids are not
+      // customer keys), exercising the nonzero-orphan path.
+      (s, dir) => graft.operators.Profiler.fkAudit(Seq(
+        ("customer.nation", table(s, dir, "customer"), "c_nationkey",
+          table(s, dir, "nation"), "n_nationkey"),
+        ("events.user_customer", table(s, dir, "events"), "user_id",
+          table(s, dir, "customer"), "c_custkey"),
+        ("lineitem.orders", table(s, dir, "lineitem"), "l_orderkey",
+          table(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.part", table(s, dir, "lineitem"), "l_partkey",
+          table(s, dir, "part"), "p_partkey"),
+        ("orders.customer", table(s, dir, "orders"), "o_custkey",
+          table(s, dir, "customer"), "c_custkey"))),
+      Some("""|SELECT * FROM (
+             |  SELECT 'customer.nation' AS relationship, count(*) AS n_child,
+             |    CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+             |    round(CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS orphan_frac
+             |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+             |    ON c.c_nationkey = n.n_nationkey
+             |  UNION ALL
+             |  SELECT 'events.user_customer', count(*),
+             |    CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    round(CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             |  FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) cu
+             |    ON e.user_id = cu.c_custkey
+             |  UNION ALL
+             |  SELECT 'lineitem.orders', count(*),
+             |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    round(CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |    ON l.l_orderkey = o.o_orderkey
+             |  UNION ALL
+             |  SELECT 'lineitem.part', count(*),
+             |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    round(CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+             |    ON l.l_partkey = p.p_partkey
+             |  UNION ALL
+             |  SELECT 'orders.customer', count(*),
+             |    CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    round(CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) cu
+             |    ON o.o_custkey = cu.c_custkey
+             |) ORDER BY relationship""".stripMargin)),
+
+    QueryDef("q129_table_profile",
+      "per-column table profile on the canonical long grid (rows/nulls/distincts/min/max)",
+      // Profiler.profile: one column-pruned scan + two-level aggregate
+      // per column (map-side collapse to the distinct set — no
+      // countDistinct pair expansion). Doubles floor(x1000), strings by
+      // length, event time as nanos: integer grids are engine-stable
+      // where double->string formatting is not.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        graft.operators.Profiler.profile(e, Seq(
+          "event_id" -> col("event_id"),
+          "event_type_len" -> length(col("event_type")),
+          "props_len" -> length(col("props")),
+          "ts" -> col("ts"),
+          "user_id" -> col("user_id"),
+          "value_milli" -> floor(col("value") * 1000)))
+      },
+      Some("""|WITH src AS (
+             |  SELECT event_id, length(event_type) AS event_type_len,
+             |    length(props) AS props_len, epoch_ns(ts) AS ts, user_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS value_milli
+             |  FROM events
+             |)
+             |SELECT * FROM (
+             |  SELECT 'event_id' AS col_name, count(*) AS n,
+             |    count(*) - count(event_id) AS n_null,
+             |    count(DISTINCT event_id) AS n_distinct,
+             |    min(event_id) AS min_scaled, max(event_id) AS max_scaled
+             |  FROM src
+             |  UNION ALL
+             |  SELECT 'event_type_len', count(*), count(*) - count(event_type_len),
+             |    count(DISTINCT event_type_len),
+             |    CAST(min(event_type_len) AS BIGINT), CAST(max(event_type_len) AS BIGINT)
+             |  FROM src
+             |  UNION ALL
+             |  SELECT 'props_len', count(*), count(*) - count(props_len),
+             |    count(DISTINCT props_len),
+             |    CAST(min(props_len) AS BIGINT), CAST(max(props_len) AS BIGINT)
+             |  FROM src
+             |  UNION ALL
+             |  SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+             |    min(ts), max(ts)
+             |  FROM src
+             |  UNION ALL
+             |  SELECT 'user_id', count(*), count(*) - count(user_id),
+             |    count(DISTINCT user_id), min(user_id), max(user_id)
+             |  FROM src
+             |  UNION ALL
+             |  SELECT 'value_milli', count(*), count(*) - count(value_milli),
+             |    count(DISTINCT value_milli), min(value_milli), max(value_milli)
+             |  FROM src
+             |) ORDER BY col_name""".stripMargin)))
 }
