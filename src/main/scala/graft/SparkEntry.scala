@@ -64,7 +64,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             behavioral sequence bigrams (q124), Bloom semi-join
   *             reduction (q125), language-ID confusion matrix (q126),
   *             KMV join-cardinality estimation (q127), referential
-  *             integrity audit (q128), per-column table profile (q129)
+  *             integrity audit (q128), per-column table profile (q129),
+  *             blocked fuzzy entity matching (q130), time-weighted
+  *             averages (q131)
   */
 object SparkEntry {
 

@@ -2246,5 +2246,34 @@ object Llm {
              |     ELSE 255.0 * 1.152921504606846976e18 / CAST(h_k AS DOUBLE) END), 4)
              |    AS inter_est,
              |  n_inter_exact
-             |FROM stats CROSS JOIN ex""".stripMargin)))
+             |FROM stats CROSS JOIN ex""".stripMargin)),
+
+    QueryDef("q130_blocked_fuzzy_match",
+      "blocked fuzzy entity matching (edit-distance pairs inside noun blocks)",
+      // EntityResolution.blockedFuzzyCensus over part names blocked by
+      // their noun token: candidate pairs ONLY inside blocks (the LSH
+      // contract — never global all-pairs); levenshtein agrees between
+      // engines as plain edit distance.
+      (s, dir) => graft.text.EntityResolution.blockedFuzzyCensus(
+        table(s, dir, "part"),
+        blockCol = element_at(split(col("p_name"), " "), -1),
+        strCol = col("p_name"), maxDist = 3),
+      Some("""|WITH names AS (
+             |  SELECT DISTINCT string_split(p_name, ' ')[-1] AS block,
+             |    p_name AS name
+             |  FROM part
+             |), counts AS (
+             |  SELECT block, count(*) AS n_names FROM names GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.block, levenshtein(a.name, b.name) AS dist
+             |  FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+             |  WHERE levenshtein(a.name, b.name) <= 3
+             |)
+             |SELECT c.block, c.n_names,
+             |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_close_pairs,
+             |  CAST(COALESCE(p.md, -1) AS BIGINT) AS min_dist
+             |FROM counts c LEFT JOIN (
+             |  SELECT block, count(*) AS n, min(dist) AS md FROM pairs GROUP BY 1
+             |) p USING (block)
+             |ORDER BY c.block""".stripMargin)))
 }

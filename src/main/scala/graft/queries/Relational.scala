@@ -933,5 +933,49 @@ object Relational {
              |  SELECT 'value_milli', count(*), count(*) - count(value_milli),
              |    count(DISTINCT value_milli), min(value_milli), max(value_milli)
              |  FROM src
-             |) ORDER BY col_name""".stripMargin)))
+             |) ORDER BY col_name""".stripMargin)),
+
+    QueryDef("q131_time_weighted_avg",
+      "per-user time-weighted average (step-function hold, exact integer weighting)",
+      // the sensor/feature-store aggregate: each value holds until the
+      // next event; weights are exact (value-milli x dt-nanos) products
+      // summed in DECIMAL(38,0) — addition order can't move an ulp; ONE
+      // double chain at the end. Per-user lag sort parallelizes across
+      // users; single-event users have no span and are excluded by
+      // construction (both engines agree).
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        e.select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .withColumn("next_ts", lead("ts", 1).over(w))
+          .filter(col("next_ts").isNotNull)
+          .withColumn("wdec", col("vm").cast("decimal(38,0)") *
+            (col("next_ts") - col("ts")).cast("decimal(38,0)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum("wdec").cast("decimal(38,0)").as("wsum"),
+            (max("next_ts") - min("ts")).as("span_ns"))
+          .select(col("user_id"), col("n_intervals"), col("span_ns"),
+            round(col("wsum").cast("double") / col("span_ns").cast("double")
+              / lit(1000.0), 6).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""|WITH stepped AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+             |    lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_ns
+             |  FROM events
+             |), weighted AS (
+             |  SELECT user_id, ts_ns, next_ns,
+             |    CAST(vm AS HUGEINT) * CAST(next_ns - ts_ns AS HUGEINT) AS w
+             |  FROM stepped WHERE next_ns IS NOT NULL
+             |)
+             |SELECT user_id, count(*) AS n_intervals,
+             |  CAST(max(next_ns) - min(ts_ns) AS BIGINT) AS span_ns,
+             |  round(CAST(sum(w) AS DOUBLE) / CAST(max(next_ns) - min(ts_ns) AS DOUBLE)
+             |    / 1000.0, 6) AS twa
+             |FROM weighted GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)))
 }
