@@ -66,7 +66,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             KMV join-cardinality estimation (q127), referential
   *             integrity audit (q128), per-column table profile (q129),
   *             blocked fuzzy entity matching (q130), time-weighted
-  *             averages (q131)
+  *             averages (q131), date-column latency stats (q132),
+  *             market-basket association lift (q133)
   */
 object SparkEntry {
 

@@ -977,5 +977,68 @@ object Relational {
              |  round(CAST(sum(w) AS DOUBLE) / CAST(max(next_ns) - min(ts_ns) AS DOUBLE)
              |    / 1000.0, 6) AS twa
              |FROM weighted GROUP BY user_id
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q132_ship_latency",
+      "order-to-ship latency stats per priority (timestamp arithmetic on date columns)",
+      // exercises the non-`ts` timestamp columns (o_orderdate/l_shipdate
+      // arrive as TIMESTAMP_NTZ): day deltas via exact integer
+      // micros div, avg on the day grid with one trailing double chain.
+      // The orderkey join shuffles both fact sides once; stats collapse
+      // map-side to |priorities| rows.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_shipdate"))
+        val o = table(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
+              .as("lat_days"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            min("lat_days").as("min_days"), max("lat_days").as("max_days"),
+            round(sum("lat_days").cast("double") / count(lit(1)).cast("double"),
+              6).as("avg_days"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""|WITH j AS (
+             |  SELECT o_orderpriority,
+             |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+             |      AS lat_days
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  min(lat_days) AS min_days, max(lat_days) AS max_days,
+             |  round(CAST(sum(lat_days) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS avg_days
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q133_market_basket",
+      "market-basket association rules (co-occurrence lift on a pure integer grid)",
+      // Association.liftPairs over order baskets: basket-bounded pair
+      // quadratic, ReusedExchange on the distinct frame, lift ranked on
+      // floor(c_ab*n*1e6 div c_a*c_b) — no doubles anywhere.
+      (s, dir) => graft.operators.Association.liftPairs(
+        table(s, dir, "lineitem"),
+        basketCol = col("l_orderkey"), itemCol = col("l_partkey"),
+        minPairCount = 3L, topK = 20),
+      Some("""|WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+             |), pc AS (
+             |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+             |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 3
+             |), ic AS (
+             |  SELECT i, count(*) AS c FROM items GROUP BY 1
+             |), nb AS (
+             |  SELECT count(DISTINCT b) AS n_baskets FROM items
+             |)
+             |SELECT item_a, item_b, n_baskets, ia.c AS c_a, ib.c AS c_b, c_ab,
+             |  c_ab * n_baskets * 1000000 // (ia.c * ib.c) AS lift_e6
+             |FROM pc
+             |JOIN ic ia ON pc.item_a = ia.i
+             |JOIN ic ib ON pc.item_b = ib.i
+             |CROSS JOIN nb
+             |ORDER BY lift_e6 DESC, item_a, item_b LIMIT 20""".stripMargin)))
 }
