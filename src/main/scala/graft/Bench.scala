@@ -52,7 +52,8 @@ object Bench {
     "q124_behavior_bigrams", "q125_bloom_pruned_join",
     "q126_langid_confusion", "q127_kmv_join_estimate", "q128_fk_audit",
     "q129_table_profile", "q130_blocked_fuzzy_match",
-    "q131_time_weighted_avg", "q132_ship_latency", "q133_market_basket")
+    "q131_time_weighted_avg", "q132_ship_latency", "q133_market_basket",
+    "q134_pivot_event_matrix", "q135_set_operations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

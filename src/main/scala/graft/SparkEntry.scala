@@ -67,7 +67,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             integrity audit (q128), per-column table profile (q129),
   *             blocked fuzzy entity matching (q130), time-weighted
   *             averages (q131), date-column latency stats (q132),
-  *             market-basket association lift (q133)
+  *             market-basket association lift (q133), PIVOT wide-format
+  *             export (q134), INTERSECT/EXCEPT set algebra (q135)
   */
 object SparkEntry {
 

@@ -1040,5 +1040,64 @@ object Relational {
              |JOIN ic ia ON pc.item_a = ia.i
              |JOIN ic ib ON pc.item_b = ib.i
              |CROSS JOIN nb
-             |ORDER BY lift_e6 DESC, item_a, item_b LIMIT 20""".stripMargin)))
+             |ORDER BY lift_e6 DESC, item_a, item_b LIMIT 20""".stripMargin)),
+
+    QueryDef("q134_pivot_event_matrix",
+      "PIVOT: per-user-decile event-type count matrix (wide-format export)",
+      // RelationalGroupedDataset.pivot with EXPLICIT pivot values — the
+      // values-discovery scan is skipped (at 100 TB the implicit form
+      // fires an extra distinct job) and the output schema is stable.
+      // Compiles to one hash aggregate with |values| conditional counts.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        e.select(expr("user_id div 10").as("user_decile"), col("event_type"))
+          .groupBy("user_decile")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_decile")
+      },
+      Some("""|SELECT user_id // 10 AS user_decile,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q135_set_operations",
+      "INTERSECT / EXCEPT set algebra over customer key sets",
+      // set operators compile to aggregate/join shapes (distinct +
+      // left-semi/anti under the hood); certified over the customer key
+      // universes of two order-priority slices
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        def keysFor(p: String) =
+          o.filter(col("o_orderpriority") === p).select(col("o_custkey"))
+        val urgent = keysFor("1-URGENT")
+        val high = keysFor("2-HIGH")
+        val both = urgent.intersect(high)
+          .agg(count(lit(1)).as("n")).select(lit("both").as("set_op"), col("n"))
+        val onlyUrgent = urgent.except(high)
+          .agg(count(lit(1)).as("n")).select(lit("only_urgent").as("set_op"), col("n"))
+        val either = urgent.union(high).distinct()
+          .agg(count(lit(1)).as("n")).select(lit("either").as("set_op"), col("n"))
+        both.union(onlyUrgent).union(either).orderBy("set_op")
+      },
+      Some("""|WITH u AS (
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |), h AS (
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+             |)
+             |SELECT * FROM (
+             |  SELECT 'both' AS set_op,
+             |    (SELECT count(*) FROM (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM h)) AS n
+             |  UNION ALL
+             |  SELECT 'either',
+             |    (SELECT count(*) FROM (SELECT o_custkey FROM u UNION SELECT o_custkey FROM h))
+             |  UNION ALL
+             |  SELECT 'only_urgent',
+             |    (SELECT count(*) FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM h))
+             |) ORDER BY set_op""".stripMargin)))
 }
