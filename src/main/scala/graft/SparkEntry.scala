@@ -68,7 +68,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             blocked fuzzy entity matching (q130), time-weighted
   *             averages (q131), date-column latency stats (q132),
   *             market-basket association lift (q133), PIVOT wide-format
-  *             export (q134), INTERSECT/EXCEPT set algebra (q135)
+  *             export (q134), INTERSECT/EXCEPT set algebra (q135),
+  *             equi-depth ntile binning (q136), integer-exact
+  *             above-group-mean screen (q137)
   */
 object SparkEntry {
 

@@ -1099,5 +1099,67 @@ object Relational {
              |  UNION ALL
              |  SELECT 'only_urgent',
              |    (SELECT count(*) FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM h))
-             |) ORDER BY set_op""".stripMargin)))
+             |) ORDER BY set_op""".stripMargin)),
+
+    QueryDef("q136_value_decile_bins",
+      "equi-depth decile binning (ntile) with per-bin stats on the milli grid",
+      // feature-discretization primitive: ntile is deterministic once the
+      // order is total (value-milli, event_id tiebreak); per-type sorts
+      // parallelize across types; bin stats collapse to |types| x 10 rows
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("vm"), col("event_id"))
+        e.select(col("event_type"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("event_type", "decile")
+          .agg(count(lit(1)).as("n"), min("vm").as("vm_min"),
+            max("vm").as("vm_max"))
+          .orderBy("event_type", "decile")
+      },
+      Some("""|WITH v AS (
+             |  SELECT event_type, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), binned AS (
+             |  SELECT event_type, vm,
+             |    ntile(10) OVER (PARTITION BY event_type ORDER BY vm, event_id)
+             |      AS decile
+             |  FROM v
+             |)
+             |SELECT event_type, decile, count(*) AS n,
+             |  min(vm) AS vm_min, max(vm) AS vm_max
+             |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q137_above_mean_screen",
+      "strictly-above-group-mean screen on exact integers (no double mean anywhere)",
+      // the decorrelated 'x > avg(x) over group' shape, made engine-exact:
+      // compare c_milli * n > sum_milli (cross-multiplied integers) so no
+      // double mean is ever computed — a windowed double avg's addition
+      // order could flip boundary rows between engines
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") * 1000).cast("long").as("bm"))
+        val w = Window.partitionBy("c_nationkey")
+        c.withColumn("n_cust", count(lit(1)).over(w))
+          .withColumn("sum_bm", sum("bm").over(w))
+          .groupBy("c_nationkey")
+          .agg(max("n_cust").as("n_customers"),
+            sum(when(col("bm") * col("n_cust") > col("sum_bm"), 1L)
+              .otherwise(0L)).as("n_above_mean"))
+          .orderBy("c_nationkey")
+      },
+      Some("""|WITH b AS (
+             |  SELECT c_nationkey, CAST(floor(c_acctbal * 1000) AS BIGINT) AS bm,
+             |    count(*) OVER (PARTITION BY c_nationkey) AS n_cust,
+             |    sum(CAST(floor(c_acctbal * 1000) AS BIGINT))
+             |      OVER (PARTITION BY c_nationkey) AS sum_bm
+             |  FROM customer
+             |)
+             |SELECT c_nationkey, CAST(max(n_cust) AS BIGINT) AS n_customers,
+             |  CAST(sum(CASE WHEN bm * n_cust > sum_bm THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_above_mean
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
