@@ -6,15 +6,18 @@ import org.apache.spark.sql.functions._
 /** Market-basket association mining: co-occurrence counts and lift for
   * item pairs inside baskets — the recommendation/affinity primitive.
   *
-  * Scale shape: ONE data-sized distinct agg (basket, item); the pair
-  * self-join is co-partitioned on the basket key, so each basket's
-  * quadratic is bounded by its own size (order baskets are small; a
-  * pathological mega-basket bounds its own task, the blocked-pairs
-  * contract). Item marginals aggregate the SAME distinct frame —
-  * Catalyst plans the repeated identical subtree as a ReusedExchange,
-  * so the base table is scanned once. Lift ranks on a PURE INTEGER
-  * grid: floor(c_ab·n·10⁶ / (c_a·c_b)) — no doubles anywhere, so no
-  * engine can disagree on the ranking.
+  * Scale shape: the pair self-join is co-partitioned on the basket key,
+  * so each basket's quadratic is bounded by its own size (order baskets
+  * are small; a pathological mega-basket bounds its own task, the
+  * blocked-pairs contract). The marginal subtrees (item counts ×2 join
+  * sides, basket count) re-derive the distinct frame — plan-audited:
+  * column pruning specializes each subtree's scan, so Catalyst does NOT
+  * reuse the exchange — but every one of those scans is pruned to the
+  * two key columns, so the extra passes read keys, never the fact
+  * payload; the expensive products (distinct pairs, pair counts) are
+  * each computed once. Lift ranks on a PURE INTEGER grid:
+  * floor(c_ab·n·10⁶ / (c_a·c_b)) — no doubles anywhere, so no engine
+  * can disagree on the ranking.
   */
 object Association {
 
