@@ -192,7 +192,11 @@ object Sketches {
     val regs = hllRegisters(items, itemCol)
     regs.agg(
         count(lit(1)).as("present"),
-        sum(pow(lit(2.0), lit(61) - col("reg")).cast("decimal(38,0)"))
+        // coalesce: an EMPTY universe has no registers at all — the sum is
+        // null, and the absent-bucket term must carry the whole estimate
+        // (linear counting then reports exactly 0)
+        coalesce(sum(pow(lit(2.0), lit(61) - col("reg"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
           .cast("decimal(38,0)").as("num_present"))
       .select(
         (lit(m) - col("present")).cast("long").as("zero_buckets"),
