@@ -42,8 +42,14 @@ object Association {
       .join(broadcast(itemCounts.select(col("i").as("item_b"),
         col("c").as("c_b"))), "item_b")
       .crossJoin(broadcast(nBaskets))
+      // the numerator c_ab*n*1e6 passes 2^63 once baskets reach billions:
+      // compute the integer division on DECIMAL(38,0) (exact to 38 digits,
+      // matching the oracle's HUGEINT) so the grid survives at scale
+      // instead of wrapping
       .withColumn("lift_e6",
-        expr("c_ab * n_baskets * 1000000 div (c_a * c_b)"))
+        expr("""CAST(CAST(c_ab AS DECIMAL(38,0)) * CAST(n_baskets AS DECIMAL(38,0))
+               | * 1000000 div (CAST(c_a AS DECIMAL(38,0)) * CAST(c_b AS DECIMAL(38,0)))
+               | AS BIGINT)""".stripMargin.replace("\n", " ")))
       .select(col("item_a"), col("item_b"), col("n_baskets"), col("c_a"),
         col("c_b"), col("c_ab"), col("lift_e6"))
       .orderBy(col("lift_e6").desc, col("item_a"), col("item_b"))

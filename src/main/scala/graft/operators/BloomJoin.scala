@@ -29,7 +29,14 @@ import graft.text.TextOps
 object BloomJoin {
 
   /** Inner equi-join `big ⋈ small` on big(`bigKey`) = small(`smallKey`)
-    * with the big side Bloom-pruned before the shuffle. */
+    * with the big side Bloom-pruned before the shuffle.
+    *
+    * Broadcast lifetime: the bitset broadcast is referenced only by the
+    * returned plan's probe UDF; when the caller drops the DataFrame,
+    * Spark's ContextCleaner reclaims it with the closure. Callers looping
+    * over MANY large bitsets in one long-lived session should hold the
+    * results no longer than needed (each pins mBits/8 bytes until
+    * collected). */
   def bloomPrunedEquiJoin(big: DataFrame, small: DataFrame,
                           bigKey: String, smallKey: String,
                           mBits: Int = 1 << 20,

@@ -28,6 +28,10 @@ object Compaction {
     val packed = log.groupBy(keys.map(col): _*)
       .agg(max(struct((version ++ payload).map(col): _*)).as("last"),
         count(lit(1)).as("n_versions"))
-    packed.filter(!tombstone)
+    // three-valued logic guard: a tombstone predicate that evaluates to
+    // NULL (e.g. a null op column) means "not a delete" — without the
+    // coalesce, filter(!NULL) would silently DROP such keys from the
+    // snapshot
+    packed.filter(!coalesce(tombstone, lit(false)))
   }
 }

@@ -39,8 +39,13 @@ object Contingency {
       .withColumn("rt", sum("o").over(Window.partitionBy("a")))
       .withColumn("ct", sum("o").over(Window.partitionBy("b")))
       .withColumn("n", sum("o").over(w0))
-      .withColumn("n_rows", size(collect_set("a").over(w0)).cast("long"))
-      .withColumn("n_cols", size(collect_set("b").over(w0)).cast("long"))
+      // collect_set drops NULLs, but a NULL category's cells ARE summed
+      // into n and chi2 — count it explicitly so dof stays consistent
+      // with the statistic
+      .withColumn("n_rows", (size(collect_set("a").over(w0)) +
+        max(when(col("a").isNull, 1).otherwise(0)).over(w0)).cast("long"))
+      .withColumn("n_cols", (size(collect_set("b").over(w0)) +
+        max(when(col("b").isNull, 1).otherwise(0)).over(w0)).cast("long"))
     val e = col("rt").cast("double") * col("ct").cast("double") /
       col("n").cast("double")
     val d = col("o").cast("double") - e

@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object GapFill {
 
-  /** Per-(key, hour) dense grid with zero-filled event counts and summed
-    * values. `tsCol` must be long nanos (the engine's normalized contract). */
+  /** Per-(key, hour) dense grid with zero-filled event counts. `tsCol`
+    * must be long nanos (the engine's normalized contract). */
   def hourlyGrid(events: DataFrame, keyCol: String = "user_id",
                  tsCol: String = "ts"): DataFrame = {
     val tick = 3600000000000L // nanos per hour

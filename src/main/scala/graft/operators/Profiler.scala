@@ -20,7 +20,8 @@ object Profiler {
     * One scan per relationship: a left join against the DISTINCT parent
     * keys plus a null-count — never a per-orphan materialization. Dim
     * parents broadcast; fact→fact audits shuffle once on the key. */
-  def fkAudit(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+  def fkAudit(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(rels.nonEmpty, "fkAudit needs at least one relationship")
     rels.map { case (name, child, childKey, parent, parentKey) =>
       val hits = parent.select(col(parentKey).as("_pk")).distinct()
         .withColumn("_hit", lit(1))
@@ -32,6 +33,7 @@ object Profiler {
           round(col("n_orphans").cast("double") / col("n_child").cast("double"),
             6).as("orphan_frac"))
     }.reduce(_ union _).orderBy("relationship")
+  }
 
   /** Per-column profile: rows, nulls, distinct non-null values, min/max
     * on the canonical grid. `cols` maps output column names to their
@@ -41,7 +43,8 @@ object Profiler {
     * once), each a two-level aggregate — values collapse map-side to
     * the column's distinct set, so no countDistinct pair expansion and
     * no whole-column funnel through one task. */
-  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     cols.map { case (name, canon) =>
       df.select(canon.cast("long").as("_v"))
         .groupBy("_v").agg(count(lit(1)).as("_cnt"))
@@ -53,4 +56,5 @@ object Profiler {
         .select(lit(name).as("col_name"), col("n"), col("n_null"),
           col("n_distinct"), col("min_scaled"), col("max_scaled"))
     }.reduce(_ union _).orderBy("col_name")
+  }
 }

@@ -641,8 +641,12 @@ object Relational {
       // cells of the 16-bit curve), deterministic regardless of layout.
       (s, dir) => {
         import graft.operators.ZOrder
+        // BOTH dims masked to the 8-bit grid zValue interleaves —
+        // user ids reach 1499, and an unmasked x would alias ids 256
+        // apart into one bucket while the reported x_min/x_max spanned
+        // the raw domain, making the bounding boxes meaningless
         val e = table(s, dir, "events")
-          .select(col("user_id").as("x"),
+          .select(pmod(col("user_id"), lit(256L)).as("x"),
             least(lit(255L), floor(col("value") / 2.0).cast("long")).as("y"))
         e.withColumn("z", ZOrder.zValue(col("x"), col("y"), bits = 8))
           .groupBy(shiftright(col("z"), 8).as("bucket"))
@@ -652,7 +656,7 @@ object Relational {
           .orderBy("bucket")
       },
       Some("""|WITH b AS (
-             |  SELECT user_id AS x,
+             |  SELECT user_id % 256 AS x,
              |    least(255, CAST(floor(value / 2.0) AS BIGINT)) AS y
              |  FROM events
              |), z AS (
@@ -1035,7 +1039,8 @@ object Relational {
              |  SELECT count(DISTINCT b) AS n_baskets FROM items
              |)
              |SELECT item_a, item_b, n_baskets, ia.c AS c_a, ib.c AS c_b, c_ab,
-             |  c_ab * n_baskets * 1000000 // (ia.c * ib.c) AS lift_e6
+             |  CAST(CAST(c_ab AS HUGEINT) * n_baskets * 1000000
+             |       // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_e6
              |FROM pc
              |JOIN ic ia ON pc.item_a = ia.i
              |JOIN ic ib ON pc.item_b = ib.i

@@ -181,16 +181,18 @@ object Sketches {
       .groupBy("bucket").agg(max("rho").as("reg"))
   }
 
-  /** One-row HLL cardinality estimate (m = 256, alpha_256 harmonic-mean
-    * form, linear-counting correction below 2.5m). The harmonic sum runs
-    * on an exact integer grid: each register contributes 2^(61-reg) and
-    * absent buckets 2^61, summed as DECIMAL(38,0) — addition order can't
-    * move an ulp — with ONE double division at the end. */
-  def hllDistinctEstimate(items: DataFrame,
-                          itemCol: String = "item"): DataFrame = {
+  /** Shared estimate-from-registers chain (m = 256, alpha_256
+    * harmonic-mean form, linear-counting correction below 2.5m),
+    * parameterized on the grouping so the global and grouped forms can
+    * never diverge. The harmonic sum runs on an exact integer grid: each
+    * register contributes 2^(61-reg) and absent buckets 2^61, summed as
+    * DECIMAL(38,0) — addition order can't move an ulp — with ONE double
+    * division at the end. */
+  private def hllEstimateFromRegs(regs: DataFrame,
+                                  groupCols: Seq[String]): DataFrame = {
     val m = 256
-    val regs = hllRegisters(items, itemCol)
-    regs.agg(
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(
         count(lit(1)).as("present"),
         // coalesce: an EMPTY universe has no registers at all — the sum is
         // null, and the absent-bucket term must carry the whole estimate
@@ -198,22 +200,26 @@ object Sketches {
         coalesce(sum(pow(lit(2.0), lit(61) - col("reg"))
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
           .cast("decimal(38,0)").as("num_present"))
-      .select(
-        (lit(m) - col("present")).cast("long").as("zero_buckets"),
-        (col("num_present") +
-          (lit(m) - col("present")).cast("decimal(38,0)") *
-            lit(2305843009213693952L).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").as("num"))
-      .select(col("zero_buckets"),
-        (lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(256.0 * 256.0) /
+      .withColumn("zero_buckets", (lit(m) - col("present")).cast("long"))
+      .withColumn("num", (col("num_present") +
+        (lit(m) - col("present")).cast("decimal(38,0)") *
+          lit(2305843009213693952L).cast("decimal(38,0)"))
+        .cast("decimal(38,0)"))
+      .withColumn("raw",
+        lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(256.0 * 256.0) /
           (col("num").cast("double") / lit(2.305843009213693952e18)))
-          .as("raw"))
-      .select(col("zero_buckets"),
-        round(col("raw"), 4).as("raw_estimate"),
+      .withColumn("raw_estimate", round(col("raw"), 4))
+      .withColumn("estimate",
         round(when(col("zero_buckets") > 0L && col("raw") <= lit(2.5 * 256.0),
           lit(256.0) * log(lit(256.0) / col("zero_buckets").cast("double")))
-          .otherwise(col("raw")), 4).as("estimate"))
+          .otherwise(col("raw")), 4))
   }
+
+  /** One-row HLL cardinality estimate — see [[hllEstimateFromRegs]]. */
+  def hllDistinctEstimate(items: DataFrame,
+                          itemCol: String = "item"): DataFrame =
+    hllEstimateFromRegs(hllRegisters(items, itemCol), Seq.empty)
+      .select(col("zero_buckets"), col("raw_estimate"), col("estimate"))
 
   /** Per-group HLL distinct estimates — the form that matters at scale:
     * ONE aggregate whose key space is groups × 256 (vs exact per-group
@@ -222,29 +228,12 @@ object Sketches {
     * group. */
   def hllDistinctByGroup(items: DataFrame, groupCol: String,
                          itemCol: String = "item"): DataFrame = {
-    val m = 256
     val (bucket, rho) = hllBucketRho(itemCol)
     val regs = items.select(col(groupCol).as("_g"), bucket.as("bucket"),
         rho.as("rho"))
       .groupBy("_g", "bucket").agg(max("rho").as("reg"))
-    regs.groupBy("_g")
-      .agg(count(lit(1)).as("present"),
-        sum(pow(lit(2.0), lit(61) - col("reg")).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").as("num_present"))
-      .select(col("_g"),
-        (lit(m) - col("present")).cast("long").as("zero_buckets"),
-        (col("num_present") +
-          (lit(m) - col("present")).cast("decimal(38,0)") *
-            lit(2305843009213693952L).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").as("num"))
-      .select(col("_g"), col("zero_buckets"),
-        (lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(256.0 * 256.0) /
-          (col("num").cast("double") / lit(2.305843009213693952e18)))
-          .as("raw"))
-      .select(col("_g").as(groupCol), col("zero_buckets"),
-        round(when(col("zero_buckets") > 0L && col("raw") <= lit(2.5 * 256.0),
-          lit(256.0) * log(lit(256.0) / col("zero_buckets").cast("double")))
-          .otherwise(col("raw")), 4).as("estimate"))
+    hllEstimateFromRegs(regs, Seq("_g"))
+      .select(col("_g").as(groupCol), col("zero_buckets"), col("estimate"))
   }
 
   // --- feature hashing -------------------------------------------------------

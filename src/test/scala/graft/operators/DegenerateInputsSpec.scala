@@ -51,6 +51,26 @@ class DegenerateInputsSpec extends AnyFunSuite {
     assert(out.getDouble(4) === 0.0)
   }
 
+  test("chiSquare counts a NULL category in dims/dof consistently with the statistic") {
+    // b: {1, null} -> 2 columns; a: {x, y} -> 2 rows; dof must be 1
+    val df = Seq(("x", Some(1)), ("x", None), ("y", Some(1)), ("y", None))
+      .toDF("a", "b")
+    val out = Contingency.chiSquare(df, col("a"), col("b")).collect().head
+    assert(out.getLong(0) === 4L)
+    assert(out.getLong(1) === 2L && out.getLong(2) === 2L)
+    assert(out.getLong(3) === 1L)
+    assert(out.getDouble(4) === 0.0) // perfectly balanced
+  }
+
+  test("compactLatest keeps a key whose tombstone predicate is NULL") {
+    val log = Seq((1L, 1L, Option.empty[String], 5.0),
+      (2L, 1L, Some("del"), 0.0)).toDF("k", "seq", "op", "v")
+    val out = Compaction.compactLatest(log, Seq("k"), Seq("seq"),
+        Seq("op", "v"), col("last.op") === "del")
+      .select("k").collect().map(_.getLong(0))
+    assert(out === Array(1L)) // null op survives; real tombstone drops
+  }
+
   test("hllDistinctEstimate on empty input estimates zero") {
     val empty = Seq.empty[String].toDF("item")
     val out = Sketches.hllDistinctEstimate(empty).collect().head
