@@ -54,7 +54,8 @@ object Bench {
     "q129_table_profile", "q130_blocked_fuzzy_match",
     "q131_time_weighted_avg", "q132_ship_latency", "q133_market_basket",
     "q134_pivot_event_matrix", "q135_set_operations",
-    "q136_value_decile_bins", "q137_above_mean_screen")
+    "q136_value_decile_bins", "q137_above_mean_screen",
+    "q138_streaming_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

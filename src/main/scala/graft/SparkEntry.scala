@@ -70,7 +70,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             market-basket association lift (q133), PIVOT wide-format
   *             export (q134), INTERSECT/EXCEPT set algebra (q135),
   *             equi-depth ntile binning (q136), integer-exact
-  *             above-group-mean screen (q137)
+  *             above-group-mean screen (q137), streaming CDC compaction
+  *             twin (q138)
   */
 object SparkEntry {
 

@@ -765,6 +765,47 @@ GROUP BY 1 ORDER BY channel"""
       |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli
       |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Streaming twin of q123's CDC compaction: the same
+    * `max(struct(version, payload))` running as streaming state in Update
+    * mode — the latest-state store a log-structured ingest maintains
+    * continuously. Both the packed struct and `n_versions` only grow per
+    * key, so the last update per key (max on (n_versions, last)) equals
+    * the batch compaction under ANY micro-batch slicing; the tombstone
+    * filter applies at read-out exactly as the batch operator does. The
+    * oracle is q123's, verbatim. */
+  private def q138Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q138_sink_${sinkId.incrementAndGet()}",
+      df => df.groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+          count(lit(1)).as("n_versions")),
+      outputMode = OutputMode.Update)
+    updates.groupBy("user_id")
+      .agg(max(struct(col("n_versions"), col("last"))).as("_fin"))
+      .select(col("user_id"), col("_fin.last.ts").as("last_ts"),
+        col("_fin.last.event_type").as("last_event_type"),
+        col("_fin.last.value").as("last_value"),
+        col("_fin.n_versions").as("n_versions"))
+      .filter(col("last_event_type") =!= "error")
+      .orderBy("user_id")
+  }
+
+  private def q138Oracle: String =
+    """|WITH ranked AS (
+       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_type, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n_versions
+       |  FROM events
+       |)
+       |SELECT user_id, ts_ns AS last_ts, event_type AS last_event_type,
+       |  value AS last_value, CAST(n_versions AS BIGINT) AS n_versions
+       |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -819,5 +860,9 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q107_stream_static_enrich",
       "stream-static broadcast-dim join + running Update-mode rollup: " +
         "last update per key == batch aggregate",
-      q107Build, Some(q107Oracle)))
+      q107Build, Some(q107Oracle)),
+    QueryDef("q138_streaming_compaction",
+      "streaming CDC compaction: running max(struct) latest-state store " +
+        "in Update mode == batch compaction (q123's oracle verbatim)",
+      q138Build, Some(q138Oracle)))
 }
