@@ -55,7 +55,8 @@ object Bench {
     "q131_time_weighted_avg", "q132_ship_latency", "q133_market_basket",
     "q134_pivot_event_matrix", "q135_set_operations",
     "q136_value_decile_bins", "q137_above_mean_screen",
-    "q138_streaming_compaction")
+    "q138_streaming_compaction", "q139_winsorized_stats",
+    "q140_user_trends")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -71,7 +71,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             export (q134), INTERSECT/EXCEPT set algebra (q135),
   *             equi-depth ntile binning (q136), integer-exact
   *             above-group-mean screen (q137), streaming CDC compaction
-  *             twin (q138)
+  *             twin (q138), nearest-rank winsorization (q139),
+  *             integer-grid trend regression (q140)
   */
 object SparkEntry {
 

@@ -288,4 +288,46 @@ object Quantiles {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("g").as(groupCol) +: ps.map(p => col(p._1)): _*)
   }
+
+  /** Nearest-rank winsorization census: per group, clip values at the
+    * `lo`/`hi` nearest-rank order statistics and report clip counts plus
+    * the winsorized sum — the outlier-capping transform run before any
+    * moment statistic is trusted.
+    *
+    * Nearest-rank (value at rank ceil(p*n)) rather than interpolation:
+    * the bound is an ELEMENT of the data, exact on the integer grid, and
+    * the value at a rank is deterministic even when ties make row order
+    * not so. ONE pass: a per-group rank window plus an unbounded window
+    * that broadcasts the two bound values to every row — no second
+    * derivation of the ranked frame (the multi-subtree trap).
+    * Per-group sort parallelizes across groups; for a single monster
+    * group use the range-shuffle `exactQuantiles` machinery instead. */
+  def winsorizeCensus(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                      valueMilli: org.apache.spark.sql.Column,
+                      lo: Double, hi: Double): org.apache.spark.sql.DataFrame = {
+    require(0.0 < lo && lo < hi && hi <= 1.0, s"need 0 < lo < hi <= 1; got $lo, $hi")
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("g").orderBy("vm")
+    val wAll = Window.partitionBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(groupCol).as("g"), valueMilli.cast("long").as("vm"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo_t", greatest(ceil(lit(lo) * col("n")).cast("long"), lit(1L)))
+      .withColumn("hi_t", greatest(ceil(lit(hi) * col("n")).cast("long"), lit(1L)))
+      .withColumn("lo_vm",
+        max(when(col("rn") === col("lo_t"), col("vm"))).over(wAll))
+      .withColumn("hi_vm",
+        max(when(col("rn") === col("hi_t"), col("vm"))).over(wAll))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        max("lo_vm").as("lo_vm"), max("hi_vm").as("hi_vm"),
+        sum(when(col("vm") < col("lo_vm"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("vm") > col("hi_vm"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(greatest(least(col("vm"), col("hi_vm")), col("lo_vm")))
+          .as("winsorized_sum"))
+      .select(col("g").as(groupCol), col("n"), col("lo_vm"), col("hi_vm"),
+        col("n_clipped_lo"), col("n_clipped_hi"), col("winsorized_sum"))
+      .orderBy(groupCol)
+  }
 }

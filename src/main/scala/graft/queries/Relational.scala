@@ -1166,5 +1166,84 @@ object Relational {
              |SELECT c_nationkey, CAST(max(n_cust) AS BIGINT) AS n_customers,
              |  CAST(sum(CASE WHEN bm * n_cust > sum_bm THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_above_mean
-             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q139_winsorized_stats",
+      "nearest-rank winsorization census per event type (outlier capping on the milli grid)",
+      // Quantiles.winsorizeCensus: bounds are ELEMENTS of the data
+      // (nearest-rank — deterministic under ties), one ranked pass with
+      // the bounds broadcast by an unbounded window, exact long sums
+      (s, dir) => graft.operators.Quantiles.winsorizeCensus(
+        table(s, dir, "events"), "event_type",
+        floor(col("value") * 1000), lo = 0.05, hi = 0.95),
+      Some("""|WITH v AS (
+             |  SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), r AS (
+             |  SELECT g, vm,
+             |    row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM v
+             |), b AS (
+             |  SELECT g, vm, rn, n,
+             |    greatest(CAST(ceil(0.05 * n) AS BIGINT), 1) AS lo_t,
+             |    greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) AS hi_t
+             |  FROM r
+             |), w AS (
+             |  SELECT g, vm, n,
+             |    max(CASE WHEN rn = lo_t THEN vm END) OVER (PARTITION BY g) AS lo_vm,
+             |    max(CASE WHEN rn = hi_t THEN vm END) OVER (PARTITION BY g) AS hi_vm
+             |  FROM b
+             |)
+             |SELECT g AS event_type, count(*) AS n,
+             |  max(lo_vm) AS lo_vm, max(hi_vm) AS hi_vm,
+             |  CAST(sum(CASE WHEN vm < lo_vm THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+             |  CAST(sum(CASE WHEN vm > hi_vm THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+             |  CAST(sum(greatest(least(vm, hi_vm), lo_vm)) AS BIGINT) AS winsorized_sum
+             |FROM w GROUP BY g ORDER BY g""".stripMargin)),
+
+    QueryDef("q140_user_trends",
+      "per-user activity trend (exact-integer least-squares slope of value vs hour)",
+      // the zipf-regression idiom on event streams: x = hours since the
+      // user's first event (min-window), y = value-milli; all four
+      // regression sums are exact longs (order-free), ONE double division
+      // at the end. Users seen in a single hour have a degenerate
+      // denominator and are excluded by max(x) > 0 — a condition both
+      // engines evaluate on exact integers.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val base = e.select(col("user_id"),
+          expr("ts div 3600000000000").as("h"),
+          floor(col("value") * 1000).cast("long").as("y"))
+        val withX = base.withColumn("x",
+          col("h") - min("h").over(Window.partitionBy("user_id")))
+        val sums = withX.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), max("x").as("mx"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("mx") > 0L)
+        sums.select(col("user_id"), col("n"),
+            round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
+              .as("slope_milli_per_hour"))
+          .orderBy("user_id")
+      },
+      Some("""|WITH base AS (
+             |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS h,
+             |    CAST(floor(value * 1000) AS BIGINT) AS y
+             |  FROM events
+             |), wx AS (
+             |  SELECT user_id, h - min(h) OVER (PARTITION BY user_id) AS x, y
+             |  FROM base
+             |), sums AS (
+             |  SELECT user_id, count(*) AS n, max(x) AS mx,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM wx GROUP BY 1
+             |)
+             |SELECT user_id, CAST(n AS BIGINT) AS n,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_milli_per_hour
+             |FROM sums WHERE mx > 0
+             |ORDER BY user_id""".stripMargin)))
 }
