@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm, QueryDef}
+import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm, Analytics, QueryDef}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -73,12 +73,18 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             above-group-mean screen (q137), streaming CDC compaction
   *             twin (q138), nearest-rank winsorization (q139),
   *             integer-grid trend regression (q140)
+  *  - q141-q144 warehouse/graph analytics (queries/Analytics.scala):
+  *             SCD Type-2 validity intervals (q141), MERGE upsert of a
+  *             compacted CDC delta (q142), degree-oriented triangle
+  *             census (q143), integer-grid fixed-iteration PageRank
+  *             (q144) — both graph ops over a co-purchase edge list
+  *             built by in-row pair generation
   */
 object SparkEntry {
 
   val all: Seq[QueryDef] =
     Relational.defs ++ DspRelational.defs ++ Spectral.defs ++
-      StreamingQueries.defs ++ Llm.defs
+      StreamingQueries.defs ++ Llm.defs ++ Analytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full preprocess pipeline (resample -> notch -> CAR -> wavelet ->

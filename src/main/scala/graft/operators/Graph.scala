@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge lists — co-occurrence graph
+  * construction, exact triangle counting, and fixed-iteration PageRank on
+  * an exact integer grid (so a DuckDB oracle can replay every iteration
+  * bit-for-bit).
+  *
+  * Scale shapes:
+  *  - edges are built per-GROUP (in-row pair generation over bounded
+  *    groups), never via an all-pairs join;
+  *  - triangle wedges are generated from the DEGREE-ORIENTED edge set
+  *    (each edge points from its lower-degree endpoint), which bounds
+  *    per-vertex out-degree by O(sqrt(2m)) regardless of raw-degree skew —
+  *    the standard compact-forward bound;
+  *  - PageRank is the classic join-aggregate loop: one src-keyed shuffle
+  *    join (edges x ranks) plus one dst-keyed aggregation per iteration,
+  *    state bounded by the node set.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges (a < b, distinct): unordered item pairs
+    * that appear together in the same group. Pairs are generated inside
+    * each group's collected distinct-item set — group sizes bound the
+    * blow-up (order baskets are single-digit), so the only corpus-sized
+    * exchanges are the group shuffle and the final distinct. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val sets = df.groupBy(col(groupCol))
+      .agg(collect_set(col(itemCol)).as("items"))
+    // two Generate nodes (codegen-friendly) instead of an interpreted HOF:
+    // rows between them are bounded by group_size^2
+    sets.select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** Exact global triangle census of an undirected simple graph given as
+    * distinct (a < b) edges. Returns ONE row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff) where
+    * n_wedges = sum_v deg(v)*(deg(v)-1)/2 and
+    * clustering_coeff = 3*triangles / wedges (rounded to 6).
+    *
+    * Algorithm: orient each edge from its (degree, id)-smaller endpoint,
+    * generate wedges at the common SOURCE of two oriented edges, close
+    * them against the canonical edge table. Every triangle has exactly one
+    * vertex whose two triangle edges both point out (its degree-order
+    * minimum), so each is counted once. Orientation bounds the wedge join's
+    * per-key fan-out by the oriented out-degree <= O(sqrt(2m)), which is
+    * what makes the self-join survive power-law degree skew at scale. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+    // wedges at a common oriented source; x < y canonicalizes the pair so
+    // the closing edge is looked up in the original (a < b) table
+    val o1 = oriented.select(col("src"), col("dst").as("x"))
+    val o2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedgesOriented = o1.join(o2, "src").filter(col("x") < col("y"))
+    val triangles = wedgesOriented
+      .join(e, wedgesOriented("x") === e("a") && wedgesOriented("y") === e("b"))
+      .count()
+    // integer `div` everywhere: Column./ is double division, and a double
+    // sum of degrees stops being exact past 2^53 edges
+    val base = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(deg) div 2").as("n_edges"),
+        expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+      .collect()(0)
+    val (nNodes, nEdges, nWedges) = (base.getLong(0), base.getLong(1), base.getLong(2))
+    // HALF_UP to match SQL round() (math.rint is half-to-even)
+    val coeff =
+      if (nWedges == 0L) 0.0
+      else BigDecimal(3.0 * triangles / nWedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nNodes, nEdges, nWedges, triangles, coeff))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering_coeff")
+  }
+
+  /** Fixed-iteration PageRank over an undirected graph, on an exact
+    * integer grid: ranks are longs scaled by `scale`, and every step is
+    * integer floor arithmetic —
+    *   r0(v)   = scale div n
+    *   r_k(v)  = (15*scale) div (100*n) + (85 * sum_{u~v} (r_{k-1}(u) div deg(u))) div 100
+    * — so any engine replays the exact same longs (no float summation
+    * order anywhere). Returns (v, rank_scaled).
+    *
+    * Each iteration is one src-keyed join (directed edges x ranks) and one
+    * dst-keyed aggregation; ranks are localCheckpoint'ed per iteration so
+    * the plan stays iteration-sized (the q75 iterative-CC idiom). The
+    * teleport term keeps total mass ~scale, so intermediate sums fit a
+    * long at any graph size (85 * scale << 2^63). */
+  def pageRankScaled(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = deg.count() // one bounded scalar to the driver (node count)
+    require(n > 0, "empty graph")
+    var ranks = deg.select(col("src").as("v"), lit(scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val perNode = ranks.join(deg, ranks("v") === deg("src"))
+        .select(col("v").as("u"), expr("r div deg").as("c"))
+      val contrib = dir.join(perNode, dir("src") === perNode("u"))
+        .select(col("dst"), col("c"))
+      ranks = contrib.groupBy(col("dst").as("v"))
+        .agg((lit(15L * scale / (100L * n)) + expr("(85 * sum(c)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("v"), col("r").as("rank_scaled"))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDef.table
+import graft.operators.{Compaction, Graph}
+
+/** Warehouse/analytics operators beyond the core relational set: temporal
+  * dimension builds (SCD Type-2, MERGE upsert), graph analytics (triangle
+  * census, integer-grid PageRank), and growth accounting. Every query
+  * carries an exact DuckDB oracle — iterative/float-adjacent math runs on
+  * integer grids so both engines produce identical bits.
+  */
+object Analytics {
+
+  private val PrScale = 1000000000000L
+
+  /** One unrolled PageRank iteration for the DuckDB oracle — replays
+    * [[Graph.pageRankScaled]]'s exact integer recurrence. */
+  private def prIterSql(k: Int): String =
+    s"""r$k AS (
+       |  SELECT de.dst AS v,
+       |    (15 * $PrScale) // (100 * nn.cnt)
+       |      + (85 * sum(pr.r // dg.deg)) // 100 AS r
+       |  FROM dirE de
+       |  JOIN r${k - 1} pr ON de.src = pr.v
+       |  JOIN deg dg ON de.src = dg.src
+       |  CROSS JOIN nn
+       |  GROUP BY de.dst, nn.cnt
+       |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q141_scd2_intervals",
+      "SCD Type-2 validity intervals from a change log (lead-window interval build)",
+      // Compaction.scdType2 over events-as-CDC: one user shuffle + per-key
+      // sort (the irreducible interval-build shape). The user filter is a
+      // pushed-down scan predicate and per-key results are independent of
+      // it. Output pinned row-level (every interval boundary checked).
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("user_id") % 20 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        Compaction.scdType2(e, keys = Seq("user_id"), orderCol = "ts",
+            tieCol = "event_id", payload = Seq("vm"))
+          .select(col("user_id"), col("event_id"), col("valid_from"),
+            col("valid_to"), col("vm"), col("is_current"))
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""|WITH f AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events WHERE user_id % 20 = 0
+             |), iv AS (
+             |  SELECT user_id, event_id, t AS valid_from,
+             |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             |      AS valid_to,
+             |    vm
+             |  FROM f
+             |)
+             |SELECT user_id, event_id, valid_from, valid_to, vm,
+             |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+             |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    QueryDef("q142_merge_upsert",
+      "MERGE INTO semantics: compacted CDC delta applied to a snapshot (insert/update/delete/keep)",
+      // Compaction.mergeUpsert: ONE full-outer key-shuffle join (the
+      // merge-on-read shape; pair with write-time bucketing at scale).
+      // The delta is events compacted to latest-per-user (q123's
+      // max-struct idiom), shifted by +1400 so all four actions occur
+      // against the 0-1499 customer snapshot: updates (1400-1499),
+      // inserts (1500+), deletes (latest event = error), keeps (rest).
+      (s, dir) => {
+        val snap = table(s, dir, "customer")
+          .select(col("c_custkey").as("key"),
+            floor(col("c_acctbal") * 1000).cast("long").as("vm"))
+        val delta = Compaction.compactLatest(table(s, dir, "events"),
+            keys = Seq("user_id"), version = Seq("ts", "event_id"),
+            payload = Seq("event_type", "value"), tombstone = lit(false))
+          .select((col("user_id") + 1400).as("key"),
+            floor(col("last.value") * 1000).cast("long").as("vm"),
+            (col("last.event_type") === "error").as("is_del"))
+        Compaction.mergeUpsert(snap, delta, keys = Seq("key"),
+            isDelete = col("is_del"), payload = Seq("vm"))
+          .filter(col("key") % 3 === 0)
+          .orderBy("key")
+      },
+      Some("""|WITH ranked AS (
+             |  SELECT user_id + 1400 AS key,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+             |    (event_type = 'error') AS is_del,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |), delta AS (
+             |  SELECT key, vm, is_del FROM ranked WHERE rn = 1
+             |), snap AS (
+             |  SELECT c_custkey AS key,
+             |    CAST(floor(c_acctbal * 1000) AS BIGINT) AS vm
+             |  FROM customer
+             |), merged AS (
+             |  SELECT coalesce(d.key, s.key) AS key,
+             |    coalesce(d.vm, s.vm) AS vm,
+             |    CASE WHEN d.key IS NULL THEN 'kept'
+             |         WHEN s.key IS NULL THEN 'inserted'
+             |         ELSE 'updated' END AS action,
+             |    coalesce(d.is_del, false) AS is_del
+             |  FROM snap s FULL OUTER JOIN delta d ON s.key = d.key
+             |)
+             |SELECT key, vm, action FROM merged
+             |WHERE NOT is_del AND key % 3 = 0 ORDER BY key""".stripMargin)),
+
+    QueryDef("q143_triangle_census",
+      "exact triangle census of the part co-purchase graph (degree-oriented wedge join)",
+      // Graph.coOccurrenceEdges (in-row pair generation over single-digit
+      // order baskets) -> Graph.triangleStats (degree-oriented wedges:
+      // per-key fan-out bounded by O(sqrt(2m)) under any degree skew).
+      // The oracle counts the same triangles via the naive a<b<c
+      // three-way join — orientation must not change the answer.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        Graph.triangleStats(
+          Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+      },
+      Some("""|WITH e AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+             |  WHERE x.l_partkey < y.l_partkey
+             |), deg AS (
+             |  SELECT v, count(*) AS deg FROM (
+             |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+             |  ) GROUP BY 1
+             |), tri AS (
+             |  SELECT count(*) AS t
+             |  FROM e e1
+             |  JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+             |)
+             |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             |  (SELECT CAST(sum(deg) // 2 AS BIGINT) FROM deg) AS n_edges,
+             |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+             |    AS n_wedges,
+             |  (SELECT t FROM tri) AS n_triangles,
+             |  round(3.0 * (SELECT t FROM tri)
+             |    / (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg),
+             |    6) AS clustering_coeff""".stripMargin)),
+
+    QueryDef("q144_part_pagerank",
+      "fixed-iteration PageRank over the co-purchase graph on an exact integer grid",
+      // Graph.pageRankScaled: per iteration one src-keyed join + one
+      // dst-keyed aggregation, ranks localCheckpoint'ed so the plan stays
+      // iteration-sized. Every step is integer floor arithmetic, so the
+      // oracle's five unrolled CTE iterations replay identical longs.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        Graph.pageRankScaled(
+            Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+            iters = 5, scale = PrScale)
+          .orderBy("v")
+      },
+      Some(s"""|WITH e AS (
+              |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+              |  WHERE x.l_partkey < y.l_partkey
+              |), dirE AS (
+              |  SELECT a AS src, b AS dst FROM e
+              |  UNION ALL SELECT b AS src, a AS dst FROM e
+              |), deg AS (
+              |  SELECT src, count(*) AS deg FROM dirE GROUP BY 1
+              |), nn AS (SELECT count(*) AS cnt FROM deg),
+              |r0 AS (
+              |  SELECT src AS v, $PrScale // nn.cnt AS r FROM deg CROSS JOIN nn
+              |),
+              |${(1 to 5).map(prIterSql).mkString(",\n")}
+              |SELECT v, CAST(r AS BIGINT) AS rank_scaled
+              |FROM r5 ORDER BY v""".stripMargin)))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Graph operators: co-occurrence edge build, degree-oriented triangle
+  * census (vs brute force), and integer-grid PageRank invariants. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graph-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = pairs.toDF("a", "b")
+
+  test("coOccurrenceEdges: distinct a<b pairs per group, multi-line dups collapse") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L), // dup item in group
+      (2L, 20L), (2L, 10L),                       // same pair, other group
+      (3L, 40L)                                   // singleton -> no pairs
+    ).toDF("g", "item")
+    val out = Graph.coOccurrenceEdges(df, "g", "item")
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("triangleStats: K4 is all triangles, a star has none") {
+    val k4 = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val r = Graph.triangleStats(k4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 6L, 12L, 4L)))
+    assert(r.getDouble(4) === 1.0) // 3*4/12
+    val star = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    val s = Graph.triangleStats(star).collect()(0)
+    assert(s.getLong(3) === 0L)
+    assert(s.getLong(2) === 6L) // C(4,2) wedges at the hub
+    assert(s.getDouble(4) === 0.0)
+  }
+
+  test("degree-oriented count equals the brute-force a<b<c join on a hashed graph") {
+    // deterministic pseudo-random graph: 40 nodes, edge iff md5-derived bit
+    val nodes = spark.range(0, 40).select(col("id").as("a"))
+    val e = nodes.crossJoin(spark.range(0, 40).select(col("id").as("b")))
+      .filter(col("a") < col("b"))
+      .filter(substring(md5(concat_ws(":", col("a"), col("b"))), 1, 1)
+        .isin("0", "1", "2", "3"))
+    val fast = Graph.triangleStats(e).collect()(0).getLong(3)
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(fast === brute && fast > 0)
+  }
+
+  test("pageRank: regular graphs get uniform ranks, mass is conserved mod floor loss") {
+    // 6-cycle: every node identical by symmetry
+    val cycle = edgesDf((0L to 5L).map(i => (i, (i + 1) % 6)).map {
+      case (x, y) => (math.min(x, y), math.max(x, y))
+    })
+    val r = Graph.pageRankScaled(cycle, iters = 4, scale = 1000000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.map(_._2).distinct.length === 1)
+    val total = r.map(_._2).sum
+    // each floor div loses < 1 per node per term; 4 iterations x 6 nodes
+    assert(total <= 1000000L && total > 1000000L - 200L)
+  }
+
+  test("pageRank: a hub outranks leaves and results are layout-invariant") {
+    val star = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)))
+    val ranks = Graph.pageRankScaled(star, iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(ranks(1L) > ranks(2L))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).map(ranks).distinct.length === 1)
+    val again = Graph.pageRankScaled(star.repartition(7), iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(again === ranks)
+  }
+}
