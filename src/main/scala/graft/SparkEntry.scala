@@ -78,7 +78,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             compacted CDC delta (q142), degree-oriented triangle
   *             census (q143), integer-grid fixed-iteration PageRank
   *             (q144) — both graph ops over a co-purchase edge list
-  *             built by in-row pair generation
+  *             built by in-row pair generation; cohort retention matrix
+  *             (q145), daily growth accounting (q146), OHLC time bars
+  *             via the max-struct argmax idiom (q147)
   */
 object SparkEntry {
 

@@ -174,5 +174,136 @@ object Analytics {
               |),
               |${(1 to 5).map(prIterSql).mkString(",\n")}
               |SELECT v, CAST(r AS BIGINT) AS rank_scaled
-              |FROM r5 ORDER BY v""".stripMargin)))
+              |FROM r5 ORDER BY v""".stripMargin)),
+
+    QueryDef("q145_retention_cohorts",
+      "cohort retention matrix: first-activity cohort x day offset, distinct active users",
+      // growth-accounting primitive. (user, day) is distinct-ed FIRST so
+      // the cohort rollup is a plain count — the family's two-level
+      // distinct idiom (rows shrink to user x active-day before any join).
+      // The cohort join and the first-day aggregation share the user key,
+      // so the final (cohort, offset) agg collapses map-side to a
+      // days^2-bounded frame; retention_pct comes from a window over that
+      // bounded frame, never a second scan.
+      (s, dir) => {
+        val day = 86400000000000L
+        val act = table(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div $day").as("day"))
+          .distinct()
+        val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val cells = act.join(first, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        val w = Window.partitionBy("cohort_day")
+        cells
+          .withColumn("cohort_size",
+            max(when(col("day_offset") === 0, col("n_active"))).over(w))
+          .select(col("cohort_day"), col("day_offset"), col("n_active"),
+            round(col("n_active").cast("double") / col("cohort_size").cast("double"), 6)
+              .as("retention_pct"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""|WITH act AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events
+             |), first AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+             |), cells AS (
+             |  SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+             |    count(*) AS n_active
+             |  FROM act a JOIN first f ON a.user_id = f.user_id
+             |  GROUP BY 1, 2
+             |), sized AS (
+             |  SELECT cohort_day, day_offset, n_active,
+             |    max(CASE WHEN day_offset = 0 THEN n_active END)
+             |      OVER (PARTITION BY cohort_day) AS cohort_size
+             |  FROM cells
+             |)
+             |SELECT cohort_day, day_offset, n_active,
+             |  round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+             |    AS retention_pct
+             |FROM sized ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    QueryDef("q146_growth_accounting",
+      "daily new vs returning users + cumulative acquired (running sum over the bounded day frame)",
+      // new = users whose FIRST active day is d; returning = active - new.
+      // Both sides reduce to day-keyed bounded frames before the join, and
+      // the cumulative sum's unpartitioned window runs over |days| rows —
+      // bounded by the calendar, not the data.
+      (s, dir) => {
+        val day = 86400000000000L
+        val act = table(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div $day").as("day"))
+          .distinct()
+        val daily = act.groupBy("day").agg(count(lit(1)).as("n_active"))
+        val news = act.groupBy("user_id").agg(min("day").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(news, Seq("day"), "left")
+          .select(col("day"), col("n_active"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("n_returning", col("n_active") - col("n_new"))
+          .withColumn("cum_users", sum("n_new").over(w))
+          .orderBy("day")
+      },
+      Some("""|WITH act AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events
+             |), daily AS (
+             |  SELECT day, count(*) AS n_active FROM act GROUP BY 1
+             |), news AS (
+             |  SELECT day, count(*) AS n_new FROM (
+             |    SELECT user_id, min(day) AS day FROM act GROUP BY 1
+             |  ) GROUP BY 1
+             |)
+             |SELECT d.day, d.n_active, coalesce(n.n_new, 0) AS n_new,
+             |  d.n_active - coalesce(n.n_new, 0) AS n_returning,
+             |  sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+             |FROM daily d LEFT JOIN news n ON d.day = n.day
+             |ORDER BY d.day""".stripMargin)),
+
+    QueryDef("q147_ohlc_bars",
+      "OHLC time bars per (event_type, hour) — open/close via the max-struct argmax idiom",
+      // open/close are min/max(struct(ts, event_id, vm)): the q123
+      // compaction idiom extended to bars — one hash aggregate with
+      // map-side combine, no per-bar window sort (a row_number
+      // formulation would shuffle and sort every event per bar). The
+      // (ts, event_id) prefix is unique, so the struct order never
+      // consults vm.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("event_type"), expr("ts div 3600000000000").as("h"),
+            col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        e.groupBy("event_type", "h")
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("vm")))
+              .getField("vm").as("open_vm"),
+            max(struct(col("ts"), col("event_id"), col("vm")))
+              .getField("vm").as("close_vm"),
+            max("vm").as("high_vm"), min("vm").as("low_vm"),
+            count(lit(1)).as("n"), sum("vm").as("sum_vm"))
+          .orderBy("event_type", "h")
+      },
+      Some("""|WITH v AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             |    epoch_ns(ts) AS t, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), r AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY event_type, h
+             |      ORDER BY t, event_id) AS rna,
+             |    row_number() OVER (PARTITION BY event_type, h
+             |      ORDER BY t DESC, event_id DESC) AS rnd
+             |  FROM v
+             |)
+             |SELECT event_type, h,
+             |  max(CASE WHEN rna = 1 THEN vm END) AS open_vm,
+             |  max(CASE WHEN rnd = 1 THEN vm END) AS close_vm,
+             |  max(vm) AS high_vm, min(vm) AS low_vm,
+             |  count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_vm
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
