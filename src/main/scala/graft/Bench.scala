@@ -58,7 +58,9 @@ object Bench {
     "q138_streaming_compaction", "q139_winsorized_stats",
     "q140_user_trends", "q141_scd2_intervals", "q142_merge_upsert",
     "q143_triangle_census", "q144_part_pagerank",
-    "q145_retention_cohorts", "q146_growth_accounting", "q147_ohlc_bars")
+    "q145_retention_cohorts", "q146_growth_accounting", "q147_ohlc_bars",
+    "q148_sorted_neighborhood", "q149_centroid_similarity",
+    "q150_unpivot_metrics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

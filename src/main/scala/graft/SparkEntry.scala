@@ -80,7 +80,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q144) — both graph ops over a co-purchase edge list
   *             built by in-row pair generation; cohort retention matrix
   *             (q145), daily growth accounting (q146), OHLC time bars
-  *             via the max-struct argmax idiom (q147)
+  *             via the max-struct argmax idiom (q147),
+  *             sorted-neighborhood dedup candidates (q148), label-centroid
+  *             cosine matrix on the integer grid (q149), UNPIVOT/melt
+  *             export (q150)
   */
 object SparkEntry {
 

@@ -305,5 +305,143 @@ object Analytics {
              |  max(CASE WHEN rnd = 1 THEN vm END) AS close_vm,
              |  max(vm) AS high_vm, min(vm) AS low_vm,
              |  count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_vm
-             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q148_sorted_neighborhood",
+      "sorted-neighborhood dedup candidates: per-block rank windows + edit-distance scoring",
+      // EntityResolution.sortedNeighborhoodPairs — the SNM alternative to
+      // block-quadratic candidate generation: window·n candidates via a
+      // bounded explode + equi-join on (block, rank), one block shuffle.
+      // Pairs are then scored with levenshtein over 40-char prefixes
+      // (Java and RE2-engine levenshtein agree — the q130 contract).
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = graft.text.EntityResolution.sortedNeighborhoodPairs(
+            docs, col("doc_id"),
+            concat_ws("|", col("lang"), col("source")), col("n_chars"),
+            window = 3)
+          .select(col("block"), col("id_a").as("doc_a"),
+            col("id_b").as("doc_b"), col("gap"))
+        pairs
+          .join(docs.select(col("doc_id").as("doc_a"),
+            substring(col("text"), 1, 40).as("ta")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"),
+            substring(col("text"), 1, 40).as("tb")), "doc_b")
+          .select(col("block"), col("doc_a"), col("doc_b"), col("gap"),
+            levenshtein(col("ta"), col("tb")).as("lev40"))
+          .orderBy("block", "doc_a", "doc_b")
+      },
+      Some("""|WITH ranked AS (
+             |  SELECT doc_id, lang || '|' || source AS block, n_chars,
+             |    row_number() OVER (PARTITION BY lang || '|' || source
+             |      ORDER BY n_chars, doc_id) AS rnk
+             |  FROM documents
+             |), pairs AS (
+             |  SELECT a.block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    b.rnk - a.rnk AS gap
+             |  FROM ranked a JOIN ranked b ON a.block = b.block
+             |    AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+             |)
+             |SELECT p.block, p.doc_a, p.doc_b, CAST(p.gap AS INT) AS gap,
+             |  levenshtein(substr(da.text, 1, 40), substr(db.text, 1, 40))
+             |    AS lev40
+             |FROM pairs p
+             |JOIN documents da ON p.doc_a = da.doc_id
+             |JOIN documents db ON p.doc_b = db.doc_id
+             |ORDER BY p.block, p.doc_a, p.doc_b""".stripMargin)),
+
+    QueryDef("q149_centroid_similarity",
+      "pairwise label-centroid cosine matrix on the exact integer micro grid",
+      // embedding analytics without an all-pairs vector join: per-(label,
+      // dim) SUMS are exact longs (float -> double widening is exact, then
+      // floor to the micro grid), and centroid cosine == cosine of the
+      // sum vectors (scale invariance), so no double mean is ever formed.
+      // The pairwise join runs over the labels x dim bounded frame; dot
+      // products accumulate in DECIMAL(38,0)/HUGEINT (sums overflow a
+      // long at corpus scale), ONE double chain at the end.
+      (s, dir) => {
+        val el = table(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("label"), col("i"),
+            floor(col("x").cast("double") * 1000000).cast("long").as("xm"))
+        val sums = el.groupBy("label", "i")
+          .agg(sum("xm").cast("decimal(38,0)").as("sv"))
+        val dots = sums.as("a")
+          .join(sums.as("b"),
+            col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+          .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+        val norms = sums.groupBy("label")
+          .agg(sum(col("sv") * col("sv")).as("nrm"))
+        dots
+          .join(norms.select(col("label").as("label_a"), col("nrm").as("na")), "label_a")
+          .join(norms.select(col("label").as("label_b"), col("nrm").as("nb")), "label_b")
+          .select(col("label_a"), col("label_b"),
+            round(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+              .as("cos_sim"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""|WITH emb AS (
+             |  SELECT label, embedding AS v FROM embeddings
+             |), el AS (
+             |  SELECT label, i,
+             |    CAST(floor(CAST(v[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+             |  FROM emb CROSS JOIN (SELECT unnest(generate_series(1,
+             |    (SELECT len(v) FROM emb LIMIT 1))) AS i) d
+             |), sums AS (
+             |  SELECT label, i, sum(xm) AS sv FROM el GROUP BY 1, 2
+             |), dots AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |    sum(a.sv * b.sv) AS dot
+             |  FROM sums a JOIN sums b ON a.i = b.i AND a.label < b.label
+             |  GROUP BY 1, 2
+             |), norms AS (
+             |  SELECT label, sum(sv * sv) AS nrm FROM sums GROUP BY 1
+             |)
+             |SELECT label_a, label_b,
+             |  round(CAST(dot AS DOUBLE) /
+             |    (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+             |    6) AS cos_sim
+             |FROM dots
+             |JOIN norms na ON label_a = na.label
+             |JOIN norms nb ON label_b = nb.label
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    QueryDef("q150_unpivot_metrics",
+      "UNPIVOT/melt: wide per-type metrics to long (metric, value) form via stack()",
+      // the wide->long export shape: stack() is a single Generate over the
+      // already-bounded wide frame — no shuffle beyond the aggregation
+      // that built it, and the metric names are pinned literals (schema
+      // known without a discovery scan, the q134 PIVOT argument reversed)
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("vm").as("sum_vm"),
+            min("vm").as("min_vm"), max("vm").as("max_vm"))
+          .select(col("event_type"),
+            expr("stack(4, 'n', n, 'sum_vm', sum_vm, 'min_vm', min_vm, " +
+              "'max_vm', max_vm) AS (metric, value)"))
+          .orderBy("event_type", "metric")
+      },
+      Some("""|WITH wide AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             |      AS sum_vm,
+             |    min(CAST(floor(value * 1000) AS BIGINT)) AS min_vm,
+             |    max(CAST(floor(value * 1000) AS BIGINT)) AS max_vm
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT event_type, metric, value FROM (
+             |  SELECT event_type, 'n' AS metric, n AS value FROM wide
+             |  UNION ALL
+             |  SELECT event_type, 'sum_vm', sum_vm FROM wide
+             |  UNION ALL
+             |  SELECT event_type, 'min_vm', min_vm FROM wide
+             |  UNION ALL
+             |  SELECT event_type, 'max_vm', max_vm FROM wide
+             |)
+             |ORDER BY event_type, metric""".stripMargin)))
 }

@@ -80,4 +80,60 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       ("a", 1L, 7L, 7L, 7L, 7L),
       ("b", 0L, 8L, 1L, 8L, 1L)))
   }
+
+  test("sortedNeighborhoodPairs: exactly the within-window pairs, blocks isolated") {
+    import graft.text.EntityResolution
+    val df = Seq( // (id, block, ord)
+      (1L, "x", 10L), (2L, "x", 20L), (3L, "x", 30L), (4L, "x", 40L),
+      (5L, "y", 5L), (6L, "y", 6L),
+      (7L, "z", 1L)
+    ).toDF("id", "blk", "o")
+    val out = EntityResolution.sortedNeighborhoodPairs(df, col("id"),
+        col("blk"), col("o"), window = 2)
+      .orderBy("block", "id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out === Array(
+      ("x", 1L, 2L, 1), ("x", 1L, 3L, 2), ("x", 2L, 3L, 1), ("x", 2L, 4L, 2),
+      ("x", 3L, 4L, 1),
+      ("y", 5L, 6L, 1)))
+  }
+
+  test("sortedNeighborhoodPairs: window=n-1 recovers the full block quadratic") {
+    import graft.text.EntityResolution
+    val df = (1L to 6L).map(i => (i, "b", i * 7 % 5)).toDF("id", "blk", "o")
+    val pairs = EntityResolution.sortedNeighborhoodPairs(df, col("id"),
+      col("blk"), col("o"), window = 5)
+    assert(pairs.count() === 15L) // C(6,2)
+    // and each unordered pair appears exactly once
+    assert(pairs.select(least(col("id_a"), col("id_b")),
+      greatest(col("id_a"), col("id_b"))).distinct().count() === 15L)
+  }
+
+  test("centroid cosine on the integer grid: identical-direction labels score 1") {
+    val emb = Seq(
+      (0, Array(1.0f, 2.0f, 2.0f)), (0, Array(2.0f, 4.0f, 4.0f)),
+      (1, Array(0.5f, 1.0f, 1.0f)), // same direction as label 0
+      (2, Array(-1.0f, 0.0f, 0.0f)) // orthogonal-ish
+    ).toDF("label", "embedding")
+    val el = emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("xm"))
+    val sums = el.groupBy("label", "i")
+      .agg(sum("xm").cast("decimal(38,0)").as("sv"))
+    val dots = sums.as("a")
+      .join(sums.as("b"), col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+    val norms = sums.groupBy("label").agg(sum(col("sv") * col("sv")).as("nrm"))
+    val cos = dots
+      .join(norms.select(col("label").as("la"), col("nrm").as("na")), "la")
+      .join(norms.select(col("label").as("lb"), col("nrm").as("nb")), "lb")
+      .select(col("la"), col("lb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(cos((0, 1)) === 1.0)
+    assert(math.abs(cos((0, 2)) - (-1.0 / 3)) < 1e-5) // (-1,0,0)·(1,2,2)/3
+  }
 }
