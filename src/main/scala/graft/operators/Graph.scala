@@ -53,9 +53,15 @@ object Graph {
   def triangleStats(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // the edge list feeds FIVE plan subtrees (degree union x2, orient join,
+    // closing join, census agg) across two actions — checkpoint it once
+    // instead of replaying its build lineage per subtree (the q42/q75
+    // multi-consumer rule)
     val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -65,6 +71,7 @@ object Graph {
         struct(col("a").as("src"), col("b").as("dst")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      .localCheckpoint(true) // consumed by both sides of the wedge self-join
     // wedges at a common oriented source; x < y canonicalizes the pair so
     // the closing edge is looked up in the original (a < b) table
     val o1 = oriented.select(col("src"), col("dst").as("x"))
@@ -106,8 +113,11 @@ object Graph {
   def pageRankScaled(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
     val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // the directed edge list is re-joined EVERY iteration — checkpoint it
+    // once so the (possibly expensive) edge-build lineage never replays
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val n = deg.count() // one bounded scalar to the driver (node count)
