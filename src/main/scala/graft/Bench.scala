@@ -60,7 +60,8 @@ object Bench {
     "q143_triangle_census", "q144_part_pagerank",
     "q145_retention_cohorts", "q146_growth_accounting", "q147_ohlc_bars",
     "q148_sorted_neighborhood", "q149_centroid_similarity",
-    "q150_unpivot_metrics")
+    "q150_unpivot_metrics", "q151_lasttouch_attribution",
+    "q152_rolling_actives", "q153_streaming_ohlc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

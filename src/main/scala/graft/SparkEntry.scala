@@ -83,7 +83,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             via the max-struct argmax idiom (q147),
   *             sorted-neighborhood dedup candidates (q148), label-centroid
   *             cosine matrix on the integer grid (q149), UNPIVOT/melt
-  *             export (q150)
+  *             export (q150), last-touch attribution via as-of join
+  *             (q151), DAU/WAU rolling actives (q152), streaming OHLC
+  *             twin (q153)
   */
 object SparkEntry {
 

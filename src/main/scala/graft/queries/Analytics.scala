@@ -443,5 +443,96 @@ object Analytics {
              |  UNION ALL
              |  SELECT event_type, 'max_vm', max_vm FROM wide
              |)
-             |ORDER BY event_type, metric""".stripMargin)))
+             |ORDER BY event_type, metric""".stripMargin)),
+
+    QueryDef("q151_lasttouch_attribution",
+      "last-touch marketing attribution: purchases credited to the most recent prior touch within 24 h",
+      // AsOf.asOfJoin (q87's union + carry-forward window — both sides
+      // shuffle exactly ONCE, no join operator) matches each purchase to
+      // the user's latest preceding click/view; the 24 h lookback and the
+      // rollup compare at the shared MICRO grid (ts div 1000 == epoch_us)
+      // so the nanos-vs-micros physical types can't disagree. Distinct
+      // users via the two-level idiom, never countDistinct.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val touches = e.filter(col("event_type").isin("click", "view"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+        val j = graft.operators.AsOf.asOfJoin(purchases, touches,
+          keys = Seq("user_id"), ordCol = "ts", tieCol = "event_id",
+          rightPayload = Seq("event_type", "ts"))
+        val credited = j.select(col("user_id"),
+          when(col("asof_ts").isNotNull &&
+            expr("(ts div 1000) - (asof_ts div 1000)") <= 86400000000L,
+            col("asof_event_type")).otherwise(lit("unattributed"))
+            .as("channel"))
+        credited.groupBy("channel", "user_id")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("channel")
+          .agg(sum("n").as("n_purchases"), count(lit(1)).as("n_users"))
+          .orderBy("channel")
+      },
+      Some("""|WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |), t AS (
+             |  SELECT event_id, user_id, ts, event_type FROM events
+             |  WHERE event_type IN ('click', 'view')
+             |), j AS (
+             |  SELECT p.user_id,
+             |    CASE WHEN t.event_id IS NOT NULL
+             |           AND epoch_us(p.ts) - epoch_us(t.ts) <= 86400000000
+             |         THEN t.event_type ELSE 'unattributed' END AS channel
+             |  FROM p ASOF LEFT JOIN t
+             |    ON p.user_id = t.user_id AND t.ts <= p.ts
+             |), u AS (
+             |  SELECT channel, user_id, count(*) AS n FROM j GROUP BY 1, 2
+             |)
+             |SELECT channel, CAST(sum(n) AS BIGINT) AS n_purchases,
+             |  count(*) AS n_users
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q152_rolling_actives",
+      "DAU / trailing-7-day WAU / stickiness per day via bounded activity fan-out",
+      // rolling distinct actives WITHOUT a distinct-over-range window:
+      // each (user, active-day) row supports the next 7 calendar days, so
+      // explode to ≤7 (user, day) support rows, distinct, count — every
+      // exchange carries user×day-bounded rows and the fan-out constant is
+      // the window length, independent of data volume. Stickiness =
+      // DAU/WAU with one double division, rounded.
+      (s, dir) => {
+        val day = 86400000000000L
+        val act = table(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div $day").as("day"))
+          .distinct()
+        val dau = act.groupBy("day").agg(count(lit(1)).as("n_dau"))
+        val wau = act
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("n_wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("n_dau"), col("n_wau"),
+            round(col("n_dau").cast("double") / col("n_wau").cast("double"), 6)
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""|WITH act AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events
+             |), dau AS (
+             |  SELECT day, count(*) AS n_dau FROM act GROUP BY 1
+             |), sup AS (
+             |  SELECT DISTINCT user_id, day + o.o AS day
+             |  FROM act CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o
+             |), wau AS (
+             |  SELECT day, count(*) AS n_wau FROM sup GROUP BY 1
+             |)
+             |SELECT d.day, d.n_dau, w.n_wau,
+             |  round(CAST(d.n_dau AS DOUBLE) / CAST(w.n_wau AS DOUBLE), 6)
+             |    AS stickiness
+             |FROM dau d JOIN wau w ON d.day = w.day
+             |ORDER BY d.day""".stripMargin)))
 }

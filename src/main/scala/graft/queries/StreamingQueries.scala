@@ -806,6 +806,59 @@ GROUP BY 1 ORDER BY channel"""
        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
 
+  /** Streaming twin of q147's OHLC bars: min/max(struct) argmin/argmax +
+    * count/sum running as Update-mode state per (event_type, hour). Every
+    * aggregate is commutative and mergeable, and `n` only grows per key,
+    * so the last update per key (max on (n, payload)) equals the batch
+    * bars under ANY micro-batch slicing — the q123/q138 argument applied
+    * to argmin/argmax state. The oracle is q147's, verbatim. */
+  private def q153Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q153_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .select(col("event_type"), expr("ts div 3600000000000").as("h"),
+          col("ts"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("event_type", "h")
+        .agg(min(struct(col("ts"), col("event_id"), col("vm"))).as("_open"),
+          max(struct(col("ts"), col("event_id"), col("vm"))).as("_close"),
+          max("vm").as("high_vm"), min("vm").as("low_vm"),
+          count(lit(1)).as("n"), sum("vm").as("sum_vm")),
+      outputMode = OutputMode.Update)
+    updates.groupBy("event_type", "h")
+      .agg(max(struct(col("n"), col("_open"), col("_close"),
+        col("high_vm"), col("low_vm"), col("sum_vm"))).as("_fin"))
+      .select(col("event_type"), col("h"),
+        col("_fin._open.vm").as("open_vm"),
+        col("_fin._close.vm").as("close_vm"),
+        col("_fin.high_vm").as("high_vm"), col("_fin.low_vm").as("low_vm"),
+        col("_fin.n").as("n"), col("_fin.sum_vm").as("sum_vm"))
+      .orderBy("event_type", "h")
+  }
+
+  private def q153Oracle: String =
+    """|WITH v AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+       |    epoch_ns(ts) AS t, event_id,
+       |    CAST(floor(value * 1000) AS BIGINT) AS vm
+       |  FROM events
+       |), r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY event_type, h
+       |      ORDER BY t, event_id) AS rna,
+       |    row_number() OVER (PARTITION BY event_type, h
+       |      ORDER BY t DESC, event_id DESC) AS rnd
+       |  FROM v
+       |)
+       |SELECT event_type, h,
+       |  max(CASE WHEN rna = 1 THEN vm END) AS open_vm,
+       |  max(CASE WHEN rnd = 1 THEN vm END) AS close_vm,
+       |  max(vm) AS high_vm, min(vm) AS low_vm,
+       |  count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_vm
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_streaming_windowed_wavelet",
       "ST3 streaming windowed DSP: readStream -> watermarked event-time " +
@@ -864,5 +917,9 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q138_streaming_compaction",
       "streaming CDC compaction: running max(struct) latest-state store " +
         "in Update mode == batch compaction (q123's oracle verbatim)",
-      q138Build, Some(q138Oracle)))
+      q138Build, Some(q138Oracle)),
+    QueryDef("q153_streaming_ohlc",
+      "streaming OHLC bars: running min/max(struct) argmin/argmax state " +
+        "in Update mode == batch bars (q147's oracle verbatim)",
+      q153Build, Some(q153Oracle)))
 }

@@ -347,6 +347,51 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       "stream collapsed to a single micro-batch — slicing not exercised")
   }
 
+  test("streaming OHLC argmin/argmax state: final bars == batch under forced multi-batch slicing") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val events = graft.model.Frames.normalizeTsNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val stage = java.nio.file.Files.createTempDirectory("ohlc_events")
+    StreamingOps.deleteOnExit(stage)
+    events.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage.toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    def bars(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), expr("ts div 3600000000000").as("h"),
+        col("ts"), col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy("event_type", "h")
+      .agg(min(struct(col("ts"), col("event_id"), col("vm"))).as("_open"),
+        max(struct(col("ts"), col("event_id"), col("vm"))).as("_close"),
+        max("vm").as("high_vm"), min("vm").as("low_vm"),
+        count(lit(1)).as("n"), sum("vm").as("sum_vm"))
+    val q = bars(stream).writeStream
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+      .format("memory").queryName("ohlc_multi_batch").start()
+    q.awaitTermination()
+    val sink = spark.table("ohlc_multi_batch")
+    def finalize(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("h"), col("_open.vm").as("o"),
+        col("_close.vm").as("c"), col("high_vm"), col("low_vm"),
+        col("n"), col("sum_vm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val streamed = finalize(sink.groupBy("event_type", "h")
+      .agg(max(struct(col("n"), col("_open"), col("_close"), col("high_vm"),
+        col("low_vm"), col("sum_vm"))).as("_fin"))
+      .select(col("event_type"), col("h"), col("_fin._open").as("_open"),
+        col("_fin._close").as("_close"), col("_fin.high_vm").as("high_vm"),
+        col("_fin.low_vm").as("low_vm"), col("_fin.n").as("n"),
+        col("_fin.sum_vm").as("sum_vm")))
+    val batch = finalize(bars(events))
+    assert(streamed === batch)
+    assert(sink.groupBy("event_type", "h").count().filter($"count" > 1).count() > 0,
+      "stream collapsed to a single micro-batch — slicing not exercised")
+  }
+
   test("streaming histogram cells: final cells == batch under forced multi-batch slicing") {
     import graft.operators.Quantiles
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
