@@ -61,7 +61,9 @@ object Bench {
     "q145_retention_cohorts", "q146_growth_accounting", "q147_ohlc_bars",
     "q148_sorted_neighborhood", "q149_centroid_similarity",
     "q150_unpivot_metrics", "q151_lasttouch_attribution",
-    "q152_rolling_actives", "q153_streaming_ohlc")
+    "q152_rolling_actives", "q153_streaming_ohlc",
+    "q154_sequence_patterns", "q155_activity_bitmaps",
+    "q156_conversion_latency_quantiles", "q157_key_skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

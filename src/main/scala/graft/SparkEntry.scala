@@ -85,7 +85,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             cosine matrix on the integer grid (q149), UNPIVOT/melt
   *             export (q150), last-touch attribution via as-of join
   *             (q151), DAU/WAU rolling actives (q152), streaming OHLC
-  *             twin (q153)
+  *             twin (q153), behavioral sequence-pattern census (q154),
+  *             day-activity bitmap segmentation (q155), conversion
+  *             latency quantiles (q156), join-key skew/Gini report (q157)
   */
 object SparkEntry {
 

@@ -534,5 +534,206 @@ object Analytics {
              |  round(CAST(d.n_dau AS DOUBLE) / CAST(w.n_wau AS DOUBLE), 6)
              |    AS stickiness
              |FROM dau d JOIN wau w ON d.day = w.day
-             |ORDER BY d.day""".stripMargin)))
+             |ORDER BY d.day""".stripMargin)),
+
+    QueryDef("q154_sequence_patterns",
+      "behavioral sequence-pattern census: per-user ordered event strings matched by regex",
+      // the MATCH_RECOGNIZE-ish primitive: each user's history becomes an
+      // ordered initial-letter string (per-user arrays are session-sized
+      // and bounded — the one place the family's no-collect_list rule
+      // yields to, documented as such), then pattern flags are plain
+      // regexes both engines share (RE2-safe syntax: only `.` and `*`).
+      // One user shuffle; the census collapses to a single row.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c"))
+        val seqs = e.groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+            x => x.getField("c")), "").as("seq"))
+        seqs.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L))
+            .as("n_view_click_buy"),
+          sum(when(col("seq").rlike("s.*p"), 1L).otherwise(0L))
+            .as("n_signup_buy"),
+          sum(when(col("seq").contains("e"), 1L).otherwise(0L))
+            .as("n_with_error"),
+          sum(graft.text.TextAnalysis.substrCount(col("seq"), "vc"))
+            .as("n_vc_adjacent"))
+      },
+      Some("""|WITH seqs AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY ts, event_id) AS seq
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT count(*) AS n_users,
+             |  CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_buy,
+             |  CAST(sum(CASE WHEN regexp_matches(seq, 's.*p')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_buy,
+             |  CAST(sum(CASE WHEN seq LIKE '%e%' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_with_error,
+             |  CAST(sum((len(seq) - len(replace(seq, 'vc', ''))) // 2)
+             |    AS BIGINT) AS n_vc_adjacent
+             |FROM seqs""".stripMargin)),
+
+    QueryDef("q155_activity_bitmaps",
+      "per-user day-activity bitmaps (bit_or) + bitmap-segment census",
+      // the bitmap-index segmentation idiom: 63 days of activity pack
+      // into ONE long per user via shiftleft + bit_or (both engines share
+      // exact two's-complement semantics), so any day-pattern segment
+      // (day0 AND day7, popcount buckets) is a bitwise predicate on an
+      // 8-byte column — no per-day join fan-out at query time. The day
+      // origin is a 1-row broadcast, never a global window.
+      (s, dir) => {
+        val day = 86400000000000L
+        val act = table(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div $day").as("day"))
+          .distinct()
+        val d0 = act.agg(min("day").as("d0"))
+        val bitmaps = act.crossJoin(d0)
+          .filter(col("day") - col("d0") < 63)
+          .select(col("user_id"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))").as("bit"))
+          .groupBy("user_id").agg(expr("bit_or(bit)").as("bm"))
+        bitmaps
+          .groupBy(expr("CAST(bit_count(bm) AS INT)").as("n_active_days"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(expr("(bm & 1) = 1"), 1L).otherwise(0L))
+              .as("n_active_day0"),
+            sum(when(expr("(bm & 129) = 129"), 1L).otherwise(0L))
+              .as("n_day0_and_day7"))
+          .orderBy("n_active_days")
+      },
+      Some("""|WITH act AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events
+             |), d0 AS (SELECT min(day) AS d0 FROM act),
+             |bm AS (
+             |  SELECT user_id,
+             |    bit_or(1::BIGINT << CAST(day - d0 AS INT)) AS bm
+             |  FROM act CROSS JOIN d0 WHERE day - d0 < 63
+             |  GROUP BY user_id
+             |)
+             |SELECT CAST(bit_count(bm) AS INT) AS n_active_days,
+             |  count(*) AS n_users,
+             |  CAST(sum(CASE WHEN (bm & 1) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_active_day0,
+             |  CAST(sum(CASE WHEN (bm & 129) = 129 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_day0_and_day7
+             |FROM bm GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q156_conversion_latency_quantiles",
+      "view->purchase conversion latency quantiles per day (as-of + exact rank selection)",
+      // composes two certified operators: AsOf.asOfJoin finds each
+      // purchase's latest prior view (one union + carry-forward window),
+      // Quantiles.exactQuantiles selects the p50/p90 order statistics by
+      // global rank (range shuffle, bounded driver state — never a whole
+      // group in one percentile buffer). Latencies compare at the shared
+      // micro grid; the interpolation is the exact IEEE sequence the
+      // oracle replays.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val j = graft.operators.AsOf.asOfJoin(purchases, views,
+            keys = Seq("user_id"), ordCol = "ts", tieCol = "event_id",
+            rightPayload = Seq("ts"))
+          .filter(col("asof_ts").isNotNull)
+          .select(expr("ts div 86400000000000").cast("string").as("day"),
+            (expr("ts div 1000") - expr("asof_ts div 1000"))
+              .cast("double").as("lat_us"))
+        graft.operators.Quantiles.exactQuantiles(j, "day", "lat_us",
+            Seq("p50" -> 0.5, "p90" -> 0.9))
+          .orderBy("day")
+      },
+      Some("""|WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |), vw AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'view'
+             |), j AS (
+             |  SELECT CAST(epoch_ns(p.ts) // 86400000000000 AS VARCHAR) AS g,
+             |    CAST(epoch_us(p.ts) - epoch_us(vw.ts) AS DOUBLE) AS v
+             |  FROM p ASOF JOIN vw
+             |    ON p.user_id = vw.user_id AND vw.ts <= p.ts
+             |), r AS (
+             |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM j
+             |), sel AS (
+             |  SELECT g, n,
+             |    max(CASE WHEN rk = CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo50,
+             |    max(CASE WHEN rk = least(CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi50,
+             |    max(CASE WHEN rk = CAST(floor(0.9::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo90,
+             |    max(CASE WHEN rk = least(CAST(floor(0.9::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi90
+             |  FROM r GROUP BY g, n
+             |)
+             |SELECT g AS day,
+             |  lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
+             |  lo90 + (hi90 - lo90) * (0.9::DOUBLE * (n - 1) - floor(0.9::DOUBLE * (n - 1))) AS p90
+             |FROM sel ORDER BY day""".stripMargin)),
+
+    QueryDef("q157_key_skew_report",
+      "join-key skew diagnosis: frequency census + exact Gini concentration on the integer grid",
+      // the pre-flight check before a big join: per-key frequencies
+      // compress to the (frequency, multiplicity) frame — bounded by
+      // DISTINCT frequency values, not keys — so the Gini rank sum uses a
+      // closed form per run of equal frequencies (f·(m·s + m(m−1)/2))
+      // and the only ordered window runs over that bounded frame. All
+      // sums in DECIMAL(38,0)/HUGEINT; one double division for gini.
+      (s, dir) => {
+        val f = table(s, dir, "lineitem")
+          .groupBy("l_partkey").agg(count(lit(1)).as("f"))
+        val ff = f.groupBy("f").agg(count(lit(1)).as("m"))
+        val w = Window.orderBy("f")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val terms = ff.withColumn("cum", sum("m").over(w))
+          .select(col("f"), col("m"), (col("cum") - col("m") + 1).as("srank"))
+        terms.agg(
+            sum("m").as("nk"),
+            sum((col("f") * col("m")).cast("decimal(38,0)")).as("nr"),
+            max("f").as("max_count"),
+            sum(col("f").cast("decimal(38,0)") *
+              (col("m") * col("srank") + expr("m * (m - 1) div 2"))
+                .cast("decimal(38,0)")).as("t"))
+          .select(col("nk").as("n_keys"),
+            col("nr").cast("long").as("n_rows"), col("max_count"),
+            round((lit(2).cast("decimal(38,0)") * col("t") -
+                (col("nk") + 1).cast("decimal(38,0)") * col("nr")).cast("double") /
+              (col("nk").cast("decimal(38,0)") * col("nr")).cast("double"), 6)
+              .as("gini"),
+            expr("(max_count * 1000000) div CAST(nr AS BIGINT)")
+              .as("top1_share_ppm"))
+      },
+      Some("""|WITH fr AS (
+             |  SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1
+             |), ff AS (
+             |  SELECT f, count(*) AS m FROM fr GROUP BY 1
+             |), t AS (
+             |  SELECT f, m,
+             |    sum(m) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) - m + 1 AS s
+             |  FROM ff
+             |), agg AS (
+             |  SELECT sum(m) AS nk, sum(f * m) AS nr, max(f) AS max_count,
+             |    sum(f * (m * s + m * (m - 1) // 2)) AS t
+             |  FROM t
+             |)
+             |SELECT CAST(nk AS BIGINT) AS n_keys, CAST(nr AS BIGINT) AS n_rows,
+             |  max_count,
+             |  round(CAST(2 * t - (nk + 1) * nr AS DOUBLE) /
+             |        CAST(nk * nr AS DOUBLE), 6) AS gini,
+             |  CAST((max_count * 1000000) // nr AS BIGINT) AS top1_share_ppm
+             |FROM agg""".stripMargin)))
 }

@@ -136,4 +136,65 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(cos((0, 1)) === 1.0)
     assert(math.abs(cos((0, 2)) - (-1.0 / 3)) < 1e-5) // (-1,0,0)·(1,2,2)/3
   }
+
+  test("sequence patterns: ordered per-user strings and regex flags") {
+    val e = Seq( // (user, ts, id, type-initial) — deliberately out of order
+      (1L, 30L, 3L, "p"), (1L, 10L, 1L, "v"), (1L, 20L, 2L, "c"),
+      (2L, 10L, 4L, "v"), (2L, 20L, 5L, "c"), // vc adjacent, no purchase
+      (3L, 10L, 6L, "s"), (3L, 20L, 7L, "e"), (3L, 30L, 8L, "p")
+    ).toDF("user_id", "ts", "event_id", "c")
+    val seqs = e.groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+        x => x.getField("c")), "").as("seq"))
+    val m = seqs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "vcp", 2L -> "vc", 3L -> "sep"))
+    val census = seqs.agg(
+        sum(when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L)).as("vcp"),
+        sum(when(col("seq").rlike("s.*p"), 1L).otherwise(0L)).as("sp"),
+        sum(graft.text.TextAnalysis.substrCount(col("seq"), "vc")).as("vc"))
+      .collect()(0)
+    assert((census.getLong(0), census.getLong(1), census.getLong(2)) === ((1L, 1L, 2L)))
+  }
+
+  test("activity bitmaps: bit_or packs days, popcount and patterns are exact") {
+    val act = Seq( // (user, day) distinct, origin day 10
+      (1L, 10L), (1L, 11L), (1L, 17L), // days 0,1,7 -> bm = 1|2|128 = 131
+      (2L, 12L),                       // day 2 -> bm = 4
+      (3L, 10L), (3L, 17L)             // days 0,7 -> bm = 129
+    ).toDF("user_id", "day")
+    val d0 = act.agg(min("day").as("d0"))
+    val bm = act.crossJoin(d0)
+      .select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))").as("bit"))
+      .groupBy("user_id").agg(expr("bit_or(bit)").as("bm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bm === Map(1L -> 131L, 2L -> 4L, 3L -> 129L))
+    val day07 = bm.values.count(v => (v & 129L) == 129L)
+    assert(day07 === 2)
+    assert(java.lang.Long.bitCount(bm(1L)) === 3)
+  }
+
+  test("Gini closed form over (frequency, multiplicity) runs matches direct rank sum") {
+    // frequencies with ties: keys {a:1, b:1, c:2, d:4} -> sorted 1,1,2,4
+    // direct: n=4, S=8, T = 1*1+1*2+2*3+4*4 = 25; G = (2*25 - 5*8)/(4*8) = 10/32
+    val f = Seq(("a", 1L), ("b", 1L), ("c", 2L), ("d", 4L)).toDF("k", "f")
+    val ff = f.groupBy("f").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy("f")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = ff.withColumn("cum", sum("m").over(w))
+      .select(col("f"), col("m"), (col("cum") - col("m") + 1).as("srank"))
+    val r = terms.agg(
+        sum("m").as("nk"),
+        sum((col("f") * col("m")).cast("decimal(38,0)")).as("nr"),
+        sum(col("f").cast("decimal(38,0)") *
+          (col("m") * col("srank") + expr("m * (m - 1) div 2"))
+            .cast("decimal(38,0)")).as("t"))
+      .select(
+        ((lit(2).cast("decimal(38,0)") * col("t") -
+          (col("nk") + 1).cast("decimal(38,0)") * col("nr")).cast("double") /
+          (col("nk").cast("decimal(38,0)") * col("nr")).cast("double")).as("g"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 10.0 / 32.0) < 1e-12)
+  }
 }
