@@ -63,7 +63,8 @@ object Bench {
     "q150_unpivot_metrics", "q151_lasttouch_attribution",
     "q152_rolling_actives", "q153_streaming_ohlc",
     "q154_sequence_patterns", "q155_activity_bitmaps",
-    "q156_conversion_latency_quantiles", "q157_key_skew_report")
+    "q156_conversion_latency_quantiles", "q157_key_skew_report",
+    "q158_incremental_rollup", "q159_index_term_query")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

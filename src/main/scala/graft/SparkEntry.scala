@@ -87,7 +87,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q151), DAU/WAU rolling actives (q152), streaming OHLC
   *             twin (q153), behavioral sequence-pattern census (q154),
   *             day-activity bitmap segmentation (q155), conversion
-  *             latency quantiles (q156), join-key skew/Gini report (q157)
+  *             latency quantiles (q156), join-key skew/Gini report (q157),
+  *             incremental aggregate-state maintenance (q158),
+  *             partition-pruned secondary-index term probe (q159)
   */
 object SparkEntry {
 

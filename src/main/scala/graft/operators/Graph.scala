@@ -122,12 +122,14 @@ object Graph {
       .localCheckpoint(true)
     val n = deg.count() // one bounded scalar to the driver (node count)
     require(n > 0, "empty graph")
+    // hoist the loop-invariant edges x degree join: each directed edge
+    // carries its source degree once, so an iteration is exactly ONE
+    // src-keyed join (edges x ranks) + ONE dst-keyed aggregation
+    val dirDeg = dir.join(deg, "src").localCheckpoint(true)
     var ranks = deg.select(col("src").as("v"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val perNode = ranks.join(deg, ranks("v") === deg("src"))
-        .select(col("v").as("u"), expr("r div deg").as("c"))
-      val contrib = dir.join(perNode, dir("src") === perNode("u"))
-        .select(col("dst"), col("c"))
+      val contrib = dirDeg.join(ranks, dirDeg("src") === ranks("v"))
+        .select(col("dst"), expr("r div deg").as("c"))
       ranks = contrib.groupBy(col("dst").as("v"))
         .agg((lit(15L * scale / (100L * n)) + expr("(85 * sum(c)) div 100")).as("r"))
         .localCheckpoint(true)

@@ -735,5 +735,70 @@ object Analytics {
              |  round(CAST(2 * t - (nk + 1) * nr AS DOUBLE) /
              |        CAST(nk * nr AS DOUBLE), 6) AS gini,
              |  CAST((max_count * 1000000) // nr AS BIGINT) AS top1_share_ppm
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    QueryDef("q158_incremental_rollup",
+      "incremental materialized-view maintenance: merged daily aggregate states == direct aggregate",
+      // IncrementalAgg: per-(type, day) algebraic states (n/sum/min/max)
+      // split into two partial tables, rolled up and MERGED — the oracle
+      // is the direct aggregation over the raw events, so the certificate
+      // is exactly 'state merge == rescan'. At 100 TB only the new day's
+      // partition is ever aggregated; history merges as states. avg is
+      // derived from merged states at read-out (a stored avg doesn't
+      // merge). The daily-state frame is types x days bounded.
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        val e = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val daily = IncrementalAgg.aggState(e, Seq("event_type", "day"), col("vm"))
+        val even = IncrementalAgg.rollupStates(
+          daily.filter(pmod(col("day"), lit(2)) === 0), Seq("event_type"))
+        val odd = IncrementalAgg.rollupStates(
+          daily.filter(pmod(col("day"), lit(2)) === 1), Seq("event_type"))
+        IncrementalAgg.mergeStates(even, odd, Seq("event_type"))
+          .select(col("event_type"), col("st_n").as("n"),
+            col("st_sum").as("sum_vm"), col("st_min").as("min_vm"),
+            col("st_max").as("max_vm"),
+            round(col("st_sum").cast("double") / col("st_n").cast("double"), 6)
+              .as("avg_vm"))
+          .orderBy("event_type")
+      },
+      Some("""|SELECT event_type, count(value) AS n,
+             |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             |    AS sum_vm,
+             |  min(CAST(floor(value * 1000) AS BIGINT)) AS min_vm,
+             |  max(CAST(floor(value * 1000) AS BIGINT)) AS max_vm,
+             |  round(CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count(value) AS DOUBLE), 6) AS avg_vm
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q159_index_term_query",
+      "secondary-index term probe: materialized postings + partition-pruned lookup == direct scan",
+      // SecondaryIndex: postings written once partitioned by the term's
+      // first character; the probe for 'dup' prunes to ONE directory at
+      // planning time and reads (doc_id, tf) only. The oracle computes
+      // the same answer by scanning the corpus directly, so the
+      // certificate is 'index probe == full scan'.
+      (s, dir) => {
+        import graft.operators.SecondaryIndex
+        val docs = table(s, dir, "documents")
+        val path = java.nio.file.Files.createTempDirectory("postings")
+        graft.streaming.StreamingOps.deleteOnExit(path)
+        SecondaryIndex.writePostings(docs, path.toString)
+        SecondaryIndex.probeTerm(s, path.toString, "dup")
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .select(col("doc_id"), col("tf"), col("n_chars"))
+          .orderBy(col("tf").desc, col("doc_id"))
+      },
+      Some("""|WITH tf AS (
+             |  SELECT doc_id, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents
+             |  ) WHERE term = 'dup' GROUP BY doc_id
+             |)
+             |SELECT t.doc_id, t.tf, d.n_chars
+             |FROM tf t JOIN documents d ON t.doc_id = d.doc_id
+             |ORDER BY t.tf DESC, t.doc_id""".stripMargin)))
 }
