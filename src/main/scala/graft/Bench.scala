@@ -64,7 +64,9 @@ object Bench {
     "q152_rolling_actives", "q153_streaming_ohlc",
     "q154_sequence_patterns", "q155_activity_bitmaps",
     "q156_conversion_latency_quantiles", "q157_key_skew_report",
-    "q158_incremental_rollup", "q159_index_term_query")
+    "q158_incremental_rollup", "q159_index_term_query",
+    "q160_topk_with_ties", "q161_debounce_census",
+    "q162_revenue_reconciliation", "q163_nested_export_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -89,7 +89,11 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             day-activity bitmap segmentation (q155), conversion
   *             latency quantiles (q156), join-key skew/Gini report (q157),
   *             incremental aggregate-state maintenance (q158),
-  *             partition-pruned secondary-index term probe (q159)
+  *             partition-pruned secondary-index term probe (q159),
+  *             ties-included top-k (q160), debounce/rate-limit dedup
+  *             census (q161), cross-table revenue reconciliation audit
+  *             (q162), nested denormalized export with md5 content pin
+  *             (q163)
   */
 object SparkEntry {
 

@@ -800,5 +800,165 @@ object Analytics {
              |)
              |SELECT t.doc_id, t.tf, d.n_chars
              |FROM tf t JOIN documents d ON t.doc_id = d.doc_id
-             |ORDER BY t.tf DESC, t.doc_id""".stripMargin)))
+             |ORDER BY t.tf DESC, t.doc_id""".stripMargin)),
+
+    QueryDef("q160_topk_with_ties",
+      "per-group top-k WITH ties (rank, not row_number) on the exact milli grid",
+      // the ties-included top-k semantic (q08 is the row_number variant):
+      // rank() over the milli grid admits every row tying the k-th value,
+      // so group output sizes vary — exactly what a cutoff report needs.
+      // rank <= k compiles to the same WindowGroupLimit partial/final
+      // pushdown as row_number, so at most k+ties rows per group per input
+      // partition cross the shuffle.
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            floor(col("c_acctbal") * 1000).cast("long").as("bm"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("bm").desc)
+        c.withColumn("rnk", rank().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("bm"))
+          .orderBy("c_nationkey", "rnk", "c_custkey")
+      },
+      Some("""|WITH b AS (
+             |  SELECT c_nationkey, c_custkey,
+             |    CAST(floor(c_acctbal * 1000) AS BIGINT) AS bm
+             |  FROM customer
+             |), r AS (
+             |  SELECT c_nationkey, c_custkey, bm,
+             |    CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY bm DESC)
+             |      AS INT) AS rnk
+             |  FROM b
+             |)
+             |SELECT c_nationkey, rnk, c_custkey, bm FROM r WHERE rnk <= 3
+             |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin)),
+
+    QueryDef("q161_debounce_census",
+      "debounce/rate-limit dedup: drop events within 10 min of the previous same-key event",
+      // the throttling primitive (distinct from sessionization: a kept
+      // event RESETS nothing — the gap is measured to the immediately
+      // preceding raw event): one (user, type) shuffle, per-key lag sorts
+      // parallel, census collapses to |types| rows. Gaps compare as exact
+      // integer nanos.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        e.select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("kept",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > 600000000000L, 1L).otherwise(0L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+            sum(col("kept") * col("vm")).as("kept_vm_sum"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH lagged AS (
+             |  SELECT event_type, epoch_ns(ts) AS t,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+             |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) AS prev_t
+             |  FROM events
+             |), flagged AS (
+             |  SELECT event_type, vm,
+             |    CASE WHEN prev_t IS NULL OR t - prev_t > 600000000000
+             |      THEN 1 ELSE 0 END AS kept
+             |  FROM lagged
+             |)
+             |SELECT event_type, count(*) AS n_total,
+             |  CAST(sum(kept) AS BIGINT) AS n_kept,
+             |  CAST(sum(kept * vm) AS BIGINT) AS kept_vm_sum
+             |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q162_revenue_reconciliation",
+      "cross-table conformance audit: per-order lineitem revenue vs orders.o_totalprice on the cents grid",
+      // the anti-entropy data-quality check between two derivations of
+      // 'the same' number: per-line cents are floored BEFORE summation
+      // (one IEEE product chain per line — identical in any engine; the
+      // long sum is order-free), so the diff census can't straddle a
+      // float boundary. One orderkey join; the census is a single row.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax")) * 100).cast("long").as("line_cents"))
+          .groupBy("l_orderkey")
+          .agg(sum("line_cents").as("computed_cents"))
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("stated_cents"))
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            (col("computed_cents") - col("stated_cents")).as("diff"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("diff").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+            sum(when(col("diff") > 0, 1L).otherwise(0L)).as("n_over"),
+            sum(when(col("diff") < 0, 1L).otherwise(0L)).as("n_under"),
+            sum(when(col("diff") === 0, 1L).otherwise(0L)).as("n_exact"),
+            max(abs(col("diff"))).as("max_abs_diff_cents"),
+            sum(abs(col("diff"))).as("total_abs_diff_cents"))
+      },
+      Some("""|WITH li AS (
+             |  SELECT l_orderkey,
+             |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+             |      * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS computed_cents
+             |  FROM lineitem GROUP BY 1
+             |), j AS (
+             |  SELECT o.o_orderkey,
+             |    li.computed_cents
+             |      - CAST(floor(o.o_totalprice * 100) AS BIGINT) AS diff
+             |  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+             |)
+             |SELECT count(*) AS n_orders,
+             |  CAST(sum(CASE WHEN diff IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_no_lines,
+             |  CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_over,
+             |  CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_under,
+             |  CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_exact,
+             |  max(abs(diff)) AS max_abs_diff_cents,
+             |  CAST(sum(abs(diff)) AS BIGINT) AS total_abs_diff_cents
+             |FROM j""".stripMargin)),
+
+    QueryDef("q163_nested_export_fingerprint",
+      "denormalized nested export: per-order sorted line array canonicalized and md5-pinned",
+      // the wide-table materialization shape (order + nested lines) with
+      // its content integrity pinned: lines sort by (l_linenumber, line)
+      // inside each order's bounded array (single-digit baskets — the
+      // documented collect_list exception; the line string tie-break
+      // matters: this data has duplicate line numbers within orders),
+      // serialize to a canonical integer-grid string, md5. The oracle
+      // rebuilds the identical string via ordered string_agg, so any row
+      // loss, reorder, or grid drift flips the hash.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(50)) === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            concat_ws(":", col("l_partkey"),
+              floor(col("l_quantity")).cast("long"),
+              floor(col("l_extendedprice") * 100).cast("long")).as("line"))
+        li.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("l_linenumber"), col("line")))),
+              x => x.getField("line")), ";")).as("lines_md5"))
+          .orderBy("l_orderkey")
+      },
+      Some("""|WITH li AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_partkey AS VARCHAR) || ':' ||
+             |    CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || ':' ||
+             |    CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+             |      AS line
+             |  FROM lineitem WHERE l_orderkey % 50 = 0
+             |)
+             |SELECT l_orderkey, count(*) AS n_lines,
+             |  md5(string_agg(line, ';' ORDER BY l_linenumber, line))
+             |    AS lines_md5
+             |FROM li GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
