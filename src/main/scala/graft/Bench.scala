@@ -66,7 +66,9 @@ object Bench {
     "q156_conversion_latency_quantiles", "q157_key_skew_report",
     "q158_incremental_rollup", "q159_index_term_query",
     "q160_topk_with_ties", "q161_debounce_census",
-    "q162_revenue_reconciliation", "q163_nested_export_fingerprint")
+    "q162_revenue_reconciliation", "q163_nested_export_fingerprint",
+    "q164_welch_psd", "q165_lag_xcorr", "q166_decayed_engagement",
+    "q167_sssp_reach", "q168_cusum_drift", "q169_compaction_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm, Analytics, QueryDef}
+import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm, Analytics, Advanced, QueryDef}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -94,12 +94,18 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             census (q161), cross-table revenue reconciliation audit
   *             (q162), nested denormalized export with md5 content pin
   *             (q163)
+  *  - q164-q169 spectral estimation + sequential analytics
+  *             (queries/Advanced.scala): Welch averaged-periodogram PSD
+  *             (q164), cross-channel lag correlation (q165), exponentially
+  *             time-decayed engagement scores (q166), bounded-hop weighted
+  *             shortest paths (q167), CUSUM mean-shift drift detection
+  *             (q168), small-file compaction planning (q169)
   */
 object SparkEntry {
 
   val all: Seq[QueryDef] =
     Relational.defs ++ DspRelational.defs ++ Spectral.defs ++
-      StreamingQueries.defs ++ Llm.defs ++ Analytics.defs
+      StreamingQueries.defs ++ Llm.defs ++ Analytics.defs ++ Advanced.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full preprocess pipeline (resample -> notch -> CAR -> wavelet ->

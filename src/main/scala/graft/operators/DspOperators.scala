@@ -293,4 +293,60 @@ object DspOperators {
         }
     segments.withColumn("values", f(col("values")))
   }
+
+  /** Welch averaged-periodogram power-spectral-density estimate (Welch
+    * 1967) per segment row: split the trace into length-`nperseg` frames
+    * advancing by `hop`, taper each with a symmetric Hamming window
+    * (0.54 - 0.46 cos(2 pi i/(L-1)), the q39 kernel convention), average the
+    * squared rfft magnitudes over frames, and scale to one-sided density —
+    * 1/(n_frames * rate * sum(w^2)), interior bins doubled. Rows whose trace
+    * is shorter than `nperseg` produce no output.
+    *
+    * Emits one row per (input row, frequency bin): key columns preserved,
+    * plus `k`, `freq`, `psd`. Narrow per-row map + posexplode — no shuffle;
+    * parallelism = segment rows, the same distribution contract as every
+    * FFT operator here. */
+  def welchPsd(segments: DataFrame, nperseg: Int, hop: Int): DataFrame = {
+    require(nperseg >= 2 && hop >= 1, s"need nperseg>=2, hop>=1; got $nperseg/$hop")
+    val f = udf { (values: Array[Double], rate: Double) =>
+      val L = nperseg
+      if (values.length < L) Array.empty[Double]
+      else {
+        val w = Array.tabulate(L)(i => 0.54 - 0.46 * math.cos(2.0 * math.Pi * i / (L - 1)))
+        var wsum2 = 0.0
+        var i = 0
+        while (i < L) { wsum2 += w(i) * w(i); i += 1 }
+        val nseg = (values.length - L) / hop + 1
+        val m = L / 2 + 1
+        val acc = new Array[Double](m)
+        var s = 0
+        while (s < nseg) {
+          val y = new Array[Double](L)
+          i = 0
+          while (i < L) { y(i) = values(s * hop + i) * w(i); i += 1 }
+          val spec = graft.dsp.Fft.rfft(y)
+          var k = 0
+          while (k < m) {
+            val re = spec(2 * k); val im = spec(2 * k + 1)
+            acc(k) += re * re + im * im
+            k += 1
+          }
+          s += 1
+        }
+        val scale = 1.0 / (nseg.toDouble * rate * wsum2)
+        var k = 0
+        while (k < m) {
+          val side = if (k == 0 || (L % 2 == 0 && k == L / 2)) 1.0 else 2.0
+          acc(k) *= side * scale
+          k += 1
+        }
+        acc
+      }
+    }
+    segments
+      .withColumn("_psd", f(col("values"), col("rate")))
+      .select(col("series"), col("channel"), col("band"), col("rate"),
+        posexplode(col("_psd")).as(Seq("k", "psd")))
+      .withColumn("freq", col("k") * col("rate") / lit(nperseg.toDouble))
+  }
 }

@@ -136,4 +136,35 @@ object Graph {
     }
     ranks.select(col("v"), col("r").as("rank_scaled"))
   }
+
+  /** Bounded-hop single-source shortest paths (Bellman-Ford with `iters`
+    * relaxation rounds) over an undirected weighted edge list
+    * `(a, b, w)` — long node ids, long non-negative weights. `seeds` is a
+    * one-column frame `v` of source nodes (distance 0). After k rounds every
+    * node whose shortest path uses <= k edges carries its exact distance;
+    * all arithmetic is min-plus on longs, so any engine replays identical
+    * values. Returns `(v, dist)` for reached nodes only.
+    *
+    * Scale shape mirrors [[pageRankScaled]]: the directed edge list is
+    * checkpointed once, then each round is ONE src-keyed shuffle join
+    * (edges x current distances) plus ONE dst-keyed min-aggregation, with
+    * the distance frame localCheckpoint'ed so the plan stays round-sized.
+    * State is bounded by the reached node set — never materializes paths. */
+  def boundedSssp(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+    val dir = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("v").cast("long").as("v"), lit(0L).as("d"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val relaxed = dir.join(dist, dir("src") === dist("v"))
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+      dist = dist.union(relaxed).groupBy("v").agg(min("d").as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("v"), col("d").as("dist"))
+  }
 }

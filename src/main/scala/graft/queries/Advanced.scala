@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDef.table
+import graft.model.Frames
+import graft.operators.{DspOperators, Graph}
+
+/** Round-10 additions: spectral estimation (Welch PSD), cross-channel lag
+  * correlation, time-decayed scoring, bounded-hop shortest paths, CUSUM
+  * drift detection, and small-file compaction planning. Float-adjacent math
+  * runs on integer grids or behind a log compressor so every query carries
+  * an exact hash-checked DuckDB oracle.
+  */
+object Advanced {
+
+  /** 2^40 — the decayed-score weight grid (exact dyadic weights). */
+  private val DecayScale = 1099511627776L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q164_welch_psd",
+      "Welch averaged-periodogram PSD per channel (Hamming taper, one-sided density)",
+      // DspOperators.welchPsd: narrow per-row map over the fused
+      // events->segments adapter; parallelism = channels, no shuffle after
+      // segment assembly. Output through ln(1+psd): the log compresses the
+      // FFT-vs-direct-DFT float drift to ~1e-14 absolute, so round(.,6) is
+      // bit-stable while still pinning every bin. freq = k*rate/L is exact
+      // dyadic-decimal at rate 1000, L 64.
+      (s, dir) => {
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        DspOperators.welchPsd(seg, nperseg = 64, hop = 32)
+          .select(col("channel"), col("k"),
+            round(col("freq"), 6).as("freq"),
+            round(log1p(col("psd")), 6).as("psd_ln"))
+          .orderBy("channel", "k")
+      },
+      Some(s"""|WITH ${QueryDef.EventsRectSql.stripPrefix("WITH ")},
+              |nseg AS (SELECT (n - 64) // 32 + 1 AS s FROM minlen),
+              |win AS (
+              |  SELECT i, 0.54 - 0.46 * cos(2 * pi() * i / 63.0) AS w
+              |  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+              |), wsum AS (SELECT sum(w * w) AS ww FROM win),
+              |segs AS (SELECT unnest(generate_series(0, s - 1)) AS seg FROM nseg),
+              |y AS (
+              |  SELECT r.channel, sg.seg, w.i, r.value * w.w AS y
+              |  FROM segs sg CROSS JOIN win w
+              |  JOIN rect r ON r.t_idx = sg.seg * 32 + w.i
+              |), bins AS (SELECT unnest(generate_series(0, 32)) AS k),
+              |spec AS (
+              |  SELECT y.channel, y.seg, b.k,
+              |         sum(y.y * cos(2 * pi() * b.k * y.i / 64.0)) AS re,
+              |         sum(y.y * sin(2 * pi() * b.k * y.i / 64.0)) AS im
+              |  FROM y CROSS JOIN bins b
+              |  GROUP BY y.channel, y.seg, b.k
+              |), pxx AS (
+              |  SELECT channel, k, sum(re * re + im * im) AS p
+              |  FROM spec GROUP BY channel, k
+              |)
+              |SELECT p.channel, CAST(p.k AS INT) AS k,
+              |  round(p.k * 1000.0 / 64.0, 6) AS freq,
+              |  round(ln(1.0 + (CASE WHEN p.k = 0 OR p.k = 32 THEN 1.0 ELSE 2.0 END)
+              |    * p.p / (n.s * 1000.0 * ws.ww)), 6) AS psd_ln
+              |FROM pxx p CROSS JOIN nseg n CROSS JOIN wsum ws
+              |ORDER BY channel, k""".stripMargin)),
+
+    QueryDef("q165_lag_xcorr",
+      "cross-channel lag correlation (raw dot products at lags 0..4, exact integer grid)",
+      // channel traces are already assembled one-per-row, so the pair space
+      // is a 28-row self-join of TINY rows (one bounded trace array each) —
+      // no per-sample shuffle, per-pair lag loop over quantized longs. At
+      // 100 TB the trace length per row is bounded by the upstream segment
+      // windowing contract (Frames doc), so a pair row stays executor-sized.
+      // Products on the milli grid: |vm| < 2^19, so a 2^38 product summed
+      // over any realistic trace fits a long with >2^10 headroom.
+      (s, dir) => {
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        val quant = udf { (vs: Seq[Double]) =>
+          vs.map(v => math.floor(v * 1000).toLong).toArray
+        }
+        val q = seg.select(col("channel"), quant(col("values")).as("vm"))
+        val a = q.select(col("channel").as("c1"), col("vm").as("v1"))
+        val b = q.select(col("channel").as("c2"), col("vm").as("v2"))
+        val lagDots = udf { (v1s: Seq[Long], v2s: Seq[Long]) =>
+          val v1 = v1s.toArray; val v2 = v2s.toArray
+          (0 to 4).map { l =>
+            val n = v1.length - l
+            var sum = 0L
+            var i = 0
+            while (i < n) { sum += v1(i) * v2(i + l); i += 1 }
+            (l, n.toLong, sum)
+          }
+        }
+        a.crossJoin(b).filter(col("c1") < col("c2"))
+          .select(col("c1"), col("c2"),
+            explode(lagDots(col("v1"), col("v2"))).as("ld"))
+          .select(col("c1"), col("c2"), col("ld._1").as("lag"),
+            col("ld._2").as("n_terms"), col("ld._3").as("dot"))
+          .orderBy("c1", "c2", "lag")
+      },
+      Some(s"""|WITH ${QueryDef.EventsRectSql.stripPrefix("WITH ")},
+              |q AS (
+              |  SELECT channel, t_idx, CAST(floor(value * 1000) AS BIGINT) AS vm
+              |  FROM rect
+              |), lags AS (SELECT unnest(generate_series(0, 4)) AS lag)
+              |SELECT a.channel AS c1, b.channel AS c2, CAST(l.lag AS INT) AS lag,
+              |  count(*) AS n_terms,
+              |  CAST(sum(CAST(a.vm AS HUGEINT) * b.vm) AS BIGINT) AS dot
+              |FROM q a CROSS JOIN lags l
+              |JOIN q b ON b.channel > a.channel AND b.t_idx = a.t_idx + l.lag
+              |GROUP BY a.channel, b.channel, l.lag
+              |ORDER BY c1, c2, lag""".stripMargin)),
+
+    QueryDef("q166_decayed_engagement",
+      "per-user exponentially time-decayed engagement score (exact dyadic half-life weights)",
+      // the recommender/feature-store freshness aggregate: each event's
+      // weight halves per day of age. Weights are EXACT powers of two on a
+      // 2^40 grid (age clamped at 40 half-lives, beyond which a milli-value
+      // rounds to 0 anyway), terms summed in DECIMAL(38,0) — no float
+      // summation order anywhere; ONE double chain at the end whose divisors
+      // are powers of 2 and 1000, identical IEEE ops in both engines.
+      // Shape: column-pruned scan, a 1-row broadcast max, map-side partial
+      // aggregation to |users| rows.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("user_id"),
+          col("ts").cast("long").as("tns"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        val tmax = e.agg(max("tns").as("tmax"))
+        e.join(broadcast(tmax))
+          .withColumn("wexp",
+            lit(40L) - least(expr("(tmax - tns) div 86400000000000"), lit(40L)))
+          .withColumn("term", col("vm").cast("decimal(38,0)") *
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(wexp AS INT))").cast("decimal(38,0)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("term").cast("decimal(38,0)").as("wsum"))
+          .select(col("user_id"), col("n_events"),
+            round(col("wsum").cast("double") / lit(DecayScale.toDouble) / lit(1000.0), 6)
+              .as("decayed_score"))
+          .orderBy("user_id")
+      },
+      Some("""|WITH b AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), mx AS (SELECT max(tns) AS tmax FROM b),
+             |t AS (
+             |  SELECT user_id, CAST(vm AS HUGEINT) *
+             |    CAST(power(2, 40 - LEAST((tmax - tns) // 86400000000000, 40))
+             |         AS HUGEINT) AS term
+             |  FROM b CROSS JOIN mx
+             |)
+             |SELECT user_id, count(*) AS n_events,
+             |  round(CAST(sum(term) AS DOUBLE) / 1099511627776.0 / 1000.0, 6)
+             |    AS decayed_score
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q167_sssp_reach",
+      "bounded-hop weighted shortest paths from a seed set (Bellman-Ford, exact min-plus)",
+      // Graph.boundedSssp over the co-purchase graph: 4 relaxation rounds,
+      // each ONE src-keyed join + ONE dst-keyed min-agg, distances
+      // checkpointed round-sized. Edge weights are a deterministic function
+      // of the endpoints so both engines build the identical weighted graph.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+          .withColumn("w", pmod(col("a") + col("b"), lit(7)) + lit(1))
+        val seeds = li.filter(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("v")).distinct()
+        Graph.boundedSssp(edges, seeds, iters = 4).orderBy("v")
+      },
+      Some("""|WITH e AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+             |  WHERE x.l_partkey < y.l_partkey
+             |), dirE AS (
+             |  SELECT a AS src, b AS dst, (a + b) % 7 + 1 AS w FROM e
+             |  UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM e
+             |), d0 AS (
+             |  SELECT DISTINCT l_partkey AS v, CAST(0 AS BIGINT) AS d
+             |  FROM lineitem WHERE l_partkey % 100 = 0
+             |), d1 AS (
+             |  SELECT v, min(d) AS d FROM (
+             |    SELECT v, d FROM d0
+             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d0 p ON de.src = p.v
+             |  ) GROUP BY v
+             |), d2 AS (
+             |  SELECT v, min(d) AS d FROM (
+             |    SELECT v, d FROM d1
+             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d1 p ON de.src = p.v
+             |  ) GROUP BY v
+             |), d3 AS (
+             |  SELECT v, min(d) AS d FROM (
+             |    SELECT v, d FROM d2
+             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d2 p ON de.src = p.v
+             |  ) GROUP BY v
+             |), d4 AS (
+             |  SELECT v, min(d) AS d FROM (
+             |    SELECT v, d FROM d3
+             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d3 p ON de.src = p.v
+             |  ) GROUP BY v
+             |)
+             |SELECT v, d AS dist FROM d4 ORDER BY v""".stripMargin)),
+
+    QueryDef("q168_cusum_drift",
+      "CUSUM mean-shift drift detection per event type (prefix-sum/prefix-min form, exact)",
+      // sequential CUSUM s_t = max(0, s_{t-1} + (x_t - mu)) re-expressed in
+      // its closed window form s_t = C_t - min(0, min_{j<=t} C_j) — two
+      // running windows instead of an unexpressible recurrence. All integer:
+      // milli-values against the per-type integer floor-mean. The per-type
+      // ordered window is the irreducible sequential scan of change
+      // detection; parallelism = event types (keys), state = one running
+      // sum + min per task.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("event_type"),
+          col("ts").cast("long").as("tns"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        val mu = e.groupBy("event_type")
+          .agg(expr("sum(vm) div count(*)").as("mu"))
+        val w = Window.partitionBy("event_type").orderBy("tns", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val thresh = 5000000L
+        e.join(broadcast(mu), "event_type")
+          .withColumn("cs", sum(col("vm") - col("mu")).over(w))
+          .withColumn("s", col("cs") - least(lit(0L), min("cs").over(w)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            max("s").as("max_cusum"),
+            count(when(col("s") > thresh, 1)).as("n_drift"),
+            min(when(col("s") > thresh, col("tns"))).as("first_drift_tns"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH b AS (
+             |  SELECT event_type, epoch_ns(ts) AS tns, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), mu AS (
+             |  SELECT event_type, CAST(sum(vm) // count(*) AS BIGINT) AS mu
+             |  FROM b GROUP BY event_type
+             |), cs AS (
+             |  SELECT b.event_type, b.tns, b.event_id,
+             |    sum(b.vm - mu.mu) OVER (PARTITION BY b.event_type
+             |      ORDER BY b.tns, b.event_id ROWS UNBOUNDED PRECEDING) AS c
+             |  FROM b JOIN mu USING (event_type)
+             |), cm AS (
+             |  SELECT event_type, tns, c,
+             |    min(c) OVER (PARTITION BY event_type ORDER BY tns, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS cmin
+             |  FROM cs
+             |), s AS (
+             |  SELECT event_type, tns, c - LEAST(0, cmin) AS s FROM cm
+             |)
+             |SELECT event_type, count(*) AS n_events,
+             |  max(s) AS max_cusum,
+             |  count(*) FILTER (WHERE s > 5000000) AS n_drift,
+             |  min(tns) FILTER (WHERE s > 5000000) AS first_drift_tns
+             |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q169_compaction_plan",
+      "small-file compaction planning: greedy byte-budget binning per source",
+      // the lakehouse OPTIMIZE planner: assign each doc to an output file by
+      // floor(cumulative-bytes-before / target) within its source partition
+      // — the window cumsum IS the greedy first-fit-in-order packing.
+      // Integer exact; per-source ordered scan parallelizes across sources,
+      // output is bounded by total-bytes/target rows.
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.withColumn("before", coalesce(sum("n_chars").over(w), lit(0L)))
+          .withColumn("file_id", expr("before div 2000"))
+          .groupBy("source", "file_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "file_id")
+      },
+      Some("""|WITH c AS (
+             |  SELECT doc_id, source, n_chars,
+             |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM documents
+             |)
+             |SELECT source, CAST(before // 2000 AS BIGINT) AS file_id,
+             |  count(*) AS n_docs, sum(n_chars) AS bytes,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY source, file_id
+             |ORDER BY source, file_id""".stripMargin)))
+}
