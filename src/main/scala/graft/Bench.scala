@@ -68,7 +68,9 @@ object Bench {
     "q160_topk_with_ties", "q161_debounce_census",
     "q162_revenue_reconciliation", "q163_nested_export_fingerprint",
     "q164_welch_psd", "q165_lag_xcorr", "q166_decayed_engagement",
-    "q167_sssp_reach", "q168_cusum_drift", "q169_compaction_plan")
+    "q167_sssp_reach", "q168_cusum_drift", "q169_compaction_plan",
+    "q170_trending_windows", "q171_coherence", "q172_vocab_drift",
+    "q173_type_correlation", "q174_streaming_decayed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -94,12 +94,17 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             census (q161), cross-table revenue reconciliation audit
   *             (q162), nested denormalized export with md5 content pin
   *             (q163)
-  *  - q164-q169 spectral estimation + sequential analytics
+  *  - q164-q174 spectral estimation + sequential analytics
   *             (queries/Advanced.scala): Welch averaged-periodogram PSD
   *             (q164), cross-channel lag correlation (q165), exponentially
   *             time-decayed engagement scores (q166), bounded-hop weighted
   *             shortest paths (q167), CUSUM mean-shift drift detection
-  *             (q168), small-file compaction planning (q169)
+  *             (q168), small-file compaction planning (q169), trending
+  *             minute-window z-scores (q170), Welch magnitude-squared
+  *             coherence (q171), corpus-half Jensen-Shannon vocabulary
+  *             drift (q172), per-minute event-type Pearson correlation
+  *             matrix (q173), streaming fixed-anchor decayed engagement
+  *             (q174, in StreamingQueries)
   */
 object SparkEntry {
 

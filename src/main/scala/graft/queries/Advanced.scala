@@ -285,5 +285,264 @@ object Advanced {
              |  count(*) AS n_docs, sum(n_chars) AS bytes,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM c GROUP BY source, file_id
-             |ORDER BY source, file_id""".stripMargin)))
+             |ORDER BY source, file_id""".stripMargin)),
+
+    QueryDef("q170_trending_windows",
+      "trending minute windows: count z-score vs the trailing 10 observed windows",
+      // the ops-dashboard burst detector. Trailing mean/std come from EXACT
+      // integer window sums (s, s2 over a 10-ROW frame), folded into
+      // z = (10c - s)/sqrt(10*s2 - s^2) — one sqrt + one divide, identical
+      // IEEE ops both engines. Windows are per-type ordered scans (the
+      // rolling-feature shape, parallelism = types); zero-count minutes are
+      // not materialized — the spec is "trailing observed windows", the
+      // gap-filled variant is q118's operator composed upstream.
+      (s, dir) => {
+        val c = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ts AS BIGINT) div 60000000000").as("minute"))
+          .groupBy("event_type", "minute").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("minute").rowsBetween(-10, -1)
+        c.withColumn("n_prev", count(lit(1)).over(w))
+          .withColumn("s", sum("c").over(w))
+          .withColumn("s2", sum(col("c") * col("c")).over(w))
+          .filter(col("n_prev") === 10)
+          .withColumn("varnum", lit(10) * col("s2") - col("s") * col("s"))
+          .select(col("event_type"), col("minute"), col("c"),
+            when(col("varnum") > 0,
+              round((lit(10) * col("c") - col("s")).cast("double") /
+                sqrt(col("varnum").cast("double")), 6)).as("z"))
+          .orderBy("event_type", "minute")
+      },
+      Some("""|WITH m AS (
+             |  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
+             |    count(*) AS c
+             |  FROM events GROUP BY event_type, minute
+             |), r AS (
+             |  SELECT event_type, minute, c,
+             |    count(*) OVER w AS n_prev,
+             |    sum(c) OVER w AS s,
+             |    sum(c * c) OVER w AS s2
+             |  FROM m
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY minute
+             |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+             |)
+             |SELECT event_type, minute, c,
+             |  CASE WHEN 10 * s2 - s * s > 0
+             |       THEN round(CAST(10 * c - s AS DOUBLE)
+             |                  / sqrt(CAST(10 * s2 - s * s AS DOUBLE)), 6)
+             |  END AS z
+             |FROM r WHERE n_prev = 10
+             |ORDER BY event_type, minute""".stripMargin)),
+
+    QueryDef("q171_coherence",
+      "magnitude-squared coherence per channel pair (Welch cross-spectral estimate)",
+      // the functional-connectivity matrix: per pair, Welch auto/cross
+      // spectra accumulated over Hamming-tapered frames, coherence =
+      // |Pxy|^2/(Pxx*Pyy) in [0,1]. Same 28-row trace-pair self-join as
+      // q165 — no per-sample shuffle, pair rows bounded by the segment
+      // windowing contract. The density scale factors cancel in the ratio,
+      // and the FFT-vs-direct-DFT drift is relative, so round(.,6) on a
+      // [0,1] value is bit-stable.
+      (s, dir) => {
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        val a = seg.select(col("channel").as("c1"), col("values").as("v1"))
+        val b = seg.select(col("channel").as("c2"), col("values").as("v2"))
+        val L = 64; val hop = 32
+        val cohUdf = udf { (v1s: Seq[Double], v2s: Seq[Double]) =>
+          val v1 = v1s.toArray; val v2 = v2s.toArray
+          val n = math.min(v1.length, v2.length)
+          if (n < L) Seq.empty[(Int, Double)]
+          else {
+            val w = Array.tabulate(L)(i => 0.54 - 0.46 * math.cos(2.0 * math.Pi * i / (L - 1)))
+            val nseg = (n - L) / hop + 1
+            val m = L / 2 + 1
+            val pxx = new Array[Double](m); val pyy = new Array[Double](m)
+            val pxyRe = new Array[Double](m); val pxyIm = new Array[Double](m)
+            var sgi = 0
+            while (sgi < nseg) {
+              val y1 = new Array[Double](L); val y2 = new Array[Double](L)
+              var i = 0
+              while (i < L) {
+                y1(i) = v1(sgi * hop + i) * w(i)
+                y2(i) = v2(sgi * hop + i) * w(i)
+                i += 1
+              }
+              val s1 = graft.dsp.Fft.rfft(y1); val s2 = graft.dsp.Fft.rfft(y2)
+              var k = 0
+              while (k < m) {
+                val re1 = s1(2 * k); val im1 = s1(2 * k + 1)
+                val re2 = s2(2 * k); val im2 = s2(2 * k + 1)
+                pxx(k) += re1 * re1 + im1 * im1
+                pyy(k) += re2 * re2 + im2 * im2
+                pxyRe(k) += re1 * re2 + im1 * im2
+                pxyIm(k) += im1 * re2 - re1 * im2
+                k += 1
+              }
+              sgi += 1
+            }
+            (0 until m).map { k =>
+              k -> (pxyRe(k) * pxyRe(k) + pxyIm(k) * pxyIm(k)) / (pxx(k) * pyy(k))
+            }
+          }
+        }
+        a.crossJoin(b).filter(col("c1") < col("c2"))
+          .select(col("c1"), col("c2"), explode(cohUdf(col("v1"), col("v2"))).as("kc"))
+          .select(col("c1"), col("c2"), col("kc._1").as("k"),
+            round(col("kc._1") * lit(1000.0) / lit(64.0), 6).as("freq"),
+            round(col("kc._2"), 6).as("coherence"))
+          .orderBy("c1", "c2", "k")
+      },
+      Some(s"""|WITH ${QueryDef.EventsRectSql.stripPrefix("WITH ")},
+              |nseg AS (SELECT (n - 64) // 32 + 1 AS s FROM minlen),
+              |win AS (
+              |  SELECT i, 0.54 - 0.46 * cos(2 * pi() * i / 63.0) AS w
+              |  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+              |), segs AS (SELECT unnest(generate_series(0, s - 1)) AS seg FROM nseg),
+              |y AS (
+              |  SELECT r.channel, sg.seg, w.i, r.value * w.w AS y
+              |  FROM segs sg CROSS JOIN win w
+              |  JOIN rect r ON r.t_idx = sg.seg * 32 + w.i
+              |), bins AS (SELECT unnest(generate_series(0, 32)) AS k),
+              |spec AS (
+              |  SELECT y.channel, y.seg, b.k,
+              |         sum(y.y * cos(2 * pi() * b.k * y.i / 64.0)) AS re,
+              |         sum(y.y * sin(2 * pi() * b.k * y.i / 64.0)) AS im
+              |  FROM y CROSS JOIN bins b
+              |  GROUP BY y.channel, y.seg, b.k
+              |), pair AS (
+              |  SELECT a.channel AS c1, b.channel AS c2, a.k,
+              |    sum(a.re * a.re + a.im * a.im) AS pxx,
+              |    sum(b.re * b.re + b.im * b.im) AS pyy,
+              |    sum(a.re * b.re + a.im * b.im) AS pxy_re,
+              |    sum(a.im * b.re - a.re * b.im) AS pxy_im
+              |  FROM spec a
+              |  JOIN spec b ON b.seg = a.seg AND b.k = a.k AND b.channel > a.channel
+              |  GROUP BY a.channel, b.channel, a.k
+              |)
+              |SELECT c1, c2, CAST(k AS INT) AS k,
+              |  round(k * 1000.0 / 64.0, 6) AS freq,
+              |  round((pxy_re * pxy_re + pxy_im * pxy_im) / (pxx * pyy), 6)
+              |    AS coherence
+              |FROM pair ORDER BY c1, c2, k""".stripMargin)),
+
+    QueryDef("q172_vocab_drift",
+      "corpus drift: per-word Jensen-Shannon divergence between corpus halves",
+      // the training-data distribution monitor: unigram distributions of the
+      // doc_id-even vs doc_id-odd halves, per-word JS contribution
+      // 0.5(p ln(p/m) + q ln(q/m)). p, q, m are ratios of exact integers —
+      // identical doubles in both engines — so each row is one independent
+      // double chain (no cross-row float summation; the corpus-level total
+      // sums the ROUNDED micro contributions as exact integers). One token
+      // scan, vocabulary-keyed shuffle, top-50 by rounded contribution.
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .withColumn("half", (col("doc_id") % 2).cast("int"))
+        val counts = words.groupBy("word")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+        val totals = words.groupBy()
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+        val contrib = counts.join(broadcast(totals))
+          .withColumn("p", col("c0").cast("double") / col("n0"))
+          .withColumn("q", col("c1").cast("double") / col("n1"))
+          .withColumn("m", (col("p") + col("q")) / 2.0)
+          .withColumn("js",
+            (when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(0.0) +
+             when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(0.0)) / 2.0)
+          .withColumn("js_r", round(col("js"), 9))
+        val total = contrib.agg(
+          sum(round(col("js") * 1e6, 0).cast("long")).as("total_js_micro"))
+        contrib.join(broadcast(total))
+          .select(col("word"), col("c0"), col("c1"), col("js_r"),
+            col("total_js_micro"))
+          .orderBy(col("js_r").desc, col("word")).limit(50)
+      },
+      Some("""|WITH w AS (
+             |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS word
+             |  FROM documents
+             |), counts AS (
+             |  SELECT word,
+             |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+             |  FROM w GROUP BY word
+             |), totals AS (
+             |  SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+             |  FROM w
+             |), contrib AS (
+             |  SELECT word, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+             |    (CASE WHEN c0 > 0 THEN (c0 / n0) * ln((c0 / n0) /
+             |       ((c0 / n0 + c1 / n1) / 2.0)) ELSE 0.0 END +
+             |     CASE WHEN c1 > 0 THEN (c1 / n1) * ln((c1 / n1) /
+             |       ((c0 / n0 + c1 / n1) / 2.0)) ELSE 0.0 END) / 2.0 AS js
+             |  FROM counts CROSS JOIN totals
+             |), tot AS (
+             |  SELECT CAST(sum(CAST(round(js * 1e6, 0) AS BIGINT)) AS BIGINT)
+             |    AS total_js_micro FROM contrib
+             |)
+             |SELECT word, c0, c1, round(js, 9) AS js_r, total_js_micro
+             |FROM contrib CROSS JOIN tot
+             |ORDER BY round(js, 9) DESC, word LIMIT 50""".stripMargin)),
+
+    QueryDef("q173_type_correlation",
+      "pairwise Pearson correlation of per-minute event-type activity",
+      // cross-stream co-movement on the minute grid. The trick that avoids
+      // gap-filling 43k minutes: zero-count minutes contribute nothing to
+      // any sum, so per-type (sx, sxx) come from observed rows only and n
+      // is the global grid span — exact integers throughout, one double
+      // chain per pair. Pair space = |types|^2 rows of AGGREGATES (a
+      // broadcast self-join of a 5-row frame), never row-level.
+      (s, dir) => {
+        val m = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(ts AS BIGINT) div 60000000000").as("minute"))
+          .groupBy("event_type", "minute").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // feeds three subtrees (span, sums, pair join)
+        val span = m.agg((max("minute") - min("minute") + 1).as("n"))
+        val sums = m.groupBy("event_type")
+          .agg(sum("c").as("sx"), sum(col("c") * col("c")).as("sxx"))
+        val xy = m.select(col("event_type").as("t1"), col("minute"), col("c").as("cx"))
+          .join(m.select(col("event_type").as("t2"), col("minute"), col("c").as("cy")),
+            "minute")
+          .filter(col("t1") < col("t2"))
+          .groupBy("t1", "t2").agg(sum(col("cx") * col("cy")).as("sxy"))
+        xy.join(broadcast(sums.select(col("event_type").as("t1"),
+            col("sx").as("sx1"), col("sxx").as("sxx1"))), "t1")
+          .join(broadcast(sums.select(col("event_type").as("t2"),
+            col("sx").as("sx2"), col("sxx").as("sxx2"))), "t2")
+          .join(broadcast(span))
+          .select(col("t1"), col("t2"),
+            round((col("n") * col("sxy") - col("sx1") * col("sx2")).cast("double") /
+              sqrt((col("n") * col("sxx1") - col("sx1") * col("sx1")).cast("double") *
+                   (col("n") * col("sxx2") - col("sx2") * col("sx2")).cast("double")), 6)
+              .as("pearson_r"))
+          .orderBy("t1", "t2")
+      },
+      Some("""|WITH m AS (
+             |  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
+             |    count(*) AS c
+             |  FROM events GROUP BY event_type, minute
+             |), span AS (SELECT max(minute) - min(minute) + 1 AS n FROM m),
+             |sums AS (
+             |  SELECT event_type, sum(c) AS sx, sum(c * c) AS sxx
+             |  FROM m GROUP BY event_type
+             |), xy AS (
+             |  SELECT a.event_type AS t1, b.event_type AS t2,
+             |    sum(a.c * b.c) AS sxy
+             |  FROM m a JOIN m b ON b.minute = a.minute
+             |    AND b.event_type > a.event_type
+             |  GROUP BY t1, t2
+             |)
+             |SELECT xy.t1, xy.t2,
+             |  round(CAST(span.n * xy.sxy - s1.sx * s2.sx AS DOUBLE) /
+             |    sqrt(CAST(span.n * s1.sxx - s1.sx * s1.sx AS DOUBLE) *
+             |         CAST(span.n * s2.sxx - s2.sx * s2.sx AS DOUBLE)), 6)
+             |    AS pearson_r
+             |FROM xy
+             |JOIN sums s1 ON s1.event_type = xy.t1
+             |JOIN sums s2 ON s2.event_type = xy.t2
+             |CROSS JOIN span
+             |ORDER BY t1, t2""".stripMargin)))
 }

@@ -765,6 +765,56 @@ GROUP BY 1 ORDER BY channel"""
       |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli
       |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Streaming twin of q166's decayed engagement, anchored at a FIXED epoch
+    * (2024-02-01T00:00Z) instead of q166's data-dependent max-ts anchor:
+    * anchoring makes each event's dyadic 2^40-grid weight a pure function of
+    * the event, so the decayed sum is a commutative monoid and a plain
+    * running aggregation in Update mode equals the batch aggregate under ANY
+    * micro-batch slicing — the streaming-safe form of time-decay (the max-ts
+    * variant cannot stream exactly: its anchor isn't known until the stream
+    * ends). DECIMAL(38,0) state, count is monotone so the last update per
+    * user is max(struct(n_events, wsum)). */
+  private def q174Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val anchorNs = 1706745600000000000L // 2024-02-01T00:00:00Z
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q174_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .select(col("user_id"), col("ts").cast("long").as("tns"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("wexp", lit(40L) -
+          least(expr(s"(${anchorNs}L - tns) div 86400000000000"), lit(40L)))
+        .withColumn("term", col("vm").cast("decimal(38,0)") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(wexp AS INT))").cast("decimal(38,0)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("term").cast("decimal(38,0)").as("wsum")),
+      outputMode = OutputMode.Update)
+    updates.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("wsum"))).as("_last"))
+      .select(col("user_id"), col("_last.n_events").as("n_events"),
+        round(col("_last.wsum").cast("double") / lit(1.099511627776e12) / lit(1000.0), 6)
+          .as("decayed_score"))
+      .orderBy("user_id")
+  }
+
+  private def q174Oracle: String =
+    """|WITH b AS (
+       |  SELECT user_id, epoch_ns(ts) AS tns,
+       |    CAST(floor(value * 1000) AS BIGINT) AS vm
+       |  FROM events
+       |), t AS (
+       |  SELECT user_id, CAST(vm AS HUGEINT) *
+       |    CAST(power(2, 40 - LEAST((1706745600000000000 - tns)
+       |         // 86400000000000, 40)) AS HUGEINT) AS term
+       |  FROM b
+       |)
+       |SELECT user_id, count(*) AS n_events,
+       |  round(CAST(sum(term) AS DOUBLE) / 1099511627776.0 / 1000.0, 6)
+       |    AS decayed_score
+       |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Streaming twin of q123's CDC compaction: the same
     * `max(struct(version, payload))` running as streaming state in Update
     * mode — the latest-state store a log-structured ingest maintains
@@ -921,5 +971,10 @@ GROUP BY 1 ORDER BY channel"""
     QueryDef("q153_streaming_ohlc",
       "streaming OHLC bars: running min/max(struct) argmin/argmax state " +
         "in Update mode == batch bars (q147's oracle verbatim)",
-      q153Build, Some(q153Oracle)))
+      q153Build, Some(q153Oracle)),
+    QueryDef("q174_streaming_decayed",
+      "streaming time-decayed engagement: fixed-anchor dyadic weights make " +
+        "the decayed sum a commutative monoid — running Update-mode " +
+        "aggregation == batch under any micro-batch slicing",
+      q174Build, Some(q174Oracle)))
 }
