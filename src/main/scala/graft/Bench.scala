@@ -70,7 +70,9 @@ object Bench {
     "q164_welch_psd", "q165_lag_xcorr", "q166_decayed_engagement",
     "q167_sssp_reach", "q168_cusum_drift", "q169_compaction_plan",
     "q170_trending_windows", "q171_coherence", "q172_vocab_drift",
-    "q173_type_correlation", "q174_streaming_decayed")
+    "q173_type_correlation", "q174_streaming_decayed",
+    "q175_itemset_triples", "q176_global_revenue_rank",
+    "q177_fd_violations", "q178_k_anonymity", "q179_readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -104,7 +104,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             coherence (q171), corpus-half Jensen-Shannon vocabulary
   *             drift (q172), per-minute event-type Pearson correlation
   *             matrix (q173), streaming fixed-anchor decayed engagement
-  *             (q174, in StreamingQueries)
+  *             (q174, in StreamingQueries), frequent 3-itemsets (q175),
+  *             bucketed two-level global revenue ranking (q176),
+  *             functional-dependency mining (q177), k-anonymity risk
+  *             census (q178), syllable-based readability profile (q179)
   */
 object SparkEntry {
 

@@ -544,5 +544,216 @@ object Advanced {
              |JOIN sums s1 ON s1.event_type = xy.t1
              |JOIN sums s2 ON s2.event_type = xy.t2
              |CROSS JOIN span
-             |ORDER BY t1, t2""".stripMargin)))
+             |ORDER BY t1, t2""".stripMargin)),
+
+    QueryDef("q175_itemset_triples",
+      "top-50 frequent 3-itemsets by basket support (in-row combination generation)",
+      // the Apriori tier above q133's pairs. Triples are generated INSIDE
+      // each basket row from its sorted distinct-item set — single-digit
+      // TPC-H baskets bound the C(n,3) blow-up, so the only corpus-sized
+      // exchanges are the basket shuffle and the triple-count aggregation
+      // (itemset-keyed, map-side combined). Never a 3-way self-join.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val triples = udf { (items: Seq[Long]) =>
+          val a = items.sorted.toArray
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) {
+              var k = j + 1
+              while (k < a.length) { out += ((a(i), a(j), a(k))); k += 1 }
+              j += 1
+            }
+            i += 1
+          }
+          out.toSeq
+        }
+        li.groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey").cast("long")).as("items"))
+          .select(explode(triples(col("items"))).as("t"))
+          .select(col("t._1").as("a"), col("t._2").as("b"), col("t._3").as("c"))
+          .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+          .limit(50)
+      },
+      Some("""|WITH it AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             |), t AS (
+             |  SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c
+             |  FROM it x
+             |  JOIN it y ON y.l_orderkey = x.l_orderkey AND y.l_partkey > x.l_partkey
+             |  JOIN it z ON z.l_orderkey = x.l_orderkey AND z.l_partkey > y.l_partkey
+             |)
+             |SELECT a, b, c, count(*) AS support
+             |FROM t GROUP BY a, b, c
+             |ORDER BY support DESC, a, b, c LIMIT 50""".stripMargin)),
+
+    QueryDef("q176_global_revenue_rank",
+      "global dense revenue ranking WITHOUT a single-partition window (bucketed two-level rank)",
+      // the scale showcase: a global ORDER BY rank normally funnels every
+      // row through ONE window task. Here rows are bucketed by a coarse
+      // monotone prefix of the ordering ($10k revenue bands), ranked inside
+      // each bucket in parallel, and offset by the running count of earlier
+      // buckets (a window over the TINY per-bucket-count aggregate) — the
+      // denseIndexByKey idiom applied with an empty key, so parallelism =
+      // buckets instead of 1. Revenue is exact integer cents (identical
+      // IEEE product both engines, then integer sums).
+      (s, dir) => {
+        val rev = table(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+              .as("cents"))
+          .groupBy("l_orderkey").agg(sum("cents").as("rev_cents"))
+        Frames.denseIndexByKey(rev, keyCols = Seq.empty,
+            bucketCol = expr("-(rev_cents div 1000000)"),
+            orderCols = Seq(col("rev_cents").desc, col("l_orderkey")),
+            as = "rank")
+          .select(col("l_orderkey"), col("rev_cents"), col("rank"))
+          .orderBy("rank")
+      },
+      Some("""|WITH rev AS (
+             |  SELECT l_orderkey,
+             |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |        AS BIGINT)) AS rev_cents
+             |  FROM lineitem GROUP BY l_orderkey
+             |)
+             |SELECT l_orderkey, rev_cents,
+             |  row_number() OVER (ORDER BY rev_cents DESC, l_orderkey) - 1 AS rank
+             |FROM rev ORDER BY rank""".stripMargin)),
+
+    QueryDef("q177_fd_violations",
+      "functional-dependency mining: violation census for candidate column dependencies",
+      // the schema-inference profiler: for each candidate LHS -> RHS, one
+      // grouped distinct-count per LHS key, rolled up to a 1-row census per
+      // dependency (holds iff no key maps to 2+ RHS values). Each check is
+      // a key-shuffled two-level aggregate; candidates union into one
+      // bounded report.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val p = table(s, dir, "part")
+        def check(df: org.apache.spark.sql.DataFrame, name: String,
+                  lhs: String, rhs: String) =
+          df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+            .agg(lit(name).as("fd"), count(lit(1)).as("n_keys"),
+              count(when(col("nd") > 1, 1)).as("n_violating_keys"),
+              max("nd").as("max_rhs_per_key"))
+        check(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey")
+          .unionAll(check(li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+          .unionAll(check(o, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+          .unionAll(check(o, "o_orderkey->o_custkey", "o_orderkey", "o_custkey"))
+          .unionAll(check(p, "p_brand->p_size", "p_brand", "p_size"))
+          .withColumn("holds", col("n_violating_keys") === 0)
+          .orderBy("fd")
+      },
+      Some("""|WITH checks AS (
+             |  SELECT 'l_partkey->l_suppkey' AS fd, count(*) AS n_keys,
+             |    count(*) FILTER (WHERE nd > 1) AS n_violating_keys,
+             |    max(nd) AS max_rhs_per_key
+             |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+             |        FROM lineitem GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'l_orderkey->l_returnflag', count(*),
+             |    count(*) FILTER (WHERE nd > 1), max(nd)
+             |  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+             |        FROM lineitem GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'o_custkey->o_orderpriority', count(*),
+             |    count(*) FILTER (WHERE nd > 1), max(nd)
+             |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+             |        FROM orders GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'o_orderkey->o_custkey', count(*),
+             |    count(*) FILTER (WHERE nd > 1), max(nd)
+             |  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+             |        FROM orders GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'p_brand->p_size', count(*),
+             |    count(*) FILTER (WHERE nd > 1), max(nd)
+             |  FROM (SELECT p_brand, count(DISTINCT p_size) AS nd
+             |        FROM part GROUP BY 1)
+             |)
+             |SELECT fd, n_keys, n_violating_keys, max_rhs_per_key,
+             |  n_violating_keys = 0 AS holds
+             |FROM checks ORDER BY fd""".stripMargin)),
+
+    QueryDef("q178_k_anonymity",
+      "k-anonymity risk census over quasi-identifiers (class-size histogram)",
+      // the privacy audit a training-data release needs: equivalence
+      // classes of (coarse user bucket, event type, hour-of-day), bucketed
+      // into a fixed class-size histogram with at-risk (size < 5) counts.
+      // Two-level aggregation: QI-keyed classes collapse map-side, the
+      // histogram is |buckets| rows.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(
+          expr("user_id div 10").as("user_bucket"),
+          col("event_type"),
+          expr("(CAST(ts AS BIGINT) div 3600000000000) % 24").as("hour_of_day"))
+        val classes = e.groupBy("user_bucket", "event_type", "hour_of_day")
+          .agg(count(lit(1)).as("sz"))
+        classes
+          .withColumn("size_bucket",
+            when(col("sz") === 1, "1").when(col("sz") <= 4, "2-4")
+              .when(col("sz") <= 9, "5-9").otherwise("10+"))
+          .groupBy("size_bucket")
+          .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"),
+            min("sz").as("min_size"), max("sz").as("max_size"),
+            count(when(col("sz") < 5, 1)).as("n_classes_below_k"),
+            sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("n_rows_at_risk"))
+          .orderBy("size_bucket")
+      },
+      Some("""|WITH c AS (
+             |  SELECT user_id // 10 AS user_bucket, event_type,
+             |    (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+             |    count(*) AS sz
+             |  FROM events GROUP BY 1, 2, 3
+             |), b AS (
+             |  SELECT sz, CASE WHEN sz = 1 THEN '1' WHEN sz <= 4 THEN '2-4'
+             |    WHEN sz <= 9 THEN '5-9' ELSE '10+' END AS size_bucket
+             |  FROM c
+             |)
+             |SELECT size_bucket, count(*) AS n_classes, sum(sz) AS n_rows,
+             |  min(sz) AS min_size, max(sz) AS max_size,
+             |  count(*) FILTER (WHERE sz < 5) AS n_classes_below_k,
+             |  coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS n_rows_at_risk
+             |FROM b GROUP BY size_bucket ORDER BY size_bucket""".stripMargin)),
+
+    QueryDef("q179_readability",
+      "per-document readability profile (vowel-group syllable counting, no UDF)",
+      // text-quality scoring beyond q48: syllables approximated as vowel
+      // groups via the codegen'd regexp_extract_all expression — the whole
+      // chain (split, explode, regexp, aggregate) stays inside whole-stage
+      // codegen. Ratios are one double chain over exact integer counts.
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .withColumn("syll", expr("size(regexp_extract_all(word, '[aeiouy]+', 0))"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum("syll").as("n_syllables"),
+            count(when(col("syll") >= 3, 1)).as("n_poly"))
+          .select(col("doc_id"), col("n_words"), col("n_syllables"), col("n_poly"),
+            round(col("n_syllables").cast("double") / col("n_words"), 6)
+              .as("avg_syllables"),
+            round(lit(100.0) * col("n_poly") / col("n_words"), 6).as("pct_poly"))
+          .orderBy("doc_id")
+      },
+      Some("""|WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents
+             |), sy AS (
+             |  SELECT doc_id, len(regexp_extract_all(word, '[aeiouy]+')) AS syll
+             |  FROM w
+             |), agg AS (
+             |  SELECT doc_id, count(*) AS n_words, sum(syll) AS n_syllables,
+             |    count(*) FILTER (WHERE syll >= 3) AS n_poly
+             |  FROM sy GROUP BY doc_id
+             |)
+             |SELECT doc_id, n_words, CAST(n_syllables AS BIGINT) AS n_syllables,
+             |  n_poly,
+             |  round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS avg_syllables,
+             |  round(100.0 * n_poly / n_words, 6) AS pct_poly
+             |FROM agg ORDER BY doc_id""".stripMargin)))
 }
