@@ -72,7 +72,9 @@ object Bench {
     "q170_trending_windows", "q171_coherence", "q172_vocab_drift",
     "q173_type_correlation", "q174_streaming_decayed",
     "q175_itemset_triples", "q176_global_revenue_rank",
-    "q177_fd_violations", "q178_k_anonymity", "q179_readability")
+    "q177_fd_violations", "q178_k_anonymity", "q179_readability",
+    "q180_quantile_normalize", "q181_churn_census", "q182_ab_test",
+    "q183_image_tiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

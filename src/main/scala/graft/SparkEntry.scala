@@ -107,7 +107,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q174, in StreamingQueries), frequent 3-itemsets (q175),
   *             bucketed two-level global revenue ranking (q176),
   *             functional-dependency mining (q177), k-anonymity risk
-  *             census (q178), syllable-based readability profile (q179)
+  *             census (q178), syllable-based readability profile (q179),
+  *             quantile normalization (q180), cohort churn census (q181),
+  *             two-proportion A/B z-test (q182), real-decode image tile
+  *             sums (q183)
   */
 object SparkEntry {
 

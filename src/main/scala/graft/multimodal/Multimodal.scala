@@ -74,6 +74,79 @@ object Multimodal {
     bytes.toByteArray
   }
 
+  /** Deterministic synthetic GRADIENT PNG fixture: 8-bit grayscale with
+    * pixel(x, y) = (x*ax + y*by + c) mod 256 where ax/by/c and the
+    * dimensions are closed-form in `id` — unlike [[syntheticPng]]'s solid
+    * fill, every pixel differs, so tile-level sums pin the decoder's full
+    * raster readback, not just a constant. PNG grayscale is lossless; the
+    * JDK writer emits no timestamp chunks, so the round trip is exact. */
+  def syntheticGradientPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 6 + (id % 5).toInt
+    val ax = 1 + (id % 5).toInt
+    val by = 1 + (id % 3).toInt
+    val c = (id % 256).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, (x * ax + y * by + c) % 256); x += 1 }
+      y += 1
+    }
+    val bytes = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bytes)
+    bytes.toByteArray
+  }
+
+  /** Per-tile integer pixel sums of band 0: decode, cut the raster into
+    * `tileW` x `tileH` tiles (edge tiles ragged), and emit one row per tile
+    * with its pixel count and EXACT integer luminance sum — the thumbnail-
+    * grid feature a vision-data pipeline computes per image. Narrow per-row
+    * map + posexplode; rows with undecodable payloads emit nothing. */
+  def tileStats(media: DataFrame, tileW: Int, tileH: Int): DataFrame = {
+    require(tileW >= 1 && tileH >= 1)
+    val f = udf { (payload: Array[Byte]) =>
+      val in =
+        if (payload == null || payload.isEmpty) None
+        else try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      in.map { bi =>
+        val raster = bi.getRaster
+        val (w, h) = (bi.getWidth, bi.getHeight)
+        val tx = (w + tileW - 1) / tileW
+        val ty = (h + tileH - 1) / tileH
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+        var j = 0
+        while (j < ty) {
+          var i = 0
+          while (i < tx) {
+            var sum = 0L
+            var n = 0L
+            var y = j * tileH
+            while (y < math.min((j + 1) * tileH, h)) {
+              var x = i * tileW
+              while (x < math.min((i + 1) * tileW, w)) {
+                sum += raster.getSample(x, y, 0)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            out += ((i, j, n, sum))
+            i += 1
+          }
+          j += 1
+        }
+        out.toSeq
+      }.getOrElse(Seq.empty)
+    }
+    media
+      .select(col("media_id"), explode(f(col("payload"))).as("t"))
+      .select(col("media_id"), col("t._1").as("tile_x"), col("t._2").as("tile_y"),
+        col("t._3").as("n_px"), col("t._4").as("sum_lum"))
+  }
+
   /** One decoded image: dimensions plus per-channel mean/std (population),
     * channels in raster band order (e.g. R,G,B[,A]). */
   final case class DecodedImage(width: Int, height: Int, bands: Int,

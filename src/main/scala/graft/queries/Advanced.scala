@@ -755,5 +755,168 @@ object Advanced {
              |  n_poly,
              |  round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS avg_syllables,
              |  round(100.0 * n_poly / n_words, 6) AS pct_poly
-             |FROM agg ORDER BY doc_id""".stripMargin)))
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q180_quantile_normalize",
+      "quantile-transform a value column to [0,1] (bucketed two-level global rank)",
+      // the rank-gaussianization feature preprocessor, minus the gaussian:
+      // value -> rank/(n-1). Global ranking via the same bucketed two-level
+      // scheme as q176 (coarse milli-value bands ranked in parallel +
+      // running bucket offsets) — never a single-partition window over the
+      // fact table. Ties break by event_id (row-rank semantics, documented;
+      // average-rank ties are a different estimator).
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        val n = e.agg(count(lit(1)).as("n"))
+        Frames.denseIndexByKey(e, keyCols = Seq.empty,
+            bucketCol = expr("vm div 10000"),
+            orderCols = Seq(col("vm"), col("event_id")), as = "rk")
+          .join(broadcast(n))
+          .select(col("event_id"), col("vm"),
+            round(col("rk").cast("double") / (col("n") - 1), 6).as("quantile"))
+          .orderBy("event_id")
+      },
+      Some("""|WITH e AS (
+             |  SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), n AS (SELECT count(*) AS n FROM e)
+             |SELECT event_id, vm,
+             |  round(CAST(row_number() OVER (ORDER BY vm, event_id) - 1 AS DOUBLE)
+             |    / (n.n - 1), 6) AS quantile
+             |FROM e CROSS JOIN n
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q181_churn_census",
+      "cohort churn census: per first-seen week, users inactive in the trailing 7 days",
+      // product-analytics churn: per-user (first, last) activity bounds —
+      // one user-keyed map-side-combined aggregate — rolled up by absolute
+      // first-seen week against the global max timestamp. All integer
+      // nanos; one rounded ratio per cohort row.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("long").as("tns"))
+        val gmax = e.agg(max("tns").as("gmax"))
+        e.groupBy("user_id")
+          .agg(min("tns").as("first_tns"), max("tns").as("last_tns"))
+          .join(broadcast(gmax))
+          .withColumn("cohort_week", expr("first_tns div 604800000000000"))
+          .withColumn("churned",
+            (col("gmax") - col("last_tns")) > lit(7L * 86400000000000L))
+          .groupBy("cohort_week")
+          .agg(count(lit(1)).as("n_users"),
+            count(when(col("churned"), 1)).as("n_churned"))
+          .select(col("cohort_week"), col("n_users"), col("n_churned"),
+            round(col("n_churned").cast("double") / col("n_users"), 6)
+              .as("churn_rate"))
+          .orderBy("cohort_week")
+      },
+      Some("""|WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns FROM events
+             |), g AS (SELECT max(tns) AS gmax FROM e),
+             |per AS (
+             |  SELECT user_id, min(tns) AS first_tns, max(tns) AS last_tns
+             |  FROM e GROUP BY user_id
+             |), f AS (
+             |  SELECT first_tns // 604800000000000 AS cohort_week,
+             |    (g.gmax - last_tns) > 604800000000000 AS churned
+             |  FROM per CROSS JOIN g
+             |)
+             |SELECT cohort_week, count(*) AS n_users,
+             |  count(*) FILTER (WHERE churned) AS n_churned,
+             |  round(CAST(count(*) FILTER (WHERE churned) AS DOUBLE)
+             |    / count(*), 6) AS churn_rate
+             |FROM f GROUP BY cohort_week ORDER BY cohort_week""".stripMargin)),
+
+    QueryDef("q182_ab_test",
+      "two-proportion z-test: purchase conversion lift between user-parity variants",
+      // the experimentation readout: per-user conversion flags collapse
+      // map-side to 2 variant rows, the z statistic is one double chain
+      // over 4 exact integers (identical op order both engines). The
+      // variant pivot is a 2-row broadcast self-join.
+      (s, dir) => {
+        val per = table(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase" && col("value") > 480, 1L)
+              .otherwise(0L).as("p"))
+          .groupBy("user_id").agg(max("p").as("conv"))
+          .withColumn("variant", pmod(col("user_id"), lit(2)))
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        val a = per.filter(col("variant") === 0)
+          .select(col("n").as("n_a"), col("c").as("conv_a"))
+        val b = per.filter(col("variant") === 1)
+          .select(col("n").as("n_b"), col("c").as("conv_b"))
+        // z guarded against the degenerate all/none-converted pool (pooled
+        // variance 0): both engines share the same CASE, not cast semantics
+        a.join(b)
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            expr("round(CAST(conv_a AS DOUBLE) / n_a, 6)").as("rate_a"),
+            expr("round(CAST(conv_b AS DOUBLE) / n_b, 6)").as("rate_b"),
+            expr("""CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                 THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b)), 6) END""").as("z"))
+      },
+      Some("""|WITH per AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 480
+             |        THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY user_id
+             |), v AS (
+             |  SELECT user_id % 2 AS variant, count(*) AS n,
+             |    CAST(sum(conv) AS BIGINT) AS c
+             |  FROM per GROUP BY 1
+             |)
+             |SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+             |  round(CAST(a.c AS DOUBLE) / a.n, 6) AS rate_a,
+             |  round(CAST(b.c AS DOUBLE) / b.n, 6) AS rate_b,
+             |  CASE WHEN a.c + b.c > 0 AND a.c + b.c < a.n + b.n
+             |  THEN round((CAST(a.c AS DOUBLE) / a.n - CAST(b.c AS DOUBLE) / b.n)
+             |    / sqrt((CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+             |      * (1 - CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+             |      * (1.0 / a.n + 1.0 / b.n)), 6) END AS z
+             |FROM (SELECT n, c FROM v WHERE variant = 0) a
+             |CROSS JOIN (SELECT n, c FROM v WHERE variant = 1) b""".stripMargin)),
+
+    QueryDef("q183_image_tiles",
+      "per-tile exact pixel sums over REAL-decoded gradient PNGs (thumbnail grid features)",
+      // multimodal beyond q50's solid fills: every pixel of the synthetic
+      // gradient differs, so the 4x4-tile integer sums pin the decoder's
+      // complete raster readback against the oracle's closed-form
+      // arithmetic. Decode is a narrow per-row map; payload bytes never
+      // cross a shuffle (pruned before the tile explode's aggregation).
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val png = udf { (id: Long) => Multimodal.syntheticGradientPng(id) }
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("media_id"),
+            lit("image").as("kind"),
+            png(col("doc_id").cast("long")).as("payload"),
+            lit(null).cast(Multimodal.MediaSchema("meta").dataType).as("meta"))
+        Multimodal.tileStats(media, 4, 4)
+          .select(col("media_id").as("doc_id"), col("tile_x"), col("tile_y"),
+            col("n_px"), col("sum_lum"))
+          .orderBy("doc_id", "tile_y", "tile_x")
+      },
+      Some("""|WITH d AS (
+             |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+             |    1 + doc_id % 5 AS ax, 1 + doc_id % 3 AS by, doc_id % 256 AS c
+             |  FROM documents
+             |), xs AS (
+             |  SELECT doc_id, h, ax, by, c,
+             |    unnest(generate_series(0, CAST(w - 1 AS INT))) AS x
+             |  FROM d
+             |), px AS (
+             |  SELECT doc_id, ax, by, c, x,
+             |    unnest(generate_series(0, CAST(h - 1 AS INT))) AS y
+             |  FROM xs
+             |)
+             |SELECT doc_id, CAST(x // 4 AS INT) AS tile_x,
+             |  CAST(y // 4 AS INT) AS tile_y,
+             |  count(*) AS n_px,
+             |  CAST(sum((x * ax + y * by + c) % 256) AS BIGINT) AS sum_lum
+             |FROM px GROUP BY doc_id, tile_x, tile_y
+             |ORDER BY doc_id, tile_y, tile_x""".stripMargin)))
 }
