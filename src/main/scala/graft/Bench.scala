@@ -74,7 +74,8 @@ object Bench {
     "q175_itemset_triples", "q176_global_revenue_rank",
     "q177_fd_violations", "q178_k_anonymity", "q179_readability",
     "q180_quantile_normalize", "q181_churn_census", "q182_ab_test",
-    "q183_image_tiles")
+    "q183_image_tiles", "q184_bootstrap_ci", "q185_column_entropy",
+    "q186_streaming_ab_test")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

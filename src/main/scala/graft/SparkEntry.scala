@@ -110,7 +110,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             census (q178), syllable-based readability profile (q179),
   *             quantile normalization (q180), cohort churn census (q181),
   *             two-proportion A/B z-test (q182), real-decode image tile
-  *             sums (q183)
+  *             sums (q183), deterministic bootstrap CIs (q184), column
+  *             entropy profile (q185), streaming A/B store (q186, in
+  *             StreamingQueries)
   */
 object SparkEntry {
 

@@ -918,5 +918,123 @@ object Advanced {
              |  count(*) AS n_px,
              |  CAST(sum((x * ax + y * by + c) % 256) AS BIGINT) AS sum_lum
              |FROM px GROUP BY doc_id, tile_x, tile_y
-             |ORDER BY doc_id, tile_y, tile_x""".stripMargin)))
+             |ORDER BY doc_id, tile_y, tile_x""".stripMargin)),
+
+    QueryDef("q184_bootstrap_ci",
+      "deterministic multiplicity-bootstrap confidence interval for per-type means",
+      // resampling without randomness: replicate b weights each event by
+      // md5('boot:'|event|b) mod 3 (mean-1 multiplicities — the Poisson-
+      // bootstrap shape with a fixed hash in place of an RNG, so any engine
+      // replays identical replicates; 'boot:' salt disjoint from the repo's
+      // other hash families). 100 replicates explode map-side and collapse
+      // to |types| x 100 aggregate rows before the only shuffle; the CI is
+      // an order statistic over each type's 100 ROUNDED replicate means.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("event_type"),
+          col("event_id"), floor(col("value") * 1000).cast("long").as("vm"))
+        val reps = e.select(col("event_type"), col("event_id"), col("vm"),
+            explode(sequence(lit(0), lit(99))).as("b"))
+          .withColumn("w",
+            conv(substring(md5(concat(lit("boot:"), col("event_id").cast("string"),
+              lit(":"), col("b").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 3)
+          .groupBy("event_type", "b")
+          .agg(sum(col("w") * col("vm")).as("ws"), sum("w").as("wn"))
+          .select(col("event_type"), col("b"),
+            round(col("ws").cast("double") / col("wn") / 1000.0, 6).as("m_r"))
+        val w = Window.partitionBy("event_type").orderBy("m_r", "b")
+        val ci = reps.withColumn("rn", row_number().over(w))
+          .groupBy("event_type")
+          .agg(min(when(col("rn") === 6, col("m_r"))).as("ci_lo"),
+            min(when(col("rn") === 95, col("m_r"))).as("ci_hi"))
+        val point = e.groupBy("event_type")
+          .agg(round(sum("vm").cast("double") / count(lit(1)) / 1000.0, 6)
+            .as("mean"))
+        point.join(ci, "event_type").orderBy("event_type")
+      },
+      Some("""|WITH e AS (
+             |  SELECT event_type, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), reps AS (
+             |  SELECT event_type, b.b,
+             |    round(CAST(sum(w * vm) AS DOUBLE) / sum(w) / 1000.0, 6) AS m_r
+             |  FROM e CROSS JOIN generate_series(0, 99) b(b)
+             |  CROSS JOIN LATERAL (SELECT CAST(('0x' ||
+             |    substr(md5('boot:' || event_id || ':' || b.b), 1, 15))
+             |    AS UBIGINT) % 3 AS w)
+             |  GROUP BY event_type, b.b
+             |), ranked AS (
+             |  SELECT event_type, m_r,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY m_r, b) AS rn
+             |  FROM reps
+             |), ci AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN rn = 6 THEN m_r END) AS ci_lo,
+             |    min(CASE WHEN rn = 95 THEN m_r END) AS ci_hi
+             |  FROM ranked GROUP BY event_type
+             |), pt AS (
+             |  SELECT event_type,
+             |    round(CAST(sum(vm) AS DOUBLE) / count(*) / 1000.0, 6) AS mean
+             |  FROM e GROUP BY event_type
+             |)
+             |SELECT pt.event_type, pt.mean, ci.ci_lo, ci.ci_hi
+             |FROM pt JOIN ci USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q185_column_entropy",
+      "Shannon entropy profile per column (exact integer micro-nat sums)",
+      // the data-profiling complement to q129: per column, category
+      // distribution entropy -sum(p ln p). Each category's contribution is
+      // ONE double chain over exact integers, rounded to micro-nats and
+      // summed as integers — deterministic under any aggregation order.
+      // Each check is a category-keyed two-level aggregate; the report is
+      // 4 rows.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        def entropy(cat: org.apache.spark.sql.Column, name: String) = {
+          val cnts = e.select(cat.as("cat")).groupBy("cat")
+            .agg(count(lit(1)).as("c"))
+          val tot = cnts.agg(sum("c").as("n"))
+          cnts.join(broadcast(tot))
+            .agg(lit(name).as("column_name"),
+              count(lit(1)).as("n_distinct"), max("n").as("n_rows"),
+              sum(expr("CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT)"))
+                .as("entropy_micro"))
+        }
+        entropy(col("event_type"), "event_type")
+          .unionAll(entropy(expr("user_id div 10"), "user_bucket"))
+          .unionAll(entropy(expr("(CAST(ts AS BIGINT) div 60000000000) % 60"),
+            "minute_of_hour"))
+          .unionAll(entropy(expr("CAST(floor(value * 1000) AS BIGINT) div 50000"),
+            "value_band"))
+          .orderBy("column_name")
+      },
+      Some("""|WITH checks AS (
+             |  SELECT 'event_type' AS column_name, count(*) AS n_distinct,
+             |    max(n) AS n_rows,
+             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT)) AS entropy_micro
+             |  FROM (SELECT c, sum(c) OVER () AS n FROM
+             |    (SELECT count(*) AS c FROM events GROUP BY event_type))
+             |  UNION ALL
+             |  SELECT 'user_bucket', count(*), max(n),
+             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT))
+             |  FROM (SELECT c, sum(c) OVER () AS n FROM
+             |    (SELECT count(*) AS c FROM events GROUP BY user_id // 10))
+             |  UNION ALL
+             |  SELECT 'minute_of_hour', count(*), max(n),
+             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT))
+             |  FROM (SELECT c, sum(c) OVER () AS n FROM
+             |    (SELECT count(*) AS c FROM events
+             |     GROUP BY (epoch_ns(ts) // 60000000000) % 60))
+             |  UNION ALL
+             |  SELECT 'value_band', count(*), max(n),
+             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT))
+             |  FROM (SELECT c, sum(c) OVER () AS n FROM
+             |    (SELECT count(*) AS c FROM events
+             |     GROUP BY CAST(floor(value * 1000) AS BIGINT) // 50000))
+             |)
+             |SELECT column_name, n_distinct,
+             |  CAST(n_rows AS BIGINT) AS n_rows, entropy_micro
+             |FROM checks ORDER BY column_name""".stripMargin)))
 }

@@ -815,6 +815,67 @@ GROUP BY 1 ORDER BY channel"""
        |    AS decayed_score
        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming twin of q182's A/B readout: the per-user conversion flag is
+    * max(flag) — monotone, so a running Update-mode aggregation's last
+    * update per user equals the batch flag under any micro-batch slicing.
+    * The experiment statistic (variant pivot + two-proportion z) runs
+    * batch-side over the final per-user states, sharing q182's exact
+    * formula and oracle — the live-dashboard shape: stream maintains the
+    * per-user store, the readout is a cheap bounded query over it. */
+  private def q186Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q186_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .select(col("user_id"),
+          when(col("event_type") === "purchase" && col("value") > 480, 1L)
+            .otherwise(0L).as("p"))
+        .groupBy("user_id").agg(max("p").as("conv")),
+      outputMode = OutputMode.Update)
+    val per = updates.groupBy("user_id").agg(max("conv").as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a = per.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = per.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.join(b)
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("round(CAST(conv_a AS DOUBLE) / n_a, 6)").as("rate_a"),
+        expr("round(CAST(conv_b AS DOUBLE) / n_b, 6)").as("rate_b"),
+        expr("""CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 6) END""").as("z"))
+  }
+
+  /** q182's oracle verbatim — the streaming store must reproduce the batch
+    * experiment readout exactly. */
+  private def q186Oracle: String =
+    """|WITH per AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 480
+       |        THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id
+       |), v AS (
+       |  SELECT user_id % 2 AS variant, count(*) AS n,
+       |    CAST(sum(conv) AS BIGINT) AS c
+       |  FROM per GROUP BY 1
+       |)
+       |SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+       |  round(CAST(a.c AS DOUBLE) / a.n, 6) AS rate_a,
+       |  round(CAST(b.c AS DOUBLE) / b.n, 6) AS rate_b,
+       |  CASE WHEN a.c + b.c > 0 AND a.c + b.c < a.n + b.n
+       |  THEN round((CAST(a.c AS DOUBLE) / a.n - CAST(b.c AS DOUBLE) / b.n)
+       |    / sqrt((CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+       |      * (1 - CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+       |      * (1.0 / a.n + 1.0 / b.n)), 6) END AS z
+       |FROM (SELECT n, c FROM v WHERE variant = 0) a
+       |CROSS JOIN (SELECT n, c FROM v WHERE variant = 1) b""".stripMargin
+
   /** Streaming twin of q123's CDC compaction: the same
     * `max(struct(version, payload))` running as streaming state in Update
     * mode — the latest-state store a log-structured ingest maintains
@@ -976,5 +1037,10 @@ GROUP BY 1 ORDER BY channel"""
       "streaming time-decayed engagement: fixed-anchor dyadic weights make " +
         "the decayed sum a commutative monoid — running Update-mode " +
         "aggregation == batch under any micro-batch slicing",
-      q174Build, Some(q174Oracle)))
+      q174Build, Some(q174Oracle)),
+    QueryDef("q186_streaming_ab_test",
+      "streaming A/B store: monotone per-user conversion flags in Update " +
+        "mode, batch-side z readout == q182's batch statistic (oracle " +
+        "verbatim)",
+      q186Build, Some(q186Oracle)))
 }
