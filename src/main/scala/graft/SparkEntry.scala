@@ -112,7 +112,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             two-proportion A/B z-test (q182), real-decode image tile
   *             sums (q183), deterministic bootstrap CIs (q184), column
   *             entropy profile (q185), streaming A/B store (q186, in
-  *             StreamingQueries)
+  *             StreamingQueries), exact weighted quantiles (q187),
+  *             conversion path census (q188), generated calendar
+  *             dimension (q189)
   */
 object SparkEntry {
 

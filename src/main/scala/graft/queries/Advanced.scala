@@ -837,7 +837,7 @@ object Advanced {
       (s, dir) => {
         val per = table(s, dir, "events")
           .select(col("user_id"),
-            when(col("event_type") === "purchase" && col("value") > 480, 1L)
+            when(col("event_type") === "purchase" && col("value") > 150, 1L)
               .otherwise(0L).as("p"))
           .groupBy("user_id").agg(max("p").as("conv"))
           .withColumn("variant", pmod(col("user_id"), lit(2)))
@@ -861,7 +861,7 @@ object Advanced {
       },
       Some("""|WITH per AS (
              |  SELECT user_id,
-             |    max(CASE WHEN event_type = 'purchase' AND value > 480
+             |    max(CASE WHEN event_type = 'purchase' AND value > 150
              |        THEN 1 ELSE 0 END) AS conv
              |  FROM events GROUP BY user_id
              |), v AS (
@@ -1036,5 +1036,135 @@ object Advanced {
              |)
              |SELECT column_name, n_distinct,
              |  CAST(n_rows AS BIGINT) AS n_rows, entropy_micro
-             |FROM checks ORDER BY column_name""".stripMargin)))
+             |FROM checks ORDER BY column_name""".stripMargin)),
+
+    QueryDef("q187_weighted_quantiles",
+      "exact weighted quantiles (quantity-weighted price median/p90 per return flag)",
+      // the q91 family extended with weights: collapse to (group, value)
+      // rows FIRST (bounded by distinct values, deterministic cumsum — no
+      // tie ambiguity), then the selected order statistic is the smallest
+      // value whose weight cumsum reaches ceil(p*W). All integers: cents
+      // values, long weights, ceil as (a+b-1) div b. Per-group ordered
+      // scans parallelize across groups.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        val byVal = li.groupBy("flag", "cents").agg(sum("qty").as("w"))
+        val win = Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = byVal.withColumn("cum", sum("w").over(win))
+        val tot = byVal.groupBy("flag").agg(sum("w").as("tw"))
+        cum.join(broadcast(tot), "flag")
+          .groupBy("flag")
+          .agg(max("tw").as("total_weight"),
+            min(when(col("cum") >= expr("(tw + 1) div 2"), col("cents")))
+              .as("wmedian_cents"),
+            min(when(col("cum") >= expr("(9 * tw + 9) div 10"), col("cents")))
+              .as("wp90_cents"))
+          .orderBy("flag")
+      },
+      Some("""|WITH v AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |    sum(CAST(l_quantity AS BIGINT)) AS w
+             |  FROM lineitem GROUP BY 1, 2
+             |), c AS (
+             |  SELECT flag, cents, w,
+             |    sum(w) OVER (PARTITION BY flag ORDER BY cents
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(w) OVER (PARTITION BY flag) AS tw
+             |  FROM v
+             |)
+             |SELECT flag, max(tw) AS total_weight,
+             |  min(CASE WHEN cum >= (tw + 1) // 2 THEN cents END) AS wmedian_cents,
+             |  min(CASE WHEN cum >= (9 * tw + 9) // 10 THEN cents END) AS wp90_cents
+             |FROM c GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    QueryDef("q188_conversion_path_census",
+      "events-to-conversion path length census (histogram + exact mean)",
+      // journey analytics: per converting user, how many events strictly
+      // precede the first high-value purchase. The first-conversion anchor
+      // is a per-user min aggregate (map-side combined) joined back as a
+      // filter — never a per-user ordered window over the fact table; the
+      // census is a bounded histogram.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("user_id"),
+          col("ts").cast("long").as("tns"), col("event_type"), col("value"))
+        val conv = e.filter(col("event_type") === "purchase" && col("value") > 150)
+          .groupBy("user_id").agg(min("tns").as("conv_tns"))
+        val lengths = e.join(conv, "user_id")
+          .groupBy("user_id")
+          .agg(max("conv_tns").as("conv_tns"),
+            count(when(col("tns") < col("conv_tns"), 1)).as("path_len"))
+        lengths
+          .withColumn("bucket",
+            when(col("path_len") === 0, "0").when(col("path_len") <= 9, "1-9")
+              .when(col("path_len") <= 49, "10-49").otherwise("50+"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_users"), sum("path_len").as("total_len"),
+            round(sum("path_len").cast("double") / count(lit(1)), 6)
+              .as("avg_len"))
+          .orderBy("bucket")
+      },
+      Some("""|WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns, event_type, value
+             |  FROM events
+             |), conv AS (
+             |  SELECT user_id, min(tns) AS conv_tns FROM e
+             |  WHERE event_type = 'purchase' AND value > 150
+             |  GROUP BY user_id
+             |), lens AS (
+             |  SELECT e.user_id,
+             |    count(*) FILTER (WHERE e.tns < conv.conv_tns) AS path_len
+             |  FROM e JOIN conv USING (user_id)
+             |  GROUP BY e.user_id
+             |), b AS (
+             |  SELECT path_len, CASE WHEN path_len = 0 THEN '0'
+             |    WHEN path_len <= 9 THEN '1-9' WHEN path_len <= 49 THEN '10-49'
+             |    ELSE '50+' END AS bucket
+             |  FROM lens
+             |)
+             |SELECT bucket, count(*) AS n_users,
+             |  CAST(sum(path_len) AS BIGINT) AS total_len,
+             |  round(CAST(sum(path_len) AS DOUBLE) / count(*), 6) AS avg_len
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    QueryDef("q189_date_dimension",
+      "generated calendar dimension (2024, leap year) with warehouse flags",
+      // the star-schema staple built from a pure integer grid: one
+      // sequence explode, every attribute an arithmetic/calendar function
+      // of the day index — no source scan at all. Dimension builds like
+      // this are driver-cheap and broadcast at scale.
+      (s, dir) => {
+        table(s, dir, "region") // anchor the plan to the harness dir contract
+          .limit(1).select(explode(sequence(lit(0), lit(365))).as("d"))
+          .select(col("d"),
+            date_add(to_date(lit("2024-01-01")), col("d")).as("dt"))
+          .select(col("d"),
+            col("dt").cast("string").as("date_str"),
+            pmod(col("d"), lit(7)).as("dow_mon0"),
+            expr("d div 7").as("week_idx"),
+            month(col("dt")).as("month"),
+            quarter(col("dt")).as("quarter"),
+            dayofmonth(col("dt")).as("day_of_month"),
+            (dayofmonth(col("dt")) === 1).as("is_month_start"),
+            (dayofmonth(date_add(col("dt"), 1)) === 1).as("is_month_end"))
+          .orderBy("d")
+      },
+      Some("""|WITH g AS (
+             |  SELECT unnest(generate_series(0, 365)) AS d
+             |), dd AS (
+             |  SELECT d, DATE '2024-01-01' + CAST(d AS INT) AS dt FROM g
+             |)
+             |SELECT CAST(d AS INT) AS d,
+             |  strftime(dt, '%Y-%m-%d') AS date_str,
+             |  CAST(d % 7 AS INT) AS dow_mon0,
+             |  d // 7 AS week_idx,
+             |  CAST(month(dt) AS INT) AS month,
+             |  CAST(quarter(dt) AS INT) AS quarter,
+             |  CAST(day(dt) AS INT) AS day_of_month,
+             |  day(dt) = 1 AS is_month_start,
+             |  day(dt + 1) = 1 AS is_month_end
+             |FROM dd ORDER BY d""".stripMargin)))
 }

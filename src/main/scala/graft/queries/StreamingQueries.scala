@@ -829,7 +829,7 @@ GROUP BY 1 ORDER BY channel"""
       s"q186_sink_${sinkId.incrementAndGet()}",
       df => df
         .select(col("user_id"),
-          when(col("event_type") === "purchase" && col("value") > 480, 1L)
+          when(col("event_type") === "purchase" && col("value") > 150, 1L)
             .otherwise(0L).as("p"))
         .groupBy("user_id").agg(max("p").as("conv")),
       outputMode = OutputMode.Update)
@@ -857,7 +857,7 @@ GROUP BY 1 ORDER BY channel"""
   private def q186Oracle: String =
     """|WITH per AS (
        |  SELECT user_id,
-       |    max(CASE WHEN event_type = 'purchase' AND value > 480
+       |    max(CASE WHEN event_type = 'purchase' AND value > 150
        |        THEN 1 ELSE 0 END) AS conv
        |  FROM events GROUP BY user_id
        |), v AS (
