@@ -76,7 +76,8 @@ object Bench {
     "q180_quantile_normalize", "q181_churn_census", "q182_ab_test",
     "q183_image_tiles", "q184_bootstrap_ci", "q185_column_entropy",
     "q186_streaming_ab_test", "q187_weighted_quantiles",
-    "q188_conversion_path_census", "q189_date_dimension")
+    "q188_conversion_path_census", "q189_date_dimension",
+    "q190_embedding_profile", "q191_sql_api_unshipped_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -114,7 +114,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             entropy profile (q185), streaming A/B store (q186, in
   *             StreamingQueries), exact weighted quantiles (q187),
   *             conversion path census (q188), generated calendar
-  *             dimension (q189)
+  *             dimension (q189), per-dimension embedding profile (q190),
+  *             pure spark.sql() TPC-H Q3 shape (q191)
   */
 object SparkEntry {
 

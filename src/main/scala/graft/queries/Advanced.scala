@@ -1166,5 +1166,83 @@ object Advanced {
              |  CAST(day(dt) AS INT) AS day_of_month,
              |  day(dt) = 1 AS is_month_start,
              |  day(dt + 1) = 1 AS is_month_end
-             |FROM dd ORDER BY d""".stripMargin)))
+             |FROM dd ORDER BY d""".stripMargin)),
+
+    QueryDef("q190_embedding_profile",
+      "per-dimension embedding distribution profile (exact micro-grid moments)",
+      // the pre-training sanity check over an embedding table: every
+      // dimension's n/min/max/sum and std from EXACT integer micro sums
+      // (float->double widening is exact; floor(v*1e6) is the same IEEE
+      // product both engines). One posexplode + one dim-keyed aggregation,
+      // map-side combined to |dims| rows — never a whole-column collect.
+      (s, dir) => {
+        val x = table(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim"),
+            floor(col("v").cast("double") * 1e6).cast("long").as("mu"))
+        x.groupBy("dim")
+          .agg(count(lit(1)).as("n"), min("mu").as("min_micro"),
+            max("mu").as("max_micro"), sum("mu").as("sum_micro"),
+            sum(col("mu") * col("mu")).as("ssq"))
+          .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
+            col("sum_micro"),
+            round(col("sum_micro").cast("double") / col("n") / 1e6, 6).as("mean"),
+            round(sqrt((col("n") * col("ssq") - col("sum_micro") * col("sum_micro"))
+              .cast("double")) / col("n") / 1e6, 6).as("std"))
+          .orderBy("dim")
+      },
+      Some("""|WITH x AS (
+             |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             |    unnest(list_transform(embedding,
+             |      v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))) AS mu
+             |  FROM embeddings
+             |)
+             |SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+             |  min(mu) AS min_micro, max(mu) AS max_micro,
+             |  CAST(sum(mu) AS BIGINT) AS sum_micro,
+             |  round(CAST(sum(mu) AS DOUBLE) / count(*) / 1e6, 6) AS mean,
+             |  round(sqrt(CAST(count(*) * sum(mu * mu) - sum(mu) * sum(mu)
+             |    AS DOUBLE)) / count(*) / 1e6, 6) AS std
+             |FROM x GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    QueryDef("q191_sql_api_unshipped_revenue",
+      "TPC-H Q3 shape through the pure spark.sql() string API (temp views)",
+      // the SQL-string entry point a BI tool uses: temp views over the
+      // harness tables, the whole query one ANSI string Catalyst plans
+      // exactly like the DataFrame form (broadcast dim, two fact shuffles,
+      // TakeOrdered top-10). Revenue on the exact cents grid.
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("v_customer")
+        table(s, dir, "orders").createOrReplaceTempView("v_orders")
+        table(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT l_orderkey,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS revenue_cents,
+            CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
+            o_orderpriority
+          FROM v_customer
+          JOIN v_orders ON c_custkey = o_custkey
+          JOIN v_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue_cents DESC, l_orderkey
+          LIMIT 10""")
+      },
+      Some("""|SELECT l_orderkey,
+             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS revenue_cents,
+             |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+             |  o_orderpriority
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue_cents DESC, l_orderkey
+             |LIMIT 10""".stripMargin)))
 }
