@@ -438,12 +438,16 @@ object Advanced {
         val words = table(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .withColumn("half", (col("doc_id") % 2).cast("int"))
+        // ONE corpus tokenize pass; the vocabulary-sized count frame feeds
+        // three consumers (totals, per-word contribs, corpus total) — the
+        // q42 multi-consumer rule: checkpoint it, don't re-scan the corpus
+        // (plan-audited: the first cut tokenized twice and re-aggregated
+        // the counts under a ReusedExchange)
         val counts = words.groupBy("word")
           .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
             sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
-        val totals = words.groupBy()
-          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
-            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+          .localCheckpoint(true)
+        val totals = counts.agg(sum("c0").as("n0"), sum("c1").as("n1"))
         val contrib = counts.join(broadcast(totals))
           .withColumn("p", col("c0").cast("double") / col("n0"))
           .withColumn("q", col("c1").cast("double") / col("n1"))
