@@ -77,7 +77,9 @@ object Bench {
     "q183_image_tiles", "q184_bootstrap_ci", "q185_column_entropy",
     "q186_streaming_ab_test", "q187_weighted_quantiles",
     "q188_conversion_path_census", "q189_date_dimension",
-    "q190_embedding_profile", "q191_sql_api_unshipped_revenue")
+    "q190_embedding_profile", "q191_sql_api_unshipped_revenue",
+    "q192_envelope_correlation", "q193_funnel_windows",
+    "q194_interval_concurrency", "q195_hierarchy_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -115,7 +115,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             StreamingQueries), exact weighted quantiles (q187),
   *             conversion path census (q188), generated calendar
   *             dimension (q189), per-dimension embedding profile (q190),
-  *             pure spark.sql() TPC-H Q3 shape (q191)
+  *             pure spark.sql() TPC-H Q3 shape (q191), amplitude-envelope
+  *             correlation connectivity (q192), time-bounded 3-step
+  *             funnel (q193), sweep-line interval concurrency (q194),
+  *             closed-form hierarchy rollup (q195)
   */
 object SparkEntry {
 

@@ -1248,5 +1248,180 @@ object Advanced {
              |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
              |ORDER BY revenue_cents DESC, l_orderkey
-             |LIMIT 10""".stripMargin)))
+             |LIMIT 10""".stripMargin)),
+
+    QueryDef("q192_envelope_correlation",
+      "amplitude-envelope correlation between channel pairs per wavelet band",
+      // the ECoG functional-connectivity metric the coherence (q171)
+      // family complements: correlate high-gamma AMPLITUDE envelopes, not
+      // raw signals. Envelopes come off the q32 wavelet chain, pinned to
+      // the cross-engine round(.,6) grid and floored to exact milli
+      // integers BEFORE any correlation math — Pearson then runs entirely
+      // on integer sums (DECIMAL(38,0) headroom) with one double chain per
+      // (band, pair) row. The envelope frame is checkpointed once: it
+      // feeds the stats pass and both sides of the pair join, and its
+      // lineage holds the FFT work.
+      (s, dir) => {
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        val amp = DspOperators.amplitude(
+          DspOperators.waveletTransform(seg, "human", hgOnly = true))
+        val long = Frames.toLong(amp)
+          .select(col("channel"), col("band"), col("t_idx"),
+            floor(round(col("value"), 6) * 1000).cast("long").as("am"))
+          .localCheckpoint(true)
+        val st = long.groupBy("channel", "band")
+          .agg(count(lit(1)).as("n"), sum("am").as("sx"),
+            sum((col("am") * col("am")).cast("decimal(38,0)")).as("sxx"))
+        val xy = long.select(col("band"), col("t_idx"),
+            col("channel").as("c1"), col("am").as("am1"))
+          .join(long.select(col("band"), col("t_idx"),
+            col("channel").as("c2"), col("am").as("am2")), Seq("band", "t_idx"))
+          .filter(col("c1") < col("c2"))
+          .groupBy("band", "c1", "c2")
+          .agg(sum((col("am1") * col("am2")).cast("decimal(38,0)")).as("sxy"))
+        xy
+          .join(broadcast(st.select(col("channel").as("c1"), col("band"),
+            col("n"), col("sx").as("sx1"), col("sxx").as("sxx1"))), Seq("band", "c1"))
+          .join(broadcast(st.select(col("channel").as("c2"), col("band"),
+            col("sx").as("sx2"), col("sxx").as("sxx2"))), Seq("band", "c2"))
+          .select(col("band"), col("c1"), col("c2"),
+            round(expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                - CAST(sx1 AS DECIMAL(38,0)) * sx2 AS DOUBLE)""") /
+              sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxx1
+                  - CAST(sx1 AS DECIMAL(38,0)) * sx1 AS DOUBLE)""") *
+                expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxx2
+                  - CAST(sx2 AS DECIMAL(38,0)) * sx2 AS DOUBLE)""")), 6)
+              .as("envelope_r"))
+          .orderBy("band", "c1", "c2")
+      },
+      Some(SpectralOracles.q192())),
+
+    QueryDef("q193_funnel_windows",
+      "time-bounded 3-step funnel (view -> click -> purchase, 24 h step windows)",
+      // q98's ordered funnel with per-step deadlines: each step's anchor is
+      // the previous step's per-user min aggregate joined back as a range
+      // filter (the q188 anchor idiom, never an ordered window over the
+      // fact table). All boundaries exact integer nanos; one double chain
+      // for the average.
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val e = table(s, dir, "events").select(col("user_id"),
+          col("ts").cast("long").as("tns"), col("event_type"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tns").as("t1"))
+        val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+          .filter(col("tns") > col("t1") && col("tns") <= col("t1") + dayNs)
+          .groupBy("user_id").agg(min("tns").as("t2"), max("t1").as("t1"))
+        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("tns") > col("t2") && col("tns") <= col("t2") + dayNs)
+          .groupBy("user_id").agg(min("tns").as("t3"), max("t1").as("t1"))
+        val n1 = s1.agg(count(lit(1)).as("n_step1"))
+        val n2 = s2.agg(count(lit(1)).as("n_step2"))
+        val n3 = s3.agg(count(lit(1)).as("n_step3"),
+          sum(col("t3") - col("t1")).as("total_ns"))
+        n1.join(n2).join(n3)
+          .select(col("n_step1"), col("n_step2"), col("n_step3"),
+            round(col("total_ns").cast("double") / col("n_step3") /
+              lit(3600000000000.0), 6).as("avg_hours_to_convert"))
+      },
+      Some("""|WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events
+             |), s1 AS (
+             |  SELECT user_id, min(tns) AS t1 FROM e
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |), s2 AS (
+             |  SELECT e.user_id, min(e.tns) AS t2, max(s1.t1) AS t1
+             |  FROM e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.tns > s1.t1
+             |    AND e.tns <= s1.t1 + 86400000000000
+             |  GROUP BY e.user_id
+             |), s3 AS (
+             |  SELECT e.user_id, min(e.tns) AS t3, max(s2.t1) AS t1
+             |  FROM e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.tns > s2.t2
+             |    AND e.tns <= s2.t2 + 86400000000000
+             |  GROUP BY e.user_id
+             |)
+             |SELECT (SELECT count(*) FROM s1) AS n_step1,
+             |  (SELECT count(*) FROM s2) AS n_step2,
+             |  (SELECT count(*) FROM s3) AS n_step3,
+             |  (SELECT round(CAST(sum(t3 - t1) AS DOUBLE) / count(*)
+             |     / 3600000000000.0, 6) FROM s3) AS avg_hours_to_convert""".stripMargin)),
+
+    QueryDef("q194_interval_concurrency",
+      "max concurrent sessions per day (sweep-line over interval boundaries)",
+      // the capacity-planning census: per-user-day activity intervals
+      // become +1/-1 boundary events; the running sum under (t, delta desc)
+      // ordering — starts before ends at a shared instant, so touching
+      // intervals count as concurrent — peaks at the day's max concurrency.
+      // Intervals never cross days by construction, so the sweep partitions
+      // per day (parallelism = days) and each day's sum returns to zero.
+      // Max-of-cumsum is invariant to reordering within equal (t, delta)
+      // runs, so ties can't make the answer nondeterministic.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("user_id"),
+          col("ts").cast("long").as("tns"),
+          expr("CAST(ts AS BIGINT) div 86400000000000").as("day"))
+        val iv = e.groupBy("user_id", "day")
+          .agg(min("tns").as("st"), max("tns").as("en"))
+        val b = iv.select(col("day"), col("st").as("t"), lit(1L).as("d"))
+          .unionAll(iv.select(col("day"), col("en").as("t"), lit(-1L).as("d")))
+        val w = Window.partitionBy("day").orderBy(col("t"), col("d").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.withColumn("cum", sum("d").over(w))
+          .groupBy("day")
+          .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+            max("cum").as("max_concurrent"))
+          .orderBy("day")
+      },
+      Some("""|WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns,
+             |    epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events
+             |), iv AS (
+             |  SELECT user_id, day, min(tns) AS st, max(tns) AS en
+             |  FROM e GROUP BY user_id, day
+             |), b AS (
+             |  SELECT day, st AS t, 1 AS d FROM iv
+             |  UNION ALL SELECT day, en AS t, -1 AS d FROM iv
+             |), c AS (
+             |  SELECT day,
+             |    sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b
+             |)
+             |SELECT day, CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+             |  CAST(max(cum) AS BIGINT) AS max_concurrent
+             |FROM c GROUP BY day ORDER BY day""".stripMargin)),
+
+    QueryDef("q195_hierarchy_rollup",
+      "hierarchy path rollup via closed-form ancestor explosion (decimal trie)",
+      // hierarchical aggregation WITHOUT recursion: each part's ancestor
+      // chain (id, id/10, ..., id/10^4 — the derived decimal trie) explodes
+      // in-row (bounded by depth), then one node-keyed aggregate rolls
+      // values up every level simultaneously — the flattened-closure shape
+      // that replaces an iterative parent join at scale.
+      (s, dir) => {
+        val p = table(s, dir, "part").select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+        p.select(col("cents"), posexplode(array(
+            col("p_partkey"), expr("p_partkey div 10"),
+            expr("p_partkey div 100"), expr("p_partkey div 1000"),
+            expr("p_partkey div 10000"))).as(Seq("depth", "node")))
+          .groupBy("depth", "node")
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("total_cents"))
+          .orderBy(col("total_cents").desc, col("depth"), col("node"))
+          .limit(50)
+      },
+      Some("""|WITH anc AS (
+             |  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             |    unnest([0, 1, 2, 3, 4]) AS depth,
+             |    unnest([p_partkey, p_partkey // 10, p_partkey // 100,
+             |            p_partkey // 1000, p_partkey // 10000]) AS node
+             |  FROM part
+             |)
+             |SELECT CAST(depth AS INT) AS depth, node, count(*) AS n_parts,
+             |  sum(cents) AS total_cents
+             |FROM anc GROUP BY depth, node
+             |ORDER BY total_cents DESC, depth, node LIMIT 50""".stripMargin)))
 }

@@ -280,6 +280,41 @@ FROM ztrace ORDER BY channel, band, t_idx"""
 
   def q35(rate: Double = 1000.0): String = q32(rate, "atan2(zim, zre)")
 
+  /** q192: amplitude-envelope correlation — q32's wavelet amplitude chain
+    * composed with an integer-grid Pearson correlation between channel
+    * pairs within each band. Amplitudes are pinned to the cross-engine-
+    * identical round(.,6) grid FIRST (the q32 hash contract), then floored
+    * to milli units, so every correlation input is the same exact integer
+    * in both engines. */
+  def q192(rate: Double = 1000.0): String =
+    s"""WITH $rect, $fastlen, ${resampleConsts(rate, rate)},
+${padCtes("rect", Seq("channel"), "padded")},
+${waveletCtes(rate, "padded", "ztrace")},
+amp AS (
+  SELECT channel, band, t_idx,
+    CAST(floor(round(sqrt(zre * zre + zim * zim), 6) * 1000) AS BIGINT) AS am
+  FROM ztrace
+), st AS (
+  SELECT channel, band, count(*) AS n,
+    CAST(sum(am) AS BIGINT) AS sx,
+    CAST(sum(CAST(am AS HUGEINT) * am) AS HUGEINT) AS sxx
+  FROM amp GROUP BY channel, band
+), xy AS (
+  SELECT a.band, a.channel AS c1, b.channel AS c2,
+    CAST(sum(CAST(a.am AS HUGEINT) * b.am) AS HUGEINT) AS sxy
+  FROM amp a
+  JOIN amp b ON b.band = a.band AND b.t_idx = a.t_idx AND b.channel > a.channel
+  GROUP BY a.band, a.channel, b.channel
+)
+SELECT xy.band AS band, xy.c1, xy.c2,
+  round(CAST(s1.n * xy.sxy - s1.sx * s2.sx AS DOUBLE) /
+    sqrt(CAST(s1.n * s1.sxx - s1.sx * s1.sx AS DOUBLE) *
+         CAST(s2.n * s2.sxx - s2.sx * s2.sx AS DOUBLE)), 6) AS envelope_r
+FROM xy
+JOIN st s1 ON s1.channel = xy.c1 AND s1.band = xy.band
+JOIN st s2 ON s2.channel = xy.c2 AND s2.band = xy.band
+ORDER BY xy.band, xy.c1, xy.c2"""
+
   /** q34: bit-exact replica of the synthetic generator (graft.model
     * .Synthetic): splitmix64 counter RNG via HUGEINT mod-2^64 arithmetic
     * (64x64 multiplies split into 32-bit halves to stay inside INT128),
