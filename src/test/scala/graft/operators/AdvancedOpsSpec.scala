@@ -49,6 +49,32 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(DspOperators.welchPsd(sineSegments(125.0, 1000.0, 32), 64, 32).count() == 0)
   }
 
+  test("tileStats: ragged edge tiles, exact sums, undecodable payloads drop") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // id=1: w=9, h=7, ax=2, by=2, c=1 -> 3x2 tile grid with ragged edges
+    val media = Seq(
+      (1L, "image", Multimodal.syntheticGradientPng(1L)),
+      (2L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.tileStats(media, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.forall(_._1 == 1L), "undecodable payload must emit nothing")
+    assert(rows.length == 3 * 2) // ceil(9/4) x ceil(7/4)
+    // exact arithmetic mirror of the gradient: pixel = (2x + 2y + 1) % 256
+    def expected(tx: Int, ty: Int): (Long, Long) = {
+      var n = 0L; var s = 0L
+      for (y <- ty * 4 until math.min(ty * 4 + 4, 7);
+           x <- tx * 4 until math.min(tx * 4 + 4, 9)) {
+        n += 1; s += (2 * x + 2 * y + 1) % 256
+      }
+      (n, s)
+    }
+    rows.foreach { case (_, tx, ty, n, s) =>
+      assert((n, s) == expected(tx, ty), s"tile ($tx,$ty)")
+    }
+  }
+
   test("boundedSssp: exact distances and hop-bound truncation") {
     import spark.implicits._
     // path 1 -2- 3 -2- 5 -2- 7 -2- 9 with a direct heavy shortcut 1 -9- 9
