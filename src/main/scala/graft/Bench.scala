@@ -79,7 +79,9 @@ object Bench {
     "q188_conversion_path_census", "q189_date_dimension",
     "q190_embedding_profile", "q191_sql_api_unshipped_revenue",
     "q192_envelope_correlation", "q193_funnel_windows",
-    "q194_interval_concurrency", "q195_hierarchy_rollup")
+    "q194_interval_concurrency", "q195_hierarchy_rollup",
+    "q196_event_disorder_census", "q197_degree_distribution",
+    "q198_boxplot_bands")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -118,7 +118,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             pure spark.sql() TPC-H Q3 shape (q191), amplitude-envelope
   *             correlation connectivity (q192), time-bounded 3-step
   *             funnel (q193), sweep-line interval concurrency (q194),
-  *             closed-form hierarchy rollup (q195)
+  *             closed-form hierarchy rollup (q195), event-time disorder
+  *             census (q196), degree distribution + power-law fit (q197),
+  *             boxplot quantile bands (q198)
   */
 object SparkEntry {
 

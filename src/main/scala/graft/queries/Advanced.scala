@@ -1423,5 +1423,166 @@ object Advanced {
              |SELECT CAST(depth AS INT) AS depth, node, count(*) AS n_parts,
              |  sum(cents) AS total_cents
              |FROM anc GROUP BY depth, node
-             |ORDER BY total_cents DESC, depth, node LIMIT 50""".stripMargin)))
+             |ORDER BY total_cents DESC, depth, node LIMIT 50""".stripMargin)),
+
+    QueryDef("q196_event_disorder_census",
+      "event-time disorder census: inversions vs arrival order (watermark tuning input)",
+      // how out-of-order is the stream? Arrival order = event_id; an event
+      // is LATE when its event time regresses below the running max of
+      // everything that arrived before it — exactly what a streaming
+      // watermark must absorb. The running max is a per-type ordered
+      // window (parallelism = types); everything integer nanos, one
+      // rounded ratio. max_regression_ns is the minimum watermark delay
+      // that would have captured every event of the type.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("event_type"),
+          col("event_id"), col("ts").cast("long").as("tns"))
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("prevmax", max("tns").over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("tns") < col("prevmax"), 1)).as("n_late"),
+            max(when(col("tns") < col("prevmax"), col("prevmax") - col("tns")))
+              .as("max_regression_ns"))
+          .select(col("event_type"), col("n_events"), col("n_late"),
+            col("max_regression_ns"),
+            round(col("n_late").cast("double") / col("n_events"), 6)
+              .as("late_frac"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH e AS (
+             |  SELECT event_type, event_id, epoch_ns(ts) AS tns FROM events
+             |), r AS (
+             |  SELECT event_type, tns,
+             |    max(tns) OVER (PARTITION BY event_type ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+             |  FROM e
+             |)
+             |SELECT event_type, count(*) AS n_events,
+             |  count(*) FILTER (WHERE tns < prevmax) AS n_late,
+             |  max(CASE WHEN tns < prevmax THEN prevmax - tns END)
+             |    AS max_regression_ns,
+             |  round(CAST(count(*) FILTER (WHERE tns < prevmax) AS DOUBLE)
+             |    / count(*), 6) AS late_frac
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q197_degree_distribution",
+      "co-purchase degree distribution with log-log power-law slope",
+      // the graph-health profile: degree histogram (bounded by distinct
+      // degree values) plus a least-squares slope of ln(count) vs ln(degree)
+      // — regression sums over ROUNDED micro-log integers (exact,
+      // order-free; ln on identical integer inputs is the same double both
+      // engines), one double chain for the slope broadcast onto every
+      // histogram row.
+      (s, dir) => {
+        val e = Graph.coOccurrenceEdges(table(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey")
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .localCheckpoint(true) // feeds the fit aggregate and the output rows
+        val fit = hist
+          .select(expr("CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
+            expr("CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))
+          .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("loglog_slope"))
+        hist.join(broadcast(fit))
+          .select(col("deg"), col("n_nodes"), col("loglog_slope"))
+          .orderBy("deg")
+      },
+      Some("""|WITH e AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+             |  WHERE x.l_partkey < y.l_partkey
+             |), deg AS (
+             |  SELECT v, count(*) AS deg FROM (
+             |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+             |  ) GROUP BY v
+             |), hist AS (
+             |  SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg
+             |), pts AS (
+             |  SELECT CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+             |  FROM hist
+             |), fit AS (
+             |  SELECT round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             |    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 6)
+             |    AS loglog_slope
+             |  FROM pts
+             |)
+             |SELECT deg, n_nodes, loglog_slope
+             |FROM hist CROSS JOIN fit ORDER BY deg""".stripMargin)),
+
+    QueryDef("q198_boxplot_bands",
+      "per-type boxplot export: exact quartiles, 1.5-IQR whiskers, outlier census",
+      // the dashboard boxplot in one pass over Quantiles.exactQuantiles'
+      // range-shuffled rank selection (never a whole group in one buffer),
+      // then the bounds broadcast back for the outlier count — bound
+      // doubles are identical in both engines (same interpolation chain),
+      // so the comparison census can't disagree.
+      (s, dir) => {
+        val q = graft.operators.Quantiles.exactQuantiles(
+            table(s, dir, "events"), "event_type", "value",
+            Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+          .withColumn("lo_fence", col("p25") - (col("p75") - col("p25")) * 1.5)
+          .withColumn("hi_fence", col("p75") + (col("p75") - col("p25")) * 1.5)
+        table(s, dir, "events")
+          .select(col("event_type"), col("value"))
+          .join(broadcast(q), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max("p25").as("p25"), max("p50").as("p50"), max("p75").as("p75"),
+            count(when(col("value") < col("lo_fence") ||
+              col("value") > col("hi_fence"), 1)).as("n_outliers"))
+          .select(col("event_type"), col("n"),
+            round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+            round(col("p75"), 6).as("p75"), col("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH v AS (
+             |  SELECT event_type AS g, value AS v FROM events
+             |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+             |), r AS (
+             |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk,
+             |    count(*) OVER (PARTITION BY g) AS n
+             |  FROM v
+             |), sel AS (
+             |  SELECT g, n,
+             |    max(CASE WHEN rk = CAST(floor(0.25::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo25,
+             |    max(CASE WHEN rk = least(CAST(floor(0.25::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi25,
+             |    max(CASE WHEN rk = CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo50,
+             |    max(CASE WHEN rk = least(CAST(floor(0.5::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi50,
+             |    max(CASE WHEN rk = CAST(floor(0.75::DOUBLE * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo75,
+             |    max(CASE WHEN rk = least(CAST(floor(0.75::DOUBLE * (n - 1)) AS BIGINT) + 1, n - 1)
+             |      THEN v END) AS hi75
+             |  FROM r GROUP BY g, n
+             |), qq AS (
+             |  SELECT g,
+             |    lo25 + (hi25 - lo25) * (0.25::DOUBLE * (n - 1) - floor(0.25::DOUBLE * (n - 1))) AS p25,
+             |    lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
+             |    lo75 + (hi75 - lo75) * (0.75::DOUBLE * (n - 1) - floor(0.75::DOUBLE * (n - 1))) AS p75
+             |  FROM sel
+             |), f AS (
+             |  SELECT g, p25, p50, p75,
+             |    p25 - (p75 - p25) * 1.5 AS lo_fence,
+             |    p75 + (p75 - p25) * 1.5 AS hi_fence
+             |  FROM qq
+             |)
+             |SELECT v.g AS event_type, count(*) AS n,
+             |  round(max(f.p25), 6) AS p25, round(max(f.p50), 6) AS p50,
+             |  round(max(f.p75), 6) AS p75,
+             |  count(*) FILTER (WHERE v.v < f.lo_fence OR v.v > f.hi_fence)
+             |    AS n_outliers
+             |FROM v JOIN f ON f.g = v.g
+             |GROUP BY v.g ORDER BY event_type""".stripMargin)))
 }
