@@ -120,7 +120,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             funnel (q193), sweep-line interval concurrency (q194),
   *             closed-form hierarchy rollup (q195), event-time disorder
   *             census (q196), degree distribution + power-law fit (q197),
-  *             boxplot quantile bands (q198)
+  *             boxplot quantile bands (q198), month-over-month revenue
+  *             (q199), largest-remainder proration (q200), bucketed
+  *             key-gap islands (q201)
   */
 object SparkEntry {
 

@@ -1584,5 +1584,133 @@ object Advanced {
              |  count(*) FILTER (WHERE v.v < f.lo_fence OR v.v > f.hi_fence)
              |    AS n_outliers
              |FROM v JOIN f ON f.g = v.g
-             |GROUP BY v.g ORDER BY event_type""".stripMargin)))
+             |GROUP BY v.g ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q199_revenue_mom",
+      "monthly revenue with month-over-month change (BI period-over-period)",
+      // the BI staple: exact integer cents per month, lag window over the
+      // BOUNDED month frame (rows = calendar months, not data), one double
+      // chain for the percentage.
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          expr("CAST(date_format(CAST(o_orderdate AS DATE), 'yyyy-MM') AS STRING)")
+            .as("month"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val m = o.groupBy("month").agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("revenue_cents"))
+        val w = Window.orderBy("month")
+        m.withColumn("prev", lag("revenue_cents", 1).over(w))
+          .select(col("month"), col("n_orders"), col("revenue_cents"),
+            when(col("prev") > 0,
+              round((col("revenue_cents") - col("prev")).cast("double") /
+                col("prev"), 6)).as("mom_change"))
+          .orderBy("month")
+      },
+      Some("""|WITH m AS (
+             |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             |    count(*) AS n_orders,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT month, n_orders, revenue_cents,
+             |  CASE WHEN lag(revenue_cents) OVER (ORDER BY month) > 0
+             |    THEN round(CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY month)
+             |      AS DOUBLE) / lag(revenue_cents) OVER (ORDER BY month), 6)
+             |  END AS mom_change
+             |FROM m ORDER BY month""".stripMargin)),
+
+    QueryDef("q200_proration_allocation",
+      "largest-remainder proration: allocate order totals across lines, cents-exact",
+      // the cost-allocation algorithm finance pipelines need to be EXACT:
+      // floor(T*q_i/Q) per line, then the leftover cents go to the lines
+      // with the largest integer remainders (linenumber tiebreak) — the
+      // allocation sums to T per order by construction, no float anywhere.
+      // One orderkey shuffle; per-order windows over single-digit baskets.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity").cast("long").as("q"))
+        val o = table(s, dir, "orders").select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("t"))
+        val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("qt", sum("q").over(Window.partitionBy("l_orderkey")))
+          .withColumn("alloc0", expr("(t * q) div qt"))
+          .withColumn("rem", expr("(t * q) % qt"))
+          .withColumn("short",
+            col("t") - sum("alloc0").over(Window.partitionBy("l_orderkey")))
+          .withColumn("rk", row_number().over(Window.partitionBy("l_orderkey")
+            .orderBy(col("rem").desc, col("l_linenumber"))))
+          .withColumn("alloc_cents",
+            col("alloc0") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+        base.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"), max("t").as("total_cents"),
+            sum("alloc_cents").as("allocated_cents"),
+            max("alloc_cents").as("max_alloc"))
+          .filter(col("l_orderkey") % 10 === 0)
+          .orderBy("l_orderkey")
+      },
+      Some("""|WITH li AS (
+             |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q
+             |  FROM lineitem
+             |), o AS (
+             |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS t
+             |  FROM orders
+             |), base AS (
+             |  SELECT li.l_orderkey, li.l_linenumber, o.t, li.q,
+             |    sum(li.q) OVER (PARTITION BY li.l_orderkey) AS qt
+             |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+             |), a AS (
+             |  SELECT l_orderkey, l_linenumber, t,
+             |    (t * q) // qt AS alloc0, (t * q) % qt AS rem,
+             |    t - sum((t * q) // qt) OVER (PARTITION BY l_orderkey) AS short,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY (t * q) % qt DESC, l_linenumber) AS rk
+             |  FROM base
+             |), alloc AS (
+             |  SELECT l_orderkey, t, rk,
+             |    alloc0 + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc_cents
+             |  FROM a
+             |)
+             |SELECT l_orderkey, count(*) AS n_lines, max(t) AS total_cents,
+             |  CAST(sum(alloc_cents) AS BIGINT) AS allocated_cents,
+             |  max(alloc_cents) AS max_alloc
+             |FROM alloc GROUP BY l_orderkey
+             |HAVING l_orderkey % 10 = 0
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    QueryDef("q201_key_gap_islands",
+      "key-space gap islands over sparse order keys (bucketed lag, no global window)",
+      // the islands-and-gaps pattern made scalable: neighbors come from a
+      // bucketed lag (parallelism = key-space buckets) and each bucket's
+      // first key takes its predecessor from the PREVIOUS bucket's max —
+      // a window over the tiny per-bucket aggregate, broadcast back. No
+      // key ever crosses a single-partition window. The audited key set is
+      // the high-value-order subset (the harness keys themselves are
+      // dense); top-50 widest gaps.
+      (s, dir) => {
+        val k = table(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000)
+          .select(col("o_orderkey").as("key"))
+          .withColumn("bucket", expr("key div 1024"))
+        val inLag = k.withColumn("prev_in",
+          lag("key", 1).over(Window.partitionBy("bucket").orderBy("key")))
+        val bmax = k.groupBy("bucket").agg(max("key").as("bmax"))
+        val prevB = bmax.withColumn("prev_bmax",
+          lag("bmax", 1).over(Window.orderBy("bucket")))
+        inLag.join(broadcast(prevB.select(col("bucket"), col("prev_bmax"))), "bucket")
+          .withColumn("prev", coalesce(col("prev_in"), col("prev_bmax")))
+          .filter(col("prev").isNotNull && col("key") - col("prev") > 1)
+          .select((col("prev") + 1).as("gap_start"), (col("key") - 1).as("gap_end"),
+            (col("key") - col("prev") - 1).as("gap_len"))
+          .orderBy(col("gap_len").desc, col("gap_start"))
+          .limit(50)
+      },
+      Some("""|WITH k AS (
+             |  SELECT o_orderkey AS key,
+             |    lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+             |  FROM orders WHERE o_totalprice > 450000
+             |)
+             |SELECT prev + 1 AS gap_start, key - 1 AS gap_end,
+             |  key - prev - 1 AS gap_len
+             |FROM k WHERE prev IS NOT NULL AND key - prev > 1
+             |ORDER BY gap_len DESC, gap_start LIMIT 50""".stripMargin)))
 }
