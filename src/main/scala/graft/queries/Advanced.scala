@@ -78,7 +78,10 @@ object Advanced {
         val quant = udf { (vs: Seq[Double]) =>
           vs.map(v => math.floor(v * 1000).toLong).toArray
         }
+        // both sides of the pair join read the quantized traces — checkpoint
+        // so the segment assembly's shuffle lineage runs once (q42 rule)
         val q = seg.select(col("channel"), quant(col("values")).as("vm"))
+          .localCheckpoint(true)
         val a = q.select(col("channel").as("c1"), col("vm").as("v1"))
         val b = q.select(col("channel").as("c2"), col("vm").as("v2"))
         val lagDots = udf { (v1s: Seq[Long], v2s: Seq[Long]) =>
@@ -344,7 +347,9 @@ object Advanced {
       // and the FFT-vs-direct-DFT drift is relative, so round(.,6) on a
       // [0,1] value is bit-stable.
       (s, dir) => {
+        // checkpoint: the assembled traces feed both sides of the pair join
         val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+          .select(col("channel"), col("values")).localCheckpoint(true)
         val a = seg.select(col("channel").as("c1"), col("values").as("v1"))
         val b = seg.select(col("channel").as("c2"), col("values").as("v2"))
         val L = 64; val hop = 32
@@ -1364,8 +1369,12 @@ object Advanced {
           expr("CAST(ts AS BIGINT) div 86400000000000").as("day"))
         val iv = e.groupBy("user_id", "day")
           .agg(min("tns").as("st"), max("tns").as("en"))
-        val b = iv.select(col("day"), col("st").as("t"), lit(1L).as("d"))
-          .unionAll(iv.select(col("day"), col("en").as("t"), lit(-1L).as("d")))
+        // both boundaries from ONE pass over the interval aggregate (a
+        // union of two selects would run the groupBy subtree twice)
+        val b = iv.select(col("day"), explode(array(
+            struct(col("st").as("t"), lit(1L).as("d")),
+            struct(col("en").as("t"), lit(-1L).as("d")))).as("bd"))
+          .select(col("day"), col("bd.t").as("t"), col("bd.d").as("d"))
         val w = Window.partitionBy("day").orderBy(col("t"), col("d").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         b.withColumn("cum", sum("d").over(w))
