@@ -82,7 +82,8 @@ object Bench {
     "q194_interval_concurrency", "q195_hierarchy_rollup",
     "q196_event_disorder_census", "q197_degree_distribution",
     "q198_boxplot_bands", "q199_revenue_mom",
-    "q200_proration_allocation", "q201_key_gap_islands")
+    "q200_proration_allocation", "q201_key_gap_islands",
+    "q202_pareto_concentration", "q203_linear_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -122,7 +122,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             census (q196), degree distribution + power-law fit (q197),
   *             boxplot quantile bands (q198), month-over-month revenue
   *             (q199), largest-remainder proration (q200), bucketed
-  *             key-gap islands (q201)
+  *             key-gap islands (q201), Pareto concentration via
+  *             distributed prefix sums (q202), linear multi-touch
+  *             attribution (q203)
   */
 object SparkEntry {
 

@@ -1721,5 +1721,139 @@ object Advanced {
              |SELECT prev + 1 AS gap_start, key - 1 AS gap_end,
              |  key - prev - 1 AS gap_len
              |FROM k WHERE prev IS NOT NULL AND key - prev > 1
-             |ORDER BY gap_len DESC, gap_start LIMIT 50""".stripMargin)))
+             |ORDER BY gap_len DESC, gap_start LIMIT 50""".stripMargin)),
+
+    QueryDef("q202_pareto_concentration",
+      "revenue concentration (Pareto/80-20) via two-level distributed prefix sums",
+      // how many users carry 80% of value? Users rank by value desc through
+      // the bucketed two-level rank; the cumulative sum uses the SAME
+      // decomposition — intra-bucket running sums offset by the running
+      // total of earlier buckets (a window over the tiny per-bucket
+      // aggregate) — so neither the rank nor the prefix sum ever crosses a
+      // single-partition window. The 80% crossing compares 5*cum < 4*total
+      // in exact integers.
+      (s, dir) => {
+        val u = table(s, dir, "events")
+          .select(col("user_id"), floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy("user_id").agg(sum("vm").as("uv"))
+          .withColumn("bucket", expr("-(uv div 1000000)"))
+        val counts = u.groupBy("bucket")
+          .agg(count(lit(1)).as("bn"), sum("uv").as("bs"))
+        val offW = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = counts
+          .withColumn("rk_off", coalesce(sum("bn").over(offW), lit(0L)))
+          .withColumn("sum_off", coalesce(sum("bs").over(offW), lit(0L)))
+          .select(col("bucket"), col("rk_off"), col("sum_off"))
+        val inW = Window.partitionBy("bucket")
+          .orderBy(col("uv").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = u.join(broadcast(offsets), "bucket")
+          .withColumn("cum", col("sum_off") + sum("uv").over(inW))
+          .withColumn("rank", col("rk_off") +
+            row_number().over(Window.partitionBy("bucket")
+              .orderBy(col("uv").desc, col("user_id"))) - 1)
+        val tot = u.agg(sum("uv").as("t"), count(lit(1)).as("n_users"))
+        ranked.join(broadcast(tot))
+          .agg(max("n_users").as("n_users"), max("t").as("total_vm"),
+            count(when(col("cum") * 5 < col("t") * 4, 1)).as("n_below_80"),
+            max(when(col("rank") === 0, col("uv"))).as("top_user_vm"))
+          .select(col("n_users"), col("total_vm"),
+            (col("n_below_80") + 1).as("n_users_for_80pct"),
+            col("top_user_vm"),
+            round((col("n_below_80") + 1).cast("double") / col("n_users"), 6)
+              .as("pct_users_for_80pct"))
+      },
+      Some("""|WITH u AS (
+             |  SELECT user_id, sum(CAST(floor(value * 1000) AS BIGINT)) AS uv
+             |  FROM events GROUP BY user_id
+             |), r AS (
+             |  SELECT uv,
+             |    row_number() OVER (ORDER BY uv DESC, user_id) - 1 AS rank,
+             |    sum(uv) OVER (ORDER BY uv DESC, user_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM u
+             |), t AS (SELECT sum(uv) AS t, count(*) AS n_users FROM u)
+             |SELECT t.n_users,
+             |  CAST(t.t AS BIGINT) AS total_vm,
+             |  (SELECT count(*) FROM r, t WHERE cum * 5 < t.t * 4) + 1
+             |    AS n_users_for_80pct,
+             |  (SELECT uv FROM r WHERE rank = 0) AS top_user_vm,
+             |  round(CAST((SELECT count(*) FROM r, t WHERE cum * 5 < t.t * 4) + 1
+             |    AS DOUBLE) / t.n_users, 6) AS pct_users_for_80pct
+             |FROM t""".stripMargin)),
+
+    QueryDef("q203_linear_attribution",
+      "linear multi-touch attribution with exact cents splitting (largest-remainder)",
+      // beyond q151's last-touch: each conversion's cents split EQUALLY
+      // across its 24 h lookback touches — floor share + the leftover
+      // cents to the most recent touches (the q200 remainder idiom), so
+      // attributed cents sum to conversion cents by construction.
+      // Touchless conversions credit 'direct'. One user-keyed shuffle;
+      // per-conversion windows over bounded per-user event sets.
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val e = table(s, dir, "events").select(col("user_id"),
+          col("event_id"), col("ts").cast("long").as("tns"),
+          col("event_type"), col("value"))
+        val conv = e.filter(col("event_type") === "purchase" && col("value") > 150)
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            col("tns").as("ct"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val touches = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_id").as("touch_id"),
+            col("tns").as("tt"), col("event_type").as("channel"))
+        // the range predicate is part of the JOIN condition: a conversion
+        // whose user has touches but none in-window must still survive as a
+        // null-extended 'direct' row (a post-join filter would drop it)
+        val joined = conv.join(touches,
+          conv("user_id") === touches("user_id") &&
+            touches("tt") < conv("ct") &&
+            touches("tt") >= conv("ct") - dayNs, "left")
+          .drop(touches("user_id"))
+        val nW = Window.partitionBy("conv_id")
+        val rkW = Window.partitionBy("conv_id")
+          .orderBy(col("tt").desc, col("touch_id").desc)
+        val credited = joined
+          .withColumn("nt", count("touch_id").over(nW))
+          .withColumn("chan",
+            when(col("nt") === 0, "direct").otherwise(col("channel")))
+          .withColumn("alloc",
+            when(col("nt") === 0, col("cents"))
+              .otherwise(expr("cents div nt") +
+                when(row_number().over(rkW) <= col("cents") % col("nt"), 1L)
+                  .otherwise(0L)))
+        credited.groupBy("chan")
+          .agg(countDistinct("conv_id").as("n_conversions"),
+            sum("alloc").as("attributed_cents"))
+          .orderBy("chan")
+      },
+      Some("""|WITH conv AS (
+             |  SELECT user_id, event_id AS conv_id, epoch_ns(ts) AS ct,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase' AND value > 150
+             |), touches AS (
+             |  SELECT user_id, event_id AS touch_id, epoch_ns(ts) AS tt,
+             |    event_type AS channel
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |), joined AS (
+             |  SELECT c.conv_id, c.cents, t.touch_id, t.tt, t.channel
+             |  FROM conv c LEFT JOIN touches t ON t.user_id = c.user_id
+             |    AND t.tt < c.ct AND t.tt >= c.ct - 86400000000000
+             |), n AS (
+             |  SELECT conv_id, cents, touch_id, tt, channel,
+             |    count(touch_id) OVER (PARTITION BY conv_id) AS nt,
+             |    row_number() OVER (PARTITION BY conv_id
+             |      ORDER BY tt DESC, touch_id DESC) AS rk
+             |  FROM joined
+             |), credited AS (
+             |  SELECT conv_id,
+             |    CASE WHEN nt = 0 THEN 'direct' ELSE channel END AS chan,
+             |    CASE WHEN nt = 0 THEN cents
+             |         ELSE cents // nt + CASE WHEN rk <= cents % nt
+             |              THEN 1 ELSE 0 END END AS alloc
+             |  FROM n
+             |)
+             |SELECT chan, count(DISTINCT conv_id) AS n_conversions,
+             |  CAST(sum(alloc) AS BIGINT) AS attributed_cents
+             |FROM credited GROUP BY chan ORDER BY chan""".stripMargin)))
 }
