@@ -124,7 +124,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q199), largest-remainder proration (q200), bucketed
   *             key-gap islands (q201), Pareto concentration via
   *             distributed prefix sums (q202), linear multi-touch
-  *             attribution (q203)
+  *             attribution (q203), RFM quintile segmentation (q204),
+  *             cohort lifetime-value curves (q205)
   */
 object SparkEntry {
 

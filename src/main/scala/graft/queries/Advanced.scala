@@ -1855,5 +1855,114 @@ object Advanced {
              |)
              |SELECT chan, count(DISTINCT conv_id) AS n_conversions,
              |  CAST(sum(alloc) AS BIGINT) AS attributed_cents
-             |FROM credited GROUP BY chan ORDER BY chan""".stripMargin)))
+             |FROM credited GROUP BY chan ORDER BY chan""".stripMargin)),
+
+    QueryDef("q204_rfm_segments",
+      "RFM quintile segmentation (bucketed ranks, integer quintile arithmetic)",
+      // the CRM classic: per-user recency/frequency/monetary, each ranked
+      // through the bucketed two-level global rank (no single-partition
+      // window even though the per-user frame is small — the shape must
+      // survive a user table that isn't), quintile = (5*rank) div n.
+      // Output: the populated (r,f,m) segment census.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("long").as("tns"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val per = e.groupBy("user_id")
+          .agg(max("tns").as("recency"), count(lit(1)).as("freq"),
+            sum("vm").as("monetary"))
+          .localCheckpoint(true) // feeds three independent ranked passes
+        val n = per.count()
+        // bucket granularity per dimension keeps the offsets frame tiny
+        // (recency spans epoch nanos, freq single digits x10, monetary ~1e7)
+        def quintile(valCol: String, bucketDiv: Long, as: String) =
+          graft.model.Frames.denseIndexByKey(
+            per.select(col("user_id"), col(valCol)), Seq.empty,
+            bucketCol = expr(s"-($valCol div $bucketDiv)"),
+            orderCols = Seq(col(valCol).desc, col("user_id")), as = "rk")
+            .select(col("user_id"), expr(s"(5 * rk) div $n").cast("int").as(as))
+        per.select(col("user_id"))
+          .join(quintile("recency", 1000000000000000L, "r"), "user_id")
+          .join(quintile("freq", 8L, "f"), "user_id")
+          .join(quintile("monetary", 1000000L, "m"), "user_id")
+          .groupBy("r", "f", "m").agg(count(lit(1)).as("n_users"))
+          .orderBy("r", "f", "m")
+      },
+      Some("""|WITH per AS (
+             |  SELECT user_id, max(epoch_ns(ts)) AS recency, count(*) AS freq,
+             |    sum(CAST(floor(value * 1000) AS BIGINT)) AS monetary
+             |  FROM events GROUP BY user_id
+             |), n AS (SELECT count(*) AS n FROM per),
+             |q AS (
+             |  SELECT user_id,
+             |    CAST((5 * (row_number() OVER (ORDER BY recency DESC, user_id) - 1))
+             |      // n.n AS INT) AS r,
+             |    CAST((5 * (row_number() OVER (ORDER BY freq DESC, user_id) - 1))
+             |      // n.n AS INT) AS f,
+             |    CAST((5 * (row_number() OVER (ORDER BY monetary DESC, user_id) - 1))
+             |      // n.n AS INT) AS m
+             |  FROM per CROSS JOIN n
+             |)
+             |SELECT r, f, m, count(*) AS n_users
+             |FROM q GROUP BY r, f, m ORDER BY r, f, m""".stripMargin)),
+
+    QueryDef("q205_cohort_ltv",
+      "cohort lifetime-value curve: cumulative cents by cohort week x weeks-since-first",
+      // q145's retention matrix with money: per (cohort, age) cents collapse
+      // map-side to a weeks^2-bounded frame; the cumulative LTV runs inside
+      // each cohort over that bounded frame. avg_ltv_cents is per cohort
+      // SIZE (including inactive users), the product metric.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("long").as("tns"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val first = e.groupBy("user_id").agg(min("tns").as("ft"))
+        val sized = first
+          .withColumn("cohort_week", expr("ft div 604800000000000"))
+          .groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+        val aged = e.join(first, "user_id")
+          .withColumn("cohort_week", expr("ft div 604800000000000"))
+          .withColumn("age_weeks", expr("(tns - ft) div 604800000000000"))
+          .groupBy("cohort_week", "age_weeks")
+          .agg(sum("cents").as("week_cents"))
+        val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        aged
+          .withColumn("cum_cents", sum("week_cents").over(w))
+          .join(broadcast(sized), "cohort_week")
+          .select(col("cohort_week"), col("age_weeks"), col("cohort_size"),
+            col("week_cents"), col("cum_cents"),
+            round(col("cum_cents").cast("double") / col("cohort_size") / 100.0, 6)
+              .as("avg_ltv"))
+          .orderBy("cohort_week", "age_weeks")
+      },
+      Some("""|WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events
+             |), f AS (
+             |  SELECT user_id, min(tns) AS ft FROM e GROUP BY user_id
+             |), sized AS (
+             |  SELECT ft // 604800000000000 AS cohort_week,
+             |    count(*) AS cohort_size
+             |  FROM f GROUP BY 1
+             |), aged AS (
+             |  SELECT f.ft // 604800000000000 AS cohort_week,
+             |    (e.tns - f.ft) // 604800000000000 AS age_weeks,
+             |    sum(e.cents) AS week_cents
+             |  FROM e JOIN f USING (user_id)
+             |  GROUP BY 1, 2
+             |), c AS (
+             |  SELECT cohort_week, age_weeks, week_cents,
+             |    sum(week_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+             |      ROWS UNBOUNDED PRECEDING) AS cum_cents
+             |  FROM aged
+             |)
+             |SELECT c.cohort_week, c.age_weeks, s.cohort_size,
+             |  CAST(c.week_cents AS BIGINT) AS week_cents,
+             |  CAST(c.cum_cents AS BIGINT) AS cum_cents,
+             |  round(CAST(c.cum_cents AS DOUBLE) / s.cohort_size / 100.0, 6)
+             |    AS avg_ltv
+             |FROM c JOIN sized s USING (cohort_week)
+             |ORDER BY cohort_week, age_weeks""".stripMargin)))
 }
