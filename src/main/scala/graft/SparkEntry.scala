@@ -125,7 +125,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             key-gap islands (q201), Pareto concentration via
   *             distributed prefix sums (q202), linear multi-touch
   *             attribution (q203), RFM quintile segmentation (q204),
-  *             cohort lifetime-value curves (q205)
+  *             cohort lifetime-value curves (q205), streaming trending
+  *             detector (q206, in StreamingQueries), instantaneous
+  *             frequency from wavelet phase (q207)
   */
 object SparkEntry {
 

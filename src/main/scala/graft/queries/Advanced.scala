@@ -1964,5 +1964,39 @@ object Advanced {
              |  round(CAST(c.cum_cents AS DOUBLE) / s.cohort_size / 100.0, 6)
              |    AS avg_ltv
              |FROM c JOIN sized s USING (cohort_week)
-             |ORDER BY cohort_week, age_weeks""".stripMargin)))
+             |ORDER BY cohort_week, age_weeks""".stripMargin)),
+
+    QueryDef("q207_instantaneous_frequency",
+      "instantaneous frequency from wavelet phase (lagged unwrap, per-band Hz stats)",
+      // the q35 phase chain composed with d(phase)/dt: phases pinned to the
+      // cross-engine round(.,6) grid, lagged per (channel, band), wrapped
+      // into [-pi, pi) by floor arithmetic, scaled to Hz. The per-band mean
+      // must sit near the band's center frequency — physics as the
+      // invariant. Means sum ROUNDED micro-Hz integers (order-free); the
+      // lag is a per-(channel, band) ordered window, parallelism =
+      // channels x bands.
+      (s, dir) => {
+        val rate = 1000.0
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, rate)
+        val ph = DspOperators.phase(
+          DspOperators.waveletTransform(seg, "human", hgOnly = true))
+        val long = Frames.toLong(ph)
+          .select(col("channel"), col("band"), col("t_idx"),
+            round(col("value"), 6).as("p"))
+        val w = Window.partitionBy("channel", "band").orderBy("t_idx")
+        val twoPi = 2.0 * math.Pi
+        long
+          .withColumn("d", col("p") - lag("p", 1).over(w))
+          .filter(col("d").isNotNull)
+          .withColumn("f",
+            (col("d") - lit(twoPi) * floor((col("d") + lit(math.Pi)) / lit(twoPi)))
+              * lit(rate) / lit(twoPi))
+          .groupBy("channel", "band")
+          .agg(count(lit(1)).as("n"),
+            round(sum(expr("CAST(round(f * 1e6, 0) AS BIGINT)")).cast("double")
+              / count(lit(1)) / 1e6, 6).as("mean_if_hz"),
+            count(when(col("f") < 0, 1)).as("n_negative"))
+          .orderBy("channel", "band")
+      },
+      Some(SpectralOracles.q207())))
 }

@@ -280,6 +280,35 @@ FROM ztrace ORDER BY channel, band, t_idx"""
 
   def q35(rate: Double = 1000.0): String = q32(rate, "atan2(zim, zre)")
 
+  /** q207: instantaneous frequency — q35's wavelet phase chain composed
+    * with a per-(channel, band) lagged phase difference, wrapped into
+    * (-pi, pi] by floor arithmetic and scaled to Hz. Phases are pinned to
+    * the cross-engine round(.,6) grid first (the q35 hash contract), so
+    * the difference/wrap/scale chain runs on identical doubles; per-band
+    * means sum ROUNDED micro-Hz integers (order-free). */
+  def q207(rate: Double = 1000.0): String =
+    s"""WITH $rect, $fastlen, ${resampleConsts(rate, rate)},
+${padCtes("rect", Seq("channel"), "padded")},
+${waveletCtes(rate, "padded", "ztrace")},
+ph AS (
+  SELECT channel, band, t_idx, round(atan2(zim, zre), 6) AS p
+  FROM ztrace
+), dp AS (
+  SELECT channel, band,
+    p - lag(p) OVER (PARTITION BY channel, band ORDER BY t_idx) AS d
+  FROM ph
+), instf AS (
+  SELECT channel, band,
+    (d - 2 * pi() * floor((d + pi()) / (2 * pi()))) * $rate / (2 * pi()) AS f
+  FROM dp WHERE d IS NOT NULL
+)
+SELECT channel, band, count(*) AS n,
+  round(CAST(sum(CAST(round(f * 1e6, 0) AS BIGINT)) AS DOUBLE)
+    / count(*) / 1e6, 6) AS mean_if_hz,
+  count(*) FILTER (WHERE f < 0) AS n_negative
+FROM instf GROUP BY channel, band
+ORDER BY channel, band"""
+
   /** q192: amplitude-envelope correlation — q32's wavelet amplitude chain
     * composed with an integer-grid Pearson correlation between channel
     * pairs within each band. Amplitudes are pinned to the cross-engine-

@@ -815,6 +815,67 @@ GROUP BY 1 ORDER BY channel"""
        |    AS decayed_score
        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming trending detector: the stream maintains watermarked hourly
+    * type counts in an append parquet sink (the unbounded-output shape);
+    * the q170 trailing-z burst math runs batch-side over the sink's
+    * conservative closed-window set — the live-dashboard composition
+    * (stream keeps the window store, readout is a bounded query). Both
+    * sides share the conservative window filter, so emission boundaries
+    * can't leak into the comparison; z is the (10c-s)/sqrt(10s2-s^2)
+    * integer fold. */
+  private def q206Build(s: SparkSession, dir: String): DataFrame = {
+    val winU = 3600L * 1000000L
+    val delayU = 3600L * 1000000L
+    val (stage, maxTu) = stageAndMaxTu(s, dir)
+    val streamed = StreamingOps.runToParquet(s, stage,
+      s"q206_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.windowedEventAgg(df, window = "1 hour",
+        watermark = "1 hour"))
+    val maxKeep = (maxTu - delayU) / winU - 2
+    val counts = streamed
+      .withColumn("win", (unix_micros(col("window.start")) / winU).cast("long"))
+      .filter(col("win") <= maxKeep)
+      .select(col("win"), col("event_type"), col("n").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("win").rowsBetween(-10, -1)
+    counts
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s", sum("c").over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .filter(col("n_prev") === 10)
+      .withColumn("varnum", lit(10) * col("s2") - col("s") * col("s"))
+      .select(col("event_type"), col("win"), col("c"),
+        when(col("varnum") > 0,
+          round((lit(10) * col("c") - col("s")).cast("double") /
+            sqrt(col("varnum").cast("double")), 6)).as("z"))
+      .orderBy("event_type", "win")
+  }
+
+  private def q206Oracle: String = {
+    val tu = "CAST(trunc(epoch_ns(ts)::DOUBLE / 1000.0) AS BIGINT)"
+    val winU = 3600L * 1000000L
+    val delayU = 3600L * 1000000L
+    s"""WITH mx AS (SELECT max($tu) AS m FROM events),
+cnt AS (
+  SELECT $tu // $winU AS win, event_type, count(*) AS c
+  FROM events, mx
+  WHERE $tu // $winU + 2 <= (mx.m - $delayU) // $winU
+  GROUP BY 1, 2
+), r AS (
+  SELECT event_type, win, c,
+    count(*) OVER w AS n_prev, sum(c) OVER w AS s, sum(c * c) OVER w AS s2
+  FROM cnt
+  WINDOW w AS (PARTITION BY event_type ORDER BY win
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, win, c,
+  CASE WHEN 10 * s2 - s * s > 0
+       THEN round(CAST(10 * c - s AS DOUBLE)
+                  / sqrt(CAST(10 * s2 - s * s AS DOUBLE)), 6) END AS z
+FROM r WHERE n_prev = 10
+ORDER BY event_type, win"""
+  }
+
   /** Streaming twin of q182's A/B readout: the per-user conversion flag is
     * max(flag) — monotone, so a running Update-mode aggregation's last
     * update per user equals the batch flag under any micro-batch slicing.
@@ -1042,5 +1103,10 @@ GROUP BY 1 ORDER BY channel"""
       "streaming A/B store: monotone per-user conversion flags in Update " +
         "mode, batch-side z readout == q182's batch statistic (oracle " +
         "verbatim)",
-      q186Build, Some(q186Oracle)))
+      q186Build, Some(q186Oracle)),
+    QueryDef("q206_streaming_trending",
+      "streaming trending detector: watermarked hourly counts to an " +
+        "append sink, q170's trailing-z burst math batch-side over the " +
+        "conservative closed-window set",
+      q206Build, Some(q206Oracle)))
 }
