@@ -85,7 +85,8 @@ object Bench {
     "q200_proration_allocation", "q201_key_gap_islands",
     "q202_pareto_concentration", "q203_linear_attribution",
     "q204_rfm_segments", "q205_cohort_ltv",
-    "q206_streaming_trending", "q207_instantaneous_frequency")
+    "q206_streaming_trending", "q207_instantaneous_frequency",
+    "q208_survival_curve", "q209_seasonality_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

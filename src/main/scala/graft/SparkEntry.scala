@@ -127,7 +127,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             attribution (q203), RFM quintile segmentation (q204),
   *             cohort lifetime-value curves (q205), streaming trending
   *             detector (q206, in StreamingQueries), instantaneous
-  *             frequency from wavelet phase (q207)
+  *             frequency from wavelet phase (q207), Kaplan-Meier survival
+  *             with censoring (q208), weekly seasonality index (q209)
   */
 object SparkEntry {
 

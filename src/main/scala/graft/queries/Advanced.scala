@@ -1998,5 +1998,109 @@ object Advanced {
             count(when(col("f") < 0, 1)).as("n_negative"))
           .orderBy("channel", "band")
       },
-      Some(SpectralOracles.q207())))
+      Some(SpectralOracles.q207())),
+
+    QueryDef("q208_survival_curve",
+      "Kaplan-Meier retention survival with right-censoring (exact risk sets)",
+      // time-to-churn survival: duration = active span in days; users still
+      // active near the stream end are CENSORED (counted at risk, never as
+      // deaths). Risk sets and death counts are exact integers from a
+      // day-bounded histogram; the survival product becomes
+      // exp(cumsum(round-micro ln(1 - d/n))) — per-term doubles are
+      // identical cross-engine (same rationals), the cumsum is an exact
+      // integer, and exp runs once per output row. Windows run over the
+      // CALENDAR-bounded day frame, not the data.
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("long").as("tns"))
+        val gmax = e.agg(max("tns").as("gmax"))
+        val per = e.groupBy("user_id")
+          .agg(min("tns").as("ft"), max("tns").as("lt"))
+          .join(broadcast(gmax))
+          .select(expr("(lt - ft) div 86400000000000").as("dur_days"),
+            (col("gmax") - col("lt") > lit(7L * dayNs)).as("churned"))
+        val byDay = per.groupBy("dur_days")
+          .agg(count(when(col("churned"), 1)).as("d"),
+            count(lit(1)).as("ending"))
+        val tot = per.agg(count(lit(1)).as("n_total"))
+        val wPrev = Window.orderBy("dur_days")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("dur_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDay.join(broadcast(tot))
+          .withColumn("n_risk",
+            col("n_total") - coalesce(sum("ending").over(wPrev), lit(0L)))
+          // d == n_risk would be ln(0): flag the absorbing zero instead of
+          // feeding -inf into the sum (same CASE both engines)
+          .withColumn("lnterm", expr("""CASE WHEN d >= n_risk THEN 0
+            ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e6, 0)
+              AS BIGINT) END"""))
+          .withColumn("dead", expr("CASE WHEN d >= n_risk THEN 1 ELSE 0 END"))
+          .withColumn("s",
+            when(sum("dead").over(wCum) > 0, lit(0.0))
+              .otherwise(round(exp(sum("lnterm").over(wCum).cast("double") / 1e6), 6)))
+          .select(col("dur_days"), col("n_risk"), col("d").as("n_churned"),
+            (col("ending") - col("d")).as("n_censored"), col("s").as("survival"))
+          .orderBy("dur_days")
+      },
+      Some("""|WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS tns FROM events
+             |), g AS (SELECT max(tns) AS gmax FROM e),
+             |per AS (
+             |  SELECT (max(tns) - min(tns)) // 86400000000000 AS dur_days,
+             |    (g.gmax - max(tns)) > 604800000000000 AS churned
+             |  FROM e CROSS JOIN g GROUP BY user_id, g.gmax
+             |), byday AS (
+             |  SELECT dur_days, count(*) FILTER (WHERE churned) AS d,
+             |    count(*) AS ending
+             |  FROM per GROUP BY dur_days
+             |), t AS (SELECT count(*) AS n_total FROM per),
+             |r AS (
+             |  SELECT dur_days, d, ending,
+             |    t.n_total - coalesce(sum(ending) OVER (ORDER BY dur_days
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM byday CROSS JOIN t
+             |), l AS (
+             |  SELECT dur_days, n_risk, d, ending,
+             |    CASE WHEN d >= n_risk THEN 0
+             |      ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e6, 0)
+             |        AS BIGINT) END AS lnterm,
+             |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+             |  FROM r
+             |)
+             |SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+             |  d AS n_churned, ending - d AS n_censored,
+             |  CASE WHEN sum(dead) OVER (ORDER BY dur_days
+             |      ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+             |    ELSE round(exp(CAST(sum(lnterm) OVER (ORDER BY dur_days
+             |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6), 6) END AS survival
+             |FROM l ORDER BY dur_days""".stripMargin)),
+
+    QueryDef("q209_seasonality_index",
+      "weekly seasonality index per event type (share-of-week x 7, exact ratios)",
+      // the demand-planning staple: day-of-week activity index where 1.0 =
+      // a uniform week. Counts collapse map-side to types x 7 rows; the
+      // index is one double chain over exact integers.
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("event_type"),
+          expr("(CAST(ts AS BIGINT) div 86400000000000) % 7").as("dow"))
+        val c = e.groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
+        val t = c.groupBy("event_type").agg(sum("c").as("wk"))
+        c.join(broadcast(t), "event_type")
+          .select(col("event_type"), col("dow"), col("c"),
+            round(col("c") * lit(7).cast("double") / col("wk"), 6).as("idx"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""|WITH c AS (
+             |  SELECT event_type, (epoch_ns(ts) // 86400000000000) % 7 AS dow,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2
+             |), t AS (
+             |  SELECT event_type, sum(c) AS wk FROM c GROUP BY event_type
+             |)
+             |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.c,
+             |  round(CAST(c.c * 7 AS DOUBLE) / t.wk, 6) AS idx
+             |FROM c JOIN t USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin)))
 }
