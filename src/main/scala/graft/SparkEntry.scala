@@ -128,7 +128,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             cohort lifetime-value curves (q205), streaming trending
   *             detector (q206, in StreamingQueries), instantaneous
   *             frequency from wavelet phase (q207), Kaplan-Meier survival
-  *             with censoring (q208), weekly seasonality index (q209)
+  *             with censoring (q208), weekly seasonality index (q209),
+  *             audience-overlap Jaccard matrix (q210), lexical burstiness
+  *             Fano factors (q211)
   */
 object SparkEntry {
 

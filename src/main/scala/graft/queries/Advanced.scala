@@ -2102,5 +2102,92 @@ object Advanced {
              |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.c,
              |  round(CAST(c.c * 7 AS DOUBLE) / t.wk, 6) AS idx
              |FROM c JOIN t USING (event_type)
-             |ORDER BY event_type, dow""".stripMargin)))
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    QueryDef("q210_segment_overlap",
+      "audience overlap matrix: user-set Jaccard between event types",
+      // which behaviors share an audience? (type, user) distinct-ed FIRST
+      // (the two-level distinct idiom), then the intersection counts come
+      // from a self-join on the USER key — fan-out bounded by types per
+      // user, never |users|^2 — and the union sizes follow by
+      // inclusion-exclusion from the bounded per-type counts.
+      (s, dir) => {
+        val tu = table(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .localCheckpoint(true) // feeds sizes + both self-join sides
+        val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val inter = tu.select(col("event_type").as("t1"), col("user_id"))
+          .join(tu.select(col("event_type").as("t2"), col("user_id")), "user_id")
+          .filter(col("t1") < col("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+        inter
+          .join(broadcast(sizes.select(col("event_type").as("t1"), col("n").as("n1"))), "t1")
+          .join(broadcast(sizes.select(col("event_type").as("t2"), col("n").as("n2"))), "t2")
+          .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+            round(col("n_both").cast("double") /
+              (col("n1") + col("n2") - col("n_both")), 6).as("jaccard"))
+          .orderBy("t1", "t2")
+      },
+      Some("""|WITH tu AS (
+             |  SELECT DISTINCT event_type, user_id FROM events
+             |), sizes AS (
+             |  SELECT event_type, count(*) AS n FROM tu GROUP BY event_type
+             |), inter AS (
+             |  SELECT a.event_type AS t1, b.event_type AS t2,
+             |    count(*) AS n_both
+             |  FROM tu a JOIN tu b ON b.user_id = a.user_id
+             |    AND b.event_type > a.event_type
+             |  GROUP BY 1, 2
+             |)
+             |SELECT i.t1, i.t2, s1.n AS n1, s2.n AS n2, i.n_both,
+             |  round(CAST(i.n_both AS DOUBLE) / (s1.n + s2.n - i.n_both), 6)
+             |    AS jaccard
+             |FROM inter i
+             |JOIN sizes s1 ON s1.event_type = i.t1
+             |JOIN sizes s2 ON s2.event_type = i.t2
+             |ORDER BY t1, t2""".stripMargin)),
+
+    QueryDef("q211_word_burstiness",
+      "lexical burstiness: per-word Fano factor of per-document counts",
+      // content words cluster in few docs (Fano >> 1), function words
+      // spread evenly (~uniform): variance/mean of per-doc counts with
+      // ZERO-docs included via closed form — sum/sumsq over observed
+      // (word, doc) rows plus n_docs from a 1-row broadcast, never a
+      // gap-filled word x doc matrix. Exact integer moments, one double
+      // chain, top-50 by rounded Fano.
+      (s, dir) => {
+        val wd = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("word", "doc_id").agg(count(lit(1)).as("c"))
+        val nd = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        wd.groupBy("word")
+          .agg(count(lit(1)).as("n_present"), sum("c").as("tc"),
+            sum(col("c") * col("c")).as("tc2"))
+          .join(broadcast(nd))
+          .filter(col("tc") >= 10)
+          .select(col("word"), col("n_present"), col("tc").as("total_count"),
+            round((col("tc2").cast("double") * col("n_docs") - col("tc") * col("tc"))
+              / (col("tc") * col("n_docs")), 6).as("fano"))
+          .orderBy(round((col("tc2").cast("double") * col("n_docs") - col("tc") * col("tc"))
+            / (col("tc") * col("n_docs")), 6).desc, col("word"))
+          .limit(50)
+      },
+      Some("""|WITH wd AS (
+             |  SELECT word, doc_id, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |    FROM documents
+             |  ) GROUP BY word, doc_id
+             |), nd AS (SELECT count(*) AS n_docs FROM documents),
+             |agg AS (
+             |  SELECT word, count(*) AS n_present,
+             |    CAST(sum(c) AS BIGINT) AS tc, CAST(sum(c * c) AS BIGINT) AS tc2
+             |  FROM wd GROUP BY word
+             |)
+             |SELECT word, n_present, tc AS total_count,
+             |  round((CAST(tc2 AS DOUBLE) * n_docs - tc * tc)
+             |    / (tc * n_docs), 6) AS fano
+             |FROM agg CROSS JOIN nd
+             |WHERE tc >= 10
+             |ORDER BY round((CAST(tc2 AS DOUBLE) * n_docs - tc * tc)
+             |  / (tc * n_docs), 6) DESC, word LIMIT 50""".stripMargin)))
 }
