@@ -17,6 +17,57 @@ object Advanced {
   /** 2^40 — the decayed-score weight grid (exact dyadic weights). */
   private val DecayScale = 1099511627776L
 
+  /** Per-user high-value-purchase conversion flag — ONE definition shared
+    * by q182 and its streaming twin q186, so the threshold can't drift
+    * between the batch statistic and the streaming store. */
+  private[queries] def conversionFlag: org.apache.spark.sql.Column =
+    when(col("event_type") === "purchase" && col("value") > 150, 1L)
+      .otherwise(0L)
+
+  /** Two-proportion z readout over a per-user `(user_id, conv)` frame —
+    * q182's exact formula (guarded CASE for the degenerate pool), shared
+    * with q186. The variant pivot is a 2-row broadcast self-join; z is one
+    * double chain over 4 exact integers. */
+  private[queries] def abReadout(perUser: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val per = perUser
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a = per.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = per.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.join(b)
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("round(CAST(conv_a AS DOUBLE) / n_a, 6)").as("rate_a"),
+        expr("round(CAST(conv_b AS DOUBLE) / n_b, 6)").as("rate_b"),
+        expr("""CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 6) END""").as("z"))
+  }
+
+  /** Trailing-10-observed-window burst z over `(event_type, <win>, c)`
+    * counts — q170's integer fold (z = (10c-s)/sqrt(10*s2-s^2)), shared
+    * with streaming q206 so the detector math exists once. */
+  private[queries] def trailingZ(counts: org.apache.spark.sql.DataFrame,
+                                 winCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(winCol).rowsBetween(-10, -1)
+    counts
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s", sum("c").over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .filter(col("n_prev") === 10)
+      .withColumn("varnum", lit(10) * col("s2") - col("s") * col("s"))
+      .select(col("event_type"), col(winCol), col("c"),
+        when(col("varnum") > 0,
+          round((lit(10) * col("c") - col("s")).cast("double") /
+            sqrt(col("varnum").cast("double")), 6)).as("z"))
+      .orderBy("event_type", winCol)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q164_welch_psd",
@@ -86,12 +137,18 @@ object Advanced {
         val b = q.select(col("channel").as("c2"), col("vm").as("v2"))
         val lagDots = udf { (v1s: Seq[Long], v2s: Seq[Long]) =>
           val v1 = v1s.toArray; val v2 = v2s.toArray
-          (0 to 4).map { l =>
+          // lags longer than the trace emit nothing (the oracle's join
+          // naturally produces no row there — a zero/negative n_terms row
+          // here would be a phantom)
+          (0 to 4).flatMap { l =>
             val n = v1.length - l
-            var sum = 0L
-            var i = 0
-            while (i < n) { sum += v1(i) * v2(i + l); i += 1 }
-            (l, n.toLong, sum)
+            if (n <= 0) None
+            else {
+              var sum = 0L
+              var i = 0
+              while (i < n) { sum += v1(i) * v2(i + l); i += 1 }
+              Some((l, n.toLong, sum))
+            }
           }
         }
         a.crossJoin(b).filter(col("c1") < col("c2"))
@@ -304,17 +361,7 @@ object Advanced {
           .select(col("event_type"),
             expr("CAST(ts AS BIGINT) div 60000000000").as("minute"))
           .groupBy("event_type", "minute").agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("event_type").orderBy("minute").rowsBetween(-10, -1)
-        c.withColumn("n_prev", count(lit(1)).over(w))
-          .withColumn("s", sum("c").over(w))
-          .withColumn("s2", sum(col("c") * col("c")).over(w))
-          .filter(col("n_prev") === 10)
-          .withColumn("varnum", lit(10) * col("s2") - col("s") * col("s"))
-          .select(col("event_type"), col("minute"), col("c"),
-            when(col("varnum") > 0,
-              round((lit(10) * col("c") - col("s")).cast("double") /
-                sqrt(col("varnum").cast("double")), 6)).as("z"))
-          .orderBy("event_type", "minute")
+        trailingZ(c, "minute")
       },
       Some("""|WITH m AS (
              |  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
@@ -844,29 +891,9 @@ object Advanced {
       // over 4 exact integers (identical op order both engines). The
       // variant pivot is a 2-row broadcast self-join.
       (s, dir) => {
-        val per = table(s, dir, "events")
-          .select(col("user_id"),
-            when(col("event_type") === "purchase" && col("value") > 150, 1L)
-              .otherwise(0L).as("p"))
-          .groupBy("user_id").agg(max("p").as("conv"))
-          .withColumn("variant", pmod(col("user_id"), lit(2)))
-          .groupBy("variant")
-          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-        val a = per.filter(col("variant") === 0)
-          .select(col("n").as("n_a"), col("c").as("conv_a"))
-        val b = per.filter(col("variant") === 1)
-          .select(col("n").as("n_b"), col("c").as("conv_b"))
-        // z guarded against the degenerate all/none-converted pool (pooled
-        // variance 0): both engines share the same CASE, not cast semantics
-        a.join(b)
-          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-            expr("round(CAST(conv_a AS DOUBLE) / n_a, 6)").as("rate_a"),
-            expr("round(CAST(conv_b AS DOUBLE) / n_b, 6)").as("rate_b"),
-            expr("""CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
-                 THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                   * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                   * (1.0 / n_a + 1.0 / n_b)), 6) END""").as("z"))
+        abReadout(table(s, dir, "events")
+          .select(col("user_id"), conversionFlag.as("p"))
+          .groupBy("user_id").agg(max("p").as("conv")))
       },
       Some("""|WITH per AS (
              |  SELECT user_id,
@@ -1189,15 +1216,19 @@ object Advanced {
           .select(posexplode(col("embedding")).as(Seq("dim", "v")))
           .select(col("dim"),
             floor(col("v").cast("double") * 1e6).cast("long").as("mu"))
+        // second moments in DECIMAL(38,0) (the q192 idiom): n*ssq and
+        // sum^2 pass 2^63 at ~20k vectors while the oracle's HUGEINT
+        // stays exact — Long here would wrap silently into a NaN std
         x.groupBy("dim")
           .agg(count(lit(1)).as("n"), min("mu").as("min_micro"),
             max("mu").as("max_micro"), sum("mu").as("sum_micro"),
-            sum(col("mu") * col("mu")).as("ssq"))
+            sum((col("mu") * col("mu")).cast("decimal(38,0)")).as("ssq"))
           .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
             col("sum_micro"),
             round(col("sum_micro").cast("double") / col("n") / 1e6, 6).as("mean"),
-            round(sqrt((col("n") * col("ssq") - col("sum_micro") * col("sum_micro"))
-              .cast("double")) / col("n") / 1e6, 6).as("std"))
+            round(sqrt(expr("""CAST(CAST(n AS DECIMAL(38,0)) * ssq
+                - CAST(sum_micro AS DECIMAL(38,0)) * sum_micro AS DOUBLE)"""))
+              / col("n") / 1e6, 6).as("std"))
           .orderBy("dim")
       },
       Some("""|WITH x AS (
@@ -1312,11 +1343,16 @@ object Advanced {
         val dayNs = 86400000000000L
         val e = table(s, dir, "events").select(col("user_id"),
           col("ts").cast("long").as("tns"), col("event_type"))
+        // each step anchor feeds the next step AND its own census —
+        // checkpoint the bounded per-user frames so the event scans run
+        // once per step, not once per consumer
         val s1 = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("tns").as("t1"))
+          .localCheckpoint(true)
         val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
           .filter(col("tns") > col("t1") && col("tns") <= col("t1") + dayNs)
           .groupBy("user_id").agg(min("tns").as("t2"), max("t1").as("t1"))
+          .localCheckpoint(true)
         val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
           .filter(col("tns") > col("t2") && col("tns") <= col("t2") + dayNs)
           .groupBy("user_id").agg(min("tns").as("t3"), max("t1").as("t1"))
@@ -1733,10 +1769,13 @@ object Advanced {
       // single-partition window. The 80% crossing compares 5*cum < 4*total
       // in exact integers.
       (s, dir) => {
+        // the user aggregate feeds three subtrees (bucket counts, ranked
+        // join, totals) — checkpoint per the multi-consumer rule
         val u = table(s, dir, "events")
           .select(col("user_id"), floor(col("value") * 1000).cast("long").as("vm"))
           .groupBy("user_id").agg(sum("vm").as("uv"))
           .withColumn("bucket", expr("-(uv div 1000000)"))
+          .localCheckpoint(true)
         val counts = u.groupBy("bucket")
           .agg(count(lit(1)).as("bn"), sum("uv").as("bs"))
         val offW = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)

@@ -783,8 +783,13 @@ GROUP BY 1 ORDER BY channel"""
       df => df
         .select(col("user_id"), col("ts").cast("long").as("tns"),
           floor(col("value") * 1000).cast("long").as("vm"))
+        // age clamped at BOTH ends: events after the anchor (a live stream
+        // outrunning its fixed anchor) pin to age 0 — without the lower
+        // clamp Spark's truncating `div` and DuckDB's flooring `//`
+        // disagree on negative ages, and wexp > 63 would wrap shiftleft
         .withColumn("wexp", lit(40L) -
-          least(expr(s"(${anchorNs}L - tns) div 86400000000000"), lit(40L)))
+          least(greatest(expr(s"(${anchorNs}L - tns) div 86400000000000"),
+            lit(0L)), lit(40L)))
         .withColumn("term", col("vm").cast("decimal(38,0)") *
           expr("shiftleft(CAST(1 AS BIGINT), CAST(wexp AS INT))").cast("decimal(38,0)"))
         .groupBy("user_id")
@@ -806,8 +811,8 @@ GROUP BY 1 ORDER BY channel"""
        |  FROM events
        |), t AS (
        |  SELECT user_id, CAST(vm AS HUGEINT) *
-       |    CAST(power(2, 40 - LEAST((1706745600000000000 - tns)
-       |         // 86400000000000, 40)) AS HUGEINT) AS term
+       |    CAST(power(2, 40 - LEAST(GREATEST((1706745600000000000 - tns)
+       |         // 86400000000000, 0), 40)) AS HUGEINT) AS term
        |  FROM b
        |)
        |SELECT user_id, count(*) AS n_events,
@@ -836,19 +841,8 @@ GROUP BY 1 ORDER BY channel"""
       .withColumn("win", (unix_micros(col("window.start")) / winU).cast("long"))
       .filter(col("win") <= maxKeep)
       .select(col("win"), col("event_type"), col("n").as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("win").rowsBetween(-10, -1)
-    counts
-      .withColumn("n_prev", count(lit(1)).over(w))
-      .withColumn("s", sum("c").over(w))
-      .withColumn("s2", sum(col("c") * col("c")).over(w))
-      .filter(col("n_prev") === 10)
-      .withColumn("varnum", lit(10) * col("s2") - col("s") * col("s"))
-      .select(col("event_type"), col("win"), col("c"),
-        when(col("varnum") > 0,
-          round((lit(10) * col("c") - col("s")).cast("double") /
-            sqrt(col("varnum").cast("double")), 6)).as("z"))
-      .orderBy("event_type", "win")
+    // q170's detector fold, shared verbatim — the twin can't drift
+    Advanced.trailingZ(counts, "win")
   }
 
   private def q206Oracle: String = {
@@ -889,28 +883,12 @@ ORDER BY event_type, win"""
     val updates = StreamingOps.runToMemory(s, stage,
       s"q186_sink_${sinkId.incrementAndGet()}",
       df => df
-        .select(col("user_id"),
-          when(col("event_type") === "purchase" && col("value") > 150, 1L)
-            .otherwise(0L).as("p"))
+        .select(col("user_id"), Advanced.conversionFlag.as("p"))
         .groupBy("user_id").agg(max("p").as("conv")),
       outputMode = OutputMode.Update)
-    val per = updates.groupBy("user_id").agg(max("conv").as("conv"))
-      .withColumn("variant", pmod(col("user_id"), lit(2)))
-      .groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-    val a = per.filter(col("variant") === 0)
-      .select(col("n").as("n_a"), col("c").as("conv_a"))
-    val b = per.filter(col("variant") === 1)
-      .select(col("n").as("n_b"), col("c").as("conv_b"))
-    a.join(b)
-      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        expr("round(CAST(conv_a AS DOUBLE) / n_a, 6)").as("rate_a"),
-        expr("round(CAST(conv_b AS DOUBLE) / n_b, 6)").as("rate_b"),
-        expr("""CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
-             THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-               * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-               * (1.0 / n_a + 1.0 / n_b)), 6) END""").as("z"))
+    // q182's flag + statistic, shared verbatim — the twin can't drift
+    Advanced.abReadout(
+      updates.groupBy("user_id").agg(max("conv").as("conv")))
   }
 
   /** q182's oracle verbatim — the streaming store must reproduce the batch
