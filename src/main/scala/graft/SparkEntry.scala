@@ -130,7 +130,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             frequency from wavelet phase (q207), Kaplan-Meier survival
   *             with censoring (q208), weekly seasonality index (q209),
   *             audience-overlap Jaccard matrix (q210), lexical burstiness
-  *             Fano factors (q211)
+  *             Fano factors (q211), degree assortativity (q212),
+  *             Heaps-law vocabulary growth (q213)
   */
 object SparkEntry {
 

@@ -2228,5 +2228,132 @@ object Advanced {
              |FROM agg CROSS JOIN nd
              |WHERE tc >= 10
              |ORDER BY round((CAST(tc2 AS DOUBLE) * n_docs - tc * tc)
-             |  / (tc * n_docs), 6) DESC, word LIMIT 50""".stripMargin)))
+             |  / (tc * n_docs), 6) DESC, word LIMIT 50""".stripMargin)),
+
+    QueryDef("q212_graph_assortativity",
+      "degree assortativity of the co-purchase graph (exact edge-degree moments)",
+      // do high-degree parts co-purchase with high-degree parts? Pearson
+      // correlation of endpoint degrees over edges, both directions
+      // counted (the standard undirected convention — symmetric moments:
+      // sum_x == sum_y, so one moment set suffices). All integer sums in
+      // DECIMAL(38,0), one double chain; the edge-degree join is two
+      // broadcast-joinable degree lookups at this scale, hash joins at any.
+      (s, dir) => {
+        val e = Graph.coOccurrenceEdges(table(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey").localCheckpoint(true)
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val dd = e
+          .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        // both directed orientations: (da,db) and (db,da)
+        val pairs = dd.select(col("da").as("x"), col("db").as("y"))
+          .unionAll(dd.select(col("db").as("x"), col("da").as("y")))
+        pairs.agg(count(lit(1)).as("m"),
+            sum("x").as("sx"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+          .select(col("m"), col("sx").as("sum_deg"),
+            round(expr("""CAST(CAST(m AS DECIMAL(38,0)) * sxy
+                - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)""") /
+              expr("""CAST(CAST(m AS DECIMAL(38,0)) * sxx
+                - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"""), 6)
+              .as("assortativity"))
+      },
+      Some("""|WITH e AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+             |  WHERE x.l_partkey < y.l_partkey
+             |), deg AS (
+             |  SELECT v, count(*) AS deg FROM (
+             |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+             |  ) GROUP BY v
+             |), dd AS (
+             |  SELECT d1.deg AS da, d2.deg AS db
+             |  FROM e JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b
+             |), pairs AS (
+             |  SELECT da AS x, db AS y FROM dd
+             |  UNION ALL SELECT db, da FROM dd
+             |)
+             |SELECT count(*) AS m, CAST(sum(x) AS BIGINT) AS sum_deg,
+             |  round(CAST(count(*) * sum(CAST(x AS HUGEINT) * y)
+             |      - CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE) /
+             |    CAST(count(*) * sum(CAST(x AS HUGEINT) * x)
+             |      - CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE), 6)
+             |    AS assortativity
+             |FROM pairs""".stripMargin)),
+
+    QueryDef("q213_heaps_law",
+      "vocabulary growth curve with Heaps-law exponent (global token order, no global window)",
+      // vocab(N) = distinct words among the first N corpus tokens, on a
+      // deterministic (doc_id, position) token order. The global token
+      // index = per-doc offset (prefix sum of doc lengths over the BOUNDED
+      // doc frame) + in-doc position — the distributed prefix-sum idiom
+      // again, never a corpus-wide window. Each word's FIRST global index
+      // is a min-aggregate; vocab at each 2^k checkpoint counts firsts <=
+      // N. Heaps' exponent = micro-log integer regression (q197 idiom)
+      // over the checkpoints.
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " "))
+            .as(Seq("pos", "word")))
+          .localCheckpoint(true) // feeds doc lengths + first-index agg
+        val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val offW = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = lens
+          .withColumn("off", coalesce(sum("len").over(offW), lit(0L)))
+          .select(col("doc_id"), col("off"))
+        val firsts = words.join(broadcast(offsets), "doc_id")
+          .select(col("word"), (col("off") + col("pos")).as("gidx"))
+          .groupBy("word").agg(min("gidx").as("first_idx"))
+          .localCheckpoint(true) // vocabulary-sized; feeds every checkpoint
+        val pts = firsts
+          .select(explode(sequence(lit(10), lit(16))).as("k"), col("first_idx"))
+          .withColumn("n_tokens", expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS BIGINT)"))
+          .filter(col("first_idx") < col("n_tokens"))
+          .groupBy("n_tokens").agg(count(lit(1)).as("vocab"))
+        val fit = pts
+          .select(expr("CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
+            expr("CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))
+          .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("heaps_beta"))
+        pts.join(broadcast(fit)).orderBy("n_tokens")
+      },
+      Some("""|WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |    unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+             |      AS pos
+             |  FROM documents
+             |), lens AS (
+             |  SELECT doc_id, count(*) AS len FROM w GROUP BY doc_id
+             |), offs AS (
+             |  SELECT doc_id, coalesce(sum(len) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |  FROM lens
+             |), firsts AS (
+             |  SELECT w.word, min(o.off + w.pos) AS first_idx
+             |  FROM w JOIN offs o USING (doc_id)
+             |  GROUP BY w.word
+             |), pts AS (
+             |  SELECT CAST(power(2, k.k) AS BIGINT) AS n_tokens,
+             |    count(*) AS vocab
+             |  FROM firsts
+             |  CROSS JOIN (SELECT unnest(generate_series(10, 16)) AS k) k
+             |  WHERE first_idx < CAST(power(2, k.k) AS BIGINT)
+             |  GROUP BY 1
+             |), xy AS (
+             |  SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+             |  FROM pts
+             |), fit AS (
+             |  SELECT round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             |    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 6)
+             |    AS heaps_beta
+             |  FROM xy
+             |)
+             |SELECT n_tokens, vocab, heaps_beta
+             |FROM pts CROSS JOIN fit ORDER BY n_tokens""".stripMargin)))
 }
