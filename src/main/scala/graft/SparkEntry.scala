@@ -131,7 +131,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             with censoring (q208), weekly seasonality index (q209),
   *             audience-overlap Jaccard matrix (q210), lexical burstiness
   *             Fano factors (q211), degree assortativity (q212),
-  *             Heaps-law vocabulary growth (q213)
+  *             Heaps-law vocabulary growth (q213), Benford first-digit
+  *             audit (q214), ROLLUP revenue hierarchy (q215)
   */
 object SparkEntry {
 

@@ -2355,5 +2355,99 @@ object Advanced {
              |  FROM xy
              |)
              |SELECT n_tokens, vocab, heaps_beta
-             |FROM pts CROSS JOIN fit ORDER BY n_tokens""".stripMargin)))
+             |FROM pts CROSS JOIN fit ORDER BY n_tokens""".stripMargin)),
+
+    QueryDef("q214_benford_audit",
+      "Benford first-digit audit of order totals (chi-square vs log10(1+1/d))",
+      // the fraud-analytics screen: observed first-digit counts vs the
+      // Benford expectation. Digits are exact integer string prefixes; per-
+      // digit chi2 contributions are independent double chains over exact
+      // counts and the shared transcendental expectation, the total sums
+      // ROUNDED micro contributions as integers (the q185 idiom). Counts
+      // collapse map-side to 9 rows.
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("observed"))
+        val tot = o.agg(sum("observed").as("n"))
+        val scored = o.join(broadcast(tot))
+          .withColumn("expected", expr("CAST(n AS DOUBLE) * ln(1.0 + 1.0 / digit) / ln(10.0)"))
+          .withColumn("contrib_micro", expr("""CAST(round(
+            (observed - expected) * (observed - expected) / expected * 1e6, 0)
+            AS BIGINT)"""))
+        val chi2 = scored.agg(sum("contrib_micro").as("chi2_micro"))
+        scored.join(broadcast(chi2))
+          .select(col("digit"), col("observed"),
+            round(col("expected"), 6).as("expected"),
+            col("contrib_micro"), col("chi2_micro"))
+          .orderBy("digit")
+      },
+      Some("""|WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders
+             |), o AS (
+             |  SELECT digit, count(*) AS observed FROM d GROUP BY digit
+             |), t AS (SELECT sum(observed) AS n FROM o),
+             |s AS (
+             |  SELECT digit, observed,
+             |    CAST(n AS DOUBLE) * ln(1.0 + 1.0 / digit) / ln(10.0) AS expected
+             |  FROM o CROSS JOIN t
+             |), c AS (
+             |  SELECT digit, observed, expected,
+             |    CAST(round((observed - expected) * (observed - expected)
+             |      / expected * 1e6, 0) AS BIGINT) AS contrib_micro
+             |  FROM s
+             |), x AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro FROM c)
+             |SELECT digit, observed, round(expected, 6) AS expected,
+             |  contrib_micro, chi2_micro
+             |FROM c CROSS JOIN x ORDER BY digit""".stripMargin)),
+
+    QueryDef("q215_rollup_hierarchy",
+      "ROLLUP region -> nation revenue hierarchy with grouping_id (q92's CUBE sibling)",
+      // the drill-down subtotal shape: (region, nation), (region), ()
+      // grouping sets in ONE pass — Catalyst expands the rollup before the
+      // single hash aggregate. Dim joins broadcast; sentinel-coalesced
+      // coordinates keep both engines' null ordering out of the compare.
+      (s, dir) => {
+        val rev = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name").as("region_name"), col("n_name").as("nation_name"),
+            expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+              .as("cents"))
+        // the SQL ROLLUP form: Dataset.rollup over a multi-join child trips
+        // Spark 4's dataset-id ambiguity check (q92's bare .cube only works
+        // join-free); GROUP BY ROLLUP over a view of the SAME built frame
+        // plans identically — one expanded hash aggregate above the joins
+        rev.createOrReplaceTempView("v_rollup_rev")
+        s.sql("""
+          SELECT coalesce(region_name, '(all)') AS region,
+            coalesce(nation_name, '(all)') AS nation,
+            sum(cents) AS revenue_cents, count(*) AS n_lines,
+            CAST(grouping_id(region_name, nation_name) AS INT) AS gid
+          FROM v_rollup_rev
+          GROUP BY ROLLUP (region_name, nation_name)
+          ORDER BY region, nation""")
+      },
+      Some("""|SELECT coalesce(r_name, '(all)') AS region,
+             |  coalesce(n_name, '(all)') AS nation,
+             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS revenue_cents,
+             |  count(*) AS n_lines,
+             |  CAST(GROUPING(r_name, n_name) AS INT) AS gid
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)))
 }
