@@ -132,7 +132,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             audience-overlap Jaccard matrix (q210), lexical burstiness
   *             Fano factors (q211), degree assortativity (q212),
   *             Heaps-law vocabulary growth (q213), Benford first-digit
-  *             audit (q214), ROLLUP revenue hierarchy (q215)
+  *             audit (q214), ROLLUP revenue hierarchy (q215),
+  *             grid-bucketed spatial neighbor join (q216, operators/
+  *             Spatial.scala), Markov transition conditional entropy (q217)
   */
 object SparkEntry {
 

@@ -2449,5 +2449,92 @@ object Advanced {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP (r_name, n_name)
-             |ORDER BY region, nation""".stripMargin)))
+             |ORDER BY region, nation""".stripMargin)),
+
+    QueryDef("q216_geo_neighbor_pairs",
+      "grid-bucketed spatial neighbor join over md5-derived user coordinates (lossless vs all-pairs)",
+      // the spatial blocking pattern: each user gets exact integer micro-
+      // degree coordinates on a 10x10-degree map from the md5 grid ('geo:'
+      // salt, disjoint hash family), points land in 1-degree cells, and the
+      // ONLY exchange is the cell-keyed equi-join of a 9-cell probe fan-out
+      // against 1-row-per-point build (Spatial.gridNeighborPairs). radius
+      // 0.5 deg <= cell size makes the probe lossless, so the oracle is the
+      // NAIVE all-pairs join — the bucketed plan must reproduce it exactly.
+      // All distances are exact integer squares; no trig, no doubles.
+      (s, dir) => {
+        val pts = table(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id").as("id"),
+            (conv(substring(md5(concat(lit("geo:"), col("user_id").cast("string"),
+              lit(":x"))), 1, 15), 16, 10).cast("long") % 10000000L).as("x"),
+            (conv(substring(md5(concat(lit("geo:"), col("user_id").cast("string"),
+              lit(":y"))), 1, 15), 16, 10).cast("long") % 10000000L).as("y"))
+        graft.operators.Spatial.gridNeighborPairs(pts, 1000000L, 500000L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""|WITH u AS (SELECT DISTINCT user_id FROM events),
+             |p AS (
+             |  SELECT user_id AS id,
+             |    CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':x'), 1, 15))
+             |      AS UBIGINT) % 10000000 AS BIGINT) AS x,
+             |    CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':y'), 1, 15))
+             |      AS UBIGINT) % 10000000 AS BIGINT) AS y
+             |  FROM u
+             |)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+             |FROM p a JOIN p b ON a.id < b.id
+             |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             |  <= 500000 * CAST(500000 AS BIGINT)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q217_transition_entropy",
+      "Markov transition matrix + conditional entropy rate of per-user event-type sequences",
+      // the sequence-predictability readout over q124's transition shape:
+      // per-user lag(1) bigrams -> exact integer transition counts; the
+      // conditional entropy H(next|prev) = -sum (n/N) ln(n/n_prev) sums
+      // ROUNDED micro-nat contributions as integers (the q185 idiom), so
+      // both engines agree despite the transcendentals. One window shuffle
+      // (user-keyed) + one |types|^2-row aggregate; totals broadcast back.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val np = tr.groupBy("prev_type").agg(sum("n").cast("long").as("n_prev"))
+        val tot = tr.agg(sum("n").cast("long").as("n_total"))
+        val c = tr.join(broadcast(np), "prev_type").join(broadcast(tot))
+          .withColumn("p_cond", round(col("n").cast("double") / col("n_prev"), 6))
+          .withColumn("contrib_micro", expr("""CAST(round(
+            -CAST(n AS DOUBLE) / n_total * ln(CAST(n AS DOUBLE) / n_prev) * 1e6,
+            0) AS BIGINT)"""))
+        val h = c.agg(sum("contrib_micro").cast("long").as("h_cond_micro"))
+        c.join(broadcast(h))
+          .select(col("prev_type"), col("next_type"), col("n"), col("p_cond"),
+            col("contrib_micro"), col("h_cond_micro"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""|WITH o AS (
+             |  SELECT event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_type
+             |  FROM events
+             |), tr AS (
+             |  SELECT prev_type, event_type AS next_type, count(*) AS n
+             |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+             |), np AS (
+             |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev FROM tr GROUP BY 1
+             |), t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM tr),
+             |c AS (
+             |  SELECT tr.prev_type, next_type, n,
+             |    round(CAST(n AS DOUBLE) / n_prev, 6) AS p_cond,
+             |    CAST(round(-CAST(n AS DOUBLE) / n_total
+             |      * ln(CAST(n AS DOUBLE) / n_prev) * 1e6, 0) AS BIGINT)
+             |      AS contrib_micro
+             |  FROM tr JOIN np USING (prev_type) CROSS JOIN t
+             |), h AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS h_cond_micro FROM c)
+             |SELECT prev_type, next_type, n, p_cond, contrib_micro, h_cond_micro
+             |FROM c CROSS JOIN h ORDER BY prev_type, next_type""".stripMargin)))
 }
