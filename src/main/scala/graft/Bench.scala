@@ -90,7 +90,8 @@ object Bench {
     "q210_segment_overlap", "q211_word_burstiness",
     "q212_graph_assortativity", "q213_heaps_law",
     "q214_benford_audit", "q215_rollup_hierarchy",
-    "q216_geo_neighbor_pairs", "q217_transition_entropy")
+    "q216_geo_neighbor_pairs", "q217_transition_entropy",
+    "q218_kcore_peel", "q219_spearman_balance_spend")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

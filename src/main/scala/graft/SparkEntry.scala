@@ -134,7 +134,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             Heaps-law vocabulary growth (q213), Benford first-digit
   *             audit (q214), ROLLUP revenue hierarchy (q215),
   *             grid-bucketed spatial neighbor join (q216, operators/
-  *             Spatial.scala), Markov transition conditional entropy (q217)
+  *             Spatial.scala), Markov transition conditional entropy (q217),
+  *             bounded k-core peeling census (q218, Graph.boundedKCorePeel),
+  *             tie-aware Spearman rank correlation (q219)
   */
 object SparkEntry {
 

@@ -167,4 +167,37 @@ object Graph {
     }
     dist.select(col("v"), col("d").as("dist"))
   }
+
+  /** Bounded k-core peeling census: `rounds` iterations of "drop every node
+    * with degree < k, restrict edges to survivors" over an undirected edge
+    * list `(a, b)`. Returns one row per round —
+    * `(round, nodes_before, kept)` where nodes_before = distinct endpoints
+    * of the current edge set and kept = endpoints with degree >= k — so the
+    * census exposes both the peel rate and (when two consecutive rounds
+    * agree) fixpoint arrival. Bounded rounds is the same contract as
+    * [[boundedSssp]]: deterministic, exactly replayable by an unrolled-CTE
+    * oracle, and round-sized plans via per-round localCheckpoint.
+    *
+    * Scale shape: each round is one endpoint-keyed count aggregation plus
+    * two semi-joins of the edge list against the (much smaller) survivor
+    * set; state is the shrinking edge list, never per-node adjacency. */
+  def boundedKCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds in [1,20], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true)
+    val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true) // consumed by both counts and the keep filter
+      val keep = deg.filter(col("d") >= k).select("v")
+      census += ((r, deg.count(), keep.count()))
+      e = e.join(keep, e("a") === keep("v"), "left_semi")
+      e = e.join(keep, e("b") === keep("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    census.toSeq.toDF("round", "nodes_before", "kept")
+  }
 }

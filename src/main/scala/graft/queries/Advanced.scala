@@ -2536,5 +2536,119 @@ object Advanced {
              |  FROM tr JOIN np USING (prev_type) CROSS JOIN t
              |), h AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS h_cond_micro FROM c)
              |SELECT prev_type, next_type, n, p_cond, contrib_micro, h_cond_micro
-             |FROM c CROSS JOIN h ORDER BY prev_type, next_type""".stripMargin)))
+             |FROM c CROSS JOIN h ORDER BY prev_type, next_type""".stripMargin)),
+
+    QueryDef("q218_kcore_peel",
+      "bounded k-core peeling census of the co-purchase graph (k=80, 8 rounds)",
+      // the graph-sparsification workhorse: per round ONE endpoint-keyed
+      // degree aggregation + two semi-joins against the survivor set
+      // (Graph.boundedKCorePeel), round-sized plans via localCheckpoint.
+      // Bounded rounds is q167's contract — the oracle replays the same 8
+      // peels as unrolled CTEs over exact integer degrees. On this data the
+      // k=80 core reaches fixpoint inside the budget, so the census tail
+      // certifies convergence, not just progress.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        graft.operators.Graph.boundedKCorePeel(
+          graft.operators.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+          k = 80, rounds = 8)
+          .orderBy("round")
+      },
+      Some(kCorePeelOracle(k = 80, rounds = 8))),
+
+    QueryDef("q219_spearman_balance_spend",
+      "tie-aware Spearman rank correlation between customer balance and total spend",
+      // the robust-correlation readout: exact doubled average ranks
+      // (2m + c - 1, integers even under ties) via the BUCKETED two-level
+      // global index (q176's denseIndexByKey-with-empty-key idiom — never a
+      // single-partition global window) + a per-value min/max window; the
+      // correlation is one double chain over six exact long sums. Customers
+      // without orders rank at spend 0 — the left join keeps them.
+      (s, dir) => {
+        val spend = table(s, dir, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend"))
+        val base = table(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+          .join(spend, Seq("custkey"), "left")
+          .withColumn("spend", coalesce(col("spend"), lit(0L)))
+        def doubledRank(df: org.apache.spark.sql.DataFrame, v: String,
+                        bucketPitch: Long, as: String) = {
+          val idx = Frames.denseIndexByKey(df.select("custkey", v), Seq.empty,
+            bucketCol = expr(s"$v div $bucketPitch"),
+            orderCols = Seq(col(v), col("custkey")), as = "_idx")
+          val wv = Window.partitionBy(v)
+          idx.select(col("custkey"),
+            (min("_idx").over(wv) + max("_idx").over(wv) + lit(2L)).as(as))
+        }
+        val xy = doubledRank(base, "bal", 100000L, "x2")
+          .join(doubledRank(base, "spend", 10000000L, "y2"), "custkey")
+        // long sums are exact through sf0.1 (|2n|^2 * n ~ 1e17 at n=15k);
+        // the 100 TB variant swaps these six aggregates to DECIMAL(38,0)
+        xy.agg(count(lit(1)).as("n"), sum("x2").as("sx"), sum("y2").as("sy"),
+            sum(col("x2") * col("y2")).as("sxy"),
+            sum(col("x2") * col("x2")).as("sxx"),
+            sum(col("y2") * col("y2")).as("syy"))
+          .select(col("n"),
+            expr("""round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)), 6)""").as("rho"))
+      },
+      Some("""|WITH spend AS (
+             |  SELECT o_custkey AS custkey,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+             |  FROM orders GROUP BY 1
+             |), base AS (
+             |  SELECT c_custkey AS custkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             |    coalesce(spend, 0) AS spend
+             |  FROM customer LEFT JOIN spend ON c_custkey = custkey
+             |), ranked AS (
+             |  SELECT
+             |    2 * rank() OVER (ORDER BY bal)
+             |      + count(*) OVER (PARTITION BY bal) - 1 AS x2,
+             |    2 * rank() OVER (ORDER BY spend)
+             |      + count(*) OVER (PARTITION BY spend) - 1 AS y2
+             |  FROM base
+             |), s AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x2) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+             |    CAST(sum(x2 * y2) AS BIGINT) AS sxy,
+             |    CAST(sum(x2 * x2) AS BIGINT) AS sxx,
+             |    CAST(sum(y2 * y2) AS BIGINT) AS syy
+             |  FROM ranked
+             |)
+             |SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+             |FROM s""".stripMargin)))
+
+  /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
+    * round r computes degrees of e(r-1), keeps v with d >= k, restricts the
+    * edge set — identical integer recurrence to the Spark loop. */
+  private def kCorePeelOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""deg$r AS MATERIALIZED (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b AS v FROM e${r - 1}
+         |  ) GROUP BY v
+         |), keep$r AS MATERIALIZED (SELECT v FROM deg$r WHERE d >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT v FROM keep$r) AND b IN (SELECT v FROM keep$r)
+         |)""".stripMargin
+    }.mkString(", ")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(*) FROM deg$r) AS nodes_before,
+         |  (SELECT count(*) FROM keep$r) AS kept""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey
+       |), $peels
+       |SELECT * FROM ($rows) ORDER BY round""".stripMargin
+  }
 }

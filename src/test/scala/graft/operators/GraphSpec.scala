@@ -82,4 +82,27 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(again === ranks)
   }
+
+  test("kCorePeel: pendant chain peels one hop per round, clique core survives") {
+    // 4-clique {1,2,3,4} + chain 4-5-6-7: at k=2 the chain erodes from the
+    // far end one node per round (7, then 6, then 5), the clique never
+    // peels — census must show exactly that trajectory and the fixpoint
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val census = Graph.boundedKCorePeel(edgesDf(clique ++ chain), k = 2, rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(census.toSeq === Seq(
+      (1, 7L, 6L), // degree-1 node 7 dropped
+      (2, 6L, 5L), // node 6 now degree-1
+      (3, 5L, 4L), // node 5 now degree-1
+      (4, 4L, 4L), // fixpoint: the 4-clique, every degree 3
+      (5, 4L, 4L)))
+  }
+
+  test("kCorePeel: empty survivor set stays empty (no NPE on empty rounds)") {
+    val path = edgesDf(Seq((1L, 2L), (2L, 3L)))
+    val census = Graph.boundedKCorePeel(path, k = 3, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(census.toSeq === Seq((1, 3L, 0L), (2, 0L, 0L), (3, 0L, 0L)))
+  }
 }
