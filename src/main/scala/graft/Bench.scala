@@ -91,7 +91,8 @@ object Bench {
     "q212_graph_assortativity", "q213_heaps_law",
     "q214_benford_audit", "q215_rollup_hierarchy",
     "q216_geo_neighbor_pairs", "q217_transition_entropy",
-    "q218_kcore_peel", "q219_spearman_balance_spend")
+    "q218_kcore_peel", "q219_spearman_balance_spend",
+    "q220_mann_kendall", "q221_local_clustering")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -136,7 +136,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             grid-bucketed spatial neighbor join (q216, operators/
   *             Spatial.scala), Markov transition conditional entropy (q217),
   *             bounded k-core peeling census (q218, Graph.boundedKCorePeel),
-  *             tie-aware Spearman rank correlation (q219)
+  *             tie-aware Spearman rank correlation (q219), tie-corrected
+  *             Mann-Kendall trend test (q220), per-node local clustering
+  *             coefficients (q221, Graph.localClustering)
   */
 object SparkEntry {
 

@@ -200,4 +200,47 @@ object Graph {
     }
     census.toSeq.toDF("round", "nodes_before", "kept")
   }
+
+  /** Per-node local clustering coefficient: coeff(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * for nodes with degree >= 2, where T(v) counts triangles through v.
+    * Returns `(v, d, t, coeff)` with coeff rounded to 6.
+    *
+    * Same scale shape as [[triangleStats]]: triangles are enumerated ONCE at
+    * their degree-order-minimal vertex (oriented wedge self-join closed
+    * against the canonical a<b edge table — per-key fan-out O(sqrt(2m))
+    * under any skew), then each triangle fans out to its 3 member vertices
+    * for the per-node count. Never a deg^2 wedge generation at hubs. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true) // feeds degrees, orientation, and the closing join
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      .localCheckpoint(true) // consumed by both sides of the wedge self-join
+    val o1 = oriented.select(col("src"), col("dst").as("x"))
+    val o2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = o1.join(o2, "src").filter(col("x") < col("y"))
+    // left_semi keeps exactly the wedges that close into a triangle; each
+    // triangle survives once (at its orientation-minimal vertex)
+    val closed = wedges.join(e, wedges("x") === e("a") && wedges("y") === e("b"), "left_semi")
+    val perNode = closed
+      .select(explode(array(col("src"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("v"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .filter(col("d") >= 2)
+      // 2.0D: a bare 2.0 literal parses as DECIMAL in Spark SQL and drags
+      // the whole chain into decimal division (oracle computes doubles)
+      .withColumn("coeff", round(expr("2.0D * t / (d * (d - 1))"), 6))
+      .select("v", "d", "t", "coeff")
+  }
 }

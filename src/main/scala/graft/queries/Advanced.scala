@@ -2622,7 +2622,113 @@ object Advanced {
              |SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
              |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
              |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
-             |FROM s""".stripMargin)))
+             |FROM s""".stripMargin)),
+
+    QueryDef("q220_mann_kendall",
+      "Mann-Kendall trend test with tie correction on per-type daily value sums",
+      // the nonparametric is-there-a-trend screen: S = sum over day pairs of
+      // sign(later - earlier), computed IN-ROW over each type's sorted
+      // 30-day array (C(30,2) bounded pairs — no pair shuffle), tie-corrected
+      // variance on the exact integer grid (var18 = 18*Var(S)), z from the
+      // standard continuity-corrected formula. Bounded-group collect is the
+      // q175 in-row-pairs contract: group size = days in range, never rows.
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+          .groupBy("event_type", "day").agg(sum("vm").as("sd"))
+        val ties = daily.groupBy("event_type", "sd").agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+        val mk = daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("sd")))).as("pts"))
+          .withColumn("vals", expr("transform(pts, p -> p.sd)"))
+          .withColumn("n_days", size(col("vals")).cast("long"))
+          .withColumn("s_stat", when(col("n_days") >= 2, expr("""
+            aggregate(sequence(0, size(vals) - 2), 0L, (acc, i) ->
+              acc + size(filter(slice(vals, i + 2, size(vals)), v -> v > vals[i]))
+                  - size(filter(slice(vals, i + 2, size(vals)), v -> v < vals[i])))"""))
+            .otherwise(0L))
+        mk.join(ties, "event_type")
+          .withColumn("var18",
+            expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+          .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+            expr("""round(CASE WHEN s_stat > 0
+                 THEN (s_stat - 1) / sqrt(var18 / 18.0D)
+              WHEN s_stat < 0
+                 THEN (s_stat + 1) / sqrt(var18 / 18.0D)
+              ELSE 0.0D END, 6)""").as("z"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    sum(CAST(round(value * 1000) AS BIGINT)) AS sd
+             |  FROM events GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT a.event_type, sign(b.sd - a.sd) AS sg
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day
+             |), s AS (
+             |  SELECT event_type, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_stat
+             |  FROM pairs GROUP BY 1
+             |), ties AS (
+             |  SELECT event_type,
+             |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+             |  FROM (SELECT event_type, sd, count(*) AS t FROM daily GROUP BY 1, 2)
+             |  GROUP BY 1
+             |), nd AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             |  FROM daily GROUP BY 1
+             |), m AS (
+             |  SELECT event_type, n_days, s_stat,
+             |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+             |  FROM nd JOIN s USING (event_type) JOIN ties USING (event_type)
+             |)
+             |SELECT event_type, n_days, s_stat, var18,
+             |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+             |    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+             |    ELSE 0.0 END, 6) AS z
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q221_local_clustering",
+      "top-20 local clustering coefficients over the co-purchase graph (oriented triangle fan-out)",
+      // the per-node version of q143: triangles enumerated ONCE at their
+      // degree-order-minimal vertex (O(sqrt(2m)) wedge fan-out under any
+      // skew), then exploded to their 3 members for per-node counts — never
+      // a deg^2 neighbor-pair generation at hubs. The oracle IS that naive
+      // deg^2 generation (adj self-join closed per node), so orientation
+      // provably loses nothing. Rounded coeff + node id give a total order,
+      // making the top-20 cut deterministic.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        graft.operators.Graph.localClustering(
+          graft.operators.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+          .orderBy(col("coeff").desc, col("v")).limit(20)
+      },
+      Some("""|WITH e AS MATERIALIZED (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+             |  WHERE x.l_partkey < y.l_partkey
+             |), deg AS MATERIALIZED (
+             |  SELECT v, count(*) AS d FROM (
+             |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+             |  ) GROUP BY v
+             |), adj AS MATERIALIZED (
+             |  SELECT a AS v, b AS w FROM e UNION ALL SELECT b AS v, a AS w FROM e
+             |), tri AS MATERIALIZED (
+             |  SELECT n1.v, count(*) AS t
+             |  FROM adj n1
+             |  JOIN adj n2 ON n1.v = n2.v AND n1.w < n2.w
+             |  JOIN e ON e.a = n1.w AND e.b = n2.w
+             |  GROUP BY n1.v
+             |)
+             |SELECT deg.v, d, CAST(coalesce(t, 0) AS BIGINT) AS t,
+             |  round(2.0 * coalesce(t, 0) / (d * (d - 1)), 6) AS coeff
+             |FROM deg LEFT JOIN tri USING (v)
+             |WHERE d >= 2
+             |ORDER BY coeff DESC, v LIMIT 20""".stripMargin)))
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the

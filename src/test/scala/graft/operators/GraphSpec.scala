@@ -99,6 +99,28 @@ class GraphSpec extends AnyFunSuite {
       (5, 4L, 4L)))
   }
 
+  test("localClustering: known coefficients on a clique + bridge, orientation loses nothing") {
+    // 4-clique {1,2,3,4}; node 5 bridges 1 and 2 (closing one extra triangle
+    // through edge (1,2)); node 6 pendant off 5. Hand-computed:
+    //   v=1: d=4, t(neighbor pairs adjacent)= {2,3},{2,4},{3,4},{2,5} -> 4 of C(4,2)=6
+    //   v=5: d=3, neighbors {1,2,6}: only (1,2) adjacent -> t=1, coeff=1/3
+    //   v=6: d=1 -> filtered out
+    val edges = edgesDf(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (5L, 6L)))
+    val got = Graph.localClustering(edges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(6L))
+    assert(got(1L) === ((4L, 4L, 0.666667)))
+    assert(got(2L) === ((4L, 4L, 0.666667)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+    assert(got(4L) === ((3L, 3L, 1.0)))
+    assert(got(5L) === ((3L, 1L, 0.333333)))
+    // triangle conservation: per-node counts sum to 3x the global census
+    val global = Graph.triangleStats(edges).collect()(0).getLong(3)
+    assert(got.values.map(_._2).sum === 3L * global)
+  }
+
   test("kCorePeel: empty survivor set stays empty (no NPE on empty rounds)") {
     val path = edgesDf(Seq((1L, 2L), (2L, 3L)))
     val census = Graph.boundedKCorePeel(path, k = 3, rounds = 3)
