@@ -138,7 +138,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             bounded k-core peeling census (q218, Graph.boundedKCorePeel),
   *             tie-aware Spearman rank correlation (q219), tie-corrected
   *             Mann-Kendall trend test (q220), per-node local clustering
-  *             coefficients (q221, Graph.localClustering)
+  *             coefficients (q221, Graph.localClustering), dense-grid
+  *             autocorrelation function (q222), two-sample
+  *             Kolmogorov-Smirnov distance (q223)
   */
 object SparkEntry {
 

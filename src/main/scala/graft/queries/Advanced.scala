@@ -2728,7 +2728,139 @@ object Advanced {
              |  round(2.0 * coalesce(t, 0) / (d * (d - 1)), 6) AS coeff
              |FROM deg LEFT JOIN tri USING (v)
              |WHERE d >= 2
-             |ORDER BY coeff DESC, v LIMIT 20""".stripMargin)))
+             |ORDER BY coeff DESC, v LIMIT 20""".stripMargin)),
+
+    QueryDef("q222_event_acf",
+      "autocorrelation function of per-minute event counts at lags 1-10 on the dense grid",
+      // the periodicity probe: the per-minute series zero-filled over full
+      // UTC days (grid rows fan out from a 30-row day frame — never one
+      // giant sequence array), mean-centered EXACTLY by working on the
+      // N*x - S integer grid (N = grid minutes, S = total events), so
+      // r_k = sum((N*x_t - S)(N*x_{t+k} - S)) / sum((N*x_t - S)^2) is a
+      // ratio of exact longs rounded once. One minute-keyed shuffle for the
+      // 10-lag self-join; the denominator broadcast back.
+      (s, dir) => {
+        val minuteNanos = 60000000000L
+        val counts = table(s, dir, "events")
+          .select(expr(s"ts div $minuteNanos").as("t"))
+          .groupBy("t").agg(count(lit(1)).as("x"))
+          .localCheckpoint() // feeds the span agg, the grid join, and totals
+        val span = counts.agg(expr("min(t) div 1440").as("d0"),
+          expr("max(t) div 1440").as("d1"))
+        val grid = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+          .select(explode(expr("sequence(0, 1439)")).as("m"), col("day"))
+          .select((col("day") * 1440L + col("m")).as("t"))
+        val dense = grid.join(counts, Seq("t"), "left")
+          .withColumn("x", coalesce(col("x"), lit(0L)))
+        val tot = dense.agg(count(lit(1)).as("nn"), sum("x").as("ss"))
+        val y = dense.join(broadcast(tot))
+          .select(col("t"), (col("nn") * col("x") - col("ss")).as("y"))
+          .localCheckpoint() // consumed by both sides of the lag join + den
+        val den = y.agg(sum(col("y") * col("y")).as("den"))
+        val shifted = y.select(explode(expr("sequence(1, 10)")).as("lag"),
+            col("t").as("t0"), col("y").as("y0"))
+          .select(col("lag"), (col("t0") + col("lag")).as("t"), col("y0"))
+        val prods = shifted.join(y, "t")
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("y0") * col("y")).as("num"))
+        prods.join(broadcast(den))
+          .select(col("lag"), col("n_pairs"),
+            round(col("num").cast("double") / col("den"), 6).as("r"))
+          .orderBy("lag")
+      },
+      Some("""|WITH c AS (
+             |  SELECT epoch_ns(ts) // 60000000000 AS t, count(*) AS x
+             |  FROM events GROUP BY 1
+             |), span AS (
+             |  SELECT min(t) // 1440 AS d0, max(t) // 1440 AS d1 FROM c
+             |), grid AS (
+             |  SELECT CAST(day * 1440 + m AS BIGINT) AS t
+             |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM span)
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 1439)) AS m)
+             |), dense AS (
+             |  SELECT grid.t, coalesce(c.x, 0) AS x FROM grid LEFT JOIN c USING (t)
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS ss
+             |  FROM dense
+             |), y AS (
+             |  SELECT t, nn * x - ss AS y FROM dense CROSS JOIN tot
+             |), den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+             |prods AS (
+             |  SELECT lag.k AS lag, count(*) AS n_pairs,
+             |    CAST(sum(a.y * b.y) AS BIGINT) AS num
+             |  FROM (SELECT unnest(generate_series(1, 10)) AS k) lag
+             |  JOIN y a ON true
+             |  JOIN y b ON b.t = a.t + lag.k
+             |  GROUP BY 1
+             |)
+             |SELECT lag, n_pairs, round(CAST(num AS DOUBLE) / den, 6) AS r
+             |FROM prods CROSS JOIN den ORDER BY lag""".stripMargin)),
+
+    QueryDef("q223_ks_two_sample",
+      "two-sample Kolmogorov-Smirnov distance between click and view value distributions",
+      // the distribution-shift detector: D = max |F_click - F_view| over
+      // observed value points, computed as max |n2*cum1 - n1*cum2| on the
+      // EXACT integer grid (no double CDFs until the final readout). The
+      // cumulative counts use the q202 two-level decomposition — in-bucket
+      // running sums offset by the running total of earlier buckets — so no
+      // single-partition window anywhere. Ties (both samples jumping at the
+      // same value) are handled inclusively on both sides by construction.
+      (s, dir) => {
+        val v = table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(expr("CAST(round(value * 1000) AS BIGINT)").as("vm"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("is1"))
+        val perVm = v.groupBy("vm")
+          .agg(sum("is1").as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+          .withColumn("bucket", expr("vm div 100000"))
+          .localCheckpoint() // feeds bucket offsets, the ranked join, totals
+        val bOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = perVm.groupBy("bucket")
+          .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+          .withColumn("off1", coalesce(sum("b1").over(bOff), lit(0L)))
+          .withColumn("off2", coalesce(sum("b2").over(bOff), lit(0L)))
+          .select("bucket", "off1", "off2")
+        val inW = Window.partitionBy("bucket").orderBy("vm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cums = perVm.join(broadcast(offsets), "bucket")
+          .withColumn("cum1", col("off1") + sum("c1").over(inW))
+          .withColumn("cum2", col("off2") + sum("c2").over(inW))
+        val tot = perVm.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        cums.join(broadcast(tot))
+          .agg(max("n1").as("n1"), max("n2").as("n2"),
+            max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+              .as("d_scaled"))
+          .select(col("n1"), col("n2"), col("d_scaled"),
+            expr("round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6)").as("ks_d"),
+            expr("""round(CAST(d_scaled AS DOUBLE) / (n1 * n2)
+              * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)""").as("lambda"))
+      },
+      Some("""|WITH v AS (
+             |  SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+             |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |), pv AS (
+             |  SELECT vm, CAST(sum(is1) AS BIGINT) AS c1,
+             |    CAST(sum(1 - is1) AS BIGINT) AS c2
+             |  FROM v GROUP BY vm
+             |), cums AS (
+             |  SELECT vm,
+             |    sum(c1) OVER (ORDER BY vm) AS cum1,
+             |    sum(c2) OVER (ORDER BY vm) AS cum2
+             |  FROM pv
+             |), tot AS (
+             |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+             |  FROM pv
+             |), d AS (
+             |  SELECT n1, n2,
+             |    CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_scaled
+             |  FROM cums CROSS JOIN tot GROUP BY n1, n2
+             |)
+             |SELECT n1, n2, d_scaled,
+             |  round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+             |  round(CAST(d_scaled AS DOUBLE) / (n1 * n2)
+             |    * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS lambda
+             |FROM d""".stripMargin)))
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the
