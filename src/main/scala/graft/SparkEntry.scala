@@ -140,7 +140,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             Mann-Kendall trend test (q220), per-node local clustering
   *             coefficients (q221, Graph.localClustering), dense-grid
   *             autocorrelation function (q222), two-sample
-  *             Kolmogorov-Smirnov distance (q223)
+  *             Kolmogorov-Smirnov distance (q223), reciprocal-rank fusion
+  *             of BM25 + term-density retrieval (q224), streaming Markov
+  *             transition store (q225, in StreamingQueries)
   */
 object SparkEntry {
 

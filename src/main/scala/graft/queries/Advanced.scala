@@ -2860,7 +2860,108 @@ object Advanced {
              |  round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6) AS ks_d,
              |  round(CAST(d_scaled AS DOUBLE) / (n1 * n2)
              |    * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS lambda
-             |FROM d""".stripMargin)))
+             |FROM d""".stripMargin)),
+
+    QueryDef("q224_rrf_fusion",
+      "reciprocal-rank fusion of BM25 and term-density retrieval rankings (top-50 lists, k=60)",
+      // the hybrid-retrieval combiner: two independent rankers over the same
+      // corpus — q114's BM25 (floor-1e6 integer grid) and a term-density
+      // score floor(1e6 * matched_terms / dl) — each cut to a deterministic
+      // top-50 (rounded score + doc_id is a total order), fused by
+      // RRF_micro = sum round(1e6 / (60 + rank)). Ranks are windows over the
+      // ALREADY-LIMITED 50-row lists (TakeOrdered cuts distributed; the
+      // 50-row window is driver-bounded by construction), fusion is one
+      // full-outer join of two tiny frames.
+      (s, dir) => {
+        val terms = Seq("join", "hash", "vector")
+        val bm = graft.text.Curation.bm25Rank(table(s, dir, "documents"),
+            queryTerms = terms, k1 = 1.2, b = 0.75, topK = 50)
+          .localCheckpoint() // 50 rows; feeds the rank window
+        val r1 = bm.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rank_bm25"))
+        val tfSum = terms.map(t => s"size(filter(ws, w -> w = '$t'))").mkString(" + ")
+        val dens = table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+          .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+            expr(s"CAST($tfSum AS BIGINT)").as("tfsum"))
+          .filter(col("tfsum") > 0)
+          .withColumn("s2_e6", expr("CAST(floor(1000000.0D * tfsum / dl) AS BIGINT)"))
+          .orderBy(col("s2_e6").desc, col("doc_id")).limit(50)
+          .localCheckpoint()
+        val r2 = dens.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("s2_e6").desc, col("doc_id")))
+            .cast("long").as("rank_density"))
+        r1.join(r2, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("CAST(round(1000000.0D / (60 + rank_bm25), 0) AS BIGINT)"), lit(0L))
+              + coalesce(expr("CAST(round(1000000.0D / (60 + rank_density), 0) AS BIGINT)"), lit(0L)))
+          .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+          .select("doc_id", "rank_bm25", "rank_density", "rrf_micro")
+      },
+      Some("""|WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, len(ws) AS dl,
+             |    len(list_filter(ws, x -> x = 'join')) AS tf0,
+             |    len(list_filter(ws, x -> x = 'hash')) AS tf1,
+             |    len(list_filter(ws, x -> x = 'vector')) AS tf2
+             |  FROM w
+             |), s AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(dl) AS DOUBLE) AS total_dl,
+             |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM t
+             |), sc AS (
+             |  SELECT doc_id, dl,
+             |    (CASE WHEN tf0 > 0 THEN CAST(floor(
+             |       round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)), 6)
+             |       * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+             |       / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
+             |       * 1000000.0) AS BIGINT) ELSE 0 END
+             |   + CASE WHEN tf1 > 0 THEN CAST(floor(
+             |       round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)), 6)
+             |       * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+             |       / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
+             |       * 1000000.0) AS BIGINT) ELSE 0 END
+             |   + CASE WHEN tf2 > 0 THEN CAST(floor(
+             |       round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)), 6)
+             |       * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+             |       / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
+             |       * 1000000.0) AS BIGINT) ELSE 0 END) AS s_e6
+             |  FROM t CROSS JOIN s
+             |), r1 AS (
+             |  SELECT doc_id, rank_bm25 FROM (
+             |    SELECT doc_id,
+             |      row_number() OVER (ORDER BY s_e6 DESC, doc_id) AS rank_bm25
+             |    FROM sc WHERE s_e6 > 0
+             |  ) WHERE rank_bm25 <= 50
+             |), d2 AS (
+             |  SELECT doc_id,
+             |    CAST(floor(1000000.0 * (tf0 + tf1 + tf2) / dl) AS BIGINT) AS s2_e6
+             |  FROM t WHERE tf0 + tf1 + tf2 > 0
+             |), r2 AS (
+             |  SELECT doc_id, rank_density FROM (
+             |    SELECT doc_id,
+             |      row_number() OVER (ORDER BY s2_e6 DESC, doc_id) AS rank_density
+             |    FROM d2
+             |  ) WHERE rank_density <= 50
+             |), f AS (
+             |  SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+             |    CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+             |    CAST(rank_density AS BIGINT) AS rank_density,
+             |    coalesce(CAST(round(1000000.0 / (60 + rank_bm25), 0) AS BIGINT), 0)
+             |      + coalesce(CAST(round(1000000.0 / (60 + rank_density), 0) AS BIGINT), 0)
+             |      AS rrf_micro
+             |  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+             |)
+             |SELECT doc_id, rank_bm25, rank_density, rrf_micro
+             |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin)))
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the

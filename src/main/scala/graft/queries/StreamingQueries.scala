@@ -1086,5 +1086,48 @@ ORDER BY event_type, win"""
       "streaming trending detector: watermarked hourly counts to an " +
         "append sink, q170's trailing-z burst math batch-side over the " +
         "conservative closed-window set",
-      q206Build, Some(q206Oracle)))
+      q206Build, Some(q206Oracle)),
+    QueryDef("q225_streaming_transitions",
+      "streaming Markov transition store: per-user sorted sequence state " +
+        "via flatMapGroupsWithState, final update == q217's batch " +
+        "transition counts",
+      q225Build, Some(q225Oracle)))
+
+  /** q225: the streaming twin of q217's transition matrix — per-user event
+    * sequences accumulate as sorted state (StreamingOps.runningTransitions),
+    * each update re-emits the user's full transition multiset, the batch
+    * readout keeps each user's final update (max n_events) and reduces to
+    * the global (prev, next) counts. Order-independence across micro-batch
+    * slicings comes from sorting the stored history, not from arrival
+    * order. */
+  private def q225Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    import s.implicits._
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q225_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.runningTransitions(
+        df.select(col("user_id"), col("ts").cast("long").as("tu"),
+          col("event_id"), col("event_type"))
+          .as[StreamingOps.SeqEvent]).toDF(),
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    updates
+      .withColumn("_mx", max("n_events").over(w))
+      .filter(col("n_events") === col("_mx"))
+      .groupBy("prev_type", "next_type")
+      .agg(sum("n").cast("long").as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private def q225Oracle: String =
+    """|WITH o AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_type
+       |  FROM events
+       |)
+       |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+       |FROM o WHERE prev_type IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

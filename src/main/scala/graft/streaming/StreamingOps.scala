@@ -100,6 +100,45 @@ object StreamingOps {
       }
   }
 
+  final case class SeqEvent(user_id: Long, tu: Long, event_id: Long, event_type: String)
+  final case class SeqState(events: Seq[(Long, Long, String)])
+  final case class TransitionUpdate(user_id: Long, n_events: Long,
+                                    prev_type: String, next_type: String, n: Long)
+
+  /** Streaming per-entity sequence store + Markov transition counts via
+    * flatMapGroupsWithState — the stateful twin of q217's batch transition
+    * matrix. State holds the user's (tu, event_id, type) history SORTED by
+    * event time, so transition counts are recomputed from the true global
+    * order on every update and the result is independent of micro-batch
+    * slicing (unlike a last-event-only state, which silently miscounts when
+    * a batch delivers events out of order). Each update emits the user's
+    * FULL current transition multiset tagged with n_events; the final
+    * update (max n_events) equals the batch answer.
+    *
+    * State is bounded by per-entity history — the per-user sequence-store
+    * contract (session analytics scale: tens-to-hundreds of events per
+    * user), sharded across state-store partitions; it is NOT for unbounded
+    * single-key firehoses. */
+  def runningTransitions(events: Dataset[SeqEvent]): Dataset[TransitionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, TransitionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[SeqState]) =>
+          val merged = (state.getOption.map(_.events).getOrElse(Seq.empty) ++
+            rows.map(r => (r.tu, r.event_id, r.event_type)))
+            .sortBy(e => (e._1, e._2))
+          state.update(SeqState(merged))
+          val n = merged.size.toLong
+          if (n < 2) Iterator.empty
+          else merged.iterator.zip(merged.iterator.drop(1))
+            .map { case (a, b) => (a._3, b._3) }
+            .toSeq.groupBy(identity).iterator
+            .map { case ((p, nx), hits) =>
+              TransitionUpdate(user, n, p, nx, hits.size.toLong) }
+      }
+  }
+
   /** Duration string ("10 seconds", "1 minute") -> microseconds. */
   private[streaming] def durMicros(s: String): Long = {
     val parts = s.trim.split("\\s+")

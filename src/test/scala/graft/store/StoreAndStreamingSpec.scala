@@ -502,4 +502,45 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       "streaming scrub must equal the batch scrub row-for-row")
     assert(streamed.filter($"n_emails" =!= 1 || $"n_ips" =!= 1).isEmpty)
   }
+
+  test("streaming transitions: final per-user update == batch lag counts under forced multi-batch slicing") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val events = graft.model.Frames.normalizeTsNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val stage = Files.createTempDirectory("trans_events")
+    StreamingOps.deleteOnExit(stage)
+    // hash repartition scatters each user's events across files, so later
+    // micro-batches deliver EARLIER events — the sorted-state contract is
+    // exactly what this exercises
+    events.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage.toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    def toSeqEvents(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"ts".cast("long").as("tu"), $"event_id", $"event_type")
+      .as[StreamingOps.SeqEvent]
+    val q = StreamingOps.runningTransitions(toSeqEvents(stream)).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("trans_multi_batch").start()
+    q.awaitTermination()
+    val sink = spark.table("trans_multi_batch")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val got = sink.withColumn("_mx", max("n_events").over(w))
+      .filter($"n_events" === $"_mx")
+      .groupBy("prev_type", "next_type").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tu", "event_id")
+    val batch = toSeqEvents(events).toDF()
+      .withColumn("prev_type", lag("event_type", 1).over(wUser))
+      .filter($"prev_type".isNotNull)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+    // the slicing was real: at least one user updated more than once
+    assert(sink.select($"user_id", $"n_events").distinct()
+      .groupBy("user_id").count().filter($"count" > 1).count() > 0,
+      "stream collapsed to a single micro-batch — slicing not exercised")
+  }
 }
