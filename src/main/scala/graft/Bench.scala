@@ -94,7 +94,8 @@ object Bench {
     "q218_kcore_peel", "q219_spearman_balance_spend",
     "q220_mann_kendall", "q221_local_clustering",
     "q222_event_acf", "q223_ks_two_sample",
-    "q224_rrf_fusion", "q225_streaming_transitions")
+    "q224_rrf_fusion", "q225_streaming_transitions",
+    "q226_theil_sen", "q227_profile_distance", "q228_information_gain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -142,7 +142,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             autocorrelation function (q222), two-sample
   *             Kolmogorov-Smirnov distance (q223), reciprocal-rank fusion
   *             of BM25 + term-density retrieval (q224), streaming Markov
-  *             transition store (q225, in StreamingQueries)
+  *             transition store (q225, in StreamingQueries), Theil-Sen
+  *             robust trend slope (q226), hour-of-day profile L1 distance
+  *             matrix (q227), information-gain feature screen (q228)
   */
 object SparkEntry {
 

@@ -2961,7 +2961,195 @@ object Advanced {
              |  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
              |)
              |SELECT doc_id, rank_bm25, rank_density, rrf_micro
-             |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin)))
+             |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QueryDef("q226_theil_sen",
+      "Theil-Sen robust trend slope (median of pairwise slopes) on per-type daily sums",
+      // q220's robust sibling: the slope estimate is the MEDIAN of all
+      // C(n,2) pairwise slopes, computed IN-ROW over each type's sorted
+      // 30-day array (bounded pairs, no pair shuffle). Slopes land on the
+      // rounded micro grid so the median is an exact integer order
+      // statistic; med2 = s[(m+1)/2] + s[m/2+1] (1-based) doubles the
+      // median exactly for both parities.
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+          .groupBy("event_type", "day").agg(sum("vm").as("sd"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("sd")))).as("pts"))
+          .withColumn("slopes", expr("""array_sort(flatten(
+            transform(sequence(0, size(pts) - 2), i ->
+              transform(sequence(i + 1, size(pts) - 1), j ->
+                CAST(round(1000000.0D * (pts[j].sd - pts[i].sd)
+                  / (pts[j].day - pts[i].day), 0) AS BIGINT)))))"""))
+          .select(col("event_type"),
+            expr("CAST(size(slopes) AS BIGINT)").as("n_pairs"),
+            expr("""element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))
+              + element_at(slopes, CAST(size(slopes) div 2 + 1 AS INT))""")
+              .as("med2_micro"))
+          .withColumn("slope", expr("round(med2_micro / 2000000.0D, 6)"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    sum(CAST(round(value * 1000) AS BIGINT)) AS sd
+             |  FROM events GROUP BY 1, 2
+             |), sl AS (
+             |  SELECT a.event_type,
+             |    CAST(round(1000000.0 * (b.sd - a.sd) / (b.day - a.day), 0)
+             |      AS BIGINT) AS sm
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day
+             |), r AS (
+             |  SELECT event_type, sm,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY sm) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS m
+             |  FROM sl
+             |), med AS (
+             |  SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+             |    CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN sm ELSE 0 END)
+             |       + sum(CASE WHEN rn = m // 2 + 1 THEN sm ELSE 0 END)
+             |      AS BIGINT) AS med2_micro
+             |  FROM r GROUP BY event_type
+             |)
+             |SELECT event_type, n_pairs, med2_micro,
+             |  round(med2_micro / 2000000.0, 6) AS slope
+             |FROM med ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q227_profile_distance",
+      "pairwise L1 distance matrix between per-type hour-of-day activity profiles",
+      // the profile-clustering readout: each type's 24-hour activity
+      // histogram, cross-normalized EXACTLY — d(a,b) = sum_h |n_b*c_ah -
+      // n_a*c_bh| on the integer grid (no double CDFs), so missing hours
+      // zero-fill through a dense types x 24 grid built from a 5-row
+      // distinct frame. |types|^2 x 24 rows total — every join is tiny;
+      // d_norm = d / (n_a*n_b) is the only double.
+      (s, dir) => {
+        val byHour = table(s, dir, "events")
+          .select(col("event_type"), expr("(ts div 3600000000000) % 24").as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds the grid join and the totals
+        val grid = byHour.select("event_type").distinct()
+          .select(col("event_type"), explode(expr("sequence(0, 23)")).as("h"))
+          .join(byHour, Seq("event_type", "h"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val tot = byHour.groupBy("event_type").agg(sum("c").as("n"))
+        val a = grid.join(tot, "event_type")
+          .select(col("event_type").as("type_a"), col("h"),
+            col("c").as("ca"), col("n").as("na"))
+        val b = grid.join(tot, "event_type")
+          .select(col("event_type").as("type_b"), col("h"),
+            col("c").as("cb"), col("n").as("nb"))
+        a.join(b, "h").filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(max("na").as("n_a"), max("nb").as("n_b"),
+            sum(abs(col("nb") * col("ca") - col("na") * col("cb")))
+              .as("d_scaled"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("d_scaled"),
+            expr("round(CAST(d_scaled AS DOUBLE) / (n_a * n_b), 6)").as("d_norm"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""|WITH byh AS (
+             |  SELECT event_type,
+             |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS h,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2
+             |), grid AS (
+             |  SELECT t.event_type, g.h, coalesce(byh.c, 0) AS c
+             |  FROM (SELECT DISTINCT event_type FROM byh) t
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) g
+             |  LEFT JOIN byh ON byh.event_type = t.event_type AND byh.h = g.h
+             |), tot AS (
+             |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM byh GROUP BY 1
+             |)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |  max(ta.n) AS n_a, max(tb.n) AS n_b,
+             |  CAST(sum(abs(tb.n * a.c - ta.n * b.c)) AS BIGINT) AS d_scaled,
+             |  round(CAST(sum(abs(tb.n * a.c - ta.n * b.c)) AS DOUBLE)
+             |    / (max(ta.n) * max(tb.n)), 6) AS d_norm
+             |FROM grid a
+             |JOIN grid b ON a.h = b.h AND a.event_type < b.event_type
+             |JOIN tot ta ON ta.event_type = a.event_type
+             |JOIN tot tb ON tb.event_type = b.event_type
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q228_information_gain",
+      "information-gain feature screen for predicting purchase events",
+      // the feature-selection pass: IG(feature) = H(Y) - H(Y|X) for three
+      // candidate features — hour-of-day band, value digit-count (an exact
+      // integer order-of-magnitude proxy: length of the decimal string),
+      // and user bucket. Every entropy term sums ROUNDED micro-nat
+      // contributions of exact counts (the q185/q217 idiom); each feature
+      // is one small (values x 2) aggregate unioned into a 3-row report.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            expr("(ts div 3600000000000) % 24 div 4").as("f_hour_band"),
+            expr("length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING))")
+              .cast("long").as("f_value_digits"),
+            pmod(col("user_id"), lit(8)).as("f_user_bucket"))
+          .localCheckpoint() // three feature aggregates + the class totals
+        val tot = e.agg(count(lit(1)).as("nn"))
+        val hy = e.groupBy("y").agg(count(lit(1)).as("ny"))
+          .join(broadcast(tot))
+          .agg(sum(expr("""CAST(round(
+            -CAST(ny AS DOUBLE) / nn * ln(CAST(ny AS DOUBLE) / nn) * 1e6, 0)
+            AS BIGINT)""")).as("h_y_micro"))
+        def hcond(f: String) = {
+          val vy = e.groupBy(col(f).as("v"), col("y")).agg(count(lit(1)).as("nvy"))
+          val nv = vy.groupBy("v").agg(sum("nvy").as("nv"))
+          vy.join(nv, "v").join(broadcast(tot))
+            .agg(sum(expr("""CAST(round(
+              -CAST(nvy AS DOUBLE) / nn * ln(CAST(nvy AS DOUBLE) / nv) * 1e6, 0)
+              AS BIGINT)""")).as("h_cond_micro"))
+            .select(lit(f).as("feature"), col("h_cond_micro"))
+        }
+        Seq("f_hour_band", "f_value_digits", "f_user_bucket")
+          .map(hcond).reduce(_ union _)
+          .join(broadcast(hy))
+          .select(col("feature"), col("h_y_micro"), col("h_cond_micro"),
+            (col("h_y_micro") - col("h_cond_micro")).as("ig_micro"))
+          .orderBy("feature")
+      },
+      Some("""|WITH e AS (
+             |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             |    (epoch_ns(ts) // 3600000000000) % 24 // 4 AS f_hour_band,
+             |    CAST(len(CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR))
+             |      AS BIGINT) AS f_value_digits,
+             |    user_id % 8 AS f_user_bucket
+             |  FROM events
+             |), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
+             |hy AS (
+             |  SELECT CAST(sum(CAST(round(
+             |    -CAST(ny AS DOUBLE) / nn * ln(CAST(ny AS DOUBLE) / nn) * 1e6, 0)
+             |    AS BIGINT)) AS BIGINT) AS h_y_micro
+             |  FROM (SELECT y, count(*) AS ny FROM e GROUP BY y) CROSS JOIN tot
+             |), feats AS (
+             |  SELECT 'f_hour_band' AS feature, f_hour_band AS v, y FROM e
+             |  UNION ALL
+             |  SELECT 'f_value_digits', f_value_digits, y FROM e
+             |  UNION ALL
+             |  SELECT 'f_user_bucket', f_user_bucket, y FROM e
+             |), vy AS (
+             |  SELECT feature, v, y, count(*) AS nvy FROM feats GROUP BY 1, 2, 3
+             |), nv AS (
+             |  SELECT feature, v, CAST(sum(nvy) AS BIGINT) AS nv
+             |  FROM vy GROUP BY 1, 2
+             |), hc AS (
+             |  SELECT vy.feature, CAST(sum(CAST(round(
+             |    -CAST(nvy AS DOUBLE) / nn * ln(CAST(nvy AS DOUBLE) / nv) * 1e6, 0)
+             |    AS BIGINT)) AS BIGINT) AS h_cond_micro
+             |  FROM vy JOIN nv ON vy.feature = nv.feature AND vy.v = nv.v
+             |  CROSS JOIN tot
+             |  GROUP BY vy.feature
+             |)
+             |SELECT feature, h_y_micro, h_cond_micro,
+             |  h_y_micro - h_cond_micro AS ig_micro
+             |FROM hc CROSS JOIN hy ORDER BY feature""".stripMargin)))
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the
