@@ -144,7 +144,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             of BM25 + term-density retrieval (q224), streaming Markov
   *             transition store (q225, in StreamingQueries), Theil-Sen
   *             robust trend slope (q226), hour-of-day profile L1 distance
-  *             matrix (q227), information-gain feature screen (q228)
+  *             matrix (q227), information-gain feature screen (q228),
+  *             per-user KL-divergence anomaly screen (q229), Q-Q decile
+  *             shift profile (q230), sorted-neighborhood blocking recall
+  *             audit (q231)
   */
 object SparkEntry {
 

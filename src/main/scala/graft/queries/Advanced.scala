@@ -3149,7 +3149,174 @@ object Advanced {
              |)
              |SELECT feature, h_y_micro, h_cond_micro,
              |  h_y_micro - h_cond_micro AS ig_micro
-             |FROM hc CROSS JOIN hy ORDER BY feature""".stripMargin)))
+             |FROM hc CROSS JOIN hy ORDER BY feature""".stripMargin)),
+
+    QueryDef("q229_user_kl_anomaly",
+      "top-20 behavioral anomalies: per-user KL divergence from the global event-type mix",
+      // the bot/outlier screen: KL(user || global) = sum_t (n_ut/n_u) *
+      // ln((n_ut/n_u) / (n_t/N)), each (user, type) term ROUNDED to
+      // micro-nats and summed as integers (the q185/q217 idiom) so the
+      // per-user score is engine-exact. One (user, type) aggregate + a
+      // broadcast of the 5-row global mix; top-20 cut on the
+      // (kl_micro desc, user_id) total order.
+      (s, dir) => {
+        val ut = table(s, dir, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("nut"))
+          .localCheckpoint() // feeds user totals, global mix, and the score
+        val nu = ut.groupBy("user_id").agg(sum("nut").cast("long").as("nu"))
+        val nt = ut.groupBy("event_type").agg(sum("nut").cast("long").as("nt"))
+        val tot = ut.agg(sum("nut").cast("long").as("nn"))
+        ut.join(nu, "user_id").join(broadcast(nt), "event_type")
+          .join(broadcast(tot))
+          .withColumn("contrib_micro", expr("""CAST(round(
+            CAST(nut AS DOUBLE) / nu
+              * ln(CAST(nut AS DOUBLE) / nu * nn / nt) * 1e6, 0) AS BIGINT)"""))
+          .groupBy("user_id")
+          .agg(max("nu").as("n_events"), sum("contrib_micro").as("kl_micro"))
+          .orderBy(col("kl_micro").desc, col("user_id")).limit(20)
+      },
+      Some("""|WITH ut AS (
+             |  SELECT user_id, event_type, count(*) AS nut
+             |  FROM events GROUP BY 1, 2
+             |), nu AS (
+             |  SELECT user_id, CAST(sum(nut) AS BIGINT) AS nu FROM ut GROUP BY 1
+             |), nt AS (
+             |  SELECT event_type, CAST(sum(nut) AS BIGINT) AS nt FROM ut GROUP BY 1
+             |), tot AS (SELECT CAST(sum(nut) AS BIGINT) AS nn FROM ut),
+             |c AS (
+             |  SELECT ut.user_id, nu.nu,
+             |    CAST(round(CAST(nut AS DOUBLE) / nu
+             |      * ln(CAST(nut AS DOUBLE) / nu * nn / nt) * 1e6, 0) AS BIGINT)
+             |      AS contrib_micro
+             |  FROM ut JOIN nu USING (user_id) JOIN nt USING (event_type)
+             |  CROSS JOIN tot
+             |)
+             |SELECT user_id, max(nu) AS n_events,
+             |  CAST(sum(contrib_micro) AS BIGINT) AS kl_micro
+             |FROM c GROUP BY user_id
+             |ORDER BY kl_micro DESC, user_id LIMIT 20""".stripMargin)),
+
+    QueryDef("q230_qq_shift",
+      "Q-Q decile shift profile between click and view value distributions",
+      // q223's where-does-it-differ companion: exact nearest-rank deciles
+      // (value at rank ceil(p*n/10), p = 1..9) per type through the
+      // BUCKETED two-level global rank (q176's idiom keyed by type — no
+      // single-partition window), paired into a 9-row shift profile on the
+      // exact vm grid. The only doubles are the final per-decile ratios.
+      (s, dir) => {
+        val v = table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+        val idx = Frames.denseIndexByKey(v, keyCols = Seq("event_type"),
+          bucketCol = expr("vm div 100000"),
+          orderCols = Seq(col("vm"), col("event_id")), as = "idx")
+        val nByType = idx.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val picks = idx.join(broadcast(nByType), "event_type")
+          .select(col("event_type"), col("vm"), col("idx"), col("n"),
+            explode(expr("sequence(1, 9)")).as("p"))
+          // nearest-rank: 1-based rank ceil(p*n/10) == 0-based idx + 1
+          .filter(expr("idx + 1 = CAST(ceil(p * n / 10.0D) AS BIGINT)"))
+        val c = picks.filter(col("event_type") === "click")
+          .select(col("p"), col("vm").as("q_click"), col("n").as("n_click"))
+        val w = picks.filter(col("event_type") === "view")
+          .select(col("p"), col("vm").as("q_view"), col("n").as("n_view"))
+        c.join(w, "p")
+          .select(col("p").cast("long").as("p"), col("n_click"), col("n_view"),
+            col("q_click"), col("q_view"),
+            (col("q_view") - col("q_click")).as("shift_vm"))
+          .orderBy("p")
+      },
+      Some("""|WITH v AS (
+             |  SELECT event_type, event_id,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |), r AS (
+             |  SELECT event_type, vm,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY vm, event_id) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM v
+             |), picks AS (
+             |  SELECT event_type, p.p, vm, CAST(n AS BIGINT) AS n
+             |  FROM r CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS p) p
+             |  WHERE rk = CAST(ceil(p.p * n / 10.0) AS BIGINT)
+             |)
+             |SELECT c.p, c.n AS n_click, w.n AS n_view,
+             |  c.vm AS q_click, w.vm AS q_view, w.vm - c.vm AS shift_vm
+             |FROM picks c JOIN picks w
+             |  ON c.p = w.p AND c.event_type = 'click' AND w.event_type = 'view'
+             |ORDER BY c.p""".stripMargin)),
+
+    QueryDef("q231_blocking_recall",
+      "blocking-quality audit: sorted-neighborhood (w=3) recall vs the full block-quadratic match set",
+      // the meta-analytics every blocked matcher owes its users: how many
+      // true matches does the cheap candidate generator actually reach?
+      // Ground truth = per-block quadratic pairs with lev(40-char prefixes)
+      // <= 25 (q130's contract, threshold set where this corpus has a real
+      // match set — 45 pairs at sf0.01, not just the exact-dup singleton); candidates = q148's rank-window pairs,
+      // canonicalized to (min,max) id and scored with the SAME predicate.
+      // recall = |SN ∩ full| / |full| — and n_common == n_sn certifies the
+      // subset property (SN never invents cross-block pairs).
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            concat_ws("|", col("lang"), col("source")).as("block"),
+            substring(col("text"), 1, 40).as("t40"), col("n_chars"))
+          .localCheckpoint() // feeds ground truth, SN ranks, and both scorers
+        val l = docs.select(col("block"), col("doc_id").as("a"), col("t40").as("ta"))
+        val r = docs.select(col("block"), col("doc_id").as("b"), col("t40").as("tb"))
+        val full = l.join(r, Seq("block")).filter(col("a") < col("b"))
+          .filter(levenshtein(col("ta"), col("tb")) <= 25)
+          .select("a", "b")
+          .localCheckpoint() // consumed by the count and the intersection
+        val sn = graft.text.EntityResolution.sortedNeighborhoodPairs(
+            docs, col("doc_id"), col("block"), col("n_chars"), window = 3)
+          .select(least(col("id_a"), col("id_b")).as("a"),
+            greatest(col("id_a"), col("id_b")).as("b"))
+          .join(docs.select(col("doc_id").as("a"), col("t40").as("ta")), "a")
+          .join(docs.select(col("doc_id").as("b"), col("t40").as("tb")), "b")
+          .filter(levenshtein(col("ta"), col("tb")) <= 25)
+          .select("a", "b")
+          .localCheckpoint()
+        val nFull = full.count()
+        val nSn = sn.count()
+        val nCommon = sn.join(full, Seq("a", "b"), "left_semi").count()
+        import s.implicits._
+        Seq((nFull, nSn, nCommon)).toDF("n_true_matches", "n_sn_matches", "n_common")
+          .withColumn("recall", round(col("n_common").cast("double")
+            / col("n_true_matches"), 6))
+      },
+      Some("""|WITH d AS (
+             |  SELECT doc_id, lang || '|' || source AS block,
+             |    substr(text, 1, 40) AS t40, n_chars
+             |  FROM documents
+             |), full_m AS (
+             |  SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+             |  WHERE levenshtein(a.t40, b.t40) <= 25
+             |), ranked AS (
+             |  SELECT doc_id, block, t40,
+             |    row_number() OVER (PARTITION BY block
+             |      ORDER BY n_chars, doc_id) AS rnk
+             |  FROM d
+             |), sn AS (
+             |  SELECT least(a.doc_id, b.doc_id) AS a,
+             |    greatest(a.doc_id, b.doc_id) AS b
+             |  FROM ranked a JOIN ranked b ON a.block = b.block
+             |    AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+             |  WHERE levenshtein(a.t40, b.t40) <= 25
+             |), c AS (
+             |  SELECT count(*) AS n_common
+             |  FROM sn WHERE EXISTS (
+             |    SELECT 1 FROM full_m f WHERE f.a = sn.a AND f.b = sn.b)
+             |)
+             |SELECT (SELECT count(*) FROM full_m) AS n_true_matches,
+             |  (SELECT count(*) FROM sn) AS n_sn_matches,
+             |  n_common,
+             |  round(CAST(n_common AS DOUBLE)
+             |    / (SELECT count(*) FROM full_m), 6) AS recall
+             |FROM c""".stripMargin)))
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the
