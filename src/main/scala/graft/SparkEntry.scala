@@ -147,7 +147,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             matrix (q227), information-gain feature screen (q228),
   *             per-user KL-divergence anomaly screen (q229), Q-Q decile
   *             shift profile (q230), sorted-neighborhood blocking recall
-  *             audit (q231)
+  *             audit (q231), binary-segmentation change-point localization
+  *             (q232), lead-lag cross-correlation matrix (q233)
   */
 object SparkEntry {
 

@@ -191,9 +191,12 @@ object Graph {
     for (r <- 1 to rounds) {
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-        .localCheckpoint(true) // consumed by both counts and the keep filter
+        .localCheckpoint(true) // consumed by the census agg and the keep filter
       val keep = deg.filter(col("d") >= k).select("v")
-      census += ((r, deg.count(), keep.count()))
+      // one action per round: nodes_before and kept from a single reduction
+      val row = deg.agg(count(lit(1)),
+        sum(when(col("d") >= k, 1L).otherwise(0L))).head()
+      census += ((r, row.getLong(0), row.getLong(1)))
       e = e.join(keep, e("a") === keep("v"), "left_semi")
       e = e.join(keep, e("b") === keep("v"), "left_semi")
         .localCheckpoint(true)

@@ -3316,7 +3316,193 @@ object Advanced {
              |  n_common,
              |  round(CAST(n_common AS DOUBLE)
              |    / (SELECT count(*) FROM full_m), 6) AS recall
-             |FROM c""".stripMargin)))
+             |FROM c""".stripMargin)),
+
+    QueryDef("q232_changepoint_split",
+      "single change-point localization per type: binary-segmentation SSE split on daily sums",
+      // CUSUM's (q168) localizing sibling: for every candidate split k the
+      // two-segment cost J(k) = SSE_left + SSE_right comes from running
+      // (count, sum, sum-of-squares) prefix sums — 30-row per-type windows,
+      // all integer until the final IEEE-identical division chain. argmin
+      // via min(struct(j_milli, split_day)): the milli-rounded cost plus
+      // day tiebreak is a total order, so the chosen split is engine-exact.
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+          .groupBy("event_type", "day").agg(sum("vm").as("sd"))
+        val wRun = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val pre = daily
+          .withColumn("i", count(lit(1)).over(wRun))
+          .withColumn("c1", sum("sd").over(wRun))
+          .withColumn("c2", sum(col("sd") * col("sd")).over(wRun))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("t1", sum("sd").over(wAll))
+          .withColumn("t2", sum(col("sd") * col("sd")).over(wAll))
+          .filter(col("i") < col("n")) // split AFTER row i; both sides non-empty
+          .withColumn("j_milli", expr("""CAST(round(
+            ((c2 - CAST(c1 AS DOUBLE) * c1 / i)
+             + ((t2 - c2) - CAST(t1 - c1 AS DOUBLE) * (t1 - c1) / (n - i)))
+            * 1e3, 0) AS BIGINT)"""))
+          .withColumn("j_null_milli", expr("""CAST(round(
+            (t2 - CAST(t1 AS DOUBLE) * t1 / n) * 1e3, 0) AS BIGINT)"""))
+        pre.groupBy("event_type")
+          .agg(min(struct(col("j_milli"), col("day"), col("i"),
+            col("j_null_milli"))).as("best"))
+          .select(col("event_type"), col("best.day").as("split_day"),
+            col("best.i").as("n_left"), col("best.j_milli"),
+            (col("best.j_null_milli") - col("best.j_milli")).as("gain_milli"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    sum(CAST(round(value * 1000) AS BIGINT)) AS sd
+             |  FROM events GROUP BY 1, 2
+             |), pre AS (
+             |  SELECT event_type, day,
+             |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY day)
+             |      AS BIGINT) AS i,
+             |    CAST(sum(sd) OVER (PARTITION BY event_type ORDER BY day)
+             |      AS BIGINT) AS c1,
+             |    CAST(sum(sd * sd) OVER (PARTITION BY event_type ORDER BY day)
+             |      AS BIGINT) AS c2,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             |    CAST(sum(sd) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
+             |    CAST(sum(sd * sd) OVER (PARTITION BY event_type) AS BIGINT) AS t2
+             |  FROM daily
+             |), scored AS (
+             |  SELECT event_type, day, i,
+             |    CAST(round(
+             |      ((c2 - CAST(c1 AS DOUBLE) * c1 / i)
+             |       + ((t2 - c2) - CAST(t1 - c1 AS DOUBLE) * (t1 - c1) / (n - i)))
+             |      * 1e3, 0) AS BIGINT) AS j_milli,
+             |    CAST(round(
+             |      (t2 - CAST(t1 AS DOUBLE) * t1 / n) * 1e3, 0) AS BIGINT)
+             |      AS j_null_milli
+             |  FROM pre WHERE i < n
+             |), best AS (
+             |  SELECT event_type, day, i, j_milli, j_null_milli,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY j_milli, day) AS rn
+             |  FROM scored
+             |)
+             |SELECT event_type, day AS split_day, i AS n_left, j_milli,
+             |  j_null_milli - j_milli AS gain_milli
+             |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q233_lead_lag_matrix",
+      "lead-lag matrix: best cross-correlation lag (-5..+5 min) between type pairs on the dense grid",
+      // q222's pairwise extension — which activity stream leads which: each
+      // type's per-minute series zero-filled and mean-centered on the exact
+      // N*x - S_type integer grid, cross products summed per (pair, lag)
+      // through ONE minute-keyed join (fan-out bounded at types^2 x lags per
+      // minute), normalized by the broadcast per-type denominators. Best
+      // lag = max(struct(r, -|lag|, -lag)) — an engine-exact total order;
+      // positive best_lag means type_b trails type_a.
+      (s, dir) => {
+        val minuteNanos = 60000000000L
+        val counts = table(s, dir, "events")
+          .select(col("event_type"), expr(s"ts div $minuteNanos").as("t"))
+          .groupBy("event_type", "t").agg(count(lit(1)).as("x"))
+          .localCheckpoint() // feeds span, per-type grids, and totals
+        val span = counts.agg(expr("min(t) div 1440").as("d0"),
+          expr("max(t) div 1440").as("d1"))
+        val grid = counts.select("event_type").distinct()
+          .join(span.select(explode(expr("sequence(d0, d1)")).as("day"))
+            .select(explode(expr("sequence(0, 1439)")).as("m"), col("day"))
+            .select((col("day") * 1440L + col("m")).as("t")))
+          .join(counts, Seq("event_type", "t"), "left")
+          .withColumn("x", coalesce(col("x"), lit(0L)))
+        val tot = grid.groupBy("event_type")
+          .agg(count(lit(1)).as("nn"), sum("x").as("ss"))
+        val y = grid.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("t"),
+            (col("nn") * col("x") - col("ss")).as("y"))
+          .localCheckpoint() // both sides of the lag join + denominators
+        val dens = y.groupBy("event_type")
+          .agg(sum(col("y") * col("y")).as("den"))
+        val left = y.select(col("event_type").as("type_a"),
+            explode(expr("sequence(-5, 5)")).as("lag"),
+            col("t").as("t0"), col("y").as("ya"))
+          .select(col("type_a"), col("lag").cast("long").as("lag"),
+            (col("t0") + col("lag")).as("t"), col("ya"))
+        val prods = left.join(
+            y.select(col("event_type").as("type_b"), col("t"), col("y").as("yb")),
+            "t")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b", "lag")
+          .agg(sum(col("ya") * col("yb")).as("num"))
+        val scored = prods
+          .join(broadcast(dens.select(col("event_type").as("type_a"),
+            col("den").as("da"))), "type_a")
+          .join(broadcast(dens.select(col("event_type").as("type_b"),
+            col("den").as("db"))), "type_b")
+          .withColumn("r_micro", expr("""CAST(round(
+            num / sqrt(CAST(da AS DOUBLE) * db) * 1e6, 0) AS BIGINT)"""))
+        scored.groupBy("type_a", "type_b")
+          .agg(max(struct(col("r_micro"), (-abs(col("lag"))).as("nal"),
+            (-col("lag")).as("nl"), col("lag").as("lag_v"))).as("best"),
+            max(when(col("lag") === 0L, col("r_micro"))).as("r0_micro"))
+          .select(col("type_a"), col("type_b"),
+            col("best.lag_v").as("best_lag"),
+            col("best.r_micro").as("r_best_micro"), col("r0_micro"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""|WITH c AS MATERIALIZED (
+             |  SELECT event_type, epoch_ns(ts) // 60000000000 AS t,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2
+             |), span AS MATERIALIZED (
+             |  SELECT min(t) // 1440 AS d0, max(t) // 1440 AS d1 FROM c
+             |), grid AS MATERIALIZED (
+             |  SELECT ty.event_type, CAST(day * 1440 + m AS BIGINT) AS t,
+             |    coalesce(c.x, 0) AS x
+             |  FROM (SELECT DISTINCT event_type FROM c) ty
+             |  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM span)
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 1439)) AS m)
+             |  LEFT JOIN c ON c.event_type = ty.event_type
+             |    AND c.t = CAST(day * 1440 + m AS BIGINT)
+             |), tot AS MATERIALIZED (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+             |    CAST(sum(x) AS BIGINT) AS ss
+             |  FROM grid GROUP BY 1
+             |), y AS MATERIALIZED (
+             |  SELECT grid.event_type, t, nn * x - ss AS y
+             |  FROM grid JOIN tot USING (event_type)
+             |), dens AS MATERIALIZED (
+             |  SELECT event_type, CAST(sum(y * y) AS BIGINT) AS den
+             |  FROM y GROUP BY 1
+             |), prods AS MATERIALIZED (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    CAST(k.k AS BIGINT) AS lag, CAST(sum(a.y * b.y) AS BIGINT) AS num
+             |  FROM (SELECT unnest(generate_series(-5, 5)) AS k) k
+             |  JOIN y a ON true
+             |  JOIN y b ON b.t = a.t + k.k AND a.event_type < b.event_type
+             |  GROUP BY 1, 2, 3
+             |), scored AS (
+             |  SELECT type_a, type_b, lag,
+             |    CAST(round(num / sqrt(CAST(da.den AS DOUBLE) * db.den) * 1e6, 0)
+             |      AS BIGINT) AS r_micro
+             |  FROM prods
+             |  JOIN dens da ON da.event_type = type_a
+             |  JOIN dens db ON db.event_type = type_b
+             |), best AS (
+             |  SELECT type_a, type_b, lag, r_micro,
+             |    row_number() OVER (PARTITION BY type_a, type_b
+             |      ORDER BY r_micro DESC, abs(lag), lag) AS rn
+             |  FROM scored
+             |), r0 AS (
+             |  SELECT type_a, type_b, r_micro AS r0_micro
+             |  FROM scored WHERE lag = 0
+             |)
+             |SELECT b.type_a, b.type_b, b.lag AS best_lag,
+             |  b.r_micro AS r_best_micro, r0.r0_micro
+             |FROM best b JOIN r0 ON b.type_a = r0.type_a AND b.type_b = r0.type_b
+             |WHERE b.rn = 1 ORDER BY b.type_a, b.type_b""".stripMargin)))
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the
