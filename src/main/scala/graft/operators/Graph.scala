@@ -194,8 +194,9 @@ object Graph {
         .localCheckpoint(true) // consumed by the census agg and the keep filter
       val keep = deg.filter(col("d") >= k).select("v")
       // one action per round: nodes_before and kept from a single reduction
+      // (sum is NULL on an empty frame — a drained graph must census as 0)
       val row = deg.agg(count(lit(1)),
-        sum(when(col("d") >= k, 1L).otherwise(0L))).head()
+        coalesce(sum(when(col("d") >= k, 1L).otherwise(0L)), lit(0L))).head()
       census += ((r, row.getLong(0), row.getLong(1)))
       e = e.join(keep, e("a") === keep("v"), "left_semi")
       e = e.join(keep, e("b") === keep("v"), "left_semi")
