@@ -148,7 +148,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             per-user KL-divergence anomaly screen (q229), Q-Q decile
   *             shift profile (q230), sorted-neighborhood blocking recall
   *             audit (q231), binary-segmentation change-point localization
-  *             (q232), lead-lag cross-correlation matrix (q233)
+  *             (q232), lead-lag cross-correlation matrix (q233), closed-form
+  *             OLS via Cramer on exact moments (q234), grid-density
+  *             clustering / DBSCAN-lite (q235, Spatial.gridDensityClusters)
   */
 object SparkEntry {
 

@@ -3502,7 +3502,165 @@ object Advanced {
              |SELECT b.type_a, b.type_b, b.lag AS best_lag,
              |  b.r_micro AS r_best_micro, r0.r0_micro
              |FROM best b JOIN r0 ON b.type_a = r0.type_a AND b.type_b = r0.type_b
-             |WHERE b.rn = 1 ORDER BY b.type_a, b.type_b""".stripMargin)))
+             |WHERE b.rn = 1 ORDER BY b.type_a, b.type_b""".stripMargin)),
+
+    QueryDef("q234_ols_closed_form",
+      "closed-form two-feature OLS (value ~ day + hour) via Cramer's rule on exact sums",
+      // distributed regression without an iteration in sight: ONE narrow
+      // aggregation collects the 10 exact integer moments (n, feature sums,
+      // Gramian entries, response cross-products), the driver-free readout
+      // solves the 3x3 normal equations by Cramer's rule. Sums stay long
+      // (features centered to a 0..29/0..23 grid keeps them small); the
+      // determinants cast each sum to double BEFORE multiplying — the same
+      // IEEE chain in both engines, so round(6) is stable. R^2 comes from
+      // the same moments (SSE = Syy - b·[Sy, Syd, Syh]).
+      (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(expr("CAST(round(value * 1000) AS BIGINT)").as("y"),
+            expr("ts div 86400000000000").as("day"),
+            expr("(ts div 3600000000000) % 24").as("h"))
+        val d0 = base.agg(min("day").as("d0"))
+        val m = base.join(broadcast(d0))
+          .select(col("y"), (col("day") - col("d0")).as("d"), col("h"))
+          .agg(count(lit(1)).as("n"), sum("d").as("sd"), sum("h").as("sh"),
+            sum(col("d") * col("d")).as("sdd"),
+            sum(col("d") * col("h")).as("sdh"),
+            sum(col("h") * col("h")).as("shh"),
+            sum("y").as("sy"), sum(col("y") * col("d")).as("syd"),
+            sum(col("y") * col("h")).as("syh"),
+            sum(col("y") * col("y")).as("syy"))
+        m.select(col("n"),
+            expr("""CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sdh)
+              - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sh)
+              + CAST(sh AS DOUBLE) * (CAST(sd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * sh)""")
+              .as("det"),
+            expr("""CAST(sy AS DOUBLE) * (CAST(sdd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sdh)
+              - CAST(sd AS DOUBLE) * (CAST(syd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * syh)
+              + CAST(sh AS DOUBLE) * (CAST(syd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * syh)""")
+              .as("det0"),
+            expr("""CAST(n AS DOUBLE) * (CAST(syd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * syh)
+              - CAST(sy AS DOUBLE) * (CAST(sd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sh)
+              + CAST(sh AS DOUBLE) * (CAST(sd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sh)""")
+              .as("det1"),
+            expr("""CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sdh)
+              - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sh)
+              + CAST(sy AS DOUBLE) * (CAST(sd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * sh)""")
+              .as("det2"),
+            col("sy"), col("syd"), col("syh"), col("syy"))
+          .select(col("n"),
+            expr("round(det0 / det, 6)").as("beta0"),
+            expr("round(det1 / det, 6)").as("beta_day"),
+            expr("round(det2 / det, 6)").as("beta_hour"),
+            expr("""round(1.0D - (syy - det0 / det * sy - det1 / det * syd
+                - det2 / det * syh)
+              / (syy - CAST(sy AS DOUBLE) * sy / n), 6)""").as("r2"))
+      },
+      Some("""|WITH base AS (
+             |  SELECT CAST(round(value * 1000) AS BIGINT) AS y,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS h
+             |  FROM events
+             |), c AS (
+             |  SELECT y, day - (SELECT min(day) FROM base) AS d, h FROM base
+             |), m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(h) AS BIGINT) AS sh,
+             |    CAST(sum(d * d) AS BIGINT) AS sdd,
+             |    CAST(sum(d * h) AS BIGINT) AS sdh,
+             |    CAST(sum(h * h) AS BIGINT) AS shh,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(y * d) AS BIGINT) AS syd,
+             |    CAST(sum(y * h) AS BIGINT) AS syh,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM c
+             |), dets AS (
+             |  SELECT n, sy, syd, syh, syy,
+             |    CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sdh)
+             |      - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sh)
+             |      + CAST(sh AS DOUBLE) * (CAST(sd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * sh)
+             |      AS det,
+             |    CAST(sy AS DOUBLE) * (CAST(sdd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sdh)
+             |      - CAST(sd AS DOUBLE) * (CAST(syd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * syh)
+             |      + CAST(sh AS DOUBLE) * (CAST(syd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * syh)
+             |      AS det0,
+             |    CAST(n AS DOUBLE) * (CAST(syd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * syh)
+             |      - CAST(sy AS DOUBLE) * (CAST(sd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sh)
+             |      + CAST(sh AS DOUBLE) * (CAST(sd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sh)
+             |      AS det1,
+             |    CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sdh)
+             |      - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sh)
+             |      + CAST(sy AS DOUBLE) * (CAST(sd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * sh)
+             |      AS det2
+             |  FROM m
+             |)
+             |SELECT n, round(det0 / det, 6) AS beta0,
+             |  round(det1 / det, 6) AS beta_day,
+             |  round(det2 / det, 6) AS beta_hour,
+             |  round(1.0 - (syy - det0 / det * sy - det1 / det * syd
+             |      - det2 / det * syh)
+             |    / (syy - CAST(sy AS DOUBLE) * sy / n), 6) AS r2
+             |FROM dets""".stripMargin)),
+
+    QueryDef("q235_grid_density_clusters",
+      "grid-density clustering of user coordinates (DBSCAN-lite, 6-round min-label propagation)",
+      // q216's clustering sibling: dense 1-degree cells (>= 2 users) become
+      // nodes, 8-neighborhood adjacency becomes edges, components get
+      // min-cell labels through 6 bounded propagation rounds
+      // (Spatial.gridDensityClusters — the q167/q218 bounded-rounds
+      // contract, replayed exactly by the unrolled oracle). The point set
+      // only ever passes ONE count aggregate; the loop runs on cells.
+      (s, dir) => {
+        val pts = table(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id").as("id"),
+            (conv(substring(md5(concat(lit("geo:"), col("user_id").cast("string"),
+              lit(":x"))), 1, 15), 16, 10).cast("long") % 10000000L).as("x"),
+            (conv(substring(md5(concat(lit("geo:"), col("user_id").cast("string"),
+              lit(":y"))), 1, 15), 16, 10).cast("long") % 10000000L).as("y"))
+        graft.operators.Spatial.gridDensityClusters(pts, cellSize = 1000000L,
+            minPts = 2L, rounds = 6)
+          .orderBy("cx", "cy")
+      },
+      Some(gridClusterOracle(rounds = 6))))
+
+  /** Unrolled-CTE oracle for [[graft.operators.Spatial.gridDensityClusters]]
+    * over the q216/q235 md5-derived user map: dense cells, 8-neighborhood
+    * adjacency, and `rounds` min-label propagation steps — the identical
+    * integer recurrence, MATERIALIZED so DuckDB never re-inlines a round. */
+  private def gridClusterOracle(rounds: Int): String = {
+    val props = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT cx, cy, min(label) AS label FROM (
+         |    SELECT cx, cy, label FROM l${r - 1}
+         |    UNION ALL
+         |    SELECT e.acx, e.acy, l${r - 1}.label
+         |    FROM e JOIN l${r - 1} ON l${r - 1}.cx = e.bcx AND l${r - 1}.cy = e.bcy
+         |  ) GROUP BY cx, cy
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH u AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+       |p AS MATERIALIZED (
+       |  SELECT
+       |    CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':x'), 1, 15))
+       |      AS UBIGINT) % 10000000 AS BIGINT) AS x,
+       |    CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':y'), 1, 15))
+       |      AS UBIGINT) % 10000000 AS BIGINT) AS y
+       |  FROM u
+       |), cells AS MATERIALIZED (
+       |  SELECT x // 1000000 AS cx, y // 1000000 AS cy,
+       |    count(*) AS n_points
+       |  FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+       |), e AS MATERIALIZED (
+       |  SELECT a.cx AS acx, a.cy AS acy, b.cx AS bcx, b.cy AS bcy
+       |  FROM cells a JOIN cells b
+       |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       |    AND NOT (a.cx = b.cx AND a.cy = b.cy)
+       |), l0 AS MATERIALIZED (
+       |  SELECT cx, cy, CAST(cx * 1024 + cy AS BIGINT) AS label FROM cells
+       |), $props
+       |SELECT cells.cx, cells.cy, n_points, l$rounds.label
+       |FROM cells JOIN l$rounds USING (cx, cy)
+       |ORDER BY cells.cx, cells.cy""".stripMargin
+  }
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the

@@ -61,6 +61,29 @@ class SpatialSpec extends AnyFunSuite {
     assert(got === bruteForce(Seq((1L, -1L, -1L), (2L, 1L, 1L), (3L, -95L, -95L)), 50L))
   }
 
+  test("gridDensityClusters: two separated blobs get two labels, sparse cells drop, a snake chain unifies") {
+    // blob A: cells (0,0),(0,1),(1,1) each with 2 points; blob B: cell (5,5)
+    // with 3 points; a 4-cell diagonal-adjacent snake (8,0)..(8,3) tests
+    // propagation depth; cell (3,3) has ONE point -> not dense
+    def cellPts(cx: Long, cy: Long, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, cx * 10 + i, cy * 10 + i))
+    val pts = cellPts(0, 0, 2, 100) ++ cellPts(0, 1, 2, 200) ++
+      cellPts(1, 1, 2, 300) ++ cellPts(5, 5, 3, 400) ++
+      cellPts(3, 3, 1, 500) ++
+      cellPts(8, 0, 2, 600) ++ cellPts(8, 1, 2, 700) ++
+      cellPts(8, 2, 2, 800) ++ cellPts(8, 3, 2, 900)
+    val df = pts.toDF("id", "x", "y")
+    val out = Spatial.gridDensityClusters(df, cellSize = 10L, minPts = 2L, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains((3L, 3L)))                  // sparse cell dropped
+    assert(out((5L, 5L)) === ((3L, 5L * 1024 + 5)))  // singleton component
+    val blobA = Seq((0L, 0L), (0L, 1L), (1L, 1L)).map(c => out(c)._2)
+    assert(blobA.distinct === Seq(0L))               // min cell (0,0) labels all
+    val snake = Seq((8L, 0L), (8L, 1L), (8L, 2L), (8L, 3L)).map(c => out(c)._2)
+    assert(snake.distinct === Seq(8L * 1024))        // unified in <= 6 rounds
+    assert(out((0L, 0L))._1 === 2L)                  // n_points carried through
+  }
+
   test("radius > cellSize is rejected (the probe would be lossy)") {
     val pts = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
     intercept[IllegalArgumentException] {
