@@ -150,7 +150,10 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             audit (q231), binary-segmentation change-point localization
   *             (q232), lead-lag cross-correlation matrix (q233), closed-form
   *             OLS via Cramer on exact moments (q234), grid-density
-  *             clustering / DBSCAN-lite (q235, Spatial.gridDensityClusters)
+  *             clustering / DBSCAN-lite (q235, Spatial.gridDensityClusters),
+  *             bounded Lloyd k-means with WCSS (q236,
+  *             Spatial.lloydIterations), asymmetric shingle containment
+  *             join (q237), Horvitz-Thompson AQP audit (q238)
   */
 object SparkEntry {
 

@@ -3620,7 +3620,219 @@ object Advanced {
             minPts = 2L, rounds = 6)
           .orderBy("cx", "cy")
       },
-      Some(gridClusterOracle(rounds = 6))))
+      Some(gridClusterOracle(rounds = 6))),
+
+    QueryDef("q236_kmeans_grid",
+      "bounded Lloyd k-means (k=4, 3 iterations) on the integer user map with WCSS readout",
+      // the workhorse clustering loop, Spark-shaped: assignment is a pure
+      // codegen'd expression over BROADCAST centroid literals (argmin via
+      // array_min of (dist2, k) structs — no point-to-centroid join, no
+      // shuffle beyond the k-row update aggregate), centroid updates are
+      // exact floor divisions, so the unrolled oracle replays all 3 rounds
+      // bit-for-bit (Spatial.lloydIterations). Seeds at the quadrant
+      // centers; empty clusters keep their centroid on both sides.
+      (s, dir) => {
+        val pts = table(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id").as("id"),
+            (conv(substring(md5(concat(lit("geo:"), col("user_id").cast("string"),
+              lit(":x"))), 1, 15), 16, 10).cast("long") % 10000000L).as("x"),
+            (conv(substring(md5(concat(lit("geo:"), col("user_id").cast("string"),
+              lit(":y"))), 1, 15), 16, 10).cast("long") % 10000000L).as("y"))
+        graft.operators.Spatial.lloydIterations(pts, KMeansSeeds, iters = 3)
+          .orderBy("k")
+      },
+      Some(kMeansOracle(KMeansSeeds, iters = 3))),
+
+    QueryDef("q237_containment_join",
+      "asymmetric containment join (4-gram shingle set A mostly inside B) via rare-shingle prefix filtering",
+      // subset-dedup's query shape over 4-word shingle sets (unigram sets
+      // are degenerate on this tight-vocabulary corpus — 144k pairs at 0.8):
+      // cont(A->B) = |A∩B| / |A| >= 0.8. If B holds >= 80% of A, then among
+      // A's floor(0.2|A|)+1 RAREST shingles (global-df order) one is in B —
+      // so only that prefix hits
+      // the inverted index and the candidate join is LOSSLESS at the
+      // threshold (q100's prefix contract, asymmetric flavor). Verification
+      // intersects the two word arrays in-row; the oracle is the NAIVE
+      // every-shared-word pair join, which the pruned plan must reproduce.
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), w -> length(w) > 0)").as("w0"))
+          .filter(size(col("w0")) >= 4) // shorter docs have no 4-gram set
+          .select(col("doc_id"), expr("""array_distinct(
+            transform(sequence(1, size(w0) - 3), i ->
+              concat(element_at(w0, i), ' ', element_at(w0, i + 1), ' ',
+                element_at(w0, i + 2), ' ', element_at(w0, i + 3))))""").as("ws"))
+          .localCheckpoint() // feeds df counts, the index, and verification
+        val df = words.select(col("doc_id"), explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("dfc"))
+        // per-doc words sorted by (df, word): rarest first — one word-keyed
+        // join attaches df, one in-row sort rebuilds the array
+        val sorted = words.select(col("doc_id"), explode(col("ws")).as("w"))
+          .join(df, "w")
+          .groupBy("doc_id")
+          .agg(expr("transform(array_sort(collect_list(struct(dfc, w))), p -> p.w)")
+            .as("ws_sorted"))
+          .withColumn("sz", size(col("ws_sorted")).cast("long"))
+          .localCheckpoint()
+        val prefix = sorted.select(col("doc_id").as("doc_a"),
+          col("sz").as("size_a"), col("ws_sorted").as("wa"),
+          explode(expr("slice(ws_sorted, 1, CAST(CAST(sz AS DOUBLE) * 0.2 AS INT) + 1)"))
+            .as("w"))
+        val index = sorted.select(col("doc_id").as("doc_b"),
+          col("ws_sorted").as("wb"), explode(col("ws_sorted")).as("w"))
+        prefix.join(index, "w")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select("doc_a", "doc_b", "size_a", "wa", "wb").distinct()
+          .withColumn("inter", expr("CAST(size(array_intersect(wa, wb)) AS BIGINT)"))
+          .filter(expr("inter * 5 >= size_a * 4")) // inter/size_a >= 0.8 exactly
+          .select(col("doc_a"), col("doc_b"), col("size_a"), col("inter"),
+            expr("round(CAST(inter AS DOUBLE) / size_a, 6)").as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""|WITH w0 AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w0
+             |  FROM documents
+             |), w AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(generate_series(1, len(w0) - 3),
+             |      i -> w0[i] || ' ' || w0[i+1] || ' ' || w0[i+2] || ' '
+             |        || w0[i+3])) AS ws
+             |  FROM w0 WHERE len(w0) >= 4
+             |), x AS MATERIALIZED (
+             |  SELECT doc_id, unnest(ws) AS w FROM w
+             |), pairs AS MATERIALIZED (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM x a JOIN x b ON a.w = b.w AND a.doc_id <> b.doc_id
+             |), scored AS (
+             |  SELECT p.doc_a, p.doc_b,
+             |    CAST(len(wa.ws) AS BIGINT) AS size_a,
+             |    CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT) AS inter
+             |  FROM pairs p
+             |  JOIN w wa ON wa.doc_id = p.doc_a
+             |  JOIN w wb ON wb.doc_id = p.doc_b
+             |)
+             |SELECT doc_a, doc_b, size_a, inter,
+             |  round(CAST(inter AS DOUBLE) / size_a, 6) AS containment
+             |FROM scored WHERE inter * 5 >= size_a * 4
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q238_aqp_sample_estimate",
+      "approximate query processing audit: Horvitz-Thompson estimates from a deterministic 1-in-4 sample vs truth",
+      // the sampled-dashboard contract, made auditable: a fixed md5 grid
+      // ('aqp:' salt) admits exactly the rows both engines agree on
+      // (p = 1/4), per-type totals inverse-propensity scale by 4, and the
+      // SAME query reports the exact truth and the ppm error — the report
+      // a production AQP layer owes its users. One scan, two aggregates.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+          .withColumn("insample",
+            (conv(substring(md5(concat(lit("aqp:"), col("event_id").cast("string"))),
+              1, 15), 16, 10).cast("long") % 4L) === 0L)
+        e.groupBy("event_type")
+          .agg(count(lit(1)).as("n_true"), sum("vm").as("sum_true_vm"),
+            (sum(when(col("insample"), 1L).otherwise(0L)) * 4L).as("n_hat"),
+            (sum(when(col("insample"), col("vm")).otherwise(0L)) * 4L)
+              .as("sum_hat_vm"))
+          .select(col("event_type"), col("n_true"), col("n_hat"),
+            col("sum_true_vm"), col("sum_hat_vm"),
+            expr("CAST(round(1e6 * (n_hat - n_true) / n_true, 0) AS BIGINT)")
+              .as("n_err_ppm"),
+            expr("""CAST(round(1e6 * (sum_hat_vm - sum_true_vm)
+              / sum_true_vm, 0) AS BIGINT)""").as("sum_err_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH e AS (
+             |  SELECT event_type,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm,
+             |    CAST(('0x' || substr(md5('aqp:' || event_id), 1, 15))
+             |      AS UBIGINT) % 4 = 0 AS insample
+             |  FROM events
+             |), agg AS (
+             |  SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_true,
+             |    CAST(sum(CASE WHEN insample THEN 1 ELSE 0 END) * 4 AS BIGINT)
+             |      AS n_hat,
+             |    CAST(sum(vm) AS BIGINT) AS sum_true_vm,
+             |    CAST(sum(CASE WHEN insample THEN vm ELSE 0 END) * 4 AS BIGINT)
+             |      AS sum_hat_vm
+             |  FROM e GROUP BY 1
+             |)
+             |SELECT event_type, n_true, n_hat, sum_true_vm, sum_hat_vm,
+             |  CAST(round(1e6 * (n_hat - n_true) / n_true, 0) AS BIGINT)
+             |    AS n_err_ppm,
+             |  CAST(round(1e6 * (sum_hat_vm - sum_true_vm) / sum_true_vm, 0)
+             |    AS BIGINT) AS sum_err_ppm
+             |FROM agg ORDER BY event_type""".stripMargin)))
+
+  /** q236's fixed seeds: the quadrant centers of the 10x10-degree map.
+    * (a def: `defs` initializes before any trailing vals would) */
+  private def KMeansSeeds: Seq[(Long, Long)] = Seq(
+    (2500000L, 2500000L), (2500000L, 7500000L),
+    (7500000L, 2500000L), (7500000L, 7500000L))
+
+  /** Unrolled-CTE oracle for [[graft.operators.Spatial.lloydIterations]]:
+    * per round, argmin assignment (row_number over (dist2, k) per point)
+    * and floor-div centroid update with empty-cluster carry-over — the
+    * identical integer recurrence. Points carry user_id so duplicate
+    * coordinates (if the md5 map ever collides) stay distinct rows. */
+  private def kMeansOracle(seeds: Seq[(Long, Long)], iters: Int): String = {
+    val seedRows = seeds.zipWithIndex
+      .map { case ((cx, cy), k) => s"($k, ${cx}, ${cy})" }.mkString(", ")
+    val roundCtes = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT user_id, x, y, k, d FROM (
+         |    SELECT p.user_id, p.x, p.y, c.k,
+         |      (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d,
+         |      row_number() OVER (PARTITION BY p.user_id
+         |        ORDER BY (p.x - c.cx) * (p.x - c.cx)
+         |          + (p.y - c.cy) * (p.y - c.cy), c.k) AS rn
+         |    FROM p CROSS JOIN c${r - 1} c
+         |  ) WHERE rn = 1
+         |), c$r AS MATERIALIZED (
+         |  SELECT c${r - 1}.k,
+         |    coalesce(CAST(s.sx // s.n AS BIGINT), c${r - 1}.cx) AS cx,
+         |    coalesce(CAST(s.sy // s.n AS BIGINT), c${r - 1}.cy) AS cy
+         |  FROM c${r - 1} LEFT JOIN (
+         |    SELECT k, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |      count(*) AS n
+         |    FROM a$r GROUP BY k
+         |  ) s USING (k)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH u AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+       |p AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':x'), 1, 15))
+       |      AS UBIGINT) % 10000000 AS BIGINT) AS x,
+       |    CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':y'), 1, 15))
+       |      AS UBIGINT) % 10000000 AS BIGINT) AS y
+       |  FROM u
+       |), c0 AS MATERIALIZED (
+       |  SELECT k, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy
+       |  FROM (VALUES $seedRows) AS t(k, cx, cy)
+       |), $roundCtes, af AS MATERIALIZED (
+       |  SELECT user_id, k, d FROM (
+       |    SELECT p.user_id, c.k,
+       |      (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d,
+       |      row_number() OVER (PARTITION BY p.user_id
+       |        ORDER BY (p.x - c.cx) * (p.x - c.cx)
+       |          + (p.y - c.cy) * (p.y - c.cy), c.k) AS rn
+       |    FROM p CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |)
+       |SELECT c.k, c.cx, c.cy,
+       |  CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+       |  CAST(coalesce(s.wcss, 0) AS BIGINT) AS wcss
+       |FROM c$iters c LEFT JOIN (
+       |  SELECT k, count(*) AS n, CAST(sum(d) AS BIGINT) AS wcss
+       |  FROM af GROUP BY k
+       |) s USING (k)
+       |ORDER BY c.k""".stripMargin
+  }
 
   /** Unrolled-CTE oracle for [[graft.operators.Spatial.gridDensityClusters]]
     * over the q216/q235 md5-derived user map: dense cells, 8-neighborhood

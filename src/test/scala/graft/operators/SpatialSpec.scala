@@ -84,6 +84,21 @@ class SpatialSpec extends AnyFunSuite {
     assert(out((0L, 0L))._1 === 2L)                  // n_points carried through
   }
 
+  test("lloydIterations: centroids land on planted blob means; empty cluster keeps its seed") {
+    // blob A around (10, 10): points 8..12; blob B around (100, 100);
+    // seed 2 starts at (1000, 1000) with no points anywhere near AFTER the
+    // first assignment pulls everything to seeds 0/1 -> stays put
+    val pts = (Seq((1L, 8L, 10L), (2L, 12L, 10L), (3L, 10L, 8L), (4L, 10L, 12L)) ++
+      Seq((5L, 98L, 100L), (6L, 102L, 100L), (7L, 100L, 98L), (8L, 100L, 102L)))
+      .toDF("id", "x", "y")
+    val out = Spatial.lloydIterations(pts,
+        seeds = Seq((0L, 0L), (90L, 90L), (1000L, 1000L)), iters = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0) === ((10L, 10L, 4L, 16L)))     // blob A mean, wcss = 4 * 2^2
+    assert(out(1) === ((100L, 100L, 4L, 16L)))   // blob B mean
+    assert(out(2) === ((1000L, 1000L, 0L, 0L)))  // empty cluster: seed kept
+  }
+
   test("radius > cellSize is rejected (the probe would be lossy)") {
     val pts = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
     intercept[IllegalArgumentException] {
