@@ -153,7 +153,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             clustering / DBSCAN-lite (q235, Spatial.gridDensityClusters),
   *             bounded Lloyd k-means with WCSS (q236,
   *             Spatial.lloydIterations), asymmetric shingle containment
-  *             join (q237), Horvitz-Thompson AQP audit (q238)
+  *             join (q237), Horvitz-Thompson AQP audit (q238), streaming
+  *             AQP store (q239, in StreamingQueries), MinHash-vs-exact
+  *             containment sketch audit (q240)
   */
 object SparkEntry {
 

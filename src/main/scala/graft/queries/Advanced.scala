@@ -3766,7 +3766,76 @@ object Advanced {
              |    AS n_err_ppm,
              |  CAST(round(1e6 * (sum_hat_vm - sum_true_vm) / sum_true_vm, 0)
              |    AS BIGINT) AS sum_err_ppm
-             |FROM agg ORDER BY event_type""".stripMargin)))
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q240_minhash_containment_audit",
+      "sketch-quality audit: MinHash-estimated Jaccard/containment vs exact sets on q42's candidates",
+      // closes the loop on the LSH tier: for every q42 candidate pair, the
+      // 32-slot signature estimate sits next to the EXACT 2-gram shingle
+      // overlap — J error in micro, and the containment both ways
+      // (I/|A| with I = J(|A|+|B|)/(1+J) from the estimate vs exact
+      // intersection). est_jaccard = k/32 is exactly representable in 5
+      // decimals, so no rounding gymnastics; the exact sets use the same
+      // split-on-space basis as the signatures. This is the report that
+      // justifies trusting the sketch tier at 100 TB where exact sets
+      // can't be materialized pairwise.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = graft.text.TextOps.minhashCandidates(
+          graft.text.TextOps.minhashSignatures(docs), threshold = 0.2)
+        val sets = docs
+          .select(col("doc_id"), split(col("text"), " ").as("w0"))
+          .filter(size(col("w0")) >= 2)
+          .select(col("doc_id"), expr("""array_distinct(
+            transform(sequence(1, size(w0) - 1), i ->
+              concat(element_at(w0, i), ' ', element_at(w0, i + 1))))""")
+            .as("ws"))
+          .localCheckpoint() // joined to both pair sides
+        pairs
+          .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
+            size(col("ws")).cast("long").as("size_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("wb"),
+            size(col("ws")).cast("long").as("size_b")), "doc_b")
+          .withColumn("inter", expr("CAST(size(array_intersect(wa, wb)) AS BIGINT)"))
+          .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+            col("inter"), col("est_jaccard"),
+            expr("round(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6)")
+              .as("j_exact"),
+            expr("round(CAST(inter AS DOUBLE) / size_a, 6)").as("c_exact"),
+            expr("""round(est_jaccard * (size_a + size_b) / (1.0D + est_jaccard)
+              / size_a, 6)""").as("c_est"),
+            expr("""CAST(round(1e6 * (est_jaccard
+              - CAST(inter AS DOUBLE) / (size_a + size_b - inter)), 0) AS BIGINT)""")
+              .as("j_err_micro"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${Llm.MinhashCtes},
+              |est AS MATERIALIZED (
+              |${Llm.MinhashPairsSelect}
+              |), wx AS MATERIALIZED (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS ws
+              |  FROM words WHERE len(w) >= 2
+              |), scored AS (
+              |  SELECT e.doc_a, e.doc_b,
+              |    CAST(len(a.ws) AS BIGINT) AS size_a,
+              |    CAST(len(b.ws) AS BIGINT) AS size_b,
+              |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+              |    e.est_jaccard
+              |  FROM est e
+              |  JOIN wx a ON a.doc_id = e.doc_a
+              |  JOIN wx b ON b.doc_id = e.doc_b
+              |)
+              |SELECT doc_a, doc_b, size_a, size_b, inter, est_jaccard,
+              |  round(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6)
+              |    AS j_exact,
+              |  round(CAST(inter AS DOUBLE) / size_a, 6) AS c_exact,
+              |  round(est_jaccard * (size_a + size_b) / (1.0 + est_jaccard)
+              |    / size_a, 6) AS c_est,
+              |  CAST(round(1e6 * (est_jaccard
+              |    - CAST(inter AS DOUBLE) / (size_a + size_b - inter)), 0)
+              |    AS BIGINT) AS j_err_micro
+              |FROM scored ORDER BY doc_a, doc_b""".stripMargin)))
 
   /** q236's fixed seeds: the quadrant centers of the 10x10-degree map.
     * (a def: `defs` initializes before any trailing vals would) */

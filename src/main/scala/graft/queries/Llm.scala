@@ -186,7 +186,7 @@ object Llm {
 
   /** Candidate pairs with their slot-match estimate, threshold 0.2 —
     * q42's result body (no ORDER BY so q53 can wrap it as a CTE). */
-  private val MinhashPairsSelect: String =
+  private[queries] val MinhashPairsSelect: String =
     """SELECT c.doc_a, c.doc_b,
       |       round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
       |FROM cand c

@@ -1091,7 +1091,70 @@ ORDER BY event_type, win"""
       "streaming Markov transition store: per-user sorted sequence state " +
         "via flatMapGroupsWithState, final update == q217's batch " +
         "transition counts",
-      q225Build, Some(q225Oracle)))
+      q225Build, Some(q225Oracle)),
+    QueryDef("q239_streaming_aqp",
+      "streaming AQP store: running per-type (exact, 1-in-4 HT sample) " +
+        "totals in Update mode — every moment is commutative, so the " +
+        "final update == q238's batch audit (oracle verbatim)",
+      q239Build, Some(q239Oracle)))
+
+  /** q239: the streaming twin of q238 — the deterministic md5 sample
+    * membership ('aqp:' grid) and all four running totals are commutative
+    * sums, so the per-type LAST update (max n_true, counts are monotone)
+    * equals the batch Horvitz-Thompson audit under any micro-batch
+    * slicing. The AQP dashboard as a live store. */
+  private def q239Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q239_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("vm"),
+          (conv(substring(md5(concat(lit("aqp:"), col("event_id").cast("string"))),
+            1, 15), 16, 10).cast("long") % 4L === 0L).as("insample"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"), sum("vm").as("sum_true_vm"),
+          (sum(when(col("insample"), 1L).otherwise(0L)) * 4L).as("n_hat"),
+          (sum(when(col("insample"), col("vm")).otherwise(0L)) * 4L)
+            .as("sum_hat_vm")),
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    updates
+      .withColumn("_mx", max("n_true").over(w))
+      .filter(col("n_true") === col("_mx"))
+      .select(col("event_type"), col("n_true"), col("n_hat"),
+        col("sum_true_vm"), col("sum_hat_vm"),
+        expr("CAST(round(1e6 * (n_hat - n_true) / n_true, 0) AS BIGINT)")
+          .as("n_err_ppm"),
+        expr("""CAST(round(1e6 * (sum_hat_vm - sum_true_vm)
+          / sum_true_vm, 0) AS BIGINT)""").as("sum_err_ppm"))
+      .orderBy("event_type")
+  }
+
+  private def q239Oracle: String =
+    """|WITH e AS (
+       |  SELECT event_type,
+       |    CAST(round(value * 1000) AS BIGINT) AS vm,
+       |    CAST(('0x' || substr(md5('aqp:' || event_id), 1, 15))
+       |      AS UBIGINT) % 4 = 0 AS insample
+       |  FROM events
+       |), agg AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN insample THEN 1 ELSE 0 END) * 4 AS BIGINT)
+       |      AS n_hat,
+       |    CAST(sum(vm) AS BIGINT) AS sum_true_vm,
+       |    CAST(sum(CASE WHEN insample THEN vm ELSE 0 END) * 4 AS BIGINT)
+       |      AS sum_hat_vm
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT event_type, n_true, n_hat, sum_true_vm, sum_hat_vm,
+       |  CAST(round(1e6 * (n_hat - n_true) / n_true, 0) AS BIGINT)
+       |    AS n_err_ppm,
+       |  CAST(round(1e6 * (sum_hat_vm - sum_true_vm) / sum_true_vm, 0)
+       |    AS BIGINT) AS sum_err_ppm
+       |FROM agg ORDER BY event_type""".stripMargin
 
   /** q225: the streaming twin of q217's transition matrix — per-user event
     * sequences accumulate as sorted state (StreamingOps.runningTransitions),
