@@ -100,7 +100,8 @@ object Bench {
     "q232_changepoint_split", "q233_lead_lag_matrix",
     "q234_ols_closed_form", "q235_grid_density_clusters",
     "q236_kmeans_grid", "q237_containment_join", "q238_aqp_sample_estimate",
-    "q239_streaming_aqp", "q240_minhash_containment_audit")
+    "q239_streaming_aqp", "q240_minhash_containment_audit",
+    "q241_exclusive_shingles", "q242_cotemporal_lift", "q243_dedup_savings")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

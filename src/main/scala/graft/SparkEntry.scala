@@ -155,7 +155,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             Spatial.lloydIterations), asymmetric shingle containment
   *             join (q237), Horvitz-Thompson AQP audit (q238), streaming
   *             AQP store (q239, in StreamingQueries), MinHash-vs-exact
-  *             containment sketch audit (q240)
+  *             containment sketch audit (q240), per-source exclusive-shingle
+  *             provenance census (q241), co-temporal event-type lift (q242),
+  *             dedup storage-savings report (q243)
   */
 object SparkEntry {
 

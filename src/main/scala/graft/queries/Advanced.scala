@@ -3835,7 +3835,161 @@ object Advanced {
               |  CAST(round(1e6 * (est_jaccard
               |    - CAST(inter AS DOUBLE) / (size_a + size_b - inter)), 0)
               |    AS BIGINT) AS j_err_micro
-              |FROM scored ORDER BY doc_a, doc_b""".stripMargin)))
+              |FROM scored ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q241_exclusive_shingles",
+      "per-source exclusive-content census: 4-gram shingles owned by exactly one source",
+      // the corpus-provenance readout a curation pipeline owes its users:
+      // how much of each source's content is UNIQUE to it? Per shingle, the
+      // distinct owning sources collapse to (n_sources, min_source) in one
+      // aggregate; exclusive = n_sources = 1. Per-source report: distinct
+      // shingles used, exclusively-owned count, and the exclusivity ratio.
+      // One shingle-keyed shuffle; nothing pairwise anywhere.
+      (s, dir) => {
+        val sh = table(s, dir, "documents")
+          .select(col("source"),
+            expr("filter(split(text, ' '), w -> length(w) > 0)").as("w0"))
+          .filter(size(col("w0")) >= 4)
+          .select(col("source"), explode(expr("""array_distinct(
+            transform(sequence(1, size(w0) - 3), i ->
+              concat(element_at(w0, i), ' ', element_at(w0, i + 1), ' ',
+                element_at(w0, i + 2), ' ', element_at(w0, i + 3))))"""))
+            .as("shingle"))
+          .distinct() // (source, shingle) ownership set
+          .localCheckpoint() // feeds per-shingle owners and per-source totals
+        val owners = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("n_sources"), min("source").as("one_source"))
+        val excl = owners.filter(col("n_sources") === 1)
+          .groupBy(col("one_source").as("source"))
+          .agg(count(lit(1)).as("n_exclusive"))
+        sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+          .join(excl, Seq("source"), "left")
+          .withColumn("n_exclusive", coalesce(col("n_exclusive"), lit(0L)))
+          .withColumn("exclusivity",
+            round(col("n_exclusive").cast("double") / col("n_shingles"), 6))
+          .orderBy("source")
+      },
+      Some("""|WITH w0 AS (
+             |  SELECT source,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w0
+             |  FROM documents
+             |), sh AS MATERIALIZED (
+             |  SELECT DISTINCT source,
+             |    unnest(list_distinct(list_transform(generate_series(1, len(w0) - 3),
+             |      i -> w0[i] || ' ' || w0[i+1] || ' ' || w0[i+2] || ' '
+             |        || w0[i+3]))) AS shingle
+             |  FROM w0 WHERE len(w0) >= 4
+             |), owners AS (
+             |  SELECT shingle, count(*) AS n_sources, min(source) AS one_source
+             |  FROM sh GROUP BY 1
+             |), excl AS (
+             |  SELECT one_source AS source, CAST(count(*) AS BIGINT) AS n_exclusive
+             |  FROM owners WHERE n_sources = 1 GROUP BY 1
+             |), tot AS (
+             |  SELECT source, count(*) AS n_shingles FROM sh GROUP BY 1
+             |)
+             |SELECT tot.source, n_shingles,
+             |  coalesce(n_exclusive, 0) AS n_exclusive,
+             |  round(CAST(coalesce(n_exclusive, 0) AS DOUBLE) / n_shingles, 6)
+             |    AS exclusivity
+             |FROM tot LEFT JOIN excl ON excl.source = tot.source
+             |ORDER BY tot.source""".stripMargin)),
+
+    QueryDef("q242_cotemporal_lift",
+      "co-temporal lift: event-type pairs observed in the same user-minute vs independence",
+      // q124's sequential bigrams say what FOLLOWS what; this says what
+      // happens TOGETHER: for unordered type pairs co-present in a
+      // (user, minute) bucket, lift = P(a,b) / (P(a) P(b)) over bucket
+      // presence counts — exact integers until one rounded ratio. In-bucket
+      // pair generation is bounded by types^2, never by events; one
+      // (user, minute) shuffle plus a broadcast of the 5-row marginals.
+      (s, dir) => {
+        val pres = table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 60000000000").as("minute"),
+            col("event_type"))
+          .distinct()
+          .localCheckpoint() // feeds marginals, bucket count, and the pair join
+        val nb = pres.select("user_id", "minute").distinct().count()
+        val marg = pres.groupBy("event_type").agg(count(lit(1)).as("nt"))
+        val l = pres.select(col("user_id"), col("minute"),
+          col("event_type").as("type_a"))
+        val r = pres.select(col("user_id"), col("minute"),
+          col("event_type").as("type_b"))
+        l.join(r, Seq("user_id", "minute"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(marg.select(col("event_type").as("type_a"),
+            col("nt").as("n_a"))), "type_a")
+          .join(broadcast(marg.select(col("event_type").as("type_b"),
+            col("nt").as("n_b"))), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+            col("n_b"),
+            expr(s"""round(CAST(n_ab AS DOUBLE) * $nb
+              / (CAST(n_a AS DOUBLE) * n_b), 6)""").as("lift"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""|WITH pres AS MATERIALIZED (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 60000000000 AS minute,
+             |    event_type
+             |  FROM events
+             |), nb AS (
+             |  SELECT count(*) AS nb FROM (
+             |    SELECT DISTINCT user_id, minute FROM pres)
+             |), marg AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS nt
+             |  FROM pres GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS n_ab
+             |  FROM pres a JOIN pres b
+             |    ON a.user_id = b.user_id AND a.minute = b.minute
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2
+             |)
+             |SELECT type_a, type_b, n_ab, ma.nt AS n_a, mb.nt AS n_b,
+             |  round(CAST(n_ab AS DOUBLE) * nb.nb
+             |    / (CAST(ma.nt AS DOUBLE) * mb.nt), 6) AS lift
+             |FROM pairs
+             |JOIN marg ma ON ma.event_type = type_a
+             |JOIN marg mb ON mb.event_type = type_b
+             |CROSS JOIN nb
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    QueryDef("q243_dedup_savings",
+      "dedup ROI report: bytes kept vs dropped per source under exact content dedup",
+      // the number a storage bill actually shows: per source, total chars,
+      // chars surviving exact dedup (min-id keeper per content hash — q40's
+      // contract), rows dropped, and the savings ratio. One hash-keyed
+      // window picks keepers; everything else is per-source sums.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            md5(col("text")).as("h"))
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        docs.withColumn("_rn", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum("n_chars").cast("long").as("chars_total"),
+            sum(when(col("_rn") === 1, col("n_chars")).otherwise(0L))
+              .cast("long").as("chars_kept"))
+          .withColumn("savings",
+            round(lit(1.0) - col("chars_kept").cast("double") / col("chars_total"), 6))
+          .orderBy("source")
+      },
+      Some("""|WITH k AS (
+             |  SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             |  CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             |    AS chars_kept,
+             |  round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END)
+             |      AS DOUBLE) / sum(n_chars), 6) AS savings
+             |FROM k GROUP BY source ORDER BY source""".stripMargin)))
 
   /** q236's fixed seeds: the quadrant centers of the 10x10-degree map.
     * (a def: `defs` initializes before any trailing vals would) */
