@@ -157,7 +157,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             AQP store (q239, in StreamingQueries), MinHash-vs-exact
   *             containment sketch audit (q240), per-source exclusive-shingle
   *             provenance census (q241), co-temporal event-type lift (q242),
-  *             dedup storage-savings report (q243)
+  *             dedup storage-savings report (q243), phase-amplitude
+  *             coupling / Tort modulation index (q244)
   */
 object SparkEntry {
 

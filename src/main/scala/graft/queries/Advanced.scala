@@ -3989,7 +3989,53 @@ object Advanced {
              |    AS chars_kept,
              |  round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END)
              |      AS DOUBLE) / sum(n_chars), 6) AS savings
-             |FROM k GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM k GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef("q244_phase_amplitude_coupling",
+      "phase-amplitude coupling (Tort modulation index): low-band phase bins high-band amplitude",
+      // the canonical downstream ECoG analysis the reference's outputs feed:
+      // phase of the LOWEST hg band (q35 chain) bins the amplitude of the
+      // HIGHEST hg band (q32 chain) into 18 phase bins; MI = (ln K + sum
+      // p ln p)/ln K over the bin distribution. Phase/amp pin to the
+      // round(.,6) cross-engine grid FIRST, bins are floor arithmetic on
+      // those identical doubles, amplitudes floor to milli integers, MI
+      // sums ROUNDED micro-nat contributions. The wavelet frame is
+      // checkpointed once and feeds both projections (the multi-consumer
+      // rule); the join is per (channel, t_idx) — parallelism = channels.
+      (s, dir) => {
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        val wt = DspOperators.waveletTransform(seg, "human", hgOnly = true)
+          .localCheckpoint() // feeds amplitude, phase, and the band bounds
+        val bands = wt.agg(min("band").as("lo"), max("band").as("hi")).head()
+        val (lo, hi) = (bands.getInt(0), bands.getInt(1))
+        val ph = Frames.toLong(DspOperators.phase(wt))
+          .filter(col("band") === lo)
+          .select(col("channel"), col("t_idx"), round(col("value"), 6).as("p"))
+        val am = Frames.toLong(DspOperators.amplitude(wt))
+          .filter(col("band") === hi)
+          .select(col("channel"), col("t_idx"), round(col("value"), 6).as("a"))
+        val g = ph.join(am, Seq("channel", "t_idx"))
+          .withColumn("bin",
+            expr("CAST(least(floor((p + pi()) * 9 / pi()), 17) AS INT)"))
+          .withColumn("am_milli", expr("CAST(floor(a * 1000) AS BIGINT)"))
+          .groupBy("channel", "bin")
+          .agg(count(lit(1)).as("n"), sum("am_milli").as("s"))
+          .localCheckpoint() // feeds totals and the contribution readout
+        val t = g.groupBy("channel").agg(sum("s").cast("long").as("tot"))
+        val c = g.join(t, "channel")
+          .withColumn("contrib_micro", expr("""CASE WHEN s > 0
+            THEN CAST(round(CAST(s AS DOUBLE) / tot
+              * ln(CAST(s AS DOUBLE) / tot) * 1e6, 0) AS BIGINT)
+            ELSE 0L END"""))
+        val mi = c.groupBy("channel")
+          .agg(expr("""CAST(round((ln(18.0D) + CAST(sum(contrib_micro) AS DOUBLE)
+            / 1e6) / ln(18.0D) * 1e6, 0) AS BIGINT)""").as("mi_ppm"))
+        c.join(mi, "channel")
+          .select(col("channel"), col("bin"), col("n"),
+            col("s").as("amp_milli"), col("contrib_micro"), col("mi_ppm"))
+          .orderBy("channel", "bin")
+      },
+      Some(SpectralOracles.q244())))
 
   /** q236's fixed seeds: the quadrant centers of the 10x10-degree map.
     * (a def: `defs` initializes before any trailing vals would) */

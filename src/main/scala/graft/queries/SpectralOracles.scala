@@ -344,6 +344,48 @@ JOIN st s1 ON s1.channel = xy.c1 AND s1.band = xy.band
 JOIN st s2 ON s2.channel = xy.c2 AND s2.band = xy.band
 ORDER BY xy.band, xy.c1, xy.c2"""
 
+  /** q244: phase-amplitude coupling (Tort modulation index) — the q32/q35
+    * wavelet chain composed downstream: phase of the LOWEST hg band bins
+    * the amplitude of the HIGHEST hg band into 18 phase bins. Phase and
+    * amplitude are pinned to the cross-engine round(.,6) grid FIRST (the
+    * q32/q35 hash contract), the bin index is floor arithmetic on those
+    * identical doubles, amplitudes floor to milli integers (q192's idiom),
+    * and MI sums ROUNDED micro-nat p*ln(p) contributions (q185's idiom). */
+  def q244(rate: Double = 1000.0): String =
+    s"""WITH $rect, $fastlen, ${resampleConsts(rate, rate)},
+${padCtes("rect", Seq("channel"), "padded")},
+${waveletCtes(rate, "padded", "ztrace")},
+bands AS (SELECT min(band) AS lo, max(band) AS hi FROM ztrace),
+ph AS (
+  SELECT channel, t_idx, round(atan2(zim, zre), 6) AS p
+  FROM ztrace, bands WHERE band = lo
+), am AS (
+  SELECT channel, t_idx, round(sqrt(zre * zre + zim * zim), 6) AS a
+  FROM ztrace, bands WHERE band = hi
+), j AS (
+  SELECT ph.channel,
+    CAST(least(floor((p + pi()) * 9 / pi()), 17) AS INT) AS bin,
+    CAST(floor(a * 1000) AS BIGINT) AS am_milli
+  FROM ph JOIN am ON am.channel = ph.channel AND am.t_idx = ph.t_idx
+), g AS (
+  SELECT channel, bin, count(*) AS n, CAST(sum(am_milli) AS BIGINT) AS s
+  FROM j GROUP BY 1, 2
+), t AS (SELECT channel, CAST(sum(s) AS BIGINT) AS tot FROM g GROUP BY 1),
+c AS (
+  SELECT g.channel, bin, n, s,
+    CASE WHEN s > 0 THEN CAST(round(CAST(s AS DOUBLE) / tot
+      * ln(CAST(s AS DOUBLE) / tot) * 1e6, 0) AS BIGINT) ELSE 0 END
+      AS contrib_micro
+  FROM g JOIN t USING (channel)
+), mi AS (
+  SELECT channel, CAST(round((ln(18.0) + CAST(sum(contrib_micro) AS DOUBLE)
+    / 1e6) / ln(18.0) * 1e6, 0) AS BIGINT) AS mi_ppm
+  FROM c GROUP BY 1
+)
+SELECT c.channel, bin, n, s AS amp_milli, contrib_micro, mi_ppm
+FROM c JOIN mi USING (channel)
+ORDER BY c.channel, bin"""
+
   /** q34: bit-exact replica of the synthetic generator (graft.model
     * .Synthetic): splitmix64 counter RNG via HUGEINT mod-2^64 arithmetic
     * (64x64 multiplies split into 32-bit halves to stay inside INT128),
