@@ -102,7 +102,8 @@ object Bench {
     "q236_kmeans_grid", "q237_containment_join", "q238_aqp_sample_estimate",
     "q239_streaming_aqp", "q240_minhash_containment_audit",
     "q241_exclusive_shingles", "q242_cotemporal_lift", "q243_dedup_savings",
-    "q244_phase_amplitude_coupling")
+    "q244_phase_amplitude_coupling", "q245_hg_burst_census",
+    "q246_erp_epoch_average")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -158,7 +158,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             containment sketch audit (q240), per-source exclusive-shingle
   *             provenance census (q241), co-temporal event-type lift (q242),
   *             dedup storage-savings report (q243), phase-amplitude
-  *             coupling / Tort modulation index (q244)
+  *             coupling / Tort modulation index (q244), high-gamma burst
+  *             census (q245), event-related epoch averaging (q246)
   */
 object SparkEntry {
 

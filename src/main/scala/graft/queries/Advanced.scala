@@ -4035,7 +4035,97 @@ object Advanced {
             col("s").as("amp_milli"), col("contrib_micro"), col("mi_ppm"))
           .orderBy("channel", "bin")
       },
-      Some(SpectralOracles.q244())))
+      Some(SpectralOracles.q244())),
+
+    QueryDef("q245_hg_burst_census",
+      "high-gamma burst census: threshold crossings and run statistics on the summed envelope",
+      // the event-detection analysis layered on q32: per (channel, t) the
+      // envelope is the SUM of milli-floored band amplitudes (exact
+      // integers), the burst threshold is 1.5x the channel mean in pure
+      // floor arithmetic ((3*(S div N)) div 2), and bursts are maximal
+      // above-threshold runs via the rownumber-difference island idiom
+      // (q201/q118). Census: burst count, samples, longest run, mean run.
+      (s, dir) => {
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        val env = Frames.toLong(DspOperators.amplitude(
+            DspOperators.waveletTransform(seg, "human", hgOnly = true)))
+          .select(col("channel"), col("t_idx"),
+            expr("CAST(floor(round(value, 6) * 1000) AS BIGINT)").as("am"))
+          .groupBy("channel", "t_idx").agg(sum("am").as("e"))
+          .localCheckpoint() // feeds the threshold agg and the island scan
+        val thr = env.groupBy("channel")
+          .agg(expr("(3 * (sum(e) div count(1))) div 2").as("thr"))
+        val wIsl = Window.partitionBy("channel").orderBy("t_idx")
+        val runs = env.join(broadcast(thr), "channel")
+          .filter(col("e") > col("thr"))
+          .withColumn("grp", col("t_idx") - row_number().over(wIsl))
+          .groupBy("channel", "grp").agg(count(lit(1)).as("runlen"))
+        thr.join(runs, Seq("channel"), "left")
+          .groupBy("channel", "thr")
+          .agg(count(col("grp")).as("n_bursts"),
+            coalesce(sum("runlen"), lit(0L)).as("burst_samples"),
+            coalesce(max("runlen"), lit(0L)).as("max_run"),
+            round(coalesce(sum("runlen").cast("double") / count(col("grp")),
+              lit(0.0)), 6).as("mean_run"))
+          .select(col("channel"), col("thr").as("thr_milli"), col("n_bursts"),
+            col("burst_samples"), col("max_run"), col("mean_run"))
+          .orderBy("channel")
+      },
+      Some(SpectralOracles.q245())),
+
+    QueryDef("q246_erp_epoch_average",
+      "event-related average: time-locked signal epochs (-5..+5 samples) around purchases",
+      // THE downstream electrophysiology readout (epoching + trial
+      // averaging), re-expressed relationally: triggers are purchase rows'
+      // (channel, t_idx) in the channelized series (the eventsToLong rank
+      // contract — bucketed two-level index, no whole-channel window),
+      // epochs fan out 11 offsets per trigger, and ONE (channel, t_idx)
+      // equi-join aligns them with the signal. Trial means are exact
+      // integer sums over the milli grid divided once.
+      (s, dir) => {
+        val ranked = Frames.denseIndexByKey(
+          table(s, dir, "events")
+            .select(pmod(col("user_id"), lit(8)).cast("int").as("channel"),
+              col("ts"), col("event_id"), col("event_type"),
+              expr("CAST(round(value * 1000) AS BIGINT)").as("vm")),
+          keyCols = Seq("channel"),
+          bucketCol = expr("ts div 3600000000000"),
+          orderCols = Seq(col("ts"), col("event_id")), as = "t_idx")
+          .localCheckpoint() // feeds triggers and the signal side
+        val triggers = ranked.filter(col("event_type") === "purchase")
+          .select(col("channel"), explode(expr("sequence(-5, 5)")).as("off"),
+            col("t_idx").as("t0"))
+          .select(col("channel"), col("off"), (col("t0") + col("off")).as("t_idx"))
+        val signal = ranked.select(col("channel"), col("t_idx"), col("vm"))
+        triggers.join(signal, Seq("channel", "t_idx"))
+          .groupBy("channel", "off")
+          .agg(count(lit(1)).as("n_trials"), sum("vm").as("sum_vm"))
+          .select(col("channel"), col("off").cast("long").as("off"),
+            col("n_trials"), col("sum_vm"),
+            round(col("sum_vm").cast("double") / col("n_trials") / 1000.0, 6)
+              .as("erp_mean"))
+          .orderBy("channel", "off")
+      },
+      Some("""|WITH ranked AS (
+             |  SELECT CAST(user_id % 8 AS INT) AS channel, event_type,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm,
+             |    CAST(row_number() OVER (PARTITION BY user_id % 8
+             |      ORDER BY ts, event_id) - 1 AS BIGINT) AS t_idx
+             |  FROM events
+             |), trig AS (
+             |  SELECT channel, CAST(o.off AS BIGINT) AS off, t_idx + o.off AS t_idx
+             |  FROM ranked
+             |  CROSS JOIN (SELECT unnest(generate_series(-5, 5)) AS off) o
+             |  WHERE event_type = 'purchase'
+             |)
+             |SELECT t.channel, t.off, count(*) AS n_trials,
+             |  CAST(sum(s.vm) AS BIGINT) AS sum_vm,
+             |  round(CAST(sum(s.vm) AS DOUBLE) / count(*) / 1000.0, 6)
+             |    AS erp_mean
+             |FROM trig t JOIN ranked s
+             |  ON s.channel = t.channel AND s.t_idx = t.t_idx
+             |GROUP BY t.channel, t.off
+             |ORDER BY t.channel, t.off""".stripMargin)))
 
   /** q236's fixed seeds: the quadrant centers of the 10x10-degree map.
     * (a def: `defs` initializes before any trailing vals would) */

@@ -386,6 +386,43 @@ SELECT c.channel, bin, n, s AS amp_milli, contrib_micro, mi_ppm
 FROM c JOIN mi USING (channel)
 ORDER BY c.channel, bin"""
 
+  /** q245: high-gamma burst census — the q32 amplitude chain composed with
+    * threshold-crossing run statistics: per (channel, t) the hg envelope is
+    * the SUM of per-band milli-floored amplitudes (exact integers), the
+    * threshold is 1.5x the channel's integer mean on the same grid
+    * ((3*(S div N)) div 2 — pure floor arithmetic), and bursts are maximal
+    * above-threshold runs found by the rownumber-difference island idiom. */
+  def q245(rate: Double = 1000.0): String =
+    s"""WITH $rect, $fastlen, ${resampleConsts(rate, rate)},
+${padCtes("rect", Seq("channel"), "padded")},
+${waveletCtes(rate, "padded", "ztrace")},
+env AS (
+  SELECT channel, t_idx,
+    CAST(sum(CAST(floor(round(sqrt(zre * zre + zim * zim), 6) * 1000)
+      AS BIGINT)) AS BIGINT) AS e
+  FROM ztrace GROUP BY channel, t_idx
+), thr AS (
+  SELECT channel,
+    (3 * (CAST(sum(e) AS BIGINT) // count(*))) // 2 AS thr
+  FROM env GROUP BY channel
+), above AS (
+  SELECT env.channel, t_idx,
+    t_idx - row_number() OVER (PARTITION BY env.channel ORDER BY t_idx) AS grp
+  FROM env JOIN thr ON thr.channel = env.channel
+  WHERE e > thr
+), runs AS (
+  SELECT channel, grp, count(*) AS runlen FROM above GROUP BY 1, 2
+)
+SELECT thr.channel, thr.thr AS thr_milli,
+  CAST(coalesce(count(runs.grp), 0) AS BIGINT) AS n_bursts,
+  CAST(coalesce(sum(runlen), 0) AS BIGINT) AS burst_samples,
+  CAST(coalesce(max(runlen), 0) AS BIGINT) AS max_run,
+  round(coalesce(CAST(sum(runlen) AS DOUBLE) / count(runs.grp), 0.0), 6)
+    AS mean_run
+FROM thr LEFT JOIN runs ON runs.channel = thr.channel
+GROUP BY thr.channel, thr.thr
+ORDER BY thr.channel"""
+
   /** q34: bit-exact replica of the synthetic generator (graft.model
     * .Synthetic): splitmix64 counter RNG via HUGEINT mod-2^64 arithmetic
     * (64x64 multiplies split into 32-bit halves to stay inside INT128),
