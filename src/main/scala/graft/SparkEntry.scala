@@ -159,7 +159,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             provenance census (q241), co-temporal event-type lift (q242),
   *             dedup storage-savings report (q243), phase-amplitude
   *             coupling / Tort modulation index (q244), high-gamma burst
-  *             census (q245), event-related epoch averaging (q246)
+  *             census (q245), event-related epoch averaging (q246),
+  *             spectral edge frequency (q247), per-channel signal QC
+  *             census (q248), out-of-sample OLS holdout audit (q249)
   */
 object SparkEntry {
 

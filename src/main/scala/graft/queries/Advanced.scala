@@ -4125,7 +4125,238 @@ object Advanced {
              |FROM trig t JOIN ranked s
              |  ON s.channel = t.channel AND s.t_idx = t.t_idx
              |GROUP BY t.channel, t.off
-             |ORDER BY t.channel, t.off""".stripMargin)))
+             |ORDER BY t.channel, t.off""".stripMargin)),
+
+    QueryDef("q247_spectral_edge",
+      "spectral edge frequency: first band holding 95% of cumulative hg power per channel",
+      // the anesthesia-monitoring classic on q32's chain: per-(channel,
+      // band) power = integer sum of floor(round(amp,6)^2 * 1000), a
+      // band-ordered cumulative (bands ascend in cf by construction), and
+      // the edge is the first band with 20*cum >= 19*total — all exact
+      // integer comparisons, no percentile machinery.
+      (s, dir) => {
+        val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        val pw = Frames.toLong(DspOperators.amplitude(
+            DspOperators.waveletTransform(seg, "human", hgOnly = true)))
+          .select(col("channel"), col("band"),
+            expr("CAST(floor(round(value, 6) * round(value, 6) * 1000) AS BIGINT)")
+              .as("pm"))
+          .groupBy("channel", "band").agg(sum("pm").as("p"))
+        val wCum = Window.partitionBy("channel").orderBy("band")
+        val wAll = Window.partitionBy("channel")
+        pw.withColumn("c", sum("p").over(wCum))
+          .withColumn("tot", sum("p").over(wAll))
+          .groupBy("channel")
+          .agg(min(when(lit(20) * col("c") >= lit(19) * col("tot"), col("band")))
+              .cast("int").as("sef_band"),
+            max("tot").as("total_power_milli"),
+            max(when(lit(20) * col("c") >= lit(19) * col("tot"), lit(null))
+              .otherwise(col("c"))).cast("long").as("cum_below_edge"))
+          .orderBy("channel")
+      },
+      Some(SpectralOracles.q247())),
+
+    QueryDef("q248_signal_qc",
+      "per-channel signal quality census: clipping counts, flatline runs, value range",
+      // the data-quality gate a recording pipeline runs before any science:
+      // per channel of the ranked series — extreme-value (clipping)
+      // counts at the channel min/max, flatline runs (>= 3 consecutive
+      // identical samples) via change-flag cumulative run ids, and the
+      // range itself. Everything exact integers on the milli grid; the
+      // only per-channel window is the lag/run scan (parallelism =
+      // channels, the eventsToLong contract).
+      (s, dir) => {
+        val ranked = Frames.denseIndexByKey(
+          table(s, dir, "events")
+            .select(pmod(col("user_id"), lit(8)).cast("int").as("channel"),
+              col("ts"), col("event_id"),
+              expr("CAST(round(value * 1000) AS BIGINT)").as("vm")),
+          keyCols = Seq("channel"),
+          bucketCol = expr("ts div 3600000000000"),
+          orderCols = Seq(col("ts"), col("event_id")), as = "t_idx")
+          .localCheckpoint() // feeds extremes, the run scan, and counts
+        val w = Window.partitionBy("channel").orderBy("t_idx")
+        val runs = ranked
+          .withColumn("chg",
+            when(col("vm") === lag("vm", 1).over(w), 0L).otherwise(1L))
+          .withColumn("runid", sum("chg").over(
+            Window.partitionBy("channel").orderBy("t_idx")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("channel", "runid").agg(count(lit(1)).as("runlen"))
+          .groupBy("channel")
+          .agg(sum(when(col("runlen") >= 3, 1L).otherwise(0L)).as("n_flat_runs"),
+            max("runlen").as("max_flat_run"))
+        val ext = ranked.groupBy("channel")
+          .agg(count(lit(1)).as("n"), min("vm").as("vmin"), max("vm").as("vmax"))
+        val clip = ranked.join(broadcast(ext), "channel")
+          .groupBy("channel")
+          .agg(sum(when(col("vm") === col("vmin"), 1L).otherwise(0L)).as("n_at_min"),
+            sum(when(col("vm") === col("vmax"), 1L).otherwise(0L)).as("n_at_max"))
+        ext.join(clip, "channel").join(runs, "channel")
+          .select("channel", "n", "vmin", "vmax", "n_at_min", "n_at_max",
+            "n_flat_runs", "max_flat_run")
+          .orderBy("channel")
+      },
+      Some("""|WITH ranked AS (
+             |  SELECT CAST(user_id % 8 AS INT) AS channel,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm,
+             |    row_number() OVER (PARTITION BY user_id % 8
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events
+             |), flagged AS (
+             |  SELECT channel, vm, rn,
+             |    CASE WHEN vm = lag(vm) OVER (PARTITION BY channel ORDER BY rn)
+             |      THEN 0 ELSE 1 END AS chg
+             |  FROM ranked
+             |), runids AS (
+             |  SELECT channel,
+             |    sum(chg) OVER (PARTITION BY channel ORDER BY rn) AS runid
+             |  FROM flagged
+             |), runs AS (
+             |  SELECT channel,
+             |    CAST(sum(CASE WHEN runlen >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_flat_runs,
+             |    CAST(max(runlen) AS BIGINT) AS max_flat_run
+             |  FROM (SELECT channel, runid, count(*) AS runlen
+             |        FROM runids GROUP BY 1, 2)
+             |  GROUP BY channel
+             |), ext AS (
+             |  SELECT channel, count(*) AS n,
+             |    CAST(min(vm) AS BIGINT) AS vmin, CAST(max(vm) AS BIGINT) AS vmax
+             |  FROM ranked GROUP BY 1
+             |), clip AS (
+             |  SELECT r.channel,
+             |    CAST(sum(CASE WHEN vm = vmin THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_at_min,
+             |    CAST(sum(CASE WHEN vm = vmax THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_at_max
+             |  FROM ranked r JOIN ext ON ext.channel = r.channel
+             |  GROUP BY r.channel
+             |)
+             |SELECT ext.channel, n, vmin, vmax, n_at_min, n_at_max,
+             |  n_flat_runs, max_flat_run
+             |FROM ext JOIN clip ON clip.channel = ext.channel
+             |JOIN runs ON runs.channel = ext.channel
+             |ORDER BY ext.channel""".stripMargin)),
+
+    QueryDef("q249_ols_holdout_eval",
+      "out-of-sample regression audit: q234's OLS fit on a 3/4 train split, scored on the 1/4 holdout",
+      // the generalization check q234 owes its users: the md5 grid
+      // ('cv:' salt) splits deterministically, the Cramer solve runs on
+      // TRAIN moments only, and the holdout SSE sums per-row ROUNDED
+      // squared residuals (identical double chains -> identical integers
+      // -> order-free). One scan builds both sides; betas broadcast back
+      // as a 1-row frame.
+      (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(expr("CAST(round(value * 1000) AS BIGINT)").as("y"),
+            expr("ts div 86400000000000").as("day"),
+            expr("(ts div 3600000000000) % 24").as("h"),
+            ((conv(substring(md5(concat(lit("cv:"), col("event_id").cast("string"))),
+              1, 15), 16, 10).cast("long") % 4L) === 0L).as("istest"))
+        val d0 = base.agg(min("day").as("d0"))
+        val all = base.join(broadcast(d0))
+          .select(col("y"), (col("day") - col("d0")).as("d"), col("h"),
+            col("istest"))
+          .localCheckpoint() // feeds the train moments and the test scorer
+        val m = all.filter(!col("istest"))
+          .agg(count(lit(1)).as("n"), sum("d").as("sd"), sum("h").as("sh"),
+            sum(col("d") * col("d")).as("sdd"),
+            sum(col("d") * col("h")).as("sdh"),
+            sum(col("h") * col("h")).as("shh"),
+            sum("y").as("sy"), sum(col("y") * col("d")).as("syd"),
+            sum(col("y") * col("h")).as("syh"),
+            sum(col("y") * col("y")).as("syy"))
+        val betas = m.select(col("n").as("n_train"),
+          expr(OlsDetExpr).as("det"), expr(OlsDet0Expr).as("det0"),
+          expr(OlsDet1Expr).as("det1"), expr(OlsDet2Expr).as("det2"),
+          col("sy"), col("syd"), col("syh"), col("syy"))
+        val scored = all.filter(col("istest")).join(broadcast(betas))
+          .withColumn("res", expr("""y - (det0 / det + det1 / det * d
+            + det2 / det * h)"""))
+          .agg(count(lit(1)).as("n_test"),
+            sum(expr("CAST(round(res * res, 0) AS BIGINT)")).as("sse_test"),
+            max("n_train").as("n_train"), max("det").as("det"),
+            max("det0").as("det0"), max("det1").as("det1"),
+            max("det2").as("det2"), max("sy").as("sy"), max("syd").as("syd"),
+            max("syh").as("syh"), max("syy").as("syy"))
+        scored.select(col("n_train"), col("n_test"),
+          expr("round(det0 / det, 6)").as("beta0"),
+          expr("round(det1 / det, 6)").as("beta_day"),
+          expr("round(det2 / det, 6)").as("beta_hour"),
+          expr("""round(1.0D - (syy - det0 / det * sy - det1 / det * syd
+              - det2 / det * syh)
+            / (syy - CAST(sy AS DOUBLE) * sy / n_train), 6)""").as("r2_train"),
+          col("sse_test"),
+          expr("round(sqrt(CAST(sse_test AS DOUBLE) / n_test) / 1000.0, 6)")
+            .as("rmse_test"))
+      },
+      Some(s"""|WITH base AS (
+             |  SELECT CAST(round(value * 1000) AS BIGINT) AS y,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS h,
+             |    CAST(('0x' || substr(md5('cv:' || event_id), 1, 15))
+             |      AS UBIGINT) % 4 = 0 AS istest
+             |  FROM events
+             |), c AS (
+             |  SELECT y, day - (SELECT min(day) FROM base) AS d, h, istest
+             |  FROM base
+             |), m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(h) AS BIGINT) AS sh,
+             |    CAST(sum(d * d) AS BIGINT) AS sdd,
+             |    CAST(sum(d * h) AS BIGINT) AS sdh,
+             |    CAST(sum(h * h) AS BIGINT) AS shh,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(y * d) AS BIGINT) AS syd,
+             |    CAST(sum(y * h) AS BIGINT) AS syh,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM c WHERE NOT istest
+             |), dets AS (
+             |  SELECT n AS n_train, sy, syd, syh, syy,
+             |    $OlsDetExpr AS det, $OlsDet0Expr AS det0,
+             |    $OlsDet1Expr AS det1, $OlsDet2Expr AS det2
+             |  FROM m
+             |), t AS (
+             |  SELECT count(*) AS n_test,
+             |    CAST(sum(CAST(round((y - (det0 / det + det1 / det * d
+             |      + det2 / det * h)) * (y - (det0 / det + det1 / det * d
+             |      + det2 / det * h)), 0) AS BIGINT)) AS BIGINT) AS sse_test
+             |  FROM c CROSS JOIN dets WHERE istest
+             |)
+             |SELECT n_train, CAST(n_test AS BIGINT) AS n_test,
+             |  round(det0 / det, 6) AS beta0,
+             |  round(det1 / det, 6) AS beta_day,
+             |  round(det2 / det, 6) AS beta_hour,
+             |  round(1.0 - (syy - det0 / det * sy - det1 / det * syd
+             |      - det2 / det * syh)
+             |    / (syy - CAST(sy AS DOUBLE) * sy / n_train), 6) AS r2_train,
+             |  sse_test,
+             |  round(sqrt(CAST(sse_test AS DOUBLE) / n_test) / 1000.0, 6)
+             |    AS rmse_test
+             |FROM dets CROSS JOIN t""".stripMargin)))
+
+  /** Cramer determinants for the 2-feature OLS normal equations over the
+    * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
+    * Spark expr AND as DuckDB SQL, so q249 shares one definition across
+    * engines (q234 carries the same chains inline). Sums cast to double
+    * BEFORE multiplying: the identical IEEE chain either side. */
+  private def OlsDetExpr: String =
+    """CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sdh)
+      - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sh)
+      + CAST(sh AS DOUBLE) * (CAST(sd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * sh)"""
+  private def OlsDet0Expr: String =
+    """CAST(sy AS DOUBLE) * (CAST(sdd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sdh)
+      - CAST(sd AS DOUBLE) * (CAST(syd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * syh)
+      + CAST(sh AS DOUBLE) * (CAST(syd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * syh)"""
+  private def OlsDet1Expr: String =
+    """CAST(n AS DOUBLE) * (CAST(syd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * syh)
+      - CAST(sy AS DOUBLE) * (CAST(sd AS DOUBLE) * shh - CAST(sdh AS DOUBLE) * sh)
+      + CAST(sh AS DOUBLE) * (CAST(sd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sh)"""
+  private def OlsDet2Expr: String =
+    """CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sdh)
+      - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sh)
+      + CAST(sy AS DOUBLE) * (CAST(sd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * sh)"""
 
   /** q236's fixed seeds: the quadrant centers of the 10x10-degree map.
     * (a def: `defs` initializes before any trailing vals would) */

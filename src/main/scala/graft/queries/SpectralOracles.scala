@@ -423,6 +423,33 @@ FROM thr LEFT JOIN runs ON runs.channel = thr.channel
 GROUP BY thr.channel, thr.thr
 ORDER BY thr.channel"""
 
+  /** q247: spectral edge frequency — the q32 amplitude chain reduced to
+    * per-(channel, band) integer power (floor of the round(.,6)-pinned
+    * amplitude squared, milli grid), cumulated in band order (= ascending
+    * cf), edge = first band where 20*cum >= 19*total (95%). */
+  def q247(rate: Double = 1000.0): String =
+    s"""WITH $rect, $fastlen, ${resampleConsts(rate, rate)},
+${padCtes("rect", Seq("channel"), "padded")},
+${waveletCtes(rate, "padded", "ztrace")},
+pw AS (
+  SELECT channel, band,
+    CAST(sum(CAST(floor(round(sqrt(zre * zre + zim * zim), 6)
+      * round(sqrt(zre * zre + zim * zim), 6) * 1000) AS BIGINT))
+      AS BIGINT) AS p
+  FROM ztrace GROUP BY channel, band
+), cum AS (
+  SELECT channel, band, p,
+    CAST(sum(p) OVER (PARTITION BY channel ORDER BY band) AS BIGINT) AS c,
+    CAST(sum(p) OVER (PARTITION BY channel) AS BIGINT) AS tot
+  FROM pw
+)
+SELECT channel, CAST(min(CASE WHEN 20 * c >= 19 * tot THEN band END) AS INT)
+    AS sef_band,
+  max(tot) AS total_power_milli,
+  CAST(max(CASE WHEN 20 * c >= 19 * tot THEN NULL
+    ELSE c END) AS BIGINT) AS cum_below_edge
+FROM cum GROUP BY channel ORDER BY channel"""
+
   /** q34: bit-exact replica of the synthetic generator (graft.model
     * .Synthetic): splitmix64 counter RNG via HUGEINT mod-2^64 arithmetic
     * (64x64 multiplies split into 32-bit halves to stay inside INT128),
