@@ -161,7 +161,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             coupling / Tort modulation index (q244), high-gamma burst
   *             census (q245), event-related epoch averaging (q246),
   *             spectral edge frequency (q247), per-channel signal QC
-  *             census (q248), out-of-sample OLS holdout audit (q249)
+  *             census (q248), out-of-sample OLS holdout audit (q249),
+  *             distributed logistic regression via exact-replay Newton
+  *             iterations (q250)
   */
 object SparkEntry {
 

@@ -4334,7 +4334,80 @@ object Advanced {
              |  sse_test,
              |  round(sqrt(CAST(sse_test AS DOUBLE) / n_test) / 1000.0, 6)
              |    AS rmse_test
-             |FROM dets CROSS JOIN t""".stripMargin)))
+             |FROM dets CROSS JOIN t""".stripMargin)),
+
+    QueryDef("q250_logistic_newton",
+      "distributed logistic regression: 3 exact-replay Newton iterations predicting purchases",
+      // the iterative-ML flagship, Spark-shaped: each Newton step is ONE
+      // narrow scan — per-row sigmoid under BROADCAST weight literals,
+      // gradient/Hessian contributions micro-ROUNDED to integers (identical
+      // IEEE chains -> identical integers -> order-free sums), the 3x3
+      // symmetric Cramer solve on the driver replaying the oracle's exact
+      // double chain, and weights pinned to the 9-decimal grid each round
+      // so both engines carry literally equal state into the next
+      // iteration. The oracle unrolls all 3 rounds as CTEs. Readout: final
+      // weights + training accuracy at the 0.5 threshold.
+      (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            expr("ts div 86400000000000").as("day"),
+            expr("(ts div 3600000000000) % 24").as("h"))
+        val d0 = base.agg(min("day")).head().getLong(0)
+        val all = base.select(col("y").cast("double").as("y"),
+            (col("day") - lit(d0)).cast("double").as("d"),
+            col("h").cast("double").as("h"))
+          .localCheckpoint() // one scan per Newton step + the readout
+        def sigmoid(w: Array[Double]) =
+          lit(1.0) / (lit(1.0) + exp(-(lit(w(0)) + lit(w(1)) * col("d")
+            + lit(w(2)) * col("h"))))
+        var w = Array(0.0, 0.0, 0.0)
+        for (_ <- 1 to 3) {
+          val p = sigmoid(w)
+          def em(c: org.apache.spark.sql.Column) =
+            sum(round(c * lit(1e6)).cast("long"))
+          val row = all.agg(
+            em(col("y") - p), em((col("y") - p) * col("d")),
+            em((col("y") - p) * col("h")),
+            em(p * (lit(1.0) - p)), em(p * (lit(1.0) - p) * col("d")),
+            em(p * (lit(1.0) - p) * col("h")),
+            em(p * (lit(1.0) - p) * col("d") * col("d")),
+            em(p * (lit(1.0) - p) * col("d") * col("h")),
+            em(p * (lit(1.0) - p) * col("h") * col("h"))).head()
+          w = newtonStep(w, Array.tabulate(9)(row.getLong))
+        }
+        val pFinal = sigmoid(w)
+        all.agg(count(lit(1)).as("n"),
+            sum(when((pFinal >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("n"), lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+            lit(w(2)).as("w2"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+      },
+      Some(s"""|WITH base AS (
+             |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS h
+             |  FROM base0
+             |), c AS MATERIALIZED (
+             |  SELECT CAST(y AS DOUBLE) AS y,
+             |    CAST(day - (SELECT min(day) FROM base) AS DOUBLE) AS d,
+             |    CAST(h AS DOUBLE) AS h
+             |  FROM base
+             |), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+             |${logitIterCtes(1)},
+             |${logitIterCtes(2)},
+             |${logitIterCtes(3)},
+             |fin AS (
+             |  SELECT y, 1.0 / (1.0 + exp(-(w.w0 + w.w1 * d + w.w2 * h))) AS p,
+             |    w.w0, w.w1, w.w2
+             |  FROM c CROSS JOIN w3 w
+             |)
+             |SELECT count(*) AS n, max(w0) AS w0, max(w1) AS w1, max(w2) AS w2,
+             |  CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  round(CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / count(*), 6) AS accuracy
+             |FROM fin""".stripMargin.replace("FROM base0", "FROM events"))))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
@@ -4357,6 +4430,70 @@ object Advanced {
     """CAST(n AS DOUBLE) * (CAST(sdd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sdh)
       - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) * syh - CAST(syd AS DOUBLE) * sh)
       + CAST(sy AS DOUBLE) * (CAST(sd AS DOUBLE) * sdh - CAST(sdd AS DOUBLE) * sh)"""
+
+  /** One Newton iteration's DuckDB CTEs for q250's logistic regression:
+    * per-row sigmoid under the previous weights, micro-ROUNDED gradient and
+    * Hessian contributions summed as integers, the symmetric 3x3 Cramer
+    * solve on doubles cast from those integers, and the weight update
+    * pinned to the 9-decimal grid. Mirrors [[newtonStep]] exactly. */
+  private def logitIterCtes(r: Int): String =
+    s"""p$r AS (
+       |  SELECT y, d, h,
+       |    1.0 / (1.0 + exp(-(w.w0 + w.w1 * d + w.w2 * h))) AS p
+       |  FROM c CROSS JOIN w${r - 1} w
+       |), s$r AS (
+       |  SELECT
+       |    CAST(sum(CAST(round((y - p) * 1e6, 0) AS BIGINT)) AS BIGINT) AS g0,
+       |    CAST(sum(CAST(round((y - p) * d * 1e6, 0) AS BIGINT)) AS BIGINT) AS g1,
+       |    CAST(sum(CAST(round((y - p) * h * 1e6, 0) AS BIGINT)) AS BIGINT) AS g2,
+       |    CAST(sum(CAST(round(p * (1.0 - p) * 1e6, 0) AS BIGINT)) AS BIGINT) AS h00,
+       |    CAST(sum(CAST(round(p * (1.0 - p) * d * 1e6, 0) AS BIGINT)) AS BIGINT) AS h01,
+       |    CAST(sum(CAST(round(p * (1.0 - p) * h * 1e6, 0) AS BIGINT)) AS BIGINT) AS h02,
+       |    CAST(sum(CAST(round(p * (1.0 - p) * d * d * 1e6, 0) AS BIGINT)) AS BIGINT) AS h11,
+       |    CAST(sum(CAST(round(p * (1.0 - p) * d * h * 1e6, 0) AS BIGINT)) AS BIGINT) AS h12,
+       |    CAST(sum(CAST(round(p * (1.0 - p) * h * h * 1e6, 0) AS BIGINT)) AS BIGINT) AS h22
+       |  FROM p$r
+       |), m$r AS (
+       |  SELECT CAST(g0 AS DOUBLE) / 1e6 AS gp, CAST(g1 AS DOUBLE) / 1e6 AS gq,
+       |    CAST(g2 AS DOUBLE) / 1e6 AS gr,
+       |    CAST(h00 AS DOUBLE) / 1e6 AS ha, CAST(h01 AS DOUBLE) / 1e6 AS hb,
+       |    CAST(h02 AS DOUBLE) / 1e6 AS hc, CAST(h11 AS DOUBLE) / 1e6 AS hd,
+       |    CAST(h12 AS DOUBLE) / 1e6 AS he, CAST(h22 AS DOUBLE) / 1e6 AS hf
+       |  FROM s$r
+       |), det$r AS (
+       |  SELECT
+       |    ha * (hd * hf - he * he) - hb * (hb * hf - he * hc)
+       |      + hc * (hb * he - hd * hc) AS det,
+       |    gp * (hd * hf - he * he) - hb * (gq * hf - he * gr)
+       |      + hc * (gq * he - hd * gr) AS det0,
+       |    ha * (gq * hf - he * gr) - gp * (hb * hf - he * hc)
+       |      + hc * (hb * gr - gq * hc) AS det1,
+       |    ha * (hd * gr - gq * he) - hb * (hb * gr - gq * hc)
+       |      + gp * (hb * he - hd * hc) AS det2
+       |  FROM m$r
+       |), w$r AS (
+       |  SELECT round(w.w0 + det0 / det, 9) AS w0,
+       |    round(w.w1 + det1 / det, 9) AS w1,
+       |    round(w.w2 + det2 / det, 9) AS w2
+       |  FROM det$r CROSS JOIN w${r - 1} w
+       |)""".stripMargin
+
+  /** q250's driver-side Newton step over the micro-integer sums collected
+    * from one Spark scan — the IDENTICAL double chain as [[logitIterCtes]]
+    * (`m`/`det`/`w` CTEs), so both engines replay the same weights. */
+  private def newtonStep(w: Array[Double], sums: Array[Long]): Array[Double] = {
+    val Array(g0, g1, g2, h00, h01, h02, h11, h12, h22) = sums
+    val gp = g0.toDouble / 1e6; val gq = g1.toDouble / 1e6; val gr = g2.toDouble / 1e6
+    val ha = h00.toDouble / 1e6; val hb = h01.toDouble / 1e6; val hc = h02.toDouble / 1e6
+    val hd = h11.toDouble / 1e6; val he = h12.toDouble / 1e6; val hf = h22.toDouble / 1e6
+    val det = ha * (hd * hf - he * he) - hb * (hb * hf - he * hc) + hc * (hb * he - hd * hc)
+    val det0 = gp * (hd * hf - he * he) - hb * (gq * hf - he * gr) + hc * (gq * he - hd * gr)
+    val det1 = ha * (gq * hf - he * gr) - gp * (hb * hf - he * hc) + hc * (hb * gr - gq * hc)
+    val det2 = ha * (hd * gr - gq * he) - hb * (hb * gr - gq * hc) + gp * (hb * he - hd * hc)
+    def pin9(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    Array(pin9(w(0) + det0 / det), pin9(w(1) + det1 / det), pin9(w(2) + det2 / det))
+  }
 
   /** q236's fixed seeds: the quadrant centers of the 10x10-degree map.
     * (a def: `defs` initializes before any trailing vals would) */
