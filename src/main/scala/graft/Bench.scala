@@ -104,7 +104,8 @@ object Bench {
     "q241_exclusive_shingles", "q242_cotemporal_lift", "q243_dedup_savings",
     "q244_phase_amplitude_coupling", "q245_hg_burst_census",
     "q246_erp_epoch_average", "q247_spectral_edge", "q248_signal_qc",
-    "q249_ols_holdout_eval", "q250_logistic_newton")
+    "q249_ols_holdout_eval", "q250_logistic_newton",
+    "q251_naive_bayes", "q252_decision_stump")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

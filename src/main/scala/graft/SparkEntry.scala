@@ -163,7 +163,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             spectral edge frequency (q247), per-channel signal QC
   *             census (q248), out-of-sample OLS holdout audit (q249),
   *             distributed logistic regression via exact-replay Newton
-  *             iterations (q250)
+  *             iterations (q250), integer-exact naive Bayes classifier
+  *             (q251), max-IG decision stump (q252)
   */
 object SparkEntry {
 

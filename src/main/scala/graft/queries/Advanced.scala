@@ -4407,7 +4407,212 @@ object Advanced {
              |    AS BIGINT) AS n_correct,
              |  round(CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
              |      AS DOUBLE) / count(*), 6) AS accuracy
-             |FROM fin""".stripMargin.replace("FROM base0", "FROM events"))))
+             |FROM fin""".stripMargin.replace("FROM base0", "FROM events"))),
+
+    QueryDef("q251_naive_bayes",
+      "naive Bayes purchase classifier with Laplace smoothing — fully integer-exact scoring",
+      // counts-based ML needs NO floating-point truce at all: class priors
+      // and per-(feature, value, class) likelihoods are exact integers,
+      // each log term rounds to micro-nats once, and the per-row score is
+      // an INTEGER sum — argmax is an integer compare, so prediction is
+      // deterministic in any engine. Three broadcast lookup joins (one per
+      // feature, each table <= values x 2 rows); one scan to score.
+      (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            expr("(ts div 3600000000000) % 24 div 4").as("f_hour_band"),
+            expr("CAST(length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING)) AS BIGINT)")
+              .as("f_value_digits"),
+            pmod(col("user_id"), lit(8)).as("f_user_bucket"))
+          .localCheckpoint() // feeds 3 count tables, priors, and the scorer
+        val tot = base.agg(count(lit(1)).as("nn"), sum("y").as("n1"))
+          .withColumn("n0", col("nn") - col("n1"))
+        def likelihood(f: String) = {
+          val counts = base.groupBy(col(f).as("v"))
+            .agg(sum("y").as("c1"), sum(lit(1L) - col("y")).as("c0"))
+          val vf = counts.count() // |values| for the Laplace denominator
+          counts.join(broadcast(tot))
+            .select(col("v"),
+              expr(s"""CAST(round(ln((c0 + 1.0D) / (n0 + ${vf}L)) * 1e6, 0)
+                AS BIGINT)""").as(s"${f}_l0"),
+              expr(s"""CAST(round(ln((c1 + 1.0D) / (n1 + ${vf}L)) * 1e6, 0)
+                AS BIGINT)""").as(s"${f}_l1"))
+        }
+        val scored = base.join(broadcast(tot))
+          .withColumn("prior0",
+            expr("CAST(round(ln(CAST(n0 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)"))
+          .withColumn("prior1",
+            expr("CAST(round(ln(CAST(n1 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)"))
+          .join(broadcast(likelihood("f_hour_band"))
+            .withColumnRenamed("v", "f_hour_band"), "f_hour_band")
+          .join(broadcast(likelihood("f_value_digits"))
+            .withColumnRenamed("v", "f_value_digits"), "f_value_digits")
+          .join(broadcast(likelihood("f_user_bucket"))
+            .withColumnRenamed("v", "f_user_bucket"), "f_user_bucket")
+          .withColumn("s0", col("prior0") + col("f_hour_band_l0")
+            + col("f_value_digits_l0") + col("f_user_bucket_l0"))
+          .withColumn("s1", col("prior1") + col("f_hour_band_l1")
+            + col("f_value_digits_l1") + col("f_user_bucket_l1"))
+          .withColumn("pred", when(col("s1") > col("s0"), 1L).otherwise(0L))
+        scored.agg(count(lit(1)).as("n"), max("n1").as("n_purchases"),
+            sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+          .select(col("n"), col("n_purchases"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+      },
+      Some("""|WITH base AS (
+             |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             |    (epoch_ns(ts) // 3600000000000) % 24 // 4 AS f_hour_band,
+             |    CAST(len(CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR))
+             |      AS BIGINT) AS f_value_digits,
+             |    user_id % 8 AS f_user_bucket
+             |  FROM events
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS n1,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS n0
+             |  FROM base
+             |), lhb AS (
+             |  SELECT f_hour_band AS v,
+             |    CAST(round(ln((sum(1 - y) + 1.0) / (max(n0)
+             |      + (SELECT count(DISTINCT f_hour_band) FROM base))) * 1e6, 0)
+             |      AS BIGINT) AS l0,
+             |    CAST(round(ln((sum(y) + 1.0) / (max(n1)
+             |      + (SELECT count(DISTINCT f_hour_band) FROM base))) * 1e6, 0)
+             |      AS BIGINT) AS l1
+             |  FROM base CROSS JOIN tot GROUP BY 1
+             |), lvd AS (
+             |  SELECT f_value_digits AS v,
+             |    CAST(round(ln((sum(1 - y) + 1.0) / (max(n0)
+             |      + (SELECT count(DISTINCT f_value_digits) FROM base))) * 1e6, 0)
+             |      AS BIGINT) AS l0,
+             |    CAST(round(ln((sum(y) + 1.0) / (max(n1)
+             |      + (SELECT count(DISTINCT f_value_digits) FROM base))) * 1e6, 0)
+             |      AS BIGINT) AS l1
+             |  FROM base CROSS JOIN tot GROUP BY 1
+             |), lub AS (
+             |  SELECT f_user_bucket AS v,
+             |    CAST(round(ln((sum(1 - y) + 1.0) / (max(n0)
+             |      + (SELECT count(DISTINCT f_user_bucket) FROM base))) * 1e6, 0)
+             |      AS BIGINT) AS l0,
+             |    CAST(round(ln((sum(y) + 1.0) / (max(n1)
+             |      + (SELECT count(DISTINCT f_user_bucket) FROM base))) * 1e6, 0)
+             |      AS BIGINT) AS l1
+             |  FROM base CROSS JOIN tot GROUP BY 1
+             |), scored AS (
+             |  SELECT y,
+             |    CAST(round(ln(CAST(n0 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)
+             |      + a.l0 + b.l0 + c.l0 AS s0,
+             |    CAST(round(ln(CAST(n1 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)
+             |      + a.l1 + b.l1 + c.l1 AS s1
+             |  FROM base CROSS JOIN tot
+             |  JOIN lhb a ON a.v = f_hour_band
+             |  JOIN lvd b ON b.v = f_value_digits
+             |  JOIN lub c ON c.v = f_user_bucket
+             |)
+             |SELECT count(*) AS n,
+             |  (SELECT n1 FROM tot) AS n_purchases,
+             |  CAST(sum(CASE WHEN (CASE WHEN s1 > s0 THEN 1 ELSE 0 END) = y
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |  round(CAST(sum(CASE WHEN (CASE WHEN s1 > s0 THEN 1 ELSE 0 END) = y
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+             |FROM scored""".stripMargin)),
+
+    QueryDef("q252_decision_stump",
+      "best one-split decision stump: max information-gain equality split across all feature values",
+      // q228 picks the best FEATURE; this picks the best binary SPLIT
+      // (f == v vs rest) and reads the stump out as a classifier. Every
+      // candidate's IG is ONE double chain over four exact integers
+      // (v-side/rest-side class counts), rounded once to micro-nats;
+      // argmax = min(struct(-ig, feature, value)) — a total order, so the
+      // chosen stump is engine-exact. Stump accuracy = majority class per
+      // side, pure integer max arithmetic.
+      (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            expr("(ts div 3600000000000) % 24 div 4").as("f_hour_band"),
+            expr("CAST(length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING)) AS BIGINT)")
+              .as("f_value_digits"),
+            pmod(col("user_id"), lit(8)).as("f_user_bucket"))
+          .localCheckpoint()
+        val tot = base.agg(count(lit(1)).as("nn"), sum("y").as("t1"))
+          .withColumn("t0", col("nn") - col("t1"))
+        val cands = Seq("f_hour_band", "f_value_digits", "f_user_bucket").map { f =>
+          base.groupBy(col(f).as("v"))
+            .agg(sum("y").as("c1"), sum(lit(1L) - col("y")).as("c0"))
+            .select(lit(f).as("feature"), col("v"), col("c0"), col("c1"))
+        }.reduce(_ union _)
+        // plogp(k, n) = (k/n) ln(k/n) guarded at k=0; IG in ONE chain
+        val scored = cands.join(broadcast(tot))
+          .withColumn("ig_micro", expr("""CAST(round((
+            -(CASE WHEN t0 > 0 THEN CAST(t0 AS DOUBLE) / nn * ln(CAST(t0 AS DOUBLE) / nn) ELSE 0.0D END)
+            - (CASE WHEN t1 > 0 THEN CAST(t1 AS DOUBLE) / nn * ln(CAST(t1 AS DOUBLE) / nn) ELSE 0.0D END)
+            + CAST(c0 + c1 AS DOUBLE) / nn * (
+                (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) / (c0 + c1) * ln(CAST(c0 AS DOUBLE) / (c0 + c1)) ELSE 0.0D END)
+              + (CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / (c0 + c1) * ln(CAST(c1 AS DOUBLE) / (c0 + c1)) ELSE 0.0D END))
+            + CAST(nn - c0 - c1 AS DOUBLE) / nn * (
+                (CASE WHEN t0 - c0 > 0 THEN CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0D END)
+              + (CASE WHEN t1 - c1 > 0 THEN CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0D END))
+            ) * 1e6, 0) AS BIGINT)"""))
+          .withColumn("n_correct",
+            greatest(col("c0"), col("c1"))
+              + greatest(col("t0") - col("c0"), col("t1") - col("c1")))
+        scored.agg(min(struct((-col("ig_micro")).as("nig"), col("feature"),
+            col("v"), col("ig_micro"), col("c0"), col("c1"),
+            col("n_correct"), col("nn"))).as("best"))
+          .select(col("best.feature").as("feature"),
+            col("best.v").as("split_value"),
+            col("best.ig_micro").as("ig_micro"),
+            (col("best.c0") + col("best.c1")).as("n_split"),
+            col("best.n_correct").as("n_correct"),
+            round(col("best.n_correct").cast("double") / col("best.nn"), 6)
+              .as("accuracy"))
+      },
+      Some("""|WITH base AS (
+             |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             |    (epoch_ns(ts) // 3600000000000) % 24 // 4 AS f_hour_band,
+             |    CAST(len(CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR))
+             |      AS BIGINT) AS f_value_digits,
+             |    user_id % 8 AS f_user_bucket
+             |  FROM events
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS t1,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS t0
+             |  FROM base
+             |), cands AS (
+             |  SELECT 'f_hour_band' AS feature, f_hour_band AS v,
+             |    CAST(sum(1 - y) AS BIGINT) AS c0, CAST(sum(y) AS BIGINT) AS c1
+             |  FROM base GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'f_value_digits', f_value_digits,
+             |    CAST(sum(1 - y) AS BIGINT), CAST(sum(y) AS BIGINT)
+             |  FROM base GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'f_user_bucket', f_user_bucket,
+             |    CAST(sum(1 - y) AS BIGINT), CAST(sum(y) AS BIGINT)
+             |  FROM base GROUP BY 2
+             |), scored AS (
+             |  SELECT feature, v, c0, c1, nn,
+             |    CAST(round((
+             |      -(CASE WHEN t0 > 0 THEN CAST(t0 AS DOUBLE) / nn * ln(CAST(t0 AS DOUBLE) / nn) ELSE 0.0 END)
+             |      - (CASE WHEN t1 > 0 THEN CAST(t1 AS DOUBLE) / nn * ln(CAST(t1 AS DOUBLE) / nn) ELSE 0.0 END)
+             |      + CAST(c0 + c1 AS DOUBLE) / nn * (
+             |          (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) / (c0 + c1) * ln(CAST(c0 AS DOUBLE) / (c0 + c1)) ELSE 0.0 END)
+             |        + (CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / (c0 + c1) * ln(CAST(c1 AS DOUBLE) / (c0 + c1)) ELSE 0.0 END))
+             |      + CAST(nn - c0 - c1 AS DOUBLE) / nn * (
+             |          (CASE WHEN t0 - c0 > 0 THEN CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0 END)
+             |        + (CASE WHEN t1 - c1 > 0 THEN CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0 END))
+             |      ) * 1e6, 0) AS BIGINT) AS ig_micro,
+             |    greatest(c0, c1) + greatest(t0 - c0, t1 - c1) AS n_correct
+             |  FROM cands CROSS JOIN tot
+             |), best AS (
+             |  SELECT *, row_number() OVER (
+             |    ORDER BY ig_micro DESC, feature, v) AS rn
+             |  FROM scored
+             |)
+             |SELECT feature, v AS split_value, ig_micro,
+             |  CAST(c0 + c1 AS BIGINT) AS n_split,
+             |  CAST(n_correct AS BIGINT) AS n_correct,
+             |  round(CAST(n_correct AS DOUBLE) / nn, 6) AS accuracy
+             |FROM best WHERE rn = 1""".stripMargin)))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
