@@ -164,7 +164,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             census (q248), out-of-sample OLS holdout audit (q249),
   *             distributed logistic regression via exact-replay Newton
   *             iterations (q250), integer-exact naive Bayes classifier
-  *             (q251), max-IG decision stump (q252)
+  *             (q251), max-IG decision stump (q252), Welch's t-test (q253),
+  *             Mann-Whitney U + Cliff's delta (q254), PSI feature-drift
+  *             gate (q255)
   */
 object SparkEntry {
 

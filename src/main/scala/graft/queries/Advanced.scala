@@ -4612,7 +4612,203 @@ object Advanced {
              |  CAST(c0 + c1 AS BIGINT) AS n_split,
              |  CAST(n_correct AS BIGINT) AS n_correct,
              |  round(CAST(n_correct AS DOUBLE) / nn, 6) AS accuracy
-             |FROM best WHERE rn = 1""".stripMargin)))
+             |FROM best WHERE rn = 1""".stripMargin)),
+
+    QueryDef("q253_welch_ttest",
+      "Welch's unequal-variance t-test between click and view values",
+      // q182 tests proportions; this tests MEANS: per-type exact integer
+      // moments (n, sum, sum-of-squares on the milli grid) in one
+      // aggregate, then the t statistic and Welch-Satterthwaite degrees of
+      // freedom as a single double chain both engines replay identically.
+      (s, dir) => {
+        val m = table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("vm").as("s1"),
+            sum(col("vm") * col("vm")).as("s2"))
+        val a = m.filter(col("event_type") === "click")
+          .select(col("n").as("n1"), col("s1").as("sa1"), col("s2").as("sa2"))
+        val b = m.filter(col("event_type") === "view")
+          .select(col("n").as("n2"), col("s1").as("sb1"), col("s2").as("sb2"))
+        a.join(b)
+          .withColumn("v1", expr("(sa2 - CAST(sa1 AS DOUBLE) * sa1 / n1) / (n1 - 1)"))
+          .withColumn("v2", expr("(sb2 - CAST(sb1 AS DOUBLE) * sb1 / n2) / (n2 - 1)"))
+          .withColumn("se2", expr("v1 / n1 + v2 / n2"))
+          .select(col("n1"), col("n2"),
+            expr("round((CAST(sa1 AS DOUBLE) / n1 - CAST(sb1 AS DOUBLE) / n2) / 1000.0, 6)")
+              .as("mean_diff"),
+            expr("""round((CAST(sa1 AS DOUBLE) / n1 - CAST(sb1 AS DOUBLE) / n2)
+              / sqrt(se2), 6)""").as("t"),
+            expr("""round(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+              + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6)""").as("df_welch"))
+      },
+      Some("""|WITH m AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s1,
+             |    CAST(sum(CAST(round(value * 1000) AS BIGINT)
+             |      * CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s2
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1
+             |), j AS (
+             |  SELECT a.n AS n1, a.s1 AS sa1, a.s2 AS sa2,
+             |    b.n AS n2, b.s1 AS sb1, b.s2 AS sb2
+             |  FROM m a JOIN m b
+             |    ON a.event_type = 'click' AND b.event_type = 'view'
+             |), v AS (
+             |  SELECT *,
+             |    (sa2 - CAST(sa1 AS DOUBLE) * sa1 / n1) / (n1 - 1) AS v1,
+             |    (sb2 - CAST(sb1 AS DOUBLE) * sb1 / n2) / (n2 - 1) AS v2
+             |  FROM j
+             |), se AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
+             |SELECT n1, n2,
+             |  round((CAST(sa1 AS DOUBLE) / n1 - CAST(sb1 AS DOUBLE) / n2)
+             |    / 1000.0, 6) AS mean_diff,
+             |  round((CAST(sa1 AS DOUBLE) / n1 - CAST(sb1 AS DOUBLE) / n2)
+             |    / sqrt(se2), 6) AS t,
+             |  round(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+             |    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
+             |FROM se""".stripMargin)),
+
+    QueryDef("q254_mann_whitney",
+      "Mann-Whitney U test + Cliff's delta between click and view values (tie-aware, integer-exact U)",
+      // q253's nonparametric sibling: 2*U1 = R1_doubled - n1*(n1+1) is an
+      // EXACT integer via q219's doubled average ranks (2m + c - 1 under
+      // ties, from the bucketed two-level index — no single-partition
+      // window); Cliff's delta = (2*U1 - n1*n2)/(n1*n2) and the tie-
+      // corrected normal z are double chains over exact integer pieces.
+      (s, dir) => {
+        val v = table(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+        val idx = Frames.denseIndexByKey(v, keyCols = Seq.empty,
+          bucketCol = expr("vm div 100000"),
+          orderCols = Seq(col("vm"), col("event_id")), as = "_idx")
+        val wv = Window.partitionBy("vm")
+        val ranked = idx.select(col("event_type"), col("vm"),
+          (min("_idx").over(wv) + max("_idx").over(wv) + lit(2L)).as("r2"))
+          .localCheckpoint() // feeds rank sums and the tie census
+        val sums = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("r2").as("r2sum"))
+        val ties = ranked.groupBy("vm").agg(count(lit(1)).as("t"))
+          .agg(sum(expr("t * t * t - t")).as("tie_cube"))
+        val a = sums.filter(col("event_type") === "click")
+          .select(col("n").as("n1"), col("r2sum").as("r1d"))
+        val b = sums.filter(col("event_type") === "view")
+          .select(col("n").as("n2"))
+        a.join(b).join(broadcast(ties))
+          .withColumn("u2", col("r1d") - col("n1") * (col("n1") + 1L))
+          .select(col("n1"), col("n2"), col("u2").as("u_doubled"),
+            expr("""round(CAST(u2 - n1 * n2 AS DOUBLE) / (n1 * n2), 6)""")
+              .as("cliffs_delta"),
+            expr("""round((CAST(u2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+              / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                * ((n1 + n2 + 1) - CAST(tie_cube AS DOUBLE)
+                   / ((n1 + n2) * (n1 + n2 - 1.0D)))), 6)""").as("z"))
+      },
+      Some("""|WITH v AS (
+             |  SELECT event_id, event_type,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |), ranked AS (
+             |  SELECT event_type, vm,
+             |    2 * rank() OVER (ORDER BY vm)
+             |      + count(*) OVER (PARTITION BY vm) - 1 AS r2
+             |  FROM v
+             |), sums AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(r2) AS BIGINT) AS r2sum
+             |  FROM ranked GROUP BY 1
+             |), ties AS (
+             |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube
+             |  FROM (SELECT vm, count(*) AS t FROM ranked GROUP BY 1)
+             |), j AS (
+             |  SELECT a.n AS n1, a.r2sum AS r1d, b.n AS n2, tie_cube,
+             |    a.r2sum - a.n * (a.n + 1) AS u2
+             |  FROM sums a JOIN sums b
+             |    ON a.event_type = 'click' AND b.event_type = 'view'
+             |  CROSS JOIN ties
+             |)
+             |SELECT n1, n2, CAST(u2 AS BIGINT) AS u_doubled,
+             |  round(CAST(u2 - n1 * n2 AS DOUBLE) / (n1 * n2), 6)
+             |    AS cliffs_delta,
+             |  round((CAST(u2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+             |    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+             |      * ((n1 + n2 + 1) - CAST(tie_cube AS DOUBLE)
+             |         / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+             |FROM j""".stripMargin)),
+
+    QueryDef("q255_psi_drift",
+      "population stability index per feature between the first and second half of the month",
+      // the ML-ops drift gate: PSI = sum (p - q) ln(p / q) over feature
+      // bins, baseline = days 0-14, current = days 15+, both
+      // (+1)-smoothed so no bin divides by zero. Per-(feature, bin, half)
+      // counts are one aggregate; each bin's term rounds to micro-nats
+      // once and the per-feature PSI is an integer sum (q185's idiom).
+      (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"),
+            expr("(ts div 3600000000000) % 24 div 4").as("f_hour_band"),
+            expr("CAST(length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING)) AS BIGINT)")
+              .as("f_value_digits"),
+            pmod(col("user_id"), lit(8)).as("f_user_bucket"))
+        val d0 = base.agg(min("day")).head().getLong(0)
+        val half = base.withColumn("cur",
+            (col("day") - lit(d0)) >= 15L)
+          .localCheckpoint()
+        def psi(f: String) = {
+          val c = half.groupBy(col(f).as("bin"))
+            .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("cb"),
+              sum(when(col("cur"), 1L).otherwise(0L)).as("cc"))
+            .localCheckpoint() // feeds totals + the contribution readout
+          val bcount = c.count()
+          val tots = c.agg(sum("cb").as("nb"), sum("cc").as("nc"))
+          c.join(broadcast(tots))
+            .withColumn("term_micro", expr(s"""CAST(round(
+              ((cb + 1.0D) / (nb + ${bcount}L) - (cc + 1.0D) / (nc + ${bcount}L))
+              * ln(((cb + 1.0D) / (nb + ${bcount}L))
+                 / ((cc + 1.0D) / (nc + ${bcount}L))) * 1e6, 0) AS BIGINT)"""))
+            .agg(sum("term_micro").as("psi_micro"))
+            .select(lit(f).as("feature"), col("psi_micro"))
+        }
+        Seq("f_hour_band", "f_value_digits", "f_user_bucket")
+          .map(psi).reduce(_ union _).orderBy("feature")
+      },
+      Some("""|WITH base AS (
+             |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    (epoch_ns(ts) // 3600000000000) % 24 // 4 AS f_hour_band,
+             |    CAST(len(CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR))
+             |      AS BIGINT) AS f_value_digits,
+             |    user_id % 8 AS f_user_bucket
+             |  FROM events
+             |), half AS (
+             |  SELECT *, day - (SELECT min(day) FROM base) >= 15 AS cur
+             |  FROM base
+             |), feats AS (
+             |  SELECT 'f_hour_band' AS feature, f_hour_band AS bin, cur FROM half
+             |  UNION ALL
+             |  SELECT 'f_value_digits', f_value_digits, cur FROM half
+             |  UNION ALL
+             |  SELECT 'f_user_bucket', f_user_bucket, cur FROM half
+             |), c AS (
+             |  SELECT feature, bin,
+             |    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+             |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cc
+             |  FROM feats GROUP BY 1, 2
+             |), t AS (
+             |  SELECT feature, CAST(sum(cb) AS BIGINT) AS nb,
+             |    CAST(sum(cc) AS BIGINT) AS nc, count(*) AS bc
+             |  FROM c GROUP BY 1
+             |)
+             |SELECT c.feature,
+             |  CAST(sum(CAST(round(
+             |    ((cb + 1.0) / (nb + bc) - (cc + 1.0) / (nc + bc))
+             |    * ln(((cb + 1.0) / (nb + bc)) / ((cc + 1.0) / (nc + bc)))
+             |    * 1e6, 0) AS BIGINT)) AS BIGINT) AS psi_micro
+             |FROM c JOIN t ON t.feature = c.feature
+             |GROUP BY c.feature ORDER BY c.feature""".stripMargin)))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
