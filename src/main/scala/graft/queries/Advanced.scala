@@ -4882,7 +4882,7 @@ object Advanced {
   /** q250's driver-side Newton step over the micro-integer sums collected
     * from one Spark scan — the IDENTICAL double chain as [[logitIterCtes]]
     * (`m`/`det`/`w` CTEs), so both engines replay the same weights. */
-  private def newtonStep(w: Array[Double], sums: Array[Long]): Array[Double] = {
+  private[queries] def newtonStep(w: Array[Double], sums: Array[Long]): Array[Double] = {
     val Array(g0, g1, g2, h00, h01, h02, h11, h12, h22) = sums
     val gp = g0.toDouble / 1e6; val gq = g1.toDouble / 1e6; val gr = g2.toDouble / 1e6
     val ha = h00.toDouble / 1e6; val hb = h01.toDouble / 1e6; val hc = h02.toDouble / 1e6
