@@ -166,7 +166,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             iterations (q250), integer-exact naive Bayes classifier
   *             (q251), max-IG decision stump (q252), Welch's t-test (q253),
   *             Mann-Whitney U + Cliff's delta (q254), PSI feature-drift
-  *             gate (q255)
+  *             gate (q255), Kruskal-Wallis k-sample test (q256), CUPED
+  *             variance-reduction audit (q257)
   */
 object SparkEntry {
 

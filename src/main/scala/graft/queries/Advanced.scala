@@ -4808,7 +4808,139 @@ object Advanced {
              |    * ln(((cb + 1.0) / (nb + bc)) / ((cc + 1.0) / (nc + bc)))
              |    * 1e6, 0) AS BIGINT)) AS BIGINT) AS psi_micro
              |FROM c JOIN t ON t.feature = c.feature
-             |GROUP BY c.feature ORDER BY c.feature""".stripMargin)))
+             |GROUP BY c.feature ORDER BY c.feature""".stripMargin)),
+
+    QueryDef("q256_kruskal_wallis",
+      "Kruskal-Wallis k-sample rank test across all five event types (tie-corrected)",
+      // q254's k-sample extension: doubled average ranks over the pooled
+      // values (q219's exact idiom — bucketed two-level index, never a
+      // single-partition rank), per-type doubled rank sums, and
+      // H = 3/(n(n+1)) * sum(R2_g^2 / n_g) - 3(n+1) with the tie
+      // correction 1 - sum(t^3 - t)/(n^3 - n) — one double chain over
+      // exact integers.
+      (s, dir) => {
+        val v = table(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+        val idx = Frames.denseIndexByKey(v, keyCols = Seq.empty,
+          bucketCol = expr("vm div 100000"),
+          orderCols = Seq(col("vm"), col("event_id")), as = "_idx")
+        val wv = Window.partitionBy("vm")
+        val ranked = idx.select(col("event_type"), col("vm"),
+            (min("_idx").over(wv) + max("_idx").over(wv) + lit(2L)).as("r2"))
+          .localCheckpoint() // feeds group sums and the tie census
+        val g = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("ng"), sum("r2").as("r2sum"))
+        val ties = ranked.groupBy("vm").agg(count(lit(1)).as("t"))
+          .agg(sum(expr("t * t * t - t")).as("tie_cube"))
+        g.agg(sum("ng").as("n"), count(lit(1)).as("k"),
+            sum(expr("CAST(r2sum AS DOUBLE) * r2sum / ng")).as("rterm"))
+          .join(broadcast(ties))
+          .select(col("n"), (col("k") - 1L).as("df"),
+            expr("""round(3.0D / (CAST(n AS DOUBLE) * (n + 1)) * rterm
+              - 3.0D * (n + 1), 6)""").as("h"),
+            expr("""round((3.0D / (CAST(n AS DOUBLE) * (n + 1)) * rterm
+              - 3.0D * (n + 1))
+              / (1.0D - CAST(tie_cube AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * n - n)), 6)""").as("h_corrected"))
+      },
+      Some("""|WITH v AS (
+             |  SELECT event_id, event_type,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), ranked AS (
+             |  SELECT event_type, vm,
+             |    2 * rank() OVER (ORDER BY vm)
+             |      + count(*) OVER (PARTITION BY vm) - 1 AS r2
+             |  FROM v
+             |), g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(r2) AS BIGINT) AS r2sum
+             |  FROM ranked GROUP BY 1
+             |), ties AS (
+             |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube
+             |  FROM (SELECT vm, count(*) AS t FROM ranked GROUP BY 1)
+             |), agg AS (
+             |  SELECT CAST(sum(ng) AS BIGINT) AS n,
+             |    CAST(count(*) - 1 AS BIGINT) AS df,
+             |    sum(CAST(r2sum AS DOUBLE) * r2sum / ng) AS rterm
+             |  FROM g
+             |)
+             |SELECT n, df,
+             |  round(3.0 / (CAST(n AS DOUBLE) * (n + 1)) * rterm
+             |    - 3.0 * (n + 1), 6) AS h,
+             |  round((3.0 / (CAST(n AS DOUBLE) * (n + 1)) * rterm
+             |    - 3.0 * (n + 1))
+             |    / (1.0 - CAST(tie_cube AS DOUBLE)
+             |       / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_corrected
+             |FROM agg CROSS JOIN ties""".stripMargin)),
+
+    QueryDef("q257_cuped_variance_reduction",
+      "CUPED experiment-sensitivity audit: pre-period covariate adjustment per user",
+      // the variance-reduction workhorse of modern A/B platforms: per-user
+      // pre-period (days 0-14) and post-period (days 15+) value sums, then
+      // theta = cov(x, y)/var(x) and the achieved variance reduction
+      // rho^2 = cov^2/(var x * var y) from one-pass moments. Sums of
+      // squares ride DECIMAL(38,0) (they outgrow longs at sf0.1); every
+      // readout is one identical double chain.
+      (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+        val d0 = base.agg(min("day")).head().getLong(0)
+        val per = base
+          .groupBy("user_id")
+          .agg(sum(when(col("day") - lit(d0) < 15L, col("vm")).otherwise(0L)).as("x"),
+            sum(when(col("day") - lit(d0) >= 15L, col("vm")).otherwise(0L)).as("y"))
+        val m = per.agg(count(lit(1)).as("n"),
+          sum("x").cast("decimal(38,0)").as("sx"),
+          sum("y").cast("decimal(38,0)").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        m.select(col("n"),
+            expr("""(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)""")
+              .as("covxy"),
+            expr("""(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)""")
+              .as("varx"),
+            expr("""(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)""")
+              .as("vary"))
+          .select(col("n"),
+            expr("round(covxy / varx, 6)").as("theta"),
+            expr("round(covxy * covxy / (varx * vary), 6)")
+              .as("variance_reduction"))
+      },
+      Some("""|WITH base AS (
+             |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    CAST(round(value * 1000) AS BIGINT) AS vm
+             |  FROM events
+             |), per AS (
+             |  SELECT user_id,
+             |    CAST(sum(CASE WHEN day - (SELECT min(day) FROM base) < 15
+             |      THEN vm ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN day - (SELECT min(day) FROM base) >= 15
+             |      THEN vm ELSE 0 END) AS BIGINT) AS y
+             |  FROM base GROUP BY 1
+             |), m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+             |  FROM per
+             |), d AS (
+             |  SELECT n,
+             |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n
+             |      AS covxy,
+             |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+             |      AS varx,
+             |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+             |      AS vary
+             |  FROM m
+             |)
+             |SELECT n, round(covxy / varx, 6) AS theta,
+             |  round(covxy * covxy / (varx * vary), 6) AS variance_reduction
+             |FROM d""".stripMargin)))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
