@@ -167,7 +167,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q251), max-IG decision stump (q252), Welch's t-test (q253),
   *             Mann-Whitney U + Cliff's delta (q254), PSI feature-drift
   *             gate (q255), Kruskal-Wallis k-sample test (q256), CUPED
-  *             variance-reduction audit (q257)
+  *             variance-reduction audit (q257), streaming PSI drift store
+  *             (q258, in StreamingQueries), fixed-effect meta-analysis
+  *             pooling (q259)
   */
 object SparkEntry {
 

@@ -4940,7 +4940,91 @@ object Advanced {
              |)
              |SELECT n, round(covxy / varx, 6) AS theta,
              |  round(covxy * covxy / (varx * vary), 6) AS variance_reduction
-             |FROM d""".stripMargin)))
+             |FROM d""".stripMargin)),
+
+    QueryDef("q259_meta_analysis",
+      "fixed-effect meta-analysis: inverse-variance pooling of per-type daily trend slopes",
+      // the many-experiments summarizer: each type's daily-count OLS slope
+      // and its sampling variance come from exact per-type moments (one
+      // aggregate), the pooled estimate weights by 1/var, and Cochran's Q
+      // measures heterogeneity — every readout one identical double chain.
+      // Per-type rows carry the shared pooled columns (broadcast back).
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val d0 = daily.agg(min("day")).head().getLong(0)
+        val m = daily.select(col("event_type"),
+            (col("day") - lit(d0)).as("x"), col("c").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("sxx_c", expr("CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n"))
+          .withColumn("b", expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / sxx_c"))
+          // residual variance s2 = (Syy_c - b^2 * Sxx_c) / (n - 2); var(b) = s2 / Sxx_c
+          .withColumn("var_b", expr("""((CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * sy / n) - b * b * sxx_c)
+            / (n - 2) / sxx_c"""))
+          // weights and weighted slopes round to micro integers BEFORE the
+          // pool sum — 5 doubles added in partition order would not be
+          // engine-deterministic; integers are order-free (the q185 rule)
+          .withColumn("w_micro", expr("CAST(round(1.0D / var_b * 1e6, 0) AS BIGINT)"))
+          .withColumn("wb_micro", expr("CAST(round(1.0D / var_b * b * 1e6, 0) AS BIGINT)"))
+          .localCheckpoint() // feeds the pool aggregate and the per-type rows
+        val pool = m.agg(sum("w_micro").as("sw"), sum("wb_micro").as("swb"))
+        m.join(broadcast(pool))
+          .select(col("event_type"), col("n").as("n_days"),
+            round(col("b"), 6).as("slope"),
+            round(expr("sqrt(var_b)"), 6).as("se"),
+            round(expr("CAST(swb AS DOUBLE) / sw"), 6).as("pooled_slope"),
+            round(expr("sqrt(1e6 / sw)"), 6).as("pooled_se"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH daily AS (
+             |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2
+             |), pts AS (
+             |  SELECT event_type,
+             |    CAST(day - (SELECT min(day) FROM daily) AS BIGINT) AS x,
+             |    CAST(c AS BIGINT) AS y
+             |  FROM daily
+             |), m AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM pts GROUP BY 1
+             |), fit AS (
+             |  SELECT event_type, n,
+             |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b,
+             |    sy, syy
+             |  FROM m
+             |), vb AS (
+             |  SELECT event_type, n, b,
+             |    ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+             |      - b * b * sxx_c) / (n - 2) / sxx_c AS var_b
+             |  FROM fit
+             |), wtd AS (
+             |  SELECT *,
+             |    CAST(round(1.0 / var_b * 1e6, 0) AS BIGINT) AS w_micro,
+             |    CAST(round(1.0 / var_b * b * 1e6, 0) AS BIGINT) AS wb_micro
+             |  FROM vb
+             |), pool AS (
+             |  SELECT CAST(sum(w_micro) AS BIGINT) AS sw,
+             |    CAST(sum(wb_micro) AS BIGINT) AS swb
+             |  FROM wtd
+             |)
+             |SELECT event_type, n AS n_days, round(b, 6) AS slope,
+             |  round(sqrt(var_b), 6) AS se,
+             |  round(CAST(swb AS DOUBLE) / sw, 6) AS pooled_slope,
+             |  round(sqrt(1e6 / sw), 6) AS pooled_se
+             |FROM wtd CROSS JOIN pool ORDER BY event_type""".stripMargin)))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a

@@ -1092,11 +1092,97 @@ ORDER BY event_type, win"""
         "via flatMapGroupsWithState, final update == q217's batch " +
         "transition counts",
       q225Build, Some(q225Oracle)),
+    QueryDef("q258_streaming_psi",
+      "streaming PSI drift store: running (feature, bin, half) counts in " +
+        "Update mode — commutative, so the final update feeds q255's " +
+        "batch PSI readout exactly (oracle verbatim)",
+      q258Build, Some(q258Oracle)),
     QueryDef("q239_streaming_aqp",
       "streaming AQP store: running per-type (exact, 1-in-4 HT sample) " +
         "totals in Update mode — every moment is commutative, so the " +
         "final update == q238's batch audit (oracle verbatim)",
       q239Build, Some(q239Oracle)))
+
+  /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
+    * commutative sums, so the last update per cell (max total; counts are
+    * monotone) equals the batch census, and the PSI readout is q255's
+    * batch math over the final cells. The half split anchors at the STATIC
+    * table's min day (the drift baseline is a fixed property of the
+    * deployment, not of arrival order). */
+  private def q258Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val d0 = QueryDef.table(s, dir, "events")
+      .agg(min(expr("ts div 86400000000000"))).head().getLong(0)
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q258_sink_${sinkId.incrementAndGet()}",
+      df => {
+        val base = df.select(
+          ((expr("ts div 86400000000000") - lit(d0)) >= 15L).as("cur"),
+          expr("(ts div 3600000000000) % 24 div 4").as("f_hour_band"),
+          expr("CAST(length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING)) AS BIGINT)")
+            .as("f_value_digits"),
+          pmod(col("user_id"), lit(8)).as("f_user_bucket"))
+        val feats = Seq("f_hour_band", "f_value_digits", "f_user_bucket").map { f =>
+          base.select(lit(f).as("feature"), col(f).as("bin"), col("cur"))
+        }.reduce(_ union _)
+        feats.groupBy("feature", "bin", "cur").agg(count(lit(1)).as("c"))
+      },
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature", "bin", "cur")
+    val cells = updates.withColumn("_mx", max("c").over(w))
+      .filter(col("c") === col("_mx"))
+      .select("feature", "bin", "cur", "c").distinct()
+      .groupBy("feature", "bin")
+      .agg(sum(when(!col("cur"), col("c")).otherwise(0L)).as("cb"),
+        sum(when(col("cur"), col("c")).otherwise(0L)).as("cc"))
+      .localCheckpoint() // feeds per-feature totals and the readout
+    val tots = cells.groupBy("feature")
+      .agg(sum("cb").as("nb"), sum("cc").as("nc"), count(lit(1)).as("bc"))
+    cells.join(tots, "feature")
+      .withColumn("term_micro", expr("""CAST(round(
+        ((cb + 1.0D) / (nb + bc) - (cc + 1.0D) / (nc + bc))
+        * ln(((cb + 1.0D) / (nb + bc))
+           / ((cc + 1.0D) / (nc + bc))) * 1e6, 0) AS BIGINT)"""))
+      .groupBy("feature").agg(sum("term_micro").cast("long").as("psi_micro"))
+      .orderBy("feature")
+  }
+
+  private def q258Oracle: String =
+    """|WITH base AS (
+       |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |    (epoch_ns(ts) // 3600000000000) % 24 // 4 AS f_hour_band,
+       |    CAST(len(CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR))
+       |      AS BIGINT) AS f_value_digits,
+       |    user_id % 8 AS f_user_bucket
+       |  FROM events
+       |), half AS (
+       |  SELECT *, day - (SELECT min(day) FROM base) >= 15 AS cur
+       |  FROM base
+       |), feats AS (
+       |  SELECT 'f_hour_band' AS feature, f_hour_band AS bin, cur FROM half
+       |  UNION ALL
+       |  SELECT 'f_value_digits', f_value_digits, cur FROM half
+       |  UNION ALL
+       |  SELECT 'f_user_bucket', f_user_bucket, cur FROM half
+       |), c AS (
+       |  SELECT feature, bin,
+       |    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+       |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cc
+       |  FROM feats GROUP BY 1, 2
+       |), t AS (
+       |  SELECT feature, CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(sum(cc) AS BIGINT) AS nc, count(*) AS bc
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT c.feature,
+       |  CAST(sum(CAST(round(
+       |    ((cb + 1.0) / (nb + bc) - (cc + 1.0) / (nc + bc))
+       |    * ln(((cb + 1.0) / (nb + bc)) / ((cc + 1.0) / (nc + bc)))
+       |    * 1e6, 0) AS BIGINT)) AS BIGINT) AS psi_micro
+       |FROM c JOIN t ON t.feature = c.feature
+       |GROUP BY c.feature ORDER BY c.feature""".stripMargin
 
   /** q239: the streaming twin of q238 — the deterministic md5 sample
     * membership ('aqp:' grid) and all four running totals are commutative
