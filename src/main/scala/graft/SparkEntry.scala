@@ -169,7 +169,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             gate (q255), Kruskal-Wallis k-sample test (q256), CUPED
   *             variance-reduction audit (q257), streaming PSI drift store
   *             (q258, in StreamingQueries), fixed-effect meta-analysis
-  *             pooling (q259)
+  *             pooling (q259), Theil-T inequality with within/between
+  *             decomposition (q260)
   */
 object SparkEntry {
 

@@ -5024,7 +5024,90 @@ object Advanced {
              |  round(sqrt(var_b), 6) AS se,
              |  round(CAST(swb AS DOUBLE) / sw, 6) AS pooled_slope,
              |  round(sqrt(1e6 / sw), 6) AS pooled_se
-             |FROM wtd CROSS JOIN pool ORDER BY event_type""".stripMargin)))
+             |FROM wtd CROSS JOIN pool ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q260_theil_inequality",
+      "Theil-T inequality of order values with exact within/between-nation decomposition",
+      // the inequality-accounting readout: T = (1/N) sum (x/mu) ln(x/mu)
+      // over order totals, decomposed as T = sum_g s_g*T_g + T_between with
+      // s_g = (N_g*mu_g)/(N*mu) the income shares. x/mu = x*N/S is an exact
+      // rational, so every per-row term is one identical double chain,
+      // micro-ROUNDED and integer-summed (the q185 rule); the between and
+      // share terms are per-group chains over the same exact sums. Customer
+      // and nation dims broadcast onto the fact scan.
+      (s, dir) => {
+        val x = table(s, dir, "orders")
+          .join(broadcast(table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+          .localCheckpoint() // feeds global sums, group sums, per-row terms
+        val tot = x.agg(count(lit(1)).as("nn"), sum("x").as("ss"))
+        val g = x.groupBy("nation").agg(count(lit(1)).as("ng"), sum("x").as("sg"))
+          .localCheckpoint()
+        // per-row global terms (x*N/S) and within-group terms (x*Ng/Sg)
+        val terms = x.join(broadcast(tot))
+          .join(broadcast(g), "nation")
+          .select(col("nation"),
+            expr("""CAST(round(CAST(x AS DOUBLE) * nn / ss
+              * ln(CAST(x AS DOUBLE) * nn / ss) * 1e6, 0) AS BIGINT)""")
+              .as("t_glob_micro"),
+            expr("""CAST(round(CAST(x AS DOUBLE) * ng / sg
+              * ln(CAST(x AS DOUBLE) * ng / sg) * 1e6, 0) AS BIGINT)""")
+              .as("t_within_micro"))
+          .groupBy("nation")
+          .agg(sum("t_glob_micro").as("tg_sum"), sum("t_within_micro").as("tw_sum"))
+        terms.join(g, "nation").join(broadcast(tot))
+          .select(col("nation"), col("ng").as("n_orders"),
+            expr("round(CAST(sg AS DOUBLE) / ng / 100.0, 6)").as("mean_price"),
+            expr("round(CAST(tw_sum AS DOUBLE) / ng / 1e6, 6)").as("t_within"),
+            // income share and the group's between-term, one chain each
+            expr("round(CAST(sg AS DOUBLE) / ss, 6)").as("income_share"),
+            expr("""round(CAST(sg AS DOUBLE) / ss
+              * ln(CAST(sg AS DOUBLE) * nn / (CAST(ss AS DOUBLE) * ng)), 6)""")
+              .as("t_between_term"),
+            expr("round(CAST(tg_sum AS DOUBLE) / nn / 1e6, 6)")
+              .as("t_total_contrib"))
+          .orderBy("nation")
+      },
+      Some("""|WITH x AS MATERIALIZED (
+             |  SELECT n_name AS nation,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS ss
+             |  FROM x
+             |), g AS (
+             |  SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(x) AS BIGINT) AS sg
+             |  FROM x GROUP BY 1
+             |), terms AS (
+             |  SELECT x.nation,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * nn / ss
+             |      * ln(CAST(x AS DOUBLE) * nn / ss) * 1e6, 0) AS BIGINT))
+             |      AS BIGINT) AS tg_sum,
+             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * ng / sg
+             |      * ln(CAST(x AS DOUBLE) * ng / sg) * 1e6, 0) AS BIGINT))
+             |      AS BIGINT) AS tw_sum
+             |  FROM x CROSS JOIN tot JOIN g ON g.nation = x.nation
+             |  GROUP BY x.nation
+             |)
+             |SELECT t.nation, ng AS n_orders,
+             |  round(CAST(sg AS DOUBLE) / ng / 100.0, 6) AS mean_price,
+             |  round(CAST(tw_sum AS DOUBLE) / ng / 1e6, 6) AS t_within,
+             |  round(CAST(sg AS DOUBLE) / ss, 6) AS income_share,
+             |  round(CAST(sg AS DOUBLE) / ss
+             |    * ln(CAST(sg AS DOUBLE) * nn / (CAST(ss AS DOUBLE) * ng)), 6)
+             |    AS t_between_term,
+             |  round(CAST(tg_sum AS DOUBLE) / nn / 1e6, 6) AS t_total_contrib
+             |FROM terms t JOIN g ON g.nation = t.nation CROSS JOIN tot
+             |ORDER BY t.nation""".stripMargin)))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
