@@ -108,7 +108,8 @@ object Bench {
     "q251_naive_bayes", "q252_decision_stump",
     "q253_welch_ttest", "q254_mann_whitney", "q255_psi_drift",
     "q256_kruskal_wallis", "q257_cuped_variance_reduction",
-    "q258_streaming_psi", "q259_meta_analysis", "q260_theil_inequality")
+    "q258_streaming_psi", "q259_meta_analysis", "q260_theil_inequality",
+    "q261_gini_by_nation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -170,7 +170,7 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             variance-reduction audit (q257), streaming PSI drift store
   *             (q258, in StreamingQueries), fixed-effect meta-analysis
   *             pooling (q259), Theil-T inequality with within/between
-  *             decomposition (q260)
+  *             decomposition (q260), per-nation Gini coefficients (q261)
   */
 object SparkEntry {
 

@@ -5107,7 +5107,54 @@ object Advanced {
              |    AS t_between_term,
              |  round(CAST(tg_sum AS DOUBLE) / nn / 1e6, 6) AS t_total_contrib
              |FROM terms t JOIN g ON g.nation = t.nation CROSS JOIN tot
-             |ORDER BY t.nation""".stripMargin)))
+             |ORDER BY t.nation""".stripMargin)),
+
+    QueryDef("q261_gini_by_nation",
+      "per-nation Gini coefficient of order values via the exact rank formula",
+      // q260's bounded-in-[0,1] sibling: G = (2*sum(r*x) - (n+1)*S) / (n*S)
+      // with ordinal ranks from the BUCKETED two-level index keyed by
+      // nation (ties are automatically safe — permuting equal x leaves
+      // sum(r*x) unchanged). Numerator and denominator are exact longs;
+      // one ranked shuffle, one aggregate, one rounded division.
+      (s, dir) => {
+        val x = table(s, dir, "orders")
+          .join(broadcast(table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+        val idx = Frames.denseIndexByKey(x, keyCols = Seq("nation"),
+          bucketCol = expr("x div 1000000"),
+          orderCols = Seq(col("x"), col("o_orderkey")), as = "_idx")
+        idx.groupBy("nation")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum((col("_idx") + 1L) * col("x")).as("srx"))
+          .select(col("nation"), col("n"),
+            expr("round(CAST(sx AS DOUBLE) / n / 100.0, 6)").as("mean_price"),
+            expr("""round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * sx), 6)""").as("gini"))
+          .orderBy("nation")
+      },
+      Some("""|WITH x AS (
+             |  SELECT n_name AS nation, o_orderkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |), r AS (
+             |  SELECT nation, x,
+             |    row_number() OVER (PARTITION BY nation
+             |      ORDER BY x, o_orderkey) AS rk
+             |  FROM x
+             |)
+             |SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(x) AS DOUBLE) / count(*) / 100.0, 6) AS mean_price,
+             |  round(CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             |    / (CAST(count(*) AS DOUBLE) * sum(x)), 6) AS gini
+             |FROM r GROUP BY nation ORDER BY nation""".stripMargin)))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
