@@ -311,7 +311,7 @@ object Advanced {
              |  SELECT event_type, tns, c - LEAST(0, cmin) AS s FROM cm
              |)
              |SELECT event_type, count(*) AS n_events,
-             |  max(s) AS max_cusum,
+             |  CAST(max(s) AS BIGINT) AS max_cusum,
              |  count(*) FILTER (WHERE s > 5000000) AS n_drift,
              |  min(tns) FILTER (WHERE s > 5000000) AS first_drift_tns
              |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)),
@@ -342,7 +342,7 @@ object Advanced {
              |  FROM documents
              |)
              |SELECT source, CAST(before // 2000 AS BIGINT) AS file_id,
-             |  count(*) AS n_docs, sum(n_chars) AS bytes,
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM c GROUP BY source, file_id
              |ORDER BY source, file_id""".stripMargin)),
@@ -671,8 +671,8 @@ object Advanced {
       },
       Some("""|WITH rev AS (
              |  SELECT l_orderkey,
-             |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-             |        AS BIGINT)) AS rev_cents
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |        AS BIGINT)) AS BIGINT) AS rev_cents
              |  FROM lineitem GROUP BY l_orderkey
              |)
              |SELECT l_orderkey, rev_cents,
@@ -770,10 +770,10 @@ object Advanced {
              |    WHEN sz <= 9 THEN '5-9' ELSE '10+' END AS size_bucket
              |  FROM c
              |)
-             |SELECT size_bucket, count(*) AS n_classes, sum(sz) AS n_rows,
+             |SELECT size_bucket, count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
              |  min(sz) AS min_size, max(sz) AS max_size,
              |  count(*) FILTER (WHERE sz < 5) AS n_classes_below_k,
-             |  coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS n_rows_at_risk
+             |  CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT) AS n_rows_at_risk
              |FROM b GROUP BY size_bucket ORDER BY size_bucket""".stripMargin)),
 
     QueryDef("q179_readability",
@@ -1071,7 +1071,8 @@ object Advanced {
              |     GROUP BY CAST(floor(value * 1000) AS BIGINT) // 50000))
              |)
              |SELECT column_name, n_distinct,
-             |  CAST(n_rows AS BIGINT) AS n_rows, entropy_micro
+             |  CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(entropy_micro AS BIGINT) AS entropy_micro
              |FROM checks ORDER BY column_name""".stripMargin)),
 
     QueryDef("q187_weighted_quantiles",
@@ -1112,7 +1113,7 @@ object Advanced {
              |    sum(w) OVER (PARTITION BY flag) AS tw
              |  FROM v
              |)
-             |SELECT flag, max(tw) AS total_weight,
+             |SELECT flag, CAST(max(tw) AS BIGINT) AS total_weight,
              |  min(CASE WHEN cum >= (tw + 1) // 2 THEN cents END) AS wmedian_cents,
              |  min(CASE WHEN cum >= (9 * tw + 9) // 10 THEN cents END) AS wp90_cents
              |FROM c GROUP BY flag ORDER BY flag""".stripMargin)),
@@ -1272,8 +1273,8 @@ object Advanced {
           LIMIT 10""")
       },
       Some("""|SELECT l_orderkey,
-             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-             |      AS BIGINT)) AS revenue_cents,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS BIGINT) AS revenue_cents,
              |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
              |  o_orderpriority
              |FROM customer
@@ -1466,7 +1467,7 @@ object Advanced {
              |  FROM part
              |)
              |SELECT CAST(depth AS INT) AS depth, node, count(*) AS n_parts,
-             |  sum(cents) AS total_cents
+             |  CAST(sum(cents) AS BIGINT) AS total_cents
              |FROM anc GROUP BY depth, node
              |ORDER BY total_cents DESC, depth, node LIMIT 50""".stripMargin)),
 
@@ -1654,7 +1655,8 @@ object Advanced {
       Some("""|WITH m AS (
              |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
              |    count(*) AS n_orders,
-             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS revenue_cents
              |  FROM orders GROUP BY 1
              |)
              |SELECT month, n_orders, revenue_cents,
@@ -1717,7 +1719,7 @@ object Advanced {
              |)
              |SELECT l_orderkey, count(*) AS n_lines, max(t) AS total_cents,
              |  CAST(sum(alloc_cents) AS BIGINT) AS allocated_cents,
-             |  max(alloc_cents) AS max_alloc
+             |  CAST(max(alloc_cents) AS BIGINT) AS max_alloc
              |FROM alloc GROUP BY l_orderkey
              |HAVING l_orderkey % 10 = 0
              |ORDER BY l_orderkey""".stripMargin)),
@@ -1816,7 +1818,7 @@ object Advanced {
              |  CAST(t.t AS BIGINT) AS total_vm,
              |  (SELECT count(*) FROM r, t WHERE cum * 5 < t.t * 4) + 1
              |    AS n_users_for_80pct,
-             |  (SELECT uv FROM r WHERE rank = 0) AS top_user_vm,
+             |  CAST((SELECT uv FROM r WHERE rank = 0) AS BIGINT) AS top_user_vm,
              |  round(CAST((SELECT count(*) FROM r, t WHERE cum * 5 < t.t * 4) + 1
              |    AS DOUBLE) / t.n_users, 6) AS pct_users_for_80pct
              |FROM t""".stripMargin)),
@@ -2439,8 +2441,8 @@ object Advanced {
       },
       Some("""|SELECT coalesce(r_name, '(all)') AS region,
              |  coalesce(n_name, '(all)') AS nation,
-             |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-             |      AS BIGINT)) AS revenue_cents,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS BIGINT) AS revenue_cents,
              |  count(*) AS n_lines,
              |  CAST(GROUPING(r_name, n_name) AS INT) AS gid
              |FROM lineitem

@@ -259,8 +259,8 @@ object Analytics {
              |)
              |SELECT d.day, d.n_active, coalesce(n.n_new, 0) AS n_new,
              |  d.n_active - coalesce(n.n_new, 0) AS n_returning,
-             |  sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+             |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
              |FROM daily d LEFT JOIN news n ON d.day = n.day
              |ORDER BY d.day""".stripMargin)),
 

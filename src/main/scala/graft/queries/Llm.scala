@@ -451,7 +451,7 @@ object Llm {
              |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST((doc_id * 37) % 256 AS DOUBLE) END AS mean_r,
              |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST((doc_id * 59) % 256 AS DOUBLE) END AS mean_g,
              |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE CAST((doc_id * 83) % 256 AS DOUBLE) END AS mean_b,
-             |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 0.0 END AS std_r
+             |  CAST(CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 0.0 END AS DOUBLE) AS std_r
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q51_cosine_lsh_pairs", "random-hyperplane LSH near-neighbor pairs",

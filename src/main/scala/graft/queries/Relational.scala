@@ -406,7 +406,7 @@ object Relational {
       Some("""SELECT event_id, user_id, us,
              |  count(*) OVER w AS n_1h,
              |  max(value) OVER w AS vmax_1h,
-             |  sum(vmilli) OVER w AS vmilli_1h
+             |  CAST(sum(vmilli) OVER w AS BIGINT) AS vmilli_1h
              |FROM (
              |  SELECT event_id, user_id, epoch_us(ts) AS us,
              |    CAST(round(value * 1000) AS BIGINT) AS vmilli, value
@@ -488,7 +488,7 @@ object Relational {
              |    AS k_decile,
              |  count(*) AS n,
              |  count(DISTINCT user_id) AS n_users,
-             |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli_sum
+             |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vmilli_sum
              |FROM events
              |WHERE regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -645,7 +645,7 @@ GROUP BY 1 ORDER BY channel"""
        |)
        |SELECT user_id, min(us) AS session_start_us,
        |  max(us) + $GapU103 AS session_end_us,
-       |  count(*) AS n, sum(vmilli) AS vmilli
+       |  count(*) AS n, CAST(sum(vmilli) AS BIGINT) AS vmilli
        |FROM ses GROUP BY user_id, sid
        |HAVING max(us) + $GapU103 <=
        |  (SELECT max(epoch_us(ts)) FROM events) - $DelayU103 - $GapU103
@@ -727,7 +727,7 @@ GROUP BY 1 ORDER BY channel"""
 
   private def q106Oracle: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli
+      |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vmilli
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Stream-STATIC join (the remaining streaming join mode after q104's
@@ -762,7 +762,7 @@ GROUP BY 1 ORDER BY channel"""
     """SELECT CAST(user_id % 8 AS INT) AS channel,
       |  CAST(-(user_id % 8) AS DOUBLE) AS imp,
       |  count(*) AS n,
-      |  sum(CAST(round(value * 1000) AS BIGINT)) AS vmilli
+      |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vmilli
       |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   /** Streaming twin of q166's decayed engagement, anchored at a FIXED epoch

@@ -18,14 +18,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize ints/floats for comparison
-    for c in df.columns:
-        if df[c].dtype.kind in "iu":
-            df[c] = df[c].astype("int64")
-        elif df[c].dtype.kind == "f":
-            df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def oracle_type_errors(rel):
+    """Driver replica: DuckDB HUGEINT/DECIMAL hash differently from Spark
+    int64/double — any such column in an oracle result is an automatic
+    fail (wrap the aggregate in CAST(... AS BIGINT) oracle-side)."""
+    bad = []
+    for c, ty in zip(rel.columns, rel.types):
+        t = str(ty)
+        if t == "HUGEINT" or t.startswith("DECIMAL"):
+            bad.append(f"{c}:{t}")
+    return bad
 
 
 def compare(name, spark_df, duck_df):
@@ -36,11 +42,13 @@ def compare(name, spark_df, duck_df):
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
-        if av.dtype.kind == "f":
-            bad = ~(av.eq(bv) | (av.isna() & bv.isna()) |
-                    ((av - bv).abs() < 1e-12))
-        else:
-            bad = ~(av.eq(bv) | (av.isna() & bv.isna()))
+        # driver hashes typed values — int-kind vs int-kind must agree on
+        # width; float compare is EXACT (the driver hashes doubles bitwise)
+        if av.dtype.kind in "iu" and bv.dtype.kind in "iu":
+            av, bv = av.astype("int64"), bv.astype("int64")
+        elif av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av, bv = av.astype("float64"), bv.astype("float64")
+        bad = ~(av.eq(bv) | (av.isna() & bv.isna()))
         if bad.any():
             i = bad.idxmax()
             return (f"VALUE MISMATCH col={c} row={i} "
@@ -74,9 +82,16 @@ def main(sf_dir, out_dir):
             fail += 0 if len(spark_df) > 0 else 1
             continue
         try:
-            duck_df = con.execute(oracles[name]).fetchdf()
+            rel = con.sql(oracles[name])
+            type_errs = oracle_type_errors(rel)
+            duck_df = rel.fetchdf()
         except Exception as e:
             print(f"[{name}] ORACLE SQL ERROR: {e}")
+            fail += 1
+            continue
+        if type_errs:
+            print(f"[{name}] FAIL: ORACLE TYPE (driver hash mismatch): "
+                  f"{type_errs}")
             fail += 1
             continue
         err = compare(name, spark_df, duck_df)
