@@ -215,7 +215,17 @@ object Graph {
     * under any skew), then each triangle fans out to its 3 member vertices
     * for the per-node count. Never a deg^2 wedge generation at hubs. */
   def localClustering(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // canonicalize instead of trusting the caller: the closing semi-join
+    // matches wedges against (a < b) rows only, so a reversed, duplicated,
+    // or self-loop edge would silently undercount triangles and inflate
+    // degrees. least/greatest + distinct makes any undirected edge list
+    // canonical; on already-canonical input the distinct dedups nothing and
+    // its shuffle feeds the degree aggregate that follows anyway.
+    val e = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
       .localCheckpoint(true) // feeds degrees, orientation, and the closing join
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))

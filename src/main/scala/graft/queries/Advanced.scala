@@ -2684,9 +2684,12 @@ object Advanced {
              |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
              |  FROM daily GROUP BY 1
              |), m AS (
-             |  SELECT event_type, n_days, s_stat,
+             |  -- LEFT JOIN + coalesce: a single-day type has no day pairs,
+             |  -- so s has no row for it; the engine still emits the type
+             |  -- (s_stat = 0, var18 = 0, z = 0) and the oracle must too
+             |  SELECT event_type, n_days, CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
              |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
-             |  FROM nd JOIN s USING (event_type) JOIN ties USING (event_type)
+             |  FROM nd LEFT JOIN s USING (event_type) JOIN ties USING (event_type)
              |)
              |SELECT event_type, n_days, s_stat, var18,
              |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)

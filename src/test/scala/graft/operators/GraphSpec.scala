@@ -121,6 +121,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === 3L * global)
   }
 
+  test("localClustering: non-canonical input (reversed dups, self-loops) matches canonical") {
+    val canonical = edgesDf(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (5L, 6L)))
+    // same graph delivered dirty: every edge reversed, two duplicated (one
+    // in each orientation), plus a self-loop
+    val dirty = edgesDf(Seq(
+      (2L, 1L), (3L, 1L), (4L, 1L), (3L, 2L), (4L, 2L), (4L, 3L),
+      (5L, 1L), (5L, 2L), (6L, 5L),
+      (1L, 2L), (4L, 3L), (3L, 3L)))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Graph.localClustering(df).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(snap(dirty) === snap(canonical))
+  }
+
   test("kCorePeel: empty survivor set stays empty (no NPE on empty rounds)") {
     val path = edgesDf(Seq((1L, 2L), (2L, 3L)))
     val census = Graph.boundedKCorePeel(path, k = 3, rounds = 3)

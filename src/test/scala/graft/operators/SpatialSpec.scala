@@ -54,11 +54,25 @@ class SpatialSpec extends AnyFunSuite {
     assert(rows.toSet === Set((1L, 2L, 25L), (1L, 3L, 100L), (2L, 3L, 25L)))
   }
 
-  test("negative coordinates stay on the same floor-division grid") {
+  test("negative coordinates stay lossless under truncating integer division") {
     val pts = Seq((1L, -1L, -1L), (2L, 1L, 1L), (3L, -95L, -95L)).toDF("id", "x", "y")
     val got = Spatial.gridNeighborPairs(pts, cellSize = 100L, radius = 50L)
       .as[(Long, Long, Long)].collect().toSet
     assert(got === bruteForce(Seq((1L, -1L, -1L), (2L, 1L, 1L), (3L, -95L, -95L)), 50L))
+  }
+
+  test("gridDensityClusters: cell outside the label encoding range fails loudly") {
+    // cy = 2000 >= labelPitch 1024 would alias into another cell's label;
+    // the distributed guard must fail the job instead
+    val pts = Seq((1L, 5L, 20000L), (2L, 6L, 20001L)).toDF("id", "x", "y")
+    val ex = intercept[Exception] {
+      Spatial.gridDensityClusters(pts, cellSize = 10L, minPts = 2L, rounds = 2)
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("outside the label encoding"))))
   }
 
   test("gridDensityClusters: two separated blobs get two labels, sparse cells drop, a snake chain unifies") {
