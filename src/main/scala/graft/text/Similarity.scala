@@ -598,4 +598,117 @@ object Similarity {
       .select(col(idCol), projU(col(vecCol)).as("pc"))
   }
 
+  /** Top-2 principal components via FIXED-ROUND power iteration with one
+    * deflation step, every intermediate micro-rounded onto an integer grid
+    * so the whole run is replayable operation-for-operation in any IEEE SQL
+    * engine (the q250 Newton-replay contract applied to eigenvectors —
+    * [[pcaComponents]]' eigSym is exact too but not SQL-expressible, which
+    * left its query without a relational oracle).
+    *
+    * Components live on the 1e-12 grid (`Array[Long]`, comp = g/1e12); the
+    * mean is the exact `m1/1e9/n` double chain. Per iteration:
+    * {{{
+    *   w_i  = Σ_j floor(cov(i)(j) * (g(j)/1e12) * 1e12)      // exact longs
+    *   s    = Σ_i floor((w_i/1e12) * (w_i/1e12) * 1e12)      // exact long
+    *   g'_i = floor((w_i/1e12) / sqrt(s/1e12) * 1e12)        // back on grid
+    * }}}
+    * Long sums are order-free, every double op is correctly rounded from
+    * identical operands, and floor has no half-way hazard — so DuckDB's
+    * unrolled-CTE replay of the same `iters` rounds is bit-identical.
+    * Sign convention matches [[pcaComponents]]: largest-|coordinate| entry
+    * positive, ties to the lowest index. Deflation for PC2 uses the
+    * micro-rounded Rayleigh quotient lamG = Σ_ij floor(cov_ij * (g_i/1e12)
+    * * (g_j/1e12) * 1e12); then cov2_ij = cov_ij - lamG/1e12 * (g_i/1e12)
+    * * (g_j/1e12), with the literal expression order mirrored in the
+    * oracle text.
+    *
+    * Scale shape: one [[momentsE9]] treeAggregate over the corpus (zero
+    * shuffle of row data); the iteration itself is O(dim^2 * iters) driver
+    * arithmetic on a bounded 64x64 grid — microseconds. */
+  def pcaPowerE12(embeddings: DataFrame, dim: Int, iters: Int,
+                  vecCol: String = "embedding"): (Array[Long], Array[Long], Array[Double]) = {
+    require(iters >= 1 && iters <= 30, s"iters in [1,30], got $iters")
+    val (n, m1, m2) = momentsE9(embeddings, dim, vecCol)
+    require(n > 1, s"PCA needs at least 2 rows, got $n")
+    val mu = m1.map(_ / 1e9 / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var p = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        // token-for-token the oracle's cov CTE: s/1e9/n - mu_i*mu_j
+        val c = m2(p) / 1e9 / n - mu(i) * mu(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    def powerRounds(c: Array[Array[Double]]): Array[Long] = {
+      var g = Array.fill(dim)(math.floor(1e12 / math.sqrt(dim.toDouble)).toLong)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < dim) {
+            acc += math.floor(c(i)(j) * (g(j) / 1e12) * 1e12).toLong
+            j += 1
+          }
+          acc
+        }
+        var s = 0L
+        var k = 0
+        while (k < dim) {
+          s += math.floor((w(k) / 1e12) * (w(k) / 1e12) * 1e12).toLong
+          k += 1
+        }
+        val norm = math.sqrt(s / 1e12)
+        g = w.map(wi => math.floor(wi / 1e12 / norm * 1e12).toLong)
+      }
+      val pivot = (0 until dim).maxBy(i => (math.abs(g(i)), -i))
+      if (g(pivot) < 0) g.map(x => -x) else g
+    }
+    val g1 = powerRounds(cov)
+    var lamG = 0L
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        lamG += math.floor(cov(i)(j) * (g1(i) / 1e12) * (g1(j) / 1e12) * 1e12).toLong
+        j += 1
+      }
+      i += 1
+    }
+    val cov2 = Array.tabulate(dim, dim) { (i, j) =>
+      cov(i)(j) - lamG / 1e12 * (g1(i) / 1e12) * (g1(j) / 1e12)
+    }
+    val g2 = powerRounds(cov2)
+    (g1, g2, mu)
+  }
+
+  /** Centered projection onto two grid components, each per-row term
+    * micro-rounded to the 1e-9 grid and summed as exact longs (the
+    * order-free cross-engine contract of [[pcaPowerE12]]):
+    * pc = Σ_i floor((v_i - mu_i) * comp_i * 1e9) / 1e9, rounded to 6.
+    * Pure Catalyst (higher-order `aggregate` over the vector with literal
+    * mean/component arrays) — no UDF, one narrow pass. */
+  def pcaProjectE9(embeddings: DataFrame, c1: Array[Long], c2: Array[Long],
+                   mean: Array[Double],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = mean.length
+    def gridSum(compCol: String): String =
+      s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+        s"acc + floor((CAST($vecCol[i] AS DOUBLE) - _mu[i]) * $compCol[i] * 1e9))"
+    embeddings
+      .filter(size(col(vecCol)) === dim)
+      .withColumn("_mu", typedLit(mean.toIndexedSeq))
+      .withColumn("_c1", typedLit(c1.map(_ / 1e12).toIndexedSeq))
+      .withColumn("_c2", typedLit(c2.map(_ / 1e12).toIndexedSeq))
+      .select(col(idCol),
+        round(expr(gridSum("_c1")) / lit(1e9), 6).as("pc1"),
+        round(expr(gridSum("_c2")) / lit(1e9), 6).as("pc2"))
+  }
+
 }

@@ -853,6 +853,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g7 === g)
   }
 
+  test("pcaPowerE12: grid power iteration agrees with eigSym, partition-invariant") {
+    val dim = 8
+    // two planted axes with distinct spreads so the top-2 eigengap is wide
+    val rows = (0 until 300).map { i =>
+      val r = new scala.util.Random(i + 7)
+      val v = Array.fill(dim)((r.nextGaussian() * 0.05).toFloat)
+      v(0) = (r.nextGaussian() * 1.0).toFloat
+      v(3) = (r.nextGaussian() * 0.4).toFloat
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val (g1, g2, mu) = Similarity.pcaPowerE12(emb, dim, iters = 12)
+    val (comps, mean) = Similarity.pcaComponents(emb, dim, k = 2)
+    assert(mu.toSeq === mean.toSeq) // identical m1/1e9/n chain
+    val c1 = g1.map(_ / 1e12)
+    val c2 = g2.map(_ / 1e12)
+    // same sign convention, so agreement means dot ~ +1 (not just |dot|)
+    val d1 = (0 until dim).map(i => c1(i) * comps(0)(i)).sum
+    val d2 = (0 until dim).map(i => c2(i) * comps(1)(i)).sum
+    assert(math.abs(d1 - 1.0) < 1e-6, s"pc1 dot eigSym = $d1")
+    assert(math.abs(d2 - 1.0) < 1e-5, s"pc2 dot eigSym = $d2")
+    // the grids are exact-integer functions of the data: layout-invariant
+    val (g1b, g2b, mub) = Similarity.pcaPowerE12(emb.repartition(7), dim, iters = 12)
+    assert(g1b.toSeq === g1.toSeq && g2b.toSeq === g2.toSeq && mub.toSeq === mu.toSeq)
+    // projection replay on the same grid contract
+    val proj = Similarity.pcaProjectE9(emb, g1, g2, mu)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    for ((id, v) <- rows.take(10)) {
+      val exp1 = (0 until dim).map(i =>
+        math.floor((v(i).toDouble - mu(i)) * c1(i) * 1e9).toLong).sum / 1e9
+      assert(math.abs(proj(id)._1 - BigDecimal(exp1).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
   test("PCA: orthonormal components, variance ordering, projection replay") {
     val dim = 8
     // anisotropic cloud: dim 0 has 10x the spread of the rest, so pc1 must
