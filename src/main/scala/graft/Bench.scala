@@ -109,7 +109,10 @@ object Bench {
     "q253_welch_ttest", "q254_mann_whitney", "q255_psi_drift",
     "q256_kruskal_wallis", "q257_cuped_variance_reduction",
     "q258_streaming_psi", "q259_meta_analysis", "q260_theil_inequality",
-    "q261_gini_by_nation")
+    "q261_gini_by_nation",
+    "q262_poisson_bootstrap", "q263_target_encoding",
+    "q264_negative_sampling", "q265_matryoshka_audit",
+    "q266_jl_distortion", "q267_l_diversity", "q268_dp_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

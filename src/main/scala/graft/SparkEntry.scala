@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm, Analytics, Advanced, QueryDef}
+import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm, Analytics, Advanced, Mlops, QueryDef}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -170,13 +170,19 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             variance-reduction audit (q257), streaming PSI drift store
   *             (q258, in StreamingQueries), fixed-effect meta-analysis
   *             pooling (q259), Theil-T inequality with within/between
-  *             decomposition (q260), per-nation Gini coefficients (q261)
+  *             decomposition (q260), per-nation Gini coefficients (q261),
+  *             Poisson bootstrap CI (q262), out-of-fold target encoding
+  *             (q263), hash-deterministic negative sampling (q264),
+  *             Matryoshka truncation audit (q265), Johnson-Lindenstrauss
+  *             distortion audit (q266), l-diversity census (q267),
+  *             discrete-Laplace DP histogram (q268)
   */
 object SparkEntry {
 
   val all: Seq[QueryDef] =
     Relational.defs ++ DspRelational.defs ++ Spectral.defs ++
-      StreamingQueries.defs ++ Llm.defs ++ Analytics.defs ++ Advanced.defs
+      StreamingQueries.defs ++ Llm.defs ++ Analytics.defs ++ Advanced.defs ++
+      Mlops.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full preprocess pipeline (resample -> notch -> CAR -> wavelet ->

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage-truncation policy for the iterative operators (graph rounds,
+  * label propagation, Lloyd iterations, chunked ingest): each round must
+  * pin its state so the plan does not grow unboundedly round-over-round.
+  *
+  * Two pinning modes, selected by runtime conf — the OPERATOR code is
+  * identical either way:
+  *
+  *  - default: `localCheckpoint(eager = true)` — blocks are stored on the
+  *    executors that computed them. Fastest (no DFS round-trip) and exactly
+  *    right for `local[n]`, but on a multi-executor cluster a lost executor
+  *    forces a full recompute of the whole iteration history (the lineage
+  *    was truncated, so there is nothing to replay from).
+  *  - `spark.conf.set(Checkpoints.DirKey, "hdfs://.../ckpt")`: RELIABLE
+  *    checkpointing — each pinned round is materialized to the shared
+  *    checkpoint directory, so executor loss costs one round re-read, not a
+  *    cascade. This is the 100 TB/1000-executor setting; the conf is read
+  *    per call so a session can flip it between jobs.
+  *
+  * The pinned result is byte-identical under both modes (checkpointing only
+  * changes WHERE the blocks live), so correctness certification at local
+  * scale carries over to the reliable path — one spec runs the same
+  * operator under both and asserts equality.
+  */
+object Checkpoints {
+
+  /** Conf key: set to a durable directory (HDFS/S3A/local path) to switch
+    * every `pin` from executor-memory localCheckpoint to reliable
+    * checkpointing into that directory. Unset or empty = localCheckpoint. */
+  val DirKey = "graft.checkpoint.dir"
+
+  implicit final class Pinnable[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** Truncate lineage eagerly under the session's configured policy. */
+    def pin: Dataset[T] = {
+      val spark = ds.sparkSession
+      spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
+        case Some(dir) =>
+          val sc = spark.sparkContext
+          // setCheckpointDir qualifies the path; only (re)set when the
+          // current one was not derived from this conf value
+          if (!sc.getCheckpointDir.exists(cur =>
+              cur == dir || cur.startsWith(dir + "/") || cur.contains(dir)))
+            sc.setCheckpointDir(dir)
+          ds.checkpoint(eager = true)
+        case None =>
+          ds.localCheckpoint(eager = true)
+      }
+    }
+  }
+}

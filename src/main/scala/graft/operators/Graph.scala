@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.Pinnable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -58,10 +59,10 @@ object Graph {
     // instead of replaying its build lineage per subtree (the q42/q75
     // multi-consumer rule)
     val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .localCheckpoint(true)
+      .pin
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .pin
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -71,7 +72,7 @@ object Graph {
         struct(col("a").as("src"), col("b").as("dst")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
-      .localCheckpoint(true) // consumed by both sides of the wedge self-join
+      .pin // consumed by both sides of the wedge self-join
     // wedges at a common oriented source; x < y canonicalizes the pair so
     // the closing edge is looked up in the original (a < b) table
     val o1 = oriented.select(col("src"), col("dst").as("x"))
@@ -117,22 +118,22 @@ object Graph {
     // once so the (possibly expensive) edge-build lineage never replays
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .pin
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .pin
     val n = deg.count() // one bounded scalar to the driver (node count)
     require(n > 0, "empty graph")
     // hoist the loop-invariant edges x degree join: each directed edge
     // carries its source degree once, so an iteration is exactly ONE
     // src-keyed join (edges x ranks) + ONE dst-keyed aggregation
-    val dirDeg = dir.join(deg, "src").localCheckpoint(true)
+    val dirDeg = dir.join(deg, "src").pin
     var ranks = deg.select(col("src").as("v"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
       val contrib = dirDeg.join(ranks, dirDeg("src") === ranks("v"))
         .select(col("dst"), expr("r div deg").as("c"))
       ranks = contrib.groupBy(col("dst").as("v"))
         .agg((lit(15L * scale / (100L * n)) + expr("(85 * sum(c)) div 100")).as("r"))
-        .localCheckpoint(true)
+        .pin
     }
     ranks.select(col("v"), col("r").as("rank_scaled"))
   }
@@ -156,14 +157,14 @@ object Graph {
       col("b").cast("long").as("b"), col("w").cast("long").as("w"))
     val dir = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint(true)
+      .pin
     var dist = seeds.select(col("v").cast("long").as("v"), lit(0L).as("d"))
-      .distinct().localCheckpoint(true)
+      .distinct().pin
     for (_ <- 1 to iters) {
       val relaxed = dir.join(dist, dir("src") === dist("v"))
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
       dist = dist.union(relaxed).groupBy("v").agg(min("d").as("d"))
-        .localCheckpoint(true)
+        .pin
     }
     dist.select(col("v"), col("d").as("dist"))
   }
@@ -186,12 +187,12 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .localCheckpoint(true)
+      .pin
     val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (r <- 1 to rounds) {
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-        .localCheckpoint(true) // consumed by the census agg and the keep filter
+        .pin // consumed by the census agg and the keep filter
       val keep = deg.filter(col("d") >= k).select("v")
       // one action per round: nodes_before and kept from a single reduction
       // (sum is NULL on an empty frame — a drained graph must census as 0)
@@ -200,7 +201,7 @@ object Graph {
       census += ((r, row.getLong(0), row.getLong(1)))
       e = e.join(keep, e("a") === keep("v"), "left_semi")
       e = e.join(keep, e("b") === keep("v"), "left_semi")
-        .localCheckpoint(true)
+        .pin
     }
     census.toSeq.toDF("round", "nodes_before", "kept")
   }
@@ -226,10 +227,10 @@ object Graph {
         greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true) // feeds degrees, orientation, and the closing join
+      .pin // feeds degrees, orientation, and the closing join
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .pin
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -239,7 +240,7 @@ object Graph {
         struct(col("a").as("src"), col("b").as("dst")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
-      .localCheckpoint(true) // consumed by both sides of the wedge self-join
+      .pin // consumed by both sides of the wedge self-join
     val o1 = oriented.select(col("src"), col("dst").as("x"))
     val o2 = oriented.select(col("src"), col("dst").as("y"))
     val wedges = o1.join(o2, "src").filter(col("x") < col("y"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Checkpoints.Pinnable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import QueryDef.table
@@ -132,7 +133,7 @@ object Advanced {
         // both sides of the pair join read the quantized traces — checkpoint
         // so the segment assembly's shuffle lineage runs once (q42 rule)
         val q = seg.select(col("channel"), quant(col("values")).as("vm"))
-          .localCheckpoint(true)
+          .pin
         val a = q.select(col("channel").as("c1"), col("vm").as("v1"))
         val b = q.select(col("channel").as("c2"), col("vm").as("v2"))
         val lagDots = udf { (v1s: Seq[Long], v2s: Seq[Long]) =>
@@ -396,7 +397,7 @@ object Advanced {
       (s, dir) => {
         // checkpoint: the assembled traces feed both sides of the pair join
         val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
-          .select(col("channel"), col("values")).localCheckpoint(true)
+          .select(col("channel"), col("values")).pin
         val a = seg.select(col("channel").as("c1"), col("values").as("v1"))
         val b = seg.select(col("channel").as("c2"), col("values").as("v2"))
         val L = 64; val hop = 32
@@ -498,7 +499,7 @@ object Advanced {
         val counts = words.groupBy("word")
           .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
             sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
-          .localCheckpoint(true)
+          .pin
         val totals = counts.agg(sum("c0").as("n0"), sum("c1").as("n1"))
         val contrib = counts.join(broadcast(totals))
           .withColumn("p", col("c0").cast("double") / col("n0"))
@@ -555,7 +556,7 @@ object Advanced {
           .select(col("event_type"),
             expr("CAST(ts AS BIGINT) div 60000000000").as("minute"))
           .groupBy("event_type", "minute").agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // feeds three subtrees (span, sums, pair join)
+          .pin // feeds three subtrees (span, sums, pair join)
         val span = m.agg((max("minute") - min("minute") + 1).as("n"))
         val sums = m.groupBy("event_type")
           .agg(sum("c").as("sx"), sum(col("c") * col("c")).as("sxx"))
@@ -1305,7 +1306,7 @@ object Advanced {
         val long = Frames.toLong(amp)
           .select(col("channel"), col("band"), col("t_idx"),
             floor(round(col("value"), 6) * 1000).cast("long").as("am"))
-          .localCheckpoint(true)
+          .pin
         val st = long.groupBy("channel", "band")
           .agg(count(lit(1)).as("n"), sum("am").as("sx"),
             sum((col("am") * col("am")).cast("decimal(38,0)")).as("sxx"))
@@ -1349,11 +1350,11 @@ object Advanced {
         // once per step, not once per consumer
         val s1 = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("tns").as("t1"))
-          .localCheckpoint(true)
+          .pin
         val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
           .filter(col("tns") > col("t1") && col("tns") <= col("t1") + dayNs)
           .groupBy("user_id").agg(min("tns").as("t2"), max("t1").as("t1"))
-          .localCheckpoint(true)
+          .pin
         val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
           .filter(col("tns") > col("t2") && col("tns") <= col("t2") + dayNs)
           .groupBy("user_id").agg(min("tns").as("t3"), max("t1").as("t1"))
@@ -1527,7 +1528,7 @@ object Advanced {
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
-          .localCheckpoint(true) // feeds the fit aggregate and the output rows
+          .pin // feeds the fit aggregate and the output rows
         val fit = hist
           .select(expr("CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
             expr("CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))
@@ -1777,7 +1778,7 @@ object Advanced {
           .select(col("user_id"), floor(col("value") * 1000).cast("long").as("vm"))
           .groupBy("user_id").agg(sum("vm").as("uv"))
           .withColumn("bucket", expr("-(uv div 1000000)"))
-          .localCheckpoint(true)
+          .pin
         val counts = u.groupBy("bucket")
           .agg(count(lit(1)).as("bn"), sum("uv").as("bs"))
         val offW = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -1912,7 +1913,7 @@ object Advanced {
         val per = e.groupBy("user_id")
           .agg(max("tns").as("recency"), count(lit(1)).as("freq"),
             sum("vm").as("monetary"))
-          .localCheckpoint(true) // feeds three independent ranked passes
+          .pin // feeds three independent ranked passes
         val n = per.count()
         // bucket granularity per dimension keeps the offsets frame tiny
         // (recency spans epoch nanos, freq single digits x10, monetary ~1e7)
@@ -2155,7 +2156,7 @@ object Advanced {
       (s, dir) => {
         val tu = table(s, dir, "events")
           .select(col("event_type"), col("user_id")).distinct()
-          .localCheckpoint(true) // feeds sizes + both self-join sides
+          .pin // feeds sizes + both self-join sides
         val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
         val inter = tu.select(col("event_type").as("t1"), col("user_id"))
           .join(tu.select(col("event_type").as("t2"), col("user_id")), "user_id")
@@ -2242,7 +2243,7 @@ object Advanced {
       // broadcast-joinable degree lookups at this scale, hash joins at any.
       (s, dir) => {
         val e = Graph.coOccurrenceEdges(table(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey").localCheckpoint(true)
+          "l_orderkey", "l_partkey").pin
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         val dd = e
@@ -2299,7 +2300,7 @@ object Advanced {
         val words = table(s, dir, "documents")
           .select(col("doc_id"), posexplode(split(col("text"), " "))
             .as(Seq("pos", "word")))
-          .localCheckpoint(true) // feeds doc lengths + first-index agg
+          .pin // feeds doc lengths + first-index agg
         val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
         val offW = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
         val offsets = lens
@@ -2308,7 +2309,7 @@ object Advanced {
         val firsts = words.join(broadcast(offsets), "doc_id")
           .select(col("word"), (col("off") + col("pos")).as("gidx"))
           .groupBy("word").agg(min("gidx").as("first_idx"))
-          .localCheckpoint(true) // vocabulary-sized; feeds every checkpoint
+          .pin // vocabulary-sized; feeds every checkpoint
         val pts = firsts
           .select(explode(sequence(lit(10), lit(16))).as("k"), col("first_idx"))
           .withColumn("n_tokens", expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS BIGINT)"))
@@ -2749,7 +2750,7 @@ object Advanced {
         val counts = table(s, dir, "events")
           .select(expr(s"ts div $minuteNanos").as("t"))
           .groupBy("t").agg(count(lit(1)).as("x"))
-          .localCheckpoint() // feeds the span agg, the grid join, and totals
+          .pin // feeds the span agg, the grid join, and totals
         val span = counts.agg(expr("min(t) div 1440").as("d0"),
           expr("max(t) div 1440").as("d1"))
         val grid = span.select(explode(expr("sequence(d0, d1)")).as("day"))
@@ -2760,7 +2761,7 @@ object Advanced {
         val tot = dense.agg(count(lit(1)).as("nn"), sum("x").as("ss"))
         val y = dense.join(broadcast(tot))
           .select(col("t"), (col("nn") * col("x") - col("ss")).as("y"))
-          .localCheckpoint() // consumed by both sides of the lag join + den
+          .pin // consumed by both sides of the lag join + den
         val den = y.agg(sum(col("y") * col("y")).as("den"))
         val shifted = y.select(explode(expr("sequence(1, 10)")).as("lag"),
             col("t").as("t0"), col("y").as("y0"))
@@ -2818,7 +2819,7 @@ object Advanced {
         val perVm = v.groupBy("vm")
           .agg(sum("is1").as("c1"), sum(lit(1L) - col("is1")).as("c2"))
           .withColumn("bucket", expr("vm div 100000"))
-          .localCheckpoint() // feeds bucket offsets, the ranked join, totals
+          .pin // feeds bucket offsets, the ranked join, totals
         val bOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
         val offsets = perVm.groupBy("bucket")
           .agg(sum("c1").as("b1"), sum("c2").as("b2"))
@@ -2881,7 +2882,7 @@ object Advanced {
         val terms = Seq("join", "hash", "vector")
         val bm = graft.text.Curation.bm25Rank(table(s, dir, "documents"),
             queryTerms = terms, k1 = 1.2, b = 0.75, topK = 50)
-          .localCheckpoint() // 50 rows; feeds the rank window
+          .pin // 50 rows; feeds the rank window
         val r1 = bm.select(col("doc_id"),
           row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
             .cast("long").as("rank_bm25"))
@@ -2894,7 +2895,7 @@ object Advanced {
           .filter(col("tfsum") > 0)
           .withColumn("s2_e6", expr("CAST(floor(1000000.0D * tfsum / dl) AS BIGINT)"))
           .orderBy(col("s2_e6").desc, col("doc_id")).limit(50)
-          .localCheckpoint()
+          .pin
         val r2 = dens.select(col("doc_id"),
           row_number().over(Window.orderBy(col("s2_e6").desc, col("doc_id")))
             .cast("long").as("rank_density"))
@@ -3036,7 +3037,7 @@ object Advanced {
         val byHour = table(s, dir, "events")
           .select(col("event_type"), expr("(ts div 3600000000000) % 24").as("h"))
           .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-          .localCheckpoint() // feeds the grid join and the totals
+          .pin // feeds the grid join and the totals
         val grid = byHour.select("event_type").distinct()
           .select(col("event_type"), explode(expr("sequence(0, 23)")).as("h"))
           .join(byHour, Seq("event_type", "h"), "left")
@@ -3097,7 +3098,7 @@ object Advanced {
             expr("length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING))")
               .cast("long").as("f_value_digits"),
             pmod(col("user_id"), lit(8)).as("f_user_bucket"))
-          .localCheckpoint() // three feature aggregates + the class totals
+          .pin // three feature aggregates + the class totals
         val tot = e.agg(count(lit(1)).as("nn"))
         val hy = e.groupBy("y").agg(count(lit(1)).as("ny"))
           .join(broadcast(tot))
@@ -3167,7 +3168,7 @@ object Advanced {
       (s, dir) => {
         val ut = table(s, dir, "events")
           .groupBy("user_id", "event_type").agg(count(lit(1)).as("nut"))
-          .localCheckpoint() // feeds user totals, global mix, and the score
+          .pin // feeds user totals, global mix, and the score
         val nu = ut.groupBy("user_id").agg(sum("nut").cast("long").as("nu"))
         val nt = ut.groupBy("event_type").agg(sum("nut").cast("long").as("nt"))
         val tot = ut.agg(sum("nut").cast("long").as("nn"))
@@ -3268,13 +3269,13 @@ object Advanced {
           .select(col("doc_id"),
             concat_ws("|", col("lang"), col("source")).as("block"),
             substring(col("text"), 1, 40).as("t40"), col("n_chars"))
-          .localCheckpoint() // feeds ground truth, SN ranks, and both scorers
+          .pin // feeds ground truth, SN ranks, and both scorers
         val l = docs.select(col("block"), col("doc_id").as("a"), col("t40").as("ta"))
         val r = docs.select(col("block"), col("doc_id").as("b"), col("t40").as("tb"))
         val full = l.join(r, Seq("block")).filter(col("a") < col("b"))
           .filter(levenshtein(col("ta"), col("tb")) <= 25)
           .select("a", "b")
-          .localCheckpoint() // consumed by the count and the intersection
+          .pin // consumed by the count and the intersection
         val sn = graft.text.EntityResolution.sortedNeighborhoodPairs(
             docs, col("doc_id"), col("block"), col("n_chars"), window = 3)
           .select(least(col("id_a"), col("id_b")).as("a"),
@@ -3283,7 +3284,7 @@ object Advanced {
           .join(docs.select(col("doc_id").as("b"), col("t40").as("tb")), "b")
           .filter(levenshtein(col("ta"), col("tb")) <= 25)
           .select("a", "b")
-          .localCheckpoint()
+          .pin
         val nFull = full.count()
         val nSn = sn.count()
         val nCommon = sn.join(full, Seq("a", "b"), "left_semi").count()
@@ -3413,7 +3414,7 @@ object Advanced {
         val counts = table(s, dir, "events")
           .select(col("event_type"), expr(s"ts div $minuteNanos").as("t"))
           .groupBy("event_type", "t").agg(count(lit(1)).as("x"))
-          .localCheckpoint() // feeds span, per-type grids, and totals
+          .pin // feeds span, per-type grids, and totals
         val span = counts.agg(expr("min(t) div 1440").as("d0"),
           expr("max(t) div 1440").as("d1"))
         val grid = counts.select("event_type").distinct()
@@ -3427,7 +3428,7 @@ object Advanced {
         val y = grid.join(broadcast(tot), "event_type")
           .select(col("event_type"), col("t"),
             (col("nn") * col("x") - col("ss")).as("y"))
-          .localCheckpoint() // both sides of the lag join + denominators
+          .pin // both sides of the lag join + denominators
         val dens = y.groupBy("event_type")
           .agg(sum(col("y") * col("y")).as("den"))
         val left = y.select(col("event_type").as("type_a"),
@@ -3668,7 +3669,7 @@ object Advanced {
             transform(sequence(1, size(w0) - 3), i ->
               concat(element_at(w0, i), ' ', element_at(w0, i + 1), ' ',
                 element_at(w0, i + 2), ' ', element_at(w0, i + 3))))""").as("ws"))
-          .localCheckpoint() // feeds df counts, the index, and verification
+          .pin // feeds df counts, the index, and verification
         val df = words.select(col("doc_id"), explode(col("ws")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("dfc"))
         // per-doc words sorted by (df, word): rarest first — one word-keyed
@@ -3679,7 +3680,7 @@ object Advanced {
           .agg(expr("transform(array_sort(collect_list(struct(dfc, w))), p -> p.w)")
             .as("ws_sorted"))
           .withColumn("sz", size(col("ws_sorted")).cast("long"))
-          .localCheckpoint()
+          .pin
         val prefix = sorted.select(col("doc_id").as("doc_a"),
           col("sz").as("size_a"), col("ws_sorted").as("wa"),
           explode(expr("slice(ws_sorted, 1, CAST(CAST(sz AS DOUBLE) * 0.2 AS INT) + 1)"))
@@ -3795,7 +3796,7 @@ object Advanced {
             transform(sequence(1, size(w0) - 1), i ->
               concat(element_at(w0, i), ' ', element_at(w0, i + 1))))""")
             .as("ws"))
-          .localCheckpoint() // joined to both pair sides
+          .pin // joined to both pair sides
         pairs
           .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
             size(col("ws")).cast("long").as("size_a")), "doc_a")
@@ -3861,7 +3862,7 @@ object Advanced {
                 element_at(w0, i + 2), ' ', element_at(w0, i + 3))))"""))
             .as("shingle"))
           .distinct() // (source, shingle) ownership set
-          .localCheckpoint() // feeds per-shingle owners and per-source totals
+          .pin // feeds per-shingle owners and per-source totals
         val owners = sh.groupBy("shingle")
           .agg(count(lit(1)).as("n_sources"), min("source").as("one_source"))
         val excl = owners.filter(col("n_sources") === 1)
@@ -3913,7 +3914,7 @@ object Advanced {
           .select(col("user_id"), expr("ts div 60000000000").as("minute"),
             col("event_type"))
           .distinct()
-          .localCheckpoint() // feeds marginals, bucket count, and the pair join
+          .pin // feeds marginals, bucket count, and the pair join
         val nb = pres.select("user_id", "minute").distinct().count()
         val marg = pres.groupBy("event_type").agg(count(lit(1)).as("nt"))
         val l = pres.select(col("user_id"), col("minute"),
@@ -4010,7 +4011,7 @@ object Advanced {
       (s, dir) => {
         val seg = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
         val wt = DspOperators.waveletTransform(seg, "human", hgOnly = true)
-          .localCheckpoint() // feeds amplitude, phase, and the band bounds
+          .pin // feeds amplitude, phase, and the band bounds
         val bands = wt.agg(min("band").as("lo"), max("band").as("hi")).head()
         val (lo, hi) = (bands.getInt(0), bands.getInt(1))
         val ph = Frames.toLong(DspOperators.phase(wt))
@@ -4025,7 +4026,7 @@ object Advanced {
           .withColumn("am_milli", expr("CAST(floor(a * 1000) AS BIGINT)"))
           .groupBy("channel", "bin")
           .agg(count(lit(1)).as("n"), sum("am_milli").as("s"))
-          .localCheckpoint() // feeds totals and the contribution readout
+          .pin // feeds totals and the contribution readout
         val t = g.groupBy("channel").agg(sum("s").cast("long").as("tot"))
         val c = g.join(t, "channel")
           .withColumn("contrib_micro", expr("""CASE WHEN s > 0
@@ -4057,7 +4058,7 @@ object Advanced {
           .select(col("channel"), col("t_idx"),
             expr("CAST(floor(round(value, 6) * 1000) AS BIGINT)").as("am"))
           .groupBy("channel", "t_idx").agg(sum("am").as("e"))
-          .localCheckpoint() // feeds the threshold agg and the island scan
+          .pin // feeds the threshold agg and the island scan
         val thr = env.groupBy("channel")
           .agg(expr("(3 * (sum(e) div count(1))) div 2").as("thr"))
         val wIsl = Window.partitionBy("channel").orderBy("t_idx")
@@ -4096,7 +4097,7 @@ object Advanced {
           keyCols = Seq("channel"),
           bucketCol = expr("ts div 3600000000000"),
           orderCols = Seq(col("ts"), col("event_id")), as = "t_idx")
-          .localCheckpoint() // feeds triggers and the signal side
+          .pin // feeds triggers and the signal side
         val triggers = ranked.filter(col("event_type") === "purchase")
           .select(col("channel"), explode(expr("sequence(-5, 5)")).as("off"),
             col("t_idx").as("t0"))
@@ -4179,7 +4180,7 @@ object Advanced {
           keyCols = Seq("channel"),
           bucketCol = expr("ts div 3600000000000"),
           orderCols = Seq(col("ts"), col("event_id")), as = "t_idx")
-          .localCheckpoint() // feeds extremes, the run scan, and counts
+          .pin // feeds extremes, the run scan, and counts
         val w = Window.partitionBy("channel").orderBy("t_idx")
         val runs = ranked
           .withColumn("chg",
@@ -4263,7 +4264,7 @@ object Advanced {
         val all = base.join(broadcast(d0))
           .select(col("y"), (col("day") - col("d0")).as("d"), col("h"),
             col("istest"))
-          .localCheckpoint() // feeds the train moments and the test scorer
+          .pin // feeds the train moments and the test scorer
         val m = all.filter(!col("istest"))
           .agg(count(lit(1)).as("n"), sum("d").as("sd"), sum("h").as("sh"),
             sum(col("d") * col("d")).as("sdd"),
@@ -4361,7 +4362,7 @@ object Advanced {
         val all = base.select(col("y").cast("double").as("y"),
             (col("day") - lit(d0)).cast("double").as("d"),
             col("h").cast("double").as("h"))
-          .localCheckpoint() // one scan per Newton step + the readout
+          .pin // one scan per Newton step + the readout
         def sigmoid(w: Array[Double]) =
           lit(1.0) / (lit(1.0) + exp(-(lit(w(0)) + lit(w(1)) * col("d")
             + lit(w(2)) * col("h"))))
@@ -4429,7 +4430,7 @@ object Advanced {
             expr("CAST(length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING)) AS BIGINT)")
               .as("f_value_digits"),
             pmod(col("user_id"), lit(8)).as("f_user_bucket"))
-          .localCheckpoint() // feeds 3 count tables, priors, and the scorer
+          .pin // feeds 3 count tables, priors, and the scorer
         val tot = base.agg(count(lit(1)).as("nn"), sum("y").as("n1"))
           .withColumn("n0", col("nn") - col("n1"))
         def likelihood(f: String) = {
@@ -4537,7 +4538,7 @@ object Advanced {
             expr("CAST(length(CAST(CAST(round(value * 1000) AS BIGINT) AS STRING)) AS BIGINT)")
               .as("f_value_digits"),
             pmod(col("user_id"), lit(8)).as("f_user_bucket"))
-          .localCheckpoint()
+          .pin
         val tot = base.agg(count(lit(1)).as("nn"), sum("y").as("t1"))
           .withColumn("t0", col("nn") - col("t1"))
         val cands = Seq("f_hour_band", "f_value_digits", "f_user_bucket").map { f =>
@@ -4694,7 +4695,7 @@ object Advanced {
         val wv = Window.partitionBy("vm")
         val ranked = idx.select(col("event_type"), col("vm"),
           (min("_idx").over(wv) + max("_idx").over(wv) + lit(2L)).as("r2"))
-          .localCheckpoint() // feeds rank sums and the tie census
+          .pin // feeds rank sums and the tie census
         val sums = ranked.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("r2").as("r2sum"))
         val ties = ranked.groupBy("vm").agg(count(lit(1)).as("t"))
@@ -4762,12 +4763,12 @@ object Advanced {
         val d0 = base.agg(min("day")).head().getLong(0)
         val half = base.withColumn("cur",
             (col("day") - lit(d0)) >= 15L)
-          .localCheckpoint()
+          .pin
         def psi(f: String) = {
           val c = half.groupBy(col(f).as("bin"))
             .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("cb"),
               sum(when(col("cur"), 1L).otherwise(0L)).as("cc"))
-            .localCheckpoint() // feeds totals + the contribution readout
+            .pin // feeds totals + the contribution readout
           val bcount = c.count()
           val tots = c.agg(sum("cb").as("nb"), sum("cc").as("nc"))
           c.join(broadcast(tots))
@@ -4833,7 +4834,7 @@ object Advanced {
         val wv = Window.partitionBy("vm")
         val ranked = idx.select(col("event_type"), col("vm"),
             (min("_idx").over(wv) + max("_idx").over(wv) + lit(2L)).as("r2"))
-          .localCheckpoint() // feeds group sums and the tie census
+          .pin // feeds group sums and the tie census
         val g = ranked.groupBy("event_type")
           .agg(count(lit(1)).as("ng"), sum("r2").as("r2sum"))
         val ties = ranked.groupBy("vm").agg(count(lit(1)).as("t"))
@@ -4977,7 +4978,7 @@ object Advanced {
           // engine-deterministic; integers are order-free (the q185 rule)
           .withColumn("w_micro", expr("CAST(round(1.0D / var_b * 1e6, 0) AS BIGINT)"))
           .withColumn("wb_micro", expr("CAST(round(1.0D / var_b * b * 1e6, 0) AS BIGINT)"))
-          .localCheckpoint() // feeds the pool aggregate and the per-type rows
+          .pin // feeds the pool aggregate and the per-type rows
         val pool = m.agg(sum("w_micro").as("sw"), sum("wb_micro").as("swb"))
         m.join(broadcast(pool))
           .select(col("event_type"), col("n").as("n_days"),
@@ -5050,10 +5051,10 @@ object Advanced {
             col("c_nationkey") === col("n_nationkey"))
           .select(col("n_name").as("nation"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
-          .localCheckpoint() // feeds global sums, group sums, per-row terms
+          .pin // feeds global sums, group sums, per-row terms
         val tot = x.agg(count(lit(1)).as("nn"), sum("x").as("ss"))
         val g = x.groupBy("nation").agg(count(lit(1)).as("ng"), sum("x").as("sg"))
-          .localCheckpoint()
+          .pin
         // per-row global terms (x*N/S) and within-group terms (x*Ng/Sg)
         val terms = x.join(broadcast(tot))
           .join(broadcast(g), "nation")

@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDef.table
+
+/** ML-data-pipeline operators: the statistical tooling a training-data
+  * platform runs NEXT TO curation — uncertainty quantification (Poisson
+  * bootstrap), leakage-free feature prep (out-of-fold target encoding),
+  * contrastive-pair generation (hash-deterministic negative sampling),
+  * embedding-capacity audits (Matryoshka truncation, Johnson-Lindenstrauss
+  * distortion), and privacy release gates (l-diversity, discrete-Laplace DP
+  * counts).
+  *
+  * Cross-engine exactness contract (the q250/q112 idiom): every random
+  * draw is an md5-derived 60-bit integer compared against PRE-COMPUTED
+  * integer thresholds (embedded as identical literals in the Spark plan
+  * and the oracle SQL — no float math crosses the engine boundary), and
+  * every float reduction is micro-rounded onto an integer grid before the
+  * order-free long sum.
+  */
+object Mlops {
+
+  private val Two60 = 1152921504606846976.0 // 2^60, the sampleHash range
+
+  /** 60-bit uniform from md5, as a SQL-dialect expression string.
+    * `spark = true` emits Spark's conv(); false emits DuckDB's 0x-cast.
+    * Both produce the SAME integer for the same salt string. */
+  private def u60(saltConcat: String, spark: Boolean): String =
+    if (spark)
+      s"CAST(conv(substring(md5($saltConcat), 1, 15), 16, 10) AS BIGINT)"
+    else // 15 hex chars < 2^60, so the BIGINT cast is lossless
+      s"CAST(CAST(('0x' || substr(md5($saltConcat), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  /** CASE chain mapping a uniform u against cumulative integer thresholds:
+    * value k where u < thresholds(k), else `values.last`. Used verbatim in
+    * both engines, so the sampled value is identical by construction. */
+  private def thresholdCase(uExpr: String, thresholds: Seq[Long],
+                            values: Seq[Long]): String = {
+    val whens = thresholds.zip(values.init).map { case (t, v) =>
+      s"WHEN $uExpr < $t THEN $v"
+    }.mkString(" ")
+    s"CASE $whens ELSE ${values.last} END"
+  }
+
+  /** Cumulative Poisson(1) CDF scaled to the 2^60 grid, clipped at 6.
+    * Computed once on the driver; both engines see only the literals. */
+  private val PoissonThresholds: Seq[Long] = {
+    val p0 = math.exp(-1.0)
+    val pmf = (0 to 6).map(k => (1 to k).foldLeft(p0)((a, j) => a / j)) // e^-1/k!
+    pmf.scanLeft(0.0)(_ + _).tail.init // cumulative CDF for k = 0..5
+      .map(c => math.floor(c * Two60).toLong)
+  }
+
+  /** Two-sided geometric (discrete Laplace) thresholds for the DP count
+    * mechanism: alpha = e^(-1/2) (epsilon = 0.5 per unit sensitivity),
+    * support clipped to [-8, 8]. F(k) thresholds for k = -8..7. */
+  private val GeometricThresholds: Seq[Long] = {
+    val alpha = math.exp(-0.5)
+    val p0 = (1 - alpha) / (1 + alpha)
+    def p(k: Int): Double = p0 * math.pow(alpha, math.abs(k))
+    val mass = (-8 to 8).map(p)
+    mass.scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c * Two60).toLong)
+  }
+
+  /** Data-independent ±1 Johnson-Lindenstrauss sign matrix (8 x 64), signs
+    * drawn from md5("jl:j:i") parity — the same bytes DuckDB's md5 yields,
+    * so the oracle can REBUILD the matrix instead of trusting literals. */
+  private def jlSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$j:$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
+  }
+
+  // test hooks (the constants the oracles embed)
+  private[queries] def poissonThresholdsForTest: Seq[Long] = PoissonThresholds
+  private[queries] def geometricThresholdsForTest: Seq[Long] = GeometricThresholds
+  private[queries] def jlSignForTest(j: Int, i: Int): Int = jlSign(j, i)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q262_poisson_bootstrap",
+      "Poisson bootstrap of mean order value: 32 hash-seeded replicates, integer-threshold weights",
+      // THE distributed bootstrap: resampling n rows with replacement is a
+      // shuffle-free per-row draw when the multinomial is approximated by
+      // independent Poisson(1) weights. Each (row, replicate) weight comes
+      // from one md5 uniform vs the cumulative-CDF integer thresholds, so
+      // any engine/cluster layout reproduces the exact same replicates.
+      // Plan: one scan -> Generate(32 replicates) -> 32-group partial agg;
+      // map-side combine does all the work, the exchange carries 32 rows
+      // per task. At 100 TB this is the only uncertainty method that
+      // needs NO second pass and NO per-group state.
+      (s, dir) => {
+        val u = u60("concat('boot:', CAST(b AS STRING), ':', CAST(o_orderkey AS STRING))",
+          spark = true)
+        val w = thresholdCase(u, PoissonThresholds, (0L to 6L))
+        table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .select(col("o_orderkey"), col("cents"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .select(col("b"), col("cents"), expr(w).as("w"))
+          .groupBy("b")
+          .agg(sum("w").as("n_eff"), sum(expr("w * cents")).as("sum_cents"))
+          .select(col("b").cast("int").as("b"), col("n_eff"), col("sum_cents"),
+            round(col("sum_cents").cast("double") / col("n_eff"), 6).as("boot_mean"))
+          .orderBy("b")
+      },
+      Some {
+        val u = u60("'boot:' || b || ':' || o_orderkey", spark = false)
+        val w = thresholdCase(u, PoissonThresholds, (0L to 6L))
+        s"""|WITH o AS (
+            |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            |  FROM orders
+            |), fan AS (
+            |  SELECT o.o_orderkey, o.cents, u.b, $w AS w
+            |  FROM o CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) u
+            |)
+            |SELECT CAST(b AS INT) AS b,
+            |  CAST(sum(w) AS BIGINT) AS n_eff,
+            |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+            |  round(CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+            |    / CAST(sum(w) AS BIGINT), 6) AS boot_mean
+            |FROM fan GROUP BY b ORDER BY b""".stripMargin
+      }),
+
+    QueryDef("q263_target_encoding",
+      "leakage-free out-of-fold target encoding of order priority (5 hash folds)",
+      // the categorical-encoding prep step done WITHOUT leakage: each fold's
+      // encoding uses only the OTHER folds' target sums. One (cat, fold)
+      // aggregate + a cat-partitioned window over the 25-row grid — the
+      // heavy work is a single map-combined shuffle; the leave-one-out
+      // arithmetic runs on the bounded grid. Folds are md5-deterministic,
+      // so train/serve skew is impossible by construction.
+      (s, dir) => {
+        val u = u60("concat('fold:', CAST(o_orderkey AS STRING))", spark = true)
+        val g = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            (expr(u) % 5).as("fold"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .groupBy("priority", "fold")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        val w = Window.partitionBy("priority")
+        g.select(col("priority"), col("fold"), col("n"),
+            round((sum("s").over(w) - col("s")).cast("double") /
+              (sum("n").over(w) - col("n")), 6).as("oof_encoding"))
+          .orderBy("priority", "fold")
+      },
+      Some {
+        val u = u60("'fold:' || o_orderkey", spark = false)
+        s"""|WITH g AS (
+            |  SELECT o_orderpriority AS priority,
+            |    CAST($u AS BIGINT) % 5 AS fold,
+            |    count(*) AS n,
+            |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+            |  FROM orders GROUP BY 1, 2
+            |)
+            |SELECT priority, fold, n,
+            |  round(CAST(CAST(sum(s) OVER w AS BIGINT) - s AS DOUBLE)
+            |    / (CAST(sum(n) OVER w AS BIGINT) - n), 6) AS oof_encoding
+            |FROM g
+            |WINDOW w AS (PARTITION BY priority)
+            |ORDER BY priority, fold""".stripMargin
+      }),
+
+    QueryDef("q264_negative_sampling",
+      "hash-deterministic negative sampling for (customer, part) contrastive pairs",
+      // contrastive-training pair generation: every positive (customer,
+      // part) interaction draws 2 candidate negatives uniformly over the
+      // part key space (md5-deterministic), and candidates that collide
+      // with a TRUE interaction of the same customer are rejected by one
+      // anti-join. Census per draw index proves the rejection plumbing.
+      // Scale shape: distinct positives (one shuffle), narrow candidate
+      // fan-out, one key-shuffled anti-join — no per-customer state, no
+      // driver-side item table.
+      (s, dir) => {
+        val pos = table(s, dir, "orders")
+          .join(table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+          .distinct()
+        val maxPk = table(s, dir, "part")
+          .agg(max(col("p_partkey")).cast("long")).head().getLong(0)
+        val u = u60("concat('neg:', CAST(custkey AS STRING), ':', " +
+          "CAST(partkey AS STRING), ':', CAST(k AS STRING))", spark = true)
+        val cand = pos
+          .select(col("custkey"), col("partkey"),
+            explode(sequence(lit(1), lit(2))).as("k"))
+          .select(col("custkey"), col("k"),
+            (expr(u) % maxPk + 1L).as("neg_partkey"))
+        val kept = cand.join(pos
+            .select(col("custkey"), col("partkey").as("neg_partkey")),
+          Seq("custkey", "neg_partkey"), "left_anti")
+        cand.groupBy("k").agg(count(lit(1)).as("n_candidates"))
+          .join(kept.groupBy("k").agg(count(lit(1)).as("n_kept")), "k")
+          .select(col("k").cast("int").as("k"), col("n_candidates"),
+            (col("n_candidates") - col("n_kept")).as("n_collisions"),
+            col("n_kept"))
+          .orderBy("k")
+      },
+      Some {
+        val u = u60("'neg:' || custkey || ':' || partkey || ':' || k", spark = false)
+        s"""|WITH pos AS (
+            |  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            |), cand AS (
+            |  SELECT custkey, u.k,
+            |    CAST($u AS BIGINT) % (SELECT max(p_partkey) FROM part) + 1
+            |      AS neg_partkey
+            |  FROM pos CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS k) u
+            |), kept AS (
+            |  SELECT c.k, count(*) AS n_kept
+            |  FROM cand c
+            |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+            |    WHERE p.custkey = c.custkey AND p.partkey = c.neg_partkey)
+            |  GROUP BY 1
+            |)
+            |SELECT CAST(c.k AS INT) AS k, count(*) AS n_candidates,
+            |  count(*) - max(kept.n_kept) AS n_collisions,
+            |  max(kept.n_kept) AS n_kept
+            |FROM cand c JOIN kept ON kept.k = c.k
+            |GROUP BY c.k ORDER BY c.k""".stripMargin
+      }),
+
+    QueryDef("q265_matryoshka_audit",
+      "Matryoshka truncation audit: 16-of-64-dim energy retention census",
+      // how much of each embedding's norm survives prefix truncation —
+      // the capacity question behind Matryoshka/short-vector serving.
+      // Per-row energies are exact long sums of floor(v_i^2 * 1e9); the
+      // retention ratio is one double chain, micro-rounded before the
+      // bucket census so the per-bucket mean is an order-free integer sum.
+      // Pure narrow pass + 21-bucket aggregate: the 100 TB cost is one
+      // scan.
+      (s, dir) => {
+        def energy(n: Int): String =
+          s"aggregate(sequence(0, ${n - 1}), 0L, (acc, i) -> " +
+            "acc + floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e9))"
+        table(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64)
+          .select(expr(energy(16)).as("e16"), expr(energy(64)).as("e64"))
+          .filter(col("e64") > 0)
+          .select(round(sqrt(col("e16").cast("double") / col("e64")), 6).as("r"))
+          .select(expr("CAST(floor(r * 20) AS INT)").as("bucket"),
+            expr("CAST(round(r * 1e6) AS BIGINT)").as("r_micro"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("r_micro").as("sum_micro"))
+          .select(col("bucket"), col("n"),
+            round(col("sum_micro").cast("double") / col("n") / lit(1e6), 6)
+              .as("mean_retention"))
+          .orderBy("bucket")
+      },
+      Some("""|WITH emb AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings WHERE len(embedding) = 64
+              |), d AS (SELECT unnest(generate_series(1, 64)) AS i),
+              |e AS (
+              |  SELECT e.vec_id,
+              |    CAST(sum(CAST(floor(e.v[d.i] * e.v[d.i] * 1e9) AS BIGINT))
+              |      FILTER (WHERE d.i <= 16) AS BIGINT) AS e16,
+              |    CAST(sum(CAST(floor(e.v[d.i] * e.v[d.i] * 1e9) AS BIGINT))
+              |      AS BIGINT) AS e64
+              |  FROM emb e CROSS JOIN d GROUP BY 1
+              |), r AS (
+              |  SELECT round(sqrt(CAST(e16 AS DOUBLE) / e64), 6) AS r
+              |  FROM e WHERE e64 > 0
+              |), m AS (
+              |  SELECT CAST(floor(r * 20) AS INT) AS bucket,
+              |    CAST(round(r * 1e6) AS BIGINT) AS r_micro
+              |  FROM r
+              |)
+              |SELECT bucket, count(*) AS n,
+              |  round(CAST(CAST(sum(r_micro) AS BIGINT) AS DOUBLE)
+              |    / count(*) / 1e6, 6) AS mean_retention
+              |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    QueryDef("q266_jl_distortion",
+      "Johnson-Lindenstrauss distortion audit: 64->8 ±1 projection vs true distances",
+      // does an 8-dim random sign projection preserve pair distances well
+      // enough for coarse ANN routing? Signs come from md5 parity (the
+      // oracle REBUILDS the matrix from the same bytes — nothing trusted),
+      // vectors quantize to the 1e6 grid so projections and distances are
+      // exact longs, and the per-pair distortion ratio is micro-rounded
+      // into a bucket census. Pairs are consecutive vec_ids: a narrow
+      // self-join on id+1, no quadratic pair generation.
+      (s, dir) => {
+        val signs: Seq[Seq[Int]] =
+          (0 until 8).map(j => (0 until 64).map(i => jlSign(j, i)))
+        val emb = table(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64)
+          .withColumn("_s", typedLit(signs))
+          .select(col("vec_id"), col("embedding"),
+            expr("transform(sequence(0, 7), j -> " +
+              "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+              "acc + _s[j][i] * floor(CAST(embedding[i] AS DOUBLE) * 1e6)))")
+              .as("p"))
+        val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"),
+          col("p").as("pa"))
+        val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+          col("p").as("pb"))
+        a.join(b, a("ida") + 1 === b("idb"))
+          .select(col("ida"),
+            expr("aggregate(sequence(0, 63), 0L, (acc, i) -> acc + floor(" +
+              "(CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)) * " +
+              "(CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)) * 1e9))").as("od2"),
+            expr("aggregate(sequence(0, 7), 0L, (acc, j) -> " +
+              "acc + (pa[j] - pb[j]) * (pa[j] - pb[j]))").as("pd2"))
+          .filter(col("od2") > 0)
+          .select(round(col("pd2").cast("double") / lit(8.0) /
+              (col("od2").cast("double") * lit(1e3)), 6).as("ratio"))
+          .select(expr("CAST(floor(ratio * 4) AS INT)").as("bucket"),
+            expr("CAST(round(ratio * 1e6) AS BIGINT)").as("r_micro"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"), sum("r_micro").as("sum_micro"))
+          .select(col("bucket"), col("n_pairs"),
+            round(col("sum_micro").cast("double") / col("n_pairs") / lit(1e6), 6)
+              .as("mean_ratio"))
+          .orderBy("bucket")
+      },
+      Some("""|WITH emb AS MATERIALIZED (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings WHERE len(embedding) = 64
+              |), d AS (SELECT unnest(generate_series(1, 64)) AS i),
+              |dj AS (SELECT unnest(generate_series(1, 8)) AS j),
+              |sgn AS MATERIALIZED (
+              |  SELECT dj.j, d.i,
+              |    CASE WHEN CAST(('0x' || substr(md5('jl:' || (dj.j - 1) || ':' || (d.i - 1)), 1, 15)) AS UBIGINT) % 2 = 0
+              |      THEN 1 ELSE -1 END AS s
+              |  FROM dj CROSS JOIN d
+              |), proj AS MATERIALIZED (
+              |  SELECT e.vec_id, s.j,
+              |    CAST(sum(s.s * CAST(floor(e.v[s.i] * 1e6) AS BIGINT)) AS BIGINT) AS p
+              |  FROM emb e CROSS JOIN sgn s GROUP BY 1, 2
+              |), od AS MATERIALIZED (
+              |  SELECT a.vec_id AS ida,
+              |    CAST(sum(CAST(floor((a.v[d.i] - b.v[d.i]) * (a.v[d.i] - b.v[d.i]) * 1e9) AS BIGINT)) AS BIGINT) AS od2
+              |  FROM emb a JOIN emb b ON a.vec_id + 1 = b.vec_id CROSS JOIN d
+              |  GROUP BY 1
+              |), pd AS MATERIALIZED (
+              |  SELECT pa.vec_id AS ida,
+              |    CAST(sum((pa.p - pb.p) * (pa.p - pb.p)) AS BIGINT) AS pd2
+              |  FROM proj pa JOIN proj pb ON pa.vec_id + 1 = pb.vec_id AND pa.j = pb.j
+              |  GROUP BY 1
+              |), r AS (
+              |  SELECT round(CAST(pd.pd2 AS DOUBLE) / 8.0
+              |    / (CAST(od.od2 AS DOUBLE) * 1e3), 6) AS ratio
+              |  FROM od JOIN pd ON od.ida = pd.ida
+              |  WHERE od.od2 > 0
+              |), m AS (
+              |  SELECT CAST(floor(ratio * 4) AS INT) AS bucket,
+              |    CAST(round(ratio * 1e6) AS BIGINT) AS r_micro
+              |  FROM r
+              |)
+              |SELECT bucket, count(*) AS n_pairs,
+              |  round(CAST(CAST(sum(r_micro) AS BIGINT) AS DOUBLE)
+              |    / count(*) / 1e6, 6) AS mean_ratio
+              |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    QueryDef("q267_l_diversity",
+      "l-diversity census over quasi-identifier classes (privacy release gate)",
+      // q178's k-anonymity sibling: a class that is large (k-anonymous) but
+      // value-homogeneous still leaks the sensitive attribute — l-diversity
+      // counts DISTINCT sensitive values per class. Two-level aggregate
+      // (class -> distinct census), all integers, map-side combined.
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(expr("user_id div 10").as("user_bucket"),
+            expr("(CAST(ts AS BIGINT) div 3600000000000) % 24").as("hour_of_day"),
+            col("event_type"))
+          .groupBy("user_bucket", "hour_of_day")
+          .agg(countDistinct("event_type").as("l"), count(lit(1)).as("sz"))
+          .groupBy("l")
+          .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"))
+          .orderBy("l")
+      },
+      Some("""|WITH c AS (
+              |  SELECT user_id // 10 AS user_bucket,
+              |    (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+              |    count(DISTINCT event_type) AS l, count(*) AS sz
+              |  FROM events GROUP BY 1, 2
+              |)
+              |SELECT l, count(*) AS n_classes,
+              |  CAST(sum(sz) AS BIGINT) AS n_rows
+              |FROM c GROUP BY l ORDER BY l""".stripMargin)),
+
+    QueryDef("q268_dp_histogram",
+      "differentially-private event-type counts via the discrete Laplace (geometric) mechanism",
+      // the DP release gate in its integer-exact form: two-sided geometric
+      // noise (the discrete analogue of Laplace, the canonical integer DP
+      // mechanism) drawn by comparing one md5 uniform per key against
+      // precomputed CDF thresholds — so the 'noise' is reproducible in any
+      // engine, which is exactly what a certification test needs (a real
+      // release would salt with a secret). Counts clamp at 0.
+      (s, dir) => {
+        val u = u60("concat('dp:', event_type)", spark = true)
+        val noise = thresholdCase(u, GeometricThresholds, (-8L to 8L))
+        table(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+            greatest(lit(0L), col("n") + expr(noise)).as("n_noisy"))
+          .orderBy("event_type")
+      },
+      Some {
+        val u = u60("'dp:' || event_type", spark = false)
+        val noise = thresholdCase(u, GeometricThresholds, (-8L to 8L))
+        s"""|WITH g AS (
+            |  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+            |)
+            |SELECT event_type, n,
+            |  GREATEST(0, n + ($noise)) AS n_noisy
+            |FROM g ORDER BY event_type""".stripMargin
+      })
+  )
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Checkpoints.Pinnable
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1137,7 +1138,7 @@ ORDER BY event_type, win"""
       .groupBy("feature", "bin")
       .agg(sum(when(!col("cur"), col("c")).otherwise(0L)).as("cb"),
         sum(when(col("cur"), col("c")).otherwise(0L)).as("cc"))
-      .localCheckpoint() // feeds per-feature totals and the readout
+      .pin // feeds per-feature totals and the readout
     val tots = cells.groupBy("feature")
       .agg(sum("cb").as("nb"), sum("cc").as("nc"), count(lit(1)).as("bc"))
     cells.join(tots, "feature")

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.operators.Checkpoints.Pinnable
 import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -260,7 +261,7 @@ object TextOps {
     // the session's lifetime (or, unpersisted, re-run every iteration's
     // join chain on each downstream action)
     val result = labels.select(col("node"), col("label").as("component"))
-      .localCheckpoint(true)
+      .pin
     cached.unpersist()
     result
   }
