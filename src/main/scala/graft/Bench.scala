@@ -141,7 +141,12 @@ object Bench {
     // best-of-2: each query's first run can pay one-off costs (codegen of
     // its plan shape, parquet footer reads, AQE re-plan); the minimum is the
     // steady-state number a warm cluster would see
-    val results = headline.filter(qs.contains).map { name =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q01_...,q42_... benches a
+    // subset; the driver never sets it, so its runs stay full-headline
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = try qs(name)(spark, sfDir).count() catch {

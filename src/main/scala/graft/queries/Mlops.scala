@@ -176,11 +176,13 @@ object Mlops {
       // fan-out, one key-shuffled anti-join — no per-customer state, no
       // driver-side item table.
       (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
         val pos = table(s, dir, "orders")
           .join(table(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
           .distinct()
+          .pin // consumed twice: candidate fan-out AND the anti-join build
         val maxPk = table(s, dir, "part")
           .agg(max(col("p_partkey")).cast("long")).head().getLong(0)
         val u = u60("concat('neg:', CAST(custkey AS STRING), ':', " +
