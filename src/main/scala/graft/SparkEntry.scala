@@ -175,7 +175,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q263), hash-deterministic negative sampling (q264),
   *             Matryoshka truncation audit (q265), Johnson-Lindenstrauss
   *             distortion audit (q266), l-diversity census (q267),
-  *             discrete-Laplace DP histogram (q268)
+  *             discrete-Laplace DP histogram (q268), Cohen's kappa for the
+  *             language-ID predictor (q269), streaming Poisson bootstrap
+  *             (q270, in StreamingQueries)
   */
 object SparkEntry {
 

@@ -2373,5 +2373,53 @@ object Llm {
              |FROM counts c LEFT JOIN (
              |  SELECT block, count(*) AS n, min(dist) AS md FROM pairs GROUP BY 1
              |) p USING (block)
-             |ORDER BY c.block""".stripMargin)))
+             |ORDER BY c.block""".stripMargin)),
+
+    QueryDef("q269_cohens_kappa",
+      "Cohen's kappa for the language-ID predictor vs labels (chance-corrected agreement)",
+      // q126's confusion matrix reduced to the chance-corrected scalar the
+      // model-eval gate actually thresholds on. Exact rational form: with
+      // A = sum of diagonal counts and B = sum_l row_l * col_l,
+      // kappa = (A*N - B) / (N*N - B) — every term an exact long from the
+      // |langs|^2-bounded cell frame, one double division at the end.
+      // Shares TextAnalysis.withLanguageId with q47/q126, so all three
+      // certify the same predictor.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val cells = TextAnalysis.withLanguageId(table(s, dir, "documents"))
+          .groupBy(col("lang").as("a"), col("predicted_lang").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .pin // bounded frame, consumed by four aggregates
+        val tot = cells.agg(sum("n").as("n_docs"))
+        val agree = cells.filter(col("a") === col("b"))
+          .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
+        val rows = cells.groupBy("a").agg(sum("n").as("ra"))
+        val cols = cells.groupBy("b").agg(sum("n").as("cb"))
+        val chance = rows.join(cols, rows("a") === cols("b"))
+          .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("bprod"))
+        tot.crossJoin(agree).crossJoin(chance)
+          .select(col("n_docs"), col("n_agree"),
+            round((col("n_agree") * col("n_docs") - col("bprod")).cast("double") /
+              (col("n_docs") * col("n_docs") - col("bprod")), 6).as("kappa"))
+      },
+      Some {
+        s"""WITH $LangIdCtes,
+           |cells AS (
+           |  SELECT lang AS a, $LangPredictedSql AS b, count(*) AS n
+           |  FROM withbest GROUP BY 1, 2
+           |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM cells),
+           |agree AS (
+           |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
+           |  FROM cells WHERE a = b
+           |), r AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells GROUP BY 1),
+           |c AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+           |ch AS (
+           |  SELECT CAST(coalesce(sum(r.ra * c.cb), 0) AS BIGINT) AS bprod
+           |  FROM r JOIN c ON r.a = c.b
+           |)
+           |SELECT tot.n_docs, agree.n_agree,
+           |  round(CAST(agree.n_agree * tot.n_docs - ch.bprod AS DOUBLE) /
+           |    (tot.n_docs * tot.n_docs - ch.bprod), 6) AS kappa
+           |FROM tot CROSS JOIN agree CROSS JOIN ch""".stripMargin
+      }))
 }

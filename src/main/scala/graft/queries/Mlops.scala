@@ -79,6 +79,11 @@ object Mlops {
   private[queries] def geometricThresholdsForTest: Seq[Long] = GeometricThresholds
   private[queries] def jlSignForTest(j: Int, i: Int): Int = jlSign(j, i)
 
+  /** Shared with the streaming twin (q270): the Poisson(1) weight CASE over
+    * a dialect-specific uniform — same literals in every engine. */
+  private[queries] def poissonWeightCase(saltConcat: String, spark: Boolean): String =
+    thresholdCase(u60(saltConcat, spark), PoissonThresholds, (0L to 6L))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",

@@ -1102,7 +1102,17 @@ ORDER BY event_type, win"""
       "streaming AQP store: running per-type (exact, 1-in-4 HT sample) " +
         "totals in Update mode — every moment is commutative, so the " +
         "final update == q238's batch audit (oracle verbatim)",
-      q239Build, Some(q239Oracle)))
+      q239Build, Some(q239Oracle)),
+
+    QueryDef("q270_streaming_bootstrap",
+      "streaming Poisson bootstrap: 32 running hash-weighted replicates in Update mode",
+      // q262's streaming twin: every per-(replicate, row) Poisson weight is
+      // a pure row function and the per-replicate (count, weight-sum,
+      // weighted-value-sum) triples are commutative integer sums, so the
+      // LAST update per replicate (max row count — strictly monotone)
+      // equals the batch aggregate under ANY micro-batch slicing. The
+      // uncertainty readout of a 100 TB stream costs 32 state rows.
+      q270Build, Some(q270Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1242,6 +1252,51 @@ ORDER BY event_type, win"""
        |  CAST(round(1e6 * (sum_hat_vm - sum_true_vm) / sum_true_vm, 0)
        |    AS BIGINT) AS sum_err_ppm
        |FROM agg ORDER BY event_type""".stripMargin
+
+  /** q270: q262's streaming twin — see the QueryDef note. The Poisson
+    * weight CASE (thresholds included) comes from the same Mlops helper the
+    * batch query embeds, so batch, stream, and oracle share one literal. */
+  private def q270Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    val w = Mlops.poissonWeightCase(
+      "concat('sboot:', CAST(b AS STRING), ':', CAST(event_id AS STRING))",
+      spark = true)
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q270_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .select(col("event_id"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("vm"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("b"), col("vm"), expr(w).as("w"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_rows"), sum("w").as("n_eff"),
+          sum(expr("w * vm")).as("sum_vm")),
+      outputMode = OutputMode.Update)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    updates.withColumn("_mx", max("n_rows").over(win))
+      .filter(col("n_rows") === col("_mx"))
+      .select(col("b").cast("int").as("b"), col("n_rows"), col("n_eff"),
+        col("sum_vm"),
+        round(col("sum_vm").cast("double") / col("n_eff"), 6).as("boot_mean"))
+      .orderBy("b")
+  }
+
+  private def q270Oracle: String = {
+    val w = Mlops.poissonWeightCase("'sboot:' || b || ':' || event_id",
+      spark = false)
+    s"""|WITH fan AS (
+        |  SELECT u.b, CAST(round(e.value * 1000) AS BIGINT) AS vm, $w AS w
+        |  FROM events e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) u
+        |)
+        |SELECT CAST(b AS INT) AS b, count(*) AS n_rows,
+        |  CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * vm) AS BIGINT) AS sum_vm,
+        |  round(CAST(CAST(sum(w * vm) AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(w) AS BIGINT), 6) AS boot_mean
+        |FROM fan GROUP BY b ORDER BY b""".stripMargin
+  }
 
   /** q225: the streaming twin of q217's transition matrix — per-user event
     * sequences accumulate as sorted state (StreamingOps.runningTransitions),
