@@ -177,7 +177,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             distortion audit (q266), l-diversity census (q267),
   *             discrete-Laplace DP histogram (q268), Cohen's kappa for the
   *             language-ID predictor (q269), streaming Poisson bootstrap
-  *             (q270, in StreamingQueries)
+  *             (q270, in StreamingQueries), lang-ID calibration bins
+  *             (q271), k-NN label-noise screen (q272)
   */
 object SparkEntry {
 

@@ -2421,5 +2421,145 @@ object Llm {
            |  round(CAST(agree.n_agree * tot.n_docs - ch.bprod AS DOUBLE) /
            |    (tot.n_docs * tot.n_docs - ch.bprod), 6) AS kappa
            |FROM tot CROSS JOIN agree CROSS JOIN ch""".stripMargin
-      }))
+      }),
+
+    QueryDef("q271_langid_calibration",
+      "language-ID calibration bins: predictor confidence vs observed accuracy",
+      // the reliability diagram behind any score threshold: confidence =
+      // stopword COVERAGE (best-language hits / tokens — on this corpus the
+      // winning language always takes every hit, so the best/total margin
+      // is degenerate at 1.0; coverage is the signal that actually varies),
+      // binned to deciles; per bin the observed accuracy and the
+      // micro-rounded mean confidence. A well-calibrated bin has accuracy
+      // tracking mean confidence — the gap IS the trust budget for
+      // automated filtering. One narrow scan + a bounded bucket aggregate.
+      (s, dir) => {
+        val langs = TextAnalysis.Stopwords.map(_._1)
+        val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+        TextAnalysis.withLanguageId(table(s, dir, "documents"))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("best", best)
+          .filter(col("best") > 0 && col("n_tokens") > 0)
+          .select(
+            round(col("best").cast("double") / col("n_tokens"), 6).as("conf"),
+            when(col("predicted_lang") === col("lang"), 1L).otherwise(0L)
+              .as("correct"))
+          .select(expr("CAST(floor(conf * 10) AS INT)").as("bucket"),
+            expr("CAST(round(conf * 1e6) AS BIGINT)").as("conf_micro"),
+            col("correct"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("correct").as("n_correct"),
+            sum("conf_micro").as("cm"))
+          .select(col("bucket"), col("n"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"),
+            round(col("cm").cast("double") / col("n") / lit(1e6), 6)
+              .as("mean_conf"))
+          .orderBy("bucket")
+      },
+      Some {
+        s"""WITH $LangIdCtes,
+           |conf AS (
+           |  SELECT round(CAST(best AS DOUBLE)
+           |      / len(string_split(d.text, ' ')), 6) AS conf,
+           |    CASE WHEN ($LangPredictedSql) = w.lang THEN 1 ELSE 0 END AS correct
+           |  FROM withbest w JOIN documents d USING (doc_id)
+           |  WHERE best > 0 AND len(string_split(d.text, ' ')) > 0
+           |), m AS (
+           |  SELECT CAST(floor(conf * 10) AS INT) AS bucket,
+           |    CAST(round(conf * 1e6) AS BIGINT) AS conf_micro, correct
+           |  FROM conf
+           |)
+           |SELECT bucket, count(*) AS n,
+           |  CAST(sum(correct) AS BIGINT) AS n_correct,
+           |  round(CAST(CAST(sum(correct) AS BIGINT) AS DOUBLE) / count(*), 6)
+           |    AS accuracy,
+           |  round(CAST(CAST(sum(conf_micro) AS BIGINT) AS DOUBLE)
+           |    / count(*) / 1e6, 6) AS mean_conf
+           |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
+      }),
+
+    QueryDef("q272_knn_label_consistency",
+      "k-NN label-noise screen: do a doc's 3 nearest embeddings share its language?",
+      // the classic label-noise detector: a label disagreeing with its
+      // feature-space neighborhood is suspect. A 10% query subset ranks ALL
+      // candidates by exact-grid cosine (integer dot/energy sums -> one
+      // rounded double, ties to the lower id), keeps top-3 per query via a
+      // rank window (WindowGroupLimit pushes the cut into the shuffle), and
+      // votes. The query side broadcasts; candidates stream by once — at
+      // corpus scale this is the rescoring tier you run AFTER q52's IVF
+      // prune, certified here against the un-pruned truth.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val energy =
+          "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + " +
+            "floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e9))"
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
+        val emb = table(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64)
+          .withColumn("e2", expr(energy))
+          .filter(col("e2") > 0)
+          .join(docs, col("vec_id") === col("doc_id"))
+        val q = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("e2").as("eq"), col("lang").as("qlang"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("e2").as("ec"), col("lang").as("clang"))
+        val dot = "aggregate(zip_with(qv, cv, (x, y) -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9) AS BIGINT)), " +
+          "0L, (acc, e) -> acc + e)"
+        val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+          .withColumn("sim", round(expr(dot).cast("double") /
+            sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+        val top = scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))))
+          .filter(col("rk") <= 3)
+        top.groupBy("qid", "qlang")
+          .agg(sum(when(col("clang") === col("qlang"), 1L).otherwise(0L))
+            .as("n_match"))
+          .groupBy(col("qlang").as("lang"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("n_match") >= 2, 1L).otherwise(0L)).as("n_consistent"))
+          .select(col("lang"), col("n_queries"), col("n_consistent"),
+            round(col("n_consistent").cast("double") / col("n_queries"), 6)
+              .as("consistency"))
+          .orderBy("lang")
+      },
+      Some("""|WITH emb AS MATERIALIZED (
+              |  SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              |    CAST(list_sum(list_transform(generate_series(1, 64),
+              |      i -> CAST(floor(embedding[i] * embedding[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS e2,
+              |    (SELECT coalesce(d.lang, '') FROM documents d
+              |     WHERE d.doc_id = vec_id) AS lang
+              |  FROM embeddings WHERE len(embedding) = 64
+              |), base AS (SELECT * FROM emb WHERE e2 > 0 AND lang IS NOT NULL),
+              |scored AS (
+              |  SELECT q.vec_id AS qid, q.lang AS qlang, c.vec_id AS cid,
+              |    c.lang AS clang,
+              |    round(CAST(CAST(list_sum(list_transform(generate_series(1, 64),
+              |        i -> CAST(floor(q.v[i] * c.v[i] * 1e9) AS BIGINT)))
+              |        AS BIGINT) AS DOUBLE)
+              |      / sqrt(CAST(q.e2 AS DOUBLE) * CAST(c.e2 AS DOUBLE)), 6)
+              |      AS sim
+              |  FROM base q JOIN base c ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id
+              |), top AS (
+              |  SELECT qid, qlang, clang FROM (
+              |    SELECT qid, qlang, clang,
+              |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+              |    FROM scored
+              |  ) WHERE rk <= 3
+              |), votes AS (
+              |  SELECT qid, qlang,
+              |    sum(CASE WHEN clang = qlang THEN 1 ELSE 0 END) AS n_match
+              |  FROM top GROUP BY 1, 2
+              |)
+              |SELECT qlang AS lang, count(*) AS n_queries,
+              |  CAST(sum(CASE WHEN n_match >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_consistent,
+              |  round(CAST(CAST(sum(CASE WHEN n_match >= 2 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS DOUBLE) / count(*), 6) AS consistency
+              |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
