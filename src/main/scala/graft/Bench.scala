@@ -114,7 +114,8 @@ object Bench {
     "q264_negative_sampling", "q265_matryoshka_audit",
     "q266_jl_distortion", "q267_l_diversity", "q268_dp_histogram",
     "q269_cohens_kappa", "q270_streaming_bootstrap",
-    "q271_langid_calibration", "q272_knn_label_consistency")
+    "q271_langid_calibration", "q272_knn_label_consistency",
+    "q273_geofence_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -178,7 +178,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             discrete-Laplace DP histogram (q268), Cohen's kappa for the
   *             language-ID predictor (q269), streaming Poisson bootstrap
   *             (q270, in StreamingQueries), lang-ID calibration bins
-  *             (q271), k-NN label-noise screen (q272)
+  *             (q271), k-NN label-noise screen (q272), exact integer
+  *             point-in-polygon geofence rollup (q273)
   */
 object SparkEntry {
 

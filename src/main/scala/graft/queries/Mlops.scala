@@ -84,6 +84,38 @@ object Mlops {
   private[queries] def poissonWeightCase(saltConcat: String, spark: Boolean): String =
     thresholdCase(u60(saltConcat, spark), PoissonThresholds, (0L to 6L))
 
+  /** The q273 geofence: a non-convex simple hexagon on the 10^7 micro-
+    * degree grid (counter-clockwise, with a notch at (5e6, 3e6)). */
+  private val FencePolygon: Seq[(Long, Long)] = Seq(
+    (2000000L, 1000000L), (8000000L, 1000000L), (8000000L, 4000000L),
+    (5000000L, 3000000L), (5000000L, 7000000L), (2000000L, 7000000L))
+
+  /** Even-odd ray-cast crossing count as ONE generated integer expression —
+    * identical text for Spark and DuckDB. Per edge (x1,y1)->(x2,y2) with
+    * y1 != y2: the ray at height py crosses iff py is in the half-open
+    * y-span and the point sits on the interior side of the directed edge,
+    * tested by the sign of the integer cross product
+    * (x2-x1)*(py-y1) - (px-x1)*(y2-y1). All literals fold; products stay
+    * under 1e14. */
+  private def crossingsExpr(px: String, py: String): String = {
+    val n = FencePolygon.size
+    val terms = (0 until n).map { k =>
+      val (x1, y1) = FencePolygon(k)
+      val (x2, y2) = FencePolygon((k + 1) % n)
+      require(y1 != y2 || x1 != x2, "degenerate edge")
+      if (y1 == y2) "0" // horizontal edge never crosses the horizontal ray
+      else {
+        val span =
+          if (y2 > y1) s"$py >= $y1 AND $py < $y2" else s"$py >= $y2 AND $py < $y1"
+        val cmp = if (y2 > y1) ">" else "<"
+        s"(CASE WHEN $span THEN (CASE WHEN " +
+          s"(${x2 - x1}) * ($py - $y1) - ($px - $x1) * (${y2 - y1}) $cmp 0 " +
+          "THEN 1 ELSE 0 END) ELSE 0 END)"
+      }
+    }
+    terms.mkString(" + ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -418,6 +450,52 @@ object Mlops {
             |SELECT event_type, n,
             |  GREATEST(0, n + ($noise)) AS n_noisy
             |FROM g ORDER BY event_type""".stripMargin
+      }),
+
+    QueryDef("q273_geofence_rollup",
+      "geofence rollup: exact integer point-in-polygon (ray cast) x event activity",
+      // point-in-polygon without a single float: for each directed edge
+      // whose y-span straddles the point's horizontal ray, the side test is
+      // one integer cross product — the SAME generated expression text runs
+      // in both engines (polygon folded in as literals), so membership is
+      // exact by construction. Per-user membership is a constant-folded
+      // narrow map over the q216 md5 coordinate grid; the rollup joins
+      // event activity by user — broadcast the (user, region) side? No:
+      // membership is a pure row function, so it computes INLINE on the
+      // event scan — zero joins, one 2-group aggregate. That is the 100 TB
+      // geofencing shape: the fence compiles into the scan.
+      (s, dir) => {
+        val xExpr = "CAST(conv(substring(md5(concat('geo:', " +
+          "CAST(user_id AS STRING), ':x')), 1, 15), 16, 10) AS BIGINT) % 10000000"
+        val yExpr = "CAST(conv(substring(md5(concat('geo:', " +
+          "CAST(user_id AS STRING), ':y')), 1, 15), 16, 10) AS BIGINT) % 10000000"
+        table(s, dir, "events")
+          .select(col("user_id"),
+            expr(s"($xExpr)").as("x"), expr(s"($yExpr)").as("y"))
+          .select(col("user_id"),
+            expr(s"CASE WHEN (${crossingsExpr("x", "y")}) % 2 = 1 " +
+              "THEN 'inside' ELSE 'outside' END").as("region"))
+          .groupBy("region")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("region")
+      },
+      Some {
+        val x = "CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':x'), 1, 15)) " +
+          "AS UBIGINT) % 10000000 AS BIGINT)"
+        val y = "CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':y'), 1, 15)) " +
+          "AS UBIGINT) % 10000000 AS BIGINT)"
+        s"""|WITH p AS (
+            |  SELECT user_id, $x AS x, $y AS y FROM events
+            |), r AS (
+            |  SELECT user_id,
+            |    CASE WHEN (${crossingsExpr("x", "y")}) % 2 = 1
+            |      THEN 'inside' ELSE 'outside' END AS region
+            |  FROM p
+            |)
+            |SELECT region, count(*) AS n_events,
+            |  count(DISTINCT user_id) AS n_users
+            |FROM r GROUP BY region ORDER BY region""".stripMargin
       })
   )
 }
