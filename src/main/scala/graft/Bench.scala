@@ -115,7 +115,8 @@ object Bench {
     "q266_jl_distortion", "q267_l_diversity", "q268_dp_histogram",
     "q269_cohens_kappa", "q270_streaming_bootstrap",
     "q271_langid_calibration", "q272_knn_label_consistency",
-    "q273_geofence_rollup")
+    "q273_geofence_rollup", "q274_isolation_grid",
+    "q275_consistent_hash_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -179,7 +179,9 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             language-ID predictor (q269), streaming Poisson bootstrap
   *             (q270, in StreamingQueries), lang-ID calibration bins
   *             (q271), k-NN label-noise screen (q272), exact integer
-  *             point-in-polygon geofence rollup (q273)
+  *             point-in-polygon geofence rollup (q273), isolation-grid
+  *             anomaly screen (q274), consistent-hashing rebalance audit
+  *             (q275)
   */
 object SparkEntry {
 

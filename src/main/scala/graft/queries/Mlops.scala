@@ -116,6 +116,53 @@ object Mlops {
     terms.mkString(" + ")
   }
 
+  /** q274: trees x levels oblivious-partition thresholds on the 1e7 grid. */
+  private val IsoTrees = 4
+  private val IsoLevels = 8
+
+  /** md5-derived micro-degree coordinate (the q216 'geo:' hash family) as a
+    * dialect expression over `user_id`. */
+  private def geoCoordExpr(axis: String, spark: Boolean): String =
+    if (spark)
+      s"CAST(conv(substring(md5(concat('geo:', CAST(user_id AS STRING), " +
+        s"':$axis')), 1, 15), 16, 10) AS BIGINT) % 10000000"
+    else
+      s"CAST(CAST(('0x' || substr(md5('geo:' || user_id || ':$axis'), 1, 15)) " +
+        "AS UBIGINT) % 10000000 AS BIGINT)"
+
+  /** The md5-derived split threshold for (tree, level) — a pure literal at
+    * generation time, identical in both engines by construction. */
+  private def isoThreshold(t: Int, k: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"iso:$t:$k".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10000000L
+  }
+
+  /** Leaf id of tree `t`: 8 threshold bits over alternating axes, all
+    * literals folded into one integer expression. */
+  private def isoLeafExpr(t: Int, px: String, py: String): String =
+    (0 until IsoLevels).map { k =>
+      val coord = if (k % 2 == 0) px else py
+      s"(CASE WHEN $coord >= ${isoThreshold(t, k)} THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** q275: the 32-node x 8-vnode ring, positions md5-derived at generation
+    * time (literals in both engines). Collisions are theoretically possible
+    * and harmless (two vnodes at one position — argmin ties broken by the
+    * smaller distance value only, which is equal, then by nothing: avoid by
+    * construction below, asserting uniqueness). */
+  private val ringPoints: Seq[(Long, Long)] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val pts = for (n <- 0L until 32L; v <- 0L until 8L) yield {
+      val hex = md5.digest(s"ring:$n:$v".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16), n)
+    }
+    require(pts.map(_._1).distinct.size == pts.size, "ring position collision")
+    pts
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -496,6 +543,112 @@ object Mlops {
             |SELECT region, count(*) AS n_events,
             |  count(DISTINCT user_id) AS n_users
             |FROM r GROUP BY region ORDER BY region""".stripMargin
+      }),
+
+    QueryDef("q274_isolation_grid",
+      "isolation-grid anomaly screen: 4 oblivious random partitions, sparsest-cell users",
+      // isolation-forest's distributable cousin: each of 4 'trees' is an
+      // OBLIVIOUS 8-level binary space partition (alternating x/y, md5-
+      // derived literal thresholds — data-independent, so the whole tree
+      // folds into one integer leaf expression shared by both engines). A
+      // point's anomaly score is the total occupancy of its 4 leaves;
+      // sparse cells = isolated points. The plan at scale: narrow leaf
+      // calc, a 4x256-bounded occupancy aggregate, and the occupancy table
+      // BROADCAST back — no per-point state, no iteration.
+      (s, dir) => {
+        val pts = table(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id"),
+            expr(geoCoordExpr("x", spark = true)).as("x"),
+            expr(geoCoordExpr("y", spark = true)).as("y"))
+        import graft.operators.Checkpoints.Pinnable
+        val leaves = (0 until IsoTrees).map { t =>
+          pts.select(col("user_id"), lit(t).as("t"),
+            expr(isoLeafExpr(t, "x", "y")).as("leaf"))
+        }.reduce(_ unionAll _)
+          .pin // consumed by the occupancy aggregate AND the score join
+        val occ = leaves.groupBy("t", "leaf").agg(count(lit(1)).as("sz"))
+        leaves.join(broadcast(occ), Seq("t", "leaf"))
+          .groupBy("user_id").agg(sum("sz").as("iso_score"))
+          .orderBy(col("iso_score"), col("user_id"))
+          .limit(20)
+      },
+      Some {
+        val x = geoCoordExpr("x", spark = false)
+        val y = geoCoordExpr("y", spark = false)
+        val trees = (0 until IsoTrees).map { t =>
+          s"SELECT user_id, $t AS t, ${isoLeafExpr(t, "x", "y")} AS leaf FROM p"
+        }.mkString("\n  UNION ALL ")
+        s"""|WITH u AS (SELECT DISTINCT user_id FROM events),
+            |p AS (SELECT user_id, $x AS x, $y AS y FROM u),
+            |leaves AS MATERIALIZED (
+            |  $trees
+            |), occ AS (
+            |  SELECT t, leaf, count(*) AS sz FROM leaves GROUP BY 1, 2
+            |)
+            |SELECT l.user_id, CAST(sum(o.sz) AS BIGINT) AS iso_score
+            |FROM leaves l JOIN occ o ON o.t = l.t AND o.leaf = l.leaf
+            |GROUP BY l.user_id
+            |ORDER BY iso_score, l.user_id LIMIT 20""".stripMargin
+      }),
+
+    QueryDef("q275_consistent_hash_rebalance",
+      "consistent-hashing shard audit: per-node key counts before/after removing one node",
+      // the partitioning-design question every 1000-executor layout asks:
+      // when a node dies, how many keys MOVE? On a 32-node x 8-vnode md5
+      // ring, only keys owned by the dead node's vnode arcs reassign
+      // (~1/32) — vs rehash-everything's 31/32. Assignment is an argmin
+      // over the 256-row BROADCAST ring (clockwise distance on the 2^60
+      // ring, exact integer modular arithmetic); the audit recomputes with
+      // node 0's vnodes deleted and diffs per node.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ring = ringPoints.toDF("pos", "node")
+        val keys = table(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id"),
+            expr(u60("concat('key:', CAST(user_id AS STRING))", spark = true))
+              .as("kpos"))
+        def assign(r: org.apache.spark.sql.DataFrame, as: String) =
+          keys.crossJoin(broadcast(r))
+            .select(col("user_id"),
+              // clockwise distance from key to vnode on the 2^60 ring
+              struct(expr(s"pmod(pos - kpos, ${1L << 60})").as("d"),
+                col("node")).as("c"))
+            .groupBy("user_id").agg(min("c").as("c"))
+            .select(col("user_id"), col("c.node").as(as))
+        val before = assign(ring, "node_before")
+        val after = assign(ring.filter(col("node") =!= 0), "node_after")
+        before.join(after, "user_id")
+          .groupBy(col("node_before").as("node"))
+          .agg(count(lit(1)).as("n_keys_before"),
+            sum(when(col("node_after") =!= col("node_before"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .orderBy("node")
+      },
+      Some {
+        val ringValues = ringPoints
+          .map { case (p, n) => s"($p, $n)" }.mkString(", ")
+        val k = u60("'key:' || user_id", spark = false)
+        s"""|WITH keys AS (
+            |  SELECT DISTINCT user_id, $k AS kpos
+            |  FROM events
+            |), ring(pos, node) AS (SELECT * FROM (VALUES $ringValues)),
+            |bef AS (
+            |  SELECT user_id, arg_min(node, (pos - kpos) % ${1L << 60}
+            |    + CASE WHEN (pos - kpos) % ${1L << 60} < 0
+            |        THEN ${1L << 60} ELSE 0 END) AS node_before
+            |  FROM keys CROSS JOIN ring GROUP BY 1
+            |), aft AS (
+            |  SELECT user_id, arg_min(node, (pos - kpos) % ${1L << 60}
+            |    + CASE WHEN (pos - kpos) % ${1L << 60} < 0
+            |        THEN ${1L << 60} ELSE 0 END) AS node_after
+            |  FROM keys CROSS JOIN ring WHERE node <> 0 GROUP BY 1
+            |)
+            |SELECT CAST(node_before AS BIGINT) AS node, count(*) AS n_keys_before,
+            |  CAST(sum(CASE WHEN node_after <> node_before THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_moved
+            |FROM bef JOIN aft USING (user_id)
+            |GROUP BY 1 ORDER BY 1""".stripMargin
       })
   )
 }
