@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AssembleSeries, AssembleTimed, ComplexAmplitude, ComplexPhase, TrimmedMeanNan}
+import graft.functions.{AssembleSeries, AssembleTimed, ComplexAmplitude, ComplexPhase, FloorDotE9, TrimmedMeanNan}
 
 /** Library integration point for `spark.sql.extensions=graft.GraftExtensions`
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`):
@@ -21,6 +21,9 @@ import graft.functions.{AssembleSeries, AssembleTimed, ComplexAmplitude, Complex
   *    ordered by t_idx (O(n) placement for dense indices)
   *  - `assemble_timed(ts, event_id, value)` — packed-buffer assembly
   *    ordered by (ts, event_id), emitting struct(values, ts)
+  *  - `floor_dot_e9(a, b)` — codegen exact-grid inner product
+  *    Σ floor(aᵢ·bᵢ·1e9) over float/double arrays (cosine rescoring,
+  *    energy norms)
   *
   * No optimizer rules or strategies are injected — the engine's plans are
   * built from stock Catalyst operators on purpose (SURVEY.md §7: "no custom
@@ -51,5 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("assemble_timed"),
       new ExpressionInfo(classOf[AssembleTimed].getName, "assemble_timed"),
       (exprs: Seq[Expression]) => AssembleTimed(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("floor_dot_e9"),
+      new ExpressionInfo(classOf[FloorDotE9].getName, "floor_dot_e9"),
+      (exprs: Seq[Expression]) => FloorDotE9(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Exact-grid dot product: Σᵢ floor(aᵢ · bᵢ · 1e9) as one long — the
+  * micro-rounded, order-free inner product every embedding operator in this
+  * engine builds on (cosine rescoring, energy norms, Gramian cells; see
+  * `Similarity.momentsE9` for the determinism/overflow contract).
+  *
+  * The higher-order form `aggregate(zip_with(a, b, ...), 0L, ...)` computes
+  * the same longs but runs interpreted — per-element lambda dispatch on
+  * boxed rows, outside whole-stage codegen. This expression generates the
+  * tight primitive loop instead (SURVEY.md §7 preference order: native
+  * Catalyst Expression > HOF > UDF for scalar kernels). Identical results
+  * by construction: a float product widened to double is correctly rounded
+  * in any IEEE engine and floor has no half-way case, so swapping the HOF
+  * for this expression never changes a certified value.
+  *
+  * Length = min of the two array lengths; a NULL array or any NULL element
+  * yields NULL (mirroring the HOF's null chain). Accepts float or double
+  * arrays on either side.
+  */
+case class FloorDotE9(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "floor_dot_e9"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (isFloat(left)) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat(right)) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += math.floor(x * y * 1e9).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, side: Expression) =
+        if (isFloat(side)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += (long) java.lang.Math.floor(
+         |    ${get(a, left)} * ${get(b, right)} * 1e9);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column API + per-session SQL registration (the ComplexArrayFunctions
+  * pattern — createOrReplaceTempFunction is idempotent). */
+object GridFunctions {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "floor_dot_e9", exprs => FloorDotE9(exprs(0), exprs(1)), "built-in")
+
+  def floorDotE9(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
+    register(df.sparkSession)
+    call_function("floor_dot_e9", a, b)
+  }
+}

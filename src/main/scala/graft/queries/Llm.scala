@@ -2490,14 +2490,15 @@ object Llm {
       // prune, certified here against the un-pruned truth.
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val energy =
-          "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + " +
-            "floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e9))"
+        // native codegen exact-grid inner product — same longs as the
+        // aggregate/zip_with HOF form, but inside whole-stage codegen
+        // (the 2.5M-pair rescoring loop is this query's entire cost)
+        graft.functions.GridFunctions.register(s)
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
         val emb = table(s, dir, "embeddings")
           .filter(size(col("embedding")) === 64)
-          .withColumn("e2", expr(energy))
+          .withColumn("e2", expr("floor_dot_e9(embedding, embedding)"))
           .filter(col("e2") > 0)
           .join(docs, col("vec_id") === col("doc_id"))
         val q = emb.filter(col("vec_id") % 10 === 0)
@@ -2505,11 +2506,8 @@ object Llm {
             col("e2").as("eq"), col("lang").as("qlang"))
         val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
           col("e2").as("ec"), col("lang").as("clang"))
-        val dot = "aggregate(zip_with(qv, cv, (x, y) -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9) AS BIGINT)), " +
-          "0L, (acc, e) -> acc + e)"
         val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
-          .withColumn("sim", round(expr(dot).cast("double") /
+          .withColumn("sim", round(expr("floor_dot_e9(qv, cv)").cast("double") /
             sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
         val top = scored
           .withColumn("rk", row_number().over(

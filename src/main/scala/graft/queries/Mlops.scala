@@ -320,12 +320,15 @@ object Mlops {
       // Pure narrow pass + 21-bucket aggregate: the 100 TB cost is one
       // scan.
       (s, dir) => {
-        def energy(n: Int): String =
-          s"aggregate(sequence(0, ${n - 1}), 0L, (acc, i) -> " +
-            "acc + floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e9))"
+        // native codegen exact-grid energy; e16 slices the prefix first
+        // (slice is codegen too) — identical longs to the HOF form
+        graft.functions.GridFunctions.register(s)
         table(s, dir, "embeddings")
           .filter(size(col("embedding")) === 64)
-          .select(expr(energy(16)).as("e16"), expr(energy(64)).as("e64"))
+          .withColumn("_p16", slice(col("embedding"), 1, 16))
+          .select(
+            expr("floor_dot_e9(_p16, _p16)").as("e16"),
+            expr("floor_dot_e9(embedding, embedding)").as("e64"))
           .filter(col("e64") > 0)
           .select(round(sqrt(col("e16").cast("double") / col("e64")), 6).as("r"))
           .select(expr("CAST(floor(r * 20) AS INT)").as("bucket"),

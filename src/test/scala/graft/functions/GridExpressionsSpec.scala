@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** floor_dot_e9: the codegen exact-grid inner product must produce the
+  * SAME longs as the interpreted aggregate/zip_with HOF it replaces, and
+  * mirror its null chain. */
+class GridExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("grid-expr-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("matches the HOF form long-for-long on random float vectors") {
+    GridFunctions.register(spark)
+    val r = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)((r.nextGaussian() * 3).toFloat),
+        Seq.fill(64)((r.nextGaussian() * 3).toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = "aggregate(zip_with(a, b, (x, y) -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9) AS BIGINT)), " +
+      "0L, (acc, e) -> acc + e)"
+    val bad = df.select(expr("floor_dot_e9(a, b)").as("native"),
+        expr(hof).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad === 0L)
+    // self-dot (energy) as well
+    val bad2 = df.select(expr("floor_dot_e9(a, a)").as("n"),
+        expr(hof.replace("(a, b,", "(a, a,")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(bad2 === 0L)
+  }
+
+  test("null array and null element both yield NULL; length = min(len)") {
+    GridFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f)),
+      (2L, null, Seq[java.lang.Float](3f, 4f)),
+      (3L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f)),
+      (4L, Seq[java.lang.Float](1f, 2f, 5f), Seq[java.lang.Float](3f, 4f))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), expr("floor_dot_e9(a, b)").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(3000000000L + 8000000000L))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+    assert(got(4L) === got(1L)) // extra element ignored (min length)
+  }
+
+  test("double arrays accepted; mixed float/double accepted") {
+    GridFunctions.register(spark)
+    val df = Seq((Seq(0.5, 0.25), Seq(2.0f, 4.0f))).toDF("a", "b")
+    val v = df.select(expr("floor_dot_e9(a, b)")).head().getLong(0)
+    assert(v === 1000000000L + 1000000000L)
+  }
+}
