@@ -116,7 +116,8 @@ object Bench {
     "q269_cohens_kappa", "q270_streaming_bootstrap",
     "q271_langid_calibration", "q272_knn_label_consistency",
     "q273_geofence_rollup", "q274_isolation_grid",
-    "q275_consistent_hash_rebalance")
+    "q275_consistent_hash_rebalance", "q276_seasonal_naive_mase",
+    "q277_skyline_parts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -181,7 +181,8 @@ import graft.queries.{Relational, DspRelational, Spectral, StreamingQueries, Llm
   *             (q271), k-NN label-noise screen (q272), exact integer
   *             point-in-polygon geofence rollup (q273), isolation-grid
   *             anomaly screen (q274), consistent-hashing rebalance audit
-  *             (q275)
+  *             (q275), seasonal-naive MASE forecast gate (q276),
+  *             distributed 2-D skyline (q277)
   */
 object SparkEntry {
 

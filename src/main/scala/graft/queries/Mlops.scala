@@ -652,6 +652,108 @@ object Mlops {
             |    AS BIGINT) AS n_moved
             |FROM bef JOIN aft USING (user_id)
             |GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    QueryDef("q276_seasonal_naive_mase",
+      "forecast-baseline evaluation: seasonal-naive (lag-7) MASE per event type",
+      // the forecasting sanity gate: before any model ships, beat the
+      // seasonal-naive baseline. Per (type, day) integer milli-sums; the
+      // lag-7 forecast and the lag-1 scale both come from exact-day self
+      // joins (a calendar gap means no forecast for that day — evaluation
+      // runs over days where BOTH lags exist, stated in the result's
+      // n_days_eval). MASE = sum|e7| / sum|e1| on exact longs, one double
+      // division at the end. Two key-shuffled joins on the bounded
+      // (type, day) frame — never a window over the raw events.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+          .pin // three self-join consumers
+        val l7 = daily.select(col("event_type"), (col("day") + 7).as("day"),
+          col("vm").as("vm7"))
+        val l1 = daily.select(col("event_type"), (col("day") + 1).as("day"),
+          col("vm").as("vm1"))
+        daily.join(l7, Seq("event_type", "day"))
+          .join(l1, Seq("event_type", "day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days_eval"),
+            sum(abs(col("vm") - col("vm7"))).as("ae7_milli"),
+            sum(abs(col("vm") - col("vm1"))).as("ae1_milli"))
+          .select(col("event_type"), col("n_days_eval"), col("ae7_milli"),
+            col("ae1_milli"),
+            round(col("ae7_milli").cast("double") / col("ae1_milli"), 6)
+              .as("mase"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH daily AS (
+              |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+              |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+              |  FROM events GROUP BY 1, 2
+              |), j AS (
+              |  SELECT d.event_type, abs(d.vm - l7.vm) AS ae7,
+              |    abs(d.vm - l1.vm) AS ae1
+              |  FROM daily d
+              |  JOIN daily l7 ON l7.event_type = d.event_type
+              |    AND l7.day = d.day - 7
+              |  JOIN daily l1 ON l1.event_type = d.event_type
+              |    AND l1.day = d.day - 1
+              |)
+              |SELECT event_type, count(*) AS n_days_eval,
+              |  CAST(sum(ae7) AS BIGINT) AS ae7_milli,
+              |  CAST(sum(ae1) AS BIGINT) AS ae1_milli,
+              |  round(CAST(CAST(sum(ae7) AS BIGINT) AS DOUBLE)
+              |    / CAST(sum(ae1) AS BIGINT), 6) AS mase
+              |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q277_skyline_parts",
+      "distributed 2-D skyline (Pareto frontier): cheapest-for-their-size parts",
+      // the multi-objective shortlist: a part is on the skyline iff no
+      // other part is at-most-as-expensive AND at-least-as-big with one
+      // strict. The oracle IS the naive quadratic NOT EXISTS; the engine's
+      // plan is the two-level distributed 2-D skyline — per-price-bucket
+      // running max (parallelism = buckets; bucket ranges are disjoint in
+      // price, so the cross-bucket prefix max over the BOUNDED bucket frame
+      // supplies each bucket's carry-in) plus a same-price tie window.
+      // Exact integer cents/sizes throughout.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = table(s, dir, "part").select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+          col("p_size").cast("long").as("size"))
+          .withColumn("b", expr("price_cents div 10000"))
+        val bmax = p.groupBy("b").agg(max("size").as("bmax"))
+        // bucket frame is bounded (price range / pitch), so this global
+        // window never sees corpus-sized input
+        val wPrefix = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prefix = bmax.select(col("b"),
+          max("bmax").over(wPrefix).as("pmax"))
+        val wIn = Window.partitionBy("b").orderBy("price_cents")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wPrice = Window.partitionBy("price_cents")
+        p.join(prefix, Seq("b"))
+          .withColumn("inmax", max("size").over(wIn))
+          .withColumn("mx", greatest(col("inmax"), col("pmax")))
+          .withColumn("pricemax", max("size").over(wPrice))
+          .filter(col("size") === col("pricemax") &&
+            (col("mx").isNull || col("mx") < col("size")))
+          .select(col("p_partkey"), col("price_cents"), col("size"))
+          .orderBy("price_cents", "p_partkey")
+      },
+      Some("""|WITH p AS (
+              |  SELECT p_partkey,
+              |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+              |    CAST(p_size AS BIGINT) AS size
+              |  FROM part
+              |)
+              |SELECT p_partkey, price_cents, size
+              |FROM p a
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM p q
+              |  WHERE (q.price_cents <= a.price_cents AND q.size > a.size)
+              |     OR (q.price_cents < a.price_cents AND q.size >= a.size)
+              |)
+              |ORDER BY price_cents, p_partkey""".stripMargin))
   )
 }
