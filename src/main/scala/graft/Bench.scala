@@ -4,26 +4,32 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}}. The headline set
-  * covers every operator family but skips the exact-Jaccard tier (q41
-  * sweep, q100 prefix join): on this synthetic corpus nearly every doc
-  * pair shares a shingle (10.3 M of 12.5 M at sf0.1), so ANY exact method
-  * is candidate-bound there — the MinHash variant (q42) is the benched
-  * dedup representative, and q100's prefix bound is the exact tier's
-  * scale path on realistically-diverse corpora.
+  * covers the full registry, including the exact-Jaccard tier (q41 sweep,
+  * q100 prefix join) — note this synthetic corpus is near-worst-case for
+  * exact methods (10.3 M of 12.5 M doc pairs share a shingle at sf0.1),
+  * so their times reflect candidate-bound behavior; the MinHash variant
+  * (q42) is the scale path on realistically-diverse corpora.
   */
 object Bench {
 
   /** Per-family representative queries, tractable at bench scale. */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_top_revenue_orders", "q05_nation_revenue",
-    "q07_semi_anti_customers", "q08_top_orders_per_customer", "q10_events_minute_agg",
+    "q07_semi_anti_customers", "q08_top_orders_per_customer",
+    "q09_distinct_parts", "q10_events_minute_agg", "q11_user_sessions",
     "q20_boxcar_smooth", "q21_car_trimmed_mean", "q22_zscore_baseline",
+    "q23_amplitude_phase", "q24_trim_scale", "q25_channel_metadata_join",
+    "q26_band_average",
     "q30_resample", "q31_notch", "q32_wavelet_amplitude", "q33_pipeline_high_gamma",
+    "q34_synthetic_source",
     "q35_wavelet_phase", "q36_streaming_windowed_wavelet",
-    "q40_dedup_exact", "q42_minhash_lsh", "q43_simhash",
+    "q37_streaming_crossfade_stitch", "q38_band_metadata", "q39_hamming_kernel",
+    "q40_dedup_exact", "q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
     "q44_embedding_stats", "q45_cosine_topk", "q46_token_count", "q47_language_id",
     "q48_quality_score", "q49_fingerprint", "q50_multimodal_features",
     "q51_cosine_lsh_pairs", "q52_ivf_topk", "q53_dup_clusters",
+    "q54_embedding_dedup", "q55_streaming_event_agg",
+    "q56_streaming_running_stats",
     "q57_decontamination", "q58_repetition_metrics", "q59_mixture_sample",
     "q60_sequence_pack", "q61_vocabulary", "q62_curation_pipeline",
     "q63_stratified_sample", "q64_streaming_dedup", "q65_substring_dedup",
@@ -40,7 +46,7 @@ object Bench {
     "q91_value_quantiles", "q92_cube_pricing", "q93_salted_source_join",
     "q94_weighted_sample", "q95_pmi_collocations", "q96_robust_outliers",
     "q97_rolling_features", "q98_funnel_conversion", "q99_json_props_extract",
-    "q101_histogram_quantiles", "q102_streaming_histogram_quantiles",
+    "q100_jaccard_prefix_join", "q101_histogram_quantiles", "q102_streaming_histogram_quantiles",
     "q103_streaming_sessions", "q104_streaming_interval_join",
     "q105_rolling_anomaly", "q106_streaming_native_dedup",
     "q107_stream_static_enrich", "q108_int8_ivf_topk", "q109_ngram_novelty",
@@ -117,7 +123,7 @@ object Bench {
     "q271_langid_calibration", "q272_knn_label_consistency",
     "q273_geofence_rollup", "q274_isolation_grid",
     "q275_consistent_hash_rebalance", "q276_seasonal_naive_mase",
-    "q277_skyline_parts")
+    "q277_skyline_parts", "q278_join_cardinality_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

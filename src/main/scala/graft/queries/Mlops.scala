@@ -163,6 +163,69 @@ object Mlops {
     pts
   }
 
+  /** q278 body, factored for spec access: per-(type,user) counts, the true
+    * pairwise join size, and two planner-grade estimates (System-R uniform
+    * containment; end-biased histogram over the union of per-type top-`hhK`
+    * users with a uniform tail). One map-combined shuffle builds `cnt`;
+    * the true count is a self-join of `cnt` on the user key (shared
+    * exchange); every other frame is |types| or |types|² rows. */
+  private[queries] def joinCardinalityAudit(
+      events: org.apache.spark.sql.DataFrame,
+      hhK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Checkpoints.Pinnable
+    val cnt = events
+      .groupBy(col("event_type").as("t"), col("user_id").as("u"))
+      .agg(count(lit(1)).as("c")).pin // four consumers
+    val stats = cnt.groupBy("t")
+      .agg(sum("c").as("n"), count(lit(1)).as("d"))
+    val wTop = Window.partitionBy("t").orderBy(col("c").desc, col("u"))
+    val heavyUsers = cnt.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= hhK).select("u").distinct()
+    val cntH = cnt.join(broadcast(heavyUsers), "u")
+    val hstats = cntH.groupBy("t")
+      .agg(sum("c").as("nh"), count(lit(1)).as("dh"))
+    val hh = cntH.as("a").join(cntH.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(sum(col("a.c") * col("b.c")).as("hh_pairs"))
+    val tr = cnt.as("a").join(cnt.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(sum(col("a.c") * col("b.c")).as("true_pairs"))
+    val sa = stats.select(col("t").as("ta"), col("n").as("n_a"),
+      col("d").as("d_a"))
+    val sb = stats.select(col("t").as("tb"), col("n").as("n_b"),
+      col("d").as("d_b"))
+    val ha = hstats.select(col("t").as("ta"), col("nh").as("nh_a"),
+      col("dh").as("dh_a"))
+    val hb = hstats.select(col("t").as("tb"), col("nh").as("nh_b"),
+      col("dh").as("dh_b"))
+    sa.crossJoin(sb).filter(col("ta") < col("tb"))
+      .join(ha, Seq("ta"), "left").join(hb, Seq("tb"), "left")
+      .join(hh, Seq("ta", "tb"), "left")
+      .join(tr, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("nh_a", "dh_a", "nh_b", "dh_b",
+        "hh_pairs", "true_pairs"))
+      .withColumn("est_uniform",
+        expr("(n_a * n_b) div greatest(d_a, d_b, CAST(1 AS BIGINT))"))
+      .withColumn("est_hh",
+        expr("""hh_pairs + ((n_a - nh_a) * (n_b - nh_b))
+               | div greatest(d_a - dh_a, d_b - dh_b, CAST(1 AS BIGINT))"""
+          .stripMargin))
+      .withColumn("err_uniform_e6",
+        expr("""CASE WHEN true_pairs = 0 THEN NULL ELSE
+               | CAST(round(est_uniform * 1000000.0 / true_pairs)
+               |   AS BIGINT) END""".stripMargin))
+      .withColumn("err_hh_e6",
+        expr("""CASE WHEN true_pairs = 0 THEN NULL ELSE
+               | CAST(round(est_hh * 1000000.0 / true_pairs)
+               |   AS BIGINT) END""".stripMargin))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("d_a"),
+        col("d_b"), col("true_pairs"), col("est_uniform"), col("est_hh"),
+        col("err_uniform_e6"), col("err_hh_e6"))
+      .orderBy("ta", "tb")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -754,6 +817,73 @@ object Mlops {
               |  WHERE (q.price_cents <= a.price_cents AND q.size > a.size)
               |     OR (q.price_cents < a.price_cents AND q.size >= a.size)
               |)
-              |ORDER BY price_cents, p_partkey""".stripMargin))
+              |ORDER BY price_cents, p_partkey""".stripMargin)),
+
+    QueryDef("q278_join_cardinality_audit",
+      "optimizer-statistics audit: true join size vs uniform and end-biased estimates per type pair",
+      // the cardinality-estimation question behind every join reorder: how
+      // far is |A ⋈ B| from what the table stats predict? Per (type, user)
+      // counts are ONE map-combined shuffle; the true pair count is a
+      // user-keyed self-join over that bounded frame (both sides reuse the
+      // same exchange), and everything downstream runs on |types|- and
+      // |types|²-sized frames. Two estimators a planner could afford:
+      // System-R uniform-containment n_a·n_b / max(d_a, d_b), and an
+      // end-biased histogram — exact over the union of each side's top-20
+      // users (the part a stats collector materializes), uniform over the
+      // tails. All-integer counts with truncating division (operands
+      // nonnegative, so Spark `div` == DuckDB `//`); the only float is the
+      // final guarded error ratio, micro-rounded identically.
+      (s, dir) => joinCardinalityAudit(table(s, dir, "events")),
+      Some("""|WITH cnt AS (
+              |  SELECT event_type AS t, user_id AS u, count(*) AS c
+              |  FROM events GROUP BY 1, 2
+              |), stats AS (
+              |  SELECT t, CAST(sum(c) AS BIGINT) AS n, count(*) AS d
+              |  FROM cnt GROUP BY 1
+              |), hu AS (
+              |  SELECT DISTINCT u FROM (
+              |    SELECT u, row_number() OVER (PARTITION BY t
+              |      ORDER BY c DESC, u) AS rn
+              |    FROM cnt) WHERE rn <= 20
+              |), cnth AS (
+              |  SELECT cnt.* FROM cnt JOIN hu USING (u)
+              |), hstats AS (
+              |  SELECT t, CAST(sum(c) AS BIGINT) AS nh, count(*) AS dh
+              |  FROM cnth GROUP BY 1
+              |), hh AS (
+              |  SELECT a.t AS ta, b.t AS tb,
+              |    CAST(sum(a.c * b.c) AS BIGINT) AS hh_pairs
+              |  FROM cnth a JOIN cnth b ON a.u = b.u AND a.t < b.t
+              |  GROUP BY 1, 2
+              |), tr AS (
+              |  SELECT a.t AS ta, b.t AS tb,
+              |    CAST(sum(a.c * b.c) AS BIGINT) AS true_pairs
+              |  FROM cnt a JOIN cnt b ON a.u = b.u AND a.t < b.t
+              |  GROUP BY 1, 2
+              |), base AS (
+              |  SELECT sa.t AS ta, sb.t AS tb, sa.n AS n_a, sb.n AS n_b,
+              |    sa.d AS d_a, sb.d AS d_b,
+              |    COALESCE(tr.true_pairs, 0) AS true_pairs,
+              |    (sa.n * sb.n) // greatest(sa.d, sb.d, 1) AS est_uniform,
+              |    COALESCE(hh.hh_pairs, 0)
+              |      + ((sa.n - COALESCE(ha.nh, 0)) * (sb.n - COALESCE(hb.nh, 0)))
+              |        // greatest(sa.d - COALESCE(ha.dh, 0),
+              |                    sb.d - COALESCE(hb.dh, 0), 1) AS est_hh
+              |  FROM stats sa CROSS JOIN stats sb
+              |  LEFT JOIN hstats ha ON ha.t = sa.t
+              |  LEFT JOIN hstats hb ON hb.t = sb.t
+              |  LEFT JOIN hh ON hh.ta = sa.t AND hh.tb = sb.t
+              |  LEFT JOIN tr ON tr.ta = sa.t AND tr.tb = sb.t
+              |  WHERE sa.t < sb.t
+              |)
+              |SELECT ta, tb, n_a, n_b, d_a, d_b, true_pairs, est_uniform,
+              |  est_hh,
+              |  CASE WHEN true_pairs = 0 THEN NULL
+              |    ELSE CAST(round(est_uniform * 1000000.0 / true_pairs)
+              |      AS BIGINT) END AS err_uniform_e6,
+              |  CASE WHEN true_pairs = 0 THEN NULL
+              |    ELSE CAST(round(est_hh * 1000000.0 / true_pairs)
+              |      AS BIGINT) END AS err_hh_e6
+              |FROM base ORDER BY ta, tb""".stripMargin))
   )
 }
