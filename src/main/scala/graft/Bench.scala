@@ -123,7 +123,8 @@ object Bench {
     "q271_langid_calibration", "q272_knn_label_consistency",
     "q273_geofence_rollup", "q274_isolation_grid",
     "q275_consistent_hash_rebalance", "q276_seasonal_naive_mase",
-    "q277_skyline_parts", "q278_join_cardinality_audit")
+    "q277_skyline_parts", "q278_join_cardinality_audit",
+    "q279_bpe_learn_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -292,6 +292,52 @@ object Llm {
       |GROUP BY c.doc_a, c.doc_b
       |HAVING round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2""".stripMargin
 
+  /** Unrolled-CTE replay of Bpe.learnMerges (the q250/q112 exact-replay
+    * idiom): w0 is the symbol-string vocab; each round r adds p{r} (pair
+    * counts), m{r} (argmax pick), w{r} (greedy left-to-right merge via
+    * list_reduce — its reduce-from-first-element semantics is what the
+    * Spark fold's empty-string init replicates). chr(31) joins symbols,
+    * chr(30) keys pairs. */
+  private def bpeLearnOracleSql(rounds: Int): String = {
+    val ctes = new StringBuilder(
+      """w0 AS (
+        |  SELECT substr(regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |      1, 2 * length(word) - 1) AS cur,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' AND strpos(word, chr(31)) = 0
+        |    AND strpos(word, chr(30)) = 0
+        |  GROUP BY 1
+        |)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      ctes.append(s""",
+        |p$r AS (
+        |  SELECT split_part(pr, chr(30), 1) AS l,
+        |    split_part(pr, chr(30), 2) AS r2, CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(segs) - 1),
+        |      i -> segs[i] || chr(30) || segs[i + 1])) AS pr, cnt
+        |    FROM (SELECT string_split(cur, chr(31)) AS segs, cnt FROM w$p)
+        |  ) GROUP BY 1, 2
+        |),
+        |m$r AS (SELECT l, r2, w FROM p$r ORDER BY w DESC, l, r2 LIMIT 1),
+        |w$r AS (
+        |  SELECT CASE WHEN strpos(cur, m.l || chr(31) || m.r2) = 0 THEN cur
+        |    ELSE list_reduce(string_split(cur, chr(31)),
+        |      (acc, s) -> CASE
+        |        WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l)) AND s = m.r2
+        |        THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r2
+        |        ELSE acc || chr(31) || s END) END AS cur, cnt
+        |  FROM w$p CROSS JOIN m$r m
+        |)""".stripMargin)
+    }
+    val sel = (1 to rounds).map(r =>
+      s"SELECT $r AS round, l AS left_sym, r2 AS right_sym, " +
+        s"w AS pair_weight FROM m$r").mkString("\n UNION ALL ")
+    s"WITH ${ctes.result()}\n$sel ORDER BY round"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q40_dedup_exact", "exact dedup via content-hash groupBy",
@@ -2559,5 +2605,16 @@ object Llm {
               |    AS n_consistent,
               |  round(CAST(CAST(sum(CASE WHEN n_match >= 2 THEN 1 ELSE 0 END)
               |    AS BIGINT) AS DOUBLE) / count(*), 6) AS consistency
-              |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)))
+              |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q279_bpe_learn_merges",
+      "corpus-learned BPE merge table: 8 rounds of weighted pair-merge over the vocab table",
+      // the TRAINING half of q76's tokenizer (Sennrich learn_bpe): one
+      // corpus scan builds the (word, count) vocab; every merge round runs
+      // over that bounded table — a map-combined pair count, a 1-row argmax
+      // fetch, and a narrow greedy left-to-right rewrite, lineage pinned
+      // per round. The oracle replays all 8 rounds as unrolled CTEs with
+      // DuckDB list_reduce executing the identical fold.
+      (s, dir) => Bpe.learnMerges(table(s, dir, "documents"), rounds = 8),
+      Some(bpeLearnOracleSql(8))))
 }

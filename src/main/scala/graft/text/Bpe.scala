@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.expressions.UserDefinedFunction
 
@@ -127,5 +127,98 @@ object Bpe {
       }
     }
     f(text)
+  }
+
+  /** Corpus-learned BPE merges — the TRAINING side of the tokenizer
+    * (Sennrich et al. 2016 `learn_bpe`), distributed the way the published
+    * algorithm already is: ONE corpus scan builds the (word, count) vocab
+    * table, and every merge round runs over that bounded table, never the
+    * corpus. Per round: adjacent-symbol pair counts weighted by word count
+    * (map-combined aggregation), argmax by (weight DESC, pair ASC) — a
+    * 1-row driver fetch — then a NARROW greedy left-to-right merge rewrite
+    * of the vocab rows that contain the pair, lineage pinned per round.
+    * Words are unit-separator-joined symbol strings (chr(31) between
+    * symbols, chr(30) inside emitted pair keys) so the identical fold is
+    * replayable in DuckDB via `list_reduce`. Returns one row per round:
+    * (round, left_sym, right_sym, pair_weight).
+    *
+    * 100 TB shape: corpus → vocab is the only corpus-wide shuffle; rounds
+    * cost O(|vocab|) narrow work + one bounded shuffle each, and the
+    * per-round driver state is a single merge pair. */
+  def learnMerges(documents: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Checkpoints.Pinnable
+    val sep = "\u001f" // unit separator: between symbols
+    val sp = documents.sparkSession
+    require(rounds >= 1 && rounds <= 32, s"rounds out of range: $rounds")
+    // vocab: word -> count, word pre-split into the symbol string.
+    // chr(31)/chr(30) inside a word would corrupt the encoding; drop such
+    // words (none exist in this corpus — the filter is the contract).
+    var vocab = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(sep) && !col("word").contains("\u001e")) // record sep: inside pair keys
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(
+        expr(s"substr(regexp_replace(word, '(.)', '$$1' || chr(31)), " +
+          "1, 2 * length(word) - 1)").as("cur"),
+        col("cnt"))
+      .pin
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .select(split(col("cur"), sep).as("segs"), col("cnt"))
+        .filter(size(col("segs")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(segs) - 1), " +
+            "i -> concat(element_at(segs, i), chr(30), " +
+            "element_at(segs, i + 1)))")).as("pr"), col("cnt"))
+        .groupBy("pr").agg(sum("cnt").as("w"))
+        .select(expr("split_part(pr, chr(30), 1)").as("l"),
+          expr("split_part(pr, chr(30), 2)").as("r2"), col("w"))
+        .orderBy(col("w").desc, col("l"), col("r2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r2, w) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, l, r2, w))
+        val lLit = lit(l)
+        val rLit = lit(r2)
+        // greedy left-to-right merge of (l, r2) adjacencies: identical to
+        // DuckDB's list_reduce over the same segment list (empty-string
+        // init replicates reduce-from-first-element semantics; symbols are
+        // never empty). The contains() guard skips untouched words — a
+        // false positive (substring match across a symbol boundary) just
+        // runs the identity fold.
+        vocab = vocab.select(
+          when(!col("cur").contains(concat(lLit, lit(sep), rLit)), col("cur"))
+            .otherwise(aggregate(
+              split(col("cur"), sep), lit(""),
+              (acc, s) => when(acc === "", s)
+                .when((acc === lLit ||
+                  acc.endsWith(concat(lit(sep), lLit))) && s === rLit,
+                  concat(substring_index_len(acc, lLit), lLit, rLit))
+                .otherwise(concat(acc, lit(sep), s))))
+            .as("cur"),
+          col("cnt")).pin
+        r += 1
+      }
+    }
+    import sp.implicits._
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "pair_weight")
+      .select(col("round").cast("int").as("round"), col("left_sym"),
+        col("right_sym"), col("pair_weight"))
+      .orderBy("round")
+  }
+
+  /** acc minus its trailing `l` symbol: substr(acc, 1, len(acc) - len(l)).
+    * (Named helper because the Column form appears mid-fold.) */
+  private def substring_index_len(acc: Column, l: Column): Column = {
+    import org.apache.spark.sql.functions._
+    acc.substr(lit(1), length(acc) - length(l))
   }
 }
