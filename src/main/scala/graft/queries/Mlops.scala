@@ -226,6 +226,15 @@ object Mlops {
       .orderBy("ta", "tb")
   }
 
+
+  /** q280 probe ranges (integer dollars, half-open): broad spans, the full
+    * domain, and a narrow 100-dollar slice where uniform-within-bucket
+    * interpolation has to work hardest. */
+  private val ProbeRanges: Seq[(Long, Long)] = Seq(
+    (900L, 105000L), (1000L, 2000L), (2000L, 5000L), (5000L, 10000L),
+    (10000L, 20000L), (20000L, 40000L), (40000L, 70000L),
+    (50000L, 50100L), (70000L, 105000L))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -884,6 +893,94 @@ object Mlops {
               |  CASE WHEN true_pairs = 0 THEN NULL
               |    ELSE CAST(round(est_hh * 1000000.0 / true_pairs)
               |      AS BIGINT) END AS err_hh_e6
-              |FROM base ORDER BY ta, tb""".stripMargin))
+              |FROM base ORDER BY ta, tb""".stripMargin)),
+
+    QueryDef("q280_selectivity_audit",
+      "equi-depth histogram selectivity audit: estimated vs true rows for 9 range predicates",
+      // q278's sibling for RANGE predicates: build the 32-bucket equi-depth
+      // histogram an optimizer would keep for l_extendedprice and audit its
+      // uniform-within-bucket estimates against true counts. Scale shape:
+      // ONE corpus scan quantizes to integer dollars and map-combines
+      // per-value counts; every later step (cumulative bucket assignment,
+      // bucket stats, probe joins) runs on the value-DOMAIN frame (≤ ~105k
+      // rows — bounded by the domain, not the corpus), so the one global
+      // window is justified the q277 way. All-integer widths/overlaps with
+      // truncating division; the guarded error ratio is the only float.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val spark = s
+        import spark.implicits._
+        val probes = ProbeRanges.toDF("range_lo", "range_hi")
+        val v = table(s, dir, "lineitem")
+          .select(expr("CAST(floor(l_extendedprice) AS BIGINT)").as("vd"))
+          .groupBy("vd").agg(count(lit(1)).as("n")).pin // domain-sized frame
+        val total = v.agg(sum("n").as("tot"))
+        val wCum = Window.orderBy("vd")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val buckets = v
+          .withColumn("cum_before", coalesce(sum("n").over(wCum), lit(0L)))
+          .crossJoin(broadcast(total))
+          .withColumn("b", expr("(cum_before * 32) div tot"))
+          .groupBy("b")
+          .agg(sum("n").as("n_k"), min("vd").as("lo_k"), max("vd").as("hi_k"))
+        val est = broadcast(probes).crossJoin(buckets)
+          .withColumn("overlap", expr(
+            "greatest(CAST(0 AS BIGINT), least(hi_k, range_hi - 1) " +
+              "- greatest(lo_k, range_lo) + 1)"))
+          .withColumn("contrib",
+            expr("(n_k * overlap) div (hi_k - lo_k + 1)"))
+          .groupBy("range_lo", "range_hi")
+          .agg(sum("contrib").as("est_rows"))
+        val tru = v.join(broadcast(probes),
+            col("vd") >= col("range_lo") && col("vd") < col("range_hi"))
+          .groupBy("range_lo", "range_hi").agg(sum("n").as("true_rows"))
+        est.join(tru, Seq("range_lo", "range_hi"), "left")
+          .na.fill(0L, Seq("true_rows"))
+          .withColumn("err_e6",
+            expr("""CASE WHEN true_rows = 0 THEN NULL ELSE
+                   | CAST(round(est_rows * 1000000.0 / true_rows)
+                   |   AS BIGINT) END""".stripMargin))
+          .select(col("range_lo"), col("range_hi"), col("true_rows"),
+            col("est_rows"), col("err_e6"))
+          .orderBy("range_lo", "range_hi")
+      },
+      Some {
+        val values = ProbeRanges.map { case (lo, hi) => s"($lo, $hi)" }
+          .mkString(", ")
+        s"""|WITH v AS (
+            |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS vd,
+            |    count(*) AS n
+            |  FROM lineitem GROUP BY 1
+            |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM v),
+            |buckets AS (
+            |  SELECT (cum_before * 32) // tot AS b,
+            |    CAST(sum(n) AS BIGINT) AS n_k,
+            |    min(vd) AS lo_k, max(vd) AS hi_k
+            |  FROM (
+            |    SELECT vd, n, COALESCE(CAST(sum(n) OVER (ORDER BY vd
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            |      AS BIGINT), 0) AS cum_before
+            |    FROM v) CROSS JOIN tot
+            |  GROUP BY 1
+            |), probes(range_lo, range_hi) AS (SELECT * FROM (VALUES $values)),
+            |est AS (
+            |  SELECT range_lo, range_hi,
+            |    CAST(sum((n_k * greatest(CAST(0 AS BIGINT),
+            |      least(hi_k, range_hi - 1) - greatest(lo_k, range_lo) + 1))
+            |      // (hi_k - lo_k + 1)) AS BIGINT) AS est_rows
+            |  FROM probes CROSS JOIN buckets GROUP BY 1, 2
+            |), tru AS (
+            |  SELECT range_lo, range_hi, CAST(sum(n) AS BIGINT) AS true_rows
+            |  FROM v JOIN probes ON vd >= range_lo AND vd < range_hi
+            |  GROUP BY 1, 2
+            |)
+            |SELECT e.range_lo, e.range_hi,
+            |  COALESCE(t.true_rows, 0) AS true_rows, e.est_rows,
+            |  CASE WHEN COALESCE(t.true_rows, 0) = 0 THEN NULL
+            |    ELSE CAST(round(e.est_rows * 1000000.0 / t.true_rows)
+            |      AS BIGINT) END AS err_e6
+            |FROM est e LEFT JOIN tru t USING (range_lo, range_hi)
+            |ORDER BY range_lo, range_hi""".stripMargin
+      })
   )
 }
