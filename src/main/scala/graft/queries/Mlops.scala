@@ -981,6 +981,193 @@ object Mlops {
             |      AS BIGINT) END AS err_e6
             |FROM est e LEFT JOIN tru t USING (range_lo, range_hi)
             |ORDER BY range_lo, range_hi""".stripMargin
-      })
+      }),
+
+    QueryDef("q281_t_closeness",
+      "t-closeness census over quasi-identifier classes (privacy trilogy completion)",
+      // k-anonymity (q178) bounds class SIZE, l-diversity (q267) bounds
+      // distinct sensitive values — t-closeness bounds the DISTANCE between
+      // a class's sensitive distribution and the global one, the leak the
+      // other two miss (a large, diverse class can still skew hard toward
+      // one value). Categorical sensitive attribute -> total variation
+      // distance, kept EXACT: tmilli_e6 = (Σ_t |n_ct·N − N_t·n_c|) · 1e6
+      // div (2·n_c·N) — all integer. Absent types must contribute |0 −
+      // N_t·n_c|, so counts land on a classes × types frame (bounded by
+      // the QI domain and |types|, never the corpus). One corpus-scan
+      // aggregation; everything after runs on bounded frames.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(expr("user_id div 10").as("user_bucket"),
+            expr("(CAST(ts AS BIGINT) div 3600000000000) % 24").as("hour_of_day"),
+            col("event_type"))
+        val ct = e.groupBy("user_bucket", "hour_of_day", "event_type")
+          .agg(count(lit(1)).as("n_ct"))
+        val classes = ct.groupBy("user_bucket", "hour_of_day")
+          .agg(sum("n_ct").as("n_c"))
+        val types = ct.groupBy("event_type").agg(sum("n_ct").as("n_t"))
+        val totals = types.agg(sum("n_t").as("n_tot"))
+        val dist = classes.crossJoin(broadcast(types))
+          .join(ct, Seq("user_bucket", "hour_of_day", "event_type"), "left")
+          .na.fill(0L, Seq("n_ct"))
+          .crossJoin(broadcast(totals))
+          .groupBy("user_bucket", "hour_of_day")
+          .agg(max("n_c").as("n_c"), max("n_tot").as("n_tot"),
+            sum(abs(col("n_ct") * col("n_tot") - col("n_t") * col("n_c")))
+              .as("num"))
+          .withColumn("tmilli_e6",
+            expr("(num * 1000000) div (2 * n_c * n_tot)"))
+        dist.groupBy(expr("tmilli_e6 div 100000").as("t_bin"))
+          .agg(count(lit(1)).as("n_classes"), sum("n_c").as("n_rows"),
+            max("tmilli_e6").as("max_t_e6"))
+          .orderBy("t_bin")
+      },
+      Some("""|WITH e AS (
+              |  SELECT user_id // 10 AS user_bucket,
+              |    (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+              |    event_type
+              |  FROM events
+              |), ct AS (
+              |  SELECT user_bucket, hour_of_day, event_type,
+              |    CAST(count(*) AS BIGINT) AS n_ct
+              |  FROM e GROUP BY 1, 2, 3
+              |), classes AS (
+              |  SELECT user_bucket, hour_of_day, CAST(sum(n_ct) AS BIGINT) AS n_c
+              |  FROM ct GROUP BY 1, 2
+              |), types AS (
+              |  SELECT event_type, CAST(sum(n_ct) AS BIGINT) AS n_t
+              |  FROM ct GROUP BY 1
+              |), totals AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_tot FROM types),
+              |dist AS (
+              |  SELECT c.user_bucket, c.hour_of_day, max(c.n_c) AS n_c,
+              |    max(tt.n_tot) AS n_tot,
+              |    CAST(sum(abs(COALESCE(x.n_ct, 0) * tt.n_tot
+              |      - ty.n_t * c.n_c)) AS BIGINT) AS num
+              |  FROM classes c CROSS JOIN types ty CROSS JOIN totals tt
+              |  LEFT JOIN ct x ON x.user_bucket = c.user_bucket
+              |    AND x.hour_of_day = c.hour_of_day
+              |    AND x.event_type = ty.event_type
+              |  GROUP BY 1, 2
+              |)
+              |SELECT (num * 1000000) // (2 * n_c * n_tot) // 100000 AS t_bin,
+              |  count(*) AS n_classes, CAST(sum(n_c) AS BIGINT) AS n_rows,
+              |  max((num * 1000000) // (2 * n_c * n_tot)) AS max_t_e6
+              |FROM dist GROUP BY 1 ORDER BY t_bin""".stripMargin)),
+
+    QueryDef("q282_feature_store_pit",
+      "feature-store point-in-time join: 3 leak-free features onto the purchase label spine",
+      // THE feature-store primitive: every training label must see feature
+      // values as of strictly-before its own timestamp (no leakage at t).
+      // Instead of one as-of join per feature (3 corpus shuffles), all
+      // feature streams UNION with the spine and ONE per-user window
+      // computes every feature in a single shuffle: running conditional
+      // count (prior views), last-non-null conditional value (last click),
+      // running conditional sum (prior error milli-values). Spine rows
+      // sort BEFORE same-timestamp feature rows so equality never leaks.
+      // The oracle is the naive per-feature correlated-subquery spec, so
+      // the one-shuffle plan must hash-match the 3-subquery semantics.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val spine = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts"), lit(1).as("is_spine"),
+            lit(null).cast("long").as("f_vmilli"), lit(null).cast("string").as("kind"))
+        val feats = e.filter(col("event_type").isin("view", "click", "error"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            lit(0).as("is_spine"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("f_vmilli"),
+            col("event_type").as("kind"))
+        // spine first on ts ties (1 - is_spine): strictly-before semantics
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), (lit(1) - col("is_spine")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        spine.unionByName(feats)
+          .select(col("event_id"), col("user_id"), col("ts"), col("is_spine"),
+            count(when(col("kind") === "view", 1)).over(w)
+              .as("n_views_before"),
+            last(when(col("kind") === "click", col("f_vmilli")),
+              ignoreNulls = true).over(w).as("last_click_vmilli"),
+            coalesce(sum(when(col("kind") === "error", col("f_vmilli")))
+              .over(w), lit(0L)).as("err_vmilli_before"))
+          .filter(col("is_spine") === 1)
+          .select(col("event_id").as("label_id"), col("user_id"),
+            expr("ts div 1000").as("label_us"), col("n_views_before"),
+            col("last_click_vmilli"), col("err_vmilli_before"))
+          .orderBy("label_id")
+      },
+      Some("""|SELECT p.event_id AS label_id, p.user_id,
+              |  epoch_us(p.ts) AS label_us,
+              |  (SELECT count(*) FROM events v
+              |   WHERE v.event_type = 'view' AND v.user_id = p.user_id
+              |     AND v.ts < p.ts) AS n_views_before,
+              |  (SELECT CAST(floor(c.value * 1000) AS BIGINT) FROM events c
+              |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              |     AND c.ts < p.ts AND c.value IS NOT NULL
+              |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+              |    AS last_click_vmilli,
+              |  (SELECT COALESCE(CAST(sum(CAST(floor(er.value * 1000)
+              |       AS BIGINT)) AS BIGINT), 0) FROM events er
+              |   WHERE er.event_type = 'error' AND er.user_id = p.user_id
+              |     AND er.ts < p.ts) AS err_vmilli_before
+              |FROM events p WHERE p.event_type = 'purchase'
+              |ORDER BY label_id""".stripMargin)),
+
+    QueryDef("q283_mutual_best_match",
+      "entity resolution 1-1 matching: mutual-best edit-distance pairs inside blocks",
+      // the matching tier AFTER q130's candidate census: a candidate pair
+      // becomes a MATCH only when each side is the other's single best
+      // neighbor (dist ASC, name ASC) — the standard reciprocal-top-1 rule
+      // that yields a deterministic 1-1 matching without a global
+      // assignment solve. Directed candidates stay inside noun blocks (the
+      // blocking contract — never global all-pairs); per-(block, name)
+      // best is a WindowGroupLimit-prunable rank-1 window; the mutual
+      // check is a self-join of the tiny best-edge frame against itself.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val names = table(s, dir, "part")
+          .select(element_at(split(col("p_name"), " "), -1).as("block"),
+            col("p_name").as("name")).distinct()
+        val directed = names.as("a").join(names.as("b"),
+            col("a.block") === col("b.block") && col("a.name") =!= col("b.name"))
+          .select(col("a.block").as("block"), col("a.name").as("src"),
+            col("b.name").as("dst"),
+            levenshtein(col("a.name"), col("b.name")).as("dist"))
+          .filter(col("dist") <= 3)
+        val wBest = Window.partitionBy("block", "src")
+          .orderBy(col("dist"), col("dst"))
+        val best = directed
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1).drop("rn").pin
+        best.as("x").join(best.as("y"),
+            col("x.block") === col("y.block") &&
+              col("x.dst") === col("y.src") && col("x.src") === col("y.dst") &&
+              col("x.src") < col("x.dst"))
+          .select(col("x.block").as("block"), col("x.src").as("name_a"),
+            col("x.dst").as("name_b"), col("x.dist").cast("long").as("dist"))
+          .orderBy("block", "name_a", "name_b")
+      },
+      Some("""|WITH names AS (
+              |  SELECT DISTINCT string_split(p_name, ' ')[-1] AS block,
+              |    p_name AS name
+              |  FROM part
+              |), directed AS (
+              |  SELECT a.block, a.name AS src, b.name AS dst,
+              |    levenshtein(a.name, b.name) AS dist
+              |  FROM names a JOIN names b
+              |    ON a.block = b.block AND a.name <> b.name
+              |  WHERE levenshtein(a.name, b.name) <= 3
+              |), best AS (
+              |  SELECT block, src, dst, dist FROM (
+              |    SELECT block, src, dst, dist,
+              |      row_number() OVER (PARTITION BY block, src
+              |        ORDER BY dist, dst) AS rn
+              |    FROM directed
+              |  ) WHERE rn = 1
+              |)
+              |SELECT x.block, x.src AS name_a, x.dst AS name_b,
+              |  CAST(x.dist AS BIGINT) AS dist
+              |FROM best x JOIN best y
+              |  ON x.block = y.block AND x.dst = y.src AND x.src = y.dst
+              | AND x.src < x.dst
+              |ORDER BY x.block, name_a, name_b""".stripMargin))
   )
 }
