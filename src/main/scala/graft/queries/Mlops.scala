@@ -227,6 +227,111 @@ object Mlops {
   }
 
 
+  /** q284 SQL fragments — ONE template for BOTH engines (dialect
+    * substitution only: integer-div operator, nanos extraction, relation
+    * names), so the fixed point is structurally identical across engines.
+    * Split into stages because Spark INLINES every CTE: referencing the
+    * journey subtree from all `rounds` iteration steps would replan the
+    * corpus scan per round, so the Spark path materializes (pins) the
+    * bounded transition/variant frames and iterates over THOSE views,
+    * while the DuckDB oracle composes the same fragments as one WITH. */
+  private def mkDiv(spark: Boolean)(a: String, b: String): String =
+    if (spark) s"(($a) div ($b))" else s"(($a) // ($b))"
+
+  /** fp/pre/seq/starts/trans: journeys cut at first purchase, transition
+    * counts including START edges — one user-keyed window pass. */
+  private def markovTransCtes(spark: Boolean): String = {
+    def NS(c: String) =
+      if (spark) s"CAST($c AS BIGINT)" else s"epoch_ns($c)"
+    val ev = if (spark) "mk_events" else "events"
+    s"""fp AS (
+       |  SELECT user_id, min(${NS("ts")}) AS fts FROM $ev
+       |  WHERE event_type = 'purchase' GROUP BY 1
+       |),
+       |pre AS (
+       |  SELECT e.user_id, e.event_type AS ch, ${NS("e.ts")} AS tsn,
+       |    e.event_id AS eid,
+       |    CASE WHEN fp.fts IS NOT NULL THEN 1 ELSE 0 END AS conv
+       |  FROM $ev e LEFT JOIN fp ON fp.user_id = e.user_id
+       |  WHERE fp.fts IS NULL OR ${NS("e.ts")} < fp.fts
+       |),
+       |seq AS (
+       |  SELECT user_id, ch AS src,
+       |    COALESCE(lead(ch) OVER (PARTITION BY user_id ORDER BY tsn, eid),
+       |      CASE WHEN conv = 1 THEN 'CONV' ELSE 'NULL' END) AS dst,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY tsn, eid) AS rn
+       |  FROM pre
+       |),
+       |starts AS (
+       |  SELECT 'START' AS src, src AS dst FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'START' AS src, 'CONV' AS dst FROM fp
+       |  WHERE user_id NOT IN (SELECT user_id FROM pre)
+       |),
+       |trans AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT src, dst FROM seq UNION ALL SELECT src, dst FROM starts
+       |  ) u GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** chans/variants/tv over a transition relation: per removal variant,
+    * transitions INTO the removed channel redirect to NULL and rows FROM
+    * it drop (node replaced by the absorbing NULL state). */
+  private def markovVariantCtes(transRef: String): String =
+    s"""chans AS (SELECT DISTINCT src AS ch FROM $transRef
+       |  WHERE src <> 'START'),
+       |variants AS (SELECT 'none' AS v UNION ALL SELECT ch AS v FROM chans),
+       |tv AS (
+       |  SELECT va.v, t.src,
+       |    CASE WHEN t.dst = va.v THEN 'NULL' ELSE t.dst END AS dst,
+       |    CAST(sum(t.cnt) AS BIGINT) AS cnt
+       |  FROM variants va JOIN $transRef t ON t.src <> va.v
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  /** p0..pN value iteration on the e12 integer grid over (variant, state)
+    * — p'(s) = (sum_d cnt[s,d]*p(d)) div out(s), CONV pinned to 1e12,
+    * NULL to 0 — plus the removal-effect/share final select. */
+  private def markovIterTail(spark: Boolean, rounds: Int,
+                             tvRef: String, outsRef: String): String = {
+    val DIV = mkDiv(spark) _
+    val iters = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+         |  SELECT t.v, t.src AS state,
+         |    ${DIV(
+        "CAST(sum(t.cnt * CASE WHEN t.dst = 'CONV' THEN 1000000000000 " +
+          "WHEN t.dst = 'NULL' THEN 0 ELSE COALESCE(p.p, 0) END) AS BIGINT)",
+        "max(o.outc)")} AS p
+         |  FROM $tvRef t JOIN $outsRef o ON o.v = t.v AND o.src = t.src
+         |  LEFT JOIN p$p p ON p.v = t.v AND p.state = t.dst
+         |  GROUP BY t.v, t.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""p0 AS (SELECT v, src AS state, CAST(0 AS BIGINT) AS p
+       |  FROM $outsRef WHERE 1 = 0),
+       |$iters,
+       |res AS (SELECT v, p FROM p$rounds WHERE state = 'START'),
+       |fullp AS (SELECT p AS p_full FROM res WHERE v = 'none'),
+       |eff AS (
+       |  SELECT r.v AS channel, f.p_full,
+       |    greatest(f.p_full - r.p, 0) AS drop_e12, r.p AS p_removed
+       |  FROM res r CROSS JOIN fullp f WHERE r.v <> 'none'
+       |),
+       |tot AS (SELECT CAST(sum(drop_e12) AS BIGINT) AS t FROM eff)
+       |SELECT e.channel, e.p_full AS p_full_e12, e.p_removed AS p_removed_e12,
+       |  CASE WHEN e.p_full = 0 THEN NULL
+       |    ELSE ${DIV("e.drop_e12 * 1000000", "e.p_full")} END AS removal_e6,
+       |  CASE WHEN t.t = 0 THEN NULL
+       |    ELSE ${DIV("e.drop_e12 * 1000000", "t.t")} END AS share_e6
+       |FROM eff e CROSS JOIN tot t
+       |ORDER BY e.channel""".stripMargin
+  }
+
+  private val MarkovOutsSelect =
+    "SELECT v, src, CAST(sum(cnt) AS BIGINT) AS outc FROM %s GROUP BY 1, 2"
+
   /** q280 probe ranges (integer dollars, half-open): broad spans, the full
     * domain, and a narrow 100-dollar slice where uniform-within-bucket
     * interpolation has to work hardest. */
@@ -1168,6 +1273,158 @@ object Mlops {
               |FROM best x JOIN best y
               |  ON x.block = y.block AND x.dst = y.src AND x.src = y.dst
               | AND x.src < x.dst
-              |ORDER BY x.block, name_a, name_b""".stripMargin))
+              |ORDER BY x.block, name_a, name_b""".stripMargin)),
+
+    QueryDef("q284_markov_attribution",
+      "Markov-chain attribution: per-channel removal effects via fixed-round absorption iteration",
+      // the data-driven alternative to last-touch (q151) / linear (q203)
+      // attribution: model user journeys as a first-order Markov chain
+      // (START → channels → CONV/NULL, cut at first purchase), then price
+      // each channel by its REMOVAL EFFECT — how much absorption
+      // probability drops when transitions into that channel redirect to
+      // NULL. Journey/transition extraction is one user-keyed window pass;
+      // the 12-round value iteration runs on the bounded (variant, state)
+      // frame on the e12 integer grid. BOTH engines execute the same
+      // generated SQL text (dialect-substituted div/nanos only), so the
+      // fixed point is structurally identical — Spark gets it through
+      // spark.sql over the normalized events view.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        table(s, dir, "events").createOrReplaceTempView("mk_events")
+        val trans = s.sql(
+          s"WITH ${markovTransCtes(spark = true)} " +
+            "SELECT src, dst, cnt FROM trans").pin
+        trans.createOrReplaceTempView("mk_trans")
+        val tv = s.sql(
+          s"WITH ${markovVariantCtes("mk_trans")} " +
+            "SELECT v, src, dst, cnt FROM tv").pin
+        tv.createOrReplaceTempView("mk_tv")
+        val outs = s.sql(MarkovOutsSelect.format("mk_tv")).pin
+        outs.createOrReplaceTempView("mk_outs")
+        s.sql("WITH " +
+          markovIterTail(spark = true, rounds = 12, "mk_tv", "mk_outs"))
+      },
+      Some("WITH " + markovTransCtes(spark = false) + ",\n" +
+        markovVariantCtes("trans") + ",\n" +
+        "outs AS (" + MarkovOutsSelect.format("tv") + "),\n" +
+        markovIterTail(spark = false, rounds = 12, "tv", "outs"))),
+
+    QueryDef("q285_snapshot_diff",
+      "Merkle-style snapshot reconciliation: bucket-fingerprint prune, row diff only where dirty",
+      // table-diff the way a 100 TB reconciliation must run: ONE scan
+      // computes both snapshots' membership flags and payload fingerprints
+      // (snapshot B is A plus deterministic century-block edits: adds,
+      // price-bump changes, deletes), bucket fingerprints (count + bit_xor
+      // of 60-bit payload hashes per 512-key range) map-combine to a
+      // 1024-ish-row frame, and ROW-LEVEL diffing touches only buckets
+      // whose fingerprints disagree (~30% here) via a broadcast semi-join
+      // — clean buckets never shuffle a row. The same prune runs in the
+      // oracle, so equality is structural; unchanged-row count derives
+      // from the global totals, not a full-table compare.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val fpA = u60("concat(o_orderstatus, ':', CAST(pc AS STRING), " +
+          "':', o_orderpriority)", spark = true)
+        val fpB = u60("concat(o_orderstatus, ':', CAST(pcb AS STRING), " +
+          "':', o_orderpriority)", spark = true)
+        val base = table(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+            col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"),
+            expr("(o_orderkey div 100) % 50").as("sel"),
+            expr("o_orderkey div 512").as("bucket"))
+          .withColumn("pcb",
+            expr("CASE WHEN sel = 7 THEN pc + 100 ELSE pc END"))
+          .select(col("k"), col("bucket"),
+            expr("sel <> 0").as("in_a"), expr("sel <> 23").as("in_b"),
+            expr(fpA).as("fp_a"), expr(fpB).as("fp_b"))
+          .pin
+        val bstats = base.groupBy("bucket").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("in_b"), 1L).otherwise(0L)).as("cnt_b"),
+          expr("bit_xor(CASE WHEN in_a THEN fp_a END)").as("xor_a"),
+          expr("bit_xor(CASE WHEN in_b THEN fp_b END)").as("xor_b")).pin
+        val totals = bstats.agg(sum("cnt_a").as("total_a"),
+          sum("cnt_b").as("total_b"),
+          sum(expr("CASE WHEN cnt_a <> cnt_b OR NOT (xor_a <=> xor_b) " +
+            "THEN 1 ELSE 0 END")).as("dirty_buckets"))
+        val dirty = bstats
+          .filter(expr("cnt_a <> cnt_b OR NOT (xor_a <=> xor_b)"))
+          .select("bucket")
+        val rowstats = base.join(broadcast(dirty), "bucket").agg(
+          sum(expr("CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END"))
+            .as("n_added"),
+          sum(expr("CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END"))
+            .as("n_removed"),
+          sum(expr("CASE WHEN in_a AND in_b AND fp_a <> fp_b " +
+            "THEN 1 ELSE 0 END")).as("n_changed"))
+        totals.crossJoin(rowstats)
+          .select(explode(array(
+            struct(lit("added").as("metric"), col("n_added").as("n")),
+            struct(lit("removed").as("metric"), col("n_removed").as("n")),
+            struct(lit("changed").as("metric"), col("n_changed").as("n")),
+            struct(lit("unchanged").as("metric"),
+              (col("total_a") - col("n_removed") - col("n_changed")).as("n")),
+            struct(lit("dirty_buckets").as("metric"),
+              col("dirty_buckets").as("n")),
+            struct(lit("total_a").as("metric"), col("total_a").as("n")),
+            struct(lit("total_b").as("metric"), col("total_b").as("n"))))
+            .as("r"))
+          .select(col("r.metric").as("metric"), col("r.n").as("n"))
+          .orderBy("metric")
+      },
+      Some {
+        val fpA = u60("o_orderstatus || ':' || pc || ':' || o_orderpriority",
+          spark = false)
+        val fpB = u60("o_orderstatus || ':' || pcb || ':' || o_orderpriority",
+          spark = false)
+        s"""|WITH base AS (
+            |  SELECT o_orderkey AS k, (o_orderkey // 100) % 50 AS sel,
+            |    o_orderkey // 512 AS bucket,
+            |    (o_orderkey // 100) % 50 <> 0 AS in_a,
+            |    (o_orderkey // 100) % 50 <> 23 AS in_b,
+            |    $fpA AS fp_a, $fpB AS fp_b
+            |  FROM (
+            |    SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+            |      CASE WHEN (o_orderkey // 100) % 50 = 7
+            |        THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+            |        ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pcb
+            |    FROM orders)
+            |), bstats AS (
+            |  SELECT bucket,
+            |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+            |    CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b,
+            |    bit_xor(CASE WHEN in_a THEN fp_a END) AS xor_a,
+            |    bit_xor(CASE WHEN in_b THEN fp_b END) AS xor_b
+            |  FROM base GROUP BY 1
+            |), totals AS (
+            |  SELECT CAST(sum(cnt_a) AS BIGINT) AS total_a,
+            |    CAST(sum(cnt_b) AS BIGINT) AS total_b,
+            |    CAST(sum(CASE WHEN cnt_a <> cnt_b
+            |      OR xor_a IS DISTINCT FROM xor_b THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS dirty_buckets
+            |  FROM bstats
+            |), dirty AS (
+            |  SELECT bucket FROM bstats
+            |  WHERE cnt_a <> cnt_b OR xor_a IS DISTINCT FROM xor_b
+            |), rowstats AS (
+            |  SELECT
+            |    CAST(sum(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS n_added,
+            |    CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS n_removed,
+            |    CAST(sum(CASE WHEN in_a AND in_b AND fp_a <> fp_b
+            |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+            |  FROM base JOIN dirty USING (bucket)
+            |)
+            |SELECT metric, n FROM totals CROSS JOIN rowstats
+            |CROSS JOIN LATERAL (VALUES
+            |  ('added', n_added), ('removed', n_removed),
+            |  ('changed', n_changed),
+            |  ('unchanged', total_a - n_removed - n_changed),
+            |  ('dirty_buckets', dirty_buckets),
+            |  ('total_a', total_a), ('total_b', total_b)) AS t(metric, n)
+            |ORDER BY metric""".stripMargin
+      })
   )
 }
