@@ -340,6 +340,19 @@ object Mlops {
     (10000L, 20000L), (20000L, 40000L), (40000L, 70000L),
     (50000L, 50100L), (70000L, 105000L))
 
+
+  /** q286 probe day ranges (half-open, days since epoch), spanning the
+    * 1995-2001 ship-date domain: year, quarter-ish, narrow two-week, and
+    * full-domain scans. */
+  private val ZonemapProbes: Seq[(Long, Long)] = {
+    def d(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
+    Seq((d("1996-01-01"), d("1997-01-01")),
+      (d("1998-02-01"), d("1998-05-01")),
+      (d("2000-01-01"), d("2001-01-01")),
+      (d("1999-07-01"), d("1999-07-15")),
+      (d("1995-01-01"), d("2002-01-01")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -1425,6 +1438,95 @@ object Mlops {
             |  ('dirty_buckets', dirty_buckets),
             |  ('total_a', total_a), ('total_b', total_b)) AS t(metric, n)
             |ORDER BY metric""".stripMargin
+      }),
+
+    QueryDef("q286_zonemap_audit",
+      "zone-map skipping audit: insertion vs time-partitioned layout under 5 date-range scans",
+      // the data-layout question behind every lakehouse table: how many
+      // files does a range predicate SKIP, and how many false-positive
+      // rows do the survivors drag in? Two layouts of the same lineitem
+      // rows — 512-key insertion files vs 30-day time partitions — get
+      // per-file (min, max, count) zone maps on ship-day from ONE scan
+      // (layouts ride an explode, one shuffle); skipping and scanned-row
+      // arithmetic then runs on the file frame (hundreds of rows) and the
+      // bounded day-domain frame supplies true counts. Quantifies exactly
+      // what time-partitioning buys: same rows, same predicate, different
+      // pruning.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val spark = s
+        import spark.implicits._
+        val probes = ZonemapProbes.toDF("range_lo", "range_hi")
+        val base = table(s, dir, "lineitem")
+          .select(
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+              .as("day"),
+            expr("l_orderkey div 512").as("fid_ins"))
+          .pin
+        val files = base
+          .select(explode(array(
+            struct(lit("insertion").as("layout"), col("fid_ins").as("fid")),
+            struct(lit("monthly").as("layout"),
+              expr("day div 30").as("fid")))).as("lf"), col("day"))
+          .groupBy(col("lf.layout").as("layout"), col("lf.fid").as("fid"))
+          .agg(min("day").as("zmin"), max("day").as("zmax"),
+            count(lit(1)).as("n_rows"))
+        val days = base.groupBy("day").agg(count(lit(1)).as("n"))
+        val tru = days.join(broadcast(probes),
+            col("day") >= col("range_lo") && col("day") < col("range_hi"))
+          .groupBy("range_lo", "range_hi").agg(sum("n").as("true_rows"))
+        val scan = files.crossJoin(broadcast(probes))
+          .withColumn("hit",
+            col("zmin") < col("range_hi") && col("zmax") >= col("range_lo"))
+          .groupBy("layout", "range_lo", "range_hi")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(!col("hit"), 1L).otherwise(0L)).as("n_skipped"),
+            sum(when(col("hit"), col("n_rows")).otherwise(0L))
+              .as("scanned_rows"))
+        scan.join(broadcast(tru), Seq("range_lo", "range_hi"), "left")
+          .na.fill(0L, Seq("true_rows"))
+          .select(col("layout"), col("range_lo"), col("range_hi"),
+            col("n_files"), col("n_skipped"), col("true_rows"),
+            col("scanned_rows"),
+            (col("scanned_rows") - col("true_rows")).as("false_pos_rows"))
+          .orderBy("layout", "range_lo", "range_hi")
+      },
+      Some {
+        val values = ZonemapProbes.map { case (lo, hi) => s"($lo, $hi)" }
+          .mkString(", ")
+        s"""|WITH base AS (
+            |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+            |    l_orderkey // 512 AS fid_ins
+            |  FROM lineitem
+            |), files AS (
+            |  SELECT layout, fid, min(day) AS zmin, max(day) AS zmax,
+            |    CAST(count(*) AS BIGINT) AS n_rows
+            |  FROM (
+            |    SELECT 'insertion' AS layout, fid_ins AS fid, day FROM base
+            |    UNION ALL
+            |    SELECT 'monthly' AS layout, day // 30 AS fid, day FROM base
+            |  ) GROUP BY 1, 2
+            |), days AS (
+            |  SELECT day, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+            |), probes(range_lo, range_hi) AS (SELECT * FROM (VALUES $values)),
+            |tru AS (
+            |  SELECT range_lo, range_hi, CAST(sum(n) AS BIGINT) AS true_rows
+            |  FROM days JOIN probes ON day >= range_lo AND day < range_hi
+            |  GROUP BY 1, 2
+            |), scan AS (
+            |  SELECT layout, range_lo, range_hi,
+            |    CAST(count(*) AS BIGINT) AS n_files,
+            |    CAST(sum(CASE WHEN zmin < range_hi AND zmax >= range_lo
+            |      THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped,
+            |    CAST(sum(CASE WHEN zmin < range_hi AND zmax >= range_lo
+            |      THEN n_rows ELSE 0 END) AS BIGINT) AS scanned_rows
+            |  FROM files CROSS JOIN probes GROUP BY 1, 2, 3
+            |)
+            |SELECT s.layout, s.range_lo, s.range_hi, s.n_files, s.n_skipped,
+            |  COALESCE(t.true_rows, 0) AS true_rows, s.scanned_rows,
+            |  s.scanned_rows - COALESCE(t.true_rows, 0) AS false_pos_rows
+            |FROM scan s LEFT JOIN tru t USING (range_lo, range_hi)
+            |ORDER BY layout, range_lo, range_hi""".stripMargin
       })
   )
 }
