@@ -1112,7 +1112,13 @@ ORDER BY event_type, win"""
       // LAST update per replicate (max row count — strictly monotone)
       // equals the batch aggregate under ANY micro-batch slicing. The
       // uncertainty readout of a 100 TB stream costs 32 state rows.
-      q270Build, Some(q270Oracle)))
+      q270Build, Some(q270Oracle)),
+
+    QueryDef("q287_streaming_feature_pit",
+      "streaming point-in-time feature store: per-user sorted history " +
+        "state re-derives every purchase's leak-free features; final " +
+        "update per label == q282's batch join (oracle verbatim)",
+      q287Build, Some(q287Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1324,6 +1330,52 @@ ORDER BY event_type, win"""
       .agg(sum("n").cast("long").as("n"))
       .orderBy("prev_type", "next_type")
   }
+
+  /** q287: q282's streaming twin — per-user sorted (tn, eid, type, vmilli)
+    * history via StreamingOps.runningPitFeatures re-derives every
+    * purchase's strictly-before features on each update, so the readout
+    * (each label's final update, n_events monotone per user) equals the
+    * batch point-in-time join under any micro-batch slicing. The oracle is
+    * q282's correlated-subquery spec verbatim. */
+  private def q287Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    import s.implicits._
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q287_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.runningPitFeatures(
+        df.select(col("user_id"), col("ts").cast("long").as("tn"),
+          col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("vmilli"))
+          .as[StreamingOps.PitEvent]).toDF(),
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label_id")
+    updates
+      .withColumn("_mx", max("n_events").over(w))
+      .filter(col("n_events") === col("_mx"))
+      .select(col("label_id"), col("user_id"), col("label_us"),
+        col("n_views_before"), col("last_click_vmilli"),
+        col("err_vmilli_before"))
+      .orderBy("label_id")
+  }
+
+  private def q287Oracle: String =
+    """|SELECT p.event_id AS label_id, p.user_id,
+       |  epoch_us(p.ts) AS label_us,
+       |  (SELECT count(*) FROM events v
+       |   WHERE v.event_type = 'view' AND v.user_id = p.user_id
+       |     AND v.ts < p.ts) AS n_views_before,
+       |  (SELECT CAST(floor(c.value * 1000) AS BIGINT) FROM events c
+       |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |     AND c.ts < p.ts AND c.value IS NOT NULL
+       |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+       |    AS last_click_vmilli,
+       |  (SELECT COALESCE(CAST(sum(CAST(floor(er.value * 1000)
+       |       AS BIGINT)) AS BIGINT), 0) FROM events er
+       |   WHERE er.event_type = 'error' AND er.user_id = p.user_id
+       |     AND er.ts < p.ts) AS err_vmilli_before
+       |FROM events p WHERE p.event_type = 'purchase'
+       |ORDER BY label_id""".stripMargin
 
   private def q225Oracle: String =
     """|WITH o AS (

@@ -139,6 +139,47 @@ object StreamingOps {
       }
   }
 
+  final case class PitEvent(user_id: Long, tn: Long, event_id: Long,
+                            event_type: String, vmilli: Option[Long])
+  final case class PitState(
+      events: Seq[(Long, Long, String, Option[Long])])
+  final case class PitUpdate(user_id: Long, n_events: Long, label_id: Long,
+                             label_us: Long, n_views_before: Long,
+                             last_click_vmilli: Option[Long],
+                             err_vmilli_before: Long)
+
+  /** Streaming point-in-time feature store — q282's stateful twin. State
+    * holds the user's full (tn, event_id, type, vmilli) history SORTED by
+    * event time (the q225 sequence-store discipline), so every update
+    * recomputes each purchase's features from the true global order and
+    * the result is independent of micro-batch slicing; out-of-order
+    * arrivals self-correct on the next recompute. Features use STRICTLY
+    * tn-before events (the batch spine-first tie rule): prior view count,
+    * last non-null click value, prior error milli-sum. Per-entity history
+    * bound is the same contract as runningTransitions. */
+  def runningPitFeatures(events: Dataset[PitEvent]): Dataset[PitUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PitState, PitUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[PitState]) =>
+          val merged = (state.getOption.map(_.events).getOrElse(Seq.empty) ++
+            rows.map(r => (r.tn, r.event_id, r.event_type, r.vmilli)))
+            .sortBy(e => (e._1, e._2))
+          state.update(PitState(merged))
+          val n = merged.size.toLong
+          merged.iterator.filter(_._3 == "purchase").map { p =>
+            val pre = merged.takeWhile(_._1 < p._1)
+            val nv = pre.count(_._3 == "view").toLong
+            val lc = pre.reverseIterator
+              .find(e => e._3 == "click" && e._4.isDefined).flatMap(_._4)
+            val es = pre.iterator.filter(_._3 == "error")
+              .flatMap(_._4).sum
+            PitUpdate(user, n, p._2, p._1 / 1000, nv, lc, es)
+          }
+      }
+  }
+
   /** Duration string ("10 seconds", "1 minute") -> microseconds. */
   private[streaming] def durMicros(s: String): Long = {
     val parts = s.trim.split("\\s+")
