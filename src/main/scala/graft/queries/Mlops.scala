@@ -1527,6 +1527,117 @@ object Mlops {
             |  s.scanned_rows - COALESCE(t.true_rows, 0) AS false_pos_rows
             |FROM scan s LEFT JOIN tru t USING (range_lo, range_hi)
             |ORDER BY layout, range_lo, range_hi""".stripMargin
+      }),
+
+    QueryDef("q288_recsys_hit_rate",
+      "co-occurrence recommender eval: hit@3 of next-part predictions by popularity decile",
+      // the offline recsys eval harness: consecutive-order part
+      // transitions (lead window per customer, per-order parts deduped)
+      // split by CUSTOMER hash (no leakage between train and eval), a
+      // top-3-next-parts model from train counts (rank window, tie-broken
+      // count DESC then part ASC — WindowGroupLimit prunes), and hit@3 /
+      // coverage on held-out transitions, broken out by the source part's
+      // train-popularity decile (ntile over the bounded 2k-part frame).
+      // Transitions fan out ~|parts-per-order|² per order pair; model and
+      // decile frames are part-domain bounded; the only corpus-wide
+      // shuffles are the transition build and the train count.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val ord = table(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("du"))
+        val wNext = Window.partitionBy("o_custkey").orderBy("du", "o_orderkey")
+        val pairsO = ord
+          .withColumn("o_next", lead("o_orderkey", 1).over(wNext))
+          .filter(col("o_next").isNotNull)
+          .select(col("o_custkey"), col("o_orderkey").as("o1"),
+            col("o_next").as("o2"))
+        val items = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val trans = pairsO
+          .join(items.select(col("l_orderkey").as("o1"),
+            col("l_partkey").as("pa")), "o1")
+          .join(items.select(col("l_orderkey").as("o2"),
+            col("l_partkey").as("pb")), "o2")
+          .select(col("o_custkey"), col("pa"), col("pb"))
+          .withColumn("is_test", expr(
+            u60("concat('rec:', CAST(o_custkey AS STRING))", spark = true) +
+              " % 5 = 0"))
+          .pin
+        val trainCnt = trans.filter(!col("is_test"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("cnt")).pin
+        val wTop = Window.partitionBy("pa")
+          .orderBy(col("cnt").desc, col("pb"))
+        val model = trainCnt
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3).select("pa", "pb")
+        val pop = trainCnt.groupBy("pa").agg(sum("cnt").as("out_cnt"))
+        val wDec = Window.orderBy(col("out_cnt").desc, col("pa"))
+        val decile = pop.select(col("pa"),
+          ntile(10).over(wDec).cast("long").as("dec"))
+        val test = trans.filter(col("is_test"))
+          .join(broadcast(decile), Seq("pa"), "left")
+          .na.fill(Map("dec" -> 0L)) // parts unseen in train -> decile 0
+          .join(broadcast(model.select(col("pa"), col("pb"),
+            lit(1L).as("hit"))), Seq("pa", "pb"), "left")
+          .join(broadcast(pop.select(col("pa"), lit(1L).as("modeled"))),
+            Seq("pa"), "left")
+        test.groupBy("dec")
+          .agg(count(lit(1)).as("n_test"),
+            sum(coalesce(col("modeled"), lit(0L))).as("n_with_model"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("hit_e6",
+            expr("(n_hits * 1000000) div greatest(n_test, CAST(1 AS BIGINT))"))
+          .orderBy("dec")
+      },
+      Some {
+        val h = u60("'rec:' || o_custkey", spark = false)
+        s"""|WITH ord AS (
+            |  SELECT o_custkey, o_orderkey,
+            |    epoch_us(o_orderdate) AS du FROM orders
+            |), pairso AS (
+            |  SELECT o_custkey, o_orderkey AS o1,
+            |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+            |      ORDER BY du, o_orderkey) AS o2
+            |  FROM ord
+            |), items AS (
+            |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            |), trans AS (
+            |  SELECT p.o_custkey, a.l_partkey AS pa, b.l_partkey AS pb,
+            |    ($h) % 5 = 0 AS is_test
+            |  FROM pairso p
+            |  JOIN items a ON a.l_orderkey = p.o1
+            |  JOIN items b ON b.l_orderkey = p.o2
+            |  WHERE p.o2 IS NOT NULL
+            |), traincnt AS (
+            |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS cnt
+            |  FROM trans WHERE NOT is_test GROUP BY 1, 2
+            |), model AS (
+            |  SELECT pa, pb FROM (
+            |    SELECT pa, pb, row_number() OVER (PARTITION BY pa
+            |      ORDER BY cnt DESC, pb) AS rn
+            |    FROM traincnt
+            |  ) WHERE rn <= 3
+            |), pop AS (
+            |  SELECT pa, CAST(sum(cnt) AS BIGINT) AS out_cnt
+            |  FROM traincnt GROUP BY 1
+            |), decile AS (
+            |  SELECT pa, ntile(10) OVER (ORDER BY out_cnt DESC, pa) AS dec
+            |  FROM pop
+            |)
+            |SELECT COALESCE(d.dec, 0) AS dec, count(*) AS n_test,
+            |  CAST(sum(CASE WHEN po.pa IS NOT NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_with_model,
+            |  CAST(sum(CASE WHEN m.pa IS NOT NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_hits,
+            |  (CAST(sum(CASE WHEN m.pa IS NOT NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) * 1000000) // greatest(count(*), 1) AS hit_e6
+            |FROM trans t
+            |LEFT JOIN decile d ON d.pa = t.pa
+            |LEFT JOIN model m ON m.pa = t.pa AND m.pb = t.pb
+            |LEFT JOIN pop po ON po.pa = t.pa
+            |WHERE t.is_test
+            |GROUP BY 1 ORDER BY dec""".stripMargin
       })
   )
 }
