@@ -127,7 +127,9 @@ object Bench {
     "q279_bpe_learn_merges", "q280_selectivity_audit",
     "q281_t_closeness", "q282_feature_store_pit", "q283_mutual_best_match",
     "q284_markov_attribution", "q285_snapshot_diff", "q286_zonemap_audit",
-    "q287_streaming_feature_pit", "q288_recsys_hit_rate")
+    "q287_streaming_feature_pit", "q288_recsys_hit_rate",
+    "q289_linear_interpolation", "q290_pinball_grid_search",
+    "q291_dtw_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -353,6 +353,14 @@ object Mlops {
       (d("1995-01-01"), d("2002-01-01")))
   }
 
+
+  /** q290 candidate slopes (cents per quantity unit), log-spaced across
+    * the observed price/qty ratio range (p05 ≈ 24k, p95 ≈ 1.8M cents). */
+  private val PinballSlopes: Seq[Long] = Seq(
+    20000L, 30000L, 45000L, 65000L, 90000L, 120000L, 160000L, 210000L,
+    280000L, 370000L, 490000L, 650000L, 860000L, 1140000L, 1500000L,
+    2000000L, 2600000L)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -1638,6 +1646,252 @@ object Mlops {
             |LEFT JOIN pop po ON po.pa = t.pa
             |WHERE t.is_test
             |GROUP BY 1 ORDER BY dec""".stripMargin
-      })
+      }),
+
+    QueryDef("q289_linear_interpolation",
+      "regular-grid gap fill with exact integer linear interpolation per event type",
+      // q118's census sibling that actually FILLS: hourly milli-sums land
+      // on the full [min, max] hour grid per type (bounded sequence
+      // explode), interior gaps interpolate linearly between the nearest
+      // observed hours via IGNORE-NULLS carry windows — (hp, vp) ride the
+      // same last-non-null row, so the lerp endpoints are consistent —
+      // and v = vp + ((vn - vp)·(h - hp)) div (hn - hp) stays exact
+      // integer (truncation toward zero in both engines). Edge hours
+      // before the first / after the last observation stay NULL and are
+      // tagged. One corpus shuffle; the grid frame is domain-bounded.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val hourly = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 3600000000000").as("hour"))
+          .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+          .pin
+        val bounds = hourly.agg(min("hour").as("minh"), max("hour").as("maxh"))
+        val grid = hourly.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(minh, maxh)")).as("hour"))
+        val g = grid.join(hourly, Seq("event_type", "hour"), "left")
+        val wPrev = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(1, Window.unboundedFollowing)
+        g.withColumn("hp", last(when(col("vm").isNotNull, col("hour")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("vp", last(when(col("vm").isNotNull, col("vm")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("hn", first(when(col("vm").isNotNull, col("hour")),
+            ignoreNulls = true).over(wNext))
+          .withColumn("vn", first(when(col("vm").isNotNull, col("vm")),
+            ignoreNulls = true).over(wNext))
+          .select(col("event_type"), col("hour"),
+            expr("""CASE WHEN vm IS NOT NULL THEN vm
+                   | WHEN hp IS NOT NULL AND hn IS NOT NULL
+                   | THEN vp + ((vn - vp) * (hour - hp)) div (hn - hp)
+                   | ELSE NULL END""".stripMargin).as("v_filled"),
+            expr("""CASE WHEN vm IS NOT NULL THEN 'observed'
+                   | WHEN hp IS NOT NULL AND hn IS NOT NULL THEN 'interp'
+                   | ELSE 'edge' END""".stripMargin).as("src"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""|WITH hourly AS (
+              |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+              |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+              |      AS vm
+              |  FROM events GROUP BY 1, 2
+              |), bounds AS (
+              |  SELECT min(hour) AS minh, max(hour) AS maxh FROM hourly
+              |), grid AS (
+              |  SELECT t.event_type, g.hour
+              |  FROM (SELECT DISTINCT event_type FROM hourly) t
+              |  CROSS JOIN (SELECT unnest(generate_series(
+              |    (SELECT minh FROM bounds), (SELECT maxh FROM bounds)))
+              |    AS hour) g
+              |), j AS (
+              |  SELECT g.event_type, g.hour, h.vm,
+              |    last_value(CASE WHEN h.vm IS NOT NULL THEN g.hour END
+              |      IGNORE NULLS) OVER w_prev AS hp,
+              |    last_value(h.vm IGNORE NULLS) OVER w_prev AS vp,
+              |    first_value(CASE WHEN h.vm IS NOT NULL THEN g.hour END
+              |      IGNORE NULLS) OVER w_next AS hn,
+              |    first_value(h.vm IGNORE NULLS) OVER w_next AS vn
+              |  FROM grid g LEFT JOIN hourly h
+              |    ON h.event_type = g.event_type AND h.hour = g.hour
+              |  WINDOW w_prev AS (PARTITION BY g.event_type ORDER BY g.hour
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |    w_next AS (PARTITION BY g.event_type ORDER BY g.hour
+              |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+              |)
+              |SELECT event_type, hour,
+              |  CASE WHEN vm IS NOT NULL THEN vm
+              |    WHEN hp IS NOT NULL AND hn IS NOT NULL
+              |    THEN vp + ((vn - vp) * (hour - hp)) // (hn - hp)
+              |    ELSE NULL END AS v_filled,
+              |  CASE WHEN vm IS NOT NULL THEN 'observed'
+              |    WHEN hp IS NOT NULL AND hn IS NOT NULL THEN 'interp'
+              |    ELSE 'edge' END AS src
+              |FROM j ORDER BY event_type, hour""".stripMargin)),
+
+    QueryDef("q290_pinball_grid_search",
+      "distributed hyperparameter grid search: quantile-regression slope by exact pinball loss",
+      // the grid-search shape every AutoML sweep reduces to: broadcast a
+      // literal candidate grid (17 log-spaced slopes × 3 quantile levels),
+      // fan each corpus row out over it, and let ONE map-combined
+      // aggregation score every (candidate, tau) cell — no per-candidate
+      // scans, no driver loop. Pinball loss on exact cent integers
+      // (err = price − b·qty; loss10 = tau10·err⁺ + (10−tau10)·err⁻), so
+      // the winner per tau (loss ASC, slope ASC) is engine-exact. The
+      // winning slope tracks the conditional quantile: higher tau → higher
+      // slope, certified by the oracle row-for-row.
+      (s, dir) => {
+        val cands = PinballSlopes.map(_.toString).mkString(",")
+        table(s, dir, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("pc"), col("l_quantity").cast("long").as("qty"))
+          .select(explode(expr(s"array($cands)")).as("b"),
+            col("pc"), col("qty"))
+          .select(explode(expr("array(1, 5, 9)")).as("tau10"),
+            col("b"), col("pc"), col("qty"))
+          .withColumn("err", col("pc") - col("b") * col("qty"))
+          .groupBy("tau10", "b")
+          .agg(sum(expr(
+            "CASE WHEN err >= 0 THEN tau10 * err ELSE (tau10 - 10) * err END"))
+            .as("loss10"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("tau10").orderBy(col("loss10"), col("b"))))
+          .filter(col("rn") === 1)
+          .select(col("tau10").cast("long").as("tau10"),
+            col("b").cast("long").as("best_b"),
+            col("loss10"))
+          .orderBy("tau10")
+      },
+      Some {
+        val cands = PinballSlopes.mkString(", ")
+        s"""|WITH fan AS (
+            |  SELECT t.tau10, c.b,
+            |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+            |    CAST(l_quantity AS BIGINT) AS qty
+            |  FROM lineitem
+            |  CROSS JOIN (SELECT unnest([$cands]) AS b) c
+            |  CROSS JOIN (SELECT unnest([1, 5, 9]) AS tau10) t
+            |), scored AS (
+            |  SELECT tau10, b,
+            |    CAST(sum(CASE WHEN pc - b * qty >= 0
+            |      THEN tau10 * (pc - b * qty)
+            |      ELSE (tau10 - 10) * (pc - b * qty) END) AS BIGINT)
+            |      AS loss10
+            |  FROM fan GROUP BY 1, 2
+            |)
+            |SELECT CAST(tau10 AS BIGINT) AS tau10,
+            |  CAST(b AS BIGINT) AS best_b, loss10 FROM (
+            |  SELECT tau10, b, loss10,
+            |    row_number() OVER (PARTITION BY tau10
+            |      ORDER BY loss10, b) AS rn
+            |  FROM scored
+            |) WHERE rn = 1 ORDER BY tau10""".stripMargin
+      }),
+
+    QueryDef("q291_dtw_distance",
+      "dynamic-time-warping distance between per-type daily series (exact integer DP)",
+      // the elastic time-series distance the euclidean profile measures
+      // (q227) can't provide: DTW aligns shifted/warped seasonality. The
+      // corpus collapses to |types| day-indexed milli-sum series FIRST
+      // (one shuffle, series bounded by the day domain, never the
+      // corpus), then each of the |types|² pairs runs the full DP as a
+      // nested fold — rows of the DTW matrix ride a string-encoded
+      // accumulator through Spark's `aggregate` HOF, with DuckDB's
+      // list_reduce executing the IDENTICAL integer recurrence
+      // D[i][j] = |a_i−b_j| + min(up, left, diag). All-integer, so the
+      // distance is engine-exact.
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+          .groupBy("event_type")
+          .agg(expr("transform(sort_array(collect_list(struct(day, vm)))," +
+            " x -> x.vm)").as("series"))
+        val pairs = daily.select(col("event_type").as("ta"),
+            col("series").as("a"))
+          .crossJoin(daily.select(col("event_type").as("tb"),
+            col("series").as("b")))
+          .filter(col("ta") < col("tb"))
+        // first DP row: D[0][j] = |a_1 - b_j| + D[0][j-1]; then fold rows
+        // i = 2..n with the inner fold over j = 2..m carrying (prev row =
+        // acc, current row prefix = racc) as comma-joined strings.
+        val dtw =
+          """aggregate(
+            |  slice(a, 2, size(a) - 1),
+            |  aggregate(sequence(2, size(b)),
+            |    CAST(abs(element_at(a, 1) - element_at(b, 1)) AS STRING),
+            |    (racc, j) -> concat(racc, ',',
+            |      CAST(abs(element_at(a, 1) - element_at(b, j))
+            |        + CAST(element_at(split(racc, ','), -1) AS BIGINT)
+            |        AS STRING))),
+            |  (acc, ai) -> aggregate(sequence(2, size(b)),
+            |    CAST(abs(ai - element_at(b, 1))
+            |      + CAST(element_at(split(acc, ','), 1) AS BIGINT) AS STRING),
+            |    (racc, j) -> concat(racc, ',',
+            |      CAST(abs(ai - element_at(b, j))
+            |        + least(
+            |            CAST(element_at(split(acc, ','), j) AS BIGINT),
+            |            CAST(element_at(split(acc, ','), j - 1) AS BIGINT),
+            |            CAST(element_at(split(racc, ','), -1) AS BIGINT))
+            |        AS STRING))))""".stripMargin
+        pairs.select(col("ta"), col("tb"),
+            size(col("a")).cast("long").as("len_a"),
+            size(col("b")).cast("long").as("len_b"),
+            expr(s"CAST(element_at(split($dtw, ','), -1) AS BIGINT)")
+              .as("dtw"))
+          .orderBy("ta", "tb")
+      },
+      Some("""|WITH daily AS (
+              |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+              |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+              |      AS vm
+              |  FROM events GROUP BY 1, 2
+              |), ser AS (
+              |  SELECT event_type, list(vm ORDER BY day) AS series
+              |  FROM daily GROUP BY 1
+              |), pairs AS (
+              |  SELECT x.event_type AS ta, x.series AS a,
+              |    y.event_type AS tb, y.series AS b
+              |  FROM ser x JOIN ser y ON x.event_type < y.event_type
+              |)
+              |SELECT ta, tb, CAST(len(a) AS BIGINT) AS len_a,
+              |  CAST(len(b) AS BIGINT) AS len_b,
+              |  CAST(string_split(
+              |    list_reduce(
+              |      list_prepend(
+              |        list_reduce(
+              |          list_prepend(CAST(abs(a[1] - b[1]) AS VARCHAR),
+              |            list_transform(generate_series(2, len(b)),
+              |              x -> CAST(x AS VARCHAR))),
+              |          (racc, s) -> racc || ',' ||
+              |            CAST(abs(a[1] - b[CAST(s AS INT)])
+              |              + CAST(string_split(racc, ',')[-1] AS BIGINT)
+              |              AS VARCHAR)),
+              |        list_transform(generate_series(2, len(a)),
+              |          x -> CAST(x AS VARCHAR))),
+              |      (acc, s) ->
+              |        list_reduce(
+              |          list_prepend(
+              |            CAST(abs(a[CAST(s AS INT)] - b[1])
+              |              + CAST(string_split(acc, ',')[1] AS BIGINT)
+              |              AS VARCHAR),
+              |            list_transform(generate_series(2, len(b)),
+              |              x -> CAST(x AS VARCHAR))),
+              |          (racc, t) -> racc || ',' ||
+              |            CAST(abs(a[CAST(s AS INT)] - b[CAST(t AS INT)])
+              |              + least(
+              |                  CAST(string_split(acc, ',')[CAST(t AS INT)]
+              |                    AS BIGINT),
+              |                  CAST(string_split(acc, ',')[CAST(t AS INT) - 1]
+              |                    AS BIGINT),
+              |                  CAST(string_split(racc, ',')[-1] AS BIGINT))
+              |              AS VARCHAR))),
+              |    ',')[-1] AS BIGINT) AS dtw
+              |FROM pairs ORDER BY ta, tb""".stripMargin))
   )
+
 }
