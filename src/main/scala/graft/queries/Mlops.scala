@@ -1891,7 +1891,163 @@ object Mlops {
               |                  CAST(string_split(racc, ',')[-1] AS BIGINT))
               |              AS VARCHAR))),
               |    ',')[-1] AS BIGINT) AS dtw
-              |FROM pairs ORDER BY ta, tb""".stripMargin))
+              |FROM pairs ORDER BY ta, tb""".stripMargin)),
+
+    QueryDef("q292_shapley_attribution",
+      "exact Shapley-value conversion attribution over the 4-channel coalition lattice",
+      // the game-theoretic completion of the attribution family (q151
+      // last-touch, q203 linear, q284 Markov removal): with 4 channels the
+      // 2⁴ coalition lattice is EXACT — no sampling. One corpus pass
+      // builds each user's pre-first-purchase channel bitmask (bit_or of
+      // per-type bits) + converted flag; the 16-row mask frame carries
+      // v_e6(S) = conversions·1e6 div users (unobserved coalitions -> 0),
+      // and Shapley φ_i = Σ_S |S|!(3−|S|)!·(v(S∪i)−v(S)) div 4! runs as a
+      // 64-term join over the lattice — integers end-to-end, so the
+      // axioms are engine-exact. Efficiency (Σφ = v(full)−v(∅)) holds up
+      // to the e6 grid.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val spark = s
+        import spark.implicits._
+        val e = table(s, dir, "events")
+        val fp = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("fts"))
+        val masks = e.join(fp, Seq("user_id"), "left")
+          .filter(col("fts").isNull || col("ts") < col("fts"))
+          .select(col("user_id"), col("fts"),
+            expr("""CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                   | WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                   | ELSE 0 END""".stripMargin).as("bit"))
+          .groupBy("user_id")
+          .agg(expr("bit_or(bit)").as("mask"),
+            max(expr("CASE WHEN fts IS NOT NULL THEN 1 ELSE 0 END"))
+              .as("conv"))
+        val v = masks.groupBy("mask")
+          .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+          .withColumn("v_e6",
+            expr("(n_conv * 1000000) div n_users")).pin
+        val lattice = (0L until 16L).toDF("s_mask")
+        val chans = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+          ("view", 8L)).toDF("channel", "cbit")
+        lattice.crossJoin(chans)
+          .filter(expr("(s_mask & cbit) = 0"))
+          .join(v.select(col("mask").as("s_mask"),
+            col("v_e6").as("v_s")), Seq("s_mask"), "left")
+          .join(v.select(expr("mask").as("su_mask"),
+            col("v_e6").as("v_su")),
+            expr("su_mask = (s_mask | cbit)"), "left")
+          .na.fill(0L, Seq("v_s", "v_su"))
+          // w_num(|S|) = |S|! * (3-|S|)! for |S| = 0..3 -> 6, 2, 2, 6
+          .withColumn("w_num", expr(
+            "CASE bit_count(s_mask) WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+              "WHEN 2 THEN 2 ELSE 6 END"))
+          .groupBy("channel")
+          .agg(expr("CAST(sum(w_num * (v_su - v_s)) AS BIGINT) div 24")
+            .as("phi_e6"))
+          .orderBy("channel")
+      },
+      Some("""|WITH fp AS (
+              |  SELECT user_id, min(ts) AS fts FROM events
+              |  WHERE event_type = 'purchase' GROUP BY 1
+              |), um AS (
+              |  SELECT e.user_id,
+              |    bit_or(CASE e.event_type WHEN 'click' THEN 1
+              |      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+              |      WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+              |    max(CASE WHEN fp.fts IS NOT NULL THEN 1 ELSE 0 END) AS conv
+              |  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+              |  WHERE fp.fts IS NULL OR e.ts < fp.fts
+              |  GROUP BY 1
+              |), v AS (
+              |  SELECT mask, count(*) AS n_users,
+              |    CAST(sum(conv) AS BIGINT) AS n_conv,
+              |    (CAST(sum(conv) AS BIGINT) * 1000000) // count(*) AS v_e6
+              |  FROM um GROUP BY 1
+              |), lattice AS (
+              |  SELECT unnest(generate_series(0, 15)) AS s_mask
+              |), chans(channel, cbit) AS (SELECT * FROM (VALUES
+              |  ('click', 1), ('error', 2), ('signup', 4), ('view', 8)))
+              |SELECT c.channel,
+              |  CAST(sum(
+              |    (CASE bit_count(l.s_mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+              |      WHEN 2 THEN 2 ELSE 6 END)
+              |    * (COALESCE(vu.v_e6, 0) - COALESCE(vs.v_e6, 0)))
+              |    AS BIGINT) // 24 AS phi_e6
+              |FROM lattice l CROSS JOIN chans c
+              |LEFT JOIN v vs ON vs.mask = l.s_mask
+              |LEFT JOIN v vu ON vu.mask = (l.s_mask | c.cbit)
+              |WHERE (l.s_mask & c.cbit) = 0
+              |GROUP BY 1 ORDER BY c.channel""".stripMargin)),
+
+    QueryDef("q293_diff_in_diff",
+      "difference-in-differences: signup-cohort purchase-value effect across the time midpoint",
+      // the workhorse causal estimator: treatment = users who ever signed
+      // up (time-invariant), periods split at the integer midpoint of the
+      // event-time range, outcome = mean purchase milli-value per
+      // (group, period) cell. DiD = (T_post−T_pre) − (C_post−C_pre)
+      // cancels both the group level difference and the common time
+      // trend. ONE pass over purchases with a broadcast treatment
+      // semi-flag and broadcast bounds; cell means micro-rounded as
+      // (sum·1e6) div n so the estimate is engine-exact.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val bounds = e.agg(min("ts").as("t0"), max("ts").as("t1"))
+        val treated = e.filter(col("event_type") === "signup")
+          .select("user_id").distinct().withColumn("tr", lit(1L))
+        def cell(t: Int, p: Int, nm: String) = {
+          val cond = s"tflag = $t AND post = $p"
+          expr(s"(CAST(sum(CASE WHEN $cond THEN vm END) AS BIGINT) " +
+            s"* 1000000) div greatest(sum(CASE WHEN $cond THEN 1 ELSE 0 " +
+            s"END), CAST(1 AS BIGINT))").as(nm)
+        }
+        e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("user_id"), col("ts"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+          .join(broadcast(treated), Seq("user_id"), "left")
+          .na.fill(0L, Seq("tr"))
+          .crossJoin(broadcast(bounds))
+          .select(col("vm"), col("tr").as("tflag"),
+            expr("CASE WHEN ts >= t0 + (t1 - t0) div 2 THEN 1 ELSE 0 END")
+              .as("post"))
+          .agg(cell(1, 0, "t_pre_e6"), cell(1, 1, "t_post_e6"),
+            cell(0, 0, "c_pre_e6"), cell(0, 1, "c_post_e6"))
+          .withColumn("did_e6", expr(
+            "(t_post_e6 - t_pre_e6) - (c_post_e6 - c_pre_e6)"))
+      },
+      Some("""|WITH bounds AS (
+              |  SELECT min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1
+              |  FROM events
+              |), treated AS (
+              |  SELECT DISTINCT user_id FROM events
+              |  WHERE event_type = 'signup'
+              |), base AS (
+              |  SELECT CAST(floor(e.value * 1000) AS BIGINT) AS vm,
+              |    CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS tflag,
+              |    CASE WHEN epoch_ns(e.ts) >= b.t0 + (b.t1 - b.t0) // 2
+              |      THEN 1 ELSE 0 END AS post
+              |  FROM events e
+              |  LEFT JOIN treated t ON t.user_id = e.user_id
+              |  CROSS JOIN bounds b
+              |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+              |), cells AS (
+              |  SELECT
+              |    (CAST(sum(CASE WHEN tflag = 1 AND post = 0 THEN vm END)
+              |      AS BIGINT) * 1000000) // greatest(CAST(sum(CASE WHEN tflag = 1
+              |      AND post = 0 THEN 1 ELSE 0 END) AS BIGINT), 1) AS t_pre_e6,
+              |    (CAST(sum(CASE WHEN tflag = 1 AND post = 1 THEN vm END)
+              |      AS BIGINT) * 1000000) // greatest(CAST(sum(CASE WHEN tflag = 1
+              |      AND post = 1 THEN 1 ELSE 0 END) AS BIGINT), 1) AS t_post_e6,
+              |    (CAST(sum(CASE WHEN tflag = 0 AND post = 0 THEN vm END)
+              |      AS BIGINT) * 1000000) // greatest(CAST(sum(CASE WHEN tflag = 0
+              |      AND post = 0 THEN 1 ELSE 0 END) AS BIGINT), 1) AS c_pre_e6,
+              |    (CAST(sum(CASE WHEN tflag = 0 AND post = 1 THEN vm END)
+              |      AS BIGINT) * 1000000) // greatest(CAST(sum(CASE WHEN tflag = 0
+              |      AND post = 1 THEN 1 ELSE 0 END) AS BIGINT), 1) AS c_post_e6
+              |  FROM base
+              |)
+              |SELECT t_pre_e6, t_post_e6, c_pre_e6, c_post_e6,
+              |  (t_post_e6 - t_pre_e6) - (c_post_e6 - c_pre_e6) AS did_e6
+              |FROM cells""".stripMargin))
   )
 
 }
