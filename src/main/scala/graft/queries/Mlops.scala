@@ -361,6 +361,12 @@ object Mlops {
     280000L, 370000L, 490000L, 650000L, 860000L, 1140000L, 1500000L,
     2000000L, 2600000L)
 
+
+  /** q294's fixed point model: the q290 median-tau winning slope
+    * (cents per quantity unit), embedded as the same literal in both
+    * engines. */
+  private val ConformalSlope = 160000L
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -2047,7 +2053,188 @@ object Mlops {
               |)
               |SELECT t_pre_e6, t_post_e6, c_pre_e6, c_post_e6,
               |  (t_post_e6 - t_pre_e6) - (c_post_e6 - c_pre_e6) AS did_e6
-              |FROM cells""".stripMargin))
+              |FROM cells""".stripMargin)),
+
+    QueryDef("q294_conformal_calibration",
+      "split-conformal prediction intervals: exact order-statistic quantile + held-out coverage",
+      // the distribution-free uncertainty gate for any point model: hash-
+      // split lineitem rows into calibration/test halves, score the fixed
+      // q290-winner slope model's absolute residuals on calibration, take
+      // q-hat as the EXACT k-th order statistic with the finite-sample
+      // correction k = ceil((n_cal+1)(1−α)) (rank window, integer k from
+      // integer arithmetic), then audit coverage of |y − ŷ| ≤ q-hat on
+      // the held-out half. Valid coverage ≥ 1−α is the conformal
+      // guarantee; both sides are integer cents so the audit is
+      // engine-exact. Two scans of the residual frame (one per half),
+      // order statistic via rank on the calibration shuffle.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val spark = s
+        import spark.implicits._
+        val alphas = Seq(1L, 2L).toDF("alpha10") // alpha = 0.1, 0.2
+        val res = table(s, dir, "lineitem")
+          .select(
+            expr("abs(CAST(round(l_extendedprice * 100) AS BIGINT) " +
+              s"- $ConformalSlope * CAST(l_quantity AS BIGINT))").as("r"),
+            expr(u60("concat('conf:', CAST(l_orderkey AS STRING), ':', " +
+              "CAST(l_linenumber AS STRING))", spark = true) + " % 2 = 0")
+              .as("is_cal"))
+          .pin
+        val calN = res.filter(col("is_cal"))
+          .agg(count(lit(1)).as("n_cal"))
+        // rank over the calibration residual frame: k-th order statistic
+        // (the exact-quantile contract; the approximate tier is q91/q101).
+        // Ties in r make rank assignment among equal values arbitrary, but
+        // the VALUE at rank k is tie-invariant.
+        val ranked = res.filter(col("is_cal"))
+          .select(col("r").as("qhat"), row_number()
+            .over(Window.orderBy(col("r"))).as("rk"))
+        val qhats = broadcast(alphas).crossJoin(broadcast(calN))
+          .withColumn("k", expr(
+            "least((( (n_cal + 1) * (10 - alpha10) ) + 9) div 10, n_cal)"))
+          .join(ranked, expr("rk = k"))
+          .select(col("alpha10"), col("n_cal"), col("qhat"))
+        qhats.crossJoin(
+          res.filter(!col("is_cal"))
+            .agg(count(lit(1)).as("n_test")))
+          .join(res.filter(!col("is_cal")).select(col("r").as("rt"))
+            .crossJoin(broadcast(qhats.select(col("alpha10").as("a2"),
+              col("qhat").as("q2"))))
+            .groupBy(col("a2").as("alpha10"))
+            .agg(sum(when(col("rt") <= col("q2"), 1L).otherwise(0L))
+              .as("n_covered")), Seq("alpha10"))
+          .withColumn("coverage_e6",
+            expr("(n_covered * 1000000) div greatest(n_test, " +
+              "CAST(1 AS BIGINT))"))
+          .select(col("alpha10"), col("n_cal"), col("qhat"), col("n_test"),
+            col("n_covered"), col("coverage_e6"))
+          .orderBy("alpha10")
+      },
+      Some {
+        val h = u60("'conf:' || l_orderkey || ':' || l_linenumber",
+          spark = false)
+        s"""|WITH res AS (
+            |  SELECT abs(CAST(round(l_extendedprice * 100) AS BIGINT)
+            |      - $ConformalSlope * CAST(l_quantity AS BIGINT)) AS r,
+            |    ($h) % 2 = 0 AS is_cal
+            |  FROM lineitem
+            |), caln AS (
+            |  SELECT count(*) AS n_cal FROM res WHERE is_cal
+            |), ranked AS (
+            |  SELECT r AS qhat, row_number() OVER (ORDER BY r) AS rk
+            |  FROM res WHERE is_cal
+            |), alphas(alpha10) AS (SELECT * FROM (VALUES (1), (2))),
+            |qhats AS (
+            |  SELECT a.alpha10, c.n_cal, rk2.qhat
+            |  FROM alphas a CROSS JOIN caln c
+            |  JOIN ranked rk2 ON rk2.rk = least(
+            |    (((c.n_cal + 1) * (10 - a.alpha10)) + 9) // 10, c.n_cal)
+            |), testn AS (
+            |  SELECT count(*) AS n_test FROM res WHERE NOT is_cal
+            |), cov AS (
+            |  SELECT q.alpha10,
+            |    CAST(sum(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS n_covered
+            |  FROM (SELECT r FROM res WHERE NOT is_cal) t
+            |  CROSS JOIN qhats q GROUP BY 1
+            |)
+            |SELECT CAST(q.alpha10 AS BIGINT) AS alpha10, q.n_cal, q.qhat,
+            |  tn.n_test, c.n_covered,
+            |  (c.n_covered * 1000000) // greatest(tn.n_test, 1)
+            |    AS coverage_e6
+            |FROM qhats q CROSS JOIN testn tn
+            |JOIN cov c ON c.alpha10 = q.alpha10
+            |ORDER BY alpha10""".stripMargin
+      }),
+
+    QueryDef("q295_qini_uplift",
+      "uplift-model evaluation: per-decile uplift and cumulative Qini over an activity score",
+      // the uplift-eval harness: rank treatment (signup cohort) and
+      // control users by the SAME score (view count, ties by user id),
+      // then per score decile compare conversion rates and accumulate the
+      // Qini statistic Q(k) = convT_cum − convC_cum·NT_cum/NC_cum — the
+      // area under which is the standard uplift-model metric. Per-user
+      // rollup is one shuffle; deciles (ntile over the bounded user
+      // frame) and the cumulative window run on 10 rows. Kept exact:
+      // qini_e6 = (convT_cum·NC_cum − convC_cum·NT_cum)·1e6 div NC_cum.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val users = e.groupBy("user_id").agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .as("tr"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val wDec = Window.orderBy(col("score").desc, col("user_id"))
+        val dec = users
+          .withColumn("dec", ntile(10).over(wDec).cast("long"))
+          .groupBy("dec").agg(
+            sum(when(col("tr") === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("tr") === 1, col("conv")).otherwise(0L))
+              .as("conv_t"),
+            sum(when(col("tr") === 0, 1L).otherwise(0L)).as("n_c"),
+            sum(when(col("tr") === 0, col("conv")).otherwise(0L))
+              .as("conv_c"))
+        val wCum = Window.orderBy("dec")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        dec
+          .withColumn("nt_cum", sum("n_t").over(wCum))
+          .withColumn("ct_cum", sum("conv_t").over(wCum))
+          .withColumn("nc_cum", sum("n_c").over(wCum))
+          .withColumn("cc_cum", sum("conv_c").over(wCum))
+          .select(col("dec"), col("n_t"), col("conv_t"), col("n_c"),
+            col("conv_c"),
+            expr("""(conv_t * 1000000) div greatest(n_t, CAST(1 AS BIGINT))
+                   | - (conv_c * 1000000) div greatest(n_c, CAST(1 AS BIGINT))
+                   |""".stripMargin.replace("\n", " ")).as("uplift_e6"),
+            expr("""((ct_cum * nc_cum - cc_cum * nt_cum) * 1000000)
+                   | div greatest(nc_cum, CAST(1 AS BIGINT))
+                   |""".stripMargin.replace("\n", " ")).as("qini_e6"))
+          .orderBy("dec")
+      },
+      Some("""|WITH users AS (
+              |  SELECT user_id,
+              |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS score,
+              |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              |      AS tr,
+              |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              |      END) AS BIGINT) AS conv
+              |  FROM events GROUP BY 1
+              |), dec AS (
+              |  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
+              |      AS BIGINT) AS dec,
+              |    tr, conv
+              |  FROM users
+              |), cells AS (
+              |  SELECT dec,
+              |    CAST(sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_t,
+              |    CAST(sum(CASE WHEN tr = 1 THEN conv ELSE 0 END) AS BIGINT)
+              |      AS conv_t,
+              |    CAST(sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_c,
+              |    CAST(sum(CASE WHEN tr = 0 THEN conv ELSE 0 END) AS BIGINT)
+              |      AS conv_c
+              |  FROM dec GROUP BY 1
+              |), cum AS (
+              |  SELECT dec, n_t, conv_t, n_c, conv_c,
+              |    CAST(sum(n_t) OVER w AS BIGINT) AS nt_cum,
+              |    CAST(sum(conv_t) OVER w AS BIGINT) AS ct_cum,
+              |    CAST(sum(n_c) OVER w AS BIGINT) AS nc_cum,
+              |    CAST(sum(conv_c) OVER w AS BIGINT) AS cc_cum
+              |  FROM cells
+              |  WINDOW w AS (ORDER BY dec
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |)
+              |SELECT dec, n_t, conv_t, n_c, conv_c,
+              |  (conv_t * 1000000) // greatest(n_t, 1)
+              |    - (conv_c * 1000000) // greatest(n_c, 1) AS uplift_e6,
+              |  ((ct_cum * nc_cum - cc_cum * nt_cum) * 1000000)
+              |    // greatest(nc_cum, 1) AS qini_e6
+              |FROM cum ORDER BY dec""".stripMargin))
   )
+
 
 }
