@@ -130,7 +130,8 @@ object Bench {
     "q287_streaming_feature_pit", "q288_recsys_hit_rate",
     "q289_linear_interpolation", "q290_pinball_grid_search",
     "q291_dtw_distance", "q292_shapley_attribution", "q293_diff_in_diff",
-    "q294_conformal_calibration", "q295_qini_uplift")
+    "q294_conformal_calibration", "q295_qini_uplift",
+    "q296_raking_calibration", "q297_als_halfstep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

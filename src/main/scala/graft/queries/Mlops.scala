@@ -367,6 +367,60 @@ object Mlops {
     * engines. */
   private val ConformalSlope = 160000L
 
+  /** q296: raking (iterative proportional fitting) as ONE SQL template
+    * for both engines over a cells relation (n_name, pr, cnt). `rounds`
+    * alternating row/column passes on the e6 weight grid; scale factors
+    * carry e6 precision via factor_e6 = target·1e12 div marginsum (sums
+    * are e6-scaled), so every weight stays an exact BIGINT. Row targets
+    * are UNIFORM across nations (the calibration ask); column targets are
+    * the observed priority margins. */
+  private def rakingSql(spark: Boolean, rounds: Int, cellsRef: String): String = {
+    val DIV = mkDiv(spark) _
+    // each pass references its predecessor exactly ONCE (margin sums via
+    // window functions, not self-joins) — a second reference would double
+    // the inlined plan per pass and blow up analysis exponentially.
+    val passes = new StringBuilder
+    var k = 0
+    for (_ <- 1 to rounds) {
+      // row pass (nation margin -> uniform target)
+      passes.append(s""",
+        |w${k + 1} AS (
+        |  SELECT n_name, pr, cnt,
+        |    ${DIV(
+        s"w * ${DIV("(SELECT t FROM t1) * 1000000000000",
+          "CAST(sum(cnt * w) OVER (PARTITION BY n_name) AS BIGINT)")}",
+        "1000000")} AS w
+        |  FROM w$k
+        |)""".stripMargin)
+      k += 1
+      // column pass (priority margin -> observed target)
+      passes.append(s""",
+        |w${k + 1} AS (
+        |  SELECT c.n_name, c.pr, c.cnt,
+        |    ${DIV(
+        s"c.w * ${DIV("ct.t * 1000000000000",
+          "CAST(sum(c.cnt * c.w) OVER (PARTITION BY c.pr) AS BIGINT)")}",
+        "1000000")} AS w
+        |  FROM w$k c JOIN ct ON ct.pr = c.pr
+        |)""".stripMargin)
+      k += 1
+    }
+    s"""WITH w0 AS (
+       |  SELECT n_name, pr, cnt, CAST(1000000 AS BIGINT) AS w
+       |  FROM $cellsRef
+       |),
+       |tots AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+       |    CAST(count(DISTINCT n_name) AS BIGINT) AS nn FROM w0
+       |),
+       |t1 AS (SELECT ${DIV("tot", "nn")} AS t FROM tots),
+       |ct AS (SELECT pr, CAST(sum(cnt) AS BIGINT) AS t FROM w0 GROUP BY 1)
+       |${passes.result()}
+       |SELECT n_name AS nation, pr AS priority, cnt, w AS w_e6,
+       |  ${DIV("cnt * w", "1000000")} AS weighted
+       |FROM w$k ORDER BY nation, priority""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -2233,7 +2287,130 @@ object Mlops {
               |    - (conv_c * 1000000) // greatest(n_c, 1) AS uplift_e6,
               |  ((ct_cum * nc_cum - cc_cum * nt_cum) * 1000000)
               |    // greatest(nc_cum, 1) AS qini_e6
-              |FROM cum ORDER BY dec""".stripMargin))
+              |FROM cum ORDER BY dec""".stripMargin)),
+
+    QueryDef("q296_raking_calibration",
+      "survey raking (IPF): calibrate cell weights to uniform nation and observed priority margins",
+      // the survey-statistics calibration step (iterative proportional
+      // fitting): cell weights start at 1 and alternately rescale so the
+      // weighted nation margin hits a UNIFORM target while the priority
+      // margin stays at its observed total — 6 alternating round pairs on
+      // the e6 integer grid converge to the raked weights a downstream
+      // estimator multiplies in. One corpus join builds the 125-cell
+      // (nation × priority) frame; every IPF pass runs on that pinned
+      // frame through the SAME SQL template in both engines (q284's
+      // dialect-substitution discipline).
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val cust = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nat = table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val cells = table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority").as("pr"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "pr").agg(count(lit(1)).as("cnt"))
+          .pin
+        cells.createOrReplaceTempView("rk_cells")
+        s.sql(rakingSql(spark = true, rounds = 6, cellsRef = "rk_cells"))
+      },
+      Some {
+        val cells =
+          """(SELECT n_name, o_orderpriority AS pr,
+            |  CAST(count(*) AS BIGINT) AS cnt
+            | FROM orders
+            | JOIN customer ON c_custkey = o_custkey
+            | JOIN nation ON n_nationkey = c_nationkey
+            | GROUP BY 1, 2)""".stripMargin
+        rakingSql(spark = false, rounds = 6, cellsRef = cells)
+      }),
+
+    QueryDef("q297_als_halfstep",
+      "matrix-factorization ALS half-step: exact per-user 2x2 ridge solve against hash-init item factors",
+      // the distributed shape of one ALS iteration (the workhorse of
+      // collaborative filtering): item factors FIXED (md5-derived 2-d
+      // integer vectors — both engines rebuild them, no literals), each
+      // user's factors solved in closed form from the 2x2 ridge normal
+      // equations (H + λI)w = g accumulated over that user's ratings —
+      // one rating scan builds (H11, H12, H22, g1, g2) as map-combined
+      // integer sums, the Cramer solve is exact rational rounded to the
+      // e3 grid (the q250 Cramer discipline; e3 keeps num*scale < 2^63
+      // through sf1-class per-user rating counts), and the residual readout rejoins
+      // ratings on the SAME customer key (exchange reuse, no extra
+      // shuffle pattern). λ = 10000 keeps det ≥ λ² > 0.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val f1 = u60("concat('als:1:', CAST(l_partkey AS STRING))",
+          spark = true) + " % 100"
+        val f2 = u60("concat('als:2:', CAST(l_partkey AS STRING))",
+          spark = true) + " % 100"
+        val ratings = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("cust"),
+            col("l_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("r"))
+          .select(col("cust"), col("r"),
+            expr(f1).as("f1"), expr(f2).as("f2"))
+          .pin
+        val solved = ratings.groupBy("cust")
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("f1 * f1")).as("h11"),
+            sum(expr("f1 * f2")).as("h12"),
+            sum(expr("f2 * f2")).as("h22"),
+            sum(expr("r * f1")).as("g1"),
+            sum(expr("r * f2")).as("g2"))
+          .withColumn("det", expr(
+            "(h11 + 10000) * (h22 + 10000) - h12 * h12"))
+          .withColumn("w1_e3", expr(
+            "((h22 + 10000) * g1 - h12 * g2) * 1000 div det"))
+          .withColumn("w2_e3", expr(
+            "((h11 + 10000) * g2 - h12 * g1) * 1000 div det"))
+        val out = solved.join(ratings, Seq("cust"))
+          .groupBy(col("cust"), col("n_items"), col("w1_e3"), col("w2_e3"))
+          .agg(sum(expr("abs(r * 1000 - (w1_e3 * f1 + w2_e3 * f2))"))
+            .as("abs_err_sum_e3"))
+          .withColumn("mae_e3", expr("abs_err_sum_e3 div n_items"))
+        out.filter(col("cust") < 20)
+          .select(col("cust"), col("n_items"), col("w1_e3"), col("w2_e3"),
+            col("mae_e3"))
+          .orderBy("cust")
+      },
+      Some {
+        val f1 = u60("'als:1:' || l_partkey", spark = false) + " % 100"
+        val f2 = u60("'als:2:' || l_partkey", spark = false) + " % 100"
+        s"""|WITH ratings AS (
+            |  SELECT o_custkey AS cust, l_partkey,
+            |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r,
+            |    $f1 AS f1, $f2 AS f2
+            |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            |  GROUP BY 1, 2
+            |), solved AS (
+            |  SELECT cust, count(*) AS n_items,
+            |    CAST(sum(f1 * f1) AS BIGINT) AS h11,
+            |    CAST(sum(f1 * f2) AS BIGINT) AS h12,
+            |    CAST(sum(f2 * f2) AS BIGINT) AS h22,
+            |    CAST(sum(r * f1) AS BIGINT) AS g1,
+            |    CAST(sum(r * f2) AS BIGINT) AS g2
+            |  FROM ratings GROUP BY 1
+            |), w AS (
+            |  SELECT cust, n_items,
+            |    (((h22 + 10000) * g1 - h12 * g2) * 1000)
+            |      // ((h11 + 10000) * (h22 + 10000) - h12 * h12) AS w1_e3,
+            |    (((h11 + 10000) * g2 - h12 * g1) * 1000)
+            |      // ((h11 + 10000) * (h22 + 10000) - h12 * h12) AS w2_e3
+            |  FROM solved
+            |)
+            |SELECT w.cust, w.n_items, w.w1_e3, w.w2_e3,
+            |  CAST(sum(abs(r.r * 1000 - (w.w1_e3 * r.f1 + w.w2_e3 * r.f2)))
+            |    AS BIGINT) // w.n_items AS mae_e3
+            |FROM w JOIN ratings r ON r.cust = w.cust
+            |WHERE w.cust < 20
+            |GROUP BY 1, 2, 3, 4
+            |ORDER BY w.cust""".stripMargin
+      })
   )
 
 
