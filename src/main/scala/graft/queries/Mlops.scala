@@ -2410,7 +2410,101 @@ object Mlops {
             |WHERE w.cust < 20
             |GROUP BY 1, 2, 3, 4
             |ORDER BY w.cust""".stripMargin
-      })
+      }),
+
+    QueryDef("q298_perceptual_hash",
+      "perceptual average-hash of REAL-decoded images + Hamming-1 near-dup census",
+      // the image-dedup primitive: per 4x4-pixel tile, bit = (tile mean >
+      // image mean), compared EXACTLY as cross products (sum_tile·n_img >
+      // sum_img·n_tile — no division truncation), packed by tile position
+      // into an integer aHash. The engine decodes real PNG bytes
+      // (javax.imageio raster readback, the q183 contract); the oracle
+      // rebuilds every pixel closed-form — decoder vs arithmetic, bit for
+      // bit. Near-dup readout: exact-hash group sizes plus Hamming-1
+      // neighbor counts via a 12-bit-flip explode joined against the
+      // BOUNDED hash-frequency frame (≤4096 rows) — never doc×doc.
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        import graft.operators.Checkpoints.Pinnable
+        val png = udf { (id: Long) => Multimodal.syntheticGradientPng(id) }
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("media_id"),
+            lit("image").as("kind"),
+            png(col("doc_id").cast("long")).as("payload"),
+            lit(null).cast(Multimodal.MediaSchema("meta").dataType).as("meta"))
+        val w = Window.partitionBy("media_id")
+        val hashes = Multimodal.tileStats(media, 4, 4)
+          .withColumn("nt", sum("n_px").over(w))
+          .withColumn("st", sum("sum_lum").over(w))
+          .groupBy(col("media_id").as("doc_id"))
+          .agg(sum(expr("""CASE WHEN sum_lum * nt > st * n_px
+                          | THEN CAST(shiftleft(1, tile_y * 4 + tile_x)
+                          |   AS BIGINT) ELSE CAST(0 AS BIGINT)
+                          | END""".stripMargin)).as("phash"))
+          .pin
+        val freq = hashes.groupBy(col("phash").as("h"))
+          .agg(count(lit(1)).as("n")).pin
+        val spark = s
+        import spark.implicits._
+        val flips = (0 until 12).map(k => 1L << k).toDF("flip")
+        val h1 = hashes.crossJoin(broadcast(flips))
+          .select(col("doc_id"), expr("phash ^ flip").as("h"))
+          .join(broadcast(freq), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("n"), lit(0L))).as("n_hamming1"))
+        hashes
+          .join(broadcast(freq), col("phash") === col("h"))
+          .select(col("doc_id"), col("phash"), (col("n") - 1L).as("n_same"))
+          .join(h1, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""|WITH d AS (
+              |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+              |    1 + doc_id % 5 AS ax, 1 + doc_id % 3 AS by, doc_id % 256 AS c
+              |  FROM documents
+              |), px AS (
+              |  SELECT doc_id, x, y, (x * ax + y * by + c) % 256 AS lum,
+              |    x // 4 AS tile_x, y // 4 AS tile_y
+              |  FROM (
+              |    SELECT d.*, xx.x, yy.y
+              |    FROM d,
+              |      LATERAL (SELECT unnest(generate_series(0,
+              |        CAST(w - 1 AS INT))) AS x) xx,
+              |      LATERAL (SELECT unnest(generate_series(0,
+              |        CAST(h - 1 AS INT))) AS y) yy
+              |  )
+              |), tiles AS (
+              |  SELECT doc_id, tile_x, tile_y,
+              |    CAST(count(*) AS BIGINT) AS n_px,
+              |    CAST(sum(lum) AS BIGINT) AS sum_lum
+              |  FROM px GROUP BY 1, 2, 3
+              |), tot AS (
+              |  SELECT doc_id, CAST(sum(n_px) AS BIGINT) AS nt,
+              |    CAST(sum(sum_lum) AS BIGINT) AS st
+              |  FROM tiles GROUP BY 1
+              |), hashes AS (
+              |  SELECT t.doc_id,
+              |    CAST(sum(CASE WHEN t.sum_lum * o.nt > o.st * t.n_px
+              |      THEN CAST(1 AS BIGINT) << (t.tile_y * 4 + t.tile_x)
+              |      ELSE 0 END) AS BIGINT) AS phash
+              |  FROM tiles t JOIN tot o ON o.doc_id = t.doc_id
+              |  GROUP BY 1
+              |), freq AS (
+              |  SELECT phash AS h, count(*) AS n FROM hashes GROUP BY 1
+              |), h1 AS (
+              |  SELECT hs.doc_id,
+              |    CAST(sum(COALESCE(f.n, 0)) AS BIGINT) AS n_hamming1
+              |  FROM hashes hs
+              |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) b
+              |  LEFT JOIN freq f
+              |    ON f.h = xor(hs.phash, CAST(1 AS BIGINT) << CAST(b.k AS INT))
+              |  GROUP BY 1
+              |)
+              |SELECT hs.doc_id, hs.phash, f.n - 1 AS n_same, h1.n_hamming1
+              |FROM hashes hs
+              |JOIN freq f ON f.h = hs.phash
+              |JOIN h1 ON h1.doc_id = hs.doc_id
+              |ORDER BY hs.doc_id""".stripMargin))
   )
 
 
