@@ -2504,7 +2504,119 @@ object Mlops {
               |FROM hashes hs
               |JOIN freq f ON f.h = hs.phash
               |JOIN h1 ON h1.doc_id = hs.doc_id
-              |ORDER BY hs.doc_id""".stripMargin))
+              |ORDER BY hs.doc_id""".stripMargin)),
+
+    QueryDef("q299_holt_smoothing",
+      "Holt double-exponential smoothing per event type: exact fixed-point fold + one-step error vs naive",
+      // the level+trend forecaster one rung above q276's seasonal-naive
+      // gate: per type, the day-bounded milli series folds through the
+      // Holt recurrences on an e3 integer grid (α=0.5, β=0.2 as exact
+      // tenths: l' = (5·y·1000 + 5·(l+b)) div 10, b' = (2·(l'−l) + 8·b)
+      // div 10), accumulating the one-step absolute forecast error — the
+      // recurrence is inherently sequential, which is exactly why it runs
+      // over the BOUNDED aggregated series, never the raw events. The
+      // (l, b, sae) state rides a comma-string accumulator through
+      // Spark's aggregate HOF; DuckDB list_reduce replays it identically.
+      // Output: final state + SAE vs the lag-1 naive SAE.
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+          .groupBy("event_type")
+          .agg(expr("transform(sort_array(collect_list(struct(day, vm)))," +
+            " x -> x.vm)").as("ser"))
+          .filter(size(col("ser")) >= 2)
+        // state string "l,b,sae"; forecast BEFORE update = l + b
+        val fold =
+          """aggregate(
+            |  slice(ser, 3, size(ser) - 2),
+            |  concat(CAST(element_at(ser, 1) * 1000 AS STRING), ',',
+            |    CAST((element_at(ser, 2) - element_at(ser, 1)) * 1000
+            |      AS STRING), ',0'),
+            |  (acc, y) -> concat(
+            |    CAST((5 * y * 1000 + 5 *
+            |      (CAST(element_at(split(acc, ','), 1) AS BIGINT)
+            |       + CAST(element_at(split(acc, ','), 2) AS BIGINT)))
+            |      div 10 AS STRING), ',',
+            |    CAST((2 * ((5 * y * 1000 + 5 *
+            |      (CAST(element_at(split(acc, ','), 1) AS BIGINT)
+            |       + CAST(element_at(split(acc, ','), 2) AS BIGINT)))
+            |      div 10 - CAST(element_at(split(acc, ','), 1) AS BIGINT))
+            |      + 8 * CAST(element_at(split(acc, ','), 2) AS BIGINT))
+            |      div 10 AS STRING), ',',
+            |    CAST(CAST(element_at(split(acc, ','), 3) AS BIGINT)
+            |      + abs(y * 1000
+            |        - (CAST(element_at(split(acc, ','), 1) AS BIGINT)
+            |           + CAST(element_at(split(acc, ','), 2) AS BIGINT)))
+            |      AS STRING)))""".stripMargin
+        // guard: Spark sequence(3, 2) is DESCENDING, not empty — match
+        // DuckDB's empty generate_series for 2-day series explicitly
+        val naive =
+          """CASE WHEN size(ser) < 3 THEN CAST(0 AS BIGINT) ELSE
+            |  aggregate(sequence(3, size(ser)), CAST(0 AS BIGINT),
+            |    (a, i) -> a + abs(element_at(ser, i)
+            |      - element_at(ser, i - 1)) * 1000) END""".stripMargin
+        daily.select(col("event_type"),
+            size(col("ser")).cast("long").as("n_days"),
+            expr(s"CAST(element_at(split($fold, ','), 1) AS BIGINT)")
+              .as("level_e3"),
+            expr(s"CAST(element_at(split($fold, ','), 2) AS BIGINT)")
+              .as("trend_e3"),
+            expr(s"CAST(element_at(split($fold, ','), 3) AS BIGINT)")
+              .as("holt_sae_e3"),
+            expr(naive).as("naive_sae_e3"))
+          .withColumn("holt_vs_naive_e6", expr(
+            "(holt_sae_e3 * 1000000) div greatest(naive_sae_e3, " +
+              "CAST(1 AS BIGINT))"))
+          .orderBy("event_type")
+      },
+      Some("""|WITH daily AS (
+              |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+              |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+              |      AS vm
+              |  FROM events GROUP BY 1, 2
+              |), ser AS (
+              |  SELECT event_type, list(vm ORDER BY day) AS ser
+              |  FROM daily GROUP BY 1 HAVING count(*) >= 2
+              |), folded AS (
+              |  SELECT event_type, CAST(len(ser) AS BIGINT) AS n_days,
+              |    list_reduce(
+              |      list_prepend(
+              |        CAST(ser[1] * 1000 AS VARCHAR) || ',' ||
+              |          CAST((ser[2] - ser[1]) * 1000 AS VARCHAR) || ',0',
+              |        list_transform(generate_series(3, len(ser)),
+              |          i -> CAST(ser[i] AS VARCHAR))),
+              |      (acc, s) -> (
+              |        CAST((5 * CAST(s AS BIGINT) * 1000 + 5 *
+              |          (CAST(string_split(acc, ',')[1] AS BIGINT)
+              |           + CAST(string_split(acc, ',')[2] AS BIGINT)))
+              |          // 10 AS VARCHAR) || ',' ||
+              |        CAST((2 * ((5 * CAST(s AS BIGINT) * 1000 + 5 *
+              |          (CAST(string_split(acc, ',')[1] AS BIGINT)
+              |           + CAST(string_split(acc, ',')[2] AS BIGINT)))
+              |          // 10 - CAST(string_split(acc, ',')[1] AS BIGINT))
+              |          + 8 * CAST(string_split(acc, ',')[2] AS BIGINT))
+              |          // 10 AS VARCHAR) || ',' ||
+              |        CAST(CAST(string_split(acc, ',')[3] AS BIGINT)
+              |          + abs(CAST(s AS BIGINT) * 1000
+              |            - (CAST(string_split(acc, ',')[1] AS BIGINT)
+              |               + CAST(string_split(acc, ',')[2] AS BIGINT)))
+              |          AS VARCHAR))) AS st,
+              |    CAST(list_sum(list_transform(generate_series(3, len(ser)),
+              |      i -> abs(ser[i] - ser[i - 1]) * 1000)) AS BIGINT)
+              |      AS naive_sae_e3
+              |  FROM ser
+              |)
+              |SELECT event_type, n_days,
+              |  CAST(string_split(st, ',')[1] AS BIGINT) AS level_e3,
+              |  CAST(string_split(st, ',')[2] AS BIGINT) AS trend_e3,
+              |  CAST(string_split(st, ',')[3] AS BIGINT) AS holt_sae_e3,
+              |  COALESCE(naive_sae_e3, 0) AS naive_sae_e3,
+              |  (CAST(string_split(st, ',')[3] AS BIGINT) * 1000000)
+              |    // greatest(COALESCE(naive_sae_e3, 0), 1)
+              |    AS holt_vs_naive_e6
+              |FROM folded ORDER BY event_type""".stripMargin))
   )
 
 

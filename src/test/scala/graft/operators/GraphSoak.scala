@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * wedges and the star costs nothing. The soak asserts the exact triangle
   * count and PageRank leaf-uniformity/mass invariants at ~1M-edge scale.
   *
-  * Run: sbt "Test/runMain graft.operators.GraphSoak [K] [k] [H] [iters]"
+  * Run: sbt "Test/runMain graft.operators.GraphSoak [K] [k] [H] [iters] [ckptDir]"
+  *
+  * A non-empty 5th arg switches every iterative pin from executor-memory
+  * localCheckpoint to RELIABLE checkpointing into that directory
+  * (Checkpoints.DirKey) — the executor-loss-safe cluster mode; the soak
+  * then certifies the reliable path at the same scale and invariants.
   */
 object GraphSoak {
 
@@ -24,6 +29,7 @@ object GraphSoak {
     val k = if (args.length > 1) args(1).toInt else 6
     val leaves = if (args.length > 2) args(2).toLong else 1000000L
     val iters = if (args.length > 3) args(3).toInt else 5
+    val ckptDir = if (args.length > 4) args(4).trim else ""
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -31,6 +37,10 @@ object GraphSoak {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    if (ckptDir.nonEmpty) {
+      spark.conf.set(Checkpoints.DirKey, ckptDir)
+      println(s"pin mode: RELIABLE checkpoint -> $ckptDir")
+    } else println("pin mode: localCheckpoint")
     import spark.implicits._
 
     // clique pair template: C(k,2) (j1, j2) offsets
