@@ -132,7 +132,8 @@ object Bench {
     "q291_dtw_distance", "q292_shapley_attribution", "q293_diff_in_diff",
     "q294_conformal_calibration", "q295_qini_uplift",
     "q296_raking_calibration", "q297_als_halfstep",
-    "q298_perceptual_hash", "q299_holt_smoothing")
+    "q298_perceptual_hash", "q299_holt_smoothing",
+    "q300_cdc_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

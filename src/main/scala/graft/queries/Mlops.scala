@@ -2616,7 +2616,83 @@ object Mlops {
               |  (CAST(string_split(st, ',')[3] AS BIGINT) * 1000000)
               |    // greatest(COALESCE(naive_sae_e3, 0), 1)
               |    AS holt_vs_naive_e6
-              |FROM folded ORDER BY event_type""".stripMargin))
+              |FROM folded ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q300_cdc_chunk_dedup",
+      "content-defined chunking dedup: hash-boundary chunks, cross-corpus storage savings",
+      // the storage-dedup primitive behind every backup/CAS system:
+      // chunk boundaries come from CONTENT (a 4-gram hash hitting 0 mod
+      // 32), not fixed offsets, so an insertion shifts at most one
+      // chunk's boundary instead of re-slicing the whole document —
+      // which is why duplicated passages dedup across documents at all.
+      // Boundary detection is a narrow position explode (linear in corpus
+      // chars, no shuffle); chunks assemble via a per-doc lead window;
+      // the dedup census is one hash-keyed aggregation. Output: corpus
+      // bytes vs unique-chunk bytes and the dedup ratio.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(length(col("text")) >= 1)
+        val b1 = docs.select(col("doc_id"), col("text"),
+          lit(1).as("start"))
+        val bN = docs.filter(length(col("text")) >= 5)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(2, length(text) - 3)")).as("i"))
+          .filter(expr(
+            u60("substring(text, i, 4)", spark = true) + " % 32 = 0"))
+          .select(col("doc_id"), col("text"), col("i").as("start"))
+        val w = Window.partitionBy("doc_id").orderBy("start")
+        val chunks = b1.unionByName(bN)
+          .withColumn("nxt", coalesce(lead("start", 1).over(w),
+            length(col("text")) + 1))
+          .select(col("doc_id"),
+            expr("substr(text, start, nxt - start)").as("chunk"))
+        val perChunk = chunks
+          .groupBy(md5(col("chunk")).as("h"))
+          .agg(count(lit(1)).as("n"),
+            max(length(col("chunk"))).cast("long").as("len"))
+        perChunk.agg(
+            sum(expr("n * len")).as("total_bytes"),
+            count(lit(1)).as("n_unique_chunks"),
+            sum("len").as("unique_bytes"),
+            sum("n").as("n_chunks"))
+          .withColumn("dedup_ratio_e6",
+            expr("(unique_bytes * 1000000) div greatest(total_bytes, " +
+              "CAST(1 AS BIGINT))"))
+          .select(col("n_chunks"), col("n_unique_chunks"),
+            col("total_bytes"), col("unique_bytes"), col("dedup_ratio_e6"))
+      },
+      Some {
+        val bh = u60("substr(text, i, 4)", spark = false)
+        s"""|WITH docs AS (
+            |  SELECT doc_id, text FROM documents WHERE length(text) >= 1
+            |), starts AS (
+            |  SELECT doc_id, text, 1 AS start FROM docs
+            |  UNION ALL
+            |  SELECT doc_id, text, i AS start FROM (
+            |    SELECT doc_id, text,
+            |      unnest(generate_series(2, length(text) - 3)) AS i
+            |    FROM docs WHERE length(text) >= 5
+            |  ) WHERE ($bh) % 32 = 0
+            |), chunks AS (
+            |  SELECT doc_id, substr(text, start,
+            |    COALESCE(lead(start) OVER (PARTITION BY doc_id
+            |      ORDER BY start), length(text) + 1) - start) AS chunk
+            |  FROM starts
+            |), perchunk AS (
+            |  SELECT md5(chunk) AS h, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(max(length(chunk)) AS BIGINT) AS len
+            |  FROM chunks GROUP BY 1
+            |)
+            |SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+            |  count(*) AS n_unique_chunks,
+            |  CAST(sum(n * len) AS BIGINT) AS total_bytes,
+            |  CAST(sum(len) AS BIGINT) AS unique_bytes,
+            |  (CAST(sum(len) AS BIGINT) * 1000000)
+            |    // greatest(CAST(sum(n * len) AS BIGINT), 1)
+            |    AS dedup_ratio_e6
+            |FROM perchunk""".stripMargin
+      })
   )
 
 
