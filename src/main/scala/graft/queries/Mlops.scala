@@ -421,6 +421,14 @@ object Mlops {
        |FROM w$k ORDER BY nation, priority""".stripMargin
   }
 
+
+  /** q301's reference process model: the allowed directly-follows pairs,
+    * quoted for an IN list — identical literal text in both engines. */
+  private val ConformanceAllowed: String = Seq(
+    "view>view", "view>click", "view>purchase", "click>view",
+    "click>purchase", "signup>view", "signup>click", "purchase>view")
+    .map(p => s"'$p'").mkString(", ")
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -2692,8 +2700,99 @@ object Mlops {
             |    // greatest(CAST(sum(n * len) AS BIGINT), 1)
             |    AS dedup_ratio_e6
             |FROM perchunk""".stripMargin
-      })
+      }),
+
+    QueryDef("q301_process_conformance",
+      "process-mining conformance: per-user fitness against a reference directly-follows model",
+      // process mining's conformance check: the reference model is the
+      // ALLOWED directly-follows relation (a literal set both engines
+      // embed); each user's observed transition sequence (the q225 lag
+      // window) scores fitness = allowed / total, and users roll up into
+      // fitness-decile bins. One user-keyed window pass; the census frame
+      // is 11 rows.
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = e
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"),
+            expr(s"CASE WHEN concat(prev, '>', event_type) IN " +
+              s"($ConformanceAllowed) THEN 1 ELSE 0 END").as("ok"))
+        trans.groupBy("user_id")
+          .agg(count(lit(1)).as("n_trans"), sum("ok").as("n_ok"))
+          .withColumn("fit_bin",
+            expr("(n_ok * 10) div n_trans"))
+          .groupBy("fit_bin")
+          .agg(count(lit(1)).as("n_users"), sum("n_trans").as("n_trans"),
+            sum("n_ok").as("n_ok"))
+          .orderBy("fit_bin")
+      },
+      Some(s"""|WITH t AS (
+               |  SELECT user_id, event_type,
+               |    lag(event_type) OVER (PARTITION BY user_id
+               |      ORDER BY ts, event_id) AS prev
+               |  FROM events
+               |), scored AS (
+               |  SELECT user_id,
+               |    CASE WHEN (prev || '>' || event_type) IN
+               |      ($ConformanceAllowed) THEN 1 ELSE 0 END AS ok
+               |  FROM t WHERE prev IS NOT NULL
+               |), per_user AS (
+               |  SELECT user_id, count(*) AS n_trans,
+               |    CAST(sum(ok) AS BIGINT) AS n_ok
+               |  FROM scored GROUP BY 1
+               |)
+               |SELECT (n_ok * 10) // n_trans AS fit_bin,
+               |  count(*) AS n_users, CAST(sum(n_trans) AS BIGINT) AS n_trans,
+               |  CAST(sum(n_ok) AS BIGINT) AS n_ok
+               |FROM per_user GROUP BY 1 ORDER BY fit_bin""".stripMargin)),
+
+    QueryDef("q302_good_turing",
+      "Good-Turing vocabulary statistics per source: frequency-of-frequencies and missing mass",
+      // the corpus-coverage question behind every vocabulary cutoff: how
+      // much probability mass belongs to words we have NOT seen? The
+      // Good-Turing estimate is hapax mass P0 = N1/N, with the smoothed
+      // hapax count r* = 2·N2/N1. Term frequencies are one map-combined
+      // shuffle; frequency-of-frequencies and the estimates run on the
+      // bounded per-source spectrum frame. All integers with e6 ratios.
+      (s, dir) => {
+        val tf = table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        tf.groupBy("source").agg(
+            sum("c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("c") >= 3, 1L).otherwise(0L)).as("n3plus"))
+          .withColumn("p0_e6",
+            expr("(n1 * 1000000) div greatest(n_tokens, CAST(1 AS BIGINT))"))
+          .withColumn("r1_star_e6",
+            expr("(2 * n2 * 1000000) div greatest(n1, CAST(1 AS BIGINT))"))
+          .orderBy("source")
+      },
+      Some("""|WITH tf AS (
+              |  SELECT source, w, count(*) AS c FROM (
+              |    SELECT source, unnest(string_split(text, ' ')) AS w
+              |    FROM documents
+              |  ) WHERE w <> '' GROUP BY 1, 2
+              |)
+              |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |  count(*) AS n_types,
+              |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              |  CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n3plus,
+              |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    * 1000000) // greatest(CAST(sum(c) AS BIGINT), 1) AS p0_e6,
+              |  (2 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |    * 1000000) // greatest(CAST(sum(CASE WHEN c = 1 THEN 1
+              |    ELSE 0 END) AS BIGINT), 1) AS r1_star_e6
+              |FROM tf GROUP BY 1 ORDER BY source""".stripMargin))
   )
+
 
 
 }
