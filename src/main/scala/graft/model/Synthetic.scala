@@ -41,6 +41,11 @@ object Synthetic {
     ((x >>> 11).toDouble + 0.5) / (1L << 53).toDouble
   }
 
+  /** Public handle for the DSv2 source ([[graft.sources.SyntheticSource]]):
+    * same trace, same determinism contract. */
+  def rawTraceForSource(nTime: Int, seed: Long, channel: Int): Array[Double] =
+    rawTrace(nTime, seed, channel)
+
   /** One raw (pre-normalization) smoothed-noise trace. */
   private[model] def rawTrace(nTime: Int, seed: Long, channel: Int): Array[Double] = {
     val kernelLength = 50

@@ -59,6 +59,31 @@ object Spectral {
         Synthetic.segments(s, duration = 2.0, nChannels = 8, rate = 400.0, seed = 42)),
       Some(SpectralOracles.q34())),
 
+    QueryDef("q303_dsv2_source_scan",
+      "DataSource V2 synthetic table: pushed channel-range scan + per-channel aggregates",
+      // the engine-native source surface: graft.sources.SyntheticSource is
+      // a full DSv2 TableProvider — one InputPartition per channel block,
+      // channel predicates prune partitions at PLANNING time
+      // (SupportsPushDownFilters; the [2, 5] filter below plans exactly 4
+      // of 8 partitions — spec-asserted), and column pruning reaches the
+      // reader (a value-free scan skips trace generation). Certified the
+      // q34 way: the oracle REBUILDS splitmix64 + Box-Muller + boxcar(50)
+      // in SQL and must match the source's per-channel e9-rounded sums.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        s.read.format("graft.sources.SyntheticSource")
+          .option("nchannels", 8).option("ntime", 800).option("seed", 42)
+          .load()
+          .filter(col("channel") >= 2 && col("channel") <= 5)
+          .select(col("channel"),
+            expr("CAST(round(value * 1000000000) AS BIGINT)").as("ve9"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_samples"), sum("ve9").as("sum_v_e9"),
+            max("ve9").as("max_v_e9"))
+          .orderBy("channel")
+      },
+      Some(SpectralOracles.q303(2, 5))),
+
     QueryDef("q35_wavelet_phase", "F12 wavelet phase (the reference's abs_only=False path)",
       (s, dir) => toLongRounded(DspOperators.phase(
         DspOperators.waveletTransform(segments(s, dir), "human", hgOnly = true))),

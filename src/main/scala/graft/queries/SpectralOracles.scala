@@ -457,8 +457,11 @@ FROM cum GROUP BY channel ORDER BY channel"""
     * population std, modulated 100 Hz carrier and the closed-form 60 Hz
     * harmonic sum. NOTE: DuckDB identifiers are case-insensitive — harmonic
     * trig columns are c6/s6 because cH would collide with ch. */
-  def q34(): String =
-    """|WITH chans AS (SELECT unnest(generate_series(0, 7)) AS ch),
+  /** chans..smoothed: the splitmix64 + Box-Muller + boxcar(50) raw
+    * noise pipeline shared by q34 (full synthetic source) and q303
+    * (DSv2 source scan) — 8 channels x 800 samples, seed 42. */
+  private val RawNoiseCtes: String =
+    """|chans AS (SELECT unnest(generate_series(0, 7)) AS ch),
              |ks AS (SELECT unnest(generate_series(0, 799)) AS k),
              |ctr AS (
              |  SELECT c.ch, s.k, w.which,
@@ -486,7 +489,10 @@ FROM cum GROUP BY channel ORDER BY channel"""
              |    sum(v) OVER (PARTITION BY ch ORDER BY k ROWS BETWEEN 25 PRECEDING AND 24 FOLLOWING)
              |      / 50.0 AS v
              |  FROM noise
-             |),
+             |),""".stripMargin
+
+  def q34(): String =
+    s"""|WITH $RawNoiseCtes
              |stats AS (
              |  SELECT sum(v) / count(*) AS mu,
              |         sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) ** 2) AS sd
@@ -547,6 +553,19 @@ FROM cum GROUP BY channel ORDER BY channel"""
   /** q33: full preprocess_block + tutorial tail. The identity resample
     * (1000 -> 1000, ratio 1) is NOT a numeric no-op: the even-np Nyquist bin
     * is halved (resample.py:86-88), i.e. y1 = x - X_nyq/(2·np)·(-1)^(t+pl). */
+  /** q303: the DSv2 source scan certified through the same splitmix64
+    * rebuild as q34 — per-channel aggregates of e9-rounded raw samples,
+    * channels restricted to the pushed-down [lo, hi] range. */
+  def q303(chLo: Int, chHi: Int): String =
+    s"""|WITH ${RawNoiseCtes.trim.stripSuffix(",")}
+        |SELECT ch AS channel, count(*) AS n_samples,
+        |  CAST(sum(CAST(round(v * 1000000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_e9,
+        |  CAST(max(CAST(round(v * 1000000000) AS BIGINT)) AS BIGINT)
+        |    AS max_v_e9
+        |FROM smoothed WHERE ch >= $chLo AND ch <= $chHi
+        |GROUP BY 1 ORDER BY channel""".stripMargin
+
   def q33(rate: Double = 1000.0, finalRate: Double = 250.0,
           noise: Double = 60.0, baseline: Int = 50): String =
     s"""WITH $rect, $fastlen, ${resampleConsts(finalRate, rate)},

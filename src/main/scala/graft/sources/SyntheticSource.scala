@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `graft-synthetic`: the deterministic raw smoothed-noise
+  * ECoG trace ([[graft.model.Synthetic.rawTrace]], mirroring the
+  * reference generator's noise stage, utils.py:190-198) exposed as a
+  * first-class Spark table of (channel, t, value) samples — the
+  * engine-native way to stand up an unbounded synthetic corpus with NO
+  * driver-side data and NO shuffle:
+  *
+  *  - one InputPartition per channel block (`channelsPerPartition`), so a
+  *    1000-executor cluster generates 100k channels fully in parallel;
+  *  - CHANNEL filter pushdown (`SupportsPushDownFilters`): =, IN, >, >=,
+  *    <, <= on `channel` prune entire partitions at PLANNING time —
+  *    `df.filter($"channel" === 7)` plans exactly one partition;
+  *  - column pruning (`SupportsPushDownRequiredColumns`): a query that
+  *    never reads `value` skips trace generation entirely (the reader
+  *    checks the pruned schema before computing the Gaussian trace).
+  *
+  * Options: nchannels (required), ntime (required), seed (default 0),
+  * channelsPerPartition (default 1).
+  */
+class SyntheticSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-synthetic"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SyntheticTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SyntheticSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("channel", IntegerType, nullable = false),
+    StructField("t", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+}
+
+final class SyntheticTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val nChannels = options.getInt("nchannels", -1)
+  private val nTime = options.getInt("ntime", -1)
+  private val seed = options.getLong("seed", 0L)
+  private val chPerPart = options.getInt("channelsperpartition", 1)
+  require(nChannels >= 1, "option nchannels >= 1 is required")
+  require(nTime >= 1, "option ntime >= 1 is required")
+  require(chPerPart >= 1, "channelsPerPartition must be >= 1")
+
+  override def name(): String =
+    s"graft_synthetic(nchannels=$nChannels, ntime=$nTime, seed=$seed)"
+  override def schema(): StructType = SyntheticSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(nChannels, nTime, seed, chPerPart)
+}
+
+final class SyntheticScanBuilder(nChannels: Int, nTime: Int, seed: Long,
+                                 chPerPart: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = SyntheticSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  // pruned channel range [lo, hi] plus an optional explicit allow-set
+  private var chLo = 0
+  private var chHi = nChannels - 1
+  private var chSet: Option[Set[Int]] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case sources.EqualTo("channel", v: Number) => true
+      case sources.In("channel", vs) => vs.forall(_.isInstanceOf[Number])
+      case sources.GreaterThan("channel", v: Number) => true
+      case sources.GreaterThanOrEqual("channel", v: Number) => true
+      case sources.LessThan("channel", v: Number) => true
+      case sources.LessThanOrEqual("channel", v: Number) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case sources.EqualTo("channel", v: Number) =>
+        val c = v.intValue(); chLo = math.max(chLo, c); chHi = math.min(chHi, c)
+      case sources.In("channel", vs) =>
+        val s = vs.map(_.asInstanceOf[Number].intValue()).toSet
+        chSet = Some(chSet.map(_.intersect(s)).getOrElse(s))
+      case sources.GreaterThan("channel", v: Number) =>
+        chLo = math.max(chLo, v.intValue() + 1)
+      case sources.GreaterThanOrEqual("channel", v: Number) =>
+        chLo = math.max(chLo, v.intValue())
+      case sources.LessThan("channel", v: Number) =>
+        chHi = math.min(chHi, v.intValue() - 1)
+      case sources.LessThanOrEqual("channel", v: Number) =>
+        chHi = math.min(chHi, v.intValue())
+      case _ =>
+    }
+    pushed = accepted
+    // pushed-down channel predicates are EXACT partition pruning, but we
+    // still return them as "pushed" only (Spark keeps residual evaluation
+    // of the rest array alone)
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SyntheticScan(nTime, seed, chPerPart, chLo, chHi, chSet, required)
+}
+
+final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,
+                          chLo: Int, chHi: Int, chSet: Option[Set[Int]],
+                          required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synthetic channels=[$chLo..$chHi]" +
+      chSet.map(s => s" in {${s.toSeq.sorted.mkString(",")}}").getOrElse("") +
+      s" columns=${required.fieldNames.mkString(",")}"
+
+  private def channels: Seq[Int] = {
+    val base = chLo to chHi
+    chSet.map(s => base.filter(s.contains)).getOrElse(base)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    channels.grouped(chPerPart)
+      .map(g => SyntheticPartition(g.toArray, nTime, seed): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required)
+}
+
+final case class SyntheticPartition(chans: Array[Int], nTime: Int, seed: Long)
+    extends InputPartition
+
+final class SyntheticReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SyntheticReader(p.asInstanceOf[SyntheticPartition], required)
+}
+
+/** Generates one channel's trace at a time; `value` is only computed when
+  * the pruned schema asks for it (column pruning skips the Gaussian
+  * trace entirely for channel/t-only scans). */
+final class SyntheticReader(p: SyntheticPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needValue = required.fieldNames.contains("value")
+  private val fieldGetters: Array[(Int, Int) => Any] =
+    required.fieldNames.map {
+      case "channel" => (ci: Int, t: Int) => p.chans(ci)
+      case "t" => (ci: Int, t: Int) => t
+      case "value" => (ci: Int, t: Int) => trace(t)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  private var chIdx = 0
+  private var t = -1
+  private var trace: Array[Double] = _
+
+  override def next(): Boolean = {
+    if (chIdx >= p.chans.length) return false
+    t += 1
+    if (t >= p.nTime) {
+      chIdx += 1; t = 0; trace = null
+      if (chIdx >= p.chans.length) return false
+    }
+    if (trace == null)
+      trace =
+        if (needValue)
+          graft.model.Synthetic.rawTraceForSource(p.nTime, p.seed, p.chans(chIdx))
+        else Array.empty[Double]
+    true
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(fieldGetters.map(g => g(chIdx, t)))
+
+  override def close(): Unit = ()
+}
