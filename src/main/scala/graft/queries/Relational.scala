@@ -1245,5 +1245,105 @@ object Relational {
              |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
              |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_milli_per_hour
              |FROM sums WHERE mx > 0
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q304_blame_suppliers",
+      "sole-late-supplier blame analysis (the TPC-H Q21 plan shape on this schema)",
+      // the classic multi-way EXISTS / NOT EXISTS optimizer stress: count,
+      // per supplier, the multi-supplier orders where THAT supplier's item
+      // shipped late (> 60 days after order date) while no other
+      // supplier's did. Spark-first: both quantifiers become JOINS on the
+      // order key — a left-semi against "some other supplier in this
+      // order" and a left-anti against "some other supplier ALSO late" —
+      // so the whole question runs as three co-partitioned passes over
+      // lineitem on one join key, not correlated per-row subqueries.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("odu"))
+        val late = table(s, dir, "lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) " +
+            "> odu + 5184000000000")) // 60 days in micros
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val l1 = late.as("l1")
+        val others = li.select(col("l_orderkey").as("ok"),
+          col("l_suppkey").as("sk")).distinct()
+        val otherSupp = l1.join(others,
+          col("l1.l_orderkey") === col("ok") &&
+            col("l1.l_suppkey") =!= col("sk"), "left_semi")
+        val otherLate = late.select(col("l_orderkey").as("ok2"),
+          col("l_suppkey").as("sk2"))
+        val blamed = otherSupp.join(otherLate,
+          col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") =!= col("sk2"), "left_anti")
+        blamed.join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""|WITH late AS (
+             |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  WHERE epoch_us(l.l_shipdate)
+             |    > epoch_us(o.o_orderdate) + 5184000000000
+             |)
+             |SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+             |FROM late l1
+             |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+             |WHERE EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM late l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY 1, 2
+             |ORDER BY numwait DESC, s.s_suppkey
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef("q305_top_supplier",
+      "top supplier by windowed revenue, exact max-tie semantics (the TPC-H Q15 view shape)",
+      // Q15's view-plus-correlated-max shape: a revenue view over a fixed
+      // 3-month ship window, then EVERY supplier whose revenue equals the
+      // view's max (ties kept — the part naive top-1 gets wrong). The max
+      // rides a 1-row broadcast cross join against the view, so the view
+      // computes ONCE (pinned) instead of once per side of the compare.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val rev = table(s, dir, "lineitem")
+          .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+            "l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * " +
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"))
+            .as("rev_c2"))
+          .pin
+        val mx = rev.agg(max("rev_c2").as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("rev_c2") === col("mx"))
+          .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("rev_c2"))
+          .orderBy("s_suppkey")
+      },
+      Some("""|WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(round(l_extendedprice *
+             |      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |      AS BIGINT)) AS BIGINT) AS rev_c2
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY 1
+             |)
+             |SELECT s.s_suppkey, s.s_name, r.rev_c2
+             |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+             |WHERE r.rev_c2 = (SELECT max(rev_c2) FROM rev)
+             |ORDER BY s.s_suppkey""".stripMargin)))
 }
