@@ -135,7 +135,7 @@ object Bench {
     "q298_perceptual_hash", "q299_holt_smoothing",
     "q300_cdc_chunk_dedup", "q301_process_conformance",
     "q302_good_turing", "q303_dsv2_source_scan",
-    "q304_blame_suppliers", "q305_top_supplier")
+    "q304_blame_suppliers", "q305_top_supplier", "q306_ndcg_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -429,6 +429,12 @@ object Mlops {
     "click>purchase", "signup>view", "signup>click", "purchase>view")
     .map(p => s"'$p'").mkString(", ")
 
+  /** q306 DCG position weights: round(1e6 / log2(i+1)) for ranks 1..10 —
+    * driver-computed literals, identical in both engines, so the graded
+    * gain sum is an exact integer dot product. */
+  private val NdcgWeights: Seq[Long] = (1 to 10).map(i =>
+    math.round(1e6 / (math.log(i + 1) / math.log(2))))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -2790,7 +2796,145 @@ object Mlops {
               |  (2 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
               |    * 1000000) // greatest(CAST(sum(CASE WHEN c = 1 THEN 1
               |    ELSE 0 END) AS BIGINT), 1) AS r1_star_e6
-              |FROM tf GROUP BY 1 ORDER BY source""".stripMargin))
+              |FROM tf GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    QueryDef("q306_ndcg_eval",
+      "learning-to-rank evaluation: exact NDCG@10 of the co-occurrence ranker on held-out orders",
+      // q288's graded companion: hit@k says WHETHER a relevant item made
+      // the cut, NDCG says WHERE — graded by purchased quantity and
+      // discounted by rank. The discount table round(1e6/log2(i+1)) is a
+      // driver literal in BOTH engines, so DCG and ideal-DCG are exact
+      // integer dot products, and ndcg_e6 = dcg·1e6 div idcg needs no
+      // float. Same leakage discipline as q288 (customer-hash split);
+      // ranking is a rank-10 window per held-out order pair; evals with
+      // no candidates score 0 through the left join, not by dropping.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val wArr = "array(" + NdcgWeights.mkString(",") + ")"
+        val ord = table(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("du"))
+        val wNext = Window.partitionBy("o_custkey").orderBy("du", "o_orderkey")
+        val pairsO = ord
+          .withColumn("o_next", lead("o_orderkey", 1).over(wNext))
+          .filter(col("o_next").isNotNull)
+          .select(col("o_custkey"), col("o_orderkey").as("o1"),
+            col("o_next").as("o2"))
+          .withColumn("is_test", expr(
+            u60("concat('rec:', CAST(o_custkey AS STRING))", spark = true) +
+              " % 5 = 0"))
+          .pin
+        val itemsQ = table(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .pin
+        val trainCnt = pairsO.filter(!col("is_test"))
+          .join(itemsQ.select(col("l_orderkey").as("o1"),
+            col("l_partkey").as("pa")), "o1")
+          .join(itemsQ.select(col("l_orderkey").as("o2"),
+            col("l_partkey").as("pb")), "o2")
+          .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+        val testPairs = pairsO.filter(col("is_test"))
+          .select(col("o_custkey"), col("o1"), col("o2"))
+        val cand = testPairs
+          .join(itemsQ.select(col("l_orderkey").as("o1"),
+            col("l_partkey").as("pa")), "o1")
+          .join(trainCnt, "pa")
+          .groupBy(col("o_custkey"), col("o1"), col("o2"), col("pb"))
+          .agg(sum("cnt").as("score"))
+        val wRank = Window.partitionBy("o_custkey", "o1", "o2")
+          .orderBy(col("score").desc, col("pb"))
+        val dcg = cand
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 10)
+          .join(itemsQ.select(col("l_orderkey").as("o2"),
+            col("l_partkey").as("pb"), col("qty")), Seq("o2", "pb"), "left")
+          .na.fill(0L, Seq("qty"))
+          .groupBy("o_custkey", "o1", "o2")
+          .agg(sum(expr(s"qty * element_at($wArr, rn)")).as("dcg"))
+        val wIdeal = Window.partitionBy("l_orderkey")
+          .orderBy(col("qty").desc, col("l_partkey"))
+        val idcg = itemsQ
+          .withColumn("rn", row_number().over(wIdeal))
+          .filter(col("rn") <= 10)
+          .groupBy(col("l_orderkey").as("o2"))
+          .agg(sum(expr(s"qty * element_at($wArr, rn)")).as("idcg"))
+        testPairs
+          .join(dcg, Seq("o_custkey", "o1", "o2"), "left")
+          .na.fill(0L, Seq("dcg"))
+          .join(idcg, "o2")
+          .withColumn("ndcg_e6",
+            expr("(dcg * 1000000) div greatest(idcg, CAST(1 AS BIGINT))"))
+          .groupBy(expr("ndcg_e6 div 100000").as("ndcg_bin"))
+          .agg(count(lit(1)).as("n_evals"), sum("ndcg_e6").as("sum_ndcg_e6"))
+          .orderBy("ndcg_bin")
+      },
+      Some {
+        val h = u60("'rec:' || o_custkey", spark = false)
+        val wList = "[" + NdcgWeights.mkString(", ") + "]"
+        s"""|WITH pairso AS (
+            |  SELECT o_custkey, o_orderkey AS o1,
+            |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+            |      ORDER BY epoch_us(o_orderdate), o_orderkey) AS o2,
+            |    ($h) % 5 = 0 AS is_test
+            |  FROM orders
+            |), itemsq AS (
+            |  SELECT l_orderkey, l_partkey,
+            |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            |  FROM lineitem GROUP BY 1, 2
+            |), traincnt AS (
+            |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+            |    CAST(count(*) AS BIGINT) AS cnt
+            |  FROM pairso p
+            |  JOIN itemsq a ON a.l_orderkey = p.o1
+            |  JOIN itemsq b ON b.l_orderkey = p.o2
+            |  WHERE NOT p.is_test AND p.o2 IS NOT NULL
+            |  GROUP BY 1, 2
+            |), testpairs AS (
+            |  SELECT o_custkey, o1, o2 FROM pairso
+            |  WHERE is_test AND o2 IS NOT NULL
+            |), cand AS (
+            |  SELECT t.o_custkey, t.o1, t.o2, c.pb,
+            |    CAST(sum(c.cnt) AS BIGINT) AS score
+            |  FROM testpairs t
+            |  JOIN itemsq a ON a.l_orderkey = t.o1
+            |  JOIN traincnt c ON c.pa = a.l_partkey
+            |  GROUP BY 1, 2, 3, 4
+            |), ranked AS (
+            |  SELECT o_custkey, o1, o2, pb, rn FROM (
+            |    SELECT o_custkey, o1, o2, pb,
+            |      row_number() OVER (PARTITION BY o_custkey, o1, o2
+            |        ORDER BY score DESC, pb) AS rn
+            |    FROM cand
+            |  ) WHERE rn <= 10
+            |), dcg AS (
+            |  SELECT r.o_custkey, r.o1, r.o2,
+            |    CAST(sum(COALESCE(i.qty, 0) * ($wList)[r.rn]) AS BIGINT)
+            |      AS dcg
+            |  FROM ranked r
+            |  LEFT JOIN itemsq i ON i.l_orderkey = r.o2
+            |    AND i.l_partkey = r.pb
+            |  GROUP BY 1, 2, 3
+            |), idcg AS (
+            |  SELECT l_orderkey AS o2,
+            |    CAST(sum(qty * ($wList)[rn]) AS BIGINT) AS idcg
+            |  FROM (
+            |    SELECT l_orderkey, qty, row_number() OVER (
+            |      PARTITION BY l_orderkey ORDER BY qty DESC, l_partkey) AS rn
+            |    FROM itemsq
+            |  ) WHERE rn <= 10 GROUP BY 1
+            |), evals AS (
+            |  SELECT (COALESCE(d.dcg, 0) * 1000000)
+            |    // greatest(i.idcg, 1) AS ndcg_e6
+            |  FROM testpairs t
+            |  LEFT JOIN dcg d ON d.o_custkey = t.o_custkey
+            |    AND d.o1 = t.o1 AND d.o2 = t.o2
+            |  JOIN idcg i ON i.o2 = t.o2
+            |)
+            |SELECT ndcg_e6 // 100000 AS ndcg_bin, count(*) AS n_evals,
+            |  CAST(sum(ndcg_e6) AS BIGINT) AS sum_ndcg_e6
+            |FROM evals GROUP BY 1 ORDER BY ndcg_bin""".stripMargin
+      })
   )
 
 
