@@ -338,6 +338,75 @@ object Llm {
     s"WITH ${ctes.result()}\n$sel ORDER BY round"
   }
 
+  /** emb/c0/a1/u1/c1/a2/u2/c2: the IVF coarse-quantizer Lloyd replica
+    * (md5-prefix seeding, two assign/update rounds) shared by q52 and
+    * the q307 recall audit. Ends WITHOUT the final assignment. */
+  private val IvfLloydCtes: String =
+    """|emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |),
+             |c0 AS (
+             |  SELECT cell, v FROM (
+             |    SELECT row_number() OVER (ORDER BY substr(md5(vec_id::VARCHAR), 1, 15), vec_id) - 1 AS cell, v
+             |    FROM emb
+             |  ) WHERE cell < 16
+             |),
+             |-- Lloyd iteration 1: assign to argmax-cosine centroid (ties -> lowest cell)
+             |a1 AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c0 c
+             |  ) WHERE rn = 1
+             |),
+             |u1 AS (
+             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  FROM a1 a JOIN emb e USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
+             |  GROUP BY a.cell, d.i
+             |),
+             |c1 AS (
+             |  SELECT c0.cell, COALESCE(n.v, c0.v) AS v
+             |  FROM c0 LEFT JOIN (
+             |    SELECT cell, list(x ORDER BY i) AS v FROM u1 GROUP BY cell
+             |  ) n USING (cell)
+             |),
+             |-- Lloyd iteration 2
+             |a2 AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+             |    FROM emb e CROSS JOIN c1 c
+             |  ) WHERE rn = 1
+             |),
+             |u2 AS (
+             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  FROM a2 a JOIN emb e USING (vec_id)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
+             |  GROUP BY a.cell, d.i
+             |),
+             |c2 AS (
+             |  SELECT c1.cell, COALESCE(n.v, c1.v) AS v
+             |  FROM c1 LEFT JOIN (
+             |    SELECT cell, list(x ORDER BY i) AS v FROM u2 GROUP BY cell
+             |  ) n USING (cell)
+             |),""".stripMargin
+
+  /** af: final assignment of every vector to the post-iteration
+    * centroids (ivfAssign semantics: argmax cosine, ties lowest cell). */
+  private val IvfAssignCte: String =
+    """|af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+       |    FROM emb e CROSS JOIN c2 c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q40_dedup_exact", "exact dedup via content-hash groupBy",
@@ -658,59 +727,8 @@ object Llm {
       // assign(argmax-cosine, ties lowest cell)/update(per-dim avg)
       // rounds, then the 3-cell probe and exact top-10 — mirrors
       // Similarity.kmeansCentroids/ivfAssign/ivfTopK step for step
-      Some("""|WITH emb AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings
-             |),
-             |c0 AS (
-             |  SELECT cell, v FROM (
-             |    SELECT row_number() OVER (ORDER BY substr(md5(vec_id::VARCHAR), 1, 15), vec_id) - 1 AS cell, v
-             |    FROM emb
-             |  ) WHERE cell < 16
-             |),
-             |-- Lloyd iteration 1: assign to argmax-cosine centroid (ties -> lowest cell)
-             |a1 AS (
-             |  SELECT vec_id, cell FROM (
-             |    SELECT e.vec_id, c.cell,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
-             |    FROM emb e CROSS JOIN c0 c
-             |  ) WHERE rn = 1
-             |),
-             |u1 AS (
-             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
-             |  FROM a1 a JOIN emb e USING (vec_id)
-             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
-             |  GROUP BY a.cell, d.i
-             |),
-             |c1 AS (
-             |  SELECT c0.cell, COALESCE(n.v, c0.v) AS v
-             |  FROM c0 LEFT JOIN (
-             |    SELECT cell, list(x ORDER BY i) AS v FROM u1 GROUP BY cell
-             |  ) n USING (cell)
-             |),
-             |-- Lloyd iteration 2
-             |a2 AS (
-             |  SELECT vec_id, cell FROM (
-             |    SELECT e.vec_id, c.cell,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
-             |    FROM emb e CROSS JOIN c1 c
-             |  ) WHERE rn = 1
-             |),
-             |u2 AS (
-             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
-             |  FROM a2 a JOIN emb e USING (vec_id)
-             |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
-             |  GROUP BY a.cell, d.i
-             |),
-             |c2 AS (
-             |  SELECT c1.cell, COALESCE(n.v, c1.v) AS v
-             |  FROM c1 LEFT JOIN (
-             |    SELECT cell, list(x ORDER BY i) AS v FROM u2 GROUP BY cell
-             |  ) n USING (cell)
-             |),
-             |q AS (SELECT v FROM emb WHERE vec_id = 0),
+      Some(s"""|WITH $IvfLloydCtes
+              |q AS (SELECT v FROM emb WHERE vec_id = 0),
              |-- final assignment (ivfAssign with the post-iteration centroids)
              |af AS (
              |  SELECT vec_id, cell FROM (
@@ -2616,5 +2634,85 @@ object Llm {
       // per round. The oracle replays all 8 rounds as unrolled CTEs with
       // DuckDB list_reduce executing the identical fold.
       (s, dir) => Bpe.learnMerges(table(s, dir, "documents"), rounds = 8),
-      Some(bpeLearnOracleSql(8))))
+      Some(bpeLearnOracleSql(8))),
+
+    QueryDef("q307_ivf_recall_audit",
+      "IVF recall audit: probed top-10 vs exact brute top-10 on the same grid, recall distribution",
+      // the self-certifying measurement of the nprobe dial: every 25th
+      // vector queries BOTH the q52 IVF path (Lloyd quantizer + 3-cell
+      // probe) and the exact brute scan, ranked on the SAME codegen'd
+      // exact-grid cosine (q272 idiom, 6-decimal grid, ties to lower id),
+      // and the overlap per query rolls into a recall@10 census. The
+      // oracle replays the full pipeline — Lloyd replica, per-query probe
+      // ranking, both top-10 tiers — so the recall numbers themselves are
+      // engine-exact, not just plausible.
+      (s, dir) => Similarity.ivfRecallAudit(table(s, dir, "embeddings"),
+        k = 10, params = Similarity.IvfParams(nCells = 16, iters = 2,
+          nprobe = 3), queryMod = 25),
+      Some(s"""|WITH $IvfLloydCtes
+              |$IvfAssignCte,
+              |g AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(generate_series(1, 64),
+              |      i -> CAST(floor(v[i] * v[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS e2
+              |  FROM emb
+              |),
+              |base AS (
+              |  SELECT g.vec_id, g.v, g.e2, af.cell
+              |  FROM g JOIN af USING (vec_id) WHERE g.e2 > 0
+              |),
+              |qs AS (
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq, cell
+              |  FROM base WHERE vec_id % 25 = 0
+              |),
+              |probes AS (
+              |  SELECT qid, cell FROM (
+              |    SELECT q.qid, c.cell,
+              |      row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+              |          c.cell) AS rn
+              |    FROM qs q CROSS JOIN c2 c
+              |  ) WHERE rn <= 3
+              |),
+              |ivf10 AS (
+              |  SELECT qid, cid FROM (
+              |    SELECT q.qid, b.vec_id AS cid,
+              |      row_number() OVER (PARTITION BY q.qid ORDER BY
+              |        round(CAST(CAST(list_sum(list_transform(
+              |          generate_series(1, 64),
+              |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |          AS BIGINT) AS DOUBLE)
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |          6) DESC, b.vec_id) AS rn
+              |    FROM qs q
+              |    JOIN probes p ON p.qid = q.qid
+              |    JOIN base b ON b.cell = p.cell
+              |    WHERE b.vec_id <> q.qid
+              |  ) WHERE rn <= 10
+              |),
+              |brute10 AS (
+              |  SELECT qid, cid FROM (
+              |    SELECT q.qid, b.vec_id AS cid,
+              |      row_number() OVER (PARTITION BY q.qid ORDER BY
+              |        round(CAST(CAST(list_sum(list_transform(
+              |          generate_series(1, 64),
+              |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |          AS BIGINT) AS DOUBLE)
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |          6) DESC, b.vec_id) AS rn
+              |    FROM qs q CROSS JOIN base b
+              |    WHERE b.vec_id <> q.qid
+              |  ) WHERE rn <= 10
+              |),
+              |common AS (
+              |  SELECT i.qid, CAST(count(*) AS BIGINT) AS n_common
+              |  FROM ivf10 i JOIN brute10 b
+              |    ON b.qid = i.qid AND b.cid = i.cid
+              |  GROUP BY 1
+              |)
+              |SELECT COALESCE(c.n_common, 0) AS recall_at_k,
+              |  count(*) AS n_queries
+              |FROM qs q LEFT JOIN common c ON c.qid = q.qid
+              |GROUP BY 1 ORDER BY recall_at_k""".stripMargin)))
 }

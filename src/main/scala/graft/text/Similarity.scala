@@ -185,6 +185,66 @@ object Similarity {
       query, k, excludeId, idCol, vecCol)
   }
 
+  /** Multi-query IVF recall audit (q307): for every query (vec_id ≡ 0 mod
+    * `queryMod`), compare the IVF-probed top-k against the exact
+    * brute-force top-k on the SAME exact-grid cosine (floor_dot_e9 — the
+    * q272 rescoring idiom, codegen'd), and report the recall@k
+    * distribution. This is the self-certifying measurement of what the
+    * nprobe dial trades: the Lloyd quantizer and final assignment are the
+    * certified q52 path, probes rank per query on the broadcast centroid
+    * table (no jobs), candidate scan is one shuffle-free broadcast join on
+    * `cell`, and the brute tier streams the corpus once past the broadcast
+    * query frame. All rank ties break (sim DESC, id ASC) on the 6-decimal
+    * grid, so the audit is engine-exact. */
+  def ivfRecallAudit(embeddings: DataFrame, k: Int = 10,
+                     params: IvfParams = IvfParams(), queryMod: Long = 25,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Checkpoints.Pinnable
+    val spark = embeddings.sparkSession
+    graft.functions.GridFunctions.register(spark)
+    val centroids = kmeansCentroids(embeddings, params.nCells, params.iters,
+      idCol, vecCol)
+    val a = ivfAssign(embeddings, centroids, vecCol)
+      .withColumn("e2", expr(s"floor_dot_e9($vecCol, $vecCol)"))
+      .filter(col("e2") > 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        col("e2").as("ec"), col("cell"))
+      .pin // three consumers: queries, probed scan, brute scan
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nprobe = params.nprobe
+    val probesUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map(c => (c, cosineArr(cs(c), v)))
+        .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+    }
+    val q = a.filter(col("cid") % queryMod === 0)
+      .select(col("cid").as("qid"), col("cv").as("qv"), col("ec").as("eq"),
+        probesUdf(col("cv")).as("probes"))
+    val sim = round(expr("floor_dot_e9(qv, cv)").cast("double") /
+      sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"))
+    val ivfTop = topK(broadcast(q.select(col("qid"), col("qv"), col("eq"),
+        explode(col("probes")).as("cell")))
+      .join(a, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", sim))
+    val bruteTop = topK(broadcast(q.drop("probes")).crossJoin(a)
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", sim))
+    val common = ivfTop.join(bruteTop, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    q.select("qid").join(common, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .groupBy(col("n_common").as("recall_at_k"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("recall_at_k")
+  }
+
   /** Hyperplane component (p, i): a signed 48-bit integer from md5 hex
     * chars 1-12 of "<seed>:<p>:<i>", centered by 2^47. Integer-valued and
     * < 2^53, so the value is EXACT in a double in any engine — a SQL oracle
