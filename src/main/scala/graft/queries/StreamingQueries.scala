@@ -1118,7 +1118,13 @@ ORDER BY event_type, win"""
       "streaming point-in-time feature store: per-user sorted history " +
         "state re-derives every purchase's leak-free features; final " +
         "update per label == q282's batch join (oracle verbatim)",
-      q287Build, Some(q287Oracle)))
+      q287Build, Some(q287Oracle)),
+
+    QueryDef("q308_streaming_scd2",
+      "streaming SCD Type-2 maintenance: sorted history state re-derives " +
+        "validity intervals (retroactive arrivals SPLIT intervals); " +
+        "final update per key == q141's batch build (oracle verbatim)",
+      q308Build, Some(q308Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1358,6 +1364,50 @@ ORDER BY event_type, win"""
         col("err_vmilli_before"))
       .orderBy("label_id")
   }
+
+  /** q308: q141's streaming twin — per-user sorted (tn, eid, vm) state via
+    * StreamingOps.runningScd2; each update re-emits the user's FULL
+    * interval table, the readout keeps the final update per user
+    * (n_events monotone), and equality with the batch lead-window build
+    * holds under any micro-batch slicing including retroactive interval
+    * splits. Oracle is q141's SQL verbatim. */
+  private def q308Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    import s.implicits._
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q308_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.runningScd2(
+        df.filter(col("user_id") % 20 === 0)
+          .select(col("user_id"), col("ts").cast("long").as("tn"),
+            col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .as[StreamingOps.Scd2Event]).toDF(),
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    updates
+      .withColumn("_mx", max("n_events").over(w))
+      .filter(col("n_events") === col("_mx"))
+      .select(col("user_id"), col("event_id"),
+        col("valid_from"), col("valid_to"), col("vm"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  private def q308Oracle: String =
+    """|WITH f AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+       |    CAST(floor(value * 1000) AS BIGINT) AS vm
+       |  FROM events WHERE user_id % 20 = 0
+       |), iv AS (
+       |  SELECT user_id, event_id, t AS valid_from,
+       |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+       |      AS valid_to,
+       |    vm
+       |  FROM f
+       |)
+       |SELECT user_id, event_id, valid_from, valid_to, vm,
+       |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+       |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin
 
   private def q287Oracle: String =
     """|SELECT p.event_id AS label_id, p.user_id,

@@ -180,6 +180,40 @@ object StreamingOps {
       }
   }
 
+  final case class Scd2Event(user_id: Long, tn: Long, event_id: Long,
+                             vm: Long)
+  final case class Scd2State(events: Seq[(Long, Long, Long)])
+  final case class Scd2Update(user_id: Long, n_events: Long, event_id: Long,
+                              valid_from: Long, valid_to: Option[Long],
+                              vm: Long, is_current: Int)
+
+  /** Streaming SCD Type-2 maintenance — q141's stateful twin. The sorted
+    * per-key history (q225 discipline) re-derives the FULL validity-
+    * interval table on every update: each arrival closes whatever interval
+    * it lands inside and opens its own, including retroactive (out-of-
+    * order) changes that SPLIT an existing interval — the case an
+    * append-only interval store silently corrupts. Final update per key
+    * (n_events monotone) equals the batch lead-window build. */
+  def runningScd2(events: Dataset[Scd2Event]): Dataset[Scd2Update] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Update](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[Scd2State]) =>
+          val merged = (state.getOption.map(_.events).getOrElse(Seq.empty) ++
+            rows.map(r => (r.tn, r.event_id, r.vm)))
+            .sortBy(e => (e._1, e._2))
+          state.update(Scd2State(merged))
+          val n = merged.size.toLong
+          merged.iterator.zipWithIndex.map { case ((tn, eid, vm), i) =>
+            val nextTn = if (i + 1 < merged.size) Some(merged(i + 1)._1)
+                         else None
+            Scd2Update(user, n, eid, tn, nextTn, vm,
+              if (nextTn.isEmpty) 1 else 0)
+          }
+      }
+  }
+
   /** Duration string ("10 seconds", "1 minute") -> microseconds. */
   private[streaming] def durMicros(s: String): Long = {
     val parts = s.trim.split("\\s+")
