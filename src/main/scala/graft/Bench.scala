@@ -136,7 +136,8 @@ object Bench {
     "q300_cdc_chunk_dedup", "q301_process_conformance",
     "q302_good_turing", "q303_dsv2_source_scan",
     "q304_blame_suppliers", "q305_top_supplier", "q306_ndcg_eval",
-    "q307_ivf_recall_audit")
+    "q307_ivf_recall_audit", "q308_streaming_scd2",
+    "q309_block_bootstrap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2934,6 +2934,109 @@ object Mlops {
             |SELECT ndcg_e6 // 100000 AS ndcg_bin, count(*) AS n_evals,
             |  CAST(sum(ndcg_e6) AS BIGINT) AS sum_ndcg_e6
             |FROM evals GROUP BY 1 ORDER BY ndcg_bin""".stripMargin
+      }),
+
+    QueryDef("q309_block_bootstrap",
+      "circular block bootstrap of the daily mean per event type (autocorrelation-preserving)",
+      // the time-series bootstrap q262's row resampler gets WRONG:
+      // independent row draws destroy autocorrelation, so uncertainty on
+      // a dependent series needs whole BLOCKS. 20 replicates × 6 circular
+      // blocks of 5 consecutive days, block starts md5-drawn (the
+      // hash-threshold idiom — identical integers both engines), each
+      // replicate's mean an exact integer, and the replicate spread read
+      // off by exact rank (4th/17th of 20 ≈ p15/p85). The day-indexed
+      // series frame is domain-bounded; the replicate fan-out is
+      // literal-sized (types × 20 × 6 × 5 rows).
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val spark = s
+        import spark.implicits._
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+          .withColumn("idx", row_number().over(
+            Window.partitionBy("event_type").orderBy("day")) - 1)
+          .withColumn("n_days", count(lit(1)).over(
+            Window.partitionBy("event_type")))
+          .pin
+        val reps = (for { r <- 0 until 20; b <- 0 until 6; o <- 0 until 5 }
+          yield (r.toLong, b.toLong, o.toLong)).toDF("r", "b", "o")
+        val drawn = daily.select("event_type").distinct()
+          .crossJoin(broadcast(reps))
+          .withColumn("u", expr(u60(
+            "concat('bboot:', event_type, ':', CAST(r AS STRING), ':', " +
+              "CAST(b AS STRING))", spark = true)))
+        val picked = drawn.join(daily.select(col("event_type"),
+            col("idx"), col("vm"), col("n_days")),
+            Seq("event_type"))
+          .filter(expr("idx = (u % n_days + o) % n_days"))
+        val repMeans = picked.groupBy("event_type", "r")
+          .agg(sum("vm").as("s"), count(lit(1)).as("n"))
+          .withColumn("mean_e3", expr("(s * 1000) div n"))
+        val wRk = Window.partitionBy("event_type")
+          .orderBy(col("mean_e3"), col("r"))
+        val ranked = repMeans
+          .withColumn("rk", row_number().over(wRk))
+        val orig = daily.groupBy("event_type")
+          .agg(expr("(sum(vm) * 1000) div count(*)").as("orig_mean_e3"),
+            max("n_days").as("n_days"))
+        orig
+          .join(ranked.filter(col("rk") === 4)
+            .select(col("event_type"), col("mean_e3").as("lo_e3")),
+            "event_type")
+          .join(ranked.filter(col("rk") === 17)
+            .select(col("event_type"), col("mean_e3").as("hi_e3")),
+            "event_type")
+          .select(col("event_type"), col("n_days"), col("orig_mean_e3"),
+            col("lo_e3"), col("hi_e3"))
+          .orderBy("event_type")
+      },
+      Some {
+        val h = u60("'bboot:' || event_type || ':' || r || ':' || b",
+          spark = false)
+        s"""|WITH daily AS (
+            |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+            |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+            |      AS vm
+            |  FROM events GROUP BY 1, 2
+            |), idxd AS (
+            |  SELECT event_type, vm,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+            |      AS idx,
+            |    count(*) OVER (PARTITION BY event_type) AS n_days
+            |  FROM daily
+            |), reps AS (
+            |  SELECT t.event_type, r.r, b.b, o.o, ($h) AS u
+            |  FROM (SELECT DISTINCT event_type FROM daily) t
+            |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS r) r
+            |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) b
+            |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) o
+            |), picked AS (
+            |  SELECT rp.event_type, rp.r, d.vm
+            |  FROM reps rp JOIN idxd d ON d.event_type = rp.event_type
+            |    AND d.idx = (rp.u % d.n_days + rp.o) % d.n_days
+            |), repmeans AS (
+            |  SELECT event_type, r,
+            |    (CAST(sum(vm) AS BIGINT) * 1000) // count(*) AS mean_e3
+            |  FROM picked GROUP BY 1, 2
+            |), ranked AS (
+            |  SELECT event_type, mean_e3,
+            |    row_number() OVER (PARTITION BY event_type
+            |      ORDER BY mean_e3, r) AS rk
+            |  FROM repmeans
+            |), orig AS (
+            |  SELECT event_type,
+            |    (CAST(sum(vm) AS BIGINT) * 1000) // count(*) AS orig_mean_e3,
+            |    CAST(count(*) AS BIGINT) AS n_days
+            |  FROM idxd GROUP BY 1
+            |)
+            |SELECT o.event_type, o.n_days, o.orig_mean_e3,
+            |  lo.mean_e3 AS lo_e3, hi.mean_e3 AS hi_e3
+            |FROM orig o
+            |JOIN ranked lo ON lo.event_type = o.event_type AND lo.rk = 4
+            |JOIN ranked hi ON hi.event_type = o.event_type AND hi.rk = 17
+            |ORDER BY o.event_type""".stripMargin
       })
   )
 
