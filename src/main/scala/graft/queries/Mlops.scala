@@ -435,6 +435,14 @@ object Mlops {
   private val NdcgWeights: Seq[Long] = (1 to 10).map(i =>
     math.round(1e6 / (math.log(i + 1) / math.log(2))))
 
+
+  /** q310 probe rectangles (day-index rows ra..rb, hour columns ca..cb,
+    * inclusive): a week of all hours, one business day, the noon column,
+    * a broad interior block, and the full grid. */
+  private val CubeProbes: Seq[(Long, Long, Long, Long)] = Seq(
+    (0L, 6L, 0L, 23L), (2L, 2L, 9L, 17L), (0L, 29L, 12L, 12L),
+    (5L, 20L, 3L, 21L), (0L, 29L, 0L, 23L))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -3037,6 +3045,125 @@ object Mlops {
             |JOIN ranked lo ON lo.event_type = o.event_type AND lo.rk = 4
             |JOIN ranked hi ON hi.event_type = o.event_type AND hi.rk = 17
             |ORDER BY o.event_type""".stripMargin
+      }),
+
+    QueryDef("q310_prefix_sum_cube",
+      "2-D prefix-sum cube: O(1) rectangle aggregates audited against direct sums",
+      // the OLAP pre-aggregation contract: materialize P(i,j) = cumulative
+      // (day, hour) milli-sums once, then ANY rectangle aggregate is four
+      // lookups (P(b,r) − P(a−1,r) − P(b,l−1) + P(a−1,l−1)) instead of a
+      // scan — and the audit proves the materialization EXACT by comparing
+      // every probe rectangle against the direct cell sum. The cell frame
+      // is domain-bounded (days × 24); both cumulative passes are windows
+      // over it; probes join the four corner rows via a broadcast of the
+      // tiny prefix frame. Integer milli-sums end-to-end.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val spark = s
+        import spark.implicits._
+        val sparse = table(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("d"),
+            expr("(ts div 3600000000000) % 24").as("h"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+          .groupBy("d", "h").agg(sum("vm").as("vm"))
+          .withColumn("di", dense_rank().over(
+            Window.orderBy("d")).cast("long") - 1) // contiguous day index
+        // DENSIFY: the prefix recurrence needs every (day, hour) cell —
+        // a missing row would silently drop its whole running column
+        val cells = sparse.select("di").distinct()
+          .crossJoin(spark.range(0, 24).select(col("id").as("h")))
+          .join(sparse.select(col("di"), col("h"), col("vm")),
+            Seq("di", "h"), "left")
+          .na.fill(0L, Seq("vm"))
+          .pin
+        val wH = Window.partitionBy("di").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wD = Window.partitionBy("h").orderBy("di")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val prefix = cells
+          .withColumn("ph", sum("vm").over(wH))
+          .withColumn("p", sum("ph").over(wD))
+          .select(col("di"), col("h"), col("vm"), col("p"))
+          .pin
+        val probes = CubeProbes.toDF("ra", "rb", "ca", "cb")
+        def corner(di: String, h: String, nm: String) =
+          prefix.select(col("di").as(s"_d$nm"), col("h").as(s"_h$nm"),
+            col("p").as(nm))
+        val withCorners = broadcast(probes)
+          .join(corner("di", "h", "p_br"),
+            expr(s"_dp_br = rb AND _hp_br = cb"), "left")
+          .join(corner("di", "h", "p_tr"),
+            expr(s"_dp_tr = ra - 1 AND _hp_tr = cb"), "left")
+          .join(corner("di", "h", "p_bl"),
+            expr(s"_dp_bl = rb AND _hp_bl = ca - 1"), "left")
+          .join(corner("di", "h", "p_tl"),
+            expr(s"_dp_tl = ra - 1 AND _hp_tl = ca - 1"), "left")
+        val direct = cells.crossJoin(broadcast(probes))
+          .filter(col("di") >= col("ra") && col("di") <= col("rb") &&
+            col("h") >= col("ca") && col("h") <= col("cb"))
+          .groupBy("ra", "rb", "ca", "cb")
+          .agg(sum("vm").as("direct_sum"))
+        withCorners
+          .withColumn("prefix_sum", expr(
+            "COALESCE(p_br, 0) - COALESCE(p_tr, 0) " +
+              "- COALESCE(p_bl, 0) + COALESCE(p_tl, 0)"))
+          .join(direct, Seq("ra", "rb", "ca", "cb"), "left")
+          .na.fill(0L, Seq("direct_sum"))
+          .select(col("ra"), col("rb"), col("ca"), col("cb"),
+            col("direct_sum"), col("prefix_sum"),
+            (col("direct_sum") === col("prefix_sum")).as("exact"))
+          .orderBy("ra", "ca", "rb", "cb")
+      },
+      Some {
+        val values = CubeProbes
+          .map { case (ra, rb, ca, cb) => s"($ra, $rb, $ca, $cb)" }
+          .mkString(", ")
+        s"""|WITH cells AS (
+            |  SELECT d, h, vm, dense_rank() OVER (ORDER BY d) - 1 AS di
+            |  FROM (
+            |    SELECT epoch_ns(ts) // 86400000000000 AS d,
+            |      (epoch_ns(ts) // 3600000000000) % 24 AS h,
+            |      CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+            |        AS vm
+            |    FROM events GROUP BY 1, 2)
+            |), dense AS (
+            |  SELECT dd.di, hh.h, COALESCE(c.vm, 0) AS vm
+            |  FROM (SELECT DISTINCT di FROM cells) dd
+            |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) hh
+            |  LEFT JOIN cells c ON c.di = dd.di AND c.h = hh.h
+            |), prefix AS (
+            |  SELECT di, h, vm,
+            |    CAST(sum(ph) OVER (PARTITION BY h ORDER BY di
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |      AS BIGINT) AS p
+            |  FROM (
+            |    SELECT di, h, vm, CAST(sum(vm) OVER (PARTITION BY di
+            |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND
+            |      CURRENT ROW) AS BIGINT) AS ph
+            |    FROM dense)
+            |), probes(ra, rb, ca, cb) AS (SELECT * FROM (VALUES $values)),
+            |direct AS (
+            |  SELECT p.ra, p.rb, p.ca, p.cb,
+            |    CAST(sum(c.vm) AS BIGINT) AS direct_sum
+            |  FROM probes p JOIN cells c ON c.di BETWEEN p.ra AND p.rb
+            |    AND c.h BETWEEN p.ca AND p.cb
+            |  GROUP BY 1, 2, 3, 4
+            |)
+            |SELECT p.ra, p.rb, p.ca, p.cb,
+            |  COALESCE(d.direct_sum, 0) AS direct_sum,
+            |  COALESCE(br.p, 0) - COALESCE(tr.p, 0) - COALESCE(bl.p, 0)
+            |    + COALESCE(tl.p, 0) AS prefix_sum,
+            |  COALESCE(d.direct_sum, 0) = COALESCE(br.p, 0)
+            |    - COALESCE(tr.p, 0) - COALESCE(bl.p, 0) + COALESCE(tl.p, 0)
+            |    AS exact
+            |FROM probes p
+            |LEFT JOIN prefix br ON br.di = p.rb AND br.h = p.cb
+            |LEFT JOIN prefix tr ON tr.di = p.ra - 1 AND tr.h = p.cb
+            |LEFT JOIN prefix bl ON bl.di = p.rb AND bl.h = p.ca - 1
+            |LEFT JOIN prefix tl ON tl.di = p.ra - 1 AND tl.h = p.ca - 1
+            |LEFT JOIN direct d ON d.ra = p.ra AND d.rb = p.rb
+            |  AND d.ca = p.ca AND d.cb = p.cb
+            |ORDER BY p.ra, p.ca, p.rb, p.cb""".stripMargin
       })
   )
 
