@@ -3164,7 +3164,146 @@ object Mlops {
             |LEFT JOIN direct d ON d.ra = p.ra AND d.rb = p.rb
             |  AND d.ca = p.ca AND d.cb = p.cb
             |ORDER BY p.ra, p.ca, p.rb, p.cb""".stripMargin
-      })
+      }),
+
+    QueryDef("q311_srm_gate",
+      "sample-ratio-mismatch gate: per-day chi-square detects a planted treatment-arm logging loss",
+      // the first thing a trustworthy experiment platform checks: does
+      // the OBSERVED arm split match the design? Assignment is a 50/50
+      // user hash; the pipeline then PLANTS the classic bug — treatment-
+      // arm events whose milli-value ≡ 0 mod 10 are dropped (a ~10%
+      // one-sided logging loss) — and the per-day chi-square
+      // (n_t − n_c)²·1e6 div (n_t + n_c) must light up against the
+      // χ²(1, 0.05) = 3.8415 threshold while a clean split would not.
+      // One scan, day-keyed aggregation; everything integer.
+      (s, dir) => {
+        table(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"),
+            expr(u60("concat('srm:', CAST(user_id AS STRING))",
+              spark = true) + " % 2").as("arm"),
+            expr("CAST(floor(value * 1000) AS BIGINT) % 10").as("vslot"))
+          .filter(!(col("arm") === 1 && col("vslot") === 0)) // planted loss
+          .groupBy("day")
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"))
+          .withColumn("chi2_e6", expr(
+            "((n_t - n_c) * (n_t - n_c) * 1000000) " +
+              "div greatest(n_t + n_c, CAST(1 AS BIGINT))"))
+          .withColumn("srm_flag", col("chi2_e6") > 3841459L)
+          .orderBy("day")
+      },
+      Some {
+        val h = u60("'srm:' || user_id", spark = false)
+        s"""|WITH base AS (
+            |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+            |    ($h) % 2 AS arm,
+            |    CAST(floor(value * 1000) AS BIGINT) % 10 AS vslot
+            |  FROM events
+            |), kept AS (
+            |  SELECT * FROM base WHERE NOT (arm = 1 AND vslot = 0)
+            |), days AS (
+            |  SELECT day,
+            |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS n_t,
+            |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS n_c
+            |  FROM kept GROUP BY 1
+            |)
+            |SELECT day, n_t, n_c,
+            |  ((n_t - n_c) * (n_t - n_c) * 1000000)
+            |    // greatest(n_t + n_c, 1) AS chi2_e6,
+            |  ((n_t - n_c) * (n_t - n_c) * 1000000)
+            |    // greatest(n_t + n_c, 1) > 3841459 AS srm_flag
+            |FROM days ORDER BY day""".stripMargin
+      }),
+
+    QueryDef("q312_joinability_discovery",
+      "data-catalog joinability discovery: pairwise value containment across key columns",
+      // the data-discovery question a catalog answers about an unfamiliar
+      // lake: WHICH columns join? Every registered key column collapses
+      // to its distinct-value set (map-combined, one tagged union), and
+      // ONE value-keyed self-join yields every pairwise intersection —
+      // never a per-pair scan. Directional containments |A∩B|/|A| and
+      // |A∩B|/|B| (the FK detector: a true foreign key shows containment
+      // 1.0 into its dimension) plus Jaccard, exact e6 integers; pairs
+      // with empty intersection drop.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val cols = Seq(
+          ("orders.o_custkey", "orders", "o_custkey"),
+          ("customer.c_custkey", "customer", "c_custkey"),
+          ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+          ("orders.o_orderkey", "orders", "o_orderkey"),
+          ("lineitem.l_partkey", "lineitem", "l_partkey"),
+          ("part.p_partkey", "part", "p_partkey"),
+          ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+          ("supplier.s_suppkey", "supplier", "s_suppkey"),
+          ("customer.c_nationkey", "customer", "c_nationkey"),
+          ("nation.n_nationkey", "nation", "n_nationkey"),
+          ("events.user_id", "events", "user_id"))
+        val tagged = cols.map { case (name, t, c) =>
+          table(s, dir, t).select(col(c).cast("long").as("v")).distinct()
+            .select(lit(name).as("cname"), col("v"))
+        }.reduce(_ unionByName _).pin
+        val sizes = tagged.groupBy("cname").agg(count(lit(1)).as("n"))
+        val inter = tagged.as("a").join(tagged.as("b"),
+            col("a.v") === col("b.v") && col("a.cname") < col("b.cname"))
+          .groupBy(col("a.cname").as("col_a"), col("b.cname").as("col_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("cname").as("col_a"), col("n").as("n_a")),
+            "col_a")
+          .join(sizes.select(col("cname").as("col_b"), col("n").as("n_b")),
+            "col_b")
+          .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
+            col("n_inter"),
+            expr("(n_inter * 1000000) div n_a").as("cont_a_in_b_e6"),
+            expr("(n_inter * 1000000) div n_b").as("cont_b_in_a_e6"),
+            expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+              .as("jaccard_e6"))
+          .orderBy("col_a", "col_b")
+      },
+      Some("""|WITH tagged AS (
+              |  SELECT 'orders.o_custkey' AS cname,
+              |    CAST(o_custkey AS BIGINT) AS v FROM orders GROUP BY 2
+              |  UNION ALL SELECT 'customer.c_custkey',
+              |    CAST(c_custkey AS BIGINT) FROM customer GROUP BY 2
+              |  UNION ALL SELECT 'lineitem.l_orderkey',
+              |    CAST(l_orderkey AS BIGINT) FROM lineitem GROUP BY 2
+              |  UNION ALL SELECT 'orders.o_orderkey',
+              |    CAST(o_orderkey AS BIGINT) FROM orders GROUP BY 2
+              |  UNION ALL SELECT 'lineitem.l_partkey',
+              |    CAST(l_partkey AS BIGINT) FROM lineitem GROUP BY 2
+              |  UNION ALL SELECT 'part.p_partkey',
+              |    CAST(p_partkey AS BIGINT) FROM part GROUP BY 2
+              |  UNION ALL SELECT 'lineitem.l_suppkey',
+              |    CAST(l_suppkey AS BIGINT) FROM lineitem GROUP BY 2
+              |  UNION ALL SELECT 'supplier.s_suppkey',
+              |    CAST(s_suppkey AS BIGINT) FROM supplier GROUP BY 2
+              |  UNION ALL SELECT 'customer.c_nationkey',
+              |    CAST(c_nationkey AS BIGINT) FROM customer GROUP BY 2
+              |  UNION ALL SELECT 'nation.n_nationkey',
+              |    CAST(n_nationkey AS BIGINT) FROM nation GROUP BY 2
+              |  UNION ALL SELECT 'events.user_id',
+              |    CAST(user_id AS BIGINT) FROM events GROUP BY 2
+              |), sizes AS (
+              |  SELECT cname, count(*) AS n FROM tagged GROUP BY 1
+              |), inter AS (
+              |  SELECT a.cname AS col_a, b.cname AS col_b,
+              |    CAST(count(*) AS BIGINT) AS n_inter
+              |  FROM tagged a JOIN tagged b
+              |    ON a.v = b.v AND a.cname < b.cname
+              |  GROUP BY 1, 2
+              |)
+              |SELECT i.col_a, i.col_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+              |  (i.n_inter * 1000000) // sa.n AS cont_a_in_b_e6,
+              |  (i.n_inter * 1000000) // sb.n AS cont_b_in_a_e6,
+              |  (i.n_inter * 1000000) // (sa.n + sb.n - i.n_inter)
+              |    AS jaccard_e6
+              |FROM inter i
+              |JOIN sizes sa ON sa.cname = i.col_a
+              |JOIN sizes sb ON sb.cname = i.col_b
+              |ORDER BY i.col_a, i.col_b""".stripMargin))
   )
 
 
