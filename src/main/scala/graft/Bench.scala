@@ -138,7 +138,8 @@ object Bench {
     "q304_blame_suppliers", "q305_top_supplier", "q306_ndcg_eval",
     "q307_ivf_recall_audit", "q308_streaming_scd2",
     "q309_block_bootstrap", "q310_prefix_sum_cube", "q311_srm_gate",
-    "q312_joinability_discovery")
+    "q312_joinability_discovery", "q313_rake_keywords",
+    "q314_forgotten_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

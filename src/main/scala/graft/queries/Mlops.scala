@@ -443,6 +443,13 @@ object Mlops {
     (0L, 6L, 0L, 23L), (2L, 2L, 9L, 17L), (0L, 29L, 12L, 12L),
     (5L, 20L, 3L, 21L), (0L, 29L, 0L, 23L))
 
+
+  /** q313's stopword set: the union of TextAnalysis.Stopwords across all
+    * five languages — the same public lists the lang-id family certifies
+    * against. */
+  private val RakeStops: Seq[String] =
+    graft.text.TextAnalysis.Stopwords.flatMap(_._2).distinct
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -3303,8 +3310,190 @@ object Mlops {
               |FROM inter i
               |JOIN sizes sa ON sa.cname = i.col_a
               |JOIN sizes sb ON sb.cname = i.col_b
-              |ORDER BY i.col_a, i.col_b""".stripMargin))
+              |ORDER BY i.col_a, i.col_b""".stripMargin)),
+
+    QueryDef("q313_rake_keywords",
+      "RAKE keyword extraction: stopword-delimited phrases scored by corpus degree/frequency",
+      // the classic unsupervised keyphrase extractor (Rose et al. 2010)
+      // at corpus scale: phrases are maximal stopword-free word runs
+      // (island trick — position minus non-stop rank is constant within a
+      // run, so NO sequential pass), word score = degree/frequency over
+      // ALL phrase occurrences (degree counts co-members including self),
+      // and a phrase scores the sum of its words. Integer e6 scores, one
+      // tokenize shuffle + bounded vocab/phrase aggregations; identical
+      // phrase text ⇒ identical score, so the census dedupes exactly.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "p", "w")
+          .filter(col("w") =!= "")
+          .withColumn("is_stop", expr(s"w IN ($stopList)"))
+        val isl = words.filter(!col("is_stop"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("p")))
+          .withColumn("isl", col("p") - col("rn"))
+          .withColumn("plen", count(lit(1)).over(
+            Window.partitionBy("doc_id", "isl")))
+          .pin
+        val wordScore = isl.groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+          .withColumn("wscore_e6", expr("(deg * 1000000) div freq"))
+        val phrases = isl.join(broadcast(wordScore.select("w", "wscore_e6")),
+            "w")
+          .groupBy("doc_id", "isl")
+          .agg(expr("concat_ws(' ', transform(" +
+            "sort_array(collect_list(struct(p, w))), x -> x.w))")
+            .as("phrase"),
+            sum("wscore_e6").as("score_e6"),
+            count(lit(1)).as("n_words"))
+        phrases.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occur"), max("score_e6").as("score_e6"),
+            max("n_words").as("n_words"))
+          .orderBy(col("score_e6").desc, col("phrase"))
+          .limit(20)
+      },
+      Some {
+        val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
+        s"""|WITH words AS (
+            |  SELECT doc_id, p, w FROM (
+            |    SELECT doc_id,
+            |      unnest(string_split(text, ' ')) AS w,
+            |      unnest(generate_series(1, len(string_split(text, ' '))))
+            |        AS p
+            |    FROM documents
+            |  ) WHERE w <> '' AND w NOT IN ($stopList)
+            |), isl AS (
+            |  SELECT doc_id, p, w,
+            |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+            |      AS isl
+            |  FROM words
+            |), sized AS (
+            |  SELECT doc_id, p, w, isl,
+            |    count(*) OVER (PARTITION BY doc_id, isl) AS plen
+            |  FROM isl
+            |), wordscore AS (
+            |  SELECT w, count(*) AS freq,
+            |    CAST(sum(plen) AS BIGINT) AS deg,
+            |    (CAST(sum(plen) AS BIGINT) * 1000000) // count(*)
+            |      AS wscore_e6
+            |  FROM sized GROUP BY 1
+            |), phrases AS (
+            |  SELECT s.doc_id, s.isl,
+            |    string_agg(s.w, ' ' ORDER BY s.p) AS phrase,
+            |    CAST(sum(ws.wscore_e6) AS BIGINT) AS score_e6,
+            |    count(*) AS n_words
+            |  FROM sized s JOIN wordscore ws ON ws.w = s.w
+            |  GROUP BY 1, 2
+            |)
+            |SELECT phrase, count(*) AS n_occur,
+            |  CAST(max(score_e6) AS BIGINT) AS score_e6,
+            |  CAST(max(n_words) AS BIGINT) AS n_words
+            |FROM phrases GROUP BY 1
+            |ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin
+      }),
+
+    QueryDef("q314_forgotten_audit",
+      "right-to-be-forgotten propagation audit: deletion reach across raw, derived, and aggregate tiers",
+      // the compliance question a deletion pipeline must PROVE: after
+      // scrubbing a user set at the source (anti-join), what remains
+      // linked in each derived tier? Raw events and gap-sessionization go
+      // to zero (row-linked tiers rebuild clean), but the published DAILY
+      // AGGREGATE carries the deleted users' contributions with no
+      // user_id to anti-join on — the residue metric counts exactly how
+      // many embedded rows a source-only scrub leaves inside
+      // previously-published aggregates (the reason aggregate stores
+      // need recomputation windows, not just tombstones). One events
+      // scan per tier; the deletion set rides a broadcast anti-join.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val spark = s
+        import spark.implicits._
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("ts div 86400000000000").as("day")).pin
+        val scrubbed = e.filter(col("user_id") % 97 =!= 0)
+        def sessions(src: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          src.withColumn("prev", lag("ts", 1).over(w))
+            .withColumn("new_sess", expr(
+              "CASE WHEN prev IS NULL OR ts - prev > 1800000000000 " +
+                "THEN 1 ELSE 0 END"))
+            .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+        }
+        val evBefore = e.filter(col("user_id") % 97 === 0)
+          .agg(count(lit(1)).as("n"))
+        val evAfter = scrubbed.filter(col("user_id") % 97 === 0)
+          .agg(count(lit(1)).as("n"))
+        val seBefore = sessions(e).filter(col("user_id") % 97 === 0)
+          .agg(coalesce(sum("n_sessions"), lit(0L)).as("n"))
+        val seAfter = sessions(scrubbed).filter(col("user_id") % 97 === 0)
+          .agg(coalesce(sum("n_sessions"), lit(0L)).as("n"))
+        val residue = e.groupBy("day").agg(count(lit(1)).as("nb"))
+          .join(scrubbed.groupBy("day").agg(count(lit(1)).as("na")),
+            Seq("day"), "left")
+          .na.fill(0L, Seq("na"))
+          .agg(sum(expr("abs(nb - na)")).as("n"))
+        def row(nm: String, before: org.apache.spark.sql.DataFrame,
+                after: org.apache.spark.sql.DataFrame) =
+          before.crossJoin(after.withColumnRenamed("n", "n2"))
+            .select(lit(nm).as("tier"), col("n").as("n_before_linked"),
+              col("n2").as("n_after_linked"))
+        row("1_events", evBefore, evAfter)
+          .unionByName(row("2_sessions", seBefore, seAfter))
+          .unionByName(residue.crossJoin(residue.withColumnRenamed("n", "n2"))
+            .select(lit("3_daily_aggregate_residue").as("tier"),
+              col("n").as("n_before_linked"),
+              lit(0L).as("n_after_linked")))
+          .orderBy("tier")
+      },
+      Some("""|WITH e AS (
+              |  SELECT user_id, event_id, epoch_ns(ts) AS tn,
+              |    epoch_ns(ts) // 86400000000000 AS day
+              |  FROM events
+              |), scrubbed AS (SELECT * FROM e WHERE user_id % 97 <> 0),
+              |sess AS (
+              |  SELECT user_id, CAST(sum(CASE WHEN prev IS NULL
+              |      OR tn - prev > 1800000000000 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_sessions
+              |  FROM (
+              |    SELECT user_id, tn, lag(tn) OVER (PARTITION BY user_id
+              |      ORDER BY tn, event_id) AS prev
+              |    FROM e) GROUP BY 1
+              |), sess2 AS (
+              |  SELECT user_id, CAST(sum(CASE WHEN prev IS NULL
+              |      OR tn - prev > 1800000000000 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_sessions
+              |  FROM (
+              |    SELECT user_id, tn, lag(tn) OVER (PARTITION BY user_id
+              |      ORDER BY tn, event_id) AS prev
+              |    FROM scrubbed) GROUP BY 1
+              |), resid AS (
+              |  SELECT CAST(sum(abs(b.nb - COALESCE(a.na, 0))) AS BIGINT)
+              |    AS n
+              |  FROM (SELECT day, CAST(count(*) AS BIGINT) AS nb
+              |        FROM e GROUP BY 1) b
+              |  LEFT JOIN (SELECT day, CAST(count(*) AS BIGINT) AS na
+              |        FROM scrubbed GROUP BY 1) a ON a.day = b.day
+              |)
+              |SELECT '1_events' AS tier,
+              |  (SELECT count(*) FROM e WHERE user_id % 97 = 0)
+              |    AS n_before_linked,
+              |  (SELECT count(*) FROM scrubbed WHERE user_id % 97 = 0)
+              |    AS n_after_linked
+              |UNION ALL
+              |SELECT '2_sessions',
+              |  (SELECT COALESCE(CAST(sum(n_sessions) AS BIGINT), 0)
+              |   FROM sess WHERE user_id % 97 = 0),
+              |  (SELECT COALESCE(CAST(sum(n_sessions) AS BIGINT), 0)
+              |   FROM sess2 WHERE user_id % 97 = 0)
+              |UNION ALL
+              |SELECT '3_daily_aggregate_residue',
+              |  (SELECT n FROM resid), 0
+              |ORDER BY tier""".stripMargin))
   )
+
 
 
 
