@@ -2714,5 +2714,73 @@ object Llm {
               |SELECT COALESCE(c.n_common, 0) AS recall_at_k,
               |  count(*) AS n_queries
               |FROM qs q LEFT JOIN common c ON c.qid = q.qid
-              |GROUP BY 1 ORDER BY recall_at_k""".stripMargin)))
+              |GROUP BY 1 ORDER BY recall_at_k""".stripMargin)),
+
+    QueryDef("q315_ivf_serve_batch",
+      "batch IVF serving: one probed candidate join answers a whole query frame, per-query top-5",
+      // the SERVING extraction of q307's probe plan (Similarity
+      // .ivfTopKMulti): every 20th vector is a query in one batch; probe
+      // cells rank locally on the broadcast centroid table, the exploded
+      // (query, cell) frame broadcasts into a single equi-join on `cell`
+      // (partition-pruned over an ivfWrite'd corpus), and the per-query
+      // top-5 is a WindowGroupLimit rank on the exact-grid cosine. The
+      // oracle replays the Lloyd quantizer, the probe ranking, and the
+      // ranked join — so every served neighbor row is engine-exact.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val centroids = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+        val assigned = Similarity.ivfAssign(emb, centroids)
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfTopKMulti(assigned, centroids, queries,
+            k = 5, nprobe = 3)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""|WITH $IvfLloydCtes
+              |$IvfAssignCte,
+              |g AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(generate_series(1, 64),
+              |      i -> CAST(floor(v[i] * v[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS e2
+              |  FROM emb
+              |),
+              |base AS (
+              |  SELECT g.vec_id, g.v, g.e2, af.cell
+              |  FROM g JOIN af USING (vec_id) WHERE g.e2 > 0
+              |),
+              |qs AS (
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq
+              |  FROM base WHERE vec_id % 20 = 0
+              |),
+              |probes AS (
+              |  SELECT qid, cell FROM (
+              |    SELECT q.qid, c.cell,
+              |      row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+              |          c.cell) AS rn
+              |    FROM qs q CROSS JOIN c2 c
+              |  ) WHERE rn <= 3
+              |)
+              |SELECT qid, CAST(rn AS BIGINT) AS rk, cid, sim FROM (
+              |  SELECT q.qid, b.vec_id AS cid,
+              |    round(CAST(CAST(list_sum(list_transform(
+              |      generate_series(1, 64),
+              |      i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS DOUBLE)
+              |      / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)), 6)
+              |      AS sim,
+              |    row_number() OVER (PARTITION BY q.qid ORDER BY
+              |      round(CAST(CAST(list_sum(list_transform(
+              |        generate_series(1, 64),
+              |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |        AS BIGINT) AS DOUBLE)
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |        6) DESC, b.vec_id) AS rn
+              |  FROM qs q
+              |  JOIN probes p ON p.qid = q.qid
+              |  JOIN base b ON b.cell = p.cell
+              |  WHERE b.vec_id <> q.qid
+              |) WHERE rn <= 5
+              |ORDER BY qid, rk""".stripMargin)))
 }

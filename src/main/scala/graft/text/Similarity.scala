@@ -245,6 +245,65 @@ object Similarity {
       .orderBy("recall_at_k")
   }
 
+  /** Batch IVF serving: answer a whole frame of queries with ONE probed
+    * candidate join — the q307 audit's probe plan extracted as a
+    * first-class API. The single-query [[ivfTopK]] is the ad-hoc surface;
+    * a serving deployment batches queries, and this is that path:
+    *
+    *  - `queries` is a BATCH (broadcast-sized — thousands of rows, not a
+    *    corpus): probe cells rank locally against the bounded broadcast
+    *    centroid table (no jobs), then the exploded (query, cell) frame
+    *    broadcasts into one equi-join on `cell`. Over an [[ivfWrite]]'d
+    *    table the cell predicate partition-prunes, so the scan reads only
+    *    the union of all probed cells across the batch — batching
+    *    amortizes the corpus scan across every query in the frame.
+    *  - scoring is the exact-grid cosine (floor_dot_e9, codegen'd,
+    *    6-decimal round, ties sim DESC then id ASC) so results are
+    *    engine-exact and SQL-replayable; per-query top-k is a row_number
+    *    rank filter that Spark rewrites to WindowGroupLimit (partial
+    *    top-k before the qid shuffle).
+    *
+    * Returns (qid, rk, cid, sim), rk in 1..k. `excludeSelfId` drops
+    * candidates whose id equals the query id (corpus-internal queries);
+    * disable it when query ids live in a different id space. */
+  def ivfTopKMulti(assigned: DataFrame, centroids: Array[Array[Double]],
+                   queries: DataFrame, k: Int, nprobe: Int = 3,
+                   excludeSelfId: Boolean = true,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && nprobe > 0 && nprobe <= centroids.length,
+      s"need 0 < nprobe <= nCells and k > 0 (got k=$k nprobe=$nprobe)")
+    val spark = assigned.sparkSession
+    graft.functions.GridFunctions.register(spark)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probesUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map(c => (c, cosineArr(cs(c), v)))
+        .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+    }
+    val cand = assigned
+      .withColumn("__ec", expr(s"floor_dot_e9($vecCol, $vecCol)"))
+      .filter(col("__ec") > 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("__cv"),
+        col("__ec"), col("cell"))
+    val qf = queries
+      .withColumn("__eq", expr(s"floor_dot_e9($qvecCol, $qvecCol)"))
+      .filter(col("__eq") > 0)
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("__qv"),
+        col("__eq"), explode(probesUdf(col(qvecCol))).as("cell"))
+    val joined0 = broadcast(qf).join(cand, Seq("cell"))
+    val joined = if (excludeSelfId) joined0.filter(col("cid") =!= col("qid"))
+                 else joined0
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    joined
+      .withColumn("sim", round(expr("floor_dot_e9(__qv, __cv)").cast("double") /
+        sqrt(col("__eq").cast("double") * col("__ec").cast("double")), 6))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("sim"))
+  }
+
   /** Hyperplane component (p, i): a signed 48-bit integer from md5 hex
     * chars 1-12 of "<seed>:<p>:<i>", centered by 2^47. Integer-valued and
     * < 2^53, so the value is EXACT in a double in any engine — a SQL oracle

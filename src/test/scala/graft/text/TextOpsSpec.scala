@@ -572,6 +572,42 @@ class TextOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Similarity.IvfParams(nCells = 4, nprobe = 5))
   }
 
+  test("ivfTopKMulti: batch serving finds planted twins, excludes self, ranks 1..k") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) }
+    val q0 = vec(1); val q1 = vec(2)
+    val rows = (2 until 150).map(i => (i.toLong, vec(i + 10))) ++
+      Seq((500L, jitter(q0, 0.01f)), (501L, jitter(q0, 0.05f)),
+        (600L, jitter(q1, 0.01f)), (0L, q0), (1L, q1))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(emb, k = 6, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, centroids).cache()
+    val queries = emb.filter($"vec_id" <= 1)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // probe-all degenerates to exhaustive: each query's planted twin is rank 1
+    val served = Similarity.ivfTopKMulti(assigned, centroids, queries,
+      k = 2, nprobe = 6).collect()
+    val byQ = served.groupBy(_.getLong(0))
+    assert(byQ(0L).find(_.getLong(1) == 1L).get.getLong(2) == 500L,
+      s"query 0 rank-1 neighbor: ${byQ(0L).toSeq}")
+    assert(byQ(1L).find(_.getLong(1) == 1L).get.getLong(2) == 600L,
+      s"query 1 rank-1 neighbor: ${byQ(1L).toSeq}")
+    assert(!served.exists(r => r.getLong(0) == r.getLong(2)), "self must be excluded")
+    assert(byQ.values.forall(rs => rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L)),
+      "each query must get contiguous ranks 1..k")
+    // partial probing: still k ranked rows per answered query, subset of cells
+    val part = Similarity.ivfTopKMulti(assigned, centroids, queries,
+      k = 2, nprobe = 2).collect()
+    assert(part.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 2L))
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfTopKMulti(assigned, centroids, queries, k = 2, nprobe = 7))
+  }
+
   test("cosine LSH pairs: planted neighbors found, flood capped, no vectors in the bucket shuffle") {
     val dim = 16
     def vec(seed: Int): Array[Float] = {
