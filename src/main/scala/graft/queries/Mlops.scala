@@ -3491,7 +3491,69 @@ object Mlops {
               |UNION ALL
               |SELECT '3_daily_aggregate_residue',
               |  (SELECT n FROM resid), 0
-              |ORDER BY tier""".stripMargin))
+              |ORDER BY tier""".stripMargin)),
+
+    QueryDef("q316_capped_sessions",
+      "capped sessionization: 12h idle-gap sessions under a hard 24h duration ceiling, per-user stats",
+      // plain gap sessions are window-expressible (q103/q314 islands); a
+      // DURATION CAP is not — the session clock restarts at the first
+      // event past the cap, so each boundary depends on the previous one.
+      // Sessionize.cappedSessionStats runs the recurrence as a per-user
+      // codegen'd aggregate-HOF fold over the sorted timestamp list (one
+      // shuffle on user_id, six-BIGINT comma-string state — the q299
+      // idiom); DuckDB list_reduce replays the identical fold. Output per
+      // user: event/session counts, cap-forced splits (sessions that
+      // exist only because of the ceiling), and the largest session.
+      (s, dir) => graft.operators.Sessionize.cappedSessionStats(
+          table(s, dir, "events"), "user_id", "ts", "event_id",
+          gapNs = 43200000000000L, capNs = 86400000000000L)
+        .orderBy("user_id"),
+      Some("""|WITH e AS (
+              |  SELECT user_id, epoch_ns(ts) AS tn, event_id FROM events
+              |), ser AS (
+              |  SELECT user_id, list(tn ORDER BY tn, event_id) AS ser
+              |  FROM e GROUP BY 1
+              |), folded AS (
+              |  SELECT user_id, CAST(len(ser) AS BIGINT) AS n_events,
+              |    list_reduce(
+              |      list_prepend(
+              |        '1,' || CAST(ser[1] AS VARCHAR) || ',' ||
+              |          CAST(ser[1] AS VARCHAR) || ',1,1,0',
+              |        list_transform(list_slice(ser, 2, len(ser)),
+              |          t -> CAST(t AS VARCHAR))),
+              |      (acc, s) -> CASE
+              |        WHEN CAST(s AS BIGINT)
+              |            - CAST(string_split(acc, ',')[3] AS BIGINT)
+              |            > 43200000000000
+              |          OR CAST(s AS BIGINT)
+              |            - CAST(string_split(acc, ',')[2] AS BIGINT)
+              |            > 86400000000000
+              |        THEN CAST(CAST(string_split(acc, ',')[1] AS BIGINT)
+              |            + 1 AS VARCHAR) || ',' ||
+              |          s || ',' || s || ',1,' ||
+              |          string_split(acc, ',')[5] || ',' ||
+              |          CAST(CAST(string_split(acc, ',')[6] AS BIGINT)
+              |            + CASE WHEN CAST(s AS BIGINT)
+              |                - CAST(string_split(acc, ',')[3] AS BIGINT)
+              |                <= 43200000000000 THEN 1 ELSE 0 END
+              |            AS VARCHAR)
+              |        ELSE string_split(acc, ',')[1] || ',' ||
+              |          string_split(acc, ',')[2] || ',' || s || ',' ||
+              |          CAST(CAST(string_split(acc, ',')[4] AS BIGINT)
+              |            + 1 AS VARCHAR) || ',' ||
+              |          CAST(greatest(
+              |            CAST(string_split(acc, ',')[5] AS BIGINT),
+              |            CAST(string_split(acc, ',')[4] AS BIGINT) + 1)
+              |            AS VARCHAR) || ',' ||
+              |          string_split(acc, ',')[6]
+              |      END) AS st
+              |  FROM ser
+              |)
+              |SELECT user_id, n_events,
+              |  CAST(string_split(st, ',')[1] AS BIGINT) AS n_sessions,
+              |  CAST(string_split(st, ',')[6] AS BIGINT) AS n_cap_splits,
+              |  CAST(string_split(st, ',')[5] AS BIGINT) AS max_sess_events
+              |FROM folded ORDER BY user_id""".stripMargin))
   )
 
 
