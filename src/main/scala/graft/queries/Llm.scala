@@ -2782,5 +2782,47 @@ object Llm {
               |  JOIN base b ON b.cell = p.cell
               |  WHERE b.vec_id <> q.qid
               |) WHERE rn <= 5
-              |ORDER BY qid, rk""".stripMargin)))
+              |ORDER BY qid, rk""".stripMargin)),
+
+    QueryDef("q317_stem_census",
+      "Porter-lite stem census: anchored regex suffix chain groups surface forms, top-30 stems",
+      // term statistics that group inflections without a dictionary:
+      // TextAnalysis.stemLite is a FIXED anchored-regexp chain (plural
+      // -s/-es/-ies, -ing, -ed, -ly — deliberately not full Porter, no
+      // measure() conditions) so the stem column is pure codegen'd string
+      // work that DuckDB replays verbatim (\\1 vs $1 backrefs aside). One
+      // tokenize explode + one stem groupBy; n_forms counts distinct
+      // surface forms collapsed into each stem.
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 3)
+        words.withColumn("stem", TextAnalysis.stemLite(col("w")))
+          .groupBy("stem")
+          .agg(count(lit(1)).as("n_occur"),
+            countDistinct(col("w")).as("n_forms"),
+            min(col("w")).as("first_form"))
+          .orderBy(col("n_occur").desc, col("stem"))
+          .limit(30)
+      },
+      Some("""|WITH words AS (
+              |  SELECT w FROM (
+              |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+              |      AS w
+              |    FROM documents
+              |  ) WHERE len(w) >= 3
+              |), stemmed AS (
+              |  SELECT w,
+              |    regexp_replace(regexp_replace(regexp_replace(
+              |      regexp_replace(regexp_replace(regexp_replace(
+              |      w, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\1'),
+              |      '([aeiou].*)ing$', '\1'), '([aeiou].*)ed$', '\1'),
+              |      '([aeiou].*[^aeiou])ly$', '\1') AS stem
+              |  FROM words
+              |)
+              |SELECT stem, count(*) AS n_occur,
+              |  CAST(count(DISTINCT w) AS BIGINT) AS n_forms,
+              |  min(w) AS first_form
+              |FROM stemmed GROUP BY 1
+              |ORDER BY n_occur DESC, stem LIMIT 30""".stripMargin)))
 }

@@ -23,6 +23,23 @@ object TextAnalysis {
     ((length(textCol) - length(replace(textCol, lit(needle), lit("")))) / needle.length)
       .cast("long")
 
+  /** Porter-LITE suffix stripper: a fixed, deterministic regex chain that
+    * collapses the high-frequency English inflections (plural -s/-es/-ies,
+    * progressive -ing, past -ed, adverbial -ly) so term statistics group
+    * surface forms. Deliberately NOT full Porter (no measure() conditions,
+    * no step 2-5 derivational rules): every rule is a single anchored
+    * regexp_replace that any SQL engine replays verbatim, which keeps the
+    * stem column oracle-exact. Pure codegen'd string functions — narrow,
+    * no shuffle, no UDF. Apply to lowercased alphabetic tokens. */
+  def stemLite(word: Column): Column = {
+    val s1 = regexp_replace(word, "sses$", "ss")
+    val s2 = regexp_replace(s1, "ies$", "i")
+    val s3 = regexp_replace(s2, "([^s])s$", "$1")
+    val s4 = regexp_replace(s3, "([aeiou].*)ing$", "$1")
+    val s5 = regexp_replace(s4, "([aeiou].*)ed$", "$1")
+    regexp_replace(s5, "([aeiou].*[^aeiou])ly$", "$1")
+  }
+
   /** Stopword inventories per language for the n-gram-heuristic language ID. */
   val Stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),

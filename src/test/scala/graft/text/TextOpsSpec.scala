@@ -965,4 +965,23 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(vars(0) >= vars(1) && vars(1) >= vars(2), s"variances not ordered: $vars")
   }
+
+  test("stemLite: anchored suffix chain on known forms") {
+    val cases = Seq(
+      "classes" -> "class",   // sses -> ss
+      "studies" -> "studi",   // ies -> i
+      "cats" -> "cat",        // plural s (not after s)
+      "kiss" -> "kiss",       // double-s untouched
+      "singing" -> "sing",    // ing stripped only past a vowel
+      "sing" -> "sing",       // no vowel before ing -> keep
+      "agreed" -> "agre",     // ed past a vowel
+      "quickly" -> "quick",   // ly after consonant
+      "running" -> "runn",    // LITE: no double-consonant undoubling
+      "the" -> "the")
+    val df = cases.map(_._1).toDF("w")
+      .select(col("w"), TextAnalysis.stemLite(col("w")).as("stem"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((w, expect) <- cases)
+      assert(got(w) == expect, s"stemLite($w) = ${got(w)}, want $expect")
+  }
 }
