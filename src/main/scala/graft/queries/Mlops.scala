@@ -3553,7 +3553,40 @@ object Mlops {
               |  CAST(string_split(st, ',')[1] AS BIGINT) AS n_sessions,
               |  CAST(string_split(st, ',')[6] AS BIGINT) AS n_cap_splits,
               |  CAST(string_split(st, ',')[5] AS BIGINT) AS max_sess_events
-              |FROM folded ORDER BY user_id""".stripMargin))
+              |FROM folded ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q318_dsv2_sink_roundtrip",
+      "DSv2 write path: two-phase-commit sink round-trip preserves every value exactly",
+      // the q303 read-connector's WRITE twin (graft.sources.NwbSink): the
+      // whole events frame flows out through the DSv2 sink — task-staged
+      // zstd parquet published only at job commit, _SUCCESS-marked — and
+      // back in through the stock parquet reader; the per-type census
+      // (counts, exact integer sums, ts extrema) then has to equal the
+      // oracle's direct scan of the ORIGINAL table, certifying both commit
+      // completeness (no lost/duplicated task output) and value fidelity
+      // (int64/double/string survive the Group-API encoding bit-exact).
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("q318_sink").toString
+        table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"))
+          .write.format("graft-nwb").mode("overwrite").save(out)
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("user_id").as("sum_users"),
+            sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_v_e6"),
+            countDistinct("event_id").as("n_distinct_ids"),
+            min("ts").as("min_ts"), max("ts").as("max_ts"))
+          .orderBy("event_type")
+      },
+      Some("""|SELECT event_type, count(*) AS n,
+              |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+              |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+              |    AS sum_v_e6,
+              |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+              |  min(epoch_ns(ts)) AS min_ts, max(epoch_ns(ts)) AS max_ts
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
 

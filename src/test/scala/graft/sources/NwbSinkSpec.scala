@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.io.File
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** DSv2 write-path contract: round-trip fidelity (primitives + arrays),
+  * two-phase commit hygiene (_SUCCESS, no staging residue), truncate
+  * semantics for overwrite, and driver-side schema validation. */
+class NwbSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("nwb-sink-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("nwbsink").toString
+
+  test("round-trip primitives + array<double>, _SUCCESS marker, staging cleaned") {
+    val dir = tmp()
+    val rows = Seq(
+      (1, 10L, 1.5, Some("a"), Array(1.0, 2.0, 3.0)),
+      (2, 20L, -2.5, Some("b"), Array.empty[Double]),
+      (3, 30L, 0.0, None: Option[String], Array(4.25)))
+    rows.toDF("ch", "t", "v", "s", "values")
+      .repartition(3)
+      .write.format("graft-nwb").mode("append").save(dir)
+    val back = spark.read.parquet(dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)), r.getSeq[Double](4).toList))
+      .toSet
+    val want = rows.map { case (a, b, c, d, e) => (a, b, c, d, e.toList) }.toSet
+    assert(back == want, s"round-trip mismatch: $back vs $want")
+    val files = new File(dir).listFiles.map(_.getName).toSet
+    assert(files.contains("_SUCCESS"), s"no _SUCCESS in $files")
+    assert(!files.exists(_.startsWith("_staging")), s"staging residue: $files")
+    assert(files.count(_.endsWith(".parquet")) == 3, s"expected 3 part files: $files")
+  }
+
+  test("overwrite truncates the previous commit atomically at job commit") {
+    val dir = tmp()
+    (1 to 5).map(i => (i, s"v$i")).toDF("k", "s")
+      .write.format("graft-nwb").mode("append").save(dir)
+    assert(spark.read.parquet(dir).count() == 5)
+    Seq((9, "x"), (10, "y")).toDF("k", "s")
+      .write.format("graft-nwb").mode("overwrite").save(dir)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back == Set((9, "x"), (10, "y")), s"overwrite left $back")
+    assert(new File(dir, "_SUCCESS").exists)
+  }
+
+  test("append accumulates across jobs") {
+    val dir = tmp()
+    Seq((1, 1.0)).toDF("k", "v").write.format("graft-nwb").mode("append").save(dir)
+    Seq((2, 2.0)).toDF("k", "v").write.format("graft-nwb").mode("append").save(dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("unsupported column type fails on the driver before any task runs") {
+    val dir = tmp()
+    val df = Seq((1, Map("a" -> 1))).toDF("k", "m")
+    val e = intercept[Exception] {
+      df.write.format("graft-nwb").mode("append").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("unsupported column type")), s"got $e")
+    assert(!new File(dir, "_SUCCESS").exists, "no commit may happen")
+  }
+
+  test("float32 arrays and binary round-trip (store precision surface)") {
+    val dir = tmp()
+    val rows = Seq(
+      (1L, Array(1.5f, -2.25f), Array[Byte](1, 2, 3)),
+      (2L, Array.empty[Float], Array.empty[Byte]))
+    rows.toDF("id", "values", "blob")
+      .write.format("graft-nwb").mode("append").save(dir)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList,
+        r.getAs[Array[Byte]](2).toList))
+      .toSet
+    assert(back == rows.map { case (a, b, c) => (a, b.toList, c.toList) }.toSet)
+  }
+}
