@@ -139,7 +139,9 @@ object Bench {
     "q307_ivf_recall_audit", "q308_streaming_scd2",
     "q309_block_bootstrap", "q310_prefix_sum_cube", "q311_srm_gate",
     "q312_joinability_discovery", "q313_rake_keywords",
-    "q314_forgotten_audit")
+    "q314_forgotten_audit", "q315_ivf_serve_batch", "q316_capped_sessions",
+    "q317_stem_census", "q318_dsv2_sink_roundtrip",
+    "q319_brand_modularity", "q320_two_hop_features", "q321_golden_record")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3586,7 +3586,158 @@ object Mlops {
               |    AS sum_v_e6,
               |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
               |  min(epoch_ns(ts)) AS min_ts, max(epoch_ns(ts)) AS max_ts
-              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q319_brand_modularity",
+      "Newman modularity of the brand partition over the co-purchase graph, exact integer decomposition",
+      // does co-purchasing concentrate within part brands? Graph
+      // .attributeModularity decomposes Q = Σ_c (e_c/m − (d_c/2m)²) onto
+      // the exact integer grid contrib_num = 4·m·e_c − d_c² (denominator
+      // 4m²), so the per-brand rows AND the global Q they sum to are
+      // engine-exact. One degree agg + two label joins + a broadcast
+      // scalar — no iteration (the partition comes from the attribute,
+      // not a community search).
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val edges = graft.operators.Graph.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey")
+        val labels = table(s, dir, "part")
+          .select(col("p_partkey").as("v"), col("p_brand").as("community"))
+        graft.operators.Graph.attributeModularity(edges, labels)
+          .orderBy("community")
+      },
+      Some("""|WITH e AS (
+              |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              |  FROM lineitem x JOIN lineitem y
+              |    ON x.l_orderkey = y.l_orderkey
+              |  WHERE x.l_partkey < y.l_partkey
+              |), deg AS (
+              |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+              |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+              |  ) GROUP BY 1
+              |), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+              |lab AS (
+              |  SELECT CAST(p_partkey AS BIGINT) AS v, p_brand AS community
+              |  FROM part
+              |), nodes AS (
+              |  SELECT l.community, count(*) AS n_nodes,
+              |    CAST(sum(d.d) AS BIGINT) AS d_sum
+              |  FROM deg d JOIN lab l ON l.v = d.v GROUP BY 1
+              |), inn AS (
+              |  SELECT la.community, CAST(count(*) AS BIGINT) AS e_in
+              |  FROM e JOIN lab la ON la.v = e.a JOIN lab lb ON lb.v = e.b
+              |  WHERE la.community = lb.community GROUP BY 1
+              |)
+              |SELECT n.community, n.n_nodes, n.d_sum,
+              |  COALESCE(i.e_in, 0) AS e_in,
+              |  4 * (SELECT m FROM m) * COALESCE(i.e_in, 0)
+              |    - n.d_sum * n.d_sum AS contrib_num
+              |FROM nodes n LEFT JOIN inn i USING (community)
+              |ORDER BY community""".stripMargin)),
+
+    QueryDef("q320_two_hop_features",
+      "exact 2-hop neighborhood size per node (friend-of-friend reach) on the co-purchase graph",
+      // the link-prediction / fraud-fan-out feature: nodes at distance
+      // EXACTLY 2 (through a neighbor, not a neighbor, not self).
+      // Graph.twoHopFeatures: one wedge self-join over the symmetric edge
+      // list, distinct, anti-join the 1-hop set — exact tier (the sketch
+      // tier for power-law hubs is q122's HLL idiom).
+      (s, dir) => graft.operators.Graph.twoHopFeatures(
+          graft.operators.Graph.coOccurrenceEdges(
+            table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+        .orderBy("v"),
+      Some("""|WITH e AS (
+              |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              |  FROM lineitem x JOIN lineitem y
+              |    ON x.l_orderkey = y.l_orderkey
+              |  WHERE x.l_partkey < y.l_partkey
+              |), sym AS (
+              |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+              |), deg AS (
+              |  SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+              |  FROM sym GROUP BY 1
+              |), hops AS (
+              |  SELECT DISTINCT s1.a AS src, s2.b AS dst
+              |  FROM sym s1 JOIN sym s2 ON s2.a = s1.b
+              |  WHERE s1.a <> s2.b
+              |), two AS (
+              |  SELECT h.src AS v, CAST(count(*) AS BIGINT) AS n_two_hop
+              |  FROM hops h LEFT JOIN sym s ON s.a = h.src AND s.b = h.dst
+              |  WHERE s.a IS NULL GROUP BY 1
+              |)
+              |SELECT d.v, d.d, COALESCE(t.n_two_hop, 0) AS n_two_hop
+              |FROM deg d LEFT JOIN two t ON t.v = d.v
+              |ORDER BY d.v""".stripMargin)),
+
+    QueryDef("q321_golden_record",
+      "golden-record survivorship: latest-wins, first-wins, and deterministic mode rules per customer",
+      // the MDM merge step after entity resolution (q130/q283 find the
+      // cluster; this picks the surviving attributes): latest_status =
+      // most recent order's status (recency rule), first_price_cents = the
+      // earliest order's price (provenance rule), modal_priority = most frequent
+      // priority with ties broken lexicographically (consensus rule —
+      // mode with a deterministic tie is the part stock aggregates don't
+      // give you). Two rank windows share one o_custkey exchange; the
+      // mode is a (key, value) count + rank, all map-side combined.
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val wLatest = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val wFirst = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val ranked = o.select(col("o_custkey"), col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+          row_number().over(wLatest).as("rl"),
+          row_number().over(wFirst).as("rf"))
+        val latest = ranked.filter(col("rl") === 1)
+          .select(col("o_custkey"), col("o_orderstatus").as("latest_status"))
+        val first = ranked.filter(col("rf") === 1)
+          .select(col("o_custkey"), col("price_cents").as("first_price_cents"))
+        val modal = o.groupBy("o_custkey", "o_orderpriority")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("r", row_number().over(Window.partitionBy("o_custkey")
+            .orderBy(col("c").desc, col("o_orderpriority"))))
+          .filter(col("r") === 1)
+          .select(col("o_custkey"),
+            col("o_orderpriority").as("modal_priority"),
+            col("c").as("modal_count"))
+        o.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+          .join(latest, "o_custkey").join(first, "o_custkey")
+          .join(modal, "o_custkey")
+          .orderBy("o_custkey")
+      },
+      Some("""|WITH latest AS (
+              |  SELECT o_custkey, o_orderstatus AS latest_status FROM (
+              |    SELECT o_custkey, o_orderstatus, row_number() OVER (
+              |      PARTITION BY o_custkey
+              |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
+              |    FROM orders) WHERE r = 1
+              |), fi AS (
+              |  SELECT o_custkey, first_price_cents FROM (
+              |    SELECT o_custkey,
+              |      CAST(floor(o_totalprice * 100) AS BIGINT)
+              |        AS first_price_cents,
+              |      row_number() OVER (
+              |      PARTITION BY o_custkey
+              |      ORDER BY o_orderdate, o_orderkey) AS r
+              |    FROM orders) WHERE r = 1
+              |), modal AS (
+              |  SELECT o_custkey, o_orderpriority AS modal_priority,
+              |    c AS modal_count FROM (
+              |    SELECT o_custkey, o_orderpriority,
+              |      CAST(count(*) AS BIGINT) AS c,
+              |      row_number() OVER (PARTITION BY o_custkey
+              |        ORDER BY count(*) DESC, o_orderpriority) AS r
+              |    FROM orders GROUP BY 1, 2) WHERE r = 1
+              |), n AS (
+              |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+              |)
+              |SELECT n.o_custkey, n.n_orders, l.latest_status,
+              |  f.first_price_cents, m.modal_priority, m.modal_count
+              |FROM n JOIN latest l USING (o_custkey)
+              |JOIN fi f USING (o_custkey)
+              |JOIN modal m USING (o_custkey)
+              |ORDER BY n.o_custkey""".stripMargin))
   )
 
 

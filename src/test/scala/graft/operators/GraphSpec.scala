@@ -143,4 +143,26 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(census.toSeq === Seq((1, 3L, 0L), (2, 0L, 0L), (3, 0L, 0L)))
   }
+
+  test("attributeModularity: hand-computed Newman Q decomposition") {
+    // triangle {1,2,3} labeled A plus pendant 4 labeled B: m=4,
+    // A: d_sum=7, e_in=3 -> 4*4*3 - 49 = -1; B: d_sum=1, e_in=0 -> -1
+    // Q = (-1 + -1) / (4*16) = -0.03125 (matches the textbook formula)
+    val e = edgesDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B")).toDF("v", "community")
+    val out = Graph.attributeModularity(e, lab)
+      .orderBy("community").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(("A", 3L, 7L, 3L, -1L), ("B", 1L, 1L, 0L, -1L)))
+    val q = out.map(_._5).sum.toDouble / (4.0 * 4 * 4)
+    assert(math.abs(q - (-0.03125)) < 1e-12)
+  }
+
+  test("twoHopFeatures: exact distance-2 counts on the pendant triangle") {
+    val e = edgesDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val out = Graph.twoHopFeatures(e).orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1: 2-hop {4}; 2: {4}; 3: none (everything is <=1 hop); 4: {1,2}
+    assert(out.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 0L), (4L, 1L, 2L)))
+  }
 }
