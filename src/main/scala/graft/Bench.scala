@@ -141,7 +141,9 @@ object Bench {
     "q312_joinability_discovery", "q313_rake_keywords",
     "q314_forgotten_audit", "q315_ivf_serve_batch", "q316_capped_sessions",
     "q317_stem_census", "q318_dsv2_sink_roundtrip",
-    "q319_brand_modularity", "q320_two_hop_features", "q321_golden_record")
+    "q319_brand_modularity", "q320_two_hop_features", "q321_golden_record",
+    "q322_bitemporal_snapshot", "q323_textrank_keywords",
+    "q324_streaming_capped_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

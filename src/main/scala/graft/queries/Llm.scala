@@ -407,6 +407,29 @@ object Llm {
        |  ) WHERE rn = 1
        |)""".stripMargin
 
+
+  private val TrScale = 1000000000000L
+
+  /** TextRank's stopword filter — the same public multi-language lists the
+    * lang-id family and RAKE certify against. */
+  private val TextRankStops: Seq[String] =
+    TextAnalysis.Stopwords.flatMap(_._2).distinct
+
+  /** One unrolled PageRank iteration for the q323 oracle — replays
+    * [[graft.operators.Graph.pageRankScaled]]'s integer recurrence (the
+    * q144 idiom) over the word graph. */
+  private def textrankIterSql(k: Int): String =
+    s"""r$k AS (
+       |  SELECT de.dst AS v,
+       |    (15 * $TrScale) // (100 * nn.cnt)
+       |      + (85 * sum(pr.r // dg.deg)) // 100 AS r
+       |  FROM dirE de
+       |  JOIN r${k - 1} pr ON de.src = pr.v
+       |  JOIN deg dg ON de.src = dg.src
+       |  CROSS JOIN nn
+       |  GROUP BY de.dst, nn.cnt
+       |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q40_dedup_exact", "exact dedup via content-hash groupBy",
@@ -2824,5 +2847,93 @@ object Llm {
               |  CAST(count(DISTINCT w) AS BIGINT) AS n_forms,
               |  min(w) AS first_form
               |FROM stemmed GROUP BY 1
-              |ORDER BY n_occur DESC, stem LIMIT 30""".stripMargin)))
+              |ORDER BY n_occur DESC, stem LIMIT 30""".stripMargin)),
+
+    QueryDef("q323_textrank_keywords",
+      "TextRank keywords: PageRank over the adjacent-word co-occurrence graph, exact integer grid",
+      // RAKE's graph-ranking sibling (Mihalcea & Tarau 2004): stopword-
+      // filtered adjacent word pairs form an undirected corpus graph,
+      // deterministic dense word ids come from a rank over the BOUNDED
+      // vocab (single-partition window on a vocab-sized frame, not the
+      // corpus), and Graph.pageRankScaled runs 4 iterations of the q144
+      // integer recurrence — so the oracle replays every iteration as
+      // unrolled CTEs and the top-25 is engine-exact including ties.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stopList = TextRankStops.map(w => s"'$w'").mkString(", ")
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), "[^a-z]+")))
+          .toDF("doc_id", "p", "w")
+          .filter(col("w") =!= "" && length(col("w")) >= 3 &&
+            !expr(s"w IN ($stopList)"))
+        val seq2 = toks.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("p")))
+        val pairs = seq2
+          .withColumn("nw", lead("w", 1).over(
+            Window.partitionBy("doc_id").orderBy("rn")))
+          .filter(col("nw").isNotNull && col("w") =!= col("nw"))
+          .select(least(col("w"), col("nw")).as("wa"),
+            greatest(col("w"), col("nw")).as("wb"))
+          .distinct()
+        val vocab = pairs.select(col("wa").as("w"))
+          .union(pairs.select(col("wb").as("w"))).distinct()
+          .withColumn("id",
+            row_number().over(Window.orderBy("w")).cast("long"))
+        val edges = pairs
+          .join(vocab.select(col("w").as("wa"), col("id").as("a")), "wa")
+          .join(vocab.select(col("w").as("wb"), col("id").as("b")), "wb")
+          .select("a", "b")
+        graft.operators.Graph.pageRankScaled(edges, iters = 4,
+            scale = TrScale)
+          .join(vocab, col("v") === vocab("id"))
+          .select(col("w").as("word"), col("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("word"))
+          .limit(25)
+      },
+      Some {
+        val stopList = TextRankStops.map(w => s"'$w'").mkString(", ")
+        s"""|WITH toks AS (
+            |  SELECT doc_id, p, w FROM (
+            |    SELECT doc_id,
+            |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w,
+            |      unnest(generate_series(1,
+            |        len(string_split_regex(lower(text), '[^a-z]+')))) AS p
+            |    FROM documents
+            |  ) WHERE w <> '' AND len(w) >= 3 AND w NOT IN ($stopList)
+            |), seq2 AS (
+            |  SELECT doc_id, w,
+            |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+            |  FROM toks
+            |), pairs AS (
+            |  SELECT DISTINCT least(w, nw) AS wa, greatest(w, nw) AS wb
+            |  FROM (
+            |    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY rn)
+            |      AS nw
+            |    FROM seq2
+            |  ) WHERE nw IS NOT NULL AND w <> nw
+            |), vocab AS (
+            |  SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT)
+            |    AS id
+            |  FROM (SELECT wa AS w FROM pairs UNION SELECT wb FROM pairs)
+            |), e AS (
+            |  SELECT va.id AS a, vb.id AS b
+            |  FROM pairs p
+            |  JOIN vocab va ON va.w = p.wa
+            |  JOIN vocab vb ON vb.w = p.wb
+            |), dirE AS (
+            |  SELECT a AS src, b AS dst FROM e
+            |  UNION ALL SELECT b AS src, a AS dst FROM e
+            |), deg AS (
+            |  SELECT src, count(*) AS deg FROM dirE GROUP BY 1
+            |), nn AS (SELECT count(*) AS cnt FROM deg),
+            |r0 AS (
+            |  SELECT src AS v, $TrScale // nn.cnt AS r
+            |  FROM deg CROSS JOIN nn
+            |),
+            |${(1 to 4).map(textrankIterSql).mkString(",\n")}
+            |SELECT vb.w AS word, CAST(r.r AS BIGINT) AS rank_scaled
+            |FROM r4 r JOIN vocab vb ON vb.id = r.v
+            |ORDER BY rank_scaled DESC, word LIMIT 25""".stripMargin
+      }))
 }

@@ -450,6 +450,57 @@ object Mlops {
   private val RakeStops: Seq[String] =
     graft.text.TextAnalysis.Stopwords.flatMap(_._2).distinct
 
+  /** q316's oracle — shared verbatim with its streaming twin q324
+    * (the q287/q308 twin discipline: same SQL certifies both the
+    * batch fold and the stateful recompute). */
+  private[queries] val CappedSessionsOracle: String =
+    """|WITH e AS (
+              |  SELECT user_id, epoch_ns(ts) AS tn, event_id FROM events
+              |), ser AS (
+              |  SELECT user_id, list(tn ORDER BY tn, event_id) AS ser
+              |  FROM e GROUP BY 1
+              |), folded AS (
+              |  SELECT user_id, CAST(len(ser) AS BIGINT) AS n_events,
+              |    list_reduce(
+              |      list_prepend(
+              |        '1,' || CAST(ser[1] AS VARCHAR) || ',' ||
+              |          CAST(ser[1] AS VARCHAR) || ',1,1,0',
+              |        list_transform(list_slice(ser, 2, len(ser)),
+              |          t -> CAST(t AS VARCHAR))),
+              |      (acc, s) -> CASE
+              |        WHEN CAST(s AS BIGINT)
+              |            - CAST(string_split(acc, ',')[3] AS BIGINT)
+              |            > 43200000000000
+              |          OR CAST(s AS BIGINT)
+              |            - CAST(string_split(acc, ',')[2] AS BIGINT)
+              |            > 86400000000000
+              |        THEN CAST(CAST(string_split(acc, ',')[1] AS BIGINT)
+              |            + 1 AS VARCHAR) || ',' ||
+              |          s || ',' || s || ',1,' ||
+              |          string_split(acc, ',')[5] || ',' ||
+              |          CAST(CAST(string_split(acc, ',')[6] AS BIGINT)
+              |            + CASE WHEN CAST(s AS BIGINT)
+              |                - CAST(string_split(acc, ',')[3] AS BIGINT)
+              |                <= 43200000000000 THEN 1 ELSE 0 END
+              |            AS VARCHAR)
+              |        ELSE string_split(acc, ',')[1] || ',' ||
+              |          string_split(acc, ',')[2] || ',' || s || ',' ||
+              |          CAST(CAST(string_split(acc, ',')[4] AS BIGINT)
+              |            + 1 AS VARCHAR) || ',' ||
+              |          CAST(greatest(
+              |            CAST(string_split(acc, ',')[5] AS BIGINT),
+              |            CAST(string_split(acc, ',')[4] AS BIGINT) + 1)
+              |            AS VARCHAR) || ',' ||
+              |          string_split(acc, ',')[6]
+              |      END) AS st
+              |  FROM ser
+              |)
+              |SELECT user_id, n_events,
+              |  CAST(string_split(st, ',')[1] AS BIGINT) AS n_sessions,
+              |  CAST(string_split(st, ',')[6] AS BIGINT) AS n_cap_splits,
+              |  CAST(string_split(st, ',')[5] AS BIGINT) AS max_sess_events
+              |FROM folded ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -3508,52 +3559,7 @@ object Mlops {
           table(s, dir, "events"), "user_id", "ts", "event_id",
           gapNs = 43200000000000L, capNs = 86400000000000L)
         .orderBy("user_id"),
-      Some("""|WITH e AS (
-              |  SELECT user_id, epoch_ns(ts) AS tn, event_id FROM events
-              |), ser AS (
-              |  SELECT user_id, list(tn ORDER BY tn, event_id) AS ser
-              |  FROM e GROUP BY 1
-              |), folded AS (
-              |  SELECT user_id, CAST(len(ser) AS BIGINT) AS n_events,
-              |    list_reduce(
-              |      list_prepend(
-              |        '1,' || CAST(ser[1] AS VARCHAR) || ',' ||
-              |          CAST(ser[1] AS VARCHAR) || ',1,1,0',
-              |        list_transform(list_slice(ser, 2, len(ser)),
-              |          t -> CAST(t AS VARCHAR))),
-              |      (acc, s) -> CASE
-              |        WHEN CAST(s AS BIGINT)
-              |            - CAST(string_split(acc, ',')[3] AS BIGINT)
-              |            > 43200000000000
-              |          OR CAST(s AS BIGINT)
-              |            - CAST(string_split(acc, ',')[2] AS BIGINT)
-              |            > 86400000000000
-              |        THEN CAST(CAST(string_split(acc, ',')[1] AS BIGINT)
-              |            + 1 AS VARCHAR) || ',' ||
-              |          s || ',' || s || ',1,' ||
-              |          string_split(acc, ',')[5] || ',' ||
-              |          CAST(CAST(string_split(acc, ',')[6] AS BIGINT)
-              |            + CASE WHEN CAST(s AS BIGINT)
-              |                - CAST(string_split(acc, ',')[3] AS BIGINT)
-              |                <= 43200000000000 THEN 1 ELSE 0 END
-              |            AS VARCHAR)
-              |        ELSE string_split(acc, ',')[1] || ',' ||
-              |          string_split(acc, ',')[2] || ',' || s || ',' ||
-              |          CAST(CAST(string_split(acc, ',')[4] AS BIGINT)
-              |            + 1 AS VARCHAR) || ',' ||
-              |          CAST(greatest(
-              |            CAST(string_split(acc, ',')[5] AS BIGINT),
-              |            CAST(string_split(acc, ',')[4] AS BIGINT) + 1)
-              |            AS VARCHAR) || ',' ||
-              |          string_split(acc, ',')[6]
-              |      END) AS st
-              |  FROM ser
-              |)
-              |SELECT user_id, n_events,
-              |  CAST(string_split(st, ',')[1] AS BIGINT) AS n_sessions,
-              |  CAST(string_split(st, ',')[6] AS BIGINT) AS n_cap_splits,
-              |  CAST(string_split(st, ',')[5] AS BIGINT) AS max_sess_events
-              |FROM folded ORDER BY user_id""".stripMargin)),
+      Some(CappedSessionsOracle)),
 
     QueryDef("q318_dsv2_sink_roundtrip",
       "DSv2 write path: two-phase-commit sink round-trip preserves every value exactly",
@@ -3737,7 +3743,79 @@ object Mlops {
               |FROM n JOIN latest l USING (o_custkey)
               |JOIN fi f USING (o_custkey)
               |JOIN modal m USING (o_custkey)
-              |ORDER BY n.o_custkey""".stripMargin))
+              |ORDER BY n.o_custkey""".stripMargin)),
+
+    QueryDef("q322_bitemporal_snapshot",
+      "bitemporal time travel: the same valid-time cut under three transaction-time horizons",
+      // the warehouse-correction question SCD2 alone can't answer: \"what
+      // did we BELIEVE at transaction time T about the state at valid
+      // time V?\". Each event is a version with valid_ns = event time and
+      // tx_ns = arrival (event time + a deterministic 0-6h ingest delay,
+      // event_id % 7 hours). One valid cut V = corpus start + 20 days is
+      // snapshotted under three tx horizons — T=V (no hindsight), V+1d,
+      // and full hindsight — and the per-user current version is the
+      // (valid_ns, event_id) max among rows with valid_ns <= V AND
+      // tx_ns <= T. Late arrivals flip users between snapshots; the three
+      // branches share one scan + one broadcast scalar frame, each cut is
+      // a rank window Spark rewrites to WindowGroupLimit.
+      (s, dir) => {
+        val day = 86400000000000L
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("long").as("valid_ns"),
+            (col("ts").cast("long") +
+              (col("event_id") % 7) * lit(3600000000000L)).as("tx_ns"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+        val g = e.agg(min("valid_ns").as("gmin"), max("valid_ns").as("gmax"))
+        val withG = e.crossJoin(broadcast(g))
+          .withColumn("v_cut", col("gmin") + lit(20L * day))
+        def snap(label: String, txCut: org.apache.spark.sql.Column) = {
+          val w = Window.partitionBy("user_id")
+            .orderBy(col("valid_ns").desc, col("event_id").desc)
+          withG.filter(col("valid_ns") <= col("v_cut") &&
+              col("tx_ns") <= txCut)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(lit(label).as("snapshot"), col("user_id"),
+              col("event_id"), col("valid_ns"), col("tx_ns"), col("vm"))
+        }
+        snap("t1_as_of_valid", col("v_cut"))
+          .unionByName(snap("t2_plus_1d", col("v_cut") + lit(day)))
+          .unionByName(snap("t3_full_hindsight",
+            col("gmax") + lit(7L * 3600000000000L)))
+          .orderBy("snapshot", "user_id")
+      },
+      Some("""|WITH e AS (
+              |  SELECT user_id, event_id, epoch_ns(ts) AS valid_ns,
+              |    epoch_ns(ts) + (event_id % 7) * 3600000000000
+              |      AS tx_ns,
+              |    CAST(floor(value * 1000) AS BIGINT) AS vm
+              |  FROM events
+              |), g AS (
+              |  SELECT min(valid_ns) AS gmin, max(valid_ns) AS gmax FROM e
+              |), cuts AS (
+              |  SELECT 't1_as_of_valid' AS snapshot,
+              |    gmin + 20 * 86400000000000 AS v_cut,
+              |    gmin + 20 * 86400000000000 AS t_cut FROM g
+              |  UNION ALL
+              |  SELECT 't2_plus_1d',
+              |    gmin + 20 * 86400000000000,
+              |    gmin + 21 * 86400000000000 FROM g
+              |  UNION ALL
+              |  SELECT 't3_full_hindsight',
+              |    gmin + 20 * 86400000000000,
+              |    gmax + 7 * 3600000000000 FROM g
+              |)
+              |SELECT snapshot, user_id, event_id, valid_ns, tx_ns, vm
+              |FROM (
+              |  SELECT c.snapshot, e.user_id, e.event_id, e.valid_ns,
+              |    e.tx_ns, e.vm,
+              |    row_number() OVER (PARTITION BY c.snapshot, e.user_id
+              |      ORDER BY e.valid_ns DESC, e.event_id DESC) AS rk
+              |  FROM e JOIN cuts c
+              |    ON e.valid_ns <= c.v_cut AND e.tx_ns <= c.t_cut
+              |)
+              |WHERE rk = 1 ORDER BY snapshot, user_id""".stripMargin))
   )
 
 

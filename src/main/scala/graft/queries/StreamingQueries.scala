@@ -1124,7 +1124,13 @@ ORDER BY event_type, win"""
       "streaming SCD Type-2 maintenance: sorted history state re-derives " +
         "validity intervals (retroactive arrivals SPLIT intervals); " +
         "final update per key == q141's batch build (oracle verbatim)",
-      q308Build, Some(q308Oracle)))
+      q308Build, Some(q308Oracle)),
+
+    QueryDef("q324_streaming_capped_sessions",
+      "streaming capped sessionization: sorted-history state re-runs the " +
+        "gap+ceiling fold (out-of-order arrivals re-split boundaries); " +
+        "final update per user == q316's batch fold (oracle verbatim)",
+      q324Build, Some(Mlops.CappedSessionsOracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1391,6 +1397,32 @@ ORDER BY event_type, win"""
       .select(col("user_id"), col("event_id"),
         col("valid_from"), col("valid_to"), col("vm"), col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** q324: q316's streaming twin — per-user sorted (tn, eid) state via
+    * StreamingOps.runningCappedSessions re-runs the duration-cap fold on
+    * every update; the readout keeps the final update per user (n_events
+    * strictly monotone — the group function only fires when rows arrive),
+    * so equality with the batch fold holds under any micro-batch slicing.
+    * Oracle is q316's list_reduce SQL verbatim. */
+  private def q324Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    import s.implicits._
+    val updates = StreamingOps.runToMemory(s, stage,
+      s"q324_sink_${sinkId.incrementAndGet()}",
+      df => StreamingOps.runningCappedSessions(
+        df.select(col("user_id"), col("ts").cast("long").as("tn"),
+          col("event_id")).as[StreamingOps.SessEvent],
+        gapNs = 43200000000000L, capNs = 86400000000000L).toDF(),
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    updates
+      .withColumn("_mx", max("n_events").over(w))
+      .filter(col("n_events") === col("_mx"))
+      .select(col("user_id"), col("n_events"), col("n_sessions"),
+        col("n_cap_splits"), col("max_sess_events"))
+      .orderBy("user_id")
   }
 
   private def q308Oracle: String =

@@ -214,6 +214,49 @@ object StreamingOps {
       }
   }
 
+  final case class SessEvent(user_id: Long, tn: Long, event_id: Long)
+  final case class SessState(ts: Seq[(Long, Long)])
+  final case class SessUpdate(user_id: Long, n_events: Long,
+                              n_sessions: Long, n_cap_splits: Long,
+                              max_sess_events: Long)
+
+  /** Streaming capped sessionization — q316's stateful twin
+    * ([[graft.operators.Sessionize.cappedSessionStats]]). The duration-cap
+    * recurrence is order-dependent, so the state is the user's sorted
+    * (tn, event_id) history (the q225 sequence-store discipline) and every
+    * update re-runs the SAME fold from the true global order — the result
+    * is independent of micro-batch slicing, and out-of-order arrivals
+    * (which can merge or re-split session boundaries retroactively)
+    * self-correct on the next recompute. Final update per key (n_events
+    * monotone) equals the batch fold exactly. */
+  def runningCappedSessions(events: Dataset[SessEvent], gapNs: Long,
+                            capNs: Long): Dataset[SessUpdate] = {
+    import events.sparkSession.implicits._
+    require(gapNs > 0 && capNs > 0, s"need positive gap/cap (got $gapNs, $capNs)")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[SessState]) =>
+          val merged = (state.getOption.map(_.ts).getOrElse(Seq.empty) ++
+            rows.map(r => (r.tn, r.event_id)))
+            .sortBy(identity)
+          state.update(SessState(merged))
+          var nSess = 0L; var start = 0L; var last = 0L
+          var cur = 0L; var mx = 0L; var nCap = 0L
+          merged.foreach { case (y, _) =>
+            if (cur == 0L) {
+              nSess = 1L; start = y; last = y; cur = 1L; mx = 1L
+            } else if (y - last > gapNs || y - start > capNs) {
+              if (y - last <= gapNs) nCap += 1L
+              nSess += 1L; start = y; last = y; cur = 1L
+            } else {
+              cur += 1L; mx = math.max(mx, cur); last = y
+            }
+          }
+          Iterator.single(SessUpdate(user, merged.size.toLong, nSess, nCap, mx))
+      }
+  }
+
   /** Duration string ("10 seconds", "1 minute") -> microseconds. */
   private[streaming] def durMicros(s: String): Long = {
     val parts = s.trim.split("\\s+")

@@ -543,4 +543,41 @@ class StoreAndStreamingSpec extends AnyFunSuite {
       .groupBy("user_id").count().filter($"count" > 1).count() > 0,
       "stream collapsed to a single micro-batch — slicing not exercised")
   }
+
+  test("streaming capped sessions: final per-user update == batch fold under forced multi-batch slicing") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val events = graft.model.Frames.normalizeTsNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val stage = Files.createTempDirectory("capped_events")
+    StreamingOps.deleteOnExit(stage)
+    // scatter each user's events across files so later micro-batches carry
+    // EARLIER timestamps — out-of-order arrivals must re-split boundaries
+    events.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage.toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val gap = 43200000000000L; val cap = 86400000000000L
+    val q = StreamingOps.runningCappedSessions(
+        stream.select($"user_id", $"ts".cast("long").as("tn"), $"event_id")
+          .as[StreamingOps.SessEvent], gap, cap).toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("capped_multi_batch").start()
+    q.awaitTermination()
+    val sink = spark.table("capped_multi_batch")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val got = sink.withColumn("_mx", max("n_events").over(w))
+      .filter($"n_events" === $"_mx")
+      .select("user_id", "n_events", "n_sessions", "n_cap_splits", "max_sess_events")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = graft.operators.Sessionize.cappedSessionStats(
+        events, "user_id", "ts", "event_id", gap, cap)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === batch)
+    assert(sink.select($"user_id", $"n_events").distinct()
+      .groupBy("user_id").count().filter($"count" > 1).count() > 0,
+      "stream collapsed to a single micro-batch — slicing not exercised")
+  }
 }
