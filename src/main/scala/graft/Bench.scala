@@ -143,7 +143,8 @@ object Bench {
     "q317_stem_census", "q318_dsv2_sink_roundtrip",
     "q319_brand_modularity", "q320_two_hop_features", "q321_golden_record",
     "q322_bitemporal_snapshot", "q323_textrank_keywords",
-    "q324_streaming_capped_sessions")
+    "q324_streaming_capped_sessions",
+    "q325_slo_burn_rate", "q326_dpp_partitioned_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3815,7 +3815,130 @@ object Mlops {
               |  FROM e JOIN cuts c
               |    ON e.valid_ns <= c.v_cut AND e.tx_ns <= c.t_cut
               |)
-              |WHERE rk = 1 ORDER BY snapshot, user_id""".stripMargin))
+              |WHERE rk = 1 ORDER BY snapshot, user_id""".stripMargin)),
+
+    QueryDef("q325_slo_burn_rate",
+      "SLO error-budget burn-rate gate: slow (daily) and fast (worst-hour) burn vs the corpus budget",
+      // the SRE multi-window alert discipline (Beyer et al., SRE workbook
+      // ch. 5) as a batch gate: budget = the corpus-wide error rate (e6
+      // grid), each day's slow burn is its daily error rate over budget
+      // (pct, integer //), fast burn is its WORST HOUR's rate over budget
+      // — a single bad hour trips the fast gate long before the daily
+      // average moves. Hour and day frames are bounded aggregates off one
+      // scan; the budget scalar rides a broadcast cross join. Alerts:
+      // slow > 200 pct, fast > 1000 pct.
+      (s, dir) => {
+        val day = 86400000000000L
+        val hour = 3600000000000L
+        val e = table(s, dir, "events")
+          .select(expr(s"ts div $day").as("day"),
+            expr(s"ts div $hour").as("hr"),
+            when(col("event_type") === "error", 1L).otherwise(0L).as("bad"))
+        val budget = e.agg(
+          expr("(sum(bad) * 1000000) div count(1)").as("budget_e6"))
+        val hours = e.groupBy("day", "hr")
+          .agg(count(lit(1)).as("n"), sum("bad").as("nb"))
+          .withColumn("rate_e6", expr("(nb * 1000000) div n"))
+          .groupBy("day").agg(max("rate_e6").as("worst_hour_rate_e6"))
+        val days = e.groupBy("day")
+          .agg(count(lit(1)).as("n_total"), sum("bad").as("n_errors"))
+          .withColumn("day_rate_e6", expr("(n_errors * 1000000) div n_total"))
+        days.join(hours, "day")
+          .crossJoin(broadcast(budget))
+          .withColumn("slow_burn_pct",
+            expr("(day_rate_e6 * 100) div greatest(budget_e6, CAST(1 AS BIGINT))"))
+          .withColumn("fast_burn_pct",
+            expr("(worst_hour_rate_e6 * 100) div greatest(budget_e6, CAST(1 AS BIGINT))"))
+          .select(col("day"), col("n_total"), col("n_errors"),
+            col("slow_burn_pct"), col("fast_burn_pct"),
+            (col("slow_burn_pct") > 200).cast("int").as("slow_alert"),
+            (col("fast_burn_pct") > 1000).cast("int").as("fast_alert"))
+          .orderBy("day")
+      },
+      Some("""|WITH e AS (
+              |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+              |    epoch_ns(ts) // 3600000000000 AS hr,
+              |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+              |  FROM events
+              |), budget AS (
+              |  SELECT (CAST(sum(bad) AS BIGINT) * 1000000) // count(*)
+              |    AS budget_e6 FROM e
+              |), hours AS (
+              |  SELECT day, CAST(max(rate_e6) AS BIGINT)
+              |      AS worst_hour_rate_e6
+              |  FROM (
+              |    SELECT day, hr,
+              |      (CAST(sum(bad) AS BIGINT) * 1000000) // count(*)
+              |        AS rate_e6
+              |    FROM e GROUP BY 1, 2
+              |  ) GROUP BY 1
+              |), days AS (
+              |  SELECT day, count(*) AS n_total,
+              |    CAST(sum(bad) AS BIGINT) AS n_errors,
+              |    (CAST(sum(bad) AS BIGINT) * 1000000) // count(*)
+              |      AS day_rate_e6
+              |  FROM e GROUP BY 1
+              |)
+              |SELECT d.day, d.n_total, d.n_errors,
+              |  (d.day_rate_e6 * 100) // greatest(b.budget_e6, 1)
+              |    AS slow_burn_pct,
+              |  (h.worst_hour_rate_e6 * 100) // greatest(b.budget_e6, 1)
+              |    AS fast_burn_pct,
+              |  CAST((d.day_rate_e6 * 100) // greatest(b.budget_e6, 1) > 200
+              |    AS INT) AS slow_alert,
+              |  CAST((h.worst_hour_rate_e6 * 100)
+              |    // greatest(b.budget_e6, 1) > 1000 AS INT) AS fast_alert
+              |FROM days d JOIN hours h USING (day) CROSS JOIN budget b
+              |ORDER BY d.day""".stripMargin)),
+
+    QueryDef("q326_dpp_partitioned_join",
+      "dynamic partition pruning: day-partitioned fact x filtered day dim, runtime-pruned scan",
+      // the scale mechanism that makes dim-filtered fact joins cheap on a
+      // partitioned lake: the fact copy is WRITTEN partitioned by day,
+      // the dim is the filtered day set (day % 7 = 3), and at execution
+      // Spark turns the dim's build-side keys into a runtime partition
+      // filter on the fact scan — only ~1/7 of the partitions are read
+      // (plan-asserted in DppSpec: `dynamicpruningexpression` in
+      // PartitionFilters). The oracle replays the join from the raw
+      // table, certifying pruning loses nothing.
+      (s, dir) => {
+        val day = 86400000000000L
+        val base = table(s, dir, "events")
+          .select(expr(s"ts div $day").as("day"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+        val factDir = java.nio.file.Files
+          .createTempDirectory("q326_fact").toString
+        base.write.mode("overwrite").partitionBy("day").parquet(factDir)
+        val dimDir = java.nio.file.Files
+          .createTempDirectory("q326_dim").toString
+        base.select("day").distinct()
+          .write.mode("overwrite").parquet(dimDir)
+        val fact = s.read.parquet(factDir)
+        // cast the DIM key to the fact's inferred partition type: a cast on
+        // the fact side would mask the partition column and defeat DPP
+        // the SELECTIVE dim filter must live in THIS plan (DPP derives the
+        // runtime partition filter from the build side's filtered keys)
+        val dim = s.read.parquet(dimDir)
+          .filter(col("day") % 7 === 3)
+          .select(col("day").cast(fact.schema("day").dataType).as("day"))
+        fact.join(dim, "day")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"), sum("vm").as("vm_milli"))
+          .select(col("day").cast("long").as("day"), col("n"),
+            col("vm_milli"))
+          .orderBy("day")
+      },
+      Some("""|WITH e AS (
+              |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+              |    CAST(floor(value * 1000) AS BIGINT) AS vm
+              |  FROM events
+              |), d AS (
+              |  SELECT DISTINCT day FROM e WHERE day % 7 = 3
+              |)
+              |SELECT e.day, count(*) AS n,
+              |  CAST(sum(e.vm) AS BIGINT) AS vm_milli
+              |FROM e JOIN d ON d.day = e.day
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
 
