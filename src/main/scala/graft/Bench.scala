@@ -144,7 +144,9 @@ object Bench {
     "q319_brand_modularity", "q320_two_hop_features", "q321_golden_record",
     "q322_bitemporal_snapshot", "q323_textrank_keywords",
     "q324_streaming_capped_sessions",
-    "q325_slo_burn_rate", "q326_dpp_partitioned_join")
+    "q325_slo_burn_rate", "q326_dpp_partitioned_join",
+    "q327_fifo_allocation", "q329_supply_share_gate",
+    "q330_streaming_outer_interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3938,7 +3938,125 @@ object Mlops {
               |SELECT e.day, count(*) AS n,
               |  CAST(sum(e.vm) AS BIGINT) AS vm_milli
               |FROM e JOIN d ON d.day = e.day
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q327_fifo_allocation",
+      "FIFO lot allocation via prefix sums: per-part consumed/partial/on-hand receipt census",
+      // the inventory / cost-basis primitive, WITHOUT the sequential queue
+      // a naive FIFO needs: with total issued T per part, receipt i
+      // (ordered by ship date) is consumed exactly
+      // clamp(T − cum_qty_before_i, 0, qty_i) — a closed form over ONE
+      // running-sum window, so the allocation is a single per-part window
+      // pass instead of a fold. Receipts = non-returned rows, issues =
+      // 'R' returns; output per part counts fully/partially consumed lots
+      // and the unconsumed on-hand quantity.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_shipdate"),
+            expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        val issues = li.filter(col("l_returnflag") === "R")
+          .groupBy("l_partkey").agg(sum("qty").as("qty_issued"))
+        val w = Window.partitionBy("l_partkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val receipts = li.filter(col("l_returnflag") =!= "R")
+          .withColumn("cum_before", coalesce(sum("qty").over(w), lit(0L)))
+        receipts.join(issues, Seq("l_partkey"), "left")
+          .na.fill(0L, Seq("qty_issued"))
+          .withColumn("consumed", greatest(lit(0L),
+            least(col("qty"), col("qty_issued") - col("cum_before"))))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_receipts"),
+            sum("qty").as("qty_received"),
+            max("qty_issued").as("qty_issued"),
+            sum(when(col("consumed") === col("qty"), 1L).otherwise(0L))
+              .as("n_full"),
+            sum(when(col("consumed") > 0 && col("consumed") < col("qty"), 1L)
+              .otherwise(0L)).as("n_partial"),
+            (sum("qty") - sum("consumed")).as("qty_on_hand"))
+          .orderBy("l_partkey")
+      },
+      Some("""|WITH li AS (
+              |  SELECT l_partkey, l_orderkey, l_linenumber, l_returnflag,
+              |    l_shipdate, CAST(l_quantity AS BIGINT) AS qty
+              |  FROM lineitem
+              |), iss AS (
+              |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS qty_issued
+              |  FROM li WHERE l_returnflag = 'R' GROUP BY 1
+              |), rec AS (
+              |  SELECT l_partkey, qty,
+              |    COALESCE(CAST(sum(qty) OVER (PARTITION BY l_partkey
+              |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS BIGINT), 0) AS cum_before
+              |  FROM li WHERE l_returnflag <> 'R'
+              |), alloc AS (
+              |  SELECT r.l_partkey, r.qty,
+              |    COALESCE(i.qty_issued, 0) AS qty_issued,
+              |    greatest(0, least(r.qty,
+              |      COALESCE(i.qty_issued, 0) - r.cum_before)) AS consumed
+              |  FROM rec r LEFT JOIN iss i USING (l_partkey)
+              |)
+              |SELECT l_partkey, count(*) AS n_receipts,
+              |  CAST(sum(qty) AS BIGINT) AS qty_received,
+              |  CAST(max(qty_issued) AS BIGINT) AS qty_issued,
+              |  CAST(sum(CASE WHEN consumed = qty THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_full,
+              |  CAST(sum(CASE WHEN consumed > 0 AND consumed < qty
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+              |  CAST(sum(qty) - sum(consumed) AS BIGINT) AS qty_on_hand
+              |FROM alloc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q329_supply_share_gate",
+      "suppliers whose red-part quantity share beats a threshold (the TPC-H Q20 nested-IN shape)",
+      // Q20's optimizer stress adapted to this schema: the nested
+      // IN(parts) + correlated quantity comparison decorrelates into two
+      // aggregates over ONE lineitem scan-shape — a left-semi against the
+      // red part keys feeding the numerator aggregate, the plain total as
+      // the denominator, and the correlated \"more than 13% of my own
+      // total\" gate becomes an integer cross-column filter on the joined
+      // per-supplier frame. No per-row subqueries survive.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_partkey"),
+            expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        val redParts = table(s, dir, "part")
+          .filter(col("p_name").like("%red%")).select("p_partkey")
+        val green = li.join(redParts,
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey").agg(sum("qty").as("qty_red"))
+        val total = li.groupBy("l_suppkey").agg(sum("qty").as("qty_total"))
+        green.join(total, "l_suppkey")
+          .filter(col("qty_red") * 100 > col("qty_total") * 13)
+          .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("qty_red"),
+            col("qty_total"),
+            expr("(qty_red * 1000000) div qty_total").as("share_e6"))
+          .orderBy("s_suppkey")
+      },
+      Some("""|WITH li AS (
+              |  SELECT l_suppkey, l_partkey,
+              |    CAST(l_quantity AS BIGINT) AS qty
+              |  FROM lineitem
+              |), g AS (
+              |  SELECT l_suppkey, CAST(sum(qty) AS BIGINT) AS qty_red
+              |  FROM li
+              |  WHERE l_partkey IN (
+              |    SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+              |  GROUP BY 1
+              |), t AS (
+              |  SELECT l_suppkey, CAST(sum(qty) AS BIGINT) AS qty_total
+              |  FROM li GROUP BY 1
+              |)
+              |SELECT s.s_suppkey, s.s_name, g.qty_red, t.qty_total,
+              |  (g.qty_red * 1000000) // t.qty_total AS share_e6
+              |FROM supplier s
+              |JOIN g ON g.l_suppkey = s.s_suppkey
+              |JOIN t ON t.l_suppkey = s.s_suppkey
+              |WHERE g.qty_red * 100 > t.qty_total * 13
+              |ORDER BY s.s_suppkey""".stripMargin))
   )
 
 

@@ -686,6 +686,63 @@ GROUP BY 1 ORDER BY channel"""
       .orderBy("error_id", "click_id")
   }
 
+  /** q330: q104's LEFT OUTER twin — the semantics stream-stream inner
+    * joins can't give: an error with NO click in its trailing 2h window
+    * still emits (null click columns), but only once the CLICK watermark
+    * has passed its window, so the row is provably final. Under
+    * AvailableNow the final global watermark is min(maxEt−1h, maxCt−4h);
+    * the conservative cutoff (max event micros − 4h watermark − 1h slack)
+    * keeps exactly the errors whose outer verdict is closed, and the
+    * oracle replays the SAME integer-micros cutoff over a batch left
+    * join. */
+  private def q330Build(s: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(s, dir)
+    val maxTu = QueryDef.table(s, dir, "events")
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    def src() = StreamingOps.eventsStream(s, stage)
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        expr("ts div 1000").as("error_us"),
+        timestamp_micros(expr("ts div 1000")).as("et"))
+      .withWatermark("et", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("click_us"),
+        timestamp_micros(expr("ts div 1000")).as("ct"))
+      .withWatermark("ct", "4 hours")
+    val joined = errors.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("ct") >= col("et") - expr("INTERVAL 2 HOURS") &&
+        col("ct") < col("et"), "left_outer")
+    val cutoff = maxTu - 5L * 3600000000L
+    StreamingOps.runStreamToParquet(s, joined,
+        s"q330_sink_${sinkId.incrementAndGet()}")
+      .filter(col("error_us") <= cutoff)
+      .select(col("error_id"), col("user_id"), col("error_us"),
+        col("click_id"), col("click_us"))
+      .orderBy("error_id", "click_id")
+  }
+
+  private def q330Oracle: String =
+    """WITH mx AS (
+      |  SELECT max(epoch_ns(ts) // 1000) AS m FROM events
+      |), ee AS (
+      |  SELECT event_id AS error_id, user_id, epoch_ns(ts) // 1000
+      |    AS error_us
+      |  FROM events WHERE event_type = 'error'
+      |), cc AS (
+      |  SELECT event_id AS click_id, user_id AS cu, epoch_ns(ts) // 1000
+      |    AS click_us
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT ee.error_id, ee.user_id, ee.error_us, cc.click_id, cc.click_us
+      |FROM ee LEFT JOIN cc
+      |  ON ee.user_id = cc.cu
+      | AND cc.click_us >= ee.error_us - 7200000000
+      | AND cc.click_us < ee.error_us
+      |WHERE ee.error_us <= (SELECT m FROM mx) - 18000000000
+      |ORDER BY error_id, click_id""".stripMargin
+
   private def q104Oracle: String =
     """WITH ee AS (
       |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS error_us
@@ -1130,7 +1187,13 @@ ORDER BY event_type, win"""
       "streaming capped sessionization: sorted-history state re-runs the " +
         "gap+ceiling fold (out-of-order arrivals re-split boundaries); " +
         "final update per user == q316's batch fold (oracle verbatim)",
-      q324Build, Some(Mlops.CappedSessionsOracle)))
+      q324Build, Some(Mlops.CappedSessionsOracle)),
+
+    QueryDef("q330_streaming_outer_interval_join",
+      "stream-stream LEFT OUTER interval join: unmatched errors emit once " +
+        "the click watermark closes their window; conservative cutoff " +
+        "replayed in the oracle",
+      q330Build, Some(q330Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
