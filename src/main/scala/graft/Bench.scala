@@ -145,7 +145,7 @@ object Bench {
     "q322_bitemporal_snapshot", "q323_textrank_keywords",
     "q324_streaming_capped_sessions",
     "q325_slo_burn_rate", "q326_dpp_partitioned_join",
-    "q327_fifo_allocation", "q329_supply_share_gate",
+    "q327_fifo_allocation", "q328_lsh_planner", "q329_supply_share_gate",
     "q330_streaming_outer_interval_join")
 
   def main(args: Array[String]): Unit = {

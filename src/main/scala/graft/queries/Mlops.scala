@@ -4008,6 +4008,38 @@ object Mlops {
               |  CAST(sum(qty) - sum(consumed) AS BIGINT) AS qty_on_hand
               |FROM alloc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    QueryDef("q328_lsh_planner",
+      "MinHash-LSH S-curve planner: collision probability per Jaccard level for the q42 (8x4) config",
+      // the design table behind the q42 banding choice: with b=8 bands of
+      // r=4 rows, P(candidate | jaccard s) = 1 − (1 − s⁴)⁸. Every power
+      // is an EXPLICIT left-associated multiply chain — IEEE multiply and
+      // subtract are correctly rounded, so both engines walk identical
+      // doubles (a pow() call would hand the result to two different
+      // libms). 19 rows, no table scan — the planner is pure math the
+      // engine serves next to the operator it parameterizes.
+      (s, dir) => s.range(1, 20)
+        .select((col("id") * 5).cast("long").as("s_e2"))
+        .withColumn("sv", expr("CAST(s_e2 AS DOUBLE) / 100.0D"))
+        .withColumn("s4", expr("sv * sv * sv * sv"))
+        .withColumn("qv", expr("1.0D - s4"))
+        .withColumn("p", expr("1.0D - qv*qv*qv*qv*qv*qv*qv*qv"))
+        .select(col("s_e2"), round(col("p"), 6).as("p_collision"),
+          (col("p") >= 0.5).cast("int").as("selected"))
+        .orderBy("s_e2"),
+      Some("""|WITH g AS (
+              |  SELECT unnest(generate_series(1, 19)) * 5 AS s_e2
+              |), c AS (
+              |  SELECT CAST(s_e2 AS BIGINT) AS s_e2,
+              |    CAST(s_e2 AS DOUBLE) / 100.0 AS sv
+              |  FROM g
+              |), d AS (SELECT s_e2, sv*sv*sv*sv AS s4 FROM c),
+              |e AS (SELECT s_e2, 1.0 - s4 AS qv FROM d)
+              |SELECT s_e2,
+              |  round(1.0 - qv*qv*qv*qv*qv*qv*qv*qv, 6) AS p_collision,
+              |  CAST(1.0 - qv*qv*qv*qv*qv*qv*qv*qv >= 0.5 AS INT)
+              |    AS selected
+              |FROM e ORDER BY s_e2""".stripMargin)),
+
     QueryDef("q329_supply_share_gate",
       "suppliers whose red-part quantity share beats a threshold (the TPC-H Q20 nested-IN shape)",
       // Q20's optimizer stress adapted to this schema: the nested
