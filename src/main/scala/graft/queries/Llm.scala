@@ -2935,5 +2935,82 @@ object Llm {
             |SELECT vb.w AS word, CAST(r.r AS BIGINT) AS rank_scaled
             |FROM r4 r JOIN vocab vb ON vb.id = r.v
             |ORDER BY rank_scaled DESC, word LIMIT 25""".stripMargin
-      }))
+      }),
+
+    QueryDef("q334_sliding_hll_actives",
+      "trailing-7-day distinct users per day via merged daily HLL registers, vs the exact count",
+      // the mergeable-sketch answer to rolling actives (q152's exact
+      // twin at sketch cost): the corpus aggregates ONCE into per-day
+      // 256-register sketches; each output day then unions 7 register
+      // sets (range join over bounded frames + max) — re-walking tiny
+      // sketches instead of re-scanning raw events per window. Exact side
+      // joins for the error audit; at 100 TB only the sketch side stays
+      // cheap, which is the point.
+      (s, dir) => {
+        val day = 86400000000000L
+        val ev = table(s, dir, "events")
+          .select(expr(s"ts div $day").as("day"),
+            col("user_id").cast("string").as("item"))
+        val est = Sketches.hllSlidingDistinct(ev, "day", "item",
+          windowDays = 7)
+        val act = ev.distinct()
+          .select(col("day").as("_d"), col("item"))
+        val days = act.select(col("_d").as("day")).distinct()
+        val exact = days.join(act,
+            col("_d") >= col("day") - 6 && col("_d") <= col("day"))
+          .groupBy("day").agg(countDistinct("item").as("n_exact"))
+        est.join(exact, "day").orderBy("day")
+      },
+      Some("""|WITH ev AS (
+             |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d,
+             |    CAST(user_id AS VARCHAR) AS item
+             |  FROM events
+             |), days AS (SELECT DISTINCT d AS day FROM ev),
+             |hx AS (
+             |  SELECT d, md5('hll:' || item) AS h FROM ev
+             |), r AS (
+             |  SELECT d, CAST(('0x' || substr(h, 1, 2)) AS INTEGER)
+             |      AS bucket,
+             |    ltrim(substr(h, 3, 15), '0') AS t
+             |  FROM hx
+             |), rho AS (
+             |  SELECT d, bucket, CASE WHEN t = '' THEN 61
+             |    ELSE 4 * (15 - len(t))
+             |      + (CASE WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 8 THEN 0
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 4 THEN 1
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 2 THEN 2
+             |              ELSE 3 END) + 1 END AS rho
+             |  FROM r
+             |), daily AS (
+             |  SELECT d, bucket, max(rho) AS rho FROM rho GROUP BY 1, 2
+             |), regs AS (
+             |  SELECT w.day, daily.bucket, max(daily.rho) AS reg
+             |  FROM days w JOIN daily
+             |    ON daily.d >= w.day - 6 AND daily.d <= w.day
+             |  GROUP BY 1, 2
+             |), agg AS (
+             |  SELECT day, count(*) AS present,
+             |    CAST(sum(CAST(pow(2.0, 61 - reg) AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS num_present
+             |  FROM regs GROUP BY 1
+             |), est AS (
+             |  SELECT day, CAST(256 - present AS BIGINT) AS zero_buckets,
+             |    (0.7213 / (1.0 + 1.079 / 256.0)) * (256.0 * 256.0) /
+             |      (CAST(num_present + CAST(256 - present AS DECIMAL(38,0))
+             |            * CAST(2305843009213693952 AS DECIMAL(38,0))
+             |        AS DOUBLE) / 2.305843009213693952e18) AS raw
+             |  FROM agg
+             |), ex AS (
+             |  SELECT w.day, CAST(count(DISTINCT ev.item) AS BIGINT)
+             |      AS n_exact
+             |  FROM days w JOIN ev ON ev.d >= w.day - 6 AND ev.d <= w.day
+             |  GROUP BY 1
+             |)
+             |SELECT e.day, e.zero_buckets,
+             |  round(CASE WHEN e.zero_buckets > 0 AND e.raw <= 2.5 * 256.0
+             |    THEN 256.0 * ln(256.0 / CAST(e.zero_buckets AS DOUBLE))
+             |    ELSE e.raw END, 4) AS estimate,
+             |  x.n_exact
+             |FROM est e JOIN ex x ON x.day = e.day
+             |ORDER BY e.day""".stripMargin)))
 }

@@ -4088,7 +4088,130 @@ object Mlops {
               |JOIN g ON g.l_suppkey = s.s_suppkey
               |JOIN t ON t.l_suppkey = s.s_suppkey
               |WHERE g.qty_red * 100 > t.qty_total * 13
-              |ORDER BY s.s_suppkey""".stripMargin))
+              |ORDER BY s.s_suppkey""".stripMargin)),
+
+    QueryDef("q331_schema_evolution",
+      "schema-evolution read: mergeSchema unifies an old batch (no vm) with a new batch (vm added)",
+      // the lake reality a fixed-schema reader breaks on: month 1 was
+      // written WITHOUT the vm column, month 2 WITH it. The mergeSchema
+      // read unifies the footer schemas at planning time and null-fills
+      // the missing column for old files — certified by a per-batch
+      // census where the old batch must show n_with_vm = 0 and the new
+      // batch full coverage, against an oracle that replays the same
+      // column-availability split from the raw table. Schema merge is a
+      // footer-only operation: no data rewrite, old files stay valid.
+      (s, dir) => {
+        val day = 86400000000000L
+        val base = table(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr(s"ts div $day").as("day"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+        val cut = 15L
+        val root = java.nio.file.Files
+          .createTempDirectory("q331_evo").toString
+        val g = base.agg(min("day").as("d0")).head().getLong(0)
+        base.filter(col("day") - g < cut)
+          .select("event_id", "user_id", "day")
+          .write.mode("overwrite").parquet(s"$root/batch=old")
+        base.filter(col("day") - g >= cut)
+          .write.mode("overwrite").parquet(s"$root/batch=new")
+        s.read.option("mergeSchema", "true").parquet(root)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("vm").isNotNull.cast("long")).as("n_with_vm"),
+            coalesce(sum("vm"), lit(0L)).as("vm_sum"))
+          .orderBy("batch")
+      },
+      Some("""|WITH e AS (
+              |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+              |    CAST(floor(value * 1000) AS BIGINT) AS vm
+              |  FROM events
+              |), g AS (SELECT min(day) AS d0 FROM e),
+              |tagged AS (
+              |  SELECT CASE WHEN day - (SELECT d0 FROM g) < 15
+              |    THEN 'old' ELSE 'new' END AS batch, vm
+              |  FROM e
+              |)
+              |SELECT batch, count(*) AS n_rows,
+              |  CAST(sum(CASE WHEN batch = 'new' AND vm IS NOT NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vm,
+              |  CAST(COALESCE(sum(CASE WHEN batch = 'new' THEN vm END), 0)
+              |    AS BIGINT) AS vm_sum
+              |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q332_isotonic_fit",
+      "isotonic (nondecreasing) regression of daily means per type via the exact minimax formula",
+      // monotone calibration without PAVA's sequential pooling: the L2
+      // isotonic fit has the closed form fitted_i = max_{j<=i} min_{k>=i}
+      // avg(y[j..k]) — over the BOUNDED per-type daily frame (n ≈ 30) the
+      // n² interval averages come from one prefix-sum window and a rank
+      // self-join, the inner min is a suffix-min window per (type, j),
+      // and the outer max is a plain aggregate. Raw events shrink to the
+      // daily frame FIRST, so the quadratic piece never touches corpus
+      // rows. Integer e3 grid, truncating div identical in both engines.
+      (s, dir) => {
+        val day = 86400000000000L
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"), expr(s"ts div $day").as("day"))
+          .agg(expr("sum(CAST(floor(value * 1000) AS BIGINT)) div count(1)")
+            .as("y_e3"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val idx = daily.withColumn("rn", row_number().over(w))
+          .withColumn("s", sum("y_e3").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val jf = idx.select(col("event_type"), col("rn").as("jn"),
+          (col("s") - col("y_e3")).as("s_before"))
+        val kf = idx.select(col("event_type").as("et2"), col("rn").as("kn"),
+          col("s").as("s_k"))
+        val pairs = jf.join(kf,
+            col("event_type") === col("et2") && col("jn") <= col("kn"))
+          .select(col("event_type"), col("jn"), col("kn"),
+            expr("(s_k - s_before) div (kn - jn + 1)").as("avg_e3"))
+        val wSuf = Window.partitionBy("event_type", "jn").orderBy("kn")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val fitted = pairs.withColumn("m", min("avg_e3").over(wSuf))
+          .groupBy(col("event_type"), col("kn").as("rn"))
+          .agg(max("m").as("fitted_e3"))
+        idx.select("event_type", "day", "rn", "y_e3")
+          .join(fitted, Seq("event_type", "rn"))
+          .select("event_type", "day", "y_e3", "fitted_e3")
+          .orderBy("event_type", "day")
+      },
+      Some("""|WITH daily AS (
+              |  SELECT event_type,
+              |    epoch_ns(ts) // 86400000000000 AS day,
+              |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+              |      // count(*) AS y_e3
+              |  FROM events GROUP BY 1, 2
+              |), idx AS (
+              |  SELECT event_type, day, y_e3,
+              |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+              |      AS rn,
+              |    CAST(sum(y_e3) OVER (PARTITION BY event_type
+              |      ORDER BY day) AS BIGINT) AS s
+              |  FROM daily
+              |), pairs AS (
+              |  SELECT jx.event_type, jx.rn AS jn, kx.rn AS kn,
+              |    (kx.s - (jx.s - jx.y_e3)) // (kx.rn - jx.rn + 1)
+              |      AS avg_e3
+              |  FROM idx jx JOIN idx kx
+              |    ON kx.event_type = jx.event_type AND jx.rn <= kx.rn
+              |), msuf AS (
+              |  SELECT event_type, jn, kn,
+              |    min(avg_e3) OVER (PARTITION BY event_type, jn
+              |      ORDER BY kn
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              |      AS m
+              |  FROM pairs
+              |), fitted AS (
+              |  SELECT event_type, kn AS rn, CAST(max(m) AS BIGINT)
+              |      AS fitted_e3
+              |  FROM msuf GROUP BY 1, 2
+              |)
+              |SELECT i.event_type, i.day, i.y_e3, f.fitted_e3
+              |FROM idx i JOIN fitted f
+              |  ON f.event_type = i.event_type AND f.rn = i.rn
+              |ORDER BY i.event_type, i.day""".stripMargin))
   )
 
 

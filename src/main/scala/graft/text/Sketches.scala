@@ -236,6 +236,31 @@ object Sketches {
       .select(col("_g").as(groupCol), col("zero_buckets"), col("estimate"))
   }
 
+  /** Trailing-window HLL distinct estimates per day — the MERGEABLE-sketch
+    * pattern that makes rolling distinct counts cheap at scale: the corpus
+    * is aggregated ONCE into per-(day, bucket) registers (≤ 256 rows per
+    * day, map-side partial max), and every output day then unions its
+    * trailing `windowDays` register sets with a bounded range join + max —
+    * re-aggregating tiny sketches, never re-scanning raw rows per window.
+    * The exact equivalent re-walks (days × window) of raw data; the sketch
+    * re-walks (days × window × 256) register rows. Same register math and
+    * estimate chain as [[hllDistinctEstimate]]. */
+  def hllSlidingDistinct(items: DataFrame, dayCol: String,
+                         itemCol: String = "item",
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1 (got $windowDays)")
+    val (bucket, rho) = hllBucketRho(itemCol)
+    val daily = items.select(col(dayCol).cast("long").as("_d"),
+        bucket.as("bucket"), rho.as("rho"))
+      .groupBy("_d", "bucket").agg(max("rho").as("rho"))
+    val days = daily.select(col("_d").as("day")).distinct()
+    val unioned = days.join(daily,
+        col("_d") >= col("day") - (windowDays - 1) && col("_d") <= col("day"))
+      .groupBy("day", "bucket").agg(max("rho").as("reg"))
+    hllEstimateFromRegs(unioned, Seq("day"))
+      .select(col("day"), col("zero_buckets"), col("estimate"))
+  }
+
   // --- feature hashing -------------------------------------------------------
 
   /** Hashing-trick vectorizer census: every term maps to a bucket in
