@@ -147,7 +147,8 @@ object Bench {
     "q325_slo_burn_rate", "q326_dpp_partitioned_join",
     "q327_fifo_allocation", "q328_lsh_planner", "q329_supply_share_gate",
     "q330_streaming_outer_interval_join",
-    "q331_schema_evolution", "q332_isotonic_fit", "q334_sliding_hll_actives")
+    "q331_schema_evolution", "q332_isotonic_fit",
+    "q333_streaming_sink_roundtrip", "q334_sliding_hll_actives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

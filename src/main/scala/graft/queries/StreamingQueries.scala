@@ -723,6 +723,52 @@ GROUP BY 1 ORDER BY channel"""
       .orderBy("error_id", "click_id")
   }
 
+  /** q333: q318's STREAMING twin — the events frame flows out through the
+    * graft-nwb sink under forced multi-batch slicing (4 staged files,
+    * maxFilesPerTrigger=1 → 4 epochs, each an idempotent marker-guarded
+    * commit) and back in through the stock parquet reader; the per-type
+    * census must equal the direct scan, certifying no epoch lost or
+    * doubled any task output. */
+  private def q333Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files.createTempDirectory("q333_stage")
+    StreamingOps.deleteOnExit(stage)
+    QueryDef.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val out = java.nio.file.Files.createTempDirectory("q333_out")
+    StreamingOps.deleteOnExit(out)
+    val schema = s.read.parquet(stage.toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = stream.writeStream
+      .format("graft-nwb")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/data")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("sum_users"),
+        sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_v_e6"),
+        countDistinct("event_id").as("n_distinct_ids"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  private def q333Oracle: String =
+    """|SELECT event_type, count(*) AS n,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+       |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+       |    AS sum_v_e6,
+       |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       |  min(epoch_ns(ts)) AS min_ts, max(epoch_ns(ts)) AS max_ts
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def q330Oracle: String =
     """WITH mx AS (
       |  SELECT max(epoch_ns(ts) // 1000) AS m FROM events
@@ -1193,7 +1239,12 @@ ORDER BY event_type, win"""
       "stream-stream LEFT OUTER interval join: unmatched errors emit once " +
         "the click watermark closes their window; conservative cutoff " +
         "replayed in the oracle",
-      q330Build, Some(q330Oracle)))
+      q330Build, Some(q330Oracle)),
+
+    QueryDef("q333_streaming_sink_roundtrip",
+      "DSv2 STREAMING write path: per-epoch idempotent commits through " +
+        "graft-nwb, multi-batch census == direct scan (q318's oracle)",
+      q333Build, Some(q333Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are

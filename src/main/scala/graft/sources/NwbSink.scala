@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -113,7 +114,7 @@ final class NwbSinkTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = StructType(Nil)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new NwbWriteBuilder(path, info, truncate = false)
@@ -137,6 +138,8 @@ final class NwbWrite(path: String, queryId: String, schema: StructType,
                      truncate: Boolean) extends Write {
   override def toBatch: BatchWrite =
     new NwbBatchWrite(path, queryId, schema, truncate)
+  override def toStreaming: streaming.StreamingWrite =
+    new NwbStreamingWrite(path, queryId, schema)
   override def description(): String =
     s"graft-nwb path=$path truncate=$truncate"
 }
@@ -188,14 +191,80 @@ final class NwbWriterFactory(path: String, queryId: String, schemaJson: String)
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId)
 }
 
+/** Streaming (micro-batch) side of the sink: tasks stage per-epoch files
+  * (epoch id baked into the name), and the driver commits each epoch
+  * IDEMPOTENTLY — a `_committed/epoch-<id>` marker is checked first, so a
+  * replayed epoch (driver restart re-running a committed batch) publishes
+  * nothing twice. That marker + staged-rename protocol is what makes the
+  * sink exactly-once under the micro-batch recovery contract. */
+final class NwbStreamingWrite(path: String, queryId: String,
+                              schema: StructType)
+    extends streaming.StreamingWrite {
+
+  private def staging = new Path(path, s"_staging_$queryId")
+  private def marker(epochId: Long) =
+    new Path(new Path(path, "_committed"), s"epoch-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new NwbStreamingWriterFactory(path, queryId, schema.json)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target)
+    if (fs.exists(marker(epochId))) {
+      // epoch replay after recovery: already published, drop the re-staged
+      // attempt wholesale
+      messages.foreach {
+        case NwbCommitMessage(name) => fs.delete(new Path(staging, name), false)
+        case _ =>
+      }
+      return
+    }
+    messages.foreach {
+      case NwbCommitMessage(name) =>
+        if (!fs.rename(new Path(staging, name), new Path(target, name)))
+          throw new java.io.IOException(
+            s"graft-nwb epoch $epochId: failed to publish $name")
+      case other => throw new IllegalStateException(s"unexpected message $other")
+    }
+    fs.mkdirs(new Path(path, "_committed"))
+    fs.create(marker(epochId), true).close()
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val fs = staging.getFileSystem(conf)
+    messages.foreach {
+      case NwbCommitMessage(name) => fs.delete(new Path(staging, name), false)
+      case _ =>
+    }
+  }
+}
+
+final class NwbStreamingWriterFactory(path: String, queryId: String,
+                                      schemaJson: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new NwbDataWriter(path, queryId,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId,
+      taskId, epochTag = s"e$epochId-")
+}
+
 /** One staged zstd parquet file per task attempt; the attempt's commit
   * message names it, nothing else touches the target directory. */
 final class NwbDataWriter(path: String, queryId: String, schema: StructType,
-                          partitionId: Int, taskId: Long)
+                          partitionId: Int, taskId: Long,
+                          epochTag: String = "")
     extends DataWriter[InternalRow] {
 
   private val fileName =
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.zstd.parquet"
+    f"part-$epochTag$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.zstd.parquet"
   private val staged = new Path(new Path(path, s"_staging_$queryId"), fileName)
   private val msgType = NwbSink.parquetSchema(schema)
   private val conf = {

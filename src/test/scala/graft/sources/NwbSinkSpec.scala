@@ -78,6 +78,38 @@ class NwbSinkSpec extends AnyFunSuite {
     assert(!new File(dir, "_SUCCESS").exists, "no commit may happen")
   }
 
+  test("streaming write: multi-epoch exactly-once with idempotent markers") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.model.Frames.normalizeTsNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select("event_id", "user_id", "ts")
+    val stage = tmp()
+    events.repartition(3).write.mode("overwrite").parquet(stage)
+    val out = tmp()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream.format("graft-nwb")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() == events.count(), "streaming sink lost or doubled rows")
+    assert(back.select("event_id").distinct().count() == events.count())
+    val markers = new File(s"$out/data/_committed").listFiles()
+    assert(markers != null && markers.length >= 3,
+      s"expected >=3 epoch markers, got ${Option(markers).map(_.length)}")
+    // replaying a committed epoch publishes nothing (idempotent commit)
+    val w = new NwbStreamingWrite(s"$out/data", "replay-test",
+      back.schema)
+    val before = new File(s"$out/data").listFiles().length
+    w.commit(0L, Array.empty)
+    assert(new File(s"$out/data").listFiles().length == before)
+  }
+
   test("float32 arrays and binary round-trip (store precision surface)") {
     val dir = tmp()
     val rows = Seq(
