@@ -148,7 +148,9 @@ object Bench {
     "q327_fifo_allocation", "q328_lsh_planner", "q329_supply_share_gate",
     "q330_streaming_outer_interval_join",
     "q331_schema_evolution", "q332_isotonic_fit",
-    "q333_streaming_sink_roundtrip", "q334_sliding_hll_actives")
+    "q333_streaming_sink_roundtrip", "q334_sliding_hll_actives",
+    "q335_mmr_rerank", "q336_personalized_pagerank",
+    "q337_source_overlap_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

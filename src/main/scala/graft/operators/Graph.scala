@@ -301,6 +301,52 @@ object Graph {
       .select("community", "n_nodes", "d_sum", "e_in", "contrib_num")
   }
 
+  /** Personalized PageRank on the same exact integer grid as
+    * [[pageRankScaled]]: the 15% teleport mass returns ONLY to the seed
+    * set (split evenly), so ranks measure proximity TO the seeds — the
+    * recsys/similarity primitive (\"related to this brand\"), not global
+    * centrality. Same per-iteration shape (one src-keyed join + one
+    * dst-keyed aggregation, lineage pinned); the seed frame is bounded
+    * and rides broadcast joins. Nodes unreachable from the seeds hold
+    * rank 0 and are reported as such. */
+  def personalizedPageRankScaled(edges: DataFrame, seeds: DataFrame,
+                                 iters: Int,
+                                 scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .pin
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg")).pin
+    val nodes = deg.select(col("src").as("v")).pin
+    val sd = seeds.select(col("v").cast("long").as("v")).distinct()
+      .join(nodes, Seq("v"), "left_semi")
+      .pin // bounded: the in-graph seed set
+    val nS = sd.count()
+    require(nS > 0, "no seed is present in the graph")
+    val tele = lit(15L * scale / (100L * nS))
+    val seedFlag = sd.withColumn("is_seed", lit(1))
+    val dirDeg = dir.join(deg, "src").pin
+    var ranks = nodes.join(broadcast(seedFlag), Seq("v"), "left")
+      .select(col("v"),
+        when(col("is_seed") === 1, lit(scale / nS)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = dirDeg.join(ranks, dirDeg("src") === ranks("v"))
+        .select(col("dst"), expr("r div deg").as("c"))
+      val agg = contrib.groupBy(col("dst").as("v"))
+        .agg(expr("(85 * sum(c)) div 100").as("flow"))
+      ranks = nodes
+        .join(agg, Seq("v"), "left")
+        .join(broadcast(seedFlag), Seq("v"), "left")
+        .select(col("v"),
+          (coalesce(col("flow"), lit(0L)) +
+            when(col("is_seed") === 1, tele).otherwise(lit(0L))).as("r"))
+        .pin
+    }
+    ranks.select(col("v"), col("r").as("pprank_scaled"))
+  }
+
   /** Exact 2-hop neighborhood features: for every node, the count of
     * nodes at distance EXACTLY 2 (reachable through a neighbor, not a
     * neighbor itself, not self) — the classic graph feature for link

@@ -408,6 +408,34 @@ object Llm {
        |)""".stripMargin
 
 
+  /** One unrolled MMR greedy round for the q335 oracle: sel<t-1> is the
+    * selected set so far; the round scores every remaining candidate
+    * 2·rel − max-sim-to-selected on the shared 6-decimal grid and picks
+    * the (score DESC, cid ASC) argmax per query. */
+  private def mmrRoundSql(t: Int): String =
+    s"""rem$t AS (
+       |  SELECT r.qid, r.cid, r.sim FROM rel r
+       |  LEFT JOIN sel${t - 1} s ON s.qid = r.qid AND s.cid = r.cid
+       |  WHERE s.cid IS NULL
+       |), ms$t AS (
+       |  SELECT p.qid, p.ca, max(p.ps) AS maxsim
+       |  FROM psim p JOIN sel${t - 1} s ON s.qid = p.qid AND s.cid = p.cb
+       |  GROUP BY 1, 2
+       |), s$t AS (
+       |  SELECT qid, cid, sim, score FROM (
+       |    SELECT m.qid, m.cid, m.sim,
+       |      round(m.sim * 2.0 - ms$t.maxsim, 6) AS score,
+       |      row_number() OVER (PARTITION BY m.qid
+       |        ORDER BY round(m.sim * 2.0 - ms$t.maxsim, 6) DESC, m.cid)
+       |        AS r
+       |    FROM rem$t m
+       |    JOIN ms$t ON ms$t.qid = m.qid AND ms$t.ca = m.cid
+       |  ) WHERE r = 1
+       |), sel$t AS (
+       |  SELECT qid, cid FROM sel${t - 1}
+       |  UNION ALL SELECT qid, cid FROM s$t
+       |)""".stripMargin
+
   private val TrScale = 1000000000000L
 
   /** TextRank's stopword filter — the same public multi-language lists the
@@ -3012,5 +3040,204 @@ object Llm {
              |    ELSE e.raw END, 4) AS estimate,
              |  x.n_exact
              |FROM est e JOIN ex x ON x.day = e.day
-             |ORDER BY e.day""".stripMargin)))
+             |ORDER BY e.day""".stripMargin)),
+
+    QueryDef("q337_source_overlap_matrix",
+      "cross-source trigram overlap matrix: shared-shingle Jaccard/containment per source pair",
+      // corpus forensics ABOVE the document level: which SOURCES copy
+      // from each other (mirrors, scrapes of the same upstream, shared
+      // boilerplate)? Distinct (source, trigram) rows — the same q85/q119
+      // shingle universe — self-join on the shingle, so the pair
+      // generation is shingle-bucketed (per-shingle fan-out ≤ sources
+      // choose 2, never documents²), then integer Jaccard + containment
+      // per pair. Sources² output; the corpus-sized work is one distinct.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val shingles = udf((t: String) =>
+          if (t == null) Array.empty[String] else TextOps.shingleArray(t, 3))
+        val ss = docs.select(col("source"),
+          explode(shingles(col("text"))).as("shingle")).distinct()
+        val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = ss.as("a").join(ss.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(sizes.select(col("source").as("source_a"),
+            col("n").as("n_a")), "source_a")
+          .join(sizes.select(col("source").as("source_b"),
+            col("n").as("n_b")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_shared"),
+            expr("(n_shared * 1000000) div (n_a + n_b - n_shared)")
+              .as("jaccard_e6"),
+            expr("(n_shared * 1000000) div least(n_a, n_b)")
+              .as("containment_e6"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""|WITH words AS (
+             |  SELECT source, string_split(text, ' ') AS w FROM documents
+             |), tri AS (
+             |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+             |  FROM words WHERE len(w) >= 3
+             |), sizes AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n
+             |  FROM tri GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM tri a JOIN tri b
+             |    ON a.shingle = b.shingle AND a.source < b.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT p.source_a, p.source_b, sa.n AS n_a, sb.n AS n_b,
+             |  p.n_shared,
+             |  (p.n_shared * 1000000) // (sa.n + sb.n - p.n_shared)
+             |    AS jaccard_e6,
+             |  (p.n_shared * 1000000) // least(sa.n, sb.n)
+             |    AS containment_e6
+             |FROM pairs p
+             |JOIN sizes sa ON sa.source = p.source_a
+             |JOIN sizes sb ON sb.source = p.source_b
+             |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q335_mmr_rerank",
+      "MMR diversity reranking: 4 greedy rounds of 2*rel - max-sim over each query's top-12",
+      // the reranker that completes the q315 serving stack: relevance
+      // alone returns near-duplicates, so Maximal Marginal Relevance
+      // (Carbonell & Goldstein 1998, lambda = 0.5 scaled to the integer-
+      // free 2*rel − maxsim form) greedily re-picks 4 of the brute
+      // top-12. The candidate frames are BOUNDED (12 per query), so the
+      // 12x12 pairwise sims and the 4 unrolled greedy rounds cost nothing
+      // at any corpus scale — only the first-stage top-12 touches the
+      // corpus. All sims live on the shared 6-decimal grid; the oracle
+      // unrolls the same rounds, so every pick and score is engine-exact.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Checkpoints.Pinnable
+        graft.functions.GridFunctions.register(s)
+        val base = table(s, dir, "embeddings")
+          .withColumn("e2", expr("floor_dot_e9(embedding, embedding)"))
+          .filter(col("e2") > 0)
+          .select(col("vec_id").cast("long").as("cid"),
+            col("embedding").as("cv"), col("e2").as("ec"))
+          .pin
+        val qs = base.filter(col("cid") % 50 === 0)
+          .select(col("cid").as("qid"), col("cv").as("qv"),
+            col("ec").as("eq"))
+        val wq = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("cid"))
+        val cand = broadcast(qs).crossJoin(base)
+          .filter(col("cid") =!= col("qid"))
+          .withColumn("sim",
+            round(expr("floor_dot_e9(qv, cv)").cast("double") /
+              sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+          .withColumn("rk0", row_number().over(wq))
+          .filter(col("rk0") <= 12)
+          .select(col("qid"), col("cid"), col("cv"), col("ec"), col("sim"))
+          .pin
+        val p1 = cand.select(col("qid"), col("cid").as("ca"),
+          col("cv").as("va"), col("ec").as("ea"))
+        val p2 = cand.select(col("qid").as("q2"), col("cid").as("cb"),
+          col("cv").as("vb"), col("ec").as("eb"))
+        val psim = p1.join(p2,
+            col("qid") === col("q2") && col("ca") =!= col("cb"))
+          .select(col("qid"), col("ca"), col("cb"),
+            round(expr("floor_dot_e9(va, vb)").cast("double") /
+              sqrt(col("ea").cast("double") * col("eb").cast("double")), 6)
+              .as("ps"))
+          .pin
+        val rel = cand.select("qid", "cid", "sim").pin
+        val wPick = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("cid"))
+        var all = rel
+          .withColumn("score", round(col("sim") * 2.0, 6))
+          .withColumn("r", row_number().over(wPick))
+          .filter(col("r") === 1)
+          .select(col("qid"), col("cid"), lit(1L).as("rk"), col("sim"),
+            col("score"))
+        for (t <- 2 to 4) {
+          val remaining = rel.join(
+            all.select(col("qid").as("q3"), col("cid").as("c3")),
+            col("qid") === col("q3") && col("cid") === col("c3"),
+            "left_anti")
+          val msel = psim.join(
+              all.select(col("qid").as("q4"), col("cid").as("cbs")),
+              psim("qid") === col("q4") && psim("cb") === col("cbs"))
+            .groupBy(psim("qid").as("qid5"), col("ca"))
+            .agg(max("ps").as("maxsim"))
+          val pick = remaining.join(msel,
+              remaining("qid") === col("qid5") &&
+                remaining("cid") === col("ca"))
+            .select(remaining("qid"), remaining("cid"),
+              remaining("sim"),
+              round(col("sim") * 2.0 - col("maxsim"), 6).as("score"))
+            .withColumn("r", row_number().over(wPick))
+            .filter(col("r") === 1)
+            .select(col("qid"), col("cid"), lit(t.toLong).as("rk"),
+              col("sim"), col("score"))
+          all = all.unionByName(pick).pin
+        }
+        all.orderBy("qid", "rk")
+      },
+      Some(s"""|WITH emb AS (
+              |  SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              |    CAST(list_sum(list_transform(generate_series(1, 64),
+              |      i -> CAST(floor(embedding[i] * embedding[i] * 1e9)
+              |        AS BIGINT))) AS BIGINT) AS e2
+              |  FROM embeddings WHERE len(embedding) = 64
+              |), base AS (
+              |  SELECT vec_id AS cid, v, e2 FROM emb WHERE e2 > 0
+              |), qs AS (
+              |  SELECT cid AS qid, v AS qv, e2 AS eq
+              |  FROM base WHERE cid % 50 = 0
+              |), cand AS (
+              |  SELECT qid, cid, v, e2, sim FROM (
+              |    SELECT q.qid, b.cid, b.v, b.e2,
+              |      round(CAST(CAST(list_sum(list_transform(
+              |        generate_series(1, 64),
+              |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |        AS BIGINT) AS DOUBLE)
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |        6) AS sim,
+              |      row_number() OVER (PARTITION BY q.qid ORDER BY
+              |        round(CAST(CAST(list_sum(list_transform(
+              |          generate_series(1, 64),
+              |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |          AS BIGINT) AS DOUBLE)
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |          6) DESC, b.cid) AS rk0
+              |    FROM qs q CROSS JOIN base b
+              |    WHERE b.cid <> q.qid
+              |  ) WHERE rk0 <= 12
+              |), rel AS (SELECT qid, cid, sim FROM cand),
+              |psim AS (
+              |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+              |    round(CAST(CAST(list_sum(list_transform(
+              |      generate_series(1, 64),
+              |      i -> CAST(floor(a.v[i] * b.v[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS DOUBLE)
+              |      / sqrt(CAST(a.e2 AS DOUBLE) * CAST(b.e2 AS DOUBLE)), 6)
+              |      AS ps
+              |  FROM cand a JOIN cand b
+              |    ON b.qid = a.qid AND b.cid <> a.cid
+              |), s1 AS (
+              |  SELECT qid, cid, sim, score FROM (
+              |    SELECT qid, cid, sim, round(sim * 2.0, 6) AS score,
+              |      row_number() OVER (PARTITION BY qid
+              |        ORDER BY round(sim * 2.0, 6) DESC, cid) AS r
+              |    FROM rel
+              |  ) WHERE r = 1
+              |), sel1 AS (SELECT qid, cid FROM s1),
+              |${(2 to 4).map(mmrRoundSql).mkString(",\n")}
+              |SELECT qid, CAST(1 AS BIGINT) AS rk, cid, sim, score FROM s1
+              |UNION ALL SELECT qid, CAST(2 AS BIGINT), cid, sim, score FROM s2
+              |UNION ALL SELECT qid, CAST(3 AS BIGINT), cid, sim, score FROM s3
+              |UNION ALL SELECT qid, CAST(4 AS BIGINT), cid, sim, score FROM s4
+              |ORDER BY qid, rk""".stripMargin)))
 }

@@ -501,6 +501,8 @@ object Mlops {
               |  CAST(string_split(st, ',')[5] AS BIGINT) AS max_sess_events
               |FROM folded ORDER BY user_id""".stripMargin
 
+  private val PprScale = 1000000000000L
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -4211,8 +4213,75 @@ object Mlops {
               |SELECT i.event_type, i.day, i.y_e3, f.fitted_e3
               |FROM idx i JOIN fitted f
               |  ON f.event_type = i.event_type AND f.rn = i.rn
-              |ORDER BY i.event_type, i.day""".stripMargin))
+              |ORDER BY i.event_type, i.day""".stripMargin)),
+
+    QueryDef("q336_personalized_pagerank",
+      "personalized PageRank toward the Brand#13 seed set on the co-purchase graph, exact integer grid",
+      // q144's proximity-flavored sibling (Graph.personalizedPageRankScaled):
+      // the 15% teleport returns ONLY to the Brand#13 parts, so ranks
+      // measure closeness to that brand — the \"related items\" primitive.
+      // Same one-join-one-agg iteration shape on the same integer grid;
+      // the oracle unrolls all 4 iterations with the per-seed teleport
+      // CASE, so every rank (including exact 0 for unreachable nodes) is
+      // engine-exact.
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val seeds = table(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("v"))
+        graft.operators.Graph.personalizedPageRankScaled(
+            graft.operators.Graph.coOccurrenceEdges(
+              li, "l_orderkey", "l_partkey"),
+            seeds, iters = 4, scale = PprScale)
+          .orderBy("v")
+      },
+      Some(s"""|WITH e AS (
+              |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              |  FROM lineitem x JOIN lineitem y
+              |    ON x.l_orderkey = y.l_orderkey
+              |  WHERE x.l_partkey < y.l_partkey
+              |), dirE AS (
+              |  SELECT a AS src, b AS dst FROM e
+              |  UNION ALL SELECT b AS src, a AS dst FROM e
+              |), deg AS (
+              |  SELECT src, count(*) AS deg FROM dirE GROUP BY 1
+              |), nodes AS (SELECT src AS v FROM deg),
+              |sd AS (
+              |  SELECT DISTINCT CAST(p_partkey AS BIGINT) AS v FROM part
+              |  WHERE p_brand = 'Brand#13'
+              |    AND p_partkey IN (SELECT v FROM nodes)
+              |), ns AS (SELECT count(*) AS n FROM sd),
+              |r0 AS (
+              |  SELECT n.v, CASE WHEN s.v IS NOT NULL
+              |    THEN $PprScale // ns.n ELSE 0 END AS r
+              |  FROM nodes n LEFT JOIN sd s ON s.v = n.v CROSS JOIN ns
+              |),
+              |${(1 to 4).map(pprIterSql).mkString(",\n")}
+              |SELECT v, CAST(r AS BIGINT) AS pprank_scaled
+              |FROM r4 ORDER BY v""".stripMargin))
   )
+
+  /** One unrolled personalized-PageRank iteration for the q336 oracle —
+    * replays [[graft.operators.Graph.personalizedPageRankScaled]]'s
+    * integer recurrence with the seed-only teleport. */
+  private def pprIterSql(k: Int): String =
+    s"""r$k AS (
+       |  SELECT n.v,
+       |    COALESCE((85 * f.s) // 100, 0)
+       |      + CASE WHEN sdj.v IS NOT NULL
+       |          THEN (15 * $PprScale) // (100 * ns.n) ELSE 0 END AS r
+       |  FROM nodes n
+       |  LEFT JOIN (
+       |    SELECT de.dst AS v, CAST(sum(pr.r // dg.deg) AS BIGINT) AS s
+       |    FROM dirE de
+       |    JOIN r${k - 1} pr ON de.src = pr.v
+       |    JOIN deg dg ON de.src = dg.src
+       |    GROUP BY 1
+       |  ) f ON f.v = n.v
+       |  LEFT JOIN sd sdj ON sdj.v = n.v
+       |  CROSS JOIN ns
+       |)""".stripMargin
+
 
 
 
