@@ -150,7 +150,7 @@ object Bench {
     "q331_schema_evolution", "q332_isotonic_fit",
     "q333_streaming_sink_roundtrip", "q334_sliding_hll_actives",
     "q335_mmr_rerank", "q336_personalized_pagerank",
-    "q337_source_overlap_matrix")
+    "q337_source_overlap_matrix", "q338_streaming_hll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -458,6 +458,55 @@ object Llm {
        |  GROUP BY de.dst, nn.cnt
        |)""".stripMargin
 
+  /** q119's oracle — shared verbatim with its streaming register twin
+    * q338 (the register max is commutative, so the final streaming
+    * cells equal the batch registers and the SAME SQL certifies both). */
+  private[queries] val HllTrigramOracle: String =
+    """|WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), tri AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(w) - 2),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
+             |  FROM words WHERE len(w) >= 3
+             |), hx AS (
+             |  SELECT md5('hll:' || item) AS h FROM tri
+             |), r AS (
+             |  SELECT CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
+             |    ltrim(substr(h, 3, 15), '0') AS t
+             |  FROM hx
+             |), rho AS (
+             |  SELECT bucket, CASE WHEN t = '' THEN 61
+             |    ELSE 4 * (15 - len(t))
+             |      + (CASE WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 8 THEN 0
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 4 THEN 1
+             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 2 THEN 2
+             |              ELSE 3 END) + 1 END AS rho
+             |  FROM r
+             |), regs AS (
+             |  SELECT bucket, max(rho) AS reg FROM rho GROUP BY 1
+             |), agg AS (
+             |  SELECT count(*) AS present,
+             |    CAST(sum(CAST(pow(2.0, 61 - reg) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num_present
+             |  FROM regs
+             |), est AS (
+             |  SELECT CAST(256 - present AS BIGINT) AS zero_buckets,
+             |    (0.7213 / (1.0 + 1.079 / 256.0)) * (256.0 * 256.0) /
+             |      (CAST(num_present + CAST(256 - present AS DECIMAL(38,0))
+             |            * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+             |       / 2.305843009213693952e18) AS raw
+             |  FROM agg
+             |), ex AS (
+             |  SELECT count(*) AS n_distinct_exact
+             |  FROM (SELECT DISTINCT item FROM tri)
+             |)
+             |SELECT zero_buckets, round(raw, 4) AS raw_estimate,
+             |  round(CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
+             |    THEN 256.0 * ln(256.0 / CAST(zero_buckets AS DOUBLE))
+             |    ELSE raw END, 4) AS estimate,
+             |  n_distinct_exact
+             |FROM est CROSS JOIN ex""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q40_dedup_exact", "exact dedup via content-hash groupBy",
@@ -2244,50 +2293,7 @@ object Llm {
         val exact = tri.distinct().agg(count(lit(1)).as("n_distinct_exact"))
         Sketches.hllDistinctEstimate(tri).crossJoin(exact)
       },
-      Some("""|WITH words AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-             |), tri AS (
-             |  SELECT doc_id, unnest(list_distinct(list_transform(
-             |    generate_series(1, len(w) - 2),
-             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS item
-             |  FROM words WHERE len(w) >= 3
-             |), hx AS (
-             |  SELECT md5('hll:' || item) AS h FROM tri
-             |), r AS (
-             |  SELECT CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
-             |    ltrim(substr(h, 3, 15), '0') AS t
-             |  FROM hx
-             |), rho AS (
-             |  SELECT bucket, CASE WHEN t = '' THEN 61
-             |    ELSE 4 * (15 - len(t))
-             |      + (CASE WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 8 THEN 0
-             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 4 THEN 1
-             |              WHEN CAST(('0x' || substr(t, 1, 1)) AS INTEGER) >= 2 THEN 2
-             |              ELSE 3 END) + 1 END AS rho
-             |  FROM r
-             |), regs AS (
-             |  SELECT bucket, max(rho) AS reg FROM rho GROUP BY 1
-             |), agg AS (
-             |  SELECT count(*) AS present,
-             |    CAST(sum(CAST(pow(2.0, 61 - reg) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num_present
-             |  FROM regs
-             |), est AS (
-             |  SELECT CAST(256 - present AS BIGINT) AS zero_buckets,
-             |    (0.7213 / (1.0 + 1.079 / 256.0)) * (256.0 * 256.0) /
-             |      (CAST(num_present + CAST(256 - present AS DECIMAL(38,0))
-             |            * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
-             |       / 2.305843009213693952e18) AS raw
-             |  FROM agg
-             |), ex AS (
-             |  SELECT count(*) AS n_distinct_exact
-             |  FROM (SELECT DISTINCT item FROM tri)
-             |)
-             |SELECT zero_buckets, round(raw, 4) AS raw_estimate,
-             |  round(CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
-             |    THEN 256.0 * ln(256.0 / CAST(zero_buckets AS DOUBLE))
-             |    ELSE raw END, 4) AS estimate,
-             |  n_distinct_exact
-             |FROM est CROSS JOIN ex""".stripMargin)),
+      Some(HllTrigramOracle)),
 
     QueryDef("q120_feature_hash_census",
       "hashing-trick vectorizer census (signed feature hashing, dim-bounded shuffle)",

@@ -760,6 +760,34 @@ GROUP BY 1 ORDER BY channel"""
       .orderBy("event_type")
   }
 
+  /** q338: q119's streaming twin — the 256-register HLL state is a plain
+    * Update-mode max aggregate (commutative, monotone), so the stream's
+    * FINAL per-bucket cell equals the batch register under any slicing;
+    * the readout hands the final cells to the same estimate chain and
+    * joins the batch exact count. Oracle is q119's SQL verbatim. */
+  private def q338Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("stream_docs")
+    StreamingOps.deleteOnExit(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val shingles = udf((t: String) =>
+      if (t == null) Array.empty[String]
+      else graft.text.TextOps.shingleArray(t, 3))
+    val updates = StreamingOps.runToMemory(s, stage.toString,
+      s"q338_sink_${sinkId.incrementAndGet()}",
+      df => graft.text.Sketches.hllRegisters(
+        df.select(explode(shingles(col("text"))).as("item"))),
+      outputMode = OutputMode.Update)
+    val regsFinal = updates.groupBy("bucket").agg(max("reg").as("reg"))
+    val exact = QueryDef.table(s, dir, "documents")
+      .select(explode(shingles(col("text"))).as("item"))
+      .distinct().agg(count(lit(1)).as("n_distinct_exact"))
+    graft.text.Sketches.hllEstimateFromRegisters(regsFinal)
+      .crossJoin(exact)
+  }
+
   private def q333Oracle: String =
     """|SELECT event_type, count(*) AS n,
        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
@@ -1244,7 +1272,13 @@ ORDER BY event_type, win"""
     QueryDef("q333_streaming_sink_roundtrip",
       "DSv2 STREAMING write path: per-epoch idempotent commits through " +
         "graft-nwb, multi-batch census == direct scan (q318's oracle)",
-      q333Build, Some(q333Oracle)))
+      q333Build, Some(q333Oracle)),
+
+    QueryDef("q338_streaming_hll",
+      "streaming HyperLogLog registers in Update mode: per-bucket max-rho " +
+        "is commutative, final cells == q119's batch sketch (oracle " +
+        "verbatim)",
+      q338Build, Some(Llm.HllTrigramOracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are

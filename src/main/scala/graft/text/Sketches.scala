@@ -236,6 +236,15 @@ object Sketches {
       .select(col("_g").as(groupCol), col("zero_buckets"), col("estimate"))
   }
 
+  /** Estimate from an externally-maintained register table — the surface a
+    * STREAMING register state needs: the (bucket, reg) frame is the whole
+    * sketch, so a stateful stream that maintains per-bucket max-rho can
+    * hand its final cells here for the same estimate chain as
+    * [[hllDistinctEstimate]]. */
+  def hllEstimateFromRegisters(regs: DataFrame): DataFrame =
+    hllEstimateFromRegs(regs, Seq.empty)
+      .select(col("zero_buckets"), col("raw_estimate"), col("estimate"))
+
   /** Trailing-window HLL distinct estimates per day — the MERGEABLE-sketch
     * pattern that makes rolling distinct counts cheap at scale: the corpus
     * is aggregated ONCE into per-(day, bucket) registers (≤ 256 rows per
