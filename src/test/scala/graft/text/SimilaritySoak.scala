@@ -84,6 +84,25 @@ object SimilaritySoak {
       val recall = got.count(exact.contains) / 10.0
       println(s"[soak]   -> recall@10 vs exact: $recall")
     }
+    time("ivfTopKMulti: 256-query batch served in ONE probed join") {
+      val step = math.max(1L, nVecs / 256)
+      val queries = vecs.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val n = Similarity.ivfTopKMulti(assigned, centroids, queries,
+        k = 10, nprobe = 4).count()
+      println(s"[soak]   -> $n served rows (one corpus pass for the whole batch)")
+    }
+    time("single-query ivfTopK loop x 16 (the shape batching replaces)") {
+      val step = math.max(1L, nVecs / 16)
+      val qs = vecs.filter(col("vec_id") % step === 0)
+        .select("vec_id", "embedding").collect()
+      qs.foreach { r =>
+        Similarity.ivfTopK(assigned, centroids,
+          r.getSeq[Float](1).toArray, 10,
+          nprobe = 4, excludeId = r.getLong(0)).collect()
+      }
+      println(s"[soak]   -> ${qs.length} sequential queries (16x fewer than the batch)")
+    }
     time("corpus norm stats") {
       val r = vecs.select(
         avg(sqrt(aggregate(transform(col("embedding"), x => x * x),
