@@ -503,6 +503,28 @@ object Mlops {
 
   private val PprScale = 1000000000000L
 
+  private val HitsScale = 1000000L
+
+  /** One unrolled HITS round for the q339 oracle: authority pass (sum of
+    * hub scores over in-edges, rescaled to the integer grid by the round
+    * max), then hub pass symmetrically. */
+  private def hitsRoundSql(k: Int): String =
+    s"""ar$k AS (
+       |  SELECT e.p, CAST(sum(h.s) AS BIGINT) AS raw
+       |  FROM be e JOIN h${k - 1} h ON h.u = e.u GROUP BY 1
+       |), am$k AS (SELECT max(raw) AS mx FROM ar$k),
+       |a$k AS (
+       |  SELECT p, (raw * $HitsScale) // (SELECT mx FROM am$k) AS s
+       |  FROM ar$k
+       |), hr$k AS (
+       |  SELECT e.u, CAST(sum(a.s) AS BIGINT) AS raw
+       |  FROM be e JOIN a$k a ON a.p = e.p GROUP BY 1
+       |), hm$k AS (SELECT max(raw) AS mx FROM hr$k),
+       |h$k AS (
+       |  SELECT u, (raw * $HitsScale) // (SELECT mx FROM hm$k) AS s
+       |  FROM hr$k
+       |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q262_poisson_bootstrap",
@@ -4258,7 +4280,60 @@ object Mlops {
               |),
               |${(1 to 4).map(pprIterSql).mkString(",\n")}
               |SELECT v, CAST(r AS BIGINT) AS pprank_scaled
-              |FROM r4 ORDER BY v""".stripMargin))
+              |FROM r4 ORDER BY v""".stripMargin)),
+
+    QueryDef("q339_hits_bipartite",
+      "HITS hubs & authorities on the customer-part purchase bipartite graph, integer max-rescaled rounds",
+      // the OTHER classic link-analysis fixpoint: authorities (parts that
+      // prolific buyers buy) and hubs (buyers of authoritative parts)
+      // reinforce each other. Each round is two bounded passes over the
+      // bipartite edge list — a sum aggregate then a 1-row max-rescale
+      // onto the e6 integer grid (the normalization HITS needs, made
+      // engine-exact by integer div instead of an L2 norm) — and the
+      // oracle unrolls all 3 rounds. Edges ride one shuffle per pass.
+      (s, dir) => {
+        val edges = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+          .distinct()
+        import graft.operators.Checkpoints.Pinnable
+        val be = edges.pin
+        var h = be.select(col("u")).distinct()
+          .withColumn("s", lit(HitsScale))
+        var a: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          val ar = be.join(h, "u").groupBy("p").agg(sum("s").as("raw"))
+          val am = ar.agg(max("raw").as("mx"))
+          a = ar.crossJoin(broadcast(am))
+            .select(col("p"), expr(s"(raw * $HitsScale) div mx").as("s"))
+            .pin
+          val hr = be.join(a, "p").groupBy("u").agg(sum("s").as("raw"))
+          val hm = hr.agg(max("raw").as("mx"))
+          h = hr.crossJoin(broadcast(hm))
+            .select(col("u"), expr(s"(raw * $HitsScale) div mx").as("s"))
+            .pin
+        }
+        a.select(lit("authority").as("kind"), col("p").as("id"),
+            col("s").as("score_e6"))
+          .unionByName(h.select(lit("hub").as("kind"), col("u").as("id"),
+            col("s").as("score_e6")))
+          .orderBy("kind", "id")
+      },
+      Some(s"""|WITH be AS (
+              |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+              |  FROM orders o JOIN lineitem l
+              |    ON l.l_orderkey = o.o_orderkey
+              |), h0 AS (
+              |  SELECT DISTINCT u, CAST($HitsScale AS BIGINT) AS s FROM be
+              |),
+              |${(1 to 3).map(hitsRoundSql).mkString(",\n")}
+              |SELECT 'authority' AS kind, p AS id, s AS score_e6 FROM a3
+              |UNION ALL
+              |SELECT 'hub', u, s FROM h3
+              |ORDER BY kind, id""".stripMargin))
   )
 
   /** One unrolled personalized-PageRank iteration for the q336 oracle —

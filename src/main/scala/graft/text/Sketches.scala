@@ -162,18 +162,8 @@ object Sketches {
     * floor(log2(w)) (w spans 60 bits; doubles lose ulps past 2^53). */
   /** (bucket, rho) expression pair for an item column — shared by the
     * global and grouped register builders. */
-  private def hllBucketRho(itemCol: String): (Column, Column) = {
-    val hx = md5(concat(lit("hll:"), col(itemCol)))
-    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int")
-    val wh = substring(hx, 3, 15)
-    val trimmed = ltrim(wh, "0")
-    val z = lit(15) - length(trimmed)
-    val d = conv(substring(trimmed, 1, 1), 16, 10).cast("int")
-    val lead = when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
-    val rho = when(length(trimmed) === 0, lit(61))
-      .otherwise(lit(4) * z + lead + lit(1))
-    (bucket, rho)
-  }
+  private def hllBucketRho(itemCol: String): (Column, Column) =
+    hllBucketRhoFor(col(itemCol))
 
   def hllRegisters(items: DataFrame, itemCol: String = "item"): DataFrame = {
     val (bucket, rho) = hllBucketRho(itemCol)
@@ -235,6 +225,30 @@ object Sketches {
     hllEstimateFromRegs(regs, Seq("_g"))
       .select(col("_g").as(groupCol), col("zero_buckets"), col("estimate"))
   }
+
+  /** Raw (bucket, rho) columns for an arbitrary item expression — the
+    * building block for register tables keyed by something else entirely
+    * (per-node HyperBall neighborhood sets, per-day sliding windows). */
+  def hllBucketRhoFor(item: Column): (Column, Column) = {
+    val hx = md5(concat(lit("hll:"), item))
+    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int")
+    val wh = substring(hx, 3, 15)
+    val trimmed = ltrim(wh, "0")
+    val z = lit(15) - length(trimmed)
+    val d = conv(substring(trimmed, 1, 1), 16, 10).cast("int")
+    val lead = when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
+    val rho = when(length(trimmed) === 0, lit(61))
+      .otherwise(lit(4) * z + lead + lit(1))
+    (bucket, rho)
+  }
+
+  /** Per-group estimates from an externally-maintained grouped register
+    * table `(groupCol, bucket, reg)` — the grouped sibling of
+    * [[hllEstimateFromRegisters]]. */
+  def hllEstimateForGroupedRegisters(regs: DataFrame,
+                                     groupCol: String): DataFrame =
+    hllEstimateFromRegs(regs.withColumnRenamed(groupCol, "_g"), Seq("_g"))
+      .select(col("_g").as(groupCol), col("zero_buckets"), col("estimate"))
 
   /** Estimate from an externally-maintained register table — the surface a
     * STREAMING register state needs: the (bucket, reg) frame is the whole
