@@ -32,6 +32,13 @@ object Checkpoints {
     * checkpointing into that directory. Unset or empty = localCheckpoint. */
   val DirKey = "graft.checkpoint.dir"
 
+  // setCheckpointDir QUALIFIES the path (scheme + a generated UUID subdir),
+  // so the context's current dir cannot be string-compared against the conf
+  // value. Remember, per SparkContext, the exact conf string that produced
+  // the current checkpoint dir and re-set only when the conf value changes.
+  private val appliedDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   implicit final class Pinnable[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Truncate lineage eagerly under the session's configured policy. */
@@ -40,11 +47,12 @@ object Checkpoints {
       spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
         case Some(dir) =>
           val sc = spark.sparkContext
-          // setCheckpointDir qualifies the path; only (re)set when the
-          // current one was not derived from this conf value
-          if (!sc.getCheckpointDir.exists(cur =>
-              cur == dir || cur.startsWith(dir + "/") || cur.contains(dir)))
+          val key = sc.applicationId
+          if (Checkpoints.appliedDir.get(key) != dir ||
+              sc.getCheckpointDir.isEmpty) {
             sc.setCheckpointDir(dir)
+            Checkpoints.appliedDir.put(key, dir)
+          }
           ds.checkpoint(eager = true)
         case None =>
           ds.localCheckpoint(eager = true)

@@ -61,17 +61,19 @@ object Sessionize {
          |      CAST(greatest(${f(5)}, ${f(4)} + 1) AS STRING), ',',
          |      CAST(${f(6)} AS STRING))
          |  END)""".stripMargin
+    // The O(n)-per-key fold is evaluated ONCE into a state column, then a
+    // follow-up projection splits out the three stat fields. CollapseProject
+    // will not inline a non-cheap expression into multiple consumers, so the
+    // fold cannot silently run 3x on the interpreted HOF path.
     events
       .groupBy(col(keyCol))
       .agg(expr(s"transform(sort_array(collect_list(struct(" +
         s"CAST($tsCol AS BIGINT) AS t, $orderCol AS o))), x -> x.t)").as("ser"))
-      .select(col(keyCol),
-        size(col("ser")).cast("long").as("n_events"),
-        expr(s"CAST(element_at(split($fold, ','), 1) AS BIGINT)")
-          .as("n_sessions"),
-        expr(s"CAST(element_at(split($fold, ','), 6) AS BIGINT)")
-          .as("n_cap_splits"),
-        expr(s"CAST(element_at(split($fold, ','), 5) AS BIGINT)")
-          .as("max_sess_events"))
+      .select(col(keyCol), size(col("ser")).cast("long").as("n_events"),
+        expr(s"split($fold, ',')").as("st"))
+      .select(col(keyCol), col("n_events"),
+        expr("CAST(element_at(st, 1) AS BIGINT)").as("n_sessions"),
+        expr("CAST(element_at(st, 6) AS BIGINT)").as("n_cap_splits"),
+        expr("CAST(element_at(st, 5) AS BIGINT)").as("max_sess_events"))
   }
 }

@@ -3596,7 +3596,9 @@ object Mlops {
       // completeness (no lost/duplicated task output) and value fidelity
       // (int64/double/string survive the Group-API encoding bit-exact).
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("q318_sink").toString
+        val outP = java.nio.file.Files.createTempDirectory("q318_sink")
+        graft.streaming.StreamingOps.deleteOnExit(outP)
+        val out = outP.toString
         table(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("ts"), col("value"))
@@ -3930,11 +3932,13 @@ object Mlops {
         val base = table(s, dir, "events")
           .select(expr(s"ts div $day").as("day"),
             expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
-        val factDir = java.nio.file.Files
-          .createTempDirectory("q326_fact").toString
+        val factP = java.nio.file.Files.createTempDirectory("q326_fact")
+        graft.streaming.StreamingOps.deleteOnExit(factP)
+        val factDir = factP.toString
         base.write.mode("overwrite").partitionBy("day").parquet(factDir)
-        val dimDir = java.nio.file.Files
-          .createTempDirectory("q326_dim").toString
+        val dimP = java.nio.file.Files.createTempDirectory("q326_dim")
+        graft.streaming.StreamingOps.deleteOnExit(dimP)
+        val dimDir = dimP.toString
         base.select("day").distinct()
           .write.mode("overwrite").parquet(dimDir)
         val fact = s.read.parquet(factDir)
@@ -4131,8 +4135,9 @@ object Mlops {
             expr(s"ts div $day").as("day"),
             expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
         val cut = 15L
-        val root = java.nio.file.Files
-          .createTempDirectory("q331_evo").toString
+        val rootP = java.nio.file.Files.createTempDirectory("q331_evo")
+        graft.streaming.StreamingOps.deleteOnExit(rootP)
+        val root = rootP.toString
         val g = base.agg(min("day").as("d0")).head().getLong(0)
         base.filter(col("day") - g < cut)
           .select("event_id", "user_id", "day")

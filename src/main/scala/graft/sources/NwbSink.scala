@@ -5,11 +5,11 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.ParquetFileWriter
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.api.WriteSupport.WriteContext
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
-import org.apache.parquet.io.api.Binary
+import org.apache.parquet.io.api.{Binary, RecordConsumer}
 import org.apache.parquet.schema.{MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -26,20 +26,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * can be the target of `df.write.format("graft-nwb").save(path)` on a real
   * cluster with task retries and speculative execution in play:
   *
-  *  - every task writes ONE staged file `part-<partition>-<task>-<uuid>`
-  *    under `<path>/_staging_<queryId>/` and names it in its
-  *    `WriterCommitMessage`; a retried/speculative attempt stages its own
-  *    file, and only the attempt Spark commits is named — orphans die with
-  *    the staging dir, so the protocol is exactly-once at the file level;
-  *  - job commit (driver) moves ONLY the named files into the target,
+  *  - every task writes ONE staged file under `<path>/_staging_<queryId>/`
+  *    (task-attempt-unique name) and names it in its `WriterCommitMessage`;
+  *    a retried/speculative attempt stages its own file, and only the
+  *    attempt Spark commits is named — orphans die with the staging dir, so
+  *    the protocol is exactly-once at the file level;
+  *  - BATCH job commit (driver) moves ONLY the named files into the target,
   *    drops a `_SUCCESS` marker, and removes staging; job abort removes
   *    staging wholesale. `mode("overwrite")` arrives as TRUNCATE and
   *    clears previously committed part files inside the SAME job commit,
   *    so readers never observe a half-overwritten directory without also
   *    losing the marker;
-  *  - files are plain Parquet (zstd, the store's codec) written via
-  *    parquet-java's Group API — `spark.read.parquet` and DuckDB read them
-  *    back natively, certified by q318's round-trip oracle.
+  *  - STREAMING epoch commit publishes each partition's staged file under a
+  *    DETERMINISTIC final name `part-e<epoch>-<partition>.zstd.parquet`,
+  *    skipping any (epoch, partition) whose final file already exists, and
+  *    only then writes the `_committed/epoch-<id>` marker. A driver crash
+  *    at ANY point is therefore safe: replaying the epoch re-publishes only
+  *    the partitions that did not land, never a second copy (the marker
+  *    alone would not be enough — a crash between the renames and the
+  *    marker write used to duplicate the whole epoch under UUID names).
+  *    Epoch commit also prunes this epoch's orphaned attempts from staging
+  *    and, on the run's first publish, removes stale `_staging_*` dirs left
+  *    by previous runs (the sink is single-writer per target directory, as
+  *    the epoch-marker namespace already requires);
+  *  - files are plain Parquet (zstd, the store's codec) written through a
+  *    direct `RecordConsumer` WriteSupport over `InternalRow` — no per-row
+  *    Group object tree, no UTF8String→String detour — so the sink's write
+  *    CPU tracks Spark's own row-wise parquet writer. `spark.read.parquet`
+  *    and DuckDB read the files back natively, certified by q318's
+  *    round-trip oracle.
   *
   * Schema support is the store's frame surface: the primitive columns plus
   * `array<double>`/`array<float>` (SegmentFrame `values`). Like the
@@ -64,6 +79,11 @@ class NwbSink extends TableProvider
 }
 
 object NwbSink {
+  /** One read-only Hadoop conf per executor JVM: `new Configuration()`
+    * parses the default XML resources every time — a measurable per-task
+    * tax when 32 writers spin up together. Writers never mutate it. */
+  private[sources] lazy val sharedConf = new Configuration()
+
   private[sources] def targetPath(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-nwb sink requires a path")
@@ -144,7 +164,8 @@ final class NwbWrite(path: String, queryId: String, schema: StructType,
     s"graft-nwb path=$path truncate=$truncate"
 }
 
-final case class NwbCommitMessage(stagedName: String) extends WriterCommitMessage
+final case class NwbCommitMessage(stagedName: String, partitionId: Int)
+    extends WriterCommitMessage
 
 final class NwbBatchWrite(path: String, queryId: String, schema: StructType,
                           truncate: Boolean) extends BatchWrite {
@@ -167,7 +188,7 @@ final class NwbBatchWrite(path: String, queryId: String, schema: StructType,
     // move ONLY the files named by committed tasks; orphaned attempts die
     // with the staging dir below
     messages.foreach {
-      case NwbCommitMessage(name) =>
+      case NwbCommitMessage(name, _) =>
         if (!fs.rename(new Path(staging, name), new Path(target, name)))
           throw new java.io.IOException(
             s"graft-nwb commit: failed to publish $name into $target")
@@ -191,12 +212,16 @@ final class NwbWriterFactory(path: String, queryId: String, schemaJson: String)
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId)
 }
 
-/** Streaming (micro-batch) side of the sink: tasks stage per-epoch files
-  * (epoch id baked into the name), and the driver commits each epoch
-  * IDEMPOTENTLY — a `_committed/epoch-<id>` marker is checked first, so a
-  * replayed epoch (driver restart re-running a committed batch) publishes
-  * nothing twice. That marker + staged-rename protocol is what makes the
-  * sink exactly-once under the micro-batch recovery contract. */
+/** Streaming (micro-batch) side of the sink: tasks stage per-epoch files,
+  * and the driver publishes each partition under the DETERMINISTIC name
+  * `part-e<epoch>-<partition>.zstd.parquet` — skipping names that already
+  * exist — before writing the `_committed/epoch-<id>` marker. Both halves
+  * of a crash are therefore idempotent: a replay after the marker landed
+  * publishes nothing (marker short-circuit), and a replay after a PARTIAL
+  * publish (crash between renames and marker) fills in only the missing
+  * partitions, because the deterministic names make the already-published
+  * ones visible. That is what makes the sink exactly-once under the
+  * micro-batch recovery contract, not just under clean restarts. */
 final class NwbStreamingWrite(path: String, queryId: String,
                               schema: StructType)
     extends streaming.StreamingWrite {
@@ -204,6 +229,11 @@ final class NwbStreamingWrite(path: String, queryId: String,
   private def staging = new Path(path, s"_staging_$queryId")
   private def marker(epochId: Long) =
     new Path(new Path(path, "_committed"), s"epoch-$epochId")
+  private def finalName(epochId: Long, partitionId: Int) =
+    f"part-e$epochId-$partitionId%05d.zstd.parquet"
+  // purge stale _staging_* dirs from previous runs once per run, on the
+  // first real publish (never on the replay short-circuit path)
+  @volatile private var purgedStale = false
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
@@ -219,20 +249,38 @@ final class NwbStreamingWrite(path: String, queryId: String,
       // epoch replay after recovery: already published, drop the re-staged
       // attempt wholesale
       messages.foreach {
-        case NwbCommitMessage(name) => fs.delete(new Path(staging, name), false)
+        case NwbCommitMessage(name, _) =>
+          fs.delete(new Path(staging, name), false)
         case _ =>
       }
       return
     }
+    if (!purgedStale) {
+      val dirs = fs.globStatus(new Path(target, "_staging_*"))
+      if (dirs != null) dirs.foreach { d =>
+        if (d.getPath.getName != staging.getName) fs.delete(d.getPath, true)
+      }
+      purgedStale = true
+    }
     messages.foreach {
-      case NwbCommitMessage(name) =>
-        if (!fs.rename(new Path(staging, name), new Path(target, name)))
+      case NwbCommitMessage(name, pid) =>
+        val dst = new Path(target, finalName(epochId, pid))
+        if (fs.exists(dst)) {
+          // this (epoch, partition) landed before a crash interrupted the
+          // previous publish of the same epoch — drop the re-staged copy
+          fs.delete(new Path(staging, name), false)
+        } else if (!fs.rename(new Path(staging, name), dst)) {
           throw new java.io.IOException(
-            s"graft-nwb epoch $epochId: failed to publish $name")
+            s"graft-nwb epoch $epochId: failed to publish $name as $dst")
+        }
       case other => throw new IllegalStateException(s"unexpected message $other")
     }
     fs.mkdirs(new Path(path, "_committed"))
     fs.create(marker(epochId), true).close()
+    // failed/speculative attempts of THIS epoch never get a commit message;
+    // prune them now so staging does not accumulate across a long run
+    val leftovers = fs.globStatus(new Path(staging, s"part-e$epochId-*"))
+    if (leftovers != null) leftovers.foreach(s => fs.delete(s.getPath, false))
   }
 
   override def abort(epochId: Long,
@@ -240,7 +288,7 @@ final class NwbStreamingWrite(path: String, queryId: String,
     val conf = new Configuration()
     val fs = staging.getFileSystem(conf)
     messages.foreach {
-      case NwbCommitMessage(name) => fs.delete(new Path(staging, name), false)
+      case NwbCommitMessage(name, _) => fs.delete(new Path(staging, name), false)
       case _ =>
     }
   }
@@ -256,8 +304,109 @@ final class NwbStreamingWriterFactory(path: String, queryId: String,
       taskId, epochTag = s"e$epochId-")
 }
 
+/** Direct `RecordConsumer` WriteSupport over `InternalRow` — the same
+  * row-wise encoding strategy Spark's own parquet writer uses, minus the
+  * Group-object materialization the Example API would add per row. Field
+  * writers are resolved ONCE per file into an array of closures, so the
+  * per-row loop is monomorphic per column. */
+private[sources] final class NwbRowWriteSupport(schema: StructType,
+                                                msgType: MessageType)
+    extends WriteSupport[InternalRow] {
+
+  private var consumer: RecordConsumer = _
+  private var writers: Array[InternalRow => Unit] = _
+
+  override def init(conf: Configuration): WriteContext =
+    new WriteContext(msgType, new util.HashMap[String, String]())
+
+  override def prepareForWrite(rc: RecordConsumer): Unit = {
+    consumer = rc
+    writers = schema.fields.zipWithIndex.map { case (f, i) =>
+      val name = f.name
+      f.dataType match {
+        case IntegerType => (row: InternalRow) => consumer.addInteger(row.getInt(i))
+        case LongType    => (row: InternalRow) => consumer.addLong(row.getLong(i))
+        case DoubleType  => (row: InternalRow) => consumer.addDouble(row.getDouble(i))
+        case FloatType   => (row: InternalRow) => consumer.addFloat(row.getFloat(i))
+        case BooleanType => (row: InternalRow) => consumer.addBoolean(row.getBoolean(i))
+        case StringType  => (row: InternalRow) =>
+          consumer.addBinary(
+            Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType  => (row: InternalRow) =>
+          consumer.addBinary(Binary.fromReusedByteArray(row.getBinary(i)))
+        case ArrayType(DoubleType, _) => (row: InternalRow) => {
+          val arr = row.getArray(i)
+          val n = arr.numElements()
+          consumer.startGroup()
+          if (n > 0) {
+            consumer.startField("list", 0)
+            var j = 0
+            while (j < n) {
+              consumer.startGroup()
+              consumer.startField("element", 0)
+              consumer.addDouble(arr.getDouble(j))
+              consumer.endField("element", 0)
+              consumer.endGroup()
+              j += 1
+            }
+            consumer.endField("list", 0)
+          }
+          consumer.endGroup()
+        }
+        case ArrayType(FloatType, _) => (row: InternalRow) => {
+          val arr = row.getArray(i)
+          val n = arr.numElements()
+          consumer.startGroup()
+          if (n > 0) {
+            consumer.startField("list", 0)
+            var j = 0
+            while (j < n) {
+              consumer.startGroup()
+              consumer.startField("element", 0)
+              consumer.addFloat(arr.getFloat(j))
+              consumer.endField("element", 0)
+              consumer.endGroup()
+              j += 1
+            }
+            consumer.endField("list", 0)
+          }
+          consumer.endGroup()
+        }
+        case other =>
+          // build() validated the schema on the driver already
+          throw new IllegalStateException(s"unreachable: $other for '$name'")
+      }
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    consumer.startMessage()
+    var i = 0
+    while (i < writers.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema(i).name
+        consumer.startField(name, i)
+        writers(i)(row)
+        consumer.endField(name, i)
+      }
+      i += 1
+    }
+    consumer.endMessage()
+  }
+}
+
+private[sources] final class NwbParquetBuilder(
+    file: Path, schema: StructType, msgType: MessageType)
+    extends ParquetWriter.Builder[InternalRow, NwbParquetBuilder](file) {
+  override def self(): NwbParquetBuilder = this
+  override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+    new NwbRowWriteSupport(schema, msgType)
+}
+
 /** One staged zstd parquet file per task attempt; the attempt's commit
-  * message names it, nothing else touches the target directory. */
+  * message names it (and its partition id, which the streaming commit uses
+  * for the deterministic final name), nothing else touches the target
+  * directory. */
 final class NwbDataWriter(path: String, queryId: String, schema: StructType,
                           partitionId: Int, taskId: Long,
                           epochTag: String = "")
@@ -267,58 +416,18 @@ final class NwbDataWriter(path: String, queryId: String, schema: StructType,
     f"part-$epochTag$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.zstd.parquet"
   private val staged = new Path(new Path(path, s"_staging_$queryId"), fileName)
   private val msgType = NwbSink.parquetSchema(schema)
-  private val conf = {
-    val c = new Configuration()
-    GroupWriteSupport.setSchema(msgType, c)
-    c
-  }
-  private val writer = ExampleParquetWriter.builder(staged)
+  private val conf = NwbSink.sharedConf
+  private val writer = new NwbParquetBuilder(staged, schema, msgType)
     .withConf(conf)
-    .withType(msgType)
     .withCompressionCodec(CompressionCodecName.ZSTD)
     .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
     .build()
-  private val factory = new SimpleGroupFactory(msgType)
 
-  override def write(row: InternalRow): Unit = {
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        val name = schema(i).name
-        schema(i).dataType match {
-          case IntegerType => g.add(name, row.getInt(i))
-          case LongType    => g.add(name, row.getLong(i))
-          case DoubleType  => g.add(name, row.getDouble(i))
-          case FloatType   => g.add(name, row.getFloat(i))
-          case BooleanType => g.add(name, row.getBoolean(i))
-          case StringType  => g.add(name, row.getUTF8String(i).toString)
-          case BinaryType  => g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
-          case ArrayType(DoubleType, _) =>
-            val arr = row.getArray(i)
-            val outer = g.addGroup(name)
-            var j = 0
-            while (j < arr.numElements()) {
-              outer.addGroup("list").add("element", arr.getDouble(j)); j += 1
-            }
-          case ArrayType(FloatType, _) =>
-            val arr = row.getArray(i)
-            val outer = g.addGroup(name)
-            var j = 0
-            while (j < arr.numElements()) {
-              outer.addGroup("list").add("element", arr.getFloat(j)); j += 1
-            }
-          case other => throw new IllegalStateException(s"unreachable: $other")
-        }
-      }
-      i += 1
-    }
-    writer.write(g)
-  }
+  override def write(row: InternalRow): Unit = writer.write(row)
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    NwbCommitMessage(fileName)
+    NwbCommitMessage(fileName, partitionId)
   }
 
   override def abort(): Unit = {

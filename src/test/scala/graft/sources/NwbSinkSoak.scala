@@ -35,10 +35,18 @@ object NwbSinkSoak {
     println(s"[soak] ${df.count()} rows x 4 cols")
     val sinkDir = java.nio.file.Files.createTempDirectory("soak_sink").toString
     val stockDir = java.nio.file.Files.createTempDirectory("soak_stock").toString
-    time("graft-nwb DSv2 sink (two-phase commit, zstd Group API)") {
-      df.write.format("graft-nwb").mode("append").save(sinkDir)
+    // interleaved best-of-2 so JIT/codec warmup does not bias whichever
+    // writer happens to run first
+    def best(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[soak] $label: best ${ts.min}%.2f s (runs: ${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
-    time("stock parquet writer (zstd, baseline)") {
+    best("graft-nwb DSv2 sink (two-phase commit, zstd RecordConsumer)") {
+      df.write.format("graft-nwb").mode("overwrite").save(sinkDir)
+    }
+    best("stock parquet writer (zstd, baseline)") {
       df.write.mode("overwrite").option("compression", "zstd").parquet(stockDir)
     }
     time("round-trip census (sink vs stock)") {

@@ -110,6 +110,61 @@ class NwbSinkSpec extends AnyFunSuite {
     assert(new File(s"$out/data").listFiles().length == before)
   }
 
+  test("streaming commit is crash-idempotent: partial publish + replay never duplicates") {
+    // Simulate a driver crash BETWEEN the renames and the marker write of
+    // epoch 7: partition 0's file already landed under its deterministic
+    // final name, no marker exists. The replayed commit must fill in only
+    // partition 1, keep partition 0's ORIGINAL bytes, then write the marker.
+    val dir = tmp()
+    val target = new File(dir, "data"); target.mkdirs()
+    val staging = new File(target, "_staging_run1"); staging.mkdirs()
+    def put(f: File, content: String): Unit = {
+      val w = new java.io.FileWriter(f); w.write(content); w.close()
+    }
+    // the pre-crash publish of partition 0 (original attempt's bytes)
+    put(new File(target, "part-e7-00000.zstd.parquet"), "p0-original")
+    // the replayed epoch re-stages BOTH partitions with fresh attempt names
+    put(new File(staging, "part-e7-00000-9-aaaa.zstd.parquet"), "p0-replayed")
+    put(new File(staging, "part-e7-00001-9-bbbb.zstd.parquet"), "p1-replayed")
+    val w = new NwbStreamingWrite(target.toString, "run1",
+      new org.apache.spark.sql.types.StructType())
+    w.commit(7L, Array(
+      NwbCommitMessage("part-e7-00000-9-aaaa.zstd.parquet", 0),
+      NwbCommitMessage("part-e7-00001-9-bbbb.zstd.parquet", 1)))
+    val parts = target.listFiles().filter(_.getName.startsWith("part-e7-"))
+      .map(_.getName).sorted
+    assert(parts.toSeq == Seq("part-e7-00000.zstd.parquet",
+      "part-e7-00001.zstd.parquet"), s"published set wrong: ${parts.toSeq}")
+    val p0 = scala.io.Source.fromFile(
+      new File(target, "part-e7-00000.zstd.parquet")).mkString
+    assert(p0 == "p0-original", "replay overwrote the already-published partition")
+    assert(new File(target, "_committed/epoch-7").exists, "marker not written")
+    assert(staging.listFiles().isEmpty,
+      s"staging residue: ${staging.listFiles().map(_.getName).toSeq}")
+    // second full replay AFTER the marker landed: publishes nothing
+    put(new File(staging, "part-e7-00000-10-cccc.zstd.parquet"), "p0-again")
+    val before = target.listFiles().length
+    w.commit(7L, Array(NwbCommitMessage("part-e7-00000-10-cccc.zstd.parquet", 0)))
+    assert(target.listFiles().length == before)
+    assert(staging.listFiles().isEmpty, "marker replay must drop re-staged files")
+  }
+
+  test("streaming publish prunes stale _staging_* dirs from previous runs") {
+    val dir = tmp()
+    val target = new File(dir, "data"); target.mkdirs()
+    val stale = new File(target, "_staging_oldrun"); stale.mkdirs()
+    val junk = new File(stale, "part-e0-00000-1-dead.zstd.parquet")
+    junk.createNewFile()
+    val staging = new File(target, "_staging_run2"); staging.mkdirs()
+    val f = new File(staging, "part-e0-00000-2-abcd.zstd.parquet")
+    f.createNewFile()
+    val w = new NwbStreamingWrite(target.toString, "run2",
+      new org.apache.spark.sql.types.StructType())
+    w.commit(0L, Array(NwbCommitMessage(f.getName, 0)))
+    assert(!stale.exists, "stale staging dir from a previous run must be removed")
+    assert(new File(target, "part-e0-00000.zstd.parquet").exists)
+  }
+
   test("float32 arrays and binary round-trip (store precision surface)") {
     val dir = tmp()
     val rows = Seq(
