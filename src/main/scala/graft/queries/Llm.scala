@@ -516,15 +516,31 @@ object Llm {
              |  min(doc_id) AS keeper
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    QueryDef("q41_ngram_jaccard", "exact n-gram Jaccard near-dup pairs",
-      (s, dir) => TextOps.ngramJaccardPairs(table(s, dir, "documents"), minJaccard = 0.02)
+    QueryDef("q41_ngram_jaccard", "exact n-gram Jaccard near-dup pairs (sampled audit tier)",
+      // GROUND-TRUTH AUDIT TIER, run over a deterministic md5 sample: the
+      // brute shingle self-join is quadratic on a hot shingle, so the
+      // benched/certified contract samples docs at rate 0.4 ('audit:' salt,
+      // q59's integer-threshold idiom — both engines pick the identical
+      // subset) and audits exact Jaccard inside the sample. The FULL-corpus
+      // form stays TextOps.ngramJaccardPairs (spec'd vs jaccardPrefixJoin,
+      // soaked in CurationSoak) — at scale the exhaustive sweep is exactly
+      // what you run on samples; q42 MinHash / q100 prefix-filter are the
+      // full-corpus scale paths.
+      (s, dir) => TextOps.ngramJaccardPairs(
+          table(s, dir, "documents")
+            .filter(Curation.sampleHash(col("doc_id"), "audit")
+              < Curation.rateThreshold(0.4)),
+          minJaccard = 0.02)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(100),
-      Some("""WITH sh AS (
+      Some(s"""WITH sh AS (
              |  SELECT doc_id, unnest(list_distinct(list_transform(
              |    generate_series(1, len(string_split(text, ' ')) - 1),
              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS shingle
-             |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2
+             |    AND CAST(('0x' || substr(md5('audit:' || doc_id), 1, 15)) AS BIGINT)
+             |      < ${Curation.rateThreshold(0.4)}
              |), cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
              |pairs AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1988,13 +2004,29 @@ object Llm {
       // at t=0.8 each doc exposes its rarest fifth; a low threshold keeps
       // almost the whole doc and the bound buys nothing — q41 covers that
       // exhaustive-sweep tier).
-      (s, dir) => TextOps.jaccardPrefixJoin(table(s, dir, "documents"), minJaccard = 0.8)
+      //
+      // Like q41, the CERTIFIED contract runs over the deterministic 0.4
+      // md5 sample ('audit:' salt): this synthetic corpus's template docs
+      // share even their rare shingles, so the candidate space is dense and
+      // the full-corpus form is candidate-bound (~30-40 s at sf0.1,
+      // documented in NOTES) — the exact tier's role at scale is sampled
+      // audits, with q42 MinHash as the full-corpus path. The unsampled
+      // operator stays TextOps.jaccardPrefixJoin (lossless-bound spec +
+      // CurationSoak exercise it on whole corpora).
+      (s, dir) => TextOps.jaccardPrefixJoin(
+          table(s, dir, "documents")
+            .filter(Curation.sampleHash(col("doc_id"), "audit")
+              < Curation.rateThreshold(0.4)),
+          minJaccard = 0.8)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")),
-      Some("""WITH sh AS (
+      Some(s"""WITH sh AS (
              |  SELECT doc_id, unnest(list_distinct(list_transform(
              |    generate_series(1, len(string_split(text, ' ')) - 1),
              |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS shingle
-             |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2
+             |    AND CAST(('0x' || substr(md5('audit:' || doc_id), 1, 15)) AS BIGINT)
+             |      < ${Curation.rateThreshold(0.4)}
              |), cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
              |pairs AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

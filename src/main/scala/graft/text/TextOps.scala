@@ -369,11 +369,14 @@ object TextOps {
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = split(col(textCol), " ")
+    // pinned: sh feeds both sides of the self-join plus the count subtree —
+    // unpinned, the text scan + shingle explode runs three times
     val sh = docs
       .filter(size(words) >= 2)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(transform(sequence(lit(1), size(words) - 1),
           i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))).as("shingle"))
+      .pin
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -420,11 +423,16 @@ object TextOps {
     require(minJaccard > 0 && minJaccard <= 1, s"need 0 < t <= 1; got $minJaccard")
     import org.apache.spark.sql.expressions.Window
     val words = split(col(textCol), " ")
+    // sh feeds THREE subtrees (document frequencies, the prefix window, and
+    // the verification sets) and prefix feeds its own self-join: without
+    // pinning, Spark re-runs the text scan + shingle explode once per
+    // consumer — measured 2.5x the whole operator's cost at sf0.1.
     val sh = docs
       .filter(size(words) >= 2)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(transform(sequence(lit(1), size(words) - 1),
           i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))).as("shingle"))
+      .pin
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     val wCnt = Window.partitionBy("doc_id")
@@ -433,9 +441,15 @@ object TextOps {
         row_number().over(wDoc).as("rn"),
         count(lit(1)).over(wCnt).as("c"))
       .filter(col("rn") <= col("c") - ceil(lit(minJaccard) * col("c")).cast("long") + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "c")
+      .pin
+    // length filter (Bayardo §3.1): J >= t forces t*max(|A|,|B|) <= min —
+    // applied WITH a 1e-9 slack so FP rounding can only over-admit
+    // candidates (lossless; the exact verification below decides)
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.c"), col("b.c")).cast("double")
+             >= lit(minJaccard) * greatest(col("a.c"), col("b.c")) - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = sh.groupBy("doc_id")
