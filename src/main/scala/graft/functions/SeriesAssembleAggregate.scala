@@ -456,6 +456,37 @@ abstract class BlockPairAggregate
 
   override def serialize(buf: BlockBuf): Array[Byte] = BlockBuf.write(buf)
   override def deserialize(bytes: Array[Byte]): BlockBuf = BlockBuf.read(bytes)
+
+  /** Total sample count across all buffered blocks. */
+  protected final def totalLen(buf: BlockBuf): Long = {
+    var total = 0L
+    var i = 0
+    while (i < buf.n) { total += buf.blocks(i).length; i += 1 }
+    total
+  }
+
+  /** Shared cold path: runs sorted by (idx, insertion order) — boxed, but
+    * never taken by well-formed callers — then concatenated. */
+  protected final def sortedConcat(buf: BlockBuf, total: Long): Array[Double] = {
+    if (total > Int.MaxValue) throw new IllegalArgumentException(
+      s"$prettyName group holds $total samples; arrays cap at ${Int.MaxValue}")
+    concatByOrder(buf, Array.range(0, buf.n).sortBy(i => (buf.idx(i), i)), total.toInt)
+  }
+
+  /** Concatenate the buffered blocks in the given visit order. */
+  protected final def concatByOrder(buf: BlockBuf, order: Array[Int],
+                                    total: Int): Array[Double] = {
+    val out = new Array[Double](total)
+    var off = 0
+    var i = 0
+    while (i < buf.n) {
+      val b = buf.blocks(order(i))
+      System.arraycopy(b, 0, out, off, b.length)
+      off += b.length
+      i += 1
+    }
+    out
+  }
 }
 
 case class AssembleBlocks(blockIdx: Expression, block: Expression,
@@ -494,23 +525,12 @@ case class AssembleBlocks(blockIdx: Expression, block: Expression,
       }
       if (dense) order = slotOf
     }
-    if (order == null) {
-      // gappy or duplicated block_idx: cold contract-violation path; sort by
-      // (block_idx, insertion order) — boxed, but never taken by our callers
-      order = Array.range(0, n).sortBy(i => (buf.idx(i), i))
-    }
-    var total = 0
-    i = 0
-    while (i < n) { total += buf.blocks(i).length; i += 1 }
-    val out = new Array[Double](total)
-    var off = 0
-    i = 0
-    while (i < n) {
-      val b = buf.blocks(order(i))
-      System.arraycopy(b, 0, out, off, b.length)
-      off += b.length
-      i += 1
-    }
+    val total = totalLen(buf)
+    // gappy or duplicated block_idx -> shared cold contract-violation path
+    // (which also owns the arrays-cap guard)
+    val out = if (order != null && total <= Int.MaxValue)
+                concatByOrder(buf, order, total.toInt)
+              else sortedConcat(buf, total)
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -582,24 +602,14 @@ case class AssembleFragments(off: Expression, vals: Expression,
       if (ok) out = placed
     }
     if (out == null) {
-      // gappy/overlapping runs: cold path, sort runs by (offset, insertion).
-      // CONTRACT: overlap input (duplicate t_idx upstream) is malformed; the
-      // fallback orders at RUN granularity only — whole runs concatenate in
-      // (offset, arrival) order, samples are not re-sorted individually (a
-      // per-sample sort would legitimize duplicate slots a dense series
-      // cannot have). Gap-only input still assembles in exact t order.
-      if (total > Int.MaxValue) throw new IllegalArgumentException(
-        s"assemble_fragments group holds $total samples; arrays cap at ${Int.MaxValue}")
-      val order = Array.range(0, n).sortBy(i => (buf.idx(i), i))
-      out = new Array[Double](total.toInt)
-      var p = 0
-      i = 0
-      while (i < n) {
-        val run = buf.blocks(order(i))
-        System.arraycopy(run, 0, out, p, run.length)
-        p += run.length
-        i += 1
-      }
+      // gappy/overlapping runs: shared cold path, runs sorted by (offset,
+      // insertion order). CONTRACT: overlap input (duplicate t_idx upstream)
+      // is malformed; the fallback orders at RUN granularity only — whole
+      // runs concatenate in (offset, arrival) order, samples are not
+      // re-sorted individually (a per-sample sort would legitimize duplicate
+      // slots a dense series cannot have). Gap-only input still assembles in
+      // exact t order.
+      out = sortedConcat(buf, total)
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
