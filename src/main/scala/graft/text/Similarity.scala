@@ -304,6 +304,160 @@ object Similarity {
       .select(col("qid"), col("rk"), col("cid"), col("sim"))
   }
 
+  /** Adaptive probe policy: cells ranked by centroid similarity (DESC,
+    * ties to the lower cell id), probed until the EXCLUSIVE running
+    * candidate total reaches `k * margin` — i.e. a cell is probed iff the
+    * cells ranked before it hold fewer than k*margin candidates, so the
+    * first cell is always probed and probing stops as soon as the
+    * candidate pool is deep enough to rank k results from. This replaces
+    * the fixed `nprobe` dial with a RECALL-TARGETED one: dense queries
+    * (landing in big cells) probe few cells, sparse ones probe more, and
+    * the scanned fraction tracks k*margin/corpus instead of nprobe/nCells.
+    * The policy is deterministic given (centroids, per-cell counts), so a
+    * SQL oracle replays it exactly (q340). */
+  private[text] def adaptiveProbeCells(centroids: Array[Array[Double]],
+                                       cellCounts: Array[Long],
+                                       v: Seq[Float], k: Int,
+                                       margin: Int): Seq[Int] = {
+    val target = k.toLong * margin
+    val ranked = centroids.indices
+      .map(c => (c, cosineArr(centroids(c), v)))
+      .sortBy { case (c, s) => (-s, c) }
+    val out = Seq.newBuilder[Int]
+    var cum = 0L
+    var i = 0
+    while (i < ranked.length && cum < target) {
+      val c = ranked(i)._1
+      out += c
+      cum += cellCounts(c)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Per-cell candidate counts over the SCORABLE corpus (zero-norm vectors
+    * can never rank, so they don't count toward the probe target). Bounded
+    * collect: nCells rows. */
+  private[text] def scorableCellCounts(assigned: DataFrame, nCells: Int,
+                                       vecCol: String): Array[Long] = {
+    graft.functions.GridFunctions.register(assigned.sparkSession)
+    val counts = new Array[Long](nCells)
+    assigned
+      .filter(expr(s"floor_dot_e9($vecCol, $vecCol)") > 0)
+      .groupBy("cell").count()
+      .collect()
+      .foreach(r => counts(r.getAs[Number]("cell").intValue()) = r.getLong(1))
+    counts
+  }
+
+  /** [[ivfTopKMulti]] with the ADAPTIVE probe policy: per-query probe depth
+    * comes from [[adaptiveProbeCells]] (probe until k*margin candidates)
+    * instead of a fixed nprobe. Returns (qid, rk, cid, sim) like the fixed
+    * form. On well-clustered corpora most queries stop after one or two
+    * cells; on adversarially uniform vectors (this testbed's synthetic
+    * embeddings — IVF's worst case) the policy honestly probes deep, which
+    * is exactly what a recall target costs there. */
+  def ivfTopKMultiAdaptive(assigned: DataFrame, centroids: Array[Array[Double]],
+                           queries: DataFrame, k: Int, margin: Int = 20,
+                           excludeSelfId: Boolean = true,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && margin > 0, s"need k > 0 and margin > 0 (got k=$k margin=$margin)")
+    val spark = assigned.sparkSession
+    graft.functions.GridFunctions.register(spark)
+    val counts = scorableCellCounts(assigned, centroids.length, vecCol)
+    val bc = spark.sparkContext.broadcast((centroids, counts))
+    val probesUdf = udf { (v: Seq[Float]) =>
+      val (cs, cnts) = bc.value
+      adaptiveProbeCells(cs, cnts, v, k, margin)
+    }
+    val cand = assigned
+      .withColumn("__ec", expr(s"floor_dot_e9($vecCol, $vecCol)"))
+      .filter(col("__ec") > 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("__cv"),
+        col("__ec"), col("cell"))
+    val qf = queries
+      .withColumn("__eq", expr(s"floor_dot_e9($qvecCol, $qvecCol)"))
+      .filter(col("__eq") > 0)
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("__qv"),
+        col("__eq"), explode(probesUdf(col(qvecCol))).as("cell"))
+    val joined0 = broadcast(qf).join(cand, Seq("cell"))
+    val joined = if (excludeSelfId) joined0.filter(col("cid") =!= col("qid"))
+                 else joined0
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    joined
+      .withColumn("sim", round(expr("floor_dot_e9(__qv, __cv)").cast("double") /
+        sqrt(col("__eq").cast("double") * col("__ec").cast("double")), 6))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("sim"))
+  }
+
+  /** Recall + probe-cost audit of the ADAPTIVE policy (q340): like
+    * [[ivfRecallAudit]] but probing via [[adaptiveProbeCells]], and the
+    * census carries the measured cost — per recall level, how many queries
+    * landed there, how many cells they probed, and how many candidate rows
+    * those probes scanned (both exact integer sums, so the oracle replays
+    * the cost numbers bit-for-bit, not just the recall histogram). */
+  def ivfAdaptiveRecallAudit(embeddings: DataFrame, k: Int = 10,
+                             params: IvfParams = IvfParams(),
+                             margin: Int = 20, queryMod: Long = 25,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Checkpoints.Pinnable
+    val spark = embeddings.sparkSession
+    graft.functions.GridFunctions.register(spark)
+    val centroids = kmeansCentroids(embeddings, params.nCells, params.iters,
+      idCol, vecCol)
+    val a = ivfAssign(embeddings, centroids, vecCol)
+      .withColumn("e2", expr(s"floor_dot_e9($vecCol, $vecCol)"))
+      .filter(col("e2") > 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        col("e2").as("ec"), col("cell"))
+      .pin // four consumers: cell counts, queries, probed scan, brute scan
+    val counts = new Array[Long](params.nCells)
+    a.groupBy("cell").count().collect()
+      .foreach(r => counts(r.getAs[Number]("cell").intValue()) = r.getLong(1))
+    val bc = spark.sparkContext.broadcast((centroids, counts))
+    val probesUdf = udf { (v: Seq[Float]) =>
+      val (cs, cnts) = bc.value
+      val cells = adaptiveProbeCells(cs, cnts, v, k, margin)
+      (cells, cells.map(cnts(_)).sum)
+    }
+    val q = a.filter(col("cid") % queryMod === 0)
+      .select(col("cid").as("qid"), col("cv").as("qv"), col("ec").as("eq"),
+        probesUdf(col("cv")).as("pr"))
+      .select(col("qid"), col("qv"), col("eq"),
+        col("pr._1").as("probes"), col("pr._2").as("scanned"))
+    val sim = round(expr("floor_dot_e9(qv, cv)").cast("double") /
+      sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"))
+    val ivfTop = topK(broadcast(q.select(col("qid"), col("qv"), col("eq"),
+        explode(col("probes")).as("cell")))
+      .join(a, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", sim))
+    val bruteTop = topK(broadcast(q.drop("probes")).crossJoin(a)
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", sim))
+    val common = ivfTop.join(bruteTop, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    q.select(col("qid"), size(col("probes")).cast("long").as("n_probed"),
+        col("scanned"))
+      .join(common, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .groupBy(col("n_common").as("recall_at_k"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum("n_probed").as("sum_probed_cells"),
+        sum("scanned").as("sum_scanned_rows"))
+      .orderBy("recall_at_k")
+  }
+
   /** Hyperplane component (p, i): a signed 48-bit integer from md5 hex
     * chars 1-12 of "<seed>:<p>:<i>", centered by 2^47. Integer-valued and
     * < 2^53, so the value is EXACT in a double in any engine — a SQL oracle

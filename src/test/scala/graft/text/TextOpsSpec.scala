@@ -984,4 +984,53 @@ class TextOpsSpec extends AnyFunSuite {
     for ((w, expect) <- cases)
       assert(got(w) == expect, s"stemLite($w) = ${got(w)}, want $expect")
   }
+
+  test("adaptiveProbeCells: probes in similarity order until k*margin candidates") {
+    // centroids on the axes of a 3-dim space; query along axis 0 ranks
+    // cells 0 > 1 > 2 (cosine 1.0, 0.0, 0.0 — tie between 1 and 2 breaks
+    // to the lower cell id)
+    val cs = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val q = Seq(1.0f, 0.1f, 0.0f)
+    // target 10*2=20: cell 0 (15) is not enough (15 < 20), cell 1 tips it
+    assert(Similarity.adaptiveProbeCells(cs, Array(15L, 30L, 100L), q,
+      k = 10, margin = 2) == Seq(0, 1))
+    // dense first cell covers the target alone
+    assert(Similarity.adaptiveProbeCells(cs, Array(25L, 30L, 100L), q,
+      k = 10, margin = 2) == Seq(0))
+    // empty cells contribute nothing; probing walks on until the target
+    assert(Similarity.adaptiveProbeCells(cs, Array(0L, 0L, 20L), q,
+      k = 10, margin = 2) == Seq(0, 1, 2))
+    // the first cell is always probed, and probing never walks past nCells
+    assert(Similarity.adaptiveProbeCells(cs, Array(0L, 0L, 0L), q,
+      k = 10, margin = 100) == Seq(0, 1, 2))
+  }
+
+  test("adaptive multi-query IVF with a corpus-covering margin equals brute force") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val emb = (0 until 120).map(i => (i.toLong, vec(i + 7))).toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, centroids).cache()
+    val queries = emb.filter(col("vec_id") % 30 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // margin big enough that every query's target exceeds the corpus:
+    // the policy probes ALL cells, so results must equal brute force
+    val adaptive = Similarity.ivfTopKMultiAdaptive(assigned, centroids,
+        queries, k = 3, margin = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.ivfTopKMulti(assigned, centroids, queries,
+        k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adaptive == brute,
+      s"adaptive@full-margin diverges: ${adaptive -- brute} / ${brute -- adaptive}")
+    // a tight margin still answers every query (k results each) from a
+    // shallower scan
+    val tight = Similarity.ivfTopKMultiAdaptive(assigned, centroids,
+      queries, k = 3, margin = 2)
+    val perQ = tight.groupBy("qid").count().collect()
+    assert(perQ.forall(_.getLong(1) == 3L),
+      s"tight margin shorted a query: ${perQ.mkString(",")}")
+  }
 }
