@@ -1278,7 +1278,13 @@ ORDER BY event_type, win"""
       "streaming HyperLogLog registers in Update mode: per-bucket max-rho " +
         "is commutative, final cells == q119's batch sketch (oracle " +
         "verbatim)",
-      q338Build, Some(Llm.HllTrigramOracle)))
+      q338Build, Some(Llm.HllTrigramOracle)),
+
+    QueryDef("q341_late_data_audit",
+      "watermark late-data accounting: planted beyond-watermark arrivals " +
+        "are DROPPED, within-delay arrivals RETAINED; the oracle derives " +
+        "the retained set from the watermark rule itself",
+      q341Build, Some(q341Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1617,4 +1623,129 @@ ORDER BY event_type, win"""
        |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
        |FROM o WHERE prev_type IS NOT NULL
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q341: watermark late-data accounting ------------------------------
+  //
+  // Every other streaming query stages ONE file (one micro-batch), where the
+  // watermark starts at the epoch and nothing is ever late — they certify
+  // state discipline, not the DROP rule. q341 stages TWO mtime-ordered
+  // files (one micro-batch each via maxFilesPerTrigger=1):
+  //
+  //   batch 1 (file A): the corpus's old era (ts <= maxTs - 36 h), minus the
+  //     planted sets below. Its max event time fixes the late filter for
+  //     the final batch: wm1 = maxA - 2 h.
+  //   batch 2: an EMPTY file. Spark's late-data filter runs one batch
+  //     behind the reported watermark (batch N filters with batch N-1's
+  //     REPORTED value, which is maxET(batch N-2) - delay — measured
+  //     empirically: with two files the planted-late batch filtered
+  //     against the epoch and dropped nothing). The empty middle batch
+  //     advances the reported watermark to maxA - delay so the next file
+  //     is filtered against exactly the value batch 1 established.
+  //   batch 3 (file B): the recent era (on time), plus two PLANTED sets
+  //     that are late relative to batch 1:
+  //       - late_set ('late:' md5 sample at 0.3 of rows older than
+  //         maxTs - 72 h): >= 26 h beyond wm1 -> every row must be DROPPED;
+  //       - mid_set ('mid:' md5 sample at 0.5 of rows in
+  //         (maxA_era - 90 min, maxTs - 36 h]): late but INSIDE the 2 h
+  //         delay (>= 30 min from the boundary) -> every row must be
+  //         RETAINED.
+  //
+  // Both planted sets land in windows the conservative output filter keeps
+  // (they sit >= 26 h below the final watermark), so the drop/retain
+  // decision is VISIBLE in the compared counts — unlike boundary windows,
+  // which both sides discard as usual. The >= 30 min / >= 26 h margins keep
+  // Spark's ms-truncated watermark and the <=-vs-< eviction strictness out
+  // of the compare; the oracle applies the rule at window granularity (a
+  // batch-2 row survives iff its window end is past wm1), which the margins
+  // make equivalent to any of Spark's internal formulations.
+  // defs (a val, earlier in the file) interpolates these into the oracle
+  // SQL at object init — they must be defs, not vals, or they read as 0
+  private def WinU341 = 6L * 3600L * 1000000L   // 6 h windows (micros)
+  private def DelayU341 = 2L * 3600L * 1000000L // 2 h watermark delay
+  private def HNs = 3600L * 1000000000L
+
+  private def q341Build(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    val ev = QueryDef.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val mn = ev.agg(max("ts")).head().getLong(0)
+    val eraEnd = mn - 36L * HNs
+    val isLate = col("ts") < mn - 72L * HNs &&
+      Curation.sampleHash(col("event_id"), "late") <
+        Curation.rateThreshold(0.3)
+    val isMid = col("ts") > eraEnd - 90L * 60L * 1000000000L &&
+      col("ts") <= eraEnd &&
+      Curation.sampleHash(col("event_id"), "mid") <
+        Curation.rateThreshold(0.5)
+    val fileA = ev.filter(col("ts") <= eraEnd && !isLate && !isMid)
+    val fileB = ev.filter(col("ts") > eraEnd || isLate || isMid)
+    val stage = java.nio.file.Files.createTempDirectory("q341_stage")
+    StreamingOps.deleteOnExit(stage)
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFileAs(fileA, stage, "a_batch1.parquet", now - 180000L)
+    StreamingOps.stageFileAs(ev.filter(lit(false)), stage,
+      "b_batch2_wm.parquet", now - 90000L)
+    StreamingOps.stageFileAs(fileB, stage, "c_batch3.parquet", now)
+    val streamed = StreamingOps.runToParquetOrdered(s, stage.toString,
+      s"q341_sink_${sinkId.incrementAndGet()}",
+      df => df
+        .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withWatermark("event_time", "2 hours")
+        .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("sum_v_e6")))
+    val maxTu = ev.agg(max((col("ts") / 1000).cast("long"))).head().getLong(0)
+    val maxKeep = (maxTu - DelayU341) / WinU341 - 2
+    streamed
+      .withColumn("win", (unix_micros(col("window.start")) / WinU341).cast("long"))
+      .filter(col("win") <= maxKeep)
+      .select(col("win"), col("event_type"), col("n"), col("sum_v_e6"))
+      .orderBy("win", "event_type")
+  }
+
+  private def q341Oracle: String = {
+    import graft.text.Curation
+    val tu = "CAST(trunc(epoch_ns(ts)::DOUBLE / 1000.0) AS BIGINT)"
+    s"""|WITH base AS (
+        |  SELECT event_id, event_type, value, epoch_ns(ts) AS tn, $tu AS tu,
+        |    CAST(('0x' || substr(md5('late:' || event_id), 1, 15)) AS BIGINT)
+        |      AS hl,
+        |    CAST(('0x' || substr(md5('mid:' || event_id), 1, 15)) AS BIGINT)
+        |      AS hm
+        |  FROM events
+        |), mx AS (SELECT max(tn) AS mn, max(tu) AS mu FROM base),
+        |flags AS (
+        |  SELECT b.*,
+        |    (b.tn < mx.mn - ${72L * HNs}
+        |      AND b.hl < ${Curation.rateThreshold(0.3)}) AS is_late,
+        |    (b.tn > mx.mn - ${36L * HNs + 90L * 60L * 1000000000L}
+        |      AND b.tn <= mx.mn - ${36L * HNs}
+        |      AND b.hm < ${Curation.rateThreshold(0.5)}) AS is_mid,
+        |    (b.tn <= mx.mn - ${36L * HNs}) AS in_era_a
+        |  FROM base b, mx
+        |),
+        |fa AS (
+        |  SELECT * FROM flags WHERE in_era_a AND NOT is_late AND NOT is_mid
+        |),
+        |wm AS (SELECT max(tu) - $DelayU341 AS w1 FROM fa),
+        |fb AS (
+        |  SELECT * FROM flags WHERE NOT in_era_a OR is_late OR is_mid
+        |),
+        |-- the watermark rule: a batch-2 row survives iff its window is
+        |-- still open against the watermark batch 1 established
+        |fbkept AS (
+        |  SELECT fb.* FROM fb, wm
+        |  WHERE (fb.tu // $WinU341 + 1) * $WinU341 > wm.w1
+        |),
+        |retained AS (
+        |  SELECT tu, event_type, value FROM fa
+        |  UNION ALL SELECT tu, event_type, value FROM fbkept
+        |)
+        |SELECT tu // $WinU341 AS win, event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_e6
+        |FROM retained, mx
+        |WHERE tu // $WinU341 + 2 <= (mx.mu - $DelayU341) // $WinU341
+        |GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin
+  }
 }

@@ -546,6 +546,40 @@ object StreamingOps {
     runStreamToParquet(spark, transform(stream), queryName)
   }
 
+  /** [[runToParquet]] with ONE FILE PER MICRO-BATCH in modification-time
+    * order (oldest first — the file source's default ordering under
+    * maxFilesPerTrigger). This is the late-data certification shape: the
+    * watermark advances BETWEEN the staged files, so rows in a later file
+    * that fall behind the watermark established by an earlier one are
+    * genuinely dropped — a single-batch run (the default staging) never
+    * drops anything because the watermark starts at the epoch. */
+  def runToParquetOrdered(spark: SparkSession, eventsDir: String,
+                          queryName: String,
+                          transform: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = graft.model.Frames.normalizeTsNanos(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(eventsDir))
+    runStreamToParquet(spark, transform(stream), queryName)
+  }
+
+  /** Stage a frame as ONE parquet file named `name` inside `stageDir` with
+    * an explicit modification time — the unit of micro-batch staging for
+    * [[runToParquetOrdered]]. */
+  def stageFileAs(df: DataFrame, stageDir: java.nio.file.Path, name: String,
+                  mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"stage_$name")
+    deleteOnExit(tmp)
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part for $name"))
+    val dst = stageDir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtimeMs)
+  }
+
   /** Drive an ALREADY-BUILT streaming DataFrame (e.g. a stream-stream join
     * over two sources, where the single-source `runToParquet` shape doesn't
     * fit) to a parquet sink under Trigger.AvailableNow; same sink/read-back
