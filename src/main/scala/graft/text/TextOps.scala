@@ -208,24 +208,93 @@ object TextOps {
       .distinct()
   }
 
-  /** Connected components over an undirected candidate-pair edge list by
-    * iterative min-label propagation — the transitive-closure step of
-    * near-dedup: LSH emits PAIRS, but keeping one doc per near-dup CLUSTER
-    * needs components (a~b, b~c => {a,b,c} even if (a,c) never collided).
+  /** Conf key: undirected-edge count at or below which
+    * [[connectedComponents]] runs its single-task union-find tier instead
+    * of the iterative distributed loop. Default 2,000,000 edges (≤4 M
+    * parent-map entries ≈ a few hundred MB in one task). Set to 0 to force
+    * the distributed path (the specs do, to certify both tiers). */
+  val CcLocalEdgeCapKey = "graft.cc.localEdgeCap"
+
+  /** Connected components over an undirected candidate-pair edge list —
+    * the transitive-closure step of near-dedup: LSH emits PAIRS, but
+    * keeping one doc per near-dup CLUSTER needs components (a~b, b~c =>
+    * {a,b,c} even if (a,c) never collided). Returns (node, component) with
+    * component = min node id in the component.
     *
-    * Each round every node adopts the minimum label among itself and its
-    * neighbors; converges in O(component diameter) rounds (near-dup
-    * clusters are dense, so typically 2-3). Scale shape: one
-    * aggregate-shuffle per round over the edge list; each round's label
-    * frame is persisted and the previous unpersisted, so lineage stays
-    * bounded no matter the iteration count (the classic Spark iterative
-    * pattern). Returns (node, component) with component = min node id in
-    * the component. Throws if maxIter rounds don't converge. */
+    * Two tiers, dispatched on the measured edge count (the same
+    * size-based dispatch Spark itself uses for broadcast-vs-shuffle
+    * joins), because the near-dup graph is structurally TINY next to the
+    * corpus — pair emission is capped per bucket, so even a 100 TB corpus
+    * yields an edge list millions, not billions, deep:
+    *
+    *  - edges ≤ `graft.cc.localEdgeCap` (default 2 M): ship the edge list
+    *    to ONE task and run path-compressed union-find with min-root
+    *    unions — a single pass, exact, memory-bounded by the cap. This is
+    *    executor-side `mapPartitions`, not a driver collect. Motivation is
+    *    measured: min-label propagation walks a k-node CHAIN one hop per
+    *    Spark round (join+agg+action each ≈ 1 s of job overhead), so a
+    *    30-long chain of 233 edges cost 24 s; union-find does it in one.
+    *  - above the cap: iterative min-label propagation — each round every
+    *    node adopts the minimum label among itself and its neighbors; one
+    *    aggregate-shuffle per round over the edge list; each round's label
+    *    frame is persisted and the previous unpersisted, so lineage stays
+    *    bounded no matter the iteration count (the classic Spark iterative
+    *    pattern). Converges in O(component diameter) rounds — above-cap
+    *    near-dup graphs are dense near-cliques (diameter 2-3), the chain
+    *    pathology lives in the tiny-graph regime the local tier owns.
+    *    Throws if maxIter rounds don't converge. */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val spark = edges.sparkSession
+    // persist the casted pair list BEFORE counting: edges is often an
+    // expensive lazy frame (an LSH bucket join) and the count must not
+    // re-run it for the tier that consumes it next
+    val und = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = und.count()
+    val cap = spark.conf.getOption(CcLocalEdgeCapKey).map(_.toLong)
+      .getOrElse(2000000L)
+    val result =
+      if (nEdges <= cap) ccUnionFind(und)
+      else ccLabelPropagation(und, maxIter)
+    und.unpersist()
+    result
+  }
+
+  /** Small-graph tier: all edges into one task, path-compressed union-find
+    * with min-root unions (the root of every set is its minimum node id,
+    * so find() IS the component label). One shuffle, one pass. */
+  private def ccUnionFind(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    und.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.toArray.iterator.map(n => (n, find(n)))
+    }.toDF("node", "component").pin
+  }
+
+  /** Large-graph tier: iterative min-label propagation (see
+    * [[connectedComponents]] scaladoc for the round shape). */
+  private def ccLabelPropagation(und: DataFrame, maxIter: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("_old", col("node"))

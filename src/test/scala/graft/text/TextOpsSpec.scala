@@ -152,6 +152,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clusters.size == 25)
   }
 
+  test("both CC tiers (union-find, label propagation) agree on a long chain + cliques") {
+    // a 40-node chain (worst case for propagation rounds), a 5-clique,
+    // and an isolated pair — exercises min-root unions across shapes
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val edges = (chain ++ clique ++ Seq((200L, 201L))).toDF("doc_a", "doc_b")
+    def run(): Map[Long, Long] =
+      TextOps.connectedComponents(edges, maxIter = 50).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run() // default cap: union-find tier
+    spark.conf.set(TextOps.CcLocalEdgeCapKey, "0") // force distributed tier
+    val dist = try run() finally spark.conf.unset(TextOps.CcLocalEdgeCapKey)
+    assert(local == dist, s"tiers disagree: ${local.toSeq.diff(dist.toSeq)}")
+    assert((0L to 39L).forall(local(_) == 0L), "chain must close to min id 0")
+    assert((100L to 104L).forall(local(_) == 100L))
+    assert(local(201L) == 200L && local.size == 47)
+  }
+
   test("minhash estimate approximates exact jaccard on planted pairs") {
     val sigs = TextOps.minhashSignatures(docs, numHashes = 128, shingleN = 2)
     val cands = TextOps.minhashCandidates(sigs, numHashes = 128, bands = 32, threshold = 0.1)
