@@ -239,10 +239,14 @@ object TextOps {
     *    aggregate-shuffle per round over the edge list; each round's label
     *    frame is persisted and the previous unpersisted, so lineage stays
     *    bounded no matter the iteration count (the classic Spark iterative
-    *    pattern). Converges in O(component diameter) rounds — above-cap
-    *    near-dup graphs are dense near-cliques (diameter 2-3), the chain
-    *    pathology lives in the tiny-graph regime the local tier owns.
-    *    Throws if maxIter rounds don't converge. */
+    *    pattern). Dense near-dup graphs (diameter 2-3) converge in a few
+    *    relax rounds; from round 3 on, each round also POINTER-JUMPS
+    *    (label := current label of the node the label names — a
+    *    name-keyed self-join, so chains collapse in halving hops and a
+    *    k-chain needs O(log k) rounds, not k). The jump only runs when a
+    *    graph is still unconverged after the dense-case rounds, so the
+    *    common case never pays for it. Throws if maxIter rounds don't
+    *    converge. */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -293,13 +297,17 @@ object TextOps {
   /** Large-graph tier: iterative min-label propagation (see
     * [[connectedComponents]] scaladoc for the round shape). */
   private def ccLabelPropagation(und: DataFrame, maxIter: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // every round's state is PINNED (eager lineage truncation under the
+    // session's Checkpoints policy), not merely persisted: a persist caches
+    // blocks but keeps the logical tree, and the jump round's self-join
+    // would otherwise DOUBLE that tree every round (DeduplicateRelations
+    // clones the right side) — at ~20 rounds the driver OOMs just
+    // stringifying the plan. Pinning keeps the per-round plan constant.
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst"))).pin
     var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("_old", col("node"))
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .pin
     var labels = cached.select("node", "label")
     var it = 0
     var converged = false
@@ -309,14 +317,32 @@ object TextOps {
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nlabel"))
       // carry the previous label through the step so the convergence check
-      // is a filter over the SAME cached frame — one action per round, no
-      // extra join against the old labels
-      val stepped = labels
+      // is a filter over the SAME pinned frame — one extra action per
+      // round, no extra join against the old labels
+      val relaxed = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("_old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = stepped.filter(col("label") =!= col("_old")).count() // materializes
+      // past the dense-graph horizon only a chain is still moving: add a
+      // pointer-jump (label := label's own current label), collapsing a
+      // k-chain in O(log k) rounds instead of k. The jump map is joined BY
+      // NAME on the shared "label" key — dataframe-column refs across a
+      // deduplicated self-join plan are ambiguous, name keys are not — and
+      // the relax result is pinned first so the join's two sides read one
+      // materialized frame instead of each recomputing the relax subtree.
+      val stepped =
+        if (it < 2) relaxed.pin
+        else {
+          val r = relaxed.pin
+          val jumpMap = r.select(col("node").as("label"), col("label").as("_jl"))
+          val s = r.join(jumpMap, Seq("label"), "left")
+            .select(col("node"), col("_old"),
+              least(col("label"), coalesce(col("_jl"), col("label"))).as("label"))
+            .pin
+          r.unpersist()
+          s
+        }
+      val changed = stepped.filter(col("label") =!= col("_old")).count()
       cached.unpersist()
       cached = stepped
       labels = stepped.select("node", "label")
@@ -325,10 +351,9 @@ object TextOps {
     }
     sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // hand back a lineage-truncated copy and release the loop's cache: a
-    // plain return of `labels` would pin one persisted frame per call for
-    // the session's lifetime (or, unpersisted, re-run every iteration's
-    // join chain on each downstream action)
+    // hand back a lineage-truncated copy and release the loop's blocks: a
+    // plain return of `labels` would hold one pinned frame per call for
+    // the session's lifetime
     val result = labels.select(col("node"), col("label").as("component"))
       .pin
     cached.unpersist()
