@@ -292,6 +292,31 @@ object Llm {
       |GROUP BY c.doc_a, c.doc_b
       |HAVING round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2""".stripMargin
 
+  /** The q53/q342 cluster-resolution oracle: the MinHash pipeline, then
+    * min-label transitive closure as a recursive CTE (label l reaches node
+    * n iff l is in n's component; min per node = component
+    * representative); docs in no pair are their own singleton cluster.
+    * Shared by q53 (union-find tier) and q342 (distributed tier forced via
+    * cap=0) — same semantics, different execution path. */
+  private def DupClustersOracle: String =
+    s"""WITH RECURSIVE $MinhashCtes, pairs AS (
+       |$MinhashPairsSelect
+       |), edgesym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), nodes AS (SELECT DISTINCT src AS node FROM edgesym),
+       |cc(node, label) AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
+       |), comp AS (
+       |  SELECT node, min(label) AS component FROM cc GROUP BY node
+       |)
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+       |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Unrolled-CTE replay of Bpe.learnMerges (the q250/q112 exact-replay
     * idiom): w0 is the symbol-string vocab; each round r adds p{r} (pair
     * counts), m{r} (argmax pick), w{r} (greedy left-to-right merge via
@@ -582,23 +607,27 @@ object Llm {
       // recursive CTE (label l reaches node n iff l is in n's component;
       // min per node = component representative); docs in no pair are
       // their own singleton cluster
-      Some(s"""WITH RECURSIVE $MinhashCtes, pairs AS (
-              |$MinhashPairsSelect
-              |), edgesym AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-              |  UNION ALL
-              |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-              |), nodes AS (SELECT DISTINCT src AS node FROM edgesym),
-              |cc(node, label) AS (
-              |  SELECT node, node AS label FROM nodes
-              |  UNION
-              |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
-              |), comp AS (
-              |  SELECT node, min(label) AS component FROM cc GROUP BY node
-              |)
-              |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
-              |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin)),
+      Some(DupClustersOracle)),
+
+    QueryDef("q342_cc_distributed_tier",
+      "distributed CC tier certification: q53 with the union-find cap forced to 0 " +
+        "(min-label propagation + pointer-jump rounds)",
+      // q53's graph is far below graft.cc.localEdgeCap, so the driver gate
+      // would otherwise only ever certify the union-find tier; forcing the
+      // cap to 0 routes the SAME edges through the above-cap path (relax
+      // rounds, pointer jumps, per-round pinning) against the SAME
+      // recursive-CTE oracle. The tier dispatch is eager (the edge count
+      // materializes inside connectedComponents), so the conf bracket
+      // around the call is sufficient even though the returned frame is
+      // lazy.
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = TextOps.minhashCandidates(TextOps.minhashSignatures(docs), threshold = 0.2)
+        s.conf.set(TextOps.CcLocalEdgeCapKey, "0")
+        try TextOps.dupClusters(docs, pairs).orderBy("doc_id")
+        finally s.conf.unset(TextOps.CcLocalEdgeCapKey)
+      },
+      Some(DupClustersOracle)),
 
     QueryDef("q43_simhash", "SimHash near-dup candidates (banded hamming join)",
       (s, dir) => {
