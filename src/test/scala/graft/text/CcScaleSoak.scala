@@ -40,6 +40,13 @@ object CcScaleSoak {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_CKPT_DIR switches every per-round pin from localCheckpoint to
+    // RELIABLE checkpointing (the 1000-executor setting — executor loss
+    // costs one round re-read, not the iteration history)
+    sys.env.get("GRAFT_CKPT_DIR").foreach { d =>
+      spark.conf.set(graft.operators.Checkpoints.DirKey, d)
+      println(s"[soak] reliable checkpoint mode: $d")
+    }
     val prof = new ScaleSoak.Profile
     spark.sparkContext.addSparkListener(prof)
     def time[T](label: String)(f: => T): T = {
