@@ -1284,7 +1284,12 @@ ORDER BY event_type, win"""
       "watermark late-data accounting: planted beyond-watermark arrivals " +
         "are DROPPED, within-delay arrivals RETAINED; the oracle derives " +
         "the retained set from the watermark rule itself",
-      q341Build, Some(q341Oracle)))
+      q341Build, Some(q341Oracle)),
+    QueryDef("q343_rocksdb_state_dedup",
+      "q64's running dedup under the RocksDB state store (changelog " +
+        "checkpointing, 3 forced micro-batches): the production state " +
+        "backend must be invisible to results == batch dedup aggregate",
+      q343Build, Some(q343Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1748,4 +1753,49 @@ ORDER BY event_type, win"""
         |WHERE tu // $WinU341 + 2 <= (mx.mu - $DelayU341) // $WinU341
         |GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin
   }
+
+  // ---- q343: dedup state through the RocksDB state store -----------------
+  // The default HDFSBackedStateStoreProvider keeps every store's working
+  // map ON-HEAP per executor — fine while total streaming state fits
+  // executor memory, a wall once corpus-lifetime dedup state (one entry
+  // per distinct document EVER seen) outgrows the heap. RocksDB keeps
+  // state off-heap/on-disk per partition with changelog checkpointing
+  // (commits ship a delta, not a snapshot) — the production backend at
+  // 100 TB. The backend must be INVISIBLE to results, so q343 re-runs
+  // q64's running dedup under RocksDB, forced through three mtime-ordered
+  // micro-batches (state committed to and restored from RocksDB between
+  // batches, not one trivial commit), against the same batch oracle.
+
+  private def q343Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("q343_stage")
+    StreamingOps.deleteOnExit(stage)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        stage, s"docs_$i.parquet", now - (3 - i) * 60000L)
+    import s.implicits._
+    val updates = StreamingOps.withRocksDbState(s) {
+      StreamingOps.runToMemoryOrdered(s, stage.toString,
+        s"q343_sink_${sinkId.incrementAndGet()}",
+        df => StreamingOps.runningDedup(
+          df.select(md5(col("text")).as("content_hash"), col("doc_id"))
+            .as[StreamingOps.DocHashEvent]).toDF(),
+        outputMode = OutputMode.Update)
+    }
+    // each hash's LAST update (max running count) == the batch aggregate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col("n_copies").desc)
+    updates
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("content_hash"), col("n_copies"), col("keeper"))
+      .orderBy("content_hash")
+  }
+
+  private def q343Oracle: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+      |  min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 }

@@ -530,6 +530,60 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** [[runToMemory]] with ONE FILE PER MICRO-BATCH in modification-time
+    * order (the [[runToParquetOrdered]] staging contract for Update-mode
+    * sinks): state is committed and restored BETWEEN batches, so a
+    * provider-certification run actually exercises snapshot/changelog
+    * replay instead of finishing in one commit. */
+  def runToMemoryOrdered(spark: SparkSession, eventsDir: String,
+                         queryName: String,
+                         transform: DataFrame => DataFrame,
+                         outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = graft.model.Frames.normalizeTsNanos(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(eventsDir))
+    withStreamParts(spark) {
+      val q = transform(stream).writeStream
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
+  }
+
+  /** State-store provider conf keys (public Spark confs, stable since 3.2).
+    * The default HDFSBackedStateStoreProvider keeps every store's working
+    * map ON-HEAP per executor — fine while total state fits executor
+    * memory, a wall at corpus-lifetime dedup scale. RocksDB keeps state
+    * off-heap/on-disk per partition with changelog checkpointing, so state
+    * size is bounded by local disk, not heap — the 100 TB setting. */
+  val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** Run `f` with the session's state store switched to RocksDB (changelog
+    * checkpointing ON — commits ship a delta, not a full snapshot), then
+    * restore the previous provider conf. The conf is read per-query at
+    * start, so wrapping just the streaming run is sufficient and nothing
+    * leaks into later queries on a shared session. */
+  def withRocksDbState[T](spark: SparkSession)(f: => T): T = {
+    val prevP = spark.conf.getOption(ProviderKey)
+    val prevC = spark.conf.getOption(ChangelogKey)
+    spark.conf.set(ProviderKey, RocksDbProvider)
+    spark.conf.set(ChangelogKey, "true")
+    try f finally {
+      prevP.fold(spark.conf.unset(ProviderKey))(spark.conf.set(ProviderKey, _))
+      prevC.fold(spark.conf.unset(ChangelogKey))(spark.conf.set(ChangelogKey, _))
+    }
+  }
+
   /** Drive an append-mode streaming query from a static events directory to
     * a parquet file sink under Trigger.AvailableNow and return a lazy
     * read-back of the sink directory. Unlike the memory sink this never

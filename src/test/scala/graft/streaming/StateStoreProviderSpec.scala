@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Certifies the RocksDB state-store path (the production backend once
+  * streaming state outgrows executor heap — the default HDFS-backed
+  * provider keeps every store's working map ON-HEAP):
+  *
+  *  1. the backend is invisible to results — the running dedup produces
+  *     byte-identical final state under HDFSBacked and RocksDB across
+  *     FORCED multi-batch execution (state committed/restored between
+  *     batches, not one trivial commit);
+  *  2. RocksDB + changelog checkpointing is ACTUALLY engaged — the state
+  *     checkpoint dir contains `.changelog` delta files (only the RocksDB
+  *     changelog path writes them; HDFSBacked writes `.delta`), so a
+  *     silently-ignored conf cannot certify itself;
+  *  3. `withRocksDbState` restores the session's prior provider conf even
+  *     when the body throws — a shared Verify/Bench session must not leak
+  *     the provider into later queries.
+  */
+class StateStoreProviderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("state-store-provider-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** 60 docs over 20 distinct texts staged as three mtime-ordered files
+    * (one micro-batch each, interleaved ids so every batch touches most
+    * hashes — maximal state churn across commits). */
+  private def stageDocs(): java.nio.file.Path = {
+    val stage = java.nio.file.Files.createTempDirectory("ssp_docs")
+    StreamingOps.deleteOnExit(stage)
+    val docs = (0L until 60L).map(i => (i, s"text body ${i % 20}"))
+      .toDF("doc_id", "text")
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        stage, s"docs_$i.parquet", now - (3 - i) * 60000L)
+    stage
+  }
+
+  private def finalDedup(stage: java.nio.file.Path, sink: String): Seq[(String, Long, Long)] = {
+    val updates = StreamingOps.runToMemoryOrdered(spark, stage.toString, sink,
+      df => StreamingOps.runningDedup(
+        df.select(md5(col("text")).as("content_hash"), col("doc_id"))
+          .as[StreamingOps.DocHashEvent]).toDF(),
+      outputMode = OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col("n_copies").desc)
+    updates.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select("content_hash", "n_copies", "keeper")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("running dedup is provider-invariant across forced multi-batch runs") {
+    val stage = stageDocs()
+    val viaHdfs = finalDedup(stage, "ssp_hdfs")
+    val viaRocks = StreamingOps.withRocksDbState(spark) {
+      finalDedup(stage, "ssp_rocks")
+    }
+    assert(viaHdfs.size == 20)
+    assert(viaRocks == viaHdfs)
+    // every text appears 3x and the keeper is the min doc_id of its triple
+    assert(viaRocks.forall(_._2 == 3L))
+  }
+
+  test("RocksDB changelog checkpointing is actually engaged, and batches were forced") {
+    val stage = stageDocs()
+    val ckpt = java.nio.file.Files.createTempDirectory("ssp_ckpt")
+    StreamingOps.deleteOnExit(ckpt)
+    val schema = spark.read.parquet(stage.toString).schema
+    val progress = StreamingOps.withRocksDbState(spark) {
+      val q = StreamingOps.runningDedup(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          .select(md5(col("text")).as("content_hash"), col("doc_id"))
+          .as[StreamingOps.DocHashEvent]).toDF()
+        .writeStream.outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName("ssp_rocks_ckpt").start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+    }
+    // three staged files -> three data micro-batches
+    assert(progress.count(_.numInputRows > 0) == 3)
+    // only the RocksDB changelog path writes *.changelog under state/
+    val changelogs = java.nio.file.Files.walk(ckpt.resolve("state"))
+      .filter(_.toString.endsWith(".changelog")).count()
+    assert(changelogs >= 3, s"expected >=3 changelog files, found $changelogs")
+    // and the query's state operator reports RocksDB-specific metrics
+    val custom = progress.flatMap(p => p.stateOperators.toSeq)
+      .flatMap(so => so.customMetrics.keySet().toArray.map(_.toString))
+    assert(custom.exists(_.startsWith("rocksdb")),
+      s"no rocksdb custom metrics in ${custom.distinct.sorted}")
+  }
+
+  test("watermarked windowed aggregation is provider-invariant too") {
+    // streaming-agg state (per-window rows) has a different store layout
+    // than mapGroupsWithState's user-typed state — certify both families
+    val stage = java.nio.file.Files.createTempDirectory("ssp_win")
+    StreamingOps.deleteOnExit(stage)
+    val H = 3600L * 1000000L // 1 h in micros
+    val rows = (0 until 600).map { i =>
+      (i.toLong, (100L * H) + i * (H / 10), (i % 7).toString, i * 0.5)
+    }
+    val now = System.currentTimeMillis()
+    for (b <- 0 until 3)
+      StreamingOps.stageFileAs(
+        rows.filter(_._1 % 3 == b)
+          .toDF("event_id", "tu", "event_type", "value"),
+        stage, s"win_$b.parquet", now - (3 - b) * 60000L)
+    val schema = spark.read.parquet(stage.toString).schema
+    def agg(sink: String): Seq[(Long, String, Long, Double)] = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        .withColumn("event_time", timestamp_micros(col("tu")))
+        .withWatermark("event_time", "2 hours")
+        .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        .select(unix_micros(col("window.start")).as("ws"),
+          col("event_type"), col("n"), col("sv"))
+        .writeStream.outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(sink).start()
+      q.awaitTermination()
+      spark.table(sink).as[(Long, String, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    val viaHdfs = agg("ssp_win_hdfs")
+    val viaRocks = StreamingOps.withRocksDbState(spark)(agg("ssp_win_rocks"))
+    assert(viaHdfs.nonEmpty)
+    assert(viaRocks == viaHdfs)
+  }
+
+  test("withRocksDbState restores the prior provider conf on failure") {
+    // conf.getOption surfaces the registered DEFAULT (HDFSBacked) for this
+    // key, so the contract is exact round-trip restoration, not unsetting
+    val beforeP = spark.conf.getOption(StreamingOps.ProviderKey)
+    val beforeC = spark.conf.getOption(StreamingOps.ChangelogKey)
+    assert(beforeP != Some(StreamingOps.RocksDbProvider))
+    intercept[RuntimeException] {
+      StreamingOps.withRocksDbState(spark) {
+        assert(spark.conf.get(StreamingOps.ProviderKey) ==
+          StreamingOps.RocksDbProvider)
+        assert(spark.conf.get(StreamingOps.ChangelogKey) == "true")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.getOption(StreamingOps.ProviderKey) == beforeP)
+    assert(spark.conf.getOption(StreamingOps.ChangelogKey) == beforeC)
+  }
+}
