@@ -1289,7 +1289,12 @@ ORDER BY event_type, win"""
       "q64's running dedup under the RocksDB state store (changelog " +
         "checkpointing, 3 forced micro-batches): the production state " +
         "backend must be invisible to results == batch dedup aggregate",
-      q343Build, Some(q343Oracle)))
+      q343Build, Some(q343Oracle)),
+    QueryDef("q344_tws_state_dedup",
+      "the running dedup on Spark 4's transformWithState API " +
+        "(StatefulProcessor + named ValueState, RocksDB-only): the " +
+        "next-gen state API == classic GroupState == batch aggregate",
+      q344Build, Some(q344Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1798,4 +1803,42 @@ ORDER BY event_type, win"""
     """SELECT md5(text) AS content_hash, count(*) AS n_copies,
       |  min(doc_id) AS keeper
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---- q344: dedup on the transformWithState API -------------------------
+  // Spark 4's public successor to mapGroupsWithState: named typed state
+  // through a StatefulProcessorHandle, TTL, timers — and RocksDB-only by
+  // design. q344 runs the SAME running-dedup fold as q343 but through
+  // `StatefulProcessor`/`ValueState` instead of GroupState, forced through
+  // the same three micro-batches, against the same batch oracle — so the
+  // engine's next-generation state API is driver-certified alongside the
+  // classic one.
+
+  private def q344Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("q344_stage")
+    StreamingOps.deleteOnExit(stage)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        stage, s"docs_$i.parquet", now - (3 - i) * 60000L)
+    import s.implicits._
+    val updates = StreamingOps.withRocksDbState(s) {
+      StreamingOps.runToMemoryOrdered(s, stage.toString,
+        s"q344_sink_${sinkId.incrementAndGet()}",
+        df => StreamingOps.runningDedupTws(
+          df.select(md5(col("text")).as("content_hash"), col("doc_id"))
+            .as[StreamingOps.DocHashEvent]).toDF(),
+        outputMode = OutputMode.Update)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col("n_copies").desc)
+    updates
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("content_hash"), col("n_copies"), col("keeper"))
+      .orderBy("content_hash")
+  }
+
+  private def q344Oracle: String = q343Oracle
 }

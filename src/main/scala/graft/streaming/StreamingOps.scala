@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession, Dataset}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface: the reference is strictly batch (its
   * chunked iterator is bounded-memory batch execution, SURVEY.md §2.8), but
@@ -72,6 +73,39 @@ object StreamingOps {
           state.update(s)
           DedupUpdate(hash, s.n_copies, s.keeper)
       }
+  }
+
+  /** [[runningDedup]]'s per-hash fold as a `StatefulProcessor` — the
+    * Spark 4 `transformWithState` form (explicit named state through a
+    * handle, TTL support, timers; the public successor to
+    * mapGroupsWithState). The API executes ONLY on the RocksDB state
+    * store, so runs must be wrapped in [[withRocksDbState]]. */
+  final class DedupProcessor
+      extends StatefulProcessor[String, DocHashEvent, DedupUpdate] {
+    @transient private var state: ValueState[DedupState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DedupState]("dedup",
+        Encoders.product[DedupState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DocHashEvent],
+                                 timers: TimerValues): Iterator[DedupUpdate] = {
+      var s = if (state.exists()) state.get()
+              else DedupState(0L, Long.MaxValue)
+      for (r <- rows) s = DedupState(s.n_copies + 1, math.min(s.keeper, r.doc_id))
+      state.update(s)
+      Iterator.single(DedupUpdate(key, s.n_copies, s.keeper))
+    }
+  }
+
+  /** [[runningDedup]] re-expressed on `transformWithState`: same
+    * commutative (count, min-keeper) fold, so each hash's last update
+    * equals the batch aggregate under any micro-batch slicing — certified
+    * equal to the mapGroupsWithState tier AND to the batch oracle (q344).
+    * Requires the RocksDB provider (see [[DedupProcessor]]). */
+  def runningDedupTws(docs: Dataset[DocHashEvent]): Dataset[DedupUpdate] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .transformWithState(new DedupProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   final case class BandBucketEvent(band_idx: Int, bucket: String, doc_id: Long)

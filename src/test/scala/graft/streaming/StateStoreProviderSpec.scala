@@ -103,6 +103,30 @@ class StateStoreProviderSpec extends AnyFunSuite {
       s"no rocksdb custom metrics in ${custom.distinct.sorted}")
   }
 
+  test("transformWithState dedup == classic GroupState dedup (RocksDB-only API)") {
+    val stage = stageDocs()
+    val classic = StreamingOps.withRocksDbState(spark) {
+      finalDedup(stage, "ssp_classic")
+    }
+    // same fold through StatefulProcessor/ValueState — Spark 4's successor
+    // API, which only executes on the RocksDB provider
+    val viaTws = StreamingOps.withRocksDbState(spark) {
+      val updates = StreamingOps.runToMemoryOrdered(spark, stage.toString,
+        "ssp_tws",
+        df => StreamingOps.runningDedupTws(
+          df.select(md5(col("text")).as("content_hash"), col("doc_id"))
+            .as[StreamingOps.DocHashEvent]).toDF(),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Update)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("content_hash").orderBy(col("n_copies").desc)
+      updates.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+        .select("content_hash", "n_copies", "keeper")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(viaTws == classic)
+    assert(viaTws.size == 20 && viaTws.forall(_._2 == 3L))
+  }
+
   test("watermarked windowed aggregation is provider-invariant too") {
     // streaming-agg state (per-window rows) has a different store layout
     // than mapGroupsWithState's user-typed state — certify both families
