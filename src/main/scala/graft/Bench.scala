@@ -155,7 +155,8 @@ object Bench {
     "q337_source_overlap_matrix", "q338_streaming_hll",
     "q339_hits_bipartite", "q340_adaptive_ivf_audit",
     "q341_late_data_audit", "q342_cc_distributed_tier",
-    "q343_rocksdb_state_dedup", "q344_tws_state_dedup")
+    "q343_rocksdb_state_dedup", "q344_tws_state_dedup",
+    "q345_orc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

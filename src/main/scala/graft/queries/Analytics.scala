@@ -960,5 +960,40 @@ object Analytics {
              |SELECT l_orderkey, count(*) AS n_lines,
              |  md5(string_agg(line, ';' ORDER BY l_linenumber, line))
              |    AS lines_md5
-             |FROM li GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM li GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q345_orc_roundtrip",
+      "ORC interop: events -> ORC sink -> EventSources orc reader -> " +
+        "per-type census; the second columnar format must be lossless " +
+        "(counts, distinct users, micro-exact sums and timestamps)",
+      // the format-interop certification for the engine's SECOND columnar
+      // format (an exchange format a 100 TB lake actually encounters):
+      // the normalized events frame (ts as long nanos) writes to ORC and
+      // reads back through the same format-agnostic ingestion as
+      // CSV/JSON; the census pins row count, user cardinality, value
+      // sums, and the full ts range, so any row loss, duplication, or
+      // precision drift in the round trip flips the oracle hash. ORC
+      // lands vectorized + pushdown-capable like parquet (spec-asserted).
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("q345_orc")
+        graft.streaming.StreamingOps.deleteOnExit(out)
+        graft.sources.EventSources.readEvents(s, s"$dir/events.parquet")
+          .write.mode("overwrite").orc(out.toString)
+        graft.sources.EventSources.readEvents(s, out.toString, "orc")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(floor(col("value") * 1000000).cast("long")).cast("long")
+              .as("sum_v_e6"),
+            min(expr("ts div 1000")).as("min_ts_us"),
+            max(expr("ts div 1000")).as("max_ts_us"))
+          .orderBy("event_type")
+      },
+      Some("""|SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_v_e6,
+             |  min(epoch_ns(ts) // 1000) AS min_ts_us,
+             |  max(epoch_ns(ts) // 1000) AS max_ts_us
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)))
 }

@@ -47,9 +47,12 @@ object EventSources {
       .otherwise(unix_micros(to_timestamp(ts)) * 1000L)
   }
 
-  /** Read events from `path` in the given format ("parquet", "csv",
-    * "json"); the result always carries `ts` as long nanos. CSV expects a
-    * header row. */
+  /** Read events from `path` in the given format ("parquet", "orc",
+    * "csv", "json"); the result always carries `ts` as long nanos. CSV
+    * expects a header row. ORC is written by this engine with `ts`
+    * already as long nanos (see the q345 round trip), so it lands like a
+    * columnar sibling of parquet: vectorized scan, predicate pushdown,
+    * column pruning all apply. */
   def readEvents(spark: SparkSession, path: String,
                  format: String = "parquet"): DataFrame = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -57,6 +60,8 @@ object EventSources {
       case "parquet" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         Frames.normalizeTsNanos(spark.read.parquet(path))
+      case "orc" =>
+        Frames.normalizeTsNanos(spark.read.orc(path))
       case "csv" =>
         spark.read.schema(TextSchema).option("header", "true").csv(path)
           .withColumn("ts", parsedTsNanos(col("ts")))
@@ -65,7 +70,7 @@ object EventSources {
           .withColumn("ts", parsedTsNanos(col("ts")))
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported events format '$other' (parquet, csv, json)")
+          s"unsupported events format '$other' (parquet, orc, csv, json)")
     }
   }
 }

@@ -57,6 +57,26 @@ class EventSourcesSpec extends AnyFunSuite {
       EventSources.readEvents(spark, csvDir, "avro"))
   }
 
+  test("orc round-trips losslessly and scans with pushdown + pruning") {
+    val ref = EventSources.readEvents(spark,
+      "/root/testdata/sf0.001/events.parquet", "parquet")
+    val want = canon(ref)
+    val orcDir = java.nio.file.Files.createTempDirectory("ev_orc").toString
+    ref.write.mode("overwrite").orc(orcDir)
+    val orc = EventSources.readEvents(spark, orcDir, "orc")
+    assert(orc.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(canon(orc) === want, "orc round trip diverged")
+    // the second columnar format must keep parquet's scan discipline:
+    // filters reach the ORC reader and the scan reads only needed columns
+    val probe = orc.filter(col("user_id") === 3L).select("event_id", "value")
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)]"),
+      s"no pushed filter in orc scan:\n${scan.take(1500)}")
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>"),
+      s"orc scan not pruned to needed columns:\n${scan.take(1500)}")
+  }
+
   test("normalized sources feed eventsToLong identically") {
     import graft.model.Frames
     val ref = EventSources.readEvents(spark,
