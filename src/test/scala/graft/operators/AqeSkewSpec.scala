@@ -36,6 +36,52 @@ class AqeSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE switches a sort-merge join to broadcast when runtime stats shrink a side") {
+    // right side LOOKS big statically (2 M rows, ~16 MB estimate — above
+    // the 10 MB broadcast threshold, and the un-estimable filter keeps the
+    // child's size estimate), so the planner picks SortMergeJoin; at
+    // runtime the filter keeps ~6.7k rows and AQE re-plans the remaining
+    // stages around a broadcast. At 100 TB this is the difference between
+    // shuffling a petabyte fact table and shipping a few-MB dim to every
+    // executor — without hand-tuning a broadcast() hint for a size the
+    // planner can't know.
+    // NOTE both sides must be statically large: constraint propagation
+    // infers the right's pmod filter onto the LEFT side too, and a small
+    // left would static-plan as BuildLeft broadcast before AQE ever runs
+    val left = spark.range(2000000).select(
+      pmod(col("id"), lit(2000000)).as("key"),
+      lpad(col("id").cast("string"), 40, "y").as("payload"))
+    val right = spark.range(2000000)
+      .filter(pmod(col("id"), lit(300)) === 0)
+      .select(col("id").as("key"), (col("id") * 2).as("rval"))
+
+    def joined = left.join(right, "key")
+      .agg(count(lit(1)).as("n"),
+        sum(pmod(xxhash64(col("key"), col("payload"), col("rval")),
+          lit(1000000007L))).as("checksum"))
+
+    val (planStr, rows) = withConfs(
+      "spark.sql.adaptive.enabled" -> "true") {
+      val df = joined
+      val row = df.collect().head
+      (df.queryExecution.executedPlan.toString, (row.getLong(0), row.getLong(1)))
+    }
+    val finalPlan = planStr.split("== Initial Plan ==")(0)
+    val initialPlan = planStr.split("== Initial Plan ==")(1)
+    assert(initialPlan.contains("SortMergeJoin"),
+      s"static plan did not pick SMJ (right side estimated small?):\n${initialPlan.take(1200)}")
+    assert(finalPlan.contains("BroadcastHashJoin") && !finalPlan.contains("SortMergeJoin"),
+      s"AQE did not re-plan to broadcast:\n${finalPlan.take(1200)}")
+
+    // ground truth with AQE off entirely (pure SMJ execution)
+    val plain = withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val row = joined.collect().head
+      (row.getLong(0), row.getLong(1))
+    }
+    assert(rows == plain)
+    assert(rows._1 == 6667L) // keys 0..2M once each; every 300th matches
+  }
+
   test("AQE splits the hot key's partition (skew=true) without changing results") {
     // left: 200k rows, 90% on one hot key, ~130 B/row payload -> the hot
     // key's shuffle partition is ~20 MB vs KB-scale medians
