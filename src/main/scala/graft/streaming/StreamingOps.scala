@@ -79,13 +79,19 @@ object StreamingOps {
     * Spark 4 `transformWithState` form (explicit named state through a
     * handle, TTL support, timers; the public successor to
     * mapGroupsWithState). The API executes ONLY on the RocksDB state
-    * store, so runs must be wrapped in [[withRocksDbState]]. */
-  final class DedupProcessor
+    * store, so runs must be wrapped in [[withRocksDbState]]. A non-null
+    * `ttl` bounds each hash's state lifetime in PROCESSING time: a hash
+    * unseen for longer than the TTL is forgotten and its count restarts —
+    * the retention-window dedup that keeps corpus-lifetime state bounded
+    * at 100 TB (requires `TimeMode.ProcessingTime`). */
+  final class DedupProcessor(ttl: java.time.Duration)
       extends StatefulProcessor[String, DocHashEvent, DedupUpdate] {
+    def this() = this(null)
     @transient private var state: ValueState[DedupState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[DedupState]("dedup",
-        Encoders.product[DedupState], TTLConfig.NONE)
+        Encoders.product[DedupState],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
     override def handleInputRows(key: String, rows: Iterator[DocHashEvent],
                                  timers: TimerValues): Iterator[DedupUpdate] = {
       var s = if (state.exists()) state.get()
@@ -100,11 +106,15 @@ object StreamingOps {
     * commutative (count, min-keeper) fold, so each hash's last update
     * equals the batch aggregate under any micro-batch slicing — certified
     * equal to the mapGroupsWithState tier AND to the batch oracle (q344).
-    * Requires the RocksDB provider (see [[DedupProcessor]]). */
-  def runningDedupTws(docs: Dataset[DocHashEvent]): Dataset[DedupUpdate] = {
+    * With `ttl` set, state becomes retention-bounded (see
+    * [[DedupProcessor]]; certified by the two-run expiry spec).
+    * Requires the RocksDB provider. */
+  def runningDedupTws(docs: Dataset[DocHashEvent],
+                      ttl: Option[java.time.Duration] = None): Dataset[DedupUpdate] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.content_hash)
-      .transformWithState(new DedupProcessor, TimeMode.None(),
+      .transformWithState(new DedupProcessor(ttl.orNull),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())
   }
 

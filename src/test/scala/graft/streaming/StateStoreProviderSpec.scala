@@ -165,6 +165,72 @@ class StateStoreProviderSpec extends AnyFunSuite {
     assert(viaRocks == viaHdfs)
   }
 
+  test("TTL bounds dedup state; long TTL preserves it") {
+    // Processing-time TTL harness. ENGINE FINDING, pinned here: with
+    // TimeMode.ProcessingTime the query self-schedules micro-batches
+    // forever to advance processing time — Trigger.AvailableNow NEVER
+    // terminates (measured 3700+ empty commits) and processAllAvailable()
+    // never returns. So the harness runs ONE continuous query and polls
+    // the sink: stage file A, wait for its 10 updates, sleep past the
+    // short TTL, stage file B (same docs), wait for 10 more. Short TTL ->
+    // A's state expired, B's counts restart at 1; long TTL -> counts
+    // reach 2. The sleep is on OUR side of a committed batch, never
+    // racing the engine.
+    def maxCopies(ttl: java.time.Duration): Long =
+      StreamingOps.withRocksDbState(spark) {
+        val docs = (0L until 10L).map(i => (i, s"ttl body $i"))
+          .toDF("doc_id", "text")
+        val stage = java.nio.file.Files.createTempDirectory("ttl_docs")
+        StreamingOps.deleteOnExit(stage)
+        val ckpt = java.nio.file.Files.createTempDirectory("ttl_ckpt")
+        StreamingOps.deleteOnExit(ckpt)
+        val out = java.nio.file.Files.createTempDirectory("ttl_out")
+        StreamingOps.deleteOnExit(out)
+        val schema = docs.schema
+        val q = StreamingOps.runningDedupTws(
+          spark.readStream.schema(schema).parquet(stage.toString)
+            .select(md5(col("text")).as("content_hash"), col("doc_id"))
+            .as[StreamingOps.DocHashEvent], Some(ttl)).toDF()
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("50 milliseconds"))
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) b.write.mode("append").parquet(out.toString)
+          }.start()
+        def outCount(): Long =
+          scala.util.Try(spark.read.parquet(out.toString).count())
+            .getOrElse(0L)
+        def awaitCount(n: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 90000L
+          while (outCount() < n) {
+            assert(System.currentTimeMillis() < deadline,
+              s"timed out waiting for $n sink rows (have ${outCount()})")
+            Thread.sleep(200)
+          }
+        }
+        try {
+          StreamingOps.stageFileAs(docs, stage, "a.parquet",
+            System.currentTimeMillis() - 60000L)
+          awaitCount(10)
+          Thread.sleep(2000) // >> the short TTL, << the long one
+          StreamingOps.stageFileAs(docs, stage, "b.parquet",
+            System.currentTimeMillis())
+          awaitCount(20)
+        } finally {
+          q.stop()
+          q.awaitTermination()
+        }
+        spark.read.parquet(out.toString)
+          .agg(max("n_copies")).head().getLong(0)
+      }
+    assert(maxCopies(java.time.Duration.ofMillis(200)) == 1L,
+      "short TTL did not expire state between batches")
+    assert(maxCopies(java.time.Duration.ofHours(24)) == 2L,
+      "long TTL lost state between batches")
+  }
+
   test("withRocksDbState restores the prior provider conf on failure") {
     // conf.getOption surfaces the registered DEFAULT (HDFSBacked) for this
     // key, so the contract is exact round-trip restoration, not unsetting
