@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Conf key: edge-count cap under which the bounded iteratives
+    * ([[boundedSssp]], [[boundedKCorePeel]]) run their rounds inside ONE
+    * task instead of one Spark job per round — the same measured dispatch
+    * as `TextOps.connectedComponents` (size-based, like Spark's own
+    * broadcast-vs-shuffle choice). Per-round Spark job overhead dominates
+    * small graphs (a 4-round SSSP on a co-purchase graph of ~100 k edges
+    * spends its seconds on scheduling, not math); above the cap the
+    * distributed round loop is the only shape that fits memory. Both
+    * tiers compute the IDENTICAL bounded-round function, certified
+    * against each other and the same oracles (q167/q218 vs q346/q347). */
+  val LocalEdgeCapKey = "graft.graph.localEdgeCap"
+
+  private def localEdgeCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(LocalEdgeCapKey).map(_.toLong).getOrElse(2000000L)
+
   /** Undirected co-occurrence edges (a < b, distinct): unordered item pairs
     * that appear together in the same group. Pairs are generated inside
     * each group's collected distinct-item set — group sizes bound the
@@ -153,8 +168,56 @@ object Graph {
     * State is bounded by the reached node set — never materializes paths. */
   def boundedSssp(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    // persist before counting: edges is often an expensive lazy frame and
+    // the tier count must not re-run it for the tier that consumes it next
     val e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+        col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val result =
+      if (nEdges <= localEdgeCap(spark)) ssspLocal(e, seeds, iters)
+      else ssspRounds(e, seeds, iters)
+    e.unpersist() // both tiers end pinned/materialized — safe to drop
+    result
+  }
+
+  /** Small-graph tier: directed edges + seeds ship to ONE task; `iters`
+    * synchronous Bellman-Ford rounds over arrays — each round reads the
+    * PREVIOUS round's map only, exactly the distributed union+min
+    * semantics (after k rounds a node carries the min distance over paths
+    * of <= k edges). Executor-side mapPartitions, not a driver collect. */
+  private def ssspLocal(e: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val tagged = e.select(col("a"), col("b"), col("w"), lit(false).as("s"))
+      .union(seeds.select(col("v").cast("long").as("a"), lit(0L).as("b"),
+        lit(0L).as("w"), lit(true).as("s")))
+    tagged.as[(Long, Long, Long, Boolean)].repartition(1).mapPartitions { it =>
+      val dirE = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cur = scala.collection.mutable.HashMap.empty[Long, Long]
+      it.foreach { case (a, b, w, isSeed) =>
+        if (isSeed) cur(a) = 0L
+        else { dirE += ((a, b, w)); dirE += ((b, a, w)) }
+      }
+      for (_ <- 1 to iters) {
+        val next = cur.clone()
+        dirE.foreach { case (src, dst, w) =>
+          cur.get(src).foreach { d =>
+            val nd = d + w
+            if (next.get(dst).forall(_ > nd)) next(dst) = nd
+          }
+        }
+        cur = next
+      }
+      cur.iterator
+    }.toDF("v", "dist").pin
+  }
+
+  /** Large-graph tier: the distributed round loop (see [[boundedSssp]]
+    * scaladoc for the per-round shape). */
+  private def ssspRounds(e: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val dir = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .pin
@@ -184,10 +247,50 @@ object Graph {
     * set; state is the shrinking edge list, never per-node adjacency. */
   def boundedKCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds in [1,20], got $rounds")
+    import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
+    val e0 = edges.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e0.count()
+    val result =
+      if (nEdges <= localEdgeCap(spark)) kCoreLocal(e0, k, rounds)
+      else kCoreRounds(e0, k, rounds)
+    e0.unpersist()
+    result
+  }
+
+  /** Small-graph tier: the edge multiset ships to ONE task; each peel
+    * round is a degree HashMap + in-place edge filter — identical
+    * semantics to the distributed round (degrees over the raw edge
+    * multiset, survivors = endpoints with degree >= k, edges restricted
+    * to survivor-survivor). Executor-side, not a driver collect. */
+  private def kCoreLocal(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = e0.sparkSession
     import spark.implicits._
-    var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .pin
+    e0.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      var es = it.toArray
+      val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      for (r <- 1 to rounds) {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+        val kept = deg.valuesIterator.count(_ >= k).toLong
+        census += ((r, deg.size.toLong, kept))
+        es = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      }
+      census.iterator
+    }.toDF("round", "nodes_before", "kept").pin
+  }
+
+  /** Large-graph tier: the distributed peel loop (see [[boundedKCorePeel]]
+    * scaladoc for the per-round shape). */
+  private def kCoreRounds(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    var e = e0.pin
     val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (r <- 1 to rounds) {
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))

@@ -230,38 +230,7 @@ object Advanced {
           .select(col("l_partkey").as("v")).distinct()
         Graph.boundedSssp(edges, seeds, iters = 4).orderBy("v")
       },
-      Some("""|WITH e AS (
-             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-             |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-             |  WHERE x.l_partkey < y.l_partkey
-             |), dirE AS (
-             |  SELECT a AS src, b AS dst, (a + b) % 7 + 1 AS w FROM e
-             |  UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM e
-             |), d0 AS (
-             |  SELECT DISTINCT l_partkey AS v, CAST(0 AS BIGINT) AS d
-             |  FROM lineitem WHERE l_partkey % 100 = 0
-             |), d1 AS (
-             |  SELECT v, min(d) AS d FROM (
-             |    SELECT v, d FROM d0
-             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d0 p ON de.src = p.v
-             |  ) GROUP BY v
-             |), d2 AS (
-             |  SELECT v, min(d) AS d FROM (
-             |    SELECT v, d FROM d1
-             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d1 p ON de.src = p.v
-             |  ) GROUP BY v
-             |), d3 AS (
-             |  SELECT v, min(d) AS d FROM (
-             |    SELECT v, d FROM d2
-             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d2 p ON de.src = p.v
-             |  ) GROUP BY v
-             |), d4 AS (
-             |  SELECT v, min(d) AS d FROM (
-             |    SELECT v, d FROM d3
-             |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d3 p ON de.src = p.v
-             |  ) GROUP BY v
-             |)
-             |SELECT v, d AS dist FROM d4 ORDER BY v""".stripMargin)),
+      Some(ssspReachOracle)),
 
     QueryDef("q168_cusum_drift",
       "CUSUM mean-shift drift detection per event type (prefix-sum/prefix-min form, exact)",
@@ -5160,7 +5129,42 @@ object Advanced {
              |  round(CAST(sum(x) AS DOUBLE) / count(*) / 100.0, 6) AS mean_price,
              |  round(CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x) AS DOUBLE)
              |    / (CAST(count(*) AS DOUBLE) * sum(x)), 6) AS gini
-             |FROM r GROUP BY nation ORDER BY nation""".stripMargin)))
+             |FROM r GROUP BY nation ORDER BY nation""".stripMargin)),
+
+    QueryDef("q346_sssp_distributed_tier",
+      "distributed SSSP tier certification: q167 with the single-task cap " +
+        "forced to 0 (per-round join + min-agg loop)",
+      // q167's co-purchase graph is far below graft.graph.localEdgeCap, so
+      // the driver gate would otherwise only certify the single-task
+      // Bellman-Ford tier; forcing the cap to 0 routes the SAME graph
+      // through the distributed round loop against the SAME unrolled-CTE
+      // oracle (q342's pattern — the tier dispatch is eager, so the conf
+      // bracket around the call suffices even though the frame is lazy).
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+          .withColumn("w", pmod(col("a") + col("b"), lit(7)) + lit(1))
+        val seeds = li.filter(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("v")).distinct()
+        s.conf.set(Graph.LocalEdgeCapKey, "0")
+        try Graph.boundedSssp(edges, seeds, iters = 4).orderBy("v")
+        finally s.conf.unset(Graph.LocalEdgeCapKey)
+      },
+      Some(ssspReachOracle)),
+
+    QueryDef("q347_kcore_distributed_tier",
+      "distributed k-core tier certification: q218 with the single-task " +
+        "cap forced to 0 (per-round degree agg + survivor semi-joins)",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        s.conf.set(Graph.LocalEdgeCapKey, "0")
+        try Graph.boundedKCorePeel(
+            Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+            k = 80, rounds = 8)
+          .orderBy("round")
+        finally s.conf.unset(Graph.LocalEdgeCapKey)
+      },
+      Some(kCorePeelOracle(k = 80, rounds = 8))))
 
   /** Cramer determinants for the 2-feature OLS normal equations over the
     * one-pass moments (n, sd, sh, sdd, sdh, shh, sy, syd, syh) — valid as a
@@ -5353,6 +5357,44 @@ object Advanced {
        |FROM cells JOIN l$rounds USING (cx, cy)
        |ORDER BY cells.cx, cells.cy""".stripMargin
   }
+
+  /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedSssp]] over
+    * the co-purchase graph (4 relaxation rounds, min-plus on longs) —
+    * shared by q167 (tier-dispatched, local at driver scale) and q346
+    * (cap forced to 0 → the distributed round loop). */
+  private def ssspReachOracle: String =
+    """|WITH e AS (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey
+       |), dirE AS (
+       |  SELECT a AS src, b AS dst, (a + b) % 7 + 1 AS w FROM e
+       |  UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM e
+       |), d0 AS (
+       |  SELECT DISTINCT l_partkey AS v, CAST(0 AS BIGINT) AS d
+       |  FROM lineitem WHERE l_partkey % 100 = 0
+       |), d1 AS (
+       |  SELECT v, min(d) AS d FROM (
+       |    SELECT v, d FROM d0
+       |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d0 p ON de.src = p.v
+       |  ) GROUP BY v
+       |), d2 AS (
+       |  SELECT v, min(d) AS d FROM (
+       |    SELECT v, d FROM d1
+       |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d1 p ON de.src = p.v
+       |  ) GROUP BY v
+       |), d3 AS (
+       |  SELECT v, min(d) AS d FROM (
+       |    SELECT v, d FROM d2
+       |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d2 p ON de.src = p.v
+       |  ) GROUP BY v
+       |), d4 AS (
+       |  SELECT v, min(d) AS d FROM (
+       |    SELECT v, d FROM d3
+       |    UNION ALL SELECT de.dst, p.d + de.w FROM dirE de JOIN d3 p ON de.src = p.v
+       |  ) GROUP BY v
+       |)
+       |SELECT v, d AS dist FROM d4 ORDER BY v""".stripMargin
 
   /** Unrolled-CTE oracle for [[graft.operators.Graph.boundedKCorePeel]]:
     * round r computes degrees of e(r-1), keeps v with d >= k, restricts the

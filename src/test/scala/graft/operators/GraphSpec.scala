@@ -165,4 +165,42 @@ class GraphSpec extends AnyFunSuite {
     // 1: 2-hop {4}; 2: {4}; 3: none (everything is <=1 hop); 4: {1,2}
     assert(out.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 0L), (4L, 1L, 2L)))
   }
+
+  test("boundedSssp / kCorePeel: single-task and distributed tiers agree") {
+    // forcing the cap to 0 routes the SAME graph through the distributed
+    // round loop — the two tiers must compute the identical bounded-round
+    // function. Graph: a hashed pseudo-random core (tests clique-ish
+    // structure + duplicate-free dispatch) plus a 30-node pendant chain
+    // (tests the round-bounded frontier the local tier must NOT outrun).
+    def withCapZero[T](f: => T): T = {
+      spark.conf.set(Graph.LocalEdgeCapKey, "0")
+      try f finally spark.conf.unset(Graph.LocalEdgeCapKey)
+    }
+    val nodes = spark.range(0, 60).select(col("id").as("a"))
+    val rand = nodes.crossJoin(spark.range(0, 60).select(col("id").as("b")))
+      .filter(col("a") < col("b"))
+      .filter(substring(md5(concat_ws(":", col("a"), col("b"))), 1, 1)
+        .isin("0", "1"))
+      .select("a", "b")
+    val chain = edgesDf((59L until 89L).map(i => (i, i + 1)))
+    val edges = rand.union(chain)
+      .withColumn("w", pmod(col("a") + col("b"), lit(5)) + lit(1))
+    val seeds = Seq(0L, 59L).toDF("v")
+
+    def canonS(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val localS = canonS(Graph.boundedSssp(edges, seeds, iters = 6))
+    val distS = withCapZero(canonS(Graph.boundedSssp(edges, seeds, iters = 6)))
+    assert(localS.nonEmpty && localS === distS)
+    // the bounded-hop contract: 6 rounds reach exactly 6 chain hops past 59
+    assert(localS.exists(_._1 == 65L) && !localS.exists(_._1 == 66L))
+
+    def canonK(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val localK = canonK(Graph.boundedKCorePeel(edges.select("a", "b"), k = 3, rounds = 6))
+    val distK = withCapZero(
+      canonK(Graph.boundedKCorePeel(edges.select("a", "b"), k = 3, rounds = 6)))
+    assert(localK === distK && localK.size == 6)
+  }
 }
