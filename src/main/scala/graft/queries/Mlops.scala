@@ -4338,7 +4338,69 @@ object Mlops {
               |SELECT 'authority' AS kind, p AS id, s AS score_e6 FROM a3
               |UNION ALL
               |SELECT 'hub', u, s FROM h3
-              |ORDER BY kind, id""".stripMargin))
+              |ORDER BY kind, id""".stripMargin)),
+
+    QueryDef("q348_dq_expectations",
+      "declarative data-quality expectation suite: one conditional-aggregate " +
+        "pass compiles the whole rule list (completeness, set/range/shape " +
+        "conformance, uniqueness) into exact-integer verdicts",
+      // Expectations.verify: row-local rules ride ONE scan's map-side
+      // conditional sums; each Unique rule adds one hash aggregate on its
+      // column. Verdicts are the integer compare num*1e6 >= thr*den — no
+      // float ratio crosses the engine boundary. value_under_50 is the
+      // planted FAILING rule (the suite must exercise the false branch);
+      // unique_user_id exercises a fractional uniqueness metric.
+      (s, dir) => graft.operators.Expectations.verify(
+        table(s, dir, "events"),
+        Seq(
+          graft.operators.Expectations.Complete(
+            "complete_event_type", "event_type", 1000000L),
+          graft.operators.Expectations.Complete(
+            "complete_value", "value", 1000000L),
+          graft.operators.Expectations.Satisfies(
+            "props_shape", "props LIKE '{\"k\": %}'", 1000000L),
+          graft.operators.Expectations.Satisfies(
+            "type_in_set",
+            "event_type IN ('click','view','purchase','signup','error')",
+            1000000L),
+          graft.operators.Expectations.Satisfies(
+            "value_in_range", "value >= 0.0 AND value <= 1000.0", 990000L),
+          graft.operators.Expectations.Satisfies(
+            "value_under_50", "value <= 50.0", 990000L),
+          graft.operators.Expectations.Unique(
+            "unique_event_id", "event_id", 1000000L),
+          graft.operators.Expectations.Unique(
+            "unique_user_id", "user_id", 10000L))),
+      Some("""|WITH c AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS d,
+              |    CAST(count(*) FILTER (WHERE event_type IS NOT NULL) AS BIGINT) AS complete_event_type,
+              |    CAST(count(*) FILTER (WHERE value IS NOT NULL) AS BIGINT) AS complete_value,
+              |    CAST(count(*) FILTER (WHERE props LIKE '{"k": %}') AS BIGINT) AS props_shape,
+              |    CAST(count(*) FILTER (WHERE event_type IN ('click','view','purchase','signup','error')) AS BIGINT) AS type_in_set,
+              |    CAST(count(*) FILTER (WHERE value >= 0.0 AND value <= 1000.0) AS BIGINT) AS value_in_range,
+              |    CAST(count(*) FILTER (WHERE value <= 50.0) AS BIGINT) AS value_under_50
+              |  FROM events
+              |), u1 AS (
+              |  SELECT CAST(count(*) FILTER (WHERE c2 = 1) AS BIGINT) AS nu,
+              |         CAST(coalesce(sum(c2), 0) AS BIGINT) AS du
+              |  FROM (SELECT count(*) AS c2 FROM events GROUP BY event_id) t
+              |), u2 AS (
+              |  SELECT CAST(count(*) FILTER (WHERE c2 = 1) AS BIGINT) AS nu,
+              |         CAST(coalesce(sum(c2), 0) AS BIGINT) AS du
+              |  FROM (SELECT count(*) AS c2 FROM events GROUP BY user_id) t
+              |), m AS (
+              |  SELECT 'complete_event_type' AS rule, complete_event_type AS metric_num, d AS metric_den, CAST(1000000 AS BIGINT) AS min_ratio_e6 FROM c
+              |  UNION ALL SELECT 'complete_value', complete_value, d, CAST(1000000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'props_shape', props_shape, d, CAST(1000000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'type_in_set', type_in_set, d, CAST(1000000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'value_in_range', value_in_range, d, CAST(990000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'value_under_50', value_under_50, d, CAST(990000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'unique_event_id', nu, du, CAST(1000000 AS BIGINT) FROM u1
+              |  UNION ALL SELECT 'unique_user_id', nu, du, CAST(10000 AS BIGINT) FROM u2
+              |)
+              |SELECT rule, metric_num, metric_den, min_ratio_e6,
+              |  metric_num * 1000000 >= min_ratio_e6 * metric_den AS pass
+              |FROM m ORDER BY rule""".stripMargin))
   )
 
   /** One unrolled personalized-PageRank iteration for the q336 oracle —
