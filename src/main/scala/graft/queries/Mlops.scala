@@ -4400,8 +4400,128 @@ object Mlops {
               |)
               |SELECT rule, metric_num, metric_den, min_ratio_e6,
               |  metric_num * 1000000 >= min_ratio_e6 * metric_den AS pass
-              |FROM m ORDER BY rule""".stripMargin))
+              |FROM m ORDER BY rule""".stripMargin)),
+
+    QueryDef("q349_fellegi_sunter_em",
+      "Fellegi-Sunter record linkage: unsupervised EM over the blocked " +
+        "comparison-pattern census (fixed-round, exact e6 integer grids)",
+      // The published probabilistic-linkage model (Fellegi & Sunter 1969;
+      // the Splink/RecordLinkage core): a deterministic 30% of customers
+      // gets a perturbed duplicate (name kept 80%, balance jittered +-$50,
+      // segment kept 90% — md5-threshold draws), candidate pairs come from
+      // (nation x $1000-balance-band) blocks, and EM estimates p/m_k/u_k
+      // from the 2^3 agreement-pattern census alone — no labels. The EM
+      // runs over the CENSUS (8 rows), not the pairs: at 100 TB the only
+      // corpus-sized work is one blocked self-join collapsing map-side to
+      // the pattern histogram. Cross-engine exactness: every E-step weight
+      // is floored onto the e6 grid before the (order-free, integer) sums,
+      // every M-step ratio is an integer division, and BOTH engines run
+      // the same generated SQL text (dialect div/materialization only).
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        table(s, dir, "customer").createOrReplaceTempView("fs_customer")
+        val cens = s.sql("WITH " + fsCensusCtes("fs_customer", spark = true) +
+          " SELECT g1, g2, g3, n FROM cens").pin
+        cens.createOrReplaceTempView("fs_cens")
+        s.sql("WITH cens AS (SELECT * FROM fs_cens),\n" + FsR0 + ",\n" +
+          fsTail(spark = true, rounds = 6))
+      },
+      Some("WITH " + fsCensusCtes("customer", spark = false) + ",\n" +
+        FsR0 + ",\n" + fsTail(spark = false, rounds = 6)))
   )
+
+  /** q349 fixture + comparison-vector census CTEs, dialect-substituted.
+    * Blocks are strictly positive before the integer division so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree. */
+  private def fsCensusCtes(tbl: String, spark: Boolean): String = {
+    val pick = u60("concat(CAST(orid AS STRING), ':fs_pick')", spark)
+    val nameU = u60("concat(CAST(orid AS STRING), ':fs_name')", spark)
+    val balU = u60("concat(CAST(orid AS STRING), ':fs_bal')", spark)
+    val segU = u60("concat(CAST(orid AS STRING), ':fs_seg')", spark)
+    val div = if (spark) "div" else "//"
+    val mat = if (spark) "" else "MATERIALIZED "
+    s"""base AS (
+       |  SELECT c_custkey AS rid, c_name AS name,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+       |    c_mktsegment AS seg, c_nationkey AS nat
+       |  FROM $tbl
+       |), dup AS (
+       |  SELECT orid + 10000000 AS rid,
+       |    CASE WHEN $nameU < 922337203685477580 THEN name
+       |         ELSE name || '~' END AS name,
+       |    cents + ($balU % 10001) - 5000 AS cents,
+       |    CASE WHEN $segU < 1037629354146162278 THEN seg
+       |         ELSE 'PERTURBED' END AS seg,
+       |    nat
+       |  FROM (SELECT rid AS orid, name, cents, seg, nat FROM base) b
+       |  WHERE $pick < 345876451382054092
+       |), uni AS (
+       |  SELECT rid, name, cents, seg,
+       |    nat * 1000 + ((cents + 200000) $div 100000) AS blk
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM dup) u
+       |), cens AS $mat(
+       |  SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS g1,
+       |      CASE WHEN abs(a.cents - b.cents) <= 5000 THEN 1 ELSE 0 END AS g2,
+       |      CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g3
+       |    FROM uni a JOIN uni b ON a.blk = b.blk AND a.rid < b.rid
+       |  ) g GROUP BY 1, 2, 3
+       |)""".stripMargin
+  }
+
+  /** q349 EM start point: p=0.1, m_k=0.9, u_k=0.1 on the e6 grid. */
+  private def FsR0: String =
+    "r0 AS (SELECT CAST(100000 AS BIGINT) AS p_e6, " +
+      "CAST(900000 AS BIGINT) AS m1_e6, CAST(900000 AS BIGINT) AS m2_e6, " +
+      "CAST(900000 AS BIGINT) AS m3_e6, CAST(100000 AS BIGINT) AS u1_e6, " +
+      "CAST(100000 AS BIGINT) AS u2_e6, CAST(100000 AS BIGINT) AS u3_e6)"
+
+  /** One q349 EM round: E-step posteriors floored onto the e6 grid, M-step
+    * as integer divisions over order-free BIGINT sums (CAST before the
+    * multiply keeps DuckDB's HUGEINT out of the result). Long range holds
+    * to ~9e12 pattern-weighted rows; beyond that the sums move to DECIMAL. */
+  private def fsEmRound(k: Int, spark: Boolean): String = {
+    val div = if (spark) "div" else "//"
+    def par(c: String) = s"CAST(r.${c}_e6 AS DOUBLE) / 1000000.0"
+    def lik(m: Boolean) = (1 to 3).map { i =>
+      val c = if (m) s"m$i" else s"u$i"
+      s"(CASE WHEN c.g$i = 1 THEN ${par(c)} ELSE 1.0 - ${par(c)} END)"
+    }.mkString(" * ")
+    s"""e$k AS (
+       |  SELECT c.g1, c.g2, c.g3, c.n,
+       |    (${par("p")}) * ${lik(true)} AS lm,
+       |    (1.0 - ${par("p")}) * ${lik(false)} AS lu
+       |  FROM cens c CROSS JOIN r${k - 1} r
+       |), w$k AS (
+       |  SELECT g1, g2, g3, n,
+       |    CAST(floor(lm / (lm + lu) * 1000000.0) AS BIGINT) AS w_e6
+       |  FROM e$k
+       |), r$k AS (
+       |  SELECT CAST(sum(n * w_e6) AS BIGINT) $div CAST(sum(n) AS BIGINT) AS p_e6,
+       |    (CAST(sum(n * w_e6 * g1) AS BIGINT) * 1000000) $div CAST(sum(n * w_e6) AS BIGINT) AS m1_e6,
+       |    (CAST(sum(n * w_e6 * g2) AS BIGINT) * 1000000) $div CAST(sum(n * w_e6) AS BIGINT) AS m2_e6,
+       |    (CAST(sum(n * w_e6 * g3) AS BIGINT) * 1000000) $div CAST(sum(n * w_e6) AS BIGINT) AS m3_e6,
+       |    (CAST(sum(n * (1000000 - w_e6) * g1) AS BIGINT) * 1000000) $div CAST(sum(n * (1000000 - w_e6)) AS BIGINT) AS u1_e6,
+       |    (CAST(sum(n * (1000000 - w_e6) * g2) AS BIGINT) * 1000000) $div CAST(sum(n * (1000000 - w_e6)) AS BIGINT) AS u2_e6,
+       |    (CAST(sum(n * (1000000 - w_e6) * g3) AS BIGINT) * 1000000) $div CAST(sum(n * (1000000 - w_e6)) AS BIGINT) AS u3_e6
+       |  FROM w$k
+       |)""".stripMargin
+  }
+
+  /** q349 unrolled EM rounds + the report: one row per agreement pattern
+    * with its final match posterior, plus the seven fitted parameters. */
+  private def fsTail(spark: Boolean, rounds: Int): String = {
+    val iters = (1 to rounds).map(k => fsEmRound(k, spark)).mkString(",\n")
+    val params = Seq("p", "m1", "m2", "m3", "u1", "u2", "u3").map { c =>
+      s"UNION ALL SELECT '$c', CAST(-1 AS INT), CAST(-1 AS INT), " +
+        s"CAST(-1 AS INT), CAST(0 AS BIGINT), ${c}_e6 FROM r$rounds"
+    }.mkString("\n")
+    s"""$iters
+       |SELECT 'pattern' AS kind, g1, g2, g3, n, w_e6 AS value_e6 FROM w$rounds
+       |$params
+       |ORDER BY kind, g1, g2, g3""".stripMargin
+  }
 
   /** One unrolled personalized-PageRank iteration for the q336 oracle —
     * replays [[graft.operators.Graph.personalizedPageRankScaled]]'s
