@@ -31,6 +31,14 @@ case class FloorDotE9(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // A null ELEMENT nulls the result even when both array children are
+  // non-nullable, so nullability cannot derive from the children. This is
+  // also what lets doGenCode assign `ev.isNull`: with the default
+  // child-derived nullability, non-nullable inputs made Spark declare
+  // `ev.isNull` as the literal `false`, the janino compile failed
+  // ("not an rvalue") and EVERY floor_dot_e9 plan silently fell back to
+  // the interpreted path (caught round 12 via the q350 codegen logs).
+  override def nullable: Boolean = true
   override def prettyName: String = "floor_dot_e9"
 
   override def checkInputDataTypes(): TypeCheckResult = {

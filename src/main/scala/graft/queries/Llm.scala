@@ -3411,5 +3411,159 @@ object Llm {
               |UNION ALL SELECT qid, CAST(2 AS BIGINT), cid, sim, score FROM s2
               |UNION ALL SELECT qid, CAST(3 AS BIGINT), cid, sim, score FROM s3
               |UNION ALL SELECT qid, CAST(4 AS BIGINT), cid, sim, score FROM s4
-              |ORDER BY qid, rk""".stripMargin)))
+              |ORDER BY qid, rk""".stripMargin)),
+
+    QueryDef("q350_pq_recall_audit",
+      "product quantization (IVF-PQ fine tier): PQ-ADC approximate top-10 " +
+        "vs exact-grid brute top-10, recall census per query",
+      // the memory tier below int8 (q72/q80): 64 floats -> 8 code bytes
+      // via per-subspace L2 Lloyd codebooks (Jegou et al. 2011), served
+      // by asymmetric-distance LOOKUPS — per candidate the score is m=8
+      // table reads + integer adds, never a 64-dim dot product. The ADC
+      // is exact-integer (per-(query,sub,code) dot/norm LUTs floored onto
+      // the e9 grid, order-free long sums, ONE double division on the
+      // 6-decimal grid), so the oracle replays the entire pipeline:
+      // md5-seeded subspace Lloyd, L2 code assignment (list_distance),
+      // LUT build, ADC ranking, exact tier, recall census.
+      (s, dir) => Similarity.pqRecallAudit(table(s, dir, "embeddings"),
+        m = 8, k = 16, iters = 2, topK = 10, queryMod = 50),
+      Some(s"""|WITH ${pqLloydCtes(m = 8, sd = 8, k = 16, rounds = 2)},
+              |g AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(generate_series(1, 64),
+              |      i -> CAST(floor(v[i] * v[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS e2
+              |  FROM emb
+              |),
+              |base AS (SELECT vec_id, v, e2 FROM g WHERE e2 > 0),
+              |qs AS (
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq
+              |  FROM base WHERE vec_id % 50 = 0
+              |),
+              |lutd AS (
+              |  SELECT q.qid, b.sub, b.code,
+              |    CAST(floor(list_dot_product(
+              |      list_slice(q.qv, b.sub * 8 + 1, b.sub * 8 + 8), b.cv)
+              |      * 1e9) AS BIGINT) AS de9
+              |  FROM qs q CROSS JOIN b2 b
+              |),
+              |lutn AS (
+              |  SELECT sub, code,
+              |    CAST(floor(list_dot_product(cv, cv) * 1e9) AS BIGINT) AS n2e9
+              |  FROM b2
+              |),
+              |adc AS (
+              |  SELECT q.qid, a.vec_id AS cid,
+              |    CAST(sum(ld.de9) AS BIGINT) AS dot_e9,
+              |    CAST(sum(ln.n2e9) AS BIGINT) AS n2_e9
+              |  FROM qs q
+              |  JOIN paf a ON a.vec_id <> q.qid
+              |  JOIN base c ON c.vec_id = a.vec_id
+              |  JOIN lutd ld ON ld.qid = q.qid AND ld.sub = a.sub
+              |    AND ld.code = a.code
+              |  JOIN lutn ln ON ln.sub = a.sub AND ln.code = a.code
+              |  GROUP BY 1, 2
+              |),
+              |pq10 AS (
+              |  SELECT qid, cid FROM (
+              |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              |      ORDER BY round(CAST(dot_e9 AS DOUBLE)
+              |        / sqrt(CAST(n2_e9 AS DOUBLE)), 6) DESC, cid) AS rn
+              |    FROM adc WHERE n2_e9 > 0
+              |  ) WHERE rn <= 10
+              |),
+              |brute10 AS (
+              |  SELECT qid, cid FROM (
+              |    SELECT q.qid, b.vec_id AS cid,
+              |      row_number() OVER (PARTITION BY q.qid ORDER BY
+              |        round(CAST(CAST(list_sum(list_transform(
+              |          generate_series(1, 64),
+              |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |          AS BIGINT) AS DOUBLE)
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |          6) DESC, b.vec_id) AS rn
+              |    FROM qs q CROSS JOIN base b
+              |    WHERE b.vec_id <> q.qid
+              |  ) WHERE rn <= 10
+              |),
+              |common AS (
+              |  SELECT p.qid, CAST(count(*) AS BIGINT) AS n_common
+              |  FROM pq10 p JOIN brute10 b
+              |    ON b.qid = p.qid AND b.cid = p.cid
+              |  GROUP BY 1
+              |)
+              |SELECT COALESCE(c.n_common, 0) AS recall_at_k,
+              |  count(*) AS n_queries
+              |FROM qs q LEFT JOIN common c ON c.qid = q.qid
+              |GROUP BY 1 ORDER BY recall_at_k""".stripMargin)))
+
+  /** PQ codebook Lloyd replica for the q350 oracle: md5-prefix seeds
+    * sliced into `m` subspaces, then `rounds` L2 assign/update rounds per
+    * subspace — mirrors [[graft.text.Similarity.pqCodebooks]] (assignment
+    * compares DuckDB's list_distance, i.e. sqrt of the left-to-right
+    * squared-diff sum, against the Scala kernel's identical loop; means
+    * over float-valued doubles are exact, hence order-free). Ends with
+    * b<rounds> (sub, code, cv) — the final codebooks — plus paf
+    * (vec_id, sub, code), the FINAL encoding against b<rounds> (pqEncode
+    * assigns against the post-training books; the in-round pa<r>
+    * assignments rank against b<r-1>). */
+  private def pqLloydCtes(m: Int, sd: Int, k: Int, rounds: Int): String = {
+    val head =
+      s"""emb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+         |seeds AS (
+         |  SELECT code, v FROM (
+         |    SELECT row_number() OVER (
+         |      ORDER BY substr(md5(vec_id::VARCHAR), 1, 15), vec_id) - 1
+         |      AS code, v
+         |    FROM emb
+         |  ) WHERE code < $k
+         |),
+         |b0 AS (
+         |  SELECT s.sub, sd.code,
+         |    list_slice(sd.v, s.sub * $sd + 1, s.sub * $sd + $sd) AS cv
+         |  FROM subs s CROSS JOIN seeds sd
+         |)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""pa$r AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, b.sub, b.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.sub
+         |        ORDER BY list_distance(
+         |          list_slice(e.v, b.sub * $sd + 1, b.sub * $sd + $sd),
+         |          b.cv) ASC, b.code) AS rn
+         |    FROM emb e CROSS JOIN b$p b
+         |  ) WHERE rn = 1
+         |),
+         |pu$r AS (
+         |  SELECT a.sub, a.code, d.j, avg(e.v[a.sub * $sd + d.j]) AS x
+         |  FROM pa$r a JOIN emb e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $sd)) AS j) d
+         |  GROUP BY 1, 2, 3
+         |),
+         |b$r AS (
+         |  SELECT b.sub, b.code, COALESCE(n.cv, b.cv) AS cv
+         |  FROM b$p b LEFT JOIN (
+         |    SELECT sub, code, list(x ORDER BY j) AS cv
+         |    FROM pu$r GROUP BY 1, 2
+         |  ) n ON n.sub = b.sub AND n.code = b.code
+         |)""".stripMargin
+    }
+    val fin =
+      s"""paf AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, b.sub, b.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.sub
+         |        ORDER BY list_distance(
+         |          list_slice(e.v, b.sub * $sd + 1, b.sub * $sd + $sd),
+         |          b.cv) ASC, b.code) AS rn
+         |    FROM emb e CROSS JOIN b$rounds b
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    ((head +: iters) :+ fin).mkString(",\n")
+  }
 }

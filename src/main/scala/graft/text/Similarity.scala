@@ -458,6 +458,189 @@ object Similarity {
       .orderBy("recall_at_k")
   }
 
+  // --- product quantization (IVF-PQ's fine quantizer) ----------------------
+
+  /** Per-subspace nearest codes (L2 Lloyd assignment, ties to the lowest
+    * code) — the PQ encoder kernel. Distances compare as sqrt(Σ(x−c)²) with
+    * a left-to-right dim loop so a SQL replica (`list_distance`) agrees
+    * bit-for-bit. */
+  private def pqAssign(books: Array[Array[Array[Double]]],
+                       v: Seq[Float]): Array[Int] = {
+    val vv = v match {
+      case s: scala.collection.IndexedSeq[Float] => s
+      case s => s.toIndexedSeq
+    }
+    val m = books.length
+    val sd = books(0)(0).length
+    Array.tabulate(m) { s =>
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < books(s).length) {
+        val cv = books(s)(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < sd) { val t = vv(s * sd + j) - cv(j); d2 += t * t; j += 1 }
+        val d = math.sqrt(d2)
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Product-quantization codebooks: `m` subspaces × `k` codes each, from
+    * JOINT per-subspace L2 Lloyd rounds (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the memory
+    * tier below int8: dim floats → m code bytes (64-dim → 8 bytes at
+    * m=8, k≤256). Scale shape mirrors [[kmeansCentroids]]:
+    *  - seeding: the k md5-smallest vectors, sliced per subspace (one
+    *    bounded TakeOrdered; md5 so a SQL oracle reproduces it);
+    *  - each round: ONE corpus pass — broadcast-encode (narrow, projected
+    *    below the explode), then a (sub, code, dim) moment aggregate of
+    *    m·k·subdim = dim·k groups, map-side combined. All m subspaces
+    *    train in the same pass; nothing driver-side exceeds the m×k×subdim
+    *    codebook. Means accumulate float inputs in double — exact (hence
+    *    order-free) below ~2^29 rows per cell; a 100 TB corpus trains on a
+    *    bounded sample anyway, as every published PQ system does. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                  iters: Int = 2, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    val seeds = embeddings
+      .orderBy(substring(md5(col(idCol).cast("string")), 1, 15), col(idCol))
+      .limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = seeds.head.length
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sd = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k)((s, c) =>
+      java.util.Arrays.copyOfRange(seeds(c), s * sd, (s + 1) * sd))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val encodeU = udf((v: Seq[Float]) => pqAssign(bc.value, v))
+      // like kmeansCentroids: the encode UDF projects BELOW the explode so
+      // it runs once per vector, not once per exploded (sub, dim) row
+      val moments = embeddings
+        .select(encodeU(col(vecCol)).as("codes"), col(vecCol).as("_v"))
+        .select(posexplode(col("codes")).as(Seq("sub", "code")), col("_v"))
+        .select(col("sub"), col("code"),
+          posexplode(expr(s"slice(_v, sub * $sd + 1, $sd)")).as(Seq("j", "x")))
+        .groupBy("sub", "code", "j")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      moments.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4)
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** PQ-encode the corpus: one narrow pass appending the `codes` column
+    * (m small ints — the at-rest representation a PQ store persists). */
+  def pqEncode(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+               vecCol: String = "embedding"): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(books)
+    val encodeU = udf((v: Seq[Float]) => pqAssign(bc.value, v))
+    embeddings.withColumn("codes", encodeU(col(vecCol)))
+  }
+
+  /** PQ-ADC recall audit (q350): serve approximate cosine top-k entirely
+    * from the PQ codes via asymmetric-distance lookup tables, and compare
+    * against the exact-grid brute top-k per query (the q307 audit shape).
+    *
+    * ADC here is EXACT-INTEGER end to end so the oracle replays it: per
+    * (query, sub, code) the dot-product LUT entry floors onto the e9 grid
+    * (floor(dot·1e9) as long), the reconstruction-norm LUT likewise, and a
+    * candidate's score sums m LUT longs (order-free) before ONE double
+    * division round(dot_e9 / sqrt(n2_e9), 6). Serving cost per candidate
+    * is m lookups + m adds — never a dim-length dot product; the LUT
+    * build is nq·m·k small dots on the driver (bounded, broadcast). */
+  def pqRecallAudit(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                    iters: Int = 2, topK: Int = 10, queryMod: Long = 50,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Checkpoints.Pinnable
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.GridFunctions.register(spark)
+    val books = pqCodebooks(embeddings, m, k, iters, idCol, vecCol)
+    val sd = books(0)(0).length
+    val bcB = spark.sparkContext.broadcast(books)
+    val encodeU = udf((v: Seq[Float]) => pqAssign(bcB.value, v))
+    val a = embeddings
+      .withColumn("e2", expr(s"floor_dot_e9($vecCol, $vecCol)"))
+      .filter(col("e2") > 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        col("e2").as("ec"), encodeU(col(vecCol)).as("codes"))
+      .pin // three consumers: query batch, ADC scan, brute scan
+
+    // bounded query batch + its e9 LUTs (nq × m × k longs, broadcast)
+    val qRows = a.filter(col("cid") % queryMod === 0)
+      .select(col("cid"), col("cv"), col("ec")).collect()
+      .sortBy(_.getLong(0))
+    val qids = qRows.map(_.getLong(0))
+    val lutDot: Array[Array[Array[Long]]] = qRows.map { r =>
+      val qv = r.getSeq[Float](1)
+      Array.tabulate(m, k) { (s, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < sd) { d += qv(s * sd + j).toDouble * books(s)(c)(j); j += 1 }
+        math.floor(d * 1e9).toLong
+      }
+    }
+    val lutN2: Array[Array[Long]] = Array.tabulate(m, k) { (s, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < sd) { d += books(s)(c)(j) * books(s)(c)(j); j += 1 }
+      math.floor(d * 1e9).toLong
+    }
+    val bcLut = spark.sparkContext.broadcast((lutDot, lutN2))
+    val adcU = udf((qi: Int, codes: Seq[Int]) => {
+      val (ld, ln) = bcLut.value
+      var dot = 0L
+      var n2 = 0L
+      var s = 0
+      while (s < m) { val c = codes(s); dot += ld(qi)(s)(c); n2 += ln(s)(c); s += 1 }
+      (dot, n2)
+    })
+    val qFrame = qids.zipWithIndex
+      .map { case (q, i) => (i, q) }.toSeq.toDF("qi", "qid")
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    def topN(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= topK)
+      .select(col("qid"), col("cid"))
+
+    val pqTop = topN(broadcast(qFrame).crossJoin(a.select("cid", "codes"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("t", adcU(col("qi"), col("codes")))
+      .filter(col("t._2") > 0)
+      .withColumn("sim", round(col("t._1").cast("double") /
+        sqrt(col("t._2").cast("double")), 6)))
+
+    val q = a.filter(col("cid") % queryMod === 0)
+      .select(col("cid").as("qid"), col("cv").as("qv"), col("ec").as("eq"))
+    val bruteTop = topN(broadcast(q).crossJoin(a.select("cid", "cv", "ec"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", round(expr("floor_dot_e9(qv, cv)").cast("double") /
+        sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
+
+    val common = pqTop.join(bruteTop, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    q.select("qid").join(common, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .groupBy(col("n_common").as("recall_at_k"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("recall_at_k")
+  }
+
   /** Hyperplane component (p, i): a signed 48-bit integer from md5 hex
     * chars 1-12 of "<seed>:<p>:<i>", centered by 2^47. Integer-valued and
     * < 2^53, so the value is EXACT in a double in any engine — a SQL oracle

@@ -62,4 +62,26 @@ class GridExpressionsSpec extends AnyFunSuite {
     val v = df.select(expr("floor_dot_e9(a, b)")).head().getLong(0)
     assert(v === 1000000000L + 1000000000L)
   }
+
+  test("compiles under whole-stage codegen with NON-NULLABLE inputs") {
+    // Regression: with child-derived nullability, non-nullable array inputs
+    // made Spark declare ev.isNull as the literal `false`; doGenCode's
+    // `ev.isNull = true` then failed janino compilation ("not an rvalue")
+    // and every floor_dot_e9 plan silently ran interpreted. fallback=false
+    // turns any such failure into a hard error instead of a fallback.
+    GridFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // range's id is non-nullable, so the built arrays are non-nullable —
+      // exactly the shape that used to break compilation.
+      val got = spark.range(4)
+        .selectExpr("floor_dot_e9(array(CAST(id AS DOUBLE), 2.0D), " +
+          "array(3.0D, CAST(id AS DOUBLE))) AS d")
+        .collect().map(_.getLong(0)).sorted
+      val want = (0L until 4L).map(i => 3L * i * 1000000000L +
+        2L * i * 1000000000L).sorted.toArray
+      assert(got.sameElements(want))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
