@@ -158,7 +158,8 @@ object Bench {
     "q343_rocksdb_state_dedup", "q344_tws_state_dedup",
     "q345_orc_roundtrip", "q346_sssp_distributed_tier",
     "q347_kcore_distributed_tier", "q348_dq_expectations",
-    "q349_fellegi_sunter_em", "q350_pq_recall_audit")
+    "q349_fellegi_sunter_em", "q350_pq_recall_audit",
+    "q351_agg_pushdown_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

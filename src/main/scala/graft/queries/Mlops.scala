@@ -4427,7 +4427,44 @@ object Mlops {
           fsTail(spark = true, rounds = 6))
       },
       Some("WITH " + fsCensusCtes("customer", spark = false) + ",\n" +
-        FsR0 + ",\n" + fsTail(spark = false, rounds = 6)))
+        FsR0 + ",\n" + fsTail(spark = false, rounds = 6))),
+
+    QueryDef("q351_agg_pushdown_audit",
+      "DSv2 aggregate pushdown: per-channel count/min/max over ~1e9 virtual " +
+        "synthetic rows answered closed-form at the scan, rolled up above",
+      // SupportsPushDownAggregates on graft-synthetic: the grouped
+      // count/min/max over the (channel, t) lattice is COMPLETELY pushed —
+      // the scan emits 64 constant rows and never generates a trace sample,
+      // so a 10^9-virtual-row aggregate costs the same as a 10^2 one (the
+      // plan-level no-Aggregate assertion lives in SyntheticSourceSpec).
+      // The modulo roll-up above it runs in Spark over the 64 pushed rows,
+      // certifying the pushed schema composes with normal planning. The
+      // oracle computes the same lattice arithmetic from generate_series.
+      (s, dir) => {
+        val src = s.read.format("graft.sources.SyntheticSource")
+          .option("nchannels", 96).option("ntime", 10000000)
+          .option("seed", 5).option("channelsPerPartition", 4).load()
+        src.filter(col("channel") >= 16 && col("channel") < 80)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n"), min("t").as("lo"), max("t").as("hi"))
+          .groupBy((col("channel") % 8).as("grp"))
+          .agg(count(lit(1)).as("n_channels"),
+            sum(col("n")).cast("long").as("samples"),
+            min("lo").as("min_t"), max("hi").as("max_t"))
+          .orderBy("grp")
+      },
+      Some("""|WITH ch AS (
+              |  SELECT CAST(c AS INT) AS channel
+              |  FROM (SELECT unnest(generate_series(16, 79)) AS c)
+              |), per AS (
+              |  SELECT channel, CAST(10000000 AS BIGINT) AS n,
+              |    CAST(0 AS INT) AS lo, CAST(9999999 AS INT) AS hi
+              |  FROM ch
+              |)
+              |SELECT channel % 8 AS grp, CAST(count(*) AS BIGINT) AS n_channels,
+              |  CAST(sum(n) AS BIGINT) AS samples,
+              |  min(lo) AS min_t, max(hi) AS max_t
+              |FROM per GROUP BY 1 ORDER BY grp""".stripMargin))
   )
 
   /** q349 fixture + comparison-vector census CTEs, dialect-substituted.

@@ -72,13 +72,26 @@ final class SyntheticTable(options: CaseInsensitiveStringMap)
     new SyntheticScanBuilder(nChannels, nTime, seed, chPerPart)
 }
 
+/** The closed-form aggregates the synthetic grid can answer WITHOUT
+  * generating a single trace sample: counts and min/max over the
+  * (channel, t) lattice are pure arithmetic on the (pruned) channel range.
+  * A pushed `GROUP BY channel` count over a 10^11-row synthetic corpus
+  * therefore plans to nChannels constant rows — the scan never runs. */
+private sealed trait SynthAgg
+private case object SynthCountStar extends SynthAgg
+private final case class SynthCount(col: String) extends SynthAgg
+private final case class SynthMin(col: String) extends SynthAgg
+private final case class SynthMax(col: String) extends SynthAgg
+
 final class SyntheticScanBuilder(nChannels: Int, nTime: Int, seed: Long,
                                  chPerPart: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = SyntheticSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpec: Option[(Boolean, Seq[SynthAgg])] = None
   // pruned channel range [lo, hi] plus an optional explicit allow-set
   private var chLo = 0
   private var chHi = nChannels - 1
@@ -122,8 +135,145 @@ final class SyntheticScanBuilder(nChannels: Int, nTime: Int, seed: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SyntheticScan(nTime, seed, chPerPart, chLo, chHi, chSet, required)
+  /** COMPLETE aggregate pushdown for the closed-form cases: grouping is
+    * empty or exactly `channel`, and every aggregate is COUNT(*) /
+    * COUNT / MIN / MAX over `channel` or `t` (never `value` — that would
+    * need the trace). Grouped rows are emitted one-channel-per-group from
+    * disjoint partitions, so "complete" is sound under any parallelism. */
+  private def analyzeAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Boolean, Seq[SynthAgg])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+        (nr.fieldNames()(0) == "t" || nr.fieldNames()(0) == "channel") =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val grouped: Option[Boolean] = agg.groupByExpressions().toSeq match {
+      case Seq() => Some(false)
+      case Seq(nr: NamedReference)
+          if nr.fieldNames().sameElements(Array("channel")) => Some(true)
+      case _ => None
+    }
+    val funcs: Seq[Option[SynthAgg]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(SynthCountStar)
+      case c: Count if !c.isDistinct => fieldOf(c.column()).map(SynthCount)
+      case m: Min => fieldOf(m.column()).map(SynthMin)
+      case m: Max => fieldOf(m.column()).map(SynthMax)
+      case _ => None
+    }
+    for (g <- grouped; fs <- Some(funcs) if fs.forall(_.isDefined) && fs.nonEmpty)
+      yield (g, fs.flatten)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = analyzeAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = analyzeAggregation(agg) match {
+    // only complete pushdown is offered: without it Spark would treat the
+    // emitted rows as PARTIALS and re-aggregate
+    case s @ Some(_) if supportCompletePushDown(agg) => aggSpec = s; true
+    case _ => false
+  }
+
+  override def build(): Scan = aggSpec match {
+    case Some((grouped, funcs)) =>
+      new SyntheticAggScan(nTime, chPerPart, chLo, chHi, chSet, grouped, funcs)
+    case None =>
+      new SyntheticScan(nTime, seed, chPerPart, chLo, chHi, chSet, required)
+  }
+}
+
+/** Scan for a completely-pushed aggregation: emits the closed-form rows
+  * (group columns first, then aggregate values, positionally — the
+  * V2ScanRelationPushDown contract). No trace generation, no shuffle. */
+final class SyntheticAggScan(nTime: Int, chPerPart: Int,
+                             chLo: Int, chHi: Int, chSet: Option[Set[Int]],
+                             grouped: Boolean, funcs: Seq[SynthAgg])
+    extends Scan with Batch {
+
+  private def channels: Seq[Int] = {
+    val base = chLo to chHi
+    chSet.map(s => base.filter(s.contains)).getOrElse(base)
+  }
+
+  override def readSchema(): StructType = {
+    val aggFields = funcs.zipWithIndex.map {
+      case (SynthCountStar, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (SynthCount(_), i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (SynthMin(_), i) => StructField(s"agg_$i", IntegerType, nullable = true)
+      case (SynthMax(_), i) => StructField(s"agg_$i", IntegerType, nullable = true)
+    }
+    val gb = if (grouped)
+      Seq(StructField("channel", IntegerType, nullable = false)) else Seq.empty
+    StructType(gb ++ aggFields)
+  }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synthetic AGGREGATED grouped=$grouped funcs=[${funcs.mkString(",")}]" +
+      s" channels=[$chLo..$chHi]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (grouped)
+      channels.grouped(chPerPart)
+        .map(g => SyntheticAggPartition(g.toArray, nTime): InputPartition)
+        .toArray
+    else Array(SyntheticAggPartition(channels.toArray, nTime))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticAggReaderFactory(grouped, funcs)
+}
+
+final case class SyntheticAggPartition(chans: Array[Int], nTime: Int)
+    extends InputPartition
+
+final class SyntheticAggReaderFactory(grouped: Boolean, funcs: Seq[SynthAgg])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SyntheticAggReader(p.asInstanceOf[SyntheticAggPartition], grouped, funcs)
+}
+
+/** Closed-form aggregate rows: per channel (grouped) or one global row.
+  * Empty channel ranges yield zero counts and null min/max (ungrouped)
+  * or no rows at all (grouped) — matching what the un-pushed aggregate
+  * over an empty scan would produce. */
+final class SyntheticAggReader(p: SyntheticAggPartition, grouped: Boolean,
+                               funcs: Seq[SynthAgg])
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    def aggVals(chans: Array[Int]): Seq[Any] = funcs.map {
+      case SynthCountStar => chans.length.toLong * p.nTime
+      case SynthCount(_) => chans.length.toLong * p.nTime // columns non-null
+      case SynthMin("t") => if (chans.isEmpty) null else 0
+      case SynthMax("t") => if (chans.isEmpty) null else p.nTime - 1
+      case SynthMin("channel") => if (chans.isEmpty) null else chans.min
+      case SynthMax("channel") => if (chans.isEmpty) null else chans.max
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    if (grouped)
+      p.chans.iterator.map(c =>
+        new GenericInternalRow((Seq[Any](c) ++ aggVals(Array(c))).toArray))
+    else
+      Iterator.single(new GenericInternalRow(aggVals(p.chans).toArray))
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    if (!rows.hasNext) return false
+    cur = rows.next(); true
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
 }
 
 final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,

@@ -69,4 +69,51 @@ class SyntheticSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 2)
     assert(df.count() === 8 * 16)
   }
+
+  // --- aggregate pushdown ----------------------------------------------
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  test("grouped count/min/max pushes down completely (no Aggregate node)") {
+    val pushed = src().groupBy("channel")
+      .agg(count(lit(1)).as("n"), min("t").as("lo"), max("t").as("hi"))
+    assert(!hasAggregate(pushed), "aggregation should be pushed to the scan")
+    // baseline: an un-pushable residual filter (t >= 0 is a no-op but only
+    // channel predicates push) keeps the aggregate in the plan
+    val baseline = src().filter(col("t") >= 0).groupBy("channel")
+      .agg(count(lit(1)).as("n"), min("t").as("lo"), max("t").as("hi"))
+    assert(hasAggregate(baseline))
+    val p = pushed.orderBy("channel").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val b = baseline.orderBy("channel").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(p.sameElements(b))
+    assert(p.length === 8 && p.forall { case (_, n, lo, hi) =>
+      n == 64L && lo == 0 && hi == 63 })
+  }
+
+  test("global (ungrouped) aggregates push down and compose with pruning") {
+    val df = src().filter(col("channel") >= 2 && col("channel") < 6)
+      .agg(count(lit(1)).as("n"), min("t").as("lo"), max("t").as("hi"),
+        min("channel").as("clo"), max("channel").as("chi"))
+    assert(!hasAggregate(df))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 4L * 64 && r.getInt(1) === 0 &&
+      r.getInt(2) === 63 && r.getInt(3) === 2 && r.getInt(4) === 5)
+  }
+
+  test("value aggregates do NOT push down and stay correct") {
+    val df = src(nCh = 2, nTime = 32).groupBy("channel")
+      .agg(sum("value").as("s"), count(lit(1)).as("n"))
+    assert(hasAggregate(df), "sum(value) must not push down")
+    val rows = df.orderBy("channel").collect()
+    for (ch <- 0 until 2) {
+      val expect = graft.model.Synthetic.rawTraceForSource(32, 42L, ch).sum
+      assert(math.abs(rows(ch).getDouble(1) - expect) < 1e-12)
+      assert(rows(ch).getLong(2) === 32L)
+    }
+  }
 }
