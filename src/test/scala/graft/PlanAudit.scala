@@ -23,7 +23,12 @@ object PlanAudit {
       .filter(_.nonEmpty)
       .getOrElse(Seq("q05_nation_revenue", "q21_car_trimmed_mean", "q33_pipeline_high_gamma"))
     for (name <- names) {
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df0 = SparkEntry.queries(name)(spark, dir)
+      // PLAN_AUDIT_COUNT audits the bench harness's actual plan shape:
+      // Bench times df.count(), whose optimized plan can differ from the
+      // query's own (aggregate pruning above sources, dropped sorts)
+      val df = if (sys.env.contains("PLAN_AUDIT_COUNT"))
+        df0.groupBy().count() else df0
       // run first so AQE finalizes: runtime ReusedExchange / skew splits /
       // broadcast demotions only appear in the post-execution plan
       if (sys.env.contains("PLAN_AUDIT_EXECUTE")) df.collect()
@@ -35,7 +40,8 @@ object PlanAudit {
       val wgl = "WindowGroupLimit".r.findAllIn(plan).length
       println(s"== $name: exchanges=$exchanges reused=$reused broadcastJoins=$bhj sortMergeJoins=$smj windowGroupLimits=$wgl")
       plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join")
-          || l.contains("Scan parquet") || l.contains("WindowGroupLimit"))
+          || l.contains("Scan") || l.contains("WindowGroupLimit")
+          || l.contains("Aggregate"))
         .take(30).foreach(l => println("   " + l.trim.take(150)))
     }
     spark.stop()
