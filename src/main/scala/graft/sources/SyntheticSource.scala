@@ -282,10 +282,57 @@ final class SyntheticAggReader(p: SyntheticAggPartition, grouped: Boolean,
 
 final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,
                           chLo: Int, chHi: Int, chSet: Option[Set[Int]],
-                          required: StructType) extends Scan with Batch {
+                          required: StructType)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // --- runtime (dynamic) partition pruning --------------------------------
+  // A join on `channel` against a filtered dim injects a DPP subquery; at
+  // runtime Spark hands the dim's surviving keys to filter() BEFORE
+  // planInputPartitions, so whole channel partitions vanish without a row
+  // generated — the DSv2 equivalent of q326's parquet partition pruning.
+  private var runtimeSet: Option[Set[Int]] = None
+
+  // only advertise `channel` while it survives column pruning: Spark
+  // resolves filterAttributes against the scan OUTPUT and throws on a
+  // pruned column (a channel-free projection can't be runtime-filtered
+  // anyway)
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains("channel"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("channel"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case sources.In("channel", vs) =>
+      val s = vs.collect { case n: Number => n.intValue() }.toSet
+      runtimeSet = Some(runtimeSet.map(_.intersect(s)).getOrElse(s))
+    case sources.EqualTo("channel", v: Number) =>
+      val s = Set(v.intValue())
+      runtimeSet = Some(runtimeSet.map(_.intersect(s)).getOrElse(s))
+    case _ => () // unsupported runtime predicates are simply not applied
+  }
+
+  /** Exact (not estimated) statistics — the lattice row count is known in
+    * closed form AFTER filter pushdown, so the planner sizes joins against
+    * the pruned scan rather than the conf default (Long.Max bytes, which
+    * would never auto-broadcast a synthetic side no matter how small the
+    * pruned channel range is). Bytes: 4 (channel) + 4 (t) + 8 (value) per
+    * retained column. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = channels.size.toLong * nTime
+    private val rowBytes = required.fieldNames.map {
+      case "value" => 8L
+      case _ => 4L
+    }.sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def description(): String =
     s"graft-synthetic channels=[$chLo..$chHi]" +
       chSet.map(s => s" in {${s.toSeq.sorted.mkString(",")}}").getOrElse("") +
@@ -293,7 +340,8 @@ final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,
 
   private def channels: Seq[Int] = {
     val base = chLo to chHi
-    chSet.map(s => base.filter(s.contains)).getOrElse(base)
+    val planned = chSet.map(s => base.filter(s.contains)).getOrElse(base)
+    runtimeSet.map(s => planned.filter(s.contains)).getOrElse(planned)
   }
 
   override def planInputPartitions(): Array[InputPartition] =

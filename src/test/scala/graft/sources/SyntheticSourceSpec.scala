@@ -105,6 +105,71 @@ class SyntheticSourceSpec extends AnyFunSuite {
       r.getInt(2) === 63 && r.getInt(3) === 2 && r.getInt(4) === 5)
   }
 
+  test("scan-reported statistics auto-broadcast a pruned synthetic side") {
+    // without SupportsReportStatistics a DSv2 relation costs the conf
+    // default (Long.Max bytes) and NEVER auto-broadcasts; with the exact
+    // lattice stats the pruned side (1 channel x 64 rows x 16 B) sits far
+    // under the 10 MB threshold and the planner picks BroadcastHashJoin
+    // with no broadcast() hint anywhere
+    import spark.implicits._
+    val big = spark.range(200000).select(
+      pmod(col("id"), lit(64)).cast("int").as("t"),
+      col("id").as("payload"))
+    val small = src().filter(col("channel") === 3).select("t", "value")
+    val joined = big.join(small, "t")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats-driven auto-broadcast expected:\n$plan")
+    assert(joined.count() === 200000L)
+    // and the reported stats shrink with filter pushdown
+    val scan = joined.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val stats = scan.computeStats()
+    assert(stats.rowCount.exists(_.toLong == 64L),
+      s"pruned scan must report 1x64 rows, got ${stats.rowCount}")
+  }
+
+  test("runtime filtering: a channel join dynamically prunes partitions") {
+    // the DSv2 twin of parquet DPP (q326): the dim side's surviving keys
+    // reach SyntheticScan.filter() at RUNTIME, before planInputPartitions,
+    // so non-joining channels never generate a row
+    import spark.implicits._
+    val synth = src(nCh = 32, nTime = 256)
+    // two PartitionPruning-rule requirements pinned here: the dim-side
+    // predicate must be "likely selective" (IN/equality qualify; a Not(=)
+    // does not), and the dim must be a real SCAN — a filtered LocalRelation
+    // never triggers DPP (measured), so the dim round-trips through parquet
+    val dimDir = java.nio.file.Files.createTempDirectory("synth_dpp").toString
+    Seq((3, "a"), (7, "b"), (7, "c"), (40, "z")).toDF("ch", "tag")
+      .write.mode("overwrite").parquet(s"$dimDir/dim")
+    val dim = spark.read.parquet(s"$dimDir/dim")
+      .filter(col("tag").isin("a", "b", "c"))
+    val joined = synth.join(broadcast(dim), col("channel") === col("ch"))
+      .agg(count(lit(1)).as("n"))
+    val n = joined.collect()(0).getLong(0)
+    assert(n === 3L * 256, s"3 dim rows x 256 samples, got $n")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic-pruning runtime filter on the scan:\n$plan")
+    // under AQE the scan lives inside finalized query stages — descend
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no BatchScanExec found in:\n$plan")
+    // inputPartitions is the PRE-filter plan (32); the executed path goes
+    // through filteredPartitions, observable via the scan's output metric:
+    // only channels {3, 7} may generate rows
+    assert(scans.head.metrics("numOutputRows").value === 2L * 256,
+      "runtime filter must prune generation to channels {3, 7}")
+  }
+
   test("value aggregates do NOT push down and stay correct") {
     val df = src(nCh = 2, nTime = 32).groupBy("channel")
       .agg(sum("value").as("s"), count(lit(1)).as("n"))
