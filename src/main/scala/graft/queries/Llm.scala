@@ -3495,7 +3495,105 @@ object Llm {
               |SELECT COALESCE(c.n_common, 0) AS recall_at_k,
               |  count(*) AS n_queries
               |FROM qs q LEFT JOIN common c ON c.qid = q.qid
-              |GROUP BY 1 ORDER BY recall_at_k""".stripMargin)))
+              |GROUP BY 1 ORDER BY recall_at_k""".stripMargin)),
+
+    QueryDef("q352_ivfpq_serve",
+      "full IVF-PQ serving: coarse-cell probes -> PQ-ADC shortlist -> " +
+        "exact rerank top-5 per query (the two-quantizer ANN architecture)",
+      // composes the certified coarse quantizer (q52 Lloyd cells, q307
+      // probe ranking) with the certified fine quantizer (q350 PQ-ADC):
+      // candidates come only from probed cells, are scored by m=8 LUT
+      // reads + integer adds (no full-vector math), and only the ADC
+      // top-20 per query is exact-rescored on the floor_dot_e9 grid.
+      // The oracle replays BOTH Lloyd trainings, the probe ranking, the
+      // ADC shortlist, and the rerank — every served row engine-exact.
+      (s, dir) => Similarity.ivfPqTopK(table(s, dir, "embeddings"),
+        nCells = 16, cIters = 2, nprobe = 3, m = 8, k = 16, pqIters = 2,
+        shortlist = 20, topK = 5, queryMod = 40),
+      Some(s"""|WITH $IvfLloydCtes
+              |$IvfAssignCte,
+              |${pqLloydCtes(m = 8, sd = 8, k = 16, rounds = 2, includeEmb = false)},
+              |g AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(generate_series(1, 64),
+              |      i -> CAST(floor(v[i] * v[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS e2
+              |  FROM emb
+              |),
+              |base AS (
+              |  SELECT g.vec_id, g.v, g.e2, af.cell
+              |  FROM g JOIN af USING (vec_id) WHERE g.e2 > 0
+              |),
+              |qs AS (
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq
+              |  FROM base WHERE vec_id % 40 = 0
+              |),
+              |probes AS (
+              |  SELECT qid, cell FROM (
+              |    SELECT q.qid, c.cell,
+              |      row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+              |          c.cell) AS rn
+              |    FROM qs q CROSS JOIN c2 c
+              |  ) WHERE rn <= 3
+              |),
+              |lutd AS (
+              |  SELECT q.qid, b.sub, b.code,
+              |    CAST(floor(list_dot_product(
+              |      list_slice(q.qv, b.sub * 8 + 1, b.sub * 8 + 8), b.cv)
+              |      * 1e9) AS BIGINT) AS de9
+              |  FROM qs q CROSS JOIN b2 b
+              |),
+              |lutn AS (
+              |  SELECT sub, code,
+              |    CAST(floor(list_dot_product(cv, cv) * 1e9) AS BIGINT) AS n2e9
+              |  FROM b2
+              |),
+              |cand AS (
+              |  SELECT q.qid, b.vec_id AS cid
+              |  FROM qs q
+              |  JOIN probes p ON p.qid = q.qid
+              |  JOIN base b ON b.cell = p.cell
+              |  WHERE b.vec_id <> q.qid
+              |),
+              |adc AS (
+              |  SELECT c.qid, c.cid,
+              |    CAST(sum(ld.de9) AS BIGINT) AS dot_e9,
+              |    CAST(sum(ln.n2e9) AS BIGINT) AS n2_e9
+              |  FROM cand c
+              |  JOIN paf a ON a.vec_id = c.cid
+              |  JOIN lutd ld ON ld.qid = c.qid AND ld.sub = a.sub
+              |    AND ld.code = a.code
+              |  JOIN lutn ln ON ln.sub = a.sub AND ln.code = a.code
+              |  GROUP BY 1, 2
+              |),
+              |short AS (
+              |  SELECT qid, cid FROM (
+              |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              |      ORDER BY round(CAST(dot_e9 AS DOUBLE)
+              |        / sqrt(CAST(n2_e9 AS DOUBLE)), 6) DESC, cid) AS rs
+              |    FROM adc WHERE n2_e9 > 0
+              |  ) WHERE rs <= 20
+              |),
+              |fin AS (
+              |  SELECT qid, cid, sim,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY sim DESC, cid) AS rk
+              |  FROM (
+              |    SELECT s.qid, s.cid,
+              |      round(CAST(CAST(list_sum(list_transform(
+              |        generate_series(1, 64),
+              |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |        AS BIGINT) AS DOUBLE)
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |        6) AS sim
+              |    FROM short s
+              |    JOIN qs q ON q.qid = s.qid
+              |    JOIN base b ON b.vec_id = s.cid
+              |  )
+              |)
+              |SELECT qid, CAST(rk AS INT) AS rk, cid, sim
+              |FROM fin WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)))
 
   /** PQ codebook Lloyd replica for the q350 oracle: md5-prefix seeds
     * sliced into `m` subspaces, then `rounds` L2 assign/update rounds per
@@ -3507,13 +3605,17 @@ object Llm {
     * (vec_id, sub, code), the FINAL encoding against b<rounds> (pqEncode
     * assigns against the post-training books; the in-round pa<r>
     * assignments rank against b<r-1>). */
-  private def pqLloydCtes(m: Int, sd: Int, k: Int, rounds: Int): String = {
+  private def pqLloydCtes(m: Int, sd: Int, k: Int, rounds: Int,
+                          includeEmb: Boolean = true): String = {
+    val embCte = if (includeEmb)
+      """emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |""".stripMargin
+    else ""
     val head =
-      s"""emb AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |),
-         |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+      s"""${embCte}subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
          |seeds AS (
          |  SELECT code, v FROM (
          |    SELECT row_number() OVER (

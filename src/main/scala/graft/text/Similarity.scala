@@ -641,6 +641,95 @@ object Similarity {
       .orderBy("recall_at_k")
   }
 
+  /** Full IVF-PQ serving (the published two-quantizer ANN architecture —
+    * FAISS's IndexIVFPQ + refine): coarse Lloyd cells pick `nprobe` probe
+    * cells per query, PQ-ADC lookups score every candidate in the probed
+    * cells WITHOUT touching a full vector (m table reads + integer adds),
+    * the ADC `shortlist` per query is then exact-rescored (floor_dot_e9
+    * grid cosine) and the top-k served. At scale the probed join is the
+    * only corpus contact, and it reads codes (m bytes) not vectors — the
+    * memory-bandwidth win PQ exists for; only shortlist×nq full vectors
+    * are ever scored exactly. Returns (qid, rk, cid, sim) like
+    * [[ivfTopKMulti]]. Queries are corpus rows with id ≡ 0 (mod
+    * `queryMod`), excluded from their own candidates. */
+  def ivfPqTopK(embeddings: DataFrame, nCells: Int = 16, cIters: Int = 2,
+                nprobe: Int = 3, m: Int = 8, k: Int = 16, pqIters: Int = 2,
+                shortlist: Int = 20, topK: Int = 5, queryMod: Long = 40,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Checkpoints.Pinnable
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.GridFunctions.register(spark)
+    val centroids = kmeansCentroids(embeddings, nCells, cIters, idCol, vecCol)
+    val books = pqCodebooks(embeddings, m, k, pqIters, idCol, vecCol)
+    val sd = books(0)(0).length
+    val bcB = spark.sparkContext.broadcast(books)
+    val encodeU = udf((v: Seq[Float]) => pqAssign(bcB.value, v))
+    val a = ivfAssign(embeddings, centroids, vecCol)
+      .withColumn("e2", expr(s"floor_dot_e9($vecCol, $vecCol)"))
+      .filter(col("e2") > 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        col("e2").as("ec"), col("cell"), encodeU(col(vecCol)).as("codes"))
+      .pin // consumers: query batch + probed candidate scan
+
+    // bounded query batch: probe cells + e9 ADC LUTs, all driver-side
+    val qRows = a.filter(col("cid") % queryMod === 0)
+      .select(col("cid"), col("cv"), col("ec")).collect()
+      .sortBy(_.getLong(0))
+    val lutDot: Array[Array[Array[Long]]] = qRows.map { r =>
+      val qv = r.getSeq[Float](1)
+      Array.tabulate(m, k) { (s, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < sd) { d += qv(s * sd + j).toDouble * books(s)(c)(j); j += 1 }
+        math.floor(d * 1e9).toLong
+      }
+    }
+    val lutN2: Array[Array[Long]] = Array.tabulate(m, k) { (s, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < sd) { d += books(s)(c)(j) * books(s)(c)(j); j += 1 }
+      math.floor(d * 1e9).toLong
+    }
+    val bcLut = spark.sparkContext.broadcast((lutDot, lutN2))
+    val adcU = udf((qi: Int, codes: Seq[Int]) => {
+      val (ld, ln) = bcLut.value
+      var dot = 0L
+      var n2 = 0L
+      var s = 0
+      while (s < m) { val c = codes(s); dot += ld(qi)(s)(c); n2 += ln(s)(c); s += 1 }
+      (dot, n2)
+    })
+    val qFrame = qRows.zipWithIndex.map { case (r, i) =>
+      val qv = r.getSeq[Float](1)
+      val probes = centroids.indices.map(c => (c, cosineArr(centroids(c), qv)))
+        .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+      (i, r.getLong(0), qv, r.getLong(2), probes)
+    }.toSeq.toDF("qi", "qid", "qv", "eq", "probes")
+
+    val cand = broadcast(qFrame.select(col("qi"), col("qid"), col("qv"),
+        col("eq"), explode(col("probes")).as("cell")))
+      .join(a, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+    val adc = cand.withColumn("t", adcU(col("qi"), col("codes")))
+      .filter(col("t._2") > 0)
+      .withColumn("adc_sim", round(col("t._1").cast("double") /
+        sqrt(col("t._2").cast("double")), 6))
+    val wShort = Window.partitionBy("qid")
+      .orderBy(col("adc_sim").desc, col("cid"))
+    val short = adc.withColumn("rs", row_number().over(wShort))
+      .filter(col("rs") <= shortlist)
+    val exact = short.withColumn("sim",
+      round(expr("floor_dot_e9(qv, cv)").cast("double") /
+        sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+    val wFin = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    exact.withColumn("rk", row_number().over(wFin)).filter(col("rk") <= topK)
+      .select(col("qid"), col("rk"), col("cid"), col("sim"))
+      .orderBy("qid", "rk")
+  }
+
   /** Hyperplane component (p, i): a signed 48-bit integer from md5 hex
     * chars 1-12 of "<seed>:<p>:<i>", centered by 2^47. Integer-valued and
     * < 2^53, so the value is EXACT in a double in any engine — a SQL oracle
