@@ -90,4 +90,44 @@ object Expectations {
         col("metric_num") * lit(1000000L) >= col("min_ratio_e6") * col("metric_den"))
       .orderBy("rule")
   }
+
+  /** One-pass OBSERVED expectations — the production shape at 100 TB: the
+    * suite's row-local metrics attach to the frame as an `Observation`, so
+    * they materialize as a side effect of whatever action the caller was
+    * already running (the write, the count) and cost ZERO additional scans.
+    * `Unique` rules need grouped state and are excluded — [[verify]] is the
+    * offline path for those. Read the verdicts with [[report]] after the
+    * action completes. */
+  def observed(df: DataFrame, rules: Seq[Rule],
+               name: String = "expectations")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "expectation suite needs at least one rule")
+    val local = rules.flatMap(r => rowPredicate(r).map(p => (r, p)))
+    require(local.size == rules.size,
+      "observed() supports row-local rules only (Complete/Satisfies); " +
+        "run Unique rules through verify()")
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = count(lit(1)).cast("long").as("_den") +:
+      local.map { case (r, p) =>
+        coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(r.name)
+      }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** Render a completed [[observed]] run into the [[verify]] report schema
+    * (rule, metric_num, metric_den, min_ratio_e6, pass), ordered by rule.
+    * Blocks until the observed action has finished. */
+  def report(spark: org.apache.spark.sql.SparkSession,
+             obs: org.apache.spark.sql.Observation,
+             rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    val m = obs.get
+    val den = m("_den").asInstanceOf[Long]
+    rules.map { r =>
+      val num = m(r.name).asInstanceOf[Long]
+      (r.name, num, den, r.minRatioE6,
+        num * 1000000L >= r.minRatioE6 * den)
+    }.sortBy(_._1)
+      .toDF("rule", "metric_num", "metric_den", "min_ratio_e6", "pass")
+  }
 }

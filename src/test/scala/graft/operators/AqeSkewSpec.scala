@@ -145,4 +145,41 @@ class AqeSkewSpec extends AnyFunSuite {
     assert(skewRows == plain)
     assert(skewRows._3 == 180000L)
   }
+
+  test("AQE coalesces undersized post-shuffle partitions without changing results") {
+    // the third AQE runtime re-plan this suite certifies: a 64-way shuffle
+    // whose reducers would each hold a few KB coalesces into far fewer
+    // partitions (AQEShuffleRead coalesced), so a 100 TB job tuned for its
+    // biggest stage doesn't burn a task per near-empty reducer downstream.
+    // Both the reader node and the actual output partition count are
+    // asserted, plus checksum equality against the AQE-off plan.
+    val data = spark.range(20000).select(
+      pmod(col("id"), lit(500)).as("key"), col("id").as("v"))
+    def agg = data.groupBy("key")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+
+    val (planOn, partsOn, rowsOn) = withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.shuffle.partitions" -> "64") {
+      val df = agg
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      (df.queryExecution.executedPlan.toString, df.rdd.getNumPartitions, rows)
+    }
+    assert(planOn.split("== Initial Plan ==")(0).contains("coalesced"),
+      s"expected an AQEShuffleRead coalesced reader:\n$planOn")
+    assert(partsOn < 8,
+      s"64 configured reducers should coalesce to a handful, got $partsOn")
+
+    val rowsOff = withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "64") {
+      agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    }
+    assert(rowsOn.sameElements(rowsOff))
+    assert(rowsOn.length == 500)
+  }
 }

@@ -65,4 +65,30 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 3L
       && !rows(0).getBoolean(4))
   }
+
+  test("observed(): metrics ride the caller's action, report == verify") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (null, "b"), (4L, "zz"), (5L, "b"))
+      .toDF("k", "s")
+    val rules = Seq(
+      Expectations.Complete("complete_k", "k", 800000L),
+      Expectations.Satisfies("s_in_set", "s IN ('a','b')", 1000000L))
+    val (instrumented, obs) = Expectations.observed(df, rules)
+    // the metrics materialize as a side effect of THIS count — no 2nd scan
+    assert(instrumented.count() == 5L)
+    val got = Expectations.report(spark, obs, rules).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val want = Expectations.verify(df, rules).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.sameElements(want))
+    val byRule = got.map(t => t._1 -> ((t._2, t._3, t._5))).toMap
+    assert(byRule("complete_k") == ((4L, 5L, true)))
+    assert(byRule("s_in_set") == ((4L, 5L, false)))
+    // Unique rules are rejected on the observed path
+    intercept[IllegalArgumentException] {
+      Expectations.observed(df, Seq(Expectations.Unique("u", "k", 1L)))
+    }
+  }
 }
