@@ -69,7 +69,8 @@ final class SyntheticTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(nChannels, nTime, seed, chPerPart)
+    new SyntheticScanBuilder(nChannels, nTime, seed, chPerPart,
+      options.getBoolean("columnar", true))
 }
 
 /** The closed-form aggregates the synthetic grid can answer WITHOUT
@@ -84,7 +85,7 @@ private final case class SynthMin(col: String) extends SynthAgg
 private final case class SynthMax(col: String) extends SynthAgg
 
 final class SyntheticScanBuilder(nChannels: Int, nTime: Int, seed: Long,
-                                 chPerPart: Int)
+                                 chPerPart: Int, columnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -190,7 +191,8 @@ final class SyntheticScanBuilder(nChannels: Int, nTime: Int, seed: Long,
     case Some((grouped, funcs)) =>
       new SyntheticAggScan(nTime, chPerPart, chLo, chHi, chSet, grouped, funcs)
     case None =>
-      new SyntheticScan(nTime, seed, chPerPart, chLo, chHi, chSet, required)
+      new SyntheticScan(nTime, seed, chPerPart, chLo, chHi, chSet, required,
+        columnar)
   }
 }
 
@@ -282,7 +284,7 @@ final class SyntheticAggReader(p: SyntheticAggPartition, grouped: Boolean,
 
 final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,
                           chLo: Int, chHi: Int, chSet: Option[Set[Int]],
-                          required: StructType)
+                          required: StructType, columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -350,16 +352,75 @@ final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticReaderFactory(required)
+    new SyntheticReaderFactory(required, columnar)
 }
 
 final case class SyntheticPartition(chans: Array[Int], nTime: Int, seed: Long)
     extends InputPartition
 
-final class SyntheticReaderFactory(required: StructType)
+final class SyntheticReaderFactory(required: StructType,
+                                   columnar: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SyntheticReader(p.asInstanceOf[SyntheticPartition], required)
+
+  // Vectorized path: the row iterator costs a GenericInternalRow + boxed
+  // getters per LATTICE POINT (measured ~2.5 s for a 640M-point walk);
+  // batches fill primitive column vectors directly and feed the codegen'd
+  // ColumnarToRow, the same shape the parquet vectorized reader uses.
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new SyntheticColumnarReader(p.asInstanceOf[SyntheticPartition], required)
+}
+
+/** Vectorized reader: per channel, the trace generates once and slices
+  * into `batchSize`-row ColumnarBatches of primitive vectors. Column
+  * pruning still applies — a value-free projection never generates a
+  * trace. */
+final class SyntheticColumnarReader(p: SyntheticPartition,
+                                    required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val batchSize = 4096
+  private val needValue = required.fieldNames.contains("value")
+  private var chIdx = 0
+  private var t = 0 // next time index to emit within the current channel
+  private var trace: Array[Double] = _
+  private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (chIdx >= p.chans.length) return false
+    if (t >= p.nTime) {
+      chIdx += 1; t = 0; trace = null
+      if (chIdx >= p.chans.length) return false
+    }
+    if (needValue && trace == null)
+      trace = graft.model.Synthetic.rawTraceForSource(p.nTime, p.seed, p.chans(chIdx))
+    val n = math.min(batchSize, p.nTime - t)
+    val vectors = OnHeapColumnVector.allocateColumns(n, required)
+    required.fieldNames.zipWithIndex.foreach {
+      case ("channel", i) =>
+        var j = 0
+        while (j < n) { vectors(i).putInt(j, p.chans(chIdx)); j += 1 }
+      case ("t", i) =>
+        var j = 0
+        while (j < n) { vectors(i).putInt(j, t + j); j += 1 }
+      case ("value", i) =>
+        vectors(i).asInstanceOf[OnHeapColumnVector].putDoubles(0, n, trace, t)
+      case (other, _) =>
+        throw new IllegalArgumentException(s"unknown column $other")
+    }
+    batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+      vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector), n)
+    t += n
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = if (batch != null) batch.close()
 }
 
 /** Generates one channel's trace at a time; `value` is only computed when

@@ -70,6 +70,22 @@ class SyntheticSourceSpec extends AnyFunSuite {
     assert(df.count() === 8 * 16)
   }
 
+  test("vectorized reader: columnar scan by default, row fallback by option") {
+    def lattice(columnar: Boolean) = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("nchannels", 8).option("ntime", 64).option("seed", 42)
+      .option("columnar", columnar).load()
+    val colPlan = lattice(true).queryExecution.executedPlan.toString
+    assert(colPlan.contains("ColumnarToRow"),
+      s"default path must read ColumnarBatches:\n$colPlan")
+    assert(!lattice(false).queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    // bit-exact equality across both read paths, all columns
+    val c = lattice(true).orderBy("channel", "t").collect()
+    val r = lattice(false).orderBy("channel", "t").collect()
+    assert(c.length == 8 * 64 && c.sameElements(r))
+  }
+
   // --- aggregate pushdown ----------------------------------------------
 
   private def hasAggregate(df: DataFrame): Boolean =

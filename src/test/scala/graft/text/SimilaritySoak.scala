@@ -103,6 +103,16 @@ object SimilaritySoak {
       }
       println(s"[soak]   -> ${qs.length} sequential queries (16x fewer than the batch)")
     }
+    time("IVF-PQ 256-query batch (train both quantizers + encode + ADC shortlist + exact rerank)") {
+      // the memory-tier serving path: candidates in probed cells score by
+      // m=8 LUT reads + integer adds over the 8-byte codes — never a
+      // dim-length dot — and only the per-query shortlist touches vectors
+      val step = math.max(1L, nVecs / 256)
+      val n = Similarity.ivfPqTopK(vecs, nCells = 32, cIters = 2, nprobe = 4,
+        m = 8, k = 16, pqIters = 2, shortlist = 30, topK = 10,
+        queryMod = step).count()
+      println(s"[soak]   -> $n served rows from code-only candidate scoring")
+    }
     time("corpus norm stats") {
       val r = vecs.select(
         avg(sqrt(aggregate(transform(col("embedding"), x => x * x),
