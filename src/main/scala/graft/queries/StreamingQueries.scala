@@ -1294,7 +1294,30 @@ ORDER BY event_type, win"""
       "the running dedup on Spark 4's transformWithState API " +
         "(StatefulProcessor + named ValueState, RocksDB-only): the " +
         "next-gen state API == classic GroupState == batch aggregate",
-      q344Build, Some(q344Oracle)))
+      q344Build, Some(q344Oracle)),
+
+    QueryDef("q353_tws_map_state_hist",
+      "transformWithState MAP state: per-source language histogram with " +
+        "one state-store entry per (source, lang) sub-key == batch census",
+      // completes the TWS state-family certification (q344 = ValueState):
+      // MapState gives per-sub-key read-modify-write without rehydrating
+      // the whole histogram — with N sub-keys, a batch touching one lang
+      // rewrites ~1/N of what a ValueState[Map] would. Counts commute, so
+      // the last update per (source, lang) (= max, counts are monotone)
+      // equals the batch census under any micro-batch slicing.
+      q353Build, Some(
+        """|SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           |FROM documents GROUP BY source, lang
+           |ORDER BY source, lang""".stripMargin)),
+
+    QueryDef("q354_tws_list_state_sessions",
+      "transformWithState LIST state: capped sessionization with O(batch) " +
+        "append-only state writes == q316's batch fold (oracle verbatim)",
+      // the LIST member of the family: arrivals APPEND to per-user
+      // ListState (the q324 GroupState form rewrites its whole sorted
+      // history each batch), the gap+ceiling fold re-runs over the sorted
+      // union, and the final per-user update equals the batch fold.
+      q354Build, Some(Mlops.CappedSessionsOracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1841,4 +1864,55 @@ ORDER BY event_type, win"""
   }
 
   private def q344Oracle: String = q343Oracle
+
+  // ---- q353/q354: the MapState and ListState members of the TWS family ---
+
+  private def q353Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("q353_stage")
+    StreamingOps.deleteOnExit(stage)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        stage, s"docs_$i.parquet", now - (3 - i) * 60000L)
+    import s.implicits._
+    val updates = StreamingOps.withRocksDbState(s) {
+      StreamingOps.runToMemoryOrdered(s, stage.toString,
+        s"q353_sink_${sinkId.incrementAndGet()}",
+        df => StreamingOps.runningLangHistTws(
+          df.select(col("source"), col("lang"))
+            .as[StreamingOps.LangEvent]).toDF(),
+        outputMode = OutputMode.Update)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang")
+    updates
+      .withColumn("_mx", max("n").over(w))
+      .filter(col("n") === col("_mx"))
+      .select(col("source"), col("lang"), col("n")).distinct()
+      .orderBy("source", "lang")
+  }
+
+  private def q354Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = stageEvents(s, dir)
+    import s.implicits._
+    val updates = StreamingOps.withRocksDbState(s) {
+      StreamingOps.runToMemory(s, stage,
+        s"q354_sink_${sinkId.incrementAndGet()}",
+        df => StreamingOps.runningCappedSessionsTws(
+          df.select(col("user_id"), col("ts").cast("long").as("tn"),
+            col("event_id")).as[StreamingOps.SessEvent],
+          gapNs = 43200000000000L, capNs = 86400000000000L).toDF(),
+        outputMode = OutputMode.Update)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    updates
+      .withColumn("_mx", max("n_events").over(w))
+      .filter(col("n_events") === col("_mx"))
+      .select(col("user_id"), col("n_events"), col("n_sessions"),
+        col("n_cap_splits"), col("max_sess_events"))
+      .orderBy("user_id")
+  }
 }

@@ -118,6 +118,90 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  final case class LangEvent(source: String, lang: String)
+  final case class LangCount(source: String, lang: String, n: Long)
+
+  /** Per-source language histogram as a `StatefulProcessor` with MAP
+    * state — the state family [[DedupProcessor]]'s ValueState can't
+    * express: one sub-keyed counter per (source, lang), read-modify-write
+    * per arrival without deserializing the whole histogram (MapState
+    * stores each user key as its OWN state-store entry — with N langs per
+    * source, a batch touching one lang rewrites ~1/N of the state a
+    * ValueState[Map] would). Counts are commutative, so the last update
+    * per (source, lang) equals the batch census under any micro-batch
+    * slicing. RocksDB-only, like all transformWithState. */
+  final class LangHistProcessor
+      extends StatefulProcessor[String, LangEvent, LangCount] {
+    @transient private var hist: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[String, Long]("hist",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[LangEvent],
+                                 timers: TimerValues): Iterator[LangCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val cur = if (hist.containsKey(r.lang)) hist.getValue(r.lang) else 0L
+        hist.updateValue(r.lang, cur + 1L)
+        touched += r.lang
+      }
+      touched.iterator.map(l => LangCount(key, l, hist.getValue(l)))
+    }
+  }
+
+  /** [[LangHistProcessor]] wired: running per-(source, lang) census with
+    * per-sub-key map state. Requires the RocksDB provider
+    * ([[withRocksDbState]]). */
+  def runningLangHistTws(events: Dataset[LangEvent]): Dataset[LangCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.source)
+      .transformWithState(new LangHistProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[runningCappedSessions]]' fold as a `StatefulProcessor` with LIST
+    * state: arrivals APPEND to the per-user ListState (an O(batch) state
+    * write — the GroupState form rewrites the whole sorted history every
+    * batch, O(total)), and the gap+ceiling fold re-runs over the sorted
+    * union, so out-of-order arrivals still re-split session boundaries and
+    * the final update per user equals the batch fold. RocksDB-only. */
+  final class CappedSessionProcessor(gapNs: Long, capNs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessUpdate] {
+    @transient private var hist: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[(Long, Long)]("ts",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                                 timers: TimerValues): Iterator[SessUpdate] = {
+      rows.foreach(r => hist.appendValue((r.tn, r.event_id)))
+      val merged = hist.get().toSeq.sortBy(identity)
+      var nSess = 0L; var start = 0L; var last = 0L
+      var cur = 0L; var mx = 0L; var nCap = 0L
+      merged.foreach { case (y, _) =>
+        if (cur == 0L) {
+          nSess = 1L; start = y; last = y; cur = 1L; mx = 1L
+        } else if (y - last > gapNs || y - start > capNs) {
+          if (y - last <= gapNs) nCap += 1L
+          nSess += 1L; start = y; last = y; cur = 1L
+        } else {
+          cur += 1L; mx = math.max(mx, cur); last = y
+        }
+      }
+      Iterator.single(SessUpdate(user, merged.size.toLong, nSess, nCap, mx))
+    }
+  }
+
+  /** [[CappedSessionProcessor]] wired: same function as
+    * [[runningCappedSessions]] (certified against the same batch oracle),
+    * different state engine. Requires the RocksDB provider. */
+  def runningCappedSessionsTws(events: Dataset[SessEvent], gapNs: Long,
+                               capNs: Long): Dataset[SessUpdate] = {
+    import events.sparkSession.implicits._
+    require(gapNs > 0 && capNs > 0, s"need positive gap/cap (got $gapNs, $capNs)")
+    events.groupByKey(_.user_id)
+      .transformWithState(new CappedSessionProcessor(gapNs, capNs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class BandBucketEvent(band_idx: Int, bucket: String, doc_id: Long)
   final case class BucketState(n_docs: Long, min_doc: Long)
   final case class BucketUpdate(band_idx: Int, bucket: String, n_docs: Long, min_doc: Long)

@@ -127,6 +127,64 @@ class StateStoreProviderSpec extends AnyFunSuite {
     assert(viaTws.size == 20 && viaTws.forall(_._2 == 3L))
   }
 
+  test("MapState histogram and ListState sessions == their batch/classic folds") {
+    // the other two TWS state families (q344 covers ValueState):
+    // MapState = per-sub-key counters, ListState = append-only history
+    val stage = java.nio.file.Files.createTempDirectory("ssp_fam")
+    StreamingOps.deleteOnExit(stage)
+    val rows = (0L until 60L).map(i =>
+      (i, s"s${i % 3}", s"l${i % 4}", i * 1000L))
+      .toDF("doc_id", "source", "lang", "tn")
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(rows.filter(pmod(col("doc_id"), lit(3)) === i),
+        stage, s"rows_$i.parquet", now - (3 - i) * 60000L)
+
+    // MapState: last update per (source, lang) == census (each (s,l) cell
+    // holds 5 rows: 60 / (3 sources x 4 langs))
+    val hist = StreamingOps.withRocksDbState(spark) {
+      val updates = StreamingOps.runToMemoryOrdered(spark, stage.toString,
+        "ssp_map",
+        df => StreamingOps.runningLangHistTws(
+          df.select(col("source"), col("lang"))
+            .as[StreamingOps.LangEvent]).toDF(),
+        outputMode = OutputMode.Update)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "lang")
+      updates.withColumn("_mx", max("n").over(w))
+        .filter(col("n") === col("_mx"))
+        .select("source", "lang", "n").distinct()
+        .as[(String, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    }
+    assert(hist.size == 12 && hist.forall(_._3 == 5L), s"got $hist")
+
+    // ListState sessions vs the classic GroupState fold, same stream
+    def sessOf(viaTws: Boolean, sink: String) =
+      StreamingOps.withRocksDbState(spark) {
+        val updates = StreamingOps.runToMemoryOrdered(spark, stage.toString,
+          sink,
+          df => {
+            val ev = df.select(pmod(col("doc_id"), lit(4)).as("user_id"),
+                col("tn"), col("doc_id").as("event_id"))
+              .as[StreamingOps.SessEvent]
+            (if (viaTws)
+               StreamingOps.runningCappedSessionsTws(ev, 5000L, 20000L)
+             else StreamingOps.runningCappedSessions(ev, 5000L, 20000L)).toDF()
+          },
+          outputMode = OutputMode.Update)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        updates.withColumn("_mx", max("n_events").over(w))
+          .filter(col("n_events") === col("_mx"))
+          .select("user_id", "n_events", "n_sessions", "n_cap_splits",
+            "max_sess_events")
+          .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      }
+    val tws = sessOf(viaTws = true, "ssp_list_tws")
+    val classic = sessOf(viaTws = false, "ssp_list_classic")
+    assert(tws == classic, s"$tws vs $classic")
+    assert(tws.size == 4 && tws.forall(_._2 == 15L))
+  }
+
   test("watermarked windowed aggregation is provider-invariant too") {
     // streaming-agg state (per-window rows) has a different store layout
     // than mapGroupsWithState's user-typed state — certify both families
