@@ -4470,8 +4470,55 @@ object Mlops {
               |SELECT channel % 8 AS grp, CAST(count(*) AS BIGINT) AS n_channels,
               |  CAST(sum(n) AS BIGINT) AS samples,
               |  min(lo) AS min_t, max(hi) AS max_t
-              |FROM per GROUP BY 1 ORDER BY grp""".stripMargin))
+              |FROM per GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    QueryDef("q355_randomized_response",
+      "local-DP randomized response (Warner 1965, categorical variant): " +
+        "md5-coin perturbation + exact integer debiasing per event type",
+      // completes the privacy family's LOCAL side (q268 is central DP):
+      // each row reports its true type w.p. 3/4, else a uniform of the 5
+      // types — both draws are md5-threshold coins, so the perturbed
+      // release is reproducible in any engine. With report-truth prob
+      // 3/4 + 1/20 = 4/5 and cross-type prob 1/20, E[o_t] =
+      // (15 n_t + n)/20, so 15*estimate = 20*o_t - n stays integer-exact
+      // (no float division crosses the engine boundary); err_x15 audits
+      // the debiasing against the true counts. One scan, two tiny aggs.
+      (s, dir) => {
+        table(s, dir, "events").createOrReplaceTempView("rr_events")
+        s.sql(rrSql(spark = true))
+      },
+      Some(rrSql(spark = false)))
   )
+
+  /** q355's shared SQL (dialect only in the md5 draw): the perturbation,
+    * census, and exact-rational debias. */
+  private def rrSql(spark: Boolean): String = {
+    val keep = u60("concat(CAST(event_id AS STRING), ':rr_keep')", spark)
+    val pick = u60("concat(CAST(event_id AS STRING), ':rr_pick')", spark)
+    val tbl = if (spark) "rr_events" else "events"
+    s"""WITH flips AS (
+       |  SELECT event_type AS true_t,
+       |    CASE WHEN $keep < 864691128455135232 THEN event_type
+       |         ELSE CASE ($pick % 5)
+       |           WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+       |           WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+       |           ELSE 'view' END
+       |    END AS rep_t
+       |  FROM $tbl
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $tbl),
+       |rep AS (
+       |  SELECT rep_t, CAST(count(*) AS BIGINT) AS n_reported
+       |  FROM flips GROUP BY rep_t
+       |), tru AS (
+       |  SELECT true_t, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM flips GROUP BY true_t
+       |)
+       |SELECT t.true_t AS event_type, t.n_true, r.n_reported,
+       |  20 * r.n_reported - tot.n AS est_x15,
+       |  20 * r.n_reported - tot.n - 15 * t.n_true AS err_x15
+       |FROM tru t JOIN rep r ON r.rep_t = t.true_t CROSS JOIN tot
+       |ORDER BY event_type""".stripMargin
+  }
 
   /** q349 fixture + comparison-vector census CTEs, dialect-substituted.
     * Blocks are strictly positive before the integer division so Spark's
