@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AssembleSeries, AssembleTimed, ComplexAmplitude, ComplexPhase, FloorDotE9, TrimmedMeanNan}
+import graft.functions.{AssembleSeries, AssembleTimed, ComplexAmplitude, ComplexPhase, FloorDotE9, RewriteFloorDotE9, TrimmedMeanNan}
 
 /** Library integration point for `spark.sql.extensions=graft.GraftExtensions`
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`):
@@ -25,12 +25,18 @@ import graft.functions.{AssembleSeries, AssembleTimed, ComplexAmplitude, Complex
   *    Σ floor(aᵢ·bᵢ·1e9) over float/double arrays (cosine rescoring,
   *    energy norms)
   *
-  * No optimizer rules or strategies are injected — the engine's plans are
-  * built from stock Catalyst operators on purpose (SURVEY.md §7: "no custom
+  * ONE optimizer rule is injected — [[graft.functions.RewriteFloorDotE9]],
+  * which substitutes the native codegen'd `floor_dot_e9` for the portable
+  * HOF `aggregate(zip_with(...))` exact-grid dot product. It is the single
+  * rule whose rewrite is PROVABLY value-identical (bit-for-bit, including
+  * the null chain — GridExpressionsSpec pins it), so it cannot perturb an
+  * oracle; no strategies and no semantics-bearing rules are injected — the
+  * engine's plans stay stock Catalyst on purpose (SURVEY.md §7: "no custom
   * SparkStrategy warranted anywhere"). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteFloorDotE9)
     ext.injectFunction((
       FunctionIdentifier("complex_amplitude"),
       new ExpressionInfo(classOf[ComplexAmplitude].getName, "complex_amplitude"),

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * in any IEEE engine and floor has no half-way case, so swapping the HOF
   * for this expression never changes a certified value.
   *
-  * Length = min of the two array lengths; a NULL array or any NULL element
-  * yields NULL (mirroring the HOF's null chain). Accepts float or double
-  * arrays on either side.
+  * NULL chain mirrors the HOF form EXACTLY (a requirement of the
+  * [[RewriteFloorDotE9]] optimizer rule, which substitutes this expression
+  * for that pattern): a NULL array, any NULL element, or UNEQUAL lengths
+  * yields NULL — `zip_with` null-pads the shorter array, so the HOF
+  * returns NULL there too. Accepts float or double arrays on either side.
   */
 case class FloorDotE9(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,7 +66,8 @@ case class FloorDotE9(left: Expression, right: Expression)
     if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -85,9 +88,10 @@ case class FloorDotE9(left: Expression, right: Expression)
       def get(arr: String, side: Expression) =
         if (isFloat(side)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (long) java.lang.Math.floor(
          |    ${get(a, left)} * ${get(b, right)} * 1e9);

@@ -40,7 +40,7 @@ class GridExpressionsSpec extends AnyFunSuite {
     assert(bad2 === 0L)
   }
 
-  test("null array and null element both yield NULL; length = min(len)") {
+  test("null array, null element, and UNEQUAL lengths all yield NULL (HOF parity)") {
     GridFunctions.register(spark)
     val df = Seq(
       (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f)),
@@ -48,12 +48,23 @@ class GridExpressionsSpec extends AnyFunSuite {
       (3L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f)),
       (4L, Seq[java.lang.Float](1f, 2f, 5f), Seq[java.lang.Float](3f, 4f))
     ).toDF("id", "a", "b")
-    val got = df.select(col("id"), expr("floor_dot_e9(a, b)").as("d"))
-      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val hof = "aggregate(zip_with(a, b, (x, y) -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9) AS BIGINT)), " +
+      "0L, (acc, e) -> acc + e)"
+    val got = df.select(col("id"), expr("floor_dot_e9(a, b)").as("d"),
+        expr(hof).as("h"))
+      .collect().map { r =>
+        val d = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        val h = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        assert(d === h, s"id ${r.getLong(0)}: native $d != HOF $h")
+        r.getLong(0) -> d
+      }.toMap
     assert(got(1L) === Some(3000000000L + 8000000000L))
     assert(got(2L) === None)
     assert(got(3L) === None)
-    assert(got(4L) === got(1L)) // extra element ignored (min length)
+    // unequal lengths: zip_with null-pads the shorter side -> NULL; the
+    // native expression must agree (RewriteFloorDotE9 substitutes it)
+    assert(got(4L) === None)
   }
 
   test("double arrays accepted; mixed float/double accepted") {
@@ -61,6 +72,66 @@ class GridExpressionsSpec extends AnyFunSuite {
     val df = Seq((Seq(0.5, 0.25), Seq(2.0f, 4.0f))).toDF("a", "b")
     val v = df.select(expr("floor_dot_e9(a, b)")).head().getLong(0)
     assert(v === 1000000000L + 1000000000L)
+  }
+
+  test("RewriteFloorDotE9: the HOF form optimizes to the native kernel") {
+    spark // materialize the suite session (and its SparkContext) first
+    val orig = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .appName("rewrite-rule-spec")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import ext.implicits._
+      val r = new scala.util.Random(3)
+      val rows = (0 until 50).map { i =>
+        (i.toLong, Seq.fill(16)((r.nextGaussian() * 2).toFloat),
+          Seq.fill(16)((r.nextGaussian() * 2).toFloat))
+      }
+      // parquet-backed: a LocalRelation input constant-folds the whole
+      // projection away before the rule could ever be observed
+      val dir = java.nio.file.Files.createTempDirectory("rw_rule").toString
+      rows.toDF("id", "a", "b").write.mode("overwrite").parquet(s"$dir/t")
+      val df = ext.read.parquet(s"$dir/t")
+      val hof = "aggregate(zip_with(a, b, (x, y) -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9) AS BIGINT)), " +
+        "0L, (acc, e) -> acc + e)"
+      val q = df.select(col("id"), expr(hof).as("d"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("floor_dot_e9"),
+        s"rule must substitute the native kernel:\n${q.queryExecution.optimizedPlan}")
+      // values: bit-identical to the un-extended session's interpreted HOF
+      val got = q.collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      GridFunctions.register(spark)
+      val want = {
+        import spark.implicits._
+        rows.toDF("id", "a", "b")
+          .select(col("id"), expr(hof).as("d"))
+          .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      }
+      assert(got == want)
+      // negative controls: a different grid constant, a seeded zero, and
+      // non-float/double arrays must all be left alone
+      val other = df.select(expr(hof.replace("1e9", "1e8")).as("d"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("floor_dot_e9"))
+      val seeded = df.select(expr(hof.replace("0L,", "1L,")).as("d"))
+      assert(!seeded.queryExecution.optimizedPlan.toString.contains("floor_dot_e9"))
+      val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+        .select(expr("aggregate(zip_with(a, b, (x, y) -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9) AS BIGINT)), " +
+          "0L, (acc, e) -> acc + e)").as("d"))
+      assert(!ints.queryExecution.optimizedPlan.toString.contains("floor_dot_e9"))
+      assert(ints.head().getLong(0) === 3000000000L + 8000000000L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      orig.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
   }
 
   test("compiles under whole-stage codegen with NON-NULLABLE inputs") {
