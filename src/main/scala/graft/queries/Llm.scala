@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef.table
-import graft.text.{TextOps, TextAnalysis, Similarity, Curation, Bpe, Sketches}
+import graft.text.{TextOps, TextAnalysis, Similarity, Curation, Bpe, Sketches, Unigram}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators over `documents`/`embeddings`
@@ -3593,7 +3593,128 @@ object Llm {
               |  )
               |)
               |SELECT qid, CAST(rk AS INT) AS rk, cid, sim
-              |FROM fin WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)))
+              |FROM fin WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    QueryDef("q356_unigram_lm_tokenizer",
+      "unigram-LM tokenizer (SentencePiece algorithm, hard-EM Viterbi): " +
+        "2 E/M rounds over the weighted distinct-word frame, top-25 pieces",
+      // the third tokenizer-family member (q76 fixed BPE, q279 BPE merge
+      // learning): substring-candidate vocab with e6 integer costs, pure-
+      // BIGINT Viterbi (val = cost*64 + 1 packs (cost, n_pieces); ties to
+      // the smallest split), hard-EM count/renormalize. The corpus is
+      // scanned once; every E-step runs on the distinct-word census with
+      // the bounded vocab broadcast. The oracle replays EVERYTHING in SQL:
+      // the same word census, candidate vocab, cost grids, a 10-position
+      // unrolled Viterbi DP (argmin by (val, j) per position), unrolled
+      // backtrace, and both E/M rounds.
+      (s, dir) => Unigram.topPieces(table(s, dir, "documents"),
+        minCount = 40L, topK = 25, rounds = 2),
+      Some(unigramOracle(minCount = 40L, topK = 25))))
+
+  /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
+    * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]
+    * exactly (argmin by (packed val, split point) per position). Emits
+    * d_<tag>_1..10, all_<tag>, b_<tag>_0..10 / p_<tag>_1..10, and
+    * seg_<tag> (piece, c_w). Every stateful CTE is MATERIALIZED: the DP
+    * chain re-references each level up to five times and DuckDB would
+    * otherwise inline the subtree exponentially. */
+  private def unigramDpCtes(tag: String, vocabCte: String): String = {
+    val maxW = graft.text.Unigram.MaxWordLen
+    val maxP = graft.text.Unigram.MaxPieceLen
+    def dref(j: Int) = if (j == 0) "ud0" else s"d_${tag}_$j"
+    val dp = (1 to maxW).map { i =>
+      val opts = (math.max(0, i - maxP) until i).map { j =>
+        s"""    SELECT d.w, $j AS j, d.dp + v.cost_e6 * 64 + 1 AS val
+           |    FROM ${dref(j)} d JOIN $vocabCte v
+           |      ON v.piece = substr(d.w, ${j + 1}, ${i - j})
+           |    WHERE length(d.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""d_${tag}_$i AS MATERIALIZED (
+         |  SELECT w, j AS bp, val AS dp FROM (
+         |    SELECT w, j, val,
+         |      row_number() OVER (PARTITION BY w ORDER BY val, j) AS rn
+         |    FROM (
+         |$opts
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val allT = s"""all_$tag AS MATERIALIZED (
+       |${(1 to maxW).map(i =>
+            s"  SELECT w, $i AS i, bp FROM d_${tag}_$i").mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
+    val bt = (1 to maxW).map { t =>
+      s"""p_${tag}_$t AS MATERIALIZED (
+         |  SELECT b.w, b.c_w, a.bp AS i2,
+         |    substr(b.w, a.bp + 1, b.i - a.bp) AS piece
+         |  FROM b_${tag}_${t - 1} b JOIN all_$tag a
+         |    ON a.w = b.w AND a.i = b.i
+         |  WHERE b.i > 0
+         |),
+         |b_${tag}_$t AS MATERIALIZED (SELECT w, c_w, i2 AS i FROM p_${tag}_$t)""".stripMargin
+    }.mkString(",\n")
+    val seg = s"""seg_$tag AS (
+       |${(1 to maxW).map(i =>
+            s"  SELECT piece, c_w FROM p_${tag}_$i").mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
+    Seq(dp, allT,
+      s"b_${tag}_0 AS (SELECT w, c_w, CAST(length(w) AS INT) AS i FROM ws)",
+      bt, seg).mkString(",\n")
+  }
+
+  /** Full q356 oracle: word census, candidate vocab + e6 cost grid, two
+    * unrolled hard-EM rounds, top-k report. */
+  private def unigramOracle(minCount: Long, topK: Int): String = {
+    val maxW = graft.text.Unigram.MaxWordLen
+    val maxP = graft.text.Unigram.MaxPieceLen
+    s"""WITH ws AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM (
+       |    SELECT substr(tok, 1, $maxW) AS w FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |    ) WHERE regexp_matches(tok, '^[a-z]+$$')
+       |  ) GROUP BY w
+       |),
+       |cand AS (
+       |  SELECT substr(w, p, L) AS piece, c_w
+       |  FROM ws
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $maxW)) AS p) pos
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $maxP)) AS L) ls
+       |  WHERE p + L - 1 <= length(w)
+       |),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(c_w) AS BIGINT) AS cnt FROM cand GROUP BY piece
+       |  HAVING length(piece) = 1 OR CAST(sum(c_w) AS BIGINT) >= $minCount
+       |),
+       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |  CAST(count(*) AS BIGINT) AS vsz FROM v0),
+       |c0 AS MATERIALIZED (
+       |  SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE)
+       |    / CAST(t0.total AS DOUBLE)) * 1e6) AS BIGINT) AS cost_e6
+       |  FROM v0 CROSS JOIN t0
+       |),
+       |ud0 AS (SELECT w, CAST(0 AS BIGINT) AS dp FROM ws),
+       |${unigramDpCtes("r1", "c0")},
+       |n1 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(c_w) AS BIGINT) AS n_uses
+       |  FROM seg_r1 GROUP BY piece
+       |),
+       |t1 AS (SELECT CAST(sum(n_uses) AS BIGINT) AS total FROM n1),
+       |c1 AS MATERIALIZED (
+       |  SELECT v0.piece, CAST(round(-ln(CAST(coalesce(n1.n_uses, 0) + 1 AS DOUBLE)
+       |    / CAST(t1.total + t0.vsz AS DOUBLE)) * 1e6) AS BIGINT) AS cost_e6
+       |  FROM v0 LEFT JOIN n1 USING (piece) CROSS JOIN t1 CROSS JOIN t0
+       |),
+       |${unigramDpCtes("r2", "c1")},
+       |n2 AS (
+       |  SELECT piece, CAST(sum(c_w) AS BIGINT) AS n_uses
+       |  FROM seg_r2 GROUP BY piece
+       |)
+       |SELECT piece, n_uses, cost_e6 FROM (
+       |  SELECT n2.piece, n2.n_uses, c1.cost_e6,
+       |    row_number() OVER (ORDER BY n2.n_uses DESC, n2.piece) AS rk
+       |  FROM n2 JOIN c1 USING (piece)
+       |) WHERE rk <= $topK ORDER BY n_uses DESC, piece""".stripMargin
+  }
 
   /** PQ codebook Lloyd replica for the q350 oracle: md5-prefix seeds
     * sliced into `m` subspaces, then `rounds` L2 assign/update rounds per
