@@ -161,7 +161,8 @@ object Bench {
     "q349_fellegi_sunter_em", "q350_pq_recall_audit",
     "q351_agg_pushdown_audit", "q352_ivfpq_serve",
     "q353_tws_map_state_hist", "q354_tws_list_state_sessions",
-    "q355_randomized_response", "q356_unigram_lm_tokenizer")
+    "q355_randomized_response", "q356_unigram_lm_tokenizer",
+    "q357_shot_boundaries")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3609,7 +3609,76 @@ object Llm {
       // backtrace, and both E/M rounds.
       (s, dir) => Unigram.topPieces(table(s, dir, "documents"),
         minCount = 40L, topK = 25, rounds = 2),
-      Some(unigramOracle(minCount = 40L, topK = 25))))
+      Some(unigramOracle(minCount = 40L, topK = 25))),
+
+    QueryDef("q357_shot_boundaries",
+      "video shot-boundary detection: per-video frame signatures, " +
+        "consecutive-frame cuts, shot census (planted 1- and 2-cut videos)",
+      // the multimodal family's temporal member (q69 samples frames, q298
+      // perceptual-hashes stills): each synthetic video is 8 exact frame
+      // segments — every doc_id % 3 == 0 video carries segments A×3 B×2
+      // C×3 (two cuts), the rest A×4 B×4 (one cut) — so the REAL stride
+      // sampler's 32-byte slices align with the planted shots, a cut is
+      // any consecutive-signature change (lag window per video), and the
+      // census must land exactly on the planted mix. ASCII payloads keep
+      // the oracle's string slicing byte-faithful (the q69 contract).
+      (s, dir) => {
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("media_id"),
+            lit("video").as("kind"),
+            expr("""cast(concat(
+                repeat(md5(concat(cast(doc_id as string), ':sa')),
+                  CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END),
+                repeat(md5(concat(cast(doc_id as string), ':sb')),
+                  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 4 END),
+                CASE WHEN doc_id % 3 = 0
+                  THEN repeat(md5(concat(cast(doc_id as string), ':sc')), 3)
+                  ELSE '' END) as binary)""").as("payload"),
+            lit(null).cast(Multimodal.MediaSchema("meta").dataType).as("meta"))
+        val frames = Multimodal.sampleFrames(media, nFrames = 8)
+          .select(col("media_id"), posexplode(col("frames")))
+          .select(col("media_id"), col("pos"), md5(col("col")).as("sig"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("pos")
+        frames.withColumn("prev", lag("sig", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("media_id"),
+            (col("sig") =!= col("prev")).cast("long").as("chg"))
+          .groupBy("media_id").agg(sum("chg").cast("long").as("n_cuts"))
+          .groupBy("n_cuts").agg(count(lit(1)).as("n_videos"))
+          .withColumn("n_shots", col("n_cuts") + 1)
+          .select("n_cuts", "n_shots", "n_videos")
+          .orderBy("n_cuts")
+      },
+      Some("""|WITH p AS (
+              |  SELECT doc_id,
+              |    md5(doc_id::VARCHAR || ':sa') AS sa,
+              |    md5(doc_id::VARCHAR || ':sb') AS sb,
+              |    md5(doc_id::VARCHAR || ':sc') AS sc
+              |  FROM documents
+              |), pay AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 3 = 0
+              |      THEN repeat(sa, 3) || repeat(sb, 2) || repeat(sc, 3)
+              |      ELSE repeat(sa, 4) || repeat(sb, 4) END AS payload
+              |  FROM p
+              |), fr AS (
+              |  SELECT doc_id, i, substr(payload, i * 32 + 1, 32) AS f
+              |  FROM pay
+              |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g
+              |), cu AS (
+              |  SELECT doc_id,
+              |    CAST(count(*) FILTER (WHERE changed) AS BIGINT) AS n_cuts
+              |  FROM (
+              |    SELECT doc_id,
+              |      f <> lag(f) OVER (PARTITION BY doc_id ORDER BY i) AS changed
+              |    FROM fr
+              |  ) WHERE changed IS NOT NULL
+              |  GROUP BY doc_id
+              |)
+              |SELECT n_cuts, n_cuts + 1 AS n_shots,
+              |  CAST(count(*) AS BIGINT) AS n_videos
+              |FROM cu GROUP BY n_cuts ORDER BY n_cuts""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]
