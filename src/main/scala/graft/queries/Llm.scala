@@ -3678,7 +3678,75 @@ object Llm {
               |)
               |SELECT n_cuts, n_cuts + 1 AS n_shots,
               |  CAST(count(*) AS BIGINT) AS n_videos
-              |FROM cu GROUP BY n_cuts ORDER BY n_cuts""".stripMargin)))
+              |FROM cu GROUP BY n_cuts ORDER BY n_cuts""".stripMargin)),
+
+    QueryDef("q358_hard_negative_mining",
+      "contrastive-pair hard negatives: per query, the top-5 most-similar " +
+        "vectors with a DIFFERENT label (exact-grid cosine, rank windows)",
+      // completes the q264 negative-sampling story with the HARD tier:
+      // random negatives are easy — the pairs that move a contrastive loss
+      // are the near-misses, i.e. highest-cosine candidates under a label
+      // mismatch. One broadcast of the bounded query batch, the exact-grid
+      // codegen'd cosine, label-mismatch filter BEFORE the rank window
+      // (WindowGroupLimit keeps per-partition top-5 ahead of the qid
+      // shuffle). At scale the exact tier swaps for the q352 IVF-PQ probe
+      // with the same label filter; the audit contract stays this query.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Checkpoints.Pinnable
+        graft.functions.GridFunctions.register(s)
+        val a = table(s, dir, "embeddings")
+          .withColumn("e2", expr("floor_dot_e9(embedding, embedding)"))
+          .filter(col("e2") > 0)
+          .select(col("vec_id").cast("long").as("cid"),
+            col("embedding").as("cv"), col("e2").as("ec"),
+            col("label").as("cl"))
+          .pin // consumers: query batch + candidate scan
+        val q = a.filter(col("cid") % 40 === 0)
+          .select(col("cid").as("qid"), col("cv").as("qv"),
+            col("ec").as("eq"), col("cl").as("ql"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+        broadcast(q).crossJoin(a)
+          .filter(col("cid") =!= col("qid") && col("cl") =!= col("ql"))
+          .withColumn("sim",
+            round(expr("floor_dot_e9(qv, cv)").cast("double") /
+              sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("cid"),
+            col("cl").as("neg_label"), col("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""|WITH emb AS (
+              |  SELECT vec_id, label,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              |    CAST(list_sum(list_transform(generate_series(1, 64),
+              |      i -> CAST(floor(embedding[i] * embedding[i] * 1e9)
+              |        AS BIGINT))) AS BIGINT) AS e2
+              |  FROM embeddings
+              |), base AS (
+              |  SELECT vec_id, label, v, e2 FROM emb WHERE e2 > 0
+              |), qs AS (
+              |  SELECT vec_id AS qid, label AS ql, v AS qv, e2 AS eq
+              |  FROM base WHERE vec_id % 40 = 0
+              |)
+              |SELECT qid, CAST(rn AS INT) AS rk, cid, neg_label, sim FROM (
+              |  SELECT q.qid, b.vec_id AS cid, b.label AS neg_label,
+              |    round(CAST(CAST(list_sum(list_transform(
+              |      generate_series(1, 64),
+              |      i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |      AS BIGINT) AS DOUBLE)
+              |      / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |      6) AS sim,
+              |    row_number() OVER (PARTITION BY q.qid ORDER BY
+              |      round(CAST(CAST(list_sum(list_transform(
+              |        generate_series(1, 64),
+              |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+              |        AS BIGINT) AS DOUBLE)
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+              |        6) DESC, b.vec_id) AS rn
+              |  FROM qs q CROSS JOIN base b
+              |  WHERE b.vec_id <> q.qid AND b.label <> q.ql
+              |) WHERE rn <= 5 ORDER BY qid, rk""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]
