@@ -162,7 +162,8 @@ object Bench {
     "q351_agg_pushdown_audit", "q352_ivfpq_serve",
     "q353_tws_map_state_hist", "q354_tws_list_state_sessions",
     "q355_randomized_response", "q356_unigram_lm_tokenizer",
-    "q357_shot_boundaries", "q358_hard_negative_mining")
+    "q357_shot_boundaries", "q358_hard_negative_mining",
+    "q359_observed_expectations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4487,8 +4487,57 @@ object Mlops {
         table(s, dir, "events").createOrReplaceTempView("rr_events")
         s.sql(rrSql(spark = true))
       },
-      Some(rrSql(spark = false)))
+      Some(rrSql(spark = false))),
+
+    QueryDef("q359_observed_expectations",
+      "observed data-quality expectations: the suite's metrics ride the " +
+        "pipeline's OWN action (df.observe) — zero extra scans — and the " +
+        "rendered report must equal q348's offline verdicts",
+      // the production deployment shape of q348: a pipeline writes (here:
+      // one count() stands in for the write), the row-local rules ride the
+      // same pass as an Observation, and the report renders afterward from
+      // the collected metric map. The oracle is the scan-based census — so
+      // the driver certifies that the zero-extra-scan path computes the
+      // SAME verdicts the offline suite does.
+      (s, dir) => {
+        val (instrumented, obs) = graft.operators.Expectations.observed(
+          table(s, dir, "events"), Q359Rules)
+        instrumented.count() // the pipeline's action; metrics materialize here
+        graft.operators.Expectations.report(s, obs, Q359Rules)
+      },
+      Some("""|WITH c AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS d,
+              |    CAST(count(*) FILTER (WHERE event_type IS NOT NULL) AS BIGINT) AS complete_event_type,
+              |    CAST(count(*) FILTER (WHERE props LIKE '{"k": %}') AS BIGINT) AS props_shape,
+              |    CAST(count(*) FILTER (WHERE event_type IN ('click','view','purchase','signup','error')) AS BIGINT) AS type_in_set,
+              |    CAST(count(*) FILTER (WHERE value >= 0.0 AND value <= 1000.0) AS BIGINT) AS value_in_range,
+              |    CAST(count(*) FILTER (WHERE value <= 50.0) AS BIGINT) AS value_under_50
+              |  FROM events
+              |), m AS (
+              |  SELECT 'complete_event_type' AS rule, complete_event_type AS metric_num, d AS metric_den, CAST(1000000 AS BIGINT) AS min_ratio_e6 FROM c
+              |  UNION ALL SELECT 'props_shape', props_shape, d, CAST(1000000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'type_in_set', type_in_set, d, CAST(1000000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'value_in_range', value_in_range, d, CAST(990000 AS BIGINT) FROM c
+              |  UNION ALL SELECT 'value_under_50', value_under_50, d, CAST(990000 AS BIGINT) FROM c
+              |)
+              |SELECT rule, metric_num, metric_den, min_ratio_e6,
+              |  metric_num * 1000000 >= min_ratio_e6 * metric_den AS pass
+              |FROM m ORDER BY rule""".stripMargin))
   )
+
+  private val Q359Rules = Seq(
+    graft.operators.Expectations.Complete(
+      "complete_event_type", "event_type", 1000000L),
+    graft.operators.Expectations.Satisfies(
+      "props_shape", "props LIKE '{\"k\": %}'", 1000000L),
+    graft.operators.Expectations.Satisfies(
+      "type_in_set",
+      "event_type IN ('click','view','purchase','signup','error')",
+      1000000L),
+    graft.operators.Expectations.Satisfies(
+      "value_in_range", "value >= 0.0 AND value <= 1000.0", 990000L),
+    graft.operators.Expectations.Satisfies(
+      "value_under_50", "value <= 50.0", 990000L))
 
   /** q355's shared SQL (dialect only in the md5 draw): the perturbation,
     * census, and exact-rational debias. */
