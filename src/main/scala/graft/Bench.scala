@@ -163,7 +163,8 @@ object Bench {
     "q353_tws_map_state_hist", "q354_tws_list_state_sessions",
     "q355_randomized_response", "q356_unigram_lm_tokenizer",
     "q357_shot_boundaries", "q358_hard_negative_mining",
-    "q359_observed_expectations")
+    "q359_observed_expectations",
+    "q360_streaming_full_outer_interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

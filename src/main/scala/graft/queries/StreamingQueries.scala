@@ -797,6 +797,60 @@ GROUP BY 1 ORDER BY channel"""
        |  min(epoch_ns(ts)) AS min_ts, max(epoch_ns(ts)) AS max_ts
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private def q360Build(s: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(s, dir)
+    val maxTu = QueryDef.table(s, dir, "events")
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    def src() = StreamingOps.eventsStream(s, stage)
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        expr("ts div 1000").as("error_us"),
+        timestamp_micros(expr("ts div 1000")).as("et"))
+      .withWatermark("et", "1 hour")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("click_us"),
+        timestamp_micros(expr("ts div 1000")).as("ct"))
+      .withWatermark("ct", "4 hours")
+    val joined = errors.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("ct") >= col("et") - expr("INTERVAL 2 HOURS") &&
+        col("ct") < col("et"), "full_outer")
+    // the GLOBAL watermark is the MIN across both inputs (~stream end -
+    // 4 h here), and an unmatched click only emits once it passes
+    // click_us + 2 h -- so the conservative region starts 6 h back; 7 h
+    // adds the same 1 h margin q330 uses over its 4 h requirement
+    val cutoff = maxTu - 7L * 3600000000L
+    StreamingOps.runStreamToParquet(s, joined,
+        s"q360_sink_${sinkId.incrementAndGet()}")
+      .filter(coalesce(col("error_us"), col("click_us")) <= cutoff)
+      .select(col("error_id"),
+        coalesce(col("user_id"), col("c_user_id")).as("uid"),
+        col("error_us"), col("click_id"), col("click_us"))
+      .orderBy("error_id", "click_id")
+  }
+
+  private def q360Oracle: String =
+    """WITH mx AS (
+      |  SELECT max(epoch_ns(ts) // 1000) AS m FROM events
+      |), ee AS (
+      |  SELECT event_id AS error_id, user_id, epoch_ns(ts) // 1000
+      |    AS error_us
+      |  FROM events WHERE event_type = 'error'
+      |), cc AS (
+      |  SELECT event_id AS click_id, user_id AS cu, epoch_ns(ts) // 1000
+      |    AS click_us
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT ee.error_id, coalesce(ee.user_id, cc.cu) AS uid,
+      |  ee.error_us, cc.click_id, cc.click_us
+      |FROM ee FULL JOIN cc
+      |  ON ee.user_id = cc.cu
+      | AND cc.click_us >= ee.error_us - 7200000000
+      | AND cc.click_us < ee.error_us
+      |WHERE coalesce(ee.error_us, cc.click_us) <= (SELECT m FROM mx) - 25200000000
+      |ORDER BY error_id, click_id""".stripMargin
+
   private def q330Oracle: String =
     """WITH mx AS (
       |  SELECT max(epoch_ns(ts) // 1000) AS m FROM events
@@ -1317,7 +1371,20 @@ ORDER BY event_type, win"""
       // ListState (the q324 GroupState form rewrites its whole sorted
       // history each batch), the gap+ceiling fold re-runs over the sorted
       // union, and the final per-user update equals the batch fold.
-      q354Build, Some(Mlops.CappedSessionsOracle)))
+      q354Build, Some(Mlops.CappedSessionsOracle)),
+
+    QueryDef("q360_streaming_full_outer_interval_join",
+      "stream-stream FULL OUTER interval join: unmatched rows emit from " +
+        "BOTH sides once the opposite watermark closes their window; " +
+        "conservative cutoff == the batch full join",
+      // completes the stream-stream join modes (q104 inner, q330 left
+      // outer): an unmatched error emits when the click watermark passes
+      // its window, an unmatched click when the ERROR watermark passes
+      // click_us + 2h. The symmetric conservative cutoff keeps rows whose
+      // anchor (error time, else click time) is at least 5 h inside the
+      // stream end — beyond both final watermarks — where the emitted set
+      // provably equals the batch FULL JOIN.
+      q360Build, Some(q360Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
