@@ -464,7 +464,7 @@ object Similarity {
     * code) — the PQ encoder kernel. Distances compare as sqrt(Σ(x−c)²) with
     * a left-to-right dim loop so a SQL replica (`list_distance`) agrees
     * bit-for-bit. */
-  private def pqAssign(books: Array[Array[Array[Double]]],
+  private[text] def pqAssign(books: Array[Array[Array[Double]]],
                        v: Seq[Float]): Array[Int] = {
     val vv = v match {
       case s: scala.collection.IndexedSeq[Float] => s

@@ -113,6 +113,80 @@ object SimilaritySoak {
         queryMod = step).count()
       println(s"[soak]   -> $n served rows from code-only candidate scoring")
     }
+    time("PQ serve-only: ADC codes vs full vectors over the SAME probed candidates") {
+      // isolates the fine-quantizer claim from training cost: both passes
+      // rank the same probed candidate set top-10 per query; the exact
+      // pass reads 64-float vectors, the ADC pass reads 8-int codes + a
+      // broadcast LUT. At memory-bandwidth-bound scale the code path is
+      // the one that fits in cache.
+      val m = 8; val k = 16
+      val books = Similarity.pqCodebooks(vecs, m = m, k = k, iters = 1)
+      val sd = books(0)(0).length
+      val bcB = spark.sparkContext.broadcast(books)
+      val encU = udf((v: Seq[Float]) => Similarity.pqAssign(bcB.value, v))
+      graft.functions.GridFunctions.register(spark)
+      val encoded = assigned
+        .select(col("vec_id").as("cid"), col("cell"), encU(col("embedding")).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val withVec = assigned
+        .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("cv"),
+          expr("floor_dot_e9(embedding, embedding)").as("ec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[soak]   encoded rows ${encoded.count()}, vector rows ${withVec.count()}")
+      val step = math.max(1L, nVecs / 256)
+      val qRows = withVec.filter(col("cid") % step === 0)
+        .select(col("cid"), col("cv"), col("ec")).collect().sortBy(_.getLong(0))
+      val bcC = spark.sparkContext.broadcast(centroids)
+      val lutDot = qRows.map { r =>
+        val qv = r.getSeq[Float](1)
+        Array.tabulate(m, k) { (s, c) =>
+          var d = 0.0; var j = 0
+          while (j < sd) { d += qv(s * sd + j).toDouble * books(s)(c)(j); j += 1 }
+          math.floor(d * 1e9).toLong
+        }
+      }
+      val bcLut = spark.sparkContext.broadcast(lutDot)
+      val adcU = udf((qi: Int, codes: Seq[Int]) => {
+        val ld = bcLut.value(qi)
+        var dot = 0L; var s = 0
+        while (s < m) { dot += ld(s)(codes(s)); s += 1 }
+        dot
+      })
+      import spark.implicits._
+      val qFrame = qRows.zipWithIndex.map { case (r, i) =>
+        (i, r.getLong(0), r.getSeq[Float](1), r.getLong(2))
+      }.toSeq.toDF("qi", "qid", "qv", "eq")
+      val probesU = udf { (qv: Seq[Float]) =>
+        val cs = bcC.value
+        cs.indices.map(c => (c, Similarity.cosine(cs(c).map(_.toFloat), qv)))
+          .sortBy { case (c, s) => (-s, c) }.take(4).map(_._1)
+      }
+      val qp = qFrame.withColumn("cell", explode(probesU(col("qv"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("score").desc, col("cid"))
+      def t(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[soak]   $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      for (round <- 1 to 2) {
+        t(s"exact full-vector top-10 (round $round)") {
+          broadcast(qp.select("qid", "qv", "cell")).join(withVec, Seq("cell"))
+            .filter(col("cid") =!= col("qid"))
+            .withColumn("score", expr("floor_dot_e9(qv, cv)"))
+            .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+            .count()
+        }
+        t(s"ADC code-only top-10 (round $round)") {
+          broadcast(qp.select("qi", "qid", "cell")).join(encoded, Seq("cell"))
+            .filter(col("cid") =!= col("qid"))
+            .withColumn("score", adcU(col("qi"), col("codes")))
+            .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+            .count()
+        }
+      }
+      encoded.unpersist(); withVec.unpersist()
+    }
     time("corpus norm stats") {
       val r = vecs.select(
         avg(sqrt(aggregate(transform(col("embedding"), x => x * x),
