@@ -602,15 +602,6 @@ object Similarity {
       while (j < sd) { d += books(s)(c)(j) * books(s)(c)(j); j += 1 }
       math.floor(d * 1e9).toLong
     }
-    val bcLut = spark.sparkContext.broadcast((lutDot, lutN2))
-    val adcU = udf((qi: Int, codes: Seq[Int]) => {
-      val (ld, ln) = bcLut.value
-      var dot = 0L
-      var n2 = 0L
-      var s = 0
-      while (s < m) { val c = codes(s); dot += ld(qi)(s)(c); n2 += ln(s)(c); s += 1 }
-      (dot, n2)
-    })
     val qFrame = qids.zipWithIndex
       .map { case (q, i) => (i, q) }.toSeq.toDF("qi", "qid")
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
@@ -618,12 +609,18 @@ object Similarity {
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= topK)
       .select(col("qid"), col("cid"))
 
+    // native codegen ADC kernels (graft.functions.{AdcDotE9, AdcNormE9}):
+    // same integer sums as the former Scala UDF, minus the boxed-Seq
+    // per-row dispatch that made ADC tie the exact kernel (NOTES r12 s6)
     val pqTop = topN(broadcast(qFrame).crossJoin(a.select("cid", "codes"))
       .filter(col("cid") =!= col("qid"))
-      .withColumn("t", adcU(col("qi"), col("codes")))
-      .filter(col("t._2") > 0)
-      .withColumn("sim", round(col("t._1").cast("double") /
-        sqrt(col("t._2").cast("double")), 6)))
+      .withColumn("d9",
+        graft.functions.PqFunctions.adcDotE9(a, col("codes"), col("qi"), lutDot))
+      .withColumn("n9",
+        graft.functions.PqFunctions.adcNormE9(a, col("codes"), lutN2))
+      .filter(col("n9") > 0)
+      .withColumn("sim", round(col("d9").cast("double") /
+        sqrt(col("n9").cast("double")), 6)))
 
     val q = a.filter(col("cid") % queryMod === 0)
       .select(col("cid").as("qid"), col("cv").as("qv"), col("ec").as("eq"))
@@ -693,15 +690,6 @@ object Similarity {
       while (j < sd) { d += books(s)(c)(j) * books(s)(c)(j); j += 1 }
       math.floor(d * 1e9).toLong
     }
-    val bcLut = spark.sparkContext.broadcast((lutDot, lutN2))
-    val adcU = udf((qi: Int, codes: Seq[Int]) => {
-      val (ld, ln) = bcLut.value
-      var dot = 0L
-      var n2 = 0L
-      var s = 0
-      while (s < m) { val c = codes(s); dot += ld(qi)(s)(c); n2 += ln(s)(c); s += 1 }
-      (dot, n2)
-    })
     val qFrame = qRows.zipWithIndex.map { case (r, i) =>
       val qv = r.getSeq[Float](1)
       val probes = centroids.indices.map(c => (c, cosineArr(centroids(c), qv)))
@@ -713,10 +701,15 @@ object Similarity {
         col("eq"), explode(col("probes")).as("cell")))
       .join(a, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
-    val adc = cand.withColumn("t", adcU(col("qi"), col("codes")))
-      .filter(col("t._2") > 0)
-      .withColumn("adc_sim", round(col("t._1").cast("double") /
-        sqrt(col("t._2").cast("double")), 6))
+    // native codegen ADC kernels — same integer sums as the former UDF
+    val adc = cand
+      .withColumn("d9",
+        graft.functions.PqFunctions.adcDotE9(a, col("codes"), col("qi"), lutDot))
+      .withColumn("n9",
+        graft.functions.PqFunctions.adcNormE9(a, col("codes"), lutN2))
+      .filter(col("n9") > 0)
+      .withColumn("adc_sim", round(col("d9").cast("double") /
+        sqrt(col("n9").cast("double")), 6))
     val wShort = Window.partitionBy("qid")
       .orderBy(col("adc_sim").desc, col("cid"))
     val short = adc.withColumn("rs", row_number().over(wShort))

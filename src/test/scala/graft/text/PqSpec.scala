@@ -53,6 +53,33 @@ class PqSpec extends AnyFunSuite {
     assert(codes.map(_.head).distinct.length > 1)
   }
 
+  test("native ADC kernels: hand values, null codes, codegen compiles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lut3 = Array(Array(Array(10L, 20L), Array(30L, 40L)),
+      Array(Array(100L, 200L), Array(300L, 400L)))
+    val lut2 = Array(Array(1L, 2L), Array(3L, 4L))
+    val df = Seq((0, Seq(0, 1)), (1, Seq(1, 0)), (0, null))
+      .toDF("qi", "codes")
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df
+        .withColumn("d", graft.functions.PqFunctions.adcDotE9(
+          df, col("codes"), col("qi"), lut3))
+        .withColumn("n", graft.functions.PqFunctions.adcNormE9(
+          df, col("codes"), lut2))
+        .collect().map(r => (
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      // qi=0 codes(0,1): 10 + 40 = 50; norms 1 + 4 = 5
+      assert(got(0) == ((Some(50L), Some(5L))))
+      // qi=1 codes(1,0): 200 + 300 = 500; norms 2 + 3 = 5
+      assert(got(1) == ((Some(500L), Some(5L))))
+      assert(got(2) == ((None, None)))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("recall audit: census covers every query, recall bounded by k") {
     val emb = corpus(200, 16)
     val out = Similarity.pqRecallAudit(emb, m = 4, k = 8, iters = 2,

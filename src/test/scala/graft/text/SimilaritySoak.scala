@@ -177,10 +177,18 @@ object SimilaritySoak {
             .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
             .count()
         }
-        t(s"ADC code-only top-10 (round $round)") {
+        t(s"ADC code-only top-10, Scala UDF (round $round)") {
           broadcast(qp.select("qi", "qid", "cell")).join(encoded, Seq("cell"))
             .filter(col("cid") =!= col("qid"))
             .withColumn("score", adcU(col("qi"), col("codes")))
+            .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+            .count()
+        }
+        t(s"ADC code-only top-10, native codegen expression (round $round)") {
+          broadcast(qp.select("qi", "qid", "cell")).join(encoded, Seq("cell"))
+            .filter(col("cid") =!= col("qid"))
+            .withColumn("score", graft.functions.PqFunctions.adcDotE9(
+              encoded, col("codes"), col("qi"), lutDot))
             .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
             .count()
         }
