@@ -27,8 +27,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * for that pattern): a NULL array, any NULL element, or UNEQUAL lengths
   * yields NULL — `zip_with` null-pads the shorter array, so the HOF
   * returns NULL there too. Accepts float or double arrays on either side.
+  *
+  * `failOnError` mirrors the accumulator Add's evalMode: under ANSI the
+  * HOF's `acc + e` THROWS on Long overflow, so the substituted kernel must
+  * too (checked `Math.addExact`); under LEGACY both wrap silently. The
+  * per-element floor is mode-independent in both forms (Spark's
+  * `floor(double)` saturates on toLong regardless of ANSI). The thrown
+  * class is ArithmeticException either way; only the message text differs
+  * from Spark's ANSI error — semantics, not formatting, is the contract.
   */
-case class FloorDotE9(left: Expression, right: Expression)
+case class FloorDotE9(left: Expression, right: Expression,
+                      failOnError: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
@@ -74,7 +83,8 @@ case class FloorDotE9(left: Expression, right: Expression)
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (isFloat(left)) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (isFloat(right)) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += math.floor(x * y * 1e9).toLong
+      val e = math.floor(x * y * 1e9).toLong
+      acc = if (failOnError) Math.addExact(acc, e) else acc + e
       i += 1
     }
     acc
@@ -85,16 +95,21 @@ case class FloorDotE9(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val e = ctx.freshName("e")
       def get(arr: String, side: Expression) =
         if (isFloat(side)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val add =
+        if (failOnError) s"$acc = java.lang.Math.addExact($acc, $e);"
+        else s"$acc += $e;"
       s"""
          |final int $n = $a.numElements();
          |long $acc = 0L;
          |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (long) java.lang.Math.floor(
+         |  final long $e = (long) java.lang.Math.floor(
          |    ${get(a, left)} * ${get(b, right)} * 1e9);
+         |  $add
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * [[AdcDotE9]]: Σ_s lut(qi)(s)(codes(s)) — the per-query e9-grid dot LUT
   * sum. [[AdcNormE9]]: Σ_s lut(s)(codes(s)) — the query-independent
-  * reconstruction-norm sum. Both NULL on null inputs/elements and THROW on
-  * out-of-range codes (an encoder bug must not rank silently). */
+  * reconstruction-norm sum. Both NULL on null inputs/elements AND on a
+  * codes array whose length differs from the LUT's subspace count m
+  * (mirroring FloorDotE9's unequal-length guard — the registered SQL names
+  * are callable with arbitrary arrays, and a short array would otherwise
+  * read past the ArrayData end while a long one would silently ignore
+  * trailing codes), and THROW on out-of-range codes (an encoder bug must
+  * not rank silently). */
 abstract class AdcSumBase extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -51,6 +56,7 @@ case class AdcDotE9(left: Expression, right: Expression,
     if (r == null) return null
     val codes = l.asInstanceOf[ArrayData]
     val q = lut(r.asInstanceOf[Int])
+    if (codes.numElements() != q.length) return null
     var acc = 0L
     var s = 0
     while (s < q.length) {
@@ -70,7 +76,8 @@ case class AdcDotE9(left: Expression, right: Expression,
       s"""
          |final long[][] $q = $lutRef[$qi];
          |long $acc = 0L;
-         |for (int $s = 0; $s < $q.length; $s++) {
+         |if ($codes.numElements() != $q.length) { ${ev.isNull} = true; }
+         |else for (int $s = 0; $s < $q.length; $s++) {
          |  if ($codes.isNullAt($s)) { ${ev.isNull} = true; break; }
          |  $acc += $q[$s][$codes.getInt($s)];
          |}
@@ -99,6 +106,7 @@ case class AdcNormE9(left: Expression, right: Expression,
     val l = left.eval(input)
     if (l == null) return null
     val codes = l.asInstanceOf[ArrayData]
+    if (codes.numElements() != lut.length) return null
     var acc = 0L
     var s = 0
     while (s < lut.length) {
@@ -116,7 +124,8 @@ case class AdcNormE9(left: Expression, right: Expression,
       val acc = ctx.freshName("acc")
       s"""
          |long $acc = 0L;
-         |for (int $s = 0; $s < $lutRef.length; $s++) {
+         |if ($codes.numElements() != $lutRef.length) { ${ev.isNull} = true; }
+         |else for (int $s = 0; $s < $lutRef.length; $s++) {
          |  if ($codes.isNullAt($s)) { ${ev.isNull} = true; break; }
          |  $acc += $lutRef[$s][$codes.getInt($s)];
          |}

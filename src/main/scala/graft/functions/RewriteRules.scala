@@ -28,7 +28,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
   * array children float/double-typed. Anything else — a different grid, a
   * seeded zero, extra arithmetic — is left alone. (The optimizer may have
   * already removed the outer no-op CAST once floor's bigint output is
-  * resolved, so the floor chain matches with or without it.) */
+  * resolved, so the floor chain matches with or without it.)
+  *
+  * ANSI guard: under ANSI evaluation the HOF's `acc + e` THROWS on Long
+  * overflow while a wrapping kernel would be observably different, so the
+  * merge Add's evalMode carries through to [[FloorDotE9]]'s `failOnError`
+  * (ANSI → checked add, LEGACY → wrapping). TRY mode (null-on-overflow) has
+  * no kernel equivalent and is left untouched. The floor→bigint cast and
+  * the float→double lambda-var casts are mode-independent (no-op long cast;
+  * exact widening), so those match any evalMode. */
 object RewriteFloorDotE9 extends Rule[LogicalPlan] {
 
   private def isFloatOrDoubleArray(e: Expression): Boolean = e.dataType match {
@@ -69,14 +77,17 @@ object RewriteFloorDotE9 extends Rule[LogicalPlan] {
               LambdaFunction(body,
                 Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
             Literal(0L, LongType),
-            LambdaFunction(Add(a1: NamedLambdaVariable, a2: NamedLambdaVariable, _),
+            LambdaFunction(
+              Add(a1: NamedLambdaVariable, a2: NamedLambdaVariable, addCtx),
               Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(idRef: NamedLambdaVariable,
               Seq(idv: NamedLambdaVariable), _))
-          if isFloorE9(body, x, y) &&
+          if (addCtx.evalMode == EvalMode.LEGACY ||
+              addCtx.evalMode == EvalMode.ANSI) &&
+            isFloorE9(body, x, y) &&
             Set(a1.exprId, a2.exprId) == Set(acc.exprId, el.exprId) &&
             idRef.exprId == idv.exprId &&
             isFloatOrDoubleArray(left) && isFloatOrDoubleArray(right) =>
-        FloorDotE9(left, right)
+        FloorDotE9(left, right, failOnError = addCtx.evalMode == EvalMode.ANSI)
     }
 }

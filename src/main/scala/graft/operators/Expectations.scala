@@ -43,6 +43,17 @@ object Expectations {
   final case class Unique(name: String, column: String,
                           minRatioE6: Long) extends Rule
 
+  /** Rule names become aggregate output columns, so they must not collide
+    * with the internal `_den` denominator and must stay resolvable by
+    * `col(name)` — a dot would parse as a field path and misbind. */
+  private val SafeName = "[A-Za-z][A-Za-z0-9_]*".r
+  private def validateNames(rules: Seq[Rule]): Unit = rules.foreach { r =>
+    require(r.name != "_den", "rule name \"_den\" is reserved")
+    require(SafeName.pattern.matcher(r.name).matches(),
+      s"rule name '${r.name}' must match ${SafeName.regex} " +
+        "(letters, digits, underscores; no dots)")
+  }
+
   private def rowPredicate(r: Rule): Option[Column] = r match {
     case Satisfies(_, p, _) => Some(expr(p))
     case Complete(_, c, _)  => Some(col(c).isNotNull)
@@ -55,6 +66,7 @@ object Expectations {
     require(rules.nonEmpty, "expectation suite needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
+    validateNames(rules)
 
     val local = rules.flatMap(r => rowPredicate(r).map(p => (r, p)))
 
@@ -102,6 +114,7 @@ object Expectations {
                name: String = "expectations")
       : (DataFrame, org.apache.spark.sql.Observation) = {
     require(rules.nonEmpty, "expectation suite needs at least one rule")
+    validateNames(rules)
     val local = rules.flatMap(r => rowPredicate(r).map(p => (r, p)))
     require(local.size == rules.size,
       "observed() supports row-local rules only (Complete/Satisfies); " +

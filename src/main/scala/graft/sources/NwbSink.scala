@@ -229,6 +229,14 @@ final class NwbStreamingWrite(path: String, queryId: String,
   private def staging = new Path(path, s"_staging_$queryId")
   private def marker(epochId: Long) =
     new Path(new Path(path, "_committed"), s"epoch-$epochId")
+  /** Pre-publish manifest: the sorted final-name list this epoch WILL
+    * publish, written before the first rename. A crash between publish and
+    * marker leaves it behind; the replayed commit must present the exact
+    * same name set, or the recovery ran under changed parallelism and the
+    * fill-in would silently mix pre-crash and replayed partition files —
+    * fail loudly instead. Deleted once the marker lands. */
+  private def manifest(epochId: Long) =
+    new Path(new Path(path, "_committed"), s"epoch-$epochId.inprogress")
   private def finalName(epochId: Long, partitionId: Int) =
     f"part-e$epochId-$partitionId%05d.zstd.parquet"
   // purge stale _staging_* dirs from previous runs once per run, on the
@@ -253,6 +261,9 @@ final class NwbStreamingWrite(path: String, queryId: String,
           fs.delete(new Path(staging, name), false)
         case _ =>
       }
+      // crash between marker write and manifest delete leaves a stale
+      // .inprogress file; clear it on the replay path
+      fs.delete(manifest(epochId), false)
       return
     }
     if (!purgedStale) {
@@ -261,6 +272,26 @@ final class NwbStreamingWrite(path: String, queryId: String,
         if (d.getPath.getName != staging.getName) fs.delete(d.getPath, true)
       }
       purgedStale = true
+    }
+    val expected = messages.collect {
+      case NwbCommitMessage(_, pid) => finalName(epochId, pid)
+    }.sorted
+    val man = manifest(epochId)
+    if (fs.exists(man)) {
+      val in = fs.open(man)
+      val prior = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      if (prior != expected.toVector)
+        throw new java.io.IOException(
+          s"graft-nwb epoch $epochId: recovery replay produced partition set " +
+            s"[${expected.mkString(",")}] but the interrupted publish had " +
+            s"committed toward [${prior.mkString(",")}] — parallelism changed " +
+            "between restarts; refusing to mix partition files within one epoch")
+    } else {
+      fs.mkdirs(new Path(path, "_committed"))
+      val out = fs.create(man, true)
+      try out.write((expected.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
     }
     messages.foreach {
       case NwbCommitMessage(name, pid) =>
@@ -277,6 +308,7 @@ final class NwbStreamingWrite(path: String, queryId: String,
     }
     fs.mkdirs(new Path(path, "_committed"))
     fs.create(marker(epochId), true).close()
+    fs.delete(man, false)
     // failed/speculative attempts of THIS epoch never get a commit message;
     // prune them now so staging does not accumulate across a long run
     val leftovers = fs.globStatus(new Path(staging, s"part-e$epochId-*"))

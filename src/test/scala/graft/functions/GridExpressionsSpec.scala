@@ -124,6 +124,35 @@ class GridExpressionsSpec extends AnyFunSuite {
           "0L, (acc, e) -> acc + e)").as("d"))
       assert(!ints.queryExecution.optimizedPlan.toString.contains("floor_dot_e9"))
       assert(ints.head().getLong(0) === 3000000000L + 8000000000L)
+      // evalMode carry-through: ANSI's acc + e throws on Long overflow, so
+      // the substituted kernel must too; LEGACY wraps in both forms. The
+      // rewrite fires in both modes with the matching failOnError flag.
+      // (Each element saturates floor→long at Long.MaxValue; two of them
+      // overflow the accumulator.)
+      val ovDir = s"$dir/ov"
+      Seq((Seq(3e9, 3e9), Seq(1e9, 1e9))).toDF("a", "b")
+        .write.mode("overwrite").parquet(ovDir)
+      def ansiConf(on: Boolean): Unit =
+        ext.conf.set("spark.sql.ansi.enabled", on.toString)
+      val prevAnsi = ext.conf.get("spark.sql.ansi.enabled")
+      try {
+        ansiConf(true)
+        val ansi = ext.read.parquet(ovDir).select(expr(hof).as("d"))
+        val opt = ansi.queryExecution.optimizedPlan.toString
+        assert(opt.contains("floor_dot_e9"),
+          s"rewrite must fire under ANSI with failOnError:\n$opt")
+        val ex = intercept[org.apache.spark.SparkException] { ansi.collect() }
+        def overflowy(t: Throwable): Boolean =
+          t != null && (t.isInstanceOf[ArithmeticException] ||
+            Option(t.getMessage).exists(_.toLowerCase.contains("overflow")) ||
+            overflowy(t.getCause))
+        assert(overflowy(ex), s"expected overflow failure, got $ex")
+        ansiConf(false)
+        val legacy = ext.read.parquet(ovDir).select(expr(hof).as("d"))
+        assert(legacy.queryExecution.optimizedPlan.toString.contains("floor_dot_e9"))
+        // wrapping parity: 2 * Long.MaxValue wraps to -2 in both forms
+        assert(legacy.head().getLong(0) === -2L)
+      } finally ext.conf.set("spark.sql.ansi.enabled", prevAnsi)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

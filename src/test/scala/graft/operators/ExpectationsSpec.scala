@@ -57,6 +57,21 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
+  test("suite rejects reserved and unresolvable rule names") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    // "_den" collides with the internal denominator aggregate column
+    intercept[IllegalArgumentException] {
+      Expectations.verify(df, Seq(Expectations.Complete("_den", "k", 1L)))
+    }
+    // a dot parses as a field path in the later col(name) reference
+    intercept[IllegalArgumentException] {
+      Expectations.verify(df, Seq(Expectations.Complete("a.b", "k", 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.observed(df, Seq(Expectations.Satisfies("x y", "k > 0", 1L)))
+    }
+  }
+
   test("unique-only suite (no row-local rules) still reports") {
     val df = Seq(1L, 1L, 2L).toDF("k")
     val rows = Expectations.verify(df,

@@ -149,6 +149,51 @@ class NwbSinkSpec extends AnyFunSuite {
     assert(staging.listFiles().isEmpty, "marker replay must drop re-staged files")
   }
 
+  test("streaming commit refuses a replay whose partition set changed") {
+    // A recovery that restarts with different parallelism re-stages a
+    // DIFFERENT partition-id set for the interrupted epoch; merging it with
+    // the pre-crash files would silently duplicate rows. The pre-publish
+    // manifest pins the expected final-name set — mismatch must fail.
+    val dir = tmp()
+    val target = new File(dir, "data"); target.mkdirs()
+    val staging = new File(target, "_staging_run1"); staging.mkdirs()
+    def put(f: File, content: String): Unit = {
+      val w = new java.io.FileWriter(f); w.write(content); w.close()
+    }
+    val committed = new File(target, "_committed"); committed.mkdirs()
+    // pre-crash attempt ran with 3 partitions and published partition 0
+    put(new File(committed, "epoch-5.inprogress"),
+      "part-e5-00000.zstd.parquet\npart-e5-00001.zstd.parquet\n" +
+        "part-e5-00002.zstd.parquet\n")
+    put(new File(target, "part-e5-00000.zstd.parquet"), "p0-original")
+    // the restarted query re-runs epoch 5 with only 2 partitions
+    put(new File(staging, "part-e5-00000-9-aaaa.zstd.parquet"), "p0-replayed")
+    put(new File(staging, "part-e5-00001-9-bbbb.zstd.parquet"), "p1-replayed")
+    val w = new NwbStreamingWrite(target.toString, "run1",
+      new org.apache.spark.sql.types.StructType())
+    val ex = intercept[java.io.IOException] {
+      w.commit(5L, Array(
+        NwbCommitMessage("part-e5-00000-9-aaaa.zstd.parquet", 0),
+        NwbCommitMessage("part-e5-00001-9-bbbb.zstd.parquet", 1)))
+    }
+    assert(ex.getMessage.contains("parallelism changed"))
+    assert(!new File(committed, "epoch-5").exists, "marker must not land")
+    // a replay with the MATCHING set fills in and commits normally
+    put(new File(staging, "part-e5-00000-10-c.zstd.parquet"), "p0-again")
+    put(new File(staging, "part-e5-00001-10-d.zstd.parquet"), "p1-ok")
+    put(new File(staging, "part-e5-00002-10-e.zstd.parquet"), "p2-ok")
+    w.commit(5L, Array(
+      NwbCommitMessage("part-e5-00000-10-c.zstd.parquet", 0),
+      NwbCommitMessage("part-e5-00001-10-d.zstd.parquet", 1),
+      NwbCommitMessage("part-e5-00002-10-e.zstd.parquet", 2)))
+    assert(new File(committed, "epoch-5").exists)
+    assert(!new File(committed, "epoch-5.inprogress").exists,
+      "manifest must be cleared once the marker lands")
+    val p0 = scala.io.Source.fromFile(
+      new File(target, "part-e5-00000.zstd.parquet")).mkString
+    assert(p0 == "p0-original")
+  }
+
   test("streaming publish prunes stale _staging_* dirs from previous runs") {
     val dir = tmp()
     val target = new File(dir, "data"); target.mkdirs()

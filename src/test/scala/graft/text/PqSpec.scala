@@ -59,7 +59,8 @@ class PqSpec extends AnyFunSuite {
     val lut3 = Array(Array(Array(10L, 20L), Array(30L, 40L)),
       Array(Array(100L, 200L), Array(300L, 400L)))
     val lut2 = Array(Array(1L, 2L), Array(3L, 4L))
-    val df = Seq((0, Seq(0, 1)), (1, Seq(1, 0)), (0, null))
+    val df = Seq((0, Seq(0, 1)), (1, Seq(1, 0)), (0, null),
+        (0, Seq(0)), (1, Seq(0, 1, 1)))
       .toDF("qi", "codes")
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
@@ -77,6 +78,11 @@ class PqSpec extends AnyFunSuite {
       // qi=1 codes(1,0): 200 + 300 = 500; norms 2 + 3 = 5
       assert(got(1) == ((Some(500L), Some(5L))))
       assert(got(2) == ((None, None)))
+      // length-mismatched codes arrays (short would read past the ArrayData
+      // end, long would silently drop trailing codes) -> NULL, mirroring
+      // floor_dot_e9's unequal-length guard
+      assert(got(3) == ((None, None)), "codes shorter than m must be NULL")
+      assert(got(4) == ((None, None)), "codes longer than m must be NULL")
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
