@@ -164,7 +164,8 @@ object Bench {
     "q355_randomized_response", "q356_unigram_lm_tokenizer",
     "q357_shot_boundaries", "q358_hard_negative_mining",
     "q359_observed_expectations",
-    "q360_streaming_full_outer_interval_join")
+    "q360_streaming_full_outer_interval_join",
+    "q361_spj_channel_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

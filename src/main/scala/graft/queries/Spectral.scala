@@ -30,6 +30,58 @@ object Spectral {
       .select(col("channel"), col("band"), col("t_idx"), round(col("value"), 6).as("value"))
       .orderBy("channel", "band", "t_idx")
 
+  /** q361: runs the storage-partitioned join eagerly under the V2-bucketing
+    * confs (saved/restored around the action) and returns the 8-row result
+    * plus the executed plan's exchange count. Counting is done on the plan
+    * STRING so it also sees AQE's materialized query stages (tree-collect
+    * misses them: AdaptiveSparkPlanExec and QueryStageExec are leaf-like),
+    * and counts broadcast exchanges too — the claim is NO exchange of any
+    * kind, so a planner regression to broadcast must fail the oracle's 0. */
+  private def q361Build(s: SparkSession): DataFrame = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "true")
+      s.conf.set(keys(2), "-1")
+      def synth(seed: Int) = s.read.format("graft.sources.SyntheticSource")
+        .option("nchannels", 8).option("ntime", 800).option("seed", seed)
+        .option("channelsperpartition", 1)
+        .load()
+      val left = synth(42)
+        .select(col("channel"),
+          expr("CAST(round(value * 1000000000) AS BIGINT)").as("ve9"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_left"), sum("ve9").as("sum_left_e9"))
+      val right = synth(43)
+        .filter(col("t") < 400)
+        .select(col("channel"),
+          expr("CAST(round(value * 1000000000) AS BIGINT)").as("ve9"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_right"), sum("ve9").as("sum_right_e9"))
+      val joined = left.join(right, "channel")
+      val rows = joined.collect()
+      // Under AQE the plan string carries BOTH the final and the initial
+      // plan; only the final section ran. ResultQueryStage is the result
+      // stage itself, not a shuffle — count Exchange nodes (shuffle,
+      // broadcast, reused) and materialized shuffle/broadcast stages only.
+      val planStr = joined.queryExecution.executedPlan.toString
+      val finalSection = planStr.split("== Initial Plan ==")(0)
+      val exchanges = finalSection.linesIterator.count(l =>
+        l.contains("Exchange") || l.contains("ShuffleQueryStage") ||
+          l.contains("BroadcastQueryStage"))
+      import s.implicits._
+      rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), exchanges))
+        .toDF("channel", "n_left", "sum_left_e9", "n_right", "sum_right_e9",
+          "exchanges_in_plan")
+        .orderBy("channel")
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q30_resample", "F5/F6 FFT rational resampling (1000->250 Hz)",
@@ -83,6 +135,23 @@ object Spectral {
           .orderBy("channel")
       },
       Some(SpectralOracles.q303(2, 5))),
+
+    QueryDef("q361_spj_channel_join",
+      "DSv2 storage-partitioned join: KeyGroupedPartitioning on channel, zero-Exchange plan",
+      // Two independently-seeded synthetic corpora, each key-grouped on
+      // `channel` (channelsPerPartition=1 => one InputPartition per channel,
+      // HasPartitionKey + SupportsReportPartitioning). Under V2 bucketing
+      // the per-channel aggregates ride the storage partitioning (no
+      // exchange before either HashAggregate) and the join co-locates by
+      // partition key (no exchange on either join side) — the V2 analogue
+      // of co-located bucketed tables, and the shuffle that would dominate
+      // a 100 TB channel-keyed join simply never happens. The build runs
+      // EAGERLY and emits the executed plan's exchange count as a column
+      // pinned to 0 by the oracle, so the shuffle-elision itself is
+      // driver-certified (SpjSpec additionally pins checksum equality with
+      // the shuffled plan).
+      (s, dir) => q361Build(s),
+      Some(SpectralOracles.q361(42L, 43L, 400))),
 
     QueryDef("q35_wavelet_phase", "F12 wavelet phase (the reference's abs_only=False path)",
       (s, dir) => toLongRounded(DspOperators.phase(

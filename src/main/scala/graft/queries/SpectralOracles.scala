@@ -458,38 +458,45 @@ FROM cum GROUP BY channel ORDER BY channel"""
     * harmonic sum. NOTE: DuckDB identifiers are case-insensitive — harmonic
     * trig columns are c6/s6 because cH would collide with ch. */
   /** chans..smoothed: the splitmix64 + Box-Muller + boxcar(50) raw
-    * noise pipeline shared by q34 (full synthetic source) and q303
-    * (DSv2 source scan) — 8 channels x 800 samples, seed 42. */
-  private val RawNoiseCtes: String =
-    """|chans AS (SELECT unnest(generate_series(0, 7)) AS ch),
-             |ks AS (SELECT unnest(generate_series(0, 799)) AS k),
-             |ctr AS (
+    * noise pipeline shared by q34 (full synthetic source), q303
+    * (DSv2 source scan) and q361 (storage-partitioned join, which
+    * instantiates it twice with distinct seeds) — 8 channels x 800
+    * samples. `prefix` namespaces the CTE names so two instantiations can
+    * share one WITH clause. */
+  private[queries] def rawNoiseCtesFor(seed: Long, prefix: String = ""): String = {
+    val p = prefix
+    s"""|${p}chans AS (SELECT unnest(generate_series(0, 7)) AS ch),
+             |${p}ks AS (SELECT unnest(generate_series(0, 799)) AS k),
+             |${p}ctr AS (
              |  SELECT c.ch, s.k, w.which,
-             |    ((42::HUGEINT * 7146057691288625177 + c.ch::HUGEINT * 11400714819323198485
+             |    (($seed::HUGEINT * 7146057691288625177 + c.ch::HUGEINT * 11400714819323198485
              |      + 2 * s.k + w.which) % 18446744073709551616)::UBIGINT AS x0
-             |  FROM chans c CROSS JOIN ks s
+             |  FROM ${p}chans c CROSS JOIN ${p}ks s
              |  CROSS JOIN (SELECT unnest([0, 1]) AS which) w
              |),
-             |m1 AS (SELECT ch, k, which,
-             |  ((x0::HUGEINT + 11400714819323198485) % 18446744073709551616)::UBIGINT AS x FROM ctr),
-             |m2 AS (SELECT ch, k, which,
-             |  ((((xor(x, x >> 30)) % 4294967296)::HUGEINT * 13787848793156543929 + (((((xor(x, x >> 30)) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM m1),
-             |m3 AS (SELECT ch, k, which,
-             |  ((((xor(x, x >> 27)) % 4294967296)::HUGEINT * 10723151780598845931 + (((((xor(x, x >> 27)) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM m2),
-             |m4 AS (SELECT ch, k, which, xor(x, x >> 31) AS x FROM m3),
-             |us AS (SELECT ch, k, which, ((x >> 11)::DOUBLE + 0.5) / 9007199254740992.0 AS u FROM m4),
-             |noise AS (
+             |${p}m1 AS (SELECT ch, k, which,
+             |  ((x0::HUGEINT + 11400714819323198485) % 18446744073709551616)::UBIGINT AS x FROM ${p}ctr),
+             |${p}m2 AS (SELECT ch, k, which,
+             |  ((((xor(x, x >> 30)) % 4294967296)::HUGEINT * 13787848793156543929 + (((((xor(x, x >> 30)) >> 32)::HUGEINT * 13787848793156543929) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM ${p}m1),
+             |${p}m3 AS (SELECT ch, k, which,
+             |  ((((xor(x, x >> 27)) % 4294967296)::HUGEINT * 10723151780598845931 + (((((xor(x, x >> 27)) >> 32)::HUGEINT * 10723151780598845931) % 4294967296) << 32)) % 18446744073709551616)::UBIGINT AS x FROM ${p}m2),
+             |${p}m4 AS (SELECT ch, k, which, xor(x, x >> 31) AS x FROM ${p}m3),
+             |${p}us AS (SELECT ch, k, which, ((x >> 11)::DOUBLE + 0.5) / 9007199254740992.0 AS u FROM ${p}m4),
+             |${p}noise AS (
              |  SELECT ch, k,
              |    sqrt(-2.0 * ln(max(CASE WHEN which = 0 THEN u END)))
              |      * cos(2.0 * pi() * max(CASE WHEN which = 1 THEN u END)) / 100.0 AS v
-             |  FROM us GROUP BY ch, k
+             |  FROM ${p}us GROUP BY ch, k
              |),
-             |smoothed AS (
+             |${p}smoothed AS (
              |  SELECT ch, k,
              |    sum(v) OVER (PARTITION BY ch ORDER BY k ROWS BETWEEN 25 PRECEDING AND 24 FOLLOWING)
              |      / 50.0 AS v
-             |  FROM noise
+             |  FROM ${p}noise
              |),""".stripMargin
+  }
+
+  private val RawNoiseCtes: String = rawNoiseCtesFor(42L)
 
   def q34(): String =
     s"""|WITH $RawNoiseCtes
@@ -607,4 +614,28 @@ SELECT r.channel, CAST(NULL AS INT) AS band, r.t_idx,
 FROM resamp r JOIN stats s ON s.channel = r.channel AND s.band = r.band
 GROUP BY r.channel, r.t_idx
 ORDER BY r.channel, r.t_idx"""
+
+  /** q361: storage-partitioned join — two independently-seeded synthetic
+    * corpora (8 ch x 800 t) aggregated per channel and joined on channel.
+    * The `exchanges_in_plan` column is computed Spark-side from the
+    * EXECUTED physical plan (count of Exchange / query-stage shuffle nodes
+    * anywhere in the join) and pinned to 0 here — the shuffle-elision of
+    * the DSv2 KeyGroupedPartitioning join is itself driver-certified, not
+    * just spec-certified. */
+  def q361(seedLeft: Long, seedRight: Long, rightTMax: Int): String =
+    s"""|WITH ${rawNoiseCtesFor(seedLeft, "a_")}
+        |${rawNoiseCtesFor(seedRight, "b_")}
+        |l AS (
+        |  SELECT ch, count(*) AS n_left,
+        |    CAST(sum(CAST(round(v * 1000000000) AS BIGINT)) AS BIGINT)
+        |      AS sum_left_e9
+        |  FROM a_smoothed GROUP BY ch),
+        |r AS (
+        |  SELECT ch, count(*) AS n_right,
+        |    CAST(sum(CAST(round(v * 1000000000) AS BIGINT)) AS BIGINT)
+        |      AS sum_right_e9
+        |  FROM b_smoothed WHERE k < $rightTMax GROUP BY ch)
+        |SELECT l.ch AS channel, l.n_left, l.sum_left_e9,
+        |       r.n_right, r.sum_right_e9, CAST(0 AS INT) AS exchanges_in_plan
+        |FROM l JOIN r ON r.ch = l.ch ORDER BY channel""".stripMargin
 }

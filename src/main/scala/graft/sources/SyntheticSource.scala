@@ -286,10 +286,32 @@ final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,
                           chLo: Int, chHi: Int, chSet: Option[Set[Int]],
                           required: StructType, columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // --- storage-partitioned join (KeyGroupedPartitioning) ------------------
+  // With channelsPerPartition=1 every InputPartition holds exactly one
+  // channel, so the scan IS key-grouped on `channel` (each partition
+  // carries its key via HasPartitionKey). Under
+  // spark.sql.sources.v2.bucketing.enabled, a channel-keyed join between
+  // two such scans plans with NO Exchange on either side — the V2
+  // equivalent of co-located bucketed tables, and the shuffle-elision that
+  // matters most at 100 TB (the reference's chunk-key locality,
+  // wavelet_transform.py:231-232, expressed as a Spark partitioning
+  // contract). Only claimed when `channel` survives column pruning: the
+  // identity transform must reference a column of the scan OUTPUT.
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (chPerPart == 1 && required.fieldNames.contains("channel"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("channel")),
+        channels.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        ((channels.size + chPerPart - 1) / chPerPart).max(0))
 
   // --- runtime (dynamic) partition pruning --------------------------------
   // A join on `channel` against a filtered dim injects a DPP subquery; at
@@ -356,7 +378,13 @@ final class SyntheticScan(nTime: Int, seed: Long, chPerPart: Int,
 }
 
 final case class SyntheticPartition(chans: Array[Int], nTime: Int, seed: Long)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  /** Meaningful only under channelsPerPartition=1 (the only shape for which
+    * the scan reports KeyGroupedPartitioning — Spark never consults the key
+    * otherwise). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](chans(0)))
+}
 
 final class SyntheticReaderFactory(required: StructType,
                                    columnar: Boolean = true)
