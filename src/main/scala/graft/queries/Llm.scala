@@ -3007,6 +3007,26 @@ object Llm {
               |LEFT JOIN common c ON c.qid = q.qid
               |GROUP BY 1 ORDER BY recall_at_k""".stripMargin)),
 
+    QueryDef("q362_adaptive_ivfpq_audit",
+      "unified serving stack: adaptive probe-until-k*margin cells -> native " +
+        "ADC shortlist -> exact rerank, recall + probe-cost census at two margins",
+      // the verdict-requested composition of q340 (adaptive probes) and
+      // q352 (IVF-PQ ADC serving): probe depth adapts per query to cell
+      // occupancy, probed candidates are scored by m=8 codegen LUT reads +
+      // integer adds (codes, not vectors), the ADC top-20 is exact-grid
+      // rescored, and the served top-10 is audited against the brute tier
+      // AT TWO MARGINS (5 and 30) over ONE shared training + assignment —
+      // the census IS the recall/cost dial, with exact integer probe and
+      // scan sums per (margin, recall) level that the oracle replays
+      // bit-for-bit.
+      (s, dir) => Similarity.ivfPqAdaptiveRecallAudit(
+        table(s, dir, "embeddings"), k = 10,
+        params = Similarity.IvfParams(nCells = 16, iters = 2),
+        margins = Seq(5, 30), m = 8, pqK = 16, pqIters = 2,
+        shortlist = 20, queryMod = 25),
+      Some(q362Oracle(k = 10, margins = Seq(5, 30), shortlist = 20,
+        queryMod = 25))),
+
     QueryDef("q317_stem_census",
       "Porter-lite stem census: anchored regex suffix chain groups surface forms, top-30 stems",
       // term statistics that group inflections without a dictionary:
@@ -3863,6 +3883,151 @@ object Llm {
     * (vec_id, sub, code), the FINAL encoding against b<rounds> (pqEncode
     * assigns against the post-training books; the in-round pa<r>
     * assignments rank against b<r-1>). */
+  /** q362: the unified adaptive IVF-PQ audit oracle. Shares one replica of
+    * both Lloyd trainings, the assignment, the LUTs and the brute tier
+    * (MATERIALIZED — each is referenced by every margin block), then
+    * replays the probe-until-k·margin policy, ADC shortlist, exact rerank
+    * and recall/cost census once per margin. */
+  private def q362Oracle(k: Int, margins: Seq[Int], shortlist: Int,
+                         queryMod: Int): String = {
+    def block(p: String, margin: Int): String =
+      s"""|${p}probes AS (
+          |  SELECT qid, cell, cnt FROM cum WHERE cum_before < ${k * margin}
+          |),
+          |${p}pcost AS (
+          |  SELECT qid, CAST(count(*) AS BIGINT) AS n_probed,
+          |    CAST(sum(cnt) AS BIGINT) AS scanned
+          |  FROM ${p}probes GROUP BY qid
+          |),
+          |${p}adc AS (
+          |  SELECT c.qid, c.cid,
+          |    CAST(sum(ld.de9) AS BIGINT) AS dot_e9,
+          |    CAST(sum(ln.n2e9) AS BIGINT) AS n2_e9
+          |  FROM (
+          |    SELECT q.qid, b.vec_id AS cid
+          |    FROM qs q
+          |    JOIN ${p}probes p ON p.qid = q.qid
+          |    JOIN base b ON b.cell = p.cell
+          |    WHERE b.vec_id <> q.qid
+          |  ) c
+          |  JOIN paf a ON a.vec_id = c.cid
+          |  JOIN lutd ld ON ld.qid = c.qid AND ld.sub = a.sub
+          |    AND ld.code = a.code
+          |  JOIN lutn ln ON ln.sub = a.sub AND ln.code = a.code
+          |  GROUP BY 1, 2
+          |),
+          |${p}short AS (
+          |  SELECT qid, cid FROM (
+          |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          |      ORDER BY round(CAST(dot_e9 AS DOUBLE)
+          |        / sqrt(CAST(n2_e9 AS DOUBLE)), 6) DESC, cid) AS rs
+          |    FROM ${p}adc WHERE n2_e9 > 0
+          |  ) WHERE rs <= $shortlist
+          |),
+          |${p}fin AS (
+          |  SELECT qid, cid FROM (
+          |    SELECT s.qid, s.cid,
+          |      row_number() OVER (PARTITION BY s.qid ORDER BY
+          |        round(CAST(CAST(list_sum(list_transform(
+          |          generate_series(1, 64),
+          |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+          |          AS BIGINT) AS DOUBLE)
+          |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+          |          6) DESC, s.cid) AS rk
+          |    FROM ${p}short s
+          |    JOIN qs q ON q.qid = s.qid
+          |    JOIN base b ON b.vec_id = s.cid
+          |  ) WHERE rk <= $k
+          |),
+          |${p}common AS (
+          |  SELECT f.qid, CAST(count(*) AS BIGINT) AS n_common
+          |  FROM ${p}fin f JOIN bruteK b
+          |    ON b.qid = f.qid AND b.cid = f.cid
+          |  GROUP BY 1
+          |),
+          |${p}census AS (
+          |  SELECT CAST($margin AS INT) AS margin,
+          |    COALESCE(c.n_common, 0) AS recall_at_k,
+          |    count(*) AS n_queries,
+          |    CAST(sum(p.n_probed) AS BIGINT) AS sum_probed_cells,
+          |    CAST(sum(p.scanned) AS BIGINT) AS sum_scanned_rows
+          |  FROM qs q
+          |  JOIN ${p}pcost p USING (qid)
+          |  LEFT JOIN ${p}common c ON c.qid = q.qid
+          |  GROUP BY 1, 2
+          |)""".stripMargin
+    val prefixes = margins.indices.map(i => s"m$i" + "_")
+    val blocks = prefixes.zip(margins)
+      .map { case (p, mg) => block(p, mg) }.mkString(",\n")
+    val union = prefixes
+      .map(p => s"SELECT * FROM ${p}census").mkString("\nUNION ALL\n")
+    s"""|WITH $IvfLloydCtes
+        |$IvfAssignCte,
+        |${pqLloydCtes(m = 8, sd = 8, k = 16, rounds = 2, includeEmb = false)},
+        |g AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(floor(v[i] * v[i] * 1e9) AS BIGINT)))
+        |      AS BIGINT) AS e2
+        |  FROM emb
+        |),
+        |base AS MATERIALIZED (
+        |  SELECT g.vec_id, g.v, g.e2, af.cell
+        |  FROM g JOIN af USING (vec_id) WHERE g.e2 > 0
+        |),
+        |ccnt AS MATERIALIZED (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY cell
+        |),
+        |qs AS MATERIALIZED (
+        |  SELECT vec_id AS qid, v AS qv, e2 AS eq
+        |  FROM base WHERE vec_id % $queryMod = 0
+        |),
+        |cum AS MATERIALIZED (
+        |  SELECT qid, cell, cnt,
+        |    COALESCE(sum(cnt) OVER (PARTITION BY qid ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cum_before
+        |  FROM (
+        |    SELECT q.qid, c.cell, COALESCE(cc.cnt, 0) AS cnt,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+        |          c.cell) AS rn
+        |    FROM qs q CROSS JOIN c2 c
+        |    LEFT JOIN ccnt cc USING (cell)
+        |  )
+        |),
+        |lutd AS MATERIALIZED (
+        |  SELECT q.qid, b.sub, b.code,
+        |    CAST(floor(list_dot_product(
+        |      list_slice(q.qv, b.sub * 8 + 1, b.sub * 8 + 8), b.cv)
+        |      * 1e9) AS BIGINT) AS de9
+        |  FROM qs q CROSS JOIN b2 b
+        |),
+        |lutn AS MATERIALIZED (
+        |  SELECT sub, code,
+        |    CAST(floor(list_dot_product(cv, cv) * 1e9) AS BIGINT) AS n2e9
+        |  FROM b2
+        |),
+        |bruteK AS MATERIALIZED (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, b.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(CAST(CAST(list_sum(list_transform(
+        |          generate_series(1, 64),
+        |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
+        |          AS BIGINT) AS DOUBLE)
+        |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
+        |          6) DESC, b.vec_id) AS rn
+        |    FROM qs q CROSS JOIN base b
+        |    WHERE b.vec_id <> q.qid
+        |  ) WHERE rn <= $k
+        |),
+        |$blocks
+        |$union
+        |ORDER BY margin, recall_at_k""".stripMargin
+  }
+
   private def pqLloydCtes(m: Int, sd: Int, k: Int, rounds: Int,
                           includeEmb: Boolean = true): String = {
     val embCte = if (includeEmb)

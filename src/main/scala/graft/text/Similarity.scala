@@ -723,6 +723,129 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** The UNIFIED serving stack's audit: adaptive probe policy
+    * ([[adaptiveProbeCells]], q340) composed with the IVF-PQ fine tier
+    * ([[ivfPqTopK]], q352) — probed cells come from probe-until-k·margin
+    * instead of a fixed nprobe, candidates in those cells are scored by
+    * the native codegen ADC kernels (m LUT reads + integer adds, no
+    * full-vector math), the per-query ADC shortlist is exact-rescored on
+    * the e9 grid, and the served top-k is audited against the exact brute
+    * tier. Runs at EVERY margin in `margins` over ONE shared training
+    * (coarse Lloyd + PQ codebooks + assignment, pinned), so the census is
+    * the recall/cost DIAL: per (margin, recall level) — query count and
+    * exact integer sums of probed cells and scanned candidate rows.
+    *
+    * Scale shape: training is the q52/q350 bounded-collect pattern
+    * (centroids + codebooks only), the probed join reads codes (m bytes)
+    * not vectors, the brute tier exists only because this IS the audit,
+    * and every margin reuses the same pinned assignment — one corpus
+    * encode, `margins.size` probed scans. */
+  def ivfPqAdaptiveRecallAudit(embeddings: DataFrame, k: Int = 10,
+      params: IvfParams = IvfParams(), margins: Seq[Int] = Seq(5, 30),
+      m: Int = 8, pqK: Int = 16, pqIters: Int = 2, shortlist: Int = 20,
+      queryMod: Long = 25, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Checkpoints.Pinnable
+    require(margins.nonEmpty && margins.forall(_ > 0), "margins must be positive")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.GridFunctions.register(spark)
+    val centroids = kmeansCentroids(embeddings, params.nCells, params.iters,
+      idCol, vecCol)
+    val books = pqCodebooks(embeddings, m, pqK, pqIters, idCol, vecCol)
+    val sd = books(0)(0).length
+    val bcB = spark.sparkContext.broadcast(books)
+    val encodeU = udf((v: Seq[Float]) => pqAssign(bcB.value, v))
+    val a = ivfAssign(embeddings, centroids, vecCol)
+      .withColumn("e2", expr(s"floor_dot_e9($vecCol, $vecCol)"))
+      .filter(col("e2") > 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        col("e2").as("ec"), col("cell"), encodeU(col(vecCol)).as("codes"))
+      .pin // consumers: cell counts, query batch, brute scan, per-margin probed scans
+    val counts = new Array[Long](params.nCells)
+    a.groupBy("cell").count().collect()
+      .foreach(r => counts(r.getAs[Number]("cell").intValue()) = r.getLong(1))
+
+    // bounded query batch + its e9 ADC LUTs (nq × m × pqK longs)
+    val qRows = a.filter(col("cid") % queryMod === 0)
+      .select(col("cid"), col("cv"), col("ec")).collect()
+      .sortBy(_.getLong(0))
+    val lutDot: Array[Array[Array[Long]]] = qRows.map { r =>
+      val qv = r.getSeq[Float](1)
+      Array.tabulate(m, pqK) { (s, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < sd) { d += qv(s * sd + j).toDouble * books(s)(c)(j); j += 1 }
+        math.floor(d * 1e9).toLong
+      }
+    }
+    val lutN2: Array[Array[Long]] = Array.tabulate(m, pqK) { (s, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < sd) { d += books(s)(c)(j) * books(s)(c)(j); j += 1 }
+      math.floor(d * 1e9).toLong
+    }
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    def topN(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"))
+
+    // exact brute top-k: the margin-independent baseline, computed once
+    val qFrame = qRows.zipWithIndex.map { case (r, i) =>
+      (i, r.getLong(0), r.getSeq[Float](1), r.getLong(2))
+    }.toSeq.toDF("qi", "qid", "qv", "eq")
+    val bruteTop = topN(broadcast(qFrame).crossJoin(a.select("cid", "cv", "ec"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", round(expr("floor_dot_e9(qv, cv)").cast("double") /
+        sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
+      .pin // one consumer per margin
+
+    val perMargin = margins.map { margin =>
+      // probe sets are a driver-side policy over (centroids, counts) —
+      // bounded nq work, identical math to q340's executor UDF
+      val probed = qRows.zipWithIndex.map { case (r, i) =>
+        val qv = r.getSeq[Float](1)
+        val cells = adaptiveProbeCells(centroids, counts, qv, k, margin)
+        (i, r.getLong(0), qv, r.getLong(2), cells, cells.map(counts(_)).sum)
+      }.toSeq.toDF("qi", "qid", "qv", "eq", "probes", "scanned")
+      val cand = broadcast(probed.select(col("qi"), col("qid"), col("qv"),
+          col("eq"), explode(col("probes")).as("cell")))
+        .join(a, Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+      val adc = cand
+        .withColumn("d9", graft.functions.PqFunctions.adcDotE9(
+          a, col("codes"), col("qi"), lutDot))
+        .withColumn("n9", graft.functions.PqFunctions.adcNormE9(
+          a, col("codes"), lutN2))
+        .filter(col("n9") > 0)
+        .withColumn("adc_sim", round(col("d9").cast("double") /
+          sqrt(col("n9").cast("double")), 6))
+      val wShort = Window.partitionBy("qid")
+        .orderBy(col("adc_sim").desc, col("cid"))
+      val short = adc.withColumn("rs", row_number().over(wShort))
+        .filter(col("rs") <= shortlist)
+      val served = topN(short.withColumn("sim",
+        round(expr("floor_dot_e9(qv, cv)").cast("double") /
+          sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
+      val common = served.join(bruteTop, Seq("qid", "cid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_common"))
+      probed.select(col("qid"),
+          size(col("probes")).cast("long").as("n_probed"), col("scanned"))
+        .join(common, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .groupBy(col("n_common").as("recall_at_k"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_probed").as("sum_probed_cells"),
+          sum("scanned").as("sum_scanned_rows"))
+        .withColumn("margin", lit(margin))
+    }
+    perMargin.reduce(_ unionByName _)
+      .select("margin", "recall_at_k", "n_queries", "sum_probed_cells",
+        "sum_scanned_rows")
+      .orderBy("margin", "recall_at_k")
+  }
+
   /** Hyperplane component (p, i): a signed 48-bit integer from md5 hex
     * chars 1-12 of "<seed>:<p>:<i>", centered by 2^47. Integer-valued and
     * < 2^53, so the value is EXACT in a double in any engine — a SQL oracle

@@ -86,6 +86,25 @@ class PqSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("adaptive IVF-PQ audit: census covers every query per margin, " +
+      "scan cost grows with margin") {
+    val emb = corpus(200, 16)
+    val out = Similarity.ivfPqAdaptiveRecallAudit(emb, k = 5,
+      params = Similarity.IvfParams(nCells = 8, iters = 1),
+      margins = Seq(2, 10), m = 4, pqK = 8, pqIters = 1,
+      shortlist = 10, queryMod = 20).collect()
+    val byMargin = out.groupBy(_.getInt(0))
+    assert(byMargin.keySet == Set(2, 10))
+    // every margin's census covers all 10 queries (200 / mod 20)
+    byMargin.foreach { case (mg, rows) =>
+      assert(rows.map(_.getLong(2)).sum == 10L, s"margin $mg census short")
+      assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 5L))
+    }
+    def scanned(mg: Int) = byMargin(mg).map(_.getLong(4)).sum
+    assert(scanned(10) > scanned(2),
+      "a larger margin must scan more candidate rows")
+  }
+
   test("recall audit: census covers every query, recall bounded by k") {
     val emb = corpus(200, 16)
     val out = Similarity.pqRecallAudit(emb, m = 4, k = 8, iters = 2,
