@@ -515,43 +515,127 @@ object TextOps {
   def jaccardPrefixJoin(docs: DataFrame, minJaccard: Double,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"need 0 < t <= 1; got $minJaccard")
+    // FAST PATH: tokens travel as xxhash64 ids — 8-byte long compares and
+    // ~3x smaller array payloads through the verification joins (measured
+    // the dominant cost: per-candidate UnsafeRow copies of the string
+    // arrays). Exactness is GUARDED, not assumed: one vocab-sized job
+    // checks the hash is injective ON THIS CORPUS; any 64-bit collision
+    // (p ~ |V|^2 / 2^65) falls back to the string-keyed body, whose
+    // results are definitionally exact. Either way the output is identical
+    // to the brute-force self-join.
+    jaccardPrefixJoinImpl(docs, minJaccard, textCol, idCol, hashIds = true)
+      .getOrElse(
+        jaccardPrefixJoinImpl(docs, minJaccard, textCol, idCol, hashIds = false).get)
+  }
+
+  /** One body, two token representations. Returns None only when
+    * `hashIds = true` and the injectivity observation failed. */
+  private def jaccardPrefixJoinImpl(docs: DataFrame, minJaccard: Double,
+                                    textCol: String, idCol: String,
+                                    hashIds: Boolean): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val words = split(col(textCol), " ")
-    // sh feeds THREE subtrees (document frequencies, the prefix window, and
-    // the verification sets) and prefix feeds its own self-join: without
-    // pinning, Spark re-runs the text scan + shingle explode once per
-    // consumer — measured 2.5x the whole operator's cost at sf0.1.
+    // ONE corpus scan and TWO pins (the doc-sized aggregate + the narrow
+    // candidate pairs): the r12 shape (pin shingles, window prefix, pin
+    // prefix, candidate distinct, then TWO shuffle joins back to a sets
+    // aggregate) spent ~14 jobs of fixed overhead on a plan whose data is
+    // tiny at audit scale.
+    // Explicit widths throughout: this operator's stages are CPU-bound at
+    // tiny byte sizes (shingle explode, string windows, per-pair set
+    // math), exactly the shape AQE's byte-based coalescing and file-split
+    // sizing mis-size — measured collapsing the explode, the window, the
+    // guard and the collision join onto ONE core (a small corpus is one
+    // parquet split). User-specified repartition counts are exempt from
+    // AQE coalescing.
+    val width = docs.sparkSession.sparkContext.defaultParallelism
     val sh = docs
+      .repartition(width)
       .filter(size(words) >= 2)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(transform(sequence(lit(1), size(words) - 1),
           i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))).as("shingle"))
+    // document frequency as a count window over the shingle-keyed shuffle —
+    // same value as a groupBy+join but the corpus crosses ONE exchange and
+    // is never scanned a second time for the join probe side
+    // the explicit shingle repartition also IS the window's required
+    // clustering, so it adds no exchange — it just pins the width
+    val withDf = sh
+      .repartition(width, col("shingle"))
+      .withColumn("tok",
+        if (hashIds) xxhash64(col("shingle")) else col("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    // injectivity guard: a hash id is safe iff no two distinct shingles
+    // share it — one vocab-sized aggregate with an early-out isEmpty.
+    // (Observation can't host this: observed metrics forbid grouping and
+    // distinct aggregates.)
+    if (hashIds) {
+      val collided = sh
+        .groupBy(col("shingle")).agg(count(lit(1)).as("_o"))
+        .groupBy(xxhash64(col("shingle")).as("tok"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      if (!collided.isEmpty) return None
+    }
+    // per-doc state in ONE doc-keyed aggregate: the df-ranked token array
+    // (the prefix source; array_sort over (df, shingle) structs replaces
+    // the row_number window with identical ordering — ORDER stays keyed by
+    // the string shingle in both modes so candidates are representation-
+    // independent) and the token-sorted verification array. Pinned:
+    // perDoc feeds the prefix self-join's both sides plus the two
+    // verification joins; unpinned, the scan->window->aggregate subtree
+    // runs once per consumer (the q42 recompute class).
+    // explicit width before the pin: the pinned RDD FREEZES its partition
+    // count, so every downstream stage (prefix explode, collision join,
+    // verification) runs that wide no matter the cluster; the repartition
+    // itself moves only doc-count rows
+    val perDoc = withDf
+      .groupBy("doc_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("shingle"),
+            col("tok")))),
+          s => s.getField("tok")).as("by_df"),
+        sort_array(collect_list(col("tok"))).as("toks"),
+        count(lit(1)).as("c"))
+      .repartition(width, col("doc_id"))
       .pin
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    val wCnt = Window.partitionBy("doc_id")
-    val prefix = sh.join(dfreq, "shingle")
-      .select(col("doc_id"), col("shingle"), col("df"),
-        row_number().over(wDoc).as("rn"),
-        count(lit(1)).over(wCnt).as("c"))
-      .filter(col("rn") <= col("c") - ceil(lit(minJaccard) * col("c")).cast("long") + 1)
-      .select("doc_id", "shingle", "c")
-      .pin
-    // length filter (Bayardo §3.1): J >= t forces t*max(|A|,|B|) <= min —
-    // applied WITH a 1e-9 slack so FP rounding can only over-admit
-    // candidates (lossless; the exact verification below decides)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+    // prefix length |x| - ceil(t*|x|) + 1 (Bayardo): any pair with
+    // J(A,B) >= t must collide inside both prefixes, so joining on prefix
+    // tokens only is LOSSLESS. posexplode keeps each token's rank in the
+    // df order (slice positions = full-array positions) for the
+    // positional filter below; collision rows stay NARROW (ids, counts,
+    // rank) — the verification arrays rejoin from the doc-sized pinned
+    // frame afterwards, so candidate volume never multiplies array bytes
+    // across the collision shuffle.
+    val prefix = perDoc.select(col("doc_id"), col("c"),
+        posexplode(slice(col("by_df"), lit(1),
+          (col("c") - ceil(lit(minJaccard) * col("c")).cast("long") + 1)
+            .cast("int"))))
+      .toDF("doc_id", "c", "pos", "tok")
+    // two lossless candidate filters, both with 1e-9 slack so FP rounding
+    // can only over-admit (the exact verification decides):
+    //  - length (Bayardo §3.1): J >= t forces t*max(|A|,|B|) <= min;
+    //  - positional (PPJoin, Xiao et al. 2008): a collision at df-ranks
+    //    (i, j) bounds the overlap by 1 + min(|A|-i, |B|-j), which must
+    //    reach alpha = t/(1+t)*(|A|+|B|); a true pair's FIRST common
+    //    token always satisfies the bound, so filtering every collision
+    //    row keeps at least that one.
+    val alphaFrac = minJaccard / (1.0 + minJaccard)
+    val result = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
           && least(col("a.c"), col("b.c")).cast("double")
-             >= lit(minJaccard) * greatest(col("a.c"), col("b.c")) - lit(1e-9))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("shingle"))).as("shs"), count(lit(1)).as("c"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("c").as("ca")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("c").as("cb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+             >= lit(minJaccard) * greatest(col("a.c"), col("b.c")) - lit(1e-9)
+          && (lit(1L) + least(col("a.c") - (col("a.pos") + 1),
+                col("b.c") - (col("b.pos") + 1))).cast("double")
+             >= lit(alphaFrac) * (col("a.c") + col("b.c")).cast("double") - lit(1e-9))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(col("a.c")).as("ca"), first(col("b.c")).as("cb"))
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("toks").as("sa")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("toks").as("sb")), "doc_b")
+      // |A n B| as a codegen two-pointer merge over the SORTED arrays —
+      // no per-pair hash set, long compares on the fast path
+      .withColumn("inter",
+        graft.functions.SortedIntersectFunctions.sortedIntersectSize(
+          docs, col("sa"), col("sb")))
       // filter on the UNROUNDED ratio: the prefix bound is lossless only
       // for true J >= t, so a rounded filter would admit pairs with true J
       // in [t - 5e-7, t) that may have generated no candidate — the output
@@ -559,6 +643,7 @@ object TextOps {
       .withColumn("_j", col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
       .filter(col("_j") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("_j"), 6).as("jaccard"))
+    Some(result)
   }
 
   /** Approximate decontamination via a bipartite MinHash band-join — the
