@@ -140,9 +140,14 @@ final class NwbSinkTable(options: CaseInsensitiveStringMap)
     new NwbWriteBuilder(path, info, truncate = false)
 }
 
+/** SupportsStreamingUpdateAsAppend: Update-mode stateful queries (e.g.
+  * transformWithState census folds) write their per-epoch UPDATE rows as
+  * appends — the reader resolves last-per-key, the same contract the
+  * memory-sink census queries (q343/q344) use. */
 final class NwbWriteBuilder(path: String, info: LogicalWriteInfo,
                             truncate: Boolean)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
   override def truncate(): WriteBuilder =
     new NwbWriteBuilder(path, info, truncate = true)
@@ -166,6 +171,28 @@ final class NwbWrite(path: String, queryId: String, schema: StructType,
 
 final case class NwbCommitMessage(stagedName: String, partitionId: Int)
     extends WriterCommitMessage
+
+/** Fault-injection hooks for crash-recovery certification (the
+  * FaultInjectionSoak): a soak arms a hook, runs a real streaming query,
+  * and the sink fails at the EXACT point the recovery contract protects.
+  * Never armed by any production path — both hooks default to off and
+  * auto-disarm after firing once. Single-JVM (local-mode) scope by design:
+  * the soaks run driver and executors in one process. */
+object NwbFailpoints {
+  /** Driver-side: commit of THIS epoch throws after publishing every
+    * partition file but BEFORE writing the marker — the window the
+    * pre-publish manifest + marker fill-in protect. */
+  val crashBeforeMarkerAtEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+  /** Executor-side: the first data writer to reach `writerFailAfterRows`
+    * rows throws ONCE — exercising task retry + abort's staging cleanup
+    * mid-batch. */
+  val writerFailOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val writerFailAfterRows = 10
+  def reset(): Unit = {
+    crashBeforeMarkerAtEpoch.set(-1L)
+    writerFailOnce.set(false)
+  }
+}
 
 final class NwbBatchWrite(path: String, queryId: String, schema: StructType,
                           truncate: Boolean) extends BatchWrite {
@@ -306,6 +333,10 @@ final class NwbStreamingWrite(path: String, queryId: String,
         }
       case other => throw new IllegalStateException(s"unexpected message $other")
     }
+    if (NwbFailpoints.crashBeforeMarkerAtEpoch.compareAndSet(epochId, -1L))
+      throw new java.io.IOException(
+        s"graft-nwb FAULT INJECTION: crashing epoch $epochId after publish, " +
+          "before marker (FaultInjectionSoak)")
     fs.mkdirs(new Path(path, "_committed"))
     fs.create(marker(epochId), true).close()
     fs.delete(man, false)
@@ -455,7 +486,17 @@ final class NwbDataWriter(path: String, queryId: String, schema: StructType,
     .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
     .build()
 
-  override def write(row: InternalRow): Unit = writer.write(row)
+  private var rowsWritten = 0
+
+  override def write(row: InternalRow): Unit = {
+    writer.write(row)
+    rowsWritten += 1
+    if (rowsWritten == NwbFailpoints.writerFailAfterRows &&
+        NwbFailpoints.writerFailOnce.compareAndSet(true, false))
+      throw new java.io.IOException(
+        s"graft-nwb FAULT INJECTION: task failing mid-batch after $rowsWritten " +
+          "rows (FaultInjectionSoak)")
+  }
 
   override def commit(): WriterCommitMessage = {
     writer.close()
