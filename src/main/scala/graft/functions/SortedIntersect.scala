@@ -103,14 +103,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 object SortedIntersectFunctions {
 
+  /** Underscore-prefixed registry name: the kernel silently undercounts
+    * on unsorted/duplicated input (see the contract above), so it is a
+    * private building block, not a general SQL surface — the prefix keeps
+    * ad-hoc SQL in the same session from reaching for it by accident. */
+  val registeredName = "_graft_sorted_intersect_size"
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size",
+      registeredName,
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
 
   def sortedIntersectSize(df: org.apache.spark.sql.DataFrame,
                           a: Column, b: Column): Column = {
     register(df.sparkSession)
-    call_function("sorted_intersect_size", a, b)
+    call_function(registeredName, a, b)
   }
 }

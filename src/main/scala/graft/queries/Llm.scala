@@ -3023,9 +3023,9 @@ object Llm {
         table(s, dir, "embeddings"), k = 10,
         params = Similarity.IvfParams(nCells = 16, iters = 2),
         margins = Seq(5, 30), m = 8, pqK = 16, pqIters = 2,
-        shortlist = 20, queryMod = 25),
+        shortlist = 20, nQueries = 20),
       Some(q362Oracle(k = 10, margins = Seq(5, 30), shortlist = 20,
-        queryMod = 25))),
+        nQueries = 20))),
 
     QueryDef("q317_stem_census",
       "Porter-lite stem census: anchored regex suffix chain groups surface forms, top-30 stems",
@@ -3446,7 +3446,7 @@ object Llm {
       // md5-seeded subspace Lloyd, L2 code assignment (list_distance),
       // LUT build, ADC ranking, exact tier, recall census.
       (s, dir) => Similarity.pqRecallAudit(table(s, dir, "embeddings"),
-        m = 8, k = 16, iters = 2, topK = 10, queryMod = 50),
+        m = 8, k = 16, iters = 2, topK = 10, nQueries = 10),
       Some(s"""|WITH ${pqLloydCtes(m = 8, sd = 8, k = 16, rounds = 2)},
               |g AS (
               |  SELECT vec_id, v,
@@ -3457,8 +3457,12 @@ object Llm {
               |),
               |base AS (SELECT vec_id, v, e2 FROM g WHERE e2 > 0),
               |qs AS (
-              |  SELECT vec_id AS qid, v AS qv, e2 AS eq
-              |  FROM base WHERE vec_id % 50 = 0
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq FROM (
+              |    SELECT vec_id, v, e2, row_number() OVER (ORDER BY
+              |      CAST(('0x' || substr(md5('pqq:' || vec_id), 1, 15))
+              |        AS UBIGINT), vec_id) AS qrn
+              |    FROM base
+              |  ) WHERE qrn <= 10
               |),
               |lutd AS (
               |  SELECT q.qid, b.sub, b.code,
@@ -3529,7 +3533,7 @@ object Llm {
       // ADC shortlist, and the rerank — every served row engine-exact.
       (s, dir) => Similarity.ivfPqTopK(table(s, dir, "embeddings"),
         nCells = 16, cIters = 2, nprobe = 3, m = 8, k = 16, pqIters = 2,
-        shortlist = 20, topK = 5, queryMod = 40),
+        shortlist = 20, topK = 5, nQueries = 12),
       Some(s"""|WITH $IvfLloydCtes
               |$IvfAssignCte,
               |${pqLloydCtes(m = 8, sd = 8, k = 16, rounds = 2, includeEmb = false)},
@@ -3545,8 +3549,12 @@ object Llm {
               |  FROM g JOIN af USING (vec_id) WHERE g.e2 > 0
               |),
               |qs AS (
-              |  SELECT vec_id AS qid, v AS qv, e2 AS eq
-              |  FROM base WHERE vec_id % 40 = 0
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq FROM (
+              |    SELECT vec_id, v, e2, row_number() OVER (ORDER BY
+              |      CAST(('0x' || substr(md5('ivfpqq:' || vec_id), 1, 15))
+              |        AS UBIGINT), vec_id) AS qrn
+              |    FROM base
+              |  ) WHERE qrn <= 12
               |),
               |probes AS (
               |  SELECT qid, cell FROM (
@@ -3889,7 +3897,7 @@ object Llm {
     * replays the probe-until-k·margin policy, ADC shortlist, exact rerank
     * and recall/cost census once per margin. */
   private def q362Oracle(k: Int, margins: Seq[Int], shortlist: Int,
-                         queryMod: Int): String = {
+                         nQueries: Int): String = {
     def block(p: String, margin: Int): String =
       s"""|${p}probes AS (
           |  SELECT qid, cell, cnt FROM cum WHERE cum_before < ${k * margin}
@@ -3980,8 +3988,12 @@ object Llm {
         |  FROM base GROUP BY cell
         |),
         |qs AS MATERIALIZED (
-        |  SELECT vec_id AS qid, v AS qv, e2 AS eq
-        |  FROM base WHERE vec_id % $queryMod = 0
+        |  SELECT vec_id AS qid, v AS qv, e2 AS eq FROM (
+        |    SELECT vec_id, v, e2, row_number() OVER (ORDER BY
+        |      CAST(('0x' || substr(md5('annq:' || vec_id), 1, 15))
+        |        AS UBIGINT), vec_id) AS qrn
+        |    FROM base
+        |  ) WHERE qrn <= $nQueries
         |),
         |cum AS MATERIALIZED (
         |  SELECT qid, cell, cnt,

@@ -30,13 +30,41 @@ object Spectral {
       .select(col("channel"), col("band"), col("t_idx"), round(col("value"), 6).as("value"))
       .orderBy("channel", "band", "t_idx")
 
+  /** Structural exchange count: collects ShuffleExchangeLike /
+    * BroadcastExchangeLike nodes, recursing through the leaf-like AQE
+    * wrappers (AdaptiveSparkPlanExec.executedPlan, QueryStageExec.plan,
+    * ReusedExchangeExec.child) that a plain tree-collect cannot see.
+    * Robust against plan-STRING format changes across Spark versions —
+    * the r13 version substring-matched `toString` lines. */
+  private[queries] def countExchanges(
+      plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: ShuffleExchangeLike | _: BroadcastExchangeLike => n += 1
+        case _ => ()
+      }
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        // a ShuffleQueryStageExec/BroadcastQueryStageExec's `plan` IS the
+        // materialized exchange — recursing counts it
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(plan)
+    n
+  }
+
   /** q361: runs the storage-partitioned join eagerly under the V2-bucketing
     * confs (saved/restored around the action) and returns the 8-row result
-    * plus the executed plan's exchange count. Counting is done on the plan
-    * STRING so it also sees AQE's materialized query stages (tree-collect
-    * misses them: AdaptiveSparkPlanExec and QueryStageExec are leaf-like),
-    * and counts broadcast exchanges too — the claim is NO exchange of any
-    * kind, so a planner regression to broadcast must fail the oracle's 0. */
+    * plus the executed plan's exchange count — structural (see
+    * [[countExchanges]]), covering shuffle AND broadcast exchanges: the
+    * claim is NO exchange of any kind, so a planner regression to
+    * broadcast must fail the oracle's 0. */
   private def q361Build(s: SparkSession): DataFrame = {
     val keys = Seq(
       "spark.sql.sources.v2.bucketing.enabled",
@@ -64,15 +92,7 @@ object Spectral {
         .agg(count(lit(1)).as("n_right"), sum("ve9").as("sum_right_e9"))
       val joined = left.join(right, "channel")
       val rows = joined.collect()
-      // Under AQE the plan string carries BOTH the final and the initial
-      // plan; only the final section ran. ResultQueryStage is the result
-      // stage itself, not a shuffle — count Exchange nodes (shuffle,
-      // broadcast, reused) and materialized shuffle/broadcast stages only.
-      val planStr = joined.queryExecution.executedPlan.toString
-      val finalSection = planStr.split("== Initial Plan ==")(0)
-      val exchanges = finalSection.linesIterator.count(l =>
-        l.contains("Exchange") || l.contains("ShuffleQueryStage") ||
-          l.contains("BroadcastQueryStage"))
+      val exchanges = countExchanges(joined.queryExecution.executedPlan)
       import s.implicits._
       rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), exchanges))

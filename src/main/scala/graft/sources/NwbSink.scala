@@ -179,6 +179,14 @@ final case class NwbCommitMessage(stagedName: String, partitionId: Int)
   * auto-disarm after firing once. Single-JVM (local-mode) scope by design:
   * the soaks run driver and executors in one process. */
 object NwbFailpoints {
+  /** Master switch, captured ONCE per data writer at construction: in a
+    * production JVM it is never set, so the writer's per-row failpoint
+    * branch reads a final `false` field and JIT-eliminates — no
+    * fault-injection surface in the hot write() path. Soaks call `arm()`
+    * BEFORE starting their query (writers are constructed per task,
+    * after arming). */
+  @volatile var armed: Boolean = false
+  def arm(): Unit = { armed = true }
   /** Driver-side: commit of THIS epoch throws after publishing every
     * partition file but BEFORE writing the marker — the window the
     * pre-publish manifest + marker fill-in protect. */
@@ -189,6 +197,7 @@ object NwbFailpoints {
   val writerFailOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
   val writerFailAfterRows = 10
   def reset(): Unit = {
+    armed = false
     crashBeforeMarkerAtEpoch.set(-1L)
     writerFailOnce.set(false)
   }
@@ -306,15 +315,19 @@ final class NwbStreamingWrite(path: String, queryId: String,
     val man = manifest(epochId)
     if (fs.exists(man)) {
       val in = fs.open(man)
+      // blank-line filter: an all-empty-partition epoch's manifest (or a
+      // trailing newline) must read back as Vector(), not Vector("") —
+      // otherwise a crash-replay of an empty epoch throws the
+      // parallelism-changed error forever and the query can never recover
       val prior = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toVector finally in.close()
+        .getLines().filter(_.nonEmpty).toVector finally in.close()
       if (prior != expected.toVector)
         throw new java.io.IOException(
           s"graft-nwb epoch $epochId: recovery replay produced partition set " +
             s"[${expected.mkString(",")}] but the interrupted publish had " +
             s"committed toward [${prior.mkString(",")}] — parallelism changed " +
             "between restarts; refusing to mix partition files within one epoch")
-    } else {
+    } else if (expected.nonEmpty) {
       fs.mkdirs(new Path(path, "_committed"))
       val out = fs.create(man, true)
       try out.write((expected.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -486,16 +499,21 @@ final class NwbDataWriter(path: String, queryId: String, schema: StructType,
     .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
     .build()
 
+  // captured once at construction: final false in production, so the
+  // per-row failpoint branch below is dead code to the JIT
+  private val failpointsArmed = NwbFailpoints.armed
   private var rowsWritten = 0
 
   override def write(row: InternalRow): Unit = {
     writer.write(row)
-    rowsWritten += 1
-    if (rowsWritten == NwbFailpoints.writerFailAfterRows &&
-        NwbFailpoints.writerFailOnce.compareAndSet(true, false))
-      throw new java.io.IOException(
-        s"graft-nwb FAULT INJECTION: task failing mid-batch after $rowsWritten " +
-          "rows (FaultInjectionSoak)")
+    if (failpointsArmed) {
+      rowsWritten += 1
+      if (rowsWritten == NwbFailpoints.writerFailAfterRows &&
+          NwbFailpoints.writerFailOnce.compareAndSet(true, false))
+        throw new java.io.IOException(
+          s"graft-nwb FAULT INJECTION: task failing mid-batch after $rowsWritten " +
+            "rows (FaultInjectionSoak)")
+    }
   }
 
   override def commit(): WriterCommitMessage = {

@@ -551,6 +551,46 @@ object Similarity {
     embeddings.withColumn("codes", encodeU(col(vecCol)))
   }
 
+  /** Fixed-count deterministic query batch for the ANN audits: the `nq`
+    * corpus rows with the SMALLEST salt-derived 60-bit md5 uniforms
+    * ([[Curation.sampleHash]] order, id tie-break). Selection is two-step
+    * so no corpus-proportional slice ever reaches the driver: a generous
+    * hash-threshold pre-filter (integer threshold floor((8·nq << 60)/n),
+    * expected 8·nq survivors) bounds the collect at O(nq) at ANY corpus
+    * size, then the driver takes the global top-nq by (hash, id) — which
+    * the pre-filter provably contains whenever ≥ nq rows survive it
+    * (require()d: the nq smallest hashes all sit below any threshold that
+    * admits nq rows). An oracle replays the batch WITHOUT the threshold:
+    * `row_number() OVER (ORDER BY hash, id) <= nq`. This replaced the r13
+    * `cid % queryMod` batches, whose driver collect and plan-attached ADC
+    * LUTs grew as O(corpus/queryMod) — at 10⁹ vectors the audit itself
+    * would have OOMed the driver. Rows come back shaped exactly as
+    * `cols`, sorted by id. */
+  private[text] def fixedCountQueryBatch(a: DataFrame, salt: String,
+      nq: Int, corpusN: Long, cols: Seq[String],
+      idCol: String = "cid"): Array[org.apache.spark.sql.Row] = {
+    require(nq > 0, s"nQueries must be positive, got $nq")
+    require(corpusN >= nq, s"corpus has $corpusN usable rows < nQueries=$nq")
+    val thr = ((BigInt(8L * nq) << 60) / BigInt(corpusN))
+      .min(BigInt(1) << 60).toLong
+    val h = Curation.sampleHash(col(idCol), salt)
+    val pre = a.filter(h < lit(thr))
+      .select(h.as("_qh") +: col(idCol) +: cols.map(col): _*)
+      .collect()
+    require(pre.length >= nq,
+      s"hash pre-filter kept ${pre.length} rows < nQueries=$nq " +
+        s"(corpus $corpusN, salt '$salt') — raise the slack factor")
+    pre.sortBy(r => (r.getLong(0), r.getLong(1))).take(nq)
+      .sortBy(_.getLong(1))
+      .map(r => org.apache.spark.sql.Row(r.toSeq.drop(1): _*))
+  }
+
+  /** The DuckDB form of [[fixedCountQueryBatch]]'s selection predicate,
+    * for oracle qs-CTEs: wrap the base relation's rows with
+    * `row_number() OVER (ORDER BY <this hash expr>, vec_id) <= nq`. */
+  def fixedCountHashSql(salt: String, idSql: String): String =
+    s"CAST(('0x' || substr(md5('$salt:' || $idSql), 1, 15)) AS UBIGINT)"
+
   /** PQ-ADC recall audit (q350): serve approximate cosine top-k entirely
     * from the PQ codes via asymmetric-distance lookup tables, and compare
     * against the exact-grid brute top-k per query (the q307 audit shape).
@@ -563,7 +603,7 @@ object Similarity {
     * is m lookups + m adds — never a dim-length dot product; the LUT
     * build is nq·m·k small dots on the driver (bounded, broadcast). */
   def pqRecallAudit(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-                    iters: Int = 2, topK: Int = 10, queryMod: Long = 50,
+                    iters: Int = 2, topK: Int = 10, nQueries: Int = 10,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -582,10 +622,10 @@ object Similarity {
         col("e2").as("ec"), encodeU(col(vecCol)).as("codes"))
       .pin // three consumers: query batch, ADC scan, brute scan
 
-    // bounded query batch + its e9 LUTs (nq × m × k longs, broadcast)
-    val qRows = a.filter(col("cid") % queryMod === 0)
-      .select(col("cid"), col("cv"), col("ec")).collect()
-      .sortBy(_.getLong(0))
+    // fixed-count query batch + its e9 LUTs (nQueries × m × k longs,
+    // broadcast) — O(nQueries) driver bytes at any corpus size
+    val qRows = fixedCountQueryBatch(a, "pqq", nQueries, a.count(),
+      Seq("cv", "ec"))
     val qids = qRows.map(_.getLong(0))
     val lutDot: Array[Array[Array[Long]]] = qRows.map { r =>
       val qv = r.getSeq[Float](1)
@@ -622,8 +662,8 @@ object Similarity {
       .withColumn("sim", round(col("d9").cast("double") /
         sqrt(col("n9").cast("double")), 6)))
 
-    val q = a.filter(col("cid") % queryMod === 0)
-      .select(col("cid").as("qid"), col("cv").as("qv"), col("ec").as("eq"))
+    val q = qRows.map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+      .toSeq.toDF("qid", "qv", "eq")
     val bruteTop = topN(broadcast(q).crossJoin(a.select("cid", "cv", "ec"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", round(expr("floor_dot_e9(qv, cv)").cast("double") /
@@ -647,11 +687,12 @@ object Similarity {
     * only corpus contact, and it reads codes (m bytes) not vectors — the
     * memory-bandwidth win PQ exists for; only shortlist×nq full vectors
     * are ever scored exactly. Returns (qid, rk, cid, sim) like
-    * [[ivfTopKMulti]]. Queries are corpus rows with id ≡ 0 (mod
-    * `queryMod`), excluded from their own candidates. */
+    * [[ivfTopKMulti]]. Queries are the fixed-count deterministic batch
+    * ([[fixedCountQueryBatch]], `nQueries` rows at any corpus size),
+    * excluded from their own candidates. */
   def ivfPqTopK(embeddings: DataFrame, nCells: Int = 16, cIters: Int = 2,
                 nprobe: Int = 3, m: Int = 8, k: Int = 16, pqIters: Int = 2,
-                shortlist: Int = 20, topK: Int = 5, queryMod: Long = 40,
+                shortlist: Int = 20, topK: Int = 5, nQueries: Int = 12,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -671,10 +712,10 @@ object Similarity {
         col("e2").as("ec"), col("cell"), encodeU(col(vecCol)).as("codes"))
       .pin // consumers: query batch + probed candidate scan
 
-    // bounded query batch: probe cells + e9 ADC LUTs, all driver-side
-    val qRows = a.filter(col("cid") % queryMod === 0)
-      .select(col("cid"), col("cv"), col("ec")).collect()
-      .sortBy(_.getLong(0))
+    // fixed-count query batch: probe cells + e9 ADC LUTs, all driver-side
+    // and O(nQueries) at any corpus size
+    val qRows = fixedCountQueryBatch(a, "ivfpqq", nQueries, a.count(),
+      Seq("cv", "ec"))
     val lutDot: Array[Array[Array[Long]]] = qRows.map { r =>
       val qv = r.getSeq[Float](1)
       Array.tabulate(m, k) { (s, c) =>
@@ -743,7 +784,7 @@ object Similarity {
   def ivfPqAdaptiveRecallAudit(embeddings: DataFrame, k: Int = 10,
       params: IvfParams = IvfParams(), margins: Seq[Int] = Seq(5, 30),
       m: Int = 8, pqK: Int = 16, pqIters: Int = 2, shortlist: Int = 20,
-      queryMod: Long = 25, idCol: String = "vec_id",
+      nQueries: Int = 20, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Checkpoints.Pinnable
@@ -767,10 +808,10 @@ object Similarity {
     a.groupBy("cell").count().collect()
       .foreach(r => counts(r.getAs[Number]("cell").intValue()) = r.getLong(1))
 
-    // bounded query batch + its e9 ADC LUTs (nq × m × pqK longs)
-    val qRows = a.filter(col("cid") % queryMod === 0)
-      .select(col("cid"), col("cv"), col("ec")).collect()
-      .sortBy(_.getLong(0))
+    // fixed-count query batch + its e9 ADC LUTs (nQueries × m × pqK
+    // longs) — O(nQueries) driver bytes and LUT size at any corpus size
+    val qRows = fixedCountQueryBatch(a, "annq", nQueries, counts.sum,
+      Seq("cv", "ec"))
     val lutDot: Array[Array[Array[Long]]] = qRows.map { r =>
       val qv = r.getSeq[Float](1)
       Array.tabulate(m, pqK) { (s, c) =>

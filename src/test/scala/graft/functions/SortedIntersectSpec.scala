@@ -29,7 +29,7 @@ class SortedIntersectSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val bad = df.select(
-          expr("sorted_intersect_size(a, b)").as("fast"),
+          expr(s"${SortedIntersectFunctions.registeredName}(a, b)").as("fast"),
           size(array_intersect(col("a"), col("b"))).as("builtin"))
         .filter(col("fast") =!= col("builtin")).count()
       assert(bad === 0L)
@@ -38,7 +38,7 @@ class SortedIntersectSpec extends AnyFunSuite {
         (Seq.empty[String], Seq("x")),
         (Seq("x"), Seq.empty[String]),
         (Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("a", "b")
-      val got = edge.select(expr("sorted_intersect_size(a, b)"))
+      val got = edge.select(expr(s"${SortedIntersectFunctions.registeredName}(a, b)"))
         .collect().map(_.getInt(0)).toSeq
       assert(got === Seq(0, 0, 3))
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
@@ -49,7 +49,7 @@ class SortedIntersectSpec extends AnyFunSuite {
     val df = Seq((Some(Seq("a")), None: Option[Seq[String]]),
         (None: Option[Seq[String]], Some(Seq("a"))))
       .toDF("a", "b")
-    val got = df.select(expr("sorted_intersect_size(a, b)")).collect()
+    val got = df.select(expr(s"${SortedIntersectFunctions.registeredName}(a, b)")).collect()
     assert(got.forall(_.isNullAt(0)))
   }
 }

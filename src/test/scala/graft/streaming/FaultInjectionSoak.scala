@@ -99,6 +99,7 @@ object FaultInjectionSoak {
           now - (4 - i) * 60000L)
       val out = tmp()
       NwbFailpoints.reset()
+      NwbFailpoints.arm()
       NwbFailpoints.crashBeforeMarkerAtEpoch.set(2L)
       val failed = try { runQuery(stage, out); false }
         catch { case e: Throwable =>
@@ -142,6 +143,7 @@ object FaultInjectionSoak {
           now - (3 - i) * 60000L)
       val out = tmp()
       NwbFailpoints.reset()
+      NwbFailpoints.arm()
       NwbFailpoints.writerFailOnce.set(true)
       runQuery(stage, out) // must survive via task retry, no restart needed
       require(!NwbFailpoints.writerFailOnce.get,

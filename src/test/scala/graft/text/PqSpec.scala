@@ -92,10 +92,10 @@ class PqSpec extends AnyFunSuite {
     val out = Similarity.ivfPqAdaptiveRecallAudit(emb, k = 5,
       params = Similarity.IvfParams(nCells = 8, iters = 1),
       margins = Seq(2, 10), m = 4, pqK = 8, pqIters = 1,
-      shortlist = 10, queryMod = 20).collect()
+      shortlist = 10, nQueries = 10).collect()
     val byMargin = out.groupBy(_.getInt(0))
     assert(byMargin.keySet == Set(2, 10))
-    // every margin's census covers all 10 queries (200 / mod 20)
+    // every margin's census covers all nQueries=10 queries
     byMargin.foreach { case (mg, rows) =>
       assert(rows.map(_.getLong(2)).sum == 10L, s"margin $mg census short")
       assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 5L))
@@ -108,9 +108,9 @@ class PqSpec extends AnyFunSuite {
   test("recall audit: census covers every query, recall bounded by k") {
     val emb = corpus(200, 16)
     val out = Similarity.pqRecallAudit(emb, m = 4, k = 8, iters = 2,
-      topK = 5, queryMod = 20).collect()
+      topK = 5, nQueries = 10).collect()
     val nq = out.map(_.getLong(1)).sum
-    assert(nq == 10L, s"200 vectors / mod 20 = 10 queries, got $nq")
+    assert(nq == 10L, s"nQueries = 10 fixed-count queries, got $nq")
     assert(out.forall { r =>
       val rec = r.getLong(0); rec >= 0L && rec <= 5L
     })
@@ -123,7 +123,7 @@ class PqSpec extends AnyFunSuite {
     val dup = (0 until 64).map(i => (i.toLong, eight(i % 8)._2))
       .toDF("vec_id", "embedding")
     val audit = Similarity.pqRecallAudit(dup, m = 4, k = 8, iters = 2,
-      topK = 3, queryMod = 16).collect()
+      topK = 3, nQueries = 4).collect()
     assert(audit.map(_.getLong(1)).sum == 4L)
     assert(audit.forall(_.getLong(0) == 3L),
       s"lossless corpus must give perfect recall, got ${audit.mkString(",")}")

@@ -107,10 +107,9 @@ object SimilaritySoak {
       // the memory-tier serving path: candidates in probed cells score by
       // m=8 LUT reads + integer adds over the 8-byte codes — never a
       // dim-length dot — and only the per-query shortlist touches vectors
-      val step = math.max(1L, nVecs / 256)
       val n = Similarity.ivfPqTopK(vecs, nCells = 32, cIters = 2, nprobe = 4,
         m = 8, k = 16, pqIters = 2, shortlist = 30, topK = 10,
-        queryMod = step).count()
+        nQueries = 256).count()
       println(s"[soak]   -> $n served rows from code-only candidate scoring")
     }
     time("PQ serve-only: ADC codes vs full vectors over the SAME probed candidates") {
