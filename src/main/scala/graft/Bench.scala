@@ -165,7 +165,8 @@ object Bench {
     "q357_shot_boundaries", "q358_hard_negative_mining",
     "q359_observed_expectations",
     "q360_streaming_full_outer_interval_join",
-    "q361_spj_channel_join", "q362_adaptive_ivfpq_audit")
+    "q361_spj_channel_join", "q362_adaptive_ivfpq_audit",
+    "q363_spj_stored_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

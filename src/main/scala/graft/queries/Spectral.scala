@@ -102,6 +102,51 @@ object Spectral {
     } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  /** q363: stored-series SPJ, run eagerly under the V2-bucketing confs
+    * (saved/restored): write two event-derived series through the
+    * bucketed store, read them back via the catalog-free V2 bucketed
+    * scan, join per-channel aggregates, and emit the executed plan's
+    * structural exchange count (see [[countExchanges]]) for the oracle
+    * to pin at 0. */
+  private def q363Build(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "true")
+      s.conf.set(keys(2), "-1")
+      val root = java.nio.file.Files.createTempDirectory("q363_store")
+      root.toFile.deleteOnExit()
+      val store = new graft.store.NwbStore(root.toString, s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def toSeries(df: DataFrame) = df.select(
+        expr("CAST(event_id % 8 AS INT)").as("channel"),
+        col("event_id").as("t_idx"), col("value"))
+      store.writeProcessingBucketed("spj_a", toSeries(ev), nBuckets = 4)
+      store.writeProcessingBucketed("spj_b",
+        toSeries(ev.filter(col("event_type") === "click")), nBuckets = 4)
+      def side(name: String, nCol: String, sumCol: String) =
+        store.readProcessingBucketedV2(name, nBuckets = 4, nChannels = 8)
+          .select(col("channel"),
+            expr("CAST(round(value * 1000000000) AS BIGINT)").as("ve9"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as(nCol), sum("ve9").as(sumCol))
+      val joined = side("spj_a", "n_left", "sum_left_e9")
+        .join(side("spj_b", "n_right", "sum_right_e9"), "channel")
+      val rows = joined.collect()
+      val exchanges = countExchanges(joined.queryExecution.executedPlan)
+      import s.implicits._
+      rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), exchanges))
+        .toDF("channel", "n_left", "sum_left_e9", "n_right", "sum_right_e9",
+          "exchanges_in_plan")
+        .orderBy("channel")
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q30_resample", "F5/F6 FFT rational resampling (1000->250 Hz)",
@@ -172,6 +217,24 @@ object Spectral {
       // the shuffled plan).
       (s, dir) => q361Build(s),
       Some(SpectralOracles.q361(42L, 43L, 400))),
+
+    QueryDef("q363_spj_stored_join",
+      "stored-series SPJ: bucketed store read back catalog-free as " +
+        "KeyGroupedPartitioning(channel), zero-Exchange join of two series",
+      // q361 certifies the SPJ contract on GENERATED partitions; this
+      // closes the loop for STORED data: two series derived from the
+      // events table are written through writeProcessingBucketed
+      // (bucketBy(4, channel) + in-bucket sort), then read back through
+      // the catalog-free V2 scan (graft.sources.BucketedNwbSource) that
+      // recomputes Spark's murmur3 bucket placement per channel and
+      // reports KeyGroupedPartitioning(identity(channel)) — so the
+      // channel-keyed per-series aggregates and the join between them
+      // plan with ZERO exchanges over real parquet files, with no
+      // dependency on the writer's session catalog. The executed plan's
+      // structural exchange count rides the result; the oracle pins it to
+      // 0 and replays both series' aggregates from the events table.
+      (s, dir) => q363Build(s, dir),
+      Some(SpectralOracles.q363())),
 
     QueryDef("q35_wavelet_phase", "F12 wavelet phase (the reference's abs_only=False path)",
       (s, dir) => toLongRounded(DspOperators.phase(

@@ -638,4 +638,28 @@ ORDER BY r.channel, r.t_idx"""
         |SELECT l.ch AS channel, l.n_left, l.sum_left_e9,
         |       r.n_right, r.sum_right_e9, CAST(0 AS INT) AS exchanges_in_plan
         |FROM l JOIN r ON r.ch = l.ch ORDER BY channel""".stripMargin
+
+  /** q363: both stored series replayed from the events table; the
+    * exchange count the Spark side measured structurally is pinned 0. */
+  def q363(): String =
+    s"""|WITH sa AS (
+        |  SELECT CAST(event_id % 8 AS INT) AS channel, value FROM events
+        |),
+        |sb AS (
+        |  SELECT CAST(event_id % 8 AS INT) AS channel, value FROM events
+        |  WHERE event_type = 'click'
+        |),
+        |l AS (
+        |  SELECT channel, count(*) AS n_left,
+        |    CAST(sum(CAST(round(value * 1000000000) AS BIGINT)) AS BIGINT)
+        |      AS sum_left_e9
+        |  FROM sa GROUP BY 1),
+        |r AS (
+        |  SELECT channel, count(*) AS n_right,
+        |    CAST(sum(CAST(round(value * 1000000000) AS BIGINT)) AS BIGINT)
+        |      AS sum_right_e9
+        |  FROM sb GROUP BY 1)
+        |SELECT l.channel, l.n_left, l.sum_left_e9,
+        |       r.n_right, r.sum_right_e9, CAST(0 AS INT) AS exchanges_in_plan
+        |FROM l JOIN r USING (channel) ORDER BY channel""".stripMargin
 }

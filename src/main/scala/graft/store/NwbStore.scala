@@ -72,6 +72,21 @@ final class NwbStore(val root: String, spark: SparkSession) {
   def readProcessingBucketed(name: String, tablePrefix: String = ""): DataFrame =
     spark.table(s"${prefixFor(tablePrefix)}_$name")
 
+  /** Catalog-free read-back of a bucketed series as a V2 scan reporting
+    * `KeyGroupedPartitioning(identity(channel))`
+    * ([[graft.sources.BucketedNwbSource]]): channel-keyed joins between
+    * two STORED series plan shuffle-free under V2 bucketing, with nothing
+    * but the files + the layout facts — no dependency on the writing
+    * session's catalog entry surviving. `nBuckets` must match the write;
+    * `nChannels` is the dense channel-id count. */
+  def readProcessingBucketedV2(name: String, nBuckets: Int,
+                               nChannels: Int): DataFrame =
+    spark.read.format("graft-nwb-bucketed")
+      .option("path", dir("preprocessing", name))
+      .option("nbuckets", nBuckets)
+      .option("nchannels", nChannels)
+      .load()
+
   private def prefixFor(explicit: String): String =
     if (explicit.nonEmpty) explicit
     else "nwb_" + java.lang.Integer.toHexString(
