@@ -27,6 +27,14 @@ import graft.sources.NwbFailpoints
   * task retry + the writer's abort-side staging cleanup must finish the
   * SAME run with an exact census and zero staging residue.
   *
+  * Scenario C — crash, then restart with CHANGED parallelism: a stateless
+  * append pipeline (repartition(col), partition count follows
+  * spark.sql.shuffle.partitions) crashes in epoch 2's publish/marker
+  * window at 8 partitions, restarts at 4 — the manifest guard must refuse
+  * the commit loudly BEFORE any rename (no layout mixing inside the
+  * epoch) — then restarts at 8 and must converge to an exact
+  * exactly-once census.
+  *
   * Run: SPARK_DRIVER_MEM=8g sbt -batch "Test/runMain graft.streaming.FaultInjectionSoak"
   */
 object FaultInjectionSoak {
@@ -160,8 +168,107 @@ object FaultInjectionSoak {
         s"(${got.length} hashes), staging clean")
     }
 
+    // ---- scenario C: crash, then restart with CHANGED parallelism --------
+    // The manifest guard's reason to exist: epoch files are named
+    // part-e<epoch>-<partition>, so a replay under a different partition
+    // count would silently MIX two layouts inside one epoch (each file
+    // exists-checked independently). A stateful query can't stage this —
+    // streaming pins the state operator's shuffle count from the
+    // checkpoint — so the pipeline here is STATELESS with a
+    // repartition(col), whose partition count re-reads
+    // spark.sql.shuffle.partitions at every restart. AQE off for a
+    // deterministic count.
+    {
+      val stage = tmp()
+      val now = System.currentTimeMillis()
+      for (i <- 0 until 4)
+        StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(4)) === i),
+          java.nio.file.Paths.get(stage), s"docs_$i.parquet",
+          now - (4 - i) * 60000L)
+      val out = tmp()
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      def runC(parts: Int): Unit = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = stream
+          .select(md5(col("text")).as("content_hash"), col("doc_id"))
+          .repartition(col("content_hash"))
+          .writeStream.format("graft-nwb")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+
+      try {
+        // run 1 at 8 partitions: crash between epoch 2's publish and marker
+        NwbFailpoints.reset()
+        NwbFailpoints.arm()
+        NwbFailpoints.crashBeforeMarkerAtEpoch.set(2L)
+        val crashed = try { runC(8); false } catch { case e: Throwable =>
+          println(s"[soak] C run1 died as injected: ${e.getMessage.linesIterator.next()}")
+          true
+        }
+        require(crashed, "scenario C: the injected crash must kill run 1")
+        NwbFailpoints.reset()
+        val e2Before = new File(s"$out/data").listFiles()
+          .count(_.getName.startsWith("part-e2-"))
+        require(e2Before == 8, s"run 1 must publish 8 epoch-2 files, got $e2Before")
+        require(new File(s"$out/data/_committed/epoch-2.inprogress").exists,
+          "epoch 2 manifest must survive the crash")
+
+        // run 2 at 4 partitions: the replay's partition set no longer
+        // matches the manifest — commit must refuse BEFORE any rename
+        val mixed = try { runC(4); None } catch {
+          case e: Throwable => Some(Option(e.getMessage).getOrElse("") +
+            Option(e.getCause).map(_.getMessage).getOrElse(""))
+        }
+        require(mixed.isDefined,
+          "scenario C: changed-parallelism replay must fail loudly")
+        require(mixed.get.contains("parallelism changed"),
+          s"expected the manifest guard's message, got: ${mixed.get.take(300)}")
+        val e2After = new File(s"$out/data").listFiles()
+          .count(_.getName.startsWith("part-e2-"))
+        require(e2After == 8,
+          s"the refused replay must not mix layouts: still 8 epoch-2 files, got $e2After")
+        require(!new File(s"$out/data/_committed/epoch-2").exists,
+          "epoch 2 must stay uncommitted after the refused replay")
+        println("[soak] C: 4-partition replay refused loudly, no files mixed")
+
+        // run 3 back at 8: the manifest matches, fill-in converges
+        runC(8)
+        require(new File(s"$out/data/_committed/epoch-2").exists,
+          "epoch 2 marker must land once parallelism is restored")
+        require(!new File(s"$out/data/_committed/epoch-2.inprogress").exists,
+          "manifest must be cleared once the marker lands")
+        val total = spark.read.parquet(s"$out/data").count()
+        val expected = docs.count()
+        require(total == expected,
+          s"scenario C appended $total rows, batch expects $expected (exactly-once)")
+        val perHash = spark.read.parquet(s"$out/data")
+          .groupBy("content_hash").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        val oracleC = docs.groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        require(perHash.sameElements(oracleC), "scenario C per-hash census mismatch")
+        println(s"[soak] C: recovery at original parallelism converged; " +
+          s"census EXACT ($total rows, ${perHash.length} hashes)")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      }
+    }
+
     NwbFailpoints.reset()
-    println("[soak] PASS: exactly-once census parity under both fault points")
+    println("[soak] PASS: exactly-once census parity under all three fault points")
     spark.stop()
   }
 }
