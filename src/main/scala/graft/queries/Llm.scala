@@ -3774,7 +3774,39 @@ object Llm {
               |        6) DESC, b.vec_id) AS rn
               |  FROM qs q CROSS JOIN base b
               |  WHERE b.vec_id <> q.qid AND b.label <> q.ql
-              |) WHERE rn <= 5 ORDER BY qid, rk""".stripMargin)))
+              |) WHERE rn <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    QueryDef("q364_incremental_neardup",
+      "incremental near-dup ingest: new-batch candidates against the corpus " +
+        "at rest (band-bucket join over stored signatures, corpus text never rescanned)",
+      // the daily-crawl shape: corpus = doc_id % 4 != 0 lives as stored
+      // MinHash signatures; today's batch = doc_id % 4 == 0 arrives and
+      // only pairs TOUCHING it are generated. Semantics are pinned to the
+      // batch operator (result == minhashCandidates over the union,
+      // restricted to new-touching pairs — IncrementalDedupSpec asserts
+      // the law frame-exactly), with the same combined-occupancy skew cap
+      // and threshold-after-round. Signatures are DERIVED here, so they
+      // are pinned (the q42 multi-consumer rule); a deployment reads them
+      // from a doc_id-bucketed store instead.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val docs = table(s, dir, "documents")
+        val corpusSigs =
+          TextOps.minhashSignatures(docs.filter(col("doc_id") % 4 =!= 0)).pin
+        val newSigs =
+          TextOps.minhashSignatures(docs.filter(col("doc_id") % 4 === 0)).pin
+        TextOps.minhashCandidatesIncremental(corpusSigs, newSigs, threshold = 0.2)
+          .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      },
+      // combined sig/bucket/cap state over corpus UNION new == all
+      // documents, so the batch CTEs apply verbatim; incremental = the
+      // batch pair set restricted to pairs touching the new batch
+      Some(s"""WITH $MinhashCtes, pr AS (
+              |$MinhashPairsSelect
+              |)
+              |SELECT doc_a, doc_b, est_jaccard FROM pr
+              |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0
+              |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]

@@ -236,16 +236,82 @@ final class SyntheticAggScan(nTime: Int, chPerPart: Int,
     else Array(SyntheticAggPartition(channels.toArray, nTime))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticAggReaderFactory(grouped, funcs)
+    new SyntheticAggReaderFactory(grouped, funcs, readSchema())
 }
 
 final case class SyntheticAggPartition(chans: Array[Int], nTime: Int)
     extends InputPartition
 
-final class SyntheticAggReaderFactory(grouped: Boolean, funcs: Seq[SynthAgg])
+final class SyntheticAggReaderFactory(grouped: Boolean, funcs: Seq[SynthAgg],
+                                      schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SyntheticAggReader(p.asInstanceOf[SyntheticAggPartition], grouped, funcs)
+
+  // The constant result rows are few (<= channelsPerPartition), but
+  // emitting them as one ColumnarBatch keeps the pushed-aggregate scan on
+  // the same codegen'd ColumnarToRow path as the normal vectorized scan —
+  // no row-vs-columnar seam appears in the plan just because an aggregate
+  // was pushed.
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new SyntheticAggColumnarReader(p.asInstanceOf[SyntheticAggPartition],
+      grouped, funcs, schema)
+}
+
+/** Columnar twin of [[SyntheticAggReader]]: the closed-form rows land in
+  * one primitive ColumnarBatch (null min/max on an empty channel range,
+  * same as the row reader). */
+final class SyntheticAggColumnarReader(p: SyntheticAggPartition,
+                                       grouped: Boolean, funcs: Seq[SynthAgg],
+                                       schema: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val nRows = if (grouped) p.chans.length else 1
+  private var emitted = false
+  private val vectors = OnHeapColumnVector.allocateColumns(math.max(nRows, 1), schema)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+
+  override def next(): Boolean = {
+    if (emitted || nRows == 0) return false
+    if (grouped) {
+      var j = 0
+      while (j < nRows) { vectors(0).putInt(j, p.chans(j)); j += 1 }
+    }
+    val off = if (grouped) 1 else 0
+    funcs.zipWithIndex.foreach { case (f, i) =>
+      val v = vectors(off + i)
+      var j = 0
+      while (j < nRows) {
+        // per grouped row the "range" is the row's single channel; the
+        // global row aggregates the partition's whole channel set
+        val nCh = if (grouped) 1 else p.chans.length
+        f match {
+          case SynthCountStar | SynthCount(_) => v.putLong(j, nCh.toLong * p.nTime)
+          case SynthMin("t") => if (nCh == 0) v.putNull(j) else v.putInt(j, 0)
+          case SynthMax("t") => if (nCh == 0) v.putNull(j) else v.putInt(j, p.nTime - 1)
+          case SynthMin("channel") =>
+            if (nCh == 0) v.putNull(j)
+            else v.putInt(j, if (grouped) p.chans(j) else p.chans.min)
+          case SynthMax("channel") =>
+            if (nCh == 0) v.putNull(j)
+            else v.putInt(j, if (grouped) p.chans(j) else p.chans.max)
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        j += 1
+      }
+    }
+    batch.setNumRows(nRows)
+    emitted = true
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 /** Closed-form aggregate rows: per channel (grouped) or one global row.

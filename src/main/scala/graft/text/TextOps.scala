@@ -208,6 +208,76 @@ object TextOps {
       .distinct()
   }
 
+  /** Incremental near-dup candidates for a corpus increment — the
+    * daily-crawl ingest shape: the corpus is AT REST as stored MinHash
+    * signatures (its text is never rescanned; at 100 TB the signature
+    * table is ~1/1000 the corpus), a new batch arrives, and the pairs that
+    * matter are exactly those TOUCHING the batch. Semantics are
+    * pinned to the batch operator: the result equals
+    * `minhashCandidates(corpusSigs UNION newSigs)` restricted to pairs
+    * with at least one new-batch side — same combined-occupancy skew cap
+    * (a bucket whose corpus+new membership exceeds `maxBucketSize` is
+    * dropped), same slot-match estimate, same threshold-after-round.
+    * IncrementalDedupSpec asserts that law frame-exactly.
+    *
+    * Plan shape: new-side band buckets join the combined bucket table once
+    * on (band_idx, bucket) — the corpus-side shuffle moves (doc_id,
+    * band_idx, bucket) rows, never signatures; estimates come from TWO
+    * id-keyed joins against the signature union AFTER the candidate set is
+    * known (candidates ≪ corpus, so AQE broadcasts them; a production
+    * deployment stores the signature table bucketed by doc_id to make
+    * these lookups co-located). The slot-match estimate is pure Catalyst
+    * (`zip_with` + `aggregate`), no UDF in the pair path. Corpus and new
+    * ids must be disjoint (the caller's ingest contract).
+    *
+    * The caller owns pinning: pass at-rest frames (parquet-backed scans
+    * re-read cheaply); `.pin` DERIVED signature frames first, or the
+    * signature UDF re-runs once per subtree (the q42 multi-consumer rule).
+    */
+  def minhashCandidatesIncremental(corpusSigs: DataFrame, newSigs: DataFrame,
+                                   numHashes: Int = 32, bands: Int = 8,
+                                   threshold: Double = 0.2,
+                                   maxBucketSize: Int = 64): DataFrame = {
+    val cb = bandBuckets(corpusSigs, numHashes, bands)
+    val nb = bandBuckets(newSigs, numHashes, bands)
+    val all = cb.union(nb)
+    // combined occupancy — identical cap semantics to the batch operator
+    // (production keeps the corpus side's per-bucket counts stored and
+    // only adds the batch's, but the count here is over the NARROW bucket
+    // table, not the corpus)
+    val sized = all.groupBy("band_idx", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucketSize))
+    val cand = nb.select(col("band_idx"), col("bucket"), col("doc_id").as("nid"))
+      .join(sized.select("band_idx", "bucket"), Seq("band_idx", "bucket"))
+      .join(all.select(col("band_idx"), col("bucket"), col("doc_id").as("mid")),
+        Seq("band_idx", "bucket"))
+      .filter(col("nid") =!= col("mid"))
+      .select(least(col("nid"), col("mid")).as("doc_a"),
+        greatest(col("nid"), col("mid")).as("doc_b"))
+      .distinct()
+    // fresh aliases on BOTH union legs: corpus and batch frames often
+    // derive from the same base scan (one table split by an id predicate),
+    // and union children sharing attribute exprIds break Catalyst's
+    // constraint rewrite
+    val sigs = corpusSigs.select(col("doc_id").cast("long").as("doc_id"),
+        col("signature").as("signature"))
+      .union(newSigs.select(col("doc_id").cast("long").as("doc_id"),
+        col("signature").as("signature")))
+    val est = round(
+      aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numHashes, 6)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Conf key: undirected-edge count at or below which
     * [[connectedComponents]] runs its single-task union-find tier instead
     * of the iterative distributed loop. Default 2,000,000 edges (≤4 M

@@ -97,6 +97,10 @@ class SyntheticSourceSpec extends AnyFunSuite {
     val pushed = src().groupBy("channel")
       .agg(count(lit(1)).as("n"), min("t").as("lo"), max("t").as("hi"))
     assert(!hasAggregate(pushed), "aggregation should be pushed to the scan")
+    // the constant result rows arrive as one ColumnarBatch — the pushed
+    // scan stays on the same ColumnarToRow shape as the normal scan
+    assert(pushed.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "pushed-aggregate scan should read columnar")
     // baseline: an un-pushable residual filter (t >= 0 is a no-op but only
     // channel predicates push) keeps the aggregate in the plan
     val baseline = src().filter(col("t") >= 0).groupBy("channel")
