@@ -68,6 +68,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(inc.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("sparse batch architecture == dense: minhashCandidatesAtScale parity") {
+    import graft.operators.Checkpoints.Pinnable
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sigs = TextOps.minhashSignatures(docs).pin
+    val dense = pairs(TextOps.minhashCandidates(sigs))
+    val sparse = pairs(TextOps.minhashCandidatesAtScale(sigs))
+    assert(dense.nonEmpty && sparse === dense)
+  }
+
   test("empty new batch yields no candidates") {
     val empty = TextOps.minhashSignatures(docs.filter(lit(false)))
     assert(TextOps.minhashCandidatesIncremental(corpusSigs, empty).isEmpty)

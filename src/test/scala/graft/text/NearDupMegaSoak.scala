@@ -128,6 +128,7 @@ object NearDupMegaSoak {
   /** End-to-end census of the composed pipeline. Every field is exact. */
   case class Census(docs: Long, cappedBuckets: Long, edges: Long,
                     plantedPairsFound: Long, falsePairs: Long,
+                    sparseMismatch: Long,
                     clustersFull: Long, singletons: Long, otherSizes: Long,
                     kept: Long, plantedKeepers: Long, keeperMismatches: Long,
                     afterExactDedup: Long)
@@ -176,6 +177,16 @@ object NearDupMegaSoak {
         clusterOf(col("doc_a")) === clusterOf(col("doc_b"))
     val plantedFound = t("edgeAudit")(edges.filter(samePlantedCluster).count())
 
+    // stage 3b: the sparse (ids-through-the-shuffle) pair architecture,
+    // A/B'd against the dense form — must be RESULT-IDENTICAL; its win is
+    // the signature payload staying out of the band-bucket shuffle
+    val sparse = TextOps.minhashCandidatesAtScale(sigs, maxBucketSize = maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    t("lshPairsSparse")(sparse.count())
+    val sparseMismatch = t("sparseParity")(
+      edges.exceptAll(sparse).count() + sparse.exceptAll(edges).count())
+    sparse.unpersist()
+
     // stage 4: components (edge count decides the CC tier) + cluster census
     val cap = spark.conf.getOption(TextOps.CcLocalEdgeCapKey).map(_.toLong).getOrElse(2000000L)
     if (verbose)
@@ -214,8 +225,8 @@ object NearDupMegaSoak {
 
     sigs.unpersist(); edges.unpersist(); clusters.unpersist(); keep.unpersist()
     Census(nDocs, capped, nEdges, plantedFound, nEdges - plantedFound,
-      clustersFull, singletons, otherSizes, kept, plantedKeepers, mismatches,
-      afterExact)
+      sparseMismatch, clustersFull, singletons, otherSizes, kept,
+      plantedKeepers, mismatches, afterExact)
   }
 
   /** Asserts the census against the planted layout. Valid for floodSize == 0
@@ -233,6 +244,8 @@ object NearDupMegaSoak {
     require(c.cappedBuckets == expectedCapped,
       s"capped buckets ${c.cappedBuckets}, expected $expectedCapped (the flood's 8 band buckets)")
     require(c.falsePairs == 0, s"${c.falsePairs} false-positive pairs")
+    require(c.sparseMismatch == 0,
+      s"sparse pair architecture diverges from dense by ${c.sparseMismatch} rows")
     require(c.plantedPairsFound >= (plantedPairs * 999L) / 1000L,
       s"planted-pair recall ${c.plantedPairsFound}/$plantedPairs below 99.9%")
     require(c.clustersFull == nClusters && c.otherSizes == 0,
