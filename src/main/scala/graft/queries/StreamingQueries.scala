@@ -1384,7 +1384,21 @@ ORDER BY event_type, win"""
       // anchor (error time, else click time) is at least 5 h inside the
       // stream end — beyond both final watermarks — where the emitted set
       // provably equals the batch FULL JOIN.
-      q360Build, Some(q360Oracle)))
+      q360Build, Some(q360Oracle)),
+
+    QueryDef("q365_streaming_neardup_pairs",
+      "streaming near-dup pair emission: per-bucket ListState of the first " +
+        "cap arrivals + arrival counter; the emitted pair set = all pairs " +
+        "among each LSH bucket's first cap arrivals (rank oracle)",
+      // the streaming twin of q364's incremental ingest, with the state
+      // store AS the corpus: docs arrive in three deterministic batches
+      // (doc_id % 3, mtime-ordered), each new doc pairs against its
+      // buckets' stored members and joins them while the bucket's arrival
+      // count is under the cap. The arrival-ordered cap makes the result
+      // replayable: DuckDB ranks each bucket's members by (batch, doc_id)
+      // and keeps pairs whose later member ranks <= cap. State per bucket
+      // is bounded at cap ids regardless of bucket heat.
+      q365Build, Some(q365Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -1982,4 +1996,48 @@ ORDER BY event_type, win"""
         col("n_cap_splits"), col("max_sess_events"))
       .orderBy("user_id")
   }
+
+  // ---- q365: streaming near-dup pair emission (ListState + counter) ------
+
+  private def q365Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stage = java.nio.file.Files.createTempDirectory("q365_stage")
+    StreamingOps.deleteOnExit(stage)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        stage, s"docs_$i.parquet", now - (3 - i) * 60000L)
+    import s.implicits._
+    // global arrival sequence consistent with (batch order, in-batch id
+    // order): the oracle ranks by exactly this
+    val emits = StreamingOps.withRocksDbState(s) {
+      StreamingOps.runToMemoryOrdered(s, stage.toString,
+        s"q365_sink_${sinkId.incrementAndGet()}",
+        df => StreamingOps.runningNearDupPairs(
+          TextOps.bandBuckets(TextOps.minhashSignatures(df))
+            .withColumn("seq",
+              pmod(col("doc_id"), lit(3)) * 1000000000000L + col("doc_id"))
+            .as[StreamingOps.PairEvent]).toDF(),
+        outputMode = OutputMode.Append)
+    }
+    emits.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def q365Oracle: String =
+    s"""WITH ${Llm.MinhashCtes}, rk AS (
+       |  SELECT doc_id, band_idx, bucket,
+       |    row_number() OVER (PARTITION BY band_idx, bucket
+       |      ORDER BY doc_id % 3, doc_id) AS rnk
+       |  FROM bucket
+       |)
+       |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b,
+       |  count(*) AS n_bands
+       |FROM rk a JOIN rk b
+       |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.rnk < b.rnk
+       |WHERE b.rnk <= 64
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -228,6 +228,75 @@ object StreamingOps {
       }
   }
 
+  final case class PairEvent(band_idx: Int, bucket: String, doc_id: Long, seq: Long)
+  final case class PairEmit(doc_a: Long, doc_b: Long, band_idx: Int)
+
+  /** Streaming near-dup PAIR emission against every document ever seen —
+    * the streaming twin of `TextOps.minhashCandidatesIncremental`, where
+    * the "corpus at rest" is the state store itself: per LSH (band,
+    * bucket), a ListState holds the bucket's first `maxBucketSize` members
+    * in arrival order and a ValueState counts ALL arrivals; a new doc with
+    * arrival rank < cap emits a pair against each stored member, then
+    * joins the list. The emitted pair set is exactly {arrival ranks i < j
+    * within a bucket, j <= cap} — all pairs among each bucket's first cap
+    * arrivals — so the cap contract is ARRIVAL-ORDERED (deterministic
+    * given the `seq` order; rows sort by `seq` within a batch, so the set
+    * is independent of micro-batch slicing and replayable by a
+    * row_number() rank oracle). State per bucket is bounded at cap ids +
+    * one counter no matter how hot the bucket gets: a 10k-doc boilerplate
+    * flood costs cap longs of state and cap·(cap−1)/2 pairs TOTAL, never
+    * O(flood²) — the streaming form of the batch operator's bucket-drop
+    * cap, trading "drop the whole hot bucket" for "keep its first cap
+    * arrivals", which is what an ingest pipeline wants (early members
+    * were already deduped downstream when the bucket was still cold).
+    * RocksDB-only, like all transformWithState. */
+  final class NearDupPairProcessor(maxBucketSize: Int)
+      extends StatefulProcessor[(Int, String), PairEvent, PairEmit] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var arrivals: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+      arrivals = getHandle.getValueState[Long]("arrivals",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: (Int, String), rows: Iterator[PairEvent],
+                                 timers: TimerValues): Iterator[PairEmit] = {
+      var n = if (arrivals.exists()) arrivals.get() else 0L
+      // one ListState read per (bucket, batch); appends tracked locally so
+      // intra-batch arrivals pair against each other too
+      val stored = scala.collection.mutable.ArrayBuffer.empty[Long]
+      members.get().foreach(stored += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairEmit]
+      rows.toArray.sortBy(_.seq).foreach { r =>
+        if (n < maxBucketSize) {
+          var i = 0
+          while (i < stored.length) {
+            out += PairEmit(math.min(stored(i), r.doc_id),
+              math.max(stored(i), r.doc_id), key._1)
+            i += 1
+          }
+          members.appendValue(r.doc_id)
+          stored += r.doc_id
+        }
+        n += 1
+      }
+      arrivals.update(n)
+      out.iterator
+    }
+  }
+
+  /** [[NearDupPairProcessor]] wired (Append output: emissions are facts,
+    * not keyed updates). Requires the RocksDB provider. */
+  def runningNearDupPairs(events: Dataset[PairEvent],
+                          maxBucketSize: Int = 64): Dataset[PairEmit] = {
+    import events.sparkSession.implicits._
+    require(maxBucketSize > 0, s"need a positive bucket cap (got $maxBucketSize)")
+    events.groupByKey(e => (e.band_idx, e.bucket))
+      .transformWithState(new NearDupPairProcessor(maxBucketSize),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class SeqEvent(user_id: Long, tu: Long, event_id: Long, event_type: String)
   final case class SeqState(events: Seq[(Long, Long, String)])
   final case class TransitionUpdate(user_id: Long, n_events: Long,

@@ -223,6 +223,47 @@ class StateStoreProviderSpec extends AnyFunSuite {
     assert(viaRocks == viaHdfs)
   }
 
+  test("streaming near-dup pairs: arrival-ordered cap, slicing-independent") {
+    // one hot bucket fed 6 docs across batches under cap=3 (only the first
+    // 3 arrivals ever pair: 3 pairs, state stops growing), one cold bucket
+    // whose members arrive in DIFFERENT batches (pair emits on the later
+    // arrival)
+    val events = Seq(
+      (0, "hot", 10L), (0, "hot", 11L), (1, "cold", 20L), // batch 0
+      (0, "hot", 12L), (0, "hot", 13L),                   // batch 1
+      (0, "hot", 14L), (0, "hot", 15L), (1, "cold", 21L)  // batch 2
+    )
+    val batchOf = Map(10L -> 0, 11L -> 0, 20L -> 0, 12L -> 1, 13L -> 1,
+      14L -> 2, 15L -> 2, 21L -> 2)
+    def frame(rows: Seq[(Int, String, Long)]) =
+      rows.map { case (b, k, d) =>
+        (b, k, d, batchOf(d).toLong * 1000 + d)
+      }.toDF("band_idx", "bucket", "doc_id", "seq")
+    def run(nBatches: Int, sink: String): Set[(Long, Long, Int)] = {
+      val stage = java.nio.file.Files.createTempDirectory(s"ndp_$sink")
+      StreamingOps.deleteOnExit(stage)
+      val now = System.currentTimeMillis()
+      for (i <- 0 until nBatches)
+        StreamingOps.stageFileAs(
+          frame(events.filter(e => batchOf(e._3) % nBatches == i)),
+          stage, s"ev_$i.parquet", now - (nBatches - i) * 60000L)
+      val emits = StreamingOps.withRocksDbState(spark) {
+        StreamingOps.runToMemoryOrdered(spark, stage.toString, sink,
+          df => StreamingOps.runningNearDupPairs(
+            df.as[StreamingOps.PairEvent], maxBucketSize = 3).toDF(),
+          outputMode = OutputMode.Append)
+      }
+      emits.as[(Long, Long, Int)].collect().toSet
+    }
+    val expected = Set((10L, 11L, 0), (10L, 12L, 0), (11L, 12L, 0), (20L, 21L, 1))
+    val multi = run(3, "ndp_multi")
+    assert(multi === expected,
+      s"cap must keep only the first 3 arrivals' pairs: $multi")
+    // same events in ONE batch: the intra-batch seq sort gives the same set
+    val single = run(1, "ndp_single")
+    assert(single === expected, s"pair set must be slicing-independent: $single")
+  }
+
   test("TTL bounds dedup state; long TTL preserves it") {
     // Processing-time TTL harness. ENGINE FINDING, pinned here: with
     // TimeMode.ProcessingTime the query self-schedules micro-batches
