@@ -260,11 +260,79 @@ object NearDupMegaSoak {
       s"after exact dedup ${c.afterExactDedup}, expected $expectedFinal")
   }
 
+  /** Incremental-ingest scale probe: the planted corpus split by id parity
+    * into corpus-at-rest (odd ids — signatures pinned once, text never
+    * rescanned) and today's batch (even ids), through
+    * [[TextOps.minhashCandidatesIncremental]]. Every planted cluster holds
+    * 2 corpus + 2 batch members, so the touching-new census is exact:
+    * 5 of each cluster's 6 pairs (all but corpus-corpus), zero flood pairs
+    * (combined occupancy capped), zero false positives. The measured
+    * point: the incremental pair stage pays one NARROW bucket-table pass
+    * over the corpus plus batch-sized joins — not the full-corpus pair
+    * generation the batch operators pay. */
+  def runIncremental(spark: SparkSession, nUnique: Long, nClusters: Long,
+                     clusterSize: Int, floodSize: Long,
+                     maxBucketSize: Int = 64,
+                     phase: String => Unit = _ => (),
+                     batchMod: Int = 2): Unit = {
+    import graft.operators.Checkpoints.Pinnable
+    // doc_id % batchMod == 0 is "today's batch" (1/batchMod of everything);
+    // variant parity must be id-position-independent, so batchMod has to
+    // divide the 100-wide variant stride and the id bases
+    require(100 % batchMod == 0 && ClusterBase % batchMod == 0 &&
+      FloodBase % batchMod == 0, s"batchMod $batchMod must divide 100")
+    val oldVariants = (0 until clusterSize).count(_ % batchMod != 0)
+    val expectedPerCluster =
+      clusterSize.toLong * (clusterSize - 1) / 2 -
+        oldVariants.toLong * (oldVariants - 1) / 2
+    require(expectedPerCluster > 0, "no planted cluster straddles the split")
+    def t[T](label: String)(f: => T): T = {
+      phase(label)
+      val s0 = System.nanoTime()
+      val r = f
+      println(f"[soak] $label%-16s ${(System.nanoTime() - s0) / 1e9}%7.2f s")
+      r
+    }
+    val docs = corpus(spark, nUnique, nClusters, clusterSize, floodSize)
+    val corpusSigs = t("corpusSigs(at rest)")(
+      TextOps.minhashSignatures(docs.filter(col("doc_id") % batchMod =!= 0)).pin)
+    val newSigs = t("batchSigs")(
+      TextOps.minhashSignatures(docs.filter(col("doc_id") % batchMod === 0)).pin)
+    val inc = TextOps.minhashCandidatesIncremental(corpusSigs, newSigs,
+        maxBucketSize = maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = t("incrementalPairs")(inc.count())
+    val isPlanted = (c: org.apache.spark.sql.Column) =>
+      c >= ClusterBase && c < FloodBase
+    val planted = inc.filter(isPlanted(col("doc_a")) && isPlanted(col("doc_b")) &&
+      ((col("doc_a") - ClusterBase) / 100L).cast("long") ===
+      ((col("doc_b") - ClusterBase) / 100L).cast("long")).count()
+    val touching = inc.filter(col("doc_a") % batchMod === 0 ||
+      col("doc_b") % batchMod === 0).count()
+    val floodTouched = inc.filter(col("doc_a") >= FloodBase || col("doc_b") >= FloodBase).count()
+    val perCluster = inc.filter(isPlanted(col("doc_a")))
+      .groupBy(((col("doc_a") - ClusterBase) / 100L).cast("long").as("c"))
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= expectedPerCluster).count()
+    inc.unpersist()
+    println(s"[soak] incremental census (1/$batchMod batch): $nPairs pairs, " +
+      s"$planted planted, $touching touching-new, $floodTouched flood, " +
+      s"$perCluster clusters != $expectedPerCluster pairs")
+    require(nPairs == nClusters * expectedPerCluster,
+      s"expected ${nClusters * expectedPerCluster} pairs, got $nPairs")
+    require(planted == nPairs, s"${nPairs - planted} false-positive pairs")
+    require(touching == nPairs, "every pair must touch the new batch")
+    require(floodTouched == 0, "capped flood must emit no pairs")
+    require(perCluster == 0,
+      s"every planted cluster must yield exactly $expectedPerCluster pairs")
+    println("[soak] INCREMENTAL PASS")
+  }
+
   def main(args: Array[String]): Unit = {
     val nUnique = if (args.length > 0) args(0).toLong else 18000000L
     val nClusters = if (args.length > 1) args(1).toLong else 500000L
     val clusterSize = if (args.length > 2) args(2).toInt else 4
     val floodSize = if (args.length > 3) args(3).toLong else 5000L
+    val mode = if (args.length > 4) args(4) else "full"
     val maxBucketSize = 64
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "128")
@@ -282,6 +350,17 @@ object NearDupMegaSoak {
       + s"= ${(nUnique + nClusters * clusterSize + floodSize) / 1e6} M docs; "
       + s"${nClusters * clusterSize * (clusterSize - 1) / 2 / 1e6} M planted pairs")
     val t0 = System.nanoTime()
+    if (mode.startsWith("incremental")) {
+      // "incremental" = 50/50 split; "incremental:10" = a 1/10 batch (the
+      // daily-ingest shape)
+      val m = mode.split(":").drop(1).headOption.map(_.toInt).getOrElse(2)
+      runIncremental(spark, nUnique, nClusters, clusterSize, floodSize,
+        maxBucketSize, prof.setPhase, batchMod = m)
+      println(f"[soak] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      prof.report()
+      spark.stop()
+      return
+    }
     val census = run(spark, nUnique, nClusters, clusterSize, floodSize,
       maxBucketSize, prof.setPhase, verbose = true)
     println(s"[soak] census: $census")
