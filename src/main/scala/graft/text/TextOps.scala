@@ -259,6 +259,36 @@ object TextOps {
     sparseCandidates(nb, all, sized, sigs, numHashes, threshold)
   }
 
+  /** [[minhashCandidatesIncremental]] against a STORED corpus bucket
+    * table — the deployment shape: ingest writes each doc's (doc_id,
+    * band_idx, bucket) rows once (8 rows of ~70 B per doc, ~1/500th of a
+    * typical document), and every subsequent batch joins the parquet-backed
+    * table directly instead of re-deriving buckets from the signature
+    * store (which costs two narrow corpus passes per batch — measured
+    * ~60% of the incremental pair stage at 20 M docs). Semantics are
+    * identical (spec-pinned): same combined-occupancy cap, estimate,
+    * threshold. `corpusBuckets` must be exactly
+    * `bandBuckets(corpusSigs)`'s rows at rest. */
+  def minhashCandidatesIncrementalStored(corpusBuckets: DataFrame,
+                                         corpusSigs: DataFrame,
+                                         newSigs: DataFrame,
+                                         numHashes: Int = 32, bands: Int = 8,
+                                         threshold: Double = 0.2,
+                                         maxBucketSize: Int = 64): DataFrame = {
+    val cb = corpusBuckets.select(col("doc_id").cast("long").as("doc_id"),
+      col("band_idx"), col("bucket"))
+    val nb = bandBuckets(newSigs, numHashes, bands)
+    val all = cb.union(nb.select(col("doc_id"), col("band_idx"), col("bucket")))
+    val sized = all.groupBy("band_idx", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucketSize))
+    val sigs = corpusSigs.select(col("doc_id").cast("long").as("doc_id"),
+        col("signature").as("signature"))
+      .union(newSigs.select(col("doc_id").cast("long").as("doc_id"),
+        col("signature").as("signature")))
+    sparseCandidates(nb, all, sized, sigs, numHashes, threshold)
+  }
+
   /** LSH candidate pairs for corpora whose SIGNATURE payload dominates the
     * band-bucket shuffle — the sparse (ids-through-the-shuffle)
     * architecture [[minhashCandidatesIncremental]] uses, as a batch

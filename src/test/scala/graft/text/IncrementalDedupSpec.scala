@@ -78,6 +78,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(dense.nonEmpty && sparse === dense)
   }
 
+  test("stored-bucket-table variant == derived incremental") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // "ingest" writes the corpus bucket table once; the batch joins it at
+    // rest instead of re-deriving buckets from the signature store
+    val store = java.nio.file.Files.createTempDirectory("bucket_store")
+    store.toFile.deleteOnExit()
+    TextOps.bandBuckets(corpusSigs)
+      .write.mode("overwrite").parquet(store.toString)
+    val stored = pairs(TextOps.minhashCandidatesIncrementalStored(
+      spark.read.parquet(store.toString), corpusSigs, newSigs))
+    val derived = pairs(TextOps.minhashCandidatesIncremental(corpusSigs, newSigs))
+    assert(stored.nonEmpty && stored === derived)
+  }
+
   test("empty new batch yields no candidates") {
     val empty = TextOps.minhashSignatures(docs.filter(lit(false)))
     assert(TextOps.minhashCandidatesIncremental(corpusSigs, empty).isEmpty)

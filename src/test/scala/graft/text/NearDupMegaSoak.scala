@@ -274,7 +274,8 @@ object NearDupMegaSoak {
                      clusterSize: Int, floodSize: Long,
                      maxBucketSize: Int = 64,
                      phase: String => Unit = _ => (),
-                     batchMod: Int = 2): Unit = {
+                     batchMod: Int = 2,
+                     storedBuckets: Boolean = false): Unit = {
     import graft.operators.Checkpoints.Pinnable
     // doc_id % batchMod == 0 is "today's batch" (1/batchMod of everything);
     // variant parity must be id-position-independent, so batchMod has to
@@ -298,9 +299,22 @@ object NearDupMegaSoak {
       TextOps.minhashSignatures(docs.filter(col("doc_id") % batchMod =!= 0)).pin)
     val newSigs = t("batchSigs")(
       TextOps.minhashSignatures(docs.filter(col("doc_id") % batchMod === 0)).pin)
-    val inc = TextOps.minhashCandidatesIncremental(corpusSigs, newSigs,
+    // stored mode = the deployment shape: ingest writes the corpus bucket
+    // table ONCE (amortized over every future batch), each batch joins the
+    // parquet-backed table instead of re-deriving buckets per batch
+    val incRaw = if (storedBuckets) {
+      val store = java.nio.file.Files.createTempDirectory("bucket_store")
+      store.toFile.deleteOnExit()
+      t("bucketStore(ingest)")(
+        TextOps.bandBuckets(corpusSigs)
+          .write.mode("overwrite").parquet(store.toString))
+      TextOps.minhashCandidatesIncrementalStored(
+        spark.read.parquet(store.toString), corpusSigs, newSigs,
         maxBucketSize = maxBucketSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } else
+      TextOps.minhashCandidatesIncremental(corpusSigs, newSigs,
+        maxBucketSize = maxBucketSize)
+    val inc = incRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = t("incrementalPairs")(inc.count())
     val isPlanted = (c: org.apache.spark.sql.Column) =>
       c >= ClusterBase && c < FloodBase
@@ -352,10 +366,13 @@ object NearDupMegaSoak {
     val t0 = System.nanoTime()
     if (mode.startsWith("incremental")) {
       // "incremental" = 50/50 split; "incremental:10" = a 1/10 batch (the
-      // daily-ingest shape)
-      val m = mode.split(":").drop(1).headOption.map(_.toInt).getOrElse(2)
+      // daily-ingest shape); "incremental:10:stored" additionally reads
+      // the corpus bucket table from parquet written once at "ingest"
+      val parts = mode.split(":")
+      val m = parts.drop(1).headOption.filter(_.nonEmpty).map(_.toInt).getOrElse(2)
       runIncremental(spark, nUnique, nClusters, clusterSize, floodSize,
-        maxBucketSize, prof.setPhase, batchMod = m)
+        maxBucketSize, prof.setPhase, batchMod = m,
+        storedBuckets = parts.contains("stored"))
       println(f"[soak] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
       prof.report()
       spark.stop()
