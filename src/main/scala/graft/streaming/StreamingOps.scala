@@ -234,42 +234,48 @@ object StreamingOps {
   /** Streaming near-dup PAIR emission against every document ever seen —
     * the streaming twin of `TextOps.minhashCandidatesIncremental`, where
     * the "corpus at rest" is the state store itself: per LSH (band,
-    * bucket), a ListState holds the bucket's first `maxBucketSize` members
-    * in arrival order and a ValueState counts ALL arrivals; a new doc with
-    * arrival rank < cap emits a pair against each stored member, then
-    * joins the list. The emitted pair set is exactly {arrival ranks i < j
-    * within a bucket, j <= cap} — all pairs among each bucket's first cap
-    * arrivals — so the cap contract is ARRIVAL-ORDERED (deterministic
-    * given the `seq` order; rows sort by `seq` within a batch, so the set
-    * is independent of micro-batch slicing and replayable by a
-    * row_number() rank oracle). State per bucket is bounded at cap ids +
-    * one counter no matter how hot the bucket gets: a 10k-doc boilerplate
-    * flood costs cap longs of state and cap·(cap−1)/2 pairs TOTAL, never
-    * O(flood²) — the streaming form of the batch operator's bucket-drop
-    * cap, trading "drop the whole hot bucket" for "keep its first cap
-    * arrivals", which is what an ingest pipeline wants (early members
-    * were already deduped downstream when the bucket was still cold).
+    * bucket), a ListState holds the bucket's first `maxBucketSize` DISTINCT
+    * members in arrival order; a new doc arriving while the bucket has
+    * live capacity emits a pair against each stored member, then joins
+    * the list (re-deliveries are per-bucket no-ops — idempotent under
+    * at-least-once ingest). The emitted pair set is exactly {arrival
+    * ranks i < j within a bucket, j <= cap} — all pairs among each
+    * bucket's first cap distinct arrivals — so the cap contract is
+    * ARRIVAL-ORDERED (deterministic given the `seq` order; rows sort by
+    * (seq, doc_id) within a batch, so the set is independent of
+    * micro-batch slicing and replayable by a row_number() rank oracle).
+    * State per bucket is bounded at cap ids no matter how hot the bucket
+    * gets: a 10k-doc boilerplate flood costs cap longs of state and
+    * cap·(cap−1)/2 pairs TOTAL, never O(flood²) — the streaming form of
+    * the batch operator's bucket-drop cap, trading "drop the whole hot
+    * bucket" for "keep its first cap arrivals", which is what an ingest
+    * pipeline wants (early members were already deduped downstream when
+    * the bucket was still cold). With a TTL, expired members free their
+    * slots and matching follows the rolling retention window.
     * RocksDB-only, like all transformWithState. */
-  final class NearDupPairProcessor(maxBucketSize: Int)
+  final class NearDupPairProcessor(maxBucketSize: Int, ttl: java.time.Duration)
       extends StatefulProcessor[(Int, String), PairEvent, PairEmit] {
+    def this(maxBucketSize: Int) = this(maxBucketSize, null)
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
-    @transient private var arrivals: ValueState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      members = getHandle.getListState[Long]("members",
-        Encoders.scalaLong, TTLConfig.NONE)
-      arrivals = getHandle.getValueState[Long]("arrivals",
-        Encoders.scalaLong, TTLConfig.NONE)
-    }
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members", Encoders.scalaLong,
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
     override def handleInputRows(key: (Int, String), rows: Iterator[PairEvent],
                                  timers: TimerValues): Iterator[PairEmit] = {
-      var n = if (arrivals.exists()) arrivals.get() else 0L
       // one ListState read per (bucket, batch); appends tracked locally so
-      // intra-batch arrivals pair against each other too
+      // intra-batch arrivals pair against each other too. Capacity is the
+      // LIVE membership: without TTL that is "the first cap arrivals";
+      // with TTL, expired members free their slots, so matching follows a
+      // rolling retention window
       val stored = scala.collection.mutable.ArrayBuffer.empty[Long]
       members.get().foreach(stored += _)
       val out = scala.collection.mutable.ArrayBuffer.empty[PairEmit]
-      rows.toArray.sortBy(_.seq).foreach { r =>
-        if (n < maxBucketSize) {
+      // doc_id tiebreak keeps caller-duplicated seqs deterministic
+      rows.toArray.sortBy(r => (r.seq, r.doc_id)).foreach { r =>
+        // a re-delivery of a doc already in the bucket is a no-op (no
+        // self-pair, no duplicate member, no slot consumed) — per-bucket
+        // idempotence, the at-least-once-ingest contract
+        if (stored.length < maxBucketSize && !stored.contains(r.doc_id)) {
           var i = 0
           while (i < stored.length) {
             out += PairEmit(math.min(stored(i), r.doc_id),
@@ -279,22 +285,27 @@ object StreamingOps {
           members.appendValue(r.doc_id)
           stored += r.doc_id
         }
-        n += 1
       }
-      arrivals.update(n)
       out.iterator
     }
   }
 
   /** [[NearDupPairProcessor]] wired (Append output: emissions are facts,
-    * not keyed updates). Requires the RocksDB provider. */
+    * not keyed updates). With `ttl` set, bucket membership expires after
+    * the retention window (requires `TimeMode.ProcessingTime`), so new
+    * docs match only against the ROLLING corpus — the retention-bounded
+    * form that keeps state finite over an unbounded 100 TB ingest, same
+    * contract as [[runningDedupTws]]' TTL. Requires the RocksDB
+    * provider. */
   def runningNearDupPairs(events: Dataset[PairEvent],
-                          maxBucketSize: Int = 64): Dataset[PairEmit] = {
+                          maxBucketSize: Int = 64,
+                          ttl: Option[java.time.Duration] = None): Dataset[PairEmit] = {
     import events.sparkSession.implicits._
     require(maxBucketSize > 0, s"need a positive bucket cap (got $maxBucketSize)")
     events.groupByKey(e => (e.band_idx, e.bucket))
-      .transformWithState(new NearDupPairProcessor(maxBucketSize),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new NearDupPairProcessor(maxBucketSize, ttl.orNull),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   final case class SeqEvent(user_id: Long, tu: Long, event_id: Long, event_type: String)

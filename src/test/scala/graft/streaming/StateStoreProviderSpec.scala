@@ -264,6 +264,101 @@ class StateStoreProviderSpec extends AnyFunSuite {
     assert(single === expected, s"pair set must be slicing-independent: $single")
   }
 
+  test("streaming near-dup pairs: re-delivered docs are per-bucket no-ops") {
+    // doc 11 re-arrives in a later batch: no self-pair, no duplicate
+    // member — doc 12 still pairs against exactly {10, 11}
+    val stage = java.nio.file.Files.createTempDirectory("ndp_redeliver")
+    StreamingOps.deleteOnExit(stage)
+    val now = System.currentTimeMillis()
+    def f(rows: Seq[(Int, String, Long, Long)], name: String, mt: Long) =
+      StreamingOps.stageFileAs(
+        rows.toDF("band_idx", "bucket", "doc_id", "seq"), stage, name, mt)
+    f(Seq((0, "b", 10L, 1L), (0, "b", 11L, 2L)), "e0.parquet", now - 180000)
+    f(Seq((0, "b", 11L, 3L)), "e1.parquet", now - 120000)
+    f(Seq((0, "b", 12L, 4L)), "e2.parquet", now - 60000)
+    val emits = StreamingOps.withRocksDbState(spark) {
+      StreamingOps.runToMemoryOrdered(spark, stage.toString, "ndp_redeliver",
+        df => StreamingOps.runningNearDupPairs(
+          df.as[StreamingOps.PairEvent], maxBucketSize = 3).toDF(),
+        outputMode = OutputMode.Append)
+    }
+    assert(emits.as[(Long, Long, Int)].collect().toSet ===
+      Set((10L, 11L, 0), (10L, 12L, 0), (11L, 12L, 0)))
+  }
+
+  test("TTL expires near-dup bucket membership; long TTL preserves it") {
+    // same polling harness as the dedup TTL test (ProcessingTime mode
+    // never terminates under AvailableNow): file A = two docs in one
+    // bucket (1 pair), sleep past the short TTL, file B = one more doc.
+    // Short TTL -> A's members expired, B pairs with nothing (1 emit
+    // total); long TTL -> B pairs with both (3 total).
+    def totalEmits(ttl: java.time.Duration): Long =
+      StreamingOps.withRocksDbState(spark) {
+        val stage = java.nio.file.Files.createTempDirectory("ndpttl_docs")
+        StreamingOps.deleteOnExit(stage)
+        val ckpt = java.nio.file.Files.createTempDirectory("ndpttl_ckpt")
+        StreamingOps.deleteOnExit(ckpt)
+        val out = java.nio.file.Files.createTempDirectory("ndpttl_out")
+        StreamingOps.deleteOnExit(out)
+        val fileA = (Seq((0, "hot", 10L, 1L), (0, "hot", 11L, 2L)))
+          .toDF("band_idx", "bucket", "doc_id", "seq")
+        val fileB = Seq((0, "hot", 12L, 3L))
+          .toDF("band_idx", "bucket", "doc_id", "seq")
+        val schema = fileA.schema
+        val q = StreamingOps.runningNearDupPairs(
+            spark.readStream.schema(schema).parquet(stage.toString)
+              .as[StreamingOps.PairEvent],
+            maxBucketSize = 8, ttl = Some(ttl)).toDF()
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("50 milliseconds"))
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) b.write.mode("append").parquet(out.toString)
+          }.start()
+        def outCount(): Long =
+          scala.util.Try(spark.read.parquet(out.toString).count())
+            .getOrElse(0L)
+        def awaitCount(n: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 90000L
+          while (outCount() < n) {
+            assert(System.currentTimeMillis() < deadline,
+              s"timed out waiting for $n sink rows (have ${outCount()})")
+            Thread.sleep(200)
+          }
+        }
+        // the file-stream log offset tells us when B's batch has COMMITTED
+        // (progress is reported after the batch completes), so "emitted
+        // nothing" is distinguishable from "not processed yet"
+        def srcOffset(): Long = Option(q.lastProgress)
+          .flatMap(p => p.sources.headOption.flatMap(s => Option(s.endOffset)))
+          .map(_.replaceAll("[^0-9]", ""))
+          .filter(_.nonEmpty).map(_.toLong).getOrElse(-1L)
+        try {
+          StreamingOps.stageFileAs(fileA, stage, "a.parquet",
+            System.currentTimeMillis())
+          awaitCount(1)
+          Thread.sleep(3000) // past the short TTL, committed-batch side
+          val preB = srcOffset()
+          StreamingOps.stageFileAs(fileB, stage, "b.parquet",
+            System.currentTimeMillis())
+          val deadline = System.currentTimeMillis() + 90000L
+          while (srcOffset() <= preB) {
+            assert(System.currentTimeMillis() < deadline,
+              "timed out waiting for file B's batch to commit")
+            Thread.sleep(200)
+          }
+          Thread.sleep(500) // let the foreachBatch write settle
+          outCount()
+        } finally q.stop()
+      }
+    assert(totalEmits(java.time.Duration.ofSeconds(1)) === 1L,
+      "short TTL must expire the bucket members")
+    assert(totalEmits(java.time.Duration.ofMinutes(10)) === 3L,
+      "long TTL must preserve them")
+  }
+
   test("TTL bounds dedup state; long TTL preserves it") {
     // Processing-time TTL harness. ENGINE FINDING, pinned here: with
     // TimeMode.ProcessingTime the query self-schedules micro-batches
