@@ -267,8 +267,90 @@ object FaultInjectionSoak {
       }
     }
 
+    // ---- scenario D: crash mid-epoch of an APPEND-mode TWS operator ------
+    // A/B/C certify an UPDATE-mode fold (dedup counters), where a replayed
+    // epoch would merely rewrite the same keyed updates. Append-mode pair
+    // emission is the stricter shape: every replayed row is a NEW fact, so
+    // exactly-once depends on (a) the processor re-emitting a bit-identical
+    // batch from restored state and (b) the sink's deterministic epoch
+    // names + manifest deduplicating the replay. A duplicated epoch would
+    // double n_bands for every pair in it — the census catches one extra
+    // row.
+    {
+      val stage = tmp()
+      val now = System.currentTimeMillis()
+      for (i <- 0 until 4)
+        StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(4)) === i),
+          java.nio.file.Paths.get(stage), s"docs_$i.parquet",
+          now - (4 - i) * 60000L)
+      val out = tmp()
+      def runPairQuery(): Unit = StreamingOps.withRocksDbState(spark) {
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = StreamingOps.runningNearDupPairs(
+            graft.text.TextOps.bandBuckets(
+              graft.text.TextOps.minhashSignatures(stream))
+              .withColumn("seq",
+                pmod(col("doc_id"), lit(4)) * 1000000000000L + col("doc_id"))
+              .as[StreamingOps.PairEvent])
+          .toDF()
+          .writeStream.format("graft-nwb")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // batch oracle: rank each bucket's members by the staged arrival
+      // order (batch = doc_id % 4, then doc_id), keep pairs whose later
+      // member ranks <= cap — the q365 contract
+      val b = graft.text.TextOps.bandBuckets(
+        graft.text.TextOps.minhashSignatures(docs))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "bucket")
+        .orderBy(pmod(col("doc_id"), lit(4)), col("doc_id"))
+      val rk = b.withColumn("rnk", row_number().over(w))
+      val ra = rk.select(col("band_idx"), col("bucket"),
+        col("doc_id").as("ida"), col("rnk").as("rka"))
+      val rb = rk.select(col("band_idx"), col("bucket"),
+        col("doc_id").as("idb"), col("rnk").as("rkb"))
+      val pairOracle = ra.join(rb, Seq("band_idx", "bucket"))
+        .filter(col("rka") < col("rkb") && col("rkb") <= 64)
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      NwbFailpoints.reset()
+      NwbFailpoints.arm()
+      NwbFailpoints.crashBeforeMarkerAtEpoch.set(2L)
+      val failed = try { runPairQuery(); false }
+        catch { case e: Throwable =>
+          println(s"[soak] D query died as injected: ${e.getMessage.linesIterator.next()}")
+          true
+        }
+      require(failed, "scenario D: the injected crash must kill the query")
+      require(!new File(s"$out/data/_committed/epoch-2").exists,
+        "scenario D: epoch 2 marker must NOT exist after the crash")
+      runPairQuery() // recovery: epoch 2 replays from restored TWS state
+      require(new File(s"$out/data/_committed/epoch-2").exists,
+        "scenario D: epoch 2 marker must land on recovery")
+      val gotPairs = spark.read.parquet(s"$out/data")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      require(gotPairs.sameElements(pairOracle),
+        s"scenario D pair census mismatch: got ${gotPairs.length} pairs " +
+          s"vs oracle ${pairOracle.length}")
+      println(s"[soak] D: append-mode pair emission recovered exactly-once; " +
+        s"census EXACT (${pairOracle.length} pairs, " +
+        s"${pairOracle.map(_._3).sum} band emissions)")
+    }
+
     NwbFailpoints.reset()
-    println("[soak] PASS: exactly-once census parity under all three fault points")
+    println("[soak] PASS: exactly-once census parity under all four fault points")
     spark.stop()
   }
 }
