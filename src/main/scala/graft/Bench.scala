@@ -167,7 +167,8 @@ object Bench {
     "q360_streaming_full_outer_interval_join",
     "q361_spj_channel_join", "q362_adaptive_ivfpq_audit",
     "q363_spj_stored_join", "q364_incremental_neardup",
-    "q365_streaming_neardup_pairs")
+    "q365_streaming_neardup_pairs", "q366_minhash_lsh_sparse",
+    "q367_incremental_neardup_stored")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

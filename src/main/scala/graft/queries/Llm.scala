@@ -3806,6 +3806,59 @@ object Llm {
               |)
               |SELECT doc_a, doc_b, est_jaccard FROM pr
               |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0
+              |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q366_minhash_lsh_sparse",
+      "sparse LSH pair architecture (ids-only buckets, attach-after " +
+        "estimates) driver-certified against q42's oracle verbatim",
+      // minhashCandidatesAtScale is result-identical to q42's dense form
+      // by contract (spec-pinned; A/B'd at 20 M docs in NearDupMegaSoak
+      // with exceptAll both ways == 0 over 3 M pairs), so the SAME oracle
+      // certifies it — what differs is the plan: the 32-long signature
+      // payload never rides the band-bucket shuffle (569 -> 152 MB/task
+      // measured at 20 M docs), pairs form in a capped ids-only self-join,
+      // and the slot-match estimate is a pure zip_with/aggregate after two
+      // id-keyed signature joins.
+      (s, dir) => {
+        val sigs = TextOps.minhashSignatures(table(s, dir, "documents"))
+        TextOps.minhashCandidatesAtScale(sigs, threshold = 0.2)
+          .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $MinhashCtes
+              |$MinhashPairsSelect
+              |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q367_incremental_neardup_stored",
+      "incremental near-dup against a STORED bucket table: ingest writes " +
+        "the corpus buckets once, the batch joins them at rest (q364's " +
+        "oracle verbatim)",
+      // the deployment shape of q364: corpus band buckets parquet-written
+      // ONCE (the ingest-time cost, amortized over every future batch) and
+      // read back for the join, so per-batch cost drops the two narrow
+      // corpus bucket passes (measured 178.6 -> 122.7 s at 20 M docs).
+      // Result-identical by contract (IncrementalDedupSpec stored==derived)
+      // so q364's oracle certifies it unchanged.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val docs = table(s, dir, "documents")
+        val corpusSigs =
+          TextOps.minhashSignatures(docs.filter(col("doc_id") % 4 =!= 0)).pin
+        val newSigs =
+          TextOps.minhashSignatures(docs.filter(col("doc_id") % 4 === 0)).pin
+        val store = java.nio.file.Files.createTempDirectory("q367_buckets")
+        store.toFile.deleteOnExit()
+        TextOps.bandBuckets(corpusSigs)
+          .write.mode("overwrite").parquet(store.toString)
+        TextOps.minhashCandidatesIncrementalStored(
+            s.read.parquet(store.toString), corpusSigs, newSigs,
+            threshold = 0.2)
+          .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $MinhashCtes, pr AS (
+              |$MinhashPairsSelect
+              |)
+              |SELECT doc_a, doc_b, est_jaccard FROM pr
+              |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0
               |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
