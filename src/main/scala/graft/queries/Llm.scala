@@ -2756,17 +2756,20 @@ object Llm {
 
     QueryDef("q307_ivf_recall_audit",
       "IVF recall audit: probed top-10 vs exact brute top-10 on the same grid, recall distribution",
-      // the self-certifying measurement of the nprobe dial: every 25th
-      // vector queries BOTH the q52 IVF path (Lloyd quantizer + 3-cell
-      // probe) and the exact brute scan, ranked on the SAME codegen'd
-      // exact-grid cosine (q272 idiom, 6-decimal grid, ties to lower id),
-      // and the overlap per query rolls into a recall@10 census. The
-      // oracle replays the full pipeline — Lloyd replica, per-query probe
-      // ranking, both top-10 tiers — so the recall numbers themselves are
-      // engine-exact, not just plausible.
+      // the self-certifying measurement of the nprobe dial: a FIXED-COUNT
+      // deterministic query batch (the 20 corpus rows with the smallest
+      // salt-'ivfq' md5 uniforms — O(nQueries) driver bytes and broadcast
+      // at ANY corpus size, the q350 idiom) queries BOTH the q52 IVF path
+      // (Lloyd quantizer + 3-cell probe) and the exact brute scan, ranked
+      // on the SAME codegen'd exact-grid cosine (q272 idiom, 6-decimal
+      // grid, ties to lower id), and the overlap per query rolls into a
+      // recall@10 census. The oracle replays the full pipeline — Lloyd
+      // replica, the row_number()-over-hash batch selection, per-query
+      // probe ranking, both top-10 tiers — so the recall numbers
+      // themselves are engine-exact, not just plausible.
       (s, dir) => Similarity.ivfRecallAudit(table(s, dir, "embeddings"),
         k = 10, params = Similarity.IvfParams(nCells = 16, iters = 2,
-          nprobe = 3), queryMod = 25),
+          nprobe = 3), nQueries = 20),
       Some(s"""|WITH $IvfLloydCtes
               |$IvfAssignCte,
               |g AS (
@@ -2781,8 +2784,12 @@ object Llm {
               |  FROM g JOIN af USING (vec_id) WHERE g.e2 > 0
               |),
               |qs AS (
-              |  SELECT vec_id AS qid, v AS qv, e2 AS eq, cell
-              |  FROM base WHERE vec_id % 25 = 0
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq FROM (
+              |    SELECT vec_id, v, e2, row_number() OVER (ORDER BY
+              |      CAST(('0x' || substr(md5('ivfq:' || vec_id), 1, 15))
+              |        AS UBIGINT), vec_id) AS qrn
+              |    FROM base
+              |  ) WHERE qrn <= 20
               |),
               |probes AS (
               |  SELECT qid, cell FROM (
@@ -2905,20 +2912,22 @@ object Llm {
     QueryDef("q340_adaptive_ivf_audit",
       "adaptive-nprobe IVF audit: recall-targeted probe policy, recall + exact probe cost census",
       // the RECALL-TARGETED answer to q307's finding (fixed nprobe=3/16
-      // measures mean recall ~4.7/10 on these quasi-uniform embeddings):
+      // measures mean recall ~3.7/10 on these quasi-uniform embeddings):
       // Similarity.ivfAdaptiveRecallAudit probes cells in centroid-
       // similarity order until the EXCLUSIVE running candidate total
       // reaches k*margin (k=10, margin=30 -> 300 candidates), so probe
-      // depth adapts per query to cell occupancy. Measured at sf0.01:
-      // mean recall 9.15/10 at a mean 10.0/16 probed cells — on uniform
-      // vectors (IVF's worst case) a 0.9 recall target honestly costs
-      // ~2/3 of the corpus, and the census PROVES the cost: per recall
+      // depth adapts per query to cell occupancy. Queries are the
+      // fixed-count salt-'aivfq' batch (20 at any corpus size, the q350
+      // idiom — the oracle replays the row_number()-over-hash selection).
+      // Measured at sf0.01: mean recall 9.0/10 at a mean 10.05/16 probed
+      // cells — on uniform vectors (IVF's worst case) a 0.9 recall target
+      // honestly costs ~2/3 of the corpus, and the census PROVES it: per
       // level, exact integer sums of probed cells and scanned candidate
       // rows, replayed bit-for-bit by the oracle's cumulative-window
       // probe selection over the same Lloyd replica.
       (s, dir) => Similarity.ivfAdaptiveRecallAudit(table(s, dir, "embeddings"),
         k = 10, params = Similarity.IvfParams(nCells = 16, iters = 2),
-        margin = 30, queryMod = 25),
+        margin = 30, nQueries = 20),
       Some(s"""|WITH $IvfLloydCtes
               |$IvfAssignCte,
               |g AS (
@@ -2937,8 +2946,12 @@ object Llm {
               |  FROM base GROUP BY cell
               |),
               |qs AS (
-              |  SELECT vec_id AS qid, v AS qv, e2 AS eq
-              |  FROM base WHERE vec_id % 25 = 0
+              |  SELECT vec_id AS qid, v AS qv, e2 AS eq FROM (
+              |    SELECT vec_id, v, e2, row_number() OVER (ORDER BY
+              |      CAST(('0x' || substr(md5('aivfq:' || vec_id), 1, 15))
+              |        AS UBIGINT), vec_id) AS qrn
+              |    FROM base
+              |  ) WHERE qrn <= 20
               |),
               |ranked AS (
               |  SELECT q.qid, c.cell, COALESCE(cc.cnt, 0) AS cnt,
@@ -3845,8 +3858,10 @@ object Llm {
           TextOps.minhashSignatures(docs.filter(col("doc_id") % 4 =!= 0)).pin
         val newSigs =
           TextOps.minhashSignatures(docs.filter(col("doc_id") % 4 === 0)).pin
+        // recursive-delete shutdown hook: File.deleteOnExit can't remove a
+        // non-empty directory, which would leak the parquet store per run
         val store = java.nio.file.Files.createTempDirectory("q367_buckets")
-        store.toFile.deleteOnExit()
+        graft.streaming.StreamingOps.deleteOnExit(store)
         TextOps.bandBuckets(corpusSigs)
           .write.mode("overwrite").parquet(store.toString)
         TextOps.minhashCandidatesIncrementalStored(

@@ -1388,13 +1388,17 @@ ORDER BY event_type, win"""
 
     QueryDef("q365_streaming_neardup_pairs",
       "streaming near-dup pair emission: per-bucket ListState of the first " +
-        "cap arrivals + arrival counter; the emitted pair set = all pairs " +
-        "among each LSH bucket's first cap arrivals (rank oracle)",
+        "cap arrivals (capacity = live ListState membership); the emitted " +
+        "pair set = all pairs among each LSH bucket's first cap arrivals " +
+        "(rank oracle)",
       // the streaming twin of q364's incremental ingest, with the state
       // store AS the corpus: docs arrive in three deterministic batches
       // (doc_id % 3, mtime-ordered), each new doc pairs against its
-      // buckets' stored members and joins them while the bucket's arrival
-      // count is under the cap. The arrival-ordered cap makes the result
+      // buckets' stored members and joins them while the bucket's LIVE
+      // ListState membership is under the cap (no separate arrival
+      // counter — with TTL, expired members free their slots by design,
+      // which is what makes the cap a rolling-retention capacity rather
+      // than a lifetime one). The arrival-ordered cap makes the result
       // replayable: DuckDB ranks each bucket's members by (batch, doc_id)
       // and keeps pairs whose later member ranks <= cap. State per bucket
       // is bounded at cap ids regardless of bucket heat.

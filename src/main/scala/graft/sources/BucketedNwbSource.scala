@@ -124,6 +124,43 @@ object BucketedNwbSource {
     }
   }
 
+  /** Plan-time layout sanity pass: every row-group's `channel` stats must
+    * sit inside [0, nchannels). The scan plans ONE partition per declared
+    * channel, so a store row with a channel outside the contract (a
+    * mis-declared `nchannels` option, a corrupted store) would be read by
+    * NO partition — silent data loss. This footer sweep turns that into a
+    * LOUD plan-time failure. Metadata-only (footers, never data pages),
+    * O(files) driver-side; stores too large for a driver footer sweep can
+    * opt out with `option("validate", "false")` — and then own the
+    * contract themselves. */
+  private[sources] def validateChannelStats(byBucket: Map[Int, Seq[String]],
+                                            nChannels: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    byBucket.values.flatten.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), NwbSink.sharedConf))
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala
+          .filter(_.getPath.toDotString == "channel")
+          .foreach { c =>
+            val st = c.getStatistics
+            require(st != null && !st.isEmpty && st.hasNonNullValue,
+              s"graft-nwb-bucketed: $f has a row group without `channel` " +
+                "statistics — the [0, nchannels) layout contract cannot be " +
+                "verified (pass validate=false only if the contract is " +
+                "certain)")
+            val mn = st.genericGetMin.asInstanceOf[Number].intValue()
+            val mx = st.genericGetMax.asInstanceOf[Number].intValue()
+            require(mn >= 0 && mx < nChannels,
+              s"graft-nwb-bucketed: $f holds channels [$mn, $mx] outside " +
+                s"the declared contract [0, ${nChannels - 1}] — such rows " +
+                "would be read by NO per-channel partition (silent data " +
+                "loss); fix the nchannels option or the store")
+          }
+      } finally reader.close()
+    }
+  }
+
   /** Schema inference from one footer (primitive columns only). */
   private[sources] def footerSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
@@ -173,11 +210,13 @@ final class BucketedNwbTable(schema0: StructType,
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new BucketedNwbScanBuilder(path, schema0,
       BucketedNwbSource.intOption(options, "nbuckets"),
-      BucketedNwbSource.intOption(options, "nchannels"))
+      BucketedNwbSource.intOption(options, "nchannels"),
+      options.getBoolean("validate", true))
 }
 
 final class BucketedNwbScanBuilder(path: String, full: StructType,
-                                   nBuckets: Int, nChannels: Int)
+                                   nBuckets: Int, nChannels: Int,
+                                   validate: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -186,12 +225,12 @@ final class BucketedNwbScanBuilder(path: String, full: StructType,
     required = requiredSchema
 
   override def build(): Scan =
-    new BucketedNwbScan(path, full, required, nBuckets, nChannels)
+    new BucketedNwbScan(path, full, required, nBuckets, nChannels, validate)
 }
 
 final class BucketedNwbScan(path: String, full: StructType,
                             required: StructType, nBuckets: Int,
-                            nChannels: Int)
+                            nChannels: Int, validate: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
 
@@ -232,12 +271,16 @@ final class BucketedNwbScan(path: String, full: StructType,
     s"graft-nwb-bucketed path=$path nbuckets=$nBuckets nchannels=$nChannels " +
       s"columns=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // loud-failure contract: rows with channel ∉ [0, nchannels) belong to
+    // no per-channel partition, so verify the footer stats before planning
+    if (validate) BucketedNwbSource.validateChannelStats(byBucket, nChannels)
     (0 until nChannels).map { c =>
       val files = byBucket
         .getOrElse(BucketedNwbSource.bucketOfChannel(c, nBuckets), Seq.empty)
       BucketedNwbPartition(c, files.toArray): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BucketedNwbReaderFactory(required)

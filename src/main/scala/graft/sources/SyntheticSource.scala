@@ -260,9 +260,27 @@ final class SyntheticAggReaderFactory(grouped: Boolean, funcs: Seq[SynthAgg],
       grouped, funcs, schema)
 }
 
+/** The closed-form pushed-aggregate values, in ONE place: per grouped row
+  * the "range" is the row's single channel; the global row aggregates the
+  * partition's whole channel set. Both the row reader and its columnar
+  * twin evaluate through here, so a future aggregate added to the pushdown
+  * cannot silently diverge between the two paths. */
+private[sources] object SyntheticAggValues {
+  def aggVals(funcs: Seq[SynthAgg], chans: Array[Int], nTime: Int): Seq[Any] =
+    funcs.map {
+      case SynthCountStar => chans.length.toLong * nTime
+      case SynthCount(_) => chans.length.toLong * nTime // columns non-null
+      case SynthMin("t") => if (chans.isEmpty) null else 0
+      case SynthMax("t") => if (chans.isEmpty) null else nTime - 1
+      case SynthMin("channel") => if (chans.isEmpty) null else chans.min
+      case SynthMax("channel") => if (chans.isEmpty) null else chans.max
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+}
+
 /** Columnar twin of [[SyntheticAggReader]]: the closed-form rows land in
   * one primitive ColumnarBatch (null min/max on an empty channel range,
-  * same as the row reader). */
+  * same as the row reader — both evaluate [[SyntheticAggValues]]). */
 final class SyntheticAggColumnarReader(p: SyntheticAggPartition,
                                        grouped: Boolean, funcs: Seq[SynthAgg],
                                        schema: StructType)
@@ -283,27 +301,21 @@ final class SyntheticAggColumnarReader(p: SyntheticAggPartition,
       while (j < nRows) { vectors(0).putInt(j, p.chans(j)); j += 1 }
     }
     val off = if (grouped) 1 else 0
-    funcs.zipWithIndex.foreach { case (f, i) =>
-      val v = vectors(off + i)
-      var j = 0
-      while (j < nRows) {
-        // per grouped row the "range" is the row's single channel; the
-        // global row aggregates the partition's whole channel set
-        val nCh = if (grouped) 1 else p.chans.length
-        f match {
-          case SynthCountStar | SynthCount(_) => v.putLong(j, nCh.toLong * p.nTime)
-          case SynthMin("t") => if (nCh == 0) v.putNull(j) else v.putInt(j, 0)
-          case SynthMax("t") => if (nCh == 0) v.putNull(j) else v.putInt(j, p.nTime - 1)
-          case SynthMin("channel") =>
-            if (nCh == 0) v.putNull(j)
-            else v.putInt(j, if (grouped) p.chans(j) else p.chans.min)
-          case SynthMax("channel") =>
-            if (nCh == 0) v.putNull(j)
-            else v.putInt(j, if (grouped) p.chans(j) else p.chans.max)
+    var j = 0
+    while (j < nRows) {
+      val vals = SyntheticAggValues.aggVals(funcs,
+        if (grouped) Array(p.chans(j)) else p.chans, p.nTime)
+      var i = 0
+      while (i < vals.length) {
+        vals(i) match {
+          case null => vectors(off + i).putNull(j)
+          case l: Long => vectors(off + i).putLong(j, l)
+          case n: Int => vectors(off + i).putInt(j, n)
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
-        j += 1
+        i += 1
       }
+      j += 1
     }
     batch.setNumRows(nRows)
     emitted = true
@@ -323,15 +335,8 @@ final class SyntheticAggReader(p: SyntheticAggPartition, grouped: Boolean,
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    def aggVals(chans: Array[Int]): Seq[Any] = funcs.map {
-      case SynthCountStar => chans.length.toLong * p.nTime
-      case SynthCount(_) => chans.length.toLong * p.nTime // columns non-null
-      case SynthMin("t") => if (chans.isEmpty) null else 0
-      case SynthMax("t") => if (chans.isEmpty) null else p.nTime - 1
-      case SynthMin("channel") => if (chans.isEmpty) null else chans.min
-      case SynthMax("channel") => if (chans.isEmpty) null else chans.max
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    }
+    def aggVals(chans: Array[Int]): Seq[Any] =
+      SyntheticAggValues.aggVals(funcs, chans, p.nTime)
     if (grouped)
       p.chans.iterator.map(c =>
         new GenericInternalRow((Seq[Any](c) ++ aggVals(Array(c))).toArray))

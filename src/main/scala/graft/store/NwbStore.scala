@@ -80,11 +80,13 @@ final class NwbStore(val root: String, spark: SparkSession) {
     * session's catalog entry surviving. `nBuckets` must match the write;
     * `nChannels` is the dense channel-id count. */
   def readProcessingBucketedV2(name: String, nBuckets: Int,
-                               nChannels: Int): DataFrame =
+                               nChannels: Int,
+                               validate: Boolean = true): DataFrame =
     spark.read.format("graft-nwb-bucketed")
       .option("path", dir("preprocessing", name))
       .option("nbuckets", nBuckets)
       .option("nchannels", nChannels)
+      .option("validate", validate)
       .load()
 
   private def prefixFor(explicit: String): String =

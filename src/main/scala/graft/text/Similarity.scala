@@ -185,24 +185,30 @@ object Similarity {
       query, k, excludeId, idCol, vecCol)
   }
 
-  /** Multi-query IVF recall audit (q307): for every query (vec_id ≡ 0 mod
-    * `queryMod`), compare the IVF-probed top-k against the exact
-    * brute-force top-k on the SAME exact-grid cosine (floor_dot_e9 — the
-    * q272 rescoring idiom, codegen'd), and report the recall@k
+  /** Multi-query IVF recall audit (q307): for a FIXED-COUNT deterministic
+    * query batch ([[fixedCountQueryBatch]], salt `"ivfq"` — `nQueries`
+    * rows at ANY corpus size), compare the IVF-probed top-k against the
+    * exact brute-force top-k on the SAME exact-grid cosine (floor_dot_e9 —
+    * the q272 rescoring idiom, codegen'd), and report the recall@k
     * distribution. This is the self-certifying measurement of what the
     * nprobe dial trades: the Lloyd quantizer and final assignment are the
-    * certified q52 path, probes rank per query on the broadcast centroid
-    * table (no jobs), candidate scan is one shuffle-free broadcast join on
-    * `cell`, and the brute tier streams the corpus once past the broadcast
+    * certified q52 path, probe cells rank per query driver-side on the
+    * bounded centroid table (nQueries × nCells small dots — no jobs),
+    * candidate scan is one shuffle-free broadcast join on `cell`, and the
+    * brute tier streams the corpus once past the O(nQueries) broadcast
     * query frame. All rank ties break (sim DESC, id ASC) on the 6-decimal
-    * grid, so the audit is engine-exact. */
+    * grid, so the audit is engine-exact; an oracle replays the batch as
+    * `row_number() OVER (ORDER BY md5-hash, id) <= nQueries`. (This
+    * replaced the r13 `cid % queryMod` batch whose broadcast grew as
+    * O(corpus/queryMod) — ~12 GB of full vectors at 10⁹ rows.) */
   def ivfRecallAudit(embeddings: DataFrame, k: Int = 10,
-                     params: IvfParams = IvfParams(), queryMod: Long = 25,
+                     params: IvfParams = IvfParams(), nQueries: Int = 20,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Checkpoints.Pinnable
     val spark = embeddings.sparkSession
+    import spark.implicits._
     graft.functions.GridFunctions.register(spark)
     val centroids = kmeansCentroids(embeddings, params.nCells, params.iters,
       idCol, vecCol)
@@ -212,16 +218,18 @@ object Similarity {
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
         col("e2").as("ec"), col("cell"))
       .pin // three consumers: queries, probed scan, brute scan
-    val bc = spark.sparkContext.broadcast(centroids)
     val nprobe = params.nprobe
-    val probesUdf = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      cs.indices.map(c => (c, cosineArr(cs(c), v)))
+    // fixed-count query batch; probe cells rank driver-side on the bounded
+    // centroid table, so the query frame is O(nQueries) rows end to end
+    val qRows = fixedCountQueryBatch(a, "ivfq", nQueries, a.count(),
+      Seq("cv", "ec"))
+    val q = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Float](1)
+      val probes = centroids.indices
+        .map(c => (c, cosineArr(centroids(c), qv)))
         .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
-    }
-    val q = a.filter(col("cid") % queryMod === 0)
-      .select(col("cid").as("qid"), col("cv").as("qv"), col("ec").as("eq"),
-        probesUdf(col("cv")).as("probes"))
+      (r.getLong(0), qv, r.getLong(2), probes)
+    }.toDF("qid", "qv", "eq", "probes")
     val sim = round(expr("floor_dot_e9(qv, cv)").cast("double") /
       sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
@@ -399,15 +407,21 @@ object Similarity {
     * census carries the measured cost — per recall level, how many queries
     * landed there, how many cells they probed, and how many candidate rows
     * those probes scanned (both exact integer sums, so the oracle replays
-    * the cost numbers bit-for-bit, not just the recall histogram). */
+    * the cost numbers bit-for-bit, not just the recall histogram). Queries
+    * are the fixed-count deterministic batch ([[fixedCountQueryBatch]],
+    * salt `"aivfq"`) — O(nQueries) driver bytes and broadcast at any
+    * corpus size; probe selection runs driver-side against the bounded
+    * (centroids, cellCounts) pair, so cost accounting is exact with no
+    * per-row UDF dispatch. */
   def ivfAdaptiveRecallAudit(embeddings: DataFrame, k: Int = 10,
                              params: IvfParams = IvfParams(),
-                             margin: Int = 20, queryMod: Long = 25,
+                             margin: Int = 20, nQueries: Int = 20,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Checkpoints.Pinnable
     val spark = embeddings.sparkSession
+    import spark.implicits._
     graft.functions.GridFunctions.register(spark)
     val centroids = kmeansCentroids(embeddings, params.nCells, params.iters,
       idCol, vecCol)
@@ -420,17 +434,15 @@ object Similarity {
     val counts = new Array[Long](params.nCells)
     a.groupBy("cell").count().collect()
       .foreach(r => counts(r.getAs[Number]("cell").intValue()) = r.getLong(1))
-    val bc = spark.sparkContext.broadcast((centroids, counts))
-    val probesUdf = udf { (v: Seq[Float]) =>
-      val (cs, cnts) = bc.value
-      val cells = adaptiveProbeCells(cs, cnts, v, k, margin)
-      (cells, cells.map(cnts(_)).sum)
-    }
-    val q = a.filter(col("cid") % queryMod === 0)
-      .select(col("cid").as("qid"), col("cv").as("qv"), col("ec").as("eq"),
-        probesUdf(col("cv")).as("pr"))
-      .select(col("qid"), col("qv"), col("eq"),
-        col("pr._1").as("probes"), col("pr._2").as("scanned"))
+    // fixed-count query batch; adaptive probe sets + scan costs computed
+    // driver-side on the bounded (centroids, counts) pair
+    val qRows = fixedCountQueryBatch(a, "aivfq", nQueries, counts.sum,
+      Seq("cv", "ec"))
+    val q = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Float](1)
+      val cells = adaptiveProbeCells(centroids, counts, qv, k, margin)
+      (r.getLong(0), qv, r.getLong(2), cells, cells.map(counts(_)).sum)
+    }.toDF("qid", "qv", "eq", "probes", "scanned")
     val sim = round(expr("floor_dot_e9(qv, cv)").cast("double") /
       sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))

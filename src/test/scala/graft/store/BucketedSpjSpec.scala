@@ -124,4 +124,35 @@ class BucketedSpjSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nbuckets"),
       s"expected the layout guard, got: ${e.getMessage}")
   }
+
+  test("mis-declared nchannels fails loudly instead of silently dropping") {
+    // the store holds channels 0..7; declaring nchannels=4 would leave
+    // channels 4..7 unread by every per-channel partition — the footer
+    // stats sweep must refuse to plan instead
+    val e = intercept[Exception] {
+      store.readProcessingBucketedV2("ser_a", nBuckets = 4, nChannels = 4)
+        .count()
+    }
+    assert(e.getMessage.contains("outside the declared contract"),
+      s"expected the channel-stats guard, got: ${e.getMessage}")
+  }
+
+  test("validate=false opts out of the footer sweep (documented escape hatch)") {
+    // with validation off the mis-declared read silently yields only the
+    // declared channels — exactly the behavior the default guards against
+    val n = store
+      .readProcessingBucketedV2("ser_a", nBuckets = 4, nChannels = 4,
+        validate = false)
+      .count()
+    assert(n === 4L * 64,
+      s"expected only the 4 declared channels' rows, got $n")
+  }
+
+  test("row-count parity: per-partition reads cover the whole store") {
+    // end-to-end parity check the footer sweep certifies: the sum of all
+    // per-channel partition reads equals the store's raw parquet count
+    val v2 = store.readProcessingBucketedV2("ser_a", 4, 8).count()
+    val raw = store.readProcessing("ser_a").count()
+    assert(v2 === raw)
+  }
 }
