@@ -2001,7 +2001,7 @@ ORDER BY event_type, win"""
       .orderBy("user_id")
   }
 
-  // ---- q365: streaming near-dup pair emission (ListState + counter) ------
+  // ---- q365: streaming near-dup pair emission (capped ListState) ---------
 
   private def q365Build(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode

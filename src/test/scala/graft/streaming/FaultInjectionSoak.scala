@@ -349,8 +349,143 @@ object FaultInjectionSoak {
         s"${pairOracle.map(_._3).sum} band emissions)")
     }
 
+    // ---- scenario E: TTL-ARMED crash replay (retention-window state) -----
+    // D certifies the no-TTL append path. With processing-time TTL the
+    // crash (epoch 2 published, no marker) is followed by a downtime
+    // LONGER than the TTL, which certifies two things at once:
+    //
+    //  1. REPLAY DETERMINISM: Spark pins each batch's processing
+    //     timestamp in the offset log, so the replayed epoch 2 re-runs
+    //     at its ORIGINAL time — TTL reads and the stamps it rewrites
+    //     replay identically, and the re-staged files are byte-identical
+    //     to the crash-time publish. The sink finds every final name
+    //     already present and drops the replay wholesale; the marker
+    //     lands; nothing emits twice. (Measured the other way first: a
+    //     wall-clock TTL would have SHRUNK the replay — epoch 3 proved
+    //     the stamps are pinned, not fresh.)
+    //  2. RETENTION-WINDOW LAPSE ACROSS RECOVERY: epoch 3 runs at a
+    //     FRESH (post-downtime) timestamp, so every member inserted
+    //     before the crash — including batch 2's, replay-stamped at the
+    //     pinned original time — reads as expired: the recovered corpus
+    //     is empty and epoch 3 emits only its intra-batch pairs.
+    //
+    // Both halves are deterministic, so the census is EXACT:
+    //   pair (a,b), a before b in (batch, doc_id) order, emits iff
+    //     batch(b) <= 2                           (crash-time files stand)
+    //     OR (batch(a) == 3 AND batch(b) == 3)    (post-lapse epoch 3)
+    // (valid while no bucket reaches the cap — guarded below — since an
+    // expired member freeing a slot could otherwise admit extra members).
+    //
+    // TRIGGER note: TimeMode.ProcessingTime self-schedules micro-batches
+    // forever to advance processing time, so Trigger.AvailableNow NEVER
+    // terminates and processAllAvailable() never returns — the engine
+    // finding pinned in StateStoreProviderSpec's TTL tests. Both runs
+    // therefore use a ProcessingTime trigger: run 1 awaits the injected
+    // crash; run 2 POLLS the sink for the expected band-emission total,
+    // then stops the query (trailing empty epochs commit no data).
+    {
+      val ttl = java.time.Duration.ofSeconds(20)
+      val stage = tmp()
+      val now = System.currentTimeMillis()
+      for (i <- 0 until 4)
+        StreamingOps.stageFileAs(docs.filter(pmod(col("doc_id"), lit(4)) === i),
+          java.nio.file.Paths.get(stage), s"docs_$i.parquet",
+          now - (4 - i) * 60000L)
+      val out = tmp()
+      def startTtlQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        StreamingOps.runningNearDupPairs(
+            graft.text.TextOps.bandBuckets(
+              graft.text.TextOps.minhashSignatures(stream))
+              .withColumn("seq",
+                pmod(col("doc_id"), lit(4)) * 1000000000000L + col("doc_id"))
+              .as[StreamingOps.PairEvent],
+            ttl = Some(ttl))
+          .toDF()
+          .writeStream.format("graft-nwb")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .start()
+      }
+      val b = graft.text.TextOps.bandBuckets(
+        graft.text.TextOps.minhashSignatures(docs))
+      val maxBucket = b.groupBy("band_idx", "bucket").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      require(maxBucket < 64,
+        s"scenario E census law needs cap-free buckets, max size $maxBucket")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "bucket")
+        .orderBy(pmod(col("doc_id"), lit(4)), col("doc_id"))
+      val rk = b.withColumn("rnk", row_number().over(w))
+        .withColumn("bat", pmod(col("doc_id"), lit(4)))
+      val ra = rk.select(col("band_idx"), col("bucket"),
+        col("doc_id").as("ida"), col("rnk").as("rka"), col("bat").as("bata"))
+      val rb = rk.select(col("band_idx"), col("bucket"),
+        col("doc_id").as("idb"), col("rnk").as("rkb"), col("bat").as("batb"))
+      val pairOracleE = ra.join(rb, Seq("band_idx", "bucket"))
+        .filter(col("rka") < col("rkb"))
+        .filter(col("batb") <= 2 ||
+          (col("bata") === 3 && col("batb") === 3))
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val expectedEmissions = pairOracleE.map(_._3).sum
+      NwbFailpoints.reset()
+      NwbFailpoints.arm()
+      NwbFailpoints.crashBeforeMarkerAtEpoch.set(2L)
+      val failed = StreamingOps.withRocksDbState(spark) {
+        try { startTtlQuery().awaitTermination(); false }
+        catch { case e: Throwable =>
+          println(s"[soak] E query died as injected: ${e.getMessage.linesIterator.next()}")
+          true
+        }
+      }
+      require(failed, "scenario E: the injected crash must kill the query")
+      require(!new File(s"$out/data/_committed/epoch-2").exists,
+        "scenario E: epoch 2 marker must NOT exist after the crash")
+      NwbFailpoints.reset()
+      // downtime > TTL: everything inserted before the crash expires
+      println(s"[soak] E: sleeping ${ttl.getSeconds + 5}s so the retention window lapses")
+      Thread.sleep((ttl.getSeconds + 5) * 1000L)
+      // epoch 2 replays (shrunken, discarded), epoch 3 runs rolling; poll
+      // the sink for convergence, then stop (the query never self-ends)
+      StreamingOps.withRocksDbState(spark) {
+        val q = startTtlQuery()
+        def emitted(): Long =
+          scala.util.Try(spark.read.parquet(s"$out/data").count()).getOrElse(0L)
+        val deadline = System.currentTimeMillis() + 180000L
+        while (emitted() < expectedEmissions &&
+            System.currentTimeMillis() < deadline && q.isActive)
+          Thread.sleep(500)
+        q.stop()
+        q.awaitTermination()
+      }
+      require(new File(s"$out/data/_committed/epoch-2").exists,
+        "scenario E: epoch 2 marker must land on recovery despite the " +
+          "TTL-shrunken replay emission")
+      require(new File(s"$out/data/_committed/epoch-3").exists,
+        "scenario E: epoch 3 marker must land")
+      val gotPairsE = spark.read.parquet(s"$out/data")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      require(gotPairsE.sameElements(pairOracleE),
+        s"scenario E pair census mismatch: got ${gotPairsE.length} pairs " +
+          s"(${gotPairsE.map(_._3).sum} band emissions) vs oracle " +
+          s"${pairOracleE.length} (${pairOracleE.map(_._3).sum})")
+      println(s"[soak] E: TTL-armed crash replay recovered exactly-once; " +
+        s"census EXACT (${pairOracleE.length} pairs: crash-time epochs stood, " +
+        s"replay pinned-timestamp-identical, retention window lapsed for epoch 3)")
+    }
+
     NwbFailpoints.reset()
-    println("[soak] PASS: exactly-once census parity under all four fault points")
+    println("[soak] PASS: exactly-once census parity under all five fault points")
     spark.stop()
   }
 }
