@@ -262,33 +262,49 @@ object DspOperators {
     * evaluation — measured 100x slower than this loop when followed by a
     * posexplode. */
   def zscoreSegments(segments: DataFrame, baselineSamples: Int = 125,
-                     precision: String = "double"): DataFrame = {
+                     precision: String = "double"): DataFrame =
+    zscoreSegments(segments, baselineSamples, precision, baselineOffset = 0)
+
+  /** `baselineOffset`: start the baseline window at this sample instead of
+    * sample 0 (default 0 = reference parity). A whole-recording FFT chain
+    * (resample/notch) leaves ~1/δ ≈ 1 s of boundary artifact at the trace's
+    * own edges (the reference's tests trim `int(rate)` samples before
+    * measuring, tests/test_linenoise_notch.py:30-31); a baseline that
+    * includes those samples inflates the std and silently compresses every
+    * downstream z-score, so deployments z-scoring against a leading quiet
+    * period should offset past the edge. */
+  def zscoreSegments(segments: DataFrame, baselineSamples: Int,
+                     precision: String, baselineOffset: Int): DataFrame = {
+    requirePrecision(precision)
+    require(baselineOffset >= 0, s"negative baselineOffset: $baselineOffset")
     val f =
       if (graft.operators.CommonReferencing.isSingle(precision))
         // float32 compute (reference precision='single', utils.py:9-31):
         // two-pass mean/std like np.mean/np.std over a float32 array —
         // the one-pass s2/n - mu^2 form cancels catastrophically in f32
         udf { (values: Array[Double]) =>
-          val n = math.min(baselineSamples, values.length)
+          val o = math.min(baselineOffset, math.max(values.length - 1, 0))
+          val n = math.min(o + baselineSamples, values.length)
           var s = 0.0f
-          var i = 0
+          var i = o
           while (i < n) { s += values(i).toFloat; i += 1 }
-          val mu = s / n
+          val mu = s / (n - o)
           var s2 = 0.0f
-          i = 0
+          i = o
           while (i < n) { val d = values(i).toFloat - mu; s2 += d * d; i += 1 }
-          val sd = math.sqrt((s2 / n).toDouble).toFloat
+          val sd = math.sqrt((s2 / (n - o)).toDouble).toFloat
           values.map(v => ((v.toFloat - mu) / sd).toDouble)
         }
       else
         udf { (values: Array[Double]) =>
-          val n = math.min(baselineSamples, values.length)
+          val o = math.min(baselineOffset, math.max(values.length - 1, 0))
+          val n = math.min(o + baselineSamples, values.length)
           var s = 0.0
           var s2 = 0.0
-          var i = 0
+          var i = o
           while (i < n) { s += values(i); s2 += values(i) * values(i); i += 1 }
-          val mu = s / n
-          val sd = math.sqrt(s2 / n - mu * mu)
+          val mu = s / (n - o)
+          val sd = math.sqrt(s2 / (n - o) - mu * mu)
           values.map(v => (v - mu) / sd)
         }
     segments.withColumn("values", f(col("values")))
