@@ -312,5 +312,40 @@ win AS (
 ), nrm AS (SELECT sqrt(sum(w * w)) AS n FROM win)
 SELECT i.k AS k, round(coalesce(w.w / nrm.n, 0.0), 9) AS value
 FROM idx i LEFT JOIN win w ON w.k = i.k CROSS JOIN nrm
-ORDER BY i.k""")))
+ORDER BY i.k""")),
+
+    // ST1/ST3 the overlap-add WINDOWING SPINE itself — the bounded-row
+    // ingest/stitch path every 100 TB chain rides (windowLong: fragment
+    // packing + one sample shuffle; stitch: crossfade-weighted combine) —
+    // driver-gated through its conservation law: stitch(window(x)) == x.
+    // Values are pre-quantized to a 1e-3 grid so the crossfade's ~1-ulp
+    // arithmetic noise rounds away identically in both engines; the result
+    // is a per-(channel, stride-block) census of count (loss/dup) and a
+    // position-weighted integer checksum (permutation, misalignment,
+    // mis-weighting — including the partial last window and the trace
+    // edges where stitch weights self-correct). The oracle never windows:
+    // it reads the SAME rectangularized long frame directly, which is the
+    // whole point — two shuffles of windowing machinery must be invisible.
+    QueryDef("q368_window_stitch_roundtrip",
+      "ST1/ST3 overlap-add windowing spine: windowLong -> stitch conservation",
+      (s, dir) => {
+        val stride = 256
+        val context = 64
+        val long = Frames.rectangularize(
+            Frames.eventsToLong(table(s, dir, "events"), 8, 1000.0))
+          .withColumn("value", floor(col("value") * 1000) / lit(1000.0))
+        val back = graft.operators.Windowing.stitchedToLong(
+          graft.operators.Windowing.stitch(
+            graft.operators.Windowing.windowLong(long, stride, context),
+            stride, context), stride)
+        back.groupBy(col("channel"), expr(s"t_idx div $stride").as("blk"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000).cast("long") * (col("t_idx") + 1))
+              .as("wsum"))
+          .orderBy("channel", "blk")
+      },
+      Some(s"""${QueryDef.EventsRectSql}
+SELECT channel, t_idx // 256 AS blk, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT) * (t_idx + 1)) AS BIGINT) AS wsum
+FROM rect GROUP BY 1, 2 ORDER BY 1, 2""")))
 }
