@@ -347,5 +347,57 @@ ORDER BY i.k""")),
       Some(s"""${QueryDef.EventsRectSql}
 SELECT channel, t_idx // 256 AS blk, CAST(count(*) AS BIGINT) AS n,
   CAST(sum(CAST(floor(value * 1000) AS BIGINT) * (t_idx + 1)) AS BIGINT) AS wsum
-FROM rect GROUP BY 1, 2 ORDER BY 1, 2""")))
+FROM rect GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // S3/J4 the derived-series STORE NAMING + provenance chain
+    // (preprocess_block, pipelines.py:70-110): each store prefixes the
+    // name of the series it consumed, so the chain accretes
+    // downsampled_S -> CAR_ln_downsampled_S (+ CAR_of_downsampled_S) ->
+    // wvlt_amp_CAR_ln_downsampled_S. The query RUNS the store chain
+    // against a temp root and emits the resulting table inventory with
+    // its shape facts (rows, channels, bands, stored rate, length
+    // uniformity) — all SF-independent by construction, so the oracle is
+    // the reference contract itself as literals: the hash certifies that
+    // the writes produce EXACTLY the reference's table names with the
+    // shapes the naming promises (the per-table COUNTS certify provenance
+    // — e.g. the wavelet table must hold channels x hgOnly-bands rows of
+    // uniform post-resampled length). Values/math parity of the stored
+    // bytes is q20-q39's job; this row pins the API surface a reference
+    // user navigates by.
+    QueryDef("q369_store_naming_contract",
+      "S3/J4 derived-series sink naming + provenance chain",
+      (s, dir) => {
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("q369_store")
+        graft.streaming.StreamingOps.deleteOnExit(root)
+        val segs = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        graft.operators.Store.storePreprocessBlock(segs, root.toString,
+          "events", 8, graft.operators.Pipeline.Config(
+            initialRate = 500.0, finalRate = Some(250.0)))
+        val tables = new java.io.File(s"$root/preprocessing")
+          .listFiles().map(_.getName).sorted.toSeq
+        val rows = tables.map { t =>
+          val df = s.read.parquet(s"$root/preprocessing/$t")
+          (t,
+            df.count(),
+            df.select("channel").distinct().count(),
+            df.filter(col("band").isNotNull).select("band").distinct().count(),
+            df.select(max(col("rate"))).head().getDouble(0),
+            df.select(countDistinct(size(col("values")))).head().getLong(0))
+        }
+        rows.toDF("tbl", "n_rows", "n_channels", "n_bands", "rate",
+            "n_distinct_lens")
+          .orderBy("tbl")
+      },
+      Some("""SELECT * FROM (VALUES
+  ('CAR_ln_downsampled_events', CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(500.0 AS DOUBLE), CAST(1 AS BIGINT)),
+  ('CAR_of_downsampled_events', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(500.0 AS DOUBLE), CAST(1 AS BIGINT)),
+  ('downsampled_events', CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(500.0 AS DOUBLE), CAST(1 AS BIGINT)),
+  ('wvlt_amp_CAR_ln_downsampled_events', CAST(48 AS BIGINT), CAST(8 AS BIGINT),
+   CAST(6 AS BIGINT), CAST(250.0 AS DOUBLE), CAST(1 AS BIGINT))
+) AS t(tbl, n_rows, n_channels, n_bands, rate, n_distinct_lens)
+ORDER BY tbl""")))
 }
