@@ -399,5 +399,61 @@ FROM rect GROUP BY 1, 2 ORDER BY 1, 2""")),
   ('wvlt_amp_CAR_ln_downsampled_events', CAST(48 AS BIGINT), CAST(8 AS BIGINT),
    CAST(6 AS BIGINT), CAST(250.0 AS DOUBLE), CAST(1 AS BIGINT))
 ) AS t(tbl, n_rows, n_channels, n_bands, rate, n_distinct_lens)
-ORDER BY tbl""")))
+ORDER BY tbl""")),
+
+    // S1/S8 the NWB-file-abstraction SCAN with the reference's
+    // legacy-layout fallback (pipelines.py:61-65: `acquisition[name]`
+    // else `acquisition['Raw'][name]`) and the `copy_strip` utility
+    // (scripts/copy_strip). The query writes the SAME events-derived
+    // series under both layouts, reads each back through
+    // `readAcquisition` (so 'sig_legacy' resolves ONLY via the
+    // fallback), and emits a per-channel count + position-weighted
+    // integer checksum of the round-tripped samples — the oracle
+    // recomputes them from the events table directly, so the hash
+    // certifies the store scan returns exactly the written values
+    // whichever layout holds them. Two inventory rows certify
+    // stripProcessing: a derived table exists before the strip and the
+    // processing namespace is empty after.
+    QueryDef("q370_store_scan_legacy_strip",
+      "S1 scan + legacy fallback; S8 strip/copy utility",
+      (s, dir) => {
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("q370_store")
+        graft.streaming.StreamingOps.deleteOnExit(root)
+        val store = new graft.store.NwbStore(root.toString, s)
+        val segs = Frames.eventsToSegments(table(s, dir, "events"), 8, 1000.0)
+        store.writeAcquisition("sig", segs)
+        segs.write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$root/acquisition/Raw/sig_legacy")
+        store.writeProcessing("tmp_derived", segs)
+        val preStrip = store.listProcessing().size.toLong
+        store.stripProcessing()
+        val postStrip = store.listProcessing().size.toLong
+        def census(name: String): DataFrame =
+          Frames.toLong(store.readAcquisition(name))
+            .groupBy(col("channel"))
+            .agg(count(lit(1)).as("n"),
+              sum(floor(col("value") * 1000) * (col("t_idx") + 1)).as("wsum"))
+            .select(lit(name).as("item"), col("channel"), col("n"), col("wsum"))
+        census("sig")
+          .unionAll(census("sig_legacy"))
+          .unionAll(Seq(
+            ("pre_strip_processing", -1, preStrip, 0L),
+            ("post_strip_processing", -1, postStrip, 0L))
+            .toDF("item", "channel", "n", "wsum"))
+          .orderBy("item", "channel")
+      },
+      Some(s"""${QueryDef.EventsRectSql}
+SELECT 'sig' AS item, channel, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT) * (t_idx + 1)) AS BIGINT) AS wsum
+FROM rect GROUP BY 2
+UNION ALL
+SELECT 'sig_legacy' AS item, channel, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT) * (t_idx + 1)) AS BIGINT) AS wsum
+FROM rect GROUP BY 2
+UNION ALL
+SELECT 'pre_strip_processing', CAST(-1 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'post_strip_processing', CAST(-1 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+ORDER BY item, channel""")))
 }
