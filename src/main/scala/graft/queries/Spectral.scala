@@ -455,5 +455,51 @@ UNION ALL
 SELECT 'pre_strip_processing', CAST(-1 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
 UNION ALL
 SELECT 'post_strip_processing', CAST(-1 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+ORDER BY item, channel""")),
+
+    // P3 the NYQUIST GUARD PREDICATES: (a) the notch is an exact no-op
+    // when the line frequency sits above Nyquist (Signal.notch's early
+    // return, mirroring linenoise_notch.py's harmonic loop never
+    // entering) — certified by notching a 100 Hz-rate series (Nyquist
+    // 50 < 60) and checksumming the OUTPUT against an oracle that
+    // recomputes the checksums from the raw events table: only a
+    // bit-exact pass-through hashes equal; (b) the wavelet filterbank
+    // REFUSES above Nyquist exactly like the reference's ValueError
+    // (wavelet_transform.py:121-125) — the full 'rat' bank (max cf
+    // 1200 Hz) must raise at rate 2000, while the hgOnly bank builds 6
+    // bands at rate 400. Guard outcomes are literal census rows.
+    QueryDef("q371_nyquist_guards",
+      "P3 Nyquist guard predicates (notch no-op below Nyquist; wavelet refusal above)",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Frames.eventsToSegments(table(s, dir, "events"), 8, 100.0)
+        val notched = DspOperators.applyLinenoiseNotch(segs)
+        val idCensus = Frames.toLong(notched)
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000) * (col("t_idx") + 1)).as("wsum"))
+          .select(lit("notch_above_nyquist_noop").as("item"), col("channel"),
+            col("n"), col("wsum"))
+        val raised =
+          try { graft.dsp.Kernels.filterbank("rat", 4096, 2000.0, hgOnly = false); 0L }
+          catch { case _: IllegalArgumentException => 1L }
+        val okBands =
+          graft.dsp.Kernels.filterbank("rat", 4096, 400.0, hgOnly = true)
+            .kernels.length.toLong
+        idCensus.unionAll(Seq(
+            ("wavelet_rat_full_raises_at_2000", -1, raised, 0L),
+            ("wavelet_rat_hg_bands_at_400", -1, okBands, 0L))
+          .toDF("item", "channel", "n", "wsum"))
+          .orderBy("item", "channel")
+      },
+      Some(s"""${QueryDef.EventsRectSql}
+SELECT 'notch_above_nyquist_noop' AS item, channel,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT) * (t_idx + 1)) AS BIGINT) AS wsum
+FROM rect GROUP BY 2
+UNION ALL
+SELECT 'wavelet_rat_full_raises_at_2000', CAST(-1 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'wavelet_rat_hg_bands_at_400', CAST(-1 AS INT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)
 ORDER BY item, channel""")))
 }
