@@ -501,5 +501,55 @@ UNION ALL
 SELECT 'wavelet_rat_full_raises_at_2000', CAST(-1 AS INT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
 UNION ALL
 SELECT 'wavelet_rat_hg_bands_at_400', CAST(-1 AS INT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)
-ORDER BY item, channel""")))
+ORDER BY item, channel""")),
+
+    // S7 the FOLDER DRIVER (scripts/preprocess_folder): two session
+    // stores with DIFFERENT channel counts are laid out under one root,
+    // discovered by the driver's own FS listing, and each preprocessed
+    // through `PreprocessFolder.preprocessStore` with --all-steps and
+    // --precision single (the reference's float32 compute default). The
+    // census reads every session's processing namespace back: the
+    // accreted table names and their provenance-shaped row counts
+    // (channels, channels, 1 CAR-average, channels x 6 hg bands) are the
+    // reference contract as literals — per session, so a driver that
+    // mixed sessions up or skipped one cannot hash equal.
+    QueryDef("q372_folder_driver",
+      "S7 folder driver CLI over multi-session store roots",
+      (s, dir) => {
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("q372_sessions")
+        graft.streaming.StreamingOps.deleteOnExit(root)
+        val events = table(s, dir, "events")
+        val a = new graft.store.NwbStore(s"$root/sess_a", s)
+        a.writeAcquisition("ECoG", Frames.eventsToSegments(events, 8, 1000.0))
+        val b = new graft.store.NwbStore(s"$root/sess_b", s)
+        b.writeAcquisition("ECoG", Frames.eventsToSegments(
+          events.filter(pmod(col("user_id"), lit(8)) < 4), 4, 1000.0))
+        val args = graft.tools.PreprocessFolder.parse(Array(root.toString,
+          "--initial-rate", "500", "--final-rate", "250", "--all-steps",
+          "--precision", "single"))
+        // the driver's own discovery: list session dirs under the root
+        val fs = new org.apache.hadoop.fs.Path(args.root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val sessions = fs.listStatus(new org.apache.hadoop.fs.Path(args.root))
+          .filter(_.isDirectory).map(_.getPath.toString).sorted
+        val rows = sessions.flatMap { sess =>
+          val store = new graft.store.NwbStore(sess, s)
+          graft.tools.PreprocessFolder.preprocessStore(store, args)
+          val name = sess.split('/').last
+          store.listProcessing().map(t =>
+            (name, t, store.readProcessing(t).count()))
+        }.toSeq
+        rows.toDF("session", "tbl", "n_rows").orderBy("session", "tbl")
+      },
+      Some("""SELECT * FROM (VALUES
+  ('sess_a', 'CAR_ln_downsampled_ECoG', CAST(8 AS BIGINT)),
+  ('sess_a', 'CAR_of_downsampled_ECoG', CAST(1 AS BIGINT)),
+  ('sess_a', 'downsampled_ECoG', CAST(8 AS BIGINT)),
+  ('sess_a', 'wvlt_amp_CAR_ln_downsampled_ECoG', CAST(48 AS BIGINT)),
+  ('sess_b', 'CAR_ln_downsampled_ECoG', CAST(4 AS BIGINT)),
+  ('sess_b', 'CAR_of_downsampled_ECoG', CAST(1 AS BIGINT)),
+  ('sess_b', 'downsampled_ECoG', CAST(4 AS BIGINT)),
+  ('sess_b', 'wvlt_amp_CAR_ln_downsampled_ECoG', CAST(24 AS BIGINT))
+) AS t(session, tbl, n_rows) ORDER BY session, tbl""")))
 }
