@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // extra JVM flags for forked runs (GC experiments, gc logs, profilers):
+  // e.g. GRAFT_JAVA_OPTS="-XX:G1HeapRegionSize=64m -Xlog:gc:/tmp/gc.log"
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))
