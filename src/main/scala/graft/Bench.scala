@@ -168,7 +168,10 @@ object Bench {
     "q361_spj_channel_join", "q362_adaptive_ivfpq_audit",
     "q363_spj_stored_join", "q364_incremental_neardup",
     "q365_streaming_neardup_pairs", "q366_minhash_lsh_sparse",
-    "q367_incremental_neardup_stored")
+    "q367_incremental_neardup_stored",
+    "q368_window_stitch_roundtrip", "q369_store_naming_contract",
+    "q370_store_scan_legacy_strip", "q371_nyquist_guards",
+    "q372_folder_driver")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
