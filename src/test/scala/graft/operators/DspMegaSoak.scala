@@ -270,7 +270,7 @@ object DspMegaSoak {
       val amp = DspOperators.amplitude(DspOperators.waveletTransform(
         car, "rat", hgOnly = true, Signal.FastPad, Some(cleanWholePadded)))
       val st = Windowing.stitch(amp, p.strideP, p.contextP)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // per-(series, channel, band) baseline stats from block 0's interior
       // [edgeTrim, strideP) — the zscoreSegments(baselineOffset) law (see
       // BASELINE note) applied to the stitched trace; bounded collect-free
@@ -286,7 +286,7 @@ object DspMegaSoak {
         .withColumn("values",
           transform(col("values"), v => (v - col("mu")) / col("sd")))
         .drop("mu", "sd")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       println(s"[soak]   -> ${z.count()} z-scored stitched blocks")
       z
     }
@@ -350,7 +350,7 @@ object DspMegaSoak {
       DspOperators.zscoreSegments(amp,
           baselineSamples = p.baseline - p.edgeTrim.toInt,
           precision = "double", baselineOffset = p.edgeTrim.toInt)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     val margin = p.edgeTrim
     val a = Windowing.stitchedToLong(

@@ -453,8 +453,10 @@ object FaultInjectionSoak {
       // downtime > TTL: everything inserted before the crash expires
       println(s"[soak] E: sleeping ${ttl.getSeconds + 5}s so the retention window lapses")
       Thread.sleep((ttl.getSeconds + 5) * 1000L)
-      // epoch 2 replays (shrunken, discarded), epoch 3 runs rolling; poll
-      // the sink for convergence, then stop (the query never self-ends)
+      // epoch 2 replays (byte-identical at its pinned timestamp, dropped
+      // wholesale by the sink), epoch 3 runs against the lapsed window;
+      // poll the sink for convergence, then stop (the query never
+      // self-ends in ProcessingTime mode)
       StreamingOps.withRocksDbState(spark) {
         val q = startTtlQuery()
         def emitted(): Long =
@@ -467,8 +469,9 @@ object FaultInjectionSoak {
         q.awaitTermination()
       }
       require(new File(s"$out/data/_committed/epoch-2").exists,
-        "scenario E: epoch 2 marker must land on recovery despite the " +
-          "TTL-shrunken replay emission")
+        "scenario E: epoch 2 marker must land on recovery (the " +
+          "pinned-timestamp replay re-stages byte-identical files; the " +
+          "sink must drop them all and still commit)")
       require(new File(s"$out/data/_committed/epoch-3").exists,
         "scenario E: epoch 3 marker must land")
       val gotPairsE = spark.read.parquet(s"$out/data")
