@@ -109,7 +109,7 @@ import graft.operators.Checkpoints.Pinnable
   *     per-stage shuffle/skew profile printed for NOTES.
   *
   * Run: SPARK_DRIVER_MEM=64g sbt "Test/runMain graft.operators.DspMegaSoak
-  *   [nChannels] [nWindows] [parityChannels] [stride] [context]"
+  *   [nChannels] [nWindows] [parityChannels] [stride] [context] [precision]"
   * Defaults 64 ch × 8 windows × 2097152 = 1.074e9 raw samples (mega)
   * + 64 ch × 2 windows (calib parity control).
   * DspPipelineSpec pins the same runner at suite scale.
@@ -125,7 +125,12 @@ object DspMegaSoak {
                           // blips); z units are interior-baseline sds
                           fpPad: Int = 1024, thrDet: Double = 400.0,
                           thrFp: Double = 100.0, parityCh: Int = 2,
-                          cleanWindows: Int = 2) {
+                          cleanWindows: Int = 2,
+                          // "single" = the reference's own default compute
+                          // precision (utils.py:9-31) end to end through
+                          // every spectral op; the planted census margins
+                          // dwarf f32 rounding (~1e-7 relative)
+                          precision: String = "double") {
     require(nCh >= 4 && nCh % 2 == 0, "need even nCh >= 4 (antiphase pairs)")
     require(stride % 4 == 0 && context % 4 == 0, "stride/context must survive the /4 resample")
     require(parityCh >= 1 && parityCh <= nCh, s"parityCh out of range: $parityCh")
@@ -234,9 +239,11 @@ object DspMegaSoak {
     // ---------------- windowed chain (both series) ----------------
     val car = t("winResampleNotchCar") {
       val w = Windowing.windowLong(mega.unionAll(calib), p.stride, p.context)
-      val r = DspOperators.resample(w, newFreq)
-      val nch = DspOperators.applyLinenoiseNotch(r, continuousProfile = true)
-      val c = CommonReferencing.subtractCarSegments(nch, p.nCh).pin
+      val r = DspOperators.resample(w, newFreq, precision = p.precision)
+      val nch = DspOperators.applyLinenoiseNotch(r, continuousProfile = true,
+        precision = p.precision)
+      val c = CommonReferencing.subtractCarSegments(nch, p.nCh,
+        precision = p.precision).pin
       println(s"[soak]   -> ${c.count()} CAR'd window rows")
       c
     }
@@ -268,7 +275,8 @@ object DspMegaSoak {
     // wavelet amplitude -> stitch -> interior-block-0-baseline z-score
     val zStitched = t("waveletStitchZ") {
       val amp = DspOperators.amplitude(DspOperators.waveletTransform(
-        car, "rat", hgOnly = true, Signal.FastPad, Some(cleanWholePadded)))
+        car, "rat", hgOnly = true, Signal.FastPad, Some(cleanWholePadded),
+        precision = p.precision))
       val st = Windowing.stitch(amp, p.strideP, p.contextP)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // per-(series, channel, band) baseline stats from block 0's interior
@@ -341,12 +349,17 @@ object DspMegaSoak {
         .select(lit("calib").as("series"), col("channel"),
           lit(null).cast("int").as("band"), lit(p.rate).as("rate"),
           lit(0.0).as("startingTime"), col("values"))
-      val r = DspOperators.resample(segs, newFreq)
-      val nch = DspOperators.applyLinenoiseNotch(r, continuousProfile = true)
-      val c = CommonReferencing.subtractCarSegments(nch, p.nCh)
+      val r = DspOperators.resample(segs, newFreq, precision = p.precision)
+      val nch = DspOperators.applyLinenoiseNotch(r, continuousProfile = true,
+        precision = p.precision)
+      val c = CommonReferencing.subtractCarSegments(nch, p.nCh,
+        precision = p.precision)
       val amp = DspOperators.amplitude(DspOperators.waveletTransform(
         c.filter(col("channel") < p.parityCh), "rat", hgOnly = true,
-        Signal.FastPad, Some(cleanWholePadded)))
+        Signal.FastPad, Some(cleanWholePadded), precision = p.precision))
+      // z stats stay f64 in BOTH arms (the windowed arm's stats are SQL
+      // aggregates): precision mode exercises the SPECTRAL f32 path, the
+      // z normalization is measurement machinery shared by the arms
       DspOperators.zscoreSegments(amp,
           baselineSamples = p.baseline - p.edgeTrim.toInt,
           precision = "double", baselineOffset = p.edgeTrim.toInt)
@@ -426,8 +439,9 @@ object DspMegaSoak {
     val parityCh = if (args.length > 2) args(2).toInt else 2
     val stride = if (args.length > 3) args(3).toInt else 2097152
     val context = if (args.length > 4) args(4).toInt else 262144
+    val precision = if (args.length > 5) args(5) else "double"
     val p = Params(nCh = nCh, nWindows = nWindows, parityCh = parityCh,
-      stride = stride, context = context)
+      stride = stride, context = context, precision = precision)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")

@@ -35,4 +35,17 @@ class DspPipelineSpec extends AnyFunSuite {
         f"max_err/rms=${r.maxErr / r.rms}%.4f"))
     DspMegaSoak.check(census, p)
   }
+
+  test("composed chain at the reference's default float32 compute precision") {
+    // precision='single' is the reference's OWN default (utils.py:9-31);
+    // every planted law holds unchanged because the census margins (2%
+    // tone, 1000x RSS, 4x-78x z separation, 1% parity) dwarf f32
+    // rounding — both parity arms run the same f32 spectral path
+    val p = DspMegaSoak.Params(nCh = 4, nWindows = 2, stride = 524288,
+      context = 65536, rate = 2440.0, precision = "single")
+    val census = DspMegaSoak.run(spark, p)
+    info(s"f32 tones ch0: ${census.tones.head}")
+    info(f"f32 burst separation: ${census.minCoreZ}%.1f vs ${census.maxOutsideZ}%.1f")
+    DspMegaSoak.check(census, p)
+  }
 }
