@@ -53,7 +53,18 @@ object Checkpoints {
             sc.setCheckpointDir(dir)
             Checkpoints.appliedDir.put(key, dir)
           }
-          ds.checkpoint(eager = true)
+          // RDD.checkpoint's write job RECOMPUTES the lineage past the
+          // last shuffle boundary (Spark's scaladoc: "strongly recommended
+          // that this RDD is persisted in memory, otherwise saving it on a
+          // file will require recomputation") — the eager action pays the
+          // result stage twice. Cache across the two jobs, then release;
+          // skipped when the caller already persisted (their cache, their
+          // lifecycle).
+          if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+            ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            try ds.checkpoint(eager = true)
+            finally ds.unpersist(blocking = false)
+          } else ds.checkpoint(eager = true)
         case None =>
           ds.localCheckpoint(eager = true)
       }
