@@ -119,7 +119,9 @@ object Spectral {
       s.conf.set(keys(1), "true")
       s.conf.set(keys(2), "-1")
       val root = java.nio.file.Files.createTempDirectory("q363_store")
-      root.toFile.deleteOnExit()
+      // recursive-delete hook — File.deleteOnExit cannot remove a
+      // non-empty directory (the q367 ADVICE finding)
+      graft.streaming.StreamingOps.deleteOnExit(root)
       val store = new graft.store.NwbStore(root.toString, s)
       val ev = s.read.parquet(s"$dir/events.parquet")
       def toSeries(df: DataFrame) = df.select(

@@ -40,7 +40,7 @@ class RuntimeBloomFilterSpec extends AnyFunSuite {
 
   private lazy val (factPath, dimPath) = {
     val root = java.nio.file.Files.createTempDirectory("bloomrf").toFile
-    root.deleteOnExit()
+    graft.streaming.StreamingOps.deleteOnExit(root.toPath)
     val fact = new java.io.File(root, "fact").getAbsolutePath
     val dim = new java.io.File(root, "dim").getAbsolutePath
     spark.range(400000)

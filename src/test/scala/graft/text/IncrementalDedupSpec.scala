@@ -84,7 +84,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // "ingest" writes the corpus bucket table once; the batch joins it at
     // rest instead of re-deriving buckets from the signature store
     val store = java.nio.file.Files.createTempDirectory("bucket_store")
-    store.toFile.deleteOnExit()
+    graft.streaming.StreamingOps.deleteOnExit(store)
     TextOps.bandBuckets(corpusSigs)
       .write.mode("overwrite").parquet(store.toString)
     val stored = pairs(TextOps.minhashCandidatesIncrementalStored(

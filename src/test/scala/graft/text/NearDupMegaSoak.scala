@@ -304,7 +304,9 @@ object NearDupMegaSoak {
     // parquet-backed table instead of re-deriving buckets per batch
     val incRaw = if (storedBuckets) {
       val store = java.nio.file.Files.createTempDirectory("bucket_store")
-      store.toFile.deleteOnExit()
+      // recursive-delete hook: File.deleteOnExit cannot remove a non-empty
+      // directory (the q367 ADVICE finding — same defect, same fix)
+      graft.streaming.StreamingOps.deleteOnExit(store)
       t("bucketStore(ingest)")(
         TextOps.bandBuckets(corpusSigs)
           .write.mode("overwrite").parquet(store.toString))
