@@ -94,6 +94,7 @@ class GridExpressionsSpec extends AnyFunSuite {
       // parquet-backed: a LocalRelation input constant-folds the whole
       // projection away before the rule could ever be observed
       val dir = java.nio.file.Files.createTempDirectory("rw_rule").toString
+      graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
       rows.toDF("id", "a", "b").write.mode("overwrite").parquet(s"$dir/t")
       val df = ext.read.parquet(s"$dir/t")
       val hof = "aggregate(zip_with(a, b, (x, y) -> " +

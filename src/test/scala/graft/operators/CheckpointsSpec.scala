@@ -29,6 +29,7 @@ class CheckpointsSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().sorted.toSeq
     val local = run()
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
     spark.conf.set(Checkpoints.DirKey, dir)
     try {
       val reliable = run()

@@ -451,6 +451,7 @@ object DspMegaSoak {
     spark.sparkContext.setLogLevel("ERROR")
     // RELIABLE checkpoints: the executor-loss-safe pin mode at full volume
     val ckpt = java.nio.file.Files.createTempDirectory("dsp_mega_ckpt")
+    graft.streaming.StreamingOps.deleteOnExit(ckpt)
     spark.conf.set(Checkpoints.DirKey, ckpt.toString)
     println(s"[soak] reliable checkpoints -> $ckpt")
     val prof = new ScaleSoak.Profile

@@ -36,6 +36,7 @@ class EventSourcesSpec extends AnyFunSuite {
       date_format(timestamp_micros(expr("ts div 1000")),
         "yyyy-MM-dd HH:mm:ss.SSSSSS"))
     val csvDir = java.nio.file.Files.createTempDirectory("ev_csv").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(csvDir))
     iso.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
     assert(canon(EventSources.readEvents(spark, csvDir, "csv")) === want,
       "csv/ISO round trip diverged")
@@ -46,6 +47,7 @@ class EventSourcesSpec extends AnyFunSuite {
       // integer `div`, NOT `/`: double division corrupts nanos-scale longs
       val epoch = ref.withColumn("ts", expr(s"CAST(ts div $div AS STRING)"))
       val dir = java.nio.file.Files.createTempDirectory(s"ev_json_$unit").toString
+      graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
       epoch.coalesce(1).write.mode("overwrite").json(dir)
       val got = canon(EventSources.readEvents(spark, dir, "json"))
       // coarser units truncate ts; compare at the written unit's precision
@@ -62,6 +64,7 @@ class EventSourcesSpec extends AnyFunSuite {
       "/root/testdata/sf0.001/events.parquet", "parquet")
     val want = canon(ref)
     val orcDir = java.nio.file.Files.createTempDirectory("ev_orc").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(orcDir))
     ref.write.mode("overwrite").orc(orcDir)
     val orc = EventSources.readEvents(spark, orcDir, "orc")
     assert(orc.schema("ts").dataType ==
@@ -82,6 +85,7 @@ class EventSourcesSpec extends AnyFunSuite {
     val ref = EventSources.readEvents(spark,
       "/root/testdata/sf0.001/events.parquet", "parquet")
     val jsonDir = java.nio.file.Files.createTempDirectory("ev_json_e2e").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(jsonDir))
     ref.withColumn("ts", col("ts").cast("string"))
       .coalesce(1).write.mode("overwrite").json(jsonDir)
     val viaJson = Frames.rectangularize(Frames.eventsToLong(

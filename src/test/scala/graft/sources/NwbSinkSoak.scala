@@ -35,6 +35,8 @@ object NwbSinkSoak {
     println(s"[soak] ${df.count()} rows x 4 cols")
     val sinkDir = java.nio.file.Files.createTempDirectory("soak_sink").toString
     val stockDir = java.nio.file.Files.createTempDirectory("soak_stock").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(sinkDir))
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(stockDir))
     // interleaved best-of-2 so JIT/codec warmup does not bias whichever
     // writer happens to run first
     def best(label: String)(f: => Unit): Unit = {

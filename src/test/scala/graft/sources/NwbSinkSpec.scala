@@ -19,8 +19,11 @@ class NwbSinkSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("nwbsink").toString
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("nwbsink")
+    graft.streaming.StreamingOps.deleteOnExit(d)
+    d.toString
+  }
 
   test("round-trip primitives + array<double>, _SUCCESS marker, staging cleaned") {
     val dir = tmp()

@@ -161,6 +161,7 @@ class SyntheticSourceSpec extends AnyFunSuite {
     // does not), and the dim must be a real SCAN — a filtered LocalRelation
     // never triggers DPP (measured), so the dim round-trips through parquet
     val dimDir = java.nio.file.Files.createTempDirectory("synth_dpp").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dimDir))
     Seq((3, "a"), (7, "b"), (7, "c"), (40, "z")).toDF("ch", "tag")
       .write.mode("overwrite").parquet(s"$dimDir/dim")
     val dim = spark.read.parquet(s"$dimDir/dim")

@@ -61,6 +61,7 @@ class BucketedSpjSpec extends AnyFunSuite {
 
   private lazy val store = {
     val root = Files.createTempDirectory("bucketed_spj").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(root))
     val s = new NwbStore(root, spark)
     s.writeProcessingBucketed("ser_a", series(1), nBuckets = 4)
     s.writeProcessingBucketed("ser_b", series(2), nBuckets = 4)

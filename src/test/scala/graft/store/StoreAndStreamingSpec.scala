@@ -25,6 +25,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
 
   test("store round-trip, legacy fallback, strip, precision") {
     val root = Files.createTempDirectory("nwbstore").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(root))
     val store = new NwbStore(root, spark)
     val raw = Synthetic.segments(spark, 1.0, 4, 400.0, seed = 9)
     store.writeAcquisition("ECoG", raw)
@@ -33,6 +34,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     assert(store.listAcquisition() == Seq("ECoG"))
     // legacy layout fallback: acquisition/Raw/<name>
     val legacyRoot = Files.createTempDirectory("nwblegacy").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(legacyRoot))
     raw.write.parquet(s"$legacyRoot/acquisition/Raw/Old")
     assert(new NwbStore(legacyRoot, spark).readAcquisition("Old").count() == 4)
     intercept[IllegalArgumentException](store.readAcquisition("Nope"))
@@ -50,6 +52,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
 
   test("bucketed processing sink: channel joins read pre-partitioned, no shuffle") {
     val root = Files.createTempDirectory("nwbbucketed").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(root))
     val store = new NwbStore(root, spark)
     val a = Synthetic.segments(spark, 1.0, 4, 400.0, seed = 21)
     val b = Synthetic.segments(spark, 1.0, 4, 400.0, seed = 22)
@@ -72,6 +75,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
 
   test("folder driver: store path == functional path (test_pipeline.py analog)") {
     val root = Files.createTempDirectory("sessions").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(root))
     val raw = Synthetic.segments(spark, 1.0, 4, 2000.0, seed = 13)
     val store = new NwbStore(s"$root/sess0", spark)
     store.writeAcquisition("ECoG", raw)
@@ -109,6 +113,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
   test("storeSubtractCar: CAR_<s> + literal CAR tables; CAR trace reconstructs the subtraction") {
     import graft.operators.{Store, CommonReferencing}
     val root = Files.createTempDirectory("subcar").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(root))
     val raw = Synthetic.segments(spark, 0.5, 6, 1000.0, seed = 21)
     Store.storeSubtractCar(raw, root, "ECoG", nChannels = 6)
     // reference table names (common_referencing.py:104,117): CAR_<name> for
@@ -132,6 +137,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
   test("storePreprocessBlock writes the reference's four all-steps tables") {
     import graft.operators.{Store, Pipeline}
     val root = Files.createTempDirectory("allsteps").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(root))
     val raw = Synthetic.segments(spark, 0.5, 4, 2000.0, seed = 5)
     Store.storePreprocessBlock(raw, root, "ECoG", nChannels = 4,
       Pipeline.Config(initialRate = 1000.0, finalRate = Some(250.0), filters = "human"))
@@ -143,6 +149,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
   test("store abs_only=False: wvlt_phase_ series matches functional phase; resample+phase rejected") {
     import graft.operators.{Store, DspOperators}
     val root = Files.createTempDirectory("wvltphase").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(root))
     val raw = Synthetic.segments(spark, 1.0, 2, 1000.0, seed = 17)
     Store.storeWaveletTransform(raw, root, "ECoG", "human", hgOnly = true, absOnly = false)
     val storedPhase = spark.read.parquet(s"$root/preprocessing/wvlt_phase_ECoG")
@@ -167,6 +174,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
   test("streaming: windowed event agg matches batch over the same files") {
     // file-stream source wants a directory; stage the single parquet file
     val dir = Files.createTempDirectory("events_stream").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     val streamed = StreamingOps.runToMemory(spark, dir, "win_agg",
@@ -187,6 +195,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
   test("streaming windowed DSP: notch over streamed segment windows == batch") {
     import graft.operators.DspOperators
     val dir = Files.createTempDirectory("events_dsp_stream").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     def pipeline(df: org.apache.spark.sql.DataFrame) =
@@ -214,6 +223,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
   test("streaming windowed DSP with context: crossfaded windows == batch; identity stitch exact") {
     import graft.operators.DspOperators
     val dir = Files.createTempDirectory("events_ctx_stream").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     val (winDur, ctxDur) = ("1 minute", "10 seconds")
@@ -327,6 +337,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val stage = java.nio.file.Files.createTempDirectory("cms_docs")
+    graft.streaming.StreamingOps.deleteOnExit(stage)
     StreamingOps.deleteOnExit(stage)
     docs.repartition(4).write.mode("overwrite").parquet(stage.toString)
     val stream = spark.readStream.schema(docs.schema)
@@ -352,6 +363,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     val events = graft.model.Frames.normalizeTsNanos(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val stage = java.nio.file.Files.createTempDirectory("ohlc_events")
+    graft.streaming.StreamingOps.deleteOnExit(stage)
     StreamingOps.deleteOnExit(stage)
     events.repartition(4).write.mode("overwrite").parquet(stage.toString)
     val stream = spark.readStream
@@ -397,6 +409,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val stage = java.nio.file.Files.createTempDirectory("hist_events")
+    graft.streaming.StreamingOps.deleteOnExit(stage)
     StreamingOps.deleteOnExit(stage)
     events.repartition(4).write.mode("overwrite").parquet(stage.toString)
     val stream = graft.model.Frames.normalizeTsNanos(
@@ -436,10 +449,12 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     // micro-batches — nothing is late, and clicks buffered in early batches
     // must survive in join state to match errors arriving in later ones
     val stage = java.nio.file.Files.createTempDirectory("ssj_events")
+    graft.streaming.StreamingOps.deleteOnExit(stage)
     StreamingOps.deleteOnExit(stage)
     val quarted = events.withColumn("_q", ntile(4).over(Window.orderBy("ts")))
     for (i <- 1 to 4) {
       val tmp = java.nio.file.Files.createTempDirectory(s"ssj_part$i")
+      graft.streaming.StreamingOps.deleteOnExit(tmp)
       StreamingOps.deleteOnExit(tmp)
       quarted.filter($"_q" === i).drop("_q")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -484,6 +499,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
   test("streaming: stateless pii scrub through the parquet sink == batch") {
     import graft.text.TextAnalysis
     val stage = java.nio.file.Files.createTempDirectory("pii_docs")
+    graft.streaming.StreamingOps.deleteOnExit(stage)
     StreamingOps.deleteOnExit(stage)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
@@ -508,6 +524,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     val events = graft.model.Frames.normalizeTsNanos(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val stage = Files.createTempDirectory("trans_events")
+    graft.streaming.StreamingOps.deleteOnExit(stage)
     StreamingOps.deleteOnExit(stage)
     // hash repartition scatters each user's events across files, so later
     // micro-batches deliver EARLIER events — the sorted-state contract is
@@ -549,6 +566,7 @@ class StoreAndStreamingSpec extends AnyFunSuite {
     val events = graft.model.Frames.normalizeTsNanos(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val stage = Files.createTempDirectory("capped_events")
+    graft.streaming.StreamingOps.deleteOnExit(stage)
     StreamingOps.deleteOnExit(stage)
     // scatter each user's events across files so later micro-batches carry
     // EARLIER timestamps — out-of-order arrivals must re-split boundaries

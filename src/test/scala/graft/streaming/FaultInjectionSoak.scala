@@ -40,7 +40,11 @@ import graft.sources.NwbFailpoints
 object FaultInjectionSoak {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("fault_soak").toString
+    {
+      val d = java.nio.file.Files.createTempDirectory("fault_soak")
+      StreamingOps.deleteOnExit(d)
+      d.toString
+    }
 
   private def census(spark: SparkSession, dataDir: String): Array[(String, Long, Long)] = {
     import org.apache.spark.sql.expressions.Window

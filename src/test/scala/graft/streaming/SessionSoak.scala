@@ -54,6 +54,7 @@ object SessionSoak {
     // synthetic: per-user event times stride ~17 min with a deterministic
     // jitter, so >30 min gaps (session breaks) occur regularly; micros ts
     val dir = java.nio.file.Files.createTempDirectory("session_soak").toString
+    StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
     time("generate events parquet") {
       spark.range(nEvents)
         .select(

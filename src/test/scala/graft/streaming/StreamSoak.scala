@@ -66,6 +66,7 @@ object StreamSoak {
     // current physical type — so the soak exercises the normalizeTsNanos
     // ingestion path, not the legacy long-nanos one
     val dir = java.nio.file.Files.createTempDirectory("stream_soak").toString
+    StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
     time("generate events parquet") {
       spark.range(nCh * nSamples)
         .select(

@@ -676,6 +676,7 @@ class TextOpsSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("ivf_rest").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
     Similarity.ivfWrite(Similarity.ivfAssign(emb, centroids), dir)
     val atRest = spark.read.parquet(dir)
     val probed = atRest.filter($"cell".isin(0, 1))
