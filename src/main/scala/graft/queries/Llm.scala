@@ -3874,7 +3874,154 @@ object Llm {
               |)
               |SELECT doc_a, doc_b, est_jaccard FROM pr
               |WHERE doc_a % 4 = 0 OR doc_b % 4 = 0
-              |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)))
+              |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q373_semdedup",
+      "SemDeDup: k-means-cell-bounded semantic dedup with the keep-the-outlier keeper",
+      // the embedding-space member of the dedup family (exact q40, MinHash
+      // q42, SimHash q43, LSH-cosine q54): near-duplicate embeddings share
+      // a coarse-quantizer cell, so the all-pairs search is bounded per
+      // cell (cap 256, the LSH bucket contract); exact within-cell cosine
+      // >= 0.25 marks pairs, components group them, and each group keeps
+      // the member FARTHEST from its centroid (SemDeDup's keep-the-outlier
+      // rule — it preserves cell diversity where min-id collapses it). The
+      // oracle replays the full chain: the q52 Lloyd replica, the cell
+      // self-join under the size cap, rounded-grid cosine thresholding,
+      // recursive-CTE components, and the (csim, id) argmin keeper.
+      (s, dir) => Similarity.semDedup(table(s, dir, "embeddings"),
+          nCells = 16, iters = 2, minSim = 0.25, maxCellSize = 256)
+        .orderBy("vec_id"),
+      Some(s"""|WITH RECURSIVE $IvfLloydCtes
+              |$IvfAssignCte,
+              |asg AS (
+              |  SELECT e.vec_id, af.cell,
+              |    round(list_cosine_similarity(e.v, c.v), 4) AS csim
+              |  FROM emb e JOIN af USING (vec_id) JOIN c2 c ON c.cell = af.cell
+              |),
+              |csz AS (SELECT cell, count(*) AS c FROM asg GROUP BY 1),
+              |cand AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  JOIN csz ON csz.cell = a.cell AND csz.c BETWEEN 2 AND 256
+              |),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT cd.id_a, cd.id_b,
+              |      round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+              |    FROM cand cd
+              |    JOIN emb ea ON ea.vec_id = cd.id_a
+              |    JOIN emb eb ON eb.vec_id = cd.id_b
+              |  ) WHERE sim >= 0.25
+              |),
+              |edgesym AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT id_b AS src, id_a AS dst FROM pairs
+              |),
+              |nodes AS (SELECT DISTINCT src AS node FROM edgesym),
+              |cc(node, label) AS (
+              |  SELECT node, node AS label FROM nodes
+              |  UNION
+              |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
+              |),
+              |comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+              |base AS (
+              |  SELECT a.vec_id, a.cell, COALESCE(c.component, a.vec_id) AS cluster,
+              |    a.csim
+              |  FROM asg a LEFT JOIN comp c ON c.node = a.vec_id
+              |),
+              |kp AS (
+              |  SELECT cluster, vec_id AS keeper FROM (
+              |    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+              |      ORDER BY csim ASC, vec_id ASC) AS rn
+              |    FROM base
+              |  ) WHERE rn = 1
+              |)
+              |SELECT b.vec_id, CAST(b.cell AS INT) AS cell, b.cluster,
+              |  b.csim AS centroid_sim, b.vec_id = k.keeper AS is_keeper
+              |FROM base b JOIN kp k USING (cluster)
+              |ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("q374_cluster_balanced_sample",
+      "cluster-balanced coreset sampling: a deterministic per-semantic-cell quota",
+      // embedding-space stratified sampling — the curation family's q59/q63
+      // stratify on METADATA (lang, source); this stratifies on the learned
+      // semantic cells so a downsampled corpus keeps every embedding-space
+      // region represented (the cluster-balanced half of SemDeDup-style
+      // curation). Per cell, the 8 vectors with the smallest 'cbs:'-salted
+      // md5 uniforms win (ties to lower id): a rank filter Spark compiles
+      // to WindowGroupLimit, so the top-8 runs map-side per partition
+      // before the cell shuffle — no full per-cell sort materializes at
+      // any corpus size.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val asg = Similarity.cellAssignments(table(s, dir, "embeddings"),
+          nCells = 16, iters = 2)
+        val w = Window.partitionBy("cell")
+          .orderBy(col("sample_hash"), col("id"))
+        asg.select(col("id"), col("cell"))
+          .withColumn("sample_hash",
+            conv(substring(md5(concat(lit("cbs:"), col("id").cast("string"))),
+              1, 15), 16, 10).cast("long"))
+          .withColumn("rank_in_cell", row_number().over(w))
+          .filter(col("rank_in_cell") <= 8)
+          .select(col("id").as("vec_id"), col("cell"), col("sample_hash"),
+            col("rank_in_cell"))
+          .orderBy("vec_id")
+      },
+      Some(s"""|WITH $IvfLloydCtes
+              |$IvfAssignCte,
+              |h AS (
+              |  SELECT vec_id, cell,
+              |    CAST(CAST(('0x' || substr(md5('cbs:' || vec_id), 1, 15))
+              |      AS UBIGINT) AS BIGINT) AS sample_hash
+              |  FROM af
+              |),
+              |r AS (
+              |  SELECT vec_id, cell, sample_hash,
+              |    row_number() OVER (PARTITION BY cell
+              |      ORDER BY sample_hash, vec_id) AS rank_in_cell
+              |  FROM h
+              |)
+              |SELECT vec_id, CAST(cell AS INT) AS cell, sample_hash,
+              |  CAST(rank_in_cell AS INT) AS rank_in_cell
+              |FROM r WHERE rank_in_cell <= 8
+              |ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("q375_semantic_decontamination",
+      "semantic decontamination: train embeddings screened against same-cell eval embeddings",
+      // q57's embedding-space sibling — trigram overlap misses paraphrased
+      // eval leakage; here a train vector is contaminated when some eval
+      // vector (vec_id % 23 == 0) in its coarse-quantizer cell is
+      // cosine-similar at >= 0.25. The cell bound is SemDeDup's: screening
+      // joins by cell instead of scanning the corpus pairwise (a real eval
+      // set is benchmark-sized -> a broadcast; this synthetic 1/23 slice
+      // exercises the general shuffled-by-cell path). NULL max_sim marks
+      // train vectors whose cell holds no eval vector at all.
+      (s, dir) => Similarity.semanticDecontamination(
+          table(s, dir, "embeddings"), evalMod = 23, nCells = 16, iters = 2,
+          minSim = 0.25)
+        .orderBy("vec_id"),
+      Some(s"""|WITH $IvfLloydCtes
+              |$IvfAssignCte,
+              |asg AS (
+              |  SELECT e.vec_id, af.cell, e.v FROM emb e JOIN af USING (vec_id)
+              |),
+              |tr AS (SELECT * FROM asg WHERE vec_id % 23 <> 0),
+              |ev AS (SELECT cell, v AS ev_v FROM asg WHERE vec_id % 23 = 0),
+              |sims AS (
+              |  SELECT t.vec_id, t.cell,
+              |    CASE WHEN e.ev_v IS NULL THEN NULL
+              |      ELSE round(list_cosine_similarity(t.v, e.ev_v), 4) END AS sim
+              |  FROM tr t LEFT JOIN ev e ON e.cell = t.cell
+              |)
+              |SELECT vec_id, CAST(cell AS INT) AS cell,
+              |  CAST(sum(CASE WHEN sim >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_eval_matches,
+              |  max(sim) AS max_sim,
+              |  sum(CASE WHEN sim >= 0.25 THEN 1 ELSE 0 END) > 0 AS contaminated
+              |FROM sims GROUP BY 1, 2
+              |ORDER BY vec_id""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]

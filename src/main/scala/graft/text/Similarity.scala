@@ -136,6 +136,132 @@ object Similarity {
   def ivfWrite(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Every vector with its coarse-quantizer cell AND its cosine similarity
+    * to that cell's centroid, in ONE narrow pass (the nearest-cell search
+    * already computes the winning cosine — recomputing it in a second UDF
+    * would double the k×dim work). `csim` is rounded on the shared 4-decimal
+    * grid so downstream argmin/argmax readouts are engine-exact.
+    * Columns: (id: long, vec, cell: int, csim: double). The semantic-space
+    * primitive under [[semDedup]] and the cell-stratified curation queries. */
+  def cellAssignments(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCells, iters, idCol, vecCol)
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val cell = nearestCell(bc.value, v)
+      (cell, cosineArr(bc.value(cell), v))
+    }
+    embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("a", assignUdf(col("vec")))
+      .select(col("id"), col("vec"), col("a._1").as("cell"),
+        round(col("a._2"), 4).as("csim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * through the coarse-quantizer lens. Near-duplicate embeddings land in
+    * the same k-means cell (they are near the same centroid), so the
+    * all-pairs search is bounded per cell instead of corpus-wide; exact
+    * within-cell cosine >= `minSim` marks duplicate pairs, connected
+    * components group them, and the KEEPER of each group is the member with
+    * the LOWEST similarity to its cell centroid — the paper's keep-the-
+    * outlier rule, which preserves the cell's diversity where min-id or
+    * random keepers collapse it (ties break to the lower id). Complements
+    * the lexical family: exact hash (q40), MinHash (q42), SimHash (q43),
+    * and the LSH-bucketed cosine dedup (q54) — SemDeDup's cells catch
+    * paraphrases whose token overlap is low but whose embeddings coincide.
+    *
+    * 100 TB shape: centroid training is [[kmeansCentroids]] (driver state
+    * k×dim, tiny map-combined moment shuffles); assignment + centroid-sim
+    * are ONE narrow pass ([[cellAssignments]]); the pair stage shuffles
+    * ~16 B/row (cell, id) once, with cells larger than `maxCellSize`
+    * skipped exactly like cosineLshPairs' bucket cap — a deployment sizes
+    * nCells so the expected cell is small (the paper uses corpus/~1e4
+    * cells) and the cap turns adversarial mass at one centroid into a
+    * bounded skip, never an O(cell²) blowup; components reuse the two-tier
+    * CC under [[graft.text.TextOps.dupClusters]]; the keeper readout is one
+    * cluster-keyed min-struct aggregate, no corpus-wide window.
+    *
+    * Returns (vec_id, cell, cluster, centroid_sim, is_keeper), one row per
+    * input vector (singletons are their own keeper). */
+  def semDedup(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
+               minSim: Double = 0.8, maxCellSize: Int = 256,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the assignment pass feeds the pair stage, the cluster join, and the
+    // keeper readout — pin it once (localCheckpoint on local[n], reliable
+    // under the conf) instead of recomputing the k×dim UDF three times
+    import graft.operators.Checkpoints.Pinnable
+    val assigned = cellAssignments(embeddings, nCells, iters, idCol, vecCol).pin
+    val candidates = assigned
+      .groupBy("cell")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxCellSize))
+      .select(explode(allPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    val vecs = assigned.select(col("id"), col("vec"))
+    val pairs = candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(cosineUdf(col("vec_a"), col("vec_b")), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+      .select("doc_a", "doc_b")
+    val clusters = graft.text.TextOps.dupClusters(
+      assigned.select(col("id").as("vec_id")), pairs, idCol = "vec_id")
+    val withSim = clusters
+      .join(assigned.select(col("id").as("doc_id"), col("cell"), col("csim")), "doc_id")
+    val keepers = withSim.groupBy("cluster")
+      .agg(min(struct(col("csim"), col("doc_id"))).as("kp"))
+    withSim.join(keepers, "cluster")
+      .select(col("doc_id").as(idCol), col("cell"), col("cluster"),
+        col("csim").as("centroid_sim"),
+        (col("doc_id") === col("kp.doc_id")).as("is_keeper"))
+  }
+
+  /** All unordered id pairs of one bounded cell/bucket row — shared by
+    * [[cosineLshPairs]] and [[semDedup]]; inputs are capped upstream so the
+    * quadratic stays inside one small in-memory array. */
+  private def allPairsUdf = udf { (ids: Seq[Long]) =>
+    val sorted = ids.toArray.sorted
+    for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length)
+      yield (sorted(i), sorted(j))
+  }
+
+  /** Semantic decontamination: the embedding-space sibling of the trigram
+    * decontamination report (Curation.decontaminationReport) — a training
+    * vector is contaminated when some EVAL vector in its coarse-quantizer
+    * cell is cosine-similar at >= `minSim` (the cell bound is SemDeDup's:
+    * near-identical embeddings share a cell, so eval screening never scans
+    * the corpus pairwise). Eval membership is `id % evalMod == 0`; the
+    * quantizer trains on the full corpus so both populations share cells.
+    *
+    * One row per TRAIN vector: (vec_id, cell, n_eval_matches, max_sim,
+    * contaminated); max_sim is null for train vectors whose cell holds no
+    * eval vector. 100 TB shape: assignment is one narrow pass; the
+    * cell-keyed train×eval join carries only (cell, vec) rows, and a real
+    * deployment's eval side is benchmark-sized — a broadcast — while this
+    * synthetic slice (1/evalMod of the corpus) exercises the general
+    * shuffled-by-cell path. */
+  def semanticDecontamination(embeddings: DataFrame, evalMod: Long = 23,
+                              nCells: Int = 16, iters: Int = 2, minSim: Double = 0.25,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.operators.Checkpoints.Pinnable
+    val asg = cellAssignments(embeddings, nCells, iters, idCol, vecCol).pin
+    val train = asg.filter(col("id") % evalMod =!= 0)
+      .select(col("id"), col("cell"), col("vec"))
+    val ev = asg.filter(col("id") % evalMod === 0)
+      .select(col("cell"), col("vec").as("e_vec"))
+    train.join(ev, Seq("cell"), "left")
+      .select(col("id"), col("cell"),
+        when(col("e_vec").isNotNull,
+          round(cosineUdf(col("vec"), col("e_vec")), 4)).as("sim"))
+      .groupBy("id", "cell")
+      .agg(sum(when(col("sim") >= minSim, 1L).otherwise(0L)).as("n_eval_matches"),
+        max(col("sim")).as("max_sim"))
+      .select(col("id").as(idCol), col("cell"), col("n_eval_matches"),
+        col("max_sim"), (col("n_eval_matches") > 0).as("contaminated"))
+  }
+
   /** IVF tuning knobs, surfaced at the query layer so a deployment sizes
     * them to its corpus instead of inheriting test-scale defaults:
     *
@@ -1005,16 +1131,11 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      dim: Int = -1): DataFrame = {
     require(planes >= 1 && planes <= 30, s"planes must be in [1, 30]: $planes")
-    val pairsUdf = udf { (ids: Seq[Long]) =>
-      val sorted = ids.toArray.sorted
-      for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length)
-        yield (sorted(i), sorted(j))
-    }
     val candidates = signatureBuckets(embeddings, planes, seed, idCol, vecCol, dim)
       .groupBy("bucket")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(explode(allPairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
     val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     candidates

@@ -1052,4 +1052,80 @@ class TextOpsSpec extends AnyFunSuite {
     assert(perQ.forall(_.getLong(1) == 3L),
       s"tight margin shorted a query: ${perQ.mkString(",")}")
   }
+
+  test("semDedup groups planted jitter trios and keeps the centroid-farthest member") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) }
+    // three planted trios (a base + two jittered copies, cosine ~1 within a
+    // trio) in a sea of 50 independent gaussians (pairwise cosine well
+    // under the 0.95 threshold at dim 16 for these seeds)
+    val trios = Seq(0, 1, 2).map(t => (t, vec(1000 + t)))
+    val planted = trios.flatMap { case (t, v) =>
+      Seq((100L + t * 10, v), (101L + t * 10, jitter(v, 0.01f)),
+        (102L + t * 10, jitter(v, 0.02f)))
+    }
+    val noise = (0 until 50).map(i => (i.toLong, vec(i + 7)))
+    val emb = (noise ++ planted).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, nCells = 4, iters = 2, minSim = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out.size == 59, s"one row per vector expected, got ${out.size}")
+    for (t <- 0 to 2) {
+      val ids = Seq(100L + t * 10, 101L + t * 10, 102L + t * 10)
+      val clusters = ids.map(out(_)._1).distinct
+      assert(clusters.size == 1, s"trio $t split across clusters $clusters")
+      assert(!noise.exists(n => out(n._1)._1 == clusters.head),
+        s"noise vector joined planted trio $t")
+      val keepers = ids.filter(out(_)._3)
+      // the keep-the-outlier rule: exactly one keeper, the member with the
+      // LOWEST centroid similarity (ties to lower id)
+      val expect = ids.minBy(id => (out(id)._2, id))
+      assert(keepers == Seq(expect),
+        s"trio $t keeper $keepers, expected $expect " +
+          s"(csims ${ids.map(id => id -> out(id)._2)})")
+    }
+    // every singleton is its own cluster and its own keeper
+    val singles = noise.map(_._1).filter(id =>
+      out.count(_._2._1 == out(id)._1) == 1)
+    assert(singles.nonEmpty)
+    singles.foreach { id =>
+      assert(out(id)._1 == id && out(id)._3, s"singleton $id not its own keeper")
+    }
+    // exactly one keeper per cluster, corpus-wide
+    out.values.groupBy(_._1).foreach { case (c, ms) =>
+      assert(ms.count(_._3) == 1, s"cluster $c has ${ms.count(_._3)} keepers")
+    }
+  }
+
+  test("semanticDecontamination flags same-cell eval near-matches and only those") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    // ids NOT divisible by 23 are train; 46 and 69 are eval. 46 is an
+    // EXACT copy of train vector 7 (same cell by construction), 69 is an
+    // independent gaussian that matches nothing at 0.95.
+    val train = (1 to 40).filter(_ % 23 != 0).map(i => (i.toLong, vec(i + 300)))
+    val ev = Seq((46L, vec(7 + 300)), (69L, vec(9999)))
+    val emb = (train ++ ev).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontamination(emb, evalMod = 23,
+        nCells = 4, iters = 2, minSim = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toMap
+    assert(out.size == train.size, "one row per train vector")
+    assert(!out.contains(46L) && !out.contains(69L), "eval rows must not appear")
+    val (n7, max7, c7) = out(7L)
+    assert(c7 && n7 >= 1L && max7.contains(1.0),
+      s"planted eval copy missed: n=$n7 max=$max7 contaminated=$c7")
+    val others = out.view.filterKeys(_ != 7L).values
+    assert(others.forall(!_._3),
+      s"false contamination: ${out.filter(kv => kv._1 != 7L && kv._2._3)}")
+  }
 }
