@@ -363,18 +363,23 @@ object Llm {
     s"WITH ${ctes.result()}\n$sel ORDER BY round"
   }
 
-  /** emb/c0/a1/u1/c1/a2/u2/c2: the IVF coarse-quantizer Lloyd replica
-    * (md5-prefix seeding, two assign/update rounds) shared by q52 and
-    * the q307 recall audit. Ends WITHOUT the final assignment. */
-  private val IvfLloydCtes: String =
-    """|emb AS (
+  /** emb/embt/c0/a1/u1/c1/a2/u2/c2: the IVF coarse-quantizer Lloyd replica
+    * (md5-prefix seeding, two assign/update rounds) shared by q52, the
+    * q307/q340 recall audits, and q376. Ends WITHOUT the final assignment.
+    * `trainWhere` restricts the TRAIN population (seeds + both update
+    * rounds) — the frozen-quantizer deployments train on the standing
+    * corpus while `emb` (and the af assignment over it) stays the full
+    * table; empty = train on everything (the q52 contract). */
+  private def ivfLloydCtes(trainWhere: String = ""): String =
+    s"""|emb AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |),
+             |embt AS (SELECT vec_id, v FROM emb $trainWhere),
              |c0 AS (
              |  SELECT cell, v FROM (
              |    SELECT row_number() OVER (ORDER BY substr(md5(vec_id::VARCHAR), 1, 15), vec_id) - 1 AS cell, v
-             |    FROM emb
+             |    FROM embt
              |  ) WHERE cell < 16
              |),
              |-- Lloyd iteration 1: assign to argmax-cosine centroid (ties -> lowest cell)
@@ -383,12 +388,12 @@ object Llm {
              |    SELECT e.vec_id, c.cell,
              |      row_number() OVER (PARTITION BY e.vec_id
              |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
-             |    FROM emb e CROSS JOIN c0 c
+             |    FROM embt e CROSS JOIN c0 c
              |  ) WHERE rn = 1
              |),
              |u1 AS (
              |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
-             |  FROM a1 a JOIN emb e USING (vec_id)
+             |  FROM a1 a JOIN embt e USING (vec_id)
              |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
              |  GROUP BY a.cell, d.i
              |),
@@ -404,12 +409,12 @@ object Llm {
              |    SELECT e.vec_id, c.cell,
              |      row_number() OVER (PARTITION BY e.vec_id
              |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
-             |    FROM emb e CROSS JOIN c1 c
+             |    FROM embt e CROSS JOIN c1 c
              |  ) WHERE rn = 1
              |),
              |u2 AS (
              |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
-             |  FROM a2 a JOIN emb e USING (vec_id)
+             |  FROM a2 a JOIN embt e USING (vec_id)
              |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
              |  GROUP BY a.cell, d.i
              |),
@@ -419,6 +424,8 @@ object Llm {
              |    SELECT cell, list(x ORDER BY i) AS v FROM u2 GROUP BY cell
              |  ) n USING (cell)
              |),""".stripMargin
+
+  private val IvfLloydCtes: String = ivfLloydCtes()
 
   /** af: final assignment of every vector to the post-iteration
     * centroids (ivfAssign semantics: argmax cosine, ties lowest cell). */
@@ -4021,7 +4028,45 @@ object Llm {
               |  max(sim) AS max_sim,
               |  sum(CASE WHEN sim >= 0.25 THEN 1 ELSE 0 END) > 0 AS contaminated
               |FROM sims GROUP BY 1, 2
-              |ORDER BY vec_id""".stripMargin)))
+              |ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("q376_incremental_semdedup",
+      "incremental SemDeDup: a new batch screened against the frozen-quantizer corpus cells",
+      // q364's idiom in embedding space — the daily-batch deployment
+      // shape: the coarse quantizer trains ONCE on the standing corpus
+      // (vec_id % 4 != 0) and freezes; the new batch (vec_id % 4 == 0)
+      // assigns against those centroids and scores only pairs TOUCHING
+      // the batch (new×corpus + new×new inside shared cells) — the
+      // corpus×corpus pairs were adjudicated at their own ingest and
+      // never rescore. Combined cell occupancy above 256 skips (the LSH
+      // bucket cap). The oracle trains its Lloyd replica on the corpus
+      // slice only, assigns EVERYONE with the frozen centroids, and
+      // replays the capped touching-new self-join.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        val newBatch = emb.filter(col("vec_id") % 4 === 0)
+        val centroids = Similarity.kmeansCentroids(corpus, k = 16, iters = 2)
+        Similarity.semDedupIncrementalPairs(
+            Similarity.assignWith(corpus, centroids),
+            Similarity.assignWith(newBatch, centroids),
+            minSim = 0.25, maxCellSize = 256)
+          .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
+      },
+      Some(s"""|WITH ${ivfLloydCtes("WHERE vec_id % 4 <> 0")}
+              |$IvfAssignCte,
+              |csz AS (SELECT cell, count(*) AS c FROM af GROUP BY 1),
+              |pr AS (
+              |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              |    round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+              |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  JOIN csz ON csz.cell = a.cell AND csz.c BETWEEN 2 AND 256
+              |  JOIN emb ea ON ea.vec_id = a.vec_id
+              |  JOIN emb eb ON eb.vec_id = b.vec_id
+              |  WHERE a.vec_id % 4 = 0 OR b.vec_id % 4 = 0
+              |)
+              |SELECT doc_a, doc_b, sim FROM pr WHERE sim >= 0.25
+              |ORDER BY sim DESC, doc_a, doc_b""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]

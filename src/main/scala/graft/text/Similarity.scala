@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Column, SparkSession}
+import org.apache.spark.sql.{DataFrame, Column, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -51,6 +51,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cosine over primitive float arrays — the in-group quadratic's hot
+    * loop ([[cellPairs]]); same math as [[cosine]], zero boxing. */
+  private def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private def cosineArr(a: Array[Double], b: Seq[Float]): Double = {
     val bv = b match { case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq }
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -63,17 +76,40 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Index of the most-cosine-similar centroid (lowest index wins ties). */
-  private def nearestCell(centroids: Array[Array[Double]], v: Seq[Float]): Int = {
+  /** [[cosineArr]] over a primitive float array — the nearest-cell scan's
+    * hot loop; same double accumulation, zero boxing. */
+  private def cosineArrF(a: Array[Double], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Index of the most-cosine-similar centroid (lowest index wins ties).
+    * The vector unboxes ONCE — the scan reads it k times, and boxed Seq
+    * access across a 1024-centroid table was the assignment stage's whole
+    * cost at 1 M × dim 64 (soak-measured). */
+  private def nearestCell(centroids: Array[Array[Double]], v: Seq[Float]): Int =
+    nearestCellSim(centroids, v)._1
+
+  /** Nearest cell AND its cosine in one scan — the argmax already
+    * evaluates the winning cosine, so [[cellAssignments]] never pays a
+    * second centroid pass. */
+  private def nearestCellSim(centroids: Array[Array[Double]], v: Seq[Float]): (Int, Double) = {
+    val va = v.toArray
     var best = 0
     var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < centroids.length) {
-      val s = cosineArr(centroids(c), v)
+      val s = cosineArrF(centroids(c), va)
       if (s > bestSim) { best = c; bestSim = s }
       c += 1
     }
-    best
+    (best, bestSim)
   }
 
   /** IVF coarse quantizer: a FIXED-k centroid table from distributed Lloyd
@@ -147,10 +183,7 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters, idCol, vecCol)
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      val cell = nearestCell(bc.value, v)
-      (cell, cosineArr(bc.value(cell), v))
-    }
+    val assignUdf = udf { (v: Seq[Float]) => nearestCellSim(bc.value, v) }
     embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("a", assignUdf(col("vec")))
@@ -173,14 +206,17 @@ object Similarity {
     *
     * 100 TB shape: centroid training is [[kmeansCentroids]] (driver state
     * k×dim, tiny map-combined moment shuffles); assignment + centroid-sim
-    * are ONE narrow pass ([[cellAssignments]]); the pair stage shuffles
-    * ~16 B/row (cell, id) once, with cells larger than `maxCellSize`
-    * skipped exactly like cosineLshPairs' bucket cap — a deployment sizes
-    * nCells so the expected cell is small (the paper uses corpus/~1e4
-    * cells) and the cap turns adversarial mass at one centroid into a
-    * bounded skip, never an O(cell²) blowup; components reuse the two-tier
-    * CC under [[graft.text.TextOps.dupClusters]]; the keeper readout is one
-    * cluster-keyed min-struct aggregate, no corpus-wide window.
+    * are ONE narrow pass ([[cellAssignments]]); the pair stage shuffles the
+    * corpus by cell exactly ONCE and scores all pairs inside the capped
+    * group row (only qualifying (id, id, sim) triples leave it — no id-pair
+    * ever re-joins the corpus for vectors); cells larger than `maxCellSize`
+    * are skipped exactly like cosineLshPairs' bucket cap — a deployment
+    * sizes nCells so the expected cell is small (the paper uses
+    * corpus/~1e4 cells) and the cap turns adversarial mass at one centroid
+    * into a bounded skip, never an O(cell²) blowup; components reuse the
+    * two-tier CC under [[graft.text.TextOps.dupClusters]]; the keeper
+    * readout is one cluster-keyed min-struct aggregate, no corpus-wide
+    * window.
     *
     * Returns (vec_id, cell, cluster, centroid_sim, is_keeper), one row per
     * input vector (singletons are their own keeper). */
@@ -192,19 +228,8 @@ object Similarity {
     // under the conf) instead of recomputing the k×dim UDF three times
     import graft.operators.Checkpoints.Pinnable
     val assigned = cellAssignments(embeddings, nCells, iters, idCol, vecCol).pin
-    val candidates = assigned
-      .groupBy("cell")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxCellSize))
-      .select(explode(allPairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-    val vecs = assigned.select(col("id"), col("vec"))
-    val pairs = candidates
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        round(cosineUdf(col("vec_a"), col("vec_b")), 4).as("sim"))
-      .filter(col("sim") >= minSim)
+    val pairs = cellPairs(assigned.withColumn("is_new", lit(true)),
+        minSim, maxCellSize)
       .select("doc_a", "doc_b")
     val clusters = graft.text.TextOps.dupClusters(
       assigned.select(col("id").as("vec_id")), pairs, idCol = "vec_id")
@@ -218,9 +243,86 @@ object Similarity {
         (col("doc_id") === col("kp.doc_id")).as("is_keeper"))
   }
 
-  /** All unordered id pairs of one bounded cell/bucket row — shared by
-    * [[cosineLshPairs]] and [[semDedup]]; inputs are capped upstream so the
-    * quadratic stays inside one small in-memory array. */
+  /** SemDeDup's pair stage, shared by the batch and incremental forms.
+    * The pairwise cosines run INSIDE each capped cell group: vectors ride
+    * exactly ONE cell-keyed shuffle and no id-pair ever re-joins the
+    * corpus to fetch them (the minhash-sparse lesson — an attach-joins
+    * version shuffles the corpus twice more per pair side). Only pairs
+    * with `is_new` on at least one side are scored (the batch form marks
+    * everything new); the UDF pre-filters on the raw cosine with the
+    * half-up rounding guard (round(x,4) >= t iff x >= t − 5e-5), so only
+    * qualifying (id_a, id_b, rawSim) triples leave the group row, and the
+    * exact grid filter outside keeps the engine-exact contract. Cells
+    * larger than `maxCellSize` (COMBINED occupancy in the incremental
+    * form) are skipped — the LSH bucket cap contract. */
+  private def cellPairs(assigned: DataFrame, minSim: Double,
+                        maxCellSize: Int): DataFrame = {
+    val rawGuard = minSim - 5e-5
+    val pairsUdf = udf { (members: Seq[Row]) =>
+      // unbox each member ONCE (primitive Array[Float]): the quadratic
+      // below touches every vector c−1 times, and boxed Seq access in the
+      // hot loop was the whole stage cost at 1 M × dim 64 (soak-measured)
+      val ms = members.map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getBoolean(2))).sortBy(_._1).toArray
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < ms.length) {
+        var j = i + 1
+        while (j < ms.length) {
+          if (ms(i)._3 || ms(j)._3) {
+            val s = cosineFF(ms(i)._2, ms(j)._2)
+            if (s >= rawGuard) out += ((ms(i)._1, ms(j)._1, s))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    assigned
+      .groupBy("cell")
+      .agg(collect_list(struct(col("id"), col("vec"), col("is_new")))
+        .as("members"))
+      .filter(size(col("members")).between(2, maxCellSize))
+      .select(explode(pairsUdf(col("members"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
+        round(col("p._3"), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Frozen-quantizer batch assignment with the (id, vec, cell) layout
+    * [[semDedupIncrementalPairs]] consumes — persist it with [[ivfWrite]]
+    * so `cell` is a partition column and the incremental join prunes. */
+  def assignWith(embeddings: DataFrame, centroids: Array[Array[Double]],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCell(bc.value, v))
+    embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", assignUdf(col("vec")))
+  }
+
+  /** Incremental SemDeDup — the daily-batch deployment shape (the q364
+    * idiom in embedding space): the quantizer is FROZEN (trained once on
+    * the standing corpus; nobody retrains per batch), the corpus lives at
+    * rest as [[assignWith]] output, and each new batch assigns against the
+    * frozen centroids and scores only pairs TOUCHING the batch —
+    * new×corpus and new×new inside the shared cells; corpus×corpus pairs
+    * were already adjudicated at their own ingest and never rescore.
+    * Combined cell occupancy above `maxCellSize` skips, like the batch
+    * form. Returns qualifying (doc_a, doc_b, sim) with doc_a < doc_b. */
+  def semDedupIncrementalPairs(assignedCorpus: DataFrame, assignedNew: DataFrame,
+                               minSim: Double = 0.8, maxCellSize: Int = 256): DataFrame = {
+    val all = assignedCorpus
+      .select(col("id"), col("vec"), col("cell"), lit(false).as("is_new"))
+      .unionByName(assignedNew
+        .select(col("id"), col("vec"), col("cell"), lit(true).as("is_new")))
+    cellPairs(all, minSim, maxCellSize)
+  }
+
+  /** All unordered id pairs of one bounded bucket row ([[cosineLshPairs]]);
+    * inputs are capped upstream so the quadratic stays inside one small
+    * in-memory array. */
   private def allPairsUdf = udf { (ids: Seq[Long]) =>
     val sorted = ids.toArray.sorted
     for (i <- sorted.indices.toSeq; j <- i + 1 until sorted.length)

@@ -200,6 +200,37 @@ object SimilaritySoak {
           lit(0.0), (acc, x) => acc + x))).as("mean_norm")).head()
       println(f"[soak]   -> mean norm ${r.getDouble(0)}%.4f")
     }
+    time("semDedup (1024 cells, in-group pairwise, keep-the-outlier)") {
+      // SemDeDup's 100 TB shape at soak scale: cells sized so the in-group
+      // quadratic is the budgeted cost (avg cell ~ n/1024; the 4096 cap
+      // bounds the worst group). Planted near-dup pairs (2k, 2k+1 at
+      // id%10<2, perturbation 1e-3 -> cosine ~1) must land in one cluster;
+      // census checks pair-level recall and the one-keeper-per-cluster law.
+      val sd = Similarity.semDedup(vecs, nCells = 1024, iters = 1,
+          minSim = 0.99, maxCellSize = 4096)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = sd.count()
+      val planted = sd.filter(col("vec_id") % 10 < 2)
+        .select((col("vec_id") - pmod(col("vec_id"), lit(2))).as("pair"),
+          col("cluster"))
+        .groupBy("pair")
+        .agg(countDistinct("cluster").as("nc"), count(lit(1)).as("m"))
+      val paired = planted.filter(col("m") === 2 && col("nc") === 1).count()
+      val total = planted.count()
+      val badClusters = sd.groupBy("cluster")
+        .agg(sum(when(col("is_keeper"), 1L).otherwise(0L)).as("k"))
+        .filter(col("k") =!= 1L).count()
+      println(s"[soak]   -> $n rows; planted-pair recall $paired/$total; " +
+        s"clusters violating one-keeper: $badClusters")
+      assert(badClusters == 0L, "keeper law violated")
+      // boundary-straddling pairs (different argmax cells) and capped
+      // cells are SemDeDup's documented approximation: recall is high,
+      // not exact — the floor here is structural, the measured value is
+      // recorded in NOTES
+      assert(paired * 10L >= total * 9L,
+        s"planted near-dup recall under 90%: $paired/$total")
+      sd.unpersist()
+    }
     prof.report()
     assert(prof.maxResultBytes.get < 64L * 1024 * 1024,
       "a task shipped >64 MiB to the driver — driver materialization leak")

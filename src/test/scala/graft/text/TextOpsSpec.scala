@@ -1102,6 +1102,44 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupIncrementalPairs = all-new pair stage restricted to touching-new") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * ((i % 3) - 1) }
+    // new batch = id % 4 == 0. Planted: corpus 10 ~ new 12 (cross pair),
+    // new 16 ~ new 20 (in-batch pair), corpus 9 ~ corpus 13 (corpus-only —
+    // must NOT rescore), in a sea of independent gaussians.
+    val a = vec(501); val b = vec(502); val c = vec(503)
+    val planted = Seq((10L, a), (12L, jitter(a, 0.01f)),
+      (16L, b), (20L, jitter(b, 0.01f)),
+      (9L, c), (13L, jitter(c, 0.01f)))
+    val noise = (30 until 70).map(i => (i.toLong, vec(i + 700)))
+    val emb = (noise ++ planted).toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val nb = emb.filter(col("vec_id") % 4 === 0)
+    val centroids = Similarity.kmeansCentroids(corpus, k = 4, iters = 2)
+    val inc = Similarity.semDedupIncrementalPairs(
+      Similarity.assignWith(corpus, centroids),
+      Similarity.assignWith(nb, centroids), minSim = 0.95, maxCellSize = 256)
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 12L)), s"cross corpus-new pair missed: $got")
+    assert(got.contains((16L, 20L)), s"in-batch pair missed: $got")
+    assert(!got.contains((9L, 13L)), s"corpus-only pair rescored: $got")
+    // batch-equivalence law: the all-new pair stage over the union with the
+    // SAME frozen centroids, restricted to pairs touching the batch
+    val allAssigned = Similarity.assignWith(emb, centroids)
+    val full = Similarity.semDedupIncrementalPairs(
+      allAssigned.filter(lit(false)), allAssigned,
+      minSim = 0.95, maxCellSize = 256)
+    val expect = full
+      .filter(col("doc_a") % 4 === 0 || col("doc_b") % 4 === 0)
+    assert(inc.exceptAll(expect).isEmpty && expect.exceptAll(inc).isEmpty,
+      "incremental pairs diverge from the restricted batch law")
+  }
+
   test("semanticDecontamination flags same-cell eval near-matches and only those") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
