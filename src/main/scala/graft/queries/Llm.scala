@@ -370,7 +370,7 @@ object Llm {
     * rounds) — the frozen-quantizer deployments train on the standing
     * corpus while `emb` (and the af assignment over it) stays the full
     * table; empty = train on everything (the q52 contract). */
-  private def ivfLloydCtes(trainWhere: String = ""): String =
+  private[queries] def ivfLloydCtes(trainWhere: String = ""): String =
     s"""|emb AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
@@ -429,7 +429,7 @@ object Llm {
 
   /** af: final assignment of every vector to the post-iteration
     * centroids (ivfAssign semantics: argmax cosine, ties lowest cell). */
-  private val IvfAssignCte: String =
+  private[queries] val IvfAssignCte: String =
     """|af AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,

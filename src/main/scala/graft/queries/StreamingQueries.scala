@@ -1402,7 +1402,26 @@ ORDER BY event_type, win"""
       // replayable: DuckDB ranks each bucket's members by (batch, doc_id)
       // and keeps pairs whose later member ranks <= cap. State per bucket
       // is bounded at cap ids regardless of bucket heat.
-      q365Build, Some(q365Oracle)))
+      q365Build, Some(q365Oracle)),
+
+    QueryDef("q377_streaming_semdedup_pairs",
+      "streaming SemDeDup candidates: a frozen coarse quantizer broadcast " +
+        "into the stream; per-CELL ListState of the first cap arrivals " +
+        "emits same-cell pairs, scored exactly batch-side (rank oracle)",
+      // q365's semantic twin and q376's streaming sibling — the deployment
+      // shape where embeddings ARRIVE: the coarse quantizer is trained ONCE
+      // batch-side on the standing corpus and broadcast into the stream
+      // (a stream never retrains its quantizer); each arriving vector
+      // assigns to its frozen cell and pairs against the cell's stored
+      // members under the same capped-ListState contract as q365 (state
+      // per cell bounded at cap ids regardless of cell heat). Candidates
+      // then score EXACTLY batch-side — the stream generates candidates,
+      // the cheap exact cosine attaches after, mirroring how q373 splits
+      // candidate generation from scoring. The oracle replays the frozen
+      // quantizer (full-corpus Lloyd replica + af assignment), ranks each
+      // cell's members by (batch, vec_id), and keeps pairs whose later
+      // member ranks <= cap.
+      q377Build, Some(q377Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -2044,4 +2063,62 @@ ORDER BY event_type, win"""
        |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.rnk < b.rnk
        |WHERE b.rnk <= 64
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q377: streaming SemDeDup candidates (frozen quantizer) ------------
+
+  private def q377Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.text.Similarity
+    val stage = java.nio.file.Files.createTempDirectory("q377_stage")
+    StreamingOps.deleteOnExit(stage)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    // the frozen quantizer: trained once batch-side on the standing corpus
+    val centroids = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(emb.filter(pmod(col("vec_id"), lit(3)) === i),
+        stage, s"emb_$i.parquet", now - (3 - i) * 60000L)
+    import s.implicits._
+    val emits = StreamingOps.withRocksDbState(s) {
+      StreamingOps.runToMemoryOrdered(s, stage.toString,
+        s"q377_sink_${sinkId.incrementAndGet()}",
+        df => StreamingOps.runningNearDupPairs(
+          Similarity.assignWith(df, centroids)
+            .select(lit(0).as("band_idx"),
+              col("cell").cast("string").as("bucket"),
+              col("id").as("doc_id"),
+              (pmod(col("id"), lit(3)) * 1000000000000L + col("id")).as("seq"))
+            .as[StreamingOps.PairEvent]).toDF(),
+        outputMode = OutputMode.Append)
+    }
+    // exact scoring attaches batch-side to the streamed candidate set
+    val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emits.select(col("doc_a"), col("doc_b"))
+      .join(vecs.select(col("vec_id").as("doc_a"),
+        col("embedding").as("va")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"),
+        col("embedding").as("vb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(Similarity.cosineCol(col("va"), col("vb")), 4).as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def q377Oracle: String =
+    s"""WITH ${Llm.ivfLloydCtes()}
+       |${Llm.IvfAssignCte},
+       |rk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY vec_id % 3, vec_id) AS rnk
+       |  FROM af
+       |)
+       |SELECT least(a.vec_id, b.vec_id) AS doc_a,
+       |  greatest(a.vec_id, b.vec_id) AS doc_b,
+       |  round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+       |FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
+       |JOIN emb ea ON ea.vec_id = least(a.vec_id, b.vec_id)
+       |JOIN emb eb ON eb.vec_id = greatest(a.vec_id, b.vec_id)
+       |WHERE b.rnk <= 64
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

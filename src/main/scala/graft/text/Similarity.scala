@@ -39,6 +39,11 @@ object Similarity {
 
   private def cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
 
+  /** Exact cosine of two `array<float>` columns — the public column surface
+    * over [[cosine]] (round it on the shared 4-decimal grid for
+    * engine-exact readouts). */
+  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
+
   /** Exact top-k cosine neighbors of `query` (excluding `excludeId`). */
   def bruteForceTopK(embeddings: DataFrame, query: Array[Float], k: Int,
                      excludeId: Long = -1L,
