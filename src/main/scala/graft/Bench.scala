@@ -171,7 +171,10 @@ object Bench {
     "q367_incremental_neardup_stored",
     "q368_window_stitch_roundtrip", "q369_store_naming_contract",
     "q370_store_scan_legacy_strip", "q371_nyquist_guards",
-    "q372_folder_driver")
+    "q372_folder_driver",
+    "q373_semdedup", "q374_cluster_balanced_sample",
+    "q375_semantic_decontamination", "q376_incremental_semdedup",
+    "q377_streaming_semdedup_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

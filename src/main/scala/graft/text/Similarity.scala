@@ -284,11 +284,21 @@ object Similarity {
       }
       out.result()
     }
+    // the cap is enforced BEFORE the member collect: a cell over the cap
+    // must never materialize its vectors in an aggregation buffer (the
+    // whole point of the cap is that adversarial mass at one centroid
+    // costs a bounded skip, and a collect-then-drop would OOM first). The
+    // count frame is <= nCells rows — the quantizer's own bound — so the
+    // eligibility join is a broadcast, not a shuffle.
+    val okCells = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz").between(2, maxCellSize))
+      .select("cell")
     assigned
+      .join(broadcast(okCells), "cell")
       .groupBy("cell")
       .agg(collect_list(struct(col("id"), col("vec"), col("is_new")))
         .as("members"))
-      .filter(size(col("members")).between(2, maxCellSize))
       .select(explode(pairsUdf(col("members"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
         round(col("p._3"), 4).as("sim"))
