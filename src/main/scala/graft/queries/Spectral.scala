@@ -36,7 +36,7 @@ object Spectral {
     * ReusedExchangeExec.child) that a plain tree-collect cannot see.
     * Robust against plan-STRING format changes across Spark versions —
     * the r13 version substring-matched `toString` lines. */
-  private[queries] def countExchanges(
+  private[graft] def countExchanges(
       plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}

@@ -328,7 +328,15 @@ object Similarity {
     * form. Returns qualifying (doc_a, doc_b, sim) with doc_a < doc_b. */
   def semDedupIncrementalPairs(assignedCorpus: DataFrame, assignedNew: DataFrame,
                                minSim: Double = 0.8, maxCellSize: Int = 256): DataFrame = {
+    // only cells the batch TOUCHES can produce a touching-new pair, so the
+    // corpus at rest is semi-joined down to them BEFORE anything shuffles:
+    // per-batch cost scales with the corpus mass in touched cells (over an
+    // ivfWrite'd store this is partition pruning), never the whole corpus.
+    // The touched-cell frame is <= nCells rows — a broadcast by the
+    // quantizer's own bound.
+    val newCells = assignedNew.select("cell").distinct()
     val all = assignedCorpus
+      .join(broadcast(newCells), "cell")
       .select(col("id"), col("vec"), col("cell"), lit(false).as("is_new"))
       .unionByName(assignedNew
         .select(col("id"), col("vec"), col("cell"), lit(true).as("is_new")))

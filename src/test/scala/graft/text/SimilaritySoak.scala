@@ -231,6 +231,41 @@ object SimilaritySoak {
         s"planted near-dup recall under 90%: $paired/$total")
       sd.unpersist()
     }
+    locally {
+      // incremental SemDeDup: per-batch cost must track the corpus mass in
+      // TOUCHED cells, not the corpus. Corpus = 99.9% at rest (assignment
+      // paid once at ingest), batch = id%1000==0 (0.1%); every planted
+      // pair whose even member is in the batch must surface as a
+      // corpus-batch crosser.
+      val corpus = vecs.filter(col("vec_id") % 1000 =!= 0)
+      val batch = vecs.filter(col("vec_id") % 1000 === 0)
+      val centroids2 = time("incremental prep: frozen quantizer (k=2048, 1 iter) on the corpus") {
+        Similarity.kmeansCentroids(corpus, k = 2048, iters = 1)
+      }
+      val atRest = time("incremental prep: corpus assignment at rest (paid once at ingest)") {
+        val a = Similarity.assignWith(corpus, centroids2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count(); a
+      }
+      time("incremental semDedup: ONE 0.1% batch against the corpus at rest") {
+        val pairs = Similarity.semDedupIncrementalPairs(atRest,
+          Similarity.assignWith(batch, centroids2),
+          minSim = 0.99, maxCellSize = 4096)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = pairs.count()
+        // batch members ending in 000 are the even halves of planted pairs
+        // (id, id+1): each must pair with its corpus partner
+        val found = pairs
+          .filter(col("doc_a") % 1000 === 0 && col("doc_b") === col("doc_a") + 1)
+          .count()
+        val expect = batch.filter(pmod(col("vec_id"), lit(10)) < 2).count()
+        println(s"[soak]   -> $n pairs; planted crossers found $found/$expect")
+        assert(found * 10L >= expect * 9L,
+          s"incremental planted recall under 90%: $found/$expect")
+        pairs.unpersist()
+      }
+      atRest.unpersist()
+    }
     prof.report()
     assert(prof.maxResultBytes.get < 64L * 1024 * 1024,
       "a task shipped >64 MiB to the driver — driver materialization leak")

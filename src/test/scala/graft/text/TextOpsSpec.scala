@@ -1140,6 +1140,60 @@ class TextOpsSpec extends AnyFunSuite {
       "incremental pairs diverge from the restricted batch law")
   }
 
+  test("semantic pair stage plan: one vector-carrying shuffle, tiny broadcasts, no sort-merge join") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val emb = (0 until 80).map(i => (i.toLong, vec(i + 40))).toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val nb = emb.filter(col("vec_id") % 4 === 0)
+    val centroids = Similarity.kmeansCentroids(corpus, k = 4, iters = 1)
+    val pr = Similarity.semDedupIncrementalPairs(
+      Similarity.assignWith(corpus, centroids),
+      Similarity.assignWith(nb, centroids), minSim = 0.9, maxCellSize = 256)
+    pr.collect()
+    val plan = pr.queryExecution.executedPlan
+    val s = plan.toString
+    // vectors ride ONE cell-keyed shuffle into the member collect (exactly
+    // one partial_collect_list exchange exists); the touched-cell semi-join
+    // and the cap are tiny (<= nCells rows) aggregates whose results
+    // BROADCAST back — no id-pair ever re-joins the corpus, so no
+    // sort-merge join exists. Structural count: 5 physical exchanges
+    // (touched distinct + its broadcast, cap count + its broadcast, the
+    // member collect) + 2 ReusedExchange re-walks of the shared broadcast
+    // (countExchanges deliberately recurses reuses).
+    assert(graft.queries.Spectral.countExchanges(plan) == 7,
+      s"pair-stage exchange structure changed:\n$s")
+    // AdaptiveSparkPlan.toString echoes the initial plan below the final
+    // one — count collect shuffles in the FINAL section only
+    val finalSection = s.split("== Initial Plan ==")(0)
+    assert(finalSection.split("partial_collect_list").length - 1 == 1,
+      s"vectors must ride exactly ONE collect shuffle:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"cap eligibility join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no corpus-attach joins in the pair stage:\n$s")
+  }
+
+  test("per-cell quota rank filter compiles to WindowGroupLimit (map-side top-k)") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val emb = (0 until 60).map(i => (i.toLong, vec(i + 11))).toDF("vec_id", "embedding")
+    val asg = Similarity.cellAssignments(emb, nCells = 4, iters = 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("h"), col("id"))
+    val q = asg.select(col("id"), col("cell"))
+      .withColumn("h", conv(substring(md5(concat(lit("cbs:"),
+        col("id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    q.collect()
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit"),
+      s"quota rank filter must push a group limit below the shuffle:\n$s")
+  }
+
   test("semanticDecontamination flags same-cell eval near-matches and only those") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
