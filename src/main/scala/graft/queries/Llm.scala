@@ -365,22 +365,27 @@ object Llm {
 
   /** emb/embt/c0/a1/u1/c1/a2/u2/c2: the IVF coarse-quantizer Lloyd replica
     * (md5-prefix seeding, two assign/update rounds) shared by q52, the
-    * q307/q340 recall audits, and q376. Ends WITHOUT the final assignment.
-    * `trainWhere` restricts the TRAIN population (seeds + both update
-    * rounds) — the frozen-quantizer deployments train on the standing
-    * corpus while `emb` (and the af assignment over it) stays the full
-    * table; empty = train on everything (the q52 contract). */
-  private[queries] def ivfLloydCtes(trainWhere: String = ""): String =
+    * q307/q340 recall audits, q376 and q378. Ends WITHOUT the final
+    * assignment. `trainWhere` restricts the TRAIN population (seeds + both
+    * update rounds) — the frozen-quantizer deployments train on the
+    * standing corpus while `emb` (and the af assignment over it) stays the
+    * full table; empty = train on everything (the q52 contract). `embSql`
+    * overrides the vector source (q378 derives vectors from documents);
+    * `k` the cell count. */
+  private[queries] def ivfLloydCtes(trainWhere: String = "",
+      embSql: String =
+        """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings""".stripMargin,
+      k: Int = 16): String =
     s"""|emb AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings
+             |  $embSql
              |),
              |embt AS (SELECT vec_id, v FROM emb $trainWhere),
              |c0 AS (
              |  SELECT cell, v FROM (
              |    SELECT row_number() OVER (ORDER BY substr(md5(vec_id::VARCHAR), 1, 15), vec_id) - 1 AS cell, v
              |    FROM embt
-             |  ) WHERE cell < 16
+             |  ) WHERE cell < $k
              |),
              |-- Lloyd iteration 1: assign to argmax-cosine centroid (ties -> lowest cell)
              |a1 AS (
@@ -429,6 +434,61 @@ object Llm {
 
   /** af: final assignment of every vector to the post-iteration
     * centroids (ivfAssign semantics: argmax cosine, ties lowest cell). */
+  /** The semDedup oracle body over the ivfLloydCtes + IvfAssignCte frames
+    * (emb/af/c2): per-vector centroid cosine, capped cell self-join,
+    * rounded-grid threshold, recursive-CTE components, and the (csim, id)
+    * argmin keeper — shared by q373 (embeddings table) and q378 (vectors
+    * derived from documents). Must run under WITH RECURSIVE. */
+  private def semDedupOracleBody(minSim: String, cap: Int, idAlias: String): String =
+    s"""asg AS (
+       |  SELECT e.vec_id, af.cell,
+       |    round(list_cosine_similarity(e.v, c.v), 4) AS csim
+       |  FROM emb e JOIN af USING (vec_id) JOIN c2 c ON c.cell = af.cell
+       |),
+       |csz AS (SELECT cell, count(*) AS c FROM asg GROUP BY 1),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN csz ON csz.cell = a.cell AND csz.c BETWEEN 2 AND $cap
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT cd.id_a, cd.id_b,
+       |      round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+       |    FROM cand cd
+       |    JOIN emb ea ON ea.vec_id = cd.id_a
+       |    JOIN emb eb ON eb.vec_id = cd.id_b
+       |  ) WHERE sim >= $minSim
+       |),
+       |edgesym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT src AS node FROM edgesym),
+       |cc(node, label) AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
+       |),
+       |comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+       |base AS (
+       |  SELECT a.vec_id, a.cell, COALESCE(c.component, a.vec_id) AS cluster,
+       |    a.csim
+       |  FROM asg a LEFT JOIN comp c ON c.node = a.vec_id
+       |),
+       |kp AS (
+       |  SELECT cluster, vec_id AS keeper FROM (
+       |    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+       |      ORDER BY csim ASC, vec_id ASC) AS rn
+       |    FROM base
+       |  ) WHERE rn = 1
+       |)
+       |SELECT b.vec_id AS $idAlias, CAST(b.cell AS INT) AS cell, b.cluster,
+       |  b.csim AS centroid_sim, b.vec_id = k.keeper AS is_keeper
+       |FROM base b JOIN kp k USING (cluster)
+       |ORDER BY $idAlias""".stripMargin
+
   private[queries] val IvfAssignCte: String =
     """|af AS (
        |  SELECT vec_id, cell FROM (
@@ -3900,54 +3960,7 @@ object Llm {
         .orderBy("vec_id"),
       Some(s"""|WITH RECURSIVE $IvfLloydCtes
               |$IvfAssignCte,
-              |asg AS (
-              |  SELECT e.vec_id, af.cell,
-              |    round(list_cosine_similarity(e.v, c.v), 4) AS csim
-              |  FROM emb e JOIN af USING (vec_id) JOIN c2 c ON c.cell = af.cell
-              |),
-              |csz AS (SELECT cell, count(*) AS c FROM asg GROUP BY 1),
-              |cand AS (
-              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-              |  JOIN csz ON csz.cell = a.cell AND csz.c BETWEEN 2 AND 256
-              |),
-              |pairs AS (
-              |  SELECT id_a, id_b FROM (
-              |    SELECT cd.id_a, cd.id_b,
-              |      round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
-              |    FROM cand cd
-              |    JOIN emb ea ON ea.vec_id = cd.id_a
-              |    JOIN emb eb ON eb.vec_id = cd.id_b
-              |  ) WHERE sim >= 0.25
-              |),
-              |edgesym AS (
-              |  SELECT id_a AS src, id_b AS dst FROM pairs
-              |  UNION ALL
-              |  SELECT id_b AS src, id_a AS dst FROM pairs
-              |),
-              |nodes AS (SELECT DISTINCT src AS node FROM edgesym),
-              |cc(node, label) AS (
-              |  SELECT node, node AS label FROM nodes
-              |  UNION
-              |  SELECT e.dst AS node, c.label FROM cc c JOIN edgesym e ON e.src = c.node
-              |),
-              |comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
-              |base AS (
-              |  SELECT a.vec_id, a.cell, COALESCE(c.component, a.vec_id) AS cluster,
-              |    a.csim
-              |  FROM asg a LEFT JOIN comp c ON c.node = a.vec_id
-              |),
-              |kp AS (
-              |  SELECT cluster, vec_id AS keeper FROM (
-              |    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
-              |      ORDER BY csim ASC, vec_id ASC) AS rn
-              |    FROM base
-              |  ) WHERE rn = 1
-              |)
-              |SELECT b.vec_id, CAST(b.cell AS INT) AS cell, b.cluster,
-              |  b.csim AS centroid_sim, b.vec_id = k.keeper AS is_keeper
-              |FROM base b JOIN kp k USING (cluster)
-              |ORDER BY vec_id""".stripMargin)),
+              |${semDedupOracleBody(minSim = "0.25", cap = 256, idAlias = "vec_id")}""".stripMargin)),
 
     QueryDef("q374_cluster_balanced_sample",
       "cluster-balanced coreset sampling: a deterministic per-semantic-cell quota",
@@ -4066,7 +4079,40 @@ object Llm {
               |  WHERE a.vec_id % 4 = 0 OR b.vec_id % 4 = 0
               |)
               |SELECT doc_a, doc_b, sim FROM pr WHERE sim >= 0.25
-              |ORDER BY sim DESC, doc_a, doc_b""".stripMargin)))
+              |ORDER BY sim DESC, doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q378_semdedup_documents",
+      "text-side SemDeDup: documents -> hashed bag-of-words embeddings -> semantic dedup, no embeddings table",
+      // the full composition a text corpus without learned embeddings
+      // runs: Sketches.featureHashEmbed derives a dense 64-dim vector per
+      // document (q120's md5 bucket/sign chain per word occurrence, one
+      // narrow pass), then q373's semDedup clusters them. At 0.97 the
+      // planted near-dup documents separate sharply from the corpus's
+      // vocabulary-level similarity (~0.63 mean pairwise). Integer-valued
+      // vectors make cross-engine cosine exact; the oracle derives the
+      // SAME vectors in SQL and replays the whole Lloyd + dedup chain.
+      (s, dir) => Similarity.semDedup(
+          Sketches.featureHashEmbed(table(s, dir, "documents"), dim = 64),
+          nCells = 8, iters = 2, minSim = 0.97, maxCellSize = 256,
+          idCol = "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val embSql =
+          """SELECT doc_id AS vec_id, list_transform(generate_series(0, 63), i ->
+            |    CAST(COALESCE(list_sum(list_transform(list_filter(bs, p -> p.b = i),
+            |      p -> p.s)), 0) AS DOUBLE)) AS v
+            |  FROM (SELECT doc_id, list_transform(
+            |      list_filter(string_split(text, ' '), w -> len(w) > 0),
+            |      w -> struct_pack(
+            |        b := CAST(CAST(('0x' || substr(md5('fh:' || w), 1, 15))
+            |          AS UBIGINT) % 64 AS BIGINT),
+            |        s := CASE WHEN CAST(('0x' || substr(md5('fh:' || w), 16, 1))
+            |          AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END)) AS bs
+            |    FROM documents)""".stripMargin
+        s"""|WITH RECURSIVE ${ivfLloydCtes(embSql = embSql, k = 8)}
+            |$IvfAssignCte,
+            |${semDedupOracleBody(minSim = "0.97", cap = 256, idAlias = "doc_id")}""".stripMargin
+      }))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]

@@ -318,4 +318,43 @@ object Sketches {
       .orderBy(col("n_terms").desc, col("bucket"))
       .limit(topK)
   }
+
+  /** Hashing-trick DENSE embedding per document — [[featureHashCensus]]'s
+    * bucket/sign chain (md5('fh:' || word): first 15 hex digits pick the
+    * bucket, the 16th's parity the ±1 sign), accumulated per word
+    * OCCURRENCE into a dim-length float vector in ONE narrow UDF pass.
+    * This is the text-side entry into the semantic family (semDedup,
+    * cell sampling, decontamination) when no learned embedding column
+    * exists: cosine over these bags-of-hashed-words separates
+    * near-duplicate texts sharply from vocabulary-level similarity.
+    * Entries are small integers, so cross-engine cosine over them is
+    * exact, and a DuckDB oracle replays the chain verbatim (q120's). */
+  def featureHashEmbed(docs: DataFrame, dim: Int = 64,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val embedUdf = udf { (text: String) =>
+      val out = new Array[Float](dim)
+      if (text != null) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) {
+            md.reset()
+            val b = md.digest(("fh:" + w).getBytes("UTF-8"))
+            // hex digits 1-15 as an unsigned 60-bit integer: bytes 0-6
+            // whole plus byte 7's high nibble (the '0x'||substr(md5,1,15)
+            // chain q120 pinned)
+            var h = 0L
+            var i = 0
+            while (i < 7) { h = (h << 8) | (b(i) & 0xFFL); i += 1 }
+            h = (h << 4) | ((b(7) & 0xF0L) >>> 4)
+            // 16th hex digit = byte 7's low nibble; parity -> sign
+            val sign = if ((b(7) & 0x01) == 0) 1f else -1f
+            out((h % dim).toInt) += sign
+          }
+        }
+      }
+      out
+    }
+    docs.select(col(idCol), embedUdf(col(textCol)).as("embedding"))
+  }
 }

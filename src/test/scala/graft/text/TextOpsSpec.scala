@@ -1194,6 +1194,48 @@ class TextOpsSpec extends AnyFunSuite {
       s"quota rank filter must push a group limit below the shuffle:\n$s")
   }
 
+  test("featureHashEmbed + semDedup clusters planted text dups without an embeddings table") {
+    // the UDF chain must equal q120's Catalyst md5 bucket/sign chain
+    // computed independently via SQL expressions on the same words
+    val viaExpr = docs.select(col("doc_id"), expr(
+      """transform(sequence(0, 63), i -> CAST(aggregate(
+        |  filter(transform(filter(split(text, ' '), w -> length(w) > 0),
+        |    w -> named_struct(
+        |      'b', CAST(conv(substring(md5(concat('fh:', w)), 1, 15), 16, 10)
+        |        AS BIGINT) % 64,
+        |      's', CASE WHEN CAST(conv(substring(md5(concat('fh:', w)), 16, 1),
+        |        16, 10) AS INT) % 2 = 0 THEN 1L ELSE -1L END)),
+        |    p -> p.b = i),
+        |  0L, (acc, p) -> acc + p.s) AS FLOAT))""".stripMargin).as("e2"))
+    val joined = Sketches.featureHashEmbed(docs, dim = 64)
+      .join(viaExpr, "doc_id")
+      .filter(col("embedding") =!= col("e2"))
+    assert(joined.isEmpty, s"UDF diverges from the q120 chain: ${joined.count()}")
+    // the full text-side composition at the strict threshold: planted
+    // exact dups co-cluster, nothing else joins them (a one-word edit in
+    // a ~17-word doc already costs ~0.06 of hashed-BoW cosine, so 0.97
+    // admits only near-verbatim copies — the q378 contract)
+    val emb64 = Sketches.featureHashEmbed(docs, dim = 64)
+    val strict = Similarity.semDedup(emb64,
+        nCells = 4, iters = 2, minSim = 0.97, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict(300L) == strict(0L), "exact dup 300 must cluster with doc 0")
+    assert(strict(301L) == strict(1L), "exact dup 301 must cluster with doc 1")
+    val dupClusters = Set(strict(300L), strict(301L))
+    val strays = (2 until 100).map(_.toLong)
+      .filter(id => dupClusters.contains(strict(id)))
+    assert(strays.isEmpty, s"random docs joined dup clusters: $strays")
+    // relaxing to 0.9 admits the one-word-edit near-dups (cosine ~0.94)
+    // while the random-vocab docs (~0.3 pairwise) still stay out
+    val loose = Similarity.semDedup(emb64,
+        nCells = 4, iters = 2, minSim = 0.9, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose(210L) == loose(211L), "tail-variant near-dups must co-cluster at 0.9")
+    assert(loose(200L) == loose(201L), "one-word-edit near-dups must co-cluster at 0.9")
+    assert(loose(2L) != loose(200L) && loose(3L) != loose(200L),
+      "random docs must not join the near-dup cluster at 0.9")
+  }
+
   test("semanticDecontamination flags same-cell eval near-matches and only those") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
