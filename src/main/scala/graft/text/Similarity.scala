@@ -317,6 +317,142 @@ object Similarity {
       .withColumn("cell", assignUdf(col("vec")))
   }
 
+  /** A two-level index over a FLAT centroid table: `nSuper` super-centroids
+    * (driver-side Lloyd over the k centroids themselves — k is bounded, so
+    * this is pure local math) plus each centroid's super assignment.
+    * Deterministic: seeds are centroids 0..nSuper-1, assignment is argmax
+    * cosine with ties to the lower index, updates are plain means.
+    *
+    * Why: the flat nearest-cell scan is k×dim work per vector. SemDeDup
+    * and IVF size k WITH the corpus (corpus/1e4 cells -> k = 10^5 at 10^9
+    * vectors), so at deployment scale the scan itself becomes the
+    * assignment bottleneck. Probing `p` of the `nSuper` super-cells cuts
+    * the scan to (nSuper + p·k/nSuper)×dim — with nSuper = sqrt(k) that is
+    * ~(1+p)·sqrt(k)×dim, a sqrt(k)/(1+p) speedup at any corpus size. */
+  final case class SuperQuantizer(superCentroids: Array[Array[Double]],
+                                  memberOf: Array[Array[Int]]) {
+    require(superCentroids.nonEmpty && memberOf.length == superCentroids.length)
+  }
+
+  def superQuantizer(centroids: Array[Array[Double]], nSuper: Int,
+                     iters: Int = 4): SuperQuantizer = {
+    require(nSuper > 0 && nSuper <= centroids.length,
+      s"need 0 < nSuper <= k (got $nSuper of ${centroids.length})")
+    def cosDD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var sup = Array.tabulate(nSuper)(s => centroids(s).clone())
+    var assign = new Array[Int](centroids.length)
+    var it = 0
+    while (it <= iters) {
+      var c = 0
+      while (c < centroids.length) {
+        var best = 0; var bestSim = Double.NegativeInfinity; var s = 0
+        while (s < sup.length) {
+          val sim = cosDD(sup(s), centroids(c))
+          if (sim > bestSim) { best = s; bestSim = sim }
+          s += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      if (it < iters) {
+        val dim = centroids.head.length
+        val next = Array.fill(nSuper)(new Array[Double](dim))
+        val cnt = new Array[Int](nSuper)
+        var c2 = 0
+        while (c2 < centroids.length) {
+          val s = assign(c2); cnt(s) += 1
+          var d = 0
+          while (d < dim) { next(s)(d) += centroids(c2)(d); d += 1 }
+          c2 += 1
+        }
+        var s2 = 0
+        while (s2 < nSuper) {
+          if (cnt(s2) > 0) {
+            var d = 0
+            while (d < dim) { next(s2)(d) /= cnt(s2); d += 1 }
+            sup = sup.updated(s2, next(s2))
+          }
+          s2 += 1
+        }
+      }
+      it += 1
+    }
+    val members = Array.fill(nSuper)(List.newBuilder[Int])
+    assign.indices.foreach(c => members(assign(c)) += c)
+    SuperQuantizer(sup, members.map(_.result().toArray))
+  }
+
+  /** Two-level frozen-quantizer assignment: scan the nSuper super-cells,
+    * keep the `probe` best, then argmax over only THOSE supers' member
+    * centroids (ties to the lower cell index, like the flat scan). With
+    * `probe == nSuper` the scan is exhaustive and the result EQUALS
+    * [[assignWith]] bit-for-bit (spec-pinned law); smaller probes trade an
+    * exactly-measurable sliver of cell agreement for the sqrt(k) speedup —
+    * soak-measured at 1 M x 64 / k = 2048. Approximate assignment shifts
+    * only boundary-straddling vectors, the same class SemDeDup's recall
+    * already concedes. */
+  def assignWithApprox(embeddings: DataFrame, centroids: Array[Array[Double]],
+                       sq: SuperQuantizer, probe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probe > 0 && probe <= sq.superCentroids.length,
+      s"need 0 < probe <= nSuper (got $probe of ${sq.superCentroids.length})")
+    val sc = embeddings.sparkSession.sparkContext
+    val bcC = sc.broadcast(centroids)
+    val bcS = sc.broadcast(sq)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
+      val s = bcS.value
+      val cs = bcC.value
+      val nS = s.superCentroids.length
+      // top-`probe` supers by cosine (ties to lower index): selection scan
+      val simS = new Array[Double](nS)
+      var i = 0
+      while (i < nS) { simS(i) = cosineArrF(s.superCentroids(i), va); i += 1 }
+      val picked = new Array[Int](probe)
+      val used = new Array[Boolean](nS)
+      var p = 0
+      while (p < probe) {
+        var best = -1; var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < nS) {
+          if (!used(j) && simS(j) > bestSim) { best = j; bestSim = simS(j) }
+          j += 1
+        }
+        used(best) = true; picked(p) = best; p += 1
+      }
+      var bestCell = Int.MaxValue
+      var bestSim = Double.NegativeInfinity
+      p = 0
+      while (p < probe) {
+        val members = s.memberOf(picked(p))
+        var m = 0
+        while (m < members.length) {
+          val c = members(m)
+          val sim = cosineArrF(cs(c), va)
+          // strictly-greater keeps the LOWEST cell index on ties only if
+          // candidates arrive in index order — they don't across supers,
+          // so break ties explicitly
+          if (sim > bestSim || (sim == bestSim && c < bestCell)) {
+            bestCell = c; bestSim = sim
+          }
+          m += 1
+        }
+        p += 1
+      }
+      // every probed super was empty (possible after a super loses all
+      // members to its neighbors): fall back to the flat exhaustive scan
+      if (bestCell == Int.MaxValue) nearestCell(cs, v) else bestCell
+    }
+    embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", assignUdf(col("vec")))
+  }
+
   /** Incremental SemDeDup — the daily-batch deployment shape (the q364
     * idiom in embedding space): the quantizer is FROZEN (trained once on
     * the standing corpus; nobody retrains per batch), the corpus lives at

@@ -247,6 +247,65 @@ object SimilaritySoak {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         a.count(); a
       }
+      time("two-level assignment: flat k=2048 scan vs 64-super probe") {
+        // at deployment scale k grows with the corpus (corpus/1e4 cells),
+        // so the FLAT k x dim scan becomes the assignment bottleneck; the
+        // super-quantizer cuts it to (nSuper + probe*k/nSuper) x dim.
+        // Two regimes, both measured:
+        //  - the UNIFORM soak corpus is the NEGATIVE control — centroids
+        //    over structureless data are barely separated, so "vector's
+        //    best super" does not predict "super holding the vector's best
+        //    cell" and agreement collapses (routing needs structure);
+        //  - a CLUSTERED corpus (2048 planted directions + 10% noise —
+        //    what real embedding corpora look like, and the regime that
+        //    motivates k ~ corpus/1e4 in the first place) is the intended
+        //    one: agreement must hold at the sqrt(k) speedup.
+        def agreementRun(tag: String, frame: org.apache.spark.sql.DataFrame,
+                         cents: Array[Array[Double]]): Unit = {
+          val sq = Similarity.superQuantizer(cents, nSuper = 64)
+          val flat = Similarity.assignWith(frame, cents)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val t0 = System.nanoTime()
+          val n = flat.count()
+          val tFlat = (System.nanoTime() - t0) / 1e9
+          val agreements = Seq(4, 8).map { probe =>
+            val ap = Similarity.assignWithApprox(frame, cents, sq, probe)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val t1 = System.nanoTime()
+            ap.count()
+            val tAp = (System.nanoTime() - t1) / 1e9
+            val agree = flat.join(ap.withColumnRenamed("cell", "cell2"), "id")
+              .filter(col("cell") === col("cell2")).count()
+            println(f"[soak]   -> $tag probe=$probe: $tAp%.2f s vs flat " +
+              f"$tFlat%.2f s; agreement $agree/$n")
+            ap.unpersist()
+            agree
+          }
+          if (tag == "clustered") {
+            // one Lloyd round over 2048 planted clusters leaves some
+            // split/merged centroids, so the boundary mass is real:
+            // ~93% at probe=4 measured. The floor is structural; deeper
+            // probes must monotonically recover the rest.
+            assert(agreements.head * 10L >= n * 9L,
+              s"clustered-regime agreement under 90%: ${agreements.head}/$n")
+            assert(agreements(1) >= agreements.head,
+              s"agreement must not fall with a deeper probe: $agreements")
+          }
+          flat.unpersist()
+        }
+        agreementRun("uniform", corpus, centroids2)
+        val clustered = spark.range(nVecs).select(
+          col("id").as("vec_id"),
+          expr(s"""transform(sequence(1, $dim), i -> CAST(
+              (pmod(xxhash64(pmod(id, 2048), i), 2000) / 1000.0 - 1.0)
+              + (pmod(xxhash64(id, i + 131), 200) / 1000.0 - 0.1)
+            AS FLOAT))""").as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        clustered.count()
+        val cCents = Similarity.kmeansCentroids(clustered, k = 2048, iters = 1)
+        agreementRun("clustered", clustered, cCents)
+        clustered.unpersist()
+      }
       time("incremental semDedup: ONE 0.1% batch against the corpus at rest") {
         val pairs = Similarity.semDedupIncrementalPairs(atRest,
           Similarity.assignWith(batch, centroids2),

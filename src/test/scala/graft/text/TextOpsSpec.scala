@@ -1236,6 +1236,31 @@ class TextOpsSpec extends AnyFunSuite {
       "random docs must not join the near-dup cluster at 0.9")
   }
 
+  test("two-level assignment equals the flat scan when probing every super") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val emb = (0 until 300).map(i => (i.toLong, vec(i + 77))).toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(emb, k = 32, iters = 2)
+    val sq = Similarity.superQuantizer(centroids, nSuper = 6)
+    assert(sq.memberOf.map(_.length).sum == 32, "every centroid in exactly one super")
+    val flat = Similarity.assignWith(emb, centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exhaustive probe = the exactness law: bit-identical to the flat scan
+    val exhaustive = Similarity.assignWithApprox(emb, centroids, sq, probe = 6)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exhaustive == flat, "probe == nSuper must equal the flat scan")
+    // a shallow probe stays a valid assignment (real cells) and agrees on
+    // the vast majority — the documented boundary-straddler concession
+    val shallow = Similarity.assignWithApprox(emb, centroids, sq, probe = 2)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shallow.values.forall(c => c >= 0 && c < 32))
+    val agree = shallow.count { case (id, c) => flat(id) == c }
+    assert(agree * 10 >= shallow.size * 8,
+      s"probe=2 agreement collapsed: $agree/${shallow.size}")
+  }
+
   test("semanticDecontamination flags same-cell eval near-matches and only those") {
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)
