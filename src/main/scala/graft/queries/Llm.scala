@@ -437,9 +437,11 @@ object Llm {
   /** The semDedup oracle body over the ivfLloydCtes + IvfAssignCte frames
     * (emb/af/c2): per-vector centroid cosine, capped cell self-join,
     * rounded-grid threshold, recursive-CTE components, and the (csim, id)
-    * argmin keeper — shared by q373 (embeddings table) and q378 (vectors
-    * derived from documents). Must run under WITH RECURSIVE. */
-  private def semDedupOracleBody(minSim: String, cap: Int, idAlias: String): String =
+    * argmin keeper — shared by q373 (embeddings table), q378 (vectors
+    * derived from documents) and q379 (yield census readout). Must run
+    * under WITH RECURSIVE; `finalSelect` reads the base/kp frames. */
+  private def semDedupOracleBody(minSim: String, cap: Int,
+                                 finalSelect: String): String =
     s"""asg AS (
        |  SELECT e.vec_id, af.cell,
        |    round(list_cosine_similarity(e.v, c.v), 4) AS csim
@@ -484,7 +486,12 @@ object Llm {
        |    FROM base
        |  ) WHERE rn = 1
        |)
-       |SELECT b.vec_id AS $idAlias, CAST(b.cell AS INT) AS cell, b.cluster,
+       |$finalSelect""".stripMargin
+
+  /** q373/q378's per-vector readout over [[semDedupOracleBody]]'s
+    * base/kp frames. */
+  private def semDedupRowSelect(idAlias: String): String =
+    s"""SELECT b.vec_id AS $idAlias, CAST(b.cell AS INT) AS cell, b.cluster,
        |  b.csim AS centroid_sim, b.vec_id = k.keeper AS is_keeper
        |FROM base b JOIN kp k USING (cluster)
        |ORDER BY $idAlias""".stripMargin
@@ -3960,7 +3967,8 @@ object Llm {
         .orderBy("vec_id"),
       Some(s"""|WITH RECURSIVE $IvfLloydCtes
               |$IvfAssignCte,
-              |${semDedupOracleBody(minSim = "0.25", cap = 256, idAlias = "vec_id")}""".stripMargin)),
+              |${semDedupOracleBody(minSim = "0.25", cap = 256,
+                 finalSelect = semDedupRowSelect("vec_id"))}""".stripMargin)),
 
     QueryDef("q374_cluster_balanced_sample",
       "cluster-balanced coreset sampling: a deterministic per-semantic-cell quota",
@@ -4111,8 +4119,35 @@ object Llm {
             |    FROM documents)""".stripMargin
         s"""|WITH RECURSIVE ${ivfLloydCtes(embSql = embSql, k = 8)}
             |$IvfAssignCte,
-            |${semDedupOracleBody(minSim = "0.97", cap = 256, idAlias = "doc_id")}""".stripMargin
-      }))
+            |${semDedupOracleBody(minSim = "0.97", cap = 256,
+               finalSelect = semDedupRowSelect("doc_id"))}""".stripMargin
+      }),
+
+    QueryDef("q379_semdedup_yield",
+      "semantic dedup yield census: per-cell vectors, clusters, and drops — the report a curation run ships",
+      // the lexical curation family ends in a yield report (q67/q82);
+      // the semantic family now does too: per coarse cell, how many
+      // vectors live there, how many dup clusters they resolve to, and
+      // how many non-keepers a dedup pass would drop. One aggregate over
+      // q373's frame — components never cross cells (pairs are
+      // within-cell), so the census is cell-local and engine-exact.
+      (s, dir) => Similarity.semDedup(table(s, dir, "embeddings"),
+          nCells = 16, iters = 2, minSim = 0.25, maxCellSize = 256)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(when(col("is_keeper"), 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy("cell"),
+      Some(s"""|WITH RECURSIVE $IvfLloydCtes
+              |$IvfAssignCte,
+              |${semDedupOracleBody(minSim = "0.25", cap = 256, finalSelect =
+                 """SELECT CAST(b.cell AS INT) AS cell,
+                   |  CAST(count(*) AS BIGINT) AS n_vectors,
+                   |  CAST(count(DISTINCT b.cluster) AS BIGINT) AS n_clusters,
+                   |  CAST(sum(CASE WHEN b.vec_id = k.keeper THEN 0 ELSE 1 END)
+                   |    AS BIGINT) AS n_dropped
+                   |FROM base b JOIN kp k USING (cluster)
+                   |GROUP BY 1 ORDER BY cell""".stripMargin)}""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]
