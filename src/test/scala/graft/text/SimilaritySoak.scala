@@ -32,9 +32,13 @@ object SimilaritySoak {
     spark.sparkContext.addSparkListener(prof)
     println(s"[soak] $nVecs vectors x dim $dim")
     def time[T](label: String)(f: => T): T = {
+      prof.setPhase(label)
       val t0 = System.nanoTime()
+      val s0 = prof.spill.sum()
       val r = f
-      println(f"[soak] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dSpill = (prof.spill.sum() - s0) / 1e9
+      println(f"[soak] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        (if (dSpill > 0.01) f" (spill ${dSpill}%.2f GB)" else ""))
       r
     }
     // ids with id%10<2 come in planted near-dup pairs (2k, 2k+1 share the
