@@ -1137,9 +1137,16 @@ object Similarity {
       (i, r.getLong(0), qv, r.getLong(2), probes)
     }.toSeq.toDF("qi", "qid", "qv", "eq", "probes")
 
-    val cand = broadcast(qFrame.select(col("qi"), col("qid"), col("qv"),
-        col("eq"), explode(col("probes")).as("cell")))
-      .join(a, Seq("cell"))
+    // the candidate scan carries ONLY (qi, qid, cid, codes): the ADC tier's
+    // whole point is that no dim-length vector rides the probed join or the
+    // shortlist sort. Carrying qv/cv here (as this code once did) pushed
+    // ~600 B/row through the per-query window sort — soak-measured 25 GB of
+    // sort spill at 1 M x 64 / 256 queries, ALL of it from this one stage;
+    // codes-only rows sort in memory and the vectors attach to the
+    // shortlist winners below (nQueries x shortlist rows) instead.
+    val cand = broadcast(qFrame.select(col("qi"), col("qid"),
+        explode(col("probes")).as("cell")))
+      .join(a.select(col("cell"), col("cid"), col("codes")), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
     // native codegen ADC kernels — same integer sums as the former UDF
     val adc = cand
@@ -1154,9 +1161,16 @@ object Similarity {
       .orderBy(col("adc_sim").desc, col("cid"))
     val short = adc.withColumn("rs", row_number().over(wShort))
       .filter(col("rs") <= shortlist)
-    val exact = short.withColumn("sim",
-      round(expr("floor_dot_e9(qv, cv)").cast("double") /
-        sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+      .select("qi", "qid", "cid", "adc_sim")
+    // exact rescoring touches vectors ONLY for the shortlist winners: the
+    // tiny shortlist broadcasts into the corpus-side attach, the bounded
+    // query frame broadcasts its vectors back
+    val exact = broadcast(short)
+      .join(a.select(col("cid"), col("cv"), col("ec")), "cid")
+      .join(broadcast(qFrame.select(col("qid"), col("qv"), col("eq"))), "qid")
+      .withColumn("sim",
+        round(expr("floor_dot_e9(qv, cv)").cast("double") /
+          sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
     val wFin = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     exact.withColumn("rk", row_number().over(wFin)).filter(col("rk") <= topK)
       .select(col("qid"), col("rk"), col("cid"), col("sim"))
@@ -1249,9 +1263,11 @@ object Similarity {
         val cells = adaptiveProbeCells(centroids, counts, qv, k, margin)
         (i, r.getLong(0), qv, r.getLong(2), cells, cells.map(counts(_)).sum)
       }.toSeq.toDF("qi", "qid", "qv", "eq", "probes", "scanned")
-      val cand = broadcast(probed.select(col("qi"), col("qid"), col("qv"),
-          col("eq"), explode(col("probes")).as("cell")))
-        .join(a, Seq("cell"))
+      // codes-only candidate rows through the probed join + shortlist sort
+      // (the ivfPqTopK discipline — vectors attach only to the winners)
+      val cand = broadcast(probed.select(col("qi"), col("qid"),
+          explode(col("probes")).as("cell")))
+        .join(a.select(col("cell"), col("cid"), col("codes")), Seq("cell"))
         .filter(col("cid") =!= col("qid"))
       val adc = cand
         .withColumn("d9", graft.functions.PqFunctions.adcDotE9(
@@ -1265,9 +1281,13 @@ object Similarity {
         .orderBy(col("adc_sim").desc, col("cid"))
       val short = adc.withColumn("rs", row_number().over(wShort))
         .filter(col("rs") <= shortlist)
-      val served = topN(short.withColumn("sim",
-        round(expr("floor_dot_e9(qv, cv)").cast("double") /
-          sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
+        .select("qi", "qid", "cid")
+      val served = topN(broadcast(short)
+        .join(a.select(col("cid"), col("cv"), col("ec")), "cid")
+        .join(broadcast(probed.select(col("qid"), col("qv"), col("eq"))), "qid")
+        .withColumn("sim",
+          round(expr("floor_dot_e9(qv, cv)").cast("double") /
+            sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
       val common = served.join(bruteTop, Seq("qid", "cid"))
         .groupBy("qid").agg(count(lit(1)).as("n_common"))
       probed.select(col("qid"),

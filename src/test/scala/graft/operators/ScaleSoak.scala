@@ -39,6 +39,8 @@ object ScaleSoak {
     // from host noise (slow task moved the same bytes, just slower)
     private val perStage = new java.util.concurrent.ConcurrentHashMap[
       (String, Int), java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+    private val spillPerStage =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), LongAdder]()
     private val phaseOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def setPhase(p: String): Unit = {
       if (!phaseOrder.contains(p)) phaseOrder.add(p)
@@ -57,6 +59,10 @@ object ScaleSoak {
         perStage.computeIfAbsent((phase.get, t.stageId),
           _ => new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]())
           .add((m.executorRunTime, bytes))
+        val sp = m.memoryBytesSpilled + m.diskBytesSpilled
+        if (sp > 0)
+          spillPerStage.computeIfAbsent((phase.get, t.stageId),
+            _ => new LongAdder).add(sp)
       }
     }
     def report(): Unit = {
@@ -76,10 +82,12 @@ object ScaleSoak {
             val p95 = ts(math.min((ts.length * 95) / 100, ts.length - 1))
             val slowest = all.maxBy(_._1)
             val medBytes = all.map(_._2).sorted.apply(all.length / 2)
+            val sp = Option(spillPerStage.get((p, sid))).map(_.sum).getOrElse(0L)
             println(f"[soak] $p%-14s stage $sid%3d  ${ts.length}%5d tasks  " +
               f"median ${med / 1000.0}%7.1f s  p95 ${p95 / 1000.0}%7.1f s  " +
               f"max ${ts.last / 1000.0}%7.1f s  max/median ${ts.last.toDouble / math.max(med, 1)}%5.1f x  " +
-              f"slowest-task bytes ${slowest._2 / 1e6}%8.0f MB vs median ${medBytes / 1e6}%8.0f MB")
+              f"slowest-task bytes ${slowest._2 / 1e6}%8.0f MB vs median ${medBytes / 1e6}%8.0f MB" +
+              (if (sp > 0) f"  SPILL ${sp / 1e9}%.2f GB" else ""))
           }
       }
     }
