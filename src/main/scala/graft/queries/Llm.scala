@@ -397,7 +397,11 @@ object Llm {
              |  ) WHERE rn = 1
              |),
              |u1 AS (
-             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  -- order-invariant Lloyd update: e9-grid long sum / count, the exact
+             |  -- replica of kmeansCentroids' moment accumulation (a float avg() is
+             |  -- merge-order-dependent on BOTH engines -- the r15 q377 flake)
+             |  SELECT a.cell, d.i,
+             |    CAST(sum(CAST(floor(e.v[d.i] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS x
              |  FROM a1 a JOIN embt e USING (vec_id)
              |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
              |  GROUP BY a.cell, d.i
@@ -418,7 +422,11 @@ object Llm {
              |  ) WHERE rn = 1
              |),
              |u2 AS (
-             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  -- order-invariant Lloyd update: e9-grid long sum / count, the exact
+             |  -- replica of kmeansCentroids' moment accumulation (a float avg() is
+             |  -- merge-order-dependent on BOTH engines -- the r15 q377 flake)
+             |  SELECT a.cell, d.i,
+             |    CAST(sum(CAST(floor(e.v[d.i] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS x
              |  FROM a2 a JOIN embt e USING (vec_id)
              |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
              |  GROUP BY a.cell, d.i
@@ -2183,7 +2191,11 @@ object Llm {
              |  ) WHERE rn = 1
              |),
              |u1 AS (
-             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  -- order-invariant Lloyd update: e9-grid long sum / count, the exact
+             |  -- replica of kmeansCentroids' moment accumulation (a float avg() is
+             |  -- merge-order-dependent on BOTH engines -- the r15 q377 flake)
+             |  SELECT a.cell, d.i,
+             |    CAST(sum(CAST(floor(e.v[d.i] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS x
              |  FROM a1 a JOIN emb e USING (vec_id)
              |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
              |  GROUP BY a.cell, d.i
@@ -2203,7 +2215,11 @@ object Llm {
              |  ) WHERE rn = 1
              |),
              |u2 AS (
-             |  SELECT a.cell, d.i, avg(e.v[d.i]) AS x
+             |  -- order-invariant Lloyd update: e9-grid long sum / count, the exact
+             |  -- replica of kmeansCentroids' moment accumulation (a float avg() is
+             |  -- merge-order-dependent on BOTH engines -- the r15 q377 flake)
+             |  SELECT a.cell, d.i,
+             |    CAST(sum(CAST(floor(e.v[d.i] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS x
              |  FROM a2 a JOIN emb e USING (vec_id)
              |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT len(v) FROM emb LIMIT 1))) AS i) d
              |  GROUP BY a.cell, d.i
@@ -4450,7 +4466,9 @@ object Llm {
          |  ) WHERE rn = 1
          |),
          |pu$r AS (
-         |  SELECT a.sub, a.code, d.j, avg(e.v[a.sub * $sd + d.j]) AS x
+         |  SELECT a.sub, a.code, d.j,
+         |    CAST(sum(CAST(floor(e.v[a.sub * $sd + d.j] * 1e9) AS BIGINT)) AS DOUBLE)
+         |      / 1e9 / count(*) AS x
          |  FROM pa$r a JOIN emb e USING (vec_id)
          |  CROSS JOIN (SELECT unnest(generate_series(1, $sd)) AS j) d
          |  GROUP BY 1, 2, 3

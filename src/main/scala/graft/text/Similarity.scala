@@ -143,16 +143,27 @@ object Similarity {
       // with posexplode it lands above the Generate and is re-evaluated per
       // exploded dimension row — dim x the k*dim distance work per vector
       // (soak-measured 527 s -> 9.5 s at 1 M x 64 for this exact split)
+      // ORDER-INVARIANT moments: quantize each component onto the shared e9
+      // integer grid (floor(x·1e9) as long — the repo's cross-engine idiom)
+      // and sum LONGS, so the distributed partial-merge order cannot change
+      // the result. A plain double sum is order-dependent (task completion
+      // order varies run to run and host to host), and the DuckDB oracle's
+      // avg() was equally unstable — parity held only when two independently
+      // order-unstable sums agreed by luck (the r15 q377 red). Exactness
+      // envelope: |x|≲1 ⇒ |sum| ≲ n·1e9, bit-exact as a double while the
+      // per-cell count stays below ~9e6 rows per 2^53/1e9; long overflow at
+      // ~9e9 rows per cell — both far above any trained-sample size.
       val moments = embeddings
         .select(assignU(col(vecCol)).as("cell"), col(vecCol).as("_v"))
         .select(col("cell"), posexplode(col("_v")).as(Seq("d", "x")))
         .groupBy("cell", "d")
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x").cast("double") * lit(1e9)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
       moments.foreach { r =>
         val cell = r.getInt(0); val d = r.getInt(1)
-        next(cell)(d) = r.getDouble(2) / r.getLong(3)
+        next(cell)(d) = r.getLong(2).toDouble / 1e9 / r.getLong(3)
       }
       centroids = next
       it += 1
@@ -262,6 +273,15 @@ object Similarity {
     * form) are skipped — the LSH bucket cap contract. */
   private def cellPairs(assigned: DataFrame, minSim: Double,
                         maxCellSize: Int): DataFrame = {
+    // the cap IS the memory contract: each eligible cell materializes one
+    // aggregation row of maxCellSize × dim vectors (a 4096-member dim-64
+    // cell ≈ 1 MiB; soak-validated at 4096). An unbounded caller value
+    // (e.g. 1_000_000) would silently build multi-GB single rows and OOM
+    // exactly the way the cap exists to prevent — refuse it loudly.
+    require(maxCellSize >= 2 && maxCellSize <= 8192,
+      s"maxCellSize must be in [2, 8192] (per-cell group row holds " +
+        s"maxCellSize x dim floats; 4096 is the soak-validated ceiling), " +
+        s"got $maxCellSize")
     val rawGuard = minSim - 5e-5
     val pairsUdf = udf { (members: Seq[Row]) =>
       // unbox each member ONCE (primitive Array[Float]): the quadratic
@@ -502,16 +522,34 @@ object Similarity {
     * cell-keyed train×eval join carries only (cell, vec) rows, and a real
     * deployment's eval side is benchmark-sized — a broadcast — while this
     * synthetic slice (1/evalMod of the corpus) exercises the general
-    * shuffled-by-cell path. */
+    * shuffled-by-cell path.
+    *
+    * `maxEvalPerCell` bounds the per-cell quadratic the way cellPairs'
+    * maxCellSize does — but LOUDLY (plan-time raise_error on the first
+    * offending row) instead of skipping: decontamination must never
+    * silently under-report because adversarial mass landed at one
+    * centroid, so an oversized eval cell is a refusal, not a skip. Per
+    * train row the join cost is then ≤ maxEvalPerCell cosines. The count
+    * frame is ≤ nCells rows — the eligibility join broadcasts. */
   def semanticDecontamination(embeddings: DataFrame, evalMod: Long = 23,
                               nCells: Int = 16, iters: Int = 2, minSim: Double = 0.25,
-                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              maxEvalPerCell: Int = 16384): DataFrame = {
     import graft.operators.Checkpoints.Pinnable
     val asg = cellAssignments(embeddings, nCells, iters, idCol, vecCol).pin
     val train = asg.filter(col("id") % evalMod =!= 0)
       .select(col("id"), col("cell"), col("vec"))
+    val evCounts = asg.filter(col("id") % evalMod === 0)
+      .groupBy("cell").agg(count(lit(1)).as("_evn"))
     val ev = asg.filter(col("id") % evalMod === 0)
-      .select(col("cell"), col("vec").as("e_vec"))
+      .join(broadcast(evCounts), "cell")
+      .select(col("cell"),
+        when(col("_evn") <= maxEvalPerCell, col("vec"))
+          .otherwise(raise_error(format_string(
+            s"semanticDecontamination: cell %d holds %d eval vectors > " +
+              s"maxEvalPerCell=$maxEvalPerCell — the per-cell screen would " +
+              s"go quadratic; raise nCells or maxEvalPerCell explicitly",
+            col("cell"), col("_evn")))).as("e_vec"))
     train.join(ev, Seq("cell"), "left")
       .select(col("id"), col("cell"),
         when(col("e_vec").isNotNull,
@@ -899,9 +937,10 @@ object Similarity {
     *    below the explode), then a (sub, code, dim) moment aggregate of
     *    m·k·subdim = dim·k groups, map-side combined. All m subspaces
     *    train in the same pass; nothing driver-side exceeds the m×k×subdim
-    *    codebook. Means accumulate float inputs in double — exact (hence
-    *    order-free) below ~2^29 rows per cell; a 100 TB corpus trains on a
-    *    bounded sample anyway, as every published PQ system does. */
+    *    codebook. Means accumulate on the e9 integer grid (long sums —
+    *    merge-order-free at any parallelism, bit-identical to the SQL
+    *    oracle's replica); a 100 TB corpus trains on a bounded sample
+    *    anyway, as every published PQ system does. */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                   iters: Int = 2, idCol: String = "vec_id",
                   vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
@@ -922,18 +961,21 @@ object Similarity {
       val encodeU = udf((v: Seq[Float]) => pqAssign(bc.value, v))
       // like kmeansCentroids: the encode UDF projects BELOW the explode so
       // it runs once per vector, not once per exploded (sub, dim) row
+      // same order-invariant e9-grid moment accumulation as kmeansCentroids:
+      // long sums are merge-order-free where double sums are not
       val moments = embeddings
         .select(encodeU(col(vecCol)).as("codes"), col(vecCol).as("_v"))
         .select(posexplode(col("codes")).as(Seq("sub", "code")), col("_v"))
         .select(col("sub"), col("code"),
           posexplode(expr(s"slice(_v, sub * $sd + 1, $sd)")).as(Seq("j", "x")))
         .groupBy("sub", "code", "j")
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x").cast("double") * lit(1e9)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = books.map(_.map(_.clone()))
       moments.foreach { r =>
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getDouble(3) / r.getLong(4)
+          r.getLong(3).toDouble / 1e9 / r.getLong(4)
       }
       books = next
       it += 1
