@@ -4163,7 +4163,29 @@ object Llm {
                    |  CAST(sum(CASE WHEN b.vec_id = k.keeper THEN 0 ELSE 1 END)
                    |    AS BIGINT) AS n_dropped
                    |FROM base b JOIN kp k USING (cluster)
-                   |GROUP BY 1 ORDER BY cell""".stripMargin)}""".stripMargin)))
+                   |GROUP BY 1 ORDER BY cell""".stripMargin)}""".stripMargin)),
+
+    QueryDef("q380_semdedup_approx_exact",
+      "two-level (super-quantizer) SemDeDup under the exactness law: probe == nSuper replays the flat pipeline",
+      // the corpus-scaled-k assignment path, driver-gated through its
+      // exactness law: probing every super IS the flat scan (spec-pinned
+      // bit-identity), so the full two-level machinery — super-quantizer
+      // training over the trained centroids, the probe-ranked member
+      // scan, the winning-cosine carry, and the shared capped
+      // pair/component/keeper tail — must land on the q373 oracle
+      // EXACTLY. Shallow probes (the production setting — routing is
+      // approximate, so no hash oracle can exist) are certified by the
+      // census spec + soak instead: planted-pair recall floor, probe
+      // monotonicity, and the measured sqrt(k) assignment speedup at
+      // k = 2048.
+      (s, dir) => Similarity.semDedupApprox(table(s, dir, "embeddings"),
+          nCells = 16, nSuper = 4, probe = 4, iters = 2, minSim = 0.25,
+          maxCellSize = 256)
+        .orderBy("vec_id"),
+      Some(s"""|WITH RECURSIVE $IvfLloydCtes
+              |$IvfAssignCte,
+              |${semDedupOracleBody(minSim = "0.25", cap = 256,
+                 finalSelect = semDedupRowSelect("vec_id"))}""".stripMargin)))
 
   /** One unrolled Viterbi DP + backtrace for the q356 oracle, under the
     * cost table `vocabCte` — mirrors [[graft.text.Unigram.viterbi]]

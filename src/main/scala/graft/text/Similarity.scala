@@ -239,11 +239,42 @@ object Similarity {
   def semDedup(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
                minSim: Double = 0.8, maxCellSize: Int = 256,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = cellAssignments(embeddings, nCells, iters, idCol, vecCol)
+    semDedupFrom(assigned, minSim, maxCellSize, idCol)
+  }
+
+  /** [[semDedup]] at corpus-scaled cell counts: the identical pipeline with
+    * the per-vector assignment routed through the two-level super-quantizer
+    * ([[assignWithApprox]]'s probe path) instead of the flat k-scan —
+    * O(nSuper + probe·k/nSuper) centroid cosines per vector instead of
+    * O(k), which is the real bottleneck once k tracks the corpus
+    * (corpus/1e4 cells at 1e9 vectors ⇒ k = 1e5). Routing is approximate,
+    * so there is no hash oracle; the certification is the census law
+    * (spec + soak): probe == nSuper reproduces [[semDedup]] BIT-IDENTICALLY
+    * (every super probed ⇒ flat scan), planted-duplicate recall at the
+    * documented probe stays ≥ the floor, and recall is monotone in probe.
+    * A mis-routed boundary vector can only SPLIT a duplicate group (its
+    * pair is scored in neither cell), never invent a false pair — the
+    * within-cell cosines stay exact. */
+  def semDedupApprox(embeddings: DataFrame, nCells: Int, nSuper: Int,
+                     probe: Int, iters: Int = 2, minSim: Double = 0.8,
+                     maxCellSize: Int = 256, superIters: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCells, iters, idCol, vecCol)
+    val sq = superQuantizer(centroids, nSuper, superIters)
+    val assigned = assignWithApproxSim(embeddings, centroids, sq, probe, idCol, vecCol)
+    semDedupFrom(assigned, minSim, maxCellSize, idCol)
+  }
+
+  /** The shared SemDeDup tail over an (id, vec, cell, csim) assignment:
+    * capped pair stage → components → keep-the-outlier readout. */
+  private def semDedupFrom(assigned0: DataFrame, minSim: Double,
+                           maxCellSize: Int, idCol: String): DataFrame = {
     // the assignment pass feeds the pair stage, the cluster join, and the
     // keeper readout — pin it once (localCheckpoint on local[n], reliable
     // under the conf) instead of recomputing the k×dim UDF three times
     import graft.operators.Checkpoints.Pinnable
-    val assigned = cellAssignments(embeddings, nCells, iters, idCol, vecCol).pin
+    val assigned = assigned0.pin
     val pairs = cellPairs(assigned.withColumn("is_new", lit(true)),
         minSim, maxCellSize)
       .select("doc_a", "doc_b")
@@ -425,52 +456,82 @@ object Similarity {
     val bcC = sc.broadcast(centroids)
     val bcS = sc.broadcast(sq)
     val assignUdf = udf { (v: Seq[Float]) =>
-      val va = v.toArray
-      val s = bcS.value
-      val cs = bcC.value
-      val nS = s.superCentroids.length
-      // top-`probe` supers by cosine (ties to lower index): selection scan
-      val simS = new Array[Double](nS)
-      var i = 0
-      while (i < nS) { simS(i) = cosineArrF(s.superCentroids(i), va); i += 1 }
-      val picked = new Array[Int](probe)
-      val used = new Array[Boolean](nS)
-      var p = 0
-      while (p < probe) {
-        var best = -1; var bestSim = Double.NegativeInfinity
-        var j = 0
-        while (j < nS) {
-          if (!used(j) && simS(j) > bestSim) { best = j; bestSim = simS(j) }
-          j += 1
-        }
-        used(best) = true; picked(p) = best; p += 1
-      }
-      var bestCell = Int.MaxValue
-      var bestSim = Double.NegativeInfinity
-      p = 0
-      while (p < probe) {
-        val members = s.memberOf(picked(p))
-        var m = 0
-        while (m < members.length) {
-          val c = members(m)
-          val sim = cosineArrF(cs(c), va)
-          // strictly-greater keeps the LOWEST cell index on ties only if
-          // candidates arrive in index order — they don't across supers,
-          // so break ties explicitly
-          if (sim > bestSim || (sim == bestSim && c < bestCell)) {
-            bestCell = c; bestSim = sim
-          }
-          m += 1
-        }
-        p += 1
-      }
-      // every probed super was empty (possible after a super loses all
-      // members to its neighbors): fall back to the flat exhaustive scan
-      if (bestCell == Int.MaxValue) nearestCell(cs, v) else bestCell
+      probedNearestCellSim(bcC.value, bcS.value, probe, v)._1
     }
     embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("cell", assignUdf(col("vec")))
+  }
+
+  /** [[assignWithApprox]] carrying the winning centroid cosine on the
+    * 4-decimal grid — the (id, vec, cell, csim) layout [[semDedupApprox]]'s
+    * keeper rule consumes, mirroring [[cellAssignments]] for the flat scan
+    * (the argmax already evaluates the winning cosine; a second pass would
+    * re-pay the probe work). */
+  private def assignWithApproxSim(embeddings: DataFrame,
+      centroids: Array[Array[Double]], sq: SuperQuantizer, probe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    require(probe > 0 && probe <= sq.superCentroids.length,
+      s"need 0 < probe <= nSuper (got $probe of ${sq.superCentroids.length})")
+    val sc = embeddings.sparkSession.sparkContext
+    val bcC = sc.broadcast(centroids)
+    val bcS = sc.broadcast(sq)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      probedNearestCellSim(bcC.value, bcS.value, probe, v)
+    }
+    embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("a", assignUdf(col("vec")))
+      .select(col("id"), col("vec"), col("a._1").as("cell"),
+        round(col("a._2"), 4).as("csim"))
+  }
+
+  /** The two-level probe scan shared by [[assignWithApprox]] and
+    * [[assignWithApproxSim]]: top-`probe` supers by cosine, argmax over
+    * those supers' member centroids. Returns (cell, cosine). */
+  private def probedNearestCellSim(cs: Array[Array[Double]],
+      s: SuperQuantizer, probe: Int, v: Seq[Float]): (Int, Double) = {
+    val va = v.toArray
+    val nS = s.superCentroids.length
+    // top-`probe` supers by cosine (ties to lower index): selection scan
+    val simS = new Array[Double](nS)
+    var i = 0
+    while (i < nS) { simS(i) = cosineArrF(s.superCentroids(i), va); i += 1 }
+    val picked = new Array[Int](probe)
+    val used = new Array[Boolean](nS)
+    var p = 0
+    while (p < probe) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < nS) {
+        if (!used(j) && simS(j) > bestSim) { best = j; bestSim = simS(j) }
+        j += 1
+      }
+      used(best) = true; picked(p) = best; p += 1
+    }
+    var bestCell = Int.MaxValue
+    var bestSim = Double.NegativeInfinity
+    p = 0
+    while (p < probe) {
+      val members = s.memberOf(picked(p))
+      var m = 0
+      while (m < members.length) {
+        val c = members(m)
+        val sim = cosineArrF(cs(c), va)
+        // strictly-greater keeps the LOWEST cell index on ties only if
+        // candidates arrive in index order — they don't across supers,
+        // so break ties explicitly
+        if (sim > bestSim || (sim == bestSim && c < bestCell)) {
+          bestCell = c; bestSim = sim
+        }
+        m += 1
+      }
+      p += 1
+    }
+    // every probed super was empty (possible after a super loses all
+    // members to its neighbors): fall back to the flat exhaustive scan
+    if (bestCell == Int.MaxValue) nearestCellSim(cs, v)
+    else (bestCell, bestSim)
   }
 
   /** Incremental SemDeDup — the daily-batch deployment shape (the q364

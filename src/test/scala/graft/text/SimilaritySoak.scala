@@ -236,6 +236,51 @@ object SimilaritySoak {
       sd.unpersist()
     }
     locally {
+      // semDedupApprox end to end at corpus-scaled k: the flat pipeline's
+      // assignment is O(k) per vector — at k=2048 it dominates the whole
+      // dedup — while the two-level route costs O(nSuper + probe·k/nSuper).
+      // Both runs train IDENTICAL centroids (order-invariant e9 moments),
+      // so the delta is routing only. The census law: a planted pair (1e-3
+      // perturbation) computes near-identical cosines everywhere, so BOTH
+      // members take the same route — pair recall survives approx routing
+      // even where per-vector flat-agreement degrades (the uniform-corpus
+      // negative control in the two-level phase below).
+      def plantedRecall(sd: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val planted = sd.filter(col("vec_id") % 10 < 2)
+          .select((col("vec_id") - pmod(col("vec_id"), lit(2))).as("pair"),
+            col("cluster"))
+          .groupBy("pair")
+          .agg(countDistinct("cluster").as("nc"), count(lit(1)).as("m"))
+        (planted.filter(col("m") === 2 && col("nc") === 1).count(),
+          planted.count())
+      }
+      var flatRec = (0L, 0L)
+      time("semDedup FLAT at k=2048 (assignment-bound regime)") {
+        val sd = Similarity.semDedup(vecs, nCells = 2048, iters = 1,
+            minSim = 0.99, maxCellSize = 4096)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sd.count(); flatRec = plantedRecall(sd)
+        println(s"[soak]   -> flat k=2048 planted recall ${flatRec._1}/${flatRec._2}")
+        sd.unpersist()
+      }
+      time("semDedupApprox at k=2048 (64-super, probe=4) end to end") {
+        val sd = Similarity.semDedupApprox(vecs, nCells = 2048, nSuper = 64,
+            probe = 4, iters = 1, minSim = 0.99, maxCellSize = 4096)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sd.count()
+        val (paired, total) = plantedRecall(sd)
+        val badKeepers = sd.groupBy("cluster")
+          .agg(sum(when(col("is_keeper"), 1L).otherwise(0L)).as("k"))
+          .filter(col("k") =!= 1L).count()
+        println(s"[soak]   -> approx planted recall $paired/$total " +
+          s"(flat ${flatRec._1}/${flatRec._2}); keeper violations $badKeepers")
+        assert(badKeepers == 0L, "keeper law violated under approx routing")
+        assert(paired * 100L >= total * 85L,
+          s"approx planted recall under the 85% floor: $paired/$total")
+        sd.unpersist()
+      }
+    }
+    locally {
       // incremental SemDeDup: per-batch cost must track the corpus mass in
       // TOUCHED cells, not the corpus. Corpus = 99.9% at rest (assignment
       // paid once at ingest), batch = id%1000==0 (0.1%); every planted

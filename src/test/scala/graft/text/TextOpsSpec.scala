@@ -1289,6 +1289,47 @@ class TextOpsSpec extends AnyFunSuite {
       s"false contamination: ${out.filter(kv => kv._1 != 7L && kv._2._3)}")
   }
 
+  test("semDedupApprox: probe==nSuper reproduces semDedup bit-identically; " +
+      "planted recall holds at shallow probes") {
+    // 260 independent gaussians + 40 planted near-dups (1e-3 relative
+    // perturbation of base j => cosine ~1) — the SimilaritySoak planting
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 260).map(i => (i.toLong, vec(i + 7000)))
+    val dups = (0 until 40).map { j =>
+      val v = vec(j + 7000)
+      (1000L + j, v.map(x => x * (1 + 1e-3f)))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val cl = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      (0 until 40).count(j => cl(j.toLong) == cl(1000L + j)) / 40.0
+    }
+    val flat = Similarity.semDedup(emb, nCells = 24, iters = 2, minSim = 0.99)
+    val flatRows = rows(flat)
+    assert(recall(flat) == 1.0, "flat scan must recover every planted pair")
+    // exactness law END TO END: probing every super IS the flat scan, so
+    // the whole pipeline output (clusters, keepers, csims) is identical
+    val exhaustive = Similarity.semDedupApprox(emb, nCells = 24, nSuper = 6,
+      probe = 6, iters = 2, minSim = 0.99)
+    assert(rows(exhaustive) == flatRows,
+      "probe == nSuper must reproduce the flat pipeline bit-identically")
+    // shallow probes: a mis-routed boundary vector can only SPLIT a planted
+    // pair (never invent one) — recall floor 0.9 at probe=2, and the
+    // deeper probe does at least as well (fixed seeds: a frozen fact)
+    val r2 = recall(Similarity.semDedupApprox(emb, nCells = 24, nSuper = 6,
+      probe = 2, iters = 2, minSim = 0.99))
+    val r4 = recall(Similarity.semDedupApprox(emb, nCells = 24, nSuper = 6,
+      probe = 4, iters = 2, minSim = 0.99))
+    assert(r2 >= 0.9, s"probe=2 planted recall collapsed: $r2")
+    assert(r4 >= r2, s"recall not improving with probe depth: $r2 -> $r4")
+  }
+
   test("semanticDecontamination refuses an oversized eval cell LOUDLY") {
     // the guard is a refusal, not a skip: decontamination must never
     // silently under-report because mass piled up at one centroid
