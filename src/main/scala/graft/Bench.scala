@@ -175,7 +175,8 @@ object Bench {
     "q373_semdedup", "q374_cluster_balanced_sample",
     "q375_semantic_decontamination", "q376_incremental_semdedup",
     "q377_streaming_semdedup_pairs", "q378_semdedup_documents",
-    "q379_semdedup_yield", "q380_semdedup_approx_exact")
+    "q379_semdedup_yield", "q380_semdedup_approx_exact",
+    "q381_incremental_semdedup_stored")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

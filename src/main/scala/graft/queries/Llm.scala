@@ -4105,6 +4105,50 @@ object Llm {
               |SELECT doc_a, doc_b, sim FROM pr WHERE sim >= 0.25
               |ORDER BY sim DESC, doc_a, doc_b""".stripMargin)),
 
+    QueryDef("q381_incremental_semdedup_stored",
+      "incremental SemDeDup against an ivfWrite'd corpus at rest: cell is " +
+        "a partition column, so the touched-cell screen prunes the read " +
+        "(q376's oracle verbatim)",
+      // q367's deployment shape in embedding space: the corpus assignment
+      // is parquet-written ONCE via ivfWrite (cell = partition column) and
+      // read back for every future batch, so per-batch cost drops the
+      // corpus assignment pass AND the touched-cell semi-join becomes
+      // partition pruning over the store's directory layout. The float
+      // vectors round-trip parquet bit-exactly and
+      // semDedupIncrementalPairs selects by name, so stored == derived by
+      // construction and q376's oracle certifies it unchanged.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        val newBatch = emb.filter(col("vec_id") % 4 === 0)
+        val centroids = Similarity.kmeansCentroids(corpus, k = 16, iters = 2)
+        // recursive-delete shutdown hook (the q367 lesson): deleteOnExit
+        // can't remove a non-empty directory and would leak the store
+        val store = java.nio.file.Files.createTempDirectory("q381_ivf")
+        graft.streaming.StreamingOps.deleteOnExit(store)
+        Similarity.ivfWrite(Similarity.assignWith(corpus, centroids),
+          store.toString)
+        Similarity.semDedupIncrementalPairs(
+            s.read.parquet(store.toString),
+            Similarity.assignWith(newBatch, centroids),
+            minSim = 0.25, maxCellSize = 256)
+          .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
+      },
+      Some(s"""|WITH ${ivfLloydCtes("WHERE vec_id % 4 <> 0")}
+              |$IvfAssignCte,
+              |csz AS (SELECT cell, count(*) AS c FROM af GROUP BY 1),
+              |pr AS (
+              |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              |    round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+              |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  JOIN csz ON csz.cell = a.cell AND csz.c BETWEEN 2 AND 256
+              |  JOIN emb ea ON ea.vec_id = a.vec_id
+              |  JOIN emb eb ON eb.vec_id = b.vec_id
+              |  WHERE a.vec_id % 4 = 0 OR b.vec_id % 4 = 0
+              |)
+              |SELECT doc_a, doc_b, sim FROM pr WHERE sim >= 0.25
+              |ORDER BY sim DESC, doc_a, doc_b""".stripMargin)),
+
     QueryDef("q378_semdedup_documents",
       "text-side SemDeDup: documents -> hashed bag-of-words embeddings -> semantic dedup, no embeddings table",
       // the full composition a text corpus without learned embeddings
