@@ -4149,6 +4149,37 @@ object Llm {
               |SELECT doc_a, doc_b, sim FROM pr WHERE sim >= 0.25
               |ORDER BY sim DESC, doc_a, doc_b""".stripMargin)),
 
+    QueryDef("q382_semdedup_sampled_train",
+      "SemDeDup with the quantizer trained on a deterministic hash sample " +
+        "of the corpus — training cost decoupled from corpus size",
+      // the production training shape: at 100 TB nobody Lloyd-trains on
+      // the full corpus per dedup run (the k=2048 soak measured the
+      // training pass at ~8 s of a 25 s dedup — and it scales with
+      // corpus × k). Here the quantizer trains on the 25% 'kmtrain'-salted
+      // md5 sample (integer-threshold selection, the q59 idiom — engines
+      // can't disagree at the boundary) and the FULL corpus assigns
+      // against the frozen table (semDedupWith). The oracle replays the
+      // sampled train via ivfLloydCtes(trainWhere) — seeds AND both
+      // update rounds restricted to the sample — then assigns everyone
+      // and runs the q373 body verbatim.
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val thr = graft.text.Curation.rateThreshold(0.25)
+        val train = emb.filter(
+          graft.text.Curation.sampleHash(col("vec_id"), "kmtrain") < lit(thr))
+        val centroids = Similarity.kmeansCentroids(train, k = 16, iters = 2)
+        Similarity.semDedupWith(emb, centroids, minSim = 0.25, maxCellSize = 256)
+          .orderBy("vec_id")
+      },
+      Some {
+        val thr = graft.text.Curation.rateThreshold(0.25)
+        val pred = s"WHERE ${Similarity.fixedCountHashSql("kmtrain", "vec_id")} < $thr"
+        s"""|WITH RECURSIVE ${ivfLloydCtes(trainWhere = pred)}
+            |$IvfAssignCte,
+            |${semDedupOracleBody(minSim = "0.25", cap = 256,
+               finalSelect = semDedupRowSelect("vec_id"))}""".stripMargin
+      }),
+
     QueryDef("q378_semdedup_documents",
       "text-side SemDeDup: documents -> hashed bag-of-words embeddings -> semantic dedup, no embeddings table",
       // the full composition a text corpus without learned embeddings

@@ -198,6 +198,15 @@ object Similarity {
   def cellAssignments(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters, idCol, vecCol)
+    cellAssignmentsWith(embeddings, centroids, idCol, vecCol)
+  }
+
+  /** [[cellAssignments]] against a FROZEN centroid table — the flat-scan
+    * sibling of [[assignWithApproxSim]]'s layout, public so deployments
+    * that train the quantizer once (or on a bounded sample — see
+    * [[semDedupWith]]) assign any number of corpora against it. */
+  def cellAssignmentsWith(embeddings: DataFrame, centroids: Array[Array[Double]],
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) => nearestCellSim(bc.value, v) }
     embeddings
@@ -261,10 +270,41 @@ object Similarity {
                      maxCellSize: Int = 256, superIters: Int = 4,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters, idCol, vecCol)
-    val sq = superQuantizer(centroids, nSuper, superIters)
-    val assigned = assignWithApproxSim(embeddings, centroids, sq, probe, idCol, vecCol)
-    semDedupFrom(assigned, minSim, maxCellSize, idCol)
+    semDedupApproxWith(embeddings, centroids,
+      superQuantizer(centroids, nSuper, superIters), probe,
+      minSim, maxCellSize, idCol, vecCol)
   }
+
+  /** [[semDedupApprox]] against FROZEN centroids + super-quantizer — the
+    * full production shape composed: train once on a bounded sample
+    * ([[semDedupWith]]'s contract), super-quantize the frozen table, and
+    * run every dedup pass through the probe-path assignment. Both flat
+    * O(corpus·k) passes (per-run training, per-run serving scan) are gone;
+    * per-vector cost is O(nSuper + probe·k/nSuper) and per-run driver cost
+    * is zero training jobs. */
+  def semDedupApproxWith(embeddings: DataFrame, centroids: Array[Array[Double]],
+                         sq: SuperQuantizer, probe: Int,
+                         minSim: Double = 0.8, maxCellSize: Int = 256,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semDedupFrom(assignWithApproxSim(embeddings, centroids, sq, probe, idCol, vecCol),
+      minSim, maxCellSize, idCol)
+
+  /** [[semDedup]] against a FROZEN centroid table: the production shape —
+    * at 100 TB nobody trains the quantizer on the full corpus per dedup
+    * run; it trains ONCE (typically on a bounded deterministic sample —
+    * `embeddings.filter(Curation.sampleHash(col(id), salt) < thr)` keeps
+    * selection integer-exact and SQL-replayable) and every pass assigns
+    * against the frozen table. Trained-on-everything centroids make this
+    * IDENTICAL to [[semDedup]] (spec-pinned identity law); a sampled
+    * train changes only WHICH cells exist, never the within-cell exact
+    * cosines, so planted near-dups still co-route (soak + spec). The
+    * k=2048 soak measured the flat per-run training pass at ~8 s of a
+    * 25 s dedup — this is the knob that removes it. */
+  def semDedupWith(embeddings: DataFrame, centroids: Array[Array[Double]],
+                   minSim: Double = 0.8, maxCellSize: Int = 256,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semDedupFrom(cellAssignmentsWith(embeddings, centroids, idCol, vecCol),
+      minSim, maxCellSize, idCol)
 
   /** The shared SemDeDup tail over an (id, vec, cell, csim) assignment:
     * capped pair stage → components → keep-the-outlier readout. */

@@ -263,6 +263,31 @@ object SimilaritySoak {
         println(s"[soak]   -> flat k=2048 planted recall ${flatRec._1}/${flatRec._2}")
         sd.unpersist()
       }
+      time("semDedup PRODUCTION shape at k=2048: 10% sampled train + two-level assign") {
+        // what a 100 TB deployment actually runs: the quantizer trains on
+        // a bounded deterministic sample (training cost decoupled from
+        // corpus size), the super-quantizer compresses the frozen table,
+        // and the corpus assigns through the probe path — the two flat
+        // O(corpus·k) passes (per-run train assign + serve assign) both
+        // collapse. Recall law: a planted pair's members compute
+        // near-identical cosines to every centroid, so they co-route
+        // under ANY quantizer this pipeline freezes.
+        val thr = graft.text.Curation.rateThreshold(0.10)
+        val train = vecs.filter(
+          graft.text.Curation.sampleHash(col("vec_id"), "soaktrain") < lit(thr))
+        val cents = Similarity.kmeansCentroids(train, k = 2048, iters = 1)
+        val sq = Similarity.superQuantizer(cents, nSuper = 64)
+        val prod = Similarity.semDedupApproxWith(vecs, cents, sq, probe = 4,
+            minSim = 0.99, maxCellSize = 4096)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prod.count()
+        val (paired, total) = plantedRecall(prod)
+        println(s"[soak]   -> sampled-train+probe planted recall $paired/$total " +
+          s"(flat full-train ${flatRec._1}/${flatRec._2})")
+        assert(paired * 100L >= total * 85L,
+          s"production-shape planted recall under the 85% floor: $paired/$total")
+        prod.unpersist()
+      }
       time("semDedupApprox at k=2048 (64-super, probe=4) end to end") {
         val sd = Similarity.semDedupApprox(vecs, nCells = 2048, nSuper = 64,
             probe = 4, iters = 1, minSim = 0.99, maxCellSize = 4096)

@@ -1330,6 +1330,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r4 >= r2, s"recall not improving with probe depth: $r2 -> $r4")
   }
 
+  test("semDedupWith: full-train centroids reproduce semDedup; a sampled " +
+      "train still recovers planted dups") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 200).map(i => (i.toLong, vec(i + 8000)))
+    val dups = (0 until 30).map { j =>
+      val v = vec(j + 8000)
+      (1000L + j, v.map(x => x * (1 + 1e-3f)))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    // identity law: training on everything and freezing IS semDedup
+    val flat = rows(Similarity.semDedup(emb, nCells = 16, iters = 2, minSim = 0.99))
+    val frozen = rows(Similarity.semDedupWith(emb,
+      Similarity.kmeansCentroids(emb, k = 16, iters = 2), minSim = 0.99))
+    assert(frozen == flat, "frozen full-train centroids must equal semDedup")
+    // sampled train: cells differ, but a planted pair's two members still
+    // compute near-identical cosines to EVERY centroid — they co-route
+    val thr = Curation.rateThreshold(0.25)
+    val train = emb.filter(Curation.sampleHash(col("vec_id"), "spectrain") < lit(thr))
+    assert(train.count() >= 16, "sample must cover the seed count")
+    val sampled = Similarity.semDedupWith(emb,
+        Similarity.kmeansCentroids(train, k = 16, iters = 2), minSim = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val recovered = (0 until 30).count(j => sampled(j.toLong) == sampled(1000L + j))
+    assert(recovered >= 27, s"sampled-train planted recall collapsed: $recovered/30")
+  }
+
   test("semanticDecontamination refuses an oversized eval cell LOUDLY") {
     // the guard is a refusal, not a skip: decontamination must never
     // silently under-report because mass piled up at one centroid
