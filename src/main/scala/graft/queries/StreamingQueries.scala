@@ -1421,7 +1421,23 @@ ORDER BY event_type, win"""
       // quantizer (full-corpus Lloyd replica + af assignment), ranks each
       // cell's members by (batch, vec_id), and keeps pairs whose later
       // member ranks <= cap.
-      q377Build, Some(q377Oracle)))
+      q377Build, Some(q377Oracle)),
+
+    QueryDef("q383_streaming_semdedup_approx",
+      "streaming SemDeDup candidates through the two-level quantizer probe " +
+        "at probe == nSuper: the exactness law makes q377's rank oracle " +
+        "certify the probe path inside a live micro-batch pipeline",
+      // q380's streaming twin, completing the family symmetry (batch
+      // flat/approx, incremental derived/stored, sampled train, streaming
+      // flat/approx): the frozen centroids AND the super-quantizer
+      // broadcast into the stream; each arriving vector routes through
+      // the probe scan. At probe == nSuper the routed cell equals the
+      // flat scan bit-for-bit (the spec-pinned law), so the stored-member
+      // pair emission and the rank oracle are q377's verbatim — which is
+      // exactly what makes the approx machinery HASH-certifiable through
+      // a streaming run (shallow probes stay census-certified: the
+      // routing is approximate, so no oracle can replay it).
+      q383Build, Some(q377Oracle)))
 
   /** q258: q255's streaming twin — the per-(feature, bin, half) counts are
     * commutative sums, so the last update per cell (max total; counts are
@@ -2092,6 +2108,46 @@ ORDER BY event_type, win"""
         outputMode = OutputMode.Append)
     }
     // exact scoring attaches batch-side to the streamed candidate set
+    val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emits.select(col("doc_a"), col("doc_b"))
+      .join(vecs.select(col("vec_id").as("doc_a"),
+        col("embedding").as("va")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"),
+        col("embedding").as("vb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(Similarity.cosineCol(col("va"), col("vb")), 4).as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q383: q377's build with the stream-side assignment routed through the
+    * two-level probe at probe == nSuper (exhaustive — bit-identical cells,
+    * so the emitted pair set and q377's oracle apply verbatim). */
+  private def q383Build(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.text.Similarity
+    val stage = java.nio.file.Files.createTempDirectory("q383_stage")
+    StreamingOps.deleteOnExit(stage)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+    val sq = Similarity.superQuantizer(centroids, nSuper = 4)
+    val now = System.currentTimeMillis()
+    for (i <- 0 until 3)
+      StreamingOps.stageFileAs(emb.filter(pmod(col("vec_id"), lit(3)) === i),
+        stage, s"emb_$i.parquet", now - (3 - i) * 60000L)
+    import s.implicits._
+    val emits = StreamingOps.withRocksDbState(s) {
+      StreamingOps.runToMemoryOrdered(s, stage.toString,
+        s"q383_sink_${sinkId.incrementAndGet()}",
+        df => StreamingOps.runningNearDupPairs(
+          Similarity.assignWithApprox(df, centroids, sq, probe = 4)
+            .select(lit(0).as("band_idx"),
+              col("cell").cast("string").as("bucket"),
+              col("id").as("doc_id"),
+              (pmod(col("id"), lit(3)) * 1000000000000L + col("id")).as("seq"))
+            .as[StreamingOps.PairEvent]).toDF(),
+        outputMode = OutputMode.Append)
+    }
     val vecs = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     emits.select(col("doc_a"), col("doc_b"))
