@@ -689,6 +689,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(probed.count() == expected)
   }
 
+  test("stored incremental semDedup: the touched-cell screen prunes the " +
+      "ivfWrite'd store read") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 4 =!= 0)
+    val batch = emb.filter($"vec_id" % 4 === 0).limit(5)
+    val centroids = Similarity.kmeansCentroids(corpus, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("sem_rest").toString
+    graft.streaming.StreamingOps.deleteOnExit(java.nio.file.Paths.get(dir))
+    Similarity.ivfWrite(Similarity.assignWith(corpus, centroids), dir)
+    val pr = Similarity.semDedupIncrementalPairs(
+      spark.read.parquet(dir),
+      Similarity.assignWith(batch, centroids), minSim = 0.25, maxCellSize = 256)
+    pr.collect()
+    val scans = pr.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val storeScan = scans.find(s => s.contains(dir) || s.contains("sem_rest"))
+      .getOrElse(fail(s"no store scan found among:\n${scans.mkString("\n")}"))
+    assert(storeScan.toLowerCase.contains("dynamicpruning"),
+      s"the touched-cell screen must prune the store's cell partitions:\n$storeScan")
+  }
+
   test("multimodal plumbing: schema, stub features deterministic, frame sampling") {
     import graft.multimodal.Multimodal
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
