@@ -3693,6 +3693,88 @@ object Advanced {
              |FROM scored WHERE inter * 5 >= size_a * 4
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    QueryDef("q384_containment_join_sparse",
+      "containment join, sparse architecture: ids-only inverted index, " +
+        "shingle arrays attach to DISTINCT candidates (q237's oracle verbatim)",
+      // q237's scale path, the q366 lesson applied to containment: the
+      // dense form explodes the FULL 4-gram array per index entry, so the
+      // word-keyed join moves Σ|ws|² bytes per doc on the index side (and
+      // 0.2·Σ|ws|² on the prefix side) — quadratic in shingle-set size,
+      // exactly the payload-through-the-shuffle shape the sparse LSH
+      // rewrite eliminated (569→152 MB/task at 20 M docs). Here both join
+      // legs carry (doc_id, w) ONLY; the arrays attach ONCE per DISTINCT
+      // candidate pair by two doc_id-keyed joins against the bounded
+      // sorted frame. Result-identical by construction — the same
+      // candidate set survives the lossless rare-prefix contract — so
+      // q237's naive-pair oracle certifies this plan unchanged.
+      (s, dir) => {
+        import graft.operators.Checkpoints.Pinnable
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), w -> length(w) > 0)").as("w0"))
+          .filter(size(col("w0")) >= 4)
+          .select(col("doc_id"), expr("""array_distinct(
+            transform(sequence(1, size(w0) - 3), i ->
+              concat(element_at(w0, i), ' ', element_at(w0, i + 1), ' ',
+                element_at(w0, i + 2), ' ', element_at(w0, i + 3))))""").as("ws"))
+          .pin
+        val df = words.select(col("doc_id"), explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("dfc"))
+        val sorted = words.select(col("doc_id"), explode(col("ws")).as("w"))
+          .join(df, "w")
+          .groupBy("doc_id")
+          .agg(expr("transform(array_sort(collect_list(struct(dfc, w))), p -> p.w)")
+            .as("ws_sorted"))
+          .withColumn("sz", size(col("ws_sorted")).cast("long"))
+          .pin
+        // ids-only legs: no array rides the word-keyed shuffle
+        val prefix = sorted.select(col("doc_id").as("doc_a"),
+          explode(expr("slice(ws_sorted, 1, CAST(CAST(sz AS DOUBLE) * 0.2 AS INT) + 1)"))
+            .as("w"))
+        val index = sorted.select(col("doc_id").as("doc_b"),
+          explode(col("ws_sorted")).as("w"))
+        val cand = prefix.join(index, "w")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(sorted.select(col("doc_id").as("doc_a"),
+            col("ws_sorted").as("wa"), col("sz").as("size_a")), "doc_a")
+          .join(sorted.select(col("doc_id").as("doc_b"),
+            col("ws_sorted").as("wb")), "doc_b")
+          .withColumn("inter", expr("CAST(size(array_intersect(wa, wb)) AS BIGINT)"))
+          .filter(expr("inter * 5 >= size_a * 4"))
+          .select(col("doc_a"), col("doc_b"), col("size_a"), col("inter"),
+            expr("round(CAST(inter AS DOUBLE) / size_a, 6)").as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""|WITH w0 AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w0
+             |  FROM documents
+             |), w AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(generate_series(1, len(w0) - 3),
+             |      i -> w0[i] || ' ' || w0[i+1] || ' ' || w0[i+2] || ' '
+             |        || w0[i+3])) AS ws
+             |  FROM w0 WHERE len(w0) >= 4
+             |), x AS MATERIALIZED (
+             |  SELECT doc_id, unnest(ws) AS w FROM w
+             |), pairs AS MATERIALIZED (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM x a JOIN x b ON a.w = b.w AND a.doc_id <> b.doc_id
+             |), scored AS (
+             |  SELECT p.doc_a, p.doc_b,
+             |    CAST(len(wa.ws) AS BIGINT) AS size_a,
+             |    CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT) AS inter
+             |  FROM pairs p
+             |  JOIN w wa ON wa.doc_id = p.doc_a
+             |  JOIN w wb ON wb.doc_id = p.doc_b
+             |)
+             |SELECT doc_a, doc_b, size_a, inter,
+             |  round(CAST(inter AS DOUBLE) / size_a, 6) AS containment
+             |FROM scored WHERE inter * 5 >= size_a * 4
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     QueryDef("q238_aqp_sample_estimate",
       "approximate query processing audit: Horvitz-Thompson estimates from a deterministic 1-in-4 sample vs truth",
       // the sampled-dashboard contract, made auditable: a fixed md5 grid
