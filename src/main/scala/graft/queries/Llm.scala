@@ -521,19 +521,20 @@ object Llm {
     * the (score DESC, cid ASC) argmax per query. */
   private def mmrRoundSql(t: Int): String =
     s"""rem$t AS (
-       |  SELECT r.qid, r.cid, r.sim FROM rel r
+       |  SELECT r.qid, r.cid, r.sim_e6 FROM rel r
        |  LEFT JOIN sel${t - 1} s ON s.qid = r.qid AND s.cid = r.cid
        |  WHERE s.cid IS NULL
        |), ms$t AS (
-       |  SELECT p.qid, p.ca, max(p.ps) AS maxsim
+       |  SELECT p.qid, p.ca, max(p.ps_e6) AS maxsim_e6
        |  FROM psim p JOIN sel${t - 1} s ON s.qid = p.qid AND s.cid = p.cb
        |  GROUP BY 1, 2
        |), s$t AS (
-       |  SELECT qid, cid, sim, score FROM (
-       |    SELECT m.qid, m.cid, m.sim,
-       |      round(m.sim * 2.0 - ms$t.maxsim, 6) AS score,
+       |  -- the 2*rel - maxsim marginal is pure e6-grid integer arithmetic
+       |  SELECT qid, cid, sim_e6, score_e6 FROM (
+       |    SELECT m.qid, m.cid, m.sim_e6,
+       |      m.sim_e6 * 2 - ms$t.maxsim_e6 AS score_e6,
        |      row_number() OVER (PARTITION BY m.qid
-       |        ORDER BY round(m.sim * 2.0 - ms$t.maxsim, 6) DESC, m.cid)
+       |        ORDER BY m.sim_e6 * 2 - ms$t.maxsim_e6 DESC, m.cid)
        |        AS r
        |    FROM rem$t m
        |    JOIN ms$t ON ms$t.qid = m.qid AND ms$t.ca = m.cid
@@ -3424,16 +3425,25 @@ object Llm {
         val qs = base.filter(col("cid") % 50 === 0)
           .select(col("cid").as("qid"), col("cv").as("qv"),
             col("ec").as("eq"))
+        // every sim/score lives on an EXACT e6 integer grid: the doubles
+        // feeding floor() are identical IEEE op chains on both engines, so
+        // the long is engine-exact — where a round(x, 6) diverges at
+        // half-boundaries (Spark rounds the exact BigDecimal of the
+        // double; DuckDB rounds x·1e6 computed IN double — one ULP apart
+        // at a .5, caught by the first full-registry sf0.001 sweep). The
+        // emitted sim/score are the longs divided once by 1e6 (the same
+        // single IEEE division on both engines).
         val wq = Window.partitionBy("qid")
-          .orderBy(col("sim").desc, col("cid"))
+          .orderBy(col("sim_e6").desc, col("cid"))
         val cand = broadcast(qs).crossJoin(base)
           .filter(col("cid") =!= col("qid"))
-          .withColumn("sim",
-            round(expr("floor_dot_e9(qv, cv)").cast("double") /
-              sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+          .withColumn("sim_e6",
+            floor(expr("floor_dot_e9(qv, cv)").cast("double") /
+              sqrt(col("eq").cast("double") * col("ec").cast("double"))
+              * lit(1e6)).cast("long"))
           .withColumn("rk0", row_number().over(wq))
           .filter(col("rk0") <= 12)
-          .select(col("qid"), col("cid"), col("cv"), col("ec"), col("sim"))
+          .select(col("qid"), col("cid"), col("cv"), col("ec"), col("sim_e6"))
           .pin
         val p1 = cand.select(col("qid"), col("cid").as("ca"),
           col("cv").as("va"), col("ec").as("ea"))
@@ -3442,19 +3452,19 @@ object Llm {
         val psim = p1.join(p2,
             col("qid") === col("q2") && col("ca") =!= col("cb"))
           .select(col("qid"), col("ca"), col("cb"),
-            round(expr("floor_dot_e9(va, vb)").cast("double") /
-              sqrt(col("ea").cast("double") * col("eb").cast("double")), 6)
-              .as("ps"))
+            floor(expr("floor_dot_e9(va, vb)").cast("double") /
+              sqrt(col("ea").cast("double") * col("eb").cast("double"))
+              * lit(1e6)).cast("long").as("ps_e6"))
           .pin
-        val rel = cand.select("qid", "cid", "sim").pin
+        val rel = cand.select("qid", "cid", "sim_e6").pin
         val wPick = Window.partitionBy("qid")
-          .orderBy(col("score").desc, col("cid"))
+          .orderBy(col("score_e6").desc, col("cid"))
         var all = rel
-          .withColumn("score", round(col("sim") * 2.0, 6))
+          .withColumn("score_e6", col("sim_e6") * 2L)
           .withColumn("r", row_number().over(wPick))
           .filter(col("r") === 1)
-          .select(col("qid"), col("cid"), lit(1L).as("rk"), col("sim"),
-            col("score"))
+          .select(col("qid"), col("cid"), lit(1L).as("rk"), col("sim_e6"),
+            col("score_e6"))
         for (t <- 2 to 4) {
           val remaining = rel.join(
             all.select(col("qid").as("q3"), col("cid").as("c3")),
@@ -3464,20 +3474,24 @@ object Llm {
               all.select(col("qid").as("q4"), col("cid").as("cbs")),
               psim("qid") === col("q4") && psim("cb") === col("cbs"))
             .groupBy(psim("qid").as("qid5"), col("ca"))
-            .agg(max("ps").as("maxsim"))
+            .agg(max("ps_e6").as("maxsim_e6"))
           val pick = remaining.join(msel,
               remaining("qid") === col("qid5") &&
                 remaining("cid") === col("ca"))
             .select(remaining("qid"), remaining("cid"),
-              remaining("sim"),
-              round(col("sim") * 2.0 - col("maxsim"), 6).as("score"))
+              remaining("sim_e6"),
+              (col("sim_e6") * 2L - col("maxsim_e6")).as("score_e6"))
             .withColumn("r", row_number().over(wPick))
             .filter(col("r") === 1)
             .select(col("qid"), col("cid"), lit(t.toLong).as("rk"),
-              col("sim"), col("score"))
+              col("sim_e6"), col("score_e6"))
           all = all.unionByName(pick).pin
         }
-        all.orderBy("qid", "rk")
+        all
+          .select(col("qid"), col("cid"), col("rk"),
+            (col("sim_e6").cast("double") / lit(1e6)).as("sim"),
+            (col("score_e6").cast("double") / lit(1e6)).as("score"))
+          .orderBy("qid", "rk")
       },
       Some(s"""|WITH emb AS (
               |  SELECT vec_id,
@@ -3492,48 +3506,56 @@ object Llm {
               |  SELECT cid AS qid, v AS qv, e2 AS eq
               |  FROM base WHERE cid % 50 = 0
               |), cand AS (
-              |  SELECT qid, cid, v, e2, sim FROM (
+              |  -- sims on the EXACT e6 integer grid (floor of an identical
+              |  -- IEEE double chain on both engines) -- round(x, 6) is
+              |  -- engine-divergent at half-boundaries
+              |  SELECT qid, cid, v, e2, sim_e6 FROM (
               |    SELECT q.qid, b.cid, b.v, b.e2,
-              |      round(CAST(CAST(list_sum(list_transform(
+              |      CAST(floor(CAST(CAST(list_sum(list_transform(
               |        generate_series(1, 64),
               |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |        AS BIGINT) AS DOUBLE)
-              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |        6) AS sim,
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))
+              |        * 1e6) AS BIGINT) AS sim_e6,
               |      row_number() OVER (PARTITION BY q.qid ORDER BY
-              |        round(CAST(CAST(list_sum(list_transform(
+              |        CAST(floor(CAST(CAST(list_sum(list_transform(
               |          generate_series(1, 64),
               |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |          AS BIGINT) AS DOUBLE)
-              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |          6) DESC, b.cid) AS rk0
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))
+              |          * 1e6) AS BIGINT) DESC, b.cid) AS rk0
               |    FROM qs q CROSS JOIN base b
               |    WHERE b.cid <> q.qid
               |  ) WHERE rk0 <= 12
-              |), rel AS (SELECT qid, cid, sim FROM cand),
+              |), rel AS (SELECT qid, cid, sim_e6 FROM cand),
               |psim AS (
               |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
-              |    round(CAST(CAST(list_sum(list_transform(
+              |    CAST(floor(CAST(CAST(list_sum(list_transform(
               |      generate_series(1, 64),
               |      i -> CAST(floor(a.v[i] * b.v[i] * 1e9) AS BIGINT)))
               |      AS BIGINT) AS DOUBLE)
-              |      / sqrt(CAST(a.e2 AS DOUBLE) * CAST(b.e2 AS DOUBLE)), 6)
-              |      AS ps
+              |      / sqrt(CAST(a.e2 AS DOUBLE) * CAST(b.e2 AS DOUBLE))
+              |      * 1e6) AS BIGINT) AS ps_e6
               |  FROM cand a JOIN cand b
               |    ON b.qid = a.qid AND b.cid <> a.cid
               |), s1 AS (
-              |  SELECT qid, cid, sim, score FROM (
-              |    SELECT qid, cid, sim, round(sim * 2.0, 6) AS score,
+              |  SELECT qid, cid, sim_e6, score_e6 FROM (
+              |    SELECT qid, cid, sim_e6, sim_e6 * 2 AS score_e6,
               |      row_number() OVER (PARTITION BY qid
-              |        ORDER BY round(sim * 2.0, 6) DESC, cid) AS r
+              |        ORDER BY sim_e6 * 2 DESC, cid) AS r
               |    FROM rel
               |  ) WHERE r = 1
               |), sel1 AS (SELECT qid, cid FROM s1),
               |${(2 to 4).map(mmrRoundSql).mkString(",\n")}
-              |SELECT qid, CAST(1 AS BIGINT) AS rk, cid, sim, score FROM s1
-              |UNION ALL SELECT qid, CAST(2 AS BIGINT), cid, sim, score FROM s2
-              |UNION ALL SELECT qid, CAST(3 AS BIGINT), cid, sim, score FROM s3
-              |UNION ALL SELECT qid, CAST(4 AS BIGINT), cid, sim, score FROM s4
+              |SELECT qid, rk, cid,
+              |  CAST(sim_e6 AS DOUBLE) / 1e6 AS sim,
+              |  CAST(score_e6 AS DOUBLE) / 1e6 AS score
+              |FROM (
+              |  SELECT qid, CAST(1 AS BIGINT) AS rk, cid, sim_e6, score_e6 FROM s1
+              |  UNION ALL SELECT qid, CAST(2 AS BIGINT), cid, sim_e6, score_e6 FROM s2
+              |  UNION ALL SELECT qid, CAST(3 AS BIGINT), cid, sim_e6, score_e6 FROM s3
+              |  UNION ALL SELECT qid, CAST(4 AS BIGINT), cid, sim_e6, score_e6 FROM s4
+              |)
               |ORDER BY qid, rk""".stripMargin)),
 
     QueryDef("q350_pq_recall_audit",

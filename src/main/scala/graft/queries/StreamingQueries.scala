@@ -695,10 +695,38 @@ GROUP BY 1 ORDER BY channel"""
     * keeps exactly the errors whose outer verdict is closed, and the
     * oracle replays the SAME integer-micros cutoff over a batch left
     * join. */
+  /** Final global watermark of the error(1 h)/click(4 h) stream pair:
+    * Spark's stream-stream join evicts state on the GLOBAL watermark —
+    * the MIN across inputs of (that stream's max event time − its delay).
+    * Anchoring cutoffs to the global max event time instead silently
+    * assumed every stream's own max trails it by < 1 h; true at sf0.01
+    * event density, false at sf0.001 where the last click can trail the
+    * last event by hours (caught by the first full-registry sf0.001
+    * sweep: one unmatched-error row inside the old cutoff had NOT been
+    * evicted/emitted when the stream ended). */
+  private def errClickFinalWatermarkUs(s: SparkSession, dir: String): Long = {
+    val r = QueryDef.table(s, dir, "events")
+      .agg(
+        max(when(col("event_type") === "error", expr("ts div 1000"))).as("me"),
+        max(when(col("event_type") === "click", expr("ts div 1000"))).as("mc"))
+      .head()
+    math.min(r.getLong(0) - 3600000000L, r.getLong(1) - 4L * 3600000000L)
+  }
+
+  /** The oracle twin of [[errClickFinalWatermarkUs]]. */
+  private val ErrClickWmCte: String =
+    """mx AS (
+      |  SELECT least(
+      |    max(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000 END)
+      |      - 3600000000,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END)
+      |      - 14400000000) AS wm
+      |  FROM events
+      |)""".stripMargin
+
   private def q330Build(s: SparkSession, dir: String): DataFrame = {
     val stage = stageEvents(s, dir)
-    val maxTu = QueryDef.table(s, dir, "events")
-      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    val wmFinal = errClickFinalWatermarkUs(s, dir)
     def src() = StreamingOps.eventsStream(s, stage)
     val errors = src().filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"),
@@ -714,7 +742,9 @@ GROUP BY 1 ORDER BY channel"""
       col("user_id") === col("c_user_id") &&
         col("ct") >= col("et") - expr("INTERVAL 2 HOURS") &&
         col("ct") < col("et"), "left_outer")
-    val cutoff = maxTu - 5L * 3600000000L
+    // an unmatched error emits once the GLOBAL watermark passes its time;
+    // keep rows a 1 h margin inside the FINAL global watermark
+    val cutoff = wmFinal - 3600000000L
     StreamingOps.runStreamToParquet(s, joined,
         s"q330_sink_${sinkId.incrementAndGet()}")
       .filter(col("error_us") <= cutoff)
@@ -799,8 +829,7 @@ GROUP BY 1 ORDER BY channel"""
 
   private def q360Build(s: SparkSession, dir: String): DataFrame = {
     val stage = stageEvents(s, dir)
-    val maxTu = QueryDef.table(s, dir, "events")
-      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    val wmFinal = errClickFinalWatermarkUs(s, dir)
     def src() = StreamingOps.eventsStream(s, stage)
     val errors = src().filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"),
@@ -816,11 +845,11 @@ GROUP BY 1 ORDER BY channel"""
       col("user_id") === col("c_user_id") &&
         col("ct") >= col("et") - expr("INTERVAL 2 HOURS") &&
         col("ct") < col("et"), "full_outer")
-    // the GLOBAL watermark is the MIN across both inputs (~stream end -
-    // 4 h here), and an unmatched click only emits once it passes
-    // click_us + 2 h -- so the conservative region starts 6 h back; 7 h
-    // adds the same 1 h margin q330 uses over its 4 h requirement
-    val cutoff = maxTu - 7L * 3600000000L
+    // an unmatched click only emits once the GLOBAL watermark passes
+    // click_us + 2 h (its match range end), an unmatched error once it
+    // passes error_us — so the conservative region sits 2 h inside the
+    // FINAL global watermark, plus q330's 1 h margin
+    val cutoff = wmFinal - 3L * 3600000000L
     StreamingOps.runStreamToParquet(s, joined,
         s"q360_sink_${sinkId.incrementAndGet()}")
       .filter(coalesce(col("error_us"), col("click_us")) <= cutoff)
@@ -831,9 +860,7 @@ GROUP BY 1 ORDER BY channel"""
   }
 
   private def q360Oracle: String =
-    """WITH mx AS (
-      |  SELECT max(epoch_ns(ts) // 1000) AS m FROM events
-      |), ee AS (
+    s"""WITH $ErrClickWmCte, ee AS (
       |  SELECT event_id AS error_id, user_id, epoch_ns(ts) // 1000
       |    AS error_us
       |  FROM events WHERE event_type = 'error'
@@ -848,13 +875,11 @@ GROUP BY 1 ORDER BY channel"""
       |  ON ee.user_id = cc.cu
       | AND cc.click_us >= ee.error_us - 7200000000
       | AND cc.click_us < ee.error_us
-      |WHERE coalesce(ee.error_us, cc.click_us) <= (SELECT m FROM mx) - 25200000000
+      |WHERE coalesce(ee.error_us, cc.click_us) <= (SELECT wm FROM mx) - 10800000000
       |ORDER BY error_id, click_id""".stripMargin
 
   private def q330Oracle: String =
-    """WITH mx AS (
-      |  SELECT max(epoch_ns(ts) // 1000) AS m FROM events
-      |), ee AS (
+    s"""WITH $ErrClickWmCte, ee AS (
       |  SELECT event_id AS error_id, user_id, epoch_ns(ts) // 1000
       |    AS error_us
       |  FROM events WHERE event_type = 'error'
@@ -868,7 +893,7 @@ GROUP BY 1 ORDER BY channel"""
       |  ON ee.user_id = cc.cu
       | AND cc.click_us >= ee.error_us - 7200000000
       | AND cc.click_us < ee.error_us
-      |WHERE ee.error_us <= (SELECT m FROM mx) - 18000000000
+      |WHERE ee.error_us <= (SELECT wm FROM mx) - 3600000000
       |ORDER BY error_id, click_id""".stripMargin
 
   private def q104Oracle: String =
@@ -1378,12 +1403,14 @@ ORDER BY event_type, win"""
         "BOTH sides once the opposite watermark closes their window; " +
         "conservative cutoff == the batch full join",
       // completes the stream-stream join modes (q104 inner, q330 left
-      // outer): an unmatched error emits when the click watermark passes
-      // its window, an unmatched click when the ERROR watermark passes
-      // click_us + 2h. The symmetric conservative cutoff keeps rows whose
-      // anchor (error time, else click time) is at least 5 h inside the
-      // stream end — beyond both final watermarks — where the emitted set
-      // provably equals the batch FULL JOIN.
+      // outer): state evicts (and outer rows emit) on the GLOBAL
+      // watermark — min across inputs of (that stream's own max event
+      // time − its delay) — so the conservative cutoff anchors THERE
+      // (errClickFinalWatermarkUs), 2 h inside it for the click window
+      // end plus a 1 h margin, where the emitted set provably equals the
+      // batch FULL JOIN at any event density (an earlier global-max
+      // anchor held only while every stream's own max trailed the global
+      // max by < 1 h — true at sf0.01, false at sf0.001).
       q360Build, Some(q360Oracle)),
 
     QueryDef("q365_streaming_neardup_pairs",
