@@ -2134,17 +2134,15 @@ ORDER BY event_type, win"""
             .as[StreamingOps.PairEvent]).toDF(),
         outputMode = OutputMode.Append)
     }
-    // exact scoring attaches batch-side to the streamed candidate set
-    val vecs = s.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    emits.select(col("doc_a"), col("doc_b"))
-      .join(vecs.select(col("vec_id").as("doc_a"),
-        col("embedding").as("va")), "doc_a")
-      .join(vecs.select(col("vec_id").as("doc_b"),
-        col("embedding").as("vb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(Similarity.cosineCol(col("va"), col("vb")), 4).as("sim"))
-      .orderBy("doc_a", "doc_b")
+    // exact scoring attaches batch-side to the streamed candidate set.
+    // Emitted similarity rides the e9 integer grid END TO END (the q384 /
+    // Lloyd-moment idiom): dot/na/nb are exact BIGINTs from floor_dot_e9,
+    // and sim_e4 derives from them through correctly-rounded IEEE ops only
+    // (long->double exact below 2^53, sqrt/div/mul correctly rounded,
+    // floor tie-free) — bit-identical on any engine, unlike the former
+    // round(<raw double cosine>, 4) whose parity relied on two engines'
+    // independent float arithmetic agreeing (the r15/r16 driver reds).
+    semdedupExactGridScore(s, dir, emits)
   }
 
   /** q383: q377's build with the stream-side assignment routed through the
@@ -2175,6 +2173,21 @@ ORDER BY event_type, win"""
             .as[StreamingOps.PairEvent]).toDF(),
         outputMode = OutputMode.Append)
     }
+    semdedupExactGridScore(s, dir, emits)
+  }
+
+  /** Shared q377/q383 batch-side rescoring tail: attach the full-precision
+    * vectors to the streamed candidate pair set, then score on the exact
+    * e9 integer grid. dot_e9/na_e9/nb_e9 are the certifying integer
+    * moments (Σ floor(aᵢ·bᵢ·1e9), native codegen'd [[FloorDotE9]]);
+    * sim_e4 = floor(dot/√na/√nb · 1e4 + 0.5) is a human-readable 4-decimal
+    * cosine that stays a BIGINT and is reproducible bit-for-bit from the
+    * moments alone on any IEEE engine (each step is a single correctly-
+    * rounded op on identical inputs — no engine-dependent rounding mode,
+    * no half-way case). */
+  private def semdedupExactGridScore(s: SparkSession, dir: String,
+      emits: DataFrame): DataFrame = {
+    graft.functions.GridFunctions.register(s)
     val vecs = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     emits.select(col("doc_a"), col("doc_b"))
@@ -2183,7 +2196,12 @@ ORDER BY event_type, win"""
       .join(vecs.select(col("vec_id").as("doc_b"),
         col("embedding").as("vb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(Similarity.cosineCol(col("va"), col("vb")), 4).as("sim"))
+        expr("floor_dot_e9(va, vb)").as("dot_e9"),
+        expr("floor_dot_e9(va, va)").as("na_e9"),
+        expr("floor_dot_e9(vb, vb)").as("nb_e9"))
+      .withColumn("sim_e4", floor(
+        col("dot_e9").cast("double") / sqrt(col("na_e9").cast("double")) /
+          sqrt(col("nb_e9").cast("double")) * lit(1e4) + lit(0.5)))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2195,13 +2213,30 @@ ORDER BY event_type, win"""
        |    row_number() OVER (PARTITION BY cell
        |      ORDER BY vec_id % 3, vec_id) AS rnk
        |  FROM af
+       |),
+       |scored AS (
+       |  SELECT least(a.vec_id, b.vec_id) AS doc_a,
+       |    greatest(a.vec_id, b.vec_id) AS doc_b,
+       |    -- exact e9-grid moments: the floor_dot_e9 replica (each term is
+       |    -- floor of a correctly-rounded double product; the long sum is
+       |    -- order-free), so the hash never rests on raw-double parity
+       |    CAST(list_sum(list_transform(generate_series(1, len(ea.v)),
+       |      i -> CAST(floor(ea.v[i] * eb.v[i] * 1e9) AS BIGINT)))
+       |      AS BIGINT) AS dot_e9,
+       |    CAST(list_sum(list_transform(generate_series(1, len(ea.v)),
+       |      i -> CAST(floor(ea.v[i] * ea.v[i] * 1e9) AS BIGINT)))
+       |      AS BIGINT) AS na_e9,
+       |    CAST(list_sum(list_transform(generate_series(1, len(eb.v)),
+       |      i -> CAST(floor(eb.v[i] * eb.v[i] * 1e9) AS BIGINT)))
+       |      AS BIGINT) AS nb_e9
+       |  FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
+       |  JOIN emb ea ON ea.vec_id = least(a.vec_id, b.vec_id)
+       |  JOIN emb eb ON eb.vec_id = greatest(a.vec_id, b.vec_id)
+       |  WHERE b.rnk <= 64
        |)
-       |SELECT least(a.vec_id, b.vec_id) AS doc_a,
-       |  greatest(a.vec_id, b.vec_id) AS doc_b,
-       |  round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
-       |FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
-       |JOIN emb ea ON ea.vec_id = least(a.vec_id, b.vec_id)
-       |JOIN emb eb ON eb.vec_id = greatest(a.vec_id, b.vec_id)
-       |WHERE b.rnk <= 64
+       |SELECT doc_a, doc_b, dot_e9, na_e9, nb_e9,
+       |  CAST(floor(CAST(dot_e9 AS DOUBLE) / sqrt(CAST(na_e9 AS DOUBLE))
+       |    / sqrt(CAST(nb_e9 AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS sim_e4
+       |FROM scored
        |ORDER BY doc_a, doc_b""".stripMargin
 }
