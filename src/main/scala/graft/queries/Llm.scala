@@ -267,19 +267,20 @@ object Llm {
       |  JOIN bsz ON bsz.bucket = a.bucket AND bsz.c <= 256
       |)""".stripMargin
 
-  /** Candidate pairs with exact cosine, thresholded on the ROUNDED value
-    * (matching `cosineLshPairs`' filter-after-round) — q51's result body,
-    * no ORDER BY so q54 can wrap it as a CTE. */
-  private def cosinePairsSelect(minSim: Double): String =
-    s"""SELECT c.id_a, c.id_b, round(list_cosine_similarity(
-       |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
-       |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+  /** Candidate pairs with the exact-grid cosine ([[gridSimE4Sql]],
+    * id_a's moment first — matching `cosineLshPairs`' in-place grid
+    * threshold) — q51's result body, no ORDER BY so q54 can wrap it as a
+    * CTE. */
+  private def cosinePairsSelect(minSim: Double): String = {
+    val grid = gridSimE4Sql(
+      "list_transform(ea.embedding, x -> CAST(x AS DOUBLE))",
+      "list_transform(eb.embedding, x -> CAST(x AS DOUBLE))")
+    s"""SELECT c.id_a, c.id_b, $grid AS sim
        |FROM cand c
        |JOIN embeddings ea ON ea.vec_id = c.id_a
        |JOIN embeddings eb ON eb.vec_id = c.id_b
-       |WHERE round(list_cosine_similarity(
-       |    list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
-       |    list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 4) >= $minSim""".stripMargin
+       |WHERE $grid >= $minSim""".stripMargin
+  }
 
   /** Candidate pairs with their slot-match estimate, threshold 0.2 —
     * q42's result body (no ORDER BY so q53 can wrap it as a CTE). */
@@ -442,17 +443,37 @@ object Llm {
 
   /** af: final assignment of every vector to the post-iteration
     * centroids (ivfAssign semantics: argmax cosine, ties lowest cell). */
+  /** The DuckDB replica of `Similarity.gridSimE4`: the engine-exact
+    * 4-decimal cosine over exact e9 integer moments. Each moment term is
+    * `CAST(floor(x·y·1e9) AS BIGINT)` (a single correctly-rounded double
+    * product, floored — no half-way case), the BIGINT list_sum is
+    * order-free, and the readout `floor(dot/√na/√nb·1e4 + 0.5)/1e4`
+    * applies single correctly-rounded IEEE ops to exact integers — so the
+    * value is bit-identical to the Scala side on ANY engine, never a
+    * parity-by-luck raw-double rounding (the r15/r16 q377 lesson).
+    * ARGUMENT ORDER IS PART OF THE CONTRACT: `va`'s norm divides first. */
+  private[queries] def gridSimE4Sql(va: String, vb: String): String = {
+    def mom(x: String, y: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, least(len($x), len($y))), " +
+        s"i -> CAST(floor($x[i] * $y[i] * 1e9) AS BIGINT))) AS BIGINT)"
+    val (d, na, nb) = (mom(va, vb), mom(va, va), mom(vb, vb))
+    s"(CASE WHEN $na <= 0 OR $nb <= 0 THEN 0.0 " +
+      s"ELSE floor(CAST($d AS DOUBLE) / sqrt(CAST($na AS DOUBLE)) " +
+      s"/ sqrt(CAST($nb AS DOUBLE)) * 1e4 + 0.5) / 1e4 END)"
+  }
+
   /** The semDedup oracle body over the ivfLloydCtes + IvfAssignCte frames
     * (emb/af/c2): per-vector centroid cosine, capped cell self-join,
-    * rounded-grid threshold, recursive-CTE components, and the (csim, id)
-    * argmin keeper — shared by q373 (embeddings table), q378 (vectors
-    * derived from documents) and q379 (yield census readout). Must run
-    * under WITH RECURSIVE; `finalSelect` reads the base/kp frames. */
+    * exact-grid threshold ([[gridSimE4Sql]]), recursive-CTE components,
+    * and the (csim, id) argmin keeper — shared by q373 (embeddings table),
+    * q378 (vectors derived from documents) and q379 (yield census
+    * readout). Must run under WITH RECURSIVE; `finalSelect` reads the
+    * base/kp frames. */
   private def semDedupOracleBody(minSim: String, cap: Int,
                                  finalSelect: String): String =
     s"""asg AS (
        |  SELECT e.vec_id, af.cell,
-       |    round(list_cosine_similarity(e.v, c.v), 4) AS csim
+       |    ${gridSimE4Sql("e.v", "c.v")} AS csim
        |  FROM emb e JOIN af USING (vec_id) JOIN c2 c ON c.cell = af.cell
        |),
        |csz AS (SELECT cell, count(*) AS c FROM asg GROUP BY 1),
@@ -464,7 +485,7 @@ object Llm {
        |pairs AS (
        |  SELECT id_a, id_b FROM (
        |    SELECT cd.id_a, cd.id_b,
-       |      round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+       |      ${gridSimE4Sql("ea.v", "eb.v")} AS sim
        |    FROM cand cd
        |    JOIN emb ea ON ea.vec_id = cd.id_a
        |    JOIN emb eb ON eb.vec_id = cd.id_b
@@ -789,11 +810,14 @@ object Llm {
         Similarity.bruteForceTopK(emb, query, k = 10, excludeId = 0L)
           .select(col("vec_id"), col("sim"))
       },
-      Some("""SELECT e.vec_id, round(list_cosine_similarity(
-             |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-             |    list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
-             |FROM embeddings e
-             |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      Some(s"""WITH emb2 AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |)
+             |SELECT e.vec_id, ${gridSimE4Sql("e.v", "q.v")} AS sim
+             |FROM emb2 e
+             |CROSS JOIN (SELECT v FROM emb2 WHERE vec_id = 0) q
              |WHERE e.vec_id <> 0
              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
@@ -970,7 +994,7 @@ object Llm {
              |  SELECT c.cell FROM c2 c CROSS JOIN q
              |  ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.cell LIMIT 3
              |)
-             |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS sim
+             |SELECT e.vec_id, ${gridSimE4Sql("e.v", "q.v")} AS sim
              |FROM emb e JOIN af USING (vec_id) CROSS JOIN q
              |WHERE af.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
@@ -1704,8 +1728,8 @@ object Llm {
           .select(col("vec_id"), col("sim"))
       },
       // quantize -> dequantize replayed with q72's exact expressions, then
-      // the q45 cosine shape on the reconstructed doubles
-      Some("""WITH p AS (
+      // the q45 exact-grid cosine shape on the reconstructed doubles
+      Some(s"""WITH p AS (
              |  SELECT vec_id, embedding,
              |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
              |    CAST(list_max(embedding) AS DOUBLE) AS vmax
@@ -1719,7 +1743,7 @@ object Llm {
              |      * ((vmax - vmin) / 255.0)) AS dv
              |  FROM p
              |)
-             |SELECT e.vec_id, round(list_cosine_similarity(e.dv, q.dv), 4) AS sim
+             |SELECT e.vec_id, ${gridSimE4Sql("e.dv", "q.dv")} AS sim
              |FROM dq e CROSS JOIN (SELECT dv FROM dq WHERE vec_id = 0) q
              |WHERE e.vec_id <> 0
              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
@@ -2163,7 +2187,7 @@ object Llm {
       (s, dir) => Similarity.int8IvfSearch(table(s, dir, "embeddings"),
         queryId = 0L, k = 10,
         Similarity.IvfParams(nCells = 16, iters = 2, nprobe = 3)),
-      Some("""|WITH p AS (
+      Some(s"""|WITH p AS (
              |  SELECT vec_id, embedding,
              |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
              |    CAST(list_max(embedding) AS DOUBLE) AS vmax
@@ -2244,7 +2268,7 @@ object Llm {
              |  SELECT c.cell FROM c2 c CROSS JOIN q
              |  ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.cell LIMIT 3
              |)
-             |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS sim
+             |SELECT e.vec_id, ${gridSimE4Sql("e.v", "q.v")} AS sim
              |FROM emb e JOIN af USING (vec_id) CROSS JOIN q
              |WHERE af.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
@@ -4078,7 +4102,7 @@ object Llm {
               |sims AS (
               |  SELECT t.vec_id, t.cell,
               |    CASE WHEN e.ev_v IS NULL THEN NULL
-              |      ELSE round(list_cosine_similarity(t.v, e.ev_v), 4) END AS sim
+              |      ELSE ${gridSimE4Sql("t.v", "e.ev_v")} END AS sim
               |  FROM tr t LEFT JOIN ev e ON e.cell = t.cell
               |)
               |SELECT vec_id, CAST(cell AS INT) AS cell,
@@ -4117,7 +4141,7 @@ object Llm {
               |csz AS (SELECT cell, count(*) AS c FROM af GROUP BY 1),
               |pr AS (
               |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-              |    round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+              |    ${gridSimE4Sql("ea.v", "eb.v")} AS sim
               |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
               |  JOIN csz ON csz.cell = a.cell AND csz.c BETWEEN 2 AND 256
               |  JOIN emb ea ON ea.vec_id = a.vec_id
@@ -4161,7 +4185,7 @@ object Llm {
               |csz AS (SELECT cell, count(*) AS c FROM af GROUP BY 1),
               |pr AS (
               |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-              |    round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+              |    ${gridSimE4Sql("ea.v", "eb.v")} AS sim
               |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
               |  JOIN csz ON csz.cell = a.cell AND csz.c BETWEEN 2 AND 256
               |  JOIN emb ea ON ea.vec_id = a.vec_id

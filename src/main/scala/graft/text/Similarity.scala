@@ -44,14 +44,20 @@ object Similarity {
     * engine-exact readouts). */
   def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
 
-  /** Exact top-k cosine neighbors of `query` (excluding `excludeId`). */
+  /** Exact top-k cosine neighbors of `query` (excluding `excludeId`);
+    * `sim` is the engine-exact e9-grid 4-decimal cosine ([[gridSimE4]],
+    * corpus moment first). */
   def bruteForceTopK(embeddings: DataFrame, query: Array[Float], k: Int,
                      excludeId: Long = -1L,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = lit(query) // broadcast as a literal array
+    val qn = normE9F(query)
+    val gridUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
+      gridSimE4(dotE9FF(va, query), normE9F(va), qn)
+    }
     embeddings
       .filter(col(idCol) =!= excludeId)
-      .select(col(idCol), round(cosineUdf(col(vecCol), q), 4).as("sim"))
+      .select(col(idCol), gridUdf(col(vecCol)).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -94,18 +100,74 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // ---- exact e9-grid moments (the r17 emitted-value contract) -----------
+  // Every cosine this library EMITS or THRESHOLDS derives from these
+  // integer moments (Σ floor(xᵢ·yᵢ·1e9) as one long), never from an
+  // engine's own float dot-product loop: each term is the floor of a
+  // single correctly-rounded double product (float→double widening is
+  // exact), the long sum is order-free, so any IEEE engine — and the
+  // DuckDB oracles via Llm.gridSimE4Sql — reproduces them bit-for-bit.
+  // Raw double cosines (cosineFF/cosineArrF) remain ONLY in ranking
+  // positions with deterministic tie-breaks (nearest-cell argmax), where
+  // a cross-engine flip needs two candidates within ~1e-15 relative — the
+  // documented Class-C latency, not an emission hazard.
+
+  private def dotE9FF(a: Array[Float], b: Array[Float]): Long = {
+    var acc = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      acc += math.floor(a(i).toDouble * b(i).toDouble * 1e9).toLong; i += 1
+    }
+    acc
+  }
+
+  private def dotE9DF(a: Array[Double], b: Array[Float]): Long = {
+    var acc = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += math.floor(a(i) * b(i).toDouble * 1e9).toLong; i += 1 }
+    acc
+  }
+
+  private def dotE9DD(a: Array[Double], b: Array[Double]): Long = {
+    var acc = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += math.floor(a(i) * b(i) * 1e9).toLong; i += 1 }
+    acc
+  }
+
+  private def normE9F(a: Array[Float]): Long = dotE9FF(a, a)
+
+  private def normE9D(a: Array[Double]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { acc += math.floor(a(i) * a(i) * 1e9).toLong; i += 1 }
+    acc
+  }
+
+  /** The engine-exact 4-decimal cosine readout over e9 moments:
+    * floor(dot/√na/√nb · 1e4 + 0.5) / 1e4 — single correctly-rounded IEEE
+    * ops on exact integer inputs (|dot| ≲ dim·1e9 ≪ 2^53, so the
+    * long→double casts are exact), expressed IDENTICALLY in the oracles'
+    * SQL replica ([[graft.queries.Llm.gridSimE4Sql]]); the division order
+    * (na's sqrt first) is part of the cross-engine contract. Zero norms
+    * read as 0.0 on both sides. */
+  private[text] def gridSimE4(dot: Long, na: Long, nb: Long): Double =
+    if (na <= 0L || nb <= 0L) 0.0
+    else math.floor(dot.toDouble / math.sqrt(na.toDouble) /
+      math.sqrt(nb.toDouble) * 1e4 + 0.5) / 1e4
+
   /** Index of the most-cosine-similar centroid (lowest index wins ties).
     * The vector unboxes ONCE — the scan reads it k times, and boxed Seq
     * access across a 1024-centroid table was the assignment stage's whole
     * cost at 1 M × dim 64 (soak-measured). */
   private def nearestCell(centroids: Array[Array[Double]], v: Seq[Float]): Int =
-    nearestCellSim(centroids, v)._1
+    nearestCellSim(centroids, v.toArray)._1
 
-  /** Nearest cell AND its cosine in one scan — the argmax already
-    * evaluates the winning cosine, so [[cellAssignments]] never pays a
-    * second centroid pass. */
-  private def nearestCellSim(centroids: Array[Array[Double]], v: Seq[Float]): (Int, Double) = {
-    val va = v.toArray
+  /** Nearest cell AND its (raw, ranking-only) cosine in one scan — the
+    * argmax already evaluates the winning cosine, so [[cellAssignments]]
+    * never pays a second centroid pass. The raw double is for RANKING
+    * (deterministic tie-break by cell index); any EMITTED centroid-sim
+    * re-derives from the e9 grid ([[gridSimE4]]). */
+  private def nearestCellSim(centroids: Array[Array[Double]], va: Array[Float]): (Int, Double) = {
     var best = 0
     var bestSim = Double.NegativeInfinity
     var c = 0
@@ -191,8 +253,9 @@ object Similarity {
   /** Every vector with its coarse-quantizer cell AND its cosine similarity
     * to that cell's centroid, in ONE narrow pass (the nearest-cell search
     * already computes the winning cosine — recomputing it in a second UDF
-    * would double the k×dim work). `csim` is rounded on the shared 4-decimal
-    * grid so downstream argmin/argmax readouts are engine-exact.
+    * would double the k×dim work). `csim` is the exact e9-grid 4-decimal
+    * cosine ([[gridSimE4]]) so downstream argmin/argmax readouts are
+    * engine-exact by construction.
     * Columns: (id: long, vec, cell: int, csim: double). The semantic-space
     * primitive under [[semDedup]] and the cell-stratified curation queries. */
   def cellAssignments(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
@@ -208,12 +271,19 @@ object Similarity {
   def cellAssignmentsWith(embeddings: DataFrame, centroids: Array[Array[Double]],
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) => nearestCellSim(bc.value, v) }
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val va = v.toArray
+      val cell = nearestCellSim(bc.value, va)._1
+      // emitted centroid-sim rides the exact e9 grid (vector moment first —
+      // the division order is part of the cross-engine contract)
+      (cell, gridSimE4(dotE9DF(bc.value(cell), va),
+        normE9F(va), normE9D(bc.value(cell))))
+    }
     embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("a", assignUdf(col("vec")))
       .select(col("id"), col("vec"), col("a._1").as("cell"),
-        round(col("a._2"), 4).as("csim"))
+        col("a._2").as("csim"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
@@ -244,13 +314,29 @@ object Similarity {
     * window.
     *
     * Returns (vec_id, cell, cluster, centroid_sim, is_keeper), one row per
-    * input vector (singletons are their own keeper). */
+    * input vector (singletons are their own keeper).
+    *
+    * `maxCellSize` must be in [2, 8192] (each eligible cell materializes
+    * ONE aggregation row of maxCellSize × dim floats; 4096 is the
+    * soak-validated ceiling) — all semDedup* entry points validate this
+    * EAGERLY, before any Spark job runs. */
   def semDedup(embeddings: DataFrame, nCells: Int = 16, iters: Int = 2,
                minSim: Double = 0.8, maxCellSize: Int = 256,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireCellCap(maxCellSize)
     val assigned = cellAssignments(embeddings, nCells, iters, idCol, vecCol)
     semDedupFrom(assigned, minSim, maxCellSize, idCol)
   }
+
+  /** The [2, 8192] cell-cap contract shared by every semDedup* entry point
+    * (see [[semDedup]]): validated here EAGERLY so an out-of-bounds caller
+    * value refuses before any Spark job, not mid-execution inside
+    * [[cellPairs]] (which re-checks as defense in depth). */
+  private def requireCellCap(maxCellSize: Int): Unit =
+    require(maxCellSize >= 2 && maxCellSize <= 8192,
+      s"maxCellSize must be in [2, 8192] (per-cell group row holds " +
+        s"maxCellSize x dim floats; 4096 is the soak-validated ceiling), " +
+        s"got $maxCellSize")
 
   /** [[semDedup]] at corpus-scaled cell counts: the identical pipeline with
     * the per-vector assignment routed through the two-level super-quantizer
@@ -269,6 +355,7 @@ object Similarity {
                      probe: Int, iters: Int = 2, minSim: Double = 0.8,
                      maxCellSize: Int = 256, superIters: Int = 4,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireCellCap(maxCellSize)
     val centroids = kmeansCentroids(embeddings, nCells, iters, idCol, vecCol)
     semDedupApproxWith(embeddings, centroids,
       superQuantizer(centroids, nSuper, superIters), probe,
@@ -285,9 +372,11 @@ object Similarity {
   def semDedupApproxWith(embeddings: DataFrame, centroids: Array[Array[Double]],
                          sq: SuperQuantizer, probe: Int,
                          minSim: Double = 0.8, maxCellSize: Int = 256,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireCellCap(maxCellSize)
     semDedupFrom(assignWithApproxSim(embeddings, centroids, sq, probe, idCol, vecCol),
       minSim, maxCellSize, idCol)
+  }
 
   /** [[semDedup]] against a FROZEN centroid table: the production shape —
     * at 100 TB nobody trains the quantizer on the full corpus per dedup
@@ -302,9 +391,11 @@ object Similarity {
     * 25 s dedup — this is the knob that removes it. */
   def semDedupWith(embeddings: DataFrame, centroids: Array[Array[Double]],
                    minSim: Double = 0.8, maxCellSize: Int = 256,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireCellCap(maxCellSize)
     semDedupFrom(cellAssignmentsWith(embeddings, centroids, idCol, vecCol),
       minSim, maxCellSize, idCol)
+  }
 
   /** The shared SemDeDup tail over an (id, vec, cell, csim) assignment:
     * capped pair stage → components → keep-the-outlier readout. */
@@ -336,10 +427,9 @@ object Similarity {
     * corpus to fetch them (the minhash-sparse lesson — an attach-joins
     * version shuffles the corpus twice more per pair side). Only pairs
     * with `is_new` on at least one side are scored (the batch form marks
-    * everything new); the UDF pre-filters on the raw cosine with the
-    * half-up rounding guard (round(x,4) >= t iff x >= t − 5e-5), so only
-    * qualifying (id_a, id_b, rawSim) triples leave the group row, and the
-    * exact grid filter outside keeps the engine-exact contract. Cells
+    * everything new); the UDF scores on the exact e9 grid ([[gridSimE4]])
+    * and thresholds IN PLACE — grid values are engine-exact by
+    * construction, so no raw-cosine guard or outer re-round exists. Cells
     * larger than `maxCellSize` (COMBINED occupancy in the incremental
     * form) are skipped — the LSH bucket cap contract. */
   private def cellPairs(assigned: DataFrame, minSim: Double,
@@ -353,21 +443,26 @@ object Similarity {
       s"maxCellSize must be in [2, 8192] (per-cell group row holds " +
         s"maxCellSize x dim floats; 4096 is the soak-validated ceiling), " +
         s"got $maxCellSize")
-    val rawGuard = minSim - 5e-5
     val pairsUdf = udf { (members: Seq[Row]) =>
       // unbox each member ONCE (primitive Array[Float]): the quadratic
       // below touches every vector c−1 times, and boxed Seq access in the
       // hot loop was the whole stage cost at 1 M × dim 64 (soak-measured)
       val ms = members.map(r => (r.getLong(0),
         r.getSeq[Float](1).toArray, r.getBoolean(2))).sortBy(_._1).toArray
+      // norm moments are pair-independent — one pass per member, so the
+      // quadratic pays only the dot moment per pair (cheaper than the old
+      // cosineFF, which re-accumulated both norms inside every pair)
+      val norms = ms.map(m => normE9F(m._2))
       val out = Seq.newBuilder[(Long, Long, Double)]
       var i = 0
       while (i < ms.length) {
         var j = i + 1
         while (j < ms.length) {
           if (ms(i)._3 || ms(j)._3) {
-            val s = cosineFF(ms(i)._2, ms(j)._2)
-            if (s >= rawGuard) out += ((ms(i)._1, ms(j)._1, s))
+            // exact-grid sim: the threshold compare IS final (no raw-cosine
+            // guard + outer re-round — grid values need no second pass)
+            val s = gridSimE4(dotE9FF(ms(i)._2, ms(j)._2), norms(i), norms(j))
+            if (s >= minSim) out += ((ms(i)._1, ms(j)._1, s))
           }
           j += 1
         }
@@ -392,8 +487,7 @@ object Similarity {
         .as("members"))
       .select(explode(pairsUdf(col("members"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"),
-        round(col("p._3"), 4).as("sim"))
-      .filter(col("sim") >= minSim)
+        col("p._3").as("sim"))
   }
 
   /** Frozen-quantizer batch assignment with the (id, vec, cell) layout
@@ -496,7 +590,7 @@ object Similarity {
     val bcC = sc.broadcast(centroids)
     val bcS = sc.broadcast(sq)
     val assignUdf = udf { (v: Seq[Float]) =>
-      probedNearestCellSim(bcC.value, bcS.value, probe, v)._1
+      probedNearestCellSim(bcC.value, bcS.value, probe, v.toArray)._1
     }
     embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -517,21 +611,25 @@ object Similarity {
     val bcC = sc.broadcast(centroids)
     val bcS = sc.broadcast(sq)
     val assignUdf = udf { (v: Seq[Float]) =>
-      probedNearestCellSim(bcC.value, bcS.value, probe, v)
+      val va = v.toArray
+      val cell = probedNearestCellSim(bcC.value, bcS.value, probe, va)._1
+      // same emitted-grid contract as cellAssignmentsWith: the probe picks
+      // the cell (raw ranking), the EMITTED csim rides the e9 grid
+      (cell, gridSimE4(dotE9DF(bcC.value(cell), va),
+        normE9F(va), normE9D(bcC.value(cell))))
     }
     embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("a", assignUdf(col("vec")))
       .select(col("id"), col("vec"), col("a._1").as("cell"),
-        round(col("a._2"), 4).as("csim"))
+        col("a._2").as("csim"))
   }
 
   /** The two-level probe scan shared by [[assignWithApprox]] and
     * [[assignWithApproxSim]]: top-`probe` supers by cosine, argmax over
     * those supers' member centroids. Returns (cell, cosine). */
   private def probedNearestCellSim(cs: Array[Array[Double]],
-      s: SuperQuantizer, probe: Int, v: Seq[Float]): (Int, Double) = {
-    val va = v.toArray
+      s: SuperQuantizer, probe: Int, va: Array[Float]): (Int, Double) = {
     val nS = s.superCentroids.length
     // top-`probe` supers by cosine (ties to lower index): selection scan
     val simS = new Array[Double](nS)
@@ -570,7 +668,7 @@ object Similarity {
     }
     // every probed super was empty (possible after a super loses all
     // members to its neighbors): fall back to the flat exhaustive scan
-    if (bestCell == Int.MaxValue) nearestCellSim(cs, v)
+    if (bestCell == Int.MaxValue) nearestCellSim(cs, va)
     else (bestCell, bestSim)
   }
 
@@ -585,6 +683,7 @@ object Similarity {
     * form. Returns qualifying (doc_a, doc_b, sim) with doc_a < doc_b. */
   def semDedupIncrementalPairs(assignedCorpus: DataFrame, assignedNew: DataFrame,
                                minSim: Double = 0.8, maxCellSize: Int = 256): DataFrame = {
+    requireCellCap(maxCellSize)
     // only cells the batch TOUCHES can produce a touching-new pair, so the
     // corpus at rest is semi-joined down to them BEFORE anything shuffles:
     // per-batch cost scales with the corpus mass in touched cells (over an
@@ -626,10 +725,12 @@ object Similarity {
     * shuffled-by-cell path.
     *
     * `maxEvalPerCell` bounds the per-cell quadratic the way cellPairs'
-    * maxCellSize does — but LOUDLY (plan-time raise_error on the first
-    * offending row) instead of skipping: decontamination must never
-    * silently under-report because adversarial mass landed at one
-    * centroid, so an oversized eval cell is a refusal, not a skip. Per
+    * maxCellSize does — but LOUDLY (a raise_error that fires at EXECUTION
+    * time, per offending eval row, regardless of whether the oversized
+    * cell would contribute any train-side screen work — the projection
+    * evaluates before the left join) instead of skipping: decontamination
+    * must never silently under-report because adversarial mass landed at
+    * one centroid, so an oversized eval cell is a refusal, not a skip. Per
     * train row the join cost is then ≤ maxEvalPerCell cosines. The count
     * frame is ≤ nCells rows — the eligibility join broadcasts. */
   def semanticDecontamination(embeddings: DataFrame, evalMod: Long = 23,
@@ -651,10 +752,16 @@ object Similarity {
               s"maxEvalPerCell=$maxEvalPerCell — the per-cell screen would " +
               s"go quadratic; raise nCells or maxEvalPerCell explicitly",
             col("cell"), col("_evn")))).as("e_vec"))
+    // train-x-eval screen scores on the exact e9 grid (train moment first —
+    // mirrors the oracle's gridSimE4Sql(t.v, e.ev_v) argument order)
+    val gridSimUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+      val aa = a.toArray; val ba = b.toArray
+      gridSimE4(dotE9FF(aa, ba), normE9F(aa), normE9F(ba))
+    }
     train.join(ev, Seq("cell"), "left")
       .select(col("id"), col("cell"),
         when(col("e_vec").isNotNull,
-          round(cosineUdf(col("vec"), col("e_vec")), 4)).as("sim"))
+          gridSimUdf(col("vec"), col("e_vec"))).as("sim"))
       .groupBy("id", "cell")
       .agg(sum(when(col("sim") >= minSim, 1L).otherwise(0L)).as("n_eval_matches"),
         max(col("sim")).as("max_sim"))
@@ -1562,11 +1669,18 @@ object Similarity {
       .select(explode(allPairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
     val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // exact-grid rescoring (gridSimE4, id_a's moment first): the emitted /
+    // thresholded sim is engine-exact by construction, never two engines'
+    // raw double cosines agreeing by luck
+    val gridUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+      val aa = a.toArray; val ba = b.toArray
+      gridSimE4(dotE9FF(aa, ba), normE9F(aa), normE9F(ba))
+    }
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosineUdf(col("vec_a"), col("vec_b")), 4).as("sim"))
+        gridUdf(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 
@@ -1608,20 +1722,17 @@ object Similarity {
                excludeId: Long = -1L,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qDq = dequantize(query.toSeq)
+    val qn = normE9D(qDq)
+    // exact-grid sim over the dequantized reconstructions (both engines
+    // derive dv through the identical quantize→dequantize expressions, so
+    // the grid moments — and hence sim — are bit-identical by construction)
     val simUdf = udf { (v: Seq[Float]) =>
       val dv = dequantize(v)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = math.min(dv.length, qDq.length)
-      while (i < n) {
-        dot += dv(i) * qDq(i); na += dv(i) * dv(i); nb += qDq(i) * qDq(i)
-        i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      gridSimE4(dotE9DD(dv, qDq), normE9D(dv), qn)
     }
     embeddings
       .filter(col(idCol) =!= excludeId)
-      .select(col(idCol), round(simUdf(col(vecCol)), 4).as("sim"))
+      .select(col(idCol), simUdf(col(vecCol)).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
