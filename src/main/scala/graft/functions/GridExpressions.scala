@@ -127,6 +127,18 @@ object GridFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "floor_dot_e9", exprs => FloorDotE9(exprs(0), exprs(1)), "built-in")
 
+  /** Engine-exact 6-decimal readout: floor(x·1e6 + 0.5)/1e6. Unlike
+    * `round(x, 6)` — which Spark evaluates decimal-exactly (BigDecimal
+    * HALF_UP) while DuckDB rounds the SCALED DOUBLE (std::round of
+    * fl(x·1e6)), a measured divergence within ~1 ulp of every .5 boundary
+    * (51/7998 adversarial doubles at k=6; NOTES r17) — every step here is
+    * one correctly-rounded IEEE op, so identical operands give identical
+    * results on any engine. Oracle twin: `floor((x) * 1e6 + 0.5) / 1e6`. */
+  def gridRound6(c: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
   def floorDotE9(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     register(df.sparkSession)
     call_function("floor_dot_e9", a, b)

@@ -114,7 +114,7 @@ object Llm {
         |  JOIN mu m ON m.i = d.i JOIN ca a ON a.i = d.i JOIN cb b ON b.i = d.i
         |  GROUP BY 1
         |)
-        |SELECT vec_id, round(p1 / 1e9, 6) AS pc1, round(p2 / 1e9, 6) AS pc2
+        |SELECT vec_id, floor((p1 / 1e9) * 1e6 + 0.5) / 1e6 AS pc1, floor((p2 / 1e9) * 1e6 + 0.5) / 1e6 AS pc2
         |FROM proj ORDER BY vec_id""".stripMargin)
     sb.toString
   }
@@ -776,31 +776,47 @@ object Llm {
              |ORDER BY hamming, doc_a, doc_b""".stripMargin)),
 
     QueryDef("q44_embedding_stats", "vector norms + per-label aggregation",
+      // exact-by-construction stats (the q377 lesson applied to norms):
+      // the norm derives from the e9 moment (floor_dot_e9 — identical
+      // integer on both engines), each row quantizes to e6/e4 longs, the
+      // average is an order-free long sum / count, and every emitted
+      // double is floor-grid arithmetic — never two engines' own float
+      // loops (list_dot_product vs a UDF) agreeing by luck, never an
+      // order-dependent float avg()
       (s, dir) => {
-        val normUdf = udf { (v: Seq[Float]) =>
-          var acc = 0.0
-          var i = 0
-          while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
-          math.sqrt(acc)
-        }
+        graft.functions.GridFunctions.register(s)
         table(s, dir, "embeddings")
-          .select(col("label"), normUdf(col("embedding")).as("nrm"))
+          .select(col("label"),
+            sqrt(expr("floor_dot_e9(embedding, embedding)").cast("double") /
+              lit(1e9)).as("nrm"))
+          .withColumn("nrm_e6", floor(col("nrm") * lit(1e6)))
+          .withColumn("nrm_e4", floor(col("nrm") * lit(1e4) + lit(0.5)))
           .groupBy("label")
           .agg(count(lit(1)).as("n"),
-            round(avg("nrm"), 4).as("avg_norm"),
-            round(min("nrm"), 4).as("min_norm"),
-            round(max("nrm"), 4).as("max_norm"))
+            (floor((sum(col("nrm_e6")).cast("double") / lit(1e6) /
+              count(lit(1)).cast("double")) * lit(1e4) + lit(0.5)) / lit(1e4))
+              .as("avg_norm"),
+            (min(col("nrm_e4")).cast("double") / lit(1e4)).as("min_norm"),
+            (max(col("nrm_e4")).cast("double") / lit(1e4)).as("max_norm"))
           .orderBy("label")
       },
       Some("""SELECT label, count(*) AS n,
-             |  round(avg(nrm), 4) AS avg_norm,
-             |  round(min(nrm), 4) AS min_norm,
-             |  round(max(nrm), 4) AS max_norm
-             |FROM (SELECT label, sqrt(list_dot_product(
-             |        list_transform(embedding, x -> CAST(x AS DOUBLE)),
-             |        list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
-             |      FROM embeddings) t
-             |GROUP BY label ORDER BY label""".stripMargin)),
+             |  floor((CAST(sum(nrm_e6) AS BIGINT) / 1e6 / count(*)) * 1e4
+             |    + 0.5) / 1e4 AS avg_norm,
+             |  CAST(min(nrm_e4) AS DOUBLE) / 1e4 AS min_norm,
+             |  CAST(max(nrm_e4) AS DOUBLE) / 1e4 AS max_norm
+             |FROM (
+             |  SELECT label, floor(nrm * 1e6) AS nrm_e6,
+             |    floor(nrm * 1e4 + 0.5) AS nrm_e4
+             |  FROM (
+             |    SELECT label, sqrt(CAST(CAST(list_sum(list_transform(
+             |        generate_series(1, len(embedding)),
+             |        i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+             |          * CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)))
+             |        AS BIGINT) AS DOUBLE) / 1e9) AS nrm
+             |    FROM embeddings)
+             |) t GROUP BY label
+             |ORDER BY label""".stripMargin)),
 
     QueryDef("q45_cosine_topk", "brute-force cosine top-k neighbors of vec 0",
       (s, dir) => {
@@ -2804,8 +2820,10 @@ object Llm {
         val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
           col("e2").as("ec"), col("lang").as("clang"))
         val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
-          .withColumn("sim", round(expr("floor_dot_e9(qv, cv)").cast("double") /
-            sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+          .withColumn("sim",
+            graft.functions.GridFunctions.gridRound6(
+              expr("floor_dot_e9(qv, cv)").cast("double") /
+                sqrt(col("eq").cast("double") * col("ec").cast("double"))))
         val top = scored
           .withColumn("rk", row_number().over(
             Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))))
@@ -2834,10 +2852,10 @@ object Llm {
               |scored AS (
               |  SELECT q.vec_id AS qid, q.lang AS qlang, c.vec_id AS cid,
               |    c.lang AS clang,
-              |    round(CAST(CAST(list_sum(list_transform(generate_series(1, 64),
+              |    floor((CAST(CAST(list_sum(list_transform(generate_series(1, 64),
               |        i -> CAST(floor(q.v[i] * c.v[i] * 1e9) AS BIGINT)))
               |        AS BIGINT) AS DOUBLE)
-              |      / sqrt(CAST(q.e2 AS DOUBLE) * CAST(c.e2 AS DOUBLE)), 6)
+              |      / sqrt(CAST(q.e2 AS DOUBLE) * CAST(c.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6
               |      AS sim
               |  FROM base q JOIN base c ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id
               |), top AS (
@@ -2919,12 +2937,11 @@ object Llm {
               |  SELECT qid, cid FROM (
               |    SELECT q.qid, b.vec_id AS cid,
               |      row_number() OVER (PARTITION BY q.qid ORDER BY
-              |        round(CAST(CAST(list_sum(list_transform(
+              |        floor((CAST(CAST(list_sum(list_transform(
               |          generate_series(1, 64),
               |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |          AS BIGINT) AS DOUBLE)
-              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |          6) DESC, b.vec_id) AS rn
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
               |    FROM qs q
               |    JOIN probes p ON p.qid = q.qid
               |    JOIN base b ON b.cell = p.cell
@@ -2935,12 +2952,11 @@ object Llm {
               |  SELECT qid, cid FROM (
               |    SELECT q.qid, b.vec_id AS cid,
               |      row_number() OVER (PARTITION BY q.qid ORDER BY
-              |        round(CAST(CAST(list_sum(list_transform(
+              |        floor((CAST(CAST(list_sum(list_transform(
               |          generate_series(1, 64),
               |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |          AS BIGINT) AS DOUBLE)
-              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |          6) DESC, b.vec_id) AS rn
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
               |    FROM qs q CROSS JOIN base b
               |    WHERE b.vec_id <> q.qid
               |  ) WHERE rn <= 10
@@ -3004,19 +3020,18 @@ object Llm {
               |)
               |SELECT qid, CAST(rn AS BIGINT) AS rk, cid, sim FROM (
               |  SELECT q.qid, b.vec_id AS cid,
-              |    round(CAST(CAST(list_sum(list_transform(
+              |    floor((CAST(CAST(list_sum(list_transform(
               |      generate_series(1, 64),
               |      i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |      AS BIGINT) AS DOUBLE)
-              |      / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)), 6)
+              |      / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6
               |      AS sim,
               |    row_number() OVER (PARTITION BY q.qid ORDER BY
-              |      round(CAST(CAST(list_sum(list_transform(
+              |      floor((CAST(CAST(list_sum(list_transform(
               |        generate_series(1, 64),
               |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |        AS BIGINT) AS DOUBLE)
-              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |        6) DESC, b.vec_id) AS rn
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
               |  FROM qs q
               |  JOIN probes p ON p.qid = q.qid
               |  JOIN base b ON b.cell = p.cell
@@ -3094,12 +3109,11 @@ object Llm {
               |  SELECT qid, cid FROM (
               |    SELECT q.qid, b.vec_id AS cid,
               |      row_number() OVER (PARTITION BY q.qid ORDER BY
-              |        round(CAST(CAST(list_sum(list_transform(
+              |        floor((CAST(CAST(list_sum(list_transform(
               |          generate_series(1, 64),
               |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |          AS BIGINT) AS DOUBLE)
-              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |          6) DESC, b.vec_id) AS rn
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
               |    FROM qs q
               |    JOIN probes p ON p.qid = q.qid
               |    JOIN base b ON b.cell = p.cell
@@ -3110,12 +3124,11 @@ object Llm {
               |  SELECT qid, cid FROM (
               |    SELECT q.qid, b.vec_id AS cid,
               |      row_number() OVER (PARTITION BY q.qid ORDER BY
-              |        round(CAST(CAST(list_sum(list_transform(
+              |        floor((CAST(CAST(list_sum(list_transform(
               |          generate_series(1, 64),
               |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |          AS BIGINT) AS DOUBLE)
-              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |          6) DESC, b.vec_id) AS rn
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
               |    FROM qs q CROSS JOIN base b
               |    WHERE b.vec_id <> q.qid
               |  ) WHERE rn <= 10
@@ -3640,8 +3653,8 @@ object Llm {
               |pq10 AS (
               |  SELECT qid, cid FROM (
               |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-              |      ORDER BY round(CAST(dot_e9 AS DOUBLE)
-              |        / sqrt(CAST(n2_e9 AS DOUBLE)), 6) DESC, cid) AS rn
+              |      ORDER BY floor((CAST(dot_e9 AS DOUBLE)
+              |        / sqrt(CAST(n2_e9 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, cid) AS rn
               |    FROM adc WHERE n2_e9 > 0
               |  ) WHERE rn <= 10
               |),
@@ -3649,12 +3662,11 @@ object Llm {
               |  SELECT qid, cid FROM (
               |    SELECT q.qid, b.vec_id AS cid,
               |      row_number() OVER (PARTITION BY q.qid ORDER BY
-              |        round(CAST(CAST(list_sum(list_transform(
+              |        floor((CAST(CAST(list_sum(list_transform(
               |          generate_series(1, 64),
               |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |          AS BIGINT) AS DOUBLE)
-              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |          6) DESC, b.vec_id) AS rn
+              |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
               |    FROM qs q CROSS JOIN base b
               |    WHERE b.vec_id <> q.qid
               |  ) WHERE rn <= 10
@@ -3747,8 +3759,8 @@ object Llm {
               |short AS (
               |  SELECT qid, cid FROM (
               |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-              |      ORDER BY round(CAST(dot_e9 AS DOUBLE)
-              |        / sqrt(CAST(n2_e9 AS DOUBLE)), 6) DESC, cid) AS rs
+              |      ORDER BY floor((CAST(dot_e9 AS DOUBLE)
+              |        / sqrt(CAST(n2_e9 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, cid) AS rs
               |    FROM adc WHERE n2_e9 > 0
               |  ) WHERE rs <= 20
               |),
@@ -3758,12 +3770,11 @@ object Llm {
               |      ORDER BY sim DESC, cid) AS rk
               |  FROM (
               |    SELECT s.qid, s.cid,
-              |      round(CAST(CAST(list_sum(list_transform(
+              |      floor((CAST(CAST(list_sum(list_transform(
               |        generate_series(1, 64),
               |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |        AS BIGINT) AS DOUBLE)
-              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |        6) AS sim
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS sim
               |    FROM short s
               |    JOIN qs q ON q.qid = s.qid
               |    JOIN base b ON b.vec_id = s.cid
@@ -3886,8 +3897,9 @@ object Llm {
         broadcast(q).crossJoin(a)
           .filter(col("cid") =!= col("qid") && col("cl") =!= col("ql"))
           .withColumn("sim",
-            round(expr("floor_dot_e9(qv, cv)").cast("double") /
-              sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+            graft.functions.GridFunctions.gridRound6(
+              expr("floor_dot_e9(qv, cv)").cast("double") /
+                sqrt(col("eq").cast("double") * col("ec").cast("double"))))
           .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
           .select(col("qid"), col("rk"), col("cid"),
             col("cl").as("neg_label"), col("sim"))
@@ -3908,19 +3920,17 @@ object Llm {
               |)
               |SELECT qid, CAST(rn AS INT) AS rk, cid, neg_label, sim FROM (
               |  SELECT q.qid, b.vec_id AS cid, b.label AS neg_label,
-              |    round(CAST(CAST(list_sum(list_transform(
+              |    floor((CAST(CAST(list_sum(list_transform(
               |      generate_series(1, 64),
               |      i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |      AS BIGINT) AS DOUBLE)
-              |      / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |      6) AS sim,
+              |      / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS sim,
               |    row_number() OVER (PARTITION BY q.qid ORDER BY
-              |      round(CAST(CAST(list_sum(list_transform(
+              |      floor((CAST(CAST(list_sum(list_transform(
               |        generate_series(1, 64),
               |        i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
               |        AS BIGINT) AS DOUBLE)
-              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-              |        6) DESC, b.vec_id) AS rn
+              |        / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
               |  FROM qs q CROSS JOIN base b
               |  WHERE b.vec_id <> q.qid AND b.label <> q.ql
               |) WHERE rn <= 5 ORDER BY qid, rk""".stripMargin)),
@@ -4459,8 +4469,8 @@ object Llm {
           |${p}short AS (
           |  SELECT qid, cid FROM (
           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-          |      ORDER BY round(CAST(dot_e9 AS DOUBLE)
-          |        / sqrt(CAST(n2_e9 AS DOUBLE)), 6) DESC, cid) AS rs
+          |      ORDER BY floor((CAST(dot_e9 AS DOUBLE)
+          |        / sqrt(CAST(n2_e9 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, cid) AS rs
           |    FROM ${p}adc WHERE n2_e9 > 0
           |  ) WHERE rs <= $shortlist
           |),
@@ -4468,12 +4478,11 @@ object Llm {
           |  SELECT qid, cid FROM (
           |    SELECT s.qid, s.cid,
           |      row_number() OVER (PARTITION BY s.qid ORDER BY
-          |        round(CAST(CAST(list_sum(list_transform(
+          |        floor((CAST(CAST(list_sum(list_transform(
           |          generate_series(1, 64),
           |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
           |          AS BIGINT) AS DOUBLE)
-          |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-          |          6) DESC, s.cid) AS rk
+          |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, s.cid) AS rk
           |    FROM ${p}short s
           |    JOIN qs q ON q.qid = s.qid
           |    JOIN base b ON b.vec_id = s.cid
@@ -4557,12 +4566,11 @@ object Llm {
         |  SELECT qid, cid FROM (
         |    SELECT q.qid, b.vec_id AS cid,
         |      row_number() OVER (PARTITION BY q.qid ORDER BY
-        |        round(CAST(CAST(list_sum(list_transform(
+        |        floor((CAST(CAST(list_sum(list_transform(
         |          generate_series(1, 64),
         |          i -> CAST(floor(q.qv[i] * b.v[i] * 1e9) AS BIGINT)))
         |          AS BIGINT) AS DOUBLE)
-        |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE)),
-        |          6) DESC, b.vec_id) AS rn
+        |          / sqrt(CAST(q.eq AS DOUBLE) * CAST(b.e2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 DESC, b.vec_id) AS rn
         |    FROM qs q CROSS JOIN base b
         |    WHERE b.vec_id <> q.qid
         |  ) WHERE rn <= $k

@@ -863,8 +863,8 @@ object Similarity {
         .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
       (r.getLong(0), qv, r.getLong(2), probes)
     }.toDF("qid", "qv", "eq", "probes")
-    val sim = round(expr("floor_dot_e9(qv, cv)").cast("double") /
-      sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)
+    val sim = graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(qv, cv)").cast("double") /
+      sqrt(col("eq").cast("double") * col("ec").cast("double")))
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     def topK(scored: DataFrame): DataFrame = scored
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
@@ -938,8 +938,8 @@ object Similarity {
                  else joined0
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     joined
-      .withColumn("sim", round(expr("floor_dot_e9(__qv, __cv)").cast("double") /
-        sqrt(col("__eq").cast("double") * col("__ec").cast("double")), 6))
+      .withColumn("sim", graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(__qv, __cv)").cast("double") /
+        sqrt(col("__eq").cast("double") * col("__ec").cast("double"))))
       .withColumn("rk", row_number().over(wq).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("cid"), col("sim"))
@@ -1028,8 +1028,8 @@ object Similarity {
                  else joined0
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     joined
-      .withColumn("sim", round(expr("floor_dot_e9(__qv, __cv)").cast("double") /
-        sqrt(col("__eq").cast("double") * col("__ec").cast("double")), 6))
+      .withColumn("sim", graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(__qv, __cv)").cast("double") /
+        sqrt(col("__eq").cast("double") * col("__ec").cast("double"))))
       .withColumn("rk", row_number().over(wq).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("cid"), col("sim"))
@@ -1076,8 +1076,8 @@ object Similarity {
       val cells = adaptiveProbeCells(centroids, counts, qv, k, margin)
       (r.getLong(0), qv, r.getLong(2), cells, cells.map(counts(_)).sum)
     }.toDF("qid", "qv", "eq", "probes", "scanned")
-    val sim = round(expr("floor_dot_e9(qv, cv)").cast("double") /
-      sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)
+    val sim = graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(qv, cv)").cast("double") /
+      sqrt(col("eq").cast("double") * col("ec").cast("double")))
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     def topK(scored: DataFrame): DataFrame = scored
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
@@ -1248,7 +1248,7 @@ object Similarity {
     * (query, sub, code) the dot-product LUT entry floors onto the e9 grid
     * (floor(dot·1e9) as long), the reconstruction-norm LUT likewise, and a
     * candidate's score sums m LUT longs (order-free) before ONE double
-    * division round(dot_e9 / sqrt(n2_e9), 6). Serving cost per candidate
+    * division gridRound6(dot_e9 / sqrt(n2_e9)). Serving cost per candidate
     * is m lookups + m adds — never a dim-length dot product; the LUT
     * build is nq·m·k small dots on the driver (bounded, broadcast). */
   def pqRecallAudit(embeddings: DataFrame, m: Int = 8, k: Int = 16,
@@ -1308,15 +1308,15 @@ object Similarity {
       .withColumn("n9",
         graft.functions.PqFunctions.adcNormE9(a, col("codes"), lutN2))
       .filter(col("n9") > 0)
-      .withColumn("sim", round(col("d9").cast("double") /
-        sqrt(col("n9").cast("double")), 6)))
+      .withColumn("sim", graft.functions.GridFunctions.gridRound6(col("d9").cast("double") /
+        sqrt(col("n9").cast("double")))))
 
     val q = qRows.map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
       .toSeq.toDF("qid", "qv", "eq")
     val bruteTop = topN(broadcast(q).crossJoin(a.select("cid", "cv", "ec"))
       .filter(col("cid") =!= col("qid"))
-      .withColumn("sim", round(expr("floor_dot_e9(qv, cv)").cast("double") /
-        sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
+      .withColumn("sim", graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(qv, cv)").cast("double") /
+        sqrt(col("eq").cast("double") * col("ec").cast("double")))))
 
     val common = pqTop.join(bruteTop, Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("n_common"))
@@ -1405,8 +1405,8 @@ object Similarity {
       .withColumn("n9",
         graft.functions.PqFunctions.adcNormE9(a, col("codes"), lutN2))
       .filter(col("n9") > 0)
-      .withColumn("adc_sim", round(col("d9").cast("double") /
-        sqrt(col("n9").cast("double")), 6))
+      .withColumn("adc_sim", graft.functions.GridFunctions.gridRound6(col("d9").cast("double") /
+        sqrt(col("n9").cast("double"))))
     val wShort = Window.partitionBy("qid")
       .orderBy(col("adc_sim").desc, col("cid"))
     val short = adc.withColumn("rs", row_number().over(wShort))
@@ -1419,8 +1419,8 @@ object Similarity {
       .join(a.select(col("cid"), col("cv"), col("ec")), "cid")
       .join(broadcast(qFrame.select(col("qid"), col("qv"), col("eq"))), "qid")
       .withColumn("sim",
-        round(expr("floor_dot_e9(qv, cv)").cast("double") /
-          sqrt(col("eq").cast("double") * col("ec").cast("double")), 6))
+        graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(qv, cv)").cast("double") /
+          sqrt(col("eq").cast("double") * col("ec").cast("double"))))
     val wFin = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     exact.withColumn("rk", row_number().over(wFin)).filter(col("rk") <= topK)
       .select(col("qid"), col("rk"), col("cid"), col("sim"))
@@ -1501,8 +1501,8 @@ object Similarity {
     }.toSeq.toDF("qi", "qid", "qv", "eq")
     val bruteTop = topN(broadcast(qFrame).crossJoin(a.select("cid", "cv", "ec"))
       .filter(col("cid") =!= col("qid"))
-      .withColumn("sim", round(expr("floor_dot_e9(qv, cv)").cast("double") /
-        sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
+      .withColumn("sim", graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(qv, cv)").cast("double") /
+        sqrt(col("eq").cast("double") * col("ec").cast("double")))))
       .pin // one consumer per margin
 
     val perMargin = margins.map { margin =>
@@ -1525,8 +1525,8 @@ object Similarity {
         .withColumn("n9", graft.functions.PqFunctions.adcNormE9(
           a, col("codes"), lutN2))
         .filter(col("n9") > 0)
-        .withColumn("adc_sim", round(col("d9").cast("double") /
-          sqrt(col("n9").cast("double")), 6))
+        .withColumn("adc_sim", graft.functions.GridFunctions.gridRound6(col("d9").cast("double") /
+          sqrt(col("n9").cast("double"))))
       val wShort = Window.partitionBy("qid")
         .orderBy(col("adc_sim").desc, col("cid"))
       val short = adc.withColumn("rs", row_number().over(wShort))
@@ -1536,8 +1536,8 @@ object Similarity {
         .join(a.select(col("cid"), col("cv"), col("ec")), "cid")
         .join(broadcast(probed.select(col("qid"), col("qv"), col("eq"))), "qid")
         .withColumn("sim",
-          round(expr("floor_dot_e9(qv, cv)").cast("double") /
-            sqrt(col("eq").cast("double") * col("ec").cast("double")), 6)))
+          graft.functions.GridFunctions.gridRound6(expr("floor_dot_e9(qv, cv)").cast("double") /
+            sqrt(col("eq").cast("double") * col("ec").cast("double")))))
       val common = served.join(bruteTop, Seq("qid", "cid"))
         .groupBy("qid").agg(count(lit(1)).as("n_common"))
       probed.select(col("qid"),
@@ -2077,8 +2077,8 @@ object Similarity {
       .withColumn("_c1", typedLit(c1.map(_ / 1e12).toIndexedSeq))
       .withColumn("_c2", typedLit(c2.map(_ / 1e12).toIndexedSeq))
       .select(col(idCol),
-        round(expr(gridSum("_c1")) / lit(1e9), 6).as("pc1"),
-        round(expr(gridSum("_c2")) / lit(1e9), 6).as("pc2"))
+        graft.functions.GridFunctions.gridRound6(expr(gridSum("_c1")) / lit(1e9)).as("pc1"),
+        graft.functions.GridFunctions.gridRound6(expr(gridSum("_c2")) / lit(1e9)).as("pc2"))
   }
 
 }
