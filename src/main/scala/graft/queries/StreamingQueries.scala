@@ -710,6 +710,13 @@ GROUP BY 1 ORDER BY channel"""
         max(when(col("event_type") === "error", expr("ts div 1000"))).as("me"),
         max(when(col("event_type") === "click", expr("ts div 1000"))).as("mc"))
       .head()
+    // an events table with no 'error' or no 'click' rows makes the max()
+    // NULL — fail with the reason instead of an unboxing NPE (the oracle's
+    // least() would silently tolerate the NULL and diverge)
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "errClickFinalWatermarkUs: events table has no " +
+        s"${if (r.isNullAt(0)) "'error'" else "'click'"} rows — the " +
+        "stream-pair watermark is undefined on this data")
     math.min(r.getLong(0) - 3600000000L, r.getLong(1) - 4L * 3600000000L)
   }
 

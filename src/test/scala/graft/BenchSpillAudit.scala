@@ -60,9 +60,33 @@ object BenchSpillAudit {
         println(s"[audit] $name FAILED: ${e.getMessage}")
       }
     }
-    // listener delivery is async (listenerBus is spark-private) — a short
-    // settle is enough for a dev census read after the last action returns
-    Thread.sleep(3000)
+    // listener delivery is async (listenerBus is spark-private) and a
+    // fixed sleep can silently drop late task-end events on a loaded host
+    // (feeding a wrong "zero spill" claim) — poll until the accumulated
+    // census is stable for 4 consecutive 500 ms reads, capped at 30 s
+    def digest(): Long = {
+      var h = 17L
+      def fold(m: java.util.concurrent.ConcurrentHashMap[String, _ <: AnyRef]): Unit = {
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          h = h * 31 + e.getKey.hashCode + e.getValue.toString.hashCode
+        }
+      }
+      fold(prof.spill); fold(prof.maxResult); fold(prof.shuffleW)
+      h
+    }
+    var last = digest()
+    var stable = 0
+    var waited = 0
+    while (stable < 4 && waited < 30000) {
+      Thread.sleep(500); waited += 500
+      val d = digest()
+      if (d == last) stable += 1 else { stable = 0; last = d }
+    }
+    if (stable < 4)
+      println("[audit] WARNING: listener counts still changing after 30 s " +
+        "— totals below may undercount late task-end events")
     var nSpill = 0
     qs.keys.toSeq.sorted.foreach { name =>
       val sp = Option(prof.spill.get(name)).map(_.sum).getOrElse(0L)

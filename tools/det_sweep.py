@@ -120,7 +120,94 @@ def duck_mode(sf_dir, out_dir):
     return fail
 
 
+def emitted_classify(out_dir):
+    """Classify every float column each query EMITS (r17, VERDICT item 6):
+
+      gridK — every value is the correctly-rounded double of a K-decimal
+              number (a floor-grid / rounded emission; cross-engine parity
+              then rests only on the OPERAND being bit-identical)
+      raw   — full-precision doubles (must be exact-by-replicated-
+              expression, like the q91 quantile interpolation, or the
+              driver's bitwise hash can flip)
+
+    Returns {query: [(col, class, n)]} for queries with any float column.
+    """
+    import numpy as np
+    inv = {}
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        df = read_out(d)
+        if df is None:
+            continue
+        cols = []
+        for c in df.columns:
+            if df[c].dtype.kind != "f":
+                continue
+            v = df[c].dropna().values.astype("float64")
+            if len(v) == 0:
+                cols.append((c, "all-null", 0))
+                continue
+            onk = None
+            for k in range(0, 10):
+                g = np.floor(v * 10 ** k + 0.5) / 10 ** k
+                if np.array_equal(g, v):
+                    onk = k
+                    break
+            cols.append((c, f"grid{onk}" if onk is not None else "raw", len(v)))
+        if cols:
+            inv[name] = cols
+    return inv
+
+
+def emitted_mode(out_dir, sf_dir=None):
+    """Print the emitted-float inventory; with sf_dir, rerun ONLY the
+    float-emitting queries' oracles at extreme thread counts (1 vs 32) and
+    compare bitwise against the Verify outputs — the targeted regression
+    guard for the r17 grid conversions."""
+    inv = emitted_classify(out_dir)
+    raw = {q: cs for q, cs in inv.items() if any(k == "raw" for _, k, _ in cs)}
+    print(f"emitted-float queries: {len(inv)}  (raw-valued: {len(raw)})")
+    for q, cs in sorted(raw.items()):
+        print(f"  [raw] {q}: " + ", ".join(f"{c}={k}(n={n})" for c, k, n in cs))
+    if sf_dir is None:
+        return 0
+    import duckdb
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    targets = sorted(set(inv) & set(oracles))
+    fail = 0
+    for threads in (1, 32):
+        con = duckdb.connect()
+        con.execute(f"PRAGMA threads={threads}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name in targets:
+            spark_df = read_out(f"{out_dir}/{name}")
+            try:
+                duck_df = con.execute(oracles[name]).df()
+            except Exception as e:  # noqa: BLE001
+                print(f"[{name}] threads={threads} ORACLE ERR {e}")
+                fail += 1
+                continue
+            d = diff(spark_df, duck_df)
+            if d:
+                print(f"[{name}] threads={threads} PARITY: {d}")
+                fail += 1
+        con.close()
+    print(f"\nemitted sweep: {len(targets)} float-emitting queries x "
+          f"threads 1/32: {fail} failures")
+    return fail
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
-    rc = spark_mode(*sys.argv[2:4]) if mode == "spark" else duck_mode(*sys.argv[2:4])
+    if mode == "spark":
+        rc = spark_mode(*sys.argv[2:4])
+    elif mode == "duck":
+        rc = duck_mode(*sys.argv[2:4])
+    elif mode == "emitted":
+        rc = emitted_mode(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
     sys.exit(1 if rc else 0)
