@@ -134,9 +134,18 @@ object GridFunctions {
     * (51/7998 adversarial doubles at k=6; NOTES r17) — every step here is
     * one correctly-rounded IEEE op, so identical operands give identical
     * results on any engine. Oracle twin: `floor((x) * 1e6 + 0.5) / 1e6`. */
-  def gridRound6(c: Column): Column = {
+  def gridRound6(c: Column): Column = gridRound(c, 6)
+
+  /** [[gridRound6]] at any decimal count — oracle twin
+    * `floor((x) * 10^k + 0.5) / 10^k` (plain `floor((x) + 0.5)` at k=0). */
+  def gridRound(c: Column, decimals: Int): Column = {
     import org.apache.spark.sql.functions.{floor, lit}
-    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    require(decimals >= 0 && decimals <= 9, s"decimals in [0,9]: $decimals")
+    if (decimals == 0) floor(c + lit(0.5))
+    else {
+      val p = math.pow(10, decimals)
+      floor(c * lit(p) + lit(0.5)) / lit(p)
+    }
   }
 
   def floorDotE9(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {

@@ -84,7 +84,7 @@ object Advanced {
         DspOperators.welchPsd(seg, nperseg = 64, hop = 32)
           .select(col("channel"), col("k"),
             round(col("freq"), 6).as("freq"),
-            round(log1p(col("psd")), 6).as("psd_ln"))
+            graft.functions.GridFunctions.gridRound(log1p(col("psd")), 6).as("psd_ln"))
           .orderBy("channel", "k")
       },
       Some(s"""|WITH ${QueryDef.EventsRectSql.stripPrefix("WITH ")},
@@ -111,8 +111,8 @@ object Advanced {
               |)
               |SELECT p.channel, CAST(p.k AS INT) AS k,
               |  round(p.k * 1000.0 / 64.0, 6) AS freq,
-              |  round(ln(1.0 + (CASE WHEN p.k = 0 OR p.k = 32 THEN 1.0 ELSE 2.0 END)
-              |    * p.p / (n.s * 1000.0 * ws.ww)), 6) AS psd_ln
+              |  floor((ln(1.0 + (CASE WHEN p.k = 0 OR p.k = 32 THEN 1.0 ELSE 2.0 END)
+              |    * p.p / (n.s * 1000.0 * ws.ww))) * 1e6 + 0.5) / 1e6 AS psd_ln
               |FROM pxx p CROSS JOIN nseg n CROSS JOIN wsum ws
               |ORDER BY channel, k""".stripMargin)),
 
@@ -540,10 +540,11 @@ object Advanced {
             col("sx").as("sx2"), col("sxx").as("sxx2"))), "t2")
           .join(broadcast(span))
           .select(col("t1"), col("t2"),
-            round((col("n") * col("sxy") - col("sx1") * col("sx2")).cast("double") /
-              sqrt((col("n") * col("sxx1") - col("sx1") * col("sx1")).cast("double") *
-                   (col("n") * col("sxx2") - col("sx2") * col("sx2")).cast("double")), 6)
-              .as("pearson_r"))
+            graft.functions.GridFunctions.gridRound(
+              (col("n") * col("sxy") - col("sx1") * col("sx2")).cast("double") /
+                sqrt((col("n") * col("sxx1") - col("sx1") * col("sx1")).cast("double") *
+                     (col("n") * col("sxx2") - col("sx2") * col("sx2")).cast("double")),
+              6).as("pearson_r"))
           .orderBy("t1", "t2")
       },
       Some("""|WITH m AS (
@@ -562,10 +563,10 @@ object Advanced {
              |  GROUP BY t1, t2
              |)
              |SELECT xy.t1, xy.t2,
-             |  round(CAST(span.n * xy.sxy - s1.sx * s2.sx AS DOUBLE) /
+             |  floor((CAST(span.n * xy.sxy - s1.sx * s2.sx AS DOUBLE) /
              |    sqrt(CAST(span.n * s1.sxx - s1.sx * s1.sx AS DOUBLE) *
-             |         CAST(span.n * s2.sxx - s2.sx * s2.sx AS DOUBLE)), 6)
-             |    AS pearson_r
+             |         CAST(span.n * s2.sxx - s2.sx * s2.sx AS DOUBLE)))
+             |    * 1e6 + 0.5) / 1e6 AS pearson_r
              |FROM xy
              |JOIN sums s1 ON s1.event_type = xy.t1
              |JOIN sums s2 ON s2.event_type = xy.t2
@@ -1005,7 +1006,7 @@ object Advanced {
           cnts.join(broadcast(tot))
             .agg(lit(name).as("column_name"),
               count(lit(1)).as("n_distinct"), max("n").as("n_rows"),
-              sum(expr("CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT)"))
+              sum(expr("CAST(floor(((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6) + 0.5) AS BIGINT)"))
                 .as("entropy_micro"))
         }
         entropy(col("event_type"), "event_type")
@@ -1019,23 +1020,23 @@ object Advanced {
       Some("""|WITH checks AS (
              |  SELECT 'event_type' AS column_name, count(*) AS n_distinct,
              |    max(n) AS n_rows,
-             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT)) AS entropy_micro
+             |    sum(CAST(floor(((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6) + 0.5) AS BIGINT)) AS entropy_micro
              |  FROM (SELECT c, sum(c) OVER () AS n FROM
              |    (SELECT count(*) AS c FROM events GROUP BY event_type))
              |  UNION ALL
              |  SELECT 'user_bucket', count(*), max(n),
-             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT))
+             |    sum(CAST(floor(((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6) + 0.5) AS BIGINT))
              |  FROM (SELECT c, sum(c) OVER () AS n FROM
              |    (SELECT count(*) AS c FROM events GROUP BY user_id // 10))
              |  UNION ALL
              |  SELECT 'minute_of_hour', count(*), max(n),
-             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT))
+             |    sum(CAST(floor(((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6) + 0.5) AS BIGINT))
              |  FROM (SELECT c, sum(c) OVER () AS n FROM
              |    (SELECT count(*) AS c FROM events
              |     GROUP BY (epoch_ns(ts) // 60000000000) % 60))
              |  UNION ALL
              |  SELECT 'value_band', count(*), max(n),
-             |    sum(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6, 0) AS BIGINT))
+             |    sum(CAST(floor(((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6) + 0.5) AS BIGINT))
              |  FROM (SELECT c, sum(c) OVER () AS n FROM
              |    (SELECT count(*) AS c FROM events
              |     GROUP BY CAST(floor(value * 1000) AS BIGINT) // 50000))
@@ -1499,8 +1500,8 @@ object Advanced {
         val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
           .pin // feeds the fit aggregate and the output rows
         val fit = hist
-          .select(expr("CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
-            expr("CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))
+          .select(expr("CAST(floor((ln(CAST(deg AS DOUBLE)) * 1e6) + 0.5) AS BIGINT)").as("x"),
+            expr("CAST(floor((ln(CAST(n_nodes AS DOUBLE)) * 1e6) + 0.5) AS BIGINT)").as("y"))
           .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
@@ -1522,8 +1523,8 @@ object Advanced {
              |), hist AS (
              |  SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg
              |), pts AS (
-             |  SELECT CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
-             |    CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+             |  SELECT CAST(floor((ln(CAST(deg AS DOUBLE)) * 1e6) + 0.5) AS BIGINT) AS x,
+             |    CAST(floor((ln(CAST(n_nodes AS DOUBLE)) * 1e6) + 0.5) AS BIGINT) AS y
              |  FROM hist
              |), fit AS (
              |  SELECT round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
@@ -2045,12 +2046,12 @@ object Advanced {
           // d == n_risk would be ln(0): flag the absorbing zero instead of
           // feeding -inf into the sum (same CASE both engines)
           .withColumn("lnterm", expr("""CASE WHEN d >= n_risk THEN 0
-            ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e6, 0)
+            ELSE CAST(floor((ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e6) + 0.5)
               AS BIGINT) END"""))
           .withColumn("dead", expr("CASE WHEN d >= n_risk THEN 1 ELSE 0 END"))
           .withColumn("s",
             when(sum("dead").over(wCum) > 0, lit(0.0))
-              .otherwise(round(exp(sum("lnterm").over(wCum).cast("double") / 1e6), 6)))
+              .otherwise(graft.functions.GridFunctions.gridRound(exp(sum("lnterm").over(wCum).cast("double") / 1e6), 6)))
           .select(col("dur_days"), col("n_risk"), col("d").as("n_churned"),
             (col("ending") - col("d")).as("n_censored"), col("s").as("survival"))
           .orderBy("dur_days")
@@ -2075,7 +2076,7 @@ object Advanced {
              |), l AS (
              |  SELECT dur_days, n_risk, d, ending,
              |    CASE WHEN d >= n_risk THEN 0
-             |      ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e6, 0)
+             |      ELSE CAST(floor((ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e6) + 0.5)
              |        AS BIGINT) END AS lnterm,
              |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
              |  FROM r
@@ -2084,8 +2085,8 @@ object Advanced {
              |  d AS n_churned, ending - d AS n_censored,
              |  CASE WHEN sum(dead) OVER (ORDER BY dur_days
              |      ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
-             |    ELSE round(exp(CAST(sum(lnterm) OVER (ORDER BY dur_days
-             |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6), 6) END AS survival
+             |    ELSE floor((exp(CAST(sum(lnterm) OVER (ORDER BY dur_days
+             |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6)) * 1e6 + 0.5) / 1e6 END AS survival
              |FROM l ORDER BY dur_days""".stripMargin)),
 
     QueryDef("q209_seasonality_index",
@@ -2285,8 +2286,8 @@ object Advanced {
           .filter(col("first_idx") < col("n_tokens"))
           .groupBy("n_tokens").agg(count(lit(1)).as("vocab"))
         val fit = pts
-          .select(expr("CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
-            expr("CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))
+          .select(expr("CAST(floor((ln(CAST(n_tokens AS DOUBLE)) * 1e6) + 0.5) AS BIGINT)").as("x"),
+            expr("CAST(floor((ln(CAST(vocab AS DOUBLE)) * 1e6) + 0.5) AS BIGINT)").as("y"))
           .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
             sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
           .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
@@ -2317,8 +2318,8 @@ object Advanced {
              |  WHERE first_idx < CAST(power(2, k.k) AS BIGINT)
              |  GROUP BY 1
              |), xy AS (
-             |  SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
-             |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+             |  SELECT CAST(floor((ln(CAST(n_tokens AS DOUBLE)) * 1e6) + 0.5) AS BIGINT) AS x,
+             |    CAST(floor((ln(CAST(vocab AS DOUBLE)) * 1e6) + 0.5) AS BIGINT) AS y
              |  FROM pts
              |), fit AS (
              |  SELECT round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
@@ -2479,9 +2480,8 @@ object Advanced {
         val tot = tr.agg(sum("n").cast("long").as("n_total"))
         val c = tr.join(broadcast(np), "prev_type").join(broadcast(tot))
           .withColumn("p_cond", round(col("n").cast("double") / col("n_prev"), 6))
-          .withColumn("contrib_micro", expr("""CAST(round(
-            -CAST(n AS DOUBLE) / n_total * ln(CAST(n AS DOUBLE) / n_prev) * 1e6,
-            0) AS BIGINT)"""))
+          .withColumn("contrib_micro", expr("""CAST(floor((
+            -CAST(n AS DOUBLE) / n_total * ln(CAST(n AS DOUBLE) / n_prev) * 1e6) + 0.5) AS BIGINT)"""))
         val h = c.agg(sum("contrib_micro").cast("long").as("h_cond_micro"))
         c.join(broadcast(h))
           .select(col("prev_type"), col("next_type"), col("n"), col("p_cond"),
@@ -2502,8 +2502,8 @@ object Advanced {
              |c AS (
              |  SELECT tr.prev_type, next_type, n,
              |    round(CAST(n AS DOUBLE) / n_prev, 6) AS p_cond,
-             |    CAST(round(-CAST(n AS DOUBLE) / n_total
-             |      * ln(CAST(n AS DOUBLE) / n_prev) * 1e6, 0) AS BIGINT)
+             |    CAST(floor((-CAST(n AS DOUBLE) / n_total
+             |      * ln(CAST(n AS DOUBLE) / n_prev) * 1e6) + 0.5) AS BIGINT)
              |      AS contrib_micro
              |  FROM tr JOIN np USING (prev_type) CROSS JOIN t
              |), h AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS h_cond_micro FROM c)
@@ -2895,17 +2895,17 @@ object Advanced {
              |), sc AS (
              |  SELECT doc_id, dl,
              |    (CASE WHEN tf0 > 0 THEN CAST(floor(
-             |       round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)), 6)
+             |       floor((ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))) * 1e6 + 0.5) / 1e6
              |       * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
              |       / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
              |       * 1000000.0) AS BIGINT) ELSE 0 END
              |   + CASE WHEN tf1 > 0 THEN CAST(floor(
-             |       round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)), 6)
+             |       floor((ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))) * 1e6 + 0.5) / 1e6
              |       * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
              |       / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
              |       * 1000000.0) AS BIGINT) ELSE 0 END
              |   + CASE WHEN tf2 > 0 THEN CAST(floor(
-             |       round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)), 6)
+             |       floor((ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))) * 1e6 + 0.5) / 1e6
              |       * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
              |       / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
              |       * 1000000.0) AS BIGINT) ELSE 0 END) AS s_e6
@@ -3071,15 +3071,15 @@ object Advanced {
         val tot = e.agg(count(lit(1)).as("nn"))
         val hy = e.groupBy("y").agg(count(lit(1)).as("ny"))
           .join(broadcast(tot))
-          .agg(sum(expr("""CAST(round(
-            -CAST(ny AS DOUBLE) / nn * ln(CAST(ny AS DOUBLE) / nn) * 1e6, 0)
+          .agg(sum(expr("""CAST(floor((
+            -CAST(ny AS DOUBLE) / nn * ln(CAST(ny AS DOUBLE) / nn) * 1e6) + 0.5)
             AS BIGINT)""")).as("h_y_micro"))
         def hcond(f: String) = {
           val vy = e.groupBy(col(f).as("v"), col("y")).agg(count(lit(1)).as("nvy"))
           val nv = vy.groupBy("v").agg(sum("nvy").as("nv"))
           vy.join(nv, "v").join(broadcast(tot))
-            .agg(sum(expr("""CAST(round(
-              -CAST(nvy AS DOUBLE) / nn * ln(CAST(nvy AS DOUBLE) / nv) * 1e6, 0)
+            .agg(sum(expr("""CAST(floor((
+              -CAST(nvy AS DOUBLE) / nn * ln(CAST(nvy AS DOUBLE) / nv) * 1e6) + 0.5)
               AS BIGINT)""")).as("h_cond_micro"))
             .select(lit(f).as("feature"), col("h_cond_micro"))
         }
@@ -3099,8 +3099,8 @@ object Advanced {
              |  FROM events
              |), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
              |hy AS (
-             |  SELECT CAST(sum(CAST(round(
-             |    -CAST(ny AS DOUBLE) / nn * ln(CAST(ny AS DOUBLE) / nn) * 1e6, 0)
+             |  SELECT CAST(sum(CAST(floor((
+             |    -CAST(ny AS DOUBLE) / nn * ln(CAST(ny AS DOUBLE) / nn) * 1e6) + 0.5)
              |    AS BIGINT)) AS BIGINT) AS h_y_micro
              |  FROM (SELECT y, count(*) AS ny FROM e GROUP BY y) CROSS JOIN tot
              |), feats AS (
@@ -3115,8 +3115,8 @@ object Advanced {
              |  SELECT feature, v, CAST(sum(nvy) AS BIGINT) AS nv
              |  FROM vy GROUP BY 1, 2
              |), hc AS (
-             |  SELECT vy.feature, CAST(sum(CAST(round(
-             |    -CAST(nvy AS DOUBLE) / nn * ln(CAST(nvy AS DOUBLE) / nv) * 1e6, 0)
+             |  SELECT vy.feature, CAST(sum(CAST(floor((
+             |    -CAST(nvy AS DOUBLE) / nn * ln(CAST(nvy AS DOUBLE) / nv) * 1e6) + 0.5)
              |    AS BIGINT)) AS BIGINT) AS h_cond_micro
              |  FROM vy JOIN nv ON vy.feature = nv.feature AND vy.v = nv.v
              |  CROSS JOIN tot
@@ -3143,9 +3143,9 @@ object Advanced {
         val tot = ut.agg(sum("nut").cast("long").as("nn"))
         ut.join(nu, "user_id").join(broadcast(nt), "event_type")
           .join(broadcast(tot))
-          .withColumn("contrib_micro", expr("""CAST(round(
+          .withColumn("contrib_micro", expr("""CAST(floor((
             CAST(nut AS DOUBLE) / nu
-              * ln(CAST(nut AS DOUBLE) / nu * nn / nt) * 1e6, 0) AS BIGINT)"""))
+              * ln(CAST(nut AS DOUBLE) / nu * nn / nt) * 1e6) + 0.5) AS BIGINT)"""))
           .groupBy("user_id")
           .agg(max("nu").as("n_events"), sum("contrib_micro").as("kl_micro"))
           .orderBy(col("kl_micro").desc, col("user_id")).limit(20)
@@ -3160,8 +3160,8 @@ object Advanced {
              |), tot AS (SELECT CAST(sum(nut) AS BIGINT) AS nn FROM ut),
              |c AS (
              |  SELECT ut.user_id, nu.nu,
-             |    CAST(round(CAST(nut AS DOUBLE) / nu
-             |      * ln(CAST(nut AS DOUBLE) / nu * nn / nt) * 1e6, 0) AS BIGINT)
+             |    CAST(floor((CAST(nut AS DOUBLE) / nu
+             |      * ln(CAST(nut AS DOUBLE) / nu * nn / nt) * 1e6) + 0.5) AS BIGINT)
              |      AS contrib_micro
              |  FROM ut JOIN nu USING (user_id) JOIN nt USING (event_type)
              |  CROSS JOIN tot
@@ -4081,12 +4081,12 @@ object Advanced {
         val t = g.groupBy("channel").agg(sum("s").cast("long").as("tot"))
         val c = g.join(t, "channel")
           .withColumn("contrib_micro", expr("""CASE WHEN s > 0
-            THEN CAST(round(CAST(s AS DOUBLE) / tot
-              * ln(CAST(s AS DOUBLE) / tot) * 1e6, 0) AS BIGINT)
+            THEN CAST(floor((CAST(s AS DOUBLE) / tot
+              * ln(CAST(s AS DOUBLE) / tot) * 1e6) + 0.5) AS BIGINT)
             ELSE 0L END"""))
         val mi = c.groupBy("channel")
-          .agg(expr("""CAST(round((ln(18.0D) + CAST(sum(contrib_micro) AS DOUBLE)
-            / 1e6) / ln(18.0D) * 1e6, 0) AS BIGINT)""").as("mi_ppm"))
+          .agg(expr("""CAST(floor(((ln(18.0D) + CAST(sum(contrib_micro) AS DOUBLE)
+            / 1e6) / ln(18.0D) * 1e6) + 0.5) AS BIGINT)""").as("mi_ppm"))
         c.join(mi, "channel")
           .select(col("channel"), col("bin"), col("n"),
             col("s").as("amp_milli"), col("contrib_micro"), col("mi_ppm"))
@@ -4490,16 +4490,16 @@ object Advanced {
           val vf = counts.count() // |values| for the Laplace denominator
           counts.join(broadcast(tot))
             .select(col("v"),
-              expr(s"""CAST(round(ln((c0 + 1.0D) / (n0 + ${vf}L)) * 1e6, 0)
+              expr(s"""CAST(floor((ln((c0 + 1.0D) / (n0 + ${vf}L)) * 1e6) + 0.5)
                 AS BIGINT)""").as(s"${f}_l0"),
-              expr(s"""CAST(round(ln((c1 + 1.0D) / (n1 + ${vf}L)) * 1e6, 0)
+              expr(s"""CAST(floor((ln((c1 + 1.0D) / (n1 + ${vf}L)) * 1e6) + 0.5)
                 AS BIGINT)""").as(s"${f}_l1"))
         }
         val scored = base.join(broadcast(tot))
           .withColumn("prior0",
-            expr("CAST(round(ln(CAST(n0 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)"))
+            expr("CAST(floor((ln(CAST(n0 AS DOUBLE) / nn) * 1e6) + 0.5) AS BIGINT)"))
           .withColumn("prior1",
-            expr("CAST(round(ln(CAST(n1 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)"))
+            expr("CAST(floor((ln(CAST(n1 AS DOUBLE) / nn) * 1e6) + 0.5) AS BIGINT)"))
           .join(broadcast(likelihood("f_hour_band"))
             .withColumnRenamed("v", "f_hour_band"), "f_hour_band")
           .join(broadcast(likelihood("f_value_digits"))
@@ -4529,36 +4529,36 @@ object Advanced {
              |  FROM base
              |), lhb AS (
              |  SELECT f_hour_band AS v,
-             |    CAST(round(ln((sum(1 - y) + 1.0) / (max(n0)
-             |      + (SELECT count(DISTINCT f_hour_band) FROM base))) * 1e6, 0)
+             |    CAST(floor((ln((sum(1 - y) + 1.0) / (max(n0)
+             |      + (SELECT count(DISTINCT f_hour_band) FROM base))) * 1e6) + 0.5)
              |      AS BIGINT) AS l0,
-             |    CAST(round(ln((sum(y) + 1.0) / (max(n1)
-             |      + (SELECT count(DISTINCT f_hour_band) FROM base))) * 1e6, 0)
+             |    CAST(floor((ln((sum(y) + 1.0) / (max(n1)
+             |      + (SELECT count(DISTINCT f_hour_band) FROM base))) * 1e6) + 0.5)
              |      AS BIGINT) AS l1
              |  FROM base CROSS JOIN tot GROUP BY 1
              |), lvd AS (
              |  SELECT f_value_digits AS v,
-             |    CAST(round(ln((sum(1 - y) + 1.0) / (max(n0)
-             |      + (SELECT count(DISTINCT f_value_digits) FROM base))) * 1e6, 0)
+             |    CAST(floor((ln((sum(1 - y) + 1.0) / (max(n0)
+             |      + (SELECT count(DISTINCT f_value_digits) FROM base))) * 1e6) + 0.5)
              |      AS BIGINT) AS l0,
-             |    CAST(round(ln((sum(y) + 1.0) / (max(n1)
-             |      + (SELECT count(DISTINCT f_value_digits) FROM base))) * 1e6, 0)
+             |    CAST(floor((ln((sum(y) + 1.0) / (max(n1)
+             |      + (SELECT count(DISTINCT f_value_digits) FROM base))) * 1e6) + 0.5)
              |      AS BIGINT) AS l1
              |  FROM base CROSS JOIN tot GROUP BY 1
              |), lub AS (
              |  SELECT f_user_bucket AS v,
-             |    CAST(round(ln((sum(1 - y) + 1.0) / (max(n0)
-             |      + (SELECT count(DISTINCT f_user_bucket) FROM base))) * 1e6, 0)
+             |    CAST(floor((ln((sum(1 - y) + 1.0) / (max(n0)
+             |      + (SELECT count(DISTINCT f_user_bucket) FROM base))) * 1e6) + 0.5)
              |      AS BIGINT) AS l0,
-             |    CAST(round(ln((sum(y) + 1.0) / (max(n1)
-             |      + (SELECT count(DISTINCT f_user_bucket) FROM base))) * 1e6, 0)
+             |    CAST(floor((ln((sum(y) + 1.0) / (max(n1)
+             |      + (SELECT count(DISTINCT f_user_bucket) FROM base))) * 1e6) + 0.5)
              |      AS BIGINT) AS l1
              |  FROM base CROSS JOIN tot GROUP BY 1
              |), scored AS (
              |  SELECT y,
-             |    CAST(round(ln(CAST(n0 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)
+             |    CAST(floor((ln(CAST(n0 AS DOUBLE) / nn) * 1e6) + 0.5) AS BIGINT)
              |      + a.l0 + b.l0 + c.l0 AS s0,
-             |    CAST(round(ln(CAST(n1 AS DOUBLE) / nn) * 1e6, 0) AS BIGINT)
+             |    CAST(floor((ln(CAST(n1 AS DOUBLE) / nn) * 1e6) + 0.5) AS BIGINT)
              |      + a.l1 + b.l1 + c.l1 AS s1
              |  FROM base CROSS JOIN tot
              |  JOIN lhb a ON a.v = f_hour_band
@@ -4599,7 +4599,7 @@ object Advanced {
         }.reduce(_ union _)
         // plogp(k, n) = (k/n) ln(k/n) guarded at k=0; IG in ONE chain
         val scored = cands.join(broadcast(tot))
-          .withColumn("ig_micro", expr("""CAST(round((
+          .withColumn("ig_micro", expr("""CAST(floor(((
             -(CASE WHEN t0 > 0 THEN CAST(t0 AS DOUBLE) / nn * ln(CAST(t0 AS DOUBLE) / nn) ELSE 0.0D END)
             - (CASE WHEN t1 > 0 THEN CAST(t1 AS DOUBLE) / nn * ln(CAST(t1 AS DOUBLE) / nn) ELSE 0.0D END)
             + CAST(c0 + c1 AS DOUBLE) / nn * (
@@ -4608,7 +4608,7 @@ object Advanced {
             + CAST(nn - c0 - c1 AS DOUBLE) / nn * (
                 (CASE WHEN t0 - c0 > 0 THEN CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0D END)
               + (CASE WHEN t1 - c1 > 0 THEN CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0D END))
-            ) * 1e6, 0) AS BIGINT)"""))
+            ) * 1e6) + 0.5) AS BIGINT)"""))
           .withColumn("n_correct",
             greatest(col("c0"), col("c1"))
               + greatest(col("t0") - col("c0"), col("t1") - col("c1")))
@@ -4648,7 +4648,7 @@ object Advanced {
              |  FROM base GROUP BY 2
              |), scored AS (
              |  SELECT feature, v, c0, c1, nn,
-             |    CAST(round((
+             |    CAST(floor(((
              |      -(CASE WHEN t0 > 0 THEN CAST(t0 AS DOUBLE) / nn * ln(CAST(t0 AS DOUBLE) / nn) ELSE 0.0 END)
              |      - (CASE WHEN t1 > 0 THEN CAST(t1 AS DOUBLE) / nn * ln(CAST(t1 AS DOUBLE) / nn) ELSE 0.0 END)
              |      + CAST(c0 + c1 AS DOUBLE) / nn * (
@@ -4657,7 +4657,7 @@ object Advanced {
              |      + CAST(nn - c0 - c1 AS DOUBLE) / nn * (
              |          (CASE WHEN t0 - c0 > 0 THEN CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t0 - c0 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0 END)
              |        + (CASE WHEN t1 - c1 > 0 THEN CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1) * ln(CAST(t1 - c1 AS DOUBLE) / (nn - c0 - c1)) ELSE 0.0 END))
-             |      ) * 1e6, 0) AS BIGINT) AS ig_micro,
+             |      ) * 1e6) + 0.5) AS BIGINT) AS ig_micro,
              |    greatest(c0, c1) + greatest(t0 - c0, t1 - c1) AS n_correct
              |  FROM cands CROSS JOIN tot
              |), best AS (
@@ -4823,10 +4823,10 @@ object Advanced {
           val bcount = c.count()
           val tots = c.agg(sum("cb").as("nb"), sum("cc").as("nc"))
           c.join(broadcast(tots))
-            .withColumn("term_micro", expr(s"""CAST(round(
+            .withColumn("term_micro", expr(s"""CAST(floor((
               ((cb + 1.0D) / (nb + ${bcount}L) - (cc + 1.0D) / (nc + ${bcount}L))
               * ln(((cb + 1.0D) / (nb + ${bcount}L))
-                 / ((cc + 1.0D) / (nc + ${bcount}L))) * 1e6, 0) AS BIGINT)"""))
+                 / ((cc + 1.0D) / (nc + ${bcount}L))) * 1e6) + 0.5) AS BIGINT)"""))
             .agg(sum("term_micro").as("psi_micro"))
             .select(lit(f).as("feature"), col("psi_micro"))
         }
@@ -4860,10 +4860,10 @@ object Advanced {
              |  FROM c GROUP BY 1
              |)
              |SELECT c.feature,
-             |  CAST(sum(CAST(round(
+             |  CAST(sum(CAST(floor((
              |    ((cb + 1.0) / (nb + bc) - (cc + 1.0) / (nc + bc))
              |    * ln(((cb + 1.0) / (nb + bc)) / ((cc + 1.0) / (nc + bc)))
-             |    * 1e6, 0) AS BIGINT)) AS BIGINT) AS psi_micro
+             |    * 1e6) + 0.5) AS BIGINT)) AS BIGINT) AS psi_micro
              |FROM c JOIN t ON t.feature = c.feature
              |GROUP BY c.feature ORDER BY c.feature""".stripMargin)),
 
@@ -5110,11 +5110,11 @@ object Advanced {
         val terms = x.join(broadcast(tot))
           .join(broadcast(g), "nation")
           .select(col("nation"),
-            expr("""CAST(round(CAST(x AS DOUBLE) * nn / ss
-              * ln(CAST(x AS DOUBLE) * nn / ss) * 1e6, 0) AS BIGINT)""")
+            expr("""CAST(floor((CAST(x AS DOUBLE) * nn / ss
+              * ln(CAST(x AS DOUBLE) * nn / ss) * 1e6) + 0.5) AS BIGINT)""")
               .as("t_glob_micro"),
-            expr("""CAST(round(CAST(x AS DOUBLE) * ng / sg
-              * ln(CAST(x AS DOUBLE) * ng / sg) * 1e6, 0) AS BIGINT)""")
+            expr("""CAST(floor((CAST(x AS DOUBLE) * ng / sg
+              * ln(CAST(x AS DOUBLE) * ng / sg) * 1e6) + 0.5) AS BIGINT)""")
               .as("t_within_micro"))
           .groupBy("nation")
           .agg(sum("t_glob_micro").as("tg_sum"), sum("t_within_micro").as("tw_sum"))
@@ -5124,8 +5124,8 @@ object Advanced {
             expr("round(CAST(tw_sum AS DOUBLE) / ng / 1e6, 6)").as("t_within"),
             // income share and the group's between-term, one chain each
             expr("round(CAST(sg AS DOUBLE) / ss, 6)").as("income_share"),
-            expr("""round(CAST(sg AS DOUBLE) / ss
-              * ln(CAST(sg AS DOUBLE) * nn / (CAST(ss AS DOUBLE) * ng)), 6)""")
+            expr("""floor((CAST(sg AS DOUBLE) / ss
+              * ln(CAST(sg AS DOUBLE) * nn / (CAST(ss AS DOUBLE) * ng))) * 1e6 + 0.5) / 1e6""")
               .as("t_between_term"),
             expr("round(CAST(tg_sum AS DOUBLE) / nn / 1e6, 6)")
               .as("t_total_contrib"))
@@ -5146,11 +5146,11 @@ object Advanced {
              |  FROM x GROUP BY 1
              |), terms AS (
              |  SELECT x.nation,
-             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * nn / ss
-             |      * ln(CAST(x AS DOUBLE) * nn / ss) * 1e6, 0) AS BIGINT))
+             |    CAST(sum(CAST(floor((CAST(x AS DOUBLE) * nn / ss
+             |      * ln(CAST(x AS DOUBLE) * nn / ss) * 1e6) + 0.5) AS BIGINT))
              |      AS BIGINT) AS tg_sum,
-             |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * ng / sg
-             |      * ln(CAST(x AS DOUBLE) * ng / sg) * 1e6, 0) AS BIGINT))
+             |    CAST(sum(CAST(floor((CAST(x AS DOUBLE) * ng / sg
+             |      * ln(CAST(x AS DOUBLE) * ng / sg) * 1e6) + 0.5) AS BIGINT))
              |      AS BIGINT) AS tw_sum
              |  FROM x CROSS JOIN tot JOIN g ON g.nation = x.nation
              |  GROUP BY x.nation
@@ -5159,8 +5159,8 @@ object Advanced {
              |  round(CAST(sg AS DOUBLE) / ng / 100.0, 6) AS mean_price,
              |  round(CAST(tw_sum AS DOUBLE) / ng / 1e6, 6) AS t_within,
              |  round(CAST(sg AS DOUBLE) / ss, 6) AS income_share,
-             |  round(CAST(sg AS DOUBLE) / ss
-             |    * ln(CAST(sg AS DOUBLE) * nn / (CAST(ss AS DOUBLE) * ng)), 6)
+             |  floor((CAST(sg AS DOUBLE) / ss
+             |    * ln(CAST(sg AS DOUBLE) * nn / (CAST(ss AS DOUBLE) * ng))) * 1e6 + 0.5) / 1e6
              |    AS t_between_term,
              |  round(CAST(tg_sum AS DOUBLE) / nn / 1e6, 6) AS t_total_contrib
              |FROM terms t JOIN g ON g.nation = t.nation CROSS JOIN tot

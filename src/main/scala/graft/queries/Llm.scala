@@ -629,10 +629,11 @@ object Llm {
              |  SELECT count(*) AS n_distinct_exact
              |  FROM (SELECT DISTINCT item FROM tri)
              |)
-             |SELECT zero_buckets, round(raw, 4) AS raw_estimate,
-             |  round(CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
+             |SELECT zero_buckets,
+             |  floor((raw) * 1e4 + 0.5) / 1e4 AS raw_estimate,
+             |  floor((CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
              |    THEN 256.0 * ln(256.0 / CAST(zero_buckets AS DOUBLE))
-             |    ELSE raw END, 4) AS estimate,
+             |    ELSE raw END) * 1e4 + 0.5) / 1e4 AS estimate,
              |  n_distinct_exact
              |FROM est CROSS JOIN ex""".stripMargin
 
@@ -1138,7 +1139,7 @@ object Llm {
              |  FROM w GROUP BY word
              |)
              |SELECT word, term_count, doc_freq,
-             |  round(ln((n.n_docs + 1.0) / (doc_freq + 1.0)), 6) AS idf
+             |  floor((ln((n.n_docs + 1.0) / (doc_freq + 1.0))) * 1e6 + 0.5) / 1e6 AS idf
              |FROM g CROSS JOIN n
              |ORDER BY doc_freq DESC, word LIMIT 100""".stripMargin)),
 
@@ -1726,12 +1727,14 @@ object Llm {
              |  FROM g GROUP BY source
              |)
              |SELECT source, CAST(n AS BIGINT) AS n_ranks,
-             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-             |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-             |  round(((CAST(sy AS DOUBLE) / 1e6)
+             |  floor((CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             |    AS slope,
+             |  floor((((CAST(sy AS DOUBLE) / 1e6)
              |      - (CAST(n * sxy - sx * sy AS DOUBLE)
              |         / CAST(n * sxx - sx * sx AS DOUBLE))
-             |        * (CAST(sx AS DOUBLE) / 1e6)) / n, 6) AS intercept
+             |        * (CAST(sx AS DOUBLE) / 1e6)) / n) * 1e6 + 0.5) / 1e6
+             |    AS intercept
              |FROM s ORDER BY source""".stripMargin)),
 
     QueryDef("q80_int8_topk",
@@ -1954,7 +1957,8 @@ object Llm {
         val exact = tri.distinct().agg(count(lit(1)).as("n_distinct_exact"))
         exact.crossJoin(est)
           .select(col("n_distinct_exact"), col("n_kept"), col("h_k"),
-            round(col("estimate"), 6).as("estimate"))
+            graft.functions.GridFunctions.gridRound(col("estimate"), 6)
+              .as("estimate"))
       },
       // same 60-bit "99:" hash grid; bottom-1024 of the distinct hash set,
       // estimate (k-1)*2^60/h_k in the identical double expression
@@ -1977,9 +1981,9 @@ object Llm {
              |  SELECT count(DISTINCT item) AS n_distinct_exact FROM tri
              |)
              |SELECT ex.n_distinct_exact, s.n_kept, s.h_k,
-             |  round(CASE WHEN s.n_kept < 1024 THEN CAST(s.n_kept AS DOUBLE)
+             |  floor((CASE WHEN s.n_kept < 1024 THEN CAST(s.n_kept AS DOUBLE)
              |    ELSE CAST(1023 AS DOUBLE) * 1152921504606846976.0
-             |         / CAST(s.h_k AS DOUBLE) END, 6) AS estimate
+             |         / CAST(s.h_k AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS estimate
              |FROM ex CROSS JOIN s""".stripMargin)),
 
     QueryDef("q86_tfidf_keywords",
@@ -1995,13 +1999,13 @@ object Llm {
              |    count(DISTINCT doc_id) AS doc_freq
              |  FROM w GROUP BY word
              |), vocab AS (
-             |  SELECT word, round(ln((n.n_docs + 1.0) / (doc_freq + 1.0)), 6) AS idf
+             |  SELECT word, floor((ln((n.n_docs + 1.0) / (doc_freq + 1.0))) * 1e6 + 0.5) / 1e6 AS idf
              |  FROM g CROSS JOIN n ORDER BY doc_freq DESC, word LIMIT 1000
              |), tf AS (
              |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
              |), scored AS (
              |  SELECT t.doc_id, t.word, t.tf,
-             |    round(CAST(t.tf AS DOUBLE) * v.idf, 6) AS score
+             |    floor((CAST(t.tf AS DOUBLE) * v.idf) * 1e6 + 0.5) / 1e6 AS score
              |  FROM tf t JOIN vocab v USING (word)
              |), r AS (
              |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -2142,7 +2146,7 @@ object Llm {
              |  JOIN uni u2 ON u2.word = string_split(b.bg, ' ')[2]
              |)
              |SELECT bg, c, c1, c2, round(lift0, 6) AS lift,
-             |  round(ln(lift0), 6) AS pmi
+             |  floor((ln(lift0)) * 1e6 + 0.5) / 1e6 AS pmi
              |FROM sc ORDER BY round(lift0, 6) DESC, bg LIMIT 50""".stripMargin)),
 
     QueryDef("q100_jaccard_prefix_join",
@@ -2422,17 +2426,17 @@ object Llm {
              |), sc AS (
              |  SELECT doc_id, dl,
              |    (CASE WHEN tf0 > 0 THEN CAST(floor(
-             |       round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)), 6)
+             |       floor((ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))) * 1e6 + 0.5) / 1e6
              |       * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
              |       / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
              |       * 1000000.0) AS BIGINT) ELSE 0 END
              |   + CASE WHEN tf1 > 0 THEN CAST(floor(
-             |       round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)), 6)
+             |       floor((ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))) * 1e6 + 0.5) / 1e6
              |       * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
              |       / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
              |       * 1000000.0) AS BIGINT) ELSE 0 END
              |   + CASE WHEN tf2 > 0 THEN CAST(floor(
-             |       round(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)), 6)
+             |       floor((ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))) * 1e6 + 0.5) / 1e6
              |       * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
              |       / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (total_dl / n))))
              |       * 1000000.0) AS BIGINT) ELSE 0 END) AS s_e6
@@ -2568,9 +2572,9 @@ object Llm {
              |  FROM (SELECT DISTINCT source, item FROM tri) GROUP BY 1
              |)
              |SELECT est.source, zero_buckets,
-             |  round(CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
+             |  floor((CASE WHEN zero_buckets > 0 AND raw <= 2.5 * 256.0
              |    THEN 256.0 * ln(256.0 / CAST(zero_buckets AS DOUBLE))
-             |    ELSE raw END, 4) AS estimate,
+             |    ELSE raw END) * 1e4 + 0.5) / 1e4 AS estimate,
              |  n_distinct_exact
              |FROM est JOIN ex USING (source)
              |ORDER BY est.source""".stripMargin)),
@@ -2649,13 +2653,13 @@ object Llm {
              |  SELECT count(*) AS n_inter_exact FROM a0 JOIN b0 USING (item)
              |)
              |SELECT n_kept, h_k, n_common,
-             |  round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
-             |    ELSE 255.0 * 1.152921504606846976e18 / CAST(h_k AS DOUBLE) END, 4)
-             |    AS union_est,
-             |  round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE) *
+             |  floor((CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+             |    ELSE 255.0 * 1.152921504606846976e18 / CAST(h_k AS DOUBLE) END)
+             |    * 1e4 + 0.5) / 1e4 AS union_est,
+             |  floor((CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE) *
              |    (CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
-             |     ELSE 255.0 * 1.152921504606846976e18 / CAST(h_k AS DOUBLE) END), 4)
-             |    AS inter_est,
+             |     ELSE 255.0 * 1.152921504606846976e18 / CAST(h_k AS DOUBLE) END))
+             |    * 1e4 + 0.5) / 1e4 AS inter_est,
              |  n_inter_exact
              |FROM stats CROSS JOIN ex""".stripMargin)),
 
@@ -3368,9 +3372,9 @@ object Llm {
              |  GROUP BY 1
              |)
              |SELECT e.day, e.zero_buckets,
-             |  round(CASE WHEN e.zero_buckets > 0 AND e.raw <= 2.5 * 256.0
+             |  floor((CASE WHEN e.zero_buckets > 0 AND e.raw <= 2.5 * 256.0
              |    THEN 256.0 * ln(256.0 / CAST(e.zero_buckets AS DOUBLE))
-             |    ELSE e.raw END, 4) AS estimate,
+             |    ELSE e.raw END) * 1e4 + 0.5) / 1e4 AS estimate,
              |  x.n_exact
              |FROM est e JOIN ex x ON x.day = e.day
              |ORDER BY e.day""".stripMargin)),
@@ -4395,8 +4399,8 @@ object Llm {
        |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
        |  CAST(count(*) AS BIGINT) AS vsz FROM v0),
        |c0 AS MATERIALIZED (
-       |  SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE)
-       |    / CAST(t0.total AS DOUBLE)) * 1e6) AS BIGINT) AS cost_e6
+       |  SELECT piece, CAST(floor((-ln(CAST(cnt AS DOUBLE)
+       |    / CAST(t0.total AS DOUBLE)) * 1e6) + 0.5) AS BIGINT) AS cost_e6
        |  FROM v0 CROSS JOIN t0
        |),
        |ud0 AS (SELECT w, CAST(0 AS BIGINT) AS dp FROM ws),
@@ -4407,8 +4411,8 @@ object Llm {
        |),
        |t1 AS (SELECT CAST(sum(n_uses) AS BIGINT) AS total FROM n1),
        |c1 AS MATERIALIZED (
-       |  SELECT v0.piece, CAST(round(-ln(CAST(coalesce(n1.n_uses, 0) + 1 AS DOUBLE)
-       |    / CAST(t1.total + t0.vsz AS DOUBLE)) * 1e6) AS BIGINT) AS cost_e6
+       |  SELECT v0.piece, CAST(floor((-ln(CAST(coalesce(n1.n_uses, 0) + 1 AS DOUBLE)
+       |    / CAST(t1.total + t0.vsz AS DOUBLE)) * 1e6) + 0.5) AS BIGINT) AS cost_e6
        |  FROM v0 LEFT JOIN n1 USING (piece) CROSS JOIN t1 CROSS JOIN t0
        |),
        |${unigramDpCtes("r2", "c1")},

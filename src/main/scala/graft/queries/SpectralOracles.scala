@@ -373,13 +373,13 @@ ph AS (
 ), t AS (SELECT channel, CAST(sum(s) AS BIGINT) AS tot FROM g GROUP BY 1),
 c AS (
   SELECT g.channel, bin, n, s,
-    CASE WHEN s > 0 THEN CAST(round(CAST(s AS DOUBLE) / tot
-      * ln(CAST(s AS DOUBLE) / tot) * 1e6, 0) AS BIGINT) ELSE 0 END
+    CASE WHEN s > 0 THEN CAST(floor((CAST(s AS DOUBLE) / tot
+      * ln(CAST(s AS DOUBLE) / tot) * 1e6) + 0.5) AS BIGINT) ELSE 0 END
       AS contrib_micro
   FROM g JOIN t USING (channel)
 ), mi AS (
-  SELECT channel, CAST(round((ln(18.0) + CAST(sum(contrib_micro) AS DOUBLE)
-    / 1e6) / ln(18.0) * 1e6, 0) AS BIGINT) AS mi_ppm
+  SELECT channel, CAST(floor(((ln(18.0) + CAST(sum(contrib_micro) AS DOUBLE)
+    / 1e6) / ln(18.0) * 1e6) + 0.5) AS BIGINT) AS mi_ppm
   FROM c GROUP BY 1
 )
 SELECT c.channel, bin, n, s AS amp_milli, contrib_micro, mi_ppm

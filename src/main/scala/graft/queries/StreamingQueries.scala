@@ -1511,10 +1511,10 @@ ORDER BY event_type, win"""
     val tots = cells.groupBy("feature")
       .agg(sum("cb").as("nb"), sum("cc").as("nc"), count(lit(1)).as("bc"))
     cells.join(tots, "feature")
-      .withColumn("term_micro", expr("""CAST(round(
+      .withColumn("term_micro", expr("""CAST(floor((
         ((cb + 1.0D) / (nb + bc) - (cc + 1.0D) / (nc + bc))
         * ln(((cb + 1.0D) / (nb + bc))
-           / ((cc + 1.0D) / (nc + bc))) * 1e6, 0) AS BIGINT)"""))
+           / ((cc + 1.0D) / (nc + bc))) * 1e6) + 0.5) AS BIGINT)"""))
       .groupBy("feature").agg(sum("term_micro").cast("long").as("psi_micro"))
       .orderBy("feature")
   }
@@ -1547,10 +1547,10 @@ ORDER BY event_type, win"""
        |  FROM c GROUP BY 1
        |)
        |SELECT c.feature,
-       |  CAST(sum(CAST(round(
+       |  CAST(sum(CAST(floor((
        |    ((cb + 1.0) / (nb + bc) - (cc + 1.0) / (nc + bc))
        |    * ln(((cb + 1.0) / (nb + bc)) / ((cc + 1.0) / (nc + bc)))
-       |    * 1e6, 0) AS BIGINT)) AS BIGINT) AS psi_micro
+       |    * 1e6) + 0.5) AS BIGINT)) AS BIGINT) AS psi_micro
        |FROM c JOIN t ON t.feature = c.feature
        |GROUP BY c.feature ORDER BY c.feature""".stripMargin
 

@@ -535,7 +535,7 @@ object Curation {
     tf.join(df, "word")
       .crossJoin(broadcast(n))
       .withColumn("idf",
-        round(log((col("_n_docs") + lit(1.0)) / (col("doc_freq") + lit(1.0))), 6))
+        graft.functions.GridFunctions.gridRound(log((col("_n_docs") + lit(1.0)) / (col("doc_freq") + lit(1.0))), 6))
       .drop("_n_docs")
       .orderBy(col("doc_freq").desc, col("word"))
       .limit(topK)
@@ -564,7 +564,8 @@ object Curation {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("word"))
     tf.join(broadcast(idf), "word")
-      .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
+      .withColumn("score", graft.functions.GridFunctions.gridRound(
+        col("tf").cast("double") * col("idf"), 6))
       .withColumn("term_rank", row_number().over(w))
       .filter(col("term_rank") <= perDoc)
       .select(col(idCol), col("word"), col("tf"), col("score"), col("term_rank"))
@@ -614,7 +615,8 @@ object Curation {
       ((col("sy").cast("double") / 1e6) - slopeD * (col("sx").cast("double") / 1e6)) /
         col("n_ranks")
     s.select(col(streamCol), col("n_ranks"),
-      round(slopeD, 6).as("slope"), round(interceptD, 6).as("intercept"))
+      graft.functions.GridFunctions.gridRound(slopeD, 6).as("slope"),
+      graft.functions.GridFunctions.gridRound(interceptD, 6).as("intercept"))
   }
 
   // --- composed curation pipeline -------------------------------------------
@@ -805,7 +807,7 @@ object Curation {
     def contribE6(i: Int): Column = {
       val tf = col(s"_tf$i").cast("double")
       val df = col(s"_df$i").cast("double")
-      val idf = round(log(lit(1.0) + (nD - df + lit(0.5)) / (df + lit(0.5))), 6)
+      val idf = graft.functions.GridFunctions.gridRound(log(lit(1.0) + (nD - df + lit(0.5)) / (df + lit(0.5))), 6)
       val norm = tf + lit(k1) * (lit(1.0) - lit(b) +
         lit(b) * (col("dl").cast("double") / avgdl))
       when(col(s"_tf$i") > 0L,

@@ -144,9 +144,11 @@ object Sketches {
       .agg(count(lit(1)).as("n_kept"), max("h").as("h_k"),
         sum(col("ina") * col("inb")).as("n_common"))
       .select(col("n_kept"), col("h_k"), col("n_common"),
-        round(unionEst, 4).as("union_est"),
-        round(col("n_common").cast("double") / col("n_kept").cast("double")
-          * unionEst, 4).as("inter_est"))
+        graft.functions.GridFunctions.gridRound(unionEst, 4)
+          .as("union_est"),
+        graft.functions.GridFunctions.gridRound(
+          col("n_common").cast("double") / col("n_kept").cast("double")
+            * unionEst, 4).as("inter_est"))
   }
 
   // --- HyperLogLog ----------------------------------------------------------
@@ -198,9 +200,10 @@ object Sketches {
       .withColumn("raw",
         lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(256.0 * 256.0) /
           (col("num").cast("double") / lit(2.305843009213693952e18)))
-      .withColumn("raw_estimate", round(col("raw"), 4))
+      .withColumn("raw_estimate",
+        graft.functions.GridFunctions.gridRound(col("raw"), 4))
       .withColumn("estimate",
-        round(when(col("zero_buckets") > 0L && col("raw") <= lit(2.5 * 256.0),
+        graft.functions.GridFunctions.gridRound(when(col("zero_buckets") > 0L && col("raw") <= lit(2.5 * 256.0),
           lit(256.0) * log(lit(256.0) / col("zero_buckets").cast("double")))
           .otherwise(col("raw")), 4))
   }

@@ -279,7 +279,7 @@ object TextAnalysis {
           / (col("n2").cast("double") * col("c1") * col("c2")))
       .select(col("bg"), col("c"), col("c1"), col("c2"),
         round(col("_lift"), 6).as("lift"),
-        round(log(col("_lift")), 6).as("pmi"))
+        graft.functions.GridFunctions.gridRound(log(col("_lift")), 6).as("pmi"))
       .orderBy(col("lift").desc, col("bg"))
       .limit(topK)
   }

@@ -105,8 +105,8 @@ object Unigram {
 
     // round-0 costs straight from candidate counts
     var costDf = vocab.select(col("piece"),
-      expr(s"CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST($total0 AS DOUBLE)) " +
-        "* 1e6) AS BIGINT)").as("cost_e6")).pin
+      expr(s"CAST(floor((-ln(CAST(cnt AS DOUBLE) / CAST($total0 AS DOUBLE)) " +
+        "* 1e6) + 0.5) AS BIGINT)").as("cost_e6")).pin
 
     var nUses: DataFrame = null
     var r = 0
@@ -121,8 +121,8 @@ object Unigram {
         val totalR = nUses.agg(sum("n_uses").cast("long")).head().getLong(0)
         costDf = vocab.select(col("piece")).join(nUses, Seq("piece"), "left")
           .select(col("piece"),
-            expr(s"CAST(round(-ln(CAST(coalesce(n_uses, 0) + 1 AS DOUBLE) " +
-              s"/ CAST(${totalR + vSize} AS DOUBLE)) * 1e6) AS BIGINT)")
+            expr(s"CAST(floor((-ln(CAST(coalesce(n_uses, 0) + 1 AS DOUBLE) " +
+              s"/ CAST(${totalR + vSize} AS DOUBLE)) * 1e6) + 0.5) AS BIGINT)")
               .as("cost_e6")).pin
       }
     }
