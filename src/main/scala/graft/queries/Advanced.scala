@@ -3775,6 +3775,49 @@ object Advanced {
              |FROM scored WHERE inter * 5 >= size_a * 4
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    QueryDef("q385_arith_canary",
+      "cross-engine arithmetic canary: the floor-grid readout chains " +
+        "(division, sqrt, ln, products, truncation) pinned per row on " +
+        "real doubles",
+      // the r17 grid contract as a driver-certified surface: every parity
+      // conversion this round rests on a handful of engine-arithmetic
+      // facts — +,*,/ and sqrt are correctly rounded on identical inputs
+      // (measured sqrt: 0/67994 JVM-vs-DuckDB bitwise mismatches), floor
+      // has no half-way case, and transcendental grids absorb the libm
+      // ulp-mismatch (ln: 3.4e-4/value raw, ~3e-14 after the e6 grid).
+      // This query evaluates exactly those chains per row over a
+      // deterministic lineitem slice and emits ONLY floor-grid values, so
+      // any engine/build drift in the arithmetic contract (a different
+      // libm, a vectorized reassociation, a rounding-mode change) reds
+      // THIS row-diffable query instead of scattering across the
+      // registry — and Verify's _colhash.json localizes the failing chain
+      // to a column. Plan shape: one pushed-filter scan, one narrow
+      // projection, no shuffle before the bounded sort.
+      (s, dir) => table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+          (floor(col("l_extendedprice") / (col("l_discount") + lit(1.25))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("g4_div"),
+          (floor(sqrt(col("l_extendedprice")) * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("g6_sqrt"),
+          (floor(log(col("l_extendedprice")) * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("g6_ln"),
+          floor(col("l_extendedprice") * lit(1e2) * col("l_quantity")
+            + lit(0.5)).as("cents_q"),
+          floor(col("l_extendedprice") * lit(1e3)).as("xe3"))
+        .orderBy("k"),
+      Some("""SELECT l_orderkey * 10 + l_linenumber AS k,
+             |  floor(l_extendedprice / (l_discount + 1.25) * 1e4 + 0.5)
+             |    / 1e4 AS g4_div,
+             |  floor(sqrt(l_extendedprice) * 1e6 + 0.5) / 1e6 AS g6_sqrt,
+             |  floor(ln(l_extendedprice) * 1e6 + 0.5) / 1e6 AS g6_ln,
+             |  CAST(floor(l_extendedprice * 1e2 * l_quantity + 0.5) AS BIGINT)
+             |    AS cents_q,
+             |  CAST(floor(l_extendedprice * 1e3) AS BIGINT) AS xe3
+             |FROM lineitem WHERE l_orderkey % 97 = 0
+             |ORDER BY k""".stripMargin)),
+
     QueryDef("q238_aqp_sample_estimate",
       "approximate query processing audit: Horvitz-Thompson estimates from a deterministic 1-in-4 sample vs truth",
       // the sampled-dashboard contract, made auditable: a fixed md5 grid
