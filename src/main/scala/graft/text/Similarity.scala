@@ -62,19 +62,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Cosine over primitive float arrays — the in-group quadratic's hot
-    * loop ([[cellPairs]]); same math as [[cosine]], zero boxing. */
-  private def cosineFF(a: Array[Float], b: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
   private def cosineArr(a: Array[Double], b: Seq[Float]): Double = {
     val bv = b match { case s: scala.collection.IndexedSeq[Float] => s; case s => s.toIndexedSeq }
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -107,7 +94,7 @@ object Similarity {
   // single correctly-rounded double product (float→double widening is
   // exact), the long sum is order-free, so any IEEE engine — and the
   // DuckDB oracles via Llm.gridSimE4Sql — reproduces them bit-for-bit.
-  // Raw double cosines (cosineFF/cosineArrF) remain ONLY in ranking
+  // Raw double cosines (cosineArr/cosineArrF) remain ONLY in ranking
   // positions with deterministic tie-breaks (nearest-cell argmax), where
   // a cross-engine flip needs two candidates within ~1e-15 relative — the
   // documented Class-C latency, not an emission hazard.
