@@ -178,7 +178,7 @@ object Bench {
     "q379_semdedup_yield", "q380_semdedup_approx_exact",
     "q381_incremental_semdedup_stored", "q382_semdedup_sampled_train",
     "q383_streaming_semdedup_approx", "q384_containment_join_sparse",
-    "q385_arith_canary")
+    "q385_arith_canary", "q386_f32_storage_contract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -137,7 +137,23 @@ object GridFunctions {
   def gridRound6(c: Column): Column = gridRound(c, 6)
 
   /** [[gridRound6]] at any decimal count — oracle twin
-    * `floor((x) * 10^k + 0.5) / 10^k` (plain `floor((x) + 0.5)` at k=0). */
+    * `floor((x) * 10^k + 0.5) / 10^k` (plain `floor((x) + 0.5)` at k=0).
+    *
+    * NON-FINITE CONTRACT (r18, ADVICE): Spark's `floor` over DoubleType is
+    * LongType, so a NaN operand silently becomes 0.0 and ±Inf becomes
+    * ±Long.Max/10^k, while the DuckDB twin's `floor` PROPAGATES NaN/Inf —
+    * a non-finite operand is therefore a guaranteed parity red, never a
+    * silent agreement. Every call site must make its operand provably
+    * finite: either structurally (ln/sqrt of strictly-positive counts,
+    * exp of non-positive sums, guarded CASE branches — the audit in
+    * NOTES §r18) or with an explicit zero-denominator guard carried
+    * verbatim in the oracle twin (q201 pearson variance guard,
+    * zipfSpectrum's single-rank fit guard, the gridSimE4 zero-norm
+    * branch). NULL passes through identically on both engines and is the
+    * canonical "undefined" emission. Half-way note: floor(x·10^k + 0.5)
+    * is round-half-UP for negatives (−0.5 → 0, not −1) — fine because
+    * both engines evaluate the identical expression; pinned by
+    * GridContractSpec. */
   def gridRound(c: Column, decimals: Int): Column = {
     import org.apache.spark.sql.functions.{floor, lit}
     require(decimals >= 0 && decimals <= 9, s"decimals in [0,9]: $decimals")

@@ -69,5 +69,26 @@ object Checkpoints {
           ds.localCheckpoint(eager = true)
       }
     }
+
+    /** [[pin]] with SERIALIZED local blocks
+      * (`localCheckpoint(eager, MEMORY_AND_DISK_SER)`): same lineage
+      * truncation and ContextCleaner lifecycle, but the materialized
+      * partitions live as compact serialized bytes instead of row objects
+      * — the DspMegaSoak lesson (serialized storage halved GC
+      * stop-the-world), applied where a pinned frame is LARGE and
+      * re-read only a few times (q306's pair/item frames: two
+      * localCheckpoint writes were the measured ±40% wall variance, r17
+      * NOTES §7). Iterative round-state that is re-read every round
+      * stays on the deserialized [[pin]]. Under a configured
+      * [[Checkpoints.DirKey]] both behave identically (reliable
+      * checkpoint to the shared dir). */
+    def pinSer: Dataset[T] = {
+      val spark = ds.sparkSession
+      spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
+        case Some(_) => ds.pin
+        case None => ds.localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      }
+    }
   }
 }

@@ -38,9 +38,21 @@ object Quantiles {
   /** Per-group exact quantiles. `ps` maps output column name -> p in [0,1];
     * output is one row per group: (groupCol, ps.map(_._1)*), group rendered
     * as string. Null values are excluded (SQL aggregate semantics); groups
-    * with no non-null values don't appear. */
+    * with no non-null values don't appear.
+    *
+    * `gridDecimals` (r18): when set, each emitted quantile is snapped to
+    * the k-decimal floor grid `floor(q·10^k + 0.5)/10^k` — the
+    * [[graft.functions.GridFunctions.gridRound]] contract, making the
+    * READOUT exact-by-construction instead of exact-by-replicated-
+    * expression (the interpolation itself is still the identical IEEE
+    * chain both engines evaluate; the grid removes the residual class
+    * where an oracle rewrite could re-associate it). The operand is
+    * finite by construction: an interpolation between two finite data
+    * values with frac in [0,1). Default None preserves the raw readout
+    * for callers whose oracles replay the raw chain. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                     ps: Seq[(String, Double)]): DataFrame = {
+                     ps: Seq[(String, Double)],
+                     gridDecimals: Option[Int] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"quantile ps must be in [0,1]; got $ps")
     val spark = df.sparkSession
@@ -127,7 +139,14 @@ object Quantiles {
         val frac = rank - lo.toDouble
         val vLo = selected((g, lo))
         val vHi = selected((g, hi))
-        vLo + (vHi - vLo) * frac
+        val raw = vLo + (vHi - vLo) * frac
+        // same op sequence as GridFunctions.gridRound / the SQL twin
+        // `floor((x) * 10^k + 0.5) / 10^k` — one correctly-rounded IEEE
+        // op per step, so identical on any engine
+        gridDecimals.fold(raw) { k =>
+          val pw = math.pow(10, k)
+          math.floor(raw * pw + 0.5) / pw
+        }
       }
       Row.fromSeq(g +: qs)
     }
@@ -153,16 +172,20 @@ object Quantiles {
     * aggregation; the med/mad tables are group-count-sized and broadcast.
     * Never a whole group through one percentile buffer. */
   def robustOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
-                         k: Double = 3.0): DataFrame = {
+                         k: Double = 3.0,
+                         gridDecimals: Option[Int] = None): DataFrame = {
     require(k > 0, s"need k>0; got $k")
     val base = df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull && col("g").isNotNull)
-    val med = exactQuantiles(base, "g", "v", Seq("med" -> 0.5))
+    // gridDecimals grids BOTH medians — med feeds the deviations, so the
+    // oracle must replay the gridded med in ad = |v - med| as well as in
+    // the emitted column (q96's twin does)
+    val med = exactQuantiles(base, "g", "v", Seq("med" -> 0.5), gridDecimals)
     val dev = base.join(broadcast(med), "g")
       .withColumn("ad", abs(col("v") - col("med")))
-    val mad = exactQuantiles(dev, "g", "ad", Seq("mad" -> 0.5))
+    val mad = exactQuantiles(dev, "g", "ad", Seq("mad" -> 0.5), gridDecimals)
     dev.join(broadcast(mad), "g")
       .groupBy("g")
       .agg(count(lit(1)).as("n"),
@@ -195,7 +218,8 @@ object Quantiles {
     * groups×nBins window cumsum; per-p conditional selection. Two scans of
     * the input, both narrow. */
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                         ps: Seq[(String, Double)], nBins: Int = 256): DataFrame = {
+                         ps: Seq[(String, Double)], nBins: Int = 256,
+                         gridDecimals: Option[Int] = None): DataFrame = {
     require(nBins >= 1, s"need nBins>=1; got $nBins")
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
       s"histogram quantile ps must be in (0,1]; got $ps")
@@ -224,11 +248,16 @@ object Quantiles {
       .withColumn("cumBefore", col("cum") - col("c"))
     val aggs = ps.map { case (name, p) =>
       val tr = greatest(ceil(lit(p) * col("n")).cast("long"), lit(1L))
-      max(when(col("cumBefore") < tr && col("cum") >= tr,
+      // grid OUTSIDE the max: the floor grid is monotone, so
+      // grid(max(x)) == max(grid(x)), and exactly one bin satisfies the
+      // rank condition anyway; operand finite (in-bin interpolation of
+      // finite bounds)
+      val sel = max(when(col("cumBefore") < tr && col("cum") >= tr,
         col("mn") + (col("mx") - col("mn")) / nBins.toDouble *
           (col("bin").cast("double") +
             (tr - col("cumBefore")).cast("double") / col("c").cast("double"))))
-        .as(name)
+      gridDecimals.fold(sel)(k =>
+        graft.functions.GridFunctions.gridRound(sel, k)).as(name)
     }
     cum.groupBy("g")
       .agg(aggs.head, aggs.tail: _*)
@@ -264,7 +293,8 @@ object Quantiles {
     * here are over bounded data by construction. */
   def quantilesFromCells(cells: DataFrame, groupCol: String,
                          lo: Double, hi: Double, nBins: Int,
-                         ps: Seq[(String, Double)]): DataFrame = {
+                         ps: Seq[(String, Double)],
+                         gridDecimals: Option[Int] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
       s"histogram quantile ps must be in (0,1]; got $ps")
     import org.apache.spark.sql.expressions.Window
@@ -278,11 +308,12 @@ object Quantiles {
       .withColumn("cumBefore", col("cum") - col("cnt"))
     val aggs = ps.map { case (name, p) =>
       val tr = greatest(ceil(lit(p) * col("n")).cast("long"), lit(1L))
-      max(when(col("cumBefore") < tr && col("cum") >= tr,
+      val sel = max(when(col("cumBefore") < tr && col("cum") >= tr,
         lit(lo) + lit(hi - lo) / nBins.toDouble *
           (col("bin").cast("double") +
             (tr - col("cumBefore")).cast("double") / col("cnt").cast("double"))))
-        .as(name)
+      gridDecimals.fold(sel)(k =>
+        graft.functions.GridFunctions.gridRound(sel, k)).as(name)
     }
     cum.groupBy("g")
       .agg(aggs.head, aggs.tail: _*)

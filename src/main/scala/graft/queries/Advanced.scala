@@ -539,12 +539,20 @@ object Advanced {
           .join(broadcast(sums.select(col("event_type").as("t2"),
             col("sx").as("sx2"), col("sxx").as("sxx2"))), "t2")
           .join(broadcast(span))
+          // zero-variance guard on the EXACT INTEGER variances (n·sxx−sx²
+          // are BIGINT products — no float compare): a constant-count type
+          // would otherwise push NaN/Inf into gridRound, whose floor is 0
+          // on Spark but NaN-propagating in DuckDB (the gridRound
+          // non-finite contract). NULL is the defined "undefined" reading
+          // on both engines.
+          .withColumn("_v1", col("n") * col("sxx1") - col("sx1") * col("sx1"))
+          .withColumn("_v2", col("n") * col("sxx2") - col("sx2") * col("sx2"))
           .select(col("t1"), col("t2"),
-            graft.functions.GridFunctions.gridRound(
-              (col("n") * col("sxy") - col("sx1") * col("sx2")).cast("double") /
-                sqrt((col("n") * col("sxx1") - col("sx1") * col("sx1")).cast("double") *
-                     (col("n") * col("sxx2") - col("sx2") * col("sx2")).cast("double")),
-              6).as("pearson_r"))
+            when(col("_v1") > 0L && col("_v2") > 0L,
+              graft.functions.GridFunctions.gridRound(
+                (col("n") * col("sxy") - col("sx1") * col("sx2")).cast("double") /
+                  sqrt(col("_v1").cast("double") * col("_v2").cast("double")),
+                6)).as("pearson_r"))
           .orderBy("t1", "t2")
       },
       Some("""|WITH m AS (
@@ -563,10 +571,12 @@ object Advanced {
              |  GROUP BY t1, t2
              |)
              |SELECT xy.t1, xy.t2,
-             |  floor((CAST(span.n * xy.sxy - s1.sx * s2.sx AS DOUBLE) /
+             |  CASE WHEN span.n * s1.sxx - s1.sx * s1.sx > 0
+             |        AND span.n * s2.sxx - s2.sx * s2.sx > 0
+             |  THEN floor((CAST(span.n * xy.sxy - s1.sx * s2.sx AS DOUBLE) /
              |    sqrt(CAST(span.n * s1.sxx - s1.sx * s1.sx AS DOUBLE) *
              |         CAST(span.n * s2.sxx - s2.sx * s2.sx AS DOUBLE)))
-             |    * 1e6 + 0.5) / 1e6 AS pearson_r
+             |    * 1e6 + 0.5) / 1e6 END AS pearson_r
              |FROM xy
              |JOIN sums s1 ON s1.event_type = xy.t1
              |JOIN sums s2 ON s2.event_type = xy.t2
@@ -1505,8 +1515,15 @@ object Advanced {
           .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
-          .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          // guarded floor-grid, not round(): the ratio of integer sums is
+          // non-rational-margin (den ~1e15, so the 1/(2n) round() safety
+          // bound doesn't apply), and a single-degree histogram makes the
+          // denominator 0 → NaN (gridRound non-finite contract) — same
+          // CASE both engines, NULL fit when degenerate.
+          .select(when(col("np") * col("sxx") - col("sx") * col("sx") > 0L,
+            graft.functions.GridFunctions.gridRound(
+              (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
             .as("loglog_slope"))
         hist.join(broadcast(fit))
           .select(col("deg"), col("n_nodes"), col("loglog_slope"))
@@ -1527,9 +1544,10 @@ object Advanced {
              |    CAST(floor((ln(CAST(n_nodes AS DOUBLE)) * 1e6) + 0.5) AS BIGINT) AS y
              |  FROM hist
              |), fit AS (
-             |  SELECT round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
-             |    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 6)
-             |    AS loglog_slope
+             |  SELECT CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+             |    THEN floor((CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             |      / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+             |      * 1e6 + 0.5) / 1e6 END AS loglog_slope
              |  FROM pts
              |)
              |SELECT deg, n_nodes, loglog_slope
@@ -1539,13 +1557,16 @@ object Advanced {
       "per-type boxplot export: exact quartiles, 1.5-IQR whiskers, outlier census",
       // the dashboard boxplot in one pass over Quantiles.exactQuantiles'
       // range-shuffled rank selection (never a whole group in one buffer),
-      // then the bounds broadcast back for the outlier count — bound
-      // doubles are identical in both engines (same interpolation chain),
-      // so the comparison census can't disagree.
+      // then the bounds broadcast back for the outlier count. Quartiles
+      // ride the 6-decimal floor grid (r18 — the round() readout was the
+      // measured cross-engine round() hazard class); the fences derive
+      // from the GRIDDED quartiles on both engines, so the comparison
+      // census compares identical doubles.
       (s, dir) => {
         val q = graft.operators.Quantiles.exactQuantiles(
             table(s, dir, "events"), "event_type", "value",
-            Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+            Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75),
+            gridDecimals = Some(6))
           .withColumn("lo_fence", col("p25") - (col("p75") - col("p25")) * 1.5)
           .withColumn("hi_fence", col("p75") + (col("p75") - col("p25")) * 1.5)
         table(s, dir, "events")
@@ -1557,8 +1578,7 @@ object Advanced {
             count(when(col("value") < col("lo_fence") ||
               col("value") > col("hi_fence"), 1)).as("n_outliers"))
           .select(col("event_type"), col("n"),
-            round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
-            round(col("p75"), 6).as("p75"), col("n_outliers"))
+            col("p25"), col("p50"), col("p75"), col("n_outliers"))
           .orderBy("event_type")
       },
       Some("""|WITH v AS (
@@ -1585,9 +1605,9 @@ object Advanced {
              |  FROM r GROUP BY g, n
              |), qq AS (
              |  SELECT g,
-             |    lo25 + (hi25 - lo25) * (0.25::DOUBLE * (n - 1) - floor(0.25::DOUBLE * (n - 1))) AS p25,
-             |    lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
-             |    lo75 + (hi75 - lo75) * (0.75::DOUBLE * (n - 1) - floor(0.75::DOUBLE * (n - 1))) AS p75
+             |    floor((lo25 + (hi25 - lo25) * (0.25::DOUBLE * (n - 1) - floor(0.25::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p25,
+             |    floor((lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p50,
+             |    floor((lo75 + (hi75 - lo75) * (0.75::DOUBLE * (n - 1) - floor(0.75::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p75
              |  FROM sel
              |), f AS (
              |  SELECT g, p25, p50, p75,
@@ -1596,8 +1616,8 @@ object Advanced {
              |  FROM qq
              |)
              |SELECT v.g AS event_type, count(*) AS n,
-             |  round(max(f.p25), 6) AS p25, round(max(f.p50), 6) AS p50,
-             |  round(max(f.p75), 6) AS p75,
+             |  max(f.p25) AS p25, max(f.p50) AS p50,
+             |  max(f.p75) AS p75,
              |  count(*) FILTER (WHERE v.v < f.lo_fence OR v.v > f.hi_fence)
              |    AS n_outliers
              |FROM v JOIN f ON f.g = v.g

@@ -649,7 +649,7 @@ object Analytics {
             (expr("ts div 1000") - expr("asof_ts div 1000"))
               .cast("double").as("lat_us"))
         graft.operators.Quantiles.exactQuantiles(j, "day", "lat_us",
-            Seq("p50" -> 0.5, "p90" -> 0.9))
+            Seq("p50" -> 0.5, "p90" -> 0.9), gridDecimals = Some(6))
           .orderBy("day")
       },
       Some("""|WITH p AS (
@@ -680,8 +680,8 @@ object Analytics {
              |  FROM r GROUP BY g, n
              |)
              |SELECT g AS day,
-             |  lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
-             |  lo90 + (hi90 - lo90) * (0.9::DOUBLE * (n - 1) - floor(0.9::DOUBLE * (n - 1))) AS p90
+             |  floor((lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p50,
+             |  floor((lo90 + (hi90 - lo90) * (0.9::DOUBLE * (n - 1) - floor(0.9::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p90
              |FROM sel ORDER BY day""".stripMargin)),
 
     QueryDef("q157_key_skew_report",

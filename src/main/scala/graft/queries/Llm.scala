@@ -453,9 +453,13 @@ object Llm {
     * parity-by-luck raw-double rounding (the r15/r16 q377 lesson).
     * ARGUMENT ORDER IS PART OF THE CONTRACT: `va`'s norm divides first. */
   private[queries] def gridSimE4Sql(va: String, vb: String): String = {
+    // COALESCE(…, 0): DuckDB's list_sum over an EMPTY list is NULL, which
+    // would sail past the `na <= 0` zero-norm CASE and emit NULL where the
+    // Scala gridSimE4 contract says 0.0 — a zero-length vector must hit
+    // the same zero-norm branch on both engines (r18 ADVICE).
     def mom(x: String, y: String) =
-      s"CAST(list_sum(list_transform(generate_series(1, least(len($x), len($y))), " +
-        s"i -> CAST(floor($x[i] * $y[i] * 1e9) AS BIGINT))) AS BIGINT)"
+      s"COALESCE(CAST(list_sum(list_transform(generate_series(1, least(len($x), len($y))), " +
+        s"i -> CAST(floor($x[i] * $y[i] * 1e9) AS BIGINT))) AS BIGINT), 0)"
     val (d, na, nb) = (mom(va, vb), mom(va, va), mom(vb, vb))
     s"(CASE WHEN $na <= 0 OR $nb <= 0 THEN 0.0 " +
       s"ELSE floor(CAST($d AS DOUBLE) / sqrt(CAST($na AS DOUBLE)) " +
@@ -1727,14 +1731,16 @@ object Llm {
              |  FROM g GROUP BY source
              |)
              |SELECT source, CAST(n AS BIGINT) AS n_ranks,
-             |  floor((CAST(n * sxy - sx * sy AS DOUBLE)
+             |  CASE WHEN n * sxx - sx * sx > 0
+             |  THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
              |      / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5) / 1e6
-             |    AS slope,
-             |  floor((((CAST(sy AS DOUBLE) / 1e6)
+             |  END AS slope,
+             |  CASE WHEN n * sxx - sx * sx > 0
+             |  THEN floor((((CAST(sy AS DOUBLE) / 1e6)
              |      - (CAST(n * sxy - sx * sy AS DOUBLE)
              |         / CAST(n * sxx - sx * sx AS DOUBLE))
              |        * (CAST(sx AS DOUBLE) / 1e6)) / n) * 1e6 + 0.5) / 1e6
-             |    AS intercept
+             |  END AS intercept
              |FROM s ORDER BY source""".stripMargin)),
 
     QueryDef("q80_int8_topk",

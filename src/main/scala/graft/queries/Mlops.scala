@@ -2913,11 +2913,11 @@ object Mlops {
           .withColumn("is_test", expr(
             u60("concat('rec:', CAST(o_custkey AS STRING))", spark = true) +
               " % 5 = 0"))
-          .pin
+          .pinSer
         val itemsQ = table(s, dir, "lineitem")
           .groupBy(col("l_orderkey"), col("l_partkey"))
           .agg(sum(col("l_quantity").cast("long")).as("qty"))
-          .pin
+          .pinSer
         val trainCnt = pairsO.filter(!col("is_test"))
           .join(itemsQ.select(col("l_orderkey").as("o1"),
             col("l_partkey").as("pa")), "o1")

@@ -259,11 +259,13 @@ object Relational {
       // graft.operators.Quantiles: one range shuffle + two-level rank
       // offsets — never a whole group through one percentile buffer. The
       // oracle replays the identical interpolation (p*(n-1), floor,
-      // v_lo+(v_hi-v_lo)*frac) over row_number order statistics, so the
-      // doubles hash-match with no rounding.
+      // v_lo+(v_hi-v_lo)*frac) over row_number order statistics; the
+      // READOUT rides the 6-decimal floor grid (r18 — parity by
+      // construction, closing the emitted-float census).
       (s, dir) => graft.operators.Quantiles.exactQuantiles(
           table(s, dir, "events"), "event_type", "value",
-          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99),
+          gridDecimals = Some(6))
         .orderBy("event_type"),
       Some("""WITH v AS (
              |  SELECT event_type AS g, value AS v FROM events
@@ -289,9 +291,9 @@ object Relational {
              |  FROM r GROUP BY g, n
              |)
              |SELECT g AS event_type,
-             |  lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
-             |  lo95 + (hi95 - lo95) * (0.95::DOUBLE * (n - 1) - floor(0.95::DOUBLE * (n - 1))) AS p95,
-             |  lo99 + (hi99 - lo99) * (0.99::DOUBLE * (n - 1) - floor(0.99::DOUBLE * (n - 1))) AS p99
+             |  floor((lo50 + (hi50 - lo50) * (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p50,
+             |  floor((lo95 + (hi95 - lo95) * (0.95::DOUBLE * (n - 1) - floor(0.95::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p95,
+             |  floor((lo99 + (hi99 - lo99) * (0.99::DOUBLE * (n - 1) - floor(0.99::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS p99
              |FROM sel ORDER BY event_type""".stripMargin)),
 
     QueryDef("q92_cube_pricing",
@@ -324,13 +326,14 @@ object Relational {
     QueryDef("q96_robust_outliers",
       "median/MAD robust outlier stats per group (two exact-quantile passes)",
       // Quantiles.robustOutlierStats composes two exactQuantiles range
-      // shuffles; med and mad are bit-identical across engines (the q91
-      // interpolation contract), so the strict |v-med| > 3*mad flag needs
-      // no rounding. The oracle replays both medians via the q91
-      // row_number order-statistic idiom.
+      // shuffles; med and mad ride the 6-decimal floor grid (r18 — exact
+      // by construction, not by two engines' doubles agreeing), so the
+      // strict |v-med| > 3*mad flag compares identical inputs. The oracle
+      // replays both GRIDDED medians via the q91 row_number
+      // order-statistic idiom — the gridded med also feeds ad.
       (s, dir) => graft.operators.Quantiles.robustOutlierStats(
           table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
-          k = 3.0)
+          k = 3.0, gridDecimals = Some(6))
         .orderBy("l_returnflag"),
       Some("""WITH base AS (
              |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
@@ -348,8 +351,8 @@ object Relational {
              |      THEN v END) AS hi
              |  FROM r GROUP BY g, n
              |), med AS (
-             |  SELECT g, lo + (hi - lo) *
-             |    (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS med
+             |  SELECT g, floor((lo + (hi - lo) *
+             |    (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS med
              |  FROM medsel
              |), dev AS (
              |  SELECT b.g, b.v, m.med, abs(b.v - m.med) AS ad
@@ -365,8 +368,8 @@ object Relational {
              |      THEN ad END) AS hi
              |  FROM r2 GROUP BY g, n
              |), mad AS (
-             |  SELECT g, lo + (hi - lo) *
-             |    (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS mad
+             |  SELECT g, floor((lo + (hi - lo) *
+             |    (0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1)))) * 1e6 + 0.5) / 1e6 AS mad
              |  FROM madsel
              |)
              |SELECT d.g AS l_returnflag, count(*) AS n,
@@ -561,7 +564,8 @@ object Relational {
       // sketch exactly — no t-digest randomness.
       (s, dir) => graft.operators.Quantiles.histogramQuantiles(
           table(s, dir, "events"), "event_type", "value",
-          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99), nBins = 256)
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99), nBins = 256,
+          gridDecimals = Some(6))
         .orderBy("event_type"),
       Some("""WITH base AS (
              |  SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
@@ -587,21 +591,21 @@ object Relational {
              |  FROM counts
              |)
              |SELECT g AS event_type,
-             |  max(CASE WHEN cumb < greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+             |  floor((max(CASE WHEN cumb < greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
              |    AND cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
              |    THEN mn + (mx - mn) / 256.0 * (CAST(bin AS DOUBLE)
              |      + CAST(greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) - cumb AS DOUBLE)
-             |        / CAST(c AS DOUBLE)) END) AS p50,
-             |  max(CASE WHEN cumb < greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+             |        / CAST(c AS DOUBLE)) END)) * 1e6 + 0.5) / 1e6 AS p50,
+             |  floor((max(CASE WHEN cumb < greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
              |    AND cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
              |    THEN mn + (mx - mn) / 256.0 * (CAST(bin AS DOUBLE)
              |      + CAST(greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) - cumb AS DOUBLE)
-             |        / CAST(c AS DOUBLE)) END) AS p95,
-             |  max(CASE WHEN cumb < greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+             |        / CAST(c AS DOUBLE)) END)) * 1e6 + 0.5) / 1e6 AS p95,
+             |  floor((max(CASE WHEN cumb < greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
              |    AND cum >= greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
              |    THEN mn + (mx - mn) / 256.0 * (CAST(bin AS DOUBLE)
              |      + CAST(greatest(CAST(ceil(0.99 * n) AS BIGINT), 1) - cumb AS DOUBLE)
-             |        / CAST(c AS DOUBLE)) END) AS p99
+             |        / CAST(c AS DOUBLE)) END)) * 1e6 + 0.5) / 1e6 AS p99
              |FROM cum GROUP BY g ORDER BY event_type""".stripMargin)),
 
     QueryDef("q115_bucketed_join",

@@ -553,5 +553,52 @@ ORDER BY item, channel""")),
   ('sess_b', 'CAR_of_downsampled_ECoG', CAST(1 AS BIGINT)),
   ('sess_b', 'downsampled_ECoG', CAST(4 AS BIGINT)),
   ('sess_b', 'wvlt_amp_CAR_ln_downsampled_ECoG', CAST(24 AS BIGINT))
-) AS t(session, tbl, n_rows) ORDER BY session, tbl""")))
+) AS t(session, tbl, n_rows) ORDER BY session, tbl""")),
+
+    // F1 precision='single' (utils.py:9-31), the last spec-only SURVEY §2
+    // row, made driver-visible (r18 VERDICT item 5). f32 VALUE parity of
+    // the FFT pipeline stays with the golden-vector specs — DuckDB has no
+    // f32 FFT to oracle against — but the STORAGE contract is fully
+    // oracle-checkable: (a) the stored column is FloatType (schema string
+    // rides the result, oracle pins the literal), (b) the double→float
+    // cast at the boundary is IEEE round-to-nearest — DuckDB's
+    // CAST(AS REAL) replays it bit-for-bit, certified through e9 integer
+    // checksums of the f32 values widened back to f64 (exact widening),
+    // (c) the parquet FloatType round-trip is lossless (readback ==
+    // pre-write cast, emitted as a count the oracle fixes at n). Source =
+    // the splitmix64 synthetic raw noise (the q303/q34 replica), so every
+    // checksummed value is derivable by both engines from first
+    // principles.
+    QueryDef("q386_f32_storage_contract",
+      "F1 float32 storage boundary: FloatType schema, IEEE cast checksums, lossless round-trip",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("q386_store")
+        graft.streaming.StreamingOps.deleteOnExit(root)
+        val store = new graft.store.NwbStore(root.toString, s)
+        val src = s.read.format("graft.sources.SyntheticSource")
+          .option("nchannels", 8).option("ntime", 800).option("seed", 42)
+          .load() // (channel INT, t INT, value DOUBLE)
+        store.writeProcessing("single_raw",
+          graft.store.NwbStore.withPrecision(src, "single"))
+        val back = store.readProcessing("single_raw")
+        val storedType = back.schema("value").dataType.simpleString
+        val expected = src.select(col("channel"), col("t"),
+          col("value").cast("float").as("vexp"))
+        back.join(expected, Seq("channel", "t"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_samples"),
+            sum(floor(col("value").cast("double") * lit(1e9))).as("sum_f32_e9"),
+            sum(when(col("value") === col("vexp"), 1L).otherwise(0L))
+              .as("n_roundtrip_exact"))
+          .select(col("channel"), lit(storedType).as("stored_type"),
+            col("n_samples"), col("sum_f32_e9"), col("n_roundtrip_exact"))
+          .orderBy("channel")
+      },
+      Some(s"""|WITH ${SpectralOracles.rawNoiseCtesFor(42L).trim.stripSuffix(",")}
+               |SELECT ch AS channel, 'float' AS stored_type,
+               |  count(*) AS n_samples,
+               |  CAST(sum(CAST(floor(CAST(CAST(v AS REAL) AS DOUBLE) * 1e9)
+               |    AS BIGINT)) AS BIGINT) AS sum_f32_e9,
+               |  CAST(count(*) AS BIGINT) AS n_roundtrip_exact
+               |FROM smoothed GROUP BY ch ORDER BY channel""".stripMargin)))
 }

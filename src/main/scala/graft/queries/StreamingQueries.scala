@@ -553,7 +553,8 @@ GROUP BY 1 ORDER BY channel"""
     val cells = updates.groupBy("g", "bin").agg(max("cnt").as("cnt"))
     graft.operators.Quantiles.quantilesFromCells(cells, "event_type",
         lo = 0.0, hi = 1000.0, nBins = 200,
-        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99),
+        gridDecimals = Some(6))
       .orderBy("event_type")
   }
 
@@ -575,21 +576,21 @@ GROUP BY 1 ORDER BY channel"""
       |  FROM cells
       |)
       |SELECT g AS event_type,
-      |  max(CASE WHEN cumb < greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+      |  floor((max(CASE WHEN cumb < greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
       |    AND cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
       |    THEN 0.0 + 1000.0 / 200.0 * (CAST(bin AS DOUBLE)
       |      + CAST(greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) - cumb AS DOUBLE)
-      |        / CAST(c AS DOUBLE)) END) AS p50,
-      |  max(CASE WHEN cumb < greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+      |        / CAST(c AS DOUBLE)) END)) * 1e6 + 0.5) / 1e6 AS p50,
+      |  floor((max(CASE WHEN cumb < greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
       |    AND cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
       |    THEN 0.0 + 1000.0 / 200.0 * (CAST(bin AS DOUBLE)
       |      + CAST(greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) - cumb AS DOUBLE)
-      |        / CAST(c AS DOUBLE)) END) AS p95,
-      |  max(CASE WHEN cumb < greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+      |        / CAST(c AS DOUBLE)) END)) * 1e6 + 0.5) / 1e6 AS p95,
+      |  floor((max(CASE WHEN cumb < greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
       |    AND cum >= greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
       |    THEN 0.0 + 1000.0 / 200.0 * (CAST(bin AS DOUBLE)
       |      + CAST(greatest(CAST(ceil(0.99 * n) AS BIGINT), 1) - cumb AS DOUBLE)
-      |        / CAST(c AS DOUBLE)) END) AS p99
+      |        / CAST(c AS DOUBLE)) END)) * 1e6 + 0.5) / 1e6 AS p99
       |FROM cum GROUP BY g ORDER BY event_type""".stripMargin
 
   /** Streaming sessionization via the native `session_window` aggregate
@@ -2206,9 +2207,16 @@ ORDER BY event_type, win"""
         expr("floor_dot_e9(va, vb)").as("dot_e9"),
         expr("floor_dot_e9(va, va)").as("na_e9"),
         expr("floor_dot_e9(vb, vb)").as("nb_e9"))
-      .withColumn("sim_e4", floor(
-        col("dot_e9").cast("double") / sqrt(col("na_e9").cast("double")) /
-          sqrt(col("nb_e9").cast("double")) * lit(1e4) + lit(0.5)))
+      // zero-norm guard — the same branch gridSimE4/gridSimE4Sql define as
+      // part of the grid contract: without it a zero vector makes the
+      // Spark floor read Long.MaxValue (floor over DoubleType is LongType,
+      // Infinity saturates) while the oracle's floor(inf) errors (r18
+      // ADVICE). The CASE twin lives in q377Oracle.
+      .withColumn("sim_e4",
+        when(col("na_e9") <= 0L || col("nb_e9") <= 0L, lit(0L))
+          .otherwise(floor(
+            col("dot_e9").cast("double") / sqrt(col("na_e9").cast("double")) /
+              sqrt(col("nb_e9").cast("double")) * lit(1e4) + lit(0.5))))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2227,23 +2235,24 @@ ORDER BY event_type, win"""
        |    -- exact e9-grid moments: the floor_dot_e9 replica (each term is
        |    -- floor of a correctly-rounded double product; the long sum is
        |    -- order-free), so the hash never rests on raw-double parity
-       |    CAST(list_sum(list_transform(generate_series(1, len(ea.v)),
+       |    COALESCE(CAST(list_sum(list_transform(generate_series(1, len(ea.v)),
        |      i -> CAST(floor(ea.v[i] * eb.v[i] * 1e9) AS BIGINT)))
-       |      AS BIGINT) AS dot_e9,
-       |    CAST(list_sum(list_transform(generate_series(1, len(ea.v)),
+       |      AS BIGINT), 0) AS dot_e9,
+       |    COALESCE(CAST(list_sum(list_transform(generate_series(1, len(ea.v)),
        |      i -> CAST(floor(ea.v[i] * ea.v[i] * 1e9) AS BIGINT)))
-       |      AS BIGINT) AS na_e9,
-       |    CAST(list_sum(list_transform(generate_series(1, len(eb.v)),
+       |      AS BIGINT), 0) AS na_e9,
+       |    COALESCE(CAST(list_sum(list_transform(generate_series(1, len(eb.v)),
        |      i -> CAST(floor(eb.v[i] * eb.v[i] * 1e9) AS BIGINT)))
-       |      AS BIGINT) AS nb_e9
+       |      AS BIGINT), 0) AS nb_e9
        |  FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
        |  JOIN emb ea ON ea.vec_id = least(a.vec_id, b.vec_id)
        |  JOIN emb eb ON eb.vec_id = greatest(a.vec_id, b.vec_id)
        |  WHERE b.rnk <= 64
        |)
        |SELECT doc_a, doc_b, dot_e9, na_e9, nb_e9,
-       |  CAST(floor(CAST(dot_e9 AS DOUBLE) / sqrt(CAST(na_e9 AS DOUBLE))
-       |    / sqrt(CAST(nb_e9 AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS sim_e4
+       |  CASE WHEN na_e9 <= 0 OR nb_e9 <= 0 THEN 0
+       |    ELSE CAST(floor(CAST(dot_e9 AS DOUBLE) / sqrt(CAST(na_e9 AS DOUBLE))
+       |      / sqrt(CAST(nb_e9 AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) END AS sim_e4
        |FROM scored
        |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -607,16 +607,23 @@ object Curation {
         sum("xi").as("sx"), sum("yi").as("sy"),
         sum(col("xi") * col("yi")).as("sxy"),
         sum(col("xi") * col("xi")).as("sxx"))
-    // exact integer numerator/denominator, then ONE double division
+    // exact integer numerator/denominator, then ONE double division. The
+    // denominator n·sxx−sx² is ZERO exactly when all xi coincide — a
+    // single-rank stream (one word in a source) — which would push NaN
+    // into gridRound (0 on Spark, NaN on DuckDB: the non-finite
+    // contract); guard on the EXACT INTEGER denominator, NULL fit on
+    // both engines.
+    val denI = col("n_ranks") * col("sxx") - col("sx") * col("sx")
     val num = (col("n_ranks") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val den = (col("n_ranks") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val slopeD = num / den
+    val slopeD = num / denI.cast("double")
     val interceptD =
       ((col("sy").cast("double") / 1e6) - slopeD * (col("sx").cast("double") / 1e6)) /
         col("n_ranks")
     s.select(col(streamCol), col("n_ranks"),
-      graft.functions.GridFunctions.gridRound(slopeD, 6).as("slope"),
-      graft.functions.GridFunctions.gridRound(interceptD, 6).as("intercept"))
+      when(denI > 0L,
+        graft.functions.GridFunctions.gridRound(slopeD, 6)).as("slope"),
+      when(denI > 0L,
+        graft.functions.GridFunctions.gridRound(interceptD, 6)).as("intercept"))
   }
 
   // --- composed curation pipeline -------------------------------------------

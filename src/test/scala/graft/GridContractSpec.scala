@@ -110,6 +110,64 @@ class GridContractSpec extends AnyFunSuite {
     assert(top.toSeq == top2.toSeq, "sims/ranks must be layout-invariant")
   }
 
+  test("gridRound non-finite operands are a parity HAZARD, not a silent agreement (r18 — why call sites guard)") {
+    import spark.implicits._
+    // Spark's floor over DoubleType is LongType: NaN silently reads 0 and
+    // ±Inf saturates to ±Long.Max — while the DuckDB twin's floor
+    // PROPAGATES NaN/Inf. This pins the Spark half of that asymmetry so
+    // the reason every gridRound operand chain must be provably finite
+    // (or guarded with a CASE carried in the oracle) stays executable.
+    val r = Seq((Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+      .toDF("nan", "pinf", "ninf")
+      .select(GridFunctions.gridRound(col("nan"), 6).as("gnan"),
+        GridFunctions.gridRound(col("pinf"), 6).as("gpinf"),
+        GridFunctions.gridRound(col("ninf"), 6).as("gninf"))
+      .head()
+    assert(r.getDouble(0) == 0.0, "NaN silently becomes 0.0 on Spark")
+    assert(r.getDouble(1) == Long.MaxValue / 1e6, "+Inf saturates")
+    assert(r.getDouble(2) == Long.MinValue / 1e6, "-Inf saturates")
+    // NULL is the one non-value that passes through identically on both
+    // engines — the canonical emission for an undefined statistic
+    val nr = Seq(Tuple1(Option.empty[Double])).toDF("x")
+      .select(GridFunctions.gridRound(col("x"), 6)).head()
+    assert(nr.isNullAt(0), "NULL passes through the grid")
+  }
+
+  test("zipfSpectrum single-rank stream emits NULL fit (zero-denominator guard, both engines' CASE)") {
+    import spark.implicits._
+    import graft.text.Curation
+    // one word => one rank => n·sxx − sx² = 0: the degenerate fit must be
+    // NULL (not a NaN that Spark's floor would silently zero)
+    val docs = Seq(("solo", "word word word"), ("multi", "a b a c a b d"))
+      .toDF("source", "text")
+    val out = Curation.zipfSpectrum(docs, topK = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("solo").isNullAt(2) && out("solo").isNullAt(3),
+      "single-rank fit must be NULL")
+    assert(!out("multi").isNullAt(2) && !out("multi").isNullAt(3),
+      "well-posed fit stays a value")
+  }
+
+  test("exactQuantiles gridDecimals snaps the readout to the floor grid (r18 census close)") {
+    import spark.implicits._
+    import graft.operators.Quantiles
+    val rnd = new scala.util.Random(18)
+    val df = (0 until 501).map(i => ("g", rnd.nextDouble() * 3.7 - 1.2))
+      .toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+    val raw = Quantiles.exactQuantiles(df, "g", "v", ps).head()
+    val grid = Quantiles.exactQuantiles(df, "g", "v", ps,
+      gridDecimals = Some(6)).head()
+    for (i <- 1 to 3) {
+      val g = grid.getDouble(i)
+      val expect = math.floor(raw.getDouble(i) * 1e6 + 0.5) / 1e6
+      assert(java.lang.Double.doubleToRawLongBits(g) ==
+        java.lang.Double.doubleToRawLongBits(expect),
+        s"grid readout must be the floor formula of the raw interpolation (col $i)")
+      assert(math.floor(g * 1e6 + 0.5) / 1e6 == g, s"off-grid (col $i)")
+    }
+  }
+
   test("zero-norm vectors score 0.0 (the guard both engines carry)") {
     import spark.implicits._
     import graft.text.Similarity

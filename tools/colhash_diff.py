@@ -9,6 +9,13 @@ Usage: python3 tools/colhash_diff.py <outDirA> <outDirB>
 Exit 1 if any query differs. For each differing query prints the columns
 whose value hashes differ (schema/row-count differences first), plus the
 first rows of each side when available.
+
+Artifact format v2 (r18): per-column hashes are order-free 128-bit sums of
+per-row md5s, computed distributed (no driver collect); a `__row__`
+pseudo-column hashes full row tuples so a re-pairing of identical
+per-column multisets still flips a hash. v2 trees are NOT comparable with
+v1 (r17) trees — regenerate both sides with the current graft.Verify.
+A `{"error": ...}` artifact marks a colhash failure (vs a missing file).
 """
 import glob
 import json
