@@ -70,25 +70,13 @@ object Checkpoints {
       }
     }
 
-    /** [[pin]] with SERIALIZED local blocks
-      * (`localCheckpoint(eager, MEMORY_AND_DISK_SER)`): same lineage
-      * truncation and ContextCleaner lifecycle, but the materialized
-      * partitions live as compact serialized bytes instead of row objects
-      * — the DspMegaSoak lesson (serialized storage halved GC
-      * stop-the-world), applied where a pinned frame is LARGE and
-      * re-read only a few times (q306's pair/item frames: two
-      * localCheckpoint writes were the measured ±40% wall variance, r17
-      * NOTES §7). Iterative round-state that is re-read every round
-      * stays on the deserialized [[pin]]. Under a configured
-      * [[Checkpoints.DirKey]] both behave identically (reliable
-      * checkpoint to the shared dir). */
-    def pinSer: Dataset[T] = {
-      val spark = ds.sparkSession
-      spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
-        case Some(_) => ds.pin
-        case None => ds.localCheckpoint(eager = true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      }
-    }
   }
+
+  // A serialized-storage variant (`localCheckpoint(eager, MEMORY_AND_DISK_SER)`)
+  // was trialled for q306's pair/item frames (r18): it neither narrowed the
+  // wall band nor beat simply DROPPING the pins — q306 is a DAG, not a loop,
+  // so AQE exchange reuse shares the repeated subtrees within the single
+  // action and the eager checkpoint writes were pure overhead (quiet walls
+  // 8.7/9.3/6.5 s pinned vs 5.9/7.4/6.5 s unpinned, NOTES r18). Pinning is
+  // for ITERATIVE operators whose lineage would otherwise grow per round.
 }

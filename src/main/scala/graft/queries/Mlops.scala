@@ -2899,7 +2899,6 @@ object Mlops {
       // ranking is a rank-10 window per held-out order pair; evals with
       // no candidates score 0 through the left join, not by dropping.
       (s, dir) => {
-        import graft.operators.Checkpoints.Pinnable
         val wArr = "array(" + NdcgWeights.mkString(",") + ")"
         val ord = table(s, dir, "orders").select(col("o_custkey"),
           col("o_orderkey"),
@@ -2913,11 +2912,11 @@ object Mlops {
           .withColumn("is_test", expr(
             u60("concat('rec:', CAST(o_custkey AS STRING))", spark = true) +
               " % 5 = 0"))
-          .pinSer
+
         val itemsQ = table(s, dir, "lineitem")
           .groupBy(col("l_orderkey"), col("l_partkey"))
           .agg(sum(col("l_quantity").cast("long")).as("qty"))
-          .pinSer
+
         val trainCnt = pairsO.filter(!col("is_test"))
           .join(itemsQ.select(col("l_orderkey").as("o1"),
             col("l_partkey").as("pa")), "o1")
