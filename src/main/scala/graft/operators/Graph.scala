@@ -37,6 +37,41 @@ object Graph {
   private def localEdgeCap(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(LocalEdgeCapKey).map(_.toLong).getOrElse(2000000L)
 
+  /** Conf key: node-count cap under which a per-round survivor/frontier
+    * set is broadcast into the edge-list joins instead of shuffling the
+    * edge list — the same size-based dispatch as Spark's own
+    * broadcast-vs-shuffle choice, decided from a count the round loop
+    * already holds (never an extra action). 2 M longs is a ~30 MB hash
+    * relation; production raises it with executor memory. Above the cap
+    * the shuffled join is the only shape that fits. */
+  val BroadcastNodeCapKey = "graft.graph.broadcastNodeCap"
+
+  private def broadcastNodeCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(BroadcastNodeCapKey).map(_.toLong).getOrElse(2000000L)
+
+  /** Hash-partition + in-partition sort a frame by its round-loop join key
+    * BEFORE pinning, so every subsequent per-round join reuses the pinned
+    * layout instead of re-shuffling and re-sorting the loop-invariant side
+    * each iteration (guide: establish the partitioning once). `pin`
+    * preserves outputPartitioning/outputOrdering through the LogicalRDD,
+    * which is what makes this stick across rounds. The partition count is
+    * the session's shuffle-partition conf — scale-adaptive, not a local
+    * constant. */
+  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // AQE must be OFF while the checkpoint executes: under AQE the
+    // physical plan reports UnknownPartitioning to Dataset.checkpoint
+    // (probe-verified), which silently discards the layout this helper
+    // exists to establish. The pinned build is a single explicit-N
+    // exchange, so AQE had nothing to optimize in it anyway; the bracket
+    // restores the previous value for everything that follows.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(n, col(key)).sortWithinPartitions(key).pin
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** Undirected co-occurrence edges (a < b, distinct): unordered item pairs
     * that appear together in the same group. Pairs are generated inside
     * each group's collected distinct-item set — group sizes bound the
@@ -138,10 +173,13 @@ object Graph {
       .pin
     val n = deg.count() // one bounded scalar to the driver (node count)
     require(n > 0, "empty graph")
-    // hoist the loop-invariant edges x degree join: each directed edge
-    // carries its source degree once, so an iteration is exactly ONE
-    // src-keyed join (edges x ranks) + ONE dst-keyed aggregation
-    val dirDeg = dir.join(deg, "src").pin
+    // hoist the loop-invariant edges x degree join, then pin it
+    // PARTITIONED AND SORTED on the iteration join key: each per-iteration
+    // join reuses the pinned layout, so an iteration is exactly ONE
+    // dst-keyed aggregation shuffle — the edge list is never re-shuffled
+    // or re-sorted after this point (measured: the unpartitioned pin paid
+    // a full edge exchange + sort EVERY iteration)
+    val dirDeg = pinByKey(dir.join(deg, "src"), "src")
     var ranks = deg.select(col("src").as("v"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
       val contrib = dirDeg.join(ranks, dirDeg("src") === ranks("v"))
@@ -218,9 +256,13 @@ object Graph {
   /** Large-graph tier: the distributed round loop (see [[boundedSssp]]
     * scaladoc for the per-round shape). */
   private def ssspRounds(e: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
-    val dir = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .pin
+    // pinned partitioned+sorted on src: every relaxation round joins on
+    // src, so the edge list crosses the network exactly once (see
+    // pinByKey — the unpartitioned pin re-shuffled + re-sorted it per round)
+    val dir = pinByKey(
+      e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(e.select(col("b").as("src"), col("a").as("dst"), col("w"))),
+      "src")
     var dist = seeds.select(col("v").cast("long").as("v"), lit(0L).as("d"))
       .distinct().pin
     for (_ <- 1 to iters) {
@@ -302,8 +344,19 @@ object Graph {
       val row = deg.agg(count(lit(1)),
         coalesce(sum(when(col("d") >= k, 1L).otherwise(0L)), lit(0L))).head()
       census += ((r, row.getLong(0), row.getLong(1)))
-      e = e.join(keep, e("a") === keep("v"), "left_semi")
-      e = e.join(keep, e("b") === keep("v"), "left_semi")
+      // the census row already holds |keep| — reuse it to dispatch the
+      // survivor joins: under the node cap, broadcast the survivor set so
+      // BOTH semi-joins run map-side over the pinned edges (one codegen
+      // stage, zero edge shuffles); above it, fall back to the shuffled
+      // semi-join, which is the only shape that fits giant node sets.
+      // Same dispatch pattern as localEdgeCap, decided from a count the
+      // loop computes anyway. Results are identical either way (semi-join
+      // semantics don't depend on the physical strategy).
+      val keepB =
+        if (row.getLong(1) <= broadcastNodeCap(spark)) broadcast(keep)
+        else keep
+      e = e.join(keepB, e("a") === keepB("v"), "left_semi")
+      e = e.join(keepB, e("b") === keepB("v"), "left_semi")
         .pin
     }
     census.toSeq.toDF("round", "nodes_before", "kept")
@@ -430,7 +483,8 @@ object Graph {
     require(nS > 0, "no seed is present in the graph")
     val tele = lit(15L * scale / (100L * nS))
     val seedFlag = sd.withColumn("is_seed", lit(1))
-    val dirDeg = dir.join(deg, "src").pin
+    // partitioned+sorted on the iteration join key, same as pageRankScaled
+    val dirDeg = pinByKey(dir.join(deg, "src"), "src")
     var ranks = nodes.join(broadcast(seedFlag), Seq("v"), "left")
       .select(col("v"),
         when(col("is_seed") === 1, lit(scale / nS)).otherwise(lit(0L)).as("r"))

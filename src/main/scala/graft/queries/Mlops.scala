@@ -4303,18 +4303,24 @@ object Mlops {
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
           .distinct()
+        // TWO pinned copies of the bipartite edge list, one partitioned+
+        // sorted per half-round join key (Graph.pinByKey): the u-keyed and
+        // p-keyed joins each reuse their copy's layout, so the edges never
+        // re-shuffle inside the rounds — 6 per-round edge exchanges traded
+        // for 1 extra one-time exchange at build
+        val beU = graft.operators.Graph.pinByKey(edges, "u")
+        val beP = graft.operators.Graph.pinByKey(beU, "p")
         import graft.operators.Checkpoints.Pinnable
-        val be = edges.pin
-        var h = be.select(col("u")).distinct()
+        var h = beU.select(col("u")).distinct()
           .withColumn("s", lit(HitsScale))
         var a: org.apache.spark.sql.DataFrame = null
         for (_ <- 1 to 3) {
-          val ar = be.join(h, "u").groupBy("p").agg(sum("s").as("raw"))
+          val ar = beU.join(h, "u").groupBy("p").agg(sum("s").as("raw"))
           val am = ar.agg(max("raw").as("mx"))
           a = ar.crossJoin(broadcast(am))
             .select(col("p"), expr(s"(raw * $HitsScale) div mx").as("s"))
             .pin
-          val hr = be.join(a, "p").groupBy("u").agg(sum("s").as("raw"))
+          val hr = beP.join(a, "p").groupBy("u").agg(sum("s").as("raw"))
           val hm = hr.agg(max("raw").as("mx"))
           h = hr.crossJoin(broadcast(hm))
             .select(col("u"), expr(s"(raw * $HitsScale) div mx").as("s"))

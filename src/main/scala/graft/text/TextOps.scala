@@ -443,7 +443,13 @@ object TextOps {
     // would otherwise DOUBLE that tree every round (DeduplicateRelations
     // clones the right side) — at ~20 rounds the driver OOMs just
     // stringifying the plan. Pinning keeps the per-round plan constant.
-    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst"))).pin
+    // Pinned PARTITIONED AND SORTED on dst, the per-round join key: pin
+    // preserves outputPartitioning/outputOrdering through the LogicalRDD,
+    // so every relax round reuses this layout instead of re-shuffling and
+    // re-sorting the loop-invariant edge list (the Graph.pinByKey idiom;
+    // partition count from the session conf, scale-adaptive).
+    val sym = graft.operators.Graph.pinByKey(
+      und.union(und.select(col("dst").as("src"), col("src").as("dst"))), "dst")
     var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("_old", col("node"))
       .withColumn("label", col("node"))
