@@ -57,10 +57,14 @@ object Quantiles {
       s"quantile ps must be in [0,1]; got $ps")
     val spark = df.sparkSession
     import spark.implicits._
-    val sorted = df
-      .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull && col("g").isNotNull)
+    // fanOutScan: repartitionByRange SAMPLES its input in a separate job
+    // and its map side runs in the input's own partitions — both were
+    // profiled serial (2.4 s + 1.1 s single-task) on the one-row-group
+    // bench scans; no-op when the input is already parallel
+    val sorted = Parallelism.fanOutScan(df
+        .select(col(groupCol).cast("string").as("g"),
+          col(valueCol).cast("double").as("v"))
+        .where(col("v").isNotNull && col("g").isNotNull))
       .repartitionByRange(col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .as[(String, Double)]
@@ -175,10 +179,14 @@ object Quantiles {
                          k: Double = 3.0,
                          gridDecimals: Option[Int] = None): DataFrame = {
     require(k > 0, s"need k>0; got $k")
-    val base = df
+    // fanned out HERE so both quantile passes inherit the parallel layout
+    // (the second pass's input is base JOIN med — a broadcast join keeps
+    // base's partitioning, and a join-shaped plan is past fanOutScan's
+    // scan-shape guard inside exactQuantiles)
+    val base = Parallelism.fanOutScan(df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull && col("g").isNotNull)
+      .where(col("v").isNotNull && col("g").isNotNull))
     // gridDecimals grids BOTH medians — med feeds the deviations, so the
     // oracle must replay the gridded med in ad = |v - med| as well as in
     // the emitted column (q96's twin does)

@@ -3254,10 +3254,15 @@ object Advanced {
       // recall = |SN ∩ full| / |full| — and n_common == n_sn certifies the
       // subset property (SN never invents cross-block pairs).
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"),
-            concat_ws("|", col("lang"), col("source")).as("block"),
-            substring(col("text"), 1, 40).as("t40"), col("n_chars"))
+        // fanOutScan BEFORE the pin: the pin freezes the partition count,
+        // and the block-quadratic levenshtein ground truth downstream was
+        // profiled at 2.7 s in ONE task over the single-split bench scan
+        // (the broadcast self-join streams the pinned side as-is)
+        val docs = graft.operators.Parallelism.fanOutScan(
+            table(s, dir, "documents")
+              .select(col("doc_id"),
+                concat_ws("|", col("lang"), col("source")).as("block"),
+                substring(col("text"), 1, 40).as("t40"), col("n_chars")))
           .pin // feeds ground truth, SN ranks, and both scorers
         val l = docs.select(col("block"), col("doc_id").as("a"), col("t40").as("ta"))
         val r = docs.select(col("block"), col("doc_id").as("b"), col("t40").as("tb"))

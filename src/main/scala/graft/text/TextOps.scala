@@ -128,7 +128,11 @@ object TextOps {
       }
       out
     }
-    docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("signature"))
+    // one md5 per shingle makes this the pipeline's CPU hot spot — fan the
+    // docs out of an under-parallel scan stage first (no-op at scale and
+    // on streaming inputs; see Parallelism.fanOutScan)
+    graft.operators.Parallelism.fanOutScan(docs)
+      .select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("signature"))
   }
 
   /** LSH candidate pairs from signatures: `bands` bands of `numHashes/bands`
@@ -610,8 +614,10 @@ object TextOps {
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = split(col(textCol), " ")
     // pinned: sh feeds both sides of the self-join plus the count subtree —
-    // unpinned, the text scan + shingle explode runs three times
-    val sh = docs
+    // unpinned, the text scan + shingle explode runs three times.
+    // fanOutScan: the shingle explode is scan-fused and was profiled at
+    // 4.2 s in ONE task on the single-row-group bench input
+    val sh = graft.operators.Parallelism.fanOutScan(docs)
       .filter(size(words) >= 2)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(transform(sequence(lit(1), size(words) - 1),
@@ -877,7 +883,9 @@ object TextOps {
     val words = split(col(textCol), " ")
     val hashes = array_distinct(transform(sequence(lit(1), size(words) - (k - 1)),
       i => md5(array_join(slice(words, i, lit(k)), " "))))
-    val win = docs
+    // one md5 per rolling window is scan-fused CPU — fan out of an
+    // under-parallel scan first (no-op at scale; Parallelism.fanOutScan)
+    val win = graft.operators.Parallelism.fanOutScan(docs)
       .filter(size(words) >= k)
       .select(col(idCol).cast("long").as("doc_id"), explode(hashes).as("h"))
     val pairsUdf = udf { (ids: Seq[Long]) =>
