@@ -74,9 +74,13 @@ object ProfileQuery {
     val names = args(1).split(",").toSeq
     val nRuns = if (args.length >= 3) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only experiment knob: decouple shuffle-partition count from core
+    // count to attribute per-round cost (task-launch overhead vs compute).
+    // Bench never reads this; its session stays partitions == cpus.
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

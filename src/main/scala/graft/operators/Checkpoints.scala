@@ -39,6 +39,36 @@ object Checkpoints {
   private val appliedDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** RDD-level twin of [[Pinnable.pin]] for helpers that construct their
+    * pinned frame manually (Graph.pinByKey via the LogicalRDD shim): the
+    * same conf-selected policy — localCheckpoint by default, reliable
+    * checkpointing into [[DirKey]] when set — applied to a raw RDD. The
+    * call is EAGER (runs one count action) and returns once the blocks /
+    * checkpoint files exist. */
+  def pinRdd(spark: org.apache.spark.sql.SparkSession,
+             rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        val key = sc.applicationId
+        if (Checkpoints.appliedDir.get(key) != dir ||
+            sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          Checkpoints.appliedDir.put(key, dir)
+        }
+        // same recompute-avoidance as the Dataset path: cache across the
+        // action job and the checkpoint-write job, then release
+        if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          try { rdd.checkpoint(); rdd.count() }
+          finally rdd.unpersist(blocking = false)
+        } else { rdd.checkpoint(); rdd.count() }
+      case None =>
+        rdd.localCheckpoint()
+        rdd.count()
+    }
+  }
+
   implicit final class Pinnable[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Truncate lineage eagerly under the session's configured policy. */

@@ -49,27 +49,49 @@ object Graph {
   private def broadcastNodeCap(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(BroadcastNodeCapKey).map(_.toLong).getOrElse(2000000L)
 
+  /** Conf key: target row count per pinned round-loop partition (see
+    * [[pinByKey]]). The r18 layout always pinned at the session's
+    * shuffle-partition count; profiled at bench scale that left every
+    * per-round stage paying 32 task launches (codegen init, broadcast
+    * fetch, scheduling) to process ~75 K rows each — per-task overhead,
+    * not compute, dominated the loops (q347 9.8 s at 32 partitions vs
+    * 6.2 s at 4, same 32 cores). Deriving the count from the known row
+    * count instead (guide §2: scale partitioning from input size, not a
+    * constant) keeps partitions near the AQE advisory size; huge inputs
+    * still cap at the session conf, so cluster behavior is unchanged. */
+  val PinRowsPerPartitionKey = "graft.graph.pinRowsPerPartition"
+
+  private def pinRowsPerPartition(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(PinRowsPerPartitionKey).map(_.toLong).getOrElse(2000000L)
+
   /** Hash-partition + in-partition sort a frame by its round-loop join key
     * BEFORE pinning, so every subsequent per-round join reuses the pinned
     * layout instead of re-shuffling and re-sorting the loop-invariant side
     * each iteration (guide: establish the partitioning once). `pin`
     * preserves outputPartitioning/outputOrdering through the LogicalRDD,
-    * which is what makes this stick across rounds. The partition count is
-    * the session's shuffle-partition conf — scale-adaptive, not a local
-    * constant. */
-  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame = {
+    * which is what makes this stick across rounds.
+    *
+    * `rows`, when known by the caller (the round loops all count their
+    * edge lists anyway), sizes the partition count from the data:
+    * ceil(rows / [[PinRowsPerPartitionKey]]), capped at the session's
+    * shuffle-partition conf — so a bench-scale loop runs its rounds over a
+    * handful of right-sized partitions while a 100 TB edge list still gets
+    * the full session parallelism. rows <= 0 keeps the session conf. */
+  private[graft] def pinByKey(df: DataFrame, key: String, rows: Long = -1L): DataFrame = {
     val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    // AQE must be OFF while the checkpoint executes: under AQE the
-    // physical plan reports UnknownPartitioning to Dataset.checkpoint
-    // (probe-verified), which silently discards the layout this helper
-    // exists to establish. The pinned build is a single explicit-N
-    // exchange, so AQE had nothing to optimize in it anyway; the bracket
-    // restores the previous value for everything that follows.
-    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(n, col(key)).sortWithinPartitions(key).pin
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val maxN = spark.sessionState.conf.numShufflePartitions
+    val n =
+      if (rows <= 0L) maxN
+      else {
+        val per = pinRowsPerPartition(spark)
+        math.min(maxN.toLong, math.max(1L, (rows + per - 1L) / per)).toInt
+      }
+    // r19: the pin DECLARES its layout (LogicalRDD built directly with
+    // HashPartitioning + key ordering — see PinnedLayout's scaladoc for why
+    // that is sound under AQE) instead of toggling adaptive.enabled on the
+    // shared session around Dataset.checkpoint. The r18 set/restore window,
+    // which a concurrently planned query could observe, is gone entirely.
+    org.apache.spark.sql.graftinternal.PinnedLayout.pinByKey(df, key, n)
   }
 
   /** Undirected co-occurrence edges (a < b, distinct): unordered item pairs
@@ -101,6 +123,88 @@ object Graph {
     * minimum), so each is counted once. Orientation bounds the wedge join's
     * per-key fan-out by the oriented out-degree <= O(sqrt(2m)), which is
     * what makes the self-join survive power-law degree skew at scale. */
+  /** Conf key: edge-count cap under which the triangle machinery's three
+    * edge-list joins (two degree attachments, the wedge self-join's build
+    * side, the closing lookup) run as BROADCAST hash joins over the
+    * oriented probe stream instead of shuffled sort-merge joins. Profiled
+    * at sf0.1 (1.2 M edges, 41 M oriented wedges): the SMJ wedge stage
+    * cost 51.7 s of task time — exchange + sort + per-key match buffering
+    * dominate, not the wedge arithmetic. Under the cap the whole wedge
+    * generation + closing probe fuses into ONE codegen stage over a
+    * round-robin-parallel probe side: zero wedge-stage exchanges, and the
+    * 41 M wedge rows are streamed, never materialized. 2 M edges is a
+    * ~60 MB hash relation (same budget class as [[BroadcastNodeCapKey]]);
+    * above it the shuffled plan is the only shape that fits. */
+  val BroadcastEdgeCapKey = "graft.graph.broadcastEdgeCap"
+
+  private def broadcastEdgeCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(BroadcastEdgeCapKey).map(_.toLong).getOrElse(2000000L)
+
+  /** Shared triangle enumerator for [[triangleStats]] / [[localClustering]]:
+    * canonical (a < b, distinct) pinned edges + pinned degrees in, ONE row
+    * per triangle out, carrying the triangle's 3 member vertices as
+    * (src, x, y). `nEdges` dispatches the strategy (see
+    * [[BroadcastEdgeCapKey]]); the tiers may label the members differently
+    * (the shuffled tier emits apex + its two out-neighbors min-first, the
+    * broadcast tier apex + edge head + intersection witness) but the
+    * row-per-triangle count and the member MULTISET are tier-invariant —
+    * which is all the consumers read (a count, and an explode of the 3
+    * members) — certified by GraphPinSpec's tier-equality test. `degCol`
+    * names the degree column in `deg`. */
+  private def closedOrientedWedges(e: DataFrame, deg: DataFrame,
+                                   degCol: String, nEdges: Long): DataFrame = {
+    val spark = e.sparkSession
+    val degA = deg.select(col("v").as("a"), col(degCol).as("da"))
+    val degB = deg.select(col("v").as("b"), col(degCol).as("db"))
+    def orient(withDeg: DataFrame): DataFrame = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+    if (nEdges <= broadcastEdgeCap(spark)) {
+      // broadcast tier — adjacency-intersection edge iterator: every
+      // triangle {u,v,w} has exactly one vertex u whose two triangle edges
+      // both point OUT in the degree orientation, so w is found once, at
+      // edge (u,v), as a member of N+(u) ∩ N+(v). Joining each oriented
+      // edge with the BROADCAST out-neighbor lists of both endpoints and
+      // exploding the intersection enumerates triangles in one
+      // exchange-free stage over the edges — the 41 M wedge rows the r18
+      // self-join materialized (then hash-probed per row: 100 s of task
+      // time at sf0.1) never exist; per-edge work is O(|N+(u)| + |N+(v)|),
+      // bounded by the O(sqrt(2m)) orientation bound under any skew.
+      // The probe side is round-robin fanned to the session's parallelism
+      // (its lineage is a handful of pinned partitions at bench scale; the
+      // exchange moves nEdges rows, the cheapest place to buy the heavy
+      // stage's parallelism — the fanOutScan rationale).
+      val n = spark.sessionState.conf.numShufflePartitions
+      val oriented = orient(
+        e.join(broadcast(degA), "a").join(broadcast(degB), "b"))
+      val adjU = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nu"))
+      val adjV = adjU.select(col("src").as("dst"), col("nu").as("nv"))
+      // inner joins: src always holds >= 1 out-neighbor; a dst with no
+      // out-list cannot witness a triangle (empty intersection) — dropping
+      // its edge row changes nothing
+      oriented.repartition(n)
+        .join(broadcast(adjU), Seq("src"))
+        .join(broadcast(adjV), Seq("dst"))
+        .select(col("src"), col("dst").as("x"),
+          explode(array_intersect(col("nu"), col("nv"))).as("y"))
+    } else {
+      // shuffled tier (the only shape that fits giant edge lists): the
+      // oriented list is pinned partitioned+sorted on the wedge join key,
+      // so the self-join needs no exchange and no sort on either side
+      // (both sides ARE the pinned frame — the r18 pinByKey idiom)
+      val oriented = pinByKey(
+        orient(e.join(degA, "a").join(degB, "b")), "src", nEdges)
+      val o1 = oriented.select(col("src"), col("dst").as("x"))
+      val o2 = oriented.select(col("src"), col("dst").as("y"))
+      val wedges = o1.join(o2, "src").filter(col("x") < col("y"))
+      wedges.join(e,
+        wedges("x") === e("a") && wedges("y") === e("b"), "left_semi")
+    }
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -113,32 +217,18 @@ object Graph {
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
       .pin
-    val withDeg = e
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-    val oriented = withDeg.select(
-      when(col("da") < col("db") ||
-           (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("src"), col("b").as("dst")))
-        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
-      .select(col("o.src").as("src"), col("o.dst").as("dst"))
-      .pin // consumed by both sides of the wedge self-join
-    // wedges at a common oriented source; x < y canonicalizes the pair so
-    // the closing edge is looked up in the original (a < b) table
-    val o1 = oriented.select(col("src"), col("dst").as("x"))
-    val o2 = oriented.select(col("src"), col("dst").as("y"))
-    val wedgesOriented = o1.join(o2, "src").filter(col("x") < col("y"))
-    val triangles = wedgesOriented
-      .join(e, wedgesOriented("x") === e("a") && wedgesOriented("y") === e("b"))
-      .count()
     // integer `div` everywhere: Column./ is double division, and a double
-    // sum of degrees stops being exact past 2^53 edges
+    // sum of degrees stops being exact past 2^53 edges. Collected BEFORE
+    // the triangle count so n_edges can dispatch the wedge join strategy
+    // (no extra action — this readout was always needed).
     val base = deg.agg(
         count(lit(1)).as("n_nodes"),
         expr("sum(deg) div 2").as("n_edges"),
         expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
       .collect()(0)
     val (nNodes, nEdges, nWedges) = (base.getLong(0), base.getLong(1), base.getLong(2))
+    // one row per triangle, whichever tier ran
+    val triangles = closedOrientedWedges(e, deg, "deg", nEdges).count()
     // HALF_UP to match SQL round() (math.rint is half-to-even)
     val coeff =
       if (nWedges == 0L) 0.0
@@ -173,13 +263,15 @@ object Graph {
       .pin
     val n = deg.count() // one bounded scalar to the driver (node count)
     require(n > 0, "empty graph")
+    val m = dir.count() // over the pinned RDD — sizes the loop partitions
     // hoist the loop-invariant edges x degree join, then pin it
     // PARTITIONED AND SORTED on the iteration join key: each per-iteration
     // join reuses the pinned layout, so an iteration is exactly ONE
     // dst-keyed aggregation shuffle — the edge list is never re-shuffled
     // or re-sorted after this point (measured: the unpartitioned pin paid
-    // a full edge exchange + sort EVERY iteration)
-    val dirDeg = pinByKey(dir.join(deg, "src"), "src")
+    // a full edge exchange + sort EVERY iteration). dirDeg has exactly one
+    // row per directed edge (every src holds a degree), so m sizes it.
+    val dirDeg = pinByKey(dir.join(deg, "src"), "src", m)
     var ranks = deg.select(col("src").as("v"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
       val contrib = dirDeg.join(ranks, dirDeg("src") === ranks("v"))
@@ -216,7 +308,7 @@ object Graph {
     val nEdges = e.count()
     val result =
       if (nEdges <= localEdgeCap(spark)) ssspLocal(e, seeds, iters)
-      else ssspRounds(e, seeds, iters)
+      else ssspRounds(e, seeds, iters, nEdges)
     e.unpersist() // both tiers end pinned/materialized — safe to drop
     result
   }
@@ -232,37 +324,85 @@ object Graph {
     val tagged = e.select(col("a"), col("b"), col("w"), lit(false).as("s"))
       .union(seeds.select(col("v").cast("long").as("a"), lit(0L).as("b"),
         lit(0L).as("w"), lit(true).as("s")))
+    // Dense-index rewrite (r19): the r17 HashMap loop spent the whole tier
+    // wall boxing Long keys per relaxation (profiled 1.3 s of the q167
+    // wall at sf0.1). Node ids remap once to [0, n) via a sorted array +
+    // binary search; each round is then primitive-array reads/writes over
+    // int-indexed edges — same synchronous Bellman-Ford semantics (reads
+    // the PREVIOUS round's distances only), ~20x less per-edge work.
     tagged.as[(Long, Long, Long, Boolean)].repartition(1).mapPartitions { it =>
-      val dirE = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      var cur = scala.collection.mutable.HashMap.empty[Long, Long]
+      val ea = new java.util.ArrayList[Long]()
+      val eb = new java.util.ArrayList[Long]()
+      val ew = new java.util.ArrayList[Long]()
+      val seedIds = new java.util.ArrayList[Long]()
       it.foreach { case (a, b, w, isSeed) =>
-        if (isSeed) cur(a) = 0L
-        else { dirE += ((a, b, w)); dirE += ((b, a, w)) }
+        if (isSeed) seedIds.add(a)
+        else { ea.add(a); eb.add(b); ew.add(w) }
       }
-      for (_ <- 1 to iters) {
+      val nE = ea.size()
+      // distinct sorted node ids over both endpoints and the seeds
+      val allIds = new Array[Long](2 * nE + seedIds.size())
+      var i = 0
+      while (i < nE) {
+        allIds(2 * i) = ea.get(i); allIds(2 * i + 1) = eb.get(i); i += 1
+      }
+      i = 0
+      while (i < seedIds.size()) { allIds(2 * nE + i) = seedIds.get(i); i += 1 }
+      java.util.Arrays.sort(allIds)
+      val ids = new Array[Long](allIds.length)
+      var n = 0
+      i = 0
+      while (i < allIds.length) {
+        if (n == 0 || ids(n - 1) != allIds(i)) { ids(n) = allIds(i); n += 1 }
+        i += 1
+      }
+      def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, 0, n, v)
+      // directed edges, both orientations, as int indexes
+      val src = new Array[Int](2 * nE)
+      val dst = new Array[Int](2 * nE)
+      val wgt = new Array[Long](2 * nE)
+      i = 0
+      while (i < nE) {
+        val ia = idx(ea.get(i)); val ib = idx(eb.get(i)); val w = ew.get(i)
+        src(2 * i) = ia; dst(2 * i) = ib; wgt(2 * i) = w
+        src(2 * i + 1) = ib; dst(2 * i + 1) = ia; wgt(2 * i + 1) = w
+        i += 1
+      }
+      val INF = Long.MaxValue
+      var cur = Array.fill(n)(INF)
+      i = 0
+      while (i < seedIds.size()) { cur(idx(seedIds.get(i))) = 0L; i += 1 }
+      var r = 0
+      while (r < iters) {
         val next = cur.clone()
-        dirE.foreach { case (src, dst, w) =>
-          cur.get(src).foreach { d =>
-            val nd = d + w
-            if (next.get(dst).forall(_ > nd)) next(dst) = nd
+        var j = 0
+        while (j < 2 * nE) {
+          val d = cur(src(j))
+          if (d != INF) {
+            val nd = d + wgt(j)
+            if (nd < next(dst(j))) next(dst(j)) = nd
           }
+          j += 1
         }
         cur = next
+        r += 1
       }
-      cur.iterator
+      (0 until n).iterator.collect { case k if cur(k) != INF => (ids(k), cur(k)) }
     }.toDF("v", "dist").pin
   }
 
   /** Large-graph tier: the distributed round loop (see [[boundedSssp]]
     * scaladoc for the per-round shape). */
-  private def ssspRounds(e: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  private def ssspRounds(e: DataFrame, seeds: DataFrame, iters: Int,
+                         nEdges: Long): DataFrame = {
     // pinned partitioned+sorted on src: every relaxation round joins on
     // src, so the edge list crosses the network exactly once (see
-    // pinByKey — the unpartitioned pin re-shuffled + re-sorted it per round)
+    // pinByKey — the unpartitioned pin re-shuffled + re-sorted it per
+    // round); partitions sized from the known directed-edge count
     val dir = pinByKey(
       e.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(e.select(col("b").as("src"), col("a").as("dst"), col("w"))),
-      "src")
+      "src", 2L * nEdges)
     var dist = seeds.select(col("v").cast("long").as("v"), lit(0L).as("d"))
       .distinct().pin
     for (_ <- 1 to iters) {
@@ -310,18 +450,66 @@ object Graph {
   private def kCoreLocal(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
+    // Dense-index rewrite (r19): the r17 loop rebuilt a boxed
+    // HashMap[Long,Long] of degrees every round (profiled 2.8 s of the
+    // q218 wall at sf0.1, one serial task). Node ids remap once to [0, n)
+    // via a sorted array + binary search; each round is then one
+    // primitive-int degree pass plus an in-place edge compaction —
+    // identical semantics (degrees over the live edge multiset, survivors
+    // = endpoints with degree >= k, edges restricted to survivor pairs).
     e0.as[(Long, Long)].repartition(1).mapPartitions { it =>
-      var es = it.toArray
+      val eaL = new java.util.ArrayList[Long]()
+      val ebL = new java.util.ArrayList[Long]()
+      it.foreach { case (a, b) => eaL.add(a); ebL.add(b) }
+      val nE0 = eaL.size()
+      val allIds = new Array[Long](2 * nE0)
+      var i = 0
+      while (i < nE0) {
+        allIds(2 * i) = eaL.get(i); allIds(2 * i + 1) = ebL.get(i); i += 1
+      }
+      java.util.Arrays.sort(allIds)
+      val ids = new Array[Long](allIds.length)
+      var n = 0
+      i = 0
+      while (i < allIds.length) {
+        if (n == 0 || ids(n - 1) != allIds(i)) { ids(n) = allIds(i); n += 1 }
+        i += 1
+      }
+      val ea = new Array[Int](nE0)
+      val eb = new Array[Int](nE0)
+      i = 0
+      while (i < nE0) {
+        ea(i) = java.util.Arrays.binarySearch(ids, 0, n, eaL.get(i))
+        eb(i) = java.util.Arrays.binarySearch(ids, 0, n, ebL.get(i))
+        i += 1
+      }
+      var live = nE0
+      val deg = new Array[Long](n)
       val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-      for (r <- 1 to rounds) {
-        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
-        es.foreach { case (a, b) =>
-          deg(a) = deg.getOrElse(a, 0L) + 1L
-          deg(b) = deg.getOrElse(b, 0L) + 1L
+      var r = 1
+      while (r <= rounds) {
+        java.util.Arrays.fill(deg, 0L)
+        var j = 0
+        while (j < live) { deg(ea(j)) += 1L; deg(eb(j)) += 1L; j += 1 }
+        var nodes = 0L
+        var kept = 0L
+        var v = 0
+        while (v < n) {
+          if (deg(v) > 0L) { nodes += 1L; if (deg(v) >= k) kept += 1L }
+          v += 1
         }
-        val kept = deg.valuesIterator.count(_ >= k).toLong
-        census += ((r, deg.size.toLong, kept))
-        es = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        census += ((r, nodes, kept))
+        // in-place compaction to the survivor-survivor edge prefix
+        var w = 0
+        j = 0
+        while (j < live) {
+          if (deg(ea(j)) >= k && deg(eb(j)) >= k) {
+            ea(w) = ea(j); eb(w) = eb(j); w += 1
+          }
+          j += 1
+        }
+        live = w
+        r += 1
       }
       census.iterator
     }.toDF("round", "nodes_before", "kept").pin
@@ -332,7 +520,11 @@ object Graph {
   private def kCoreRounds(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
-    var e = e0.pin
+    // e0 arrives persisted AND already counted by boundedKCorePeel — the
+    // r18 `e0.pin` here re-materialized the same blocks a second time for
+    // nothing (the loop is fully eager, so every round has executed before
+    // the caller unpersists e0)
+    var e = e0
     val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (r <- 1 to rounds) {
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
@@ -387,22 +579,10 @@ object Graph {
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .pin
-    val withDeg = e
-      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-    val oriented = withDeg.select(
-      when(col("da") < col("db") ||
-           (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("src"), col("b").as("dst")))
-        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
-      .select(col("o.src").as("src"), col("o.dst").as("dst"))
-      .pin // consumed by both sides of the wedge self-join
-    val o1 = oriented.select(col("src"), col("dst").as("x"))
-    val o2 = oriented.select(col("src"), col("dst").as("y"))
-    val wedges = o1.join(o2, "src").filter(col("x") < col("y"))
-    // left_semi keeps exactly the wedges that close into a triangle; each
-    // triangle survives once (at its orientation-minimal vertex)
-    val closed = wedges.join(e, wedges("x") === e("a") && wedges("y") === e("b"), "left_semi")
+    // one cheap count over the pinned blocks dispatches the triangle
+    // strategy (broadcast under the edge cap, shuffled above — see
+    // closedOrientedWedges); one row per triangle carrying its 3 members
+    val closed = closedOrientedWedges(e, deg, "d", e.count())
     val perNode = closed
       .select(explode(array(col("src"), col("x"), col("y"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("t"))
@@ -483,8 +663,9 @@ object Graph {
     require(nS > 0, "no seed is present in the graph")
     val tele = lit(15L * scale / (100L * nS))
     val seedFlag = sd.withColumn("is_seed", lit(1))
+    val m = dir.count() // over the pinned RDD — sizes the loop partitions
     // partitioned+sorted on the iteration join key, same as pageRankScaled
-    val dirDeg = pinByKey(dir.join(deg, "src"), "src")
+    val dirDeg = pinByKey(dir.join(deg, "src"), "src", m)
     var ranks = nodes.join(broadcast(seedFlag), Seq("v"), "left")
       .select(col("v"),
         when(col("is_seed") === 1, lit(scale / nS)).otherwise(lit(0L)).as("r"))

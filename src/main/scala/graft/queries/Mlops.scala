@@ -4307,9 +4307,16 @@ object Mlops {
         // sorted per half-round join key (Graph.pinByKey): the u-keyed and
         // p-keyed joins each reuse their copy's layout, so the edges never
         // re-shuffle inside the rounds — 6 per-round edge exchanges traded
-        // for 1 extra one-time exchange at build
-        val beU = graft.operators.Graph.pinByKey(edges, "u")
-        val beP = graft.operators.Graph.pinByKey(beU, "p")
+        // for 1 extra one-time exchange at build. r19: the pins are SIZED
+        // from the counted edge list (persist before counting, the
+        // boundedSssp idiom), so every per-round stage runs over
+        // right-sized partitions instead of 32 near-empty ones.
+        val edgesP = edges.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nE = edgesP.count()
+        val beU = graft.operators.Graph.pinByKey(edgesP, "u", nE)
+        val beP = graft.operators.Graph.pinByKey(beU, "p", nE)
+        edgesP.unpersist(blocking = false)
         import graft.operators.Checkpoints.Pinnable
         var h = beU.select(col("u")).distinct()
           .withColumn("s", lit(HitsScale))

@@ -406,7 +406,7 @@ object TextOps {
       .getOrElse(2000000L)
     val result =
       if (nEdges <= cap) ccUnionFind(und)
-      else ccLabelPropagation(und, maxIter)
+      else ccLabelPropagation(und, maxIter, nEdges)
     und.unpersist()
     result
   }
@@ -440,7 +440,8 @@ object TextOps {
 
   /** Large-graph tier: iterative min-label propagation (see
     * [[connectedComponents]] scaladoc for the round shape). */
-  private def ccLabelPropagation(und: DataFrame, maxIter: Int): DataFrame = {
+  private def ccLabelPropagation(und: DataFrame, maxIter: Int,
+                                 nEdges: Long): DataFrame = {
     // every round's state is PINNED (eager lineage truncation under the
     // session's Checkpoints policy), not merely persisted: a persist caches
     // blocks but keeps the logical tree, and the jump round's self-join
@@ -451,9 +452,11 @@ object TextOps {
     // preserves outputPartitioning/outputOrdering through the LogicalRDD,
     // so every relax round reuses this layout instead of re-shuffling and
     // re-sorting the loop-invariant edge list (the Graph.pinByKey idiom;
-    // partition count from the session conf, scale-adaptive).
+    // partition count sized from the known symmetric edge count,
+    // capped at the session conf — scale-adaptive, see pinByKey).
     val sym = graft.operators.Graph.pinByKey(
-      und.union(und.select(col("dst").as("src"), col("src").as("dst"))), "dst")
+      und.union(und.select(col("dst").as("src"), col("src").as("dst"))), "dst",
+      2L * nEdges)
     var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("_old", col("node"))
       .withColumn("label", col("node"))
